@@ -1,0 +1,81 @@
+package graft.serde
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpecBase
+import graft.functions.BinaryCodec
+import graft.types.AvroBridge
+
+/** Port of the reference's serde-type matrix (TypeMappingTest.scala:12-79):
+  * avro/avro, string/string, long/long, and void-key + avro-in/long-out —
+  * each as a Kafka-shaped binary frame decoded, transformed, re-encoded. */
+class SerdeSpec extends SparkSpecBase {
+
+  private val kafkaShape = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType)))
+
+  test("mapping type parsing (TypeConversions.scala:21-28,42-51)") {
+    assert(MappingType.fromString("long") == LongMapping)
+    assert(MappingType.fromString("string") == StringMapping)
+    assert(MappingType.fromString("void") == VoidMapping)
+    assert(KeyValueMapping.fromString("string") ==
+      KeyValueMapping(VoidMapping, StringMapping)) // bare value => void key
+    assert(KeyValueMapping.fromString("long,string") ==
+      KeyValueMapping(LongMapping, StringMapping))
+    intercept[IllegalArgumentException](MappingType.fromString("avro"))
+    intercept[IllegalArgumentException](MappingType.fromString("protobuf"))
+  }
+
+  test("long/long: Kafka 8-byte big-endian codec (TypeMappingTest:48-62)") {
+    val rows = Seq(5L, -1L, 0L, Long.MaxValue, Long.MinValue).map { v =>
+      Row(BinaryCodec.longToBytes(v), BinaryCodec.longToBytes(v * 2))
+    }
+    val df = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, kafkaShape)
+    val m = KeyValueMapping.fromString("long,long")
+    val decoded = m.decode(df)
+    assert(decoded.schema("key").dataType == LongType)
+    val got = decoded.orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(5L, -1L, 0L, Long.MaxValue, Long.MinValue).map(v => (v, v * 2)).sortBy(_._1))
+    // encode back round-trips bit-exactly
+    val back = m.decode(m.encode(decoded)).orderBy("key").collect().map(_.getLong(0)).toSeq
+    assert(back == Seq(5L, -1L, 0L, Long.MaxValue, Long.MinValue).sorted)
+  }
+
+  test("string/string decode+encode (TypeMappingTest:33-47)") {
+    val rows = Seq(Row("k1".getBytes("UTF-8"), "v1".getBytes("UTF-8")))
+    val df = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, kafkaShape)
+    val m = KeyValueMapping.fromString("string,string")
+    val out = m.decode(df).collect()(0)
+    assert(out.getString(0) == "k1" && out.getString(1) == "v1")
+  }
+
+  test("void key + avro value -> long out (TypeMappingTest:63-79)") {
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"t","fields":[{"name":"n","type":"long"}]}""")
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("n", 123L)
+    val rows = Seq(Row(null, AvroBridge.serialize(rec)))
+    val df = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, kafkaShape)
+    val in = KeyValueMapping(VoidMapping, AvroMapping(schema))
+    val decoded = in.decode(df)
+    // transform: value = value.n (avro-in, long-out)
+    val transformed = decoded.select(col("key"), col("value").getField("n").as("value"))
+    val outMapping = KeyValueMapping(VoidMapping, LongMapping)
+    val wire = outMapping.encode(transformed).collect()(0)
+    assert(wire.get(0) == null) // void key -> null binary
+    assert(BinaryCodec.bytesToLong(wire.getAs[Array[Byte]](1)) == 123L)
+  }
+
+  test("binary codec expressions survive codegen (whole-stage path)") {
+    val df = spark.range(1000).select(
+      BinaryCodec.long_to_binary(col("id")).as("b"))
+      .select(BinaryCodec.binary_to_long(col("b")).as("v"))
+    assert(df.agg(sum("v")).collect()(0).getLong(0) == (0L until 1000L).sum)
+  }
+}
