@@ -29,12 +29,17 @@ object BinaryCodec {
   def long_to_binary(c: Column): Column =
     GraftColumnBridge.column(LongToBinary(GraftColumnBridge.expression(c)))
 
-  /** Confluent Schema Registry wire format = 1 magic byte + 4-byte schema
-    * id + avro body (public Confluent wire-format spec; the reference
-    * consumes it via KafkaAvroDeserializer, GenericAvroSerializer.scala:52-73).
-    * Offline we just strip the 5-byte header to reach the Avro body. */
+  /** Confluent Schema Registry wire format = 1 magic byte (0x00) + 4-byte
+    * schema id + avro body (public Confluent wire-format spec; the
+    * reference consumes it via KafkaAvroDeserializer,
+    * GenericAvroSerializer.scala:52-73). Offline we strip the 5-byte
+    * header to reach the Avro body. Malformed frames (wrong magic byte or
+    * shorter than header+1) surface as NULL rather than a corrupt Avro
+    * body that fails mysteriously downstream. */
   def strip_confluent_header(c: Column): Column =
-    substring(c, 6, Int.MaxValue)
+    when(length(c) > 5 && substring(c, 1, 1) === lit(Array[Byte](0)),
+        substring(c, 6, Int.MaxValue))
+      .otherwise(lit(null).cast(BinaryType))
 }
 
 /** binary(8, big-endian) -> long; non-8-byte input yields null (SQL-safe

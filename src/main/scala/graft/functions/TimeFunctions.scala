@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** The reference exposes exactly two scalar time conversions to scripts,
   * `timecvt.iso8601ToUnixTimestamp` and `timecvt.unixTimestampToIso8601`
@@ -19,16 +19,25 @@ object TimeFunctions {
 
   /** ISO-8601 string -> unix seconds as double (ms precision), the exact
     * reference signature. Unparsable input -> null (the reference script
-    * pattern then drops it — examples/time/example.lua:6-12). */
+    * pattern then drops it — examples/time/example.lua:6-12). Spark 4
+    * defaults ANSI mode on, where a plain cast THROWS on unparsable
+    * input; `try_to_timestamp` restores the cast-or-null contract
+    * without disabling ANSI session-wide. */
   def iso8601ToUnixTimestamp(c: Column): Column =
-    c.cast(TimestampType).cast(DoubleType)
+    parseIso(c).cast(DoubleType)
 
   /** ISO-8601 string -> unix epoch milliseconds as long, exact (no
     * double rounding: `unix_millis` is integral end-to-end; the
     * reference gets ms via `math.floor(seconds * 1000)`,
     * examples/time/example.lua:11). */
   def iso8601ToUnixMillis(c: Column): Column =
-    unix_millis(c.cast(TimestampType))
+    unix_millis(parseIso(c))
+
+  /** ANSI-safe ISO-8601 parse: unparsable -> null. `try_to_timestamp`
+    * without a format uses the same ISO-8601-friendly parsing as the
+    * timestamp cast (offsets, `Z`, fractional seconds). */
+  private def parseIso(c: Column): Column =
+    try_to_timestamp(c.cast(StringType))
 
   /** unix seconds (double, ms precision) -> ISO-8601 string with ms and
     * UTC offset, mirroring the reference's Joda `ISODateTimeFormat`

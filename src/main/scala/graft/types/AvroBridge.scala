@@ -202,14 +202,17 @@ object AvroBridge {
       case (BYTES, BinaryType) => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case (FIXED, BinaryType) => new GenericData.Fixed(schema, v.asInstanceOf[Array[Byte]])
       case (RECORD, st: StructType) =>
+        // Output-schema-as-projection (LuaMapper.scala:116-122): pull each
+        // avro field BY NAME from the struct; struct fields the schema
+        // doesn't declare are dropped, schema fields the struct lacks
+        // become null (then nullability is enforced by the null path above).
         val row = v.asInstanceOf[InternalRow]
         val rec = new GenericData.Record(schema)
-        val fields = schema.getFields.asScala
-        var i = 0
-        fields.foreach { f =>
-          val fv = if (row.isNullAt(i)) null else row.get(i, st.fields(i).dataType)
-          rec.put(f.pos(), catalystToAvro(fv, st.fields(i).dataType, f.schema()))
-          i += 1
+        schema.getFields.asScala.foreach { f =>
+          val i = st.fieldNames.indexOf(f.name())
+          val fv = if (i < 0 || row.isNullAt(i)) null else row.get(i, st.fields(i).dataType)
+          val dt = if (i < 0) NullType else st.fields(i).dataType
+          rec.put(f.pos(), catalystToAvro(fv, dt, f.schema()))
         }
         rec
       case (ARRAY, at: ArrayType) =>
@@ -278,42 +281,43 @@ object AvroBridge {
     GraftColumnBridge.column(AvroDecode(GraftColumnBridge.expression(c), schema.toString))
 
   /** `to_avro` analogue: struct column -> binary column of plain Avro.
-    * The input struct is first projected onto the schema (select by name,
-    * missing -> null, extra dropped — LuaMapper.scala:116-122 semantics). */
+    * Projection onto the output schema (select by name, missing -> null,
+    * extra dropped — LuaMapper.scala:116-122 semantics) happens inside the
+    * encoder's RECORD path, which sees the analyzed input StructType — so
+    * the input struct may have any shape. */
   def encodeAvro(c: Column, schema: Schema): Column =
     GraftColumnBridge.column(AvroEncode(
-      GraftColumnBridge.expression(projectTo(c, toSqlType(schema).asInstanceOf[StructType])),
-      schema.toString))
+      GraftColumnBridge.expression(c), schema.toString))
 
-  /** Output-schema-as-projection, Catalyst-native: reshape any struct
-    * column onto `target` by field NAME — present fields are cast/recursed,
-    * missing fields become null, extra fields are dropped. Mirrors the
-    * reference's `luaOntoRecord` (LuaMapper.scala:116-122; tested by
-    * AllFieldTypesTest.scala:31-57 "this makes optstring1 nil"). */
-  def projectTo(c: Column, target: StructType): Column =
-    struct(target.fields.map(f => c.getField(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  /** Output-schema-as-projection, Catalyst-native: reshape a struct
+    * column of known `source` type onto `target` by field NAME — present
+    * fields are cast/recursed, missing fields become null, extra fields
+    * are dropped. Mirrors the reference's `luaOntoRecord`
+    * (LuaMapper.scala:116-122; tested by AllFieldTypesTest.scala:31-57
+    * "this makes optstring1 nil"). */
+  def projectTo(c: Column, source: StructType, target: StructType): Column =
+    reshape(c, source, target)
+
+  private def reshape(src: Column, srcT: DataType, tgt: DataType): Column = (srcT, tgt) match {
+    case (s: StructType, t: StructType) =>
+      val fields = t.fields.map { f =>
+        s.fields.find(_.name == f.name) match {
+          case Some(sf) => reshape(src.getField(f.name), sf.dataType, f.dataType).as(f.name)
+          case None     => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      when(src.isNull, lit(null).cast(t)).otherwise(struct(fields.toIndexedSeq: _*))
+    case (s: ArrayType, t: ArrayType) =>
+      transform(src, x => reshape(x, s.elementType, t.elementType))
+    case (s, t) if s == t => src
+    case (_, t) => src.cast(t)
+  }
 
   /** DataFrame-level output projection with full missing-field->null,
     * extra-field->dropped semantics (schema known, so total). */
   def projectValueTo(df: org.apache.spark.sql.DataFrame, valueCol: String,
-      target: StructType): org.apache.spark.sql.DataFrame = {
-    val srcType = df.schema(valueCol).dataType
-    def reshape(src: Column, srcT: DataType, tgt: DataType): Column = (srcT, tgt) match {
-      case (s: StructType, t: StructType) =>
-        val fields = t.fields.map { f =>
-          s.fields.find(_.name == f.name) match {
-            case Some(sf) => reshape(src.getField(f.name), sf.dataType, f.dataType).as(f.name)
-            case None     => lit(null).cast(f.dataType).as(f.name)
-          }
-        }
-        when(src.isNull, lit(null).cast(t)).otherwise(struct(fields.toIndexedSeq: _*))
-      case (s: ArrayType, t: ArrayType) =>
-        transform(src, x => reshape(x, s.elementType, t.elementType))
-      case (s, t) if s == t => src
-      case (_, t) => src.cast(t)
-    }
-    df.withColumn(valueCol, reshape(col(valueCol), srcType, target))
-  }
+      target: StructType): org.apache.spark.sql.DataFrame =
+    df.withColumn(valueCol, reshape(col(valueCol), df.schema(valueCol).dataType, target))
 
   // ------------------------------------------------------- row-level (test harness)
 
@@ -340,6 +344,10 @@ object AvroBridge {
             val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
           case a: Array[Byte] => a
         }
+        case FIXED => v.asInstanceOf[GenericData.Fixed].bytes()
+        case MAP =>
+          v.asInstanceOf[java.util.Map[Any, Any]].asScala
+            .map { case (k, mv) => k.toString -> conv(mv, s.getValueType) }.toMap
         case _ => v
       }
     }

@@ -67,8 +67,8 @@ class PipelineSpec extends SparkSpecBase {
 
   test("time: ISO key -> unix millis, numeric value kept, unparsable dropped") {
     val pipe = Pipeline()
-      .filter((_, v) => v.cast(LongType).isNotNull)
-      .map((k, v) => (TimeFunctions.iso8601ToUnixMillis(k), v.cast(LongType)))
+      .filter((_, v) => v.try_cast(LongType).isNotNull)
+      .map((k, v) => (TimeFunctions.iso8601ToUnixMillis(k), v.try_cast(LongType)))
     val inSchema = StructType(Seq(
       StructField("key", StringType), StructField("value", StringType)))
     Golden.verify(spark, pipe,
@@ -88,12 +88,12 @@ class PipelineSpec extends SparkSpecBase {
   test("csv: parse line, arity filter, nullable blog, tonumber cast") {
     val pipe = Pipeline()
       .mapValues(v => split(v, ",", -1))
-      .filter((_, v) => size(v) === 4 && element_at(v, 4).cast(LongType).isNotNull)
+      .filter((_, v) => size(v) === 4 && element_at(v, 4).try_cast(LongType).isNotNull)
       .mapValues(v => struct(
         element_at(v, 1).as("login"),
         element_at(v, 2).as("created_at"),
         when(element_at(v, 3) === "", lit(null)).otherwise(element_at(v, 3)).as("blog"),
-        element_at(v, 4).cast(LongType).as("public_repos")))
+        element_at(v, 4).try_cast(LongType).as("public_repos")))
     val inSchema = StructType(Seq(
       StructField("key", NullType), StructField("value", StringType)))
     Golden.verify(spark, pipe,
