@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextHashes
+
+/** Deduplication operators for document corpora, all bucketed — no
+  * operator here ever compares all pairs. 100 TB shapes:
+  *
+  *  - exact dedup: one hash-shuffle on the content hash (map-side partial
+  *    aggregation applies; the text itself never shuffles when callers
+  *    group by `content_hash`);
+  *  - MinHash-LSH: signatures are per-row narrow work; candidate
+  *    generation joins on `(band, band_hash)` buckets, so the shuffle key
+  *    cardinality grows with the corpus and bucket sizes stay small;
+  *    oversized buckets (degenerate content) are dropped with an explicit
+  *    cap rather than silently exploding a join;
+  *  - SimHash: per-row 64-bit fingerprint (single-pass codegen'd
+  *    expression), near-dup = small Hamming distance within LSH-style
+  *    chunk buckets (Charikar chunking: duplicates within distance d
+  *    share at least one of d+1 chunks).
+  *
+  * The reference engine has no dedup surface (SURVEY §2.3); this module
+  * is part of the LLM-data-pipeline extension mandated by the brief.
+  */
+object Dedup {
+
+  /** Character k-shingles of a (lowercased, whitespace-squashed) string,
+    * distinct. Short strings (< k chars) yield one shingle = whole text. */
+  def charShingles(text: Column, k: Int = 5): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => norm.substr(i, lit(k))))
+  }
+
+  /** Exact duplicate groups: one row per distinct content, carrying the
+    * keeper (min id), the duplicate count, and the content hash. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep the min-id row per distinct content. Equivalent to
+    * `dropDuplicates(textCol)` but with a DETERMINISTIC keeper (Spark's
+    * dropDuplicates keeps an arbitrary row). One shuffle on the hash. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactGroups(df, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, idCol) // broadcast-able when the deduped side is small
+  }
+
+  // ----------------------------------------------------------- MinHash
+
+  /** MinHash signature as an array<long> of length `numHashes`.
+    * Shingle hashes are computed ONCE; signature slot j is the min over
+    * shingles of `xxhash64(shingleHash, seed + j)` — the seed column
+    * makes xxhash64 a keyed hash family (one independent "permutation"
+    * per slot), with no ANSI-unsafe wrapping arithmetic and full codegen. */
+  def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 64,
+      seed: Long = 42L): Column = {
+    val hs = transform(charShingles(text, k), s => xxhash64(s))
+    array((0 until numHashes).map { j =>
+      array_min(transform(hs, h => xxhash64(h, lit(seed + j))))
+    }: _*)
+  }
+
+  /** Estimated Jaccard similarity from two signatures: fraction of
+    * agreeing slots. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast(DoubleType) / size(sigA)
+
+  /** Exact n-gram (character-shingle) Jaccard similarity of two texts —
+    * used to verify LSH candidates, never across all pairs. */
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 5): Column = {
+    val a = charShingles(textA, k)
+    val b = charShingles(textB, k)
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+  }
+
+  /** Near-duplicate candidate pairs via MinHash-LSH banding.
+    *
+    * `numHashes = bands * rowsPerBand`; a pair collides when any band of
+    * their signatures matches exactly. With the default 16 bands x 4
+    * rows, the collision curve crosses ~50% at Jaccard ~0.5.
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
+    * `est_jaccard >= threshold`.
+    *
+    * Scale: explode to (band, band_hash, id, sig) — narrow; self-join on
+    * the bucket key — shuffle by bucket; buckets larger than
+    * `maxBucketSize` are dropped (boilerplate/degenerate content would
+    * otherwise square inside the bucket; standard LSH practice, and the
+    * cap is logged intent, not a silent truncation: callers see the knob). */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
+
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+              .as("band_hash"))): _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+
+    // Cap pathological buckets before the self-join squares them.
+    val sized = banded.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+
+    val l = sized.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = sized.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b") // pair may collide in several bands
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** Near-duplicate pairs with the estimate CONFIRMED by exact n-gram
+    * Jaccard (joins texts back for candidates only). */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val cand = minhashCandidatePairs(df, idCol, textCol, k, bands,
+      rowsPerBand, threshold, seed)
+    val texts = df.select(col(idCol), col(textCol))
+    cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        ngramJaccard(col("text_a"), col("text_b"), k).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** Word tokens for SimHash: lowercased, split on non-alphanumerics. */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+
+  /** 64-bit SimHash fingerprint of a document (single-pass codegen'd
+    * expression over the token array). */
+  def simhash(text: Column): Column =
+    TextHashes.simhash64(wordTokens(text))
+
+  /** SimHash near-dup pairs within Hamming distance `maxDistance`, using
+    * Charikar chunk-bucketing: split the 64-bit fingerprint into
+    * `maxDistance + 1` chunks; any pair within the distance shares at
+    * least one exact chunk (pigeonhole), so candidates join on
+    * (chunk_index, chunk_value) — never all pairs. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val bitsPer = 64 / chunks
+    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+        explode(array((0 until chunks).map { c =>
+          val start = c * bitsPer
+          val width = if (c == chunks - 1) 64 - start else bitsPer
+          val mask = if (width >= 64) -1L else (1L << width) - 1L
+          struct(lit(c).as("chunk"),
+            shiftright(col("fp"), start).bitwiseAND(lit(mask)).as("cval"))
+        }: _*)).as("cc"))
+      .select(col("id"), col("fp"),
+        col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+    val l = chunked.select(col("chunk"), col("cval"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = chunked.select(col("chunk"), col("cval"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, Seq("chunk", "cval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextHashes.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("hamming") <= maxDistance)
+  }
+
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
+    * LSH buckets (shared with [[Similarity]]) — no all-pairs. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, numTables: Int = 4,
+      planesPerTable: Int = 12, seed: Long = 42L): DataFrame = {
+    val b = Similarity.withLshBuckets(df.select(col(idCol), col(vecCol)),
+      vecCol, dim, numTables, planesPerTable, seed)
+    val l = b.select(col("lsh_table"), col("lsh_bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = b.select(col("lsh_table"), col("lsh_bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.join(r, Seq("lsh_table", "lsh_bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("cosine") >= threshold)
+  }
+}

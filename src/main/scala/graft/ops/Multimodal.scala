@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing: media travel as
+  * opaque `binary` columns next to typed metadata, exactly how a 100 TB
+  * training-data pipeline carries them (bytes stay columnar in parquet,
+  * metadata is pushdown-/prune-friendly).
+  *
+  * The decode step is STUBBED (this container has no image/audio libs):
+  * [[FakeCodec]] derives deterministic "decoded" properties from the
+  * bytes alone, clearly marked. Everything AROUND the stub — schema,
+  * typed surface, per-partition batch shape, expression-level metadata —
+  * is real and is the part that matters for the engine.
+  *
+  * Two execution paths, mirroring the engine's general design rule:
+  *  - expression path ([[withMediaMeta]], [[frameOffsets]]): pure
+  *    Catalyst, codegen'd, for anything derivable without a codec;
+  *  - batch-decode path ([[decodeMeta]]): `mapPartitions` over a typed
+  *    Dataset — the Scala analogue of `mapInPandas` (iterator-of-batches
+  *    per partition, codec instantiated ONCE per partition, not per row —
+  *    the shape a real JNI/FFmpeg codec binding needs).
+  */
+object Multimodal {
+
+  /** Typed metadata record produced by the (stubbed) decoder. */
+  final case class MediaMeta(
+      media_id: Long,
+      media_type: String,
+      byte_len: Long,
+      sha256: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** STUB CODEC — deterministic fake. A real build replaces `decode`
+    * with an image/audio library call; the signature (bytes in, typed
+    * meta out) and the per-partition instantiation pattern are the
+    * contract. */
+  final class FakeCodec extends Serializable {
+    def decode(id: Long, mediaType: String, bytes: Array[Byte]): MediaMeta = {
+      val len = if (bytes == null) 0L else bytes.length.toLong
+      val sha = if (bytes == null) "" else
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).map("%02x".format(_)).mkString
+      MediaMeta(id, mediaType, len, sha,
+        width = (640 + len % 1280).toInt,
+        height = (360 + len % 720).toInt,
+        n_frames = (1 + len % 30).toInt)
+    }
+  }
+
+  /** Expression-path metadata: everything derivable from the bytes with
+    * built-in codegen'd functions. The width/height/n_frames formulas are
+    * the SAME deterministic fake as [[FakeCodec]] so both paths agree
+    * (and the fake is oracle-checkable in plain SQL). */
+  def withMediaMeta(df: DataFrame, idCol: String, typeCol: Column,
+      binCol: Column): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      typeCol.as("media_type"),
+      length(binCol).cast(LongType).as("byte_len"),
+      sha2(binCol, 256).as("sha256"),
+      (lit(640) + pmod(length(binCol).cast(LongType), lit(1280L)))
+        .cast(IntegerType).as("width"),
+      (lit(360) + pmod(length(binCol).cast(LongType), lit(720L)))
+        .cast(IntegerType).as("height"),
+      (lit(1) + pmod(length(binCol).cast(LongType), lit(30L)))
+        .cast(IntegerType).as("n_frames"))
+
+  /** Batch-decode path: per-partition iterator, one codec per partition.
+    * Input frame must carry (idCol: long, typeCol: string, binCol:
+    * binary). Opaque to Catalyst by design — use only when a real codec
+    * is genuinely needed; prefer [[withMediaMeta]] otherwise. */
+  def decodeMeta(df: DataFrame, idCol: String, typeCol: String,
+      binCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(typeCol), col(binCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new FakeCodec // once per partition, not per row
+        it.map { case (id, tpe, bytes) => codec.decode(id, tpe, bytes) }
+      }
+  }
+
+  /** Frame-sample plan: byte offsets of `n` evenly spaced samples — the
+    * "which frames would we decode" step, pure expressions. */
+  def frameOffsets(binCol: Column, n: Int): Column = {
+    val len = length(binCol).cast(LongType)
+    when(len > 0,
+      transform(sequence(lit(0), lit(n - 1)),
+        i => floor(i.cast(LongType) * len / n).cast(LongType)))
+      .otherwise(array().cast(ArrayType(LongType)))
+  }
+
+  /** Deterministic fake media corpus from the documents table (text bytes
+    * stand in for media payloads) — the plumbing-test input. */
+  def fakeMediaFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("media_type"),
+      col("text").cast(BinaryType).as("payload"))
+  }
+}

@@ -1,0 +1,264 @@
+package graft.ops
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`array<float>` /
+  * `array<double>`), designed for the 100 TB shape:
+  *
+  *  - vector math (dot/norm/cosine) is pure Catalyst higher-order
+  *    functions (`zip_with` + `aggregate`) — codegen'd, no UDF;
+  *  - brute-force top-k BROADCASTS the (small) query set against the
+  *    corpus and reduces with [[TopKByScore]], a `TypedImperativeAggregate`
+  *    holding a bounded heap: partial top-k happens MAP-SIDE, so the
+  *    shuffle carries at most `numQueries * k` rows per partition instead
+  *    of the full `numQueries * corpusSize` score matrix;
+  *  - the scale path buckets both sides with seeded random-hyperplane LSH
+  *    (multi-table) and joins on `(table, bucket)` — never all-pairs.
+  *
+  * The reference engine has no similarity surface at all (it is a
+  * stateless record-at-a-time transformer — SURVEY §2.3); this module is
+  * part of the LLM-data-pipeline extension mandated by the brief.
+  */
+object Similarity {
+
+  /** Element-wise dot product — `zip_with` + `aggregate`, fully codegen'd. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; zero-norm vectors yield null (not NaN/div-0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0.0, d / nn)
+  }
+
+  /** Brute-force exact cosine top-k: for every row of `queries`
+    * (`qidCol`, `qvecCol`), the `k` nearest rows of `corpus`
+    * (`idCol`, `vecCol`) by cosine. Ties broken by ascending id
+    * (deterministic).
+    *
+    * Scale contract: `queries` MUST be the small side — it is broadcast;
+    * the corpus is scanned once, partial top-k heaps combine map-side.
+    * Output: one row per (query_id, neighbor) with `rank` 1..k.
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col(qvecCol)).as("score"))
+      .where(col("score").isNotNull)
+    topKPerKey(scored, "query_id", "neighbor_id", "score", k)
+  }
+
+  /** Reduce (key, id, score) rows to per-key top-k via the bounded-heap
+    * aggregate; exploded back to one row per neighbor with rank. */
+  def topKPerKey(scored: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val agg = GraftColumnBridge.column(
+      TopKByScore(
+        GraftColumnBridge.expression(col(idCol)),
+        GraftColumnBridge.expression(col(scoreCol).cast(DoubleType)),
+        k).toAggregateExpression())
+    scored.groupBy(col(keyCol))
+      .agg(agg.as("topk"))
+      .select(col(keyCol), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col(keyCol), col("nb.id").as(idCol),
+        col("nb.score").as(scoreCol), (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  // ---------------------------------------------------------------- LSH
+
+  /** Deterministic pseudo-random hyperplanes: `numTables` tables of
+    * `planesPerTable` planes each, components in [-1, 1] from a seeded
+    * generator (driver-side literals — the plan embeds the planes, so
+    * executors do zero RNG and every run is reproducible). */
+  private[ops] def hyperplanes(dim: Int, numTables: Int, planesPerTable: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numTables, planesPerTable, dim)(rng.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-bucket of a vector in one table: bit j = (v . plane_j) > 0. */
+  private def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(vec, typedlit(p.toSeq)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Attach `(table, bucket)` pairs: one output row per table (explode),
+    * so downstream joins co-locate by bucket. */
+  def withLshBuckets(df: DataFrame, vecCol: String, dim: Int,
+      numTables: Int = 4, planesPerTable: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, numTables, planesPerTable, seed)
+    val tb = array(planes.indices.map(t =>
+      struct(lit(t).as("table"), bucketCol(col(vecCol), planes(t)).as("bucket"))): _*)
+    df.withColumn("_tb", explode(tb))
+      .withColumn("lsh_table", col("_tb.table"))
+      .withColumn("lsh_bucket", col("_tb.bucket"))
+      .drop("_tb")
+  }
+
+  /** Approximate top-k: candidates are corpus rows sharing an LSH bucket
+    * with the query in ANY table; exact cosine re-ranks candidates.
+    * The join shuffles by `(table, bucket)` — bucket cardinality is
+    * `numTables * 2^planesPerTable`, so no all-pairs blow-up; raise
+    * `planesPerTable` to shrink buckets at larger corpus sizes. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, numTables: Int = 4, planesPerTable: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val c = withLshBuckets(corpus.select(col(idCol), col(vecCol)), vecCol,
+      dim, numTables, planesPerTable, seed)
+    val q = withLshBuckets(queries.select(col(qidCol), col(qvecCol)), qvecCol,
+      dim, numTables, planesPerTable, seed)
+      .withColumnRenamed("lsh_table", "q_table")
+      .withColumnRenamed("lsh_bucket", "q_bucket")
+    val cand = c.join(q,
+        c("lsh_table") === q("q_table") && c("lsh_bucket") === q("q_bucket"))
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col(qvecCol)).as("score"))
+      .where(col("score").isNotNull)
+      .dropDuplicates("query_id", "neighbor_id") // same pair from several tables
+    topKPerKey(cand, "query_id", "neighbor_id", "score", k)
+  }
+}
+
+/** Bounded-heap top-k aggregate: keeps the `k` largest (score, id) pairs,
+  * ordered by (score DESC, id ASC) for determinism. Partial aggregation
+  * runs map-side (each partition reduces to <= k pairs before the
+  * shuffle), which is what makes brute-force scoring viable at scale —
+  * the alternative (Window rank over all scored pairs) shuffles the full
+  * score matrix. SURVEY §7.3 planned exactly this shape.
+  */
+case class TopKByScore(id: Expression, score: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(id, score)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType), StructField("score", DoubleType))))
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val i = id.eval(input)
+    val s = score.eval(input)
+    if (i != null && s != null)
+      buf.offer(i.asInstanceOf[Long], s.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    other.foreach((i, s) => buf.offer(i, s))
+    buf
+  }
+
+  override def eval(buf: TopKBuffer): Any =
+    new GenericArrayData(buf.sortedDesc.map { case (i, s) =>
+      InternalRow(i, s)
+    })
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopKBuffer =
+    TopKBuffer.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(id = newChildren(0), score = newChildren(1))
+  override def prettyName: String = "graft_top_k_by_score"
+}
+
+/** Min-heap of (score, id) bounded at k elements; the root is the WORST
+  * kept pair so `offer` is O(log k) and memory is O(k) regardless of
+  * input size. Order for "worse": smaller score, then LARGER id (so the
+  * kept set is the top-k by (score DESC, id ASC)). */
+final class TopKBuffer(k: Int) {
+  // parallel arrays as a binary min-heap
+  private val scores = new Array[Double](k)
+  private val ids    = new Array[Long](k)
+  private var size   = 0
+
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def offer(id: Long, score: Double): Unit = {
+    if (size < k) {
+      var i = size
+      scores(i) = score; ids(i) = id; size += 1
+      while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    } else if (worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id
+      siftDown(0)
+    }
+  }
+
+  private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var continue = true
+    while (continue) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var m = i
+      if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) continue = false else { swap(i, m); i = m }
+    }
+  }
+
+  def foreach(f: (Long, Double) => Unit): Unit = {
+    var i = 0
+    while (i < size) { f(ids(i), scores(i)); i += 1 }
+  }
+
+  /** (id, score) pairs by (score DESC, id ASC). */
+  def sortedDesc: Array[(Long, Double)] = {
+    val out = new Array[(Long, Double)](size)
+    var i = 0
+    while (i < size) { out(i) = (ids(i), scores(i)); i += 1 }
+    out.sortBy { case (id, s) => (-s, id) }
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + size * 16)
+    bb.putInt(size)
+    var i = 0
+    while (i < size) { bb.putLong(ids(i)); bb.putDouble(scores(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TopKBuffer {
+  def fromBytes(k: Int, bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { val id = bb.getLong; val s = bb.getDouble; buf.offer(id, s); i += 1 }
+    buf
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextHashes
+
+/** Text-analysis operators for document corpora: quality stats,
+  * token counting, n-gram-heuristic language ID, and content
+  * fingerprinting. Everything here is per-row Column expressions —
+  * narrow, codegen'd, shuffle-free; aggregations are the caller's choice.
+  * (LLM-data-pipeline extension; the reference has no text-analysis
+  * surface — SURVEY §2.3.)
+  */
+object TextAnalysis {
+
+  /** Word tokens: lowercased, split on runs of non-letters/digits. */
+  def tokens(text: Column): Column = Dedup.wordTokens(text)
+
+  /** Whitespace-delimited token count (the "wc -w" number). */
+  def whitespaceTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword token count: letter runs, digits, and isolated
+    * punctuation each count as one token — a cheap, deterministic proxy
+    * for tokenizer cost (no tokenizer libs in this environment). */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation ratio over characters (explicit class, no locale). */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast(DoubleType) /
+        length(text).cast(DoubleType))
+      .otherwise(lit(0.0))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "on", "for", "with", "as", "at", "by")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * quality-filter feature. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      size(filter(ts, t => t.isin(stopwords: _*))).cast(DoubleType) /
+        size(ts).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(ts).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: penalizes very short docs, very
+    * high punctuation density, and stopword-free (non-prose) text.
+    * Deterministic row-level arithmetic — identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 200.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    (lenScore + punctScore + stopScore) / 3.0
+  }
+
+  /** Marker words per language for the n-gram/stopword-profile heuristic
+    * language ID. Scores are literal-array overlaps — pure expressions. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "他", "这"))
+
+  /** Per-language marker-hit counts as a map<string,int>. */
+  def langScores(text: Column): Column = {
+    val ts = tokens(text)
+    map(langMarkers.flatMap { case (lang, markers) =>
+      Seq(lit(lang), size(filter(ts, t => t.isin(markers: _*))))
+    }: _*)
+  }
+
+  /** Heuristic language ID: argmax over marker-hit counts, ties broken by
+    * language code ascending; docs with zero hits anywhere -> "und"
+    * (unknown), mirroring BCP-47. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scored = langMarkers.map { case (lang, markers) =>
+      (lang, size(filter(ts, t => t.isin(markers: _*))))
+    }
+    // fold: keep (bestLang, bestScore); strict > keeps earlier (asc) lang on ties
+    val (bestLang, bestScore) = scored.tail.foldLeft(
+        (lit(scored.head._1), scored.head._2)) { case ((bl, bs), (lang, sc)) =>
+      (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    when(bestScore > 0, bestLang).otherwise(lit("und"))
+  }
+
+  /** Order-sensitive 64-bit content fingerprint (rolling hash over the
+    * normalized text) — cheap doc identity for incremental pipelines. */
+  def fingerprint(text: Column): Column =
+    TextHashes.rolling_hash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** One-call per-document feature frame: id + the standard features. */
+  def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      whitespaceTokenCount(t).as("n_tokens_ws"),
+      subwordTokenCount(t).as("n_tokens_subword"),
+      meanTokenLength(t).as("mean_token_len"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matchers {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog"),  // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "totally unrelated text mentioning query optimizers")
+  ).toDF("id", "text")
+
+  test("exact dedup keeps deterministic min-id keeper per content") {
+    val deduped = Dedup.exactDedup(docs, "id", "text")
+    deduped.select("id").as[Long].collect().sorted shouldBe Array(1L, 3L, 4L, 5L)
+    val groups = Dedup.exactGroups(docs, "id", "text")
+      .where(col("n_copies") > 1).collect()
+    groups should have length 1
+    groups.head.getAs[Long]("keeper_id") shouldBe 1L
+    groups.head.getAs[Long]("n_copies") shouldBe 2L
+  }
+
+  test("minhash estimates: identical ~1.0, near-dup high, unrelated low") {
+    val sig = docs.select($"id", Dedup.minhashSignature($"text").as("sig"))
+    val pairs = sig.as("a").crossJoin(sig.as("b"))
+      .where($"a.id" < $"b.id")
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
+        Dedup.estimatedJaccard($"a.sig", $"b.sig").as("est"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs((1L, 2L)) shouldBe 1.0
+    pairs((1L, 3L)) should be > 0.5
+    pairs((1L, 4L)) should be < 0.3
+  }
+
+  test("minhash-LSH candidate pairs find exact+near dups, skip unrelated") {
+    val pairs = Dedup.nearDupPairs(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+    pairs should contain((2L, 3L))
+    pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+  }
+
+  test("exact ngram jaccard: identical texts = 1.0") {
+    val j = docs.where($"id" === 1).select(
+      Dedup.ngramJaccard($"text", $"text").as("j")).as[Double].head()
+    j shouldBe 1.0
+  }
+
+  test("simhash: identical fp for dup, small hamming for near-dup") {
+    val fp = docs.select($"id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    fp(1L) shouldBe fp(2L)
+    java.lang.Long.bitCount(fp(1L) ^ fp(3L)) should be <= 16
+    java.lang.Long.bitCount(fp(1L) ^ fp(4L)) should be > 16
+  }
+
+  test("simhash near-dup pairs via chunk bucketing") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "id", "text", maxDistance = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+  }
+
+  test("embedding near-dup via LSH buckets") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.1f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "id", "vec", dim = 4,
+        threshold = 0.95, numTables = 8, planesPerTable = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+  }
+}

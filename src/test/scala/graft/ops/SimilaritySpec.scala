@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Matchers {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(0.7f, 0.7f, 0.0f))
+  ).toDF("id", "vec")
+
+  test("cosine: orthogonal 0, identical 1, zero-norm null") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f))
+    ).toDF("a", "b").select(Similarity.cosine($"a", $"b").as("c"))
+    val rows = df.collect()
+    rows(0).getDouble(0) shouldBe 0.0 +- 1e-12
+    rows(1).getDouble(0) shouldBe 1.0 +- 1e-12
+    rows(2).isNullAt(0) shouldBe true
+  }
+
+  test("brute-force top-k returns correct neighbors, ranked, tie-broken") {
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val top = Similarity.bruteForceTopK(corpus, "id", "vec",
+        queries, "qid", "qvec", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "rank").as[(Long, Int)].collect()
+    top.map(_._1) shouldBe Array(1L, 2L, 5L)
+    top.map(_._2) shouldBe Array(1, 2, 3)
+  }
+
+  test("topk aggregate: bounded heap matches a full sort, with tie order") {
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.8),
+      (1L, 13L, 0.95), (1L, 14L, 0.1), (2L, 20L, 0.5)
+    ).toDF("q", "id", "score")
+    val top = Similarity.topKPerKey(scored, "q", "id", "score", k = 3)
+      .orderBy("q", "rank").as[(Long, Long, Double, Int)].collect()
+    top.map(t => (t._1, t._2)) shouldBe
+      Array((1L, 13L), (1L, 10L), (1L, 11L), (2L, 20L))
+  }
+
+  test("lsh top-k finds the true nearest neighbor") {
+    val queries = Seq((100L, Array(0.95f, 0.05f, 0.0f))).toDF("qid", "qvec")
+    val top = Similarity.lshTopK(corpus, "id", "vec", queries, "qid", "qvec",
+        k = 2, dim = 3, numTables = 8, planesPerTable = 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    top.headOption shouldBe Some(1L)
+  }
+
+  test("buffer serde round-trips") {
+    val buf = new TopKBuffer(2)
+    buf.offer(1L, 0.5); buf.offer(2L, 0.9); buf.offer(3L, 0.7)
+    val back = TopKBuffer.fromBytes(2, buf.toBytes)
+    back.sortedDesc shouldBe Array((2L, 0.9), (3L, 0.7))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.Matchers {
+  import spark.implicits._
+
+  test("token counts, punct ratio, stopword ratio on a known sentence") {
+    val df = Seq("The cat, and the dog!").toDF("text").select(
+      TextAnalysis.whitespaceTokenCount($"text").as("ws"),
+      TextAnalysis.subwordTokenCount($"text").as("sub"),
+      TextAnalysis.punctRatio($"text").as("punct"),
+      TextAnalysis.stopwordRatio($"text").as("stop"))
+    val r = df.head()
+    r.getAs[Int]("ws") shouldBe 5
+    r.getAs[Int]("sub") shouldBe 7 // The, cat, ",", and, the, dog, "!"
+    r.getAs[Double]("punct") shouldBe (2.0 / 21.0) +- 1e-12
+    r.getAs[Double]("stop") shouldBe (3.0 / 5.0) +- 1e-12 // the, and, the
+  }
+
+  test("empty text yields zeros, not NaN/div-by-zero") {
+    val r = Seq("").toDF("text").select(
+      TextAnalysis.punctRatio($"text").as("p"),
+      TextAnalysis.stopwordRatio($"text").as("s"),
+      TextAnalysis.meanTokenLength($"text").as("m")).head()
+    r.getDouble(0) shouldBe 0.0
+    r.getDouble(1) shouldBe 0.0
+    r.getDouble(2) shouldBe 0.0
+  }
+
+  test("langId picks the dominant marker language, und for no markers") {
+    val df = Seq(
+      "the cat and the dog is in that house",
+      "der hund und die katze ist nicht hier",
+      "el perro y la casa es de los gatos",
+      "xyzzy plugh 12345").toDF("text")
+      .select(TextAnalysis.langId($"text").as("lang"))
+    df.as[String].collect() shouldBe Array("en", "de", "es", "und")
+  }
+
+  test("fingerprint is whitespace/case-normalized and order-sensitive") {
+    val fp = Seq("Hello   World", "hello world", "world hello")
+      .toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    fp(0) shouldBe fp(1)
+    fp(0) should not be fp(2)
+  }
+
+  test("documentFeatures produces the full feature row") {
+    val df = Seq((7L, "The quick brown fox.")).toDF("doc_id", "text")
+    val r = TextAnalysis.documentFeatures(df, "doc_id", "text").head()
+    r.getAs[Long]("doc_id") shouldBe 7L
+    r.getAs[Int]("n_chars") shouldBe 20
+    r.getAs[Int]("n_tokens_ws") shouldBe 4
+    r.getAs[String]("lang_pred") shouldBe "en"
+    r.getAs[Double]("quality") should (be > 0.0 and be <= 1.0)
+  }
+}
