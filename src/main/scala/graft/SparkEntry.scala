@@ -1,13 +1,469 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{BinaryCodec, TimeFunctions}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.Pipeline
+import graft.serde.{AvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
+import graft.types.AvroBridge
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-data-pipeline extensions, each with DuckDB
+  * oracle SQL where the semantics are SQL-expressible (hash-based ops are
+  * registered without oracle → driver rows-only check).
+  *
+  * Conventions shared by query and oracle (the driver hash-compares):
+  *  - identical column NAMES and TYPES on both sides (counts cast to
+  *    BIGINT, explode positions to INTEGER);
+  *  - deterministic total ORDER: every query ends in an orderBy over a
+  *    unique key, mirrored by ORDER BY in the SQL;
+  *  - aggregate doubles rounded (row-level double arithmetic is IEEE-
+  *    identical across engines and stays unrounded).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Driver parquet stores events.ts as TIMESTAMP(NANOS), which Spark 4
+    // rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long —
+    // DuckDB's ns->us read truncates the same way, so `ts div 1000` on
+    // our side lines up with CAST(ts AS TIMESTAMP) on the oracle side.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Avro schema used by the serde round-trip query. */
+  private val eventSchemaJson =
+    """{"type":"record","name":"Event","fields":[
+      |{"name":"event_id","type":"long"},
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"}]}""".stripMargin
+  private def eventSchema = new org.apache.avro.Schema.Parser().parse(eventSchemaJson)
+
+  /** Flagship: a real multi-step pipeline over events (decode JSON props
+    * -> filter -> map -> project), compiled to fused Catalyst
+    * filter/project nodes. Driver smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "props", "value") // prune ts (nanos)
+    val frame = ev.select(col("event_id").as("key"),
+      struct(col("event_type"), col("props"), col("value")).as("value"))
+    Pipeline()
+      .filter((_, v) => v.getField("event_type") =!= "error")
+      .mapValues(v => struct(
+        v.getField("event_type").as("event_type"),
+        get_json_object(v.getField("props"), "$.k").try_cast(LongType).as("k"),
+        v.getField("value").as("value")))
+      .filter((_, v) => v.getField("k").isNotNull)
+      .map((k, v) => (k, struct(
+        upper(v.getField("event_type")).as("event_type"),
+        (v.getField("k") * 2).as("k2"),
+        v.getField("value").as("value"))))
+      .compile(frame)
+  }
+
+  // ======================================================== queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core dataflow operators (SURVEY §2.1) ----
+    "q_filter" -> ((s, dir) => {
+      val frame = t(s, dir, "events")
+        .select(col("event_id").as("key"), col("value").as("value"))
+      Pipeline().filter((_, v) => v > 100.0)
+        .compile(frame).orderBy("key")
+    }),
+    "q_map" -> ((s, dir) => {
+      val frame = t(s, dir, "events")
+        .select(col("event_id").as("key"), col("value").as("value"))
+      Pipeline().map((k, v) => (k + 1000000L, v * 2.0))
+        .compile(frame).orderBy("key")
+    }),
+    "q_mapvalues" -> ((s, dir) => {
+      val frame = t(s, dir, "events")
+        .select(col("event_id").as("key"), col("event_type").as("value"))
+      Pipeline().mapValues(v => upper(v))
+        .compile(frame).orderBy("key")
+    }),
+    "q_chain" -> ((s, dir) => {
+      val frame = t(s, dir, "events").select(col("event_id").as("key"),
+        struct(col("event_type"), col("props")).as("value"))
+      Pipeline()
+        .filter((_, v) => v.getField("event_type") =!= "error")
+        .mapValues(v => get_json_object(v.getField("props"), "$.k"))
+        .filter((_, v) => v.try_cast(LongType).isNotNull && v.try_cast(LongType) > 50L)
+        .map((k, v) => (k, v.try_cast(LongType) * 3L))
+        .compile(frame).orderBy("key")
+    }),
+    "q_drop_cast" -> ((s, dir) => {
+      // tonumber()-style cast-or-null drop semantics (reference
+      // examples/time/example.lua:6-12): unparsable strings drop.
+      val frame = t(s, dir, "events").select(col("event_id").as("key"),
+        when(pmod(col("event_id"), lit(3)) === 0, col("value").cast(StringType))
+          .otherwise(col("event_type")).as("value"))
+      Pipeline()
+        .filter((_, v) => v.try_cast(DoubleType).isNotNull)
+        .mapValues(v => v.try_cast(DoubleType))
+        .compile(frame).orderBy("key")
+        .select(col("key"), col("value").as("val"))
+    }),
+    // ---- serdes (SURVEY §2.2) ----
+    "q_serde_long" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(BinaryCodec.binary_to_long(
+          BinaryCodec.long_to_binary(col("l_orderkey"))).as("okey"),
+          col("l_linenumber").cast(LongType).as("lnum"))
+        .orderBy("okey", "lnum")
+    }),
+    "q_serde_string" -> ((s, dir) => {
+      val frame = t(s, dir, "events")
+        .select(col("event_id").as("key"), col("event_type").as("value"))
+      val enc = frame.select(col("key"),
+        StringMapping.encode(col("value")).as("value"))
+      enc.select(col("key"), StringMapping.decode(col("value")).as("value"))
+        .orderBy("key")
+    }),
+    "q_serde_avro" -> ((s, dir) => {
+      val m = AvroMapping(eventSchema)
+      val enc = t(s, dir, "events")
+        .select(m.encode(struct(col("event_id"), col("event_type"),
+          col("value"))).as("bin"))
+      enc.select(m.decode(col("bin")).as("e"))
+        .select(col("e.event_id").as("event_id"),
+          col("e.event_type").as("event_type"), col("e.value").as("value"))
+        .orderBy("event_id")
+    }),
+    "q_serde_void" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(VoidMapping.decode(col("props")).cast(StringType).as("key"),
+          col("event_id"))
+        .orderBy("event_id")
+    }),
+    // ---- scalar time functions (SURVEY §2.2 timecvt) ----
+    "q_time_iso2unix" -> ((s, dir) => {
+      // ts is long nanos (see t()): ns -> us integral div, then format to
+      // an ISO string and parse it back through the reference's timecvt.
+      val iso = t(s, dir, "events").select(col("event_id"),
+        date_format(timestamp_micros(expr("ts div 1000")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("iso"))
+      iso.select(col("event_id"),
+          TimeFunctions.iso8601ToUnixMillis(col("iso")).as("unix_ms"),
+          round(TimeFunctions.iso8601ToUnixTimestamp(col("iso")), 3).as("unix_sec"))
+        .orderBy("event_id")
+    }),
+    "q_time_unix2iso" -> ((s, dir) => {
+      t(s, dir, "events").select(col("event_id"),
+          TimeFunctions.unixTimestampToIso8601(
+            expr("ts div 1000000") / 1000.0).as("iso"))
+        .orderBy("event_id")
+    }),
+    // ---- scalar function library (SURVEY §2.2; Lua stdlib analogue) ----
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          upper(col("p_brand")).as("ubrand"),
+          length(col("p_type")).cast(LongType).as("tlen"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("w1"),
+          floor(col("p_retailprice")).as("fprice"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("bt"))
+        .orderBy("p_partkey")
+    }),
+    // ---- output-schema-as-projection (SURVEY §1.3; LuaMapper:116-122) ----
+    "q_projection" -> ((s, dir) => {
+      val target = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("extra", DoubleType)))
+      val df = t(s, dir, "events").select(col("event_id"),
+        struct(col("event_type"), col("value")).as("v"))
+      AvroBridge.projectValueTo(df, "v", target)
+        .select(col("event_id"), col("v.event_type").as("event_type"),
+          col("v.extra").as("extra"))
+        .orderBy("event_id")
+    }),
+    // ---- Spark-superset relational ops (SURVEY §2.3: ABSENT in the
+    //      reference, first-class here) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_join_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = broadcast(t(s, dir, "customer"))
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    }),
+    "q_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchasers = ev.where(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val errorers = ev.where(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      purchasers.except(errorers).orderBy("user_id")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct().orderBy("c_mktsegment", "c_nationkey")
+    }),
+    // ---- LLM-data-pipeline: dedup ----
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keeper_id")
+    }),
+    "q_dedup_rows" -> ((s, dir) => {
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxDistance = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- LLM-data-pipeline: text analysis ----
+    "q_text_stats" -> ((s, dir) => {
+      TextAnalysis.documentFeatures(t(s, dir, "documents"), "doc_id", "text")
+        .drop("lang_pred", "fingerprint")
+        .orderBy("doc_id")
+    }),
+    "q_lang_fingerprint" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // ---- LLM-data-pipeline: similarity search ----
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+          k = 5, dim = 64, numTables = 8, planesPerTable = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_embed_neardup" -> ((s, dir) => {
+      // Synthetic embeddings are near-uniform (max pairwise cosine ~0.5),
+      // so the demo threshold is 0.3; production near-dup uses ~0.95.
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, threshold = 0.3,
+          numTables = 8, planesPerTable = 6)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- LLM-data-pipeline: multimodal plumbing ----
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.fakeMediaFrame(s, dir)
+      Multimodal.withMediaMeta(media, "media_id", col("media_type"),
+          col("payload"))
+        .orderBy("media_id")
+    }),
+    "q_frame_offsets" -> ((s, dir) => {
+      val media = Multimodal.fakeMediaFrame(s, dir)
+      media.select(col("media_id"),
+          posexplode(Multimodal.frameOffsets(col("payload"), 5))
+            .as(Seq("pos", "off")))
+        .select(col("media_id"), col("pos").cast(IntegerType).as("pos"),
+          col("off"))
+        .orderBy("media_id", "pos")
+    })
+  )
+
+  // ======================================================== oracle SQL
+
+  /** DuckDB equivalents over the same parquet tables. Omitted for the
+    * hash-seeded ops (minhash/simhash/LSH/fingerprint) whose outputs are
+    * engine-defined -> driver records the weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q_filter" ->
+      """SELECT event_id AS key, "value" AS value FROM events WHERE "value" > 100.0 ORDER BY key""",
+    "q_map" ->
+      """SELECT event_id + 1000000 AS key, "value" * 2.0 AS value FROM events ORDER BY key""",
+    "q_mapvalues" ->
+      "SELECT event_id AS key, upper(event_type) AS value FROM events ORDER BY key",
+    "q_chain" ->
+      """SELECT event_id AS key, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 3 AS value
+         FROM events
+         WHERE event_type <> 'error'
+           AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+         ORDER BY key""",
+    "q_drop_cast" ->
+      """SELECT key, val FROM (
+           SELECT event_id AS key,
+                  TRY_CAST(CASE WHEN event_id % 3 = 0 THEN CAST("value" AS VARCHAR)
+                                ELSE event_type END AS DOUBLE) AS val
+           FROM events) WHERE val IS NOT NULL ORDER BY key""",
+    "q_serde_long" ->
+      "SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum FROM lineitem ORDER BY okey, lnum",
+    "q_serde_string" ->
+      "SELECT event_id AS key, event_type AS value FROM events ORDER BY key",
+    "q_serde_avro" ->
+      """SELECT event_id, event_type, "value" FROM events ORDER BY event_id""",
+    "q_serde_void" ->
+      "SELECT CAST(NULL AS VARCHAR) AS key, event_id FROM events ORDER BY event_id",
+    "q_time_iso2unix" ->
+      """SELECT event_id, epoch_ms(ts) AS unix_ms,
+                round(epoch_ms(ts) / 1000.0, 3) AS unix_sec
+         FROM events ORDER BY event_id""",
+    "q_time_unix2iso" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso
+         FROM events ORDER BY event_id""",
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+                length(p_type) AS tlen, regexp_extract(p_name, '([a-z]+)', 1) AS w1,
+                floor(p_retailprice) AS fprice, concat(p_brand, '-', p_type) AS bt
+         FROM part ORDER BY p_partkey""",
+    "q_projection" ->
+      "SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS extra FROM events ORDER BY event_id",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_join_agg" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS rev, count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""",
+    "q_setops" ->
+      """SELECT user_id FROM (
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+           EXCEPT
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+         ORDER BY user_id""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keeper_id""",
+    "q_dedup_rows" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         ORDER BY doc_id""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_subword,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mean_token_len,
+                CASE WHEN length(text) > 0
+                     THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END AS punct_ratio,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS stopword_ratio,
+                (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 + (1.0 - least((CASE WHEN length(text) > 0
+                                      THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                                      ELSE 0.0 END) * 5.0, 1.0))
+                 + least((CASE WHEN len(toks) > 0
+                               THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
+                               ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality
+         FROM (SELECT doc_id, text,
+                      list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+               FROM documents)
+         ORDER BY doc_id""",
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+              scored AS (
+                SELECT q.qid, e.vec_id AS nid,
+                       list_sum(list_transform(range(1, len(e.embedding)+1),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(q.qvec)+1),
+                                        i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))) AS s
+                FROM embeddings e, q),
+              ranked AS (
+                SELECT qid, nid, s,
+                       row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+                FROM scored WHERE s IS NOT NULL)
+         SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+                round(s, 6) AS score
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+                CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                sha256(text) AS sha256,
+                CAST(640 + octet_length(encode(text)) % 1280 AS INTEGER) AS width,
+                CAST(360 + octet_length(encode(text)) % 720 AS INTEGER) AS height,
+                CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
+         FROM documents ORDER BY media_id""",
+    "q_frame_offsets" ->
+      """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS pos,
+                CAST((i * octet_length(encode(text))) // 5 AS BIGINT) AS off
+         FROM documents, generate_series(0, 4) t(i)
+         WHERE octet_length(encode(text)) > 0
+         ORDER BY media_id, pos"""
+  )
+
+  /** Headline queries Bench runs at sf0.1 (subset: the heavy relational
+    * + LLM ops; Bench forces full evaluation via the noop sink). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
+    "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_ann_brute",
+    "q_multimodal_meta")
 }

@@ -110,9 +110,9 @@ object TextAnalysis {
     val t = col(textCol)
     df.select(
       col(idCol),
-      length(t).as("n_chars"),
-      whitespaceTokenCount(t).as("n_tokens_ws"),
-      subwordTokenCount(t).as("n_tokens_subword"),
+      length(t).cast(LongType).as("n_chars"),
+      whitespaceTokenCount(t).cast(LongType).as("n_tokens_ws"),
+      subwordTokenCount(t).cast(LongType).as("n_tokens_subword"),
       meanTokenLength(t).as("mean_token_len"),
       punctRatio(t).as("punct_ratio"),
       stopwordRatio(t).as("stopword_ratio"),

@@ -50,8 +50,8 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     val df = Seq((7L, "The quick brown fox.")).toDF("doc_id", "text")
     val r = TextAnalysis.documentFeatures(df, "doc_id", "text").head()
     r.getAs[Long]("doc_id") shouldBe 7L
-    r.getAs[Int]("n_chars") shouldBe 20
-    r.getAs[Int]("n_tokens_ws") shouldBe 4
+    r.getAs[Long]("n_chars") shouldBe 20L
+    r.getAs[Long]("n_tokens_ws") shouldBe 4L
     r.getAs[String]("lang_pred") shouldBe "en"
     r.getAs[Double]("quality") should (be > 0.0 and be <= 1.0)
   }
