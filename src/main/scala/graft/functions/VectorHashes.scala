@@ -1,0 +1,231 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** Hot-path vector/signature kernels as single-pass custom Catalyst
+  * expressions with `doGenCode`.
+  *
+  * WHY these exist: Spark's higher-order functions (`transform`,
+  * `aggregate`, `zip_with`) are INTERPRETED — each lambda invocation
+  * walks an expression tree per element, and any expression captured by
+  * the lambda (e.g. a regexp over the whole document) is re-evaluated
+  * per element. A MinHash signature phrased that way costs
+  * O(slots x shingles x |text|) with boxed allocation; phrased as one
+  * codegen'd kernel it is O(slots x |text|) over raw bytes with zero
+  * allocation. Same story for cosine over embeddings. At 100 TB this is
+  * the difference between a narrow cheap scan and a cluster-melting one.
+  */
+object VectorHashes {
+
+  /** MinHash signature of a string: `numHashes` slot minima over k-byte
+    * shingle hashes, one pass. Normalization (lower/space-squash) is the
+    * caller's job. */
+  def minhash_sig(c: Column, k: Int, numHashes: Int, seed: Long): Column =
+    GraftColumnBridge.column(
+      MinHashSig(GraftColumnBridge.expression(c), k, numHashes, seed))
+
+  /** Cosine similarity of two float/double array columns, computed like
+    * `dot/(sqrt(dot_aa)*sqrt(dot_bb))` with sequential double
+    * accumulation (bit-identical to the zip_with+aggregate phrasing and
+    * to the DuckDB oracle's explicit fold). Null/zero-norm/length
+    * mismatch -> null. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSim(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** k-byte-shingle Jaccard similarity of two strings, one pass per
+    * string (shingle sets as sorted 64-bit hashes; collision probability
+    * ~n^2/2^64 is negligible). Normalization is the caller's job. */
+  def ngram_jaccard(a: Column, b: Column, k: Int): Column =
+    GraftColumnBridge.column(NgramJaccard(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), k))
+
+  // ------------------------------------------------------ static kernels
+
+  private final val GOLDEN = 0x9E3779B97F4A7C15L
+
+  /** splitmix64 finalizer — the per-slot hash family mixer. */
+  private def mix(x0: Long): Long = {
+    var z = x0 + GOLDEN
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def minhashSig(s: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData = {
+    val bytes = s.getBytes
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = bytes.length
+    val windows = if (n <= k) 1 else n - k + 1
+    val wlen = math.min(k, n)
+    var i = 0
+    while (i < windows) {
+      // FNV-1a over the k-byte window (duplicate windows can't change a min)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < wlen) {
+        h ^= (bytes(i + j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      var slot = 0
+      while (slot < numHashes) {
+        val hj = mix(h ^ (seed + slot * GOLDEN))
+        if (hj < mins(slot)) mins(slot) = hj
+        slot += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, 0L) // empty text: defined, stable
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Distinct sorted FNV-1a hashes of the k-byte windows of `s`. */
+  private def windowHashes(s: UTF8String, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val windows = if (n <= k) 1 else n - k + 1
+    val wlen = math.min(k, n)
+    val hs = new Array[Long](windows)
+    var i = 0
+    while (i < windows) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < wlen) {
+        h ^= (bytes(i + j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place
+    var w = 0
+    i = 0
+    while (i < windows) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(hs, w)
+  }
+
+  def ngramJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val ha = windowHashes(a, k)
+    val hb = windowHashes(b, k)
+    var i = 0; var j = 0; var inter = 0
+    while (i < ha.length && j < hb.length) {
+      if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
+      else if (ha(i) < hb(j)) i += 1
+      else j += 1
+    }
+    val union = ha.length + hb.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Sequential-fold cosine; returns null (boxed) on zero norm or
+    * length mismatch. `floatIn` selects element accessor. */
+  def cosine(a: ArrayData, b: ArrayData, floatIn: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    if (floatIn) {
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0.0) dot / denom else null
+  }
+}
+
+/** string -> array<long> MinHash signature (one pass, codegen'd). */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int, seed: Long)
+  extends UnaryExpression {
+  require(k > 0 && numHashes > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorHashes.minhashSig(v.asInstanceOf[UTF8String], k, numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorHashes.minhashSig($c, $k, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+/** (string, string) -> double k-shingle Jaccard (one pass, codegen'd). */
+case class NgramJaccard(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression {
+  require(k > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string inputs, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorHashes.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorHashes.ngramJaccard($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramJaccard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_ngram_jaccard"
+}
+
+/** (array<float|double>, array<float|double>) -> double cosine
+  * similarity (one pass, codegen'd); null on zero norm / length
+  * mismatch / null input. Both sides must share the element type. */
+case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> or two array<double> inputs, " +
+          s"got ${left.dataType} and ${right.dataType}")
+    }
+  private def floatIn: Boolean = elemType(left).contains(FloatType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorHashes.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], floatIn)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VectorHashes.cosine($a, $b, $floatIn);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine_sim"
+}

@@ -53,18 +53,17 @@ object Dedup {
 
   // ----------------------------------------------------------- MinHash
 
-  /** MinHash signature as an array<long> of length `numHashes`.
-    * Shingle hashes are computed ONCE; signature slot j is the min over
-    * shingles of `xxhash64(shingleHash, seed + j)` — the seed column
-    * makes xxhash64 a keyed hash family (one independent "permutation"
-    * per slot), with no ANSI-unsafe wrapping arithmetic and full codegen. */
+  /** MinHash signature as an array<long> of length `numHashes`, via the
+    * single-pass codegen'd [[graft.functions.VectorHashes.minhash_sig]]
+    * kernel (normalization runs ONCE per row, outside any lambda).
+    *
+    * A higher-order-function phrasing (transform+array_min per slot) is
+    * interpreted and re-evaluates captured expressions per element —
+    * O(slots x shingles x |text|); the kernel is O(slots x |text|). */
   def minhashSignature(text: Column, k: Int = 5, numHashes: Int = 64,
-      seed: Long = 42L): Column = {
-    val hs = transform(charShingles(text, k), s => xxhash64(s))
-    array((0 until numHashes).map { j =>
-      array_min(transform(hs, h => xxhash64(h, lit(seed + j))))
-    }: _*)
-  }
+      seed: Long = 42L): Column =
+    graft.functions.VectorHashes.minhash_sig(
+      regexp_replace(lower(text), "\\s+", " "), k, numHashes, seed)
 
   /** Estimated Jaccard similarity from two signatures: fraction of
     * agreeing slots. */
@@ -73,13 +72,13 @@ object Dedup {
       lit(0), (acc, x) => acc + x).cast(DoubleType) / size(sigA)
 
   /** Exact n-gram (character-shingle) Jaccard similarity of two texts —
-    * used to verify LSH candidates, never across all pairs. */
-  def ngramJaccard(textA: Column, textB: Column, k: Int = 5): Column = {
-    val a = charShingles(textA, k)
-    val b = charShingles(textB, k)
-    size(array_intersect(a, b)).cast(DoubleType) /
-      size(array_union(a, b)).cast(DoubleType)
-  }
+    * used to verify LSH candidates, never across all pairs. Single-pass
+    * codegen'd kernel over hashed shingle sets (collision-exact); the
+    * normalization runs once per side. */
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 5): Column =
+    graft.functions.VectorHashes.ngram_jaccard(
+      regexp_replace(lower(textA), "\\s+", " "),
+      regexp_replace(lower(textB), "\\s+", " "), k)
 
   /** Near-duplicate candidate pairs via MinHash-LSH banding.
     *

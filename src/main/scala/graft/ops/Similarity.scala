@@ -29,19 +29,21 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Element-wise dot product — `zip_with` + `aggregate`, fully codegen'd. */
+  /** Element-wise dot product — `zip_with` + `aggregate` (NOTE: higher-
+    * order functions are interpreted; fine for one-off math, not for the
+    * hot scoring path — that uses the codegen'd kernel below). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; zero-norm vectors yield null (not NaN/div-0). */
-  def cosine(a: Column, b: Column): Column = {
-    val d  = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn > 0.0, d / nn)
-  }
+  /** Cosine similarity via the single-pass codegen'd kernel
+    * ([[graft.functions.VectorHashes.cosine_sim]]); zero-norm or
+    * length-mismatched vectors yield null (not NaN/div-0). Arithmetic
+    * order matches the naive fold, so results are bit-identical to it. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorHashes.cosine_sim(a, b)
 
   /** Brute-force exact cosine top-k: for every row of `queries`
     * (`qidCol`, `qvecCol`), the `k` nearest rows of `corpus`
@@ -90,10 +92,14 @@ object Similarity {
     Array.fill(numTables, planesPerTable, dim)(rng.nextDouble() * 2 - 1)
   }
 
-  /** Sign-bucket of a vector in one table: bit j = (v . plane_j) > 0. */
+  /** Sign-bucket of a vector in one table: bit j = (v . plane_j) > 0.
+    * Uses the codegen'd cosine kernel (same sign as the dot product —
+    * norms are positive) instead of interpreted HOF dot. */
   private def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      when(dot(vec, typedlit(p.toSeq)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      when(graft.functions.VectorHashes.cosine_sim(
+          vec.cast(ArrayType(DoubleType)), typedlit(p.toSeq)) > 0.0,
+        lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Attach `(table, bucket)` pairs: one output row per table (explode),
