@@ -1,0 +1,66 @@
+package graft.runtime
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SQL-surface registration of graft's custom expressions, so runtime
+  * scripts (and plain `spark.sql`) can call them by name. Usable two
+  * ways:
+  *
+  *  - `SparkSession.builder.withExtensions(new GraftExtensions)` —
+  *    the standard Spark extension hook (what [[Main]] does);
+  *  - `GraftFunctions.registerAll(spark)` — direct registration on an
+  *    existing session (tests, notebooks).
+  *
+  * The reference exposes its scalar environment to scripts the same
+  * way, by injecting `timecvt`/`log` tables into the Lua globals
+  * (LuaEnvironment.scala:6-36); here the "globals" are Catalyst's
+  * FunctionRegistry and every function is codegen'd.
+  */
+object GraftFunctions {
+
+  private def one(f: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(a) => f(a)
+    case args => throw new IllegalArgumentException(s"expected 1 argument, got ${args.length}")
+  }
+  private def two(f: (Expression, Expression) => Expression): Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case args => throw new IllegalArgumentException(s"expected 2 arguments, got ${args.length}")
+  }
+
+  /** name -> (class, builder). */
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_binary_to_long", classOf[BinaryToLong], one(BinaryToLong)),
+    ("graft_long_to_binary", classOf[LongToBinary], one(LongToBinary)),
+    ("graft_simhash64", classOf[SimHash64], one(SimHash64)),
+    ("graft_rolling_hash64", classOf[RollingHash64], one(RollingHash64)),
+    ("graft_cosine_sim", classOf[CosineSim], two(CosineSim(_, _))),
+    ("graft_ngram_jaccard", classOf[NgramJaccard],
+      two(NgramJaccard(_, _, 5))),
+    ("graft_minhash_sig", classOf[MinHashSig],
+      one(MinHashSig(_, 5, 64, 42L)))
+  )
+
+  def register(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
+
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder)
+    }
+}
+
+/** Extension entry point: `--conf spark.sql.extensions=graft.runtime.GraftExtensions`
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.register(ext)
+}

@@ -1,0 +1,157 @@
+package graft.runtime
+
+import java.nio.file.Files
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpecBase
+import graft.serde.AvroMapping
+
+/** End-to-end runtime tests: the three reference worked examples (demo,
+  * time, csv — SURVEY §2.4) run through the REAL CLI surface
+  * ([[Main.run]]), goldens gating startup, serdes applied, batch and
+  * streaming paths. */
+class RuntimeSpec extends SparkSpecBase with Matchers {
+
+  private val ex = "/root/repo/examples"
+  private def tmp(): String =
+    Files.createTempDirectory("graft-rt").toString
+
+  private def avroSchema(path: String): Schema =
+    new Schema.Parser().parse(new java.io.File(path))
+
+  // ------------------------------------------------------------ dry-runs
+
+  test("all three example goldens verify via --dry-run (exit 0)") {
+    for (name <- Seq("demo", "time", "csv")) {
+      withClue(name) {
+        Main.run(spark, Array("-l", s"$ex/$name/pipeline.graft",
+          "-t", s"$ex/$name/golden.json", "-D")) shouldBe 0
+      }
+    }
+  }
+
+  test("golden mismatch refuses startup (exit 1)") {
+    val bad = Files.createTempFile("golden-bad", ".json")
+    Files.writeString(bad,
+      """{"inputs": [{"key": "2016-05-13T16:43:12.345+00:00", "value": "42"}],
+        |"expected": [{"key": 1, "value": 999}]}""".stripMargin)
+    Main.run(spark, Array("-l", s"$ex/time/pipeline.graft",
+      "-t", bad.toString, "-D")) shouldBe 1
+  }
+
+  test("usage errors exit 2") {
+    Main.run(spark, Array("-t", "x.json", "-D")) shouldBe 2 // no -l
+    Main.run(spark, Array("-l", "p.graft")) shouldBe 2      // no -i/-o
+    Main.run(spark, Array("--bogus")) shouldBe 2
+  }
+
+  // ------------------------------------------------------------- batch
+
+  test("demo end-to-end: json -> pipeline -> avro-encoded parquet") {
+    val out = tmp() + "/out"
+    Main.run(spark, Array(
+      "-i", s"$ex/demo/input", "-o", out,
+      "-l", s"$ex/demo/pipeline.graft",
+      "-t", s"$ex/demo/golden.json",
+      "-s", s"avro=$ex/demo/desired.avsc")) shouldBe 0
+    val m = AvroMapping(avroSchema(s"$ex/demo/desired.avsc"))
+    val back = spark.read.parquet(out)
+      .select(m.decode(col("value")).as("v")).select("v.*")
+      .orderBy("name")
+    val rows = back.collect()
+    rows.map(_.getAs[String]("name")).toSeq shouldBe Seq("roel", "roelll")
+    rows.map(_.getAs[Boolean]("valid")).toSeq shouldBe Seq(false, true)
+    rows.map(_.getAs[Long]("fingers")).toSeq shouldBe Seq(14L, 4L)
+  }
+
+  test("time end-to-end: json -> pipeline -> long,long binary frame") {
+    val out = tmp() + "/out"
+    Main.run(spark, Array(
+      "-i", s"$ex/time/input", "-o", out,
+      "-l", s"$ex/time/pipeline.graft",
+      "-t", s"$ex/time/golden.json",
+      "-s", "long,long")) shouldBe 0
+    val back = spark.read.parquet(out).select(
+        graft.functions.BinaryCodec.binary_to_long(col("key")).as("k"),
+        graft.functions.BinaryCodec.binary_to_long(col("value")).as("v"))
+      .orderBy("k").collect()
+    back.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1463157792345L, 42L), (1463157793370L, 37L))
+  }
+
+  test("csv end-to-end: raw text lines -> pipeline -> avro with nullable blog") {
+    val out = tmp() + "/out"
+    Main.run(spark, Array(
+      "-i", s"$ex/csv/input", "-o", out,
+      "-l", s"$ex/csv/pipeline.graft",
+      "-t", s"$ex/csv/golden.json",
+      "-s", s"avro=$ex/csv/schema.avsc")) shouldBe 0
+    val m = AvroMapping(avroSchema(s"$ex/csv/schema.avsc"))
+    val back = spark.read.parquet(out)
+      .select(m.decode(col("value")).as("v")).select("v.*").orderBy("login")
+    val rows = back.collect()
+    rows.map(_.getAs[String]("login")).toSeq shouldBe Seq("dudebowski", "rollulus")
+    rows.head.isNullAt(rows.head.fieldIndex("blog")) shouldBe true
+    rows(1).getAs[String]("blog") shouldBe "https://keybase.io/rollulus"
+    rows.map(_.getAs[Long]("public_repos")).toSeq shouldBe Seq(2L, 8L)
+  }
+
+  test("properties file merges (later wins) and spark.* keys hit the conf") {
+    val p1 = Files.createTempFile("graft", ".properties")
+    val p2 = Files.createTempFile("graft", ".properties")
+    Files.writeString(p1, "graft.output.format=json\nspark.graft.test.flag=a\n")
+    Files.writeString(p2, "spark.graft.test.flag=b\n")
+    val props = Main.loadProperties(Seq(p1.toString, p2.toString))
+    props.getProperty("graft.output.format") shouldBe "json"
+    props.getProperty("spark.graft.test.flag") shouldBe "b"
+  }
+
+  // ----------------------------------------------------------- streaming
+
+  test("streaming --once processes available files then stops; matches batch") {
+    val out = tmp() + "/out"
+    Main.run(spark, Array(
+      "-i", s"$ex/time/input", "-o", out,
+      "-l", s"$ex/time/pipeline.graft",
+      "-s", "long,long",
+      "--stream", "--once", "--checkpoint", tmp() + "/ckpt")) shouldBe 0
+    val back = spark.read.parquet(out).select(
+        graft.functions.BinaryCodec.binary_to_long(col("key")).as("k"),
+        graft.functions.BinaryCodec.binary_to_long(col("value")).as("v"))
+      .orderBy("k").collect()
+    back.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1463157792345L, 42L), (1463157793370L, 37L))
+  }
+
+  // ------------------------------------------------------ script parsing
+
+  test("script parse errors carry line numbers and reasons") {
+    val e1 = intercept[GraftScript.ScriptError](
+      GraftScript.parse("explode value"))
+    e1.getMessage should include("unknown operator")
+    val e2 = intercept[GraftScript.ScriptError](
+      GraftScript.parse("mapValues key + 1"))
+    e2.getMessage should include("mapValues sees only `value`")
+    val e3 = intercept[GraftScript.ScriptError](
+      GraftScript.parse("map value"))
+    e3.getMessage should include("=>")
+    val e4 = intercept[GraftScript.ScriptError](
+      GraftScript.parse("filter )("))
+    e4.getMessage should include("cannot parse")
+  }
+
+  test("graft functions register on an existing session and run from SQL") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_rolling_hash64('abc') AS h,
+                graft_cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+                graft_ngram_jaccard('hello world', 'hello world') AS j""")
+      .head()
+    r.getLong(0) should not be 0L
+    r.getDouble(1) shouldBe 1.0 +- 1e-12
+    r.getDouble(2) shouldBe 1.0
+  }
+}
