@@ -14,7 +14,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge, Row}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -439,11 +439,13 @@ object AvroBridge {
   }
 }
 
-/** binary (plain Avro body) -> struct, our from_avro. Interpreted
-  * (CodegenFallback): the deserializer is IO-bound on the byte decode, so
-  * codegen matters less here than for the scalar codecs. */
+/** binary (plain Avro body) -> struct, our from_avro. The datum decode
+  * itself is Avro-library work, but the expression still participates in
+  * whole-stage codegen: the generated code makes one call into this
+  * object (Spark's own from_avro uses the same reference-object
+  * pattern), so the surrounding filter/project span stays fused. */
 case class AvroDecode(child: Expression, schemaJson: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val reader = new GenericDatumReader[Any](schema)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -451,30 +453,45 @@ case class AvroDecode(child: Expression, schemaJson: String)
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary input, got ${child.dataType}")
   override lazy val dataType: DataType = AvroBridge.toSqlType(new Schema.Parser().parse(schemaJson))
   override def nullable: Boolean = true
-  override protected def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[Array[Byte]]
+  /** public for generated code */
+  def decode(bytes: Array[Byte]): Any = {
     val dec = DecoderFactory.get().binaryDecoder(bytes, null)
     AvroBridge.avroToCatalyst(reader.read(null, dec), schema)
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    decode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("avroDecode", this)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ($boxed) $ref.decode($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): AvroDecode =
     copy(child = newChild)
   override def prettyName: String = "graft_from_avro"
 }
 
-/** struct -> binary (plain Avro body), our to_avro. */
+/** struct -> binary (plain Avro body), our to_avro. Same reference-object
+  * codegen pattern as [[AvroDecode]]. */
 case class AvroEncode(child: Expression, schemaJson: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val writer = new GenericDatumWriter[Any](schema)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = child.nullable
-  override protected def nullSafeEval(v: Any): Any = {
+  /** public for generated code */
+  def encode(v: Any): Array[Byte] = {
     val datum = AvroBridge.catalystToAvro(v, child.dataType, schema)
     val out = new ByteArrayOutputStream()
     val enc = EncoderFactory.get().binaryEncoder(out, null)
     writer.write(datum, enc)
     enc.flush()
     out.toByteArray
+  }
+  override protected def nullSafeEval(v: Any): Any = encode(v)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("avroEncode", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
   }
   override protected def withNewChildInternal(newChild: Expression): AvroEncode =
     copy(child = newChild)
