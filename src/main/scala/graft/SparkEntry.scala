@@ -165,7 +165,9 @@ object SparkEntry {
           upper(col("p_brand")).as("ubrand"),
           length(col("p_type")).cast(LongType).as("tlen"),
           regexp_extract(col("p_name"), "([a-z]+)", 1).as("w1"),
-          floor(col("p_retailprice")).as("fprice"),
+          // Spark floor(double) -> BIGINT, DuckDB floor -> DOUBLE; pin
+          // BIGINT on both sides so values hash-compare equal.
+          floor(col("p_retailprice")).cast(LongType).as("fprice"),
           concat(col("p_brand"), lit("-"), col("p_type")).as("bt"))
         .orderBy("p_partkey")
     }),
@@ -357,7 +359,7 @@ object SparkEntry {
     "q_scalar_funcs" ->
       """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
                 length(p_type) AS tlen, regexp_extract(p_name, '([a-z]+)', 1) AS w1,
-                floor(p_retailprice) AS fprice, concat(p_brand, '-', p_type) AS bt
+                CAST(floor(p_retailprice) AS BIGINT) AS fprice, concat(p_brand, '-', p_type) AS bt
          FROM part ORDER BY p_partkey""",
     "q_projection" ->
       "SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS extra FROM events ORDER BY event_id",
