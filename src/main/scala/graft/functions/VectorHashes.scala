@@ -47,6 +47,24 @@ object VectorHashes {
     GraftColumnBridge.column(NgramJaccard(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), k))
 
+  /** Fraction of agreeing slots between two MinHash signatures
+    * (array<long>) — the estimated Jaccard. Single pass, codegen'd; the
+    * zip_with+aggregate phrasing is interpreted per slot. */
+  def sig_agreement(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SigAgreement(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Random-hyperplane LSH bucket of a vector: bit j of the result is
+    * set iff `vec . planes(j) > 0`. All planes in ONE codegen'd pass; the
+    * plane matrix rides along as a codegen reference object, NOT as plan
+    * literals (a per-plane `cosine > 0` phrasing recomputes both norms
+    * per plane — pure waste, the sign only needs the dot — and embeds
+    * dim x planes literal doubles in the plan, which at production dims
+    * like 1536 re-analyzes tens of thousands of literals per query). */
+  def plane_signs(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(PlaneSigns(
+      GraftColumnBridge.expression(vec), planes.map(_.toSeq).toSeq))
+
   // ------------------------------------------------------ static kernels
 
   private final val GOLDEN = 0x9E3779B97F4A7C15L
@@ -131,6 +149,44 @@ object VectorHashes {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Agreeing-slot fraction of two long-array signatures; denominator is
+    * the LEFT length (mirrors `.../size(sigA)`), extra right slots can't
+    * agree. Empty left -> 0.0 (defined, never NaN). */
+  def sigAgreement(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    val m = math.min(n, b.numElements())
+    var i = 0; var agree = 0
+    while (i < m) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree.toDouble / n
+  }
+
+  /** Sign bits of `v . planes(j)` for all planes, one pass over the
+    * vector per plane, double accumulation (same products/order as the
+    * cast-to-double cosine phrasing, so signs are bit-identical to it). */
+  def planeSigns(v: ArrayData, planes: Array[Array[Double]], floatIn: Boolean): Long = {
+    val n = v.numElements()
+    var bits = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val m = math.min(n, p.length)
+      var dot = 0.0
+      var i = 0
+      if (floatIn) {
+        while (i < m) { dot += v.getFloat(i).toDouble * p(i); i += 1 }
+      } else {
+        while (i < m) { dot += v.getDouble(i) * p(i); i += 1 }
+      }
+      if (dot > 0.0) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
   /** Sequential-fold cosine; returns null (boxed) on zero norm or
     * length mismatch. `floatIn` selects element accessor. */
   def cosine(a: ArrayData, b: ArrayData, floatIn: Boolean): java.lang.Double = {
@@ -192,6 +248,62 @@ case class NgramJaccard(left: Expression, right: Expression, k: Int)
       newLeft: Expression, newRight: Expression): NgramJaccard =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_ngram_jaccard"
+}
+
+/** array<float|double> -> long LSH bucket bits (one codegen'd pass over
+  * all hyperplanes; the plane matrix is a reference object, not plan
+  * literals). `planes` is Seq-shaped for case-class equality; the kernel
+  * sees a primitive double[][]. */
+case class PlaneSigns(child: Expression, planes: Seq[Seq[Double]])
+  extends UnaryExpression {
+  require(planes.nonEmpty && planes.size <= 64,
+    s"need 1..64 planes, got ${planes.size}")
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> input, got ${child.dataType}")
+  private def floatIn: Boolean = elemType.contains(FloatType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorHashes.planeSigns(v.asInstanceOf[ArrayData], planeArr, floatIn)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorHashes.planeSigns($c, $ref, $floatIn)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PlaneSigns =
+    copy(child = newChild)
+  override def prettyName: String = "graft_plane_signs"
+}
+
+/** (array<long>, array<long>) -> double agreeing-slot fraction
+  * (estimated Jaccard of two MinHash signatures; one pass, codegen'd). */
+case class SigAgreement(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left) && isLongArray(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<long> inputs, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorHashes.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorHashes.sigAgreement($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sig_agreement"
 }
 
 /** (array<float|double>, array<float|double>) -> double cosine

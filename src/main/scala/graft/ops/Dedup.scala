@@ -66,10 +66,10 @@ object Dedup {
       regexp_replace(lower(text), "\\s+", " "), k, numHashes, seed)
 
   /** Estimated Jaccard similarity from two signatures: fraction of
-    * agreeing slots. */
+    * agreeing slots (single-pass codegen'd kernel — the
+    * zip_with+aggregate phrasing is interpreted per slot). */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast(DoubleType) / size(sigA)
+    graft.functions.VectorHashes.sig_agreement(sigA, sigB)
 
   /** Exact n-gram (character-shingle) Jaccard similarity of two texts —
     * used to verify LSH candidates, never across all pairs. Single-pass
@@ -99,33 +99,43 @@ object Dedup {
       threshold: Double = 0.5, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("id"),
+    def sigs = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
 
-    val banded = sigs.select(col("id"), col("sig"),
+    // Band a SLIM frame: (id, band, band_hash) only. The 8*numHashes-byte
+    // signature never enters the bucket shuffle — it rejoins per
+    // CANDIDATE below. (Recomputing the signature for the join-back is a
+    // narrow O(slots x |text|) rescan; carrying it here would shuffle
+    // `bands` copies of every signature. At 100 TB the rescan wins.)
+    val banded = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
               .as("band_hash"))): _*)).as("bb"))
-      .select(col("id"), col("sig"),
-        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.band_hash").as("band_hash"))
 
-    // Cap pathological buckets before the self-join squares them.
-    val sized = banded.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
+    // Cap pathological buckets BEFORE the self-join squares them: a slim
+    // groupBy (map-side partial agg, two longs per row) + semi-join —
+    // not a window, which would sort the full banded table.
+    val smallBuckets = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+      .select(col("band"), col("band_hash"))
+    val sized = banded.join(smallBuckets, Seq("band", "band_hash"), "left_semi")
 
-    val l = sized.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = sized.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "band_hash"))
+    val l = sized.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = sized.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // pair may collide in several bands
+
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .dropDuplicates("id_a", "id_b") // pair may collide in several bands
       .where(col("est_jaccard") >= threshold)
   }
 

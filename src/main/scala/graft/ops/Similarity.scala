@@ -93,14 +93,11 @@ object Similarity {
   }
 
   /** Sign-bucket of a vector in one table: bit j = (v . plane_j) > 0.
-    * Uses the codegen'd cosine kernel (same sign as the dot product —
-    * norms are positive) instead of interpreted HOF dot. */
+    * One codegen'd pass over all planes with the plane matrix as a
+    * codegen reference object ([[graft.functions.VectorHashes.plane_signs]])
+    * — no per-plane norm work, no plan-literal plane matrix. */
   private def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      when(graft.functions.VectorHashes.cosine_sim(
-          vec.cast(ArrayType(DoubleType)), typedlit(p.toSeq)) > 0.0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorHashes.plane_signs(vec, planes)
 
   /** Attach `(table, bucket)` pairs: one output row per table (explode),
     * so downstream joins co-locate by bucket. */
