@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** Single-pass document-statistics kernel.
+  *
+  * The expression-library phrasing of these features
+  * (split/filter/aggregate/regexp_extract_all/regexp_replace) costs ~6
+  * interpreted higher-order-function or regex passes per document, with
+  * several re-tokenizations. This kernel computes the whole feature
+  * struct in two scans (one over the original text, one over the
+  * lowercased text) with no regex engine and no per-token allocation
+  * beyond the stopword probe.
+  *
+  * Semantics are pinned to the Java-regex phrasing it replaces (and to
+  * the DuckDB oracle that phrasing was validated against):
+  *  - whitespace = Java `\s` = ASCII {space, \t, \n, \x0B, \f, \r};
+  *  - word-token characters = `\p{L}` (Unicode letter) and `\p{N}`
+  *    (Unicode number: Nd, Nl, No);
+  *  - subword tokens = `[A-Za-z]+ | [0-9] | [^A-Za-z0-9\s]` scanned
+  *    leftmost, code-point-wise;
+  *  - lowercasing is NOT done here: the caller passes `lower(text)` so
+  *    Spark's own lowercase semantics (1:N mappings included) apply.
+  */
+object TextStatsKernel {
+
+  /** `(text, lower(text)) -> struct` of the standard quality features. */
+  def text_stats(text: Column, lowered: Column): Column =
+    GraftColumnBridge.column(TextStats(
+      GraftColumnBridge.expression(text), GraftColumnBridge.expression(lowered)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens_ws", LongType, nullable = false),
+    StructField("n_tokens_subword", LongType, nullable = false),
+    StructField("mean_token_len", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+
+  private val stopwords = java.util.Set.of(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "on", "for", "with", "as", "at", "by")
+
+  @inline private def isAsciiWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  @inline private def isWordCp(cp: Int): Boolean = {
+    if (Character.isLetter(cp)) true
+    else {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+  }
+
+  def textStats(text: UTF8String, lowered: UTF8String): InternalRow = {
+    val s = text.toString
+    // ---- pass 1: original text (counts, whitespace/subword tokens, punct)
+    var nChars = 0L
+    var nWs = 0L
+    var nSub = 0L
+    var punct = 0L
+    var inWsToken = false
+    var inLetterRun = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      val ws = isAsciiWs(cp)
+      if (!ws && !inWsToken) nWs += 1
+      inWsToken = !ws
+      val asciiLetter = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      if (asciiLetter) {
+        if (!inLetterRun) nSub += 1
+        inLetterRun = true
+      } else {
+        inLetterRun = false
+        if (!ws) nSub += 1 // digit or other non-space symbol: one token each
+      }
+      if (cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?')
+        punct += 1
+      i += Character.charCount(cp)
+    }
+    // ---- pass 2: lowered text (word tokens: count, total len, stopwords)
+    val lt = lowered.toString
+    var nTok = 0L
+    var tokLenSum = 0L
+    var stopHits = 0L
+    var tokStart = -1
+    var tokLen = 0L
+    i = 0
+    def endToken(endIdx: Int): Unit = {
+      if (tokStart >= 0) {
+        nTok += 1
+        tokLenSum += tokLen
+        if (endIdx - tokStart <= 4 && stopwords.contains(lt.substring(tokStart, endIdx)))
+          stopHits += 1
+        tokStart = -1
+        tokLen = 0L
+      }
+    }
+    while (i < lt.length) {
+      val cp = lt.codePointAt(i)
+      if (isWordCp(cp)) {
+        if (tokStart < 0) tokStart = i
+        tokLen += 1
+      } else endToken(i)
+      i += Character.charCount(cp)
+    }
+    endToken(lt.length)
+
+    val meanTokenLen = if (nTok > 0) tokLenSum.toDouble / nTok.toDouble else 0.0
+    val punctRatio = if (nChars > 0) punct.toDouble / nChars.toDouble else 0.0
+    val stopRatio = if (nTok > 0) stopHits.toDouble / nTok.toDouble else 0.0
+    // quality formula — identical op order to the Column phrasing:
+    // (min(len/200,1) + (1 - min(punct*5,1)) + min(stop*4,1)) / 3
+    val lenScore = math.min(nChars.toDouble / 200.0, 1.0)
+    val punctScore = 1.0 - math.min(punctRatio * 5.0, 1.0)
+    val stopScore = math.min(stopRatio * 4.0, 1.0)
+    val quality = (lenScore + punctScore + stopScore) / 3.0
+
+    new GenericInternalRow(Array[Any](
+      nChars, nWs, nSub, meanTokenLen, punctRatio, stopRatio, quality))
+  }
+}
+
+/** (string, string) -> struct of document quality features (one fused
+  * pass per side, codegen'd). Second child MUST be `lower(first)` — kept
+  * outside the kernel so Spark's lowercase semantics apply verbatim. */
+case class TextStats(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string inputs, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = TextStatsKernel.schema
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextStatsKernel.textStats(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextStatsKernel.textStats($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TextStats =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_text_stats"
+}

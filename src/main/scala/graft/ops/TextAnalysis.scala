@@ -105,18 +105,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     TextHashes.rolling_hash64(regexp_replace(lower(text), "\\s+", " "))
 
-  /** One-call per-document feature frame: id + the standard features. */
+  /** One-call per-document feature frame: id + the standard features.
+    * Uses the fused single-pass [[graft.functions.TextStatsKernel]]
+    * (values bit-identical to the individual Column functions above,
+    * which remain the à-la-carte API); the ~6 interpreted HOF/regex
+    * passes collapse into one codegen'd expression evaluated once per
+    * row (Catalyst subexpression elimination shares it across the seven
+    * field projections). */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    val stats = graft.functions.TextStatsKernel.text_stats(t, lower(t))
     df.select(
       col(idCol),
-      length(t).cast(LongType).as("n_chars"),
-      whitespaceTokenCount(t).cast(LongType).as("n_tokens_ws"),
-      subwordTokenCount(t).cast(LongType).as("n_tokens_subword"),
-      meanTokenLength(t).as("mean_token_len"),
-      punctRatio(t).as("punct_ratio"),
-      stopwordRatio(t).as("stopword_ratio"),
-      qualityScore(t).as("quality"),
+      stats.getField("n_chars").as("n_chars"),
+      stats.getField("n_tokens_ws").as("n_tokens_ws"),
+      stats.getField("n_tokens_subword").as("n_tokens_subword"),
+      stats.getField("mean_token_len").as("mean_token_len"),
+      stats.getField("punct_ratio").as("punct_ratio"),
+      stats.getField("stopword_ratio").as("stopword_ratio"),
+      stats.getField("quality").as("quality"),
       langId(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }

@@ -46,6 +46,32 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     fp(0) should not be fp(2)
   }
 
+  test("fused TextStats kernel is bit-identical to the Column phrasing") {
+    // Tricky shapes: punctuation runs, digits, unicode letters (é, ß, 中),
+    // non-breaking space (NOT Java-regex \s), empty, ws-only, short text.
+    val docs = Seq(
+      "The cat, and the dog!", "", "   ", "a", "ab5cd 12 x.y,z",
+      "café straße 中文 mixed CASE Text",
+      "nbsp joined", "tabs\tand\nnewlines\r\nhere",
+      "!!!???...;;;:::", "word " * 100)
+    val df = docs.toDF("text")
+    val t = col("text")
+    val fused = df.select(
+      graft.functions.TextStatsKernel.text_stats(t, lower(t)).as("s"))
+      .select(col("s.*")).collect()
+    val ref = df.select(
+      org.apache.spark.sql.functions.length(t).cast("long").as("n_chars"),
+      TextAnalysis.whitespaceTokenCount(t).cast("long").as("n_tokens_ws"),
+      TextAnalysis.subwordTokenCount(t).cast("long").as("n_tokens_subword"),
+      TextAnalysis.meanTokenLength(t).as("mean_token_len"),
+      TextAnalysis.punctRatio(t).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+      TextAnalysis.qualityScore(t).as("quality")).collect()
+    fused.zip(ref).zipWithIndex.foreach { case ((f, r), i) =>
+      withClue(s"doc $i (${docs(i).take(30)}): ") { f shouldBe r }
+    }
+  }
+
   test("documentFeatures produces the full feature row") {
     val df = Seq((7L, "The quick brown fox.")).toDF("doc_id", "text")
     val r = TextAnalysis.documentFeatures(df, "doc_id", "text").head()
