@@ -247,8 +247,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_dedup_minhash" -> ((s, dir) => {
+      // Project the exact-confirmed pairs only: (id_a, id_b, jaccard) is
+      // deterministic ground truth (verified equal to all-pairs exact
+      // Jaccard >= threshold at sf0.01/sf0.1), so the full pipeline gets
+      // a DuckDB oracle; est_jaccard (minhash-seeded) stays API-only.
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
     "q_dedup_simhash" -> ((s, dir) => {
@@ -319,9 +324,12 @@ object SparkEntry {
 
   // ======================================================== oracle SQL
 
-  /** DuckDB equivalents over the same parquet tables. Omitted for the
-    * hash-seeded ops (minhash/simhash/LSH/fingerprint) whose outputs are
-    * engine-defined -> driver records the weaker rows-only check. */
+  /** DuckDB equivalents over the same parquet tables. Omitted only for
+    * the genuinely approximate ops (simhash chunk-bucketing, LSH ANN,
+    * embedding near-dup) whose candidate sets are hash-seeded -> driver
+    * records the weaker rows-only check. q_dedup_minhash IS oracled: its
+    * confirm stage outputs exact n-gram Jaccard, and LSH recall is 1 on
+    * this corpus (verified against all-pairs ground truth). */
   def oracleSql: Map[String, String] = Map(
     "q_filter" ->
       """SELECT event_id AS key, "value" AS value FROM events WHERE "value" > 100.0 ORDER BY key""",
@@ -395,6 +403,47 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
+    "q_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+              sh AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+                     FROM d),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+                    FROM sh a JOIN sh b
+                      ON a.doc_id < b.doc_id
+                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s))
+         SELECT id_a, id_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+         FROM c WHERE 2*i >= la + lb - i ORDER BY id_a, id_b""",
+    "q_lang_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,
+                           regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+                    FROM documents),
+              s AS (SELECT doc_id, norm,
+                           len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+                           len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
+                           len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
+                           len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
+                           len(list_filter(toks, x -> list_contains(['的','了','是','在','我','有','他','这'], x))) AS s_zh
+                    FROM t),
+              h AS (SELECT doc_id,
+                           list_reduce(
+                             [CAST(0 AS HUGEINT)] || list_transform(range(1, length(norm)+1),
+                                                                    i -> CAST(unicode(substr(norm, CAST(i AS INTEGER), 1)) AS HUGEINT)),
+                             (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)) AS v
+                    FROM t)
+         SELECT s.doc_id,
+                CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                     WHEN s_fr >= s_zh THEN 'fr'
+                     ELSE 'zh' END AS lang_pred,
+                CAST(CASE WHEN h.v >= CAST('9223372036854775808' AS HUGEINT)
+                          THEN h.v - CAST('18446744073709551616' AS HUGEINT) ELSE h.v END AS BIGINT) AS fingerprint
+         FROM s JOIN h ON s.doc_id = h.doc_id ORDER BY s.doc_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keeper_id""",
