@@ -5,8 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, one
   * JSON result line. Each query is forced through the `noop` sink so
   * every output column is actually computed (a bare `count()` would let
-  * the optimizer prune the projections being measured). One warm-up run
-  * of the first query pays JVM/codegen warm-up outside the timings. */
+  * the optimizer prune the projections being measured).
+  *
+  * Timing honesty: the FIRST measured run of each query includes that
+  * query's Catalyst planning and Janino/whole-stage-codegen compilation
+  * (one untimed run of the first query pays only the generic JVM/session
+  * warm-up). The headline `value`/`queries` therefore report the COLD
+  * cost — what a fresh job pays. A second timed pass over the same
+  * queries is reported as `queries_warm`/`total_warm` (steady-state
+  * plans + JIT), so both regimes are visible instead of the headline
+  * quietly switching to the flattering one. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,14 +37,19 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    def fmt(results: Seq[(String, Double)]): String =
+      results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    def total(results: Seq[(String, Double)]): Double =
+      results.map(_._2).filter(_ >= 0).sum
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    if (names.nonEmpty) run(names.head) // warm-up, untimed
-    val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    if (names.nonEmpty) run(names.head) // generic warm-up, untimed
+    val cold = names.map(n => n -> run(n))
+    val warm = names.map(n => n -> run(n))
+    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
+      s""""queries":${fmt(cold)},"total_warm":${total(warm)},""" +
+      s""""queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

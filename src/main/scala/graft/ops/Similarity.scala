@@ -65,12 +65,14 @@ object Similarity {
   }
 
   /** Reduce (key, id, score) rows to per-key top-k via the bounded-heap
-    * aggregate; exploded back to one row per neighbor with rank. */
+    * aggregate; exploded back to one row per neighbor with rank. Both
+    * inputs are cast to the aggregate's (long, double) contract so int /
+    * short ids work out of the box. */
   def topKPerKey(scored: DataFrame, keyCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
     val agg = GraftColumnBridge.column(
       TopKByScore(
-        GraftColumnBridge.expression(col(idCol)),
+        GraftColumnBridge.expression(col(idCol).cast(LongType)),
         GraftColumnBridge.expression(col(scoreCol).cast(DoubleType)),
         k).toAggregateExpression())
     scored.groupBy(col(keyCol))
@@ -150,6 +152,13 @@ case class TopKByScore(id: Expression, score: Expression, k: Int,
   extends TypedImperativeAggregate[TopKBuffer] {
 
   require(k > 0, s"k must be positive, got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (id.dataType == LongType && score.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (long id, double score) inputs, got " +
+        s"(${id.dataType.simpleString}, ${score.dataType.simpleString}); cast the columns")
 
   override def children: Seq[Expression] = Seq(id, score)
   override def nullable: Boolean = false

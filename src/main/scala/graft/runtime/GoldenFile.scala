@@ -52,14 +52,23 @@ object GoldenFile {
   }
 
   /** One row per array element, as a (key, value, __seq) frame; a
-    * missing `key`/`value` field becomes a null column. */
+    * missing `key`/`value` field becomes a null column. An EMPTY array
+    * (the natural way to assert "all inputs drop") infers a non-struct
+    * element type — yield an empty frame instead of crashing. */
   private def explodeRecords(doc: DataFrame, field: String): DataFrame = {
     val exploded = doc.select(posexplode(col(field)).as(Seq("__seq", "rec")))
-    val recType = exploded.schema("rec").dataType.asInstanceOf[StructType]
-    def pick(name: String) =
-      if (recType.fieldNames.contains(name)) col(s"rec.$name").as(name)
-      else lit(null).cast(StringType).as(name)
-    exploded.select(pick("key"), pick("value"), col("__seq"))
+    exploded.schema("rec").dataType match {
+      case recType: StructType =>
+        def pick(name: String) =
+          if (recType.fieldNames.contains(name)) col(s"rec.$name").as(name)
+          else lit(null).cast(StringType).as(name)
+        exploded.select(pick("key"), pick("value"), col("__seq"))
+      case _ =>
+        exploded.where(lit(false)).select(
+          lit(null).cast(StringType).as("key"),
+          lit(null).cast(StringType).as("value"),
+          col("__seq"))
+    }
   }
 
   /** Canonical structural value: structs -> name-sorted maps WITHOUT

@@ -37,12 +37,19 @@ import graft.serde.KeyValueMapping
   *   --checkpoint <dir> streaming checkpoint location
   * }}}
   *
-  * Divergence from the reference, by design: sources/sinks are files
-  * (parquet/json/csv/text) — the environment has no Kafka broker; the
-  * serde layer (`-d`/`-s`) still speaks the Kafka-shaped
-  * `(key: binary, value: binary)` frame, so a Kafka source drops in by
-  * swapping `spark.read` for `spark.readStream.format("kafka")` with no
-  * change to any other layer.
+  * Kafka parity (reference Plumber.scala:62-74): `-i kafka:<topic>` /
+  * `-o kafka:<topic>` select the Spark Kafka connector, configured via
+  * properties — `graft.kafka.brokers` (required; maps to
+  * `kafka.bootstrap.servers`), `graft.kafka.starting.offsets`
+  * (default `earliest`), `graft.kafka.fail.on.data.loss`. The connector
+  * frame already carries `(key: binary, value: binary)`, which is
+  * exactly what the serde layer (`-d`/`-s`) speaks, so no other layer
+  * changes. NOTE: this sandbox has neither a broker nor the
+  * spark-sql-kafka connector jar, so the Kafka path is covered by
+  * option/plan-construction tests only; on a real cluster the connector
+  * jar on the classpath is the one missing piece (Spark raises its
+  * standard "Failed to find data source: kafka" guidance otherwise).
+  * File sources/sinks (parquet/json/csv/text) remain the default.
   */
 object Main {
 
@@ -99,16 +106,48 @@ object Main {
     p
   }
 
-  /** Read the source as a canonical (key, value) frame. */
+  private val fileFormats = Set("parquet", "json", "csv", "text")
+
+  /** `kafka:<topic>` / `kafka://<topic>` source-or-sink declaration. */
+  private[runtime] def kafkaTopic(path: String): Option[String] =
+    if (path.startsWith("kafka:"))
+      Some(path.stripPrefix("kafka:").stripPrefix("//"))
+    else None
+
+  /** Connector options for a Kafka source (reference Plumber.scala:62-65
+    * semantics: one subscribed topic, brokers from properties). */
+  private[runtime] def kafkaSourceOptions(topic: String,
+      props: Properties): Either[String, Map[String, String]] =
+    Option(props.getProperty("graft.kafka.brokers")) match {
+      case None => Left("kafka source needs graft.kafka.brokers=<host:port,...> in -p properties")
+      case Some(brokers) => Right(Map(
+        "kafka.bootstrap.servers" -> brokers,
+        "subscribe" -> topic,
+        "startingOffsets" ->
+          Option(props.getProperty("graft.kafka.starting.offsets")).getOrElse("earliest"),
+        "failOnDataLoss" ->
+          Option(props.getProperty("graft.kafka.fail.on.data.loss")).getOrElse("true")))
+    }
+
+  /** Connector options for a Kafka sink (Plumber.scala:71-74). */
+  private[runtime] def kafkaSinkOptions(topic: String,
+      props: Properties): Either[String, Map[String, String]] =
+    Option(props.getProperty("graft.kafka.brokers")) match {
+      case None => Left("kafka sink needs graft.kafka.brokers=<host:port,...> in -p properties")
+      case Some(brokers) => Right(Map(
+        "kafka.bootstrap.servers" -> brokers,
+        "topic" -> topic))
+    }
+
+  /** Read a file source as a canonical (key, value) frame. `fmt` has
+    * been validated against [[fileFormats]] by the caller. */
   private def readFrame(spark: SparkSession, path: String,
-      serde: Option[String], format: Option[String]): DataFrame = {
-    val fmt = format.getOrElse(formatOf(path))
+      serde: Option[String], fmt: String): DataFrame = {
     val raw = fmt match {
       case "parquet" => spark.read.parquet(path)
       case "json" => spark.read.json(path)
       case "csv" => spark.read.option("header", "true").csv(path)
       case "text" => spark.read.text(path)
-      case other => throw new IllegalArgumentException(s"unknown input format $other")
     }
     frameify(raw, serde)
   }
@@ -183,37 +222,81 @@ object Main {
 
     val inPath = args.input.get
     val outPath = args.output.get
+    val inKafka = kafkaTopic(inPath)
+    val outKafka = kafkaTopic(outPath)
+
+    // Validate file formats up front so misconfiguration is a clean
+    // usage error (exit 2), not a MatchError deep in a branch.
+    def usage(msg: String): Int = { System.err.println(s"[graft] $msg"); 2 }
+    val inFmt = opt("graft.input.format").getOrElse(formatOf(inPath))
+    if (inKafka.isEmpty && !fileFormats(inFmt))
+      return usage(s"unknown input format `$inFmt` (expected ${fileFormats.mkString("|")})")
     val outFmt = opt("graft.output.format").getOrElse(formatOf(outPath))
+    if (outKafka.isEmpty && !fileFormats(outFmt))
+      return usage(s"unknown output format `$outFmt` (expected ${fileFormats.mkString("|")})")
 
     if (!args.stream) {
-      val frame = readFrame(spark, inPath, args.inputSerde,
-        opt("graft.input.format"))
+      val frame = inKafka match {
+        case Some(topic) =>
+          kafkaSourceOptions(topic, props) match {
+            case Left(err) => return usage(err)
+            case Right(o) => frameify(
+              spark.read.format("kafka").options(o).load()
+                .select(col("key"), col("value")), args.inputSerde)
+          }
+        case None => readFrame(spark, inPath, args.inputSerde, inFmt)
+      }
       val out = encode(pipeline.compile(frame), args.outputSerde)
-      writeBatch(out, outFmt, outPath)
+      outKafka match {
+        case Some(topic) =>
+          kafkaSinkOptions(topic, props) match {
+            case Left(err) => return usage(err)
+            case Right(o) => out.write.format("kafka").options(o).save()
+          }
+        case None => writeBatch(out, outFmt, outPath)
+      }
       0
     } else {
-      // Streaming: file source with the batch-inferred schema (the
-      // FileStreamSource needs one), same pipeline, checkpointed sink,
-      // graceful shutdown (Plumber.scala:77-85 semantics).
-      val fmt = opt("graft.input.format").getOrElse(formatOf(inPath))
-      val schema = (fmt match {
-        case "parquet" => spark.read.parquet(inPath)
-        case "json" => spark.read.json(inPath)
-        case "csv" => spark.read.option("header", "true").csv(inPath)
-        case "text" => spark.read.text(inPath)
-      }).schema
-      val raw = (fmt match {
-        case "parquet" => spark.readStream.schema(schema).parquet(inPath)
-        case "json" => spark.readStream.schema(schema).json(inPath)
-        case "csv" => spark.readStream.schema(schema)
-          .option("header", "true").csv(inPath)
-        case "text" => spark.readStream.schema(schema).text(inPath)
-      })
+      // Streaming: same pipeline over readStream, checkpointed sink,
+      // graceful shutdown (Plumber.scala:77-85 semantics). File sources
+      // use the batch-inferred schema (the FileStreamSource needs one);
+      // the Kafka source has a fixed frame schema.
+      val raw = inKafka match {
+        case Some(topic) =>
+          kafkaSourceOptions(topic, props) match {
+            case Left(err) => return usage(err)
+            case Right(o) => spark.readStream.format("kafka").options(o)
+              .load().select(col("key"), col("value"))
+          }
+        case None =>
+          val schema = (inFmt match {
+            case "parquet" => spark.read.parquet(inPath)
+            case "json" => spark.read.json(inPath)
+            case "csv" => spark.read.option("header", "true").csv(inPath)
+            case "text" => spark.read.text(inPath)
+          }).schema
+          inFmt match {
+            case "parquet" => spark.readStream.schema(schema).parquet(inPath)
+            case "json" => spark.readStream.schema(schema).json(inPath)
+            case "csv" => spark.readStream.schema(schema)
+              .option("header", "true").csv(inPath)
+            case "text" => spark.readStream.schema(schema).text(inPath)
+          }
+      }
       val out = encode(pipeline.compile(frameify(raw, args.inputSerde)),
         args.outputSerde)
-      val query = out.writeStream
-        .format(outFmt)
-        .option("path", outPath)
+      val writer = outKafka match {
+        case Some(topic) =>
+          kafkaSinkOptions(topic, props) match {
+            case Left(err) => return usage(err)
+            case Right(o) => out.writeStream.format("kafka").options(o)
+          }
+        case None =>
+          val base = (if (outFmt == "text") forTextSink(out) else out)
+            .writeStream.format(outFmt)
+          base.option("path", outPath)
+      }
+      val query = writer
         .option("checkpointLocation",
           args.checkpoint.getOrElse(outPath.stripSuffix("/") + "_checkpoint"))
         .trigger(if (args.once) Trigger.AvailableNow() else
@@ -228,12 +311,20 @@ object Main {
   private def encode(df: DataFrame, serde: Option[String]): DataFrame =
     serde.map(d => KeyValueMapping.fromString(d).encode(df)).getOrElse(df)
 
+  /** Spark's text sink takes exactly one string column: write `value`
+    * (cast to string), mirroring a value-only Kafka producer. */
+  private def forTextSink(df: DataFrame): DataFrame = {
+    require(df.columns.contains("value"),
+      "text output needs a `value` column in the pipeline result")
+    df.select(col("value").cast(StringType).as("value"))
+  }
+
   private def writeBatch(df: DataFrame, fmt: String, path: String): Unit =
     fmt match {
       case "parquet" => df.write.mode("overwrite").parquet(path)
       case "json" => df.write.mode("overwrite").json(path)
       case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
-      case other => throw new IllegalArgumentException(s"unknown output format $other")
+      case "text" => forTextSink(df).write.mode("overwrite").text(path)
     }
 
   def main(argv: Array[String]): Unit = {

@@ -48,6 +48,34 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     Main.run(spark, Array("--bogus")) shouldBe 2
   }
 
+  test("unknown input/output formats are usage errors (exit 2), not crashes") {
+    val p = Files.createTempFile("graft", ".properties")
+    Files.writeString(p, "graft.input.format=xml\n")
+    Main.run(spark, Array("-i", s"$ex/time/input", "-o", tmp() + "/out",
+      "-l", s"$ex/time/pipeline.graft", "-p", p.toString)) shouldBe 2
+    val p2 = Files.createTempFile("graft", ".properties")
+    Files.writeString(p2, "graft.output.format=orcish\n")
+    Main.run(spark, Array("-i", s"$ex/time/input", "-o", tmp() + "/out",
+      "-l", s"$ex/time/pipeline.graft", "-p", p2.toString)) shouldBe 2
+  }
+
+  test("an empty `expected` array asserts all-inputs-drop without crashing") {
+    val g = Files.createTempFile("golden-empty", ".json")
+    // time pipeline drops unparsable values: expect zero outputs.
+    Files.writeString(g,
+      """{"inputs": [{"key": "2016-05-13T16:43:12.345+00:00", "value": "unparsable"}],
+        |"expected": []}""".stripMargin)
+    Main.run(spark, Array("-l", s"$ex/time/pipeline.graft",
+      "-t", g.toString, "-D")) shouldBe 0
+    // ...and a record where zero outputs were NOT expected still fails.
+    val g2 = Files.createTempFile("golden-empty2", ".json")
+    Files.writeString(g2,
+      """{"inputs": [{"key": "2016-05-13T16:43:12.345+00:00", "value": "42"}],
+        |"expected": []}""".stripMargin)
+    Main.run(spark, Array("-l", s"$ex/time/pipeline.graft",
+      "-t", g2.toString, "-D")) shouldBe 1
+  }
+
   // ------------------------------------------------------------- batch
 
   test("demo end-to-end: json -> pipeline -> avro-encoded parquet") {
@@ -124,6 +152,62 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
       .orderBy("k").collect()
     back.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
       Seq((1463157792345L, 42L), (1463157793370L, 37L))
+  }
+
+  test("golden mismatch refuses to start the STREAMING path specifically") {
+    val bad = Files.createTempFile("golden-bad-stream", ".json")
+    Files.writeString(bad,
+      """{"inputs": [{"key": "2016-05-13T16:43:12.345+00:00", "value": "42"}],
+        |"expected": [{"key": 1, "value": 999}]}""".stripMargin)
+    val out = tmp() + "/out"
+    Main.run(spark, Array(
+      "-i", s"$ex/time/input", "-o", out,
+      "-l", s"$ex/time/pipeline.graft",
+      "-t", bad.toString,
+      "-s", "long,long",
+      "--stream", "--once", "--checkpoint", tmp() + "/ckpt")) shouldBe 1
+    new java.io.File(out).exists() shouldBe false // no sink output started
+  }
+
+  test("text output sink writes the value column as lines") {
+    val out = tmp() + "/out"
+    val p = Files.createTempFile("graft", ".properties")
+    Files.writeString(p, "graft.output.format=text\n")
+    val script = Files.createTempFile("graft", ".graft")
+    Files.writeString(script, "filter value is not null\n")
+    Main.run(spark, Array(
+      "-i", s"$ex/csv/input", "-o", out,
+      "-l", script.toString, "-p", p.toString)) shouldBe 0
+    spark.read.text(out).count() should be > 0L
+  }
+
+  // ------------------------------------------------------------- kafka
+
+  test("kafka:<topic> source/sink declarations parse and build options") {
+    Main.kafkaTopic("kafka:events") shouldBe Some("events")
+    Main.kafkaTopic("kafka://events") shouldBe Some("events")
+    Main.kafkaTopic("/data/in.parquet") shouldBe None
+    val props = new java.util.Properties()
+    Main.kafkaSourceOptions("t1", props).isLeft shouldBe true // no brokers
+    Main.kafkaSinkOptions("t1", props).isLeft shouldBe true
+    props.setProperty("graft.kafka.brokers", "b1:9092,b2:9092")
+    val src = Main.kafkaSourceOptions("t1", props).toOption.get
+    src("kafka.bootstrap.servers") shouldBe "b1:9092,b2:9092"
+    src("subscribe") shouldBe "t1"
+    src("startingOffsets") shouldBe "earliest"
+    props.setProperty("graft.kafka.starting.offsets", "latest")
+    Main.kafkaSourceOptions("t1", props).toOption
+      .get("startingOffsets") shouldBe "latest"
+    val sink = Main.kafkaSinkOptions("t2", props).toOption.get
+    sink("topic") shouldBe "t2"
+    sink.contains("subscribe") shouldBe false
+  }
+
+  test("kafka source without graft.kafka.brokers is a usage error (exit 2)") {
+    val script = Files.createTempFile("graft", ".graft")
+    Files.writeString(script, "filter value is not null\n")
+    Main.run(spark, Array("-i", "kafka:in", "-o", "kafka:out",
+      "-l", script.toString)) shouldBe 2
   }
 
   // ------------------------------------------------------ script parsing
