@@ -325,11 +325,15 @@ object SparkEntry {
   // ======================================================== oracle SQL
 
   /** DuckDB equivalents over the same parquet tables. Omitted only for
-    * the genuinely approximate ops (simhash chunk-bucketing, LSH ANN,
-    * embedding near-dup) whose candidate sets are hash-seeded -> driver
-    * records the weaker rows-only check. q_dedup_minhash IS oracled: its
+    * the genuinely approximate ops (LSH ANN top-k, embedding near-dup)
+    * whose bucketed candidate sets have recall < 1 by design -> driver
+    * records the weaker rows-only check. q_dedup_minhash IS oracled (its
     * confirm stage outputs exact n-gram Jaccard, and LSH recall is 1 on
-    * this corpus (verified against all-pairs ground truth). */
+    * this corpus — verified against all-pairs ground truth), and
+    * q_dedup_simhash IS oracled (Charikar chunking is a COMPLETE
+    * candidate generator for hamming <= d by pigeonhole, so the output
+    * equals deterministic all-pairs hamming <= d over FNV-based
+    * fingerprints, reproduced below in mod-2^64 HUGEINT/UBIGINT SQL). */
   def oracleSql: Map[String, String] = Map(
     "q_filter" ->
       """SELECT event_id AS key, "value" AS value FROM events WHERE "value" > 100.0 ORDER BY key""",
@@ -416,6 +420,26 @@ object SparkEntry {
                      AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s))
          SELECT id_a, id_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
          FROM c WHERE 2*i >= la + lb - i ORDER BY id_a, id_b""",
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
+              hs AS (SELECT doc_id,
+                            list_transform(toks, tok ->
+                              CAST(list_reduce(
+                                [CAST('14695981039346656037' AS HUGEINT)] ||
+                                  list_transform(range(1, length(tok)+1), i -> CAST(unicode(substr(tok, CAST(i AS INTEGER), 1)) AS HUGEINT)),
+                                (acc, b) -> (xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT))::HUGEINT * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS UBIGINT)
+                            ) AS hashes, len(toks) AS n
+                     FROM t),
+              fp AS (SELECT doc_id,
+                            CAST(list_sum(list_transform(range(0, 64), b ->
+                              CASE WHEN 2 * len(list_filter(hashes, h -> (h >> b) & 1 = 1)) > n
+                                   THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END)) AS HUGEINT) AS v
+                     FROM hs)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(CAST(a.v AS UBIGINT), CAST(b.v AS UBIGINT))) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(CAST(a.v AS UBIGINT), CAST(b.v AS UBIGINT))) <= 3
+         ORDER BY id_a, id_b""",
     "q_lang_fingerprint" ->
       """WITH t AS (SELECT doc_id,
                            list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,
