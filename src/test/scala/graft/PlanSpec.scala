@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan shape assertions for the scale-critical queries.
+  *
+  * These pin the properties that make the 100 TB design story true —
+  * broadcast joins where a side is small, parquet filter/column
+  * pushdown, map-side partial aggregation, bounded top-k instead of
+  * global sorts, and the ABSENCE of scale-killers (cartesian products,
+  * window sorts on the dedup path). A regression here would often still
+  * pass value-level correctness while quietly melting a large cluster,
+  * so it is tested at the plan level.
+  *
+  * Plans are inspected pre-execution (AQE's initial plan): explicit
+  * `broadcast()` hints and scan pushdown are already visible there.
+  */
+class PlanSpec extends SparkSpecBase with Matchers {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q_join_agg broadcasts the customer dim — no shuffle/sort-merge join") {
+    val p = plan("q_join_agg")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q_topk_orders is a bounded TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_orders")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q1_agg aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q1_agg")
+    p should include("partial_sum")
+    p should include("partial_count")
+  }
+
+  test("q_filter pushes the value predicate into the parquet scan") {
+    val p = plan("q_filter")
+    p should include("PushedFilters")
+    p should include("GreaterThan(value,100.0)")
+  }
+
+  test("flagship entry prunes unused columns at the events scan") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    // ts (nanos) and user_id are never referenced -> must not be read.
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should not include "ts:"
+    readSchema should not include "user_id"
+  }
+
+  test("q_dedup_minhash has no window sort and no cartesian product") {
+    val p = plan("q_dedup_minhash")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p.toLowerCase should include("leftsemi") // the bucket-size cap
+  }
+
+  test("q_ann_brute reduces map-side via the bounded-heap top-k partial") {
+    val p = plan("q_ann_brute")
+    p should include("partial_graft_top_k_by_score")
+    // the deliberate broadcast cross: corpus x broadcast(queries)
+    p should include("BroadcastNestedLoopJoin")
+  }
+
+  test("no query plans a CartesianProduct (unbroadcast all-pairs)") {
+    for (name <- SparkEntry.queries.keys) {
+      withClue(name) { plan(name) should not include "CartesianProduct" }
+    }
+  }
+
+  test("text-stats kernel stays inside whole-stage codegen") {
+    // AQE's initial plan carries no codegen annotation; execute first,
+    // then inspect the FINAL plan for the codegen span around the kernel.
+    val df = SparkEntry.queries("q_text_stats")(spark, sf())
+    df.collect() // finalize THIS df's AQE plan (write.save would re-plan)
+    val p = df.queryExecution.executedPlan.toString
+    // In the final plan's compact form a `*(n)` prefix marks operators
+    // inside a whole-stage-codegen stage. The kernel's Project must
+    // carry it — a CodegenFallback expression would strip it.
+    val projLine = p.linesIterator
+      .find(l => l.contains("graft_text_stats") && l.contains("Project"))
+      .getOrElse(fail("no kernel Project in final plan"))
+    projLine.trim.stripPrefix("+- ") should startWith("*(")
+  }
+}
