@@ -236,6 +236,29 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
         .distinct().orderBy("c_mktsegment", "c_nationkey")
     }),
+    // ---- streaming surface, batch-parity checked (withWatermark is a
+    //      no-op in batch; StreamOpsSpec covers incremental execution) ----
+    "q_stream_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        timestamp_micros(expr("ts div 1000")).as("ts2"),
+        col("event_type"), col("value"))
+      graft.streaming.StreamOps.windowedAgg(ev, "ts2", "event_type", "value",
+          windowDur = "1 hour")
+        .select(unix_millis(col("win_start")).as("win_start_ms"),
+          unix_millis(col("win_end")).as("win_end_ms"),
+          col("event_type"), col("n"), round(col("total"), 2).as("total"))
+        .orderBy("win_start_ms", "event_type")
+    }),
+    "q_stream_session" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        timestamp_micros(expr("ts div 1000")).as("ts2"), col("user_id"))
+      graft.streaming.StreamOps.sessionAgg(ev, "ts2", "user_id",
+          gap = "4 hours")
+        .select(unix_millis(col("sess_start")).as("sess_start_ms"),
+          unix_millis(col("sess_end")).as("sess_end_ms"),
+          col("user_id"), col("n"))
+        .orderBy("user_id", "sess_start_ms")
+    }),
     // ---- LLM-data-pipeline: dedup ----
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
@@ -407,6 +430,24 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
+    "q_stream_window" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS win_start_ms,
+                epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR) AS win_end_ms,
+                event_type, count(*) AS n, round(sum("value"), 2) AS total
+         FROM events GROUP BY 1, 2, 3 ORDER BY win_start_ms, event_type""",
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+              o AS (SELECT user_id, t,
+                           CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= INTERVAL 4 HOUR
+                                THEN 1 ELSE 0 END AS brk
+                    FROM e),
+              g AS (SELECT user_id, t,
+                           sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS grp
+                    FROM o)
+         SELECT epoch_ms(min(t)) AS sess_start_ms,
+                epoch_ms(max(t) + INTERVAL 4 HOUR) AS sess_end_ms,
+                user_id, count(*) AS n
+         FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start_ms""",
     "q_dedup_minhash" ->
       """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
               sh AS (SELECT doc_id,

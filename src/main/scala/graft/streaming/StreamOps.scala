@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful Structured-Streaming operators for the ingest side of a
+  * training-data pipeline: event-time windowed statistics, gap
+  * sessionization, watermark-bounded streaming dedup, and custom
+  * per-key state via `flatMapGroupsWithState`.
+  *
+  * The reference engine is deliberately stateless (SURVEY §2.3:
+  * watermarks/windows/state ABSENT); these are the Spark-native
+  * extensions the brief mandates. Every op here works on BOTH a
+  * streaming frame (`readStream`, where the watermark bounds state) and
+  * a batch frame (`withWatermark` is a no-op in batch) — which is how
+  * the driver's DuckDB oracle verifies the window semantics while the
+  * ScalaTest suite exercises true incremental execution via
+  * MemoryStream.
+  *
+  * Scale notes: windowed/session aggregation shuffles once on
+  * (window, key) with map-side partials; state size is bounded by the
+  * watermark horizon x key cardinality, and late data beyond the
+  * watermark is dropped instead of growing state without bound. The
+  * streaming dedup keeps only ids inside the watermark horizon.
+  */
+object StreamOps {
+
+  /** Event-time tumbling (or sliding, if `slide` is given) windowed
+    * count + sum per key. Emits `(win_start, win_end, key, n, total)`. */
+  def windowedAgg(df: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowDur: String, slide: Option[String] = None,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur, slide.getOrElse(windowDur)),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col(keyCol), col("n"), col("total"))
+
+  /** Gap-based sessionization: events of one key closer than `gap`
+    * merge into one session row `(sess_start, sess_end, key, n)`. */
+  def sessionAgg(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col(keyCol), col("n"))
+
+  /** Streaming exact dedup on `idCols`, with state bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark`): duplicates
+    * arriving within the horizon are dropped; state for older ids is
+    * reclaimed. The batch analogue is plain `dropDuplicates`. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String,
+      watermarkDelay: String, idCols: Seq[String]): DataFrame = {
+    val wm = df.withWatermark(tsCol, watermarkDelay)
+    if (wm.isStreaming) wm.dropDuplicatesWithinWatermark(idCols)
+    else wm.dropDuplicates(idCols)
+  }
+
+  /** Custom state op: emit each key's record only the FIRST time the
+    * key is seen (streaming first-wins dedup with explicit state).
+    * Works in append mode; `flatMapGroupsWithState` holds one boolean
+    * per live key. `ProcessingTimeTimeout` + `ttl` reclaims state for
+    * keys idle longer than the TTL (at-least-once re-emission after
+    * expiry — the standard trade for bounded state). */
+  def firstSeen[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+      ttl: Option[String] = None): Dataset[V] = {
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(key).flatMapGroupsWithState[Boolean, V](
+        OutputMode.Append(), timeout) {
+      (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          ttl.foreach(state.setTimeoutDuration)
+          rows.take(1)
+        }
+    }
+  }
+
+  /** Custom state op: running per-key mean, emitted as an update after
+    * every batch — the canonical `mapGroupsWithState` accumulator. */
+  def runningMean[K: Encoder](ds: Dataset[(K, Double)]): Dataset[(K, Long, Double)] = {
+    implicit val stateEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[(K, Long, Double)] = Encoders.tuple(
+      implicitly[Encoder[K]], Encoders.scalaLong, Encoders.scalaDouble)
+    ds.groupByKey(_._1).mapGroupsWithState[(Long, Double), (K, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+      (k: K, rows: Iterator[(K, Double)], state: GroupState[(Long, Double)]) =>
+        var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+        rows.foreach { case (_, v) => n += 1; sum += v }
+        state.update((n, sum))
+        (k, n, if (n > 0) sum / n else 0.0)
+    }
+  }
+}

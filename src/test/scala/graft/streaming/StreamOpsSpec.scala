@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpecBase
+
+/** True incremental execution of the stateful streaming ops, driven by
+  * MemoryStream batches (batch-mode parity of windowedAgg/sessionAgg is
+  * covered by the driver oracle queries q_stream_window/q_stream_session). */
+class StreamOpsSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:$second%02d")
+
+  test("windowedAgg aggregates event-time windows incrementally (update mode)") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = StreamOps.windowedAgg(
+      in.toDF().toDF("ts", "key", "v"), "ts", "key", "v", "5 minutes")
+    in.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0),
+      (ts(2), "b", 5.0))
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("win_agg")
+      .select(col("win_start").cast("string"), col("key"), col("n"), col("total"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._2, r._1))
+    rows shouldBe Array(
+      ("2026-01-01 10:00:00", "a", 2L, 3.0),
+      ("2026-01-01 10:05:00", "a", 1L, 10.0),
+      ("2026-01-01 10:00:00", "b", 1L, 5.0))
+  }
+
+  test("sessionAgg merges events within the gap into one session") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val agg = StreamOps.sessionAgg(
+      in.toDF().toDF("ts", "key"), "ts", "key", gap = "2 minutes")
+    // key a: 10:00, 10:01, 10:02 -> one session; 10:10 -> second session.
+    in.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "a"), (ts(10), "a"))
+    // session windows support complete/append output, not update
+    val q = agg.writeStream.format("memory").queryName("sess_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sess_agg")
+      .select(col("sess_start").cast("string"), col("sess_end").cast("string"),
+        col("n")).as[(String, String, Long)].collect().sortBy(_._1)
+    rows shouldBe Array(
+      ("2026-01-01 10:00:00", "2026-01-01 10:04:00", 3L),
+      ("2026-01-01 10:10:00", "2026-01-01 10:12:00", 1L))
+  }
+
+  test("dedupWithinWatermark drops duplicate ids within and across batches") {
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamOps.dedupWithinWatermark(
+      in.toDF().toDF("ts", "id", "payload"), "ts", "30 minutes", Seq("id"))
+    // one long-lived query: state (seen ids) must survive across batches
+    val q = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    in.addData((ts(0), 1L, "first"), (ts(1), 1L, "dup-same-batch"),
+      (ts(2), 2L, "other"))
+    q.processAllAvailable()
+    in.addData((ts(3), 1L, "dup-next-batch"), (ts(4), 3L, "new"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("stream_dedup").select("id", "payload")
+      .as[(Long, String)].collect().sortBy(_._1)
+    ids shouldBe Array((1L, "first"), (2L, "other"), (3L, "new"))
+  }
+
+  test("firstSeen emits one record per key across batches (custom state)") {
+    val in = MemoryStream[(Long, String)](spark)
+    val out = StreamOps.firstSeen[Long, (Long, String)](in.toDS(), _._1)
+    val q = out.writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+    in.addData((1L, "a1"), (2L, "b1"))
+    q.processAllAvailable()
+    in.addData((1L, "a2"), (3L, "c1"))
+    q.processAllAvailable()
+    q.stop()
+    spark.table("first_seen").as[(Long, String)].collect().sortBy(_._1) shouldBe
+      Array((1L, "a1"), (2L, "b1"), (3L, "c1"))
+  }
+
+  test("runningMean accumulates per-key state across batches (update mode)") {
+    val in = MemoryStream[(String, Double)](spark)
+    val out = StreamOps.runningMean(in.toDS())
+    val q = out.toDF("key", "n", "mean").writeStream.format("memory")
+      .queryName("running_mean").outputMode("update").start()
+    in.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+    q.processAllAvailable()
+    in.addData(("a", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends updates; take the LAST row per key
+    val last = spark.table("running_mean").as[(String, Long, Double)]
+      .collect().zipWithIndex
+      .groupBy(_._1._1).map { case (_, rs) => rs.maxBy(_._2)._1 }
+      .toSeq.sortBy(_._1)
+    last shouldBe Seq(("a", 3L, 3.0), ("b", 1L, 10.0))
+  }
+
+  test("windowedAgg and sessionAgg run identically on batch frames") {
+    val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
+      .toDF("ts", "key", "v")
+    val w = StreamOps.windowedAgg(batch, "ts", "key", "v", "5 minutes")
+      .orderBy("win_start").select(col("n"), col("total"))
+      .as[(Long, Double)].collect()
+    w shouldBe Array((2L, 3.0), (1L, 10.0))
+    val s = StreamOps.sessionAgg(batch.toDF(), "ts", "key", "2 minutes")
+      .orderBy("sess_start").select(col("n")).as[Long].collect()
+    s shouldBe Array(2L, 1L)
+  }
+}
