@@ -318,6 +318,23 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF scale path: spherical k-means inverted lists + nprobe
+      // probing. Approximate by design (recall ~0.9 on these
+      // near-uniform synthetic embeddings) -> rows-only check here;
+      // SimilaritySpec pins exact brute-force equality under full
+      // probing and self-match under partial probing.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+          k = 5, cents, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
     "q_embed_neardup" -> ((s, dir) => {
       // Synthetic embeddings are near-uniform (max pairwise cosine ~0.5),
       // so the demo threshold is 0.3; production near-dup uses ~0.95.

@@ -115,6 +115,70 @@ object Similarity {
       .drop("_tb")
   }
 
+  // ---------------------------------------------------------------- IVF
+
+  /** Train a spherical k-means coarse quantizer with Lloyd iterations
+    * expressed as DataFrame jobs: assign rows to centroids with the
+    * codegen'd [[graft.functions.Centroids.centroid_assign]] kernel
+    * (one narrow pass), recompute per-dimension means via
+    * posexplode + groupBy (shuffles `rows x dim` skinny tuples — train
+    * on a SAMPLE at scale), normalize on the driver. Only `k x dim`
+    * doubles ever reach the driver per iteration. Deterministic init:
+    * the k lowest-id vectors, normalized.
+    *
+    * Scale shape: training is a fixed number of narrow scans + skinny
+    * shuffles over a bounded sample; serving (ivfTopK) never trains. */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val init = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .collect().map(r => normalize(r.getSeq[Double](0).toArray))
+    var centroids = init
+    for (_ <- 0 until iters) {
+      val assigned = df.select(
+        graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
+          .as("cluster"),
+        posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("pos", "x")))
+      val means = assigned.groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      } // empty clusters keep their previous centroid
+      centroids = next.map(normalize)
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest
+    * centroid (inverted lists); each query probes its `nprobe` nearest
+    * centroids and exact cosine re-ranks the candidates. The join
+    * shuffles by cluster id (cardinality k), so candidate work is
+    * `~ corpus * nprobe / k` instead of all-pairs; raise k to shrink
+    * lists, raise nprobe to raise recall. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol),
+      graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
+        .as("cluster"))
+    val q = queries.select(col(qidCol), col(qvecCol),
+        explode(graft.functions.Centroids.centroid_probes(
+          col(qvecCol), centroids, nprobe)).as("cluster"))
+    val cand = c.join(q, "cluster")
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col(qvecCol)).as("score"))
+      .where(col("score").isNotNull)
+    // a (query, neighbor) pair appears at most once: each corpus row
+    // lives in exactly ONE inverted list (unlike multi-table LSH)
+    topKPerKey(cand, "query_id", "neighbor_id", "score", k)
+  }
+
   /** Approximate top-k: candidates are corpus rows sharing an LSH bucket
     * with the query in ANY table; exact cosine re-ranks candidates.
     * The join shuffles by `(table, bucket)` — bucket cardinality is

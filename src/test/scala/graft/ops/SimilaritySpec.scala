@@ -55,6 +55,39 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     top.headOption shouldBe Some(1L)
   }
 
+  test("ivf top-k matches brute force on the real embeddings sample") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    cents.length shouldBe 8
+    all(cents.map(c => math.sqrt(c.map(x => x * x).sum))) shouldBe 1.0 +- 1e-9
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, cents, nprobe = 8) // all lists probed
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3))
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3))
+    ivf shouldBe brute // nprobe = k-lists => candidate set is complete
+  }
+
+  test("ivf with partial probing still finds each query's self-match") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val top1 = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 1, cents, nprobe = 2)
+      .where(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // a query IS a corpus row: its own cluster is always probed first
+    top1.foreach { case (q, n) => n shouldBe q }
+  }
+
   test("buffer serde round-trips") {
     val buf = new TopKBuffer(2)
     buf.offer(1L, 0.5); buf.offer(2L, 0.9); buf.offer(3L, 0.7)
