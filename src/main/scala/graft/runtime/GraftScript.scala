@@ -20,6 +20,7 @@ import graft.pipeline.Pipeline
   * Grammar (one step per line; blank lines and `#`/`--` comments
   * ignored):
   * {{{
+  *   let       <name> = <expr>
   *   filter    <boolean expr over key, value>
   *   mapValues <expr over value>
   *   map       <key expr> => <value expr>
@@ -28,6 +29,14 @@ import graft.pipeline.Pipeline
   * receives only the value, StreamProcessOperations.scala:64-67);
   * violations fail at parse time, mirroring the reference's eager script
   * validation (:77).
+  *
+  * `let` gives multi-statement scripts named intermediates (the
+  * analogue of locals in the reference's Lua step closures,
+  * examples/csv/example.lua:3-5). It is a MACRO: the bound expression
+  * is substituted into later steps at the AST level, so `value` inside
+  * a binding always means the value AS OF THE STEP USING IT — bind and
+  * use adjacently, as the Lua locals were. Catalyst's subexpression
+  * elimination de-duplicates repeated expansions at execution time.
   */
 object GraftScript {
 
@@ -39,16 +48,29 @@ object GraftScript {
       .map { case (l, i) => (l.trim, i + 1) }
       .filterNot { case (l, _) => l.isEmpty || l.startsWith("#") || l.startsWith("--") }
       .toVector
+    var bindings = Map.empty[String, Column]
+    def expand(c: Column): Column = substitute(c, bindings)
     steps.foldLeft(Pipeline()) { case (pipe, (line, ln)) =>
       val (op, rest) = line.span(!_.isWhitespace)
       val body = rest.trim
       if (body.isEmpty) throw ScriptError(ln, s"operator '$op' needs an expression")
       op match {
+        case "let" =>
+          val parts = body.split("=", 2)
+          if (parts.length != 2 || parts(0).trim.isEmpty)
+            throw ScriptError(ln, "let needs `<name> = <expr>`")
+          val name = parts(0).trim.toLowerCase
+          if (!name.forall(ch => ch.isLetterOrDigit || ch == '_') || !name.head.isLetter)
+            throw ScriptError(ln, s"invalid let name '$name'")
+          if (name == "key" || name == "value")
+            throw ScriptError(ln, "cannot rebind `key`/`value`")
+          bindings += name -> expand(parseExpr(parts(1).trim, ln))
+          pipe
         case "filter" =>
-          val e = parseExpr(body, ln)
+          val e = expand(parseExpr(body, ln))
           pipe.filter((_, _) => e)
         case "mapValues" =>
-          val e = parseExpr(body, ln)
+          val e = expand(parseExpr(body, ln))
           if (references(e).contains("key"))
             throw ScriptError(ln, "mapValues sees only `value`, not `key` " +
               "(use `map` to transform the key)")
@@ -57,12 +79,12 @@ object GraftScript {
           val parts = body.split("=>", 2)
           if (parts.length != 2)
             throw ScriptError(ln, "map needs `<key expr> => <value expr>`")
-          val ke = parseExpr(parts(0).trim, ln)
-          val ve = parseExpr(parts(1).trim, ln)
+          val ke = expand(parseExpr(parts(0).trim, ln))
+          val ve = expand(parseExpr(parts(1).trim, ln))
           pipe.map((_, _) => (ke, ve))
         case other =>
           throw ScriptError(ln,
-            s"unknown operator '$other' (expected filter|mapValues|map)")
+            s"unknown operator '$other' (expected let|filter|mapValues|map)")
       }
     }
   }
@@ -87,4 +109,22 @@ object GraftScript {
     GraftColumnBridge.expression(c).collect {
       case ua: UnresolvedAttribute => ua.nameParts.head.toLowerCase
     }.toSet
+
+  /** Replace references to `let`-bound names with their expressions;
+    * trailing name parts become field extractions (`parts.x` ->
+    * extract(`<binding>`, 'x')). */
+  private def substitute(c: Column, bindings: Map[String, Column]): Column = {
+    if (bindings.isEmpty) return c
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val out = GraftColumnBridge.expression(c).transformUp {
+      case ua: UnresolvedAttribute
+          if bindings.contains(ua.nameParts.head.toLowerCase) =>
+        val root = GraftColumnBridge.expression(
+          bindings(ua.nameParts.head.toLowerCase))
+        ua.nameParts.tail.foldLeft(root)((e, f) =>
+          UnresolvedExtractValue(e, Literal(f)))
+    }
+    GraftColumnBridge.column(out)
+  }
 }

@@ -227,6 +227,37 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     e4.getMessage should include("cannot parse")
   }
 
+  test("let bindings give scripts multi-statement steps (csv-style locals)") {
+    import spark.implicits._
+    // the reference's csv example keeps `columns` as a Lua local
+    // (examples/csv/example.lua:3-5); here `parts` is the let analogue
+    val script =
+      """let parts = split(value, ',')
+        |filter size(parts) = 3
+        |let n = TRY_CAST(parts[2] AS BIGINT)
+        |filter n IS NOT NULL
+        |map parts[0] => struct(parts[1] AS name, n * 2 AS doubled)
+        |""".stripMargin
+    val frame = Seq("a,alice,21", "bad-line", "b,bob,x", "c,carol,5")
+      .toDF("value").select(lit(null).cast("string").as("key"), col("value"))
+    val out = GraftScript.parse(script).compile(frame)
+      .select(col("key"), col("value.name"), col("value.doubled"))
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    out shouldBe Array(("a", "alice", 42L), ("c", "carol", 10L))
+  }
+
+  test("let misuse fails at parse time with line numbers") {
+    val e1 = intercept[GraftScript.ScriptError](
+      GraftScript.parse("let = split(value, ',')"))
+    e1.getMessage should include("let needs")
+    val e2 = intercept[GraftScript.ScriptError](
+      GraftScript.parse("let value = 1"))
+    e2.getMessage should include("cannot rebind")
+    val e3 = intercept[GraftScript.ScriptError](
+      GraftScript.parse("let p = split(key, ',')\nmapValues p[0]"))
+    e3.getMessage should include("mapValues sees only")
+  }
+
   test("graft functions register on an existing session and run from SQL") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
