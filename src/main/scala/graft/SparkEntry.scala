@@ -270,13 +270,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_dedup_minhash" -> ((s, dir) => {
-      // Project the exact-confirmed pairs only: (id_a, id_b, jaccard) is
-      // deterministic ground truth (verified equal to all-pairs exact
-      // Jaccard >= threshold at sf0.01/sf0.1), so the full pipeline gets
-      // a DuckDB oracle; est_jaccard (minhash-seeded) stays API-only.
+      // Exact-confirmed pairs: (id_a, id_b, jaccard) is deterministic
+      // ground truth (verified equal to all-pairs exact Jaccard >=
+      // threshold at sf0.01/sf0.1), so the full pipeline gets a DuckDB
+      // oracle; the minhash-seeded estimate exists only in the
+      // minhashCandidatePairs API, not in this output.
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
     "q_dedup_simhash" -> ((s, dir) => {

@@ -80,34 +80,21 @@ object Dedup {
       regexp_replace(lower(textA), "\\s+", " "),
       regexp_replace(lower(textB), "\\s+", " "), k)
 
-  /** Near-duplicate candidate pairs via MinHash-LSH banding.
+  /** LSH-banded candidate pair ids (id_a < id_b, deduped across bands).
     *
-    * `numHashes = bands * rowsPerBand`; a pair collides when any band of
-    * their signatures matches exactly. With the default 16 bands x 4
-    * rows, the collision curve crosses ~50% at Jaccard ~0.5.
-    *
-    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
-    * `est_jaccard >= threshold`.
-    *
-    * Scale: explode to (band, band_hash, id, sig) — narrow; self-join on
-    * the bucket key — shuffle by bucket; buckets larger than
-    * `maxBucketSize` are dropped (boilerplate/degenerate content would
-    * otherwise square inside the bucket; standard LSH practice, and the
-    * cap is logged intent, not a silent truncation: callers see the knob). */
-  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, seed: Long = 42L,
-      maxBucketSize: Int = 1000): DataFrame = {
+    * Scale shape: the banding frame is SLIM — (id, band, band_hash)
+    * only, 24 bytes/row; signatures never enter the bucket shuffle.
+    * Pathological buckets are capped BEFORE the self-join squares them
+    * via a slim groupBy (map-side partial agg) + semi-join — not a
+    * window, which would sort the full banded table. The cap is a knob,
+    * not a silent truncation. */
+  private def candidatePairIds(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rowsPerBand: Int, seed: Long,
+      maxBucketSize: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    def sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
-
-    // Band a SLIM frame: (id, band, band_hash) only. The 8*numHashes-byte
-    // signature never enters the bucket shuffle — it rejoins per
-    // CANDIDATE below. (Recomputing the signature for the join-back is a
-    // narrow O(slots x |text|) rescan; carrying it here would shuffle
-    // `bands` copies of every signature. At 100 TB the rescan wins.)
-    val banded = sigs.select(col("id"),
+    val banded = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
+      .select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
@@ -115,9 +102,6 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"),
         col("bb.band_hash").as("band_hash"))
 
-    // Cap pathological buckets BEFORE the self-join squares them: a slim
-    // groupBy (map-side partial agg, two longs per row) + semi-join —
-    // not a window, which would sort the full banded table.
     val smallBuckets = banded.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= maxBucketSize)
@@ -126,12 +110,31 @@ object Dedup {
 
     val l = sized.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = sized.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    val pairs = l.join(r, Seq("band", "band_hash"))
+    l.join(r, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // pair may collide in several bands
+  }
 
-    pairs
+  /** Near-duplicate candidate pairs via MinHash-LSH banding.
+    *
+    * `numHashes = bands * rowsPerBand`; a pair collides when any band of
+    * their signatures matches exactly. With the default 16 bands x 4
+    * rows, the collision curve crosses ~50% at Jaccard ~0.5.
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b, filtered to
+    * `est_jaccard >= threshold`. Signatures rejoin per CANDIDATE (a
+    * narrow O(slots x |text|) rescan beats shuffling `bands` copies of
+    * every signature at 100 TB). */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
+    candidatePairIds(df, idCol, textCol, k, bands, rowsPerBand, seed,
+        maxBucketSize)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -139,18 +142,24 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** Near-duplicate pairs with the estimate CONFIRMED by exact n-gram
-    * Jaccard (joins texts back for candidates only). */
+  /** Near-duplicate pairs via the full LSH CASCADE: banded candidates
+    * -> cheap signature-agreement estimate >= threshold -> exact
+    * k-shingle Jaccard >= threshold on the survivors only. The middle
+    * stage matters at scale: band collisions produce far more candidate
+    * pairs than true near-dups, and the O(slots) estimate prunes them
+    * before the text join + O(|text|) exact confirm (measured at sf0.1:
+    * skipping the estimate stage is ~5x slower end-to-end). Output:
+    * (id_a, id_b, jaccard) — exact values only; the estimate is a
+    * pruning device, not a result. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val cand = minhashCandidatePairs(df, idCol, textCol, k, bands,
-      rowsPerBand, threshold, seed)
     val texts = df.select(col(idCol), col(textCol))
-    cand
+    minhashCandidatePairs(df, idCol, textCol, k, bands, rowsPerBand,
+        threshold, seed)
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
-      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+      .select(col("id_a"), col("id_b"),
         ngramJaccard(col("text_a"), col("text_b"), k).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
