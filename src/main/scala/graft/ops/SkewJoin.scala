@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Skew-resilient equi-join via key salting.
+  *
+  * AQE's skew-join handling splits oversized partitions at runtime, but
+  * only for sort-merge joins and only per-shuffle-block granularity;
+  * when one key is hot enough (a boilerplate document hash, a null-ish
+  * default id) the canonical fix is salting: spread the hot key over
+  * `saltFactor` reducers by appending a salt to the join key on the
+  * large side and replicating the small side once per salt value.
+  *
+  * The salt is DETERMINISTIC (hash of the large-side row), so retries
+  * and speculative tasks see stable assignments — no rand(), which
+  * breaks on task re-execution.
+  *
+  * Cost model: small side shuffles `saltFactor` copies — use for a
+  * large-but-not-broadcastable right side and a hot-keyed left side.
+  * Supported join types: inner / left / left_semi / left_anti (right
+  * rows are replicated, so right/full outer would duplicate unmatched
+  * right rows).
+  */
+object SkewJoin {
+
+  private val SaltCol = "__graft_salt"
+
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed(joinType.toLowerCase),
+      s"saltedJoin supports $allowed, got $joinType (replicating the " +
+        "right side breaks right/full outer semantics)")
+    require(!left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
+      s"column $SaltCol already exists")
+
+    // Deterministic per-row salt on the (large, skewed) left side.
+    val rowHash: Column = xxhash64(left.columns.map(col).toIndexedSeq: _*)
+    val saltedLeft = left.withColumn(SaltCol,
+      pmod(rowHash, lit(saltFactor)).cast(IntegerType))
+    // Replicate the right side once per salt value.
+    val saltedRight = right.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+
+    saltedLeft.join(saltedRight,
+        saltedLeft(key) === saltedRight(key) &&
+          saltedLeft(SaltCol) === saltedRight(SaltCol),
+        joinType)
+      .drop(saltedRight(key))
+      .drop(saltedLeft(SaltCol)).drop(saltedRight(SaltCol))
+  }
+}
