@@ -72,6 +72,16 @@ class PlanSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("LSH bucketing is one PlaneSigns kernel, not per-plane literals") {
+    val p = plan("q_ann_lsh")
+    p should include("graft_plane_signs")
+    // the old phrasing embedded the plane matrix as typedlit literals
+    // and computed a cosine per plane — both must be gone (the only
+    // cosine left is the candidate re-rank on two column vectors)
+    p should not include "graft_cosine_sim(cast"
+    "graft_plane_signs".r.findAllIn(p).size should be <= 32 // 2 sides x 8 tables x <=2 plan copies
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based checks of the pure JVM kernels (no Spark session):
+  * invariants (bounds, symmetry, determinism) plus independent MODELS —
+  * the text-stats kernel against the Java-regex phrasing it replaced,
+  * and the rolling hash against a BigInt mod-2^64 model (the same model
+  * the DuckDB HUGEINT oracle implements). */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val charPool: Gen[String] = Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.oneOf(" ", "\t", "\n", ".", ",", "!", "?", ";", ":"),
+    2 -> Gen.oneOf("é", "ß", "中", "文", "Ж", "ا"),
+    1 -> Gen.oneOf("🙂", "🍕")) // proper surrogate pairs
+  private val texts: Gen[String] =
+    Gen.chooseNum(0, 200).flatMap(n => Gen.listOfN(n, charPool).map(_.mkString))
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  property("ngramJaccard: self=1, symmetric, bounded") =
+    forAll(texts, texts) { (a, b) =>
+      val self = VectorHashes.ngramJaccard(u(a), u(a), 5)
+      val j1 = VectorHashes.ngramJaccard(u(a), u(b), 5)
+      val j2 = VectorHashes.ngramJaccard(u(b), u(a), 5)
+      self == 1.0 && j1 == j2 && j1 >= 0.0 && j1 <= 1.0
+    }
+
+  property("minhash: deterministic, fixed length, self-agreement 1") =
+    forAll(texts) { s =>
+      val s1 = VectorHashes.minhashSig(u(s), 5, 64, 42L)
+      val s2 = VectorHashes.minhashSig(u(s), 5, 64, 42L)
+      s1.numElements() == 64 &&
+        VectorHashes.sigAgreement(s1, s2) == 1.0
+    }
+
+  property("minhash agreement: symmetric and bounded") =
+    forAll(texts, texts) { (a, b) =>
+      val sa = VectorHashes.minhashSig(u(a), 5, 64, 42L)
+      val sb = VectorHashes.minhashSig(u(b), 5, 64, 42L)
+      val g1 = VectorHashes.sigAgreement(sa, sb)
+      g1 == VectorHashes.sigAgreement(sb, sa) && g1 >= 0.0 && g1 <= 1.0
+    }
+
+  property("simhash: self-hamming 0; token order irrelevant") =
+    forAll(Gen.listOf(Gen.alphaNumStr)) { toks =>
+      def arr(ts: Seq[String]) =
+        new GenericArrayData(ts.map(t => u(t): Any).toArray)
+      val h1 = TextHashes.simhashOf(arr(toks))
+      val h2 = TextHashes.simhashOf(arr(scala.util.Random.shuffle(toks)))
+      h1 == h2 // bit votes are a sum over tokens: order-free
+    }
+
+  property("rollingHash matches the BigInt mod-2^64 model") =
+    forAll(texts) { s =>
+      val norm = s // model works on raw bytes, any string
+      val bytes = norm.getBytes("UTF-8")
+      val mod = BigInt(2).pow(64)
+      val model = bytes.foldLeft(BigInt(0))((h, b) =>
+        (h * 1000003 + (b & 0xff)) mod mod)
+      val signed =
+        if (model >= BigInt(2).pow(63)) (model - mod).toLong else model.toLong
+      TextHashes.rollingHashOf(u(norm)) == signed
+    }
+
+  property("planeSigns bit j == sign of dot(vec, plane_j)") = {
+    val vecGen = Gen.chooseNum(1, 32).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-5.0, 5.0)))
+    forAll(vecGen, Gen.chooseNum(1, 8), Gen.long) { (v, nPlanes, seed) =>
+      val rng = new scala.util.Random(seed)
+      val planes = Array.fill(nPlanes, v.length)(rng.nextDouble() * 2 - 1)
+      val arr = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(v.toArray)
+      val bits = VectorHashes.planeSigns(arr, planes, floatIn = false)
+      (0 until nPlanes).forall { j =>
+        val dot = v.toArray.zip(planes(j)).map { case (x, p) => x * p }
+          .foldLeft(0.0)(_ + _)
+        ((bits >> j) & 1L) == (if (dot > 0.0) 1L else 0L)
+      }
+    }
+  }
+
+  property("textStats matches the Java-regex model") = forAll(texts) { s =>
+    val lowered = s.toLowerCase
+    val row = TextStatsKernel.textStats(u(s), u(lowered))
+    val nChars = s.codePointCount(0, s.length).toLong
+    val nWs = s.split("\\s+").count(_.nonEmpty).toLong
+    val nSub = {
+      val m = java.util.regex.Pattern
+        .compile("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]").matcher(s)
+      var c = 0L; while (m.find()) c += 1; c
+    }
+    val toks = lowered.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val meanTok =
+      if (toks.nonEmpty)
+        toks.map(t => t.codePointCount(0, t.length).toLong).sum.toDouble / toks.length
+      else 0.0
+    val stopSet = Set("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "on", "for", "with", "as", "at", "by")
+    val stopRatio =
+      if (toks.nonEmpty) toks.count(stopSet).toDouble / toks.length else 0.0
+    row.getLong(0) == nChars && row.getLong(1) == nWs &&
+      row.getLong(2) == nSub && row.getDouble(3) == meanTok &&
+      row.getDouble(5) == stopRatio &&
+      row.getDouble(6) >= 0.0 && row.getDouble(6) <= 1.0
+  }
+}
