@@ -344,6 +344,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "q_quantize" -> ((s, dir) => {
+      // int8 scalar quantization digest: scale + code sum + max
+      // reconstruction error per vector (scalars, so the oracle can
+      // hash-compare; the codes array itself is covered by the spec).
+      val q = graft.functions.Quantization.quantize(col("embedding"))
+      t(s, dir, "embeddings").select(col("vec_id"),
+          q.getField("scale").as("scale"),
+          aggregate(transform(q.getField("codes"), c => c.cast(LongType)),
+            lit(0L), (acc, x) => acc + x).as("code_sum"),
+          array_max(zip_with(col("embedding").cast(ArrayType(DoubleType)),
+            q.getField("codes"),
+            (x, c) => abs(x - c.cast(DoubleType) * q.getField("scale"))))
+            .as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
     // ---- LLM-data-pipeline: multimodal plumbing ----
     "q_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(s, dir)
@@ -576,6 +591,19 @@ object SparkEntry {
          SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
                 round(s, 6) AS score
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    "q_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+              s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+              c AS (SELECT vec_id, scale, e,
+                           CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+                                ELSE list_transform(e, x -> CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS INTEGER))
+                           END AS codes
+                    FROM s)
+         SELECT vec_id, scale,
+                CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                list_max(list_transform(range(1, len(e)+1),
+                                        i -> abs(e[i] - codes[i] * scale))) AS max_abs_err
+         FROM c ORDER BY vec_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
                 CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
