@@ -290,6 +290,34 @@ object SparkEntry {
         .drop("lang_pred", "fingerprint")
         .orderBy("doc_id")
     }),
+    "q_vocab" -> ((s, dir) => {
+      TextAnalysis.topTokens(t(s, dir, "documents"), "text", n = 100)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+    "q_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+    "q_contamination" -> ((s, dir) => {
+      // Train/test-overlap check at NEAR-dup strength (real benchmark
+      // contamination is rarely byte-exact): every 20th doc is the
+      // pseudo benchmark set; report corpus docs whose exact 5-gram
+      // Jaccard vs an eval doc is >= 0.8. Exact-match contamination is
+      // Dedup.crossCorpusOverlap (broadcast hash join; this corpus has
+      // no byte-exact dups, so that query would verify only emptiness).
+      val evalSide = (c: Column) => pmod(c, lit(20)) === 0
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .where(evalSide(col("id_a")) =!= evalSide(col("id_b")))
+        .select(
+          when(evalSide(col("id_a")), col("id_b")).otherwise(col("id_a"))
+            .as("corpus_id"),
+          when(evalSide(col("id_a")), col("id_a")).otherwise(col("id_b"))
+            .as("eval_id"),
+          col("jaccard"))
+        .orderBy("corpus_id", "eval_id")
+    }),
     "q_lang_fingerprint" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"),
@@ -513,6 +541,37 @@ object SparkEntry {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(CAST(a.v AS UBIGINT), CAST(b.v AS UBIGINT))) <= 3
          ORDER BY id_a, id_b""",
+    "q_vocab" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+              g AS (SELECT doc_id,
+                           list_transform(range(1, greatest(length(t)-4,1)+1),
+                                          i -> substr(t, CAST(i AS INTEGER), 5)) AS grams
+                    FROM d)
+         SELECT doc_id, 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
+         FROM g ORDER BY doc_id""",
+    "q_contamination" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+              sh AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+                     FROM d),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+                    FROM sh a JOIN sh b
+                      ON a.doc_id < b.doc_id
+                     AND (a.doc_id % 20 = 0) <> (b.doc_id % 20 = 0)
+                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s)),
+              p AS (SELECT id_a, id_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+                    FROM c WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.8)
+         SELECT CASE WHEN id_a % 20 = 0 THEN id_b ELSE id_a END AS corpus_id,
+                CASE WHEN id_a % 20 = 0 THEN id_a ELSE id_b END AS eval_id,
+                jaccard
+         FROM p ORDER BY corpus_id, eval_id""",
     "q_lang_fingerprint" ->
       """WITH t AS (SELECT doc_id,
                            list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,

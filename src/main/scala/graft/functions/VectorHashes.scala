@@ -54,6 +54,12 @@ object VectorHashes {
     GraftColumnBridge.column(SigAgreement(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** k-byte-window repetition ratio of a string (one pass, codegen'd):
+    * `1 - distinct_windows / total_windows`. */
+  def repetition_ratio(c: Column, k: Int): Column =
+    GraftColumnBridge.column(RepetitionRatio(
+      GraftColumnBridge.expression(c), k))
+
   /** Random-hyperplane LSH bucket of a vector: bit j of the result is
     * set iff `vec . planes(j) > 0`. All planes in ONE codegen'd pass; the
     * plane matrix rides along as a codegen reference object, NOT as plan
@@ -104,6 +110,18 @@ object VectorHashes {
     }
     if (n == 0) java.util.Arrays.fill(mins, 0L) // empty text: defined, stable
     UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Fraction of repeated k-byte windows: `1 - distinct/total` (0.0 for
+    * texts shorter than k — a single window is trivially distinct).
+    * High values flag boilerplate/looping generations (Gopher-style
+    * repetition quality rule). */
+  def repetitionRatio(s: UTF8String, k: Int): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val windows = if (n <= k) 1 else n - k + 1
+    val distinct = windowHashes(s, k).length
+    1.0 - distinct.toDouble / windows.toDouble
   }
 
   /** Distinct sorted FNV-1a hashes of the k-byte windows of `s`. */
@@ -248,6 +266,25 @@ case class NgramJaccard(left: Expression, right: Expression, k: Int)
       newLeft: Expression, newRight: Expression): NgramJaccard =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_ngram_jaccard"
+}
+
+/** string -> double k-window repetition ratio (codegen'd). */
+case class RepetitionRatio(child: Expression, k: Int)
+  extends UnaryExpression {
+  require(k > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorHashes.repetitionRatio(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorHashes.repetitionRatio($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionRatio =
+    copy(child = newChild)
+  override def prettyName: String = "graft_repetition_ratio"
 }
 
 /** array<float|double> -> long LSH bucket bits (one codegen'd pass over

@@ -51,6 +51,22 @@ object Dedup {
     df.join(keepers, idCol) // broadcast-able when the deduped side is small
   }
 
+  /** Benchmark-contamination check: pairs of (corpus doc, eval doc)
+    * with IDENTICAL content. The eval/benchmark side is small by nature
+    * -> broadcast it; the corpus is scanned once, no shuffle. Join key
+    * is the md5 of the text (hash compare before text compare), then an
+    * exact text equality guard against md5 collisions. */
+  def crossCorpusOverlap(corpus: DataFrame, corpusId: String,
+      eval: DataFrame, evalId: String, textCol: String): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+      md5(col(textCol)).as("h"), col(textCol).as("corpus_text"))
+    val e = eval.select(col(evalId).as("eval_id"),
+      md5(col(textCol)).as("h"), col(textCol).as("eval_text"))
+    c.join(broadcast(e), Seq("h"))
+      .where(col("corpus_text") === col("eval_text"))
+      .select(col("corpus_id"), col("eval_id"))
+  }
+
   // ----------------------------------------------------------- MinHash
 
   /** MinHash signature as an array<long> of length `numHashes`, via the

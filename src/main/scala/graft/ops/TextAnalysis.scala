@@ -105,6 +105,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     TextHashes.rolling_hash64(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Fraction of repeated k-character windows in the normalized text
+    * (Gopher-style repetition quality rule: high ratio = boilerplate /
+    * looping generations). Single-pass codegen'd kernel. */
+  def repetitionRatio(text: Column, k: Int = 5): Column =
+    graft.functions.VectorHashes.repetition_ratio(
+      regexp_replace(lower(text), "\\s+", " "), k)
+
+  /** Corpus vocabulary: the `n` most frequent word tokens with counts,
+    * ties broken by token ascending. Scale shape: explode -> one
+    * hash-shuffle with map-side partial counts -> bounded
+    * TakeOrderedAndProject; the exploded rows are (token) singletons,
+    * never the document text. */
+  def topTokens(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(n)
+
   /** One-call per-document feature frame: id + the standard features.
     * Uses the fused single-pass [[graft.functions.TextStatsKernel]]
     * (values bit-identical to the individual Column functions above,

@@ -45,6 +45,14 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
   }
 
+  test("crossCorpusOverlap finds identical content across corpora only") {
+    val corpus = Seq((1L, "shared text"), (2L, "unique a")).toDF("id", "text")
+    val eval = Seq((100L, "shared text"), (101L, "unique b")).toDF("id", "text")
+    val hits = Dedup.crossCorpusOverlap(corpus, "id", eval, "id", "text")
+      .as[(Long, Long)].collect()
+    hits shouldBe Array((1L, 100L))
+  }
+
   test("exact ngram jaccard: identical texts = 1.0") {
     val j = docs.where($"id" === 1).select(
       Dedup.ngramJaccard($"text", $"text").as("j")).as[Double].head()

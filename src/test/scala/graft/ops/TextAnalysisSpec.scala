@@ -72,6 +72,23 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     }
   }
 
+  test("topTokens ranks by frequency with token tie-break") {
+    val df = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("id", "text")
+    val top = TextAnalysis.topTokens(df, "text", 3)
+      .as[(String, Long)].collect()
+    top shouldBe Array(("a", 3L), ("b", 3L), ("c", 1L)) // a before b on tie
+  }
+
+  test("repetitionRatio: 0 for all-distinct, high for looping text") {
+    val r = Seq("abcdefghij", "ababababababababab", "")
+      .toDF("text")
+      .select(TextAnalysis.repetitionRatio($"text").as("r"))
+      .as[Double].collect()
+    r(0) shouldBe 0.0
+    r(1) should be > 0.8 // 2-periodic string: only 2 distinct 5-grams
+    r(2) shouldBe 0.0
+  }
+
   test("documentFeatures produces the full feature row") {
     val df = Seq((7L, "The quick brown fox.")).toDF("doc_id", "text")
     val r = TextAnalysis.documentFeatures(df, "doc_id", "text").head()
