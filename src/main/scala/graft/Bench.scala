@@ -28,9 +28,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // Clock starts BEFORE query construction: for most queries that is
+      // pure plan building (~ms), but e.g. q_ann_ivf runs its k-means
+      // training jobs during construction and those belong in the bill.
       val t0 = System.nanoTime()
-      try df.write.format("noop").mode("overwrite").save()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0

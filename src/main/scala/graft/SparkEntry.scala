@@ -680,10 +680,12 @@ object SparkEntry {
          ORDER BY media_id, pos"""
   )
 
-  /** Headline queries Bench runs at sf0.1 (subset: the heavy relational
-    * + LLM ops; Bench forces full evaluation via the noop sink). */
+  /** Headline queries Bench runs at sf0.1 (the heavy relational + LLM +
+    * streaming-surface ops; Bench forces full evaluation via the noop
+    * sink and reports a cold and a warm pass per query). */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_ann_brute",
-    "q_multimodal_meta")
+    "q_multimodal_meta", "q_stream_window", "q_stream_session",
+    "q_vocab", "q_repetition", "q_ann_ivf", "q_quantize")
 }
