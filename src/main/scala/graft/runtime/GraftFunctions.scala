@@ -41,7 +41,13 @@ object GraftFunctions {
     ("graft_ngram_jaccard", classOf[NgramJaccard],
       two(NgramJaccard(_, _, 5))),
     ("graft_minhash_sig", classOf[MinHashSig],
-      one(MinHashSig(_, 5, 64, 42L)))
+      one(MinHashSig(_, 5, 64, 42L))),
+    ("graft_sig_agreement", classOf[SigAgreement], two(SigAgreement(_, _))),
+    ("graft_text_stats", classOf[TextStats], two(TextStats(_, _))),
+    ("graft_repetition_ratio", classOf[RepetitionRatio],
+      one(RepetitionRatio(_, 5))),
+    ("graft_quantize_vec", classOf[QuantizeVec], one(QuantizeVec)),
+    ("graft_dequantize_vec", classOf[DequantizeVec], two(DequantizeVec(_, _)))
   )
 
   def register(ext: SparkSessionExtensions): Unit =

@@ -268,5 +268,15 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     r.getLong(0) should not be 0L
     r.getDouble(1) shouldBe 1.0 +- 1e-12
     r.getDouble(2) shouldBe 1.0
+    val r2 = spark.sql(
+      """SELECT graft_text_stats('The cat.', lower('The cat.')).n_tokens_ws AS n,
+                graft_repetition_ratio('ababababab') AS rep,
+                graft_quantize_vec(array(1.0d, -1.0d)).scale AS s,
+                graft_sig_agreement(graft_minhash_sig('abc'), graft_minhash_sig('abc')) AS agree""")
+      .head()
+    r2.getLong(0) shouldBe 2L
+    r2.getDouble(1) should be > 0.5
+    r2.getDouble(2) shouldBe (1.0 / 127.0) +- 1e-15
+    r2.getDouble(3) shouldBe 1.0
   }
 }
