@@ -394,6 +394,20 @@ object SparkEntry {
           col("payload"))
         .orderBy("media_id")
     }),
+    "q_multimodal_ann" -> ((s, dir) => {
+      // media payload -> feature vector -> exact top-k: the full
+      // multimodal-to-similarity pipeline on one plan.
+      val media = Multimodal.fakeMediaFrame(s, dir)
+        .select(col("media_id"),
+          Multimodal.featureVector(col("payload")).as("feat"))
+      val queries = media.where(col("media_id") < 5)
+        .select(col("media_id").as("qid"), col("feat").as("qvec"))
+      Similarity.bruteForceTopK(media, "media_id", "feat",
+          queries, "qid", "qvec", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
     "q_frame_offsets" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(s, dir)
       media.select(col("media_id"),
@@ -672,6 +686,32 @@ object SparkEntry {
                 CAST(360 + octet_length(encode(text)) % 720 AS INTEGER) AS height,
                 CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
          FROM documents ORDER BY media_id""",
+    "q_multimodal_ann" ->
+      """WITH codes AS (SELECT doc_id AS media_id,
+                               list_transform(range(1, length(text)+1),
+                                              i -> unicode(substr(text, CAST(i AS INTEGER), 1)) % 64) AS cs
+                        FROM documents),
+              h AS (SELECT media_id,
+                           list_transform(range(0, 64), b -> len(list_filter(cs, c -> c = b))) AS counts
+                    FROM codes),
+              f AS (SELECT media_id,
+                           CASE WHEN list_sum(list_transform(counts, c -> c*c)) > 0
+                                THEN list_transform(counts, c -> CAST(c AS DOUBLE)
+                                       / sqrt(CAST(list_sum(list_transform(counts, c2 -> c2*c2)) AS DOUBLE)))
+                                ELSE list_transform(counts, c -> 0.0) END AS feat
+                    FROM h),
+              q AS (SELECT media_id AS qid, feat AS qvec FROM f WHERE media_id < 5),
+              scored AS (SELECT q.qid, f.media_id AS nid,
+                                list_sum(list_transform(range(1, 65), i -> f.feat[i] * q.qvec[i]))
+                                / (sqrt(list_sum(list_transform(range(1, 65), i -> f.feat[i] * f.feat[i])))
+                                 * sqrt(list_sum(list_transform(range(1, 65), i -> q.qvec[i] * q.qvec[i])))) AS s
+                         FROM f, q),
+              ranked AS (SELECT qid, nid, s,
+                                row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+                         FROM scored WHERE s IS NOT NULL)
+         SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+                round(s, 6) AS score
+         FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
     "q_frame_offsets" ->
       """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS pos,
                 CAST((i * octet_length(encode(text))) // 5 AS BIGINT) AS off

@@ -60,6 +60,14 @@ object VectorHashes {
     GraftColumnBridge.column(RepetitionRatio(
       GraftColumnBridge.expression(c), k))
 
+  /** binary -> array<double>: L2-normalized `bins`-bin byte-value
+    * histogram (bin = byte mod bins). A deterministic content feature
+    * for opaque media payloads — the stand-in where a real pipeline
+    * plugs a learned encoder; downstream ANN plumbing is identical. */
+  def byte_histogram(c: Column, bins: Int): Column =
+    GraftColumnBridge.column(ByteHistogram(
+      GraftColumnBridge.expression(c), bins))
+
   /** Random-hyperplane LSH bucket of a vector: bit j of the result is
     * set iff `vec . planes(j) > 0`. All planes in ONE codegen'd pass; the
     * plane matrix rides along as a codegen reference object, NOT as plan
@@ -182,6 +190,25 @@ object VectorHashes {
     agree.toDouble / n
   }
 
+  /** L2-normalized byte-histogram; integer counts and an exact
+    * double-accumulated sum of squares (every addend < 2^53, so the sum
+    * equals the exact integer sum — reproducible in any engine). */
+  def byteHistogram(bytes: Array[Byte], bins: Int): ArrayData = {
+    val counts = new Array[Int](bins)
+    var i = 0
+    while (i < bytes.length) { counts((bytes(i) & 0xff) % bins) += 1; i += 1 }
+    var ss = 0.0
+    var j = 0
+    while (j < bins) { ss += counts(j).toDouble * counts(j).toDouble; j += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](bins)
+    if (norm > 0.0) {
+      j = 0
+      while (j < bins) { out(j) = counts(j) / norm; j += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sign bits of `v . planes(j)` for all planes, one pass over the
     * vector per plane, double accumulation (same products/order as the
     * cast-to-double cosine phrasing, so signs are bit-identical to it). */
@@ -266,6 +293,25 @@ case class NgramJaccard(left: Expression, right: Expression, k: Int)
       newLeft: Expression, newRight: Expression): NgramJaccard =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_ngram_jaccard"
+}
+
+/** binary -> array<double> normalized byte histogram (codegen'd). */
+case class ByteHistogram(child: Expression, bins: Int)
+  extends UnaryExpression {
+  require(bins > 0 && bins <= 256)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorHashes.byteHistogram(v.asInstanceOf[Array[Byte]], bins)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorHashes.byteHistogram($c, $bins)")
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+  override def prettyName: String = "graft_byte_histogram"
 }
 
 /** string -> double k-window repetition ratio (codegen'd). */

@@ -86,6 +86,15 @@ object Multimodal {
       }
   }
 
+  /** Content feature vector for an opaque media payload: L2-normalized
+    * byte-value histogram (codegen'd single pass). This is the honest
+    * deterministic stand-in where a real pipeline plugs a learned
+    * encoder (CLIP/wav2vec); everything DOWNSTREAM — the array<double>
+    * column, Similarity.bruteForceTopK/lshTopK/ivfTopK, Dedup
+    * embedding near-dup — is the identical production plumbing. */
+  def featureVector(binCol: Column, bins: Int = 64): Column =
+    graft.functions.VectorHashes.byte_histogram(binCol, bins)
+
   /** Frame-sample plan: byte offsets of `n` evenly spaced samples — the
     * "which frames would we decode" step, pure expressions. */
   def frameOffsets(binCol: Column, n: Int): Column = {

@@ -39,6 +39,30 @@ class MultimodalSpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     r(3L) shouldBe Seq(0L, 0L, 1L, 1L, 2L) // 3 bytes, 5 samples
   }
 
+  test("featureVector: unit norm, empty payload -> zero vector") {
+    val r = media.select($"media_id",
+        Multimodal.featureVector($"payload").as("f"))
+      .select($"media_id",
+        sqrt(aggregate($"f", lit(0.0), (a, x) => a + x * x)).as("norm"),
+        org.apache.spark.sql.functions.size($"f").as("dim"))
+      .as[(Long, Double, Int)].collect()
+      .map { case (id, n, d) => id -> ((n, d)) }.toMap
+    r(1L)._1 shouldBe 1.0 +- 1e-12
+    r(1L)._2 shouldBe 64
+    r(2L)._1 shouldBe 0.0 // empty payload
+  }
+
+  test("media feature ANN: each media's nearest neighbor is itself") {
+    val m = Multimodal.fakeMediaFrame(spark, sf())
+      .select($"media_id", Multimodal.featureVector($"payload").as("feat"))
+    val q = m.where($"media_id" < 3)
+      .select($"media_id".as("qid"), $"feat".as("qvec"))
+    val top1 = Similarity.bruteForceTopK(m, "media_id", "feat",
+        q, "qid", "qvec", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    top1.foreach { case (qid, nid) => nid shouldBe qid }
+  }
+
   test("fake media frame from documents has binary payload + cycling types") {
     val df = Multimodal.fakeMediaFrame(spark, "/root/testdata/sf0.001")
     df.schema("payload").dataType shouldBe BinaryType
