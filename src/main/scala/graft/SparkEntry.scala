@@ -318,6 +318,16 @@ object SparkEntry {
           col("jaccard"))
         .orderBy("corpus_id", "eval_id")
     }),
+    "q_curate" -> ((s, dir) => {
+      Dedup.curateCorpus(t(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.5, jaccardThreshold = 0.5)
+        .orderBy("doc_id")
+    }),
+    "q_split" -> ((s, dir) => {
+      TextAnalysis.withSplit(t(s, dir, "documents"), "text")
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
     "q_lang_fingerprint" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"),
@@ -586,6 +596,64 @@ object SparkEntry {
                 CASE WHEN id_a % 20 = 0 THEN id_a ELSE id_b END AS eval_id,
                 jaccard
          FROM p ORDER BY corpus_id, eval_id""",
+    "q_curate" ->
+      """WITH keep0 AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+              d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM keep0),
+              sh AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+                     FROM d),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+                        FROM sh a JOIN sh b
+                          ON a.doc_id < b.doc_id
+                         AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s)),
+              losers AS (SELECT DISTINCT id_b FROM pairs WHERE 2*i >= la + lb - i),
+              kept AS (SELECT doc_id, text FROM keep0
+                       WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+              f AS (SELECT doc_id, text,
+                           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+                    FROM kept),
+              scored AS (SELECT doc_id,
+                                CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+                                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                                     WHEN s_fr >= s_zh THEN 'fr'
+                                     ELSE 'zh' END AS lang_pred,
+                                (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                                 + (1.0 - least((CASE WHEN length(text) > 0
+                                                      THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                                                      ELSE 0.0 END) * 5.0, 1.0))
+                                 + least((CASE WHEN len(toks) > 0
+                                               THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
+                                               ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality
+                         FROM (SELECT doc_id, text, toks,
+                                      len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+                                      len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
+                                      len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
+                                      len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
+                                      len(list_filter(toks, x -> list_contains(['的','了','是','在','我','有','他','这'], x))) AS s_zh
+                               FROM f))
+         SELECT doc_id, lang_pred, quality FROM scored
+         WHERE quality >= 0.5 AND lang_pred <> 'und'
+         ORDER BY doc_id""",
+    "q_split" ->
+      """WITH d AS (SELECT regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+              h AS (SELECT list_reduce(
+                             [CAST(0 AS HUGEINT)] || list_transform(range(1, length(norm)+1),
+                                                                    i -> CAST(unicode(substr(norm, CAST(i AS INTEGER), 1)) AS HUGEINT)),
+                             (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)) AS v
+                    FROM d),
+              sgn AS (SELECT CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+                                  THEN v - CAST('18446744073709551616' AS HUGEINT) ELSE v END AS sv
+                      FROM h),
+              b AS (SELECT CAST(((sv % 100) + 100) % 100 AS INTEGER) AS bucket FROM sgn),
+              s AS (SELECT CASE WHEN bucket < 5 THEN 'val'
+                                WHEN bucket < 10 THEN 'test'
+                                ELSE 'train' END AS split FROM b)
+         SELECT split, count(*) AS n FROM s GROUP BY split ORDER BY split""",
     "q_lang_fingerprint" ->
       """WITH t AS (SELECT doc_id,
                            list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,

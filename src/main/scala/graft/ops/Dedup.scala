@@ -223,6 +223,27 @@ object Dedup {
       .where(col("hamming") <= maxDistance)
   }
 
+  /** The end-to-end curation pipeline a training-data user actually
+    * runs, composed from the verified pieces: exact dedup (min-id
+    * keeper) -> near-dup drop (the HIGHER id of every confirmed pair
+    * loses — deterministic) -> quality-score gate -> language gate.
+    * Returns the kept docs as (id, lang_pred, quality).
+    *
+    * Scale shape = the sum of its parts: one content-hash shuffle, the
+    * capped LSH cascade, then narrow per-row scoring on survivors. */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.5, jaccardThreshold: Double = 0.5): DataFrame = {
+    val deduped = exactDedup(df, idCol, textCol)
+    val losers = nearDupPairs(deduped, idCol, textCol,
+        threshold = jaccardThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    deduped.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        TextAnalysis.langId(col(textCol)).as("lang_pred"),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"))
+      .where(col("quality") >= minQuality && col("lang_pred") =!= "und")
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from

@@ -112,6 +112,25 @@ object TextAnalysis {
     graft.functions.VectorHashes.repetition_ratio(
       regexp_replace(lower(text), "\\s+", " "), k)
 
+  /** Deterministic content-based dataset split: bucket in [0, buckets)
+    * from the rolling-hash fingerprint of the normalized text. Content
+    * hashing (not id hashing) keeps a document's split stable under id
+    * renumbering and catches exact dups landing in different splits.
+    * `pmod` keeps the bucket non-negative for negative hash values. */
+  def splitBucket(text: Column, buckets: Int = 100): Column =
+    pmod(fingerprint(text), lit(buckets.toLong)).cast(IntegerType)
+
+  /** Label a frame with train/val/test from content-hash buckets:
+    * [0, valPct) -> val, [valPct, valPct+testPct) -> test, rest train. */
+  def withSplit(df: DataFrame, textCol: String, valPct: Int = 5,
+      testPct: Int = 5): DataFrame = {
+    val b = splitBucket(col(textCol))
+    df.withColumn("split",
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
   /** Corpus vocabulary: the `n` most frequent word tokens with counts,
     * ties broken by token ascending. Scale shape: explode -> one
     * hash-shuffle with map-side partial counts -> bounded

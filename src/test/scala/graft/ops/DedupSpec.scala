@@ -45,6 +45,20 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
   }
 
+  test("curateCorpus drops exact dups, near-dups, und-language docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+      (3L, "the quick brown fox jumped over the lazy dog"), // near dup of 1
+      (4L, "it is a different document and that is fine"),  // en survivor
+      (5L, "xyzzy plugh qwerty")                            // no markers: und
+    ).toDF("id", "text")
+    val kept = Dedup.curateCorpus(corpus, "id", "text",
+        minQuality = 0.0, jaccardThreshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 4L)
+  }
+
   test("crossCorpusOverlap finds identical content across corpora only") {
     val corpus = Seq((1L, "shared text"), (2L, "unique a")).toDF("id", "text")
     val eval = Seq((100L, "shared text"), (101L, "unique b")).toDF("id", "text")

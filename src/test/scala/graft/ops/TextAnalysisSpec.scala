@@ -89,6 +89,17 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     r(2) shouldBe 0.0
   }
 
+  test("withSplit: content-determined, id-independent, valid labels") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (999L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different document about cats"))
+      .toDF("id", "text")
+    val s = TextAnalysis.withSplit(df, "text")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    s(1L) shouldBe s(999L) // same content -> same split, whatever the id
+    Set("train", "val", "test") should contain(s(2L))
+  }
+
   test("documentFeatures produces the full feature row") {
     val df = Seq((7L, "The quick brown fox.")).toDF("doc_id", "text")
     val r = TextAnalysis.documentFeatures(df, "doc_id", "text").head()
