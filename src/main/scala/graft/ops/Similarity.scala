@@ -129,7 +129,16 @@ object Similarity {
     * Scale shape: training is a fixed number of narrow scans + skinny
     * shuffles over a bounded sample; serving (ivfTopK) never trains. */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 5): Array[Array[Double]] = {
+      k: Int, iters: Int = 5, sampleFraction: Double = 1.0,
+      seed: Long = 42L): Array[Array[Double]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0)
+    // At corpus scale, train the quantizer on a seeded sample — k-means
+    // centroid quality saturates far below full-corpus size, and the
+    // per-dimension-mean shuffle is `sampleRows x dim` skinny tuples.
+    val train =
+      if (sampleFraction < 1.0) df.sample(withReplacement = false,
+        sampleFraction, seed)
+      else df
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n > 0) v.map(_ / n) else v
@@ -139,7 +148,7 @@ object Similarity {
       .collect().map(r => normalize(r.getSeq[Double](0).toArray))
     var centroids = init
     for (_ <- 0 until iters) {
-      val assigned = df.select(
+      val assigned = train.select(
         graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
           .as("cluster"),
         posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("pos", "x")))

@@ -74,6 +74,14 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     ivf shouldBe brute // nprobe = k-lists => candidate set is complete
   }
 
+  test("ivf training on a sample still yields k unit-norm centroids") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2, sampleFraction = 0.5)
+    cents.length shouldBe 4
+    all(cents.map(c => math.sqrt(c.map(x => x * x).sum))) shouldBe 1.0 +- 1e-9
+  }
+
   test("ivf with partial probing still finds each query's self-match") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)
