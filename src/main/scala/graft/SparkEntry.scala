@@ -236,6 +236,22 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
         .distinct().orderBy("c_mktsegment", "c_nationkey")
     }),
+    "q_asof" -> ((s, dir) => {
+      // As-of join (Spark has no native ASOF; DuckDB does -> oracle):
+      // each purchase aligned to the user's latest click at-or-before
+      // it. Right side pre-aggregated to unique (user, ts) instants.
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      ops.AsOfJoin.asOf(purchases, clicks, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("click_id"), col("right_ts").as("click_ts_us"))
+        .orderBy("event_id")
+    }),
     // ---- streaming surface, batch-parity checked (withWatermark is a
     //      no-op in batch; StreamOpsSpec covers incremental execution) ----
     "q_stream_window" -> ((s, dir) => {
@@ -514,6 +530,14 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
+    "q_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.cts AS click_ts_us
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.cts
+         ORDER BY p.event_id""",
     "q_stream_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS win_start_ms,
                 epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR) AS win_end_ms,

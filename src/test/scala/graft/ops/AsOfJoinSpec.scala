@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpecBase
+
+class AsOfJoinSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+
+  // quotes: (key, ts, price); trades: (key, ts, qty)
+  private def quotes = Seq(
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+    ("b", 15L, 9.0)
+  ).toDF("k", "ts", "price")
+
+  private def trades = Seq(
+    ("a", 5L, 100L),  // before any quote -> null
+    ("a", 20L, 200L), // exactly at a quote -> that quote (2.0)
+    ("a", 25L, 300L), // between -> latest earlier (2.0)
+    ("a", 99L, 400L), // after all -> latest (3.0)
+    ("b", 14L, 500L), // before b's only quote -> null
+    ("c", 50L, 600L)  // key with no quotes at all -> null
+  ).toDF("k", "ts", "qty")
+
+  test("asOf picks the greatest right ts <= left ts per key") {
+    val joined = AsOfJoin.asOf(trades, quotes, "k", "ts")
+      .select("k", "ts", "qty", "price", "right_ts")
+      .as[(String, Long, Long, Option[Double], Option[Long])]
+      .collect().sortBy(r => (r._1, r._2))
+    joined shouldBe Array(
+      ("a", 5L, 100L, None, None),
+      ("a", 20L, 200L, Some(2.0), Some(20L)),
+      ("a", 25L, 300L, Some(2.0), Some(20L)),
+      ("a", 99L, 400L, Some(3.0), Some(30L)),
+      ("b", 14L, 500L, None, None),
+      ("c", 50L, 600L, None, None))
+  }
+
+  test("tolerance voids matches older than the lookback window") {
+    val joined = AsOfJoin.asOf(trades, quotes, "k", "ts", tolerance = Some(10L))
+      .select("k", "ts", "price").as[(String, Long, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    // trade at 99 matched quote at 30 -> 69 > 10 stale -> voided
+    joined.find(r => r._1 == "a" && r._2 == 99L).get._3 shouldBe None
+    // trade at 25 matched quote at 20 -> age 5 <= 10 -> kept
+    joined.find(r => r._1 == "a" && r._2 == 25L).get._3 shouldBe Some(2.0)
+  }
+
+  test("plan: one shuffle-sort, no per-key quadratics (no cartesian/BNLJ)") {
+    val p = AsOfJoin.asOf(trades, quotes, "k", "ts")
+      .queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("Window")
+  }
+}
