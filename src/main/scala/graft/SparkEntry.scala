@@ -252,6 +252,22 @@ object SparkEntry {
           col("click_id"), col("right_ts").as("click_ts_us"))
         .orderBy("event_id")
     }),
+    "q_range" -> ((s, dir) => {
+      // Interval join: clicks within the hour BEFORE each purchase
+      // (binned implementation — hot users spread over time buckets).
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      ops.RangeJoin.intervalJoin(purchases, clicks, "user_id", "ts",
+          lower = -3600000000L, upper = 0L)
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("right_click_id").as("click_id"),
+          col("right_ts").as("click_ts_us"))
+        .orderBy("event_id", "click_id")
+    }),
     // ---- streaming surface, batch-parity checked (withWatermark is a
     //      no-op in batch; StreamOpsSpec covers incremental execution) ----
     "q_stream_window" -> ((s, dir) => {
@@ -530,6 +546,15 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
+    "q_range" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS click_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+                    FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.cts AS click_ts_us
+         FROM p JOIN c ON p.user_id = c.user_id
+                      AND c.cts >= p.ts_us - 3600000000 AND c.cts <= p.ts_us
+         ORDER BY p.event_id, c.click_id""",
     "q_asof" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
                     FROM events WHERE event_type = 'purchase'),

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpecBase
+
+class RangeJoinSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+
+  private def left = Seq(
+    ("a", 100L, 1L), ("a", 200L, 2L), ("b", 100L, 3L)
+  ).toDF("k", "ts", "lid")
+
+  private def right = Seq(
+    ("a", 80L, 10L),  // within [100-30, 100] of lid 1
+    ("a", 100L, 11L), // boundary: equal ts
+    ("a", 171L, 12L), // within lookback of lid 2 (>= 170)
+    ("a", 240L, 13L), // after everything
+    ("b", 95L, 14L),  // within for lid 3
+    ("c", 100L, 15L)  // wrong key
+  ).toDF("k", "ts", "rid")
+
+  test("intervalJoin matches exactly the naive range predicate, once each") {
+    val binned = RangeJoin.intervalJoin(left, right, "k", "ts",
+        lower = -30L, upper = 0L)
+      .select("lid", "right_rid").as[(Long, Long)].collect().sorted
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.ts" >= $"l.ts" - 30 && $"r.ts" <= $"l.ts")
+      .select($"l.lid", $"r.rid").as[(Long, Long)].collect().sorted
+    binned shouldBe naive
+    binned shouldBe Array((1L, 10L), (1L, 11L), (2L, 12L), (3L, 14L))
+  }
+
+  test("works with positive (lookahead) windows and long spans") {
+    val binned = RangeJoin.intervalJoin(left, right, "k", "ts",
+        lower = 0L, upper = 1000L)
+      .select("lid", "right_rid").as[(Long, Long)].collect().sorted
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.ts" >= $"l.ts" && $"r.ts" <= $"l.ts" + 1000)
+      .select($"l.lid", $"r.rid").as[(Long, Long)].collect().sorted
+    binned shouldBe naive
+  }
+}
