@@ -844,5 +844,6 @@ object SparkEntry {
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_ann_brute",
     "q_multimodal_meta", "q_stream_window", "q_stream_session",
-    "q_vocab", "q_repetition", "q_ann_ivf", "q_quantize")
+    "q_vocab", "q_repetition", "q_ann_ivf", "q_quantize",
+    "q_asof", "q_range")
 }
