@@ -249,7 +249,8 @@ object SparkEntry {
         .agg(max(col("event_id")).as("click_id"))
       ops.AsOfJoin.asOf(purchases, clicks, "user_id", "ts")
         .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
-          col("click_id"), col("right_ts").as("click_ts_us"))
+          col("right_click_id").as("click_id"),
+          col("right_ts").as("click_ts_us"))
         .orderBy("event_id")
     }),
     "q_range" -> ((s, dir) => {
@@ -438,10 +439,14 @@ object SparkEntry {
     }),
     "q_multimodal_ann" -> ((s, dir) => {
       // media payload -> feature vector -> exact top-k: the full
-      // multimodal-to-similarity pipeline on one plan.
-      val media = Multimodal.fakeMediaFrame(s, dir)
-        .select(col("media_id"),
-          Multimodal.featureVector(col("payload")).as("feat"))
+      // multimodal-to-similarity pipeline on one plan. Restricted to
+      // ASCII payloads so the kernel's BYTE histogram stays
+      // reproducible by the oracle's character-code SQL (for non-ASCII
+      // media there is no SQL equivalent of raw byte access).
+      val media = t(s, dir, "documents")
+        .where(octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id").as("media_id"),
+          Multimodal.featureVector(col("text").cast(BinaryType)).as("feat"))
       val queries = media.where(col("media_id") < 5)
         .select(col("media_id").as("qid"), col("feat").as("qvec"))
       Similarity.bruteForceTopK(media, "media_id", "feat",
@@ -807,7 +812,8 @@ object SparkEntry {
       """WITH codes AS (SELECT doc_id AS media_id,
                                list_transform(range(1, length(text)+1),
                                               i -> unicode(substr(text, CAST(i AS INTEGER), 1)) % 64) AS cs
-                        FROM documents),
+                        FROM documents
+                        WHERE octet_length(encode(text)) = length(text)),
               h AS (SELECT media_id,
                            list_transform(range(0, 64), b -> len(list_filter(cs, c -> c = b))) AS counts
                     FROM codes),

@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   * older than `leftTs - tolerance`: the as-of match is the NEWEST
   * candidate, so if it is outside the tolerance window every candidate
   * is, and nulling it is exact — no re-search needed.
+  *
+  * Right payload columns are emitted as `right_<name>` (like
+  * [[RangeJoin]]), so they can never silently overwrite a left column.
   */
 object AsOfJoin {
 
@@ -33,6 +36,11 @@ object AsOfJoin {
       tolerance: Option[Long] = None): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
     require(rightPayloadCols.nonEmpty, "right side needs payload columns")
+    val reserved = Seq("__side", "__right") ++
+      (s"right_$tsCol" +: rightPayloadCols.map(c => s"right_$c"))
+    val clashes = left.columns.toSet.intersect(reserved.toSet)
+    require(clashes.isEmpty,
+      s"left side already has column(s) ${clashes.mkString(", ")} — rename them")
     val payload = struct(
       (col(tsCol).as(s"__asof_$tsCol") +:
         rightPayloadCols.map(c => col(c)).toIndexedSeq): _*)
@@ -67,6 +75,6 @@ object AsOfJoin {
     val out = guarded
       .withColumn(s"right_$tsCol", col(s"__match.__asof_$tsCol"))
     rightPayloadCols.foldLeft(out)((df, c) =>
-      df.withColumn(c, col(s"__match.$c"))).drop("__match")
+      df.withColumn(s"right_$c", col(s"__match.$c"))).drop("__match")
   }
 }

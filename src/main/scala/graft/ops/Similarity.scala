@@ -65,11 +65,17 @@ object Similarity {
   }
 
   /** Reduce (key, id, score) rows to per-key top-k via the bounded-heap
-    * aggregate; exploded back to one row per neighbor with rank. Both
-    * inputs are cast to the aggregate's (long, double) contract so int /
-    * short ids work out of the box. */
+    * aggregate; exploded back to one row per neighbor with rank. The id
+    * column must be integral (cast to the aggregate's long contract so
+    * int/short ids work out of the box); strings/doubles are rejected
+    * loudly — a silent cast would null them and emit empty results. */
   def topKPerKey(scored: DataFrame, keyCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
+    scored.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"topKPerKey id column `$idCol` must be integral, got ${other.simpleString}")
+    }
     val agg = GraftColumnBridge.column(
       TopKByScore(
         GraftColumnBridge.expression(col(idCol).cast(LongType)),

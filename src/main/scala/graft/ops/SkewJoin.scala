@@ -13,9 +13,13 @@ import org.apache.spark.sql.types.IntegerType
   * `saltFactor` reducers by appending a salt to the join key on the
   * large side and replicating the small side once per salt value.
   *
-  * The salt is DETERMINISTIC (hash of the large-side row), so retries
-  * and speculative tasks see stable assignments — no rand(), which
-  * breaks on task re-execution.
+  * The salt is DETERMINISTIC: row-content hash PLUS the row's position
+  * (`monotonically_increasing_id`, a pure function of partition id and
+  * row index — stable across task retries and speculation for a
+  * deterministic source, unlike rand()). Position matters: a hot key
+  * consisting of byte-identical duplicate rows (boilerplate before
+  * dedup — the motivating case) would hash to ONE salt and defeat the
+  * spreading if content alone decided it.
   *
   * Cost model: small side shuffles `saltFactor` copies — use for a
   * large-but-not-broadcastable right side and a hot-keyed left side.
@@ -26,6 +30,11 @@ import org.apache.spark.sql.types.IntegerType
 object SkewJoin {
 
   private val SaltCol = "__graft_salt"
+
+  /** The deterministic left-side salt: content hash + row position. */
+  private[ops] def saltOf(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*) +
+      monotonically_increasing_id(), lit(saltFactor)).cast(IntegerType)
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
@@ -38,10 +47,9 @@ object SkewJoin {
     require(!left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
       s"column $SaltCol already exists")
 
-    // Deterministic per-row salt on the (large, skewed) left side.
-    val rowHash: Column = xxhash64(left.columns.map(col).toIndexedSeq: _*)
-    val saltedLeft = left.withColumn(SaltCol,
-      pmod(rowHash, lit(saltFactor)).cast(IntegerType))
+    // Deterministic per-row salt on the (large, skewed) left side:
+    // content hash + row position, so identical duplicate rows spread.
+    val saltedLeft = left.withColumn(SaltCol, saltOf(left, saltFactor))
     // Replicate the right side once per salt value.
     val saltedRight = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(saltFactor - 1))))

@@ -296,6 +296,11 @@ object Main {
             .writeStream.format(outFmt)
           base.option("path", outPath)
       }
+      // A kafka:<topic> output is not a filesystem path — deriving a
+      // default checkpoint from it would crash at start with a scheme
+      // error; require an explicit one instead.
+      if (outKafka.isDefined && args.checkpoint.isEmpty)
+        return usage("streaming to a kafka sink needs --checkpoint <dir>")
       val query = writer
         .option("checkpointLocation",
           args.checkpoint.getOrElse(outPath.stripSuffix("/") + "_checkpoint"))

@@ -77,8 +77,10 @@ object StreamOps {
         OutputMode.Append(), timeout) {
       (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
-        else if (state.exists) Iterator.empty
-        else {
+        else if (state.exists) {
+          ttl.foreach(state.setTimeoutDuration) // refresh: idle-based TTL
+          Iterator.empty
+        } else {
           state.update(true)
           ttl.foreach(state.setTimeoutDuration)
           rows.take(1)

@@ -24,7 +24,7 @@ class AsOfJoinSpec extends SparkSpecBase with Matchers {
 
   test("asOf picks the greatest right ts <= left ts per key") {
     val joined = AsOfJoin.asOf(trades, quotes, "k", "ts")
-      .select("k", "ts", "qty", "price", "right_ts")
+      .select("k", "ts", "qty", "right_price", "right_ts")
       .as[(String, Long, Long, Option[Double], Option[Long])]
       .collect().sortBy(r => (r._1, r._2))
     joined shouldBe Array(
@@ -38,12 +38,18 @@ class AsOfJoinSpec extends SparkSpecBase with Matchers {
 
   test("tolerance voids matches older than the lookback window") {
     val joined = AsOfJoin.asOf(trades, quotes, "k", "ts", tolerance = Some(10L))
-      .select("k", "ts", "price").as[(String, Long, Option[Double])]
+      .select("k", "ts", "right_price").as[(String, Long, Option[Double])]
       .collect().sortBy(r => (r._1, r._2))
     // trade at 99 matched quote at 30 -> 69 > 10 stale -> voided
     joined.find(r => r._1 == "a" && r._2 == 99L).get._3 shouldBe None
     // trade at 25 matched quote at 20 -> age 5 <= 10 -> kept
     joined.find(r => r._1 == "a" && r._2 == 25L).get._3 shouldBe Some(2.0)
+  }
+
+  test("left column colliding with a right_ output name is rejected") {
+    val badLeft = trades.withColumnRenamed("qty", "right_price")
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asOf(badLeft, quotes, "k", "ts")
   }
 
   test("plan: one shuffle-sort, no per-key quadratics (no cartesian/BNLJ)") {

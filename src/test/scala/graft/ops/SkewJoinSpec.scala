@@ -43,9 +43,19 @@ class SkewJoinSpec extends SparkSpecBase with Matchers {
   }
 
   test("the hot key's rows spread across salt values") {
-    val salts = skewedLeft.where(col("k") === 7L)
-      .withColumn("s", pmod(xxhash64(col("k"), col("payload")), lit(8)))
+    val hot = skewedLeft.where(col("k") === 7L)
+    val salts = hot.withColumn("s", SkewJoin.saltOf(hot, 8))
       .select(countDistinct(col("s"))).as[Long].head()
     salts should be > 4L // 900 rows over 8 salts: all 8 with overwhelming probability
+  }
+
+  test("byte-identical duplicate rows still spread (position enters the salt)") {
+    val dups = Seq.fill(800)((7L, "same-payload")).toDF("k", "payload")
+    val salts = dups.withColumn("s", SkewJoin.saltOf(dups, 8))
+      .select(countDistinct(col("s"))).as[Long].head()
+    salts shouldBe 8L // content hash alone would put all 800 on ONE salt
+    // and the join result is still exactly the plain join
+    val r = Seq((7L, "hot")).toDF("k", "attr")
+    SkewJoin.saltedJoin(dups, r, "k", 8).count() shouldBe 800L
   }
 }
