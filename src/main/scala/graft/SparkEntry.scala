@@ -323,6 +323,18 @@ object SparkEntry {
         .drop("lang_pred", "fingerprint")
         .orderBy("doc_id")
     }),
+    "q_len_stats" -> ((s, dir) => {
+      // Per-language length distribution (curation cutoffs are set from
+      // these). EXACT percentiles — bit-identical to DuckDB's
+      // quantile_cont — for verifiability; at 100 TB the pipeline would
+      // switch to approx_percentile (sketch-based, not oracle-able).
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(n_chars, 0.5D)").as("p50"),
+          expr("percentile(n_chars, 0.9D)").as("p90"),
+          expr("percentile(n_chars, 0.99D)").as("p99"))
+        .orderBy("lang")
+    }),
     "q_vocab" -> ((s, dir) => {
       TextAnalysis.topTokens(t(s, dir, "documents"), "text", n = 100)
         .orderBy(col("cnt").desc, col("token"))
@@ -619,6 +631,12 @@ object SparkEntry {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(CAST(a.v AS UBIGINT), CAST(b.v AS UBIGINT))) <= 3
          ORDER BY id_a, id_b""",
+    "q_len_stats" ->
+      """SELECT lang, count(*) AS n,
+                quantile_cont(n_chars, 0.5) AS p50,
+                quantile_cont(n_chars, 0.9) AS p90,
+                quantile_cont(n_chars, 0.99) AS p99
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_vocab" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
