@@ -31,6 +31,13 @@ class RangeJoinSpec extends SparkSpecBase with Matchers {
     binned shouldBe Array((1L, 10L), (1L, 11L), (2L, 12L), (3L, 14L))
   }
 
+  test("plan: equi-join on (key, bucket) — no cartesian/nested-loop") {
+    val p = RangeJoin.intervalJoin(left, right, "k", "ts", -30L, 0L)
+      .queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("works with positive (lookahead) windows and long spans") {
     val binned = RangeJoin.intervalJoin(left, right, "k", "ts",
         lower = 0L, upper = 1000L)
