@@ -333,11 +333,14 @@ object Main {
     }
 
   def main(argv: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit injects spark.master; default to local[*] when absent
+    // so the CLI also runs standalone (sbt runMain / java -cp).
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
     val code = try run(spark, argv) finally spark.stop()
     if (code != 0) sys.exit(code)
   }
