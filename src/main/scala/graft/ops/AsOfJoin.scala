@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   * sort BEFORE left rows at equal ts so same-instant state is visible —
   * then `last(right_payload, ignoreNulls)` over the running window
   * carries the latest right row forward; keep the left rows. Cost is
-  * one sort-shuffle of |L|+|R| slim rows, no per-key quadratics, and
-  * AQE's skew splitting applies to the single exchange.
+  * one sort-shuffle of |L|+|R| slim rows and no per-key quadratics.
+  * Skew caveat: AQE splits skewed partitions only for sort-merge
+  * JOINS, not for window operators, so a single hot key still
+  * serializes its |L|+|R| rows into one window task; if hot keys are
+  * expected, pre-bucket them (e.g. range-partition the key's time
+  * axis and as-of within buckets, seeding each bucket with the
+  * previous bucket's last right row) before calling this.
   *
   * The right side must be UNIQUE per (key, ts) — pre-aggregate it
   * otherwise (an as-of against duplicate instants is ill-defined; both

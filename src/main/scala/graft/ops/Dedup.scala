@@ -159,20 +159,30 @@ object Dedup {
   }
 
   /** Near-duplicate pairs via the full LSH CASCADE: banded candidates
-    * -> cheap signature-agreement estimate >= threshold -> exact
-    * k-shingle Jaccard >= threshold on the survivors only. The middle
-    * stage matters at scale: band collisions produce far more candidate
-    * pairs than true near-dups, and the O(slots) estimate prunes them
-    * before the text join + O(|text|) exact confirm (measured at sf0.1:
-    * skipping the estimate stage is ~5x slower end-to-end). Output:
+    * -> cheap signature-agreement estimate -> exact k-shingle Jaccard
+    * >= threshold on the survivors only. The middle stage matters at
+    * scale: band collisions produce far more candidate pairs than true
+    * near-dups, and the O(slots) estimate prunes them before the text
+    * join + O(|text|) exact confirm (measured at sf0.1: skipping the
+    * estimate stage is ~5x slower end-to-end).
+    *
+    * The estimate stage filters at a SLACKENED bound — `threshold`
+    * minus 2.5 standard deviations of the 64-slot agreement estimator
+    * (sigma = sqrt(t(1-t)/slots)) — so true pairs whose estimate noise
+    * dips just below the threshold are not pruned before the exact
+    * confirm applies the real one; the output stays the exact ground
+    * truth rather than being estimator-variance-dependent. Output:
     * (id_a, id_b, jaccard) — exact values only; the estimate is a
     * pruning device, not a result. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
+    val estThreshold = math.max(0.0, threshold - 2.5 * sigma)
     val texts = df.select(col(idCol), col(textCol))
     minhashCandidatePairs(df, idCol, textCol, k, bands, rowsPerBand,
-        threshold, seed)
+        estThreshold, seed)
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
       .select(col("id_a"), col("id_b"),

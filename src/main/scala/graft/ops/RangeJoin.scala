@@ -31,10 +31,17 @@ object RangeJoin {
     require(upper >= lower, s"upper ($upper) < lower ($lower)")
     val w = math.max(upper - lower, 1L)
 
+    val rPayload = right.columns.filterNot(_ == keyCol)
+    // Same guards as AsOfJoin: a left frame already carrying __bucket or a
+    // right_<x> name would yield ambiguous columns or a wrong drop.
+    val reserved = "__bucket" +: rPayload.map(c => s"right_$c")
+    val clashes = left.columns.toSet.intersect(reserved.toSet)
+    require(clashes.isEmpty,
+      s"left side already has column(s) ${clashes.mkString(", ")} — rename them")
+
     val l = left.withColumn("__bucket",
       explode(sequence(floorDiv(col(tsCol) + lower, w),
         floorDiv(col(tsCol) + upper, w))))
-    val rPayload = right.columns.filterNot(_ == keyCol)
     val r = right.select(
       (col(keyCol) +: rPayload.map(c => col(c).as(s"right_$c")).toIndexedSeq): _*)
       .withColumn("__bucket", floorDiv(col(s"right_$tsCol"), w))

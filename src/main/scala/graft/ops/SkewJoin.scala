@@ -13,13 +13,19 @@ import org.apache.spark.sql.types.IntegerType
   * `saltFactor` reducers by appending a salt to the join key on the
   * large side and replicating the small side once per salt value.
   *
-  * The salt is DETERMINISTIC: row-content hash PLUS the row's position
+  * The salt is row-content hash PLUS the row's position
   * (`monotonically_increasing_id`, a pure function of partition id and
-  * row index — stable across task retries and speculation for a
-  * deterministic source, unlike rand()). Position matters: a hot key
-  * consisting of byte-identical duplicate rows (boilerplate before
-  * dedup — the motivating case) would hash to ONE salt and defeat the
-  * spreading if content alone decided it.
+  * row index). Position matters: a hot key consisting of byte-identical
+  * duplicate rows (boilerplate before dedup — the motivating case)
+  * would hash to ONE salt and defeat the spreading if content alone
+  * decided it. Determinism caveat: position is stable across task
+  * retries ONLY while the upstream lineage recomputes partitions
+  * deterministically (a file scan, a sorted shuffle). After a
+  * round-robin `repartition()` or other order-non-deterministic
+  * shuffle, a retried task can re-derive different salts for the same
+  * row — the classic rand()-in-shuffle retry hazard. For such inputs,
+  * `localCheckpoint()` (or checkpoint) the frame first to cut the
+  * lineage, or salt on a stable unique column instead of position.
   *
   * Cost model: small side shuffles `saltFactor` copies — use for a
   * large-but-not-broadcastable right side and a hot-keyed left side.

@@ -45,6 +45,33 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
   }
 
+  test("cascade estimate stage loses no true pair (slackened bound)") {
+    // Pairs engineered to sit NEAR the 0.5 threshold, where the 64-slot
+    // agreement estimate's noise (sigma ~0.06) could prune a true pair
+    // if the estimate stage filtered at the exact threshold. Compare the
+    // full cascade against the same cascade WITHOUT the estimate stage
+    // (candidates straight into the exact confirm) — banding recall is
+    // identical on both sides, so any difference is estimate pruning.
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo").split(" ")
+    val variants = (0 until 10).map { i =>
+      (i.toLong, base.zipWithIndex.map { case (w, j) =>
+        if (j % 10 < i) w.reverse else w }.mkString(" "))
+    }
+    val df = variants.toDF("id", "text")
+    val withEstimate = Dedup.nearDupPairs(df, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val texts = df.select($"id", $"text")
+    val noEstimate = Dedup.minhashCandidatePairs(df, "id", "text",
+        threshold = 0.0)
+      .join(texts.select($"id".as("id_a"), $"text".as("text_a")), "id_a")
+      .join(texts.select($"id".as("id_b"), $"text".as("text_b")), "id_b")
+      .where(Dedup.ngramJaccard($"text_a", $"text_b") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    withEstimate shouldBe noEstimate
+    withEstimate should not be empty
+  }
+
   test("curateCorpus drops exact dups, near-dups, und-language docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -38,6 +38,21 @@ class RangeJoinSpec extends SparkSpecBase with Matchers {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("rejects left frames with reserved/colliding column names") {
+    val withBucket = left.withColumn("__bucket",
+      org.apache.spark.sql.functions.lit(0))
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(withBucket, right, "k", "ts", -30L, 0L)
+    }
+    e1.getMessage should include("__bucket")
+    val withRightName = left.withColumn("right_rid",
+      org.apache.spark.sql.functions.lit(0L))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(withRightName, right, "k", "ts", -30L, 0L)
+    }
+    e2.getMessage should include("right_rid")
+  }
+
   test("works with positive (lookahead) windows and long spans") {
     val binned = RangeJoin.intervalJoin(left, right, "k", "ts",
         lower = 0L, upper = 1000L)

@@ -12,6 +12,42 @@ hash equality there).
 """
 import json, sys, math
 import duckdb
+import numpy as np
+
+
+def _norm(x):
+    """Normalize a cell for comparison: numpy arrays/lists -> tuples
+    (bare != on an ndarray raises ambiguous-truth-value), numpy scalars
+    -> python scalars."""
+    if isinstance(x, np.ndarray):
+        return tuple(_norm(v) for v in x.tolist())
+    if isinstance(x, (list, tuple)):
+        return tuple(_norm(v) for v in x)
+    if isinstance(x, np.generic):
+        return x.item()
+    return x
+
+
+def _cells_equal(a, b):
+    a, b = _norm(a), _norm(b)
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+    return a == b or str(a) == str(b)
+
+
+def _row_sort(df, cols):
+    """Sort rows by the scalar (sortable) columns so the comparison does
+    not depend on DuckDB's part-file glob order matching Spark's output
+    order. List-typed columns are excluded from the key (unsortable)."""
+    keys = [c for c in cols
+            if not df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()]
+    if not keys:
+        return df.reset_index(drop=True)
+    return df.sort_values(by=keys, kind="mergesort").reset_index(drop=True)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,21 +81,12 @@ def main():
             print(f"FAIL {name}: cols {sc} vs {oc}")
             ok = False
         if ok:
-            s = spark[sc].reset_index(drop=True)
-            o = oracle[oc].reset_index(drop=True)
+            s = _row_sort(spark[sc], sc)
+            o = _row_sort(oracle[oc], oc)
             for c in sc:
                 sv, ov = s[c].tolist(), o[c].tolist()
                 for i, (a, b) in enumerate(zip(sv, ov)):
-                    if a is None and b is None:
-                        continue
-                    if isinstance(a, float) and isinstance(b, float):
-                        if math.isnan(a) and math.isnan(b):
-                            continue
-                        if a != b:
-                            print(f"FAIL {name}: col {c} row {i}: {a!r} != {b!r}")
-                            ok = False
-                            break
-                    elif str(a) != str(b) and a != b:
+                    if not _cells_equal(a, b):
                         print(f"FAIL {name}: col {c} row {i}: {a!r} != {b!r}")
                         ok = False
                         break
