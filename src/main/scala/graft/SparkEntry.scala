@@ -410,8 +410,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // Train on a seeded 10% sample, cached across the Lloyd
+      // iterations — the 100 TB shape (full-corpus k-means training is
+      // the documented anti-pattern; centroid quality saturates far
+      // below corpus size). Serving still probes the FULL corpus.
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
-        k = 16, iters = 5)
+        k = 16, iters = 5, sampleFraction = 0.1)
       Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
           k = 5, cents, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"),

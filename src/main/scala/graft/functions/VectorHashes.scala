@@ -54,6 +54,14 @@ object VectorHashes {
     GraftColumnBridge.column(SigAgreement(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Distinct k-byte-shingle count of a string — the SAME set sizes
+    * [[ngram_jaccard]] uses (shared `windowHashes`), so
+    * `J(a,b) >= t  ==>  min(count_a,count_b) >= t * max(count_a,count_b)`
+    * holds exactly and the counts can prefilter candidate pairs before
+    * any text join without ever dropping a true pair. */
+  def ngram_count(c: Column, k: Int): Column =
+    GraftColumnBridge.column(NgramCount(GraftColumnBridge.expression(c), k))
+
   /** k-byte-window repetition ratio of a string (one pass, codegen'd):
     * `1 - distinct_windows / total_windows`. */
   def repetition_ratio(c: Column, k: Int): Column =
@@ -161,6 +169,9 @@ object VectorHashes {
     }
     java.util.Arrays.copyOf(hs, w)
   }
+
+  /** Distinct k-byte-window hash count — `|windowHashes(s, k)|`. */
+  def ngramCount(s: UTF8String, k: Int): Int = windowHashes(s, k).length
 
   def ngramJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
     val ha = windowHashes(a, k)
@@ -363,6 +374,27 @@ case class PlaneSigns(child: Expression, planes: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): PlaneSigns =
     copy(child = newChild)
   override def prettyName: String = "graft_plane_signs"
+}
+
+/** string -> int distinct k-shingle count (one pass, codegen'd; shares
+  * the window-hash machinery with [[NgramJaccard]] so counts and Jaccard
+  * set sizes can never disagree). */
+case class NgramCount(child: Expression, k: Int)
+  extends UnaryExpression {
+  require(k > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorHashes.ngramCount(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorHashes.ngramCount($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): NgramCount =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ngram_count"
 }
 
 /** (array<long>, array<long>) -> double agreeing-slot fraction

@@ -171,18 +171,45 @@ object Dedup {
     * (sigma = sqrt(t(1-t)/slots)) — so true pairs whose estimate noise
     * dips just below the threshold are not pruned before the exact
     * confirm applies the real one; the output stays the exact ground
-    * truth rather than being estimator-variance-dependent. Output:
-    * (id_a, id_b, jaccard) — exact values only; the estimate is a
-    * pruning device, not a result. */
+    * truth rather than being estimator-variance-dependent.
+    *
+    * The slack admits ~2x more candidates into the text join, so a
+    * LOSSLESS shingle-count ratio prefilter runs alongside the estimate:
+    * `J(a,b) >= t` forces `min(|A|,|B|) >= t * max(|A|,|B|)` (because
+    * `J <= min/max`), and the counts come from the SAME distinct-hash
+    * sets the exact confirm measures ([[graft.functions.VectorHashes
+    * .ngram_count]] shares `windowHashes` with `ngram_jaccard`), so the
+    * bound can never drop a true pair — it is the exact analogue of an
+    * all-pairs oracle's `len(b.s) <= 2*len(a.s)` guard at t = 0.5. The
+    * counts ride the slim signature frame (one extra int), pruning
+    * slack-band survivors BEFORE any text is joined or scanned.
+    *
+    * Output: (id_a, id_b, jaccard) — exact values only; the estimate
+    * and count bound are pruning devices, not results. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
     val estThreshold = math.max(0.0, threshold - 2.5 * sigma)
+    val normText = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    def sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, numHashes, seed).as("sig"),
+      graft.functions.VectorHashes.ngram_count(normText, k).as("nsh"))
     val texts = df.select(col(idCol), col(textCol))
-    minhashCandidatePairs(df, idCol, textCol, k, bands, rowsPerBand,
-        estThreshold, seed)
+    candidatePairIds(df, idCol, textCol, k, bands, rowsPerBand, seed,
+        maxBucketSize)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("nsh").as("nsh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("nsh").as("nsh_b")), "id_b")
+      // epsilon keeps the double product from rounding ABOVE the exact
+      // bound on the boundary (the filter may only ever be looser)
+      .where(least(col("nsh_a"), col("nsh_b")).cast(DoubleType) >=
+        greatest(col("nsh_a"), col("nsh_b")) * lit(threshold) - lit(1e-9) &&
+        estimatedJaccard(col("sig_a"), col("sig_b")) >= estThreshold)
+      .select(col("id_a"), col("id_b"))
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -229,8 +256,11 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         TextHashes.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming is deterministic in the pair, so filtering BEFORE the
+      // distinct is equivalent — and shrinks the distinct's shuffle to
+      // true near-dups instead of every chunk-collision candidate
       .where(col("hamming") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** The end-to-end curation pipeline a training-data user actually
@@ -271,7 +301,9 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("vec_a"), col("vec_b")).as("cosine"))
-      .dropDuplicates("id_a", "id_b")
+      // cosine is deterministic in the pair — filter before the distinct
+      // so only passing pairs enter its shuffle (same output, less data)
       .where(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

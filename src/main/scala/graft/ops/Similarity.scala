@@ -141,33 +141,37 @@ object Similarity {
     // At corpus scale, train the quantizer on a seeded sample — k-means
     // centroid quality saturates far below full-corpus size, and the
     // per-dimension-mean shuffle is `sampleRows x dim` skinny tuples.
-    val train =
-      if (sampleFraction < 1.0) df.sample(withReplacement = false,
-        sampleFraction, seed)
-      else df
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n > 0) v.map(_ / n) else v
-    }
-    val init = df.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
-      .collect().map(r => normalize(r.getSeq[Double](0).toArray))
-    var centroids = init
-    for (_ <- 0 until iters) {
-      val assigned = train.select(
-        graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
-          .as("cluster"),
-        posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("pos", "x")))
-      val means = assigned.groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      } // empty clusters keep their previous centroid
-      centroids = next.map(normalize)
-    }
-    centroids
+    val base = df.select(col(vecCol))
+    val train = (if (sampleFraction < 1.0)
+      base.sample(withReplacement = false, sampleFraction, seed)
+    else base).persist() // each Lloyd iteration re-scans this frame;
+    // persisting pins the sample and pays the source scan (+ sampling)
+    // once instead of `iters` times
+    try {
+      def normalize(v: Array[Double]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+      val init = df.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+        .collect().map(r => normalize(r.getSeq[Double](0).toArray))
+      var centroids = init
+      for (_ <- 0 until iters) {
+        val assigned = train.select(
+          graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
+            .as("cluster"),
+          posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("pos", "x")))
+        val means = assigned.groupBy(col("cluster"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .collect()
+        val next = centroids.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        } // empty clusters keep their previous centroid
+        centroids = next.map(normalize)
+      }
+      centroids
+    } finally train.unpersist(blocking = false)
   }
 
   /** IVF approximate top-k: corpus rows are bucketed by nearest
