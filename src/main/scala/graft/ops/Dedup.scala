@@ -98,25 +98,44 @@ object Dedup {
 
   /** LSH-banded candidate pair ids (id_a < id_b, deduped across bands).
     *
-    * Scale shape: the banding frame is SLIM — (id, band, band_hash)
-    * only, 24 bytes/row; signatures never enter the bucket shuffle.
-    * Pathological buckets are capped BEFORE the self-join squares them
-    * via a slim groupBy (map-side partial agg) + semi-join — not a
-    * window, which would sort the full banded table. The cap is a knob,
-    * not a silent truncation. */
+    * Scale shape: the banding frame is SLIM — (id, band, band_hash) plus
+    * one int shingle count, ~28 bytes/row; signatures never enter the
+    * bucket shuffle. Pathological buckets are capped BEFORE the
+    * self-join squares them via a slim groupBy (map-side partial agg) +
+    * semi-join — not a window, which would sort the full banded table.
+    * The cap is a knob, not a silent truncation.
+    *
+    * `exactJaccardBound` > 0 prunes pairs INSIDE the self-join whose
+    * distinct-shingle counts make `J >= bound` impossible
+    * (`J <= min/max`, see [[nearDupPairs]]) — lossless for any
+    * downstream exact-confirm at that bound, and cheap exactly here:
+    * band collisions are orders of magnitude more numerous than true
+    * pairs (measured sf0.1: 189k candidates for 256 true pairs), so
+    * pruning before the pair-distinct and the signature joins is the
+    * difference between shuffling collisions and shuffling survivors. */
   private def candidatePairIds(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int, rowsPerBand: Int, seed: Long,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, exactJaccardBound: Double = 0.0): DataFrame = {
     val numHashes = bands * rowsPerBand
+    val normText = regexp_replace(lower(col(textCol)), "\\s+", " ")
     val banded = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
-      .select(col("id"),
+        minhashSignature(col(textCol), k, numHashes, seed).as("sig"),
+        graft.functions.VectorHashes.ngram_count(normText, k).as("nsh"))
+      .select(col("id"), col("nsh"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
               .as("band_hash"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"),
+      .select(col("id"), col("nsh"), col("bb.band").as("band"),
         col("bb.band_hash").as("band_hash"))
+      // ONE explicit shuffle on the bucket key: the bucket-size
+      // aggregate, the semi-join probe, and BOTH self-join sides hang
+      // off this same exchange (canonically identical subplans →
+      // ReusedExchange), so the signature scan feeding the banding runs
+      // once instead of once per consumer — measured 5 scans → 1 at
+      // sf0.1 — and (band, band_hash) is exactly the co-location every
+      // downstream step wants at corpus scale anyway.
+      .repartition(col("band"), col("band_hash"))
 
     val smallBuckets = banded.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
@@ -124,10 +143,21 @@ object Dedup {
       .select(col("band"), col("band_hash"))
     val sized = banded.join(smallBuckets, Seq("band", "band_hash"), "left_semi")
 
-    val l = sized.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val r = sized.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    l.join(r, Seq("band", "band_hash"))
+    val l = sized.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("nsh").as("nsh_a"))
+    val r = sized.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("nsh").as("nsh_b"))
+    val paired = l.join(r, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
+    val bounded =
+      if (exactJaccardBound > 0.0)
+        // epsilon keeps the double product from rounding ABOVE the
+        // exact bound on the boundary (only ever looser, never tighter)
+        paired.where(least(col("nsh_a"), col("nsh_b")).cast(DoubleType) >=
+          greatest(col("nsh_a"), col("nsh_b")) * lit(exactJaccardBound)
+            - lit(1e-9))
+      else paired
+    bounded
       .select(col("id_a"), col("id_b"))
       .distinct() // pair may collide in several bands
   }
@@ -173,16 +203,16 @@ object Dedup {
     * confirm applies the real one; the output stays the exact ground
     * truth rather than being estimator-variance-dependent.
     *
-    * The slack admits ~2x more candidates into the text join, so a
-    * LOSSLESS shingle-count ratio prefilter runs alongside the estimate:
-    * `J(a,b) >= t` forces `min(|A|,|B|) >= t * max(|A|,|B|)` (because
-    * `J <= min/max`), and the counts come from the SAME distinct-hash
-    * sets the exact confirm measures ([[graft.functions.VectorHashes
-    * .ngram_count]] shares `windowHashes` with `ngram_jaccard`), so the
-    * bound can never drop a true pair — it is the exact analogue of an
-    * all-pairs oracle's `len(b.s) <= 2*len(a.s)` guard at t = 0.5. The
-    * counts ride the slim signature frame (one extra int), pruning
-    * slack-band survivors BEFORE any text is joined or scanned.
+    * The slack admits ~2x more candidates toward the text join, so a
+    * LOSSLESS shingle-count ratio prefilter runs INSIDE the banding
+    * self-join (see [[candidatePairIds]]): `J(a,b) >= t` forces
+    * `min(|A|,|B|) >= t * max(|A|,|B|)` (because `J <= min/max`), and
+    * the counts come from the SAME distinct-hash sets the exact confirm
+    * measures ([[graft.functions.VectorHashes.ngram_count]] shares
+    * `windowHashes` with `ngram_jaccard`), so the bound can never drop
+    * a true pair — it is the exact analogue of an all-pairs oracle's
+    * `len(b.s) <= 2*len(a.s)` guard at t = 0.5, applied before the
+    * pair-distinct, the signature joins, and the text join.
     *
     * Output: (id_a, id_b, jaccard) — exact values only; the estimate
     * and count bound are pruning devices, not results. */
@@ -193,22 +223,14 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
     val estThreshold = math.max(0.0, threshold - 2.5 * sigma)
-    val normText = regexp_replace(lower(col(textCol)), "\\s+", " ")
     def sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes, seed).as("sig"),
-      graft.functions.VectorHashes.ngram_count(normText, k).as("nsh"))
+      minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
     val texts = df.select(col(idCol), col(textCol))
     candidatePairIds(df, idCol, textCol, k, bands, rowsPerBand, seed,
-        maxBucketSize)
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
-        col("nsh").as("nsh_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("nsh").as("nsh_b")), "id_b")
-      // epsilon keeps the double product from rounding ABOVE the exact
-      // bound on the boundary (the filter may only ever be looser)
-      .where(least(col("nsh_a"), col("nsh_b")).cast(DoubleType) >=
-        greatest(col("nsh_a"), col("nsh_b")) * lit(threshold) - lit(1e-9) &&
-        estimatedJaccard(col("sig_a"), col("sig_b")) >= estThreshold)
+        maxBucketSize, exactJaccardBound = threshold)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .where(estimatedJaccard(col("sig_a"), col("sig_b")) >= estThreshold)
       .select(col("id_a"), col("id_b"))
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
