@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpecBase
@@ -58,5 +59,60 @@ class AsOfJoinSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
     p should include("Window")
+  }
+
+  test("bucketedAsOf equals asOf on a deliberately hot key") {
+    // one hot key with many rows spanning many buckets, plus ordinary
+    // keys; right rows are sparse so most buckets need a carried seed
+    val rng = new scala.util.Random(7)
+    val hotLeft = (0 until 2000).map(i => ("hot", rng.nextInt(10000).toLong, i.toLong))
+    val hotRight = (0 until 40).map(i => ("hot", (i * 250 + 3).toLong, i * 1.5))
+    val coldLeft = (0 until 50).map(i => ("c" + i % 5, (i * 7).toLong, (1000 + i).toLong))
+    val coldRight = (0 until 10).map(i => ("c" + i % 5, (i * 11).toLong, -i.toDouble))
+    val l = (hotLeft ++ coldLeft).toDF("k", "ts", "qty")
+    val r = (hotRight ++ coldRight).toDF("k", "ts", "price")
+      .dropDuplicates("k", "ts") // contract: unique (key, ts)
+
+    val cols = AsOfJoin.asOf(l, r, "k", "ts").columns.toIndexedSeq
+    val plain = AsOfJoin.asOf(l, r, "k", "ts")
+      .orderBy("k", "ts", "qty").collect()
+    for (width <- Seq(100L, 333L, 1000000L)) { // incl. one bucket total
+      val bucketed = AsOfJoin.bucketedAsOf(l, r, "k", "ts", bucketWidth = width)
+        .select(cols.map(col): _*)
+        .orderBy("k", "ts", "qty").collect()
+      bucketed shouldBe plain
+    }
+  }
+
+  test("bucketedAsOf: seeds cross empty buckets and negative timestamps") {
+    val l = Seq(("a", -95L, 1L), ("a", 500L, 2L), ("a", 999L, 3L))
+      .toDF("k", "ts", "qty")
+    val r = Seq(("a", -100L, 7.0)).toDF("k", "ts", "price")
+    // bucket width 10: the only right row sits ~60 buckets before the
+    // last left row — the seed must carry across all the empty buckets
+    val out = AsOfJoin.bucketedAsOf(l, r, "k", "ts", bucketWidth = 10L)
+      .select("k", "ts", "qty", "right_price", "right_ts")
+      .as[(String, Long, Long, Option[Double], Option[Long])]
+      .collect().sortBy(_._2)
+    out.map(_._4) shouldBe Array(Some(7.0), Some(7.0), Some(7.0))
+    out.map(_._5) shouldBe Array(Some(-100L), Some(-100L), Some(-100L))
+  }
+
+  test("bucketedAsOf honors tolerance like asOf") {
+    val plain = AsOfJoin.asOf(trades, quotes, "k", "ts", tolerance = Some(10L))
+      .select("k", "ts", "right_price").as[(String, Long, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    val bucketed = AsOfJoin.bucketedAsOf(trades, quotes, "k", "ts",
+        bucketWidth = 7L, tolerance = Some(10L))
+      .select("k", "ts", "right_price").as[(String, Long, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    bucketed shouldBe plain
+  }
+
+  test("bucketedAsOf window partitions on (key, bucket), not key alone") {
+    val p = AsOfJoin.bucketedAsOf(trades, quotes, "k", "ts", bucketWidth = 10L)
+      .queryExecution.analyzed.toString
+    p should include("__asof_bucket")
+    p should not include "CartesianProduct"
   }
 }
