@@ -484,10 +484,25 @@ object SparkEntry {
 
   // ======================================================== oracle SQL
 
+  /** DuckDB 3-level list literal of the LSH hyperplanes q_ann_lsh uses
+    * (dim 64, 8 tables x 6 planes, seed 42), printed with
+    * Double.toString — the shortest round-trip representation — so
+    * DuckDB parses the EXACT same doubles and every plane dot product
+    * (same products, same ascending accumulation order) is
+    * bit-identical to the PlaneSigns kernel's. */
+  private lazy val lshPlanesSql: String =
+    graft.ops.Similarity.hyperplanes(64, 8, 6, 42L)
+      .map(_.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
   /** DuckDB equivalents over the same parquet tables. Omitted only for
-    * the genuinely approximate ops (LSH ANN top-k, embedding near-dup)
-    * whose bucketed candidate sets have recall < 1 by design -> driver
-    * records the weaker rows-only check. q_dedup_minhash IS oracled (its
+    * the genuinely approximate-AND-unreplayable ops: q_embed_neardup
+    * (recall < 1 by design) and q_ann_ivf (training samples the corpus;
+    * the sampler is Spark-internal and not reproducible in SQL) ->
+    * driver records the weaker rows-only check. q_ann_lsh IS oracled:
+    * at the demo parameters the seeded planes are embedded in the SQL
+    * as exact double literals, so the full candidates-then-rerank
+    * pipeline replays deterministically. q_dedup_minhash IS oracled (its
     * confirm stage outputs exact n-gram Jaccard, and LSH recall is 1 on
     * this corpus — verified against all-pairs ground truth), and
     * q_dedup_simhash IS oracled (Charikar chunking is a COMPLETE
@@ -805,6 +820,30 @@ object SparkEntry {
                 SELECT qid, nid, s,
                        row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
                 FROM scored WHERE s IS NOT NULL)
+         SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+                round(s, 6) AS score
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    "q_ann_lsh" ->
+      s"""WITH p AS (SELECT $lshPlanesSql AS pl),
+              e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              cb AS (SELECT vec_id, t,
+                            CAST(list_sum(list_transform(range(0, 6), j ->
+                              CASE WHEN list_sum(list_transform(range(1, 65),
+                                     i -> v[i] * pl[CAST(t AS INTEGER) + 1][CAST(j AS INTEGER) + 1][CAST(i AS INTEGER)])) > 0.0
+                                   THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+                     FROM e, generate_series(0, 7) s(t), p),
+              qb AS (SELECT vec_id AS qid, t, bucket FROM cb WHERE vec_id < 10),
+              cand AS (SELECT DISTINCT cb.vec_id AS nid, qb.qid
+                       FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket),
+              scored AS (SELECT cand.qid, cand.nid,
+                                list_sum(list_transform(range(1, 65), i -> ev.v[i] * qv.v[i]))
+                                / (sqrt(list_sum(list_transform(range(1, 65), i -> ev.v[i] * ev.v[i])))
+                                 * sqrt(list_sum(list_transform(range(1, 65), i -> qv.v[i] * qv.v[i])))) AS s
+                         FROM cand JOIN e ev ON ev.vec_id = cand.nid
+                                   JOIN e qv ON qv.vec_id = cand.qid),
+              ranked AS (SELECT qid, nid, s,
+                                row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+                         FROM scored WHERE s IS NOT NULL)
          SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
                 round(s, 6) AS score
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",

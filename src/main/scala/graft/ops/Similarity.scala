@@ -94,7 +94,7 @@ object Similarity {
     * `planesPerTable` planes each, components in [-1, 1] from a seeded
     * generator (driver-side literals — the plan embeds the planes, so
     * executors do zero RNG and every run is reproducible). */
-  private[ops] def hyperplanes(dim: Int, numTables: Int, planesPerTable: Int,
+  private[graft] def hyperplanes(dim: Int, numTables: Int, planesPerTable: Int,
       seed: Long): Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(numTables, planesPerTable, dim)(rng.nextDouble() * 2 - 1)
