@@ -24,11 +24,23 @@ import graft.pipeline.Pipeline
   *   filter    <boolean expr over key, value>
   *   mapValues <expr over value>
   *   map       <key expr> => <value expr>
+  *   udf       <registered-name>
   * }}}
   * `mapValues` must not reference `key` (the reference's mapValues
   * receives only the value, StreamProcessOperations.scala:64-67);
   * violations fail at parse time, mirroring the reference's eager script
   * validation (:77).
+  *
+  * `udf <name>` is the ESCAPE HATCH for per-record logic that is not
+  * expressible as a SQL expression — the analogue of the reference's
+  * arbitrary Lua step closures (StreamProcessOperations.scala:140-146).
+  * The embedding application registers a named `(key, value) => value'`
+  * Column transform via [[GraftScript.registerUdf]] — typically
+  * wrapping a Scala lambda with `org.apache.spark.sql.functions.udf`,
+  * which runs distributed like any Spark UDF (opaque to Catalyst, so
+  * prefer expression steps where possible). The key passes through
+  * unchanged; reshape with a following `map` if needed. An unknown name
+  * fails at parse time, like every other script error.
   *
   * `let` gives multi-statement scripts named intermediates (the
   * analogue of locals in the reference's Lua step closures,
@@ -42,6 +54,19 @@ object GraftScript {
 
   final case class ScriptError(line: Int, msg: String)
     extends RuntimeException(s"script line $line: $msg")
+
+  /** Named `(key, value) => value'` transforms callable from scripts via
+    * the `udf <name>` step. Registration is application-side Scala (the
+    * place arbitrary logic must come from in a compiled engine; the
+    * reference inlines Lua because it SHIPS an interpreter). */
+  private val udfRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, (Column, Column) => Column]()
+
+  def registerUdf(name: String, f: (Column, Column) => Column): Unit =
+    udfRegistry.put(name.toLowerCase, f)
+
+  def unregisterUdf(name: String): Unit =
+    udfRegistry.remove(name.toLowerCase)
 
   def parse(text: String): Pipeline = {
     val steps = text.linesIterator.zipWithIndex
@@ -82,9 +107,17 @@ object GraftScript {
           val ke = expand(parseExpr(parts(0).trim, ln))
           val ve = expand(parseExpr(parts(1).trim, ln))
           pipe.map((_, _) => (ke, ve))
+        case "udf" =>
+          val name = body.toLowerCase
+          if (!name.forall(ch => ch.isLetterOrDigit || ch == '_'))
+            throw ScriptError(ln, s"udf needs a single registered name, got '$body'")
+          val f = Option(udfRegistry.get(name)).getOrElse(
+            throw ScriptError(ln, s"unknown udf '$name' — register it with " +
+              "GraftScript.registerUdf(name, (key, value) => ...)"))
+          pipe.map((k, v) => (k, f(k, v)))
         case other =>
           throw ScriptError(ln,
-            s"unknown operator '$other' (expected let|filter|mapValues|map)")
+            s"unknown operator '$other' (expected let|filter|mapValues|map|udf)")
       }
     }
   }
