@@ -104,6 +104,55 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     last shouldBe Seq(("a", 3L, 3.0), ("b", 1L, 10.0))
   }
 
+  /** transformWithState requires the RocksDB state store provider; set
+    * it for the duration of one streaming query, then restore. */
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("firstSeenTws matches firstSeen semantics on transformWithState") {
+    withRocksDb {
+      val in = MemoryStream[(Long, String)](spark)
+      val out = StreamOps.firstSeenTws[Long, (Long, String)](in.toDS(), _._1)
+      val q = out.writeStream.format("memory").queryName("first_seen_tws")
+        .outputMode("append").start()
+      in.addData((1L, "a1"), (2L, "b1"))
+      q.processAllAvailable()
+      in.addData((1L, "a2"), (3L, "c1"))
+      q.processAllAvailable()
+      q.stop()
+      spark.table("first_seen_tws").as[(Long, String)].collect().sortBy(_._1) shouldBe
+        Array((1L, "a1"), (2L, "b1"), (3L, "c1"))
+    }
+  }
+
+  test("runningMeanTws accumulates per-key state across batches") {
+    withRocksDb {
+      val in = MemoryStream[(String, Double)](spark)
+      val out = StreamOps.runningMeanTws(in.toDS())
+      val q = out.toDF("key", "n", "mean").writeStream.format("memory")
+        .queryName("running_mean_tws").outputMode("update").start()
+      in.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+      q.processAllAvailable()
+      in.addData(("a", 5.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("running_mean_tws").as[(String, Long, Double)]
+        .collect().zipWithIndex
+        .groupBy(_._1._1).map { case (_, rs) => rs.maxBy(_._2)._1 }
+        .toSeq.sortBy(_._1)
+      last shouldBe Seq(("a", 3L, 3.0), ("b", 1L, 10.0))
+    }
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
