@@ -96,7 +96,24 @@ object Dedup {
       regexp_replace(lower(textA), "\\s+", " "),
       regexp_replace(lower(textB), "\\s+", " "), k)
 
-  /** LSH-banded candidate pair ids (id_a < id_b, deduped across bands).
+  /** The (id, sig, nsh) signature frame every cascade stage consumes,
+    * shuffled ONCE by id: the banding derivation, the estimate stage's
+    * join builds, and any other consumer hang off this same exchange
+    * (ReusedExchange), so the text scan + signature kernel run once per
+    * execution instead of once per consumer. At corpus scale this
+    * trades a ~512 B/doc shuffle for repeated full text scans +
+    * O(slots x |text|) kernel passes — the right trade everywhere. */
+  private def sigFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, seed: Long): DataFrame = {
+    val normText = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, numHashes, seed).as("sig"),
+        graft.functions.VectorHashes.ngram_count(normText, k).as("nsh"))
+      .repartition(col("id"))
+  }
+
+  /** LSH-banded candidate pair ids (id_a < id_b, deduped across bands)
+    * from a [[sigFrame]].
     *
     * Scale shape: the banding frame is SLIM — (id, band, band_hash) plus
     * one int shingle count, ~28 bytes/row; signatures never enter the
@@ -113,14 +130,10 @@ object Dedup {
     * pairs (measured sf0.1: 189k candidates for 256 true pairs), so
     * pruning before the pair-distinct and the signature joins is the
     * difference between shuffling collisions and shuffling survivors. */
-  private def candidatePairIds(df: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, rowsPerBand: Int, seed: Long,
+  private def candidatePairIds(sigs: DataFrame,
+      bands: Int, rowsPerBand: Int,
       maxBucketSize: Int, exactJaccardBound: Double = 0.0): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val normText = regexp_replace(lower(col(textCol)), "\\s+", " ")
-    val banded = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, numHashes, seed).as("sig"),
-        graft.functions.VectorHashes.ngram_count(normText, k).as("nsh"))
+    val banded = sigs
       .select(col("id"), col("nsh"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -177,10 +190,8 @@ object Dedup {
       threshold: Double = 0.5, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    def sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
-    candidatePairIds(df, idCol, textCol, k, bands, rowsPerBand, seed,
-        maxBucketSize)
+    val sigs = sigFrame(df, idCol, textCol, k, numHashes, seed)
+    candidatePairIds(sigs, bands, rowsPerBand, maxBucketSize)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -223,14 +234,22 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
     val estThreshold = math.max(0.0, threshold - 2.5 * sigma)
-    def sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, numHashes, seed).as("sig"))
+    val sigs = sigFrame(df, idCol, textCol, k, numHashes, seed)
     val texts = df.select(col(idCol), col(textCol))
-    candidatePairIds(df, idCol, textCol, k, bands, rowsPerBand, seed,
+    candidatePairIds(sigs, bands, rowsPerBand,
         maxBucketSize, exactJaccardBound = threshold)
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .where(estimatedJaccard(col("sig_a"), col("sig_b")) >= estThreshold)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("nsh").as("nsh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("nsh").as("nsh_b")), "id_b")
+      // the count bound is RESTATED here (idempotent — the self-join
+      // already applied it) so this consumer references nsh too: column
+      // pruning would otherwise strip nsh from this side's exchange,
+      // making it canonically different from the banding consumer's and
+      // forfeiting the shared sigFrame scan (one kernel pass, not two)
+      .where(least(col("nsh_a"), col("nsh_b")).cast(DoubleType) >=
+        greatest(col("nsh_a"), col("nsh_b")) * lit(threshold) - lit(1e-9) &&
+        estimatedJaccard(col("sig_a"), col("sig_b")) >= estThreshold)
       .select(col("id_a"), col("id_b"))
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
