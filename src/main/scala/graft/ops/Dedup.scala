@@ -304,6 +304,56 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair list: every doc that
+    * appears in at least one pair gets its component's MIN id as
+    * `cluster_id` (the canonical keeper), plus the component size.
+    * Pair lists are NOT transitive (A~B and B~C does not imply A~C was
+    * emitted), so cluster-level dedup — keep one doc per component —
+    * needs the closure, not the pairs.
+    *
+    * Algorithm: iterative min-label propagation over the undirected
+    * edge list (`label(v) <- min(label(v), min label of neighbors)`),
+    * the standard large-scale formulation: each round is one
+    * shuffle-join + one map-side-partial aggregate over slim (id,
+    * label) pairs, and the round count is the component DIAMETER —
+    * near-dup clusters are dense and shallow, so a handful of rounds
+    * closes 100 TB corpora. Per round the frame is localCheckpoint'ed:
+    * without it the plan lineage doubles per iteration and planning
+    * time, not data, becomes the bottleneck. The driver holds only a
+    * one-row convergence count per round.
+    *
+    * Input must carry `id_a`, `id_b` columns (as produced by
+    * [[nearDupPairs]] / [[simhashNearDupPairs]] /
+    * [[embeddingNearDupPairs]]); ids must be non-null. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint() // edges are re-joined every round: pin them
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIters) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .where(col("n.label") < col("o.label"))
+        .limit(1).count() == 0L // min-propagation only ever decreases
+      labels = next
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   /** The end-to-end curation pipeline a training-data user actually
     * runs, composed from the verified pieces: exact dedup (min-id
     * keeper) -> near-dup drop (the HIGHER id of every confirmed pair

@@ -115,6 +115,31 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     pairs should contain((1L, 3L))
   }
 
+  test("nearDupClusters computes connected components with min-id labels") {
+    // components: {1,2,3} (path), {10,11}, {20..27} (a LONG path whose
+    // diameter forces several propagation rounds), singleton-free input
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 27L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .select("id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val expect =
+      (Seq(1L, 2L, 3L).map(i => (i, 1L, 3L)) ++
+        Seq(10L, 11L).map(i => (i, 10L, 2L)) ++
+        (20L to 27L).map(i => (i, 20L, 8L))).sortBy(_._1)
+    got.toSeq shouldBe expect
+  }
+
+  test("nearDupClusters handles a merge of two growing components") {
+    // 1-2, 3-4 first form separate components, 2-3 merges them: label
+    // 3's side must re-propagate down to 4 (regression guard for
+    // premature convergence)
+    val pairs = Seq((3L, 4L), (1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+  }
+
   test("embedding near-dup via LSH buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
