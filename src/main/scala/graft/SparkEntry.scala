@@ -384,6 +384,22 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")
     }),
+    "q_scrub" -> ((s, dir) => {
+      // PII scrub. The synthetic corpus carries no URLs/emails/numbers,
+      // so every 3rd doc gets a deterministic PII-bearing suffix
+      // (constructed identically in the oracle SQL) — the hash compare
+      // then verifies actual redaction, not identity.
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" mail u"), col("doc_id").cast(StringType),
+              lit("@host.example see https://ex.example/d/"),
+              col("doc_id").cast(StringType), lit("?x=1 ref 9001002003")))
+            .otherwise(lit(""))).as("text"))
+      withPii.select(col("doc_id"),
+          TextAnalysis.scrub(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
     "q_lang_fingerprint" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"),
@@ -780,6 +796,20 @@ object SparkEntry {
                                 WHEN bucket < 10 THEN 'test'
                                 ELSE 'train' END AS split FROM b)
          SELECT split, count(*) AS n FROM s GROUP BY split ORDER BY split""",
+    "q_scrub" ->
+      """WITH w AS (SELECT doc_id,
+                           text || CASE WHEN doc_id % 3 = 0
+                                        THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@host.example see https://ex.example/d/'
+                                             || CAST(doc_id AS VARCHAR) || '?x=1 ref 9001002003'
+                                        ELSE '' END AS text
+                    FROM documents)
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
+         FROM w ORDER BY doc_id""",
     "q_lang_fingerprint" ->
       """WITH t AS (SELECT doc_id,
                            list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,

@@ -112,6 +112,23 @@ object TextAnalysis {
     graft.functions.VectorHashes.repetition_ratio(
       regexp_replace(lower(text), "\\s+", " "), k)
 
+  /** Redact URLs, email addresses, and long digit runs (phone/account
+    * numbers) with typed placeholder tokens — the standard pre-training
+    * PII-scrub stage. Order matters: URLs first (they may embed `@`
+    * userinfo that the email pattern would half-match), then emails,
+    * then digit runs of 9+ (placeholders contain no digits, so later
+    * passes can't corrupt earlier redactions). Pure `regexp_replace`
+    * chain: per-row narrow work, fused into whole-stage codegen, safe
+    * under predicate pushdown. Patterns are deliberately conservative
+    * (shared by Java and RE2 regex dialects, so the DuckDB oracle can
+    * replay them verbatim). */
+  def scrub(text: Column): Column = {
+    val url = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "[0-9]{9,}", "<NUM>")
+  }
+
   /** Deterministic content-based dataset split: bucket in [0, buckets)
     * from the rolling-hash fingerprint of the normalized text. Content
     * hashing (not id hashing) keeps a document's split stable under id

@@ -109,4 +109,19 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     r.getAs[String]("lang_pred") shouldBe "en"
     r.getAs[Double]("quality") should (be > 0.0 and be <= 1.0)
   }
+
+  test("scrub redacts URLs, emails, and long digit runs; keeps the rest") {
+    val df = Seq(
+      (1L, "see https://ex.com/a?b=1 or mail bob.smith+x@corp.example now"),
+      (2L, "acct 1234567890 and short 12345678 stay"),
+      (3L, "a URL with userinfo http://u:p@host.example/x is one token"),
+      (4L, "nothing to redact here")
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.scrub($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "see <URL> or mail <EMAIL> now"
+    out(2L) shouldBe "acct <NUM> and short 12345678 stay" // 8 digits kept
+    out(3L) shouldBe "a URL with userinfo <URL> is one token"
+    out(4L) shouldBe "nothing to redact here"
+  }
 }
