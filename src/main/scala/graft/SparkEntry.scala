@@ -806,7 +806,7 @@ object SparkEntry {
          SELECT doc_id,
                 regexp_replace(
                   regexp_replace(
-                    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                    regexp_replace(text, 'https?://[^ \t\n\r\f\x0B]+', '<URL>', 'g'),
                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
          FROM w ORDER BY doc_id""",

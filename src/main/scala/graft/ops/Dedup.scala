@@ -164,11 +164,13 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
     val bounded =
       if (exactJaccardBound > 0.0)
-        // epsilon keeps the double product from rounding ABOVE the
-        // exact bound on the boundary (only ever looser, never tighter)
+        // the slack must dominate the PRODUCT's rounding error, which
+        // is relative to its magnitude — a fixed absolute epsilon stops
+        // covering it past ~2^24 shingles — so shave the bound itself
+        // by 1e-12 relative (only ever looser, never tighter)
         paired.where(least(col("nsh_a"), col("nsh_b")).cast(DoubleType) >=
-          greatest(col("nsh_a"), col("nsh_b")) * lit(exactJaccardBound)
-            - lit(1e-9))
+          greatest(col("nsh_a"), col("nsh_b"))
+            * lit(exactJaccardBound * (1 - 1e-12)) - lit(1e-9))
       else paired
     bounded
       .select(col("id_a"), col("id_b"))
@@ -243,12 +245,14 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"),
         col("nsh").as("nsh_b")), "id_b")
       // the count bound is RESTATED here (idempotent — the self-join
-      // already applied it) so this consumer references nsh too: column
-      // pruning would otherwise strip nsh from this side's exchange,
-      // making it canonically different from the banding consumer's and
+      // already applied it, with the same relative-slack epsilon) so
+      // this consumer references nsh too: column pruning would
+      // otherwise strip nsh from this side's exchange, making it
+      // canonically different from the banding consumer's and
       // forfeiting the shared sigFrame scan (one kernel pass, not two)
       .where(least(col("nsh_a"), col("nsh_b")).cast(DoubleType) >=
-        greatest(col("nsh_a"), col("nsh_b")) * lit(threshold) - lit(1e-9) &&
+        greatest(col("nsh_a"), col("nsh_b"))
+          * lit(threshold * (1 - 1e-12)) - lit(1e-9) &&
         estimatedJaccard(col("sig_a"), col("sig_b")) >= estThreshold)
       .select(col("id_a"), col("id_b"))
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
@@ -311,23 +315,28 @@ object Dedup {
     * emitted), so cluster-level dedup — keep one doc per component —
     * needs the closure, not the pairs.
     *
-    * Algorithm: iterative min-label propagation over the undirected
-    * edge list (`label(v) <- min(label(v), min label of neighbors)`),
-    * the standard large-scale formulation: each round is one
-    * shuffle-join + one map-side-partial aggregate over slim (id,
-    * label) pairs, and the round count is the component DIAMETER —
-    * near-dup clusters are dense and shallow, so a handful of rounds
-    * closes 100 TB corpora. Per round the frame is localCheckpoint'ed:
-    * without it the plan lineage doubles per iteration and planning
-    * time, not data, becomes the bottleneck. The driver holds only a
-    * one-row convergence count per round.
+    * Algorithm: min-label propagation over the undirected edge list
+    * (`label(v) <- min(label(v), min label of neighbors)`) COMBINED
+    * with pointer jumping (`label(v) <- label(label(v))`) each round —
+    * propagation alone needs component-DIAMETER rounds (a 60-revision
+    * chain would need ~60), pointer jumping compresses label chains
+    * geometrically, so convergence is O(log diameter) and the default
+    * round cap is unreachable for any physical graph. Each round is
+    * two shuffle-joins + one map-side-partial aggregate over slim (id,
+    * label) pairs. Per round the frame is localCheckpoint'ed: without
+    * it the plan lineage doubles per iteration and planning time, not
+    * data, becomes the bottleneck. The driver holds only a one-row
+    * convergence count per round.
     *
     * Input must carry `id_a`, `id_b` columns (as produced by
     * [[nearDupPairs]] / [[simhashNearDupPairs]] /
     * [[embeddingNearDupPairs]]); ids must be non-null. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (possibly expensive) pair plan ONCE; the
+    // symmetrizing union would otherwise execute it per branch
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint() // edges are re-joined every round: pin them
     var labels = edges.select(col("src").as("id")).distinct()
@@ -338,8 +347,13 @@ object Dedup {
     while (!converged && round < maxIters) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = labels.union(prop)
+      val folded = labels.union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // pointer jump: follow each label to ITS label (min only drops)
+      val parents = folded.select(col("id").as("pid"), col("label").as("plabel"))
+      val next = folded.join(parents, folded("label") === parents("pid"), "left")
+        .select(folded("id"), least(folded("label"),
+          coalesce(col("plabel"), folded("label"))).as("label"))
         .localCheckpoint()
       converged = next.as("n")
         .join(labels.as("o"), "id")

@@ -142,11 +142,17 @@ object Similarity {
     // centroid quality saturates far below full-corpus size, and the
     // per-dimension-mean shuffle is `sampleRows x dim` skinny tuples.
     val base = df.select(col(vecCol))
-    val train = (if (sampleFraction < 1.0)
-      base.sample(withReplacement = false, sampleFraction, seed)
-    else base).persist() // each Lloyd iteration re-scans this frame;
-    // persisting pins the sample and pays the source scan (+ sampling)
-    // once instead of `iters` times
+    // Persist ONLY the sampled frame: each Lloyd iteration re-scans the
+    // training input, and pinning a small sample pays the source scan +
+    // sampling once instead of `iters` times. The full-corpus branch is
+    // deliberately NOT cached — at corpus scale materializing the whole
+    // vector column evicts everything else for a 5-scan loop, and a
+    // columnar re-scan is the cheaper side of that trade.
+    val sampled = sampleFraction < 1.0
+    val train =
+      if (sampled) base.sample(withReplacement = false, sampleFraction, seed)
+        .persist()
+      else base
     try {
       def normalize(v: Array[Double]): Array[Double] = {
         val n = math.sqrt(v.map(x => x * x).sum)
@@ -171,7 +177,7 @@ object Similarity {
         centroids = next.map(normalize)
       }
       centroids
-    } finally train.unpersist(blocking = false)
+    } finally if (sampled) train.unpersist(blocking = false)
   }
 
   /** IVF approximate top-k: corpus rows are bucketed by nearest

@@ -120,10 +120,12 @@ object TextAnalysis {
     * passes can't corrupt earlier redactions). Pure `regexp_replace`
     * chain: per-row narrow work, fused into whole-stage codegen, safe
     * under predicate pushdown. Patterns are deliberately conservative
-    * (shared by Java and RE2 regex dialects, so the DuckDB oracle can
-    * replay them verbatim). */
+    * so Java and RE2 regex dialects agree and the DuckDB oracle can
+    * replay them verbatim — in particular the whitespace class is
+    * spelled out explicitly because `\s` itself DIVERGES between the
+    * dialects (Java's includes vertical tab, RE2's does not). */
   def scrub(text: Column): Column = {
-    val url = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val url = regexp_replace(text, "https?://[^ \\t\\n\\r\\f\\x0B]+", "<URL>")
     val email = regexp_replace(url,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     regexp_replace(email, "[0-9]{9,}", "<NUM>")

@@ -40,6 +40,7 @@ object GraftFunctions {
     ("graft_cosine_sim", classOf[CosineSim], two(CosineSim(_, _))),
     ("graft_ngram_jaccard", classOf[NgramJaccard],
       two(NgramJaccard(_, _, 5))),
+    ("graft_ngram_count", classOf[NgramCount], one(NgramCount(_, 5))),
     ("graft_minhash_sig", classOf[MinHashSig],
       one(MinHashSig(_, 5, 64, 42L))),
     ("graft_sig_agreement", classOf[SigAgreement], two(SigAgreement(_, _))),

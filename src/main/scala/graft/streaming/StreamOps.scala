@@ -110,8 +110,13 @@ object StreamOps {
           ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
       override def handleInputRows(k: K, rows: Iterator[V],
           tv: TimerValues): Iterator[V] =
-        if (seen.exists()) Iterator.empty
-        else { seen.update(true); rows.take(1) }
+        if (seen.exists()) {
+          // re-write the value so the TTL clock restarts: [[firstSeen]]'s
+          // TTL is IDLE-based (refreshed on every arrival), and TTLConfig
+          // expires from the last update, not the last read
+          if (ttl.isDefined) seen.update(true)
+          Iterator.empty
+        } else { seen.update(true); rows.take(1) }
     }
     // TTL needs a clock; without one, no time semantics at all
     val timeMode =

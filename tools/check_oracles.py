@@ -47,10 +47,21 @@ def _cells_equal(a, b):
 
 
 def _has_toplevel_order_by(sql):
-    """True when the SQL's final clause is a top-level ORDER BY
-    (optionally followed by LIMIT): an ORDER BY with no parenthesis
-    after it cannot belong to a subquery or an OVER() window."""
-    return re.search(r"ORDER\s+BY[^()]*$", sql, re.IGNORECASE) is not None
+    """True when an ORDER BY token occurs at parenthesis depth 0 —
+    i.e. it orders the outermost query, not a subquery or an OVER()
+    window. Depth-tracked (not regex-suffix-based) so sort expressions
+    that themselves contain calls, e.g. `ORDER BY round(s, 6)`, are
+    still recognized as top-level."""
+    depth = 0
+    for m in re.finditer(r"\(|\)|ORDER\s+BY", sql, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
 
 
 def _row_sort(df, cols):
