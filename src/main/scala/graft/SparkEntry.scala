@@ -384,6 +384,16 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")
     }),
+    "q_pack" -> ((s, dir) => {
+      // Sequence packing into 2048-token context windows, one stream
+      // per source (concat-and-chunk; see TextAnalysis.packSequences).
+      val docs = t(s, dir, "documents")
+      TextAnalysis.packSequences(docs, "doc_id",
+          TextAnalysis.whitespaceTokenCount(col("text")), "source", 2048L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"), col("spans_packs"))
+        .orderBy("doc_id")
+    }),
     "q_scrub" -> ((s, dir) => {
       // PII scrub. The synthetic corpus carries no URLs/emails/numbers,
       // so every 3rd doc gets a deterministic PII-bearing suffix
@@ -796,6 +806,19 @@ object SparkEntry {
                                 WHEN bucket < 10 THEN 'test'
                                 ELSE 'train' END AS split FROM b)
          SELECT split, count(*) AS n FROM s GROUP BY split ORDER BY split""",
+    "q_pack" ->
+      """WITH tk AS (SELECT doc_id, source,
+                            CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+                     FROM documents),
+              c AS (SELECT doc_id, source, n_tokens,
+                           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ce
+                    FROM tk)
+         SELECT doc_id, source, n_tokens,
+                ce // 2048 AS pack_id,
+                ce % 2048 AS pack_offset,
+                (n_tokens > 0 AND (ce + n_tokens - 1) // 2048 > ce // 2048) AS spans_packs
+         FROM c ORDER BY doc_id""",
     "q_scrub" ->
       """WITH w AS (SELECT doc_id,
                            text || CASE WHEN doc_id % 3 = 0

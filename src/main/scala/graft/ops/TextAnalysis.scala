@@ -139,6 +139,37 @@ object TextAnalysis {
   def splitBucket(text: Column, buckets: Int = 100): Column =
     pmod(fingerprint(text), lit(buckets.toLong)).cast(IntegerType)
 
+  /** Concat-and-chunk sequence packing: within each `partCol` stream,
+    * documents in `idCol` order are laid head-to-tail and chunked into
+    * fixed `capacity`-token context windows. Emits, per doc, the pack
+    * it STARTS in (`pack_id`), its token offset inside that pack
+    * (`pack_offset`), and whether it spills across a pack boundary
+    * (`spans_packs`) — exactly what a pretraining loader needs to
+    * materialize packed examples.
+    *
+    * Scale shape: one running-sum window per `partCol` partition (one
+    * shuffle+sort); choose the partition column so streams are
+    * balanced — packing is order-dependent WITHIN a stream by
+    * construction, so unlike [[graft.ops.AsOfJoin.bucketedAsOf]] a hot
+    * stream cannot be split without changing the packing; shard the
+    * corpus into more streams (e.g. by (source, split-bucket)) instead. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+      partCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cap = lit(capacity)
+    df.withColumn("n_tokens", tokensCol.cast(LongType))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // cumulative sums are non-negative, so truncating division = floor
+      .withColumn("pack_id", expr(s"__cum div $capacity"))
+      .withColumn("pack_offset", pmod(col("__cum"), cap))
+      .withColumn("spans_packs", col("n_tokens") > 0 &&
+        expr(s"(__cum + n_tokens - 1) div $capacity") > col("pack_id"))
+      .drop("__cum")
+  }
+
   /** Label a frame with train/val/test from content-hash buckets:
     * [0, valPct) -> val, [valPct, valPct+testPct) -> test, rest train. */
   def withSplit(df: DataFrame, textCol: String, valPct: Int = 5,

@@ -31,6 +31,20 @@ object KernelProperties extends Properties("graft.kernels") {
       self == 1.0 && j1 == j2 && j1 >= 0.0 && j1 <= 1.0
     }
 
+  property("ngramCount bounds ngramJaccard: J <= min/max (the cascade's " +
+      "lossless prefilter invariant)") =
+    forAll(texts, texts) { (a, b) =>
+      val na = VectorHashes.ngramCount(u(a), 5)
+      val nb = VectorHashes.ngramCount(u(b), 5)
+      val j = VectorHashes.ngramJaccard(u(a), u(b), 5)
+      // counts come from the same distinct-hash sets as the jaccard, so
+      // |A ∩ B| <= min and |A ∪ B| >= max give J <= min/max exactly;
+      // this is what lets min >= t*max prune without losing a true pair
+      val minN = math.min(na, nb).toDouble
+      val maxN = math.max(na, nb).toDouble
+      na >= 1 && nb >= 1 && j <= minN / maxN + 1e-15
+    }
+
   property("minhash: deterministic, fixed length, self-agreement 1") =
     forAll(texts) { s =>
       val s1 = VectorHashes.minhashSig(u(s), 5, 64, 42L)

@@ -110,6 +110,24 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     r.getAs[Double]("quality") should (be > 0.0 and be <= 1.0)
   }
 
+  test("packSequences assigns concat-and-chunk pack ids per stream") {
+    // stream A: 3+4+5 tokens, capacity 6: doc1 [0,3) pack0; doc2 [3,7)
+    // pack0 offset3 SPANS into pack1; doc3 [7,12) pack1 offset1
+    // stream B independent: doc10 [0,6) pack0 exactly full (no span);
+    // doc11 [6,8) pack1 offset0; empty doc12 never spans
+    val df = Seq(
+      (1L, "A", "a b c"), (2L, "A", "d e f g"), (3L, "A", "h i j k l"),
+      (10L, "B", "t u v w x y"), (11L, "B", "z z"), (12L, "B", "")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.packSequences(df, "doc_id",
+        TextAnalysis.whitespaceTokenCount($"text"), "source", 6L)
+      .select("doc_id", "pack_id", "pack_offset", "spans_packs")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    got.toSeq shouldBe Seq(
+      (1L, 0L, 0L, false), (2L, 0L, 3L, true), (3L, 1L, 1L, false),
+      (10L, 0L, 0L, false), (11L, 1L, 0L, false), (12L, 1L, 2L, false))
+  }
+
   test("scrub redacts URLs, emails, and long digit runs; keeps the rest") {
     val df = Seq(
       (1L, "see https://ex.com/a?b=1 or mail bob.smith+x@corp.example now"),
