@@ -384,6 +384,15 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")
     }),
+    "q_mix" -> ((s, dir) => {
+      // Stratified mixing: downweight src0 hard, src1 mildly, keep 80%
+      // of everything else — decided by content-hash bucket, so the
+      // oracle replays the exact same cut.
+      TextAnalysis.mixCorpus(t(s, dir, "documents"), "text", "source",
+          rates = Map("src0" -> 0.2, "src1" -> 0.5), defaultRate = 0.8)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
     "q_pack" -> ((s, dir) => {
       // Sequence packing into 2048-token context windows, one stream
       // per source (concat-and-chunk; see TextAnalysis.packSequences).
@@ -806,6 +815,22 @@ object SparkEntry {
                                 WHEN bucket < 10 THEN 'test'
                                 ELSE 'train' END AS split FROM b)
          SELECT split, count(*) AS n FROM s GROUP BY split ORDER BY split""",
+    "q_mix" ->
+      """WITH d AS (SELECT doc_id, source, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+              h AS (SELECT doc_id, source,
+                           list_reduce(
+                             [CAST(0 AS HUGEINT)] || list_transform(range(1, length(norm)+1),
+                                                                    i -> CAST(unicode(substr(norm, CAST(i AS INTEGER), 1)) AS HUGEINT)),
+                             (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)) AS v
+                    FROM d),
+              sgn AS (SELECT doc_id, source,
+                             CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+                                  THEN v - CAST('18446744073709551616' AS HUGEINT) ELSE v END AS sv
+                      FROM h),
+              b AS (SELECT doc_id, source, CAST(((sv % 1000) + 1000) % 1000 AS INTEGER) AS bucket FROM sgn)
+         SELECT doc_id, source FROM b
+         WHERE bucket < CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 500 ELSE 800 END
+         ORDER BY doc_id""",
     "q_pack" ->
       """WITH tk AS (SELECT doc_id, source,
                             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens

@@ -139,6 +139,29 @@ object TextAnalysis {
   def splitBucket(text: Column, buckets: Int = 100): Column =
     pmod(fingerprint(text), lit(buckets.toLong)).cast(IntegerType)
 
+  /** Deterministic stratified down-sampling ("data mixing"): keep a
+    * per-group fraction of rows, decided by CONTENT-hash bucket rather
+    * than RNG — `bucket(text) < rate * buckets`. Content hashing makes
+    * the decision reproducible across runs/engines (the DuckDB oracle
+    * replays it), stable under id renumbering, and consistent for
+    * exact duplicates (all copies of a text land on the same side of
+    * the cut — no sampling-induced partial dedup). Rates are per group
+    * value; groups absent from the map keep `defaultRate`. Narrow
+    * per-row work, no shuffle. */
+  def mixCorpus(df: DataFrame, textCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      buckets: Int = 1000): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val b = splitBucket(col(textCol), buckets)
+    val cut = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    // rate*buckets is rounded half-up to an integer cut so the kept
+    // fraction is exact in both engines (no float threshold compare)
+    df.where(b < floor(cut * buckets + lit(0.5)).cast(IntegerType))
+  }
+
   /** Concat-and-chunk sequence packing: within each `partCol` stream,
     * documents in `idCol` order are laid head-to-tail and chunked into
     * fixed `capacity`-token context windows. Emits, per doc, the pack

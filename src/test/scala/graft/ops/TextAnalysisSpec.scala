@@ -110,6 +110,28 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     r.getAs[Double]("quality") should (be > 0.0 and be <= 1.0)
   }
 
+  test("mixCorpus: content-determined, duplicate-consistent, rate-monotone") {
+    val df = (1L to 200L).map(i => (i, s"src${i % 2}", s"document number ${i / 2}"))
+      .toDF("id", "source", "text") // ids 2k,2k+1 share text across sources
+    val kept = TextAnalysis.mixCorpus(df, "text", "source",
+        rates = Map("src0" -> 0.5), defaultRate = 1.0)
+      .select("id").as[Long].collect().toSet
+    // default-rate group keeps everything
+    (1L to 200L by 2).foreach(i => kept should contain(i)) // src1 ids are odd
+    // rate 0 and 1 are exact
+    TextAnalysis.mixCorpus(df, "text", "source", Map("src0" -> 0.0, "src1" -> 0.0))
+      .count() shouldBe 0L
+    TextAnalysis.mixCorpus(df, "text", "source", Map.empty)
+      .count() shouldBe 200L
+    // content decides: the same text is kept-or-dropped identically
+    // whatever the id (compare src0 decisions against a relabeled copy)
+    val relabeled = df.withColumn("id", col("id") + 10000)
+    val k2 = TextAnalysis.mixCorpus(relabeled, "text", "source",
+        rates = Map("src0" -> 0.5), defaultRate = 1.0)
+      .select("id").as[Long].collect().map(_ - 10000).toSet
+    k2 shouldBe kept
+  }
+
   test("packSequences assigns concat-and-chunk pack ids per stream") {
     // stream A: 3+4+5 tokens, capacity 6: doc1 [0,3) pack0; doc2 [3,7)
     // pack0 offset3 SPANS into pack1; doc3 [7,12) pack1 offset1
