@@ -530,6 +530,22 @@ object SparkEntry {
 
   // ======================================================== oracle SQL
 
+  /** DuckDB replica of [[graft.functions.TextHashes]]' rolling hash over
+    * an already-normalized VARCHAR column: accumulate `acc*1000003 + b`
+    * mod 2^64 in HUGEINT. ONE source of truth, interpolated into every
+    * oracle that replays the fingerprint (q_split, q_lang_fingerprint,
+    * q_mix) — hand-copied variants can silently diverge. */
+  private def rollingHashSql(normCol: String): String =
+    s"""list_reduce(
+       |  [CAST(0 AS HUGEINT)] || list_transform(range(1, length($normCol)+1),
+       |                                         i -> CAST(unicode(substr($normCol, CAST(i AS INTEGER), 1)) AS HUGEINT)),
+       |  (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  /** Reinterpret a mod-2^64 HUGEINT as signed 64-bit (Spark LongType). */
+  private def signedSql(vCol: String): String =
+    s"""CASE WHEN $vCol >= CAST('9223372036854775808' AS HUGEINT)
+       |     THEN $vCol - CAST('18446744073709551616' AS HUGEINT) ELSE $vCol END""".stripMargin
+
   /** DuckDB 3-level list literal of the LSH hyperplanes q_ann_lsh uses
     * (dim 64, 8 tables x 6 planes, seed 42), printed with
     * Double.toString — the shortest round-trip representation — so
@@ -664,7 +680,7 @@ object SparkEntry {
                 user_id, count(*) AS n
          FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start_ms""",
     "q_dedup_minhash" ->
-      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
               sh AS (SELECT doc_id,
                             list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
                                                          i -> substr(t, CAST(i AS INTEGER), 5))) AS s
@@ -677,7 +693,7 @@ object SparkEntry {
          SELECT id_a, id_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
          FROM c WHERE 2*i >= la + lb - i ORDER BY id_a, id_b""",
     "q_dedup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+      """WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
               sh AS (SELECT doc_id,
                             list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
                                                          i -> substr(t, CAST(i AS INTEGER), 5))) AS s
@@ -732,7 +748,7 @@ object SparkEntry {
                FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
     "q_repetition" ->
-      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
               g AS (SELECT doc_id,
                            list_transform(range(1, greatest(length(t)-4,1)+1),
                                           i -> substr(t, CAST(i AS INTEGER), 5)) AS grams
@@ -740,7 +756,7 @@ object SparkEntry {
          SELECT doc_id, 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
          FROM g ORDER BY doc_id""",
     "q_contamination" ->
-      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
               sh AS (SELECT doc_id,
                             list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
                                                          i -> substr(t, CAST(i AS INTEGER), 5))) AS s
@@ -760,7 +776,7 @@ object SparkEntry {
     "q_curate" ->
       """WITH keep0 AS (SELECT doc_id, text FROM documents
                         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
-              d AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM keep0),
+              d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM keep0),
               sh AS (SELECT doc_id,
                             list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
                                                          i -> substr(t, CAST(i AS INTEGER), 5))) AS s
@@ -801,14 +817,10 @@ object SparkEntry {
          WHERE quality >= 0.5 AND lang_pred <> 'und'
          ORDER BY doc_id""",
     "q_split" ->
-      """WITH d AS (SELECT regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
-              h AS (SELECT list_reduce(
-                             [CAST(0 AS HUGEINT)] || list_transform(range(1, length(norm)+1),
-                                                                    i -> CAST(unicode(substr(norm, CAST(i AS INTEGER), 1)) AS HUGEINT)),
-                             (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)) AS v
+      raw"""WITH d AS (SELECT regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm FROM documents),
+              h AS (SELECT ${rollingHashSql("norm")} AS v
                     FROM d),
-              sgn AS (SELECT CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
-                                  THEN v - CAST('18446744073709551616' AS HUGEINT) ELSE v END AS sv
+              sgn AS (SELECT ${signedSql("v")} AS sv
                       FROM h),
               b AS (SELECT CAST(((sv % 100) + 100) % 100 AS INTEGER) AS bucket FROM sgn),
               s AS (SELECT CASE WHEN bucket < 5 THEN 'val'
@@ -816,16 +828,12 @@ object SparkEntry {
                                 ELSE 'train' END AS split FROM b)
          SELECT split, count(*) AS n FROM s GROUP BY split ORDER BY split""",
     "q_mix" ->
-      """WITH d AS (SELECT doc_id, source, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+      raw"""WITH d AS (SELECT doc_id, source, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm FROM documents),
               h AS (SELECT doc_id, source,
-                           list_reduce(
-                             [CAST(0 AS HUGEINT)] || list_transform(range(1, length(norm)+1),
-                                                                    i -> CAST(unicode(substr(norm, CAST(i AS INTEGER), 1)) AS HUGEINT)),
-                             (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)) AS v
+                           ${rollingHashSql("norm")} AS v
                     FROM d),
               sgn AS (SELECT doc_id, source,
-                             CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
-                                  THEN v - CAST('18446744073709551616' AS HUGEINT) ELSE v END AS sv
+                             ${signedSql("v")} AS sv
                       FROM h),
               b AS (SELECT doc_id, source, CAST(((sv % 1000) + 1000) % 1000 AS INTEGER) AS bucket FROM sgn)
          SELECT doc_id, source FROM b
@@ -833,7 +841,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_pack" ->
       """WITH tk AS (SELECT doc_id, source,
-                            CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+                            CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
                      FROM documents),
               c AS (SELECT doc_id, source, n_tokens,
                            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -859,9 +867,9 @@ object SparkEntry {
                   '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
          FROM w ORDER BY doc_id""",
     "q_lang_fingerprint" ->
-      """WITH t AS (SELECT doc_id,
+      raw"""WITH t AS (SELECT doc_id,
                            list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,
-                           regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+                           regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
                     FROM documents),
               s AS (SELECT doc_id, norm,
                            len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
@@ -871,10 +879,7 @@ object SparkEntry {
                            len(list_filter(toks, x -> list_contains(['的','了','是','在','我','有','他','这'], x))) AS s_zh
                     FROM t),
               h AS (SELECT doc_id,
-                           list_reduce(
-                             [CAST(0 AS HUGEINT)] || list_transform(range(1, length(norm)+1),
-                                                                    i -> CAST(unicode(substr(norm, CAST(i AS INTEGER), 1)) AS HUGEINT)),
-                             (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT)) AS v
+                           ${rollingHashSql("norm")} AS v
                     FROM t)
          SELECT s.doc_id,
                 CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
@@ -883,8 +888,7 @@ object SparkEntry {
                      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
                      WHEN s_fr >= s_zh THEN 'fr'
                      ELSE 'zh' END AS lang_pred,
-                CAST(CASE WHEN h.v >= CAST('9223372036854775808' AS HUGEINT)
-                          THEN h.v - CAST('18446744073709551616' AS HUGEINT) ELSE h.v END AS BIGINT) AS fingerprint
+                CAST(${signedSql("h.v")} AS BIGINT) AS fingerprint
          FROM s JOIN h ON s.doc_id = h.doc_id ORDER BY s.doc_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -896,7 +900,7 @@ object SparkEntry {
     "q_text_stats" ->
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_chars,
-                CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+                CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_subword,
                 CASE WHEN len(toks) > 0
                      THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)

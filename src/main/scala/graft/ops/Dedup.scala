@@ -349,6 +349,8 @@ object Dedup {
         .select(edges("src").as("id"), col("label"))
       val folded = labels.union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint() // the jump self-joins this frame twice;
+        // without pinning, the union+aggregate would execute per side
       // pointer jump: follow each label to ITS label (min only drops)
       val parents = folded.select(col("id").as("pid"), col("label").as("plabel"))
       val next = folded.join(parents, folded("label") === parents("pid"), "left")

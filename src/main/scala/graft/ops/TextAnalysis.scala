@@ -179,6 +179,11 @@ object TextAnalysis {
   def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
       partCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    val reserved = Seq("n_tokens", "pack_id", "pack_offset", "spans_packs", "__cum")
+    val clashes = df.columns.toSet.intersect(reserved.toSet)
+    require(clashes.isEmpty,
+      s"input already has column(s) ${clashes.mkString(", ")} — rename them " +
+        "(packSequences emits n_tokens/pack_id/pack_offset/spans_packs)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -51,10 +51,15 @@ def _has_toplevel_order_by(sql):
     i.e. it orders the outermost query, not a subquery or an OVER()
     window. Depth-tracked (not regex-suffix-based) so sort expressions
     that themselves contain calls, e.g. `ORDER BY round(s, 6)`, are
-    still recognized as top-level."""
+    still recognized as top-level. SQL string literals are skipped
+    first, so parens or the words 'order by' INSIDE a literal (regex
+    patterns, label text) can neither corrupt the depth nor fake a
+    top-level ORDER BY."""
     depth = 0
-    for m in re.finditer(r"\(|\)|ORDER\s+BY", sql, re.IGNORECASE):
+    for m in re.finditer(r"'(?:[^']|'')*'|\(|\)|ORDER\s+BY", sql, re.IGNORECASE):
         tok = m.group(0)
+        if tok.startswith("'"):
+            continue
         if tok == "(":
             depth += 1
         elif tok == ")":
