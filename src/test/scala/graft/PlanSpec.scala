@@ -82,6 +82,33 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "graft_plane_signs".r.findAllIn(p).size should be <= 32 // 2 sides x 8 tables x <=2 plan copies
   }
 
+  test("q_mix and q_scrub are shuffle-free narrow scans") {
+    for (name <- Seq("q_mix", "q_scrub")) {
+      withClue(name) {
+        val p = plan(name)
+        // per-row filter/projection only; the trailing orderBy is the
+        // single allowed exchange (rangepartitioning for the sort)
+        p should not include "Exchange hashpartitioning"
+        p should not include "Join"
+      }
+    }
+  }
+
+  test("q_pack is one window per stream — a single hash exchange, no join") {
+    val p = plan("q_pack")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+    p should include("Window")
+  }
+
+  test("q_dedup_clusters inherits the cascade's shape: no cartesian, no window") {
+    // construction runs the iterative propagation (localCheckpoint
+    // materializes per round); the returned frame must stay join+agg
+    val p = plan("q_dedup_clusters")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.
