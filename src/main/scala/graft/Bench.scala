@@ -46,6 +46,16 @@ object Bench {
     def total(results: Seq[(String, Double)]): Double =
       results.map(_._2).filter(_ >= 0).sum
 
+    // 1-minute load average BEFORE the run: this sandbox is co-tenant
+    // and a loaded neighbor inflates every query uniformly (measured up
+    // to 2x between back-to-back runs) — recording it lets a reader
+    // separate plan regressions from machine noise.
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
+
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // Generic JVM/session/parquet warm-up on a cheap query OUTSIDE the
     // bench set, so no measured query's own plan gets pre-compiled
@@ -56,7 +66,8 @@ object Bench {
     val warm = names.map(n => n -> run(n))
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""queries":${fmt(cold)},"total_warm":${total(warm)},""" +
-      s""""queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
+      s""""queries_warm":${fmt(warm)},"loadavg_before":$loadBefore,""" +
+      s""""loadavg_after":${loadAvg()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
