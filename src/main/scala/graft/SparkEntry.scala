@@ -236,6 +236,19 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
         .distinct().orderBy("c_mktsegment", "c_nationkey")
     }),
+    "q_skew_join" -> ((s, dir) => {
+      // Salted skew join vs the plain-SQL join oracle: the salt spreads
+      // hot keys across reducers and must lose/duplicate NOTHING — the
+      // value-level hash against an unsalted join proves exactly that.
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      ops.SkewJoin.saltedJoin(orders, customer, "o_custkey", saltFactor = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }),
     "q_asof" -> ((s, dir) => {
       // As-of join (Spark has no native ASOF; DuckDB does -> oracle):
       // each purchase aligned to the user's latest click at-or-before
@@ -644,6 +657,10 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
+    "q_skew_join" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment, round(o_totalprice, 2) AS price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
     "q_range" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
                     FROM events WHERE event_type = 'purchase'),
