@@ -336,6 +336,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy("doc_id")
     }),
+    "q_cluster_dedup" -> ((s, dir) => {
+      // One representative per near-dup component + all singletons.
+      Dedup.clusterDedup(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           maxDistance = 3)
@@ -733,6 +740,29 @@ object SparkEntry {
                      FROM lab GROUP BY cluster_id)
          SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size
          FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
+    "q_cluster_dedup" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
+              sh AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+                     FROM d),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+                    FROM sh a JOIN sh b
+                      ON a.doc_id < b.doc_id
+                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s)),
+              p AS (SELECT id_a, id_b FROM c WHERE 2*i >= la + lb - i),
+              e AS (SELECT id_a AS src, id_b AS dst FROM p
+                    UNION SELECT id_b, id_a FROM p),
+              reach(id, r) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+              lab AS (SELECT id, least(id, min(r)) AS cluster_id
+                      FROM reach GROUP BY id)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster_id <> id)
+         ORDER BY doc_id""",
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
               hs AS (SELECT doc_id,

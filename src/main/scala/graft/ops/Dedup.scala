@@ -370,6 +370,23 @@ object Dedup {
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Cluster-level dedup: keep ONE document per connected near-dup
+    * component (the min-id keeper) plus every untouched singleton.
+    * This is the principled version of pair-based dropping: with pairs
+    * A~B and B~C (but no A~C pair emitted), pair-based "drop id_b"
+    * loses C even though C is no near-dup of the kept A; the closure
+    * keeps exactly one representative per component. Cost on top of
+    * [[nearDupClusters]]: one broadcast-able anti-join of the corpus
+    * against the (tiny) non-keeper member list. */
+  def clusterDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val losers = nearDupClusters(nearDupPairs(df, idCol, textCol,
+        threshold = threshold))
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** The end-to-end curation pipeline a training-data user actually
     * runs, composed from the verified pieces: exact dedup (min-id
     * keeper) -> near-dup drop (the HIGHER id of every confirmed pair
