@@ -109,6 +109,29 @@ class AsOfJoinSpec extends SparkSpecBase with Matchers {
     bucketed shouldBe plain
   }
 
+  test("asOf matches a brute-force in-memory model on random data") {
+    val rng = new scala.util.Random(11)
+    val keys = Vector("a", "b", "c", "d")
+    val lRows = Vector.fill(300)((keys(rng.nextInt(4)), rng.nextInt(200).toLong,
+      rng.nextLong()))
+    val rRows = Vector.fill(80)((keys(rng.nextInt(4)), rng.nextInt(200).toLong,
+      rng.nextDouble()))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toVector // unique (key, ts)
+    val l = lRows.toDF("k", "ts", "qty")
+    val r = rRows.toDF("k", "ts", "price")
+
+    val got = AsOfJoin.asOf(l, r, "k", "ts")
+      .select("k", "ts", "qty", "right_ts", "right_price")
+      .as[(String, Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(x => (x._1, x._2, x._3))
+    val want = lRows.map { case (k, ts, qty) =>
+      val m = rRows.filter(x => x._1 == k && x._2 <= ts)
+        .sortBy(_._2).lastOption
+      (k, ts, qty, m.map(_._2), m.map(_._3))
+    }.sortBy(x => (x._1, x._2, x._3))
+    got.toSeq shouldBe want
+  }
+
   test("bucketedAsOf window partitions on (key, bucket), not key alone") {
     val p = AsOfJoin.bucketedAsOf(trades, quotes, "k", "ts", bucketWidth = 10L)
       .queryExecution.analyzed.toString
