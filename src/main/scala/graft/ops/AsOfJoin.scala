@@ -70,21 +70,10 @@ object AsOfJoin {
     val bucketCol = "__asof_bucket"
     require(!left.columns.contains(bucketCol) && !right.columns.contains(bucketCol),
       s"column name $bucketCol is reserved")
-    // floor division in pure long arithmetic, exact AND overflow-free
-    // for the full long range (a double `/` would corrupt buckets past
-    // 2^53, i.e. nanosecond timestamps; the `ts - pmod(ts, w)` phrasing
-    // would underflow within w of Long.MinValue): truncate with
-    // IntegralDivide, then repair toward floor when the remainder is
-    // negative. q*w and ts - q*w stay within [min(ts,0), max(ts,0)].
-    def bucketOf(ts: Column): Column = {
-      import org.apache.spark.sql.GraftColumnBridge
-      val q = GraftColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          GraftColumnBridge.expression(ts),
-          GraftColumnBridge.expression(lit(bucketWidth))))
-      val r = ts - q * lit(bucketWidth)
-      when(r < 0, q - 1).otherwise(q)
-    }
+    // exact, overflow-free floor division (shared with RangeJoin; a
+    // double `/` would corrupt buckets past 2^53, i.e. nanosecond
+    // timestamps — see TimeBuckets)
+    def bucketOf(ts: Column): Column = TimeBuckets.floorDiv(ts, bucketWidth)
 
     val rightPayloadCols = right.columns.filterNot(c => c == keyCol || c == tsCol)
     require(rightPayloadCols.nonEmpty, "right side needs payload columns")

@@ -23,8 +23,9 @@ import org.apache.spark.sql.types.LongType
   */
 object RangeJoin {
 
-  private def floorDiv(a: Column, w: Long): Column =
-    ((a - pmod(a, lit(w))) / w).cast(LongType)
+  // exact, overflow-free floor division (see TimeBuckets: a double `/`
+  // corrupts buckets past 2^53, i.e. nanosecond timestamps)
+  private def floorDiv(a: Column, w: Long): Column = TimeBuckets.floorDiv(a, w)
 
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, lower: Long, upper: Long): DataFrame = {

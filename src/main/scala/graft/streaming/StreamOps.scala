@@ -51,6 +51,45 @@ object StreamOps {
         col("session_window.end").as("sess_end"),
         col(keyCol), col("n"))
 
+  /** Watermarked stream-stream interval join: per key, pairs each left
+    * row with the right rows whose event time falls in
+    * `[leftTs + lowerSec, leftTs + upperSec]` (seconds; negative lower
+    * = lookback) — the streaming analogue of
+    * [[graft.ops.RangeJoin.intervalJoin]] for ingest-time enrichment
+    * (purchase <- clicks in the preceding hour, sensor alignment).
+    *
+    * The time-range predicate lives IN the join condition as foldable
+    * interval arithmetic, which is what lets Spark derive a state
+    * eviction bound from the watermarks: each side keeps only rows
+    * inside `watermark + |bound|`, so state is bounded by arrival rate
+    * x (delay + window), not by stream length. Right payload columns
+    * are emitted as `right_<name>` (batch RangeJoin convention); the
+    * join also runs on batch frames unchanged (watermark is a no-op).
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, lowerSec: Long, upperSec: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(upperSec >= lowerSec, s"upper ($upperSec) < lower ($lowerSec)")
+    val rPayload = right.columns.filterNot(_ == keyCol)
+    val reserved = "__rkey" +: rPayload.map(c => s"right_$c")
+    val clashes = left.columns.toSet.intersect(reserved.toSet)
+    require(clashes.isEmpty,
+      s"left side already has column(s) ${clashes.mkString(", ")} — rename them")
+
+    val lw = left.withWatermark(tsCol, watermarkDelay)
+    val rw = right.select(
+        (col(keyCol).as("__rkey") +:
+          rPayload.map(c => col(c).as(s"right_$c")).toIndexedSeq): _*)
+      .withWatermark(s"right_$tsCol", watermarkDelay)
+    lw.join(rw,
+        col(keyCol) === col("__rkey") &&
+          col(s"right_$tsCol") >=
+            expr(s"$tsCol + make_interval(0,0,0,0,0,0,$lowerSec)") &&
+          col(s"right_$tsCol") <=
+            expr(s"$tsCol + make_interval(0,0,0,0,0,0,$upperSec)"))
+      .drop("__rkey")
+  }
+
   /** Streaming exact dedup on `idCols`, with state bounded by the
     * watermark horizon (`dropDuplicatesWithinWatermark`): duplicates
     * arriving within the horizon are dropped; state for older ids is

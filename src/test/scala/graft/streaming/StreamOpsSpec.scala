@@ -72,6 +72,41 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     ids shouldBe Array((1L, "first"), (2L, "other"), (3L, "new"))
   }
 
+  test("streamingIntervalJoin pairs rows within the window, incrementally") {
+    val lIn = MemoryStream[(Timestamp, String, Long)](spark)
+    val rIn = MemoryStream[(Timestamp, String, Long)](spark)
+    val joined = StreamOps.streamingIntervalJoin(
+      lIn.toDF().toDF("ts", "k", "purchase_id"),
+      rIn.toDF().toDF("ts", "k", "click_id"),
+      "k", "ts", lowerSec = -600, upperSec = 0) // clicks in prior 10 min
+    val q = joined.writeStream.format("memory").queryName("sij")
+      .outputMode("append").start()
+    // batch 1: clicks before the purchases arrive (cross-batch state)
+    rIn.addData((ts(0), "a", 100L), (ts(8), "a", 101L), (ts(0), "b", 200L))
+    q.processAllAvailable()
+    // batch 2: purchases; a@10:09 sees clicks at 10:00+10:08, b@10:30 none
+    lIn.addData((ts(9), "a", 1L), (ts(30), "b", 2L))
+    q.processAllAvailable()
+    // batch 3: a late-but-in-window click pairs with the earlier purchase
+    rIn.addData((ts(9), "a", 102L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sij")
+      .select("k", "purchase_id", "right_click_id")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3))
+    rows.toSeq shouldBe Seq(("a", 1L, 100L), ("a", 1L, 101L), ("a", 1L, 102L))
+  }
+
+  test("streamingIntervalJoin on batch frames equals RangeJoin semantics") {
+    val l = Seq((ts(9), "a", 1L), (ts(30), "b", 2L)).toDF("ts", "k", "pid")
+    val r = Seq((ts(0), "a", 100L), (ts(8), "a", 101L), (ts(25), "b", 200L),
+      (ts(31), "b", 201L)).toDF("ts", "k", "cid")
+    val got = StreamOps.streamingIntervalJoin(l, r, "k", "ts", -600, 0)
+      .select("k", "pid", "right_cid").as[(String, Long, Long)]
+      .collect().sortBy(x => (x._1, x._2, x._3))
+    got.toSeq shouldBe Seq(("a", 1L, 100L), ("a", 1L, 101L), ("b", 2L, 200L))
+  }
+
   test("firstSeen emits one record per key across batches (custom state)") {
     val in = MemoryStream[(Long, String)](spark)
     val out = StreamOps.firstSeen[Long, (Long, String)](in.toDS(), _._1)
