@@ -326,7 +326,10 @@ object Dedup {
     * label) pairs. Per round the frame is localCheckpoint'ed: without
     * it the plan lineage doubles per iteration and planning time, not
     * data, becomes the bottleneck. The driver holds only a one-row
-    * convergence count per round.
+    * convergence count per round. Superseded per-round checkpoints are
+    * released by Spark's ContextCleaner once the replaced frames go
+    * unreferenced (vars are reassigned each round) — storage occupancy
+    * is a few rounds of slim (id, label) frames, not the whole history.
     *
     * Input must carry `id_a`, `id_b` columns (as produced by
     * [[nearDupPairs]] / [[simhashNearDupPairs]] /
@@ -379,9 +382,13 @@ object Dedup {
     * [[nearDupClusters]]: one broadcast-able anti-join of the corpus
     * against the (tiny) non-keeper member list. */
   def clusterDedup(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    // forward every cascade knob so pair-level and cluster-level dedup
+    // can never disagree on which docs count as near-dups
     val losers = nearDupClusters(nearDupPairs(df, idCol, textCol,
-        threshold = threshold))
+        k, bands, rowsPerBand, threshold, seed, maxBucketSize))
       .where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -175,7 +175,13 @@ object TextAnalysis {
     * balanced — packing is order-dependent WITHIN a stream by
     * construction, so unlike [[graft.ops.AsOfJoin.bucketedAsOf]] a hot
     * stream cannot be split without changing the packing; shard the
-    * corpus into more streams (e.g. by (source, split-bucket)) instead. */
+    * corpus into more streams (e.g. by (source, split-bucket)) instead.
+    *
+    * CONTRACT: `idCol` must be unique within each `partCol` stream —
+    * it is the packing order, and tied ids would leave the cumulative
+    * sums (hence pack assignments) shuffle-order-dependent between
+    * runs. Same uniqueness discipline as [[graft.ops.AsOfJoin]]'s
+    * right side. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
       partCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")

