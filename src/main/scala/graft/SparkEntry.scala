@@ -266,6 +266,43 @@ object SparkEntry {
           col("right_ts").as("click_ts_us"))
         .orderBy("event_id")
     }),
+    "q_bucketed_asof" -> ((s, dir) => {
+      // The hot-key-safe as-of variant under the SAME DuckDB ASOF
+      // oracle as q_asof: identical output is the operator's whole
+      // contract, so the driver's hash gate enforces it per round.
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      ops.AsOfJoin.bucketedAsOf(purchases, clicks, "user_id", "ts",
+          bucketWidth = 3600000000L) // 1h of microseconds per bucket
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("right_click_id").as("click_id"),
+          col("right_ts").as("click_ts_us"))
+        .orderBy("event_id")
+    }),
+    "q_stream_interval" -> ((s, dir) => {
+      // The watermarked stream-stream interval join on a batch frame
+      // (watermark = no-op) under q_range's oracle: same pairs, same
+      // values — batch parity is the correctness story for every
+      // streaming op here.
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tt"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tt"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("tt"), col("event_id").as("click_id"))
+      graft.streaming.StreamOps.streamingIntervalJoin(purchases, clicks,
+          "user_id", "tt", lowerSec = -3600, upperSec = 0)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("tt")).as("ts_us"),
+          col("right_click_id").as("click_id"),
+          unix_micros(col("right_tt")).as("click_ts_us"))
+        .orderBy("event_id", "click_id")
+    }),
     "q_range" -> ((s, dir) => {
       // Interval join: clicks within the hour BEFORE each purchase
       // (binned implementation — hot users spread over time buckets).
@@ -664,6 +701,23 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
+    "q_bucketed_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.cts AS click_ts_us
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.cts
+         ORDER BY p.event_id""",
+    "q_stream_interval" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS click_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+                    FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.cts AS click_ts_us
+         FROM p JOIN c ON p.user_id = c.user_id
+                      AND c.cts >= p.ts_us - 3600000000 AND c.cts <= p.ts_us
+         ORDER BY p.event_id, c.click_id""",
     "q_skew_join" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment, round(o_totalprice, 2) AS price
          FROM orders JOIN customer ON o_custkey = c_custkey
