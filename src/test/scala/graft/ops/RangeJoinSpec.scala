@@ -31,6 +31,25 @@ class RangeJoinSpec extends SparkSpecBase with Matchers {
     binned shouldBe Array((1L, 10L), (1L, 11L), (2L, 12L), (3L, 14L))
   }
 
+  test("intervalJoin matches the naive join on random data and windows") {
+    val rng = new scala.util.Random(13)
+    val keys = Vector("a", "b", "c")
+    val l = Vector.fill(200)((keys(rng.nextInt(3)), rng.nextInt(1000).toLong,
+      rng.nextLong())).toDF("k", "ts", "lid")
+    val r = Vector.fill(150)((keys(rng.nextInt(3)), rng.nextInt(1000).toLong,
+      rng.nextLong())).toDF("k", "ts", "rid")
+    for ((lo, hi) <- Seq((-50L, 0L), (0L, 77L), (-33L, 33L), (-1000L, 1000L))) {
+      withClue(s"window [$lo, $hi]") {
+        val binned = RangeJoin.intervalJoin(l, r, "k", "ts", lo, hi)
+          .select("lid", "right_rid").as[(Long, Long)].collect().sorted
+        val naive = l.as("a").join(r.as("b"),
+            $"a.k" === $"b.k" && $"b.ts" >= $"a.ts" + lo && $"b.ts" <= $"a.ts" + hi)
+          .select($"a.lid", $"b.rid").as[(Long, Long)].collect().sorted
+        binned shouldBe naive
+      }
+    }
+  }
+
   test("plan: equi-join on (key, bucket) — no cartesian/nested-loop") {
     val p = RangeJoin.intervalJoin(left, right, "k", "ts", -30L, 0L)
       .queryExecution.executedPlan.toString
