@@ -506,10 +506,13 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> ((s, dir) => {
       // IVF scale path: spherical k-means inverted lists + nprobe
-      // probing. Approximate by design (recall ~0.9 on these
-      // near-uniform synthetic embeddings) -> rows-only check here;
-      // SimilaritySpec pins exact brute-force equality under full
-      // probing and self-match under partial probing.
+      // probing. Approximate vs brute-force ground truth (recall ~0.9
+      // on these near-uniform synthetic embeddings) but fully
+      // DETERMINISTIC: the training sample is an id-hash filter and the
+      // Lloyd means are exact fixed-point sums, so the DuckDB oracle
+      // replays the whole train+serve pipeline bit-for-bit (ivfSql).
+      // SimilaritySpec additionally pins exact brute-force equality
+      // under full probing and self-match under partial probing.
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -614,14 +617,92 @@ object SparkEntry {
       .map(_.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
 
-  /** DuckDB equivalents over the same parquet tables. Omitted only for
-    * the genuinely approximate-AND-unreplayable ops: q_embed_neardup
-    * (recall < 1 by design) and q_ann_ivf (training samples the corpus;
-    * the sampler is Spark-internal and not reproducible in SQL) ->
-    * driver records the weaker rows-only check. q_ann_lsh IS oracled:
-    * at the demo parameters the seeded planes are embedded in the SQL
+  /** DuckDB replica of the FULL q_ann_ivf pipeline — k-means training
+    * included. Replayable because every training step is deterministic:
+    * the sample is the id-hash filter ([[graft.ops.Similarity
+    * .hashSampleFilter]], restated here in integer SQL), per-dimension
+    * means are exact fixed-point long sums (order-insensitive, unlike a
+    * double avg), and assignment/probing tie-break (score DESC, index
+    * ASC) matches the Centroids kernels' first-max scan. The `iters`
+    * Lloyd rounds are UNROLLED as CTE pairs — no recursion needed for a
+    * fixed iteration count. `list_sum` folds ascending like the
+    * kernels' accumulation loops (same property q_ann_lsh relies on),
+    * so dots, norms, and cosines are bit-identical. */
+  private def ivfSql(k: Int, iters: Int, nprobe: Int, topk: Int,
+      dim: Int, sampleFraction: Double, seed: Long): String = {
+    import graft.ops.Similarity.{SampleMod, SampleMul}
+    val keep = (sampleFraction * SampleMod).toLong
+    val d1 = dim + 1
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, $d1), ii -> $a[ii] * $b[ii]))"
+    def normalize(m: String) =
+      s"""CASE WHEN sqrt(list_sum(list_transform($m, y -> y*y))) > 0
+         |     THEN list_transform($m, x -> x / sqrt(list_sum(list_transform($m, y -> y*y))))
+         |     ELSE $m END""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""sc$i AS (SELECT t.vec_id, c.j, ${dot("t.v", "c.c")} AS d
+         |          FROM train t, $prev c),
+         |asg$i AS (SELECT vec_id, j AS cluster FROM (
+         |            SELECT vec_id, j,
+         |                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, j) AS rn
+         |            FROM sc$i) WHERE rn = 1),
+         |sum$i AS (SELECT a.cluster, p.pos,
+         |                 SUM(CAST(floor(t.v[p.pos] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         |                 COUNT(*) AS n
+         |          FROM train t JOIN asg$i a USING (vec_id), generate_series(1, $dim) p(pos)
+         |          GROUP BY a.cluster, p.pos),
+         |mean$i AS (SELECT cluster AS j,
+         |                  list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 ORDER BY pos) AS m
+         |           FROM sum$i GROUP BY cluster),
+         |raw$i AS (SELECT c.j, COALESCE(m.m, c.c) AS m
+         |          FROM $prev c LEFT JOIN mean$i m ON m.j = c.j),
+         |cent$i AS (SELECT j, ${normalize("m")} AS c FROM raw$i)""".stripMargin
+    }.mkString(",\n")
+    val cents = s"cent$iters"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |     train AS (SELECT vec_id, v FROM e
+       |               WHERE ((vec_id % $SampleMod) * $SampleMul + $seed) % $SampleMod < $keep),
+       |     init AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k),
+       |     cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS j,
+       |                      ${normalize("v")} AS c
+       |               FROM init),
+       |$iterCtes,
+       |     casg AS (SELECT vec_id, cluster FROM (
+       |                SELECT e.vec_id, c.j AS cluster,
+       |                       row_number() OVER (PARTITION BY e.vec_id
+       |                                          ORDER BY ${dot("e.v", "c.c")} DESC, c.j) AS rn
+       |                FROM e, $cents c) WHERE rn = 1),
+       |     qprobe AS (SELECT qid, cluster FROM (
+       |                  SELECT e.vec_id AS qid, c.j AS cluster,
+       |                         row_number() OVER (PARTITION BY e.vec_id
+       |                                            ORDER BY ${dot("e.v", "c.c")} DESC, c.j) AS rn
+       |                  FROM e, $cents c WHERE e.vec_id < 10) WHERE rn <= $nprobe),
+       |     cand AS (SELECT q.qid, ca.vec_id AS nid
+       |              FROM casg ca JOIN qprobe q ON ca.cluster = q.cluster),
+       |     scored AS (SELECT cand.qid, cand.nid,
+       |                       ${dot("ev.v", "qv.v")}
+       |                       / (sqrt(${dot("ev.v", "ev.v")})
+       |                        * sqrt(${dot("qv.v", "qv.v")})) AS s
+       |                FROM cand JOIN e ev ON ev.vec_id = cand.nid
+       |                          JOIN e qv ON qv.vec_id = cand.qid),
+       |     ranked AS (SELECT qid, nid, s,
+       |                       row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+       |                FROM scored WHERE s IS NOT NULL)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+       |       round(s, 6) AS score
+       |FROM ranked WHERE rn <= $topk ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB equivalents over the same parquet tables — ALL queries are
+    * oracled, including the approximate ANN/near-dup family: an
+    * approximate result is still a DETERMINISTIC function of its seeded
+    * parameters, so "recall < 1 vs ground truth" never blocks a replay.
+    * q_ann_lsh / q_embed_neardup embed the seeded planes in the SQL
     * as exact double literals, so the full candidates-then-rerank
-    * pipeline replays deterministically. q_dedup_minhash IS oracled (its
+    * pipeline replays deterministically; q_ann_ivf replays k-means
+    * training itself (see [[ivfSql]]). q_dedup_minhash IS oracled (its
     * confirm stage outputs exact n-gram Jaccard, and LSH recall is 1 on
     * this corpus — verified against all-pairs ground truth), and
     * q_dedup_simhash IS oracled (Charikar chunking is a COMPLETE
@@ -1065,6 +1146,34 @@ object SparkEntry {
          SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
                 round(s, 6) AS score
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    "q_ann_ivf" -> ivfSql(k = 16, iters = 5, nprobe = 4, topk = 5,
+      dim = 64, sampleFraction = 0.1, seed = 42L),
+    // Same seeded planes as q_ann_lsh (8 tables x 6 planes over dim 64,
+    // seed 42 — embeddingNearDupPairs shares Similarity's bucketing);
+    // candidates = pairs sharing any (table, bucket), then the exact
+    // cosine confirm and threshold, exactly as the Spark cascade. The
+    // cosine orders id_a's vector first (dot, then norm_a * norm_b) to
+    // mirror CosineSim's accumulation/denominator order bit-for-bit.
+    "q_embed_neardup" ->
+      s"""WITH p AS (SELECT $lshPlanesSql AS pl),
+              e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              cb AS (SELECT vec_id, t,
+                            CAST(list_sum(list_transform(range(0, 6), j ->
+                              CASE WHEN list_sum(list_transform(range(1, 65),
+                                     i -> v[i] * pl[CAST(t AS INTEGER) + 1][CAST(j AS INTEGER) + 1][CAST(i AS INTEGER)])) > 0.0
+                                   THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+                     FROM e, generate_series(0, 7) s(t), p),
+              cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                       FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket
+                                          AND a.vec_id < b.vec_id),
+              scored AS (SELECT c.id_a, c.id_b,
+                                list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
+                                / (sqrt(list_sum(list_transform(range(1, 65), i -> ea.v[i] * ea.v[i])))
+                                 * sqrt(list_sum(list_transform(range(1, 65), i -> eb.v[i] * eb.v[i])))) AS c
+                         FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                                     JOIN e eb ON eb.vec_id = c.id_b)
+         SELECT id_a, id_b, round(c, 6) AS cosine
+         FROM scored WHERE c >= 0.3 ORDER BY id_a, id_b""",
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
               s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),

@@ -123,14 +123,42 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF
 
+  /** Modulus/multiplier of [[hashSampleFilter]]'s multiplicative hash
+    * (a prime modulus and Knuth's 2^32/phi multiplier). */
+  private[graft] val SampleMod = 1000000007L
+  private[graft] val SampleMul = 2654435761L
+
+  /** Deterministic hash-based row sample: keep a row iff a seeded
+    * multiplicative hash of its id lands below `fraction` of the
+    * modulus. Unlike `Dataset.sample` (whose Bernoulli RNG is keyed by
+    * partition index, so the kept set changes under repartitioning and
+    * is irreproducible outside Spark), this is a pure function of the
+    * id column — stable under retries/AQE re-plans and replayable
+    * verbatim in the DuckDB oracle. The inner `pmod` bounds the
+    * multiplicand so `id * mul` can never overflow a long (ANSI mode
+    * would throw, non-ANSI would silently bias the sample). */
+  def hashSampleFilter(id: Column, fraction: Double, seed: Long): Column =
+    pmod(pmod(id.cast(LongType), lit(SampleMod)) * lit(SampleMul) + lit(seed),
+      lit(SampleMod)) < lit((fraction * SampleMod).toLong)
+
   /** Train a spherical k-means coarse quantizer with Lloyd iterations
     * expressed as DataFrame jobs: assign rows to centroids with the
     * codegen'd [[graft.functions.Centroids.centroid_assign]] kernel
     * (one narrow pass), recompute per-dimension means via
     * posexplode + groupBy (shuffles `rows x dim` skinny tuples — train
     * on a SAMPLE at scale), normalize on the driver. Only `k x dim`
-    * doubles ever reach the driver per iteration. Deterministic init:
+    * sums ever reach the driver per iteration. Deterministic init:
     * the k lowest-id vectors, normalized.
+    *
+    * Fully deterministic end to end: the sample is the id-hash filter
+    * above, and the per-dimension mean accumulates FIXED-POINT longs
+    * (each component quantized to 1e-6 before summing) instead of a
+    * double `avg` — a distributed double sum's value depends on
+    * partition/merge order, so the same job can produce different last
+    * bits run to run; the long sum is exact and order-insensitive, and
+    * the single driver-side division is bit-reproducible in any engine
+    * (the DuckDB oracle replays the whole training loop). The <=5e-7
+    * per-component quantization offset is noise to quantizer quality.
     *
     * Scale shape: training is a fixed number of narrow scans + skinny
     * shuffles over a bounded sample; serving (ivfTopK) never trains. */
@@ -141,7 +169,6 @@ object Similarity {
     // At corpus scale, train the quantizer on a seeded sample — k-means
     // centroid quality saturates far below full-corpus size, and the
     // per-dimension-mean shuffle is `sampleRows x dim` skinny tuples.
-    val base = df.select(col(vecCol))
     // Persist ONLY the sampled frame: each Lloyd iteration re-scans the
     // training input, and pinning a small sample pays the source scan +
     // sampling once instead of `iters` times. The full-corpus branch is
@@ -150,9 +177,9 @@ object Similarity {
     // columnar re-scan is the cheaper side of that trade.
     val sampled = sampleFraction < 1.0
     val train =
-      if (sampled) base.sample(withReplacement = false, sampleFraction, seed)
-        .persist()
-      else base
+      if (sampled) df.where(hashSampleFilter(col(idCol), sampleFraction, seed))
+        .select(col(vecCol)).persist()
+      else df.select(col(vecCol))
     try {
       def normalize(v: Array[Double]): Array[Double] = {
         val n = math.sqrt(v.map(x => x * x).sum)
@@ -167,13 +194,15 @@ object Similarity {
           graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
             .as("cluster"),
           posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("pos", "x")))
-        val means = assigned.groupBy(col("cluster"), col("pos"))
-          .agg(avg(col("x")).as("m"))
+        val sums = assigned.groupBy(col("cluster"), col("pos"))
+          .agg(sum(floor(col("x") * lit(1e6) + lit(0.5))).as("s"),
+            count(lit(1)).as("n"))
           .collect()
         val next = centroids.map(_.clone())
-        means.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-        } // empty clusters keep their previous centroid
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            (r.getLong(2).toDouble / r.getLong(3).toDouble) / 1e6
+        } // empty clusters keep their previous centroid (re-normalized below)
         centroids = next.map(normalize)
       }
       centroids
