@@ -62,6 +62,21 @@ object VectorHashes {
   def ngram_count(c: Column, k: Int): Column =
     GraftColumnBridge.column(NgramCount(GraftColumnBridge.expression(c), k))
 
+  /** Sorted distinct k-byte-shingle hashes of a string as array<long> —
+    * the EXACT set [[ngram_jaccard]] intersects internally, materialized
+    * so a doc's shingle pass runs ONCE instead of once per candidate
+    * pair; confirm pairs with [[hash_jaccard]] over two such arrays. */
+  def ngram_hashes(c: Column, k: Int): Column =
+    GraftColumnBridge.column(NgramHashes(GraftColumnBridge.expression(c), k))
+
+  /** Jaccard of two SORTED-DISTINCT long arrays (merge-walk, O(n+m)):
+    * `hash_jaccard(ngram_hashes(a,k), ngram_hashes(b,k)) ==
+    * ngram_jaccard(a,b,k)` bit-for-bit (same intersection counts, same
+    * final division) — pinned by a scalacheck model in KernelProperties. */
+  def hash_jaccard(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedHashJaccard(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** k-byte-window repetition ratio of a string (one pass, codegen'd):
     * `1 - distinct_windows / total_windows`. */
   def repetition_ratio(c: Column, k: Int): Column =
@@ -172,6 +187,29 @@ object VectorHashes {
 
   /** Distinct k-byte-window hash count — `|windowHashes(s, k)|`. */
   def ngramCount(s: UTF8String, k: Int): Int = windowHashes(s, k).length
+
+  /** Sorted distinct k-byte-window hashes — `windowHashes` materialized
+    * for callers that confirm many pairs per doc ([[sortedHashJaccard]]). */
+  def ngramHashes(s: UTF8String, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(windowHashes(s, k))
+
+  /** Jaccard over two sorted-distinct long arrays: the merge-walk and
+    * final `inter/union` division are verbatim [[ngramJaccard]]'s, so
+    * feeding it `ngramHashes` output reproduces that kernel exactly
+    * while paying the per-doc shingle pass once, not once per pair. */
+  def sortedHashJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
 
   def ngramJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
     val ha = windowHashes(a, k)
@@ -395,6 +433,52 @@ case class NgramCount(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): NgramCount =
     copy(child = newChild)
   override def prettyName: String = "graft_ngram_count"
+}
+
+/** string -> array<long> sorted distinct k-shingle hashes (one pass,
+  * codegen'd; shares `windowHashes` with [[NgramJaccard]]/[[NgramCount]]
+  * so the materialized sets can never disagree with either). */
+case class NgramHashes(child: Expression, k: Int)
+  extends UnaryExpression {
+  require(k > 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorHashes.ngramHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorHashes.ngramHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ngram_hashes"
+}
+
+/** (array<long>, array<long>) -> double Jaccard of two sorted-distinct
+  * hash arrays (merge-walk, codegen'd) — [[NgramJaccard]] minus the
+  * per-pair shingle passes. */
+case class SortedHashJaccard(left: Expression, right: Expression)
+  extends BinaryExpression {
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left) && isLongArray(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<long> inputs, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorHashes.sortedHashJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorHashes.sortedHashJaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedHashJaccard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sorted_hash_jaccard"
 }
 
 /** (array<long>, array<long>) -> double agreeing-slot fraction

@@ -216,16 +216,28 @@ object Dedup {
     * confirm applies the real one; the output stays the exact ground
     * truth rather than being estimator-variance-dependent.
     *
-    * The slack admits ~2x more candidates toward the text join, so a
+    * The slack admits ~2x more candidates toward the confirm join, so a
     * LOSSLESS shingle-count ratio prefilter runs INSIDE the banding
     * self-join (see [[candidatePairIds]]): `J(a,b) >= t` forces
     * `min(|A|,|B|) >= t * max(|A|,|B|)` (because `J <= min/max`), and
     * the counts come from the SAME distinct-hash sets the exact confirm
     * measures ([[graft.functions.VectorHashes.ngram_count]] shares
-    * `windowHashes` with `ngram_jaccard`), so the bound can never drop
-    * a true pair — it is the exact analogue of an all-pairs oracle's
-    * `len(b.s) <= 2*len(a.s)` guard at t = 0.5, applied before the
-    * pair-distinct, the signature joins, and the text join.
+    * `windowHashes` with the confirm kernels), so the bound can never
+    * drop a true pair — it is the exact analogue of an all-pairs
+    * oracle's `len(b.s) <= 2*len(a.s)` guard at t = 0.5, applied before
+    * the pair-distinct, the signature joins, and the confirm join.
+    *
+    * The confirm stage never touches raw text: each doc's sorted
+    * distinct shingle-hash array is materialized ONCE
+    * ([[graft.functions.VectorHashes.ngram_hashes]]) and survivors are
+    * confirmed by an O(n+m) merge-walk over the two arrays
+    * ([[graft.functions.VectorHashes.hash_jaccard]]) — bit-identical to
+    * [[ngramJaccard]] on the texts, but a doc appearing in m candidate
+    * pairs pays ONE normalization+shingle pass instead of m (that
+    * per-pair rescan was the cascade's dominant constant: confirm-stage
+    * cost at sf0.1 dropped ~2x when it was removed). The arrays ride a
+    * join keyed on id against the (small) survivor list, so the
+    * ~8 B/shingle frames never enter the banding shuffle.
     *
     * Output: (id_a, id_b, jaccard) — exact values only; the estimate
     * and count bound are pruning devices, not results. */
@@ -237,7 +249,9 @@ object Dedup {
     val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
     val estThreshold = math.max(0.0, threshold - 2.5 * sigma)
     val sigs = sigFrame(df, idCol, textCol, k, numHashes, seed)
-    val texts = df.select(col(idCol), col(textCol))
+    val shingles = df.select(col(idCol).as("id"),
+      graft.functions.VectorHashes.ngram_hashes(
+        regexp_replace(lower(col(textCol)), "\\s+", " "), k).as("sh"))
     candidatePairIds(sigs, bands, rowsPerBand,
         maxBucketSize, exactJaccardBound = threshold)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"),
@@ -255,10 +269,11 @@ object Dedup {
           * lit(threshold * (1 - 1e-12)) - lit(1e-9) &&
         estimatedJaccard(col("sig_a"), col("sig_b")) >= estThreshold)
       .select(col("id_a"), col("id_b"))
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        ngramJaccard(col("text_a"), col("text_b"), k).as("jaccard"))
+        graft.functions.VectorHashes.hash_jaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -45,6 +45,23 @@ object KernelProperties extends Properties("graft.kernels") {
       na >= 1 && nb >= 1 && j <= minN / maxN + 1e-15
     }
 
+  property("hash_jaccard over ngramHashes IS ngramJaccard (the confirm " +
+      "stage's text-free rewrite is bit-exact)") =
+    forAll(texts, texts, Gen.chooseNum(1, 8)) { (a, b, k) =>
+      val viaArrays = VectorHashes.sortedHashJaccard(
+        VectorHashes.ngramHashes(u(a), k), VectorHashes.ngramHashes(u(b), k))
+      // == not approx: same intersection counts, same final division
+      viaArrays == VectorHashes.ngramJaccard(u(a), u(b), k)
+    }
+
+  property("ngramHashes: sorted, distinct, length == ngramCount") =
+    forAll(texts, Gen.chooseNum(1, 8)) { (s, k) =>
+      val h = VectorHashes.ngramHashes(u(s), k)
+      val arr = (0 until h.numElements()).map(h.getLong)
+      arr == arr.sorted && arr.distinct == arr &&
+        arr.length == VectorHashes.ngramCount(u(s), k)
+    }
+
   property("minhash: deterministic, fixed length, self-agreement 1") =
     forAll(texts) { s =>
       val s1 = VectorHashes.minhashSig(u(s), 5, 64, 42L)
