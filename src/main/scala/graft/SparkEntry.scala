@@ -1233,11 +1233,18 @@ object SparkEntry {
 
   /** Headline queries Bench runs at sf0.1 (the heavy relational + LLM +
     * streaming-surface ops; Bench forces full evaluation via the noop
-    * sink and reports a cold and a warm pass per query). */
+    * sink and reports one cold pass and a median-of-3 warm regime per
+    * query). Every operator family with a non-trivial plan is here —
+    * including the round-5 additions (cluster dedup, LSH ANN, bucketed
+    * as-of, stream-stream interval join, packing, skew join, scrub,
+    * mixing), so no expensive operator's cost is invisible to the
+    * driver's bench. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_ann_brute",
     "q_multimodal_meta", "q_stream_window", "q_stream_session",
     "q_vocab", "q_repetition", "q_ann_ivf", "q_quantize",
-    "q_asof", "q_range")
+    "q_asof", "q_range",
+    "q_cluster_dedup", "q_ann_lsh", "q_bucketed_asof", "q_stream_interval",
+    "q_pack", "q_skew_join", "q_scrub", "q_mix")
 }

@@ -338,43 +338,54 @@ object Dedup {
     * geometrically, so convergence is O(log diameter) and the default
     * round cap is unreachable for any physical graph. Each round is
     * two shuffle-joins + one map-side-partial aggregate over slim (id,
-    * label) pairs. Per round the frame is localCheckpoint'ed: without
-    * it the plan lineage doubles per iteration and planning time, not
-    * data, becomes the bottleneck. The driver holds only a one-row
+    * label) pairs. Per round the frame is checkpointed: without it the
+    * plan lineage doubles per iteration and planning time, not data,
+    * becomes the bottleneck. The driver holds only a one-row
     * convergence count per round. Superseded per-round checkpoints are
     * released by Spark's ContextCleaner once the replaced frames go
     * unreferenced (vars are reassigned each round) — storage occupancy
     * is a few rounds of slim (id, label) frames, not the whole history.
     *
+    * Durability: the default `localCheckpoint` stores blocks on
+    * EXECUTORS with truncated lineage — cheap, but on a real cluster
+    * one lost executor mid-propagation fails the job unrecoverably.
+    * Pass `checkpointDir` (an HDFS/object-store path at cluster scale)
+    * to use RELIABLE `checkpoint()` instead: each round's slim frame is
+    * written to fault-tolerant storage and survives executor loss,
+    * at the cost of one extra write+read of (id, label) pairs per
+    * round. Outputs are identical either way (DedupSpec pins it) —
+    * this is a durability knob, not a semantics knob.
+    *
     * Input must carry `id_a`, `id_b` columns (as produced by
     * [[nearDupPairs]] / [[simhashNearDupPairs]] /
     * [[embeddingNearDupPairs]]); ids must be non-null. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the (possibly expensive) pair plan ONCE; the
     // symmetrizing union would otherwise execute it per branch
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val p = pin(pairs.select(col("id_a"), col("id_b")))
+    val edges = pin(p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint() // edges are re-joined every round: pin them
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+      .distinct()) // edges are re-joined every round: pin them
+    var labels = pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var round = 0
     var converged = false
     while (!converged && round < maxIters) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val folded = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint() // the jump self-joins this frame twice;
-        // without pinning, the union+aggregate would execute per side
+      val folded = pin(labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
+      // pinned: the jump self-joins this frame twice; without pinning,
+      // the union+aggregate would execute per side
       // pointer jump: follow each label to ITS label (min only drops)
       val parents = folded.select(col("id").as("pid"), col("label").as("plabel"))
-      val next = folded.join(parents, folded("label") === parents("pid"), "left")
+      val next = pin(folded.join(parents, folded("label") === parents("pid"), "left")
         .select(folded("id"), least(folded("label"),
-          coalesce(col("plabel"), folded("label"))).as("label"))
-        .localCheckpoint()
+          coalesce(col("plabel"), folded("label"))).as("label")))
       converged = next.as("n")
         .join(labels.as("o"), "id")
         .where(col("n.label") < col("o.label"))

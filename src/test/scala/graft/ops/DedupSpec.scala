@@ -140,6 +140,25 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     got shouldBe Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
   }
 
+  test("nearDupClusters reliable-checkpoint path: identical output, " +
+      "checkpoint files actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 27L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val local = Dedup.nearDupClusters(pairs)
+      .select("id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val reliable = Dedup.nearDupClusters(pairs, checkpointDir = Some(dir))
+      .select("id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    reliable.toSeq shouldBe local.toSeq
+    // the reliable path must really have gone through the checkpoint dir
+    // (an accidental fallback to localCheckpoint would leave it empty)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    wrote should be > 0L
+  }
+
   test("embedding near-dup via LSH buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
