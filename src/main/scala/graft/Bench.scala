@@ -18,14 +18,21 @@ import org.apache.spark.sql.SparkSession
   * signature of a co-tenant stall, not a plan cost.
   *
   * Noise control (this sandbox is co-tenant; a loaded neighbor inflated
-  * one recorded warm entry 40x in round 5): the warm regime runs THREE
-  * passes and reports the per-query MEDIAN as `queries_warm`, the raw
-  * passes as `warm_passes`, and the per-query relative spread
-  * `(max-min)/median` as `warm_spread`; queries whose spread exceeds
-  * 30% are listed in `noisy_warm` so an outlier is visible in the
-  * artifact itself instead of silently poisoning the round's numbers.
-  * `loadavg` records the 1-minute load before the run and after every
-  * pass. */
+  * one recorded warm entry 40x in round 5, and in round 6 two of three
+  * warm passes stalled at loadavg 2.8 — a median cannot survive that):
+  * the warm regime runs THREE passes and reports the per-query MIN as
+  * `queries_warm` (co-tenant noise is strictly additive, so min is the
+  * honest warm estimator; the headline `total_warm` sums it), the
+  * per-query MEDIAN as `queries_warm_median`, the raw passes as
+  * `warm_passes`, and the per-query relative spread `(max-min)/median`
+  * as `warm_spread`; queries whose spread exceeds 30% are listed in
+  * `noisy_warm` so an outlier is visible in the artifact itself instead
+  * of silently poisoning the round's numbers. `loadavg` records the
+  * 1-minute load before the run and after every pass.
+  *
+  * Output: the FULL diagnostic JSON line first, then a COMPACT headline
+  * line (cold/warm totals + per-query cold and warm-min only) printed
+  * LAST so a tail-grabbing harness parses a bounded-size line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,11 +86,20 @@ object Bench {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
     }
-    val warm = names.map(n => n -> median(warmPasses.map(_.toMap.apply(n))))
+    def minOk(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    // min over passes: co-tenant noise only ever ADDS time, so the
+    // fastest observed pass is the least-contaminated warm estimate
+    // (round 6's recorded median was poisoned by two stalled passes).
+    val warm = names.map(n => n -> minOk(warmPasses.map(_.toMap.apply(n))))
+    val warmMedian = names.map(n => n -> median(warmPasses.map(_.toMap.apply(n))))
     val warmMap = warm.toMap
+    val medianMap = warmMedian.toMap
     val spread = names.map { n =>
       val ok = warmPasses.map(_.toMap.apply(n)).filter(_ >= 0)
-      val m = warmMap(n)
+      val m = medianMap(n)
       n -> (if (ok.isEmpty || m <= 0) -1.0 else (ok.max - ok.min) / m)
     }
     def quote(ns: Seq[String]): String = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -94,12 +110,17 @@ object Bench {
     println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""queries":${fmt(cold)},"total_warm":${total(warm)},""" +
       s""""queries_warm":${fmt(warm)},""" +
+      s""""queries_warm_median":${fmt(warmMedian)},""" +
       s""""warm_passes":[${warmPasses.map(fmt).mkString(",")}],""" +
       s""""warm_spread":${fmt(spread)},""" +
       s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
       s""""loadavg":[${loads.mkString(",")}],""" +
       s""""loadavg_before":${loads.head},"loadavg_after":${loads.last},""" +
       s""""sf":"$sfDir"}""")
+    // Compact headline LAST: bounded size so a tail-grab parses it.
+    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
+      s""""queries":${fmt(cold)},"total_warm":${total(warm)},""" +
+      s""""queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -109,6 +109,67 @@ class AsOfJoinSpec extends SparkSpecBase with Matchers {
     bucketed shouldBe plain
   }
 
+  test("bucketedAsOf: tolerance voids stale cross-bucket seeds exactly") {
+    // The seed injected into a bucket keeps its ORIGINAL timestamp
+    // (AsOfJoin.scala bucketedAsOf scaladoc), so the tolerance guard in
+    // asOfImpl must age it from the real right ts, not the bucket edge.
+    // Deterministic corpus: one right row per 1000 ts on key "hot", left
+    // rows placed so their only candidate is a carried seed whose age
+    // straddles the tolerance on both sides.
+    val l = Seq(
+      ("hot", 1105L, 1L), // b11, seed ts=1000 (b10), age 105 <= 200 -> kept
+      ("hot", 1199L, 2L), // b11, age 199 <= 200 -> kept (edge-1)
+      ("hot", 1200L, 3L), // b12, age 200 <= 200 -> kept (edge)
+      ("hot", 1201L, 4L), // b12, age 201 >  200 -> VOIDED (edge+1)
+      ("hot", 3500L, 5L), // b35, seed ts=3000 (b30), age 500 -> VOIDED
+      ("hot", 3150L, 6L)  // b31, age 150 <= 200 -> kept
+    ).toDF("k", "ts", "qty")
+    val r = Seq(("hot", 1000L, 10.0), ("hot", 3000L, 30.0))
+      .toDF("k", "ts", "price")
+    // bucketWidth 100: every left row sits in a LATER bucket than its
+    // matching right row, so every match flows through a carried seed.
+    val out = AsOfJoin.bucketedAsOf(l, r, "k", "ts",
+        bucketWidth = 100L, tolerance = Some(200L))
+      .select("qty", "right_price", "right_ts")
+      .as[(Long, Option[Double], Option[Long])]
+      .collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, Some(10.0), Some(1000L)),
+      (2L, Some(10.0), Some(1000L)),
+      (3L, Some(10.0), Some(1000L)),
+      (4L, None, None),
+      (5L, None, None),
+      (6L, Some(30.0), Some(3000L)))
+  }
+
+  test("bucketedAsOf + tolerance matches the brute-force model on a hot key") {
+    // Randomized composition check: hot key spanning many buckets with
+    // sparse rights (most matches ride a seed), a tolerance tight enough
+    // to void a good fraction, vs the same in-memory model used for asOf.
+    val rng = new scala.util.Random(23)
+    val lRows = Vector.fill(1500)(("hot", rng.nextInt(20000).toLong, rng.nextLong())) ++
+      Vector.fill(60)(("c" + rng.nextInt(3), rng.nextInt(200).toLong, rng.nextLong()))
+    val rRows = (Vector.fill(25)(("hot", rng.nextInt(20000).toLong, rng.nextDouble())) ++
+      Vector.fill(15)(("c" + rng.nextInt(3), rng.nextInt(200).toLong, rng.nextDouble())))
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toVector // unique (key, ts)
+    val tol = 400L
+    val got = AsOfJoin.bucketedAsOf(lRows.toDF("k", "ts", "qty"),
+        rRows.toDF("k", "ts", "price"),
+        "k", "ts", bucketWidth = 250L, tolerance = Some(tol))
+      .select("k", "ts", "qty", "right_ts", "right_price")
+      .as[(String, Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(x => (x._1, x._2, x._3))
+    val want = lRows.map { case (k, ts, qty) =>
+      val m = rRows.filter(x => x._1 == k && x._2 <= ts && x._2 >= ts - tol)
+        .sortBy(_._2).lastOption
+      (k, ts, qty, m.map(_._2), m.map(_._3))
+    }.sortBy(x => (x._1, x._2, x._3))
+    got.toSeq shouldBe want
+    // the tolerance actually bit: some matches voided, some kept
+    got.count(_._4.isEmpty) should be > 0
+    got.count(_._4.nonEmpty) should be > 0
+  }
+
   test("asOf matches a brute-force in-memory model on random data") {
     val rng = new scala.util.Random(11)
     val keys = Vector("a", "b", "c", "d")

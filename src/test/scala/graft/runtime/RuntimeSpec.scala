@@ -258,10 +258,12 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     e3.getMessage should include("mapValues sees only")
   }
 
-  test("udf step runs a non-SQL-expressible Scala lambda through the CLI") {
+  test("udf example: shipped pipeline + golden verify and run via the CLI") {
     // Collatz step count: an unbounded while-loop per record — there is
     // no Column-expression phrasing of this (the reference would write
     // it as an inline Lua closure; here it's a registered Scala udf).
+    // The example ships under examples/udf with the registration snippet
+    // in its README, mirroring the reference's example.test.lua pattern.
     val collatz = udf((n: Long) => {
       var x = math.max(n, 1L); var steps = 0L
       while (x != 1L) { x = if (x % 2 == 0) x / 2 else 3 * x + 1; steps += 1 }
@@ -269,23 +271,18 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     })
     GraftScript.registerUdf("collatz_steps", (_, v) => collatz(v))
     try {
-      val in = tmp()
-      Files.writeString(java.nio.file.Path.of(in, "in.json"),
-        """{"key": "a", "value": 6}
-          |{"key": "b", "value": 7}
-          |{"key": "c", "value": 27}""".stripMargin)
-      val script = Files.createTempFile("udf", ".graft")
-      Files.writeString(script,
-        """# escape hatch: registered Scala lambda over (key, value)
-          |udf collatz_steps
-          |filter value > 5
-          |""".stripMargin)
+      // golden vectors gate startup, exactly like demo/time/csv
+      Main.run(spark, Array("-l", s"$ex/udf/pipeline.graft",
+        "-t", s"$ex/udf/golden.json", "-D")) shouldBe 0
+      // full run from the shipped input dir, golden pre-pass included
       val out = tmp() + "/out"
-      Main.run(spark, Array("-i", in, "-o", out,
-        "-l", script.toString)) shouldBe 0
+      Main.run(spark, Array("-i", s"$ex/udf/input", "-o", out,
+        "-l", s"$ex/udf/pipeline.graft",
+        "-t", s"$ex/udf/golden.json")) shouldBe 0
       val back = spark.read.parquet(out).orderBy("key").collect()
         .map(r => (r.getAs[String]("key"), r.getAs[Long]("value")))
-      // collatz(6)=8, collatz(7)=16, collatz(27)=111; filter keeps > 5
+      // collatz(6)=8, collatz(7)=16, collatz(27)=111, collatz(4)=2;
+      // filter keeps > 5 so "d" drops (the golden asserts the drop too)
       back.toSeq shouldBe Seq(("a", 8L), ("b", 16L), ("c", 111L))
     } finally GraftScript.unregisterUdf("collatz_steps")
   }
