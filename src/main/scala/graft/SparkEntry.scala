@@ -219,12 +219,20 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
     "q_setops" -> ((s, dir) => {
+      // Heavy-user sets (>= 14 events of the type) so BOTH the EXCEPT and
+      // the INTERSECT branch return rows at every SF — a set-op that always
+      // returned empty would fail this hash, unlike the old all-users shape
+      // where every user had every event_type and EXCEPT was vacuously [].
       val ev = t(s, dir, "events")
-      val purchasers = ev.where(col("event_type") === "purchase")
-        .select(col("user_id")).distinct()
-      val errorers = ev.where(col("event_type") === "error")
-        .select(col("user_id")).distinct()
-      purchasers.except(errorers).orderBy("user_id")
+      def heavy(tpe: String) = ev.where(col("event_type") === tpe)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 14).select(col("user_id"))
+      val hp = heavy("purchase")
+      val he = heavy("error")
+      hp.except(he).withColumn("side", lit("only_purchase"))
+        .unionByName(hp.intersect(he).withColumn("side", lit("both")))
+        .select(col("side"), col("user_id"))
+        .orderBy("side", "user_id")
     }),
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -433,6 +441,14 @@ object SparkEntry {
     }),
     "q_curate" -> ((s, dir) => {
       Dedup.curateCorpus(t(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.5, jaccardThreshold = 0.5)
+        .orderBy("doc_id")
+    }),
+    "q_curate_clusters" -> ((s, dir) => {
+      // Cluster-based curation: near-dup drop by connected component
+      // (one keeper per closure) instead of pair-based id_b dropping.
+      // Oracle replays the closure as a DuckDB recursive CTE.
+      Dedup.curateCorpusClusters(t(s, dir, "documents"), "doc_id", "text",
           minQuality = 0.5, jaccardThreshold = 0.5)
         .orderBy("doc_id")
     }),
@@ -771,11 +787,16 @@ object SparkEntry {
                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""",
     "q_setops" ->
-      """SELECT user_id FROM (
-           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-           EXCEPT
-           SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
-         ORDER BY user_id""",
+      """WITH hp AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+                     GROUP BY 1 HAVING count(*) >= 14),
+              he AS (SELECT user_id FROM events WHERE event_type = 'error'
+                     GROUP BY 1 HAVING count(*) >= 14)
+         SELECT 'only_purchase' AS side, user_id
+         FROM (SELECT user_id FROM hp EXCEPT SELECT user_id FROM he)
+         UNION ALL
+         SELECT 'both' AS side, user_id
+         FROM (SELECT user_id FROM hp INTERSECT SELECT user_id FROM he)
+         ORDER BY side, user_id""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -971,6 +992,57 @@ object SparkEntry {
               losers AS (SELECT DISTINCT id_b FROM pairs WHERE 2*i >= la + lb - i),
               kept AS (SELECT doc_id, text FROM keep0
                        WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+              f AS (SELECT doc_id, text,
+                           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+                    FROM kept),
+              scored AS (SELECT doc_id,
+                                CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+                                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                                     WHEN s_fr >= s_zh THEN 'fr'
+                                     ELSE 'zh' END AS lang_pred,
+                                (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                                 + (1.0 - least((CASE WHEN length(text) > 0
+                                                      THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                                                      ELSE 0.0 END) * 5.0, 1.0))
+                                 + least((CASE WHEN len(toks) > 0
+                                               THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
+                                               ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality
+                         FROM (SELECT doc_id, text, toks,
+                                      len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+                                      len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
+                                      len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
+                                      len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
+                                      len(list_filter(toks, x -> list_contains(['的','了','是','在','我','有','他','这'], x))) AS s_zh
+                               FROM f))
+         SELECT doc_id, lang_pred, quality FROM scored
+         WHERE quality >= 0.5 AND lang_pred <> 'und'
+         ORDER BY doc_id""",
+    "q_curate_clusters" ->
+      """WITH RECURSIVE keep0 AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+              d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM keep0),
+              sh AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+                     FROM d),
+              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+                    FROM sh a JOIN sh b
+                      ON a.doc_id < b.doc_id
+                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s)),
+              p AS (SELECT id_a, id_b FROM c WHERE 2*i >= la + lb - i),
+              e AS (SELECT id_a AS src, id_b AS dst FROM p
+                    UNION SELECT id_b, id_a FROM p),
+              reach(id, r) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+              lab AS (SELECT id, least(id, min(r)) AS cluster_id
+                      FROM reach GROUP BY id),
+              kept AS (SELECT doc_id, text FROM keep0
+                       WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster_id <> id)),
               f AS (SELECT doc_id, text,
                            list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
                     FROM kept),

@@ -441,6 +441,25 @@ object Dedup {
       .where(col("quality") >= minQuality && col("lang_pred") =!= "und")
   }
 
+  /** Cluster-based variant of [[curateCorpus]]: same exact-dedup and
+    * quality/language gates, but the near-dup stage drops by CONNECTED
+    * COMPONENT (one representative per closure, via [[clusterDedup]])
+    * instead of pair-based "higher id of each pair loses". The
+    * difference matters on chains: with pairs A~B, B~C and no A~C pair,
+    * pair-based dropping keeps A and C (both near-dups of the dropped
+    * B); the closure keeps exactly one of {A,B,C}. Scale shape adds
+    * only the O(log diameter) label-propagation rounds over slim
+    * (id,label) frames on top of curateCorpus's cascade. */
+  def curateCorpusClusters(df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.5, jaccardThreshold: Double = 0.5): DataFrame = {
+    val deduped = exactDedup(df, idCol, textCol)
+    clusterDedup(deduped, idCol, textCol, threshold = jaccardThreshold)
+      .select(col(idCol),
+        TextAnalysis.langId(col(textCol)).as("lang_pred"),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"))
+      .where(col("quality") >= minQuality && col("lang_pred") =!= "und")
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from

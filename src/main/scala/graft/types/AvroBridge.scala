@@ -393,6 +393,13 @@ object AvroBridge {
             }
           }
         case BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+        case FIXED => new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+        case MAP =>
+          val out = new java.util.HashMap[String, Any]()
+          v.asInstanceOf[scala.collection.Map[String, Any]].foreach {
+            case (k, mv) => out.put(k, conv(mv, s.getValueType))
+          }
+          out
         case LONG => v match { case i: Int => i.toLong; case x => x }
         case DOUBLE => v match { case f: Float => f.toDouble; case x => x }
         case _ => v
@@ -418,8 +425,10 @@ object AvroBridge {
     case (FLOAT, _: Float) => true
     case (DOUBLE, _: Double) | (DOUBLE, _: Float) => true
     case (STRING, _: String) => true
+    case (BYTES, _: Array[Byte]) => true
     case (RECORD, _: Row) => true
     case (ARRAY, _: scala.collection.Seq[_]) => true
+    case (MAP, _: scala.collection.Map[_, _]) => true
     case _ => false
   }
 
