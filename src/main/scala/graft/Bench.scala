@@ -118,9 +118,20 @@ object Bench {
       s""""loadavg_before":${loads.head},"loadavg_after":${loads.last},""" +
       s""""sf":"$sfDir"}""")
     // Compact headline LAST: bounded size so a tail-grab parses it.
-    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
+    val headline = s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""queries":${fmt(cold)},"total_warm":${total(warm)},""" +
-      s""""queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
+      s""""queries_warm":${fmt(warm)},"sf":"$sfDir"}"""
+    println(headline)
+    // Also persist it: the artifact survives even if the caller's
+    // stdout tail-parse chokes on log prefixes (see README "Benchmark").
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_headline.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        headline.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench: could not write target/bench_headline.json: $e")
+    }
     spark.stop()
   }
 }

@@ -109,6 +109,35 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("bucketedAsOf tolerance guard is projection-only — identical " +
+      "exchange/window count to the untolerated plan, no join") {
+    import org.apache.spark.sql.functions.{col, expr, max}
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    def shape(tol: Option[Long]): (Int, Int, String) = {
+      val p = ops.AsOfJoin.bucketedAsOf(purchases, clicks, "user_id", "ts",
+          bucketWidth = 3600000000L, tolerance = tol)
+        .queryExecution.executedPlan.toString
+      ("Exchange hashpartitioning".r.findAllIn(p).size,
+        "Window \\[".r.findAllIn(p).size, p)
+    }
+    val (exPlain, winPlain, _) = shape(None)
+    val (exTol, winTol, pTol) = shape(Some(7200000000L))
+    // the void-guard is a `when` over the already-computed match struct;
+    // it must stay a narrow projection on top of the same shuffles
+    exTol shouldBe exPlain
+    winTol shouldBe winPlain
+    winTol should be > 0
+    pTol should not include "Join"
+    pTol should not include "CartesianProduct"
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.
