@@ -622,6 +622,80 @@ object SparkEntry {
     s"""CASE WHEN $vCol >= CAST('9223372036854775808' AS HUGEINT)
        |     THEN $vCol - CAST('18446744073709551616' AS HUGEINT) ELSE $vCol END""".stripMargin
 
+  /** Shared CTE fragments of the near-dup oracle family (same rationale
+    * as [[rollingHashSql]]: ONE source of truth; hand-copied variants
+    * silently diverge and surface only as opaque hash mismatches).
+    *
+    * [[shinglePairsSql]] -- 5-gram shingle sets over `src(doc_id, text)`
+    * plus the all-pairs ground-truth candidate join; yields CTEs
+    * `d`, `sh`, `c(id_a, id_b, i, la, lb)`. The length prefilter
+    * (`len <= 2*len`) is lossless for Jaccard >= 0.5. */
+  private def shinglePairsSql(src: String): String =
+    raw"""d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM $src),
+         |              sh AS (SELECT doc_id,
+         |                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+         |                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+         |                     FROM d),
+         |              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+         |                    FROM sh a JOIN sh b
+         |                      ON a.doc_id < b.doc_id
+         |                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s))""".stripMargin
+
+  /** Connected-component closure over the near-dup pairs in `c` (needs
+    * WITH RECURSIVE): yields `p` (confirmed pairs at Jaccard >= 0.5),
+    * symmetric edges `e`, reachability `reach`, and `lab(id,
+    * cluster_id)` -- min-id component labels. */
+  private val closureSql: String =
+    """p AS (SELECT id_a, id_b FROM c WHERE 2*i >= la + lb - i),
+      |              e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |                    UNION SELECT id_b, id_a FROM p),
+      |              reach(id, r) AS (
+      |                SELECT src, dst FROM e
+      |                UNION
+      |                SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+      |              lab AS (SELECT id, least(id, min(r)) AS cluster_id
+      |                      FROM reach GROUP BY id)""".stripMargin
+
+  /** Exact-dedup prefix of the curation oracles: min-id keeper per
+    * byte-identical text. */
+  private val keep0Sql: String =
+    """keep0 AS (SELECT doc_id, text FROM documents
+      |                        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text))""".stripMargin
+
+  /** The curation gate tail (language id + quality score + thresholds)
+    * over a CTE `kept(doc_id, text)` -- the SQL replica of
+    * [[graft.ops.Dedup]]'s `qualityGate`. Ends the query: final SELECT
+    * included. */
+  private val curateGateSql: String =
+    raw"""f AS (SELECT doc_id, text,
+         |                           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+         |                    FROM kept),
+         |              scored AS (SELECT doc_id,
+         |                                CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+         |                                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |                                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |                                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |                                     WHEN s_fr >= s_zh THEN 'fr'
+         |                                     ELSE 'zh' END AS lang_pred,
+         |                                (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |                                 + (1.0 - least((CASE WHEN length(text) > 0
+         |                                                      THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+         |                                                      ELSE 0.0 END) * 5.0, 1.0))
+         |                                 + least((CASE WHEN len(toks) > 0
+         |                                               THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
+         |                                               ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality
+         |                         FROM (SELECT doc_id, text, toks,
+         |                                      len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+         |                                      len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
+         |                                      len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
+         |                                      len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
+         |                                      len(list_filter(toks, x -> list_contains(['的','了','是','在','我','有','他','这'], x))) AS s_zh
+         |                               FROM f))
+         |         SELECT doc_id, lang_pred, quality FROM scored
+         |         WHERE quality >= 0.5 AND lang_pred <> 'und'
+         |         ORDER BY doc_id""".stripMargin
+
   /** DuckDB 3-level list literal of the LSH hyperplanes q_ann_lsh uses
     * (dim 64, 8 tables x 6 planes, seed 42), printed with
     * Double.toString — the shortest round-trip representation — so
@@ -860,62 +934,19 @@ object SparkEntry {
                 user_id, count(*) AS n
          FROM g GROUP BY user_id, grp ORDER BY user_id, sess_start_ms""",
     "q_dedup_minhash" ->
-      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
-              sh AS (SELECT doc_id,
-                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
-                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
-                     FROM d),
-              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-                    FROM sh a JOIN sh b
-                      ON a.doc_id < b.doc_id
-                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s))
+      raw"""WITH ${shinglePairsSql("documents")}
          SELECT id_a, id_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
          FROM c WHERE 2*i >= la + lb - i ORDER BY id_a, id_b""",
     "q_dedup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
-              sh AS (SELECT doc_id,
-                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
-                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
-                     FROM d),
-              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-                    FROM sh a JOIN sh b
-                      ON a.doc_id < b.doc_id
-                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s)),
-              p AS (SELECT id_a, id_b FROM c WHERE 2*i >= la + lb - i),
-              e AS (SELECT id_a AS src, id_b AS dst FROM p
-                    UNION SELECT id_b, id_a FROM p),
-              reach(id, r) AS (
-                SELECT src, dst FROM e
-                UNION
-                SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
-              lab AS (SELECT id, least(id, min(r)) AS cluster_id
-                      FROM reach GROUP BY id),
+      raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
+              $closureSql,
               sz AS (SELECT cluster_id, count(*) AS cluster_size
                      FROM lab GROUP BY cluster_id)
          SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size
          FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
     "q_cluster_dedup" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
-              sh AS (SELECT doc_id,
-                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
-                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
-                     FROM d),
-              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-                    FROM sh a JOIN sh b
-                      ON a.doc_id < b.doc_id
-                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s)),
-              p AS (SELECT id_a, id_b FROM c WHERE 2*i >= la + lb - i),
-              e AS (SELECT id_a AS src, id_b AS dst FROM p
-                    UNION SELECT id_b, id_a FROM p),
-              reach(id, r) AS (
-                SELECT src, dst FROM e
-                UNION
-                SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
-              lab AS (SELECT id, least(id, min(r)) AS cluster_id
-                      FROM reach GROUP BY id)
+      raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
+              $closureSql
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster_id <> id)
          ORDER BY doc_id""",
@@ -977,99 +1008,19 @@ object SparkEntry {
                 jaccard
          FROM p ORDER BY corpus_id, eval_id""",
     "q_curate" ->
-      """WITH keep0 AS (SELECT doc_id, text FROM documents
-                        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
-              d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM keep0),
-              sh AS (SELECT doc_id,
-                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
-                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
-                     FROM d),
-              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                               len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-                        FROM sh a JOIN sh b
-                          ON a.doc_id < b.doc_id
-                         AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s)),
-              losers AS (SELECT DISTINCT id_b FROM pairs WHERE 2*i >= la + lb - i),
+      raw"""WITH $keep0Sql,
+              ${shinglePairsSql("keep0")},
+              losers AS (SELECT DISTINCT id_b FROM c WHERE 2*i >= la + lb - i),
               kept AS (SELECT doc_id, text FROM keep0
                        WHERE doc_id NOT IN (SELECT id_b FROM losers)),
-              f AS (SELECT doc_id, text,
-                           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
-                    FROM kept),
-              scored AS (SELECT doc_id,
-                                CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
-                                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                                     WHEN s_fr >= s_zh THEN 'fr'
-                                     ELSE 'zh' END AS lang_pred,
-                                (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-                                 + (1.0 - least((CASE WHEN length(text) > 0
-                                                      THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
-                                                      ELSE 0.0 END) * 5.0, 1.0))
-                                 + least((CASE WHEN len(toks) > 0
-                                               THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
-                                               ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality
-                         FROM (SELECT doc_id, text, toks,
-                                      len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
-                                      len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
-                                      len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
-                                      len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
-                                      len(list_filter(toks, x -> list_contains(['的','了','是','在','我','有','他','这'], x))) AS s_zh
-                               FROM f))
-         SELECT doc_id, lang_pred, quality FROM scored
-         WHERE quality >= 0.5 AND lang_pred <> 'und'
-         ORDER BY doc_id""",
+              $curateGateSql""",
     "q_curate_clusters" ->
-      """WITH RECURSIVE keep0 AS (SELECT doc_id, text FROM documents
-                        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
-              d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM keep0),
-              sh AS (SELECT doc_id,
-                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
-                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
-                     FROM d),
-              c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-                    FROM sh a JOIN sh b
-                      ON a.doc_id < b.doc_id
-                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s)),
-              p AS (SELECT id_a, id_b FROM c WHERE 2*i >= la + lb - i),
-              e AS (SELECT id_a AS src, id_b AS dst FROM p
-                    UNION SELECT id_b, id_a FROM p),
-              reach(id, r) AS (
-                SELECT src, dst FROM e
-                UNION
-                SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
-              lab AS (SELECT id, least(id, min(r)) AS cluster_id
-                      FROM reach GROUP BY id),
+      raw"""WITH RECURSIVE $keep0Sql,
+              ${shinglePairsSql("keep0")},
+              $closureSql,
               kept AS (SELECT doc_id, text FROM keep0
                        WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster_id <> id)),
-              f AS (SELECT doc_id, text,
-                           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
-                    FROM kept),
-              scored AS (SELECT doc_id,
-                                CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
-                                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                                     WHEN s_fr >= s_zh THEN 'fr'
-                                     ELSE 'zh' END AS lang_pred,
-                                (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-                                 + (1.0 - least((CASE WHEN length(text) > 0
-                                                      THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
-                                                      ELSE 0.0 END) * 5.0, 1.0))
-                                 + least((CASE WHEN len(toks) > 0
-                                               THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
-                                               ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality
-                         FROM (SELECT doc_id, text, toks,
-                                      len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
-                                      len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
-                                      len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
-                                      len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
-                                      len(list_filter(toks, x -> list_contains(['的','了','是','在','我','有','他','这'], x))) AS s_zh
-                               FROM f))
-         SELECT doc_id, lang_pred, quality FROM scored
-         WHERE quality >= 0.5 AND lang_pred <> 'und'
-         ORDER BY doc_id""",
+              $curateGateSql""",
     "q_split" ->
       raw"""WITH d AS (SELECT regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm FROM documents),
               h AS (SELECT ${rollingHashSql("norm")} AS v

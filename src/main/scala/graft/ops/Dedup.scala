@@ -434,12 +434,18 @@ object Dedup {
     val losers = nearDupPairs(deduped, idCol, textCol,
         threshold = jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
-    deduped.join(losers, Seq(idCol), "left_anti")
-      .select(col(idCol),
+    qualityGate(deduped.join(losers, Seq(idCol), "left_anti"),
+      idCol, textCol, minQuality)
+  }
+
+  /** The quality/language gate tail shared by both curation pipelines —
+    * one definition so the two can never diverge on gate semantics. */
+  private def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double): DataFrame =
+    df.select(col(idCol),
         TextAnalysis.langId(col(textCol)).as("lang_pred"),
         TextAnalysis.qualityScore(col(textCol)).as("quality"))
       .where(col("quality") >= minQuality && col("lang_pred") =!= "und")
-  }
 
   /** Cluster-based variant of [[curateCorpus]]: same exact-dedup and
     * quality/language gates, but the near-dup stage drops by CONNECTED
@@ -453,11 +459,8 @@ object Dedup {
   def curateCorpusClusters(df: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5): DataFrame = {
     val deduped = exactDedup(df, idCol, textCol)
-    clusterDedup(deduped, idCol, textCol, threshold = jaccardThreshold)
-      .select(col(idCol),
-        TextAnalysis.langId(col(textCol)).as("lang_pred"),
-        TextAnalysis.qualityScore(col(textCol)).as("quality"))
-      .where(col("quality") >= minQuality && col("lang_pred") =!= "und")
+    qualityGate(clusterDedup(deduped, idCol, textCol, threshold = jaccardThreshold),
+      idCol, textCol, minQuality)
   }
 
   // ------------------------------------------- embedding-cosine near-dup

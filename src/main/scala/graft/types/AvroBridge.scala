@@ -425,7 +425,9 @@ object AvroBridge {
     case (FLOAT, _: Float) => true
     case (DOUBLE, _: Double) | (DOUBLE, _: Float) => true
     case (STRING, _: String) => true
+    case (ENUM, s: String) => b.getEnumSymbols.asScala.contains(s)
     case (BYTES, _: Array[Byte]) => true
+    case (FIXED, a: Array[Byte]) => a.length == b.getFixedSize
     case (RECORD, _: Row) => true
     case (ARRAY, _: scala.collection.Seq[_]) => true
     case (MAP, _: scala.collection.Map[_, _]) => true

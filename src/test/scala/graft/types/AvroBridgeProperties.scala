@@ -59,16 +59,34 @@ object AvroBridgeProperties extends Properties("graft.avrobridge") {
   private val leaf: Gen[Schema] =
     Gen.frequency(6 -> primitives, 1 -> enums, 1 -> fixeds)
 
-  /** Union branches must be distinct types (avro rule); Gen.pick from a
-    * pool of distinct primitive kinds guarantees it. n=1 exercises the
-    * single-branch fast path, withNull the [null,...] nullable path. */
+  /** Union branches must be distinct types (avro rule): Gen.pick from a
+    * pool of distinct primitive kinds guarantees the primitive part;
+    * named branches (enum/fixed/record) are always legal because every
+    * generated name is fresh; unnamed complex branches (array/map) are
+    * deduplicated to at most one of each kind. n=1 with no extras
+    * exercises the single-branch fast path, withNull the [null,...]
+    * nullable path, and the named/complex extras drive the
+    * name-matched RECORD/ENUM/FIXED union-dispatch arms and the
+    * struct-of-members encode path for non-primitive members. */
+  private val namedOrComplexBranch: Gen[Schema] = Gen.frequency(
+    2 -> enums, 2 -> fixeds, 2 -> Gen.lzy(record(1)),
+    1 -> leaf.map(Schema.createArray), 1 -> leaf.map(Schema.createMap))
+
   private val unions: Gen[Schema] = for {
     withNull <- Gen.oneOf(true, false)
     n <- Gen.chooseNum(1, 3)
     pool <- Gen.pick(n, Seq(prim(Type.INT), prim(Type.STRING),
       prim(Type.BOOLEAN), prim(Type.DOUBLE), prim(Type.BYTES)))
-  } yield Schema.createUnion(
-    ((if (withNull) Seq(prim(Type.NULL)) else Nil) ++ pool).asJava)
+    nExtra <- Gen.chooseNum(0, 2)
+    extras <- Gen.listOfN(nExtra, namedOrComplexBranch)
+  } yield {
+    val dedupedExtras = extras.foldLeft(Vector.empty[Schema]) { (acc, b) =>
+      val unnamedComplex = b.getType == Type.ARRAY || b.getType == Type.MAP
+      if (unnamedComplex && acc.exists(_.getType == b.getType)) acc else acc :+ b
+    }
+    Schema.createUnion(
+      ((if (withNull) Seq(prim(Type.NULL)) else Nil) ++ pool ++ dedupedExtras).asJava)
+  }
 
   private def record(depth: Int): Gen[Schema] = for {
     n <- Gen.chooseNum(1, 4)
