@@ -68,6 +68,13 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
+    // Remove any previous run's headline up front: if this run dies or
+    // its write fails, a caller must find NO file rather than silently
+    // reading a stale round's numbers as this run's result.
+    val headlinePath = java.nio.file.Paths.get("target", "bench_headline.json")
+    try java.nio.file.Files.deleteIfExists(headlinePath)
+    catch { case _: java.io.IOException => () }
+
     val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // Generic JVM/session/parquet warm-up on a cheap query OUTSIDE the
@@ -125,9 +132,8 @@ object Bench {
     // Also persist it: the artifact survives even if the caller's
     // stdout tail-parse chokes on log prefixes (see README "Benchmark").
     try {
-      val out = java.nio.file.Paths.get("target", "bench_headline.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
+      java.nio.file.Files.createDirectories(headlinePath.getParent)
+      java.nio.file.Files.write(headlinePath,
         headline.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not write target/bench_headline.json: $e")

@@ -223,12 +223,16 @@ object SparkEntry {
       // the INTERSECT branch return rows at every SF — a set-op that always
       // returned empty would fail this hash, unlike the old all-users shape
       // where every user had every event_type and EXCEPT was vacuously [].
-      val ev = t(s, dir, "events")
-      def heavy(tpe: String) = ev.where(col("event_type") === tpe)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-        .where(col("n") >= 14).select(col("user_id"))
-      val hp = heavy("purchase")
-      val he = heavy("error")
+      // ONE conditional aggregation feeds all four set-op operands: the
+      // branches' scan+shuffle+agg subplans are identical, so exchange
+      // reuse runs them once; per-side aggregates would scan events twice.
+      val counts = t(s, dir, "events")
+        .where(col("event_type").isin("purchase", "error"))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "purchase", 1)).as("np"),
+          count(when(col("event_type") === "error", 1)).as("ne"))
+      val hp = counts.where(col("np") >= 14).select(col("user_id"))
+      val he = counts.where(col("ne") >= 14).select(col("user_id"))
       hp.except(he).withColumn("side", lit("only_purchase"))
         .unionByName(hp.intersect(he).withColumn("side", lit("both")))
         .select(col("side"), col("user_id"))
@@ -659,9 +663,9 @@ object SparkEntry {
 
   /** Exact-dedup prefix of the curation oracles: min-id keeper per
     * byte-identical text. */
-  private val keep0Sql: String =
-    """keep0 AS (SELECT doc_id, text FROM documents
-      |                        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text))""".stripMargin
+  private def keep0Sql(src: String): String =
+    s"""keep0 AS (SELECT doc_id, text FROM $src
+       |                        WHERE doc_id IN (SELECT min(doc_id) FROM $src GROUP BY text))""".stripMargin
 
   /** The curation gate tail (language id + quality score + thresholds)
     * over a CTE `kept(doc_id, text)` -- the SQL replica of
@@ -861,10 +865,13 @@ object SparkEntry {
                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""",
     "q_setops" ->
-      """WITH hp AS (SELECT user_id FROM events WHERE event_type = 'purchase'
-                     GROUP BY 1 HAVING count(*) >= 14),
-              he AS (SELECT user_id FROM events WHERE event_type = 'error'
-                     GROUP BY 1 HAVING count(*) >= 14)
+      """WITH cnt AS (SELECT user_id,
+                            count(*) FILTER (WHERE event_type = 'purchase') AS np,
+                            count(*) FILTER (WHERE event_type = 'error') AS ne
+                     FROM events WHERE event_type IN ('purchase', 'error')
+                     GROUP BY 1),
+              hp AS (SELECT user_id FROM cnt WHERE np >= 14),
+              he AS (SELECT user_id FROM cnt WHERE ne >= 14)
          SELECT 'only_purchase' AS side, user_id
          FROM (SELECT user_id FROM hp EXCEPT SELECT user_id FROM he)
          UNION ALL
@@ -1008,14 +1015,14 @@ object SparkEntry {
                 jaccard
          FROM p ORDER BY corpus_id, eval_id""",
     "q_curate" ->
-      raw"""WITH $keep0Sql,
+      raw"""WITH ${keep0Sql("documents")},
               ${shinglePairsSql("keep0")},
               losers AS (SELECT DISTINCT id_b FROM c WHERE 2*i >= la + lb - i),
               kept AS (SELECT doc_id, text FROM keep0
                        WHERE doc_id NOT IN (SELECT id_b FROM losers)),
               $curateGateSql""",
     "q_curate_clusters" ->
-      raw"""WITH RECURSIVE $keep0Sql,
+      raw"""WITH RECURSIVE ${keep0Sql("documents")},
               ${shinglePairsSql("keep0")},
               $closureSql,
               kept AS (SELECT doc_id, text FROM keep0

@@ -200,7 +200,7 @@ object AvroBridge {
               s"(${schema.getEnumSymbols.asScala.mkString(",")})")
         new GenericData.EnumSymbol(schema, s)
       case (BYTES, BinaryType) => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-      case (FIXED, BinaryType) => new GenericData.Fixed(schema, v.asInstanceOf[Array[Byte]])
+      case (FIXED, BinaryType) => mkFixed(schema, v.asInstanceOf[Array[Byte]])
       case (RECORD, st: StructType) =>
         // Output-schema-as-projection (LuaMapper.scala:116-122): pull each
         // avro field BY NAME from the struct; struct fields the schema
@@ -262,6 +262,26 @@ object AvroBridge {
       case (t, dt) => throw new IllegalArgumentException(
         s"cannot encode spark $dt as avro $t")
     }
+  }
+
+  /** Is this Row the struct-of-members encoding of an n-branch union
+    * (the convention [[toSqlTypeNullable]] emits: fields member0..
+    * memberN-1)? Schema-less Rows are assumed member structs — that is
+    * the only positional interpretation available. */
+  private def isMemberStruct(r: Row, n: Int): Boolean =
+    r.schema == null || (r.schema.fieldNames.length == n &&
+      r.schema.fieldNames.zipWithIndex.forall { case (f, i) => f == s"member$i" })
+
+  /** GenericData.Fixed performs NO length validation (and the datum
+    * writer emits exactly getFixedSize bytes: a long array would
+    * silently truncate, a short one would throw an opaque AIOOBE deep
+    * inside the encoder) — validate eagerly where the caller's value is
+    * still in scope. */
+  private def mkFixed(schema: Schema, bytes: Array[Byte]): GenericData.Fixed = {
+    require(bytes.length == schema.getFixedSize,
+      s"fixed ${schema.getFullName} requires exactly ${schema.getFixedSize} " +
+        s"bytes, got ${bytes.length}")
+    new GenericData.Fixed(schema, bytes)
   }
 
   private def sqlMatchesBranch(dt: DataType, b: Schema): Boolean = (b.getType, dt) match {
@@ -381,10 +401,25 @@ object AvroBridge {
           nonNull match {
             case Seq(only) => conv(v, only)
             case many => v match {
-              case r: Row => // struct-of-members
+              case r: Row if isMemberStruct(r, many.size) => // struct-of-members
                 val idx = (0 until many.size).find(i => !r.isNullAt(i)).getOrElse(
                   throw new UnresolvedUnionException("all union members null"))
                 conv(r.get(idx), many(idx))
+              case r: Row =>
+                // A plain record Row (schema'd, NOT member0..memberN
+                // shaped) against a multi-branch union: dispatch by field
+                // -name coverage. First-record-branch-wins would let the
+                // projection semantics (missing field -> null) bind the
+                // row to the WRONG record branch and silently null its
+                // values; the branch declaring the most of the row's
+                // field names wins (ties -> first branch).
+                val recs = many.zipWithIndex.filter(_._1.getType == RECORD)
+                if (recs.isEmpty) throw new UnresolvedUnionException(
+                  s"Row value but no record branch in union ${many.map(_.getType)}")
+                val (branch, _) = recs.maxBy { case (b, i) =>
+                  (r.schema.fieldNames.count(n => b.getField(n) != null), -i)
+                }
+                conv(r, branch)
               case plain =>
                 val idx = many.indexWhere(b => runtimeMatches(plain, b))
                 if (idx < 0) throw new UnresolvedUnionException(
@@ -393,7 +428,7 @@ object AvroBridge {
             }
           }
         case BYTES => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-        case FIXED => new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+        case FIXED => mkFixed(s, v.asInstanceOf[Array[Byte]])
         case MAP =>
           val out = new java.util.HashMap[String, Any]()
           v.asInstanceOf[scala.collection.Map[String, Any]].foreach {

@@ -142,6 +142,14 @@ class PlanSpec extends SparkSpecBase with Matchers {
     pTol should not include "CartesianProduct"
   }
 
+  test("q_setops' four set-op operands reuse ONE events aggregation " +
+      "exchange (per-side aggregates would scan events twice)") {
+    val df = SparkEntry.queries("q_setops")(spark, sf())
+    df.collect() // finalize AQE so reuse nodes are visible
+    val p = df.queryExecution.executedPlan.toString
+    p should include("ReusedExchange")
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.

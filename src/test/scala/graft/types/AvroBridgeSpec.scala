@@ -151,6 +151,61 @@ class AvroBridgeSpec extends SparkSpecBase {
     }
   }
 
+  test("fixed values are length-validated eagerly (GenericData.Fixed " +
+      "itself checks nothing; the writer would silently truncate)") {
+    val s = parse("""
+      {"type":"record","name":"t","fields":[
+        {"name":"fx","type":{"type":"fixed","name":"Fx","size":4}}]}""")
+    val st = AvroBridge.toSqlType(s).asInstanceOf[StructType]
+    def rowOf(bytes: Array[Byte]) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](bytes), st)
+    // exact size passes both row and catalyst paths
+    AvroBridge.serialize(AvroBridge.rowToRecord(rowOf(Array[Byte](1, 2, 3, 4)), s))
+    // long input must throw, not silently truncate to 4 bytes on the wire
+    val e = intercept[IllegalArgumentException] {
+      AvroBridge.rowToRecord(rowOf(Array.fill[Byte](16)(0)), s)
+    }
+    assert(e.getMessage.contains("4"))
+    intercept[IllegalArgumentException] { // short input: would AIOOBE deep in the encoder
+      AvroBridge.rowToRecord(rowOf(Array[Byte](1, 2)), s)
+    }
+  }
+
+  test("plain record Row against a multi-record union dispatches by " +
+      "field-name coverage, not first-branch-wins") {
+    val s = parse("""
+      {"type":"record","name":"t","fields":[
+        {"name":"u","type":[
+          {"type":"record","name":"RecA","fields":[
+            {"name":"a","type":["null","long"]}]},
+          {"type":"record","name":"RecB","fields":[
+            {"name":"b","type":"string"}]}]}]}""")
+    val st = AvroBridge.toSqlType(s).asInstanceOf[StructType]
+    // a Row carrying field "b" — NOT member0/member1 shaped — must bind
+    // to RecB; first-match would bind RecA and null-project "b" away
+    val bRow = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any]("hello"),
+      StructType(Seq(StructField("b", StringType))))
+    val rec = AvroBridge.rowToRecord(
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](bRow), st), s)
+    val u = rec.get("u").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(u.getSchema.getName == "RecB")
+    assert(u.get("b") == "hello")
+    // the member-struct convention (schema'd member0/member1 Row) still
+    // routes positionally
+    val memberRow = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](null, Row("m")),
+      StructType(Seq(StructField("member0", st("u").dataType), // shape irrelevant for null
+        StructField("member1", StructType(Seq(StructField("b", StringType)))))))
+    val rec2 = AvroBridge.rowToRecord(
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](memberRow), st), s)
+    val u2 = rec2.get("u").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(u2.getSchema.getName == "RecB" && u2.get("b") == "m")
+  }
+
   test("column-level decode/encode: from_avro/to_avro analogues") {
     import org.apache.spark.sql.functions.col
     val rec = new org.apache.avro.generic.GenericData.Record(allTypes)
