@@ -672,7 +672,7 @@ object SparkEntry {
     * [[graft.ops.Dedup]]'s `qualityGate`. Ends the query: final SELECT
     * included. */
   private val curateGateSql: String =
-    raw"""f AS (SELECT doc_id, text,
+    raw"""f AS (SELECT doc_id, text, lower(text) AS lt,
          |                           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
          |                    FROM kept),
          |              scored AS (SELECT doc_id,
@@ -689,12 +689,19 @@ object SparkEntry {
          |                                 + least((CASE WHEN len(toks) > 0
          |                                               THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
          |                                               ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality
-         |                         FROM (SELECT doc_id, text, toks,
+         |                         FROM (SELECT doc_id, text, lt, toks,
          |                                      len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
          |                                      len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
          |                                      len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
          |                                      len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
-         |                                      len(list_filter(toks, x -> list_contains(['的','了','是','在','我','有','他','这'], x))) AS s_zh
+         |                                      ((length(lt) - length(replace(lt, '的', '')))
+                                       + (length(lt) - length(replace(lt, '了', '')))
+                                       + (length(lt) - length(replace(lt, '是', '')))
+                                       + (length(lt) - length(replace(lt, '在', '')))
+                                       + (length(lt) - length(replace(lt, '我', '')))
+                                       + (length(lt) - length(replace(lt, '有', '')))
+                                       + (length(lt) - length(replace(lt, '他', '')))
+                                       + (length(lt) - length(replace(lt, '这', '')))) AS s_zh
          |                               FROM f))
          |         SELECT doc_id, lang_pred, quality FROM scored
          |         WHERE quality >= 0.5 AND lang_pred <> 'und'
@@ -1081,14 +1088,22 @@ object SparkEntry {
     "q_lang_fingerprint" ->
       raw"""WITH t AS (SELECT doc_id,
                            list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,
-                           regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
+                           regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm,
+                           lower(text) AS lt
                     FROM documents),
               s AS (SELECT doc_id, norm,
                            len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
                            len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
                            len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
                            len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
-                           len(list_filter(toks, x -> list_contains(['的','了','是','在','我','有','他','这'], x))) AS s_zh
+                           ((length(lt) - length(replace(lt, '的', '')))
+                                       + (length(lt) - length(replace(lt, '了', '')))
+                                       + (length(lt) - length(replace(lt, '是', '')))
+                                       + (length(lt) - length(replace(lt, '在', '')))
+                                       + (length(lt) - length(replace(lt, '我', '')))
+                                       + (length(lt) - length(replace(lt, '有', '')))
+                                       + (length(lt) - length(replace(lt, '他', '')))
+                                       + (length(lt) - length(replace(lt, '这', '')))) AS s_zh
                     FROM t),
               h AS (SELECT doc_id,
                            ${rollingHashSql("norm")} AS v
@@ -1103,8 +1118,8 @@ object SparkEntry {
                 CAST(${signedSql("h.v")} AS BIGINT) AS fingerprint
          FROM s JOIN h ON s.doc_id = h.doc_id ORDER BY s.doc_id""",
     "q_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
-         FROM documents GROUP BY md5(text) ORDER BY keeper_id""",
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY sha256(text) ORDER BY keeper_id""",
     "q_dedup_rows" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)

@@ -34,10 +34,12 @@ object BinaryCodec {
     * reference consumes it via KafkaAvroDeserializer,
     * GenericAvroSerializer.scala:52-73). Offline we strip the 5-byte
     * header to reach the Avro body. Malformed frames (wrong magic byte or
-    * shorter than header+1) surface as NULL rather than a corrupt Avro
-    * body that fails mysteriously downstream. */
+    * shorter than the header) surface as NULL rather than a corrupt Avro
+    * body that fails mysteriously downstream. A ZERO-byte body is legal
+    * (avro `null` type and empty records both serialize to 0 bytes), so
+    * an exactly-5-byte frame passes: >= 5, not > 5. */
   def strip_confluent_header(c: Column): Column =
-    when(length(c) > 5 && substring(c, 1, 1) === lit(Array[Byte](0)),
+    when(length(c) >= 5 && substring(c, 1, 1) === lit(Array[Byte](0)),
         substring(c, 6, Int.MaxValue))
       .otherwise(lit(null).cast(BinaryType))
 }

@@ -45,9 +45,21 @@ object TextStatsKernel {
     StructField("stopword_ratio", DoubleType, nullable = false),
     StructField("quality", DoubleType, nullable = false)))
 
-  private val stopwords = java.util.Set.of(
+  /** Canonical English stopword probe — the SINGLE list shared with
+    * [[graft.ops.TextAnalysis]] (which must stay bit-identical to this
+    * kernel); edit here, never fork a copy. */
+  val StopwordList: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "on", "for", "with", "as", "at", "by")
+
+  private val stopwords: java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    StopwordList.foreach(s.add)
+    s
+  }
+  // token-length fast path bound derives from the list, so growing it
+  // with a longer word can never silently disable the probe for that word
+  private val maxStopwordLen = StopwordList.map(_.length).max
 
   @inline private def isAsciiWs(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
@@ -101,7 +113,8 @@ object TextStatsKernel {
       if (tokStart >= 0) {
         nTok += 1
         tokLenSum += tokLen
-        if (endIdx - tokStart <= 4 && stopwords.contains(lt.substring(tokStart, endIdx)))
+        if (endIdx - tokStart <= maxStopwordLen &&
+            stopwords.contains(lt.substring(tokStart, endIdx)))
           stopHits += 1
         tokStart = -1
         tokLen = 0L

@@ -27,19 +27,17 @@ import graft.functions.TextHashes
   */
 object Dedup {
 
-  /** Character k-shingles of a (lowercased, whitespace-squashed) string,
-    * distinct. Short strings (< k chars) yield one shingle = whole text. */
-  def charShingles(text: Column, k: Int = 5): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-      i => norm.substr(i, lit(k))))
-  }
-
   /** Exact duplicate groups: one row per distinct content, carrying the
-    * keeper (min id), the duplicate count, and the content hash. */
+    * keeper (min id), the duplicate count, and the content hash.
+    * The hash is sha2-256, NOT md5: a groupBy-only dedup has no cheap
+    * place for a text-equality guard without shuffling the text itself,
+    * and md5-colliding document pairs are practically constructible
+    * (chosen-prefix attacks) — a collision here would silently DELETE a
+    * non-duplicate document. 256-bit collision odds are ~2^-128; where
+    * a join makes the guard free, [[crossCorpusOverlap]] still compares
+    * text after its hash match. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("content_hash"))
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Exact dedup: keep the min-id row per distinct content. Equivalent to

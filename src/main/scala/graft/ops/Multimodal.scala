@@ -55,20 +55,22 @@ object Multimodal {
   /** Expression-path metadata: everything derivable from the bytes with
     * built-in codegen'd functions. The width/height/n_frames formulas are
     * the SAME deterministic fake as [[FakeCodec]] so both paths agree
-    * (and the fake is oracle-checkable in plain SQL). */
+    * (and the fake is oracle-checkable in plain SQL). A null payload is
+    * normalized to the codec's explicit null handling (len 0, empty sha)
+    * — `length(null)` would otherwise propagate null meta and the two
+    * paths would diverge exactly where the scaladoc promises parity. */
   def withMediaMeta(df: DataFrame, idCol: String, typeCol: Column,
-      binCol: Column): DataFrame =
+      binCol: Column): DataFrame = {
+    val len = coalesce(length(binCol).cast(LongType), lit(0L))
     df.select(
       col(idCol).as("media_id"),
       typeCol.as("media_type"),
-      length(binCol).cast(LongType).as("byte_len"),
-      sha2(binCol, 256).as("sha256"),
-      (lit(640) + pmod(length(binCol).cast(LongType), lit(1280L)))
-        .cast(IntegerType).as("width"),
-      (lit(360) + pmod(length(binCol).cast(LongType), lit(720L)))
-        .cast(IntegerType).as("height"),
-      (lit(1) + pmod(length(binCol).cast(LongType), lit(30L)))
-        .cast(IntegerType).as("n_frames"))
+      len.as("byte_len"),
+      coalesce(sha2(binCol, 256), lit("")).as("sha256"),
+      (lit(640) + pmod(len, lit(1280L))).cast(IntegerType).as("width"),
+      (lit(360) + pmod(len, lit(720L))).cast(IntegerType).as("height"),
+      (lit(1) + pmod(len, lit(30L))).cast(IntegerType).as("n_frames"))
+  }
 
   /** Batch-decode path: per-partition iterator, one codec per partition.
     * Input frame must carry (idCol: long, typeCol: string, binCol:
@@ -98,6 +100,9 @@ object Multimodal {
   /** Frame-sample plan: byte offsets of `n` evenly spaced samples — the
     * "which frames would we decode" step, pure expressions. */
   def frameOffsets(binCol: Column, n: Int): Column = {
+    // n = 0 would build sequence(0, -1) = [0, -1] (Spark infers step -1)
+    // and divide by zero under ANSI; fail loudly like packSequences does
+    require(n > 0, s"frame sample count must be positive, got $n")
     val len = length(binCol).cast(LongType)
     when(len > 0,
       transform(sequence(lit(0), lit(n - 1)),

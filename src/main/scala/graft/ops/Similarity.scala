@@ -57,11 +57,25 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col(vecCol), col(qvecCol)).as("score"))
+    val q = renamedQueries(corpus, queries, qidCol, qvecCol)
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col(QId).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col(QVec)).as("score"))
       .where(col("score").isNotNull)
     topKPerKey(scored, "query_id", "neighbor_id", "score", k)
+  }
+
+  /** The query side renamed to reserved internal names before joining
+    * against the corpus, so the standard SELF-query case (same frame or
+    * same schema on both sides: idCol == qidCol, vecCol == qvecCol)
+    * resolves instead of throwing AMBIGUOUS_REFERENCE. */
+  private val QId = "__graft_q_id"
+  private val QVec = "__graft_q_vec"
+  private def renamedQueries(corpus: DataFrame, queries: DataFrame,
+      qidCol: String, qvecCol: String): DataFrame = {
+    require(!corpus.columns.contains(QId) && !corpus.columns.contains(QVec),
+      s"corpus column names $QId/$QVec are reserved")
+    queries.select(col(qidCol).as(QId), col(qvecCol).as(QVec))
   }
 
   /** Reduce (key, id, score) rows to per-key top-k via the bounded-heap
@@ -112,6 +126,13 @@ object Similarity {
   def withLshBuckets(df: DataFrame, vecCol: String, dim: Int,
       numTables: Int = 4, planesPerTable: Int = 12,
       seed: Long = 42L): DataFrame = {
+    // withColumn REPLACES an existing column silently — reject clashes
+    // like AsOfJoin/RangeJoin/SkewJoin do instead of eating user data
+    // (e.g. the buckets of a previous withLshBuckets with other planes)
+    val clashes = df.columns.toSet
+      .intersect(Set("_tb", "lsh_table", "lsh_bucket"))
+    require(clashes.isEmpty,
+      s"column name(s) ${clashes.mkString(", ")} are reserved — rename them")
     val planes = hyperplanes(dim, numTables, planesPerTable, seed)
     val tb = array(planes.indices.map(t =>
       struct(lit(t).as("table"), bucketCol(col(vecCol), planes(t)).as("bucket"))): _*)
@@ -221,12 +242,13 @@ object Similarity {
     val c = corpus.select(col(idCol), col(vecCol),
       graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
         .as("cluster"))
-    val q = queries.select(col(qidCol), col(qvecCol),
+    val q = renamedQueries(corpus, queries, qidCol, qvecCol)
+      .select(col(QId), col(QVec),
         explode(graft.functions.Centroids.centroid_probes(
-          col(qvecCol), centroids, nprobe)).as("cluster"))
+          col(QVec), centroids, nprobe)).as("cluster"))
     val cand = c.join(q, "cluster")
-      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col(vecCol), col(qvecCol)).as("score"))
+      .select(col(QId).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col(QVec)).as("score"))
       .where(col("score").isNotNull)
     // a (query, neighbor) pair appears at most once: each corpus row
     // lives in exactly ONE inverted list (unlike multi-table LSH)
@@ -244,14 +266,14 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val c = withLshBuckets(corpus.select(col(idCol), col(vecCol)), vecCol,
       dim, numTables, planesPerTable, seed)
-    val q = withLshBuckets(queries.select(col(qidCol), col(qvecCol)), qvecCol,
-      dim, numTables, planesPerTable, seed)
+    val q = withLshBuckets(renamedQueries(corpus, queries, qidCol, qvecCol),
+      QVec, dim, numTables, planesPerTable, seed)
       .withColumnRenamed("lsh_table", "q_table")
       .withColumnRenamed("lsh_bucket", "q_bucket")
     val cand = c.join(q,
         c("lsh_table") === q("q_table") && c("lsh_bucket") === q("q_bucket"))
-      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col(vecCol), col(qvecCol)).as("score"))
+      .select(col(QId).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col(QVec)).as("score"))
       .where(col("score").isNotNull)
       .dropDuplicates("query_id", "neighbor_id") // same pair from several tables
     topKPerKey(cand, "query_id", "neighbor_id", "score", k)
@@ -331,6 +353,11 @@ final class TopKBuffer(k: Int) {
     s1 < s2 || (s1 == s2 && i1 > i2)
 
   def offer(id: Long, score: Double): Unit = {
+    // A NaN compares false against everything, so a NaN root would block
+    // every future eviction and freeze the heap on the first k rows seen.
+    // A NaN similarity is "undefined", not "best" — drop it, mirroring
+    // the score.isNotNull guards on the scoring paths.
+    if (score.isNaN) return
     if (size < k) {
       var i = size
       scores(i) = score; ids(i) = id; size += 1

@@ -35,8 +35,9 @@ object TextAnalysis {
         length(text).cast(DoubleType))
       .otherwise(lit(0.0))
 
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
-    "in", "is", "it", "that", "on", "for", "with", "as", "at", "by")
+  // the single canonical list, shared with the fused kernel so the
+  // documented bit-identical contract can't drift
+  private val stopwords = graft.functions.TextStatsKernel.StopwordList
 
   /** Fraction of tokens that are (English) stopwords — a standard
     * quality-filter feature. */
@@ -76,22 +77,36 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "une"),
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "他", "这"))
 
-  /** Per-language marker-hit counts as a map<string,int>. */
-  def langScores(text: Column): Column = {
+  /** Per-language marker scores. European markers are whole-TOKEN hits;
+    * the zh markers are single CHARACTERS and unsegmented CJK text has
+    * no token separators (a whole clause is one `\p{L}` token, so token
+    * equality can never hit) — zh counts marker-character OCCURRENCES
+    * in the lowercased text instead. Both are counts of marker
+    * sightings, so the argmax stays comparable. */
+  private def langScoreExprs(text: Column): Seq[(String, Column)] = {
     val ts = tokens(text)
-    map(langMarkers.flatMap { case (lang, markers) =>
-      Seq(lit(lang), size(filter(ts, t => t.isin(markers: _*))))
-    }: _*)
+    val lt = lower(text)
+    langMarkers.map {
+      case ("zh", markers) =>
+        // occurrences of each marker char: len(text) - len(text without it)
+        "zh" -> markers.map(m =>
+          length(lt) - length(regexp_replace(lt, m, ""))).reduce(_ + _)
+      case (lang, markers) =>
+        lang -> size(filter(ts, t => t.isin(markers: _*)))
+    }
   }
+
+  /** Per-language marker-hit counts as a map<string,int>. */
+  def langScores(text: Column): Column =
+    map(langScoreExprs(text).flatMap { case (lang, score) =>
+      Seq(lit(lang), score)
+    }: _*)
 
   /** Heuristic language ID: argmax over marker-hit counts, ties broken by
     * language code ascending; docs with zero hits anywhere -> "und"
     * (unknown), mirroring BCP-47. */
   def langId(text: Column): Column = {
-    val ts = tokens(text)
-    val scored = langMarkers.map { case (lang, markers) =>
-      (lang, size(filter(ts, t => t.isin(markers: _*))))
-    }
+    val scored = langScoreExprs(text)
     // fold: keep (bestLang, bestScore); strict > keeps earlier (asc) lang on ties
     val (bestLang, bestScore) = scored.tail.foldLeft(
         (lit(scored.head._1), scored.head._2)) { case ((bl, bs), (lang, sc)) =>

@@ -13,6 +13,24 @@ class MultimodalSpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     (3L, "video", "abc".getBytes("UTF-8"))
   ).toDF("media_id", "media_type", "payload")
 
+  test("expression and decode paths agree on NULL payloads too (len 0, " +
+      "empty sha — not null-propagated meta)") {
+    val withNull = media.unionByName(Seq(
+      (4L, "image", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "media_type", "payload"))
+    val expr = Multimodal.withMediaMeta(withNull, "media_id",
+        $"media_type", $"payload")
+      .where($"media_id" === 4L).collect()(0)
+    val typed = Multimodal.decodeMeta(withNull, "media_id", "media_type", "payload")
+      .where($"media_id" === 4L).collect()(0)
+    expr.getAs[Long]("byte_len") shouldBe typed.byte_len
+    expr.getAs[String]("sha256") shouldBe typed.sha256
+    expr.getAs[Int]("width") shouldBe typed.width
+    expr.getAs[Int]("n_frames") shouldBe typed.n_frames
+    expr.getAs[Long]("byte_len") shouldBe 0L
+    expr.getAs[String]("sha256") shouldBe ""
+  }
+
   test("expression path and mapPartitions decode path agree") {
     val expr = Multimodal.withMediaMeta(media, "media_id",
         $"media_type", $"payload")
@@ -30,13 +48,17 @@ class MultimodalSpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     }
   }
 
-  test("frame offsets are evenly spaced; empty payload -> empty array") {
+  test("frame offsets are evenly spaced; empty payload -> empty array; " +
+      "n = 0 is rejected") {
     val r = media.select($"media_id",
       Multimodal.frameOffsets($"payload", 5).as("offs")).orderBy("media_id")
       .as[(Long, Seq[Long])].collect().toMap
     r(1L) shouldBe Seq(0L, 2L, 4L, 6L, 8L)
     r(2L) shouldBe Seq.empty
     r(3L) shouldBe Seq(0L, 0L, 1L, 1L, 2L) // 3 bytes, 5 samples
+    intercept[IllegalArgumentException] { // would be sequence(0,-1) + div/0
+      Multimodal.frameOffsets($"payload", 0)
+    }
   }
 
   test("featureVector: unit norm, empty payload -> zero vector") {

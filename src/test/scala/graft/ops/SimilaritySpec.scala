@@ -47,6 +47,43 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
       Array((1L, 13L), (1L, 10L), (1L, 11L), (2L, 20L))
   }
 
+  test("topk aggregate drops NaN scores instead of letting a NaN root " +
+      "freeze the heap") {
+    // NaN first: it would sit at the heap root and block every eviction
+    // (all NaN comparisons are false), silently returning the first k
+    // rows seen instead of the top-k
+    val scored = Seq(
+      (1L, 99L, Double.NaN), (1L, 10L, 0.2), (1L, 11L, 0.5),
+      (1L, 12L, 0.9), (1L, 13L, 0.7)
+    ).toDF("q", "id", "score").coalesce(1) // one partition: NaN offered first
+    val top = Similarity.topKPerKey(scored, "q", "id", "score", k = 2)
+      .orderBy("rank").select("id").as[Long].collect()
+    top shouldBe Array(12L, 13L)
+  }
+
+  test("self-query (same column names on both sides) resolves instead " +
+      "of AMBIGUOUS_REFERENCE") {
+    val top = Similarity.bruteForceTopK(corpus, "id", "vec",
+        corpus, "id", "vec", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // every vector's nearest neighbor is itself
+    top.foreach { case (q, n) => n shouldBe q }
+    top.length shouldBe 5
+    val lsh = Similarity.lshTopK(corpus, "id", "vec", corpus, "id", "vec",
+      k = 1, dim = 3, numTables = 8, planesPerTable = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    lsh.foreach { case (q, n) => n shouldBe q }
+  }
+
+  test("withLshBuckets rejects reserved column names instead of " +
+      "silently replacing them") {
+    val withBucket = corpus.withColumn("lsh_bucket", lit(7))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.withLshBuckets(withBucket, "vec", dim = 3)
+    }
+    e.getMessage should include("lsh_bucket")
+  }
+
   test("lsh top-k finds the true nearest neighbor") {
     val queries = Seq((100L, Array(0.95f, 0.05f, 0.0f))).toDF("qid", "qvec")
     val top = Similarity.lshTopK(corpus, "id", "vec", queries, "qid", "qvec",

@@ -39,6 +39,16 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     df.as[String].collect() shouldBe Array("en", "de", "es", "und")
   }
 
+  test("langId detects UNSEGMENTED Chinese (no token separators — marker " +
+      "chars are counted as substrings, not whole tokens)") {
+    val df = Seq(
+      "这是我的书，他有很多书。",        // natural unsegmented zh clause
+      "我 的 书",                       // pre-segmented zh still works
+      "the book is mine").toDF("text")
+      .select(TextAnalysis.langId($"text").as("lang"))
+    df.as[String].collect() shouldBe Array("zh", "zh", "en")
+  }
+
   test("fingerprint is whitespace/case-normalized and order-sensitive") {
     val fp = Seq("Hello   World", "hello world", "world hello")
       .toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].collect()

@@ -78,4 +78,23 @@ class SerdeSpec extends SparkSpecBase {
       .select(BinaryCodec.binary_to_long(col("b")).as("v"))
     assert(df.agg(sum("v")).collect()(0).getLong(0) == (0L until 1000L).sum)
   }
+
+  test("strip_confluent_header: exactly-5-byte frame is a VALID empty " +
+      "body (avro null / empty record); shorter or bad magic -> null") {
+    val spark0 = spark
+    import spark0.implicits._
+    val frames = Seq(
+      ("empty_body", Array[Byte](0, 0, 0, 0, 1)),         // magic + id, 0-byte body
+      ("with_body", Array[Byte](0, 0, 0, 0, 1, 42)),      // 1-byte body
+      ("too_short", Array[Byte](0, 0, 0, 0)),             // header truncated
+      ("bad_magic", Array[Byte](1, 0, 0, 0, 1, 42))
+    ).toDF("name", "frame")
+    val out = frames.select(col("name"),
+        BinaryCodec.strip_confluent_header(col("frame")).as("body"))
+      .collect().map(r => r.getString(0) -> Option(r.getAs[Array[Byte]](1))).toMap
+    assert(out("empty_body").exists(_.isEmpty)) // empty body, NOT null
+    assert(out("with_body").exists(_.sameElements(Array[Byte](42))))
+    assert(out("too_short").isEmpty)
+    assert(out("bad_magic").isEmpty)
+  }
 }
