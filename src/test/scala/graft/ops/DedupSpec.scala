@@ -140,6 +140,47 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     got shouldBe Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
   }
 
+  test("nearDupClusters matches a union-find model on a random graph") {
+    // Randomized closure check: a sparse random graph with many small
+    // components, long chains, and isolated-by-chance nodes, vs an
+    // in-memory union-find. Pins the iterative min-label + pointer-jump
+    // propagation (including the merge-late and convergence-detection
+    // paths) against the textbook answer, not hand-picked examples.
+    val rng = new scala.util.Random(37)
+    val nodes = 140
+    val edges = Vector.fill(110)(
+        (rng.nextInt(nodes).toLong, rng.nextInt(nodes).toLong))
+      .filter(e => e._1 != e._2) // self-loop pairs never reach the op
+    // union-find with path compression
+    val parent = Array.tabulate(nodes)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val wantLabel = touched.map(id => id ->
+      touched.filter(o => find(o.toInt) == find(id.toInt)).min).toMap
+    val wantSize = wantLabel.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+
+    val got = Dedup.nearDupClusters(edges.toDF("id_a", "id_b"))
+      .select("id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    got.length shouldBe touched.size
+    got.foreach { case (id, cid, sz) =>
+      cid shouldBe wantLabel(id)
+      sz shouldBe wantSize(cid)
+    }
+    // the graph actually exercised multi-node components
+    wantSize.values.max should be >= 4L
+  }
+
   test("nearDupClusters reliable-checkpoint path: identical output, " +
       "checkpoint files actually written") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

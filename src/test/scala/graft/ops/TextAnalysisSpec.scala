@@ -160,6 +160,44 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
       (10L, 0L, 0L, false), (11L, 1L, 0L, false), (12L, 1L, 2L, false))
   }
 
+  test("packSequences matches the sequential-packer model on random corpora") {
+    // Randomized model check: many streams of random sizes with zero-,
+    // small-, and over-capacity-token docs, vs the obvious sequential
+    // packer (sort by id within stream, running head-to-tail layout).
+    // Pins the window's partitioning/ordering/frame and the
+    // empty-stream-prefix coalesce against the definition rather than
+    // hand-picked rows.
+    val rng = new scala.util.Random(53)
+    val capacity = 16L
+    val rows = (0 until 400).map { i =>
+      val stream = "s" + rng.nextInt(7)
+      val nTok = rng.nextInt(6) match {
+        case 0 => 0L                      // empty doc
+        case 5 => 16L + rng.nextInt(30)   // > capacity: must span
+        case _ => 1L + rng.nextInt(12)
+      }
+      (i.toLong, stream, nTok)
+    }
+    val got = TextAnalysis.packSequences(
+        rows.toDF("doc_id", "stream", "n"), "doc_id", $"n", "stream", capacity)
+      .select("doc_id", "pack_id", "pack_offset", "spans_packs")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val want = rows.groupBy(_._2).values.flatMap { stream =>
+      var cum = 0L
+      stream.sortBy(_._1).map { case (id, _, n) =>
+        val entry = id -> (cum / capacity, cum % capacity,
+          n > 0 && (cum + n - 1) / capacity > cum / capacity)
+        cum += n
+        entry
+      }
+    }.toMap
+    got shouldBe want
+    // the corpus actually exercised both span outcomes
+    got.values.count(_._3) should be > 0
+    got.values.count(!_._3) should be > 0
+  }
+
   test("scrub redacts URLs, emails, and long digit runs; keeps the rest") {
     val df = Seq(
       (1L, "see https://ex.com/a?b=1 or mail bob.smith+x@corp.example now"),
