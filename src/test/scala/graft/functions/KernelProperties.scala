@@ -140,4 +140,40 @@ object KernelProperties extends Properties("graft.kernels") {
       row.getDouble(5) == stopRatio &&
       row.getDouble(6) >= 0.0 && row.getDouble(6) <= 1.0
   }
+
+  // --------------------------------------------- bounded top-k heap model
+
+  private val offers: Gen[List[(Long, Double)]] = {
+    val score: Gen[Double] = Gen.frequency(
+      8 -> Gen.chooseNum(-5, 5).map(_ / 4.0), // dense ties
+      // normalize -0.0 -> 0.0: the heap compares primitively (-0.0 == 0.0
+      // ties on id) while the model's Ordering[Double] sorts -0.0 below
+      // 0.0 — the production paths never produce -0.0 scores
+      2 -> Gen.chooseNum(-1.0, 1.0).map(s => if (s == 0.0) 0.0 else s),
+      1 -> Gen.oneOf(Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.NaN))
+    Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 40L), score)))
+  }
+
+  property("TopKBuffer == sort-based top-k under random partition splits " +
+      "+ serde round-trip (ties, infinities, NaN)") =
+    forAll(offers, Gen.chooseNum(1, 12), Gen.chooseNum(1, 5)) {
+      (xs, k, nParts) =>
+        // scatter offers over nParts partial buffers, round-trip each
+        // through the aggregate's wire format, then merge — the exact
+        // partial/shuffle/final path TopKByScore drives
+        val parts = Array.fill(nParts)(new graft.ops.TopKBuffer(k))
+        xs.zipWithIndex.foreach { case ((id, s), i) =>
+          parts(i % nParts).offer(id, s)
+        }
+        val merged = new graft.ops.TopKBuffer(k)
+        parts.foreach(p =>
+          graft.ops.TopKBuffer.fromBytes(k, p.toBytes)
+            .foreach((id, s) => merged.offer(id, s)))
+        val got = merged.sortedDesc.toList
+        val want = xs.filterNot(_._2.isNaN)
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+        got == want
+    }
 }

@@ -115,6 +115,45 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     pairs should contain((1L, 3L))
   }
 
+  test("simhashNearDupPairs == brute-force hamming filter on random " +
+      "mutated corpora (chunk bucketing is complete AND sound)") {
+    // The scaladoc claims pigeonhole completeness: any pair within
+    // maxDistance shares an exact chunk, so bucketing loses no pair.
+    // Check output == ALL-pairs hamming<=d on a corpus of random docs
+    // plus small token mutations (which yield genuinely small
+    // distances), at several d values including the uneven-last-chunk
+    // widths (64 mod (d+1) != 0).
+    val rng = new scala.util.Random(71)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    def doc(): Vector[String] = Vector.fill(20)(vocab(rng.nextInt(vocab.size)))
+    val bases = Vector.fill(6)(doc())
+    val docs = (bases ++ bases.flatMap { b =>
+      Vector.fill(3) {
+        // mutate 1-3 token positions
+        var v = b
+        (0 until 1 + rng.nextInt(3)).foreach { _ =>
+          v = v.updated(rng.nextInt(v.size), vocab(rng.nextInt(vocab.size)))
+        }
+        v
+      }
+    } :+ bases.head // exact dup: a hamming-0 pair exists at every d
+    ).zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val df = docs.toDF("id", "text")
+    val fps = df.select($"id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    for (d <- Seq(3, 6, 10)) {
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= d
+      } yield (a, b)).toSet
+      val got = Dedup.simhashNearDupPairs(df, "id", "text", maxDistance = d)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      withClue(s"maxDistance=$d: ") { got shouldBe want }
+      // the corpus really produced pairs at this distance
+      withClue(s"maxDistance=$d vacuous: ") { want should not be empty }
+    }
+  }
+
   test("nearDupClusters computes connected components with min-id labels") {
     // components: {1,2,3} (path), {10,11}, {20..27} (a LONG path whose
     // diameter forces several propagation rounds), singleton-free input
