@@ -244,6 +244,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
+    "q_cube" -> ((s, dir) => {
+      // Full grouping-sets lattice (rollup's superset): every subtotal
+      // combination in ONE pass — partial aggregation expands grouping
+      // ids map-side, so it shuffles once like a plain groupBy. sum_qty
+      // is exact: TPC-H quantities are integer-valued doubles, so the
+      // sum is order-independent (same invariant q1_agg relies on).
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+    "q_win_frame" -> ((s, dir) => {
+      // Window FRAMES + analytic offsets (q_window covers only ranking):
+      // per customer in o_orderkey order, the previous order's price
+      // (lag) and the running 3-row peak (rows between 2 preceding and
+      // current). Exact value copies/comparisons — no float
+      // accumulation — so the hash compare is sound. One hash shuffle
+      // on o_custkey + one in-partition sort, same scale shape as
+      // q_window.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          max(col("o_totalprice")).over(w.rowsBetween(-2, 0)).as("peak3"),
+          count(lit(1)).over(w.rowsBetween(-2, 0)).as("n3"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "q_distinct" -> ((s, dir) => {
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
         .distinct().orderBy("c_mktsegment", "c_nationkey")
@@ -889,6 +917,19 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_win_frame" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                max(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS peak3,
+                count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
     "q_bucketed_asof" ->
