@@ -244,6 +244,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
+    "q_json" -> ((s, dir) => {
+      // JSON functions over the events.props payload column (§2.3: the
+      // reference has none — Avro decoding is the serde's job; Spark's
+      // JSON surface is a free superset). get_json_object is a codegen'd
+      // path expression; the extract + cast stay in the narrow pre-agg
+      // scan, so the only shuffle is the groupBy. Integer-valued k sums
+      // exactly.
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+    "q_semi_anti" -> ((s, dir) => {
+      // Explicit LEFT SEMI / LEFT ANTI surface (§2.3 joins list) — the
+      // curation pipelines use anti joins internally, but no query
+      // exercised the operators directly. The right side is HIGH-VALUE
+      // orders (> 400k) so both branches return rows at every SF (20 /
+      // 202 / 1997 anti rows at sf0.001/0.01/0.1) — against all orders
+      // the anti side is empty and the check would be as vacuous as the
+      // old q_setops. One orders projection feeds both sides (exchange
+      // reuse, like q_setops); the pushed o_totalprice filter reaches
+      // the parquet scan.
+      val custs = t(s, dir, "customer").select(col("c_custkey"))
+      val orderKeys = t(s, dir, "orders")
+        .where(col("o_totalprice") > 400000).select(col("o_custkey"))
+      custs.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("side", lit("with_orders"))
+        .unionByName(
+          custs.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+            .withColumn("side", lit("no_orders")))
+        .select(col("side"), col("c_custkey"))
+        .orderBy("side", "c_custkey")
+    }),
     "q_cube" -> ((s, dir) => {
       // Full grouping-sets lattice (rollup's superset): every subtotal
       // combination in ONE pass — partial aggregation expands grouping
@@ -917,6 +953,21 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_json" ->
+      """SELECT event_type, count(*) AS n,
+                sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS side, c_custkey FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         UNION ALL
+         SELECT 'no_orders' AS side, c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         ORDER BY side, c_custkey""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                 sum(l_quantity) AS sum_qty
