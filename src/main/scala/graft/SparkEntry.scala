@@ -244,6 +244,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
+    "q_star_join" -> ((s, dir) => {
+      // Multi-way star join over the otherwise-unused dimension chain
+      // (region <- nation <- customer) hanging off the orders fact. The
+      // tiny dims are broadcast explicitly; the fact joins customer on
+      // the shuffle, then picks up nation/region map-side with no
+      // further exchange — the canonical 100 TB star shape (at scale
+      // AQE would also demote customer to broadcast where it fits).
+      // Aggregates are exact: counts + max (value copy), no float sums.
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("r_name", "n_name")
+    }),
     "q_json" -> ((s, dir) => {
       // JSON functions over the events.props payload column (§2.3: the
       // reference has none — Avro decoding is the serde's job; Spark's
@@ -953,6 +974,15 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+                count(DISTINCT c_custkey) AS n_customers,
+                max(o_totalprice) AS max_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "q_json" ->
       """SELECT event_type, count(*) AS n,
                 sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
