@@ -150,6 +150,40 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should include("ReusedExchange")
   }
 
+  test("q_semi_anti: both set sides broadcast ONE shared high-value-orders " +
+      "build (semi + anti reuse the exchange, no sort-merge)") {
+    val df = SparkEntry.queries("q_semi_anti")(spark, sf())
+    df.collect() // finalize AQE so reuse nodes are visible
+    val p = df.queryExecution.executedPlan.toString
+    // the AQE-final toString prints Current + Initial plans, so each
+    // join may appear twice; LeftSemi + LeftAnti must BOTH be broadcast
+    "BroadcastHashJoin.*LeftSemi".r.findAllIn(p).size should be >= 1
+    "BroadcastHashJoin.*LeftAnti".r.findAllIn(p).size should be >= 1
+    p should include("ReusedExchange")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q_cube expands grouping sets map-side and partially aggregates " +
+      "before its single hash shuffle") {
+    val p = plan("q_cube")
+    p should include("Expand") // the lattice is one pass, not 4 scans
+    p should include("partial_count")
+    p should include("partial_sum")
+  }
+
+  test("q_win_frame fuses lag and both frame aggregates into ONE window " +
+      "operator (one partition sort, not one per frame)") {
+    val p = plan("q_win_frame")
+    "\\bWindow\\b".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q_star_join picks up the hinted nation/region dims as broadcast " +
+      "hash joins") {
+    val p = plan("q_star_join")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 2
+    p should not include "CartesianProduct"
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.
