@@ -482,6 +482,17 @@ object SparkEntry {
           maxDistance = 3)
         .orderBy("id_a", "id_b")
     }),
+    "q_winnow" -> ((s, dir) => {
+      // Winnowing (MOSS) substring-overlap pairs: catches a verbatim
+      // run of >= k+w-1 = 34 normalized codepoints shared between two
+      // docs — the contamination mode whole-doc Jaccard misses. The
+      // oracle replays gram hashing, window minima, and the pair count
+      // exactly (FNV codepoint fold in HUGEINT, >>1 to the signed
+      // range).
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 25, w = 10, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
     // ---- LLM-data-pipeline: text analysis ----
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.documentFeatures(t(s, dir, "documents"), "doc_id", "text")
@@ -705,6 +716,20 @@ object SparkEntry {
        |  [CAST(0 AS HUGEINT)] || list_transform(range(1, length($normCol)+1),
        |                                         i -> CAST(unicode(substr($normCol, CAST(i AS INTEGER), 1)) AS HUGEINT)),
        |  (acc, b) -> (acc * 1000003 + b) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  /** FNV-1a fold over the CODEPOINTS of a string-valued SQL expression,
+    * truncated to 63 bits (`>> 1`) — the exact DuckDB replay of
+    * [[graft.functions.TextHashes.winnowOf]]'s gram hash (same offset
+    * basis, same prime, same mod-2^64 arithmetic; parity pinned by
+    * q_winnow and the kernel spec). Inner lambda var is `i`; callers
+    * must use a different var for any enclosing lambda. */
+  private def winnowHashSql(sExpr: String): String =
+    s"""CAST(CAST(list_reduce(
+       |  [CAST('14695981039346656037' AS HUGEINT)] ||
+       |    list_transform(range(1, length($sExpr)+1),
+       |                   i -> CAST(unicode(substr($sExpr, CAST(i AS INTEGER), 1)) AS HUGEINT)),
+       |  (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
+       |              % CAST('18446744073709551616' AS HUGEINT)) AS UBIGINT) >> 1 AS BIGINT)""".stripMargin
 
   /** Reinterpret a mod-2^64 HUGEINT as signed 64-bit (Spark LongType). */
   private def signedSql(vCol: String): String =
@@ -1086,6 +1111,25 @@ object SparkEntry {
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster_id <> id)
          ORDER BY doc_id""",
+    "q_winnow" ->
+      raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
+              g AS (SELECT doc_id,
+                           CASE WHEN length(t) >= 25
+                                THEN list_transform(range(1, length(t)-25+2), j -> ${winnowHashSql("substr(t, CAST(j AS INTEGER), 25)")})
+                                ELSE [${winnowHashSql("t")}] END AS gh
+                    FROM d),
+              wn AS (SELECT doc_id,
+                            CASE WHEN len(gh) >= 10
+                                 THEN list_transform(range(1, len(gh)-10+2), x -> list_min(gh[CAST(x AS INTEGER):CAST(x+9 AS INTEGER)]))
+                                 ELSE [list_min(gh)] END AS wins
+                     FROM g),
+              fp AS (SELECT DISTINCT doc_id, fp
+                     FROM (SELECT doc_id, unnest(wins) AS fp FROM wn)),
+              capped AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM fp a JOIN fp b USING (fp)
+         WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM capped)
+         GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""",
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
               hs AS (SELECT doc_id,

@@ -275,6 +275,51 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // -------------------------------------------- winnowing (MOSS) overlap
+
+  /** Winnowed fingerprint rows `(id, fp)` of the normalized text — the
+    * exploded MOSS signature ([[graft.functions.TextHashes.winnow]]),
+    * i.e. an inverted-index-ready layout: one narrow codegen'd scan,
+    * no shuffle; group/join on `fp` downstream. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.TextHashes.winnow(
+        regexp_replace(lower(col(textCol)), "\\s+", " "), k, w)).as("fp"))
+
+  /** Substring-overlap pairs `(id_a, id_b, n_shared)`: documents sharing
+    * at least `minShared` winnowed fingerprints. The winnowing GUARANTEE
+    * makes this a verbatim-overlap detector with a hard floor: any
+    * shared run of `k + w - 1` normalized codepoints produces a shared
+    * fingerprint, so a long quote lifted between two otherwise-different
+    * documents is caught — the failure mode whole-doc Jaccard (MinHash)
+    * is blind to, which is why contamination screens want BOTH.
+    *
+    * Scale shape = the LSH cascade's: one exchange on `fp`, a bucket-
+    * size cap before the self-join (a fingerprint shared by more than
+    * `maxBucketSize` docs is template/boilerplate text, not overlap
+    * signal — same reasoning as the banding cap), then a count
+    * aggregate over slim id pairs. Raw text never enters the join. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .repartition(col("fp")) // one exchange; cap + both join sides reuse it
+    val small = fps.groupBy(col("fp")).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("fp"))
+    val sized = fps.join(small, Seq("fp"), "left_semi")
+    val l = sized.select(col("fp"), col("id").as("id_a"))
+    val r = sized.select(col("fp"), col("id").as("id_b"))
+    l.join(r, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      // per-doc fingerprints are distinct (kernel contract), so the
+      // pair count IS the signature-intersection size
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** Word tokens for SimHash: lowercased, split on non-alphanumerics. */

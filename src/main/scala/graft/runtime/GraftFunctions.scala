@@ -47,6 +47,7 @@ object GraftFunctions {
     ("graft_text_stats", classOf[TextStats], two(TextStats(_, _))),
     ("graft_repetition_ratio", classOf[RepetitionRatio],
       one(RepetitionRatio(_, 5))),
+    ("graft_winnow", classOf[Winnow], one(Winnow(_, 8, 4))),
     ("graft_quantize_vec", classOf[QuantizeVec], one(QuantizeVec)),
     ("graft_dequantize_vec", classOf[DequantizeVec], two(DequantizeVec(_, _)))
   )

@@ -141,6 +141,48 @@ object KernelProperties extends Properties("graft.kernels") {
       row.getDouble(6) >= 0.0 && row.getDouble(6) <= 1.0
   }
 
+  // ------------------------------------------------- winnowing signature
+
+  property("winnow: sorted, distinct, non-negative, and equal to the " +
+      "positional window-min model") =
+    forAll(texts, Gen.chooseNum(1, 12), Gen.chooseNum(1, 8)) { (s, k, w) =>
+      val got = {
+        val a = TextHashes.winnowOf(u(s), k, w)
+        (0 until a.numElements()).map(a.getLong).toVector
+      }
+      // independent model on codepoints
+      val cps = s.codePoints().toArray
+      def gram(j: Int): Long = {
+        var h = 0xcbf29ce484222325L
+        (j until math.min(j + k, cps.length)).foreach { t =>
+          h ^= cps(t).toLong; h *= 0x100000001b3L
+        }
+        h >>> 1
+      }
+      val grams = (0 until math.max(cps.length - k + 1, 1)).map(gram)
+      val want = (0 until math.max(grams.length - w + 1, 1))
+        .map(i => grams.slice(i, i + w).min).distinct.sorted.toVector
+      got == want && got.forall(_ >= 0) && got == got.distinct.sorted
+    }
+
+  property("winnow guarantee: docs sharing a substring of k+w-1 " +
+      "codepoints share a fingerprint") =
+    forAll(texts, texts, texts, Gen.chooseNum(2, 8), Gen.chooseNum(2, 6)) {
+      (a, b, shared0, k, w) =>
+        // pad/trim the shared run to exactly k+w-1 CODEPOINTS (substring
+        // counts chars and would split surrogate pairs / undershoot)
+        val need = k + w - 1
+        val sharedCps = (shared0 + "x" * need).codePoints().toArray.take(need)
+        val shared = new String(sharedCps, 0, need)
+        val d1 = a + shared + b
+        val d2 = b + "y" + shared + a
+        def fps(s: String) = {
+          val arr = TextHashes.winnowOf(u(s), k, w)
+          (0 until arr.numElements()).map(arr.getLong).toSet
+        }
+        fps(d1).intersect(fps(d2)).nonEmpty
+    }
+
   // --------------------------------------------- bounded top-k heap model
 
   private val offers: Gen[List[(Long, Double)]] = {

@@ -100,6 +100,21 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     j shouldBe 1.0
   }
 
+  test("winnowOverlapPairs flags a lifted quote, not merely similar docs") {
+    val quote = "the training corpus must never contain the eval set verbatim"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $quote delta echo foxtrot golf hotel"),
+      (2L, s"one two three four five six seven $quote eight nine ten"),
+      (3L, "completely different content with no shared runs at all here"),
+      (4L, "more unrelated filler text that talks about something else")
+    ).toDF("id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, "id", "text",
+        k = 25, w = 10, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L)) // the quote >= k+w-1 chars: guaranteed hit;
+                                 // no other pair shares a 34-char run
+  }
+
   test("simhash: identical fp for dup, small hamming for near-dup") {
     val fp = docs.select($"id", Dedup.simhash($"text").as("fp"))
       .as[(Long, Long)].collect().toMap
