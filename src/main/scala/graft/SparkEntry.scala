@@ -1449,7 +1449,12 @@ object SparkEntry {
     * including the round-5 additions (cluster dedup, LSH ANN, bucketed
     * as-of, stream-stream interval join, packing, skew join, scrub,
     * mixing), so no expensive operator's cost is invisible to the
-    * driver's bench. */
+    * driver's bench.
+    *
+    * Round-over-round note: the trailing round-8 block (winnowing +
+    * the new relational surface) widens the set from 26 to 32 —
+    * compare TOTALS per-query or over the shared 26-query prefix, not
+    * headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_ann_brute",
@@ -1457,5 +1462,8 @@ object SparkEntry {
     "q_vocab", "q_repetition", "q_ann_ivf", "q_quantize",
     "q_asof", "q_range",
     "q_cluster_dedup", "q_ann_lsh", "q_bucketed_asof", "q_stream_interval",
-    "q_pack", "q_skew_join", "q_scrub", "q_mix")
+    "q_pack", "q_skew_join", "q_scrub", "q_mix",
+    // round 8
+    "q_winnow", "q_star_join", "q_cube", "q_win_frame", "q_setops",
+    "q_semi_anti")
 }
