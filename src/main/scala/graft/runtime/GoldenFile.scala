@@ -73,7 +73,13 @@ object GoldenFile {
 
   /** Canonical structural value: structs -> name-sorted maps WITHOUT
     * null entries (null == absent, the Lua-table semantic), arrays ->
-    * vectors, binary -> byte vector. */
+    * vectors, binary -> byte vector. Numeric equality is VALUE-based:
+    * widths widen (byte/short/int -> long, float -> double) and Scala's
+    * cooperative equality makes long 5 == double 5.0 — exactly the
+    * reference's luaj semantics (its deepEq coerces 1 == 1.0). Golden
+    * JSON always parses numbers as long/double, so a pipeline
+    * producing int 5 matches an expected 5; only different VALUES
+    * mismatch. */
   def canonicalRow(r: Row, schema: StructType): Map[String, Any] =
     canonical(r, schema).asInstanceOf[Map[String, Any]]
 
@@ -91,6 +97,10 @@ object GoldenFile {
         k.toString -> canonical(mv, mt.valueType)
       }.sortBy(_._1): _*)
     case (b: Array[Byte], _) => b.toVector
+    case (b: java.lang.Byte, _) => b.longValue
+    case (s: java.lang.Short, _) => s.longValue
+    case (i: java.lang.Integer, _) => i.longValue
+    case (f: java.lang.Float, _) => f.doubleValue
     case (x, _) => x
   }
 }

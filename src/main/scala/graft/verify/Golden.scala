@@ -58,7 +58,12 @@ object Golden {
   }
 
   /** Structural equality over Rows/Seqs/primitives (the deepEq analogue,
-    * StreamProcessOperations.scala:117-132, with the type check FIXED). */
+    * StreamProcessOperations.scala:117-132, with the type check FIXED).
+    * Numeric equality is VALUE-based: widths widen (int 5 == long 5,
+    * float == its exact double) and Scala's cooperative equality makes
+    * long 5 == double 5.0 — the reference's luaj semantics (deepEq
+    * coerces 1 == 1.0). Same policy as [[graft.runtime.GoldenFile]]'s
+    * canonical compare, so the two harnesses can never disagree. */
   def rowEq(a: Any, b: Any): Boolean = (a, b) match {
     case (null, null) => true
     case (x: Row, y: Row) =>
@@ -66,7 +71,15 @@ object Golden {
     case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
       x.length == y.length && x.zip(y).forall { case (xe, ye) => rowEq(xe, ye) }
     case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
-    case (x, y) => x == y
+    case (x, y) => widen(x) == widen(y)
+  }
+
+  private def widen(v: Any): Any = v match {
+    case b: java.lang.Byte => b.longValue
+    case s: java.lang.Short => s.longValue
+    case i: java.lang.Integer => i.longValue
+    case f: java.lang.Float => f.doubleValue
+    case other => other
   }
 
   /** Dry-run entry: verify and report, never start the stream

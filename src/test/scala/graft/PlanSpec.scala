@@ -184,6 +184,19 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q_winnow: ONE fingerprint exchange feeds the cap and both join " +
+      "sides; kernel stays in codegen; no cartesian") {
+    val df = SparkEntry.queries("q_winnow")(spark, sf())
+    df.collect() // finalize AQE so reuse nodes are visible
+    val p = df.queryExecution.executedPlan.toString
+    p should include("ReusedExchange")
+    p should not include "CartesianProduct"
+    val gen = p.linesIterator.find(_.contains("graft_winnow"))
+      .getOrElse(fail("no winnow kernel in final plan"))
+    // `*(n)` prefix = inside a whole-stage-codegen stage
+    gen.trim.replaceFirst("^[:+\\- ]+", "") should startWith("*(")
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.

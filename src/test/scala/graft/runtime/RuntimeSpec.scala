@@ -42,6 +42,31 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
       "-t", bad.toString, "-D")) shouldBe 1
   }
 
+  test("golden numeric compare is value-based (luaj parity): int 5 " +
+      "matches golden 5 AND 5.0; a different value still fails") {
+    val script = Files.createTempFile("width", ".graft")
+    // cast to INT: the actual output row carries Integer, while golden
+    // JSON numbers parse as Long/Double — equal VALUES must match
+    // regardless of width or integral/fractional (the reference's luaj
+    // deepEq coerces 1 == 1.0); unequal values must still refuse.
+    Files.writeString(script, "mapValues cast(value as int)\n")
+    val g = Files.createTempFile("golden-width", ".json")
+    Files.writeString(g,
+      """{"inputs": [{"value": "5"}], "expected": [{"value": 5}]}""")
+    Main.run(spark, Array("-l", script.toString,
+      "-t", g.toString, "-D")) shouldBe 0
+    val g2 = Files.createTempFile("golden-width2", ".json")
+    Files.writeString(g2,
+      """{"inputs": [{"value": "5"}], "expected": [{"value": 5.0}]}""")
+    Main.run(spark, Array("-l", script.toString,
+      "-t", g2.toString, "-D")) shouldBe 0
+    val g3 = Files.createTempFile("golden-width3", ".json")
+    Files.writeString(g3,
+      """{"inputs": [{"value": "5"}], "expected": [{"value": 5.5}]}""")
+    Main.run(spark, Array("-l", script.toString,
+      "-t", g3.toString, "-D")) shouldBe 1
+  }
+
   test("usage errors exit 2") {
     Main.run(spark, Array("-t", "x.json", "-D")) shouldBe 2 // no -l
     Main.run(spark, Array("-l", "p.graft")) shouldBe 2      // no -i/-o
