@@ -493,6 +493,18 @@ object SparkEntry {
           k = 25, w = 10, minShared = 2)
         .orderBy("id_a", "id_b")
     }),
+    "q_winnow_contamination" -> ((s, dir) => {
+      // The contamination screen proper: TRAIN docs sharing a verbatim
+      // >= 34-codepoint run with VAL/TEST docs (split by content-hash
+      // bucket, exactly as q_split). Both branches non-empty at every
+      // SF (6 / 8 crossing pairs at sf0.001 / sf0.01).
+      val docs = TextAnalysis.withSplit(t(s, dir, "documents"), "text")
+      Dedup.winnowCrossOverlap(
+          docs.where(col("split") === "train"), "doc_id", "text",
+          docs.where(col("split") =!= "train"), "doc_id", "text",
+          k = 25, w = 10, minShared = 1)
+        .orderBy("id_left", "id_right")
+    }),
     // ---- LLM-data-pipeline: text analysis ----
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.documentFeatures(t(s, dir, "documents"), "doc_id", "text")
@@ -1130,6 +1142,31 @@ object SparkEntry {
          FROM fp a JOIN fp b USING (fp)
          WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM capped)
          GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""",
+    "q_winnow_contamination" ->
+      raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
+              sp AS (SELECT doc_id, t, ${rollingHashSql("t")} AS v FROM d),
+              sg AS (SELECT doc_id, t, CAST(((${signedSql("v")} % 100) + 100) % 100 AS INTEGER) AS bucket FROM sp),
+              s AS (SELECT doc_id, t, CASE WHEN bucket < 5 THEN 'val'
+                                           WHEN bucket < 10 THEN 'test'
+                                           ELSE 'train' END AS split FROM sg),
+              g AS (SELECT doc_id, split,
+                           CASE WHEN length(t) >= 25
+                                THEN list_transform(range(1, length(t)-25+2), j -> ${winnowHashSql("substr(t, CAST(j AS INTEGER), 25)")})
+                                ELSE [${winnowHashSql("t")}] END AS gh
+                    FROM s),
+              wn AS (SELECT doc_id, split,
+                            CASE WHEN len(gh) >= 10
+                                 THEN list_transform(range(1, len(gh)-10+2), x -> list_min(gh[CAST(x AS INTEGER):CAST(x+9 AS INTEGER)]))
+                                 ELSE [list_min(gh)] END AS wins
+                     FROM g),
+              fp AS (SELECT DISTINCT doc_id, split, fp
+                     FROM (SELECT doc_id, split, unnest(wins) AS fp FROM wn)),
+              capped AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000)
+         SELECT a.doc_id AS id_left, b.doc_id AS id_right, count(*) AS n_shared
+         FROM fp a JOIN fp b USING (fp)
+         WHERE a.split = 'train' AND b.split <> 'train'
+           AND fp IN (SELECT fp FROM capped)
+         GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY id_left, id_right""",
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
               hs AS (SELECT doc_id,

@@ -320,6 +320,39 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Cross-frame [[winnowOverlapPairs]]: substring overlaps BETWEEN two
+    * corpora — the benchmark-contamination screen (does any TRAINING doc
+    * share a >= k+w-1-codepoint verbatim run with an EVAL doc?), where
+    * the self-join variant answers intra-corpus duplication. Output
+    * `(id_left, id_right, n_shared)`.
+    *
+    * Scale shape: both sides' fingerprints union into ONE exchange on
+    * `fp` (tagged by side), the boilerplate cap applies to the COMBINED
+    * bucket (template text is noise whichever corpus it comes from),
+    * then train fps hash-join eval fps per bucket. Eval sets are small
+    * in practice, so that join's right side broadcasts at scale. */
+  def winnowCrossOverlap(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 1,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val lf = winnowFingerprints(left, leftId, leftText, k, w)
+      .select(col("fp"), col("id"), lit(0).as("side"))
+    val rf = winnowFingerprints(right, rightId, rightText, k, w)
+      .select(col("fp"), col("id"), lit(1).as("side"))
+    val tagged = lf.unionByName(rf).repartition(col("fp"))
+    val small = tagged.groupBy(col("fp")).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("fp"))
+    val sized = tagged.join(small, Seq("fp"), "left_semi")
+    sized.where(col("side") === 0)
+      .select(col("fp"), col("id").as("id_left"))
+      .join(sized.where(col("side") === 1)
+        .select(col("fp"), col("id").as("id_right")), Seq("fp"))
+      .groupBy(col("id_left"), col("id_right"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** Word tokens for SimHash: lowercased, split on non-alphanumerics. */

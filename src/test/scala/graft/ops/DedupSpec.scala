@@ -115,6 +115,22 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
                                  // no other pair shares a 34-char run
   }
 
+  test("winnowCrossOverlap flags train docs quoting eval docs only") {
+    val evalQ = "which of the following best describes the capital of france"
+    val train = Seq(
+      (1L, s"some scraped page containing $evalQ and other prose around it"),
+      (2L, "an innocent training document about cooking pasta properly")
+    ).toDF("id", "text")
+    val eval_ = Seq(
+      (10L, s"$evalQ a paris b london c rome d madrid"),
+      (11L, "unrelated eval question about arithmetic with small numbers")
+    ).toDF("id", "text")
+    val hits = Dedup.winnowCrossOverlap(train, "id", "text",
+        eval_, "id", "text", k = 25, w = 10, minShared = 1)
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    hits shouldBe Set((1L, 10L))
+  }
+
   test("simhash: identical fp for dup, small hamming for near-dup") {
     val fp = docs.select($"id", Dedup.simhash($"text").as("fp"))
       .as[(Long, Long)].collect().toMap
