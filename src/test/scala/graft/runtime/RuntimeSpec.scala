@@ -339,5 +339,12 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     r2.getDouble(1) should be > 0.5
     r2.getDouble(2) shouldBe (1.0 / 127.0) +- 1e-15
     r2.getDouble(3) shouldBe 1.0
+    // winnow from SQL: identical strings -> identical signatures
+    val r3 = spark.sql(
+      """SELECT graft_winnow('the quick brown fox jumps over me') AS a,
+                graft_winnow('the quick brown fox jumps over me') AS b""")
+      .head()
+    r3.getSeq[Long](0) should not be empty
+    r3.getSeq[Long](0) shouldBe r3.getSeq[Long](1)
   }
 }
