@@ -141,6 +141,18 @@ object KernelProperties extends Properties("graft.kernels") {
       row.getDouble(6) >= 0.0 && row.getDouble(6) <= 1.0
   }
 
+  // ------------------------------------------------ Kafka long wire codec
+
+  property("binary long codec: round-trip identity and big-endian wire " +
+      "order (Kafka LongSerde contract) for arbitrary longs") =
+    forAll { (v: Long) =>
+      val wire = BinaryCodec.longToBytes(v)
+      val ref = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      wire.length == 8 &&
+        java.util.Arrays.equals(wire, ref) &&
+        BinaryCodec.bytesToLong(wire) == v
+    }
+
   // ------------------------------------------------- winnowing signature
 
   property("winnow: sorted, distinct, non-negative, and equal to the " +
