@@ -312,6 +312,23 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     } finally GraftScript.unregisterUdf("collatz_steps")
   }
 
+  test("winnow example: a registered KERNEL used from the script DSL, " +
+      "golden-gated via the CLI") {
+    // The shipped golden vectors were produced by the kernel itself, so
+    // this dry-run pins the exact fingerprint definition end-to-end
+    // through parse -> expression -> codegen -> golden compare.
+    GraftFunctions.registerAll(spark) // Main.main sessions get this via extensions
+    Main.run(spark, Array("-l", s"$ex/winnow/pipeline.graft",
+      "-t", s"$ex/winnow/golden.json", "-D")) shouldBe 0
+    // and a corrupted expectation still refuses startup
+    val bad = Files.createTempFile("winnow-bad", ".json")
+    Files.writeString(bad,
+      """{"inputs": [{"value": "The quick brown fox jumps over the lazy dog"}],
+        |"expected": [{"value": [1, 2, 3]}]}""".stripMargin)
+    Main.run(spark, Array("-l", s"$ex/winnow/pipeline.graft",
+      "-t", bad.toString, "-D")) shouldBe 1
+  }
+
   test("udf step with an unregistered name fails at parse time") {
     val e = intercept[GraftScript.ScriptError](
       GraftScript.parse("udf no_such_fn"))
