@@ -743,6 +743,31 @@ object SparkEntry {
        |  (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT) * 1099511628211)
        |              % CAST('18446744073709551616' AS HUGEINT)) AS UBIGINT) >> 1 AS BIGINT)""".stripMargin
 
+  /** The winnow-oracle CTE chain `g -> wn -> fp -> capped` over a CTE
+    * `<src>(doc_id[, extra cols], t)`: gram hashes, window minima,
+    * distinct per-doc fingerprints, boilerplate cap — ONE source of
+    * truth for both q_winnow and q_winnow_contamination (same
+    * rationale as [[rollingHashSql]]: hand-copied variants silently
+    * diverge). `carry` names columns of `src` to thread through to the
+    * `fp` CTE alongside doc_id. */
+  private def winnowCtesSql(src: String, k: Int, w: Int,
+      maxBucket: Int, carry: Seq[String] = Nil): String = {
+    val cc = carry.map(c => s"$c, ").mkString
+    raw"""g AS (SELECT doc_id, $cc
+         |             CASE WHEN length(t) >= $k
+         |                  THEN list_transform(range(1, length(t)-$k+2), j -> ${winnowHashSql(s"substr(t, CAST(j AS INTEGER), $k)")})
+         |                  ELSE [${winnowHashSql("t")}] END AS gh
+         |      FROM $src),
+         |wn AS (SELECT doc_id, $cc
+         |              CASE WHEN len(gh) >= $w
+         |                   THEN list_transform(range(1, len(gh)-$w+2), x -> list_min(gh[CAST(x AS INTEGER):CAST(x+${w - 1} AS INTEGER)]))
+         |                   ELSE [list_min(gh)] END AS wins
+         |       FROM g),
+         |fp AS (SELECT DISTINCT doc_id, $cc fp
+         |       FROM (SELECT doc_id, $cc unnest(wins) AS fp FROM wn)),
+         |capped AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $maxBucket)""".stripMargin
+  }
+
   /** Reinterpret a mod-2^64 HUGEINT as signed 64-bit (Spark LongType). */
   private def signedSql(vCol: String): String =
     s"""CASE WHEN $vCol >= CAST('9223372036854775808' AS HUGEINT)
@@ -1125,19 +1150,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_winnow" ->
       raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
-              g AS (SELECT doc_id,
-                           CASE WHEN length(t) >= 25
-                                THEN list_transform(range(1, length(t)-25+2), j -> ${winnowHashSql("substr(t, CAST(j AS INTEGER), 25)")})
-                                ELSE [${winnowHashSql("t")}] END AS gh
-                    FROM d),
-              wn AS (SELECT doc_id,
-                            CASE WHEN len(gh) >= 10
-                                 THEN list_transform(range(1, len(gh)-10+2), x -> list_min(gh[CAST(x AS INTEGER):CAST(x+9 AS INTEGER)]))
-                                 ELSE [list_min(gh)] END AS wins
-                     FROM g),
-              fp AS (SELECT DISTINCT doc_id, fp
-                     FROM (SELECT doc_id, unnest(wins) AS fp FROM wn)),
-              capped AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000)
+              ${winnowCtesSql("d", k = 25, w = 10, maxBucket = 1000)}
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM fp a JOIN fp b USING (fp)
          WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM capped)
@@ -1149,19 +1162,7 @@ object SparkEntry {
               s AS (SELECT doc_id, t, CASE WHEN bucket < 5 THEN 'val'
                                            WHEN bucket < 10 THEN 'test'
                                            ELSE 'train' END AS split FROM sg),
-              g AS (SELECT doc_id, split,
-                           CASE WHEN length(t) >= 25
-                                THEN list_transform(range(1, length(t)-25+2), j -> ${winnowHashSql("substr(t, CAST(j AS INTEGER), 25)")})
-                                ELSE [${winnowHashSql("t")}] END AS gh
-                    FROM s),
-              wn AS (SELECT doc_id, split,
-                            CASE WHEN len(gh) >= 10
-                                 THEN list_transform(range(1, len(gh)-10+2), x -> list_min(gh[CAST(x AS INTEGER):CAST(x+9 AS INTEGER)]))
-                                 ELSE [list_min(gh)] END AS wins
-                     FROM g),
-              fp AS (SELECT DISTINCT doc_id, split, fp
-                     FROM (SELECT doc_id, split, unnest(wins) AS fp FROM wn)),
-              capped AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1000)
+              ${winnowCtesSql("s", k = 25, w = 10, maxBucket = 1000, carry = Seq("split"))}
          SELECT a.doc_id AS id_left, b.doc_id AS id_right, count(*) AS n_shared
          FROM fp a JOIN fp b USING (fp)
          WHERE a.split = 'train' AND b.split <> 'train'
@@ -1488,10 +1489,10 @@ object SparkEntry {
     * mixing), so no expensive operator's cost is invisible to the
     * driver's bench.
     *
-    * Round-over-round note: the trailing round-8 block (winnowing +
-    * the new relational surface) widens the set from 26 to 32 —
-    * compare TOTALS per-query or over the shared 26-query prefix, not
-    * headline-to-headline across rounds. */
+    * Round-over-round note: the trailing round-8 block (both winnow
+    * screens + the new relational surface incl. q_json) widens the set
+    * from 26 to 34 — compare per-query or over the shared 26-query
+    * prefix, not headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_ann_brute",
@@ -1501,6 +1502,6 @@ object SparkEntry {
     "q_cluster_dedup", "q_ann_lsh", "q_bucketed_asof", "q_stream_interval",
     "q_pack", "q_skew_join", "q_scrub", "q_mix",
     // round 8
-    "q_winnow", "q_star_join", "q_cube", "q_win_frame", "q_setops",
-    "q_semi_anti")
+    "q_winnow", "q_winnow_contamination", "q_star_join", "q_cube",
+    "q_win_frame", "q_setops", "q_semi_anti", "q_json")
 }

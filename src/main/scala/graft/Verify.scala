@@ -9,6 +9,10 @@ object Verify {
     // checks) restrict the dump; the driver's 2-arg call dumps everything
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would dump nothing and let the oracle spot-check pass vacuously")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -302,20 +302,30 @@ object Dedup {
     * aggregate over slim id pairs. Raw text never enters the join. */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 2,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .repartition(col("fp")) // one exchange; cap + both join sides reuse it
-    val small = fps.groupBy(col("fp")).agg(count(lit(1)).as("bucket_n"))
+      maxBucketSize: Int = 1000): DataFrame =
+    cappedSharedCounts(winnowFingerprints(df, idCol, textCol, k, w),
+        maxBucketSize, minShared, "id_a", "id_b") { sized =>
+      sized.select(col("fp"), col("id").as("id_a"))
+        .join(sized.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+        .where(col("id_a") < col("id_b"))
+    }
+
+  /** The shared tail of both winnow screens: ONE exchange on `fp` (the
+    * cap and every join side hang off it), the boilerplate bucket cap,
+    * then the caller's pair join and the shared-fingerprint count.
+    * Per-doc fingerprints are distinct (kernel contract), so the pair
+    * count IS the signature-intersection size. One definition so intra-
+    * and cross-corpus screening can never diverge on cap semantics. */
+  private def cappedSharedCounts(fps: DataFrame, maxBucketSize: Int,
+      minShared: Int, leftCol: String, rightCol: String)(
+      pairs: DataFrame => DataFrame): DataFrame = {
+    val part = fps.repartition(col("fp"))
+    val small = part.groupBy(col("fp")).agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= maxBucketSize)
       .select(col("fp"))
-    val sized = fps.join(small, Seq("fp"), "left_semi")
-    val l = sized.select(col("fp"), col("id").as("id_a"))
-    val r = sized.select(col("fp"), col("id").as("id_b"))
-    l.join(r, Seq("fp"))
-      .where(col("id_a") < col("id_b"))
-      // per-doc fingerprints are distinct (kernel contract), so the
-      // pair count IS the signature-intersection size
-      .groupBy(col("id_a"), col("id_b"))
+    val sized = part.join(small, Seq("fp"), "left_semi")
+    pairs(sized)
+      .groupBy(col(leftCol), col(rightCol))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
@@ -339,18 +349,13 @@ object Dedup {
       .select(col("fp"), col("id"), lit(0).as("side"))
     val rf = winnowFingerprints(right, rightId, rightText, k, w)
       .select(col("fp"), col("id"), lit(1).as("side"))
-    val tagged = lf.unionByName(rf).repartition(col("fp"))
-    val small = tagged.groupBy(col("fp")).agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") <= maxBucketSize)
-      .select(col("fp"))
-    val sized = tagged.join(small, Seq("fp"), "left_semi")
-    sized.where(col("side") === 0)
-      .select(col("fp"), col("id").as("id_left"))
-      .join(sized.where(col("side") === 1)
-        .select(col("fp"), col("id").as("id_right")), Seq("fp"))
-      .groupBy(col("id_left"), col("id_right"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
+    cappedSharedCounts(lf.unionByName(rf), maxBucketSize, minShared,
+        "id_left", "id_right") { sized =>
+      sized.where(col("side") === 0)
+        .select(col("fp"), col("id").as("id_left"))
+        .join(sized.where(col("side") === 1)
+          .select(col("fp"), col("id").as("id_right")), Seq("fp"))
+    }
   }
 
   // ----------------------------------------------------------- SimHash

@@ -97,10 +97,6 @@ object GoldenFile {
         k.toString -> canonical(mv, mt.valueType)
       }.sortBy(_._1): _*)
     case (b: Array[Byte], _) => b.toVector
-    case (b: java.lang.Byte, _) => b.longValue
-    case (s: java.lang.Short, _) => s.longValue
-    case (i: java.lang.Integer, _) => i.longValue
-    case (f: java.lang.Float, _) => f.doubleValue
-    case (x, _) => x
+    case (x, _) => graft.verify.Golden.widen(x)
   }
 }

@@ -74,7 +74,11 @@ object Golden {
     case (x, y) => widen(x) == widen(y)
   }
 
-  private def widen(v: Any): Any = v match {
+  /** The ONE numeric-widening definition both golden harnesses use
+    * ([[rowEq]] here, [[graft.runtime.GoldenFile]]'s canonical form) —
+    * shared so the promised cross-harness agreement is structural, not
+    * maintained by hand. */
+  private[graft] def widen(v: Any): Any = v match {
     case b: java.lang.Byte => b.longValue
     case s: java.lang.Short => s.longValue
     case i: java.lang.Integer => i.longValue
