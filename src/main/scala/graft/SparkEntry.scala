@@ -1047,7 +1047,7 @@ object SparkEntry {
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "q_json" ->
       """SELECT event_type, count(*) AS n,
-                sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -7,6 +7,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName ...] — names (builder-side spot
     // checks) restrict the dump; the driver's 2-arg call dumps everything
+    require(args.length >= 2,
+      "usage: Verify <sfDir> <outDir> [queryName ...]")
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val unknown = only.diff(SparkEntry.queries.keySet)

@@ -74,9 +74,10 @@ object GoldenFile {
   /** Canonical structural value: structs -> name-sorted maps WITHOUT
     * null entries (null == absent, the Lua-table semantic), arrays ->
     * vectors, binary -> byte vector. Numeric equality is VALUE-based:
-    * widths widen (byte/short/int -> long, float -> double) and Scala's
-    * cooperative equality makes long 5 == double 5.0 — exactly the
-    * reference's luaj semantics (its deepEq coerces 1 == 1.0). Golden
+    * widths widen (all finite numerics -> an exact BigDecimal canonical
+    * form, [[graft.verify.Golden.widen]]) so long 5 == double 5.0 —
+    * exactly the reference's luaj semantics (its deepEq coerces
+    * 1 == 1.0) — without cooperative equality's >2^53 lossiness. Golden
     * JSON always parses numbers as long/double, so a pipeline
     * producing int 5 matches an expected 5; only different VALUES
     * mismatch. */

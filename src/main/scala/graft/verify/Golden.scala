@@ -59,11 +59,13 @@ object Golden {
 
   /** Structural equality over Rows/Seqs/primitives (the deepEq analogue,
     * StreamProcessOperations.scala:117-132, with the type check FIXED).
-    * Numeric equality is VALUE-based: widths widen (int 5 == long 5,
-    * float == its exact double) and Scala's cooperative equality makes
-    * long 5 == double 5.0 — the reference's luaj semantics (deepEq
-    * coerces 1 == 1.0). Same policy as [[graft.runtime.GoldenFile]]'s
-    * canonical compare, so the two harnesses can never disagree. */
+    * Numeric equality is VALUE-based and EXACT: widths widen (int 5 ==
+    * long 5, float == its exact double, long 5 == double 5.0 — the
+    * reference's luaj semantics, deepEq coerces 1 == 1.0) via a
+    * BigDecimal canonical form, so >2^53 Long-vs-Double coincidences
+    * are rejected (see [[widen]]). Same policy as
+    * [[graft.runtime.GoldenFile]]'s canonical compare, so the two
+    * harnesses can never disagree. */
   def rowEq(a: Any, b: Any): Boolean = (a, b) match {
     case (null, null) => true
     case (x: Row, y: Row) =>
@@ -77,11 +79,24 @@ object Golden {
   /** The ONE numeric-widening definition both golden harnesses use
     * ([[rowEq]] here, [[graft.runtime.GoldenFile]]'s canonical form) —
     * shared so the promised cross-harness agreement is structural, not
-    * maintained by hand. */
+    * maintained by hand.
+    *
+    * All finite numerics canonicalize to [[scala.math.BigDecimal]],
+    * whose equality is numeric-EXACT: int 5 == long 5 == double 5.0
+    * still hold (luaj's deepEq coercion), but Long-vs-Double no longer
+    * routes through Scala cooperative equality's lossy Long→Double
+    * conversion, which above 2^53 made DISTINCT values compare equal
+    * (Long.MaxValue == 9.223372036854776e18) — a silent false-match
+    * window for 64-bit fingerprint goldens. NaN/Infinity cannot be
+    * BigDecimals and stay on the double path (NaN != NaN, Inf == Inf,
+    * as before). */
   private[graft] def widen(v: Any): Any = v match {
-    case b: java.lang.Byte => b.longValue
-    case s: java.lang.Short => s.longValue
-    case i: java.lang.Integer => i.longValue
+    case b: java.lang.Byte => BigDecimal(b.longValue)
+    case s: java.lang.Short => BigDecimal(s.longValue)
+    case i: java.lang.Integer => BigDecimal(i.longValue)
+    case l: java.lang.Long => BigDecimal(l.longValue)
+    case f: java.lang.Float if !f.isNaN && !f.isInfinite => BigDecimal(f.doubleValue)
+    case d: java.lang.Double if !d.isNaN && !d.isInfinite => BigDecimal(d.doubleValue)
     case f: java.lang.Float => f.doubleValue
     case other => other
   }

@@ -197,6 +197,21 @@ class PlanSpec extends SparkSpecBase with Matchers {
     gen.trim.replaceFirst("^[:+\\- ]+", "") should startWith("*(")
   }
 
+  test("q_winnow_contamination: both corpora union into ONE fingerprint " +
+      "exchange reused by the combined-bucket cap and the side-split " +
+      "train/eval join; no cartesian") {
+    val df = SparkEntry.queries("q_winnow_contamination")(spark, sf())
+    df.collect() // finalize AQE so reuse nodes are visible
+    val p = df.queryExecution.executedPlan.toString
+    p should include("Union")          // the two tagged fingerprint sides
+    p should include("ReusedExchange") // cap + join sides share ONE fp exchange
+    p.toLowerCase should include("leftsemi") // the combined-bucket cap
+    p should not include "CartesianProduct"
+    val gen = p.linesIterator.find(_.contains("graft_winnow"))
+      .getOrElse(fail("no winnow kernel in final plan"))
+    gen.trim.replaceFirst("^[:+\\- ]+", "") should startWith("*(")
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.

@@ -36,14 +36,49 @@ def _norm(x):
 
 
 def _cells_equal(a, b):
+    """Representation-faithful compare. The driver hashes the string
+    form of each cell as pandas renders it, so int64 99111 and float64
+    99111.0 hash DIFFERENTLY there even though they are numerically
+    equal — this replica must reject exactly that drift (round 8's
+    q_json HUGEINT bug passed the old lax `a == b` compare and shipped
+    red). Rule: after normalization the two cells must have the SAME
+    python type (so int-vs-float, bool-vs-int, str-vs-int all fail),
+    then compare exactly; NaN==NaN because both render as 'nan'."""
     a, b = _norm(a), _norm(b)
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, float):
         return (math.isnan(a) and math.isnan(b)) or a == b
-    if isinstance(a, tuple) and isinstance(b, tuple):
+    if isinstance(a, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
-    return a == b or str(a) == str(b)
+    return a == b
+
+
+def _selftest():
+    """Assert the compare is representation-sensitive. Run with
+    --selftest; exits nonzero on any regression toward laxness."""
+    cases = [
+        (99111, 99111.0, False),   # the round-8 q_json drift, must FAIL
+        (99111.0, 99111, False),
+        (True, 1, False),          # bool-vs-int renders 'True' vs '1'
+        ("1", 1, False),
+        (99111, 99111, True),
+        (1.5, 1.5, True),
+        (float("nan"), float("nan"), True),
+        (None, None, True),
+        (None, float("nan"), False),
+        ((1, 2.0), (1, 2.0), True),
+        ((1, 2), (1, 2.0), False), # drift inside nested arrays too
+        (np.int64(7), 7, True),    # numpy scalars normalize to python
+        (np.float64(7.0), 7, False),
+    ]
+    bad = [(a, b, want) for a, b, want in cases if _cells_equal(a, b) != want]
+    for a, b, want in bad:
+        print(f"SELFTEST FAIL: _cells_equal({a!r}, {b!r}) != {want}")
+    print(f"== selftest: {len(cases) - len(bad)}/{len(cases)} ==")
+    sys.exit(1 if bad else 0)
 
 
 def _has_toplevel_order_by(sql):
@@ -83,6 +118,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def main():
+    if sys.argv[1:2] == ["--selftest"]:
+        _selftest()
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
