@@ -333,6 +333,52 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
         .distinct().orderBy("c_mktsegment", "c_nationkey")
     }),
+    "q_pivot" -> ((s, dir) => {
+      // PIVOT with an EXPLICIT value list: per-user event-type counts
+      // as wide columns. Spark plans it two-phase — a fine-keyed
+      // (user_id, event_type) count with map-side partials, then a
+      // slim pivot-first reshuffle on user_id — so only pre-aggregated
+      // rows ever move twice. Omitting the values makes pivot() run a
+      // corpus-wide distinct ACTION first to discover the columns — a
+      // needless extra full pass at 100 TB. Missing cells: Spark pivot
+      // yields null where the FILTER-aggregate oracle yields 0, so
+      // coalesce pins the contract to 0.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(ty =>
+          coalesce(col(ty), lit(0L)).as(ty)): _*)
+        .orderBy("user_id")
+    }),
+    "q_unpivot" -> ((s, dir) => {
+      // UNPIVOT/melt: wide measure columns -> long (ids, measure, val)
+      // triples, the inverse reshape of q_pivot. A narrow per-row
+      // Expand — no shuffle until the final presentation sort.
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+    "q_topk_per_group" -> ((s, dir) => {
+      // Per-group top-k WITHOUT a window sort: reuses the ANN path's
+      // bounded-heap TypedImperativeAggregate, so every partition keeps
+      // at most k (id, score) pairs per group map-side. The window
+      // row_number() shape (q_window) sorts whole partitions to keep 3
+      // rows each — this keeps O(k) state instead. Contract: top-3
+      // customers per nation by (acctbal DESC, custkey ASC) — total
+      // order, replayed by the oracle's window exactly.
+      Similarity.topKPerKey(
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+        "c_nationkey", "c_custkey", "c_acctbal", k = 3)
+        .withColumnRenamed("rank", "rk")
+        .orderBy("c_nationkey", "rk")
+    }),
     "q_skew_join" -> ((s, dir) => {
       // Salted skew join vs the plain-SQL join oracle: the salt spreads
       // hot keys across reducers and must lose/duplicate NOTHING — the
@@ -526,6 +572,22 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) => {
       TextAnalysis.topTokens(t(s, dir, "documents"), "text", n = 100)
         .orderBy(col("cnt").desc, col("token"))
+    }),
+    "q_ngrams" -> ((s, dir) => {
+      // Corpus bigram frequency table (n-gram LM stats / contamination
+      // reports): ngram construction is a pure codegen'd expression
+      // (transform + slice over the token array), then q_vocab's
+      // explode -> partial counts -> bounded top-k shape.
+      TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 50)
+        .orderBy(col("cnt").desc, col("ngram"))
+    }),
+    "q_tfidf" -> ((s, dir) => {
+      // Per-doc top-3 TF-IDF terms under the RATIONAL idf (N+1)/(df+1)
+      // — see TextAnalysis.tfidfTopTerms for why no logarithm appears.
+      // (doc_id, rk) is a unique total order.
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id", "rk")
     }),
     "q_repetition" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -1051,6 +1113,28 @@ object SparkEntry {
                 min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS "click",
+                count(*) FILTER (WHERE event_type = 'error') AS "error",
+                count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+                count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+                count(*) FILTER (WHERE event_type = 'view') AS "view"
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, measure""",
+    "q_topk_per_group" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+                  CAST(row_number() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk
+           FROM customer)
+         WHERE rk <= 3 ORDER BY c_nationkey, rk""",
     "q_semi_anti" ->
       """SELECT 'with_orders' AS side, c_custkey FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o
@@ -1199,6 +1283,29 @@ object SparkEntry {
          FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
                FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 100""",
+    "q_ngrams" ->
+      """SELECT ngram, count(*) AS cnt
+         FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                        i -> ts[i] || ' ' || ts[i+1])) AS ngram
+               FROM (SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS ts
+                     FROM documents))
+         GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""",
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS term
+                       FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM toks GROUP BY doc_id, term),
+              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              scored AS (SELECT doc_id, term, tf, df,
+                                (CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) + 1.0)) / (CAST(df AS DOUBLE) + 1.0) AS tfidf
+                         FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+              r AS (SELECT doc_id, term, tf, df, tfidf,
+                           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+                    FROM scored)
+         SELECT doc_id, rk, term, tf, df, tfidf FROM r WHERE rk <= 3
+         ORDER BY doc_id, rk""",
     "q_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
               g AS (SELECT doc_id,
@@ -1489,10 +1596,9 @@ object SparkEntry {
     * mixing), so no expensive operator's cost is invisible to the
     * driver's bench.
     *
-    * Round-over-round note: the trailing round-8 block (both winnow
-    * screens + the new relational surface incl. q_json) widens the set
-    * from 26 to 34 — compare per-query or over the shared 26-query
-    * prefix, not headline-to-headline across rounds. */
+    * Round-over-round note: trailing blocks are per-round additions
+    * (round 8 widened 26 -> 34, round 9 -> 39) — compare per-query or
+    * over the shared prefix, not headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_ann_brute",
@@ -1503,5 +1609,7 @@ object SparkEntry {
     "q_pack", "q_skew_join", "q_scrub", "q_mix",
     // round 8
     "q_winnow", "q_winnow_contamination", "q_star_join", "q_cube",
-    "q_win_frame", "q_setops", "q_semi_anti", "q_json")
+    "q_win_frame", "q_setops", "q_semi_anti", "q_json",
+    // round 9
+    "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams")
 }

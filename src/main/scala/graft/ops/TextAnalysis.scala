@@ -240,6 +240,69 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(n)
 
+  /** Word n-grams over the token stream: "a b c" at n=2 -> ["a b",
+    * "b c"]. Pure Column expression (transform over an index sequence +
+    * slice) — codegen'd, shuffle-free. The size guard matters:
+    * `sequence(1, 0)` DESCENDS in Spark rather than being empty, so a
+    * doc with fewer than n tokens must short-circuit to []. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Corpus n-gram frequency table: the `k` most frequent word n-grams
+    * with counts, ties broken by n-gram ascending — the n-gram-LM /
+    * contamination-report staple. Same scale shape as [[topTokens]]:
+    * explode -> map-side partial counts -> one hash shuffle -> bounded
+    * TakeOrderedAndProject; document text never shuffles. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(ngrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram")).limit(k)
+
+  /** Per-document top-`k` TF-IDF terms:
+    * `(doc_id, rk, term, tf, df, tfidf)`.
+    *
+    * idf is the RATIONAL `(N+1)/(df+1)` form, NOT a logarithm: the
+    * score is then a chain of IEEE-exact operations on integer-valued
+    * doubles (one multiply, one divide) that the DuckDB oracle
+    * reproduces bit-identically — a log-based idf differs in the last
+    * ulp between libm implementations, which would break hash
+    * comparison while changing no ranking. Ties (equal tf and df)
+    * break by term ascending, so the ranking is total.
+    *
+    * Scale shape: explode -> (doc,term) partial-count shuffle; df is a
+    * second partial-count aggregate over the SLIM (doc,term,tf) frame;
+    * corpus size N joins in as a broadcast single-row frame (fully
+    * declarative — no driver-side count action); the per-doc ranking
+    * window repartitions by doc_id. Document text never leaves the
+    * initial projection. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf").cast(DoubleType) * (col("n_docs").cast(DoubleType) + 1.0)) /
+          (col("df").cast(DoubleType) + 1.0))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("tfidf"))
+  }
+
   /** One-call per-document feature frame: id + the standard features.
     * Uses the fused single-pass [[graft.functions.TextStatsKernel]]
     * (values bit-identical to the individual Column functions above,

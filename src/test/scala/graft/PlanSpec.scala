@@ -212,6 +212,32 @@ class PlanSpec extends SparkSpecBase with Matchers {
     gen.trim.replaceFirst("^[:+\\- ]+", "") should startWith("*(")
   }
 
+  test("q_topk_per_group reduces map-side via the bounded-heap aggregate " +
+      "— no window sort over whole partitions") {
+    val p = plan("q_topk_per_group")
+    p should include("partial_graft_top_k_by_score")
+    p should not include "Window"
+  }
+
+  test("q_pivot with explicit values keeps Spark's canonical two-phase " +
+      "pivot shape (fine-keyed count, then slim pivot-first) with " +
+      "map-side partials — and no extra exchanges") {
+    val p = plan("q_pivot")
+    p should include("partial_count")
+    p should include("pivotfirst")
+    // exchange 1: (user_id, event_type) counts; exchange 2: user_id
+    // pivot-first over the already-slim count rows. A third would mean
+    // the explicit-value list stopped short-circuiting column discovery.
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+  }
+
+  test("q_tfidf broadcasts the single-row corpus-size frame (no shuffle " +
+      "for N) and plans no cartesian") {
+    val p = plan("q_tfidf")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.

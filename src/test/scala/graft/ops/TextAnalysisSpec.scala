@@ -49,6 +49,44 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     df.as[String].collect() shouldBe Array("zh", "zh", "en")
   }
 
+  test("ngrams slides a word window; short docs yield [], not a " +
+      "descending-sequence artifact") {
+    val df = Seq("The cat and the dog", "one two", "solo", "")
+      .toDF("text").select(TextAnalysis.ngrams($"text", 2).as("ng"))
+    val r = df.as[Seq[String]].collect()
+    r(0) shouldBe Seq("the cat", "cat and", "and the", "the dog")
+    r(1) shouldBe Seq("one two")
+    r(2) shouldBe Seq.empty // 1 token < n=2: the sequence(1,0) guard
+    r(3) shouldBe Seq.empty
+  }
+
+  test("topNgrams counts corpus-wide with (cnt DESC, ngram ASC) ties") {
+    val df = Seq("a b a b", "a b c").toDF("text")
+    val r = TextAnalysis.topNgrams(df, "text", n = 2, k = 3)
+      .as[(String, Long)].collect()
+    // "a b" x3 ("a b a b" contributes 2), then "b a" / "b c" tie at 1
+    r shouldBe Array(("a b", 3L), ("b a", 1L), ("b c", 1L))
+  }
+
+  test("tfidfTopTerms ranks rare terms above common ones, ties by term") {
+    // 3 docs; "common" in all (df=3), each doc has one unique term (df=1)
+    val df = Seq(
+      (1L, "common unique1 common"),
+      (2L, "common unique2"),
+      (3L, "common unique3")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .select($"doc_id", $"rk", $"term", $"tfidf")
+      .as[(Long, Int, String, Double)].collect()
+    // doc 1: tf(common)=2 -> 2*4/4 = 2.0; tf(unique1)=1 -> 1*4/2 = 2.0
+    //        EQUAL scores -> term ascending puts "common" first
+    r.filter(_._1 == 1L).map(t => (t._3, t._4)) shouldBe
+      Array(("common", 2.0), ("unique1", 2.0))
+    // docs 2/3: unique (1*4/2 = 2.0) beats common (1*4/4 = 1.0)
+    r.filter(_._1 == 2L).map(t => (t._3, t._4)) shouldBe
+      Array(("unique2", 2.0), ("common", 1.0))
+    r.filter(_._1 == 3L).head._3 shouldBe "unique3"
+  }
+
   test("fingerprint is whitespace/case-normalized and order-sensitive") {
     val fp = Seq("Hello   World", "hello world", "world hello")
       .toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].collect()
