@@ -333,6 +333,43 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
         .distinct().orderBy("c_mktsegment", "c_nationkey")
     }),
+    "q_outer_join" -> ((s, dir) => {
+      // Explicit FULL OUTER surface (inner/semi/anti/broadcast are
+      // covered elsewhere). Sides chosen so all THREE match classes are
+      // non-empty at every SF (left_only/right_only/both = 7/71/59 at
+      // sf0.001, 87/728/570 at sf0.01, 953/7011/5992 at sf0.1): high-
+      // balance customers vs per-custkey high-value order aggregates.
+      // Scale note: a full outer CANNOT broadcast either side (null
+      // extension needs both sides complete per key), so the right
+      // shape is exactly this — filter + pre-aggregate BOTH sides
+      // before one key shuffle; both filters push to the parquet scans.
+      val hc = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ho = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"), max(col("o_totalprice")).as("max_price"))
+      hc.join(ho, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNull, "right_only")
+            .when(col("o_custkey").isNull, "left_only")
+            .otherwise("both").as("side"),
+          col("c_acctbal"), col("n_big"), col("max_price"))
+        .orderBy("custkey")
+    }),
+    "q_grouping_sets" -> ((s, dir) => {
+      // Explicit GROUPING SETS — an ARBITRARY subtotal list, of which
+      // cube/rollup are the lattice special cases: per-returnflag and
+      // per-linestatus subtotals only (no grand total, no pair cells —
+      // a shape neither rollup nor cube can produce). Still one pass:
+      // map-side Expand + partial aggregation, one shuffle, like
+      // q_cube. NULL in the other column is the subtotal marker.
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
     "q_pivot" -> ((s, dir) => {
       // PIVOT with an EXPLICIT value list: per-user event-type counts
       // as wide columns. Spark plans it two-phase — a fine-keyed
@@ -1113,6 +1150,23 @@ object SparkEntry {
                 min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_outer_join" ->
+      """WITH hc AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+              ho AS (SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
+                     FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+         SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                CASE WHEN c_custkey IS NULL THEN 'right_only'
+                     WHEN o_custkey IS NULL THEN 'left_only'
+                     ELSE 'both' END AS side,
+                c_acctbal, n_big, max_price
+         FROM hc FULL OUTER JOIN ho ON c_custkey = o_custkey
+         ORDER BY custkey""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (WHERE event_type = 'click') AS "click",
@@ -1611,5 +1665,6 @@ object SparkEntry {
     "q_winnow", "q_winnow_contamination", "q_star_join", "q_cube",
     "q_win_frame", "q_setops", "q_semi_anti", "q_json",
     // round 9
-    "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams")
+    "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams",
+    "q_outer_join", "q_grouping_sets")
 }

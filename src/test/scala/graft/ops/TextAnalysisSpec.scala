@@ -87,6 +87,28 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     r.filter(_._1 == 3L).head._3 shouldBe "unique3"
   }
 
+  test("ngrams matches the tokens.sliding model on seeded random text " +
+      "for n in 1..4 (count = max(0, tokens - n + 1), grams reconstruct)") {
+    val rng = new scala.util.Random(42)
+    val words = Seq("the", "cat", "dog", "a", "b", "x1", "中文", "café", "")
+    val sentences = Seq.fill(40) {
+      Seq.fill(rng.nextInt(8))(words(rng.nextInt(words.length)))
+        .mkString(Seq(" ", "  ", ", ", "! ")(rng.nextInt(4)))
+    }
+    for (n <- 1 to 4) {
+      val got = sentences.toDF("text")
+        .select(TextAnalysis.ngrams($"text", n).as("ng"))
+        .as[Seq[String]].collect()
+      sentences.zip(got).foreach { case (s, g) =>
+        // same tokenizer as TextAnalysis.tokens
+        val toks = s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+        val want = if (toks.length < n) Seq.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        withClue(s"n=$n text='$s': ") { g shouldBe want }
+      }
+    }
+  }
+
   test("fingerprint is whitespace/case-normalized and order-sensitive") {
     val fp = Seq("Hello   World", "hello world", "world hello")
       .toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].collect()
