@@ -329,6 +329,25 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
       "-t", bad.toString, "-D")) shouldBe 1
   }
 
+  test("textstats example: quality-gate filter + struct mapValues via a " +
+      "registered kernel, golden-gated via the CLI") {
+    // The golden asserts BOTH the kept structs and the drop of the
+    // punctuation-only row (quality 0.045 < 0.5); the struct values
+    // were produced by the kernel itself, so this pins the stats
+    // definitions through parse -> field extraction -> codegen ->
+    // golden compare.
+    GraftFunctions.registerAll(spark)
+    Main.run(spark, Array("-l", s"$ex/textstats/pipeline.graft",
+      "-t", s"$ex/textstats/golden.json", "-D")) shouldBe 0
+    // a golden that expects the dropped row to SURVIVE must refuse
+    val bad = Files.createTempFile("textstats-bad", ".json")
+    Files.writeString(bad,
+      """{"inputs": [{"value": "!!! ??? ... !!! ??? ... !!!"}],
+        |"expected": [{"value": {"n_chars": 27}}]}""".stripMargin)
+    Main.run(spark, Array("-l", s"$ex/textstats/pipeline.graft",
+      "-t", bad.toString, "-D")) shouldBe 1
+  }
+
   test("udf step with an unregistered name fails at parse time") {
     val e = intercept[GraftScript.ScriptError](
       GraftScript.parse("udf no_such_fn"))
