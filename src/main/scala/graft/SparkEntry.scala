@@ -618,6 +618,14 @@ object SparkEntry {
       TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 50)
         .orderBy(col("cnt").desc, col("ngram"))
     }),
+    "q_chunk" -> ((s, dir) => {
+      // Overlapping 200-char windows, 40-char overlap — the
+      // embedding/RAG pre-chunking stage. Narrow codegen'd expression;
+      // the only exchange is the presentation sort.
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          size = 200, overlap = 40)
+        .orderBy("doc_id", "chunk_id")
+    }),
     "q_tfidf" -> ((s, dir) => {
       // Per-doc top-3 TF-IDF terms under the RATIONAL idf (N+1)/(df+1)
       // — see TextAnalysis.tfidfTopTerms for why no logarithm appears.
@@ -1344,6 +1352,16 @@ object SparkEntry {
                FROM (SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS ts
                      FROM documents))
          GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""",
+    "q_chunk" ->
+      """WITH n AS (SELECT doc_id, text,
+                           CASE WHEN length(text) <= 200 THEN 1
+                                ELSE CAST(floor((length(text) - 41) / 160.0) AS INTEGER) + 1
+                           END AS num
+                    FROM documents WHERE length(text) > 0)
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                substr(text, CAST(i AS INTEGER) * 160 + 1, 200) AS chunk_text
+         FROM n, unnest(range(0, num)) AS t(i)
+         ORDER BY doc_id, chunk_id""",
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id,
                               unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS term
@@ -1666,5 +1684,5 @@ object SparkEntry {
     "q_win_frame", "q_setops", "q_semi_anti", "q_json",
     // round 9
     "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams",
-    "q_outer_join", "q_grouping_sets")
+    "q_outer_join", "q_grouping_sets", "q_chunk")
 }

@@ -303,6 +303,42 @@ object TextAnalysis {
         col("df"), col("tfidf"))
   }
 
+  /** Overlapping character-window chunks of a document as an array of
+    * (chunk_id, chunk_text) structs — the embedding/RAG-pipeline
+    * pre-chunking stage. Windows are `size` chars starting every
+    * `size - overlap` chars; a doc of `size` or fewer chars is one
+    * chunk; an empty doc is zero chunks (the `when` guard — a bare
+    * `sequence(0, -1)` would DESCEND, the same trap [[ngrams]] dodges).
+    * The chunk count uses one IEEE double divide + floor, reproduced
+    * verbatim by the DuckDB oracle. Pure codegen'd expression:
+    * per-row narrow work, no shuffle. */
+  def chunkText(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0, s"size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap for size $size")
+    val step = size - overlap
+    val len = length(text)
+    val num = when(len <= size, lit(1))
+      .otherwise(floor((len - lit(overlap + 1)).cast(DoubleType) /
+        lit(step.toDouble)).cast(IntegerType) + 1)
+    when(len > 0,
+      transform(sequence(lit(0), num - 1),
+        i => struct(i.cast(IntegerType).as("chunk_id"),
+          text.substr(i * lit(step) + 1, lit(size)).as("chunk_text"))))
+      .otherwise(array().cast(ArrayType(StructType(Seq(
+        StructField("chunk_id", IntegerType),
+        StructField("chunk_text", StringType))))))
+  }
+
+  /** Exploded frame form of [[chunkText]]:
+    * `(idCol, chunk_id, chunk_text)` rows in document order. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame =
+    df.select(col(idCol),
+        explode(chunkText(col(textCol), size, overlap)).as("c"))
+      .select(col(idCol), col("c.chunk_id").as("chunk_id"),
+        col("c.chunk_text").as("chunk_text"))
+
   /** One-call per-document feature frame: id + the standard features.
     * Uses the fused single-pass [[graft.functions.TextStatsKernel]]
     * (values bit-identical to the individual Column functions above,

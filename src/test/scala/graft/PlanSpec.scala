@@ -82,6 +82,22 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "graft_plane_signs".r.findAllIn(p).size should be <= 32 // 2 sides x 8 tables x <=2 plan copies
   }
 
+  test("q_outer_join: both pre-aggregated sides meet on a key-partitioned " +
+      "sort-merge FULL OUTER (no broadcast — null extension needs both " +
+      "sides complete per key)") {
+    val p = plan("q_outer_join")
+    p should include("FullOuter")
+    p should include("SortMergeJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("q_grouping_sets expands its arbitrary subtotal list map-side and " +
+      "partially aggregates before one shuffle, like q_cube") {
+    val p = plan("q_grouping_sets")
+    p should include("Expand")
+    p should include("partial_count")
+  }
+
   test("q_mix and q_scrub are shuffle-free narrow scans") {
     for (name <- Seq("q_mix", "q_scrub")) {
       withClue(name) {

@@ -109,6 +109,26 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     }
   }
 
+  test("chunkDocuments windows cover the text with the stated overlap; " +
+      "short docs are one chunk, empty docs none") {
+    val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("id", "text")
+    val r = TextAnalysis.chunkDocuments(df, "id", "text", size = 5, overlap = 2)
+      .orderBy("id", "chunk_id").as[(Long, Int, String)].collect()
+    r shouldBe Array(
+      (1L, 0, "abcde"), (1L, 1, "defgh"), (1L, 2, "ghij"), // starts 1,4,7
+      (2L, 0, "abc"))
+    // reconstruction: dropping each chunk's overlap prefix rebuilds the text
+    val doc1 = r.filter(_._1 == 1L).map(_._3)
+    (doc1.head +: doc1.tail.map(_.drop(2)).toSeq).mkString shouldBe "abcdefghij"
+  }
+
+  test("chunkText boundary: len exactly size -> 1 chunk; size+1 -> 2") {
+    val df = Seq("a" * 5, "a" * 6).toDF("text")
+      .select(org.apache.spark.sql.functions.size(
+        TextAnalysis.chunkText($"text", 5, 2)).as("n"))
+    df.as[Int].collect() shouldBe Array(1, 2)
+  }
+
   test("fingerprint is whitespace/case-normalized and order-sensitive") {
     val fp = Seq("Hello   World", "hello world", "world hello")
       .toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].collect()
