@@ -43,6 +43,17 @@ object TextHashes {
   def winnow(c: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(Winnow(GraftColumnBridge.expression(c), k, w))
 
+  /** Word n-grams of raw text in ONE codegen'd pass: lowercase (the
+    * same [[UTF8String.toLowerCase]] Spark's `lower` calls, so parity
+    * is by construction, not by locale luck), tokenize on maximal
+    * `[\p{L}\p{N}]` codepoint runs (== `split` on the complement + drop
+    * empties), join each n-window with a single space. Replaces the
+    * `transform(sequence, slice, concat_ws)` higher-order phrasing,
+    * which Spark evaluates INTERPRETED per element — the measured hot
+    * spot of the corpus bigram query. */
+  def word_ngrams(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(c), n))
+
   // ------------------------------------------------------ static helpers
   // (public + JVM-static so generated code can call them)
 
@@ -145,6 +156,48 @@ object TextHashes {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
   }
+
+  /** Java-regex `\p{N}` is Nd|Nl|No — `Character.isDigit` alone is only
+    * Nd, so the two extra categories are checked explicitly. */
+  private def isTokenCp(cp: Int): Boolean = Character.isLetter(cp) || {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  /** [[word_ngrams]]'s evaluator: one pass to extract token runs, one
+    * O(tokens x n) pass to join windows. */
+  def wordNgramsOf(s: UTF8String, n: Int): ArrayData = {
+    val lowered = s.toLowerCase.toString
+    val tokens = new java.util.ArrayList[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val len = lowered.length
+    while (i < len) {
+      val cp = lowered.codePointAt(i)
+      if (isTokenCp(cp)) sb.appendCodePoint(cp)
+      else if (sb.length > 0) { tokens.add(sb.toString); sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) tokens.add(sb.toString)
+    val t = tokens.size
+    if (t < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val out = new Array[Any](t - n + 1)
+    var j = 0
+    while (j < t - n + 1) {
+      sb.setLength(0)
+      var q = 0
+      while (q < n) {
+        if (q > 0) sb.append(' ')
+        sb.append(tokens.get(j + q))
+        q += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** array<string> -> long SimHash (single pass, codegen'd). */
@@ -197,4 +250,22 @@ case class Winnow(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): Winnow =
     copy(child = newChild)
   override def prettyName: String = "graft_winnow"
+}
+
+/** string -> array<string> word n-grams (codegen'd; see
+  * [[TextHashes.word_ngrams]]). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"word_ngrams needs n > 0, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashes.wordNgramsOf(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.wordNgramsOf($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_ngrams"
 }

@@ -241,12 +241,24 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token")).limit(n)
 
   /** Word n-grams over the token stream: "a b c" at n=2 -> ["a b",
-    * "b c"]. Pure Column expression (transform over an index sequence +
-    * slice) — codegen'd, shuffle-free. The size guard matters:
-    * `sequence(1, 0)` DESCENDS in Spark rather than being empty, so a
-    * doc with fewer than n tokens must short-circuit to []. */
+    * "b c"]. One codegen'd kernel pass
+    * ([[graft.functions.TextHashes.word_ngrams]]); docs with fewer than
+    * n tokens yield []. Values are bit-identical to
+    * [[ngramsColumnModel]], the higher-order-function phrasing it
+    * replaced — Spark evaluates transform/slice INTERPRETED per
+    * element, which made the corpus bigram aggregation's narrow scan
+    * its own bottleneck (measured at sf0.1). */
   def ngrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be positive, got $n")
+    graft.functions.TextHashes.word_ngrams(text, n)
+  }
+
+  /** The pre-kernel HOF phrasing of [[ngrams]], kept as the independent
+    * MODEL for the bit-parity spec (same role TextStatsKernel's Column
+    * model plays): transform over an index sequence + slice + concat_ws
+    * on [[tokens]]. The size guard matters — `sequence(1, 0)` DESCENDS
+    * in Spark rather than being empty. */
+  private[ops] def ngramsColumnModel(text: Column, n: Int): Column = {
     val ts = tokens(text)
     when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - (n - 1)),

@@ -48,6 +48,7 @@ object GraftFunctions {
     ("graft_repetition_ratio", classOf[RepetitionRatio],
       one(RepetitionRatio(_, 5))),
     ("graft_winnow", classOf[Winnow], one(Winnow(_, 8, 4))),
+    ("graft_word_ngrams", classOf[WordNgrams], one(WordNgrams(_, 2))),
     ("graft_quantize_vec", classOf[QuantizeVec], one(QuantizeVec)),
     ("graft_dequantize_vec", classOf[DequantizeVec], two(DequantizeVec(_, _)))
   )

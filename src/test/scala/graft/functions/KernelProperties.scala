@@ -99,6 +99,20 @@ object KernelProperties extends Properties("graft.kernels") {
       TextHashes.rollingHashOf(u(norm)) == signed
     }
 
+  property("wordNgrams matches the lower+regex-split+sliding model") =
+    forAll(texts, Gen.chooseNum(1, 4)) { (s, n) =>
+      val arr = TextHashes.wordNgramsOf(u(s), n)
+      val got = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      // the model lowers via the SAME UTF8String method Spark's lower()
+      // calls, then java-regex splits exactly like Spark's split()
+      val toks = u(s).toLowerCase.toString
+        .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      val want = if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      got == want
+    }
+
   property("planeSigns bit j == sign of dot(vec, plane_j)") = {
     val vecGen = Gen.chooseNum(1, 32).flatMap(d =>
       Gen.listOfN(d, Gen.chooseNum(-5.0, 5.0)))

@@ -60,6 +60,20 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     r(3) shouldBe Seq.empty
   }
 
+  test("ngrams kernel is bit-identical to the HOF Column model it replaced") {
+    val texts = Seq("The cat, and the dog!", "", "solo", "a  b\tc\nd",
+      "é ß 中文 x1", "🙂 emoji only 🍕", "1 2 3 4 5")
+    for (n <- 1 to 3) {
+      val both = texts.toDF("text").select(
+        TextAnalysis.ngrams($"text", n).as("kernel"),
+        TextAnalysis.ngramsColumnModel($"text", n).as("model"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.zipWithIndex.foreach { case ((k, m), i) =>
+        withClue(s"n=$n text='${texts(i)}': ") { k shouldBe m }
+      }
+    }
+  }
+
   test("topNgrams counts corpus-wide with (cnt DESC, ngram ASC) ties") {
     val df = Seq("a b a b", "a b c").toDF("text")
     val r = TextAnalysis.topNgrams(df, "text", n = 2, k = 3)
