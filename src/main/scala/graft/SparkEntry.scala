@@ -483,6 +483,28 @@ object SparkEntry {
           unix_micros(col("right_tt")).as("click_ts_us"))
         .orderBy("event_id", "click_id")
     }),
+    "q_stream_outer" -> ((s, dir) => {
+      // LEFT OUTER stream-stream interval join (batch parity, like
+      // q_stream_interval): purchases with NO click in their preceding
+      // hour emit once with null click columns — non-vacuous both ways
+      // at every SF (33 matched vs ~1950 null-extended at sf0.01). The
+      // watermark + interval bound is what makes outer emission
+      // decidable in true streaming (StreamOps Scaladoc).
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tt"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tt"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("tt"), col("event_id").as("click_id"))
+      graft.streaming.StreamOps.streamingIntervalJoin(purchases, clicks,
+          "user_id", "tt", lowerSec = -3600, upperSec = 0,
+          joinType = "left_outer")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("tt")).as("ts_us"),
+          col("right_click_id").as("click_id"),
+          unix_micros(col("right_tt")).as("click_ts_us"))
+        .orderBy(asc("event_id"), asc_nulls_first("click_id"))
+    }),
     "q_range" -> ((s, dir) => {
       // Interval join: clicks within the hour BEFORE each purchase
       // (binned implementation — hot users spread over time buckets).
@@ -1238,6 +1260,15 @@ object SparkEntry {
          FROM p JOIN c ON p.user_id = c.user_id
                       AND c.cts >= p.ts_us - 3600000000 AND c.cts <= p.ts_us
          ORDER BY p.event_id, c.click_id""",
+    "q_stream_outer" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS click_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+                    FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.cts AS click_ts_us
+         FROM p LEFT JOIN c ON p.user_id = c.user_id
+                           AND c.cts >= p.ts_us - 3600000000 AND c.cts <= p.ts_us
+         ORDER BY p.event_id, c.click_id NULLS FIRST""",
     "q_skew_join" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment, round(o_totalprice, 2) AS price
          FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1684,5 +1715,5 @@ object SparkEntry {
     "q_win_frame", "q_setops", "q_semi_anti", "q_json",
     // round 9
     "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams",
-    "q_outer_join", "q_grouping_sets", "q_chunk")
+    "q_outer_join", "q_grouping_sets", "q_chunk", "q_stream_outer")
 }

@@ -65,11 +65,20 @@ object StreamOps {
     * x (delay + window), not by stream length. Right payload columns
     * are emitted as `right_<name>` (batch RangeJoin convention); the
     * join also runs on batch frames unchanged (watermark is a no-op).
-    */
+    *
+    * `joinType` may be "left_outer": left rows with no right row in
+    * their interval emit once with null right columns — Structured
+    * Streaming supports outer stream-stream joins exactly because the
+    * watermark + interval bound tells it when a left row can no longer
+    * match and must be null-emitted (an unbounded condition would have
+    * to hold every left row forever). */
   def streamingIntervalJoin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, lowerSec: Long, upperSec: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(upperSec >= lowerSec, s"upper ($upperSec) < lower ($lowerSec)")
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val rPayload = right.columns.filterNot(_ == keyCol)
     val reserved = "__rkey" +: rPayload.map(c => s"right_$c")
     val clashes = left.columns.toSet.intersect(reserved.toSet)
@@ -81,16 +90,21 @@ object StreamOps {
         (col(keyCol).as("__rkey") +:
           rPayload.map(c => col(c).as(s"right_$c")).toIndexedSeq): _*)
       .withWatermark(s"right_$tsCol", watermarkDelay)
-    // bounds built with Column arithmetic (not a spliced SQL string, so
-    // a ts column named like an expression can't be misparsed); the
-    // make_interval args are literal ints — foldable, which is what the
-    // watermark state-bound analysis needs
+    // bounds as `ts + INTERVAL literal`: StreamingJoinHelper derives the
+    // state-eviction watermark only from interval-literal arithmetic —
+    // the earlier make_interval(...) phrasing defeated the extraction
+    // (its decimal-cast seconds argument is opaque to the analyzer), so
+    // join state was silently UNBOUNDED on both sides and outer joins
+    // were rejected outright; with the literal the analyzer proves each
+    // side's horizon, evicts state behind it, and can null-emit for
+    // left_outer. (The quoted '$sec' is a Long, not user input.)
     def bound(sec: Long): Column =
-      col(tsCol) + expr(s"make_interval(0,0,0,0,0,0,$sec)")
+      col(tsCol) + expr(s"INTERVAL '$sec' SECOND")
     lw.join(rw,
         col(keyCol) === col("__rkey") &&
           col(s"right_$tsCol") >= bound(lowerSec) &&
-          col(s"right_$tsCol") <= bound(upperSec))
+          col(s"right_$tsCol") <= bound(upperSec),
+        joinType)
       .drop("__rkey")
   }
 

@@ -97,6 +97,36 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     rows.toSeq shouldBe Seq(("a", 1L, 100L), ("a", 1L, 101L), ("a", 1L, 102L))
   }
 
+  test("streamingIntervalJoin left_outer null-emits an unmatched left " +
+      "once the watermark closes its window, incrementally") {
+    val lIn = MemoryStream[(Timestamp, String, Long)](spark)
+    val rIn = MemoryStream[(Timestamp, String, Long)](spark)
+    val joined = StreamOps.streamingIntervalJoin(
+      lIn.toDF().toDF("ts", "k", "purchase_id"),
+      rIn.toDF().toDF("ts", "k", "click_id"),
+      "k", "ts", lowerSec = -600, upperSec = 0,
+      watermarkDelay = "0 seconds", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("sloj")
+      .outputMode("append").start()
+    // a@10:09 has a click in window; b@10:30 has none
+    rIn.addData((ts(0), "a", 100L))
+    lIn.addData((ts(9), "a", 1L), (ts(30), "b", 2L))
+    q.processAllAvailable()
+    // advance BOTH watermarks well past b's window close so the join
+    // can PROVE no right row can still arrive for it (outer emission
+    // happens in a batch after the watermark passes, hence two rounds)
+    lIn.addData((ts(120), "z", 9L)); rIn.addData((ts(120), "z", 900L))
+    q.processAllAvailable()
+    lIn.addData((ts(130), "z", 10L)); rIn.addData((ts(130), "z", 901L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sloj")
+      .select("k", "purchase_id", "right_click_id")
+      .as[(String, Long, Option[Long])].collect().toSet
+    rows should contain((("a", 1L, Some(100L))))
+    rows should contain((("b", 2L, None)))
+  }
+
   test("streamingIntervalJoin on batch frames equals RangeJoin semantics") {
     val l = Seq((ts(9), "a", 1L), (ts(30), "b", 2L)).toDF("ts", "k", "pid")
     val r = Seq((ts(0), "a", 100L), (ts(8), "a", 101L), (ts(25), "b", 200L),
