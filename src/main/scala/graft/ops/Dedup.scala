@@ -360,9 +360,14 @@ object Dedup {
 
   // ----------------------------------------------------------- SimHash
 
-  /** Word tokens for SimHash: lowercased, split on non-alphanumerics. */
+  /** Word tokens: lowercased, split on non-alphanumerics — the
+    * 1-gram case of the codegen'd WordNgrams kernel (a single n=1
+    * window IS the token), replacing the interpreted
+    * `filter(split(...))` HOF phrasing; parity is covered by the
+    * kernel-vs-model property at n=1. Every token consumer (SimHash,
+    * vocabulary, TF-IDF, language ID) inherits the codegen'd path. */
   def wordTokens(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+    TextHashes.word_ngrams(text, 1)
 
   /** 64-bit SimHash fingerprint of a document (single-pass codegen'd
     * expression over the token array). */
