@@ -333,6 +333,45 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
         .distinct().orderBy("c_mktsegment", "c_nationkey")
     }),
+    "q_histogram" -> ((s, dir) => {
+      // Fixed-width histogram (50k bins over order totals): bin id is
+      // pure row-level arithmetic, so this is ONE partial+final count
+      // shuffle — no range discovery pass, no sort until presentation.
+      // floor(x/50000) on doubles is IEEE-exact cross-engine.
+      t(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 50000.0).cast(IntegerType).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .withColumn("lo", (col("bin") * 50000L).cast(LongType))
+        .select(col("bin"), col("lo"), col("n"))
+        .orderBy("bin")
+    }),
+    "q_profile" -> ((s, dir) => {
+      // Column profiling (the data-quality pre-flight): count / nulls /
+      // exact distinct / min / max / sum for each lineitem measure, ONE
+      // row per column. Single scan: all metrics compute in one global
+      // aggregate (Spark expands the multi-distinct into one Expand
+      // pass), then the 1-row wide frame melts via stack — vs the
+      // naive per-column loop that scans the fact table k times.
+      // sums route through DECIMAL(18,4) and back to DOUBLE: decimal
+      // accumulation is exact and order-independent, so the value is
+      // identical whatever partition order Spark or DuckDB sums in
+      // (a raw double sum is order-sensitive in the last ulp).
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          sum(col(c).cast(DecimalType(18, 4))).cast(DoubleType).as(s"${c}_sum"))
+      }
+      val wide = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_n, ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_sum")
+        .mkString(s"stack(${cols.length}, ", ", ", ")")
+      wide.select(expr(
+          s"$stackExpr AS (col_name, n, n_nulls, n_distinct, min_v, max_v, sum_v)"))
+        .orderBy("col_name")
+    }),
     "q_outer_join" -> ((s, dir) => {
       // Explicit FULL OUTER surface (inner/semi/anti/broadcast are
       // covered elsewhere). Sides chosen so all THREE match classes are
@@ -1180,6 +1219,37 @@ object SparkEntry {
                 min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bin,
+                CAST(CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS BIGINT) * 50000 AS lo,
+                count(*) AS n
+         FROM orders GROUP BY 1, 2 ORDER BY bin""",
+    "q_profile" ->
+      """SELECT * FROM (
+           SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+                  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                  count(DISTINCT l_quantity) AS n_distinct,
+                  min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_v FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', count(l_extendedprice),
+                  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT l_extendedprice),
+                  min(l_extendedprice), max(l_extendedprice),
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', count(l_discount),
+                  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT l_discount),
+                  min(l_discount), max(l_discount),
+                  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+           UNION ALL
+           SELECT 'l_tax', count(l_tax),
+                  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT l_tax),
+                  min(l_tax), max(l_tax),
+                  CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem)
+         ORDER BY col_name""",
     "q_outer_join" ->
       """WITH hc AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
               ho AS (SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
@@ -1715,5 +1785,6 @@ object SparkEntry {
     "q_win_frame", "q_setops", "q_semi_anti", "q_json",
     // round 9
     "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams",
-    "q_outer_join", "q_grouping_sets", "q_chunk", "q_stream_outer")
+    "q_outer_join", "q_grouping_sets", "q_chunk", "q_stream_outer",
+    "q_histogram", "q_profile")
 }
