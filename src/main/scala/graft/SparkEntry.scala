@@ -485,6 +485,28 @@ object SparkEntry {
           col("right_ts").as("click_ts_us"))
         .orderBy("event_id")
     }),
+    "q_asof_tolerance" -> ((s, dir) => {
+      // The tolerance variant under a DuckDB ASOF + conditional-void
+      // oracle: matches older than 1h void to null (the as-of match is
+      // the NEWEST candidate, so an out-of-tolerance match means NO
+      // candidate qualifies). Non-vacuous both ways at every SF: most
+      // purchases' latest click is older than the hour (voided), a few
+      // are inside it (kept). Same plan shape as q_asof — the guard is
+      // a projection, no extra exchange (pinned for bucketedAsOf).
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      ops.AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+          tolerance = Some(3600000000L)) // 1h of microseconds
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("right_click_id").as("click_id"),
+          col("right_ts").as("click_ts_us"))
+        .orderBy("event_id")
+    }),
     "q_bucketed_asof" -> ((s, dir) => {
       // The hot-key-safe as-of variant under the SAME DuckDB ASOF
       // oracle as q_asof: identical output is the operator's whole
@@ -1358,6 +1380,16 @@ object SparkEntry {
               c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts, max(event_id) AS click_id
                     FROM events WHERE event_type = 'click' GROUP BY 1, 2)
          SELECT p.event_id, p.user_id, p.ts_us, c.click_id, c.cts AS click_ts_us
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.cts
+         ORDER BY p.event_id""",
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_us,
+                CASE WHEN c.cts >= p.ts_us - 3600000000 THEN c.click_id END AS click_id,
+                CASE WHEN c.cts >= p.ts_us - 3600000000 THEN c.cts END AS click_ts_us
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.cts
          ORDER BY p.event_id""",
     "q_stream_window" ->
