@@ -114,14 +114,18 @@ object Bench {
     val coldSuspect = cold.collect { case (n, c)
       if c >= 0 && warmMap(n) > 0 && c > 3 * warmMap(n) && c - warmMap(n) > 2.0 => n }
 
-    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
+    // ONE definition of the shared segments, so the full diagnostic
+    // line and the persisted headline cannot drift apart — the
+    // artifact-vs-stdout disagreement the headline exists to prevent.
+    val core = s""""metric":"total","value":${total(cold)},"unit":"sec",""" +
       s""""queries":${fmt(cold)},"total_warm":${total(warm)},""" +
       s""""queries_warm":${fmt(warm)},""" +
       s""""queries_warm_median":${fmt(warmMedian)},""" +
+      s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
+      s""""loadavg":[${loads.mkString(",")}]"""
+    println(s"{$core," +
       s""""warm_passes":[${warmPasses.map(fmt).mkString(",")}],""" +
       s""""warm_spread":${fmt(spread)},""" +
-      s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
-      s""""loadavg":[${loads.mkString(",")}],""" +
       s""""loadavg_before":${loads.head},"loadavg_after":${loads.last},""" +
       s""""sf":"$sfDir"}""")
     // Compact headline LAST: bounded size so a tail-grab parses it.
@@ -129,12 +133,7 @@ object Bench {
     // cold_suspect, warm medians): round 8's driver tail truncated the
     // full diagnostic line, leaving a 1.5x warm inflation and a 24.7s
     // cold outlier with no in-artifact proof they were machine noise.
-    val headline = s"""{"metric":"total","value":${total(cold)},"unit":"sec",""" +
-      s""""queries":${fmt(cold)},"total_warm":${total(warm)},""" +
-      s""""queries_warm":${fmt(warm)},""" +
-      s""""queries_warm_median":${fmt(warmMedian)},""" +
-      s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
-      s""""loadavg":[${loads.mkString(",")}],"sf":"$sfDir"}"""
+    val headline = s"""{$core,"sf":"$sfDir"}"""
     println(headline)
     // Also persist it: the artifact survives even if the caller's
     // stdout tail-parse chokes on log prefixes (see README "Benchmark").

@@ -257,12 +257,16 @@ object TextAnalysis {
     * MODEL for the bit-parity spec (same role TextStatsKernel's Column
     * model plays): transform over an index sequence + slice + concat_ws
     * on [[tokens]]. The size guard matters — `sequence(1, 0)` DESCENDS
-    * in Spark rather than being empty. */
+    * in Spark rather than being empty. The leading isNull arm keeps the
+    * model null-faithful to the kernel (UnaryExpression null-propagates;
+    * without the arm, `size(null) >= n` is null and falls through to
+    * the otherwise branch's empty array). */
   private[ops] def ngramsColumnModel(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    when(size(ts) >= n,
-      transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
+    when(text.isNull, lit(null).cast(ArrayType(StringType)))
+      .when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 

@@ -98,6 +98,15 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should include("partial_count")
   }
 
+  test("q_profile computes all per-column metrics in ONE lineitem scan " +
+      "(multi-distinct expands map-side; no self-join, no second scan)") {
+    val p = plan("q_profile")
+    p should include("Expand")
+    p should not include "Join"
+    // one scan: the parquet relation appears once in the plan
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
   test("q_mix and q_scrub are shuffle-free narrow scans") {
     for (name <- Seq("q_mix", "q_scrub")) {
       withClue(name) {

@@ -61,8 +61,10 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
   }
 
   test("ngrams kernel is bit-identical to the HOF Column model it replaced") {
+    // null included: kernel null-propagates and the model's isNull arm
+    // must match (a bare size(null)>=n guard would yield [] instead)
     val texts = Seq("The cat, and the dog!", "", "solo", "a  b\tc\nd",
-      "é ß 中文 x1", "🙂 emoji only 🍕", "1 2 3 4 5")
+      "é ß 中文 x1", "🙂 emoji only 🍕", "1 2 3 4 5", null)
     for (n <- 1 to 3) {
       val both = texts.toDF("text").select(
         TextAnalysis.ngrams($"text", n).as("kernel"),
