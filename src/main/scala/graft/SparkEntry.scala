@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{BinaryCodec, TimeFunctions}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, EventAnalytics, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -279,6 +279,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
+    }),
+    "q_funnel" -> ((s, dir) => {
+      // Ordered windowed funnel (view -> click -> purchase, each stage
+      // within 6h of the previous): ONE shuffle on user_id, per-user
+      // sorted-array fold — no per-stage self-joins. The oracle replays
+      // it as the equivalent cascaded min(ts)-in-window SQL. depth is
+      // non-degenerate at every SF (1/2/3 all present at sf0.01).
+      // Stage times surface as epoch-microsecond longs (house pattern
+      // for events.ts — see t()).
+      val ev = t(s, dir, "events").select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tt"), col("event_type"))
+      EventAnalytics.funnel(ev, "user_id", "tt", "event_type",
+          Seq("view", "click", "purchase"), maxGapSeconds = 6 * 3600)
+        .where(col("depth") >= 1)
+        .select(col("user_id"), col("depth"),
+          unix_micros(get(col("stage_ts"), lit(0))).as("t1_us"),
+          unix_micros(get(col("stage_ts"), lit(1))).as("t2_us"),
+          unix_micros(get(col("stage_ts"), lit(2))).as("t3_us"))
+        .orderBy("user_id")
+    }),
+    "q_gapfill" -> ((s, dir) => {
+      // Per-user daily series with gaps materialized: carry-forward +
+      // trailing 7-day rolling mean over the filled grid. The heavy
+      // exchange is the (user, day) pre-agg; the grid afterwards is
+      // |users| x |days|. DECIMAL-routed sums keep the hash compare
+      // exact (q_profile's invariant).
+      val ev = t(s, dir, "events").select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tt"), col("value"))
+      EventAnalytics.gapFillDaily(ev, "user_id", "tt", "value",
+          windowDays = 7)
+        .orderBy("user_id", "day")
+    }),
+    "q_outliers" -> ((s, dir) => {
+      // Population z-score outliers per event_type: exact DECIMAL
+      // moments broadcast back onto the narrow event scan; |z| > 3
+      // keeps 18/188/1906 rows at sf0.001/0.01/0.1. All post-agg math
+      // is fixed-order IEEE double, restated verbatim in the oracle.
+      EventAnalytics.zScoreOutliers(t(s, dir, "events"), "event_id",
+          "event_type", "value", threshold = 3.0)
+        .orderBy("event_id")
     }),
     "q_semi_anti" -> ((s, dir) => {
       // Explicit LEFT SEMI / LEFT ANTI surface (§2.3 joins list) — the
@@ -1241,6 +1281,67 @@ object SparkEntry {
                 min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                 max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events),
+              s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                     WHERE event_type = 'view' GROUP BY user_id),
+              s2 AS (SELECT ev.user_id, min(ev.ts) AS t2 FROM e ev
+                     JOIN s1 ON ev.user_id = s1.user_id
+                            AND ev.ts > s1.t1
+                            AND ev.ts <= s1.t1 + INTERVAL 6 HOUR
+                     WHERE ev.event_type = 'click' GROUP BY ev.user_id),
+              s3 AS (SELECT ev.user_id, min(ev.ts) AS t3 FROM e ev
+                     JOIN s2 ON ev.user_id = s2.user_id
+                            AND ev.ts > s2.t2
+                            AND ev.ts <= s2.t2 + INTERVAL 6 HOUR
+                     WHERE ev.event_type = 'purchase' GROUP BY ev.user_id)
+         SELECT s1.user_id,
+                CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                       + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INTEGER) AS depth,
+                epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+                epoch_us(t3) AS t3_us
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
+    "q_gapfill" ->
+      """WITH daily AS (SELECT user_id,
+                               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                               sum(CAST(value AS DECIMAL(18,6))) AS dsum,
+                               count(*) AS n_events
+                        FROM events GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+              span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                       FROM daily GROUP BY user_id),
+              grid AS (SELECT user_id,
+                              CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                          CAST(d1 AS TIMESTAMP),
+                                                          INTERVAL 1 DAY)) AS DATE) AS day
+                       FROM span),
+              f AS (SELECT g.user_id, g.day, d.dsum, d.n_events
+                    FROM grid g LEFT JOIN daily d
+                      ON g.user_id = d.user_id AND g.day = d.day)
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+                coalesce(n_events, 0) AS n_events,
+                CAST(dsum AS DOUBLE) AS day_sum,
+                CAST(last_value(dsum IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS carry_sum,
+                CAST(sum(coalesce(dsum, 0)) OVER w7 AS DOUBLE)
+                  / count(*) OVER w7 AS roll7_avg
+         FROM f
+         WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, day""",
+    "q_outliers" ->
+      """WITH st AS (SELECT event_type, count(value) AS n,
+                            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                            CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sq
+                     FROM events GROUP BY event_type)
+         SELECT event_id, event_type, value,
+                (value - s / n) / sqrt(sq / n - (s / n) * (s / n)) AS z
+         FROM events JOIN st USING (event_type)
+         WHERE abs((value - s / n) / sqrt(sq / n - (s / n) * (s / n))) > 3.0
+         ORDER BY event_id""",
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bin,
                 CAST(CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS BIGINT) * 50000 AS lo,
@@ -1818,5 +1919,6 @@ object SparkEntry {
     // round 9
     "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams",
     "q_outer_join", "q_grouping_sets", "q_chunk", "q_stream_outer",
-    "q_histogram", "q_profile")
+    "q_histogram", "q_profile",
+    "q_funnel", "q_gapfill", "q_outliers")
 }

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics over an immutable event log (`user_id`, `ts`,
+  * `event_type`, `value`): ordered funnels, per-entity time-series
+  * gap-filling with carry-forward + rolling windows, and population
+  * z-score outlier flagging.
+  *
+  * These are batch analogues of what the reference pipeline's users do
+  * downstream of it (the reference itself is a record-at-a-time
+  * transformer with no temporal or cross-row surface — SURVEY §2.3);
+  * they are part of the large-scale-pipeline extension mandated by the
+  * brief.
+  *
+  * Scale notes (100 TB):
+  *  - [[funnel]] is ONE shuffle on the user key; the per-user state is a
+  *    sorted (ts, type) array of only the funnel-relevant events
+  *    (filtered before the shuffle), folded with a codegen-friendly
+  *    higher-order `aggregate` — no self-joins, no per-stage passes.
+  *  - [[gapFillDaily]]'s only large exchange is the first (user, day)
+  *    pre-aggregation (map-side partial); everything downstream operates
+  *    on the |users| x |days| daily grid, orders of magnitude smaller
+  *    than the event log.
+  *  - [[zScoreOutliers]] aggregates per-key moments (tiny frame),
+  *    broadcasts them back, and flags rows in a narrow codegen'd scan —
+  *    the event log is read, not shuffled.
+  */
+object EventAnalytics {
+
+  /** Ordered windowed funnel: for each user, walk the user's events in
+    * timestamp order and record the time each `stages(i)` is first
+    * reached, where stage i+1 must occur STRICTLY after stage i and
+    * within `maxGapSeconds` of it. Returns one row per user holding any
+    * of the stage events: (`userCol`, `stage_ts` array, `depth`).
+    *
+    * `depth` is the number of stages reached (0 if the user has stage
+    * events but never the first stage). Equivalent to the cascaded
+    * "min(ts) where ts in (prev, prev+gap]" SQL formulation: the fold
+    * takes the FIRST qualifying event in sorted order, which is exactly
+    * the minimum of the qualifying set.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String], maxGapSeconds: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
+    require(maxGapSeconds > 0, s"maxGapSeconds must be positive, got $maxGapSeconds")
+    val nStages = stages.length
+    val stageLits = array(stages.map(lit): _*)
+    val perUser = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(col(tsCol).as("ts"),
+        col(typeCol).as("et")))).as("evs"))
+    // Fold the sorted events into the achieved-stage timestamp array.
+    // `get(acc, size-1)` (not element_at) so the empty-acc probe yields
+    // null instead of an ANSI out-of-bounds error; `null > x` is null,
+    // and the leading size(acc)===0 disjunct makes the condition true.
+    val prevTs = (acc: org.apache.spark.sql.Column) => get(acc, size(acc) - 1)
+    val folded = perUser.select(col(userCol),
+      aggregate(col("evs"),
+        lit(Array.empty[java.sql.Timestamp]).cast(ArrayType(TimestampType)),
+        (acc, e) => when(
+          size(acc) < nStages &&
+            e.getField("et") === element_at(stageLits, size(acc) + 1) &&
+            (size(acc) === 0 ||
+              (e.getField("ts") > prevTs(acc) &&
+                e.getField("ts") <= prevTs(acc) + expr(s"INTERVAL '$maxGapSeconds' SECOND"))),
+          concat(acc, array(e.getField("ts")))).otherwise(acc)).as("stage_ts"))
+    folded.select(col(userCol), col("stage_ts"),
+      size(col("stage_ts")).as("depth"))
+  }
+
+  /** Daily per-entity time series with gaps filled: aggregate
+    * `valueCol` per (`userCol`, day), then for each user emit EVERY day
+    * between that user's first and last active day, carrying the last
+    * seen daily sum forward across gaps and computing a trailing
+    * `windowDays`-day rolling mean (gap days count as zero).
+    *
+    * Sums route through DECIMAL(18,6) so accumulation is exact and
+    * order-independent (identical whatever partition order either
+    * engine sums in); the rolling mean divides the exact decimal sum by
+    * the frame row count in one IEEE double divide.
+    *
+    * Output: user day (yyyy-MM-dd string), n_events, day_sum (null on
+    * gap days), carry_sum (last non-null daily sum), rollN_avg.
+    */
+  def gapFillDaily(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive, got $windowDays")
+    val dec = DecimalType(18, 6)
+    val daily = events
+      .groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(dec)).as("dsum"),
+        count(lit(1)).as("n_events"))
+    val span = daily.groupBy(col(userCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(col(userCol),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = grid.join(daily, Seq(userCol, "day"), "left")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRoll = w.rowsBetween(-(windowDays - 1), Window.currentRow)
+    filled.select(
+      col(userCol),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      col("dsum").cast(DoubleType).as("day_sum"),
+      last(col("dsum"), ignoreNulls = true).over(wAll)
+        .cast(DoubleType).as("carry_sum"),
+      (sum(coalesce(col("dsum"), lit(0).cast(dec))).over(wRoll).cast(DoubleType) /
+        count(lit(1)).over(wRoll)).as(s"roll${windowDays}_avg"))
+  }
+
+  /** Population z-score outliers: per `keyCol`, exact first/second
+    * moments of `valueCol` (DECIMAL-routed, order-independent), then
+    * each row scores `z = (v - mean) / stddev_pop` and rows with
+    * `|z| > threshold` survive. The moments frame is tiny (one row per
+    * key) and is broadcast back onto the event scan — the log itself
+    * never shuffles. All post-aggregate arithmetic is IEEE double with
+    * a fixed evaluation order, reproduced verbatim by the oracle. */
+  def zScoreOutliers(events: DataFrame, idCol: String, keyCol: String,
+      valueCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val stats = events.groupBy(col(keyCol)).agg(
+      count(col(valueCol)).as("n"),
+      sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("s"),
+      sum((col(valueCol) * col(valueCol)).cast(DecimalType(28, 10)))
+        .cast(DoubleType).as("sq"))
+    val mean = col("s") / col("n")
+    val std = sqrt(col("sq") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+    // A constant key has std 0; its rows have no meaningful z (and ANSI
+    // mode would raise DIVIDE_BY_ZERO) — null z, dropped by the filter.
+    events.join(broadcast(stats), keyCol)
+      .select(col(idCol), col(keyCol), col(valueCol),
+        when(std > 0, (col(valueCol) - mean) / std).as("z"))
+      .where(abs(col("z")) > threshold)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class EventAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // (user, ts, type) — deliberately out of insertion order to prove the
+  // fold sorts; gap between stages is the funnel's 1-hour window.
+  private lazy val funnelEvents = Seq(
+    // u1: full clean funnel
+    (1L, ts("2024-01-01 10:00:00"), "view"),
+    (1L, ts("2024-01-01 10:30:00"), "click"),
+    (1L, ts("2024-01-01 11:00:00"), "purchase"),
+    // u2: click BEFORE the first view must not count; the later click
+    // lands outside the 1h window -> depth 1
+    (2L, ts("2024-01-01 09:00:00"), "click"),
+    (2L, ts("2024-01-01 10:00:00"), "view"),
+    (2L, ts("2024-01-01 11:30:00"), "click"),
+    // u3: view then purchase with no click in between -> depth 1
+    (3L, ts("2024-01-01 10:00:00"), "view"),
+    (3L, ts("2024-01-01 10:10:00"), "purchase"),
+    // u4: stage events but never the first stage -> depth 0
+    (4L, ts("2024-01-01 10:00:00"), "click"),
+    (4L, ts("2024-01-01 10:05:00"), "purchase"),
+    // u5: two views; the SECOND view starts nothing new — first view
+    // anchors, click within window of the FIRST view counts
+    (5L, ts("2024-01-01 10:00:00"), "view"),
+    (5L, ts("2024-01-01 10:40:00"), "view"),
+    (5L, ts("2024-01-01 10:50:00"), "click"),
+    // noise type is filtered before the shuffle
+    (1L, ts("2024-01-01 10:15:00"), "error")
+  ).toDF("user_id", "tt", "event_type")
+
+  test("funnel: ordered stages, window cutoff, missing-stage semantics") {
+    val out = EventAnalytics.funnel(funnelEvents, "user_id", "tt",
+        "event_type", Seq("view", "click", "purchase"), maxGapSeconds = 3600)
+      .orderBy("user_id")
+      .select(col("user_id"), col("depth"),
+        get(col("stage_ts"), lit(1)).as("t2"))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 3), (2L, 1), (3L, 1), (4L, 0), (5L, 2)))
+    // u5's click is anchored to the FIRST view (10:00), not the second
+    assert(out.find(_.getLong(0) == 5L).get
+      .getTimestamp(2) === ts("2024-01-01 10:50:00"))
+  }
+
+  test("funnel: boundary — exactly maxGap after the previous stage counts," +
+      " same-instant does not") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"), // exactly +1h: inclusive
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "click")  // strictly-after fails
+    ).toDF("user_id", "tt", "event_type")
+    val out = EventAnalytics.funnel(ev, "user_id", "tt", "event_type",
+        Seq("view", "click"), maxGapSeconds = 3600)
+      .orderBy("user_id").select("depth").as[Int].collect()
+    assert(out.toSeq === Seq(2, 1))
+  }
+
+  test("gapFillDaily: grid covers the span, carry-forward crosses gaps, " +
+      "rolling mean divides by frame rows") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 10.0),
+      (1L, ts("2024-01-01 09:00:00"), 20.0),
+      (1L, ts("2024-01-04 08:00:00"), 40.0)
+    ).toDF("user_id", "tt", "value")
+    val out = EventAnalytics.gapFillDaily(ev, "user_id", "tt", "value",
+        windowDays = 2)
+      .orderBy("day").collect()
+    assert(out.map(_.getString(1)).toSeq ===
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 0L, 0L, 1L))
+    // day_sum: 30, null, null, 40
+    assert(out(0).getDouble(3) === 30.0 && out(1).isNullAt(3)
+      && out(2).isNullAt(3) && out(3).getDouble(3) === 40.0)
+    // carry: 30, 30, 30, 40
+    assert(out.map(_.getDouble(4)).toSeq === Seq(30.0, 30.0, 30.0, 40.0))
+    // roll2 (2-day trailing, gaps as 0): 30/1, 30/2, 0/2, 40/2
+    assert(out.map(_.getDouble(5)).toSeq === Seq(30.0, 15.0, 0.0, 20.0))
+  }
+
+  test("zScoreOutliers: flags exactly the |z|>threshold rows per key") {
+    // key a: nine 10s and one 20 -> mean 11, var 9, std 3; z(20) = 3 ->
+    // NOT flagged at 2.9? 3.0 is not > 3.0 by a hair either way, so use
+    // threshold 2.5: z(20)=3 flagged, z(10)=-1/3 not. key b: constant ->
+    // std 0, z is null/NaN-free? (0/0 -> NaN; abs(NaN)>t is false).
+    val rows = (1L to 9L).map(i => (i, "a", 10.0)) ++ Seq((10L, "a", 20.0),
+      (11L, "b", 5.0), (12L, "b", 5.0))
+    val out = EventAnalytics.zScoreOutliers(rows.toDF("event_id", "key", "v"),
+        "event_id", "key", "v", threshold = 2.5)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L))
+    assert(out.head.getDouble(3) === 3.0)
+  }
+}
