@@ -757,6 +757,16 @@ object SparkEntry {
           k = 3)
         .orderBy("doc_id", "rk")
     }),
+    "q_bm25" -> ((s, dir) => {
+      // BM25 keyword retrieval (rational log-free idf — see
+      // TextAnalysis.bm25TopDocs): one rare term ('dup', df=25 at
+      // sf0.01) against two common ones, so the idf spread is real.
+      // No explode: per-term tf is a narrow pass over the token array;
+      // global top-k is TakeOrderedAndProject.
+      TextAnalysis.bm25TopDocs(t(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "merge", "vector"), k1 = 1.2, b = 0.75, k = 25)
+        .orderBy("rk")
+    }),
     "q_repetition" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
@@ -1612,6 +1622,37 @@ object SparkEntry {
                     FROM scored)
          SELECT doc_id, rk, term, tf, df, tfidf FROM r WHERE rk <= 3
          ORDER BY doc_id, rk""",
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS ts
+                       FROM documents),
+              base AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS dl,
+                              len(list_filter(ts, x -> x = 'dup')) AS tf_0,
+                              len(list_filter(ts, x -> x = 'merge')) AS tf_1,
+                              len(list_filter(ts, x -> x = 'vector')) AS tf_2
+                       FROM toks),
+              st AS (SELECT count(*) AS n_docs,
+                            CAST(sum(dl) AS DOUBLE) AS sum_dl,
+                            sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                            sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                            sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+                     FROM base),
+              sc AS (SELECT doc_id, dl,
+                            ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
+                              * ((CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))
+                                 / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
+                          + ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
+                              * ((CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))
+                                 / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
+                          + ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0)
+                              * ((CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))
+                                 / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
+                            AS score
+                     FROM base CROSS JOIN st),
+              r AS (SELECT doc_id, dl, score,
+                           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+                    FROM sc WHERE score > 0)
+         SELECT rk, doc_id, dl, score FROM r WHERE rk <= 25 ORDER BY rk""",
     "q_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
               g AS (SELECT doc_id,
@@ -1920,5 +1961,5 @@ object SparkEntry {
     "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams",
     "q_outer_join", "q_grouping_sets", "q_chunk", "q_stream_outer",
     "q_histogram", "q_profile",
-    "q_funnel", "q_gapfill", "q_outliers")
+    "q_funnel", "q_gapfill", "q_outliers", "q_bm25")
 }

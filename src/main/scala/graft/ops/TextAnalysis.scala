@@ -280,6 +280,64 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram")).limit(k)
 
+  /** Global top-`k` documents by BM25 relevance to a fixed bag of
+    * `queryTerms`: `(rk, idCol, dl, score)`.
+    *
+    * Okapi BM25 with the standard (k1, b) shape — except the idf is the
+    * RATIONAL `(N - df + 0.5)/(df + 0.5) + 1` (Robertson-Walker's
+    * argument WITHOUT the enclosing log): a monotone transform that
+    * preserves every ranking property while keeping the whole score a
+    * fixed-order chain of IEEE double ops on integer-valued inputs —
+    * bit-reproducible by the DuckDB oracle, where a libm `log` would
+    * drift in the last ulp (same reasoning as [[tfidfTopTerms]]).
+    *
+    * Scale shape: per-term tf columns come from ONE narrow codegen'd
+    * pass over the token array (queryTerms is a handful of literals —
+    * no explode, no (doc,term) shuffle); corpus stats (N, total dl,
+    * per-term df) are a single-row aggregate broadcast back; the global
+    * top-k is TakeOrderedAndProject (bounded, map-side partial) — the
+    * rank window only ever sees `k` rows. Document text never leaves
+    * the tokenizing projection. */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 25): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be distinct, got $queryTerms")
+    require(k >= 1, s"k must be positive, got $k")
+    val ti = queryTerms.indices
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol) +: size(col("toks")).as("dl") +:
+        ti.map(i => size(filter(col("toks"), t => t === queryTerms(i)))
+          .as(s"tf_$i")): _*)
+    val statCols = count(lit(1)).as("n_docs") +:
+      sum(col("dl").cast(LongType)).cast(DoubleType).as("sum_dl") +:
+      ti.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+        .as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl") / col("n_docs")
+    // Fixed-order sum of per-term contributions (not an aggregate), so
+    // the double addition order is part of the contract.
+    val score = ti.map { i =>
+      val tf = col(s"tf_$i").cast(DoubleType)
+      val dfT = col(s"df_$i").cast(DoubleType)
+      val idf = (col("n_docs").cast(DoubleType) - dfT + lit(0.5)) /
+        (dfT + lit(0.5)) + lit(1.0)
+      idf * ((tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * (col("dl").cast(DoubleType) / avgdl))))
+    }.reduce(_ + _)
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"), score.as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+    scored.select(row_number().over(w).as("rk"), col(idCol), col("dl"),
+      col("score"))
+  }
+
   /** Per-document top-`k` TF-IDF terms:
     * `(doc_id, rk, term, tf, df, tfidf)`.
     *

@@ -308,4 +308,21 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     out(3L) shouldBe "a URL with userinfo <URL> is one token"
     out(4L) shouldBe "nothing to redact here"
   }
+
+  test("bm25TopDocs: hand-computed scores, tf saturation, zero-score drop") {
+    // N=3, df(cat)=2, avgdl=2. idf = (3-2+0.5)/(2+0.5)+1 = 1.6.
+    // d1 (tf=1, dl=2): 1.6 * (1*2.2)/(1 + 1.2*(0.25+0.75*(2/2))) = 1.6
+    // d2 (tf=2, dl=3): 1.6 * (2*2.2)/(2 + 1.2*(0.25+0.75*(3/2)))
+    //                = 1.6 * 4.4/3.65
+    // d3 (tf=0): score 0 -> dropped.
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopDocs(docs, "doc_id", "text", Seq("cat"),
+        k1 = 1.2, b = 0.75, k = 10)
+      .orderBy("rk").collect()
+    out.map(r => (r.getInt(0), r.getLong(1))).toSeq shouldBe
+      Seq((1, 2L), (2, 1L))
+    out(1).getDouble(3) shouldBe 1.6
+    out(0).getDouble(3) shouldBe (1.6 * 4.4 / 3.65 +- 1e-12)
+  }
 }
