@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{BinaryCodec, TimeFunctions}
-import graft.ops.{Dedup, EventAnalytics, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{BinaryCodec, LongHashes, TimeFunctions}
+import graft.ops.{Dedup, EventAnalytics, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -384,6 +384,23 @@ object SparkEntry {
         .withColumn("lo", (col("bin") * 50000L).cast(LongType))
         .select(col("bin"), col("lo"), col("n"))
         .orderBy("bin")
+    }),
+    "q_kmv_distinct" -> ((s, dir) => {
+      // KMV cardinality sketch (Sketches.kmvDistinct) side-by-side with
+      // the exact distinct it approximates: per returnflag, distinct
+      // l_orderkey count. The sketch ships 8*k bytes per partition
+      // regardless of cardinality — the 100 TB answer to exact
+      // distinct's full key shuffle. est is pure integer arithmetic
+      // (floor((k-1)*2^64 / kth)), replayed in HUGEINT by the oracle.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_nd"),
+          Sketches.kmvDistinct(
+            LongHashes.splitmix64(col("l_orderkey")), 256).as("kmv"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          col("kmv.n_kept").as("n_kept"), col("kmv.kth").as("kth"),
+          col("kmv.est").as("est"))
+        .orderBy("l_returnflag")
     }),
     "q_profile" -> ((s, dir) => {
       // Column profiling (the data-quality pre-flight): count / nulls /
@@ -1013,6 +1030,26 @@ object SparkEntry {
     s"""CASE WHEN $vCol >= CAST('9223372036854775808' AS HUGEINT)
        |     THEN $vCol - CAST('18446744073709551616' AS HUGEINT) ELSE $vCol END""".stripMargin
 
+  /** DuckDB replay of [[graft.functions.LongHashes.splitmix64Of]] as a
+    * CTE chain over a column `z` holding the unsigned key in HUGEINT:
+    * each 64x64 multiply mod 2^64 splits the constant into 32-bit
+    * halves (`z*lo + ((z*hi) % 2^32) * 2^32`, products <= 2^96) so
+    * nothing overflows HUGEINT; xors/shifts round-trip through UBIGINT.
+    * `from` is the CTE holding (`carry` cols..., z). */
+  private def splitmixCtesSql(from: String, carry: String): String = {
+    val t64 = "CAST('18446744073709551616' AS HUGEINT)"
+    def mulmod(lo: Long, hi: Long): String =
+      s"(z * $lo + ((z * $hi) % 4294967296) * 4294967296) % $t64"
+    def xorshift(n: Int): String =
+      s"CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> $n) AS HUGEINT)"
+    raw"""h0 AS (SELECT $carry, (z + 11400714819323198485) % $t64 AS z FROM $from),
+         |h1 AS (SELECT $carry, ${xorshift(30)} AS z FROM h0),
+         |h2 AS (SELECT $carry, ${mulmod(484763065L, 3210233709L)} AS z FROM h1),
+         |h3 AS (SELECT $carry, ${xorshift(27)} AS z FROM h2),
+         |h4 AS (SELECT $carry, ${mulmod(321982955L, 2496678331L)} AS z FROM h3),
+         |h5 AS (SELECT $carry, ${xorshift(31)} AS z FROM h4)""".stripMargin
+  }
+
   /** Shared CTE fragments of the near-dup oracle family (same rationale
     * as [[rollingHashSql]]: ONE source of truth; hand-copied variants
     * silently diverge and surface only as opaque hash mismatches).
@@ -1357,6 +1394,25 @@ object SparkEntry {
                 CAST(CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS BIGINT) * 50000 AS lo,
                 count(*) AS n
          FROM orders GROUP BY 1, 2 ORDER BY bin""",
+    "q_kmv_distinct" ->
+      raw"""WITH d AS (SELECT l_returnflag,
+                              CAST(l_orderkey AS HUGEINT) AS z
+                       FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)),
+               ${splitmixCtesSql("d", "l_returnflag")},
+               a AS (SELECT l_returnflag, count(*) AS exact_nd,
+                            list_sort(list(CAST(z AS UBIGINT)))[1:256] AS ks
+                     FROM h5 GROUP BY l_returnflag)
+          SELECT l_returnflag, exact_nd,
+                 CAST(len(ks) AS INTEGER) AS n_kept,
+                 CASE WHEN len(ks) < 256 THEN NULL
+                      ELSE CAST(${signedSql("CAST(list_max(ks) AS HUGEINT)")} AS BIGINT)
+                 END AS kth,
+                 CASE WHEN len(ks) < 256 THEN len(ks)
+                      ELSE CAST(LEAST(CAST(255 AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
+                                        // CAST(list_max(ks) AS HUGEINT),
+                                      CAST('9223372036854775807' AS HUGEINT)) AS BIGINT)
+                 END AS est
+          FROM a ORDER BY l_returnflag""",
     "q_profile" ->
       """SELECT * FROM (
            SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
@@ -1961,5 +2017,5 @@ object SparkEntry {
     "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams",
     "q_outer_join", "q_grouping_sets", "q_chunk", "q_stream_outer",
     "q_histogram", "q_profile",
-    "q_funnel", "q_gapfill", "q_outliers", "q_bm25")
+    "q_funnel", "q_gapfill", "q_outliers", "q_bm25", "q_kmv_distinct")
 }

@@ -49,6 +49,7 @@ object GraftFunctions {
       one(RepetitionRatio(_, 5))),
     ("graft_winnow", classOf[Winnow], one(Winnow(_, 8, 4))),
     ("graft_word_ngrams", classOf[WordNgrams], one(WordNgrams(_, 2))),
+    ("graft_splitmix64", classOf[SplitMix64], one(SplitMix64)),
     ("graft_quantize_vec", classOf[QuantizeVec], one(QuantizeVec)),
     ("graft_dequantize_vec", classOf[DequantizeVec], two(DequantizeVec(_, _)))
   )

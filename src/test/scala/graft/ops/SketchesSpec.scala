@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpecBase
+import graft.functions.LongHashes
+
+class SketchesSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+
+  test("splitmix64: matches an independent mod-2^64 BigInt reimplementation") {
+    val M = BigInt(1) << 64
+    def ref(x: Long): Long = {
+      def u(b: BigInt): BigInt = b.mod(M)
+      var z = u(BigInt(x) + BigInt("9E3779B97F4A7C15", 16))
+      z = u((z ^ (z >> 30)) * BigInt("BF58476D1CE4E5B9", 16))
+      z = u((z ^ (z >> 27)) * BigInt("94D049BB133111EB", 16))
+      (z ^ (z >> 31)).toLong
+    }
+    val keys = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 123456789L)
+    keys.foreach(x => LongHashes.splitmix64Of(x) shouldBe ref(x))
+    // and through the codegen'd expression
+    val out = keys.toDF("x")
+      .select(col("x"), LongHashes.splitmix64(col("x")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach(x => out(x) shouldBe ref(x))
+  }
+
+  test("kmvDistinct: exact below k, ~6% estimate above k, duplicate-blind") {
+    val n = 10000
+    val base = (1L to n).toDF("key")
+      .select(Sketches.kmvDistinct(LongHashes.splitmix64(col("key")), 256)
+        .as("kmv"))
+      .select(col("kmv.n_kept"), col("kmv.est")).head()
+    base.getInt(0) shouldBe 256
+    base.getLong(1).toDouble shouldBe (n.toDouble +- n * 0.15)
+
+    // duplicates change nothing: the kept set is a function of the value SET
+    val dup = (1L to n).flatMap(x => Seq(x, x, x)).toDF("key")
+      .select(Sketches.kmvDistinct(LongHashes.splitmix64(col("key")), 256)
+        .as("kmv"))
+      .select(col("kmv.kth"), col("kmv.est")).head()
+    dup.getLong(1) shouldBe base.getLong(1)
+
+    // below k: exact, null kth
+    val small = (1L to 100L).toDF("key")
+      .select(Sketches.kmvDistinct(LongHashes.splitmix64(col("key")), 256)
+        .as("kmv"))
+      .select(col("kmv.n_kept"), col("kmv.kth"), col("kmv.est")).head()
+    small.getInt(0) shouldBe 100
+    small.isNullAt(1) shouldBe true
+    small.getLong(2) shouldBe 100L
+  }
+
+  test("kmvDistinct: partition-count invariant (merge path exercised)") {
+    val a = (1L to 5000L).toDF("key").repartition(1)
+      .select(Sketches.kmvDistinct(LongHashes.splitmix64(col("key")), 128)
+        .as("kmv")).head()
+    val b = (1L to 5000L).toDF("key").repartition(13)
+      .select(Sketches.kmvDistinct(LongHashes.splitmix64(col("key")), 128)
+        .as("kmv")).head()
+    a shouldBe b
+  }
+
+  test("kmvDistinct: serde round-trip preserves the kept set") {
+    val agg = KmvDistinct(
+      org.apache.spark.sql.GraftColumnBridge.expression(col("x")), 16)
+    val buf = agg.createAggregationBuffer()
+    (1L to 100L).foreach(x => buf.offer(LongHashes.splitmix64Of(x)))
+    val back = agg.deserialize(agg.serialize(buf))
+    back.size shouldBe buf.size
+    back.kth shouldBe buf.kth
+  }
+}
