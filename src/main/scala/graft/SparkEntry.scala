@@ -292,7 +292,6 @@ object SparkEntry {
         timestamp_micros(expr("ts div 1000")).as("tt"), col("event_type"))
       EventAnalytics.funnel(ev, "user_id", "tt", "event_type",
           Seq("view", "click", "purchase"), maxGapSeconds = 6 * 3600)
-        .where(col("depth") >= 1)
         .select(col("user_id"), col("depth"),
           unix_micros(get(col("stage_ts"), lit(0))).as("t1_us"),
           unix_micros(get(col("stage_ts"), lit(1))).as("t2_us"),
@@ -388,15 +387,21 @@ object SparkEntry {
     "q_kmv_distinct" -> ((s, dir) => {
       // KMV cardinality sketch (Sketches.kmvDistinct) side-by-side with
       // the exact distinct it approximates: per returnflag, distinct
-      // l_orderkey count. The sketch ships 8*k bytes per partition
-      // regardless of cardinality — the 100 TB answer to exact
-      // distinct's full key shuffle. est is pure integer arithmetic
-      // (floor((k-1)*2^64 / kth)), replayed in HUGEINT by the oracle.
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("exact_nd"),
-          Sketches.kmvDistinct(
-            LongHashes.splitmix64(col("l_orderkey")), 256).as("kmv"))
+      // l_orderkey count. DELIBERATELY two separate aggregations joined
+      // on the 3-row key: sharing one agg would drag the sketch through
+      // countDistinct's two-shuffle Expand rewrite — the sketch branch
+      // must keep its own single partial+merge exchange (pinned), since
+      // at 100 TB you'd run ONLY that branch (8*k bytes per partition
+      // vs exact distinct's full key shuffle). est is pure integer
+      // arithmetic (floor((k-1)*2^64 / kth)), replayed in HUGEINT by
+      // the oracle.
+      val li = t(s, dir, "lineitem")
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(Sketches.kmvDistinct(
+          LongHashes.splitmix64(col("l_orderkey")), 256).as("kmv"))
+      val ex = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_nd"))
+      sk.join(ex, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_nd"),
           col("kmv.n_kept").as("n_kept"), col("kmv.kth").as("kth"),
           col("kmv.est").as("est"))

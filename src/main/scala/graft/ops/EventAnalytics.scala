@@ -37,11 +37,14 @@ object EventAnalytics {
     * within `maxGapSeconds` of it. Returns one row per user holding any
     * of the stage events: (`userCol`, `stage_ts` array, `depth`).
     *
-    * `depth` is the number of stages reached (0 if the user has stage
-    * events but never the first stage). Equivalent to the cascaded
-    * "min(ts) where ts in (prev, prev+gap]" SQL formulation: the fold
-    * takes the FIRST qualifying event in sorted order, which is exactly
-    * the minimum of the qualifying set.
+    * `depth` is the number of stages reached; only funnel ENTRANTS
+    * (users who reached the first stage, depth >= 1) are returned — the
+    * entry check is a cheap flag computed in the same aggregate, NOT a
+    * post-hoc filter on `depth` (which Catalyst would push through the
+    * projection and re-evaluate the whole fold for). Equivalent to the
+    * cascaded "min(ts) where ts in (prev, prev+gap]" SQL formulation:
+    * the fold takes the FIRST qualifying event in sorted order, which
+    * is exactly the minimum of the qualifying set.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String], maxGapSeconds: Long): DataFrame = {
@@ -55,7 +58,10 @@ object EventAnalytics {
       .filter(col(typeCol).isin(stages: _*))
       .groupBy(col(userCol))
       .agg(array_sort(collect_list(struct(col(tsCol).as("ts"),
-        col(typeCol).as("et")))).as("evs"))
+        col(typeCol).as("et")))).as("evs"),
+        max(when(col(typeCol) === stages.head, 1).otherwise(0))
+          .as("has_first"))
+      .where(col("has_first") === 1)
     // Fold the sorted events into the achieved-stage timestamp array.
     // `get(acc, size-1)` (not element_at) so the empty-acc probe yields
     // null instead of an ANSI out-of-bounds error; `null > x` is null,

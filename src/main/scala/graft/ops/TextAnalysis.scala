@@ -306,8 +306,14 @@ object TextAnalysis {
       s"query terms must be distinct, got $queryTerms")
     require(k >= 1, s"k must be positive, got $k")
     val ti = queryTerms.indices
+    // coalesce to a non-null array: tf/dl become provably non-nullable,
+    // so the score>0 filter's NOT NULL inference folds away instead of
+    // pushing isnotnull predicates (each re-running the tokenizer
+    // kernel) down into the corpus scan.
     val base = df
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        coalesce(tokens(col(textCol)), array().cast(ArrayType(StringType)))
+          .as("toks"))
       .select(col(idCol) +: size(col("toks")).as("dl") +:
         ti.map(i => size(filter(col("toks"), t => t === queryTerms(i)))
           .as(s"tf_$i")): _*)

@@ -263,6 +263,63 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q_funnel: one hash shuffle, entry filter above the aggregate " +
+      "(no fold re-evaluation), stage-type filter pushed to the scan") {
+    val p = plan("q_funnel")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should include("partial_collect_list")
+    p should include("In(event_type, [click,purchase,view])")
+    // the entrant check must be the cheap aggregated flag — a filter on
+    // depth/stage_ts would push through the projection and run the
+    // whole funnel fold TWICE per user
+    p should include("has_first")
+    "aggregate\\(evs".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q_gapfill: daily pre-agg combines map-side; the grid join " +
+      "broadcasts the slim daily frame (no sort-merge)") {
+    val p = plan("q_gapfill")
+    p should include("partial_sum")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q_outliers: per-key moments broadcast back onto the scan — the " +
+      "event log itself never shuffles") {
+    val p = plan("q_outliers")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    // only the tiny stats agg may shuffle
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q_bm25: no explode (tf via one array pass), stats broadcast, " +
+      "bounded top-k, and NO tokenizer re-run in the corpus scan filter") {
+    val p = plan("q_bm25")
+    p should not include "Generate" // explode-free per-term tf
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin") // 1-row stats frame
+    // the corpus-side scan must carry no DataFilters: pushed-down
+    // isnotnull predicates would re-evaluate graft_word_ngrams per row
+    val corpusScan = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("doc_id"))
+      .mkString
+    corpusScan should include("DataFilters: []")
+  }
+
+  test("q_kmv_distinct: the sketch branch keeps its own single " +
+      "partial+merge exchange — not dragged through countDistinct's " +
+      "two-shuffle Expand rewrite") {
+    val p = plan("q_kmv_distinct")
+    p should include("partial_graft_kmv_distinct")
+    // sketch branch: exactly one exchange between partial and merge,
+    // keyed on the group column alone (a (flag, orderkey) exchange
+    // would mean the distinct rewrite captured the sketch)
+    "Exchange hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r
+      .findAllIn(p).size should be >= 1
+    "partial_graft_kmv_distinct".r.findAllIn(p).size shouldBe 1
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.

@@ -26,7 +26,8 @@ class EventAnalyticsSpec extends SparkSpecBase {
     // u3: view then purchase with no click in between -> depth 1
     (3L, ts("2024-01-01 10:00:00"), "view"),
     (3L, ts("2024-01-01 10:10:00"), "purchase"),
-    // u4: stage events but never the first stage -> depth 0
+    // u4: stage events but never the first stage -> not an entrant,
+    // excluded from the output entirely
     (4L, ts("2024-01-01 10:00:00"), "click"),
     (4L, ts("2024-01-01 10:05:00"), "purchase"),
     // u5: two views; the SECOND view starts nothing new — first view
@@ -46,7 +47,7 @@ class EventAnalyticsSpec extends SparkSpecBase {
         get(col("stage_ts"), lit(1)).as("t2"))
       .collect()
     assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
-      Seq((1L, 3), (2L, 1), (3L, 1), (4L, 0), (5L, 2)))
+      Seq((1L, 3), (2L, 1), (3L, 1), (5L, 2)))
     // u5's click is anchored to the FIRST view (10:00), not the second
     assert(out.find(_.getLong(0) == 5L).get
       .getTimestamp(2) === ts("2024-01-01 10:50:00"))
