@@ -310,6 +310,16 @@ object SparkEntry {
           windowDays = 7)
         .orderBy("user_id", "day")
     }),
+    "q_sessionize" -> ((s, dir) => {
+      // Gaps-and-islands sessionization (6h inactivity gap): lag +
+      // cumulative-sum window in ONE user-key shuffle, then the session
+      // summary over already-slim rows. All-integer arithmetic (epoch
+      // micros), replayed verbatim by the oracle window SQL.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tt"))
+      EventAnalytics.sessionize(ev, "user_id", "tt", gapSeconds = 6 * 3600)
+        .orderBy("user_id", "session_idx")
+    }),
     "q_outliers" -> ((s, dir) => {
       // Population z-score outliers per event_type: exact DECIMAL
       // moments broadcast back onto the narrow event scan; |z| > 3
@@ -406,6 +416,26 @@ object SparkEntry {
           col("kmv.n_kept").as("n_kept"), col("kmv.kth").as("kth"),
           col("kmv.est").as("est"))
         .orderBy("l_returnflag")
+    }),
+    "q_cms" -> ((s, dir) => {
+      // Count-Min frequency sketch: one 4x64 counter grid over ALL
+      // events (8*256 bytes per partition at any cardinality), then
+      // point estimates for users 0-9 against their exact counts.
+      // Counters are pure sums, so the oracle replays every cell with
+      // a groupBy over the same SplitMix64 buckets; width 64 is small
+      // enough that collisions actually happen (est >= true is real,
+      // not vacuous).
+      val ev = t(s, dir, "events").select(col("user_id"))
+      val grid = ev.agg(Sketches.countMin(col("user_id"), 4, 64).as("grid"))
+      val probes = s.range(0, 10).select(col("id").as("user_id"))
+      val est = probes.crossJoin(broadcast(grid))
+        .select(col("user_id"),
+          Sketches.cmsEstimate(col("grid"), col("user_id"), 4, 64).as("est_n"))
+      ev.where(col("user_id") <= 9).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("true_n"))
+        .join(broadcast(est), Seq("user_id"))
+        .select(col("user_id"), col("true_n"), col("est_n"))
+        .orderBy("user_id")
     }),
     "q_profile" -> ((s, dir) => {
       // Column profiling (the data-quality pre-flight): count / nulls /
@@ -788,6 +818,15 @@ object SparkEntry {
       TextAnalysis.bm25TopDocs(t(s, dir, "documents"), "doc_id", "text",
           Seq("dup", "merge", "vector"), k1 = 1.2, b = 0.75, k = 25)
         .orderBy("rk")
+    }),
+    "q_inverted" -> ((s, dir) => {
+      // Inverted index over the 20 rarest terms (postings capped at
+      // 100): per-doc term dedup is in-row (no (doc,term) distinct
+      // shuffle), the term list broadcasts, lists are bounded. Output
+      // exploded to scalar rows so the driver hash sees plain columns.
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+          numTerms = 20, maxPostings = 100)
+        .orderBy("term", "pos")
     }),
     "q_repetition" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -1384,6 +1423,24 @@ object SparkEntry {
          WINDOW w7 AS (PARTITION BY user_id ORDER BY day
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, day""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                    FROM events),
+              g AS (SELECT user_id, us,
+                           CASE WHEN lag(us) OVER w IS NULL
+                                  OR us - lag(us) OVER w > 21600000000
+                                THEN 1 ELSE 0 END AS is_new
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+              s AS (SELECT user_id, us,
+                           CAST(sum(is_new) OVER
+                                  (PARTITION BY user_id ORDER BY us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                AS BIGINT) AS session_idx
+                    FROM g)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(us) AS start_us, max(us) AS end_us
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
     "q_outliers" ->
       """WITH st AS (SELECT event_type, count(value) AS n,
                             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
@@ -1399,6 +1456,24 @@ object SparkEntry {
                 CAST(CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS BIGINT) * 50000 AS lo,
                 count(*) AS n
          FROM orders GROUP BY 1, 2 ORDER BY bin""",
+    "q_cms" ->
+      raw"""WITH d AS (SELECT i, user_id,
+                              CAST(xor(CAST(user_id AS UBIGINT), CAST(i AS UBIGINT)) AS HUGEINT) AS z
+                       FROM events CROSS JOIN range(0, 4) t(i)),
+               ${splitmixCtesSql("d", "i, user_id")},
+               b AS (SELECT i, user_id,
+                            CAST(CAST(z AS UBIGINT) % 64 AS BIGINT) AS bucket
+                     FROM h5),
+               cells AS (SELECT i, bucket, count(*) AS c
+                         FROM b GROUP BY i, bucket),
+               pb AS (SELECT DISTINCT i, user_id, bucket FROM b
+                      WHERE user_id BETWEEN 0 AND 9),
+               est AS (SELECT user_id, CAST(min(c) AS BIGINT) AS est_n
+                       FROM pb JOIN cells USING (i, bucket) GROUP BY user_id),
+               tr AS (SELECT user_id, count(*) AS true_n FROM events
+                      WHERE user_id BETWEEN 0 AND 9 GROUP BY user_id)
+          SELECT user_id, true_n, est_n
+          FROM tr JOIN est USING (user_id) ORDER BY user_id""",
     "q_kmv_distinct" ->
       raw"""WITH d AS (SELECT l_returnflag,
                               CAST(l_orderkey AS HUGEINT) AS z
@@ -1714,6 +1789,18 @@ object SparkEntry {
                            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
                     FROM sc WHERE score > 0)
          SELECT rk, doc_id, dl, score FROM r WHERE rk <= 25 ORDER BY rk""",
+    "q_inverted" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(list_distinct(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))) AS term
+                       FROM documents),
+              dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+              rare AS (SELECT term, df FROM dfreq ORDER BY df, term LIMIT 20),
+              posts AS (SELECT term, df,
+                               list_sort(list(doc_id))[1:100] AS ps
+                        FROM toks JOIN rare USING (term) GROUP BY term, df)
+         SELECT term, df, CAST(i AS INTEGER) AS pos, ps[CAST(i AS INTEGER)] AS doc_id
+         FROM posts, unnest(range(1, len(ps)+1)) AS t(i)
+         ORDER BY term, pos""",
     "q_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
               g AS (SELECT doc_id,
@@ -2022,5 +2109,6 @@ object SparkEntry {
     "q_pivot", "q_unpivot", "q_topk_per_group", "q_tfidf", "q_ngrams",
     "q_outer_join", "q_grouping_sets", "q_chunk", "q_stream_outer",
     "q_histogram", "q_profile",
-    "q_funnel", "q_gapfill", "q_outliers", "q_bm25", "q_kmv_distinct")
+    "q_funnel", "q_gapfill", "q_outliers", "q_bm25", "q_kmv_distinct",
+    "q_sessionize", "q_inverted", "q_cms")
 }

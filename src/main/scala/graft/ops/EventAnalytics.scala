@@ -122,6 +122,36 @@ object EventAnalytics {
         count(lit(1)).over(wRoll)).as(s"roll${windowDays}_avg"))
   }
 
+  /** Batch sessionization (gaps-and-islands): per user, a new session
+    * starts at the first event and whenever the gap since the previous
+    * event EXCEEDS `gapSeconds` (a gap of exactly `gapSeconds` stays in
+    * the session — same closed-boundary convention as the streaming
+    * session windows). Returns one row per session: (`userCol`,
+    * `session_idx` 1-based, `n_events`, `start_us`, `end_us`).
+    *
+    * All arithmetic is integer (epoch-microsecond diffs, counts), so
+    * the oracle replays it exactly. Scale shape: ONE shuffle on the
+    * user key + an in-partition sort for the lag/cumsum window; the
+    * session summary then aggregates the already-slim (user, session)
+    * rows (its exchange carries one row per event, combinable
+    * map-side, and at 100 TB is dominated by the window exchange). */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol))
+    val isNew = when(lag(us, 1).over(w).isNull ||
+      us - lag(us, 1).over(w) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(us).as("start_us"), max(us).as("end_us"))
+  }
+
   /** Population z-score outliers: per `keyCol`, exact first/second
     * moments of `valueCol` (DECIMAL-routed, order-independent), then
     * each row scores `z = (v - mean) / stddev_pop` and rows with

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Mergeable sketch aggregates for cardinality at 100 TB scale.
@@ -47,6 +48,101 @@ object Sketches {
     GraftColumnBridge.column(
       KmvDistinct(GraftColumnBridge.expression(hash), k)
         .toAggregateExpression())
+
+  /** Count-Min frequency sketch (Cormode/Muthukrishnan 2005) over a
+    * long key column: a `depth x width` grid of counters where row `i`
+    * increments cell `splitmix64(key XOR i) & (width-1)`. Counters are
+    * PURE SUMS — merge is elementwise addition, so the grid is
+    * insertion-order- and partition-independent (unlike Misra-Gries
+    * class sketches, whose evictions are order-sensitive and would not
+    * oracle-replay). Returns the grid as `array<long>` of length
+    * `depth * width`, row-major. `width` must be a power of two (the
+    * bucket is a mask, not a modulo). Point estimates via
+    * [[cmsEstimate]]: min over rows of the key's cell — an upper bound
+    * on the true count that overcounts only on bucket collisions.
+    * Memory/shuffle is the constant `8 * depth * width` bytes per
+    * partition at any input cardinality. */
+  def countMin(key: Column, depth: Int, width: Int): Column =
+    GraftColumnBridge.column(
+      CountMinSketch(GraftColumnBridge.expression(key), depth, width)
+        .toAggregateExpression())
+
+  /** Point-frequency estimate from a [[countMin]] grid: min over rows
+    * of `grid[i * width + bucket_i(key)]`, with `bucket_i` the same
+    * codegen'd SplitMix64 path the aggregate used. */
+  def cmsEstimate(grid: Column, key: Column, depth: Int, width: Int): Column = {
+    val cells = (0 until depth).map { i =>
+      val bucket = graft.functions.LongHashes
+        .splitmix64(key.cast(LongType).bitwiseXOR(lit(i.toLong)))
+        .bitwiseAND(lit((width - 1).toLong))
+      element_at(grid, (lit(i.toLong * width + 1L) + bucket).cast(IntegerType))
+    }
+    least(cells: _*)
+  }
+}
+
+/** TypedImperativeAggregate holding a Count-Min counter grid. */
+case class CountMinSketch(key: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+  require(depth >= 1, s"CMS needs depth >= 1, got $depth")
+  require(width >= 2 && (width & (width - 1)) == 0,
+    s"CMS width must be a power of two >= 2, got $width")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long key input, got ${key.dataType.simpleString}")
+
+  override def children: Seq[Expression] = Seq(key)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(grid: Array[Long], input: InternalRow): Array[Long] = {
+    val k = key.eval(input)
+    if (k != null) {
+      val x = k.asInstanceOf[Long]
+      var i = 0
+      while (i < depth) {
+        val bucket = (graft.functions.LongHashes.splitmix64Of(x ^ i) &
+          (width - 1)).toInt
+        grid(i * width + bucket) += 1
+        i += 1
+      }
+    }
+    grid
+  }
+
+  override def merge(grid: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < grid.length) { grid(i) += other(i); i += 1 }
+    grid
+  }
+
+  override def eval(grid: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(grid)
+
+  override def serialize(grid: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(grid.length * 8)
+    grid.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinSketch =
+    copy(key = newChildren(0))
+  override def prettyName: String = "graft_count_min"
 }
 
 /** TypedImperativeAggregate holding the k smallest distinct unsigned

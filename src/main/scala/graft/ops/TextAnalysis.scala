@@ -344,6 +344,36 @@ object TextAnalysis {
       col("score"))
   }
 
+  /** Inverted index over the `numTerms` RAREST terms (df ascending,
+    * term ascending — the deterministic total order), one row per
+    * posting: `(term, df, pos, idCol)` with postings sorted by doc id
+    * and capped at `maxPostings` per term.
+    *
+    * Rare terms are the interesting index entries (common terms are
+    * stopword-class; their posting lists are the corpus itself) and the
+    * cap bounds the worst list — both are the standard IR shape AND
+    * what keeps the operator 100 TB-safe: per-doc dedup happens inside
+    * the row (`array_distinct`, no (doc,term) shuffle), df is one
+    * map-side-combined count over slim pairs, the term list broadcasts,
+    * and no posting array exceeds `maxPostings`. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      numTerms: Int, maxPostings: Int): DataFrame = {
+    require(numTerms >= 1, s"numTerms must be positive, got $numTerms")
+    require(maxPostings >= 1, s"maxPostings must be positive, got $maxPostings")
+    val pairs = df.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val dfreq = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rare = dfreq.orderBy(col("df"), col("term")).limit(numTerms)
+    pairs.join(broadcast(rare), Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(slice(sort_array(collect_list(col(idCol))), 1, maxPostings)
+        .as("postings"))
+      .select(col("term"), col("df"),
+        posexplode(col("postings")).as(Seq("pos0", idCol)))
+      .select(col("term"), col("df"),
+        (col("pos0") + 1).cast(IntegerType).as("pos"), col(idCol))
+  }
+
   /** Per-document top-`k` TF-IDF terms:
     * `(doc_id, rk, term, tf, df, tfidf)`.
     *

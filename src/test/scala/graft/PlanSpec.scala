@@ -320,6 +320,33 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "partial_graft_kmv_distinct".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q_sessionize: ONE hash shuffle total — lag + cumsum share the " +
+      "window sort and the session summary reuses the user partitioning") {
+    val p = plan("q_sessionize")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should include("partial_count")
+    // both window ops must sit over a single in-partition sort
+    "Sort \\[user_id#\\d+L ASC NULLS FIRST, tt#\\d+ ASC NULLS FIRST\\], false"
+      .r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q_inverted: rare-term list broadcasts; only slim term counts and " +
+      "the joined postings shuffle (no sort-merge)") {
+    val p = plan("q_inverted")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should include("array_distinct") // per-doc dedup is in-row
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+  }
+
+  test("q_cms: grid combines map-side before the single-partition merge; " +
+      "probe filter pushes to the scan") {
+    val p = plan("q_cms")
+    p should include("partial_graft_count_min")
+    p should include("LessThanOrEqual(user_id,9)")
+    p should not include "SortMergeJoin"
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.

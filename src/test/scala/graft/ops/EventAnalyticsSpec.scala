@@ -89,6 +89,27 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out.map(_.getDouble(5)).toSeq === Seq(30.0, 15.0, 0.0, 20.0))
   }
 
+  test("sessionize: splits on gap > threshold, keeps gap == threshold, " +
+      "numbers sessions 1-based per user") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // exactly 30m later: SAME session
+      (1L, ts("2024-01-01 11:00:01")), // 30m01s gap: new session
+      (1L, ts("2024-01-01 11:10:00")),
+      (2L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "tt")
+    val out = EventAnalytics.sessionize(ev, "user_id", "tt",
+        gapSeconds = 1800)
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
+    // session bounds are the member min/max
+    assert(out(1).getLong(3) ===
+      ts("2024-01-01 11:00:01").getTime * 1000)
+    assert(out(1).getLong(4) ===
+      ts("2024-01-01 11:10:00").getTime * 1000)
+  }
+
   test("zScoreOutliers: flags exactly the |z|>threshold rows per key") {
     // key a: nine 10s and one 20 -> mean 11, var 9, std 3; z(20) = 3 ->
     // NOT flagged at 2.9? 3.0 is not > 3.0 by a hair either way, so use

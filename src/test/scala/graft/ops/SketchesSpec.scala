@@ -63,6 +63,30 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     a shouldBe b
   }
 
+  test("countMin: estimates upper-bound true counts, exact when wide, " +
+      "partition-invariant") {
+    // 50 keys, key i appears i+1 times -> 1275 rows
+    val rows = (0L until 50L).flatMap(k => Seq.fill(k.toInt + 1)(k))
+    val df = rows.toDF("key")
+    def estimates(parts: Int, width: Int) = {
+      val grid = df.repartition(parts)
+        .agg(Sketches.countMin(col("key"), 4, width).as("grid"))
+      df.select(col("key")).distinct()
+        .crossJoin(broadcast(grid))
+        .select(col("key"),
+          Sketches.cmsEstimate(col("grid"), col("key"), 4, width).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // wide grid: no collisions plausible at 4x4096 for 50 keys -> exact
+    val wide = estimates(4, 4096)
+    (0L until 50L).foreach(k => wide(k) shouldBe k + 1)
+    // narrow grid: still an upper bound on every key
+    val narrow = estimates(4, 16)
+    (0L until 50L).foreach(k => narrow(k) should be >= (k + 1))
+    // and partition-count cannot change a single estimate
+    estimates(1, 16) shouldBe narrow
+  }
+
   test("kmvDistinct: serde round-trip preserves the kept set") {
     val agg = KmvDistinct(
       org.apache.spark.sql.GraftColumnBridge.expression(col("x")), 16)

@@ -309,6 +309,29 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     out(4L) shouldBe "nothing to redact here"
   }
 
+  test("invertedIndex: rarest-first term pick, sorted capped postings, " +
+      "per-doc dedup") {
+    val docs = Seq(
+      (3L, "apple banana apple"), // apple deduped within the doc
+      (1L, "apple cherry"),
+      (2L, "banana cherry"),
+      (4L, "cherry")
+    ).toDF("doc_id", "text")
+    // df: apple=2, banana=2, cherry=3 -> 2 rarest = apple, banana
+    val out = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        numTerms = 2, maxPostings = 10)
+      .orderBy("term", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      ("apple", 2L, 1, 1L), ("apple", 2L, 2, 3L),
+      ("banana", 2L, 1, 2L), ("banana", 2L, 2, 3L))
+    // cap: maxPostings=1 keeps only the lowest doc id
+    val capped = TextAnalysis.invertedIndex(docs, "doc_id", "text",
+        numTerms = 2, maxPostings = 1)
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(3)))
+    capped.toSeq shouldBe Seq(("apple", 1L), ("banana", 2L))
+  }
+
   test("bm25TopDocs: hand-computed scores, tf saturation, zero-score drop") {
     // N=3, df(cat)=2, avgdl=2. idf = (3-2+0.5)/(2+0.5)+1 = 1.6.
     // d1 (tf=1, dl=2): 1.6 * (1*2.2)/(1 + 1.2*(0.25+0.75*(2/2))) = 1.6
