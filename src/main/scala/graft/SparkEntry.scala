@@ -417,6 +417,32 @@ object SparkEntry {
           col("kmv.est").as("est"))
         .orderBy("l_returnflag")
     }),
+    "q_bloom_join" -> ((s, dir) => {
+      // Bloom semi-join reduction: broadcast a 2 KiB bloom of the
+      // selective orders side and prune lineitem BEFORE the join
+      // shuffle. No false negatives, and the exact join removes false
+      // positives — so the ORACLE is simply the plain join; the bloom
+      // changes shuffle bytes, never the answer. At 100 TB this is the
+      // pattern for build sides too big to broadcast-hash-join
+      // (~10 bits/key vs >100 bytes/key).
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val bloom = hi.agg(Sketches.bloomFilter(col("o_orderkey"),
+        bits = 1 << 14, numHashes = 3).as("bf"))
+      val pruned = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .crossJoin(broadcast(bloom))
+        .where(Sketches.bloomMightContain(col("bf"), col("l_orderkey"),
+          bits = 1 << 14, numHashes = 3))
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      pruned.join(hi, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("sum_price"),
+          max(col("o_totalprice")).as("o_total"))
+        .orderBy("o_orderkey")
+    }),
     "q_cms" -> ((s, dir) => {
       // Count-Min frequency sketch: one 4x64 counter grid over ALL
       // events (8*256 bytes per partition at any cardinality), then
@@ -1456,6 +1482,14 @@ object SparkEntry {
                 CAST(CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS BIGINT) * 50000 AS lo,
                 count(*) AS n
          FROM orders GROUP BY 1, 2 ORDER BY bin""",
+    "q_bloom_join" ->
+      """WITH hi AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_totalprice > 400000)
+         SELECT o_orderkey, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                max(o_totalprice) AS o_total
+         FROM lineitem JOIN hi ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
     "q_cms" ->
       raw"""WITH d AS (SELECT i, user_id,
                               CAST(xor(CAST(user_id AS UBIGINT), CAST(i AS UBIGINT)) AS HUGEINT) AS z
@@ -2110,5 +2144,5 @@ object SparkEntry {
     "q_outer_join", "q_grouping_sets", "q_chunk", "q_stream_outer",
     "q_histogram", "q_profile",
     "q_funnel", "q_gapfill", "q_outliers", "q_bm25", "q_kmv_distinct",
-    "q_sessionize", "q_inverted", "q_cms")
+    "q_sessionize", "q_inverted", "q_cms", "q_bloom_join")
 }

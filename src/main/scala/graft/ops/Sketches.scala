@@ -67,6 +67,39 @@ object Sketches {
       CountMinSketch(GraftColumnBridge.expression(key), depth, width)
         .toAggregateExpression())
 
+  /** Bloom filter over a long key column as an `array<long>` of
+    * `bits / 64` words (`bits` a power of two); `numHashes` bit
+    * positions per key via the same SplitMix64-with-row-seed scheme as
+    * [[countMin]]. Merge is bitwise OR — order- and partition-
+    * independent. Use with [[bloomMightContain]] as a SEMI-JOIN
+    * REDUCTION: broadcast the filter of the selective side's keys and
+    * prune the big side BEFORE its join shuffle. No false negatives
+    * (every inserted key passes), so prefilter + exact join ==
+    * plain join; false positives only cost shuffle bytes. The win at
+    * 100 TB: a bloom of n keys is ~10 bits/key where a broadcast hash
+    * relation is >100 bytes/key — sides far too big to broadcast-join
+    * still fit a broadcast bloom. */
+  def bloomFilter(key: Column, bits: Int, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      BloomSketch(GraftColumnBridge.expression(key), bits, numHashes)
+        .toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilter]] words array: true iff
+    * all `numHashes` bit positions for `key` are set. Pure codegen'd
+    * Column arithmetic (splitmix64 kernel + shifts/masks). */
+  def bloomMightContain(words: Column, key: Column, bits: Int,
+      numHashes: Int): Column = {
+    (0 until numHashes).map { i =>
+      val bit = graft.functions.LongHashes
+        .splitmix64(key.cast(LongType).bitwiseXOR(lit(i.toLong)))
+        .bitwiseAND(lit((bits - 1).toLong))
+      val word = element_at(words,
+        (call_function("shiftright", bit, lit(6)) + lit(1L)).cast(IntegerType))
+      word.bitwiseAND(call_function("shiftleft", lit(1L),
+        bit.bitwiseAND(lit(63L)).cast(IntegerType))) =!= 0L
+    }.reduce(_ && _)
+  }
+
   /** Point-frequency estimate from a [[countMin]] grid: min over rows
     * of `grid[i * width + bucket_i(key)]`, with `bucket_i` the same
     * codegen'd SplitMix64 path the aggregate used. */
@@ -79,6 +112,71 @@ object Sketches {
     }
     least(cells: _*)
   }
+}
+
+/** TypedImperativeAggregate holding a Bloom filter bit array (as long
+  * words). Merge is bitwise OR. */
+case class BloomSketch(key: Expression, bits: Int, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+  require(bits >= 64 && (bits & (bits - 1)) == 0,
+    s"bloom bits must be a power of two >= 64, got $bits")
+  require(numHashes >= 1, s"bloom needs numHashes >= 1, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long key input, got ${key.dataType.simpleString}")
+
+  override def children: Seq[Expression] = Seq(key)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](bits / 64)
+
+  override def update(words: Array[Long], input: InternalRow): Array[Long] = {
+    val k = key.eval(input)
+    if (k != null) {
+      val x = k.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val bit = (graft.functions.LongHashes.splitmix64Of(x ^ i) &
+          (bits - 1)).toInt
+        words(bit >>> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    words
+  }
+
+  override def merge(words: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words.length) { words(i) |= other(i); i += 1 }
+    words
+  }
+
+  override def eval(words: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+
+  override def serialize(words: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bits / 64)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomSketch =
+    copy(key = newChildren(0))
+  override def prettyName: String = "graft_bloom"
 }
 
 /** TypedImperativeAggregate holding a Count-Min counter grid. */

@@ -347,6 +347,20 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "SortMergeJoin"
   }
 
+  test("q_bloom_join: bloom builds map-side, and the probe prunes the " +
+      "lineitem side BEFORE the exact join") {
+    val p = plan("q_bloom_join")
+    p should include("partial_graft_bloom")
+    // the probe predicate (splitmix + bit test) must appear in a Filter
+    // between the lineitem scan and the o_orderkey join
+    val probeIdx = p.indexOf("graft_splitmix64((l_orderkey")
+    probeIdx should be > 0
+    val joinIdx = p.indexOf("BroadcastHashJoin [l_orderkey")
+    joinIdx should be > 0
+    probeIdx should be > joinIdx // toString prints parents first
+    p should include("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)]")
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.

@@ -87,6 +87,28 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     estimates(1, 16) shouldBe narrow
   }
 
+  test("bloomFilter: no false negatives, real selectivity on foreign keys, " +
+      "partition-invariant") {
+    val inserted = (0L until 500L).map(_ * 7 + 1)
+    def words(parts: Int) = inserted.toDF("key").repartition(parts)
+      .agg(Sketches.bloomFilter(col("key"), bits = 1 << 13, numHashes = 3)
+        .as("bf"))
+    val bf = words(4)
+    // every inserted key passes (the semi-join-reduction contract)
+    val hits = inserted.toDF("key").crossJoin(broadcast(bf))
+      .where(Sketches.bloomMightContain(col("bf"), col("key"), 1 << 13, 3))
+      .count()
+    hits shouldBe inserted.size
+    // disjoint keys mostly rejected (8192 bits / 500 keys, k=3 -> FP ~ 1%)
+    val foreign = (100000L until 102000L).toDF("key")
+    val fp = foreign.crossJoin(broadcast(bf))
+      .where(Sketches.bloomMightContain(col("bf"), col("key"), 1 << 13, 3))
+      .count()
+    assert(fp < 100, s"false-positive count $fp out of 2000 is implausible")
+    // OR-merge: partitioning cannot change a single word
+    words(1).head().getSeq[Long](0) shouldBe bf.head().getSeq[Long](0)
+  }
+
   test("kmvDistinct: serde round-trip preserves the kept set") {
     val agg = KmvDistinct(
       org.apache.spark.sql.GraftColumnBridge.expression(col("x")), 16)
