@@ -312,6 +312,16 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     } finally GraftScript.unregisterUdf("collatz_steps")
   }
 
+  test("split-hash example: deterministic bucket split via the splitmix " +
+      "kernel, golden vectors computed OUTSIDE the kernel") {
+    // The expected buckets come from an independent mod-2^64 replica,
+    // so this pins the hash definition itself (not just round-tripping
+    // the kernel's own output) through parse -> codegen -> golden.
+    GraftFunctions.registerAll(spark)
+    Main.run(spark, Array("-l", s"$ex/split-hash/pipeline.graft",
+      "-t", s"$ex/split-hash/golden.json", "-D")) shouldBe 0
+  }
+
   test("winnow example: a registered KERNEL used from the script DSL, " +
       "golden-gated via the CLI") {
     // The shipped golden vectors were produced by the kernel itself, so
