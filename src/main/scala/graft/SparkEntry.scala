@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{BinaryCodec, LongHashes, TimeFunctions}
-import graft.ops.{Dedup, EventAnalytics, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.functions.{BinaryCodec, CharDiversityKernel, LongHashes, TimeFunctions}
+import graft.ops.{Dedup, EventAnalytics, Layout, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -1040,6 +1040,84 @@ object SparkEntry {
         .select(col("media_id"), col("pos").cast(IntegerType).as("pos"),
           col("off"))
         .orderBy("media_id", "pos")
+    }),
+    // ---- round 9 additions: rank suite, sampling, layout, diversity ----
+    "q_rank_suite" -> ((s, dir) => {
+      // The remaining ranking/analytic window functions (lead,
+      // first_value, ntile, percent_rank, cume_dist) in ONE window
+      // spec: same partition + order for all five, so Spark plans a
+      // single Exchange + Sort feeding every function (pinned) instead
+      // of one sort per function family. The order key is made total
+      // with o_orderkey, so ntile boundaries and percent_rank are
+      // deterministic and the oracle replays them exactly; the doubles
+      // are small-integer divisions — IEEE-identical cross-engine.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+    "q_sample" -> ((s, dir) => {
+      // Deterministic exact-SIZE sample: the 100 documents with the
+      // smallest SplitMix64(doc_id) in UNSIGNED order. Content-hash
+      // splits (q_split/q_mix) fix a RATE; eval-set carving needs a
+      // fixed SIZE — and hash-bottom-k makes the pick a pure function
+      // of the id SET: stable across runs, engines, partitionings, and
+      // appends (one new doc displaces at most one sample member,
+      // where re-rolling a random sample replaces it wholesale).
+      // Plan: TakeOrderedAndProject (pinned) — each partition keeps
+      // its own bottom-100 map-side and the driver merges k*partitions
+      // rows; no global sort, no shuffle of the corpus. Signed sort
+      // key = hash XOR Long.MinValue: signed order of the flipped
+      // sign bit IS unsigned hash order.
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          LongHashes.splitmix64(col("doc_id")).as("skey"))
+        .orderBy(col("skey").bitwiseXOR(lit(Long.MinValue)))
+        .limit(100)
+    }),
+    "q_zorder" -> ((s, dir) => {
+      // Z-order layout audit: Morton-interleave (user_id, hour) and
+      // aggregate per z-bucket (z >> 12 = the two dims' high bits
+      // interleaved): every bucket provably bounds BOTH dimensions
+      // (max-min < 64 each) — the property that makes a table WRITTEN
+      // in zValue order prune parquet row groups for predicates on
+      // EITHER column, where a plain sort serves only its leading
+      // column. Pure codegen'd bit arithmetic (no UDF), one count
+      // shuffle; the oracle replays the identical shift/mask cascade
+      // in BIGINT.
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 3600000000000").as("hr"))
+        .withColumn("z", Layout.zValue(col("user_id"), col("hr")))
+        .withColumn("bucket", call_function("shiftright", col("z"), lit(12)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("hr").as("min_hr"), max("hr").as("max_hr"))
+        .orderBy("bucket")
+    }),
+    "q_diversity" -> ((s, dir) => {
+      // Character-diversity quality gate: per-codepoint counts folded
+      // to the Simpson collision probability in ONE codegen'd pass.
+      // The expression-library phrasing (explode chars -> groupBy
+      // (doc, char) -> re-aggregate) shuffles n_chars rows per
+      // document — this kernel shuffles NOTHING (narrow scan +
+      // presentation sort only, pinned). sum_sq and n_cp are exact
+      // integers; simpson is one division of exactly-converted longs,
+      // so the oracle's replay matches bit-for-bit.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          CharDiversityKernel.char_diversity(col("text")).as("cd"))
+        .select(col("doc_id"), col("cd.n_cp").as("n_cp"),
+          col("cd.n_distinct").as("n_distinct"),
+          col("cd.sum_sq").as("sum_sq"), col("cd.simpson").as("simpson"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1099,6 +1177,22 @@ object SparkEntry {
   private def signedSql(vCol: String): String =
     s"""CASE WHEN $vCol >= CAST('9223372036854775808' AS HUGEINT)
        |     THEN $vCol - CAST('18446744073709551616' AS HUGEINT) ELSE $vCol END""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Layout.spreadBitsExpr]] applied to two
+    * columns `sx`, `sy` of CTE `from` (carrying `carry` through): the
+    * five shift-or-mask Morton spread steps in BIGINT — inputs < 2^31,
+    * so every intermediate stays positive. Yields CTEs zs1..zs5. */
+  private def spreadCtesSql(from: String, carry: String): String = {
+    val masks = Seq(
+      16 -> 281470681808895L, 8 -> 71777214294589695L,
+      4 -> 1085102592571150095L, 2 -> 3689348814741910323L,
+      1 -> 6148914691236517205L)
+    masks.zipWithIndex.map { case ((sh, m), i) =>
+      val src = if (i == 0) from else s"zs$i"
+      s"""zs${i + 1} AS (SELECT $carry, (sx | (sx << $sh)) & $m AS sx,
+         |                     (sy | (sy << $sh)) & $m AS sy FROM $src)""".stripMargin
+    }.mkString(",\n")
+  }
 
   /** DuckDB replay of [[graft.functions.LongHashes.splitmix64Of]] as a
     * CTE chain over a column `z` holding the unsigned key in HUGEINT:
@@ -1578,6 +1672,50 @@ object SparkEntry {
                 count(*) FILTER (WHERE event_type = 'signup') AS "signup",
                 count(*) FILTER (WHERE event_type = 'view') AS "view"
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_rank_suite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                first_value(o_orderkey) OVER w AS first_key,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cum_dist
+         FROM orders WHERE o_totalprice > 400000
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderpriority, o_orderkey""",
+    "q_sample" ->
+      raw"""WITH d0 AS (SELECT doc_id, source, n_chars,
+                               CAST(doc_id AS HUGEINT) AS z
+                        FROM documents),
+               ${splitmixCtesSql("d0", "doc_id, source, n_chars")}
+          SELECT doc_id, source, n_chars,
+                 CAST(${signedSql("z")} AS BIGINT) AS skey
+          FROM h5 ORDER BY z LIMIT 100""",
+    "q_zorder" ->
+      raw"""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+                              user_id AS sx,
+                              epoch_us(ts) // 3600000000 AS sy
+                       FROM events),
+               ${spreadCtesSql("e", "user_id, hr")},
+               z AS (SELECT user_id, hr, (sx | (sy << 1)) AS z FROM zs5)
+          SELECT z >> 12 AS bucket, count(*) AS n,
+                 min(user_id) AS min_user, max(user_id) AS max_user,
+                 min(hr) AS min_hr, max(hr) AS max_hr
+          FROM z GROUP BY 1 ORDER BY bucket""",
+    "q_diversity" ->
+      """WITH ch AS (SELECT doc_id,
+                            unnest(list_transform(range(1, length(text) + 1),
+                                                  i -> substr(text, CAST(i AS INTEGER), 1))) AS c
+                     FROM documents),
+              cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+              agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_cp,
+                             count(*) AS n_distinct,
+                             CAST(sum(k * k) AS BIGINT) AS sum_sq
+                      FROM cnt GROUP BY doc_id)
+         SELECT doc_id, n_cp, n_distinct, sum_sq,
+                CAST(sum_sq AS DOUBLE) /
+                  (CAST(n_cp AS DOUBLE) * CAST(n_cp AS DOUBLE)) AS simpson
+         FROM agg ORDER BY doc_id""",
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, val FROM (
            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
@@ -2144,5 +2282,6 @@ object SparkEntry {
     "q_outer_join", "q_grouping_sets", "q_chunk", "q_stream_outer",
     "q_histogram", "q_profile",
     "q_funnel", "q_gapfill", "q_outliers", "q_bm25", "q_kmv_distinct",
-    "q_sessionize", "q_inverted", "q_cms", "q_bloom_join")
+    "q_sessionize", "q_inverted", "q_cms", "q_bloom_join",
+    "q_rank_suite", "q_sample", "q_zorder", "q_diversity")
 }

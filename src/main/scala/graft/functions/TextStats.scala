@@ -145,6 +145,92 @@ object TextStatsKernel {
   }
 }
 
+/** Single-pass character-diversity kernel: per-codepoint counts folded
+  * into the Simpson index (collision probability) — the integer-exact
+  * repetitiveness metric. `simpson = sum(c_i^2) / n^2` is the
+  * probability two uniformly drawn characters match; boilerplate and
+  * degenerate text (padding runs, template spam) score high, natural
+  * prose low. Unlike Shannon entropy there is NO transcendental call:
+  * the struct carries the exact integer numerator `sum_sq` and `n_cp`,
+  * and the double is one division of exactly-representable operands —
+  * so a DuckDB oracle that counts the same codepoints reproduces every
+  * bit, and estimates can be compared across engines/runs safely.
+  *
+  * One pass over the string's code points; ASCII counts live in a flat
+  * 128-slot array (the common case allocates nothing else), the
+  * supplementary tail in a map. Long counters: a 2^31-char document of
+  * one repeated codepoint gives c^2 = 2^62, still in range.
+  */
+object CharDiversityKernel {
+
+  /** `text -> struct(n_cp, n_distinct, sum_sq, simpson)`. */
+  def char_diversity(text: Column): Column =
+    GraftColumnBridge.column(CharDiversity(GraftColumnBridge.expression(text)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_cp", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("simpson", DoubleType, nullable = false)))
+
+  def diversity(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      n += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        val cell = other.computeIfAbsent(cp, _ => new Array[Long](1))
+        cell(0) += 1
+      }
+      i += Character.charCount(cp)
+    }
+    var sumSq = 0L
+    var distinct = 0L
+    var j = 0
+    while (j < 128) {
+      val c = ascii(j)
+      if (c > 0) { sumSq += c * c; distinct += 1 }
+      j += 1
+    }
+    if (other != null) {
+      distinct += other.size
+      val it = other.values().iterator()
+      while (it.hasNext) { val c = it.next()(0); sumSq += c * c }
+    }
+    // one division of two exactly-converted longs — the oracle's
+    // CAST(sum_sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+    // performs the identical IEEE ops, so the double matches bit-for-bit
+    val simpson =
+      if (n == 0L) 0.0 else sumSq.toDouble / (n.toDouble * n.toDouble)
+    new GenericInternalRow(Array[Any](n, distinct, sumSq, simpson))
+  }
+}
+
+/** string -> struct(n_cp, n_distinct, sum_sq, simpson) — fused
+  * character-diversity pass (codegen'd). */
+case class CharDiversity(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = CharDiversityKernel.schema
+  override protected def nullSafeEval(t: Any): Any =
+    CharDiversityKernel.diversity(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.CharDiversityKernel.diversity($t)")
+  override protected def withNewChildInternal(newChild: Expression): CharDiversity =
+    copy(child = newChild)
+  override def prettyName: String = "graft_char_diversity"
+}
+
 /** (string, string) -> struct of document quality features (one fused
   * pass per side, codegen'd). Second child MUST be `lower(first)` — kept
   * outside the kernel so Spark's lowercase semantics apply verbatim. */

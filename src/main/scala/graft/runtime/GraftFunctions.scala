@@ -45,6 +45,7 @@ object GraftFunctions {
       one(MinHashSig(_, 5, 64, 42L))),
     ("graft_sig_agreement", classOf[SigAgreement], two(SigAgreement(_, _))),
     ("graft_text_stats", classOf[TextStats], two(TextStats(_, _))),
+    ("graft_char_diversity", classOf[CharDiversity], one(CharDiversity)),
     ("graft_repetition_ratio", classOf[RepetitionRatio],
       one(RepetitionRatio(_, 5))),
     ("graft_winnow", classOf[Winnow], one(Winnow(_, 8, 4))),

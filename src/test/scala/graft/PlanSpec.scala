@@ -361,6 +361,55 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should include("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)]")
   }
 
+  test("q_rank_suite: all five window functions share ONE hash exchange " +
+      "and one partition sort (same spec -> no per-function re-sort)") {
+    val p = plan("q_rank_suite")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    // lead/first_value/ntile/percent_rank/cume_dist all carry the same
+    // (partition, order) spec, so Spark fuses them into ONE Window
+    // operator over one partition sort.
+    "\\bWindow\\b".r.findAllIn(p).size shouldBe 1
+    p should include("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,400000.0)]")
+  }
+
+  test("q_sample is a bounded TakeOrderedAndProject over the hash key — " +
+      "no global sort, no corpus shuffle") {
+    val p = plan("q_sample")
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange hashpartitioning"
+  }
+
+  test("q_zorder: interleave is pure codegen'd arithmetic feeding one " +
+      "partial+final count shuffle") {
+    val p = plan("q_zorder")
+    p should include("partial_count")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+  }
+
+  test("q_diversity is a shuffle-free narrow scan (kernel, not " +
+      "explode+groupBy) reading only doc_id and text") {
+    val p = plan("q_diversity")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Generate" // no explode
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("doc_id")
+    readSchema should include("text")
+    readSchema should not include "lang"
+    readSchema should not include "source"
+  }
+
+  test("char-diversity kernel stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_diversity")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator
+      .find(l => l.contains("graft_char_diversity") && l.contains("Project"))
+      .getOrElse(fail("no kernel Project in final plan"))
+    projLine.trim.replaceFirst("^[:+\\- ]+", "") should startWith("*(")
+  }
+
   test("text-stats kernel stays inside whole-stage codegen") {
     // AQE's initial plan carries no codegen annotation; execute first,
     // then inspect the FINAL plan for the codegen span around the kernel.

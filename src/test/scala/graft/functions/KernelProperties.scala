@@ -244,4 +244,33 @@ object KernelProperties extends Properties("graft.kernels") {
           .sortBy { case (id, s) => (-s, id) }.take(k)
         got == want
     }
+
+  property("charDiversity == naive codepoint-count model (incl. " +
+      "supplementary-plane chars); invariants n<=sum_sq<=n^2") =
+    forAll(texts) { s =>
+      val row = CharDiversityKernel.diversity(u(s))
+      val (n, distinct, sumSq) =
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      // model: count code points the boring way
+      val counts = s.codePoints().toArray.groupBy(identity)
+        .map { case (_, v) => v.length.toLong }
+      val mN = counts.sum
+      val mSq = counts.map(c => c * c).sum
+      val simpsonOk =
+        if (mN == 0) row.getDouble(3) == 0.0
+        else row.getDouble(3) == mSq.toDouble / (mN.toDouble * mN.toDouble)
+      n == mN && distinct == counts.size && sumSq == mSq && simpsonOk &&
+        (mN == 0 || (sumSq >= n && sumSq <= n * n))
+    }
+
+  property("charDiversity extremes: single repeated char -> simpson 1; " +
+      "all-distinct -> simpson 1/n") =
+    forAll(Gen.chooseNum(1, 50)) { n =>
+      val same = CharDiversityKernel.diversity(u("a" * n))
+      val allDiff = CharDiversityKernel.diversity(
+        u((0 until n).map(i => ('a' + i % 26).toChar).mkString.distinct))
+      val m = allDiff.getLong(0)
+      same.getDouble(3) == 1.0 &&
+        allDiff.getDouble(3) == m.toDouble / (m.toDouble * m.toDouble)
+    }
 }

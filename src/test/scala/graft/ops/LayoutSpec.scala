@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpecBase
+
+/** Z-order layout: the expression against a bit-twiddling-free model,
+  * plus the locality property the layout exists for. */
+class LayoutSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+
+  /** Model: interleave by walking bits one at a time. */
+  private def mortonModel(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 31) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zValue matches the bit-walk model over random and edge inputs") {
+    val rnd = new scala.util.Random(42)
+    val edge = Seq(0L, 1L, 2L, 3L, (1L << 31) - 1, 12345L, 0x55555555L, 0x2AAAAAAAL)
+    val xs = edge ++ Seq.fill(200)(rnd.nextLong().abs % (1L << 31))
+    val ys = edge ++ Seq.fill(200)(rnd.nextLong().abs % (1L << 31))
+    val rows = xs.zip(ys)
+    val got = rows.toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    got.zip(rows).foreach { case (z, (x, y)) =>
+      withClue(s"x=$x y=$y: ") { z shouldBe mortonModel(x, y) }
+    }
+  }
+
+  test("zValue is non-negative and strictly monotonic in each dim with " +
+      "the other fixed (sortable layout key)") {
+    val xs = (0L until 64L).toSeq
+    val zx = xs.toDF("x").select(Layout.zValue(col("x"), lit(7L)).as("z"))
+      .as[Long].collect()
+    val zy = xs.toDF("y").select(Layout.zValue(lit(7L), col("y")).as("z"))
+      .as[Long].collect()
+    all(zx) should be >= 0L
+    zx.toSeq shouldBe zx.toSeq.sorted
+    zy.toSeq shouldBe zy.toSeq.sorted
+    zx.distinct.length shouldBe zx.length
+  }
+
+  test("z-bucket z>>2k bounds BOTH dimensions within 2^k (the row-group " +
+      "pruning property)") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(2000)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val k = 5 // bucket fixes all but the low 5 bits of each dim
+    val spans = rows.toDF("x", "y")
+      .withColumn("bucket",
+        call_function("shiftright", Layout.zValue(col("x"), col("y")), lit(2 * k)))
+      .groupBy("bucket")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"))
+      .select(greatest(col("dx"), col("dy")))
+      .as[Long].collect()
+    all(spans) should be < (1L << k)
+  }
+
+  test("zValue stays codegen'd (composed from built-in bitwise exprs — " +
+      "no UDF, no fallback)") {
+    // spark.range (not a local Seq): a LocalRelation of literals would
+    // constant-fold the whole interleave away before any codegen
+    val df = spark.range(16)
+      .select(Layout.zValue(col("id"), col("id") + 1).as("z"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("Project"))
+      .getOrElse(fail("no Project in plan"))
+    projLine.trim.replaceFirst("^[:+\\- ]+", "") should startWith("*(")
+  }
+}
