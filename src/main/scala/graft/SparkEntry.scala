@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{BinaryCodec, CharDiversityKernel, LongHashes, TimeFunctions}
-import graft.ops.{Dedup, EventAnalytics, Layout, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, EventAnalytics, Layout, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -1102,6 +1102,18 @@ object SparkEntry {
           min("hr").as("min_hr"), max("hr").as("max_hr"))
         .orderBy("bucket")
     }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // Stratified exact-size sample: 20 docs per language as the k
+      // smallest SplitMix64(doc_id) within each lang (all docs when a
+      // stratum holds fewer). A global bottom-k (q_sample) follows the
+      // corpus mix and drowns minority strata; this is the balanced-
+      // eval-set builder. Bounded-heap aggregate: every partition
+      // keeps <= k (hash, id) pairs per lang map-side — no window sort
+      // over whole partitions, no join-back (the id rides in the
+      // buffer); ONE aggregate exchange (pinned).
+      Sampling.sampleKPerGroup(t(s, dir, "documents"), "lang", "doc_id", 20)
+        .orderBy(col("lang"), col("skey").bitwiseXOR(lit(Long.MinValue)))
+    }),
     "q_diversity" -> ((s, dir) => {
       // Character-diversity quality gate: per-codepoint counts folded
       // to the Simpson collision probability in ONE codegen'd pass.
@@ -1702,6 +1714,15 @@ object SparkEntry {
                  min(user_id) AS min_user, max(user_id) AS max_user,
                  min(hr) AS min_hr, max(hr) AS max_hr
           FROM z GROUP BY 1 ORDER BY bucket""",
+    "q_sample_stratified" ->
+      raw"""WITH d0 AS (SELECT lang, doc_id, CAST(doc_id AS HUGEINT) AS z
+                        FROM documents),
+               ${splitmixCtesSql("d0", "lang, doc_id")},
+               rk AS (SELECT lang, doc_id, z,
+                             row_number() OVER (PARTITION BY lang ORDER BY z) AS rn
+                      FROM h5)
+          SELECT lang, doc_id, CAST(${signedSql("z")} AS BIGINT) AS skey
+          FROM rk WHERE rn <= 20 ORDER BY lang, z""",
     "q_diversity" ->
       """WITH ch AS (SELECT doc_id,
                             unnest(list_transform(range(1, length(text) + 1),
@@ -2283,5 +2304,6 @@ object SparkEntry {
     "q_histogram", "q_profile",
     "q_funnel", "q_gapfill", "q_outliers", "q_bm25", "q_kmv_distinct",
     "q_sessionize", "q_inverted", "q_cms", "q_bloom_join",
-    "q_rank_suite", "q_sample", "q_zorder", "q_diversity")
+    "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
+    "q_sample_stratified")
 }

@@ -400,6 +400,15 @@ class PlanSpec extends SparkSpecBase with Matchers {
     readSchema should not include "source"
   }
 
+  test("q_sample_stratified reduces map-side via the bounded bottom-k " +
+      "aggregate — one exchange, no window sort, no join-back") {
+    val p = plan("q_sample_stratified")
+    p should include("partial_graft_bottom_k_by_hash")
+    p should not include "Window"
+    p should not include "Join"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
   test("char-diversity kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q_diversity")(spark, sf())
     df.collect()

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpecBase
+import graft.functions.LongHashes
+
+/** Stratified bottom-k-by-hash sampling: the bounded aggregate against
+  * the window-sort model it replaces, plus the properties the
+  * "deterministic sample" contract promises. */
+class SamplingSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+
+  private def docs = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"${sf()}/documents.parquet")
+  }
+
+  private def asSet(rows: Array[(String, Long, Long)]) = rows.toSet
+
+  test("sampleKPerGroup == row_number window model (incl. strata " +
+      "smaller than k, which keep every row)") {
+    // sf0.001 strata run 71..193 docs: k=80 puts de/zh/fr/es on the
+    // keep-all path and en on the true bottom-k path
+    val k = 80
+    val got = Sampling.sampleKPerGroup(docs, "lang", "doc_id", k)
+      .select(col("lang"), col("doc_id"), col("skey"))
+      .as[(String, Long, Long)].collect()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").bitwiseXOR(lit(Long.MinValue)))
+    val want = docs
+      .select(col("lang"), col("doc_id"),
+        LongHashes.splitmix64(col("doc_id")).as("skey"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("lang"), col("doc_id"), col("skey"))
+      .as[(String, Long, Long)].collect()
+    asSet(got) shouldBe asSet(want)
+    // at sf0.001 at least one stratum must be smaller than k for the
+    // keep-all path to be exercised — guard against data drift
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    withClue(s"strata sizes $sizes: ") {
+      sizes.values.exists(_ < k) shouldBe true
+      sizes.values.exists(_ > k) shouldBe true
+    }
+  }
+
+  test("sample is partitioning-invariant (bounded merge, not " +
+      "insertion-order)") {
+    val base = Sampling.sampleKPerGroup(docs, "lang", "doc_id", 5)
+      .as[(String, Long, Long)].collect()
+    val shuffled = Sampling.sampleKPerGroup(
+        docs.repartition(7, col("doc_id")), "lang", "doc_id", 5)
+      .as[(String, Long, Long)].collect()
+    asSet(base) shouldBe asSet(shuffled)
+  }
+
+  test("appending one document displaces at most one sample member per " +
+      "stratum (stability under corpus growth)") {
+    val k = 5
+    val before = Sampling.sampleKPerGroup(docs, "lang", "doc_id", k)
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val extra = Seq((999999L, "en")).toDF("doc_id", "lang")
+    val after = Sampling.sampleKPerGroup(
+        docs.select("doc_id", "lang").unionByName(extra), "lang", "doc_id", k)
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    after.keySet shouldBe before.keySet
+    for (lang <- before.keySet) {
+      val lost = before(lang).toSet -- after(lang).toSet
+      withClue(s"$lang: ") { lost.size should be <= 1 }
+    }
+  }
+
+  test("BottomKBuffer: random offers over random partition splits + " +
+      "serde round-trip == global sorted take-k") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 30) {
+      val n = rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(8)
+      val pairs = Seq.fill(n)((rnd.nextLong(), rnd.nextLong().abs))
+      val nParts = 1 + rnd.nextInt(4)
+      val parts = Array.fill(nParts)(new BottomKBuffer(k))
+      pairs.zipWithIndex.foreach { case ((h, id), i) =>
+        parts(i % nParts).offer(h, id)
+      }
+      val merged = new BottomKBuffer(k)
+      parts.foreach(p =>
+        BottomKBuffer.fromBytes(k, p.toBytes).foreach((h, i) => merged.offer(h, i)))
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      merged.foreach((h, i) => got += ((h, i)))
+      // model: smallest id per hash, then k smallest hashes unsigned
+      val want = pairs.groupBy(_._1).map { case (h, ps) => (h, ps.map(_._2).min) }
+        .toSeq.sortBy { case (h, _) => h ^ Long.MinValue }.take(k)
+      withClue(s"trial $trial (n=$n k=$k parts=$nParts): ") {
+        got.toList shouldBe want.toList
+      }
+    }
+  }
+}
