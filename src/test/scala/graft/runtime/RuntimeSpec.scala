@@ -322,6 +322,17 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
       "-t", s"$ex/split-hash/golden.json", "-D")) shouldBe 0
   }
 
+  test("diversity example: Simpson quality gate via the script DSL, " +
+      "golden vectors computed OUTSIDE the kernel") {
+    // Expected metrics come from an independent Python counting model,
+    // so the dry-run pins the metric definition (exact integers + one
+    // IEEE division) through parse -> codegen -> golden compare,
+    // including the boilerplate drop (the all-one-char record).
+    GraftFunctions.registerAll(spark)
+    Main.run(spark, Array("-l", s"$ex/diversity/pipeline.graft",
+      "-t", s"$ex/diversity/golden.json", "-D")) shouldBe 0
+  }
+
   test("winnow example: a registered KERNEL used from the script DSL, " +
       "golden-gated via the CLI") {
     // The shipped golden vectors were produced by the kernel itself, so
