@@ -218,6 +218,42 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("sketch aggregates (KMV, Count-Min, bloom) run incrementally in a " +
+      "streaming groupBy and converge to their batch values") {
+    // The sketches' merge functions are insertion-order-free (set
+    // union / elementwise sum / bitwise OR), which is exactly what a
+    // streaming partial-agg state update needs: after the last batch
+    // the streamed value must EQUAL the one-shot batch value bit for
+    // bit — sketches are streaming-ready with no extra code.
+    import graft.ops.Sketches
+    import graft.functions.LongHashes
+    val in = MemoryStream[(String, Long)](spark)
+    def sketchAgg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(
+        Sketches.kmvDistinct(LongHashes.splitmix64(col("id")), 8).as("kmv"),
+        Sketches.countMin(col("id"), 2, 16).as("grid"),
+        Sketches.bloomFilter(col("id"), 64, 3).as("bf"))
+    val data = (1L to 40L).map(i => (if (i % 3 == 0) "a" else "b", i % 25))
+    val q = sketchAgg(in.toDF().toDF("g", "id"))
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete").start()
+    data.grouped(13).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sketch_stream")
+      .select(col("g"), col("kmv.est"), col("grid"), col("bf"))
+      .as[(String, Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+    val batch = sketchAgg(data.toDF("g", "id"))
+      .select(col("g"), col("kmv.est"), col("grid"), col("bf"))
+      .as[(String, Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+    streamed shouldBe batch
+    // and the values are non-vacuous: both groups saw data
+    streamed.map(_._1).toSeq shouldBe Seq("a", "b")
+    all(streamed.map(_._2)) should be > 0L
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
