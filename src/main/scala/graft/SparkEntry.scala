@@ -1114,6 +1114,27 @@ object SparkEntry {
       Sampling.sampleKPerGroup(t(s, dir, "documents"), "lang", "doc_id", 20)
         .orderBy(col("lang"), col("skey").bitwiseXOR(lit(Long.MinValue)))
     }),
+    "q_quantile_sample" -> ((s, dir) => {
+      // Order statistics at scale: EXACT percentiles need every value
+      // in one sorted pass (a full shuffle at 100 TB); the scale path
+      // is percentiles over a deterministic id-hash sample — here a
+      // 1-in-4 SplitMix64 slice, est and exact side by side in one
+      // row so the sampling error is part of the artifact. The sample
+      // predicate is a pure function of the id (pmod of a bijective
+      // hash): stable under retries/partitioning, replayed exactly by
+      // the oracle (2^64 ≡ 0 mod 4, so unsigned-mod == pmod-signed).
+      // The sampled branch broadcasts: 1-row frames join driver-free.
+      val docs = t(s, dir, "documents")
+      val exact = docs.agg(count(lit(1)).as("n_exact"),
+        expr("percentile(n_chars, 0.5D)").as("p50_exact"),
+        expr("percentile(n_chars, 0.9D)").as("p90_exact"))
+      val sampled = docs
+        .where(pmod(LongHashes.splitmix64(col("doc_id")), lit(4)) === 0)
+        .agg(count(lit(1)).as("n_sample"),
+          expr("percentile(n_chars, 0.5D)").as("p50_est"),
+          expr("percentile(n_chars, 0.9D)").as("p90_est"))
+      exact.crossJoin(broadcast(sampled)).orderBy("n_exact")
+    }),
     "q_diversity" -> ((s, dir) => {
       // Character-diversity quality gate: per-codepoint counts folded
       // to the Simpson collision probability in ONE codegen'd pass.
@@ -1723,6 +1744,20 @@ object SparkEntry {
                       FROM h5)
           SELECT lang, doc_id, CAST(${signedSql("z")} AS BIGINT) AS skey
           FROM rk WHERE rn <= 20 ORDER BY lang, z""",
+    "q_quantile_sample" ->
+      raw"""WITH d0 AS (SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS z
+                        FROM documents),
+               ${splitmixCtesSql("d0", "doc_id, n_chars")},
+               ex AS (SELECT count(*) AS n_exact,
+                             quantile_cont(n_chars, 0.5) AS p50_exact,
+                             quantile_cont(n_chars, 0.9) AS p90_exact
+                      FROM documents),
+               sm AS (SELECT count(*) AS n_sample,
+                             quantile_cont(n_chars, 0.5) AS p50_est,
+                             quantile_cont(n_chars, 0.9) AS p90_est
+                      FROM h5 WHERE z % 4 = 0)
+          SELECT n_exact, p50_exact, p90_exact, n_sample, p50_est, p90_est
+          FROM ex CROSS JOIN sm ORDER BY n_exact""",
     "q_diversity" ->
       """WITH ch AS (SELECT doc_id,
                             unnest(list_transform(range(1, length(text) + 1),
@@ -2305,5 +2340,5 @@ object SparkEntry {
     "q_funnel", "q_gapfill", "q_outliers", "q_bm25", "q_kmv_distinct",
     "q_sessionize", "q_inverted", "q_cms", "q_bloom_join",
     "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
-    "q_sample_stratified")
+    "q_sample_stratified", "q_quantile_sample")
 }
