@@ -1114,6 +1114,42 @@ object SparkEntry {
       Sampling.sampleKPerGroup(t(s, dir, "documents"), "lang", "doc_id", 20)
         .orderBy(col("lang"), col("skey").bitwiseXOR(lit(Long.MinValue)))
     }),
+    "q_stream_enrich" -> ((s, dir) => {
+      // Stream-static enrichment (the remaining streaming join mode
+      // next to stream-stream): the SAME enrichWithDim call runs
+      // unchanged on a readStream frame — proven incrementally with an
+      // unmatched-key null case in StreamOpsSpec; this batch run is
+      // the oracle-checked side. The dim slims to the probed columns
+      // BEFORE the broadcast; the stream side never shuffles until the
+      // post-enrichment rollup (pinned).
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.streaming.StreamOps.enrichWithDim(ev, dim, "user_id", "c_custkey")
+        .groupBy(col("dim_c_mktsegment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("segment", "event_type")
+    }),
+    "q_exists" -> ((s, dir) => {
+      // Correlated subqueries through the SQL surface: EXISTS (Catalyst
+      // rewrites to a LEFT SEMI join — no per-row re-execution) and a
+      // correlated scalar COUNT subquery (rewritten to a pre-aggregated
+      // LEFT OUTER join with the empty-group count-bug guard). Both
+      // decorrelate to ONE pass over the filtered orders side; the
+      // oracle runs the identical SQL.
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""SELECT c_custkey, c_acctbal,
+                      CAST((SELECT count(*) FROM g_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 300000) AS BIGINT) AS n_big
+               FROM g_customer c
+               WHERE c_acctbal > 9000
+                 AND EXISTS (SELECT 1 FROM g_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 300000)
+               ORDER BY c_custkey""")
+    }),
     "q_quantile_sample" -> ((s, dir) => {
       // Order statistics at scale: EXACT percentiles need every value
       // in one sorted pass (a full shuffle at 100 TB); the scale path
@@ -1744,6 +1780,21 @@ object SparkEntry {
                       FROM h5)
           SELECT lang, doc_id, CAST(${signedSql("z")} AS BIGINT) AS skey
           FROM rk WHERE rn <= 20 ORDER BY lang, z""",
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment AS segment, event_type, count(*) AS n
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY segment, event_type""",
+    "q_exists" ->
+      """SELECT c_custkey, c_acctbal,
+                CAST((SELECT count(*) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000) AS BIGINT) AS n_big
+         FROM customer c
+         WHERE c_acctbal > 9000
+           AND EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000)
+         ORDER BY c_custkey""",
     "q_quantile_sample" ->
       raw"""WITH d0 AS (SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS z
                         FROM documents),
@@ -2340,5 +2391,6 @@ object SparkEntry {
     "q_funnel", "q_gapfill", "q_outliers", "q_bm25", "q_kmv_distinct",
     "q_sessionize", "q_inverted", "q_cms", "q_bloom_join",
     "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
-    "q_sample_stratified", "q_quantile_sample")
+    "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
+    "q_exists")
 }

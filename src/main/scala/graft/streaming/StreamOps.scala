@@ -108,6 +108,30 @@ object StreamOps {
       .drop("__rkey")
   }
 
+  /** Stream-static enrichment: join a stream against a STATIC dimension
+    * frame (the remaining streaming join mode next to stream-stream —
+    * Spark re-plans the static side per micro-batch, so a dim table
+    * refreshed in place is picked up batch over batch). The dim is
+    * broadcast-hinted: enrichment is stateless — no watermark, no join
+    * state, each micro-batch hash-probes the dim map-side, the stream
+    * never shuffles. LEFT join: an unmatched stream row survives with
+    * null dim columns (dropping events because the dim is stale is a
+    * silent-loss bug; filter explicitly downstream if wanted). Dim
+    * payload columns are emitted as `dim_<name>`. Runs on batch frames
+    * unchanged — the parity query q_stream_enrich is this exact call.
+    * At 100 TB-of-stream: the dim must fit a broadcast (~8 GiB hard
+    * cap); beyond that, pre-bucket both sides ([[graft.ops.Bucketing]])
+    * or reduce the dim to the probed columns first. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame = {
+    val payload = dim.columns.filterNot(_ == dimKey)
+    val slim = dim.select(
+      (col(dimKey).as("__dimkey") +:
+        payload.map(c => col(c).as(s"dim_$c")).toIndexedSeq): _*)
+    stream.join(broadcast(slim), col(streamKey) === col("__dimkey"), "left")
+      .drop("__dimkey")
+  }
+
   /** Streaming exact dedup on `idCols`, with state bounded by the
     * watermark horizon (`dropDuplicatesWithinWatermark`): duplicates
     * arriving within the horizon are dropped; state for older ids is

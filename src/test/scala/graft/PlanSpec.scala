@@ -409,6 +409,24 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q_stream_enrich broadcasts the slimmed dim — the stream side " +
+      "only shuffles for the post-enrichment rollup") {
+    val p = plan("q_stream_enrich")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1 // the rollup
+    // dim scan reads only the probed columns
+    p should not include "c_acctbal"
+  }
+
+  test("q_exists decorrelates both subqueries to joins (no per-row " +
+      "re-execution, no cartesian)") {
+    val p = plan("q_exists")
+    p.toLowerCase should include("leftsemi")   // EXISTS
+    p should not include "CartesianProduct"
+    p should include("partial_count")          // pre-aggregated scalar subquery
+  }
+
   test("char-diversity kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q_diversity")(spark, sf())
     df.collect()

@@ -218,6 +218,28 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("enrichWithDim joins a stream against a static dim per micro-batch " +
+      "(left: unmatched keys survive with null dim columns)") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("ck", "segment")
+    val in = MemoryStream[(Long, String)](spark)
+    val out = StreamOps.enrichWithDim(
+      in.toDF().toDF("user", "etype"), dim, "user", "ck")
+    val q = out.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    in.addData((1L, "click"), (9L, "view")) // 9 has no dim row
+    q.processAllAvailable()
+    in.addData((2L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich")
+      .select(col("user"), col("etype"), col("dim_segment"))
+      .as[(Long, String, Option[String])].collect().sortBy(r => (r._1, r._2))
+    rows shouldBe Array(
+      (1L, "click", Some("gold")),
+      (2L, "click", Some("silver")),
+      (9L, "view", None))
+  }
+
   test("sketch aggregates (KMV, Count-Min, bloom) run incrementally in a " +
       "streaming groupBy and converge to their batch values") {
     // The sketches' merge functions are insertion-order-free (set
