@@ -60,4 +60,39 @@ object Layout {
   def zValue(x: Column, y: Column): Column =
     GraftColumnBridge.column(zValueExpr(
       GraftColumnBridge.expression(x), GraftColumnBridge.expression(y)))
+
+  // 3-D spread (stride 3): after all five steps, input bit i sits at
+  // output bit 3i. Standard Morton3D constants; 21 input bits -> 63
+  // output bits, so inputs must be in [0, 2^21).
+  private val steps3 = Seq(
+    32 -> 0x001F00000000FFFFL,
+    16 -> 0x001F0000FF0000FFL,
+    8 -> 0x100F00F00F00F00FL,
+    4 -> 0x10C30C30C30C30C3L,
+    2 -> 0x1249249249249249L)
+
+  /** Expression tree spreading the low 21 bits of `e` with stride 3:
+    * bit i -> bit 3i. */
+  def spreadBits3Expr(e: Expression): Expression =
+    steps3.foldLeft(e) { case (acc, (s, m)) =>
+      BitwiseAnd(BitwiseOr(acc, ShiftLeft(acc, Literal(s))), Literal(m))
+    }
+
+  /** 3-D Morton key: x on bit positions 3i, y on 3i+1, z on 3i+2. All
+    * inputs MUST be in [0, 2^21) (21 bits x 3 dims = 63 bits, sign bit
+    * clear) — mask or bucket wider dims first. Three clustered dims is
+    * the practical lakehouse ceiling: each added dim divides the
+    * per-dim selectivity a z-range bucket can offer. */
+  def zValue3Expr(x: Expression, y: Expression, z: Expression): Expression =
+    BitwiseOr(
+      spreadBits3Expr(Cast(x, LongType)),
+      BitwiseOr(
+        ShiftLeft(spreadBits3Expr(Cast(y, LongType)), Literal(1)),
+        ShiftLeft(spreadBits3Expr(Cast(z, LongType)), Literal(2))))
+
+  /** Column surface of [[zValue3Expr]]. */
+  def zValue3(x: Column, y: Column, z: Column): Column =
+    GraftColumnBridge.column(zValue3Expr(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(y),
+      GraftColumnBridge.expression(z)))
 }

@@ -64,6 +64,33 @@ class LayoutSpec extends SparkSpecBase with Matchers {
     all(spans) should be < (1L << k)
   }
 
+  /** 3-D model: one bit at a time, stride 3. */
+  private def morton3Model(x: Long, y: Long, z: Long): Long = {
+    var r = 0L
+    var i = 0
+    while (i < 21) {
+      r |= ((x >> i) & 1L) << (3 * i)
+      r |= ((y >> i) & 1L) << (3 * i + 1)
+      r |= ((z >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    r
+  }
+
+  test("zValue3 matches the bit-walk model over random and edge inputs") {
+    val rnd = new scala.util.Random(43)
+    val edge = Seq(0L, 1L, 2L, 7L, (1L << 21) - 1, 0x155555L, 0x0AAAAAL)
+    val rows = (edge ++ Seq.fill(200)(rnd.nextLong().abs % (1L << 21)))
+      .map(x => (x, rnd.nextLong().abs % (1L << 21), rnd.nextLong().abs % (1L << 21)))
+    val got = rows.toDF("x", "y", "z")
+      .select(Layout.zValue3(col("x"), col("y"), col("z")).as("m"))
+      .as[Long].collect()
+    got.zip(rows).foreach { case (m, (x, y, z)) =>
+      withClue(s"x=$x y=$y z=$z: ") { m shouldBe morton3Model(x, y, z) }
+    }
+    all(got) should be >= 0L
+  }
+
   test("zValue stays codegen'd (composed from built-in bitwise exprs — " +
       "no UDF, no fallback)") {
     // spark.range (not a local Seq): a LocalRelation of literals would
