@@ -1114,6 +1114,15 @@ object SparkEntry {
       Sampling.sampleKPerGroup(t(s, dir, "documents"), "lang", "doc_id", 20)
         .orderBy(col("lang"), col("skey").bitwiseXOR(lit(Long.MinValue)))
     }),
+    "q_novelty" -> ((s, dir) => {
+      // Cross-corpus trigram novelty (the cross-document twin of
+      // q_repetition's within-document ratio): fraction of each doc's
+      // distinct trigrams that no other document contains. One slim
+      // (id, ngram) exchange carries the corpus df via a partition-only
+      // window — no self-join, text never shuffles (pinned).
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
     "q_stream_enrich" -> ((s, dir) => {
       // Stream-static enrichment (the remaining streaming join mode
       // next to stream-stream): the SAME enrichWithDim call runs
@@ -1780,6 +1789,25 @@ object SparkEntry {
                       FROM h5)
           SELECT lang, doc_id, CAST(${signedSql("z")} AS BIGINT) AS skey
           FROM rk WHERE rn <= 20 ORDER BY lang, z""",
+    "q_novelty" ->
+      raw"""WITH tk AS (SELECT doc_id,
+                               list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                           x -> x <> '') AS ts
+                        FROM documents),
+               tg AS (SELECT doc_id,
+                             list_distinct(CASE WHEN len(ts) >= 3
+                               THEN list_transform(range(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                               ELSE [] END) AS gs
+                      FROM tk),
+               e AS (SELECT doc_id, unnest(gs) AS ngram FROM tg),
+               d AS (SELECT ngram, count(*) AS df FROM e GROUP BY ngram),
+               j AS (SELECT doc_id, count(*) AS n_ngrams,
+                            CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+                     FROM e JOIN d USING (ngram) GROUP BY doc_id)
+          SELECT doc_id, n_ngrams, n_unique,
+                 CAST(n_unique AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS novelty
+          FROM j ORDER BY doc_id""",
     "q_stream_enrich" ->
       """SELECT c_mktsegment AS segment, event_type, count(*) AS n
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
@@ -2392,5 +2420,5 @@ object SparkEntry {
     "q_sessionize", "q_inverted", "q_cms", "q_bloom_join",
     "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
     "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
-    "q_exists")
+    "q_exists", "q_novelty")
 }

@@ -280,6 +280,38 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram")).limit(k)
 
+  /** Per-document cross-corpus n-gram novelty: of the document's
+    * DISTINCT word n-grams, the fraction appearing in NO other document
+    * — the cross-document twin of the Gopher-style WITHIN-document
+    * repetition ratio. Low novelty = the document is assembled from
+    * text the corpus already has (boilerplate, templates, near-dup
+    * tails below the pair detectors' thresholds); curation pipelines
+    * cut on it directly.
+    *
+    * Returns `(idCol, n_ngrams, n_unique, novelty)` for documents with
+    * at least one n-gram (fewer than n tokens -> no row; novelty is
+    * undefined there, mirrored by the oracle).
+    *
+    * Scale shape: distinct n-grams explode once; the document frequency
+    * attaches via `count() OVER (PARTITION BY ngram)` — ONE hash
+    * exchange of the slim (id, ngram) frame, no self-join, no second
+    * scan — then the per-document fold is a second slim exchange on the
+    * id. Document text never shuffles. The n-gram kernel is codegen'd
+    * ([[graft.functions.TextHashes.word_ngrams]]). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol),
+      explode(array_distinct(ngrams(col(textCol), n))).as("ngram"))
+    val withDf = e.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("ngram"))))
+    withDf.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast(DoubleType) / col("n_ngrams").cast(DoubleType))
+  }
+
   /** Global top-`k` documents by BM25 relevance to a fixed bag of
     * `queryTerms`: `(rk, idCol, dl, score)`.
     *

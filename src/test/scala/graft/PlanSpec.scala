@@ -427,6 +427,16 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should include("partial_count")          // pre-aggregated scalar subquery
   }
 
+  test("q_novelty attaches corpus df via a partition-only window — no " +
+      "self-join, text pruned after the narrow ngram scan") {
+    val p = plan("q_novelty")
+    p should not include "Join"
+    p should include("graft_word_ngrams")
+    // exchange 1: (id, ngram) on ngram for the window; exchange 2: the
+    // per-doc fold on doc_id. A third would mean a df self-join crept in.
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+  }
+
   test("char-diversity kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q_diversity")(spark, sf())
     df.collect()

@@ -348,4 +348,26 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     out(1).getDouble(3) shouldBe 1.6
     out(0).getDouble(3) shouldBe (1.6 * 4.4 / 3.65 +- 1e-12)
   }
+
+  test("ngramNovelty: hand-built corpus — shared trigrams score 0, " +
+      "unique score 1, short docs yield no row, dup-in-doc counts once") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),          // shares "the cat sat"/"cat sat on" with doc 2
+      (2L, "the cat sat on a rug"),
+      (3L, "entirely novel words here indeed"), // all trigrams unique
+      (4L, "too short"),                        // < 3 tokens -> no row
+      (5L, "echo echo echo echo")               // one distinct trigram, unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L, 5L)
+    val byId = out.map(t => t._1 -> t).toMap
+    byId(1L) shouldBe ((1L, 4L, 2L, 0.5)) // "the cat sat","cat sat on" shared
+    byId(2L) shouldBe ((2L, 4L, 2L, 0.5))
+    byId(3L) shouldBe ((3L, 3L, 3L, 1.0))
+    // "echo echo echo" appears twice in doc 5 but array_distinct keeps
+    // one; no other doc has it -> df=1, novelty 1
+    byId(5L) shouldBe ((5L, 1L, 1L, 1.0))
+  }
 }
