@@ -2399,7 +2399,7 @@ object SparkEntry {
     * driver's bench.
     *
     * Round-over-round note: trailing blocks are per-round additions
-    * (round 8 widened 26 -> 34, round 9 -> 45) — compare per-query or
+    * (round 8 widened 26 -> 34, round 9 -> 63) — compare per-query or
     * over the shared prefix, not headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
