@@ -401,7 +401,7 @@ object SparkEntry {
       // on the 3-row key: sharing one agg would drag the sketch through
       // countDistinct's two-shuffle Expand rewrite — the sketch branch
       // must keep its own single partial+merge exchange (pinned), since
-      // at 100 TB you'd run ONLY that branch (8*k bytes per partition
+      // at 100 TB you would run ONLY that branch (16*k bytes per partition
       // vs exact distinct's full key shuffle). est is pure integer
       // arithmetic (floor((k-1)*2^64 / kth)), replayed in HUGEINT by
       // the oracle.
@@ -1132,12 +1132,14 @@ object SparkEntry {
       // BEFORE the broadcast; the stream side never shuffles until the
       // post-enrichment rollup (pinned).
       val ev = t(s, dir, "events").select(col("user_id"), col("event_type"))
+      // the FULL dim goes in: Catalyst prunes the unused dim_ columns
+      // back through enrichWithDim's select to the scan (pinned), so
+      // the op needs no caller-side slimming to stay narrow
       val dim = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"))
       graft.streaming.StreamOps.enrichWithDim(ev, dim, "user_id", "c_custkey")
         .groupBy(col("dim_c_mktsegment").as("segment"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("segment", "event_type")
+        .orderBy(asc_nulls_first("segment"), col("event_type"))
     }),
     "q_exists" -> ((s, dir) => {
       // Correlated subqueries through the SQL surface: EXISTS (Catalyst
@@ -1190,6 +1192,9 @@ object SparkEntry {
       // integers; simpson is one division of exactly-converted longs,
       // so the oracle's replay matches bit-for-bit.
       t(s, dir, "documents")
+        .where(length(col("text")) > 0) // empty/NULL docs: the oracle's
+        // per-char unnest yields no rows for them — exclude on BOTH
+        // sides (kernel behavior for n=0 is spec-covered)
         .select(col("doc_id"),
           CharDiversityKernel.char_diversity(col("text")).as("cd"))
         .select(col("doc_id"), col("cd.n_cp").as("n_cp"),
@@ -1811,7 +1816,7 @@ object SparkEntry {
     "q_stream_enrich" ->
       """SELECT c_mktsegment AS segment, event_type, count(*) AS n
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-         GROUP BY 1, 2 ORDER BY segment, event_type""",
+         GROUP BY 1, 2 ORDER BY segment NULLS FIRST, event_type""",
     "q_exists" ->
       """SELECT c_custkey, c_acctbal,
                 CAST((SELECT count(*) FROM orders o
@@ -1841,7 +1846,7 @@ object SparkEntry {
       """WITH ch AS (SELECT doc_id,
                             unnest(list_transform(range(1, length(text) + 1),
                                                   i -> substr(text, CAST(i AS INTEGER), 1))) AS c
-                     FROM documents),
+                     FROM documents WHERE length(text) > 0),
               cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
               agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_cp,
                              count(*) AS n_distinct,

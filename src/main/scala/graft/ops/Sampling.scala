@@ -154,6 +154,8 @@ final class BottomKBuffer(k: Int) {
   }
 
   def size: Int = map.size
+  /** Largest kept hash (unsigned order) — the k-th minimum when full. */
+  def lastKey: Long = map.lastKey
   def foreach(f: (Long, Long) => Unit): Unit =
     map.forEach((h, i) => f(h, i))
 

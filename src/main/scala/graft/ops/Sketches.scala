@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * map-side, and merge is a bounded set-union — exactly the shape an
   * exact `count(DISTINCT x)` lacks: exact distinct must shuffle every
   * distinct key (Spark's Expand doubles the scan for the multi-distinct
-  * case), while the sketch ships `32 * k` bytes per partition, a
+  * case), while the sketch ships `16 * k` bytes per partition, a
   * constant, whatever the key cardinality. At 100 TB the sketch is the
   * only viable per-group distinct count; the estimator's relative error
   * is ~`1/sqrt(k-2)` (~6% at k=256).
@@ -307,40 +307,24 @@ object KmvDistinct {
 }
 
 /** Bounded sorted set of the k smallest distinct longs under UNSIGNED
-  * order (the hash space is uniform over [0, 2^64)). O(log k) offer,
-  * O(k) memory. */
-final class KmvBuffer(k: Int) {
-  private val set = new java.util.TreeSet[java.lang.Long](
-    (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b))
+  * order (the hash space is uniform over [0, 2^64)): the payload-free
+  * special case of [[graft.ops.BottomKBuffer]] — ONE implementation of
+  * the offer/evict/serde skeleton, not two drifting copies. O(log k)
+  * offer, O(k) memory; the wire format is the shared 16-byte-entry one
+  * (transient shuffle bytes within a single execution, never
+  * persisted). */
+final class KmvBuffer private (k: Int, inner: BottomKBuffer) {
+  def this(k: Int) = this(k, new BottomKBuffer(k))
 
-  def offer(h: Long): Unit = {
-    if (set.size < k) { set.add(h); () }
-    else if (java.lang.Long.compareUnsigned(h, set.last) < 0) {
-      if (set.add(h)) set.pollLast()
-      ()
-    }
-  }
-
-  def size: Int = set.size
+  def offer(h: Long): Unit = inner.offer(h, 0L)
+  def size: Int = inner.size
   /** Largest kept hash (unsigned order) — the k-th minimum when full. */
-  def kth: Long = set.last
-  def foreach(f: Long => Unit): Unit = set.forEach(h => f(h))
-
-  def toBytes: Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + set.size * 8)
-    bb.putInt(set.size)
-    set.forEach(h => { bb.putLong(h); () })
-    bb.array()
-  }
+  def kth: Long = inner.lastKey
+  def foreach(f: Long => Unit): Unit = inner.foreach((h, _) => f(h))
+  def toBytes: Array[Byte] = inner.toBytes
 }
 
 object KmvBuffer {
-  def fromBytes(k: Int, bytes: Array[Byte]): KmvBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new KmvBuffer(k)
-    var i = 0
-    while (i < n) { buf.offer(bb.getLong); i += 1 }
-    buf
-  }
+  def fromBytes(k: Int, bytes: Array[Byte]): KmvBuffer =
+    new KmvBuffer(k, BottomKBuffer.fromBytes(k, bytes))
 }
