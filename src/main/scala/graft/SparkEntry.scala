@@ -1201,6 +1201,17 @@ object SparkEntry {
           col("cd.n_distinct").as("n_distinct"),
           col("cd.sum_sq").as("sum_sq"), col("cd.simpson").as("simpson"))
         .orderBy("doc_id")
+    }),
+    "q_quality_gate" -> ((s, dir) => {
+      // Gopher-style composite quality gate: six rules, one bit each,
+      // in a reasons bitmask — verdict AND per-rule audit trail from a
+      // single shuffle-free narrow scan (pinned). Thresholds are tuned
+      // so every bit fires at sf0.01 (8-58 docs each, 424/500 pass,
+      // masks combine up to 47) — no vacuous branch. Each rule is one
+      // IEEE division of exact integer counts vs a literal, replayed
+      // bit-for-bit by the oracle.
+      TextAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -2391,7 +2402,39 @@ object SparkEntry {
                 CAST((i * octet_length(encode(text))) // 5 AS BIGINT) AS off
          FROM documents, generate_series(0, 4) t(i)
          WHERE octet_length(encode(text)) > 0
-         ORDER BY media_id, pos"""
+         ORDER BY media_id, pos""",
+    // q_text_stats's proven stat replays, folded to the rule bitmask:
+    // each threshold compares a single division of exact integer counts
+    // against a literal, so the mask is bit-deterministic cross-engine.
+    "q_quality_gate" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+                  CASE WHEN len(toks) > 0
+                       THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS mean_token_len,
+                  CASE WHEN len(toks) > 0
+                       THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS stopword_ratio,
+                  CASE WHEN len(toks) > 0
+                       THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                       ELSE 1.0 END AS distinct_ratio,
+                  len(list_filter(list_distinct(toks), x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS n_distinct_stop
+           FROM (SELECT doc_id, text,
+                        list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+                 FROM documents)),
+         m AS (
+           SELECT doc_id,
+                  CAST((CASE WHEN n_chars < 80 THEN 1 ELSE 0 END)
+                     + (CASE WHEN n_tokens_ws < 15 THEN 2 ELSE 0 END)
+                     + (CASE WHEN mean_token_len < 4.0 OR mean_token_len > 5.0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN stopword_ratio < 0.02 THEN 8 ELSE 0 END)
+                     + (CASE WHEN distinct_ratio < 0.30 THEN 16 ELSE 0 END)
+                     + (CASE WHEN n_distinct_stop < 1 THEN 32 ELSE 0 END) AS BIGINT) AS reasons
+           FROM f)
+         SELECT doc_id, reasons, reasons = 0 AS passed
+         FROM m ORDER BY doc_id"""
   )
 
   /** Headline queries Bench runs at sf0.1 (the heavy relational + LLM +
@@ -2404,7 +2447,7 @@ object SparkEntry {
     * driver's bench.
     *
     * Round-over-round note: trailing blocks are per-round additions
-    * (round 8 widened 26 -> 34, round 9 -> 63) — compare per-query or
+    * (round 8 widened 26 -> 34, round 9 -> 64) — compare per-query or
     * over the shared prefix, not headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
@@ -2425,5 +2468,5 @@ object SparkEntry {
     "q_sessionize", "q_inverted", "q_cms", "q_bloom_join",
     "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
     "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
-    "q_exists", "q_novelty")
+    "q_exists", "q_novelty", "q_quality_gate")
 }

@@ -503,4 +503,50 @@ object TextAnalysis {
       langId(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** Composite rule-based quality gate — the Gopher-rules shape (Rae et
+    * al. 2021, §A1.1: length bounds, mean-word-length band, stopword
+    * presence, repetitiveness) with per-corpus thresholds. Each rule is
+    * one BIT of a `reasons` bitmask, so a single pass yields both the
+    * verdict (`passed` = mask 0) and the audit trail of WHY each
+    * document failed — the artifact a curation run ships next to the
+    * kept set. At 100 TB this matters twice: one narrow codegen'd scan
+    * (no shuffle — the stats come from the fused TextStats kernel, the
+    * two extra signals are array expressions over the same tokenizer,
+    * shared by Catalyst subexpression elimination), and the bitmask
+    * lets one artifact answer every per-rule ablation question without
+    * re-scanning the corpus. Every comparison is a single IEEE division
+    * of exact integer counts against a literal, so the DuckDB oracle
+    * replays the mask bit-for-bit.
+    *
+    * Bits: 1 too few chars · 2 too few tokens · 4 mean token length
+    * outside [lo, hi] · 8 stopword ratio below floor · 16 distinct-token
+    * ratio below floor (repetitive) · 32 fewer than `minDistinctStop`
+    * distinct stopwords (non-language / keyword-stuffed text). */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+      minChars: Long = 80L, minTokens: Long = 15L,
+      meanTokLo: Double = 4.0, meanTokHi: Double = 5.0,
+      minStopRatio: Double = 0.02, minDistinctRatio: Double = 0.30,
+      minDistinctStop: Int = 1): DataFrame = {
+    val t = col(textCol)
+    val stats = graft.functions.TextStatsKernel.text_stats(t, lower(t))
+    val ts = tokens(t)
+    val distinctRatio = when(size(ts) > 0,
+      size(array_distinct(ts)).cast(DoubleType) / size(ts).cast(DoubleType))
+      .otherwise(lit(1.0))
+    val nDistinctStop =
+      size(filter(array_distinct(ts), x => x.isin(stopwords: _*)))
+    def bit(cond: Column, b: Long): Column =
+      when(cond, lit(b)).otherwise(lit(0L))
+    val reasons =
+      bit(stats.getField("n_chars") < minChars, 1L) +
+        bit(stats.getField("n_tokens_ws") < minTokens, 2L) +
+        bit(stats.getField("mean_token_len") < meanTokLo ||
+          stats.getField("mean_token_len") > meanTokHi, 4L) +
+        bit(stats.getField("stopword_ratio") < minStopRatio, 8L) +
+        bit(distinctRatio < minDistinctRatio, 16L) +
+        bit(nDistinctStop < minDistinctStop, 32L)
+    df.select(col(idCol), reasons.as("reasons"),
+      (reasons === 0L).as("passed"))
+  }
 }

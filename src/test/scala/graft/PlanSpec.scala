@@ -461,4 +461,18 @@ class PlanSpec extends SparkSpecBase with Matchers {
       .getOrElse(fail("no kernel Project in final plan"))
     projLine.trim.stripPrefix("+- ") should startWith("*(")
   }
+
+  test("q_quality_gate is a shuffle-free narrow scan — fused kernel + " +
+      "token-array exprs, no Generate, reads only doc_id and text") {
+    val p = plan("q_quality_gate")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Generate" // rules fold in-row, nothing explodes
+    p should include("graft_text_stats") // stats via the fused kernel
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("doc_id")
+    readSchema should include("text")
+    readSchema should not include "lang"
+    readSchema should not include "source"
+  }
 }

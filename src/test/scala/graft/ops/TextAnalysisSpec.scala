@@ -370,4 +370,43 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     // one; no other doc has it -> df=1, novelty 1
     byId(5L) shouldBe ((5L, 1L, 1L, 1.0))
   }
+
+  test("qualityGate: each rule fires alone (or with only its forced " +
+      "companions), bits combine, clean doc passes") {
+    // 16 tokens ("with" + 15 distinct 5-letter words): 94 chars, mean
+    // 79/16 = 4.94, stop 1/16, distinct 1.0 -> passes every rule
+    val clean = "with alpha bravo crane drape eagle fjord gravy hotel " +
+      "inlet joker kayak lemon mango night ocean"
+    // 15 distinct 4-letter tokens: 74 chars < 80 but EXACTLY 15 tokens
+    // and mean EXACTLY 4.0 (band is inclusive) -> only bit 1
+    val shortChars = "with bolt cart dime echo fizz gust hive iris jolt " +
+      "kelp lime mint noon opal"
+    val tiny = "with tiny" // 9 chars + 2 tokens -> bits 1+2
+    // "with" + 15 distinct 7-letter words: mean 109/16 = 6.81 > 5 -> bit 4
+    val longWords = "with amplify balance cabbage dolphin elastic fashion " +
+      "garment harvest imagine journey kitchen lantern machine nostril oatmeal"
+    // 16 distinct 5-letter words, zero stopwords: ratio 0 -> bit 8, and
+    // no distinct stopword -> bit 32 (a doc failing 8 with ratio in
+    // (0, 0.02) needs > 50 tokens; 8 forces 32 at this size)
+    val noStop = "alpha bravo crane drape eagle fjord gravy hotel inlet " +
+      "joker kayak lemon mango night ocean pearl"
+    // "with" + 29x "wave": distinct 2/30 = 0.07 < 0.30 -> only bit 16
+    val repetitive = "with " + Seq.fill(29)("wave").mkString(" ")
+    val df = Seq(
+      (0L, clean), (1L, shortChars), (2L, tiny), (3L, longWords),
+      (4L, noStop), (5L, repetitive), (6L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    out shouldBe Array(
+      (0L, 0L, true),
+      (1L, 1L, false),
+      (2L, 1L + 2L, false),
+      (3L, 4L, false),
+      (4L, 8L + 32L, false),
+      (5L, 16L, false),
+      // empty doc: fails chars/tokens/mean/stop-ratio/stop-presence but
+      // distinct_ratio DEFAULTS to 1.0 (no tokens = not repetitive)
+      (6L, 1L + 2L + 4L + 8L + 32L, false))
+  }
 }
