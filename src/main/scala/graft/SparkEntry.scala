@@ -992,6 +992,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+      // clusters — the SAME sampled deterministic k-means as q_ann_ivf
+      // (so the oracle's training replay is already proven), then a
+      // within-cluster pair scan drops every vector with a lower-id
+      // neighbor at cosine >= tau. Non-vacuous at sf0.01: 69 of 500
+      // dropped at tau=0.35 (near-uniform synthetic embeddings;
+      // production embeddings use ~0.95). Output = kept (vec_id,
+      // cluster) — the surviving corpus plus its cluster structure.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 5, sampleFraction = 0.1)
+      Dedup.semDedup(emb, "vec_id", "embedding", cents, tau = 0.35)
+        .select(col("vec_id"),
+          graft.functions.Centroids.centroid_assign(col("embedding"), cents)
+            .cast(LongType).as("cluster"))
+        .orderBy("vec_id")
+    }),
     "q_quantize" -> ((s, dir) => {
       // int8 scalar quantization digest: scale + code sum + max
       // reconstruction error per vector (scalars, so the oracle can
@@ -1411,13 +1429,23 @@ object SparkEntry {
     * fixed iteration count. `list_sum` folds ascending like the
     * kernels' accumulation loops (same property q_ann_lsh relies on),
     * so dots, norms, and cosines are bit-identical. */
-  private def ivfSql(k: Int, iters: Int, nprobe: Int, topk: Int,
-      dim: Int, sampleFraction: Double, seed: Long): String = {
+  /** SQL `dot` over 1-based `dim`-element list columns (sequential
+    * fold — same order as the Spark kernel, so bit-identical). */
+  private def sqlDot(dim: Int)(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), ii -> $a[ii] * $b[ii]))"
+
+  /** Shared k-means training prefix for the embedding oracles: CTEs
+    * `e` (corpus as DOUBLE lists), `train` (seeded id-hash sample),
+    * `cent0..cent$iters` (fixed-point Lloyd iterations), and `casg`
+    * (full-corpus assignment to the final centroids) — the exact
+    * replay of [[graft.ops.Similarity.trainCentroids]] +
+    * `centroid_assign`. Callers append their serve stage ([[ivfSql]]
+    * probes, the SemDeDup oracle's within-cluster pair scan). */
+  private def kmeansPrefixSql(k: Int, iters: Int, dim: Int,
+      sampleFraction: Double, seed: Long): String = {
     import graft.ops.Similarity.{SampleMod, SampleMul}
     val keep = (sampleFraction * SampleMod).toLong
-    val d1 = dim + 1
-    def dot(a: String, b: String) =
-      s"list_sum(list_transform(range(1, $d1), ii -> $a[ii] * $b[ii]))"
+    val dot = sqlDot(dim) _
     def normalize(m: String) =
       s"""CASE WHEN sqrt(list_sum(list_transform($m, y -> y*y))) > 0
          |     THEN list_transform($m, x -> x / sqrt(list_sum(list_transform($m, y -> y*y))))
@@ -1443,7 +1471,7 @@ object SparkEntry {
          |cent$i AS (SELECT j, ${normalize("m")} AS c FROM raw$i)""".stripMargin
     }.mkString(",\n")
     val cents = s"cent$iters"
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
        |     train AS (SELECT vec_id, v FROM e
        |               WHERE ((vec_id % $SampleMod) * $SampleMul + $seed) % $SampleMod < $keep),
@@ -1456,7 +1484,14 @@ object SparkEntry {
        |                SELECT e.vec_id, c.j AS cluster,
        |                       row_number() OVER (PARTITION BY e.vec_id
        |                                          ORDER BY ${dot("e.v", "c.c")} DESC, c.j) AS rn
-       |                FROM e, $cents c) WHERE rn = 1),
+       |                FROM e, $cents c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfSql(k: Int, iters: Int, nprobe: Int, topk: Int,
+      dim: Int, sampleFraction: Double, seed: Long): String = {
+    val dot = sqlDot(dim) _
+    val cents = s"cent$iters"
+    s"""WITH ${kmeansPrefixSql(k, iters, dim, sampleFraction, seed)},
        |     qprobe AS (SELECT qid, cluster FROM (
        |                  SELECT e.vec_id AS qid, c.j AS cluster,
        |                         row_number() OVER (PARTITION BY e.vec_id
@@ -1476,6 +1511,28 @@ object SparkEntry {
        |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
        |       round(s, 6) AS score
        |FROM ranked WHERE rn <= $topk ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** SemDeDup oracle: the same k-means replay as [[ivfSql]], then the
+    * within-cluster lower-id-neighbor drop rule — a vector survives iff
+    * no same-cluster vector with a smaller id sits at cosine >= tau. */
+  private def semDedupSql(k: Int, iters: Int, dim: Int,
+      sampleFraction: Double, seed: Long, tau: Double): String = {
+    val dot = sqlDot(dim) _
+    s"""WITH ${kmeansPrefixSql(k, iters, dim, sampleFraction, seed)},
+       |     drops AS (SELECT DISTINCT b.vec_id
+       |               FROM casg a
+       |               JOIN casg b ON a.cluster = b.cluster
+       |                          AND a.vec_id < b.vec_id
+       |               JOIN e ea ON ea.vec_id = a.vec_id
+       |               JOIN e eb ON eb.vec_id = b.vec_id
+       |               WHERE ${dot("ea.v", "eb.v")}
+       |                     / (sqrt(${dot("ea.v", "ea.v")})
+       |                      * sqrt(${dot("eb.v", "eb.v")})) >= $tau)
+       |SELECT c.vec_id, c.cluster
+       |FROM casg c LEFT JOIN drops d ON d.vec_id = c.vec_id
+       |WHERE d.vec_id IS NULL
+       |ORDER BY c.vec_id""".stripMargin
   }
 
   /** DuckDB equivalents over the same parquet tables — ALL queries are
@@ -2322,6 +2379,10 @@ object SparkEntry {
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
     "q_ann_ivf" -> ivfSql(k = 16, iters = 5, nprobe = 4, topk = 5,
       dim = 64, sampleFraction = 0.1, seed = 42L),
+    // Same k-means replay as q_ann_ivf, then the within-cluster
+    // lower-id-neighbor drop rule (SemDeDup) and the kept-set project.
+    "q_semdedup" -> semDedupSql(k = 16, iters = 5, dim = 64,
+      sampleFraction = 0.1, seed = 42L, tau = 0.35),
     // Same seeded planes as q_ann_lsh (8 tables x 6 planes over dim 64,
     // seed 42 — embeddingNearDupPairs shares Similarity's bucketing);
     // candidates = pairs sharing any (table, bucket), then the exact
@@ -2447,7 +2508,7 @@ object SparkEntry {
     * driver's bench.
     *
     * Round-over-round note: trailing blocks are per-round additions
-    * (round 8 widened 26 -> 34, round 9 -> 64) — compare per-query or
+    * (round 8 widened 26 -> 34, round 9 -> 65) — compare per-query or
     * over the shared prefix, not headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
@@ -2468,5 +2529,5 @@ object SparkEntry {
     "q_sessionize", "q_inverted", "q_cms", "q_bloom_join",
     "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
     "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
-    "q_exists", "q_novelty", "q_quality_gate")
+    "q_exists", "q_novelty", "q_quality_gate", "q_semdedup")
 }

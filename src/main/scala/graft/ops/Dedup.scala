@@ -571,4 +571,50 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  // ------------------------------------------------------------ SemDeDup
+
+  /** SemDeDup drop set (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * dedup via embedding clusters — the near-dup mode for pairs with NO
+    * lexical overlap (paraphrases, translations, re-renders) that
+    * MinHash/SimHash/winnowing are structurally blind to. Vectors are
+    * bucketed by nearest centroid (train with
+    * [[Similarity.trainCentroids]] — seeded id-hash sample, fixed-point
+    * Lloyd sums, so the whole pipeline is deterministic and the DuckDB
+    * oracle replays it); WITHIN each cluster, every vector with a
+    * lower-id neighbor at cosine >= `tau` is dropped (deterministic
+    * min-id keeper, consistent with [[exactDedup]]; the paper keeps a
+    * random or centroid-farthest representative — same dedup power,
+    * but not replayable).
+    *
+    * Scale shape: the quadratic candidate join is bounded PER CLUSTER —
+    * one exchange of (cluster, id, vec) on cluster id, then
+    * ~k*(n/k)^2 = n^2/k cosine pairs instead of n^2; the paper's
+    * k ~ sqrt(n/1000) keeps lists in the thousands at web scale. Unlike
+    * the text dedups the vectors must enter the pair join (a cosine
+    * needs both sides), but only the slim drop-id set shuffles onward. */
+  def semDedupDropIds(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val assigned = df.select(col(idCol), col(vecCol),
+      graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
+        .as("cluster"))
+    val l = assigned.select(col("cluster"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val r = assigned.select(col("cluster"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    l.join(r, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("vec_a"), col("vec_b")) >= tau)
+      .select(col("id_b").as(idCol))
+      .distinct()
+  }
+
+  /** Kept rows under [[semDedupDropIds]]: the corpus minus every vector
+    * that has a lower-id within-cluster neighbor at cosine >= `tau`.
+    * The drop set is a small fraction of the corpus, so the anti join
+    * broadcasts it — the corpus itself never reshuffles. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], tau: Double): DataFrame =
+    df.join(broadcast(semDedupDropIds(df, idCol, vecCol, centroids, tau)),
+      Seq(idCol), "left_anti")
 }

@@ -462,6 +462,24 @@ class PlanSpec extends SparkSpecBase with Matchers {
     projLine.trim.stripPrefix("+- ") should startWith("*(")
   }
 
+  test("q_semdedup bounds the pair scan per-cluster and broadcasts the " +
+      "slim drop set back — no cartesian, no corpus re-shuffle for the " +
+      "anti join") {
+    val p = plan("q_semdedup")
+    p should not include "CartesianProduct"
+    // candidate pairs join keyed on cluster id (the SemDeDup scale
+    // bound); at sf0.001 AQE broadcasts it, at scale it shuffles — the
+    // pin is the KEY, not the impl
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cluster".r
+      .findFirstIn(p) should not be empty
+    // the cosine gate rides the join condition (no post-join filter row
+    // explosion), via the codegen'd kernel
+    p should include("graft_cosine_sim")
+    // kept set = corpus ANTI JOIN broadcast(drop ids)
+    "BroadcastHashJoin \\[vec_id[^\\]]*\\], \\[vec_id[^\\]]*\\], LeftAnti".r
+      .findFirstIn(p) should not be empty
+  }
+
   test("q_quality_gate is a shuffle-free narrow scan — fused kernel + " +
       "token-array exprs, no Generate, reads only doc_id and text") {
     val p = plan("q_quality_gate")

@@ -282,4 +282,24 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     pairs should contain((1L, 2L))
     pairs should not contain ((1L, 3L))
   }
+
+  test("semDedup: within-cluster min-id keeper; cluster boundary splits " +
+      "a near-pair (documented SemDeDup blindness); far pairs survive") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f)),   // cluster 0, keeper of {1,2}
+      (2L, Array(0.999f, 0.02f)), // cluster 0, cos(1,2) ~ 1.0 -> dropped
+      (3L, Array(0.02f, 1.0f)),   // cluster 1, keeper of {3,4}
+      (4L, Array(-0.03f, 0.98f)), // cluster 1, cos(3,4) ~ 0.999 -> dropped
+      (5L, Array(0.9f, -0.35f)),  // cluster 0, cos to every clustermate
+                                  // <= 0.93 < tau -> kept
+      (6L, Array(1.0f, 0.99f)),   // cluster 0 \ cos(6,7) ~ 0.9999 but the
+      (7L, Array(0.99f, 1.0f))    // cluster 1 / boundary splits: BOTH kept
+    ).toDF("id", "vec")
+    Dedup.semDedupDropIds(vecs, "id", "vec", cents, tau = 0.95)
+      .as[Long].collect().sorted shouldBe Array(2L, 4L)
+    Dedup.semDedup(vecs, "id", "vec", cents, tau = 0.95)
+      .select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 5L, 6L, 7L)
+  }
 }
