@@ -789,6 +789,22 @@ object SparkEntry {
           k = 25, w = 10, minShared = 1)
         .orderBy("id_left", "id_right")
     }),
+    "q_stream_contamination" -> ((s, dir) => {
+      // The ONLINE contamination screen: the same winnowIndex +
+      // screenAgainstIndex calls run unchanged on a readStream
+      // candidate frame (StreamOpsSpec proves MemoryStream parity,
+      // including a pair split across micro-batches); this batch run is
+      // the oracle-checked side. Unlike q_winnow_contamination's
+      // combined-bucket cap, the boilerplate cap here is a pure
+      // function of the static index — a stream can't see combined
+      // bucket sizes (asymmetric by design, replayed by the oracle).
+      val docs = TextAnalysis.withSplit(t(s, dir, "documents"), "text")
+      val idx = Dedup.winnowIndex(docs.where(col("split") === "train"),
+        "doc_id", "text", k = 25, w = 10)
+      Dedup.screenAgainstIndex(docs.where(col("split") =!= "train"),
+          "doc_id", "text", idx, k = 25, w = 10)
+        .orderBy("cand_id", "train_id")
+    }),
     // ---- LLM-data-pipeline: text analysis ----
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.documentFeatures(t(s, dir, "documents"), "doc_id", "text")
@@ -2074,6 +2090,25 @@ object SparkEntry {
          WHERE a.split = 'train' AND b.split <> 'train'
            AND fp IN (SELECT fp FROM capped)
          GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY id_left, id_right""",
+    // The online screen's replay: same winnow fp CTEs, but the
+    // boilerplate cap counts TRAIN docs only (the static-index-side cap
+    // a stream can see), then candidate fps join the capped index.
+    "q_stream_contamination" ->
+      raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
+              sp AS (SELECT doc_id, t, ${rollingHashSql("t")} AS v FROM d),
+              sg AS (SELECT doc_id, t, CAST(((${signedSql("v")} % 100) + 100) % 100 AS INTEGER) AS bucket FROM sp),
+              s AS (SELECT doc_id, t, CASE WHEN bucket < 5 THEN 'val'
+                                           WHEN bucket < 10 THEN 'test'
+                                           ELSE 'train' END AS split FROM sg),
+              ${winnowCtesSql("s", k = 25, w = 10, maxBucket = 1000, carry = Seq("split"))},
+              tcap AS (SELECT fp FROM fp WHERE split = 'train'
+                       GROUP BY fp HAVING count(*) <= 1000),
+              idx AS (SELECT fp, doc_id AS train_id FROM fp
+                      WHERE split = 'train' AND fp IN (SELECT fp FROM tcap)),
+              cand AS (SELECT fp, doc_id AS cand_id FROM fp WHERE split <> 'train')
+         SELECT c.cand_id, i.train_id, count(*) AS n_shared
+         FROM cand c JOIN idx i USING (fp)
+         GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY cand_id, train_id""",
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
               hs AS (SELECT doc_id,
@@ -2508,7 +2543,7 @@ object SparkEntry {
     * driver's bench.
     *
     * Round-over-round note: trailing blocks are per-round additions
-    * (round 8 widened 26 -> 34, round 9 -> 65) — compare per-query or
+    * (round 8 widened 26 -> 34, round 9 -> 66) — compare per-query or
     * over the shared prefix, not headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
@@ -2529,5 +2564,6 @@ object SparkEntry {
     "q_sessionize", "q_inverted", "q_cms", "q_bloom_join",
     "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
     "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
-    "q_exists", "q_novelty", "q_quality_gate", "q_semdedup")
+    "q_exists", "q_novelty", "q_quality_gate", "q_semdedup",
+    "q_stream_contamination")
 }

@@ -358,6 +358,47 @@ object Dedup {
     }
   }
 
+  /** Static train-corpus fingerprint index for [[screenAgainstIndex]]:
+    * `(fp, train_id)` winnow fingerprints with the boilerplate cap
+    * decided on the TRAIN side ALONE — unlike [[winnowCrossOverlap]]'s
+    * combined-bucket cap, an arriving stream can't see combined bucket
+    * sizes, so the cap must be a pure function of the index (build-time
+    * asymmetry by design). Build once, write as a table BUCKETED BY
+    * `fp` ([[Bucketing]]): then each screening micro-batch/job shuffles
+    * only the candidate side into the index's layout. */
+  def winnowIndex(train: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(train, idCol, textCol, k, w)
+      .repartition(col("fp"))
+    val small = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") <= maxBucketSize)
+      .select(col("fp"))
+    fps.join(small, Seq("fp"), "left_semi")
+      .select(col("fp"), col("id").as("train_id"))
+  }
+
+  /** The ONLINE contamination screen: candidate documents checked
+    * against a prebuilt [[winnowIndex]] — `(cand_id, train_id,
+    * n_shared)` for every candidate sharing >= `minShared` fingerprints
+    * (i.e. a verbatim run of k+w-1 normalized codepoints, the winnow
+    * guarantee) with a train doc. Runs UNCHANGED on a `readStream`
+    * candidate frame: the kernel fingerprint + explode are stateless
+    * per-row, the index join is stream-static (re-planned per
+    * micro-batch, no watermark, no join state), and only the final
+    * per-pair count is a streaming aggregate (update/complete mode) —
+    * proven incrementally in StreamOpsSpec. `k`/`w` MUST match the
+    * index's build parameters. */
+  def screenAgainstIndex(cands: DataFrame, candId: String, candText: String,
+      index: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 1): DataFrame = {
+    val fps = winnowFingerprints(cands, candId, candText, k, w)
+      .select(col("fp"), col("id").as("cand_id"))
+    fps.join(index, Seq("fp"))
+      .groupBy(col("cand_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** Word tokens: lowercased, split on non-alphanumerics — the

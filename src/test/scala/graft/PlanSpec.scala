@@ -237,6 +237,22 @@ class PlanSpec extends SparkSpecBase with Matchers {
     gen.trim.replaceFirst("^[:+\\- ]+", "") should startWith("*(")
   }
 
+  test("q_stream_contamination: the index's fingerprint exchange is " +
+      "reused by its cap; candidate fps hash-join the index (no " +
+      "cartesian); kernel stays in codegen") {
+    val df = SparkEntry.queries("q_stream_contamination")(spark, sf())
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    // the index pins its fp partitioning (REPARTITION_BY_COL) — the
+    // write-once layout the screen's per-batch joins key on
+    p should include("Exchange hashpartitioning(fp")
+    p.toLowerCase should include("leftsemi") // the train-side-only cap
+    p should not include "CartesianProduct"
+    val gen = p.linesIterator.find(_.contains("graft_winnow"))
+      .getOrElse(fail("no winnow kernel in final plan"))
+    gen.trim.replaceFirst("^[:+\\- ]+", "") should startWith("*(")
+  }
+
   test("q_topk_per_group reduces map-side via the bounded-heap aggregate " +
       "— no window sort over whole partitions") {
     val p = plan("q_topk_per_group")

@@ -276,6 +276,44 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     all(streamed.map(_._2)) should be > 0L
   }
 
+  test("screenAgainstIndex runs incrementally against a static winnow " +
+      "index (stream-static fp join + streaming pair count) and equals " +
+      "the batch screen") {
+    import graft.ops.Dedup
+    val train = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different content about spark engines at scale")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.winnowIndex(train, "doc_id", "text", k = 8, w = 4)
+    val cands = Seq(
+      (1L, "he said the quick brown fox jumps over the lazy dog loudly"),
+      (2L, "nothing in common here whatsoever my good friend"),
+      (3L, "more content about spark engines at scale for everyone"))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup.screenAgainstIndex(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", idx, k = 8, w = 4)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("complete").start()
+    // candidates arrive across two micro-batches; the index is static
+    cands.grouped(2).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("contam_stream")
+      .select(col("cand_id"), col("train_id"), col("n_shared"))
+      .as[(Long, Long, Long)].collect().sorted
+    val batch = Dedup.screenAgainstIndex(cands.toDF("doc_id", "text"),
+        "doc_id", "text", idx, k = 8, w = 4)
+      .select(col("cand_id"), col("train_id"), col("n_shared"))
+      .as[(Long, Long, Long)].collect().sorted
+    streamed shouldBe batch
+    // the winnow guarantee: both lifted runs (>= k+w-1 = 11 codepoints)
+    // are caught; the unrelated candidate is not
+    streamed.map(t => (t._1, t._2)).toSet shouldBe Set((1L, 100L), (3L, 101L))
+    all(streamed.map(_._3)) should be >= 1L
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
