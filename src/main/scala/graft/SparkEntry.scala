@@ -1148,6 +1148,26 @@ object SparkEntry {
       Sampling.sampleKPerGroup(t(s, dir, "documents"), "lang", "doc_id", 20)
         .orderBy(col("lang"), col("skey").bitwiseXOR(lit(Long.MinValue)))
     }),
+    "q_cluster_sample" -> ((s, dir) => {
+      // Cluster-balanced subsample: 8 vectors per SEMANTIC cluster —
+      // the diversity-preserving downsample (a global bottom-k follows
+      // the cluster mix and can empty small semantic regions; this
+      // keeps every region represented — the SemDeDup-family
+      // counterpart of q_sample_stratified's per-language balance).
+      // Same trained centroids as q_ann_ivf/q_semdedup; per-cluster
+      // picks via the bounded bottom-k-by-hash aggregate: <= k
+      // (hash, id) pairs per cluster map-side, ONE exchange, no window
+      // sort, no join-back (pinned).
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 5, sampleFraction = 0.1)
+      val assigned = emb.select(
+        graft.functions.Centroids.centroid_assign(col("embedding"), cents)
+          .cast(LongType).as("cluster"),
+        col("vec_id"))
+      Sampling.sampleKPerGroup(assigned, "cluster", "vec_id", 8)
+        .orderBy(col("cluster"), col("skey").bitwiseXOR(lit(Long.MinValue)))
+    }),
     "q_novelty" -> ((s, dir) => {
       // Cross-corpus trigram novelty (the cross-document twin of
       // q_repetition's within-document ratio): fraction of each doc's
@@ -2418,6 +2438,19 @@ object SparkEntry {
     // lower-id-neighbor drop rule (SemDeDup) and the kept-set project.
     "q_semdedup" -> semDedupSql(k = 16, iters = 5, dim = 64,
       sampleFraction = 0.1, seed = 42L, tau = 0.35),
+    // k-means replay (cluster assignment) + q_sample_stratified's
+    // SplitMix64 bottom-k replay, per cluster instead of per language.
+    "q_cluster_sample" ->
+      raw"""WITH ${kmeansPrefixSql(k = 16, iters = 5, dim = 64,
+                sampleFraction = 0.1, seed = 42L)},
+               d0 AS (SELECT cluster, vec_id, CAST(vec_id AS HUGEINT) AS z
+                      FROM casg),
+               ${splitmixCtesSql("d0", "cluster, vec_id")},
+               rk AS (SELECT cluster, vec_id, z,
+                             row_number() OVER (PARTITION BY cluster ORDER BY z) AS rn
+                      FROM h5)
+          SELECT cluster, vec_id, CAST(${signedSql("z")} AS BIGINT) AS skey
+          FROM rk WHERE rn <= 8 ORDER BY cluster, z""",
     // Same seeded planes as q_ann_lsh (8 tables x 6 planes over dim 64,
     // seed 42 — embeddingNearDupPairs shares Similarity's bucketing);
     // candidates = pairs sharing any (table, bucket), then the exact
@@ -2543,7 +2576,7 @@ object SparkEntry {
     * driver's bench.
     *
     * Round-over-round note: trailing blocks are per-round additions
-    * (round 8 widened 26 -> 34, round 9 -> 66) — compare per-query or
+    * (round 8 widened 26 -> 34, round 9 -> 67) — compare per-query or
     * over the shared prefix, not headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
@@ -2565,5 +2598,5 @@ object SparkEntry {
     "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
     "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
     "q_exists", "q_novelty", "q_quality_gate", "q_semdedup",
-    "q_stream_contamination")
+    "q_stream_contamination", "q_cluster_sample")
 }

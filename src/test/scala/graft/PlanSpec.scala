@@ -425,6 +425,16 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q_cluster_sample: centroid assignment is pure projection " +
+      "feeding the bounded bottom-k — one aggregate exchange, no " +
+      "window sort, no join") {
+    val p = plan("q_cluster_sample")
+    p should include("partial_graft_bottom_k_by_hash")
+    p should not include "Window"
+    p should not include "Join"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
   test("q_stream_enrich broadcasts the slimmed dim — the stream side " +
       "only shuffles for the post-enrichment rollup") {
     val p = plan("q_stream_enrich")
