@@ -1215,6 +1215,35 @@ object SparkEntry {
                                AND o.o_totalprice > 300000)
                ORDER BY c_custkey""")
     }),
+    "q_reachability" -> ((s, dir) => {
+      // Recursive SQL surface (Spark 4.1 WITH RECURSIVE): bounded-hop
+      // reachability over per-user session-step edges (next event
+      // within 2h). Depth-capped at 3 — non-vacuous at EVERY depth at
+      // sf0.01 (8326/1393/241/40 events at depth 0..3, with real cap
+      // truncation on the longest chains). Each event has <= 1
+      // successor, so recursion rows are unique (no path explosion);
+      // the engine executes <= 3 incremental joins over slim
+      // (src, node) rows. For unbounded closures (connected
+      // components) the operator path is nearDupClusters' pointer
+      // jumping — O(log d) rounds instead of O(d).
+      t(s, dir, "events").createOrReplaceTempView("g_events")
+      s.sql("""
+        WITH RECURSIVE
+          e AS (SELECT event_id, user_id, ts div 1000 AS us FROM g_events),
+          nxt AS (SELECT event_id AS src, lead_id AS dst FROM (
+              SELECT event_id,
+                     lead(event_id) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lead_id,
+                     lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS gap
+              FROM e) t WHERE lead_id IS NOT NULL AND gap <= 7200000000),
+          reach(src, node, depth) AS (
+            SELECT event_id, event_id, 0 FROM e
+            UNION ALL
+            SELECT r.src, n.dst, r.depth + 1
+            FROM reach r JOIN nxt n ON n.src = r.node
+            WHERE r.depth < 3)
+        SELECT src AS event_id, CAST(count(*) - 1 AS BIGINT) AS n_reach
+        FROM reach GROUP BY src ORDER BY event_id""")
+    }),
     "q_quantile_sample" -> ((s, dir) => {
       // Order statistics at scale: EXACT percentiles need every value
       // in one sorted pass (a full shuffle at 100 TB); the scale path
@@ -2438,6 +2467,26 @@ object SparkEntry {
     // lower-id-neighbor drop rule (SemDeDup) and the kept-set project.
     "q_semdedup" -> semDedupSql(k = 16, iters = 5, dim = 64,
       sampleFraction = 0.1, seed = 42L, tau = 0.35),
+    // The same recursion in DuckDB's WITH RECURSIVE (micros arithmetic
+    // lines up: Spark's `ts div 1000` on the nanos long == DuckDB's
+    // epoch_us of the ns->us-truncated TIMESTAMP read).
+    "q_reachability" ->
+      """WITH RECURSIVE
+           e AS (SELECT event_id, user_id,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+           nxt AS (SELECT event_id AS src, lead_id AS dst FROM (
+               SELECT event_id,
+                      lead(event_id) OVER (PARTITION BY user_id ORDER BY us, event_id) AS lead_id,
+                      lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS gap
+               FROM e) t WHERE lead_id IS NOT NULL AND gap <= 7200000000),
+           reach(src, node, depth) AS (
+             SELECT event_id, event_id, 0 FROM e
+             UNION ALL
+             SELECT r.src, n.dst, r.depth + 1
+             FROM reach r JOIN nxt n ON n.src = r.node
+             WHERE r.depth < 3)
+         SELECT src AS event_id, CAST(count(*) - 1 AS BIGINT) AS n_reach
+         FROM reach GROUP BY src ORDER BY event_id""",
     // k-means replay (cluster assignment) + q_sample_stratified's
     // SplitMix64 bottom-k replay, per cluster instead of per language.
     "q_cluster_sample" ->
@@ -2576,7 +2625,7 @@ object SparkEntry {
     * driver's bench.
     *
     * Round-over-round note: trailing blocks are per-round additions
-    * (round 8 widened 26 -> 34, round 9 -> 67) — compare per-query or
+    * (round 8 widened 26 -> 34, round 9 -> 68) — compare per-query or
     * over the shared prefix, not headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
@@ -2598,5 +2647,5 @@ object SparkEntry {
     "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
     "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
     "q_exists", "q_novelty", "q_quality_gate", "q_semdedup",
-    "q_stream_contamination", "q_cluster_sample")
+    "q_stream_contamination", "q_cluster_sample", "q_reachability")
 }

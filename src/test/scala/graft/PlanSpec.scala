@@ -425,6 +425,15 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q_reachability executes WITH RECURSIVE as a UnionLoop — one " +
+      "Window builds the edges, counts combine map-side, no cartesian") {
+    val p = plan("q_reachability")
+    p should include("UnionLoop") // Spark 4.1's recursive-CTE operator
+    "\\bWindow\\b".r.findAllIn(p).size shouldBe 1
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+  }
+
   test("q_cluster_sample: centroid assignment is pure projection " +
       "feeding the bounded bottom-k — one aggregate exchange, no " +
       "window sort, no join") {
