@@ -1008,6 +1008,36 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "q_ann_recall" -> ((s, dir) => {
+      // ANN self-evaluation: recall@5 of the IVF serving path against
+      // the brute-force ground truth, per query — the artifact that
+      // tunes the nprobe/k trade. Both pipelines are deterministic
+      // (seeded sampled training, fixed-point sums, tie-broken ranks),
+      // so "approximate recall" is an EXACT, oracle-able number — the
+      // oracle replays BOTH pipelines and intersects. At 100 TB this
+      // runs on a held-out query sample; the brute side stays cheap
+      // because queries broadcast and the corpus is scanned once.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 5, sampleFraction = 0.1)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, cents, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("qid").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(5.0))
+            .as("recall"))
+        .orderBy("query_id")
+    }),
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
       // clusters — the SAME sampled deterministic k-means as q_ann_ivf
@@ -1552,30 +1582,66 @@ object SparkEntry {
        |                FROM e, $cents c) WHERE rn = 1)""".stripMargin
   }
 
-  private def ivfSql(k: Int, iters: Int, nprobe: Int, topk: Int,
-      dim: Int, sampleFraction: Double, seed: Long): String = {
+  /** IVF serve stage over [[kmeansPrefixSql]]'s `e`/`casg` CTEs:
+    * probe -> inverted-list candidates -> exact cosine rerank; yields
+    * `ranked(qid, nid, s, rn)`. Shared by the q_ann_ivf oracle and the
+    * q_ann_recall evaluation (ONE source of truth for the serve
+    * pipeline — a hand-copied variant would silently diverge). */
+  private def ivfServeCtesSql(iters: Int, nprobe: Int, dim: Int): String = {
     val dot = sqlDot(dim) _
     val cents = s"cent$iters"
+    s"""qprobe AS (SELECT qid, cluster FROM (
+       |             SELECT e.vec_id AS qid, c.j AS cluster,
+       |                    row_number() OVER (PARTITION BY e.vec_id
+       |                                       ORDER BY ${dot("e.v", "c.c")} DESC, c.j) AS rn
+       |             FROM e, $cents c WHERE e.vec_id < 10) WHERE rn <= $nprobe),
+       |cand AS (SELECT q.qid, ca.vec_id AS nid
+       |         FROM casg ca JOIN qprobe q ON ca.cluster = q.cluster),
+       |scored AS (SELECT cand.qid, cand.nid,
+       |                  ${dot("ev.v", "qv.v")}
+       |                  / (sqrt(${dot("ev.v", "ev.v")})
+       |                   * sqrt(${dot("qv.v", "qv.v")})) AS s
+       |           FROM cand JOIN e ev ON ev.vec_id = cand.nid
+       |                     JOIN e qv ON qv.vec_id = cand.qid),
+       |ranked AS (SELECT qid, nid, s,
+       |                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+       |           FROM scored WHERE s IS NOT NULL)""".stripMargin
+  }
+
+  private def ivfSql(k: Int, iters: Int, nprobe: Int, topk: Int,
+      dim: Int, sampleFraction: Double, seed: Long): String =
     s"""WITH ${kmeansPrefixSql(k, iters, dim, sampleFraction, seed)},
-       |     qprobe AS (SELECT qid, cluster FROM (
-       |                  SELECT e.vec_id AS qid, c.j AS cluster,
-       |                         row_number() OVER (PARTITION BY e.vec_id
-       |                                            ORDER BY ${dot("e.v", "c.c")} DESC, c.j) AS rn
-       |                  FROM e, $cents c WHERE e.vec_id < 10) WHERE rn <= $nprobe),
-       |     cand AS (SELECT q.qid, ca.vec_id AS nid
-       |              FROM casg ca JOIN qprobe q ON ca.cluster = q.cluster),
-       |     scored AS (SELECT cand.qid, cand.nid,
-       |                       ${dot("ev.v", "qv.v")}
-       |                       / (sqrt(${dot("ev.v", "ev.v")})
-       |                        * sqrt(${dot("qv.v", "qv.v")})) AS s
-       |                FROM cand JOIN e ev ON ev.vec_id = cand.nid
-       |                          JOIN e qv ON qv.vec_id = cand.qid),
-       |     ranked AS (SELECT qid, nid, s,
-       |                       row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
-       |                FROM scored WHERE s IS NOT NULL)
+       |${ivfServeCtesSql(iters, nprobe, dim)}
        |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
        |       round(s, 6) AS score
        |FROM ranked WHERE rn <= $topk ORDER BY query_id, rank""".stripMargin
+
+  /** q_ann_recall oracle: the IVF serve replay next to a brute-force
+    * top-k replay over the same corpus, intersected per query. */
+  private def annRecallSql(k: Int, iters: Int, nprobe: Int, topk: Int,
+      dim: Int, sampleFraction: Double, seed: Long): String = {
+    val dot = sqlDot(dim) _
+    s"""WITH ${kmeansPrefixSql(k, iters, dim, sampleFraction, seed)},
+       |${ivfServeCtesSql(iters, nprobe, dim)},
+       |     itop AS (SELECT qid, nid FROM ranked WHERE rn <= $topk),
+       |     bscored AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |                        ${dot("x.v", "q.v")}
+       |                        / (sqrt(${dot("x.v", "x.v")})
+       |                         * sqrt(${dot("q.v", "q.v")})) AS s
+       |                 FROM e x, (SELECT vec_id, v FROM e WHERE vec_id < 10) q),
+       |     branked AS (SELECT qid, nid,
+       |                        row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+       |                 FROM bscored WHERE s IS NOT NULL),
+       |     btop AS (SELECT qid, nid FROM branked WHERE rn <= $topk),
+       |     hits AS (SELECT b.qid, count(*) AS n_hits
+       |              FROM btop b JOIN itop i ON i.qid = b.qid AND i.nid = b.nid
+       |              GROUP BY b.qid)
+       |SELECT q.vec_id AS query_id,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $topk.0 AS recall
+       |FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
+       |LEFT JOIN hits h ON h.qid = q.vec_id
+       |ORDER BY query_id""".stripMargin
   }
 
   /** SemDeDup oracle: the same k-means replay as [[ivfSql]], then the
@@ -2463,6 +2529,8 @@ object SparkEntry {
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
     "q_ann_ivf" -> ivfSql(k = 16, iters = 5, nprobe = 4, topk = 5,
       dim = 64, sampleFraction = 0.1, seed = 42L),
+    "q_ann_recall" -> annRecallSql(k = 16, iters = 5, nprobe = 4,
+      topk = 5, dim = 64, sampleFraction = 0.1, seed = 42L),
     // Same k-means replay as q_ann_ivf, then the within-cluster
     // lower-id-neighbor drop rule (SemDeDup) and the kept-set project.
     "q_semdedup" -> semDedupSql(k = 16, iters = 5, dim = 64,
@@ -2625,7 +2693,7 @@ object SparkEntry {
     * driver's bench.
     *
     * Round-over-round note: trailing blocks are per-round additions
-    * (round 8 widened 26 -> 34, round 9 -> 68) — compare per-query or
+    * (round 8 widened 26 -> 34, round 9 -> 69) — compare per-query or
     * over the shared prefix, not headline-to-headline across rounds. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_window", "q_topk_orders", "q_chain",
@@ -2647,5 +2715,6 @@ object SparkEntry {
     "q_rank_suite", "q_sample", "q_zorder", "q_diversity",
     "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
     "q_exists", "q_novelty", "q_quality_gate", "q_semdedup",
-    "q_stream_contamination", "q_cluster_sample", "q_reachability")
+    "q_stream_contamination", "q_cluster_sample", "q_reachability",
+    "q_ann_recall")
 }

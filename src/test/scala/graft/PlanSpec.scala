@@ -425,6 +425,16 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q_ann_recall: both serving paths reduce map-side via the " +
+      "bounded heap; hit counting is a semi join, no raw top-k " +
+      "window sort") {
+    val p = plan("q_ann_recall")
+    // brute AND ivf sides both aggregate through the bounded heap
+    "partial_graft_top_k_by_score".r.findAllIn(p).size should be >= 2
+    p.toLowerCase should include("leftsemi")
+    p should not include "Window"
+  }
+
   test("q_reachability executes WITH RECURSIVE as a UnionLoop — one " +
       "Window builds the edges, counts combine map-side, no cartesian") {
     val p = plan("q_reachability")
