@@ -333,6 +333,17 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
       "-t", s"$ex/diversity/golden.json", "-D")) shouldBe 0
   }
 
+  test("qualitygate example: let-bound fused kernel + rule bitmask via " +
+      "the script DSL, hand-computed golden masks") {
+    // Expected masks were computed BY HAND from the documented stat
+    // definitions (not by the kernel), so the dry-run pins the rule
+    // semantics — including the inclusive mean-length boundary (a doc
+    // at exactly 3.0 passes) and the bit combinations 11 and 13.
+    GraftFunctions.registerAll(spark)
+    Main.run(spark, Array("-l", s"$ex/qualitygate/pipeline.graft",
+      "-t", s"$ex/qualitygate/golden.json", "-D")) shouldBe 0
+  }
+
   test("winnow example: a registered KERNEL used from the script DSL, " +
       "golden-gated via the CLI") {
     // The shipped golden vectors were produced by the kernel itself, so
