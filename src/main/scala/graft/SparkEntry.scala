@@ -1051,9 +1051,7 @@ object SparkEntry {
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
         k = 16, iters = 5, sampleFraction = 0.1)
       Dedup.semDedup(emb, "vec_id", "embedding", cents, tau = 0.35)
-        .select(col("vec_id"),
-          graft.functions.Centroids.centroid_assign(col("embedding"), cents)
-            .cast(LongType).as("cluster"))
+        .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"))
         .orderBy("vec_id")
     }),
     "q_quantize" -> ((s, dir) => {
@@ -1363,21 +1361,27 @@ object SparkEntry {
     * diverge). `carry` names columns of `src` to thread through to the
     * `fp` CTE alongside doc_id. */
   private def winnowCtesSql(src: String, k: Int, w: Int,
-      maxBucket: Int, carry: Seq[String] = Nil): String = {
+      maxBucket: Option[Int], carry: Seq[String] = Nil): String = {
+    // maxBucket = None omits the combined-bucket `capped` CTE — for
+    // callers (the online screen) whose cap is NOT the combined one;
+    // emitting dead cap SQL there would misstate the semantics under
+    // test (the train-side-only cap asymmetry).
     val cc = carry.map(c => s"$c, ").mkString
-    raw"""g AS (SELECT doc_id, $cc
-         |             CASE WHEN length(t) >= $k
-         |                  THEN list_transform(range(1, length(t)-$k+2), j -> ${winnowHashSql(s"substr(t, CAST(j AS INTEGER), $k)")})
-         |                  ELSE [${winnowHashSql("t")}] END AS gh
-         |      FROM $src),
-         |wn AS (SELECT doc_id, $cc
-         |              CASE WHEN len(gh) >= $w
-         |                   THEN list_transform(range(1, len(gh)-$w+2), x -> list_min(gh[CAST(x AS INTEGER):CAST(x+${w - 1} AS INTEGER)]))
-         |                   ELSE [list_min(gh)] END AS wins
-         |       FROM g),
-         |fp AS (SELECT DISTINCT doc_id, $cc fp
-         |       FROM (SELECT doc_id, $cc unnest(wins) AS fp FROM wn)),
-         |capped AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $maxBucket)""".stripMargin
+    val base =
+      raw"""g AS (SELECT doc_id, $cc
+           |             CASE WHEN length(t) >= $k
+           |                  THEN list_transform(range(1, length(t)-$k+2), j -> ${winnowHashSql(s"substr(t, CAST(j AS INTEGER), $k)")})
+           |                  ELSE [${winnowHashSql("t")}] END AS gh
+           |      FROM $src),
+           |wn AS (SELECT doc_id, $cc
+           |              CASE WHEN len(gh) >= $w
+           |                   THEN list_transform(range(1, len(gh)-$w+2), x -> list_min(gh[CAST(x AS INTEGER):CAST(x+${w - 1} AS INTEGER)]))
+           |                   ELSE [list_min(gh)] END AS wins
+           |       FROM g),
+           |fp AS (SELECT DISTINCT doc_id, $cc fp
+           |       FROM (SELECT doc_id, $cc unnest(wins) AS fp FROM wn))""".stripMargin
+    base + maxBucket.fold("")(m =>
+      s",\ncapped AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $m)")
   }
 
   /** Reinterpret a mod-2^64 HUGEINT as signed 64-bit (Spark LongType). */
@@ -2187,7 +2191,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_winnow" ->
       raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
-              ${winnowCtesSql("d", k = 25, w = 10, maxBucket = 1000)}
+              ${winnowCtesSql("d", k = 25, w = 10, maxBucket = Some(1000))}
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM fp a JOIN fp b USING (fp)
          WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM capped)
@@ -2199,7 +2203,7 @@ object SparkEntry {
               s AS (SELECT doc_id, t, CASE WHEN bucket < 5 THEN 'val'
                                            WHEN bucket < 10 THEN 'test'
                                            ELSE 'train' END AS split FROM sg),
-              ${winnowCtesSql("s", k = 25, w = 10, maxBucket = 1000, carry = Seq("split"))}
+              ${winnowCtesSql("s", k = 25, w = 10, maxBucket = Some(1000), carry = Seq("split"))}
          SELECT a.doc_id AS id_left, b.doc_id AS id_right, count(*) AS n_shared
          FROM fp a JOIN fp b USING (fp)
          WHERE a.split = 'train' AND b.split <> 'train'
@@ -2215,7 +2219,7 @@ object SparkEntry {
               s AS (SELECT doc_id, t, CASE WHEN bucket < 5 THEN 'val'
                                            WHEN bucket < 10 THEN 'test'
                                            ELSE 'train' END AS split FROM sg),
-              ${winnowCtesSql("s", k = 25, w = 10, maxBucket = 1000, carry = Seq("split"))},
+              ${winnowCtesSql("s", k = 25, w = 10, maxBucket = None, carry = Seq("split"))},
               tcap AS (SELECT fp FROM fp WHERE split = 'train'
                        GROUP BY fp HAVING count(*) <= 1000),
               idx AS (SELECT fp, doc_id AS train_id FROM fp
@@ -2667,8 +2671,8 @@ object SparkEntry {
                        THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
                        ELSE 1.0 END AS distinct_ratio,
                   len(list_filter(list_distinct(toks), x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS n_distinct_stop
-           FROM (SELECT doc_id, text,
-                        list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+           FROM (SELECT doc_id, coalesce(text, '') AS text,
+                        list_filter(string_split_regex(lower(coalesce(text, '')), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
                  FROM documents)),
          m AS (
            SELECT doc_id,

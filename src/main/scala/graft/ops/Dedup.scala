@@ -310,6 +310,20 @@ object Dedup {
         .where(col("id_a") < col("id_b"))
     }
 
+  /** Boilerplate bucket cap, the ONE definition: repartition on `fp`
+    * (the single exchange every consumer hangs off), count bucket
+    * occupancy, keep rows whose bucket holds <= `maxBucketSize` docs.
+    * Intra-corpus pairs, the cross-corpus screen, and the static
+    * online index ([[winnowIndex]]) all cap through here, so cap
+    * semantics cannot diverge between offline and online screening. */
+  private def capFpBuckets(fps: DataFrame, maxBucketSize: Int): DataFrame = {
+    val part = fps.repartition(col("fp"))
+    val small = part.groupBy(col("fp")).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("fp"))
+    part.join(small, Seq("fp"), "left_semi")
+  }
+
   /** The shared tail of both winnow screens: ONE exchange on `fp` (the
     * cap and every join side hang off it), the boilerplate bucket cap,
     * then the caller's pair join and the shared-fingerprint count.
@@ -319,12 +333,7 @@ object Dedup {
   private def cappedSharedCounts(fps: DataFrame, maxBucketSize: Int,
       minShared: Int, leftCol: String, rightCol: String)(
       pairs: DataFrame => DataFrame): DataFrame = {
-    val part = fps.repartition(col("fp"))
-    val small = part.groupBy(col("fp")).agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") <= maxBucketSize)
-      .select(col("fp"))
-    val sized = part.join(small, Seq("fp"), "left_semi")
-    pairs(sized)
+    pairs(capFpBuckets(fps, maxBucketSize))
       .groupBy(col(leftCol), col(rightCol))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
@@ -367,15 +376,10 @@ object Dedup {
     * `fp` ([[Bucketing]]): then each screening micro-batch/job shuffles
     * only the candidate side into the index's layout. */
   def winnowIndex(train: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
-    val fps = winnowFingerprints(train, idCol, textCol, k, w)
-      .repartition(col("fp"))
-    val small = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") <= maxBucketSize)
-      .select(col("fp"))
-    fps.join(small, Seq("fp"), "left_semi")
+      k: Int = 8, w: Int = 4, maxBucketSize: Int = 1000): DataFrame =
+    capFpBuckets(winnowFingerprints(train, idCol, textCol, k, w),
+      maxBucketSize)
       .select(col("fp"), col("id").as("train_id"))
-  }
 
   /** The ONLINE contamination screen: candidate documents checked
     * against a prebuilt [[winnowIndex]] — `(cand_id, train_id,
@@ -635,10 +639,19 @@ object Dedup {
     * the text dedups the vectors must enter the pair join (a cosine
     * needs both sides), but only the slim drop-id set shuffles onward. */
   def semDedupDropIds(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], tau: Double): DataFrame = {
-    val assigned = df.select(col(idCol), col(vecCol),
+      centroids: Array[Array[Double]], tau: Double): DataFrame =
+    semDedupDropFromAssigned(
+      semAssign(df, idCol, vecCol, centroids), idCol, vecCol, tau)
+
+  /** `(idCol, vecCol, cluster)` — one centroid_assign kernel pass. */
+  private def semAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol), col(vecCol),
       graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
         .as("cluster"))
+
+  private def semDedupDropFromAssigned(assigned: DataFrame, idCol: String,
+      vecCol: String, tau: Double): DataFrame = {
     val l = assigned.select(col("cluster"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"))
     val r = assigned.select(col("cluster"), col(idCol).as("id_b"),
@@ -650,12 +663,21 @@ object Dedup {
       .distinct()
   }
 
-  /** Kept rows under [[semDedupDropIds]]: the corpus minus every vector
-    * that has a lower-id within-cluster neighbor at cosine >= `tau`.
-    * The drop set is a small fraction of the corpus, so the anti join
-    * broadcasts it — the corpus itself never reshuffles. */
+  /** Kept rows under [[semDedupDropIds]], WITH their `cluster` column —
+    * the corpus minus every vector that has a lower-id within-cluster
+    * neighbor at cosine >= `tau`. The assignment is computed once and
+    * shared between the pair scan and the output (callers that need
+    * the cluster structure don't re-run the kernel). The anti join is
+    * left un-hinted on purpose: at demo taus the drop set is tiny and
+    * AQE broadcasts it, but at the paper's production tau (~0.95 on
+    * web corpora) SemDeDup drops ~half the corpus — a forced
+    * broadcast() of billions of ids would OOM the driver, while the
+    * shuffled anti join degrades gracefully. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], tau: Double): DataFrame =
-    df.join(broadcast(semDedupDropIds(df, idCol, vecCol, centroids, tau)),
+      centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val assigned = semAssign(df, idCol, vecCol, centroids)
+    assigned.join(
+      semDedupDropFromAssigned(assigned, idCol, vecCol, tau),
       Seq(idCol), "left_anti")
+  }
 }

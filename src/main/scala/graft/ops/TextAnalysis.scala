@@ -528,7 +528,11 @@ object TextAnalysis {
       meanTokLo: Double = 4.0, meanTokHi: Double = 5.0,
       minStopRatio: Double = 0.02, minDistinctRatio: Double = 0.30,
       minDistinctStop: Int = 1): DataFrame = {
-    val t = col(textCol)
+    // NULL text is gated as EMPTY text (mask 47: too short, too few
+    // tokens, mean/stopword/distinct-stop floors) — without the
+    // coalesce every rule's `when` is null-condition false, so a null
+    // document would sail through with reasons=0/passed=true.
+    val t = coalesce(col(textCol), lit(""))
     val stats = graft.functions.TextStatsKernel.text_stats(t, lower(t))
     val ts = tokens(t)
     val distinctRatio = when(size(ts) > 0,

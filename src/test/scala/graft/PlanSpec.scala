@@ -507,9 +507,8 @@ class PlanSpec extends SparkSpecBase with Matchers {
     projLine.trim.stripPrefix("+- ") should startWith("*(")
   }
 
-  test("q_semdedup bounds the pair scan per-cluster and broadcasts the " +
-      "slim drop set back — no cartesian, no corpus re-shuffle for the " +
-      "anti join") {
+  test("q_semdedup bounds the pair scan per-cluster and anti-joins the " +
+      "drop set back on the id key — no cartesian") {
     val p = plan("q_semdedup")
     p should not include "CartesianProduct"
     // candidate pairs join keyed on cluster id (the SemDeDup scale
@@ -520,8 +519,12 @@ class PlanSpec extends SparkSpecBase with Matchers {
     // the cosine gate rides the join condition (no post-join filter row
     // explosion), via the codegen'd kernel
     p should include("graft_cosine_sim")
-    // kept set = corpus ANTI JOIN broadcast(drop ids)
-    "BroadcastHashJoin \\[vec_id[^\\]]*\\], \\[vec_id[^\\]]*\\], LeftAnti".r
+    // kept set = corpus ANTI JOIN drop ids on the id key. Deliberately
+    // NOT pinned to BroadcastHashJoin: at demo taus AQE broadcasts the
+    // tiny drop set, but at production tau (~0.95) SemDeDup drops ~half
+    // the corpus and a forced broadcast would OOM — the shuffled anti
+    // join is the correct degradation, so the pin is key + LeftAnti.
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[vec_id[^\\]]*\\], \\[vec_id[^\\]]*\\], LeftAnti".r
       .findFirstIn(p) should not be empty
   }
 

@@ -298,8 +298,11 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     ).toDF("id", "vec")
     Dedup.semDedupDropIds(vecs, "id", "vec", cents, tau = 0.95)
       .as[Long].collect().sorted shouldBe Array(2L, 4L)
+    // semDedup returns the kept rows WITH their cluster assignment
+    // (computed once, shared with the pair scan — no second kernel run)
     Dedup.semDedup(vecs, "id", "vec", cents, tau = 0.95)
-      .select("id").as[Long].collect().sorted shouldBe
-      Array(1L, 3L, 5L, 6L, 7L)
+      .selectExpr("id", "CAST(cluster AS LONG)").as[(Long, Long)]
+      .collect().sorted shouldBe
+      Array((1L, 0L), (3L, 1L), (5L, 0L), (6L, 0L), (7L, 1L))
   }
 }

@@ -394,7 +394,8 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     val repetitive = "with " + Seq.fill(29)("wave").mkString(" ")
     val df = Seq(
       (0L, clean), (1L, shortChars), (2L, tiny), (3L, longWords),
-      (4L, noStop), (5L, repetitive), (6L, "")).toDF("doc_id", "text")
+      (4L, noStop), (5L, repetitive), (6L, ""),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = TextAnalysis.qualityGate(df, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
@@ -407,6 +408,9 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
       (5L, 16L, false),
       // empty doc: fails chars/tokens/mean/stop-ratio/stop-presence but
       // distinct_ratio DEFAULTS to 1.0 (no tokens = not repetitive)
-      (6L, 1L + 2L + 4L + 8L + 32L, false))
+      (6L, 1L + 2L + 4L + 8L + 32L, false),
+      // NULL doc is gated exactly like an empty one — without the
+      // coalesce every rule is null-condition false and it would PASS
+      (7L, 1L + 2L + 4L + 8L + 32L, false))
   }
 }
