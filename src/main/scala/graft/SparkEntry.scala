@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{BinaryCodec, CharDiversityKernel, LongHashes, TimeFunctions}
-import graft.ops.{Dedup, EventAnalytics, Layout, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -1323,6 +1323,64 @@ object SparkEntry {
       // bit-for-bit by the oracle.
       TextAnalysis.qualityGate(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+    "q_sample_weighted" -> ((s, dir) => {
+      // Weighted priority sample (Duffield–Lund–Thorup priority
+      // sampling): top-100 documents by priority w/u, w = n_chars, u a
+      // uniform 63-bit hash of the id — long docs are proportionally
+      // likelier, yet the pick is a pure function of the id set like
+      // q_sample. u = SplitMix64 >>(unsigned) 1 with the low bit
+      // forced (so 0 < u < 2^63 and the signed/unsigned question never
+      // arises); priority = one IEEE division of two exactly-rounded
+      // int->double casts — correctly rounded everywhere, so the
+      // oracle replays it BIT-exactly (the textbook u^(1/w) key needs
+      // pow/ln, whose last-ulp varies by libm). Plan: same bounded
+      // TakeOrderedAndProject as q_sample — per-partition top-k, no
+      // corpus shuffle (pinned).
+      val u = shiftrightunsigned(LongHashes.splitmix64(col("doc_id")), 1)
+        .bitwiseOR(lit(1L))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("n_chars").cast(DoubleType) / u.cast(DoubleType))
+            .as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100)
+    }),
+    "q_fuzzy_match" -> ((s, dir) => {
+      // Blocked fuzzy matching over part names: block on the head
+      // noun (closed 8-word vocabulary -> bounded ~n/8 blocks), pair
+      // scan within block at Levenshtein <= 3 via the codegen'd
+      // threshold form, then the per-record merge-candidate summary
+      // (min lower-id match + candidate count). Non-vacuous: the
+      // adjective vocabulary puts many name pairs at distance 2-3
+      // ("red widget"/"hot widget"). Work is sum of block^2, never
+      // corpus^2; names never leave the block join (pinned).
+      EntityResolution.fuzzyCanonical(t(s, dir, "part"),
+        "p_partkey", "p_name",
+        element_at(split(col("p_name"), " "), -1), maxDist = 3)
+        .orderBy("p_partkey")
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // Supply-graph centrality: 5 rounds of integer fixed-point
+      // PageRank over the symmetrized supplier<->part graph from
+      // lineitem (part nodes even, supplier nodes odd), top-50 hubs.
+      // Integer arithmetic end-to-end (scores in 1e-6 units, integral
+      // division) so ranks are independent of summation order — a
+      // double-precision PR would differ run-to-run under shuffle
+      // reordering and engine-to-engine, this one the oracle replays
+      // exactly with a generated 5-round CTE chain. Each round: one
+      // slim edges |><| scores shuffle-join + one partial-agg sum;
+      // frames checkpointed per round (nearDupClusters' lineage
+      // pattern).
+      val li = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("pn"),
+          (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      val edges = li.select(col("pn").as("src"), col("sn").as("dst"))
+        .unionByName(li.select(col("sn").as("src"), col("pn").as("dst")))
+      Graph.pageRankFixed(edges, "src", "dst", iters = 5)
+        .orderBy(col("score").desc, col("node"))
+        .limit(50)
     })
   )
 
@@ -1383,6 +1441,19 @@ object SparkEntry {
     base + maxBucket.fold("")(m =>
       s",\ncapped AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $m)")
   }
+
+  /** DuckDB replay of [[graft.ops.Graph.pageRankFixed]]: `iters` chained
+    * CTE rounds c1/v1..cN/vN over prefix CTEs `ewd` (src, dst, outdeg)
+    * and `v0` (node, score=unit). `//` is floor division = Spark's
+    * `div` on the all-positive scores; the per-round sum is HUGEINT in
+    * DuckDB so it is cast back to BIGINT (the q_json lesson). */
+  private def pageRankCtesSql(iters: Int, base: Long, dampNum: Long,
+      dampDen: Long): String =
+    (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, CAST(sum(v.score // e.outdeg) AS BIGINT) AS s
+         |        FROM ewd e JOIN v${i - 1} v ON e.src = v.node GROUP BY e.dst),
+         |v$i AS (SELECT node, $base + ($dampNum * s) // $dampDen AS score FROM c$i)""".stripMargin
+    }.mkString(",\n")
 
   /** Reinterpret a mod-2^64 HUGEINT as signed 64-bit (Spark LongType). */
   private def signedSql(vCol: String): String =
@@ -2684,7 +2755,47 @@ object SparkEntry {
                      + (CASE WHEN n_distinct_stop < 1 THEN 32 ELSE 0 END) AS BIGINT) AS reasons
            FROM f)
          SELECT doc_id, reasons, reasons = 0 AS passed
-         FROM m ORDER BY doc_id"""
+         FROM m ORDER BY doc_id""",
+    // Priority sampling: u = SplitMix64(doc_id) >>(unsigned) 1 with the
+    // low bit forced; priority = n_chars/u, ONE IEEE division of two
+    // exact int->double casts — bit-identical across engines.
+    "q_sample_weighted" ->
+      raw"""WITH d0 AS (SELECT doc_id, source, n_chars,
+                               CAST(doc_id AS HUGEINT) AS z
+                        FROM documents),
+               ${splitmixCtesSql("d0", "doc_id, source, n_chars")},
+               u AS (SELECT doc_id, source, n_chars,
+                            CAST((CAST(z AS UBIGINT) >> 1) | 1 AS BIGINT) AS u
+                     FROM h5)
+          SELECT doc_id, source, n_chars,
+                 CAST(n_chars AS DOUBLE) / CAST(u AS DOUBLE) AS priority
+          FROM u ORDER BY priority DESC, doc_id LIMIT 100""",
+    "q_fuzzy_match" ->
+      raw"""WITH b AS (SELECT p_partkey AS id, p_name AS name,
+                              list_extract(string_split(p_name, ' '), -1) AS block
+                       FROM part),
+               pr AS (SELECT a.id AS id_a, b2.id AS id_b
+                      FROM b a JOIN b b2 ON a.block = b2.block AND a.id < b2.id
+                      WHERE levenshtein(a.name, b2.name) <= 3),
+               lo AS (SELECT id_b AS id, min(id_a) AS lo,
+                             count(*) AS n FROM pr GROUP BY 1)
+          SELECT p.p_partkey, coalesce(l.lo, p.p_partkey) AS canon,
+                 coalesce(l.n, 0) AS n_cands
+          FROM part p LEFT JOIN lo l ON p.p_partkey = l.id
+          ORDER BY p_partkey""",
+    "q_pagerank" ->
+      raw"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS pn,
+                                        l_suppkey * 2 + 1 AS sn
+                        FROM lineitem),
+               edges AS (SELECT pn AS src, sn AS dst FROM le
+                         UNION ALL SELECT sn, pn FROM le),
+               deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+               ewd AS (SELECT e.src, e.dst, d.outdeg
+                       FROM edges e JOIN deg d USING (src)),
+               v0 AS (SELECT DISTINCT src AS node,
+                             CAST(1000000 AS BIGINT) AS score FROM edges),
+               ${pageRankCtesSql(5, base = 150000L, dampNum = 85L, dampDen = 100L)}
+          SELECT node, score FROM v5 ORDER BY score DESC, node LIMIT 50"""
   )
 
   /** Headline queries Bench runs at sf0.1 (the heavy relational + LLM +
@@ -2720,5 +2831,5 @@ object SparkEntry {
     "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
     "q_exists", "q_novelty", "q_quality_gate", "q_semdedup",
     "q_stream_contamination", "q_cluster_sample", "q_reachability",
-    "q_ann_recall")
+    "q_ann_recall", "q_sample_weighted", "q_fuzzy_match", "q_pagerank")
 }

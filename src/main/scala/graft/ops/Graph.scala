@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over relationship graphs the pipeline already
+  * builds (near-dup pair graphs, supply/co-occurrence graphs): a
+  * fixed-iteration PageRank in INTEGER fixed-point arithmetic, so the
+  * result is a pure function of the edge set — bit-for-bit replayable
+  * by the DuckDB oracle and stable across engines, partitionings, and
+  * summation orders (double-precision PageRank is none of those: fp
+  * addition is not associative, so a shuffle reorder changes the
+  * ranks).
+  *
+  * Complements [[Dedup.nearDupClusters]]: components tell you WHICH
+  * records form a duplicate group; rank tells you which nodes are the
+  * HUBS (a template page duplicated everywhere, a part supplied by
+  * every supplier) — the records worth human review before a bulk
+  * drop.
+  */
+object Graph {
+
+  /** Fixed `iters` rounds of damped PageRank in integer fixed-point:
+    * scores are maintained in units of 1e-6 (`unit` = 1_000_000 ==
+    * 1.0), and one round is
+    *
+    *   score'(v) = base + (dampNum * sum over in-edges (u,v) of
+    *               (score(u) div outdeg(u))) div dampDen
+    *
+    * with `base = unit - unit*dampNum/dampDen` (the un-normalized
+    * random-jump mass) and `div` INTEGER division — every operation is
+    * exact 64-bit arithmetic, summation is commutative, so the result
+    * is deterministic and engine-independent. Fixed iteration count
+    * rather than convergence detection for the same reason: the
+    * stopping rule must be a pure function of the input.
+    *
+    * Edges MUST contain every node as a source (symmetrize an
+    * undirected graph first — each edge in both directions): the
+    * per-round aggregate is keyed on `dst`, so a node with no in-edge
+    * would silently leave the frame. Self-loops are honored, duplicate
+    * edges are collapsed.
+    *
+    * Scale shape: each round is one shuffle-join of the slim (src,
+    * dst, outdeg) edge frame against the (node, score) frame plus one
+    * map-side-partial sum — the textbook distributed PR round. The
+    * edge frame is degree-joined and pinned ONCE; per-round frames are
+    * checkpointed exactly like [[Dedup.nearDupClusters]] (lineage
+    * would otherwise double per round), with the same
+    * `checkpointDir`-for-durability knob. */
+  def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+      unit: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg), pinned: re-joined every round
+    val ewd = pin(e.join(deg, Seq("src")))
+    val base = unit - unit * dampNum / dampDen
+    var scores = pin(ewd.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(unit)))
+    for (_ <- 1 to iters) {
+      scores = pin(ewd.join(scores, ewd("src") === scores("node"))
+        .select(ewd("dst"), expr("score div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .selectExpr("dst AS node", s"$base + ($dampNum * s) div $dampDen AS score"))
+    }
+    scores
+  }
+}

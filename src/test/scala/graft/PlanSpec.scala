@@ -541,4 +541,31 @@ class PlanSpec extends SparkSpecBase with Matchers {
     readSchema should not include "lang"
     readSchema should not include "source"
   }
+
+  test("q_sample_weighted is the same bounded TakeOrderedAndProject as " +
+      "q_sample — per-partition top-k on the priority, no corpus shuffle") {
+    val p = plan("q_sample_weighted")
+    p should include("TakeOrderedAndProject")
+    p should not include "Exchange hashpartitioning"
+  }
+
+  test("q_fuzzy_match: pair scan is keyed on the block (never an " +
+      "all-pairs cartesian); the threshold rides INSIDE levenshtein") {
+    val p = plan("q_fuzzy_match")
+    p should not include "CartesianProduct"
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[block".r
+      .findFirstIn(p) should not be empty
+    // 3-arg form: early-abandons a pair once the running distance
+    // exceeds the threshold (O(maxDist*len) per pair, not O(len^2))
+    p should include("levenshtein(name_a")
+  }
+
+  test("q_pagerank: per-round frames are checkpointed (the final plan " +
+      "reads the round-5 RDD), and the top-50 is a bounded " +
+      "TakeOrderedAndProject — no global sort of the node set") {
+    val p = plan("q_pagerank")
+    p should include("TakeOrderedAndProject")
+    p should include("ExistingRDD") // lineage cut at the last checkpoint
+    p should not include "Exchange hashpartitioning"
+  }
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+class EntityResolutionSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+
+  private val records = Seq(
+    (1L, "red widget"), // block widget
+    (2L, "hot widget"), // lev(red widget, hot widget) = 3
+    (3L, "red gadget"), // ALSO lev 3 from "red widget" — but block gadget
+    (4L, "red widget"), // exact duplicate of 1
+    (5L, "azure widget") // lev 5/6 from the others — above threshold
+  ).toDF("id", "name")
+
+  private def block = element_at(split(col("name"), " "), -1)
+
+  test("fuzzyPairs: same-block pairs within threshold only — the " +
+      "cross-block lev-3 pair and the above-threshold pair are absent") {
+    val pairs = EntityResolution
+      .fuzzyPairs(records, "id", "name", block, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    pairs shouldBe Set((1L, 2L, 3), (1L, 4L, 0), (2L, 4L, 3))
+    // (1,3) excluded by BLOCKING despite lev("red widget","red gadget")
+    // = 3 <= maxDist; (x,5) excluded by the threshold despite sharing
+    // the widget block — both exclusions are the operator's contract
+  }
+
+  test("fuzzyCanonical: min lower-id match with candidate count; " +
+      "unmatched records are their own canon with n_cands = 0") {
+    val canon = EntityResolution
+      .fuzzyCanonical(records, "id", "name", block, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    canon shouldBe Set(
+      (1L, 1L, 0L), // no LOWER-id match: keeper
+      (2L, 1L, 1L),
+      (3L, 3L, 0L), // alone in its block
+      (4L, 1L, 2L), // matches 1 (dist 0) and 2 (dist 3): min id 1
+      (5L, 5L, 0L)) // in the widget block but beyond maxDist
+  }
+}
