@@ -1381,6 +1381,20 @@ object SparkEntry {
       Graph.pageRankFixed(edges, "src", "dst", iters = 5)
         .orderBy(col("score").desc, col("node"))
         .limit(50)
+    }),
+    "q_coreset" -> ((s, dir) => {
+      // Farthest-point diversity coreset: 8 greedy k-center picks over
+      // the embedding corpus — the max-spread seed/eval-set builder
+      // (hash samples follow corpus density; this fights it). Output
+      // includes the coverage-radius curve `ms` (max cosine to prior
+      // centers at pick time). Every pick is argmin of kernel cosines
+      // with id tiebreak, so the oracle replays the whole greedy chain
+      // bit-for-bit (same sequential-fold dot recipe as the ANN
+      // family). k rounds x one narrow scan + map-side top-1; only k
+      // rows reach the driver.
+      Similarity.farthestPointSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy("sel")
     })
   )
 
@@ -1454,6 +1468,33 @@ object SparkEntry {
          |        FROM ewd e JOIN v${i - 1} v ON e.src = v.node GROUP BY e.dst),
          |v$i AS (SELECT node, $base + ($dampNum * s) // $dampDen AS score FROM c$i)""".stripMargin
     }.mkString(",\n")
+
+  /** DuckDB replay of [[graft.ops.Similarity.farthestPointSample]]:
+    * `k-1` chained greedy rounds over prefix CTE `e` (vec_id, v as
+    * DOUBLE lists). Round r scores every non-center against all prior
+    * centers with the sequential-fold cosine (max() over center ROWS ==
+    * Spark's greatest() over center literals — same double set), takes
+    * the (ms ASC, vec_id ASC) top-1, and appends it to the running
+    * center set with its selection index and radius. */
+  private def fpsCtesSql(k: Int, dim: Int): String = {
+    val dot = sqlDot(dim) _
+    def cos(a: String, b: String) =
+      s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+    val head =
+      """cen1 AS (SELECT 1 AS sel, vec_id, v, CAST(NULL AS DOUBLE) AS ms
+        |         FROM e ORDER BY vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""d$r AS (SELECT e.vec_id, max(${cos("e.v", "c.v")}) AS ms
+         |        FROM e, cen${r - 1} c
+         |        WHERE e.vec_id NOT IN (SELECT vec_id FROM cen${r - 1})
+         |        GROUP BY e.vec_id),
+         |s$r AS (SELECT vec_id, ms FROM d$r ORDER BY ms ASC, vec_id LIMIT 1),
+         |cen$r AS (SELECT * FROM cen${r - 1} UNION ALL
+         |          SELECT $r AS sel, e.vec_id, e.v, s$r.ms
+         |          FROM e JOIN s$r USING (vec_id))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** Reinterpret a mod-2^64 HUGEINT as signed 64-bit (Spark LongType). */
   private def signedSql(vCol: String): String =
@@ -2795,7 +2836,13 @@ object SparkEntry {
                v0 AS (SELECT DISTINCT src AS node,
                              CAST(1000000 AS BIGINT) AS score FROM edges),
                ${pageRankCtesSql(5, base = 150000L, dampNum = 85L, dampDen = 100L)}
-          SELECT node, score FROM v5 ORDER BY score DESC, node LIMIT 50"""
+          SELECT node, score FROM v5 ORDER BY score DESC, node LIMIT 50""",
+    "q_coreset" ->
+      raw"""WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+               ${fpsCtesSql(8, 64)}
+          SELECT sel, vec_id, ms FROM cen8 ORDER BY sel"""
   )
 
   /** Headline queries Bench runs at sf0.1 (the heavy relational + LLM +
@@ -2831,5 +2878,6 @@ object SparkEntry {
     "q_sample_stratified", "q_quantile_sample", "q_stream_enrich",
     "q_exists", "q_novelty", "q_quality_gate", "q_semdedup",
     "q_stream_contamination", "q_cluster_sample", "q_reachability",
-    "q_ann_recall", "q_sample_weighted", "q_fuzzy_match", "q_pagerank")
+    "q_ann_recall", "q_sample_weighted", "q_fuzzy_match", "q_pagerank",
+    "q_coreset")
 }

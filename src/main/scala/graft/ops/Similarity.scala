@@ -278,6 +278,65 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id") // same pair from several tables
     topKPerKey(cand, "query_id", "neighbor_id", "score", k)
   }
+
+  /** Farthest-point sampling (greedy k-center, Gonzalez 1985): pick `k`
+    * vectors one at a time, each round taking the candidate LEAST
+    * similar to every center chosen so far — max-coverage diversity
+    * selection, the opposite pole from [[graft.ops.Dedup.semDedup]]
+    * (which REMOVES the over-covered region; this SELECTS the spread).
+    * The training-data use is seed-set / eval-set construction: k
+    * probes that span the embedding space instead of following the
+    * corpus density the way every hash sample does.
+    *
+    * Deterministic end to end: the seed is the min-id vector, round r
+    * takes argmin over candidates of max-cosine-to-centers with ties
+    * to the smaller id, and the cosines run through the same codegen'd
+    * kernel as the ANN family (sequential double folds), so the DuckDB
+    * oracle replays every selection bit-for-bit as a CTE chain.
+    *
+    * Output: `(sel, idCol, ms)` — selection order 1..k, the chosen id,
+    * and the max similarity to the prior centers at selection time
+    * (null for the seed): `ms` is the k-center coverage radius curve,
+    * the "how much diversity is left" diagnostic.
+    *
+    * Scale shape: k rounds, each ONE narrow corpus scan (id, vec
+    * columns only) with `k-1` kernel cosines per row feeding a
+    * map-side bounded top-1 (TakeOrderedAndProject) — O(n*k*dim) work,
+    * k rows ever reach the driver, nothing shuffles. The corpus is
+    * deliberately re-scanned per round, same trade as
+    * [[trainCentroids]]' full-corpus branch: at 100 TB, caching the
+    * vector column to save k columnar scans evicts everything else.
+    * Stops early (fewer than k rows) if the corpus runs out. */
+  def farthestPointSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+    val seed = v.orderBy(col("id")).limit(1).collect()
+    require(seed.nonEmpty, "farthestPointSample on an empty frame")
+    var centers = Vector((seed(0).getLong(0),
+      seed(0).getSeq[Double](1).toArray))
+    var out = Vector((1, seed(0).getLong(0), Option.empty[Double]))
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
+      val sims = centers.map { case (_, c) =>
+        cosine(col("v"), typedLit(c.toSeq)) }
+      val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
+      val picked = v.where(!col("id").isin(centers.map(_._1): _*))
+        .select(col("id"), col("v"), ms.as("ms"))
+        .orderBy(col("ms").asc, col("id").asc)
+        .limit(1).collect()
+      if (picked.isEmpty) exhausted = true
+      else {
+        val row = picked(0)
+        centers :+= ((row.getLong(0), row.getSeq[Double](1).toArray))
+        out :+= ((r, row.getLong(0), Some(row.getDouble(2))))
+      }
+    }
+    out.toDF("sel", idCol, "ms")
+  }
 }
 
 /** Bounded-heap top-k aggregate: keeps the `k` largest (score, id) pairs,

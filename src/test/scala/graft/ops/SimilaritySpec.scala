@@ -139,4 +139,36 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     val back = TopKBuffer.fromBytes(2, buf.toBytes)
     back.sortedDesc shouldBe Array((2L, 0.9), (3L, 0.7))
   }
+
+  test("farthestPointSample: greedy k-center picks the least-covered " +
+      "vector each round — exactly-representable cosines, id tiebreak") {
+    import spark.implicits._
+    // unit-ish 2-D vectors whose cosines are EXACT doubles: the dup of
+    // the seed scores 1.0, the orthogonal 0.0, the antipode -1.0
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),  // seed (min id)
+      (2L, Array(1.0f, 0.0f)),  // duplicate of the seed -> picked LAST
+      (3L, Array(0.0f, 1.0f)),  // orthogonal
+      (4L, Array(-1.0f, 0.0f))  // antipode -> picked FIRST after seed
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .farthestPointSample(vecs, "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    out shouldBe Seq(
+      (1, 1L, None),        // seed: no prior centers, ms is null
+      (2, 4L, Some(-1.0)),  // farthest from {1}
+      (3, 3L, Some(0.0)),   // max cos to {1,4} = 0 beats dup's 1.0
+      (4, 2L, Some(1.0)))   // the duplicate: max cos to seed = 1.0
+  }
+
+  test("farthestPointSample stops early when the corpus has fewer than " +
+      "k rows") {
+    import spark.implicits._
+    val vecs = Seq((7L, Array(1.0f, 0.0f)), (9L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity
+      .farthestPointSample(vecs, "vec_id", "embedding", k = 5)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    out shouldBe Seq((1, 7L, None), (2, 9L, Some(0.0)))
+  }
 }
