@@ -314,6 +314,34 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     all(streamed.map(_._3)) should be >= 1L
   }
 
+  test("qualityGate screens an arriving stream unchanged (stateless " +
+      "narrow op: append mode, no state, no watermark) and matches the " +
+      "batch gate row for row") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "with alpha bravo crane drape eagle fjord gravy hotel inlet " +
+        "joker kayak lemon mango night ocean"), // passes (mask 0)
+      (2L, "with tiny"),                        // mask 1+2
+      (3L, null.asInstanceOf[String]))          // null text -> mask 47
+    val in = MemoryStream[(Long, String)](spark)
+    val q = TextAnalysis.qualityGate(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    docs.grouped(2).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("gate_stream")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = TextAnalysis.qualityGate(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    streamed shouldBe batch
+    streamed shouldBe Seq((1L, 0L, true), (2L, 3L, false), (3L, 47L, false))
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
