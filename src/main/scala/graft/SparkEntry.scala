@@ -1395,6 +1395,20 @@ object SparkEntry {
       Similarity.farthestPointSample(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .orderBy("sel")
+    }),
+    "q_mix_temperature" -> ((s, dir) => {
+      // Temperature-scaled (exponent 1/2) language rebalancing: kept
+      // counts proportional to sqrt(n_lang) at ~50% total volume —
+      // damps the English majority (rate ~0.35), boosts the smaller
+      // languages (~0.65) — the multilingual-pretraining mix. The
+      // derived rates are data-dependent, so unlike q_mix the oracle
+      // COMPUTES the integer cuts too (sqrt is correctly rounded
+      // everywhere; the sqrt-sum folds in lang order on both sides),
+      // then replays the same content-hash cut.
+      TextAnalysis.temperatureMix(t(s, dir, "documents"), "text", "lang",
+          targetFraction = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2842,7 +2856,30 @@ object SparkEntry {
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                        FROM embeddings),
                ${fpsCtesSql(8, 64)}
-          SELECT sel, vec_id, ms FROM cen8 ORDER BY sel"""
+          SELECT sel, vec_id, ms FROM cen8 ORDER BY sel""",
+    // Data-dependent cuts: counts -> sqrt-temperature rates -> the SAME
+    // floor(rate*1000 + 0.5) integer cut mixCorpus applies. The sqrt
+    // sum folds over langs in ASCENDING name order exactly like the
+    // driver-side foldLeft; every factor is CAST to DOUBLE so DuckDB
+    // cannot route the arithmetic through DECIMAL.
+    "q_mix_temperature" ->
+      raw"""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+              tots AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+                              list_sum(list_transform(list(n ORDER BY lang),
+                                       x -> sqrt(CAST(x AS DOUBLE)))) AS s
+                       FROM counts),
+              cuts AS (SELECT c.lang,
+                              CAST(floor(least(CAST(1.0 AS DOUBLE),
+                                     ((CAST(0.5 AS DOUBLE) * t.ntot) * sqrt(CAST(c.n AS DOUBLE)))
+                                     / (t.s * CAST(c.n AS DOUBLE))) * 1000
+                                   + CAST(0.5 AS DOUBLE)) AS INTEGER) AS cut
+                       FROM counts c, tots t),
+              d AS (SELECT doc_id, lang, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm FROM documents),
+              h AS (SELECT doc_id, lang, ${rollingHashSql("norm")} AS v FROM d),
+              sgn AS (SELECT doc_id, lang, ${signedSql("v")} AS sv FROM h),
+              b AS (SELECT doc_id, lang, CAST(((sv % 1000) + 1000) % 1000 AS INTEGER) AS bucket FROM sgn)
+         SELECT b.doc_id, b.lang FROM b JOIN cuts USING (lang)
+         WHERE b.bucket < cut ORDER BY doc_id"""
   )
 
   /** Headline queries Bench runs at sf0.1 (the heavy relational + LLM +
@@ -2879,5 +2916,5 @@ object SparkEntry {
     "q_exists", "q_novelty", "q_quality_gate", "q_semdedup",
     "q_stream_contamination", "q_cluster_sample", "q_reachability",
     "q_ann_recall", "q_sample_weighted", "q_fuzzy_match", "q_pagerank",
-    "q_coreset")
+    "q_coreset", "q_mix_temperature")
 }

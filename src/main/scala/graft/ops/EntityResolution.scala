@@ -21,26 +21,51 @@ object EntityResolution {
     * distance <= `maxDist` (id_a < id_b). The distance runs through
     * Spark's codegen'd 3-arg `levenshtein` with the threshold pushed
     * IN (it abandons a row as soon as the running distance exceeds
-    * `maxDist` — O(maxDist * len) instead of O(len^2) per pair).
+    * `maxDist` — O(maxDist * len) instead of O(len^2) per pair), after
+    * a free |len(a)-len(b)| <= maxDist prune (length difference
+    * lower-bounds edit distance, so the result set is unchanged).
     *
-    * Scale shape: ONE exchange on the block key; work is
-    * sum-over-blocks of block^2, never corpus^2 — the caller picks a
-    * block key whose occupancy is bounded (a name token against a
-    * closed vocabulary here; length-band or phonetic keys in general).
-    * A skewed block key is the same hazard as any hot join key —
-    * compose with the [[Dedup]] bucket-cap pattern or [[SkewJoin]]
-    * salting if the key can't guarantee a bound. Pairs compose with
+    * Scale shape — the low-cardinality-key self-join problem: a good
+    * block key is a closed vocabulary / phonetic code, so joining on
+    * `block` alone would put ALL quadratic work on #blocks tasks, and
+    * AQE makes it worse (it sizes the join by its tiny INPUT bytes and
+    * coalesces to one partition — it cannot see the output exploding;
+    * measured 2x slower than even the 8-task plan at sf0.1). The fix
+    * is the replicated-group pair decomposition: every row gets a
+    * deterministic hash group in [0, groups); the left side is
+    * replicated across all gj with its own group as gi, the right
+    * across all gi with its own group as gj, and the join runs on
+    * (block, gi, gj) — each ordered pair (a, b) meets in EXACTLY the
+    * (grp_a, grp_b) cell, so block^2 work spreads over groups^2 cells
+    * at a replication cost linear in `groups` on the slim (id, name)
+    * frame. The exchanges carry an EXPLICIT partition count (AQE
+    * respects user-numbered repartitions and won't re-coalesce), and
+    * the distance runs inline in the join task — no post-join shuffle
+    * of the pair stream. Work remains sum-over-blocks of block^2:
+    * the caller still owes a bounded-occupancy key; compose with
+    * [[SkewJoin]]-style capping if it can't. Pairs compose with
     * [[Dedup.nearDupClusters]] for transitive merge groups. */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
-      blockKey: Column, maxDist: Int): DataFrame = {
+      blockKey: Column, maxDist: Int, groups: Int = 8): DataFrame = {
+    require(groups >= 1, "groups must be >= 1")
     val base = df.select(blockKey.as("block"), col(idCol).as("id"),
       col(nameCol).as("name"))
-    val l = base.select(col("block"), col("id").as("id_a"),
-      col("name").as("name_a"))
-    val r = base.select(col("block"), col("id").as("id_b"),
-      col("name").as("name_b"))
-    l.join(r, Seq("block"))
+      .withColumn("grp", pmod(
+        graft.functions.LongHashes.splitmix64(col("id")),
+        lit(groups.toLong)).cast("int"))
+    val gs = array((0 until groups).map(lit): _*)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val l = base.select(col("block"), col("grp").as("gi"),
+        explode(gs).as("gj"), col("id").as("id_a"),
+        col("name").as("name_a"))
+      .repartition(parts, col("block"), col("gi"), col("gj"))
+    val r = base.select(col("block"), explode(gs).as("gi"),
+        col("grp").as("gj"), col("id").as("id_b"),
+        col("name").as("name_b"))
+      .repartition(parts, col("block"), col("gi"), col("gj"))
+    l.join(r, Seq("block", "gi", "gj"))
       .where(col("id_a") < col("id_b"))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist))
       .where(col("dist") >= 0) // 3-arg levenshtein yields -1 above maxDist

@@ -177,6 +177,47 @@ object TextAnalysis {
     df.where(b < floor(cut * buckets + lit(0.5)).cast(IntegerType))
   }
 
+  /** Temperature-scaled mixing (exponent 1/2): per-group keep-rates
+    * derived from group SIZES so that kept counts are proportional to
+    * sqrt(n_g) — the square-root rebalancing used for multilingual /
+    * multi-source pretraining mixes (big sources damped, small sources
+    * boosted, overall volume ~= `targetFraction` of the corpus; rates
+    * cap at 1.0 — content hashing selects, it cannot replicate).
+    * Exponent fixed at 1/2 ON PURPOSE: sqrt is correctly rounded in
+    * every IEEE engine, so the derived rates — hence the integer
+    * bucket cuts — are bit-identical in the DuckDB oracle, where a
+    * general n^(1/tau) would ride on pow()'s libm-dependent last ulp.
+    *
+    * The per-group rate is
+    *   min(1, ((targetFraction * ntot) * sqrt(n_g)) / (S * n_g)),
+    * S = sum over groups ASCENDING BY GROUP NAME of sqrt(n_g) — the
+    * association order is part of the contract (fp addition is not
+    * associative; the oracle's list_sum folds the same sorted list).
+    * Row selection then reuses [[mixCorpus]]'s content-hash cut, with
+    * all its stability properties.
+    *
+    * Scale: one count aggregate collects #groups rows to the driver
+    * (the group column must be low-cardinality — sources, languages;
+    * same boundedness contract as `rates` in [[mixCorpus]]), then one
+    * narrow per-row filter. */
+  def temperatureMix(df: DataFrame, textCol: String, groupCol: String,
+      targetFraction: Double, buckets: Int = 1000): DataFrame = {
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      "targetFraction must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val ntot = counts.map(_._2).sum
+    val s = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble) }
+    val rates = counts.map { case (g, n) =>
+      g -> math.min(1.0,
+        ((targetFraction * ntot) * math.sqrt(n.toDouble)) / (s * n.toDouble))
+    }.toMap
+    // groups can only come from the observed count set, so defaultRate
+    // is unreachable on the same frame; 0.0 makes drift loud elsewhere
+    mixCorpus(df, textCol, groupCol, rates, defaultRate = 0.0, buckets)
+  }
+
   /** Concat-and-chunk sequence packing: within each `partCol` stream,
     * documents in `idCol` order are laid head-to-tail and chunked into
     * fixed `capacity`-token context windows. Emits, per doc, the pack

@@ -28,6 +28,23 @@ class EntityResolutionSpec extends SparkSpecBase with Matchers {
     // the widget block — both exclusions are the operator's contract
   }
 
+  test("fuzzyPairs: the replicated-group decomposition is pair-complete " +
+      "— any `groups` yields the same set as the plain join (groups=1)") {
+    import org.apache.spark.sql.functions.lit
+    // one big block, 40 names engineered so some pairs match and most
+    // don't; ids spread across hash groups
+    val rows = (1L to 40L)
+      .map(i => (i, s"item ${"abcde" (i.toInt % 5)}${i % 7}"))
+      .toDF("id", "name")
+    def pairs(g: Int) = EntityResolution
+      .fuzzyPairs(rows, "id", "name", lit("all"), maxDist = 1, groups = g)
+      .as[(Long, Long, Int)].collect().toSet
+    val reference = pairs(1) // degenerate decomposition = plain block join
+    reference should not be empty
+    pairs(3) shouldBe reference
+    pairs(8) shouldBe reference
+  }
+
   test("fuzzyCanonical: min lower-id match with candidate count; " +
       "unmatched records are their own canon with n_cands = 0") {
     val canon = EntityResolution

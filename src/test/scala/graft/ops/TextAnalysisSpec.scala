@@ -413,4 +413,25 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
       // coalesce every rule is null-condition false and it would PASS
       (7L, 1L + 2L + 4L + 8L + 32L, false))
   }
+
+  test("temperatureMix: sqrt rebalancing derives hand-computable integer " +
+      "cuts (16:4 split at f=0.5 -> cuts 417/833) and applies them " +
+      "through the content-hash bucket") {
+    // counts with EXACT sqrts: n_a=16 (sqrt 4), n_b=4 (sqrt 2), S=6,
+    // N=20: rate_a = (0.5*20)*4/(6*16) = 40/96  -> floor(416.67+0.5) = 417
+    //       rate_b = (0.5*20)*2/(6*4)  = 20/24  -> floor(833.33+0.5) = 833
+    // the minority group keeps ~2x the rate of the majority.
+    val df = ((1 to 16).map(i => (i.toLong, s"alpha document body $i", "a"))
+      ++ (17 to 20).map(i => (i.toLong, s"beta document body $i", "b")))
+      .toDF("id", "text", "g")
+    val kept = TextAnalysis.temperatureMix(df, "text", "g", 0.5)
+      .select("id").as[Long].collect().toSet
+    val expect = df.select(col("id"),
+        TextAnalysis.splitBucket(col("text"), 1000).as("b"), col("g"))
+      .collect()
+      .filter(r => r.getInt(1) < (if (r.getString(2) == "a") 417 else 833))
+      .map(_.getLong(0)).toSet
+    kept shouldBe expect
+    kept should not be empty // the cut actually keeps something here
+  }
 }
