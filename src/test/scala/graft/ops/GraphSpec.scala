@@ -35,6 +35,31 @@ class GraphSpec extends SparkSpecBase with Matchers {
       Map(1L -> 2700000L, 2L -> 433333L, 3L -> 433333L, 4L -> 433333L)
   }
 
+  test("pageRankFixed matches an in-memory integer reference on seeded " +
+      "random graphs (exact equality — the point of fixed-point PR)") {
+    def reference(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var score = edges.map(_._1).map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        score = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> (150000L +
+            85L * es.toSeq.map { case (s, _) => score(s) / out(s) }.sum / 100L)
+        }
+      }
+      score
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 3 + rnd.nextInt(8)
+      val raw = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val sym = (raw ++ raw.map(_.swap)).toSet
+      val got = Graph.pageRankFixed(sym.toSeq.toDF("src", "dst"),
+        "src", "dst", iters = 3).as[(Long, Long)].collect().toMap
+      got shouldBe reference(sym, 3)
+    }
+  }
+
   test("pageRankFixed: duplicate edges collapse; reliable-checkpoint " +
       "variant is score-identical (durability knob, not semantics)") {
     val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L))
