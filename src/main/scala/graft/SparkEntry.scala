@@ -1409,6 +1409,25 @@ object SparkEntry {
           targetFraction = 0.5)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+    "q_hilbert" -> ((s, dir) => {
+      // Hilbert-curve layout audit, the q_zorder twin on the better
+      // curve: index (user_id, hour) at order 20, bucket by h >> 12,
+      // and show every bucket bounds BOTH dimensions — without
+      // Morton's diagonal seam jumps (consecutive Hilbert indexes are
+      // always grid-adjacent). 20 chained projections of built-in
+      // bitwise/CASE exprs (state cross-references forbid one Column
+      // tree), all inside whole-stage codegen; one count shuffle; the
+      // oracle replays the same rounds as a CTE chain.
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 3600000000000").as("hr"))
+      Layout.hilbertIndex(e, "user_id", "hr", order = 20, outCol = "h")
+        .withColumn("bucket", call_function("shiftright", col("h"), lit(12)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("hr").as("min_hr"), max("hr").as("max_hr"))
+        .orderBy("bucket")
     })
   )
 
@@ -1508,6 +1527,24 @@ object SparkEntry {
          |          FROM e JOIN s$r USING (vec_id))""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** DuckDB replay of [[graft.ops.Layout.hilbertIndex]]: `order` CTE
+    * rounds hb1..hbN over prefix CTE `hb0` (carry..., x, y, d=0 as
+    * BIGINT) — the same xy2d reflect+swap rounds the Spark side runs
+    * as chained projections. */
+  private def hilbertCtesSql(order: Int, carry: String): String = {
+    val n = 1L << order
+    (0 until order).map { i =>
+      val s = 1L << (order - 1 - i)
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""hb${i + 1} AS (SELECT $carry,
+         |       d + CAST(${s * s} AS BIGINT) * xor(3 * $rx, $ry) AS d,
+         |       CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN ${n - 1} - y ELSE y END ELSE x END AS x,
+         |       CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1 THEN ${n - 1} - x ELSE x END ELSE y END AS y
+         |       FROM hb$i)""".stripMargin
+    }.mkString(",\n")
   }
 
   /** Reinterpret a mod-2^64 HUGEINT as signed 64-bit (Spark LongType). */
@@ -2879,7 +2916,17 @@ object SparkEntry {
               sgn AS (SELECT doc_id, lang, ${signedSql("v")} AS sv FROM h),
               b AS (SELECT doc_id, lang, CAST(((sv % 1000) + 1000) % 1000 AS INTEGER) AS bucket FROM sgn)
          SELECT b.doc_id, b.lang FROM b JOIN cuts USING (lang)
-         WHERE b.bucket < cut ORDER BY doc_id"""
+         WHERE b.bucket < cut ORDER BY doc_id""",
+    "q_hilbert" ->
+      raw"""WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
+              hb0 AS (SELECT user_id, hr, CAST(user_id AS BIGINT) AS x,
+                             CAST(hr AS BIGINT) AS y, CAST(0 AS BIGINT) AS d
+                      FROM e),
+              ${hilbertCtesSql(20, "user_id, hr")}
+         SELECT d >> 12 AS bucket, count(*) AS n,
+                min(user_id) AS min_user, max(user_id) AS max_user,
+                min(hr) AS min_hr, max(hr) AS max_hr
+         FROM hb20 GROUP BY 1 ORDER BY bucket"""
   )
 
   /** Headline queries Bench runs at sf0.1 (the heavy relational + LLM +
@@ -2916,5 +2963,5 @@ object SparkEntry {
     "q_exists", "q_novelty", "q_quality_gate", "q_semdedup",
     "q_stream_contamination", "q_cluster_sample", "q_reachability",
     "q_ann_recall", "q_sample_weighted", "q_fuzzy_match", "q_pagerank",
-    "q_coreset", "q_mix_temperature")
+    "q_coreset", "q_mix_temperature", "q_hilbert")
 }

@@ -95,4 +95,57 @@ object Layout {
     GraftColumnBridge.column(zValue3Expr(
       GraftColumnBridge.expression(x), GraftColumnBridge.expression(y),
       GraftColumnBridge.expression(z)))
+
+  /** 2-D Hilbert index (the published xy2d bit algorithm, `order`
+    * rounds): the space-filling curve WITHOUT Morton's long diagonal
+    * jumps — consecutive Hilbert indexes are always grid-adjacent, so
+    * equal-width index buckets bound both dimensions at least as
+    * tightly as z-buckets and never split a bucket across the plane's
+    * diagonal seam. Same write-once layout bill as [[zValue]]
+    * (`repartitionByRange(h).sortWithinPartitions(h)`); pick Hilbert
+    * when range predicates dominate, Morton when the cheap spread
+    * arithmetic matters in the write path.
+    *
+    * Unlike the Morton spreads, each round's outputs cross-reference
+    * BOTH current coordinates (reflect + swap), so a single Column
+    * tree would re-inline the state exponentially; instead each round
+    * is one chained projection over named state columns — the plan
+    * stays linear in `order` and every operator is a built-in
+    * codegen'd expression (no UDF, no kernel). The DuckDB oracle
+    * replays the same rounds as a CTE chain.
+    *
+    * Inputs MUST lie in [0, 2^order); `order` <= 31 keeps d = x*y
+    * interleavings within the positive long range. State columns are
+    * prefixed `_h` and dropped on exit. */
+  def hilbertIndex(df: org.apache.spark.sql.DataFrame, xCol: String,
+      yCol: String, order: Int, outCol: String = "hilbert")
+      : org.apache.spark.sql.DataFrame = {
+    require(order >= 1 && order <= 31, "order must be in [1, 31]")
+    import org.apache.spark.sql.functions._
+    val n = 1L << order
+    var cur = df
+      .withColumn("_hx", col(xCol).cast(LongType))
+      .withColumn("_hy", col(yCol).cast(LongType))
+      .withColumn("_hd", lit(0L))
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = when(col("_hx").bitwiseAND(lit(s)) > 0, lit(1L))
+        .otherwise(lit(0L))
+      val ry = when(col("_hy").bitwiseAND(lit(s)) > 0, lit(1L))
+        .otherwise(lit(0L))
+      cur = cur.withColumns(Map(
+        "_hd" -> (col("_hd") +
+          lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)),
+        // rot: if ry==0 reflect (about the FULL n-1 — the xy2d
+        // published form) when rx==1, then swap x and y
+        "_hx" -> when(ry === 0,
+          when(rx === 1, lit(n - 1) - col("_hy")).otherwise(col("_hy")))
+          .otherwise(col("_hx")),
+        "_hy" -> when(ry === 0,
+          when(rx === 1, lit(n - 1) - col("_hx")).otherwise(col("_hx")))
+          .otherwise(col("_hy"))))
+      s >>= 1
+    }
+    cur.withColumnRenamed("_hd", outCol).drop("_hx", "_hy")
+  }
 }

@@ -542,6 +542,16 @@ class PlanSpec extends SparkSpecBase with Matchers {
     readSchema should not include "source"
   }
 
+  test("q_hilbert: 20 chained reflect+swap rounds stay pure codegen'd " +
+      "arithmetic feeding one partial+final count shuffle — like " +
+      "q_zorder, no join, no UDF") {
+    val p = plan("q_hilbert")
+    p should include("partial_count")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+    p should not include "BatchEvalPython"
+  }
+
   test("q_sample_weighted is the same bounded TakeOrderedAndProject as " +
       "q_sample — per-partition top-k on the priority, no corpus shuffle") {
     val p = plan("q_sample_weighted")

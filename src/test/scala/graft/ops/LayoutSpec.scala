@@ -91,6 +91,41 @@ class LayoutSpec extends SparkSpecBase with Matchers {
     all(got) should be >= 0L
   }
 
+  test("hilbertIndex is a true Hilbert curve at order 4: bijection onto " +
+      "[0, 256) and every consecutive index pair is GRID-ADJACENT (the " +
+      "no-diagonal-jump property Morton lacks)") {
+    import spark.implicits._
+    // reference: the published xy2d bit algorithm, directly transcribed
+    def xy2d(order: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << order
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = Layout
+      .hilbertIndex(grid.toDF("x", "y"), "x", "y", order = 4, outCol = "h")
+      .select("x", "y", "h").as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      withClue(s"x=$x y=$y: ") { h shouldBe xy2d(4, x, y) }
+    }
+    val byIndex = got.sortBy(_._3)
+    byIndex.map(_._3).toSeq shouldBe (0L until 256L) // bijection
+    byIndex.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      ((x1 - x2).abs + (y1 - y2).abs) shouldBe 1L // grid adjacency
+    }
+  }
+
   test("zValue stays codegen'd (composed from built-in bitwise exprs — " +
       "no UDF, no fallback)") {
     // spark.range (not a local Seq): a LocalRelation of literals would
