@@ -314,6 +314,32 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     all(streamed.map(_._3)) should be >= 1L
   }
 
+  test("stratified bottom-k-by-hash sampling runs incrementally in a " +
+      "streaming groupBy and equals the batch sample (the bounded-heap " +
+      "merge is insertion-order-free, so late arrivals only displace)") {
+    import graft.ops.Sampling
+    import graft.functions.LongHashes
+    val in = MemoryStream[(String, Long)](spark)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(Sampling.bottomKByHash(
+        LongHashes.splitmix64(col("id")), col("id"), 3).as("picks"))
+    val data = (1L to 30L).map(i => (if (i % 2 == 0) "a" else "b", i))
+    val q = agg(in.toDF().toDF("g", "id"))
+      .writeStream.format("memory").queryName("sample_stream")
+      .outputMode("complete").start()
+    data.grouped(7).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("g", "transform(picks, p -> p.id) AS ids")
+      .as[(String, Seq[Long])].collect().sortBy(_._1).toSeq
+    val streamed = norm(spark.table("sample_stream"))
+    streamed shouldBe norm(agg(data.toDF("g", "id")))
+    streamed.map(_._2.size) shouldBe Seq(3, 3) // both strata at k
+  }
+
   test("qualityGate screens an arriving stream unchanged (stateless " +
       "narrow op: append mode, no state, no watermark) and matches the " +
       "batch gate row for row") {
