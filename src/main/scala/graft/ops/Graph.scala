@@ -40,13 +40,19 @@ object Graph {
     * would silently leave the frame. Self-loops are honored, duplicate
     * edges are collapsed.
     *
-    * Scale shape: each round is one shuffle-join of the slim (src,
-    * dst, outdeg) edge frame against the (node, score) frame plus one
+    * Scale shape: each round is one join of the slim (src, dst,
+    * outdeg) edge frame against the (node, score) frame plus one
     * map-side-partial sum — the textbook distributed PR round. The
-    * edge frame is degree-joined and pinned ONCE; per-round frames are
-    * checkpointed exactly like [[Dedup.nearDupClusters]] (lineage
-    * would otherwise double per round), with the same
-    * `checkpointDir`-for-durability knob. */
+    * edge frame is degree-joined and pinned ONCE; every round's score
+    * frame is pinned too, and that per-round pin is LOAD-BEARING, not
+    * lineage hygiene: the score side is small, so Catalyst rightly
+    * BROADCASTS it into the next round's join, and a broadcast
+    * executes its subplan as its own job — with a lazy chain each
+    * round re-executes the entire un-pinned prefix (and those re-runs
+    * nest), which measured as an exponential job blowup at sf0.1, not
+    * the one-job tree a shuffle-only DAG would give. Same
+    * `checkpointDir`-for-durability knob as
+    * [[Dedup.nearDupClusters]]. */
   def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
       unit: Long = 1000000L,

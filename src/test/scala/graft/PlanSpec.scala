@@ -570,12 +570,12 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should include("levenshtein(name_a")
   }
 
-  test("q_pagerank: per-round frames are checkpointed (the final plan " +
-      "reads the round-5 RDD), and the top-50 is a bounded " +
-      "TakeOrderedAndProject — no global sort of the node set") {
+  test("q_pagerank: per-round frames are pinned (the final plan reads " +
+      "the round-5 RDD — the pin bounds BROADCAST re-execution, see " +
+      "Graph.scala), and the top-50 is a bounded TakeOrderedAndProject") {
     val p = plan("q_pagerank")
     p should include("TakeOrderedAndProject")
-    p should include("ExistingRDD") // lineage cut at the last checkpoint
+    p should include("ExistingRDD") // lineage cut at the last round pin
     p should not include "Exchange hashpartitioning"
   }
 }
