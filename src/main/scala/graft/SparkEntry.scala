@@ -25,13 +25,25 @@ import graft.types.AvroBridge
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // Driver parquet stores events.ts as TIMESTAMP(NANOS), which Spark 4
-    // rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long —
-    // DuckDB's ns->us read truncates the same way, so `ts div 1000` on
-    // our side lines up with CAST(ts AS TIMESTAMP) on the oracle side.
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts has shipped in two generations: TIMESTAMP(NANOS), which
+    // Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL) and reads as a
+    // nanos BIGINT under the nanosAsLong escape hatch, and
+    // TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ. The whole query
+    // surface and every oracle replay are written against the nanos-long
+    // form (`ts div 1000` == DuckDB's epoch_us(ts) either way: the ns
+    // read truncates identically on both engines, and micros*1000 is
+    // exact), so normalize to it here, at the single read boundary.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        // session tz is UTC at every entry point, so the NTZ cast picks
+        // the same instant DuckDB's naive-as-UTC epoch_us does
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
   }
 
   /** Avro schema used by the serde round-trip query. */

@@ -137,11 +137,9 @@ class PlanSpec extends SparkSpecBase with Matchers {
   test("bucketedAsOf tolerance guard is projection-only — identical " +
       "exchange/window count to the untolerated plan, no join") {
     import org.apache.spark.sql.functions.{col, expr, max}
-    // events.ts is TIMESTAMP(NANOS); without this conf a bare read throws
-    // PARQUET_TYPE_ILLEGAL (SparkEntry.t sets it, but this test must not
-    // depend on a t()-based test having run first in the shared session)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    // read through SparkEntry.t so ts arrives as the nanos long this
+    // arithmetic expects regardless of the testdata generation (ns vs us)
+    val ev = SparkEntry.t(spark, sf(), "events")
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
     val purchases = ev.where(col("event_type") === "purchase")
