@@ -35,6 +35,13 @@ object SparkEntry {
     // read truncates identically on both engines, and micros*1000 is
     // exact), so normalize to it here, at the single read boundary.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->epoch cast below (and every time-typed oracle replay) is
+    // only correct when the session renders naive timestamps as UTC.
+    // Every shipped entry point (Main/Bench/Verify) sets this at build
+    // time; enforcing it HERE pins the invariant at the same single
+    // read boundary for any future caller, instead of silently
+    // shifting epochs under a stray local-tz session.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampNTZType) | Some(TimestampType) =>
@@ -500,6 +507,40 @@ object SparkEntry {
         .mkString(s"stack(${cols.length}, ", ", ", ")")
       wide.select(expr(
           s"$stackExpr AS (col_name, n, n_nulls, n_distinct, min_v, max_v, sum_v)"))
+        .orderBy("col_name")
+    }),
+    "q_profile_sketch" -> ((s, dir) => {
+      // The HEADLINE profile for scale (q_profile stays as the exact
+      // reference): q_profile's 4-way countDistinct makes Catalyst plan
+      // an Expand that multiplies every row 5x before the exchange —
+      // at 100 TB that is a ~500 TB shuffle feeding an exact distinct
+      // per column. Here count/nulls/min/max/sum stay EXACT while the
+      // distinct swaps to the engine's own KMV sketch
+      // (Sketches.kmvDistinct, ~6% rel. error at k=256, exact below
+      // 256 distincts): ONE plain aggregate with map-side partials, no
+      // Expand, 16*k bytes per column per partition whatever the input
+      // cardinality. TPC-H measures are cent-valued doubles, so
+      // `round(x*100)` cast to long is a LOSSLESS sketch key that the
+      // oracle replays bit-for-bit (same IEEE multiply both engines).
+      // At sf0.01: quantity/discount/tax have <256 distincts (est is
+      // exact), extendedprice overflows the buffer (est is a real
+      // estimate) — both regimes exercised.
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          Sketches.kmvDistinct(
+            LongHashes.splitmix64(round(col(c) * 100).cast(LongType)), 256)
+            .getField("est").as(s"${c}_distinct_est"),
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          sum(col(c).cast(DecimalType(18, 4))).cast(DoubleType).as(s"${c}_sum"))
+      }
+      val wide = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stackExpr = cols.map(c =>
+        s"'$c', ${c}_n, ${c}_nulls, ${c}_distinct_est, ${c}_min, ${c}_max, ${c}_sum")
+        .mkString(s"stack(${cols.length}, ", ", ", ")")
+      wide.select(expr(
+          s"$stackExpr AS (col_name, n, n_nulls, n_distinct_est, min_v, max_v, sum_v)"))
         .orderBy("col_name")
     }),
     "q_outer_join" -> ((s, dir) => {
@@ -2108,6 +2149,47 @@ object SparkEntry {
                   min(l_tax), max(l_tax),
                   CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem)
          ORDER BY col_name""",
+    "q_profile_sketch" ->
+      raw"""WITH d AS (SELECT DISTINCT col_name,
+                              CAST(CAST(round(v * 100) AS BIGINT) AS HUGEINT) AS z
+                       FROM (SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+                             UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                             UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+                             UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+                       WHERE v IS NOT NULL),
+               ${splitmixCtesSql("d", "col_name")},
+               k AS (SELECT col_name,
+                            list_sort(list(CAST(z AS UBIGINT)))[1:256] AS ks
+                     FROM h5 GROUP BY col_name),
+               e AS (SELECT col_name,
+                            CASE WHEN len(ks) < 256 THEN CAST(len(ks) AS BIGINT)
+                                 ELSE CAST(LEAST(CAST(255 AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
+                                                   // CAST(list_max(ks) AS HUGEINT),
+                                                 CAST('9223372036854775807' AS HUGEINT)) AS BIGINT)
+                            END AS n_distinct_est
+                     FROM k),
+               st AS (
+                 SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+                        CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                        min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+                        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_v FROM lineitem
+                 UNION ALL
+                 SELECT 'l_extendedprice', count(l_extendedprice),
+                        CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                        min(l_extendedprice), max(l_extendedprice),
+                        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+                 UNION ALL
+                 SELECT 'l_discount', count(l_discount),
+                        CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                        min(l_discount), max(l_discount),
+                        CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+                 UNION ALL
+                 SELECT 'l_tax', count(l_tax),
+                        CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                        min(l_tax), max(l_tax),
+                        CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem)
+          SELECT col_name, n, n_nulls, n_distinct_est, min_v, max_v, sum_v
+          FROM st JOIN e USING (col_name) ORDER BY col_name""",
     "q_outer_join" ->
       """WITH hc AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
               ho AS (SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_price
@@ -2975,5 +3057,7 @@ object SparkEntry {
     "q_exists", "q_novelty", "q_quality_gate", "q_semdedup",
     "q_stream_contamination", "q_cluster_sample", "q_reachability",
     "q_ann_recall", "q_sample_weighted", "q_fuzzy_match", "q_pagerank",
-    "q_coreset", "q_mix_temperature", "q_hilbert")
+    "q_coreset", "q_mix_temperature", "q_hilbert",
+    // round 10
+    "q_profile_sketch")
 }

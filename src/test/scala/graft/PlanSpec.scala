@@ -107,6 +107,19 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "Scan parquet".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q_profile_sketch replaces the multi-distinct Expand with KMV: " +
+      "ONE plain aggregate, map-side partials, no Expand, no Join, one scan") {
+    val p = plan("q_profile_sketch")
+    // The entire reason this variant exists: q_profile's Expand
+    // multiplies every row 5x before the exchange; the sketch path
+    // must not re-introduce it.
+    p should not include "Expand"
+    p should not include "Join"
+    p should include("partial_count")
+    p should include("graft_kmv_distinct")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
   test("q_mix and q_scrub are shuffle-free narrow scans") {
     for (name <- Seq("q_mix", "q_scrub")) {
       withClue(name) {
