@@ -78,4 +78,61 @@ object Graph {
     }
     scores
   }
+
+  /** [[pageRankFixed]] for REAL directed graphs: lifts both of its
+    * preconditions. Nodes with no out-edges (dangling) no longer
+    * silently swallow their rank mass — each round their total score
+    * is redistributed uniformly (`dt div n` per node, the standard
+    * dangling-mass correction); and nodes with no IN-edges no longer
+    * fall out of the frame — the node universe is pinned up front as
+    * `src UNION dst` and every round LEFT-joins contributions onto it
+    * (no in-mass -> coalesce 0, the node keeps its jump base).
+    *
+    * Same integer fixed-point contract as [[pageRankFixed]]: every
+    * operation is exact 64-bit arithmetic, so the DuckDB oracle
+    * replays bit-for-bit. The per-node dangling share uses integer
+    * division, so up to `n-1` fixed-point UNITS (1e-6 each) of
+    * dangling mass round away per iteration — deterministic on both
+    * engines, negligible at unit=1e6.
+    *
+    * Scale shape: the two extra steps per round are a left-anti
+    * aggregate of the (small) score frame against the out-degree keys
+    * (one slim shuffle) and a 1-row dangling-total frame that CROSS-
+    * JOIN-broadcasts into the score update — no driver collect; the
+    * only driver scalar is the node COUNT, computed once. Per-round
+    * pins are load-bearing for the same broadcast-re-execution reason
+    * documented on [[pageRankFixed]]. */
+  def pageRankDangling(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
+      unit: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ewd = pin(e.join(deg, Seq("src")))
+    val nodes = pin(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count() // the one driver scalar: a single long
+    val base = unit - unit * dampNum / dampDen
+    var scores = pin(nodes.withColumn("score", lit(unit)))
+    for (_ <- 1 to iters) {
+      val contrib = ewd.join(scores, ewd("src") === scores("node"))
+        .select(ewd("dst").as("cn"), expr("score div outdeg").as("c"))
+        .groupBy(col("cn")).agg(sum(col("c")).as("s"))
+      // dangling = score rows whose node never appears as a source
+      val dang = scores.join(ewd.select(col("src")).distinct(),
+          scores("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("score")), lit(0L)).as("dt"))
+      scores = pin(scores.select(col("node"))
+        .join(contrib, col("node") === col("cn"), "left")
+        .crossJoin(broadcast(dang))
+        .selectExpr("node",
+          s"$base + ($dampNum * (coalesce(s, 0L) + dt div $n)) div $dampDen AS score"))
+    }
+    scores
+  }
 }

@@ -60,6 +60,68 @@ class GraphSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  private def danglingRanks(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] =
+    Graph.pageRankDangling(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("pageRankDangling: hand-computed 2-node chain — the sink keeps " +
+      "its place and its mass respreads") {
+    // 1 -> 2, node 2 dangling; n=2, unit=1e6.
+    // round 1: dt = score(2) = 1e6, share = 1e6 div 2 = 500000
+    //   v1 = 150000 + 85*(0 + 500000) div 100       = 575000
+    //   v2 = 150000 + 85*(1000000 + 500000) div 100 = 1425000
+    // round 2: dt = 1425000, share = 712500
+    //   v1 = 150000 + 85*712500 div 100            = 755625
+    //   v2 = 150000 + 85*(575000 + 712500) div 100 = 1244375
+    danglingRanks(Seq((1L, 2L)), iters = 2) shouldBe
+      Map(1L -> 755625L, 2L -> 1244375L)
+  }
+
+  test("pageRankDangling: on a graph where every node has an out-edge " +
+      "AND an in-edge it degenerates to pageRankFixed exactly") {
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    danglingRanks(sym, iters = 2) shouldBe ranks(Seq((1L, 2L), (2L, 3L)), 2)
+  }
+
+  test("pageRankDangling matches an in-memory integer reference on " +
+      "seeded random DIRECTED graphs (dangling + no-in-edge nodes kept)") {
+    def reference(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+      val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      val n = nodes.size.toLong
+      var score = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val dt = nodes.filterNot(out.contains).map(score).sum
+        val in = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.toSeq.map { case (s, _) => score(s) / out(s) }.sum
+        }
+        score = nodes.map(v =>
+          v -> (150000L +
+            85L * (in.getOrElse(v, 0L) + dt / n) / 100L)).toMap
+      }
+      score
+    }
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      val n = 3 + rnd.nextInt(8)
+      // directed, NOT symmetrized: dangling and source-only nodes occur
+      val es = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toSet
+      danglingRanks(es.toSeq, iters = 3) shouldBe reference(es, 3)
+    }
+  }
+
+  test("pageRankDangling conserves total mass up to documented integer " +
+      "rounding (< n units per round + damping truncation)") {
+    // DAG: 1->3, 2->3, 3 dangling; total starts at 3e6 and must stay
+    // within iters * (n + damping-truncation) units of it.
+    val got = danglingRanks(Seq((1L, 3L), (2L, 3L)), iters = 4)
+    val total = got.values.sum
+    (3000000L - total) should be >= 0L
+    (3000000L - total) should be < 4L * 10L
+  }
+
   test("pageRankFixed: duplicate edges collapse; reliable-checkpoint " +
       "variant is score-identical (durability knob, not semantics)") {
     val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L))
