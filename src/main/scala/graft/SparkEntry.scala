@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.functions.{BinaryCodec, CharDiversityKernel, LongHashes, TimeFunctions}
 import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.Pipeline
-import graft.serde.{AvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
+import graft.serde.{AvroMapping, ConfluentAvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -149,6 +149,31 @@ object SparkEntry {
         .select(m.encode(struct(col("event_id"), col("event_type"),
           col("value"))).as("bin"))
       enc.select(m.decode(col("bin")).as("e"))
+        .select(col("e.event_id").as("event_id"),
+          col("e.event_type").as("event_type"), col("e.value").as("value"))
+        .orderBy("event_id")
+    }),
+    "q_serde_confluent" -> ((s, dir) => {
+      // Confluent wire-format round trip (ConfluentAvroMapping):
+      // events encode to magic 0x00 + 4-byte BE schema id + Avro body,
+      // then every 97th frame is CORRUPTED (magic flipped to 0x01 —
+      // what a non-framed producer on the topic looks like) before
+      // decoding. Malformed frames surface as NULL (the engine's
+      // drop-record semantics, q_drop_cast's contract) and are
+      // filtered, never a misdecoded body. Framing is pure codegen'd
+      // concat/substring around the Avro codec — one narrow scan, the
+      // registry is consulted only at plan time.
+      val m = ConfluentAvroMapping(eventSchema, schemaId = 7)
+      val enc = t(s, dir, "events")
+        .select(col("event_id").as("id0"),
+          m.encode(struct(col("event_id"), col("event_type"),
+            col("value"))).as("bin"))
+      val tampered = enc.select(
+        when(col("id0") % 97 === 0,
+            concat(lit(Array[Byte](1)), substring(col("bin"), 2, Int.MaxValue)))
+          .otherwise(col("bin")).as("bin"))
+      tampered.select(m.decode(col("bin")).as("e"))
+        .where(col("e").isNotNull)
         .select(col("e.event_id").as("event_id"),
           col("e.event_type").as("event_type"), col("e.value").as("value"))
         .orderBy("event_id")
@@ -1997,6 +2022,9 @@ object SparkEntry {
       "SELECT event_id AS key, event_type AS value FROM events ORDER BY key",
     "q_serde_avro" ->
       """SELECT event_id, event_type, "value" FROM events ORDER BY event_id""",
+    "q_serde_confluent" ->
+      """SELECT event_id, event_type, "value" FROM events
+         WHERE event_id % 97 <> 0 ORDER BY event_id""",
     "q_serde_void" ->
       "SELECT CAST(NULL AS VARCHAR) AS key, event_id FROM events ORDER BY event_id",
     "q_time_iso2unix" ->

@@ -42,6 +42,31 @@ object BinaryCodec {
     when(length(c) >= 5 && substring(c, 1, 1) === lit(Array[Byte](0)),
         substring(c, 6, Int.MaxValue))
       .otherwise(lit(null).cast(BinaryType))
+
+  /** The 5-byte Confluent wire-format header for schema `id`: magic
+    * 0x00 + the id as a 4-byte big-endian int (ids are positive ints in
+    * the registry protocol). Computed once at PLAN time — the framed
+    * encode is a plain `concat` of a 5-byte literal. */
+  def confluentHeader(id: Int): Array[Byte] = {
+    require(id >= 0, s"Confluent schema ids are non-negative ints, got $id")
+    ByteBuffer.allocate(5).put(0: Byte).putInt(id).array()
+  }
+
+  /** Frame an Avro body in the Confluent wire format (encode-side dual
+    * of [[strip_confluent_header]]). */
+  def add_confluent_header(c: Column, schemaId: Int): Column =
+    concat(lit(confluentHeader(schemaId)), c)
+
+  /** Schema id carried by a wire-format frame, as a long (null when the
+    * frame isn't Confluent-framed). Routes through the codegen'd
+    * [[binary_to_long]] by zero-padding the 4 id bytes to 8 — long, not
+    * int, because the 4 bytes are UNSIGNED in [0, 2^32) and an ANSI
+    * int cast would throw on ids >= 2^31. */
+  def confluent_schema_id(c: Column): Column =
+    when(length(c) >= 5 && substring(c, 1, 1) === lit(Array[Byte](0)),
+        binary_to_long(concat(lit(Array[Byte](0, 0, 0, 0)),
+          substring(c, 2, 4))))
+      .otherwise(lit(null).cast(LongType))
 }
 
 /** binary(8, big-endian) -> long; non-8-byte input yields null (SQL-safe

@@ -67,6 +67,44 @@ final case class AvroMapping(schema: Schema) extends MappingType {
   def encode(c: Column): Column = AvroBridge.encodeAvro(c, schema)
 }
 
+/** Registry-framed Avro: the Confluent wire format (magic 0x00 + 4-byte
+  * big-endian schema id + Avro body — what the reference's
+  * KafkaAvroDeserializer consumes, GenericAvroSerializer.scala:52-73)
+  * with the schema bound STATICALLY to `schemaId`. Encode prepends the
+  * 5-byte header (a plan-time literal concat); decode accepts only
+  * frames carrying exactly this id — a live registry resolves ANY id to
+  * its schema for reader-side evolution, but offline the static binding
+  * makes an id mismatch a NULL (the engine's drop-record semantics)
+  * instead of a misdecoded body. Declare as `avro=<file>@<id>`, or bind
+  * from a registry snapshot via [[ConfluentAvroMapping.fromRegistry]].
+  * All framing runs in codegen'd Column expressions; the registry is
+  * never consulted per row. */
+final case class ConfluentAvroMapping(schema: Schema, schemaId: Int)
+    extends MappingType {
+  def sqlType: DataType = AvroBridge.toSqlType(schema)
+  def decode(c: Column): Column = {
+    val body = when(
+      BinaryCodec.confluent_schema_id(c) === lit(schemaId.toLong),
+      BinaryCodec.strip_confluent_header(c))
+      .otherwise(lit(null).cast(org.apache.spark.sql.types.BinaryType))
+    AvroBridge.decodeAvro(body, schema)
+  }
+  def encode(c: Column): Column =
+    BinaryCodec.add_confluent_header(
+      AvroBridge.encodeAvro(c, schema), schemaId)
+}
+
+object ConfluentAvroMapping {
+  /** Bind id `schemaId` from a registry snapshot; fails at construction
+    * (plan time) when the id is unknown. */
+  def fromRegistry(registry: SchemaRegistryClient,
+      schemaId: Int): ConfluentAvroMapping =
+    ConfluentAvroMapping(
+      registry.schemaById(schemaId).getOrElse(throw new IllegalArgumentException(
+        s"schema id $schemaId not in registry")),
+      schemaId)
+}
+
 object MappingType {
   /** Parse one serde declaration (reference: MappingType.fromString,
     * TypeConversions.scala:21-28). */
@@ -75,13 +113,23 @@ object MappingType {
     case "string" => StringMapping
     case "void"   => VoidMapping
     case "avro"   => throw new IllegalArgumentException(
-      "avro without =schema.avsc needs a Schema Registry; offline parity " +
-        "requires avro=<file> (SURVEY §7.4)")
+      "avro without =schema.avsc needs a live Schema Registry; offline " +
+        "use avro=<file> (plain body) or avro=<file>@<id> " +
+        "(Confluent wire format; SURVEY §7.4)")
     case a if a.startsWith("avro=") =>
-      val path = a.stripPrefix("avro=")
-      AvroMapping(new Schema.Parser().parse(new java.io.File(path)))
+      val spec = a.stripPrefix("avro=")
+      // id suffix splits on the LAST '@' so paths containing '@' work
+      spec.lastIndexOf('@') match {
+        case at if at >= 0 && spec.drop(at + 1).toIntOption.isDefined =>
+          ConfluentAvroMapping(
+            new Schema.Parser().parse(new java.io.File(spec.take(at))),
+            spec.drop(at + 1).toInt)
+        case _ =>
+          AvroMapping(new Schema.Parser().parse(new java.io.File(spec)))
+      }
     case other => throw new IllegalArgumentException(
-      s"unknown mapping type: $other (expected long|string|void|avro=file)")
+      s"unknown mapping type: $other (expected long|string|void|" +
+        "avro=file|avro=file@id)")
   }
 }
 

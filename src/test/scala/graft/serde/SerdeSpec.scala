@@ -97,4 +97,82 @@ class SerdeSpec extends SparkSpecBase {
     assert(out("too_short").isEmpty)
     assert(out("bad_magic").isEmpty)
   }
+
+  private val userSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"U","fields":[
+      |{"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
+      .stripMargin)
+
+  test("Confluent wire format: header literal, id extraction (unsigned " +
+      "4-byte -> long), encode/decode round trip at a high id") {
+    assert(BinaryCodec.confluentHeader(1).sameElements(
+      Array[Byte](0, 0, 0, 0, 1)))
+    assert(intercept[IllegalArgumentException](
+      BinaryCodec.confluentHeader(-1)).getMessage.contains("non-negative"))
+    val m = ConfluentAvroMapping(userSchema, schemaId = 123456)
+    val spark0 = spark
+    import spark0.implicits._
+    // top bit of the 4-byte id field set -> must read UNSIGNED as long
+    // (an ANSI int cast would throw): bytes 80 00 00 00 = 2147483648
+    val topBit = Seq(Tuple1(Array[Byte](0, 0x80.toByte, 0, 0, 0)))
+      .toDF("bin")
+      .select(BinaryCodec.confluent_schema_id(col("bin")).as("sid"))
+      .collect()(0).getLong(0)
+    assert(topBit == 2147483648L)
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val enc = src.select(m.encode(struct(col("id"), col("name"))).as("bin"))
+    val ids = enc.select(
+      BinaryCodec.confluent_schema_id(col("bin")).as("sid"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(123456L, 123456L))
+    val back = enc.select(m.decode(col("bin")).as("u"))
+      .select(col("u.id"), col("u.name")).as[(Long, String)]
+      .collect().toSeq.sorted
+    assert(back == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("Confluent decode: wrong schema id, bad magic, truncated header " +
+      "all -> NULL (drop-record), never a misdecoded body") {
+    val m = ConfluentAvroMapping(userSchema, schemaId = 7)
+    val spark0 = spark
+    import spark0.implicits._
+    val good = Seq((9L, "x")).toDF("id", "name")
+      .select(m.encode(struct(col("id"), col("name"))).as("bin"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val wrongId = good.clone(); wrongId(4) = 8 // id 7 -> 8, body intact
+    val badMagic = good.clone(); badMagic(0) = 1
+    val frames = Seq(
+      ("good", good), ("wrong_id", wrongId), ("bad_magic", badMagic),
+      ("truncated", good.take(4))).toDF("name", "frame")
+    val out = frames.select(col("name"),
+        m.decode(col("frame")).as("u"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(out == Map("good" -> false, "wrong_id" -> true,
+      "bad_magic" -> true, "truncated" -> true))
+  }
+
+  test("avro=file@id parses to the framed mapping; registry snapshot " +
+      "directory binds by id (FileSchemaRegistry)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg")
+    java.nio.file.Files.writeString(dir.resolve("schema.avsc"),
+      userSchema.toString)
+    MappingType.fromString(s"avro=$dir/schema.avsc@42") match {
+      case ConfluentAvroMapping(sch, 42) => assert(sch == userSchema)
+      case other => fail(s"expected framed mapping, got $other")
+    }
+    MappingType.fromString(s"avro=$dir/schema.avsc") match {
+      case AvroMapping(sch) => assert(sch == userSchema)
+      case other => fail(s"expected plain mapping, got $other")
+    }
+    // registry snapshot: <id>.avsc files; non-numeric names ignored
+    java.nio.file.Files.writeString(dir.resolve("42.avsc"),
+      userSchema.toString)
+    val reg = FileSchemaRegistry(dir.toString)
+    assert(reg.schemaById(42).contains(userSchema))
+    assert(reg.schemaById(41).isEmpty)
+    assert(ConfluentAvroMapping.fromRegistry(reg, 42) ==
+      ConfluentAvroMapping(userSchema, 42))
+    assert(intercept[IllegalArgumentException](
+      ConfluentAvroMapping.fromRegistry(reg, 99)).getMessage.contains("99"))
+  }
 }
