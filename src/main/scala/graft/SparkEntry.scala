@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{BinaryCodec, CharDiversityKernel, LongHashes, TimeFunctions}
-import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Merge, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, ConfluentAvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -533,6 +533,49 @@ object SparkEntry {
       wide.select(expr(
           s"$stackExpr AS (col_name, n, n_nulls, n_distinct, min_v, max_v, sum_v)"))
         .orderBy("col_name")
+    }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // EXACT heavy hitters without a full-cardinality shuffle
+      // (Sketches.heavyHitters): pass 1 builds a constant-size CMS
+      // grid, pass 2 prefilters rows MAP-SIDE against the broadcast
+      // grid so only candidate keys enter the exact groupBy. CMS only
+      // overcounts, so no false negatives; the exact confirm drops
+      // collision false positives — the oracle is therefore the plain
+      // GROUP BY ... HAVING, and equality is exact, not approximate.
+      // Non-vacuous regime at sf0.01: 16 hitters among 2000 part keys.
+      // Sizing contract (documented on the op): keep
+      // n_rows/width << threshold or the prefilter admits everyone and
+      // the plan degenerates to the naive shuffle it exists to avoid.
+      Sketches.heavyHitters(
+          t(s, dir, "lineitem").select(col("l_partkey")),
+          "l_partkey", threshold = 45, depth = 4, width = 4096)
+        .orderBy("l_partkey")
+    }),
+    "q_merge_upsert" -> ((s, dir) => {
+      // CDC MERGE (Merge.applyChanges): fold a change batch into the
+      // customer snapshot — updates (new name/balance from order
+      // totals), deletes (custkey % 13), and inserts (shifted new
+      // keys) in one call. All three outcome classes non-empty, plus
+      // untouched customers (those without orders). The snapshot is
+      // never shuffled: update/delete decide map-side under a
+      // broadcast of the batch, the insert residue is a tiny-vs-tiny
+      // anti join — vs the naive FULL OUTER that shuffles the whole
+      // snapshot (cannot broadcast either side).
+      val agg = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("chg"))
+      val upd = agg.select(col("o_custkey").as("c_custkey"),
+        when(col("o_custkey") % 13 === 0, "D").otherwise("U").as("op"),
+        concat(lit("cust_upd_"), col("o_custkey").cast(StringType)).as("c_name"),
+        col("chg").as("c_acctbal"))
+      val ins = agg.where(col("o_custkey") % 17 === 0)
+        .select((col("o_custkey") + 1000000L).as("c_custkey"),
+          lit("U").as("op"),
+          concat(lit("cust_new_"), col("o_custkey").cast(StringType)).as("c_name"),
+          col("chg").as("c_acctbal"))
+      val snapshot = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      Merge.applyChanges(snapshot, upd.unionByName(ins), "c_custkey", "op")
+        .orderBy("c_custkey")
     }),
     "q_profile_sketch" -> ((s, dir) => {
       // The HEADLINE profile for scale (q_profile stays as the exact
@@ -2025,6 +2068,31 @@ object SparkEntry {
     "q_serde_confluent" ->
       """SELECT event_id, event_type, "value" FROM events
          WHERE event_id % 97 <> 0 ORDER BY event_id""",
+    // CMS prefilter has no false negatives and the confirm is exact, so
+    // the two-pass sketch pipeline equals the naive GROUP BY ... HAVING.
+    "q_heavy_hitters" ->
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+         GROUP BY l_partkey HAVING count(*) >= 45 ORDER BY l_partkey""",
+    "q_merge_upsert" ->
+      """WITH agg AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS chg
+                      FROM orders GROUP BY o_custkey),
+              ch AS (SELECT o_custkey AS k,
+                            CASE WHEN o_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+                            'cust_upd_' || CAST(o_custkey AS VARCHAR) AS nm, chg
+                     FROM agg
+                     UNION ALL
+                     SELECT o_custkey + 1000000, 'U',
+                            'cust_new_' || CAST(o_custkey AS VARCHAR), chg
+                     FROM agg WHERE o_custkey % 17 = 0),
+              kept AS (SELECT s.c_custkey,
+                              CASE WHEN c.op = 'U' THEN c.nm ELSE s.c_name END AS c_name,
+                              CASE WHEN c.op = 'U' THEN c.chg ELSE s.c_acctbal END AS c_acctbal
+                       FROM customer s LEFT JOIN ch c ON c.k = s.c_custkey
+                       WHERE c.op IS NULL OR c.op <> 'D'),
+              ins AS (SELECT c.k AS c_custkey, c.nm AS c_name, c.chg AS c_acctbal
+                      FROM ch c LEFT JOIN customer s ON s.c_custkey = c.k
+                      WHERE c.op = 'U' AND s.c_custkey IS NULL)
+         SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY c_custkey""",
     "q_serde_void" ->
       "SELECT CAST(NULL AS VARCHAR) AS key, event_id FROM events ORDER BY event_id",
     "q_time_iso2unix" ->
@@ -3175,5 +3243,6 @@ object SparkEntry {
     "q_ann_recall", "q_sample_weighted", "q_fuzzy_match", "q_pagerank",
     "q_coreset", "q_mix_temperature", "q_hilbert",
     // round 10
-    "q_profile_sketch", "q_ann_recall_tuned", "q_pagerank_dangling")
+    "q_profile_sketch", "q_ann_recall_tuned", "q_pagerank_dangling",
+    "q_heavy_hitters", "q_merge_upsert")
 }

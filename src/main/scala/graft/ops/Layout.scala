@@ -116,7 +116,15 @@ object Layout {
     *
     * Inputs MUST lie in [0, 2^order); `order` <= 31 keeps d = x*y
     * interleavings within the positive long range. State columns are
-    * prefixed `_h` and dropped on exit. */
+    * prefixed `_h` and dropped on exit.
+    *
+    * Planning-cost note: the chained projections keep the PLAN linear,
+    * but Catalyst's collapse of the 31 rounds still produces a large
+    * single expression tree — a real one-time planning/codegen cost at
+    * order 31 (measured as q_hilbert's cold-vs-warm gap). Layout keys
+    * don't need full coordinate precision: prefer order <= 16 (a 2^16
+    * x 2^16 grid outnumbers any realistic partition count by orders of
+    * magnitude), where planning cost is negligible. */
   def hilbertIndex(df: org.apache.spark.sql.DataFrame, xCol: String,
       yCol: String, order: Int, outCol: String = "hilbert")
       : org.apache.spark.sql.DataFrame = {

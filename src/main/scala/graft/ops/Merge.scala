@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC MERGE: apply a change batch (upserts + deletes) to a snapshot —
+  * the `MERGE INTO` shape every incremental pipeline needs (refresh a
+  * curated corpus from a feed, fold a day's crawl into the master
+  * table). (LLM-data-pipeline extension; the reference is a stateless
+  * record-at-a-time transformer — SURVEY §2.3.)
+  */
+object Merge {
+
+  /** Merge `changes` into `snapshot` by `keyCol`. `changes` carries the
+    * snapshot's full schema plus `opCol` in {'U','D'}: 'U' upserts
+    * (update the payload when the key exists, insert the row when it
+    * doesn't), 'D' deletes. At most ONE change row per key (the usual
+    * CDC compaction contract — enforce upstream with a last-wins
+    * window if the feed has more); a 'D' for an absent key is a no-op.
+    *
+    * Scale shape — the change batch is assumed << snapshot (the CDC
+    * regime), so the snapshot is NEVER shuffled:
+    *  1. update/delete pass: snapshot LEFT-joins the BROADCAST change
+    *     set; each snapshot row keeps, rewrites, or drops itself
+    *     map-side.
+    *  2. insert residue: matched keys come from a second broadcast
+    *     probe of the snapshot (map-side semi), leaving
+    *     `changes ANTI matched` — a tiny-vs-tiny anti join (bounded by
+    *     the batch size on BOTH sides, since matched ⊆ change keys).
+    *  3. union — no exchange: both legs are already final.
+    * Two narrow snapshot scans, zero snapshot shuffles, every join
+    * broadcast. The naive alternative — FULL OUTER snapshot|><|changes —
+    * shuffles the full snapshot on the merge key (a full outer can
+    * never broadcast either side). */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String, opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == keyCol).toSeq
+    require(payload.forall(changes.columns.contains),
+      s"changes must carry the snapshot schema; missing: " +
+        payload.filterNot(changes.columns.contains).mkString(", "))
+    val s = snapshot.as("s")
+    val c = changes.as("c")
+    val upserted = s.join(broadcast(c),
+        col(s"s.$keyCol") === col(s"c.$keyCol"), "left")
+      .where(col(s"c.$opCol").isNull || col(s"c.$opCol") =!= "D")
+      .select(col(s"s.$keyCol").as(keyCol) +: payload.map(p =>
+        when(col(s"c.$opCol") === "U", col(s"c.$p"))
+          .otherwise(col(s"s.$p")).as(p)): _*)
+    val matched = s.join(broadcast(c.select(col(s"c.$keyCol"))),
+        Seq(keyCol), "left_semi")
+      .select(col(keyCol))
+    val inserts = c.where(col(s"c.$opCol") === "U")
+      .join(matched, Seq(keyCol), "left_anti")
+      .select(col(keyCol) +: payload.map(p => col(s"c.$p").as(p)): _*)
+    upserted.unionByName(inserts)
+  }
+}

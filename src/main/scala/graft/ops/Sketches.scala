@@ -100,6 +100,44 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  /** EXACT heavy hitters (keys with count >= `threshold`) WITHOUT a
+    * full-cardinality shuffle — the 100 TB answer to "which keys occur
+    * at least N times" when the key space is huge and the hitters are
+    * few.
+    *
+    * Two passes over the input, zero large shuffles:
+    *  1. build a [[countMin]] grid (constant `8*depth*width` bytes per
+    *     partition, map-side merged);
+    *  2. re-scan with the broadcast grid as a MAP-SIDE prefilter —
+    *     only rows whose [[cmsEstimate]] reaches the threshold enter
+    *     the exact groupBy — then confirm with an exact count.
+    *
+    * The result is EXACT, not approximate: CMS overcounts only (est >=
+    * true always), so the prefilter has no false negatives, and the
+    * exact confirm discards the collision-induced false positives.
+    * Collisions only cost shuffle bytes; size `width` so that
+    * `n_rows / width << threshold` keeps them rare. Contrast with the
+    * naive `groupBy.having`: that shuffles EVERY distinct key;
+    * this shuffles only rows of candidate keys. Misra-Gries-style
+    * one-pass summaries were rejected for the same reason they don't
+    * oracle-replay: eviction order makes the summary partition-order-
+    * sensitive; CMS is pure sums.
+    *
+    * Returns (keyCol, n) for keys with exact count >= threshold. */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      threshold: Long, depth: Int = 4, width: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    require(threshold >= 1, "threshold must be >= 1")
+    val keys = df.select(col(keyCol))
+    val grid = keys.agg(countMin(col(keyCol), depth, width).as("grid"))
+    keys.crossJoin(broadcast(grid))
+      .where(cmsEstimate(col("grid"), col(keyCol), depth, width)
+        >= lit(threshold))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+  }
+
   /** Point-frequency estimate from a [[countMin]] grid: min over rows
     * of `grid[i * width + bucket_i(key)]`, with `bucket_i` the same
     * codegen'd SplitMix64 path the aggregate used. */

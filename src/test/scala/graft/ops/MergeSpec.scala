@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+class MergeSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+
+  private val snapshot = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    .toDF("k", "name", "bal")
+
+  private def merged(changes: Seq[(Long, String, String, Double)]) =
+    Merge.applyChanges(snapshot,
+        changes.toDF("k", "op", "name", "bal"), "k", "op")
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+
+  test("applyChanges: update, delete, insert, and untouched rows in one " +
+      "batch — every outcome class") {
+    merged(Seq(
+      (2L, "U", "b2", 22.0),  // update existing
+      (3L, "D", "", 0.0),     // delete existing
+      (9L, "U", "i9", 99.0),  // insert new key
+      (8L, "D", "", 0.0)      // delete absent key: no-op
+    )) shouldBe Seq(
+      (1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0), (9L, "i9", 99.0))
+  }
+
+  test("applyChanges: empty batch is identity; all-delete batch empties " +
+      "exactly the targeted keys") {
+    merged(Seq.empty) shouldBe Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    merged(Seq((1L, "D", "", 0.0), (2L, "D", "", 0.0),
+      (3L, "D", "", 0.0), (4L, "D", "", 0.0))) shouldBe Seq.empty
+  }
+
+  test("applyChanges rejects a change batch missing payload columns " +
+      "at plan time") {
+    val bad = Seq((1L, "U")).toDF("k", "op")
+    val e = intercept[IllegalArgumentException](
+      Merge.applyChanges(snapshot, bad, "k", "op"))
+    e.getMessage should include("name")
+  }
+
+  test("applyChanges plan: snapshot is never shuffled — both joins " +
+      "broadcast, no SortMergeJoin, no full-outer") {
+    val changes = Seq((2L, "U", "b2", 22.0), (9L, "U", "i9", 99.0))
+      .toDF("k", "op", "name", "bal")
+    val plan = Merge.applyChanges(snapshot, changes, "k", "op")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "FullOuter"
+  }
+}

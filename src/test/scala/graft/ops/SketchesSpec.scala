@@ -109,6 +109,37 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     words(1).head().getSeq[Long](0) shouldBe bf.head().getSeq[Long](0)
   }
 
+  test("heavyHitters: EXACT equality with the naive groupBy.having on a " +
+      "skewed corpus, across prefilter regimes (wide and colliding grids)") {
+    // 3 hot keys (100x), 200 cold keys (3x each): hitters at t=50 are
+    // exactly the hot keys, whatever the grid size — a narrow grid only
+    // admits more false candidates for the exact confirm to discard.
+    val rows = (Seq.fill(100)(Seq(1L, 2L, 3L)).flatten ++
+      (10L until 210L).flatMap(k => Seq(k, k, k))).toDF("key")
+    val expected = Seq((1L, 100L), (2L, 100L), (3L, 100L))
+    for (width <- Seq(8, 1024)) {
+      withClue(s"width=$width: ") {
+        Sketches.heavyHitters(rows, "key", threshold = 50,
+            depth = 4, width = width)
+          .as[(Long, Long)].collect().toSeq.sortBy(_._1) shouldBe expected
+      }
+    }
+    // threshold below the cold count: everyone is a hitter (exactness
+    // holds in the degenerate regime too)
+    Sketches.heavyHitters(rows, "key", threshold = 3, depth = 4, width = 8)
+      .count() shouldBe 203L
+  }
+
+  test("heavyHitters plan: the exact groupBy consumes the PREFILTERED " +
+      "scan (filter on the cms estimate sits below the aggregate)") {
+    val rows = (1L to 100L).toDF("key")
+    val plan = Sketches.heavyHitters(rows, "key", threshold = 5)
+      .queryExecution.optimizedPlan.toString
+    // the broadcast grid feeds a filter, not a join-after-aggregate
+    plan should include("least(") // cmsEstimate's min-over-rows
+    plan.indexOf("Filter") should be < plan.indexOf("Aggregate")
+  }
+
   test("kmvDistinct: serde round-trip preserves the kept set") {
     val agg = KmvDistinct(
       org.apache.spark.sql.GraftColumnBridge.expression(col("x")), 16)
