@@ -577,6 +577,27 @@ object SparkEntry {
       Merge.applyChanges(snapshot, upd.unionByName(ins), "c_custkey", "op")
         .orderBy("c_custkey")
     }),
+    "q_merge_compact" -> ((s, dir) => {
+      // The full CDC chain: a RAW feed with many changes per key
+      // (every order is a change event against its customer) compacts
+      // last-wins by event order (Merge.compactLastWins — one hash
+      // aggregate, winner rides the buffer as a struct max; no Window
+      // sort) and then folds into the snapshot via the same broadcast
+      // merge as q_merge_upsert. Feed keys all exist in the snapshot
+      // (orders FK), so this exercises update/delete/untouched;
+      // q_merge_upsert covers the insert leg.
+      val feed = t(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderkey").as("ts"),
+        when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+        concat(lit("ord_"), col("o_orderkey").cast(StringType)).as("c_name"),
+        col("o_totalprice").as("c_acctbal"))
+      val compacted = Merge.compactLastWins(feed, "c_custkey", "ts")
+      val snapshot = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      Merge.applyChanges(snapshot, compacted.drop("ts"), "c_custkey", "op")
+        .orderBy("c_custkey")
+    }),
     "q_profile_sketch" -> ((s, dir) => {
       // The HEADLINE profile for scale (q_profile stays as the exact
       // reference): q_profile's 4-way countDistinct makes Catalyst plan
@@ -2093,6 +2114,22 @@ object SparkEntry {
                       FROM ch c LEFT JOIN customer s ON s.c_custkey = c.k
                       WHERE c.op = 'U' AND s.c_custkey IS NULL)
          SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY c_custkey""",
+    "q_merge_compact" ->
+      """WITH feed AS (SELECT o_custkey AS k, o_orderkey AS ts,
+                             CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+                             'ord_' || CAST(o_orderkey AS VARCHAR) AS nm,
+                             o_totalprice AS bal
+                      FROM orders),
+              lastc AS (SELECT k, op, nm, bal FROM (
+                          SELECT *, row_number() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+                          FROM feed)
+                        WHERE rn = 1),
+              kept AS (SELECT s.c_custkey,
+                              CASE WHEN c.op = 'U' THEN c.nm ELSE s.c_name END AS c_name,
+                              CASE WHEN c.op = 'U' THEN c.bal ELSE s.c_acctbal END AS c_acctbal
+                       FROM customer s LEFT JOIN lastc c ON c.k = s.c_custkey
+                       WHERE c.op IS NULL OR c.op <> 'D')
+         SELECT * FROM kept ORDER BY c_custkey""",
     "q_serde_void" ->
       "SELECT CAST(NULL AS VARCHAR) AS key, event_id FROM events ORDER BY event_id",
     "q_time_iso2unix" ->
@@ -3244,5 +3281,5 @@ object SparkEntry {
     "q_coreset", "q_mix_temperature", "q_hilbert",
     // round 10
     "q_profile_sketch", "q_ann_recall_tuned", "q_pagerank_dangling",
-    "q_heavy_hitters", "q_merge_upsert")
+    "q_heavy_hitters", "q_merge_upsert", "q_merge_compact")
 }

@@ -32,6 +32,25 @@ object Merge {
     * broadcast. The naive alternative — FULL OUTER snapshot|><|changes —
     * shuffles the full snapshot on the merge key (a full outer can
     * never broadcast either side). */
+  /** Compact a raw CDC feed to the [[applyChanges]] contract: at most
+    * one change per key, last-wins by `tsCol`. ONE aggregate with
+    * map-side partials — the winning row rides the aggregation buffer
+    * as a struct `max` (lexicographic over (ts, remaining columns), so
+    * the winner is deterministic even under ts ties; struct max plans
+    * as SortAggregate, sorted by the GROUP key only). The point vs the
+    * row_number-window phrasing: partials collapse each map partition
+    * to one row per key BEFORE the exchange, so only (key, winner)
+    * pairs shuffle — a Window must ship and sort every raw feed row.
+    * At 100 TB a day's feed compacts with one slim shuffle. */
+  def compactLastWins(changes: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val rest = changes.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val ordered = tsCol +: rest
+    changes.groupBy(col(keyCol))
+      .agg(max(struct(ordered.map(col): _*)).as("_w"))
+      .select(col(keyCol) +: ordered.map(c => col(s"_w.$c").as(c)): _*)
+  }
+
   def applyChanges(snapshot: DataFrame, changes: DataFrame,
       keyCol: String, opCol: String): DataFrame = {
     val payload = snapshot.columns.filterNot(_ == keyCol).toSeq

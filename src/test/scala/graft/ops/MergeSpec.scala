@@ -43,6 +43,35 @@ class MergeSpec extends SparkSpecBase with Matchers {
     e.getMessage should include("name")
   }
 
+  test("compactLastWins: one winner per key by ts; deterministic under " +
+      "ts ties via lexicographic struct order; composes with applyChanges") {
+    val feed = Seq(
+      (2L, 10L, "U", "old", 1.0), (2L, 20L, "U", "new", 2.0),
+      (3L, 5L, "U", "res", 9.0), (3L, 7L, "D", "", 0.0),
+      (6L, 1L, "U", "zz", 3.0), (6L, 1L, "U", "aa", 4.0) // ts tie
+    ).toDF("k", "ts", "op", "name", "bal")
+    val compact = Merge.compactLastWins(feed, "k", "ts")
+      .as[(Long, Long, String, String, Double)].collect().toSeq.sortBy(_._1)
+    compact shouldBe Seq(
+      (2L, 20L, "U", "new", 2.0),   // last wins
+      (3L, 7L, "D", "", 0.0),       // a later delete beats the upsert
+      (6L, 1L, "U", "zz", 3.0))     // tie -> lexicographic max of rest
+    Merge.applyChanges(snapshot, compact.toDF("k", "ts", "op", "name", "bal")
+        .drop("ts"), "k", "op")
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1) shouldBe Seq(
+      (1L, "a", 10.0), (2L, "new", 2.0), (4L, "d", 40.0), (6L, "zz", 3.0))
+  }
+
+  test("compactLastWins plan: map-side partial collapse + ONE exchange " +
+      "of (key, winner) pairs; no Window over the raw feed") {
+    val feed = Seq((1L, 1L, "U", "x", 1.0)).toDF("k", "ts", "op", "name", "bal")
+    val plan = Merge.compactLastWins(feed, "k", "ts")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("partial_max")
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("applyChanges plan: snapshot is never shuffled — both joins " +
       "broadcast, no SortMergeJoin, no full-outer") {
     val changes = Seq((2L, "U", "b2", 22.0), (9L, "U", "i9", 99.0))
