@@ -598,6 +598,25 @@ object SparkEntry {
       Merge.applyChanges(snapshot, compacted.drop("ts"), "c_custkey", "op")
         .orderBy("c_custkey")
     }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD2 dimension history (Merge.scd2Intervals): every order is a
+      // version of its customer's state; each becomes a validity
+      // interval closed by the key's next change (open + is_current on
+      // the latest). o_orderkey is the version ts — unique per key, so
+      // "next" is well-defined (the op's documented contract). ONE key
+      // exchange + one partition sort for the single lead window.
+      // Output trimmed to customers 1-200 to keep the artifact small;
+      // the filter pushes to the parquet scan BELOW the window (key-
+      // predicate pushdown through a key-partitioned window is safe).
+      val feed = t(s, dir, "orders")
+        .where(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey").as("valid_from"),
+          col("o_totalprice").as("price"))
+      Merge.scd2Intervals(feed, "o_custkey", "valid_from")
+        .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("price"))
+        .orderBy("o_custkey", "valid_from")
+    }),
     "q_profile_sketch" -> ((s, dir) => {
       // The HEADLINE profile for scale (q_profile stays as the exact
       // reference): q_profile's 4-way countDistinct makes Catalyst plan
@@ -2130,6 +2149,13 @@ object SparkEntry {
                        FROM customer s LEFT JOIN lastc c ON c.k = s.c_custkey
                        WHERE c.op IS NULL OR c.op <> 'D')
          SELECT * FROM kept ORDER BY c_custkey""",
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey AS valid_from,
+                lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to,
+                lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) IS NULL AS is_current,
+                o_totalprice AS price
+         FROM orders WHERE o_custkey <= 200
+         ORDER BY o_custkey, valid_from""",
     "q_serde_void" ->
       "SELECT CAST(NULL AS VARCHAR) AS key, event_id FROM events ORDER BY event_id",
     "q_time_iso2unix" ->
@@ -3281,5 +3307,5 @@ object SparkEntry {
     "q_coreset", "q_mix_temperature", "q_hilbert",
     // round 10
     "q_profile_sketch", "q_ann_recall_tuned", "q_pagerank_dangling",
-    "q_heavy_hitters", "q_merge_upsert", "q_merge_compact")
+    "q_heavy_hitters", "q_merge_upsert", "q_merge_compact", "q_scd2")
 }

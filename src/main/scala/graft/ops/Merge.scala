@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CDC MERGE: apply a change batch (upserts + deletes) to a snapshot —
@@ -49,6 +50,27 @@ object Merge {
     changes.groupBy(col(keyCol))
       .agg(max(struct(ordered.map(col): _*)).as("_w"))
       .select(col(keyCol) +: ordered.map(c => col(s"_w.$c").as(c)): _*)
+  }
+
+  /** SCD2 dimension history from a change feed: each change row
+    * becomes a validity interval `[tsCol, valid_to)`, with `valid_to`
+    * the key's next change ts (null = open / current version, also
+    * flagged `is_current`). Requires a unique `tsCol` per key — ties
+    * make "next" ill-defined; compact them away first (e.g.
+    * [[compactLastWins]] at a finer ts). One hash exchange on the key
+    * + a per-partition sort for the single `lead` window — the interval
+    * construction needs each key's changes adjacent and ordered, so
+    * this is the floor, and the summary/window phrasing reuses the one
+    * partitioning. Scale-safe as long as no single key's history
+    * exceeds a partition (dimension keys at 100 TB are fine; event-
+    * grade hot keys belong in [[EventAnalytics.sessionize]]-style
+    * bucketing instead). */
+  def scd2Intervals(changes: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 
   def applyChanges(snapshot: DataFrame, changes: DataFrame,

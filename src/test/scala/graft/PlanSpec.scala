@@ -120,6 +120,15 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "Scan parquet".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q_serde_confluent: wire-format framing is a shuffle-free narrow " +
+      "scan (codegen'd concat/substring around the Avro codec; the " +
+      "trailing sort is the only exchange)") {
+    val p = plan("q_serde_confluent")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Join"
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
   test("q_mix and q_scrub are shuffle-free narrow scans") {
     for (name <- Seq("q_mix", "q_scrub")) {
       withClue(name) {

@@ -72,6 +72,41 @@ class MergeSpec extends SparkSpecBase with Matchers {
     "Exchange".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("scd2Intervals: per-key validity chain — contiguous, open-ended " +
+      "last version flagged current; single-version keys immediately " +
+      "current") {
+    val feed = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 150.0), (1L, 30L, 90.0),
+      (5L, 7L, 55.0))
+      .toDF("k", "ts", "price")
+    val got = Merge.scd2Intervals(feed, "k", "ts")
+      .select("k", "ts", "valid_to", "is_current", "price")
+      .as[(Long, Long, Option[Long], Boolean, Double)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    got shouldBe Seq(
+      (1L, 10L, Some(20L), false, 100.0),
+      (1L, 20L, Some(30L), false, 150.0),
+      (1L, 30L, None, true, 90.0),
+      (5L, 7L, None, true, 55.0))
+    // intervals tile: every non-current valid_to == the next valid_from
+    got.groupBy(_._1).values.foreach { h =>
+      h.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => a._3 shouldBe Some(b._2)
+        case _ => ()
+      }
+    }
+  }
+
+  test("scd2Intervals plan: ONE exchange (the key partition) feeding " +
+      "one Window — no join, no second shuffle") {
+    val feed = Seq((1L, 10L, 100.0)).toDF("k", "ts", "price")
+    val plan = Merge.scd2Intervals(feed, "k", "ts")
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+    "Window".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+  }
+
   test("applyChanges plan: snapshot is never shuffled — both joins " +
       "broadcast, no SortMergeJoin, no full-outer") {
     val changes = Seq((2L, "U", "b2", 22.0), (9L, "U", "i9", 99.0))
