@@ -80,7 +80,12 @@ object Merge {
       s"changes must carry the snapshot schema; missing: " +
         payload.filterNot(changes.columns.contains).mkString(", "))
     val s = snapshot.as("s")
-    val c = changes.as("c")
+    // The batch is referenced THREE times (update/delete probe, matched
+    // keys, insert residue); pin it so a derived feed computes once —
+    // unpinned, each reference re-executed the whole upstream subplan
+    // (measured: q_merge_upsert re-scanned orders per reference). The
+    // batch is small by the CDC contract, so the pin is one cheap pass.
+    val c = changes.localCheckpoint().as("c")
     val upserted = s.join(broadcast(c),
         col(s"s.$keyCol") === col(s"c.$keyCol"), "left")
       .where(col(s"c.$opCol").isNull || col(s"c.$opCol") =!= "D")

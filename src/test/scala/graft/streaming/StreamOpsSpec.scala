@@ -151,6 +151,42 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
       Array((1L, "a1"), (2L, "b1"), (3L, "c1"))
   }
 
+  test("streaming CDC: compactLastWins + applyChanges inside " +
+      "foreachBatch maintain a live snapshot; final state equals the " +
+      "one-shot batch merge of the whole feed") {
+    // The Delta-style streaming-merge loop: each micro-batch compacts
+    // its own changes, then folds into the running snapshot — per-batch
+    // compaction is sound because a LATER batch's change always beats
+    // an earlier batch's (event ts rises with the feed), so
+    // batch-by-batch last-wins == global last-wins.
+    import graft.ops.Merge
+    val snapshot0 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bal")
+    var snapshot = snapshot0
+    val in = MemoryStream[(Long, Long, String, Double)](spark)
+    val q = in.toDS().toDF("k", "ts", "op", "bal").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val compacted = Merge.compactLastWins(batch, "k", "ts").drop("ts")
+        snapshot = Merge.applyChanges(snapshot, compacted, "k", "op")
+          .localCheckpoint() // pin: next batch joins a frame, not a lineage
+        ()
+      }.start()
+    in.addData((1L, 1L, "U", 11.0), (1L, 2L, "U", 12.0), (4L, 3L, "U", 44.0))
+    q.processAllAvailable()
+    in.addData((2L, 4L, "D", 0.0), (1L, 5L, "U", 13.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = snapshot.as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    streamed shouldBe Seq((1L, 13.0), (3L, 30.0), (4L, 44.0))
+    // parity: one-shot merge of the full compacted feed
+    val feed = Seq((1L, 1L, "U", 11.0), (1L, 2L, "U", 12.0),
+      (4L, 3L, "U", 44.0), (2L, 4L, "D", 0.0), (1L, 5L, "U", 13.0))
+      .toDF("k", "ts", "op", "bal")
+    val oneShot = Merge.applyChanges(snapshot0,
+        Merge.compactLastWins(feed, "k", "ts").drop("ts"), "k", "op")
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    streamed shouldBe oneShot
+  }
+
   test("runningMean accumulates per-key state across batches (update mode)") {
     val in = MemoryStream[(String, Double)](spark)
     val out = StreamOps.runningMean(in.toDS())
