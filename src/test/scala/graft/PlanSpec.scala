@@ -129,6 +129,14 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "Scan parquet".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q_scd2: the key predicate reaches the parquet scan BELOW the " +
+      "window; one key exchange, one Window, no join") {
+    val p = plan("q_scd2")
+    p should include("PushedFilters: [IsNotNull(o_custkey), LessThanOrEqual(o_custkey,200)")
+    "Window".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+  }
+
   test("q_mix and q_scrub are shuffle-free narrow scans") {
     for (name <- Seq("q_mix", "q_scrub")) {
       withClue(name) {
