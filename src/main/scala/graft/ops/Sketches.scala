@@ -32,6 +32,17 @@ import org.apache.spark.sql.types._
   * arithmetic (floor((k-1) * 2^64 / kth), no doubles), so partitioning
   * cannot change a single output bit.
   *
+  * Deliberately ABSENT from this family: quantile sketches (t-digest,
+  * KLL, GK). Their compaction decisions depend on arrival order, so
+  * two runs over different partitionings return different (both
+  * "valid") summaries — unverifiable against an oracle and unstable
+  * across retries, the same reason Misra-Gries heavy-hitter summaries
+  * were rejected (see [[heavyHitters]]). The deterministic substitutes
+  * shipped instead: exact percentiles where a sorted pass is
+  * affordable (q_len_stats), hash-sampled quantile estimation with the
+  * sampling error measured in the artifact (q_quantile_sample), and
+  * fixed-width-bin histograms as pure row arithmetic (q_histogram).
+  *
   * (LLM-data-pipeline extension; the reference is a stateless
   * record-at-a-time transformer with no aggregate surface — SURVEY
   * §2.3.)

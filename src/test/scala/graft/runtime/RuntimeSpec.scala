@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpecBase
-import graft.serde.AvroMapping
+import graft.serde.{AvroMapping, ConfluentAvroMapping}
 
 /** End-to-end runtime tests: the three reference worked examples (demo,
   * time, csv — SURVEY §2.4) run through the REAL CLI surface
@@ -118,6 +118,53 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     rows.map(_.getAs[String]("name")).toSeq shouldBe Seq("roel", "roelll")
     rows.map(_.getAs[Boolean]("valid")).toSeq shouldBe Seq(false, true)
     rows.map(_.getAs[Long]("fingers")).toSeq shouldBe Seq(14L, 4L)
+  }
+
+  test("registry-framed end-to-end: Confluent wire-format parquet in, " +
+      "avro=<file>@<id> decode through the CLI, re-framed on encode; a " +
+      "foreign-id frame drops instead of misdecoding") {
+    // Build the framed input the way a registry producer would: Avro
+    // body behind magic 0x00 + 4-byte BE schema id. One frame carries a
+    // DIFFERENT id (99) — a foreign producer on the topic; the declared
+    // id-7 serde must drop it (NULL decode), not misread its body.
+    import spark.implicits._
+    val schemaFile = Files.createTempFile("user", ".avsc")
+    Files.writeString(schemaFile,
+      """{"type":"record","name":"U","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
+        .stripMargin)
+    val m7 = ConfluentAvroMapping(avroSchema(schemaFile.toString), 7)
+    val m99 = ConfluentAvroMapping(avroSchema(schemaFile.toString), 99)
+    val in = tmp() + "/in"
+    Seq((1L, "ann", 7), (2L, "bob", 7), (3L, "eve", 99))
+      .toDF("id", "name", "sid")
+      .select(when(col("sid") === 7,
+          m7.encode(struct(col("id"), col("name"))))
+        .otherwise(m99.encode(struct(col("id"), col("name"))))
+        .as("value"))
+      .write.parquet(in)
+    val script = Files.createTempFile("reg", ".graft")
+    // value is the decoded U struct; drop-record semantics prune the
+    // foreign frame's NULL before the step ever sees it
+    Files.writeString(script,
+      "filter value is not null\n" +
+        "mapValues named_struct('id', value.id * 10, 'name', upper(value.name))\n")
+    val out = tmp() + "/out"
+    Main.run(spark, Array(
+      "-i", in, "-o", out,
+      "-l", script.toString,
+      "-d", s"avro=$schemaFile@7",
+      "-s", s"avro=$schemaFile@7")) shouldBe 0
+    val frames = spark.read.parquet(out).select(col("value")).collect()
+      .map(_.getAs[Array[Byte]](0))
+    // every output frame is re-framed under id 7
+    frames.foreach { f =>
+      f.take(5).toSeq shouldBe Seq[Byte](0, 0, 0, 0, 7)
+    }
+    val back = spark.read.parquet(out)
+      .select(m7.decode(col("value")).as("v")).select("v.*")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    back shouldBe Seq((10L, "ANN"), (20L, "BOB")) // id-99 frame dropped
   }
 
   test("time end-to-end: json -> pipeline -> long,long binary frame") {
