@@ -598,6 +598,21 @@ object SparkEntry {
       Merge.applyChanges(snapshot, compacted.drop("ts"), "c_custkey", "op")
         .orderBy("c_custkey")
     }),
+    "q_collocations" -> ((s, dir) => {
+      // Collocation mining (TextAnalysis.collocations): top-50 bigram
+      // phrases by lift = c_xy*N/(c_x*c_y) — the exponent-free core of
+      // PMI (log2 is monotone, so this IS the PMI ranking, without
+      // libm's bit-instability). Floor c_xy >= 5 keeps hapax pairs out
+      // and the joined frame slim (900 floored bigrams at sf0.01).
+      // Ordering binds to the EXACT lift on both engines; the rounded
+      // value is display-only.
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+          minCount = 5)
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(50)
+        .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+          round(col("lift"), 6).as("lift"))
+    }),
     "q_scd2" -> ((s, dir) => {
       // SCD2 dimension history (Merge.scd2Intervals): every order is a
       // version of its customer's state; each becomes a validity
@@ -2149,6 +2164,26 @@ object SparkEntry {
                        FROM customer s LEFT JOIN lastc c ON c.k = s.c_custkey
                        WHERE c.op IS NULL OR c.op <> 'D')
          SELECT * FROM kept ORDER BY c_custkey""",
+    "q_collocations" ->
+      raw"""WITH ts AS (SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+                       FROM documents),
+               uni AS (SELECT unnest(t) AS w FROM ts),
+               un AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+               nt AS (SELECT count(*) AS n_tok FROM uni),
+               bi AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+                      FROM ts),
+               bc AS (SELECT bigram, count(*) AS c_xy FROM bi
+                      GROUP BY bigram HAVING count(*) >= 5),
+               sp AS (SELECT bigram, c_xy,
+                             string_split(bigram, ' ')[1] AS w1,
+                             string_split(bigram, ' ')[2] AS w2 FROM bc),
+               j AS (SELECT s.bigram, s.c_xy, ux.c AS c_x, uy.c AS c_y,
+                            CAST(s.c_xy AS DOUBLE) * CAST(nt.n_tok AS DOUBLE)
+                              / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) AS lift
+                     FROM sp s JOIN un ux ON ux.w = s.w1
+                               JOIN un uy ON uy.w = s.w2, nt)
+          SELECT bigram, c_xy, c_x, c_y, round(lift, 6) AS lift
+          FROM j ORDER BY j.lift DESC, bigram LIMIT 50""",
     "q_scd2" ->
       """SELECT o_custkey, o_orderkey AS valid_from,
                 lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to,
@@ -3307,5 +3342,6 @@ object SparkEntry {
     "q_coreset", "q_mix_temperature", "q_hilbert",
     // round 10
     "q_profile_sketch", "q_ann_recall_tuned", "q_pagerank_dangling",
-    "q_heavy_hitters", "q_merge_upsert", "q_merge_compact", "q_scd2")
+    "q_heavy_hitters", "q_merge_upsert", "q_merge_compact", "q_scd2",
+    "q_collocations")
 }

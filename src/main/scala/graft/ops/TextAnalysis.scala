@@ -321,6 +321,47 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram")).limit(k)
 
+  /** Collocation (phrase) mining: bigrams whose observed count beats
+    * the independence expectation — multi-word expressions worth
+    * treating as units (tokenizer merges, boilerplate markers, named
+    * entities). Scored by LIFT `c_xy * N / (c_x * c_y)` (N = corpus
+    * token count), the exponent-free core of PMI: PMI = log2(lift) and
+    * log2 is monotone, so thresholding and RANKING on lift IS
+    * thresholding/ranking on PMI — while lift is two exact-long-to-
+    * double casts, one multiply chain, one division, with a FIXED
+    * association order `(c_xy * N) / (c_x * c_y)` that replays
+    * IEEE-identically cross-engine (libm log2 is not bit-stable).
+    * `minCount` floors the bigram count: rare pairs have unreliable
+    * lift (one co-occurrence of two hapaxes scores astronomically) and
+    * the floor also keeps the joined frame slim.
+    *
+    * Scale shape: unigram and bigram counts are two aggregates over
+    * exploded token streams (codegen'd kernel, map-side partials);
+    * the floored bigram table then attaches `c_x`/`c_y` via two joins
+    * keyed on the WORD — shuffles of slim (word, count) vocab frames,
+    * never the corpus — and N rides a 1-row broadcast (q_tfidf's
+    * pattern). Returns (bigram, c_xy, c_x, c_y, lift). */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    val toks = df.select(explode(ngrams(col(textCol), 1)).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_tok"))
+    val bi = df.select(explode(ngrams(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+      // kernel joins tokens with a single space, and tokens cannot
+      // contain spaces, so the split is unambiguous
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        (col("c_xy").cast(DoubleType) * col("n_tok").cast(DoubleType)
+          / (col("c_x").cast(DoubleType) * col("c_y").cast(DoubleType)))
+          .as("lift"))
+  }
+
   /** Per-document cross-corpus n-gram novelty: of the document's
     * DISTINCT word n-grams, the fraction appearing in NO other document
     * — the cross-document twin of the Gopher-style WITHIN-document

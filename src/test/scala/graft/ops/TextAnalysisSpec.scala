@@ -84,6 +84,27 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     r shouldBe Array(("a b", 3L), ("b a", 1L), ("b c", 1L))
   }
 
+  test("collocations: hand-computed lift — a glued pair outranks a " +
+      "frequent-word pair; the floor drops rare pairs") {
+    // Corpus: "new york" always together (3x), "the" everywhere.
+    // tokens: doc1 [the new york the] doc2 [new york the] doc3
+    // [the new york] -> N=10, c(the)=4, c(new)=3, c(york)=3
+    val df = Seq("the new york the", "new york the", "the new york")
+      .toDF("text")
+    val r = TextAnalysis.collocations(df, "text", minCount = 2)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // "new york": c_xy=3 -> 3*10/(3*3) = 10/3
+    r("new york")._5 shouldBe (3.0 * 10.0 / (3.0 * 3.0))
+    r("new york")._2 shouldBe 3L
+    // "york the": c_xy=2 -> 2*10/(3*4) = 5/3 — together less than
+    // independence-adjusted "new york" despite "the" being frequent
+    r("york the")._5 shouldBe (2.0 * 10.0 / (3.0 * 4.0))
+    r("new york")._5 should be > r("york the")._5
+    // pairs under the floor ("the new" occurs 2x, kept; nothing at 1x)
+    r.keySet shouldBe Set("new york", "york the", "the new")
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones, ties by term") {
     // 3 docs; "common" in all (df=3), each doc has one unique term (df=1)
     val df = Seq(
