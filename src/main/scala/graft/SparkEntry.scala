@@ -3343,5 +3343,5 @@ object SparkEntry {
     // round 10
     "q_profile_sketch", "q_ann_recall_tuned", "q_pagerank_dangling",
     "q_heavy_hitters", "q_merge_upsert", "q_merge_compact", "q_scd2",
-    "q_collocations")
+    "q_collocations", "q_serde_confluent")
 }
