@@ -56,7 +56,16 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // UNTIMED cleanup: iterative ops (PageRank, cluster dedup, CDC
+      // merge) pin frames via localCheckpoint, and those blocks outlive
+      // the query in this single shared JVM — 84 queries x 4 passes of
+      // accumulation is storage the next query's bill shouldn't carry.
+      // Each query is billed from a clean block store, the honest model
+      // of a real cluster where a job's executors release on exit.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
     def fmt(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => "\"" + k + "\":" + v }

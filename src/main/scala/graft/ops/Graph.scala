@@ -120,8 +120,8 @@ object Graph {
     // Dangling membership is ROUND-INVARIANT (a function of the edge
     // set alone), so derive it once and pin it — deriving it inside
     // the loop re-runs a distinct over the full edge frame every
-    // round (measured 2.0x on the query total at sf0.1: 8.9s -> 4.6s
-    // warm).
+    // round (measured 1.4x on the query total at sf0.1, like-for-like
+    // bench runs: 8.9s -> 6.2s warm at 4 threads).
     val dangNodes = pin(nodes.join(deg,
       nodes("node") === deg("src"), "left_anti"))
     val base = unit - unit * dampNum / dampDen

@@ -35,6 +35,37 @@ class MergeSpec extends SparkSpecBase with Matchers {
       (3L, "D", "", 0.0), (4L, "D", "", 0.0))) shouldBe Seq.empty
   }
 
+  test("applyChanges matches an in-memory reference merge on seeded " +
+      "random snapshot/batch pairs (all outcome classes randomized)") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 5) {
+      val snapKeys = (0 until 20).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      val snap = snapKeys.map(k => (k, s"s$k", rnd.nextInt(100).toDouble))
+      // unique change keys over a range OVERLAPPING and EXCEEDING the
+      // snapshot's, random op per key
+      val chKeys = (0 until 30).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      val ch = chKeys.map(k =>
+        (k, if (rnd.nextBoolean()) "U" else "D", s"c$k",
+          rnd.nextInt(100).toDouble))
+      val chMap = ch.map(c => c._1 -> c).toMap
+      val reference = (
+        snap.flatMap { case (k, nm, b) =>
+          chMap.get(k) match {
+            case Some((_, "D", _, _)) => None
+            case Some((_, "U", nm2, b2)) => Some((k, nm2, b2))
+            case _ => Some((k, nm, b))
+          }
+        } ++ ch.collect {
+          case (k, "U", nm, b) if !snapKeys.contains(k) => (k, nm, b)
+        }).sortBy(_._1)
+      val got = Merge.applyChanges(
+          snap.toDF("k", "name", "bal"),
+          ch.toDF("k", "op", "name", "bal"), "k", "op")
+        .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+      got shouldBe reference
+    }
+  }
+
   test("applyChanges rejects a change batch missing payload columns " +
       "at plan time") {
     val bad = Seq((1L, "U")).toDF("k", "op")

@@ -140,6 +140,30 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     plan.indexOf("Filter") should be < plan.indexOf("Aggregate")
   }
 
+  test("heavyHitters equals the naive model on seeded random multisets " +
+      "across random thresholds and grid widths (exactness is not " +
+      "distribution-dependent)") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 5) {
+      val nKeys = 5 + rnd.nextInt(40)
+      val rows = (0 until nKeys).flatMap { k =>
+        Seq.fill(1 + rnd.nextInt(30))(k.toLong + 100)
+      }
+      val shuffled = rnd.shuffle(rows).toDF("key")
+      val threshold = 1 + rnd.nextInt(25)
+      val width = 1 << (2 + rnd.nextInt(6)) // 4..128, collisions certain
+      val expected = rows.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .filter(_._2 >= threshold).toSeq.sortBy(_._1)
+      val got = Sketches.heavyHitters(shuffled, "key",
+          threshold = threshold, depth = 3, width = width)
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      withClue(s"threshold=$threshold width=$width: ") {
+        got shouldBe expected
+      }
+    }
+  }
+
   test("kmvDistinct: serde round-trip preserves the kept set") {
     val agg = KmvDistinct(
       org.apache.spark.sql.GraftColumnBridge.expression(col("x")), 16)
