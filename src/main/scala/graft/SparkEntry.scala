@@ -1253,14 +1253,19 @@ object SparkEntry {
       // clusters — the SAME sampled deterministic k-means as q_ann_ivf
       // (so the oracle's training replay is already proven), then a
       // within-cluster pair scan drops every vector with a lower-id
-      // neighbor at cosine >= tau. Non-vacuous at sf0.01: 69 of 500
-      // dropped at tau=0.35 (near-uniform synthetic embeddings;
-      // production embeddings use ~0.95). Output = kept (vec_id,
-      // cluster) — the surviving corpus plus its cluster structure.
+      // neighbor at cosine >= tau. The pair scan probes each vector's 2
+      // nearest centroids (bounded 2x pair work, no all-pairs), so a
+      // near-pair straddling a cluster boundary is still caught — the
+      // single-probe paper recipe is structurally blind to those
+      // (DedupSpec's hand-built boundary pair). Non-vacuous at sf0.01
+      // (near-uniform synthetic embeddings; production embeddings use
+      // tau ~0.95). Output = kept (vec_id, cluster) — the surviving
+      // corpus plus its PRIMARY cluster structure.
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
         k = 16, iters = 5, sampleFraction = 0.1)
-      Dedup.semDedup(emb, "vec_id", "embedding", cents, tau = 0.35)
+      Dedup.semDedup(emb, "vec_id", "embedding", cents, tau = 0.35,
+          probes = 2)
         .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"))
         .orderBy("vec_id")
     }),
@@ -2063,13 +2068,24 @@ object SparkEntry {
     * within-cluster lower-id-neighbor drop rule — a vector survives iff
     * no same-cluster vector with a smaller id sits at cosine >= tau. */
   private def semDedupSql(k: Int, iters: Int, dim: Int,
-      sampleFraction: Double, seed: Long, tau: Double): String = {
+      sampleFraction: Double, seed: Long, tau: Double,
+      probes: Int): String = {
     val dot = sqlDot(dim) _
+    val cents = s"cent$iters"
+    // casgp = the PAIR-scan assignment: each vector in the clusters of
+    // its `probes` nearest centroids (same DESC-dot/low-index tiebreak
+    // as the Scala kernel); the kept output still reports casg's rn=1
+    // primary cluster.
     s"""WITH ${kmeansPrefixSql(k, iters, dim, sampleFraction, seed)},
+       |     casgp AS (SELECT vec_id, cluster FROM (
+       |                 SELECT e.vec_id, c.j AS cluster,
+       |                        row_number() OVER (PARTITION BY e.vec_id
+       |                                           ORDER BY ${dot("e.v", "c.c")} DESC, c.j) AS rn
+       |                 FROM e, $cents c) WHERE rn <= $probes),
        |     drops AS (SELECT DISTINCT b.vec_id
-       |               FROM casg a
-       |               JOIN casg b ON a.cluster = b.cluster
-       |                          AND a.vec_id < b.vec_id
+       |               FROM casgp a
+       |               JOIN casgp b ON a.cluster = b.cluster
+       |                           AND a.vec_id < b.vec_id
        |               JOIN e ea ON ea.vec_id = a.vec_id
        |               JOIN e eb ON eb.vec_id = b.vec_id
        |               WHERE ${dot("ea.v", "eb.v")}
@@ -3063,7 +3079,7 @@ object SparkEntry {
     // Same k-means replay as q_ann_ivf, then the within-cluster
     // lower-id-neighbor drop rule (SemDeDup) and the kept-set project.
     "q_semdedup" -> semDedupSql(k = 16, iters = 5, dim = 64,
-      sampleFraction = 0.1, seed = 42L, tau = 0.35),
+      sampleFraction = 0.1, seed = 42L, tau = 0.35, probes = 2),
     // The same recursion in DuckDB's WITH RECURSIVE (micros arithmetic
     // lines up: Spark's `ts div 1000` on the nanos long == DuckDB's
     // epoch_us of the ns->us-truncated TIMESTAMP read).
@@ -3343,5 +3359,16 @@ object SparkEntry {
     // round 10
     "q_profile_sketch", "q_ann_recall_tuned", "q_pagerank_dangling",
     "q_heavy_hitters", "q_merge_upsert", "q_merge_compact", "q_scd2",
-    "q_collocations", "q_serde_confluent")
+    "q_collocations", "q_serde_confluent",
+    // round 10: full coverage — every registered query is benched, so
+    // the artifact adjudicates ALL of them (the parity/serde rows are
+    // cheap scans, but "cheap" is now measured, not assumed)
+    "q_filter", "q_map", "q_mapvalues", "q_drop_cast", "q_distinct",
+    "q_rollup", "q_scalar_funcs", "q_projection",
+    "q_serde_long", "q_serde_string", "q_serde_avro", "q_serde_void",
+    "q_time_iso2unix", "q_time_unix2iso",
+    "q_asof_tolerance", "q_len_stats", "q_lang_fingerprint", "q_split",
+    "q_contamination", "q_curate", "q_curate_clusters",
+    "q_dedup_rows", "q_dedup_clusters", "q_dedup_simhash",
+    "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann")
 }

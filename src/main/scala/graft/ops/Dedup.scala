@@ -639,9 +639,11 @@ object Dedup {
     * the text dedups the vectors must enter the pair join (a cosine
     * needs both sides), but only the slim drop-id set shuffles onward. */
   def semDedupDropIds(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], tau: Double): DataFrame =
+      centroids: Array[Array[Double]], tau: Double,
+      probes: Int = 1): DataFrame =
     semDedupDropFromAssigned(
-      semAssign(df, idCol, vecCol, centroids), idCol, vecCol, tau)
+      semAssignProbed(df, idCol, vecCol, centroids, probes),
+      idCol, vecCol, tau)
 
   /** `(idCol, vecCol, cluster)` — one centroid_assign kernel pass. */
   private def semAssign(df: DataFrame, idCol: String, vecCol: String,
@@ -649,6 +651,20 @@ object Dedup {
     df.select(col(idCol), col(vecCol),
       graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
         .as("cluster"))
+
+  /** Pair-scan assignment with neighbor-cluster probing: each vector
+    * enters the `probes` clusters of its nearest centroids (best first
+    * — index 0 is the [[semAssign]] primary), so a near-pair straddling
+    * a cluster boundary still meets in the runner-up's cluster. Pair
+    * work grows by at most `probes`× (each vector appears in `probes`
+    * lists), NOT `probes²`× per pair — still n²·probes²/k total, never
+    * all-pairs. `probes = 1` degenerates to [[semAssign]] exactly. */
+  private def semAssignProbed(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], probes: Int): DataFrame =
+    if (probes <= 1) semAssign(df, idCol, vecCol, centroids)
+    else df.select(col(idCol), col(vecCol),
+      explode(graft.functions.Centroids.centroid_probes(
+        col(vecCol), centroids, probes)).as("cluster"))
 
   private def semDedupDropFromAssigned(assigned: DataFrame, idCol: String,
       vecCol: String, tau: Double): DataFrame = {
@@ -664,20 +680,26 @@ object Dedup {
   }
 
   /** Kept rows under [[semDedupDropIds]], WITH their `cluster` column —
-    * the corpus minus every vector that has a lower-id within-cluster
-    * neighbor at cosine >= `tau`. The assignment is computed once and
-    * shared between the pair scan and the output (callers that need
-    * the cluster structure don't re-run the kernel). The anti join is
+    * the corpus minus every vector that has a lower-id neighbor at
+    * cosine >= `tau` in a shared probed cluster. The output cluster is
+    * always the PRIMARY (nearest-centroid) assignment; `probes > 1`
+    * only widens the pair scan, closing the boundary-blindness gap
+    * (a near-pair whose members' nearest centroids differ still meets
+    * in a runner-up cluster — see DedupSpec's hand-built boundary
+    * pair, missed at probes=1 and caught at probes=2). The anti join is
     * left un-hinted on purpose: at demo taus the drop set is tiny and
     * AQE broadcasts it, but at the paper's production tau (~0.95 on
     * web corpora) SemDeDup drops ~half the corpus — a forced
     * broadcast() of billions of ids would OOM the driver, while the
     * shuffled anti join degrades gracefully. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], tau: Double): DataFrame = {
+      centroids: Array[Array[Double]], tau: Double,
+      probes: Int = 1): DataFrame = {
     val assigned = semAssign(df, idCol, vecCol, centroids)
     assigned.join(
-      semDedupDropFromAssigned(assigned, idCol, vecCol, tau),
+      semDedupDropFromAssigned(
+        semAssignProbed(df, idCol, vecCol, centroids, probes),
+        idCol, vecCol, tau),
       Seq(idCol), "left_anti")
   }
 }

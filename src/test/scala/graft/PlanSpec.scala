@@ -547,6 +547,10 @@ class PlanSpec extends SparkSpecBase with Matchers {
     // the cosine gate rides the join condition (no post-join filter row
     // explosion), via the codegen'd kernel
     p should include("graft_cosine_sim")
+    // the pair scan enters via the 2-probe assignment (boundary-pair
+    // fix): an explode of the top-2 centroid list — bounded 2x fanout,
+    // NOT an all-pairs widening
+    p should include("graft_centroid_probes")
     // kept set = corpus ANTI JOIN drop ids on the id key. Deliberately
     // NOT pinned to BroadcastHashJoin: at demo taus AQE broadcasts the
     // tiny drop set, but at production tau (~0.95) SemDeDup drops ~half

@@ -304,5 +304,17 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
       .selectExpr("id", "CAST(cluster AS LONG)").as[(Long, Long)]
       .collect().sorted shouldBe
       Array((1L, 0L), (3L, 1L), (5L, 0L), (6L, 0L), (7L, 1L))
+    // Neighbor-cluster probing (probes = 2) closes the boundary
+    // blindness: 6 and 7 each probe BOTH centroids, so the pair meets
+    // and 7 (higher id) is dropped; everything else is unchanged —
+    // 5's runner-up probe adds no new pair above tau.
+    Dedup.semDedupDropIds(vecs, "id", "vec", cents, tau = 0.95, probes = 2)
+      .as[Long].collect().sorted shouldBe Array(2L, 4L, 7L)
+    // kept rows still carry the PRIMARY cluster, not the probe that
+    // found the pair
+    Dedup.semDedup(vecs, "id", "vec", cents, tau = 0.95, probes = 2)
+      .selectExpr("id", "CAST(cluster AS LONG)").as[(Long, Long)]
+      .collect().sorted shouldBe
+      Array((1L, 0L), (3L, 1L), (5L, 0L), (6L, 0L))
   }
 }
