@@ -86,11 +86,16 @@ object Bench {
 
     val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    // Generic JVM/session/parquet warm-up on a cheap query OUTSIDE the
-    // bench set, so no measured query's own plan gets pre-compiled
-    // (warming names.head would make its "cold" entry secretly warm).
-    Some("q_filter").filter(SparkEntry.queries.contains)
-      .filterNot(names.contains).foreach(run)
+    // Generic JVM/session/parquet warm-up OUTSIDE the bench set, so no
+    // measured query's own plan gets pre-compiled (warming names.head
+    // would make its "cold" entry secretly warm). Every registered
+    // query is benched now, so the warm-up is a bare scan-count — it
+    // spins up the JVM, session, codegen, and parquet reader without
+    // planning any benched projection/aggregate.
+    try spark.read.parquet(s"$sfDir/events.parquet").count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up scan failed: ${e.getMessage}")
+    }
     val cold = names.map(n => n -> run(n))
     loads += loadAvg()
     val warmPasses = (1 to 3).map { _ =>

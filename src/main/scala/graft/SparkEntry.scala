@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{BinaryCodec, CharDiversityKernel, LongHashes, TimeFunctions}
-import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Merge, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Merge, Multimodal, Sampling, SetSimJoin, Similarity, Sketches, TextAnalysis}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, ConfluentAvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -363,6 +363,22 @@ object SparkEntry {
         timestamp_micros(expr("ts div 1000")).as("tt"))
       EventAnalytics.sessionize(ev, "user_id", "tt", gapSeconds = 6 * 3600)
         .orderBy("user_id", "session_idx")
+    }),
+    "q_retention" -> ((s, dir) => {
+      // Daily purchase-cohort retention matrix: cohort users by first
+      // purchase day, count actives per (cohort, day offset), rate
+      // against the offset-0 cohort size. Weekly buckets are saturated
+      // on this corpus (every user active every week — retention would
+      // be a vacuous 1.0 everywhere); daily purchase activity is sparse
+      // at every SF (98/214/311 non-trivial grid rows), so both the
+      // counts AND the rates are exercised. One corpus-sized exchange
+      // (the (user, day) distinct); everything after is slim.
+      val ev = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      EventAnalytics.retentionCohorts(ev, "user_id", "us",
+          bucketUs = 86400000000L)
+        .orderBy("cohort", "period_offset")
     }),
     "q_outliers" -> ((s, dir) => {
       // Population z-score outliers per event_type: exact DECIMAL
@@ -1575,6 +1591,23 @@ object SparkEntry {
         element_at(split(col("p_name"), " "), -1), maxDist = 3)
         .orderBy("p_partkey")
     }),
+    "q_setsim" -> ((s, dir) => {
+      // EXACT set-similarity self-join via prefix filtering (Bayardo
+      // et al. 2007): every doc pair with distinct-token Jaccard >=
+      // 0.95, output == brute-force all-pairs (which IS the oracle —
+      // the semantics replay, not the algorithm), but candidates come
+      // from a rarest-token prefix join: at t=0.95 each doc exposes
+      // only ~5% of its tokens, so stopword buckets never form. The
+      // exact complement of q_dedup_minhash's probabilistic cascade.
+      // 2043 qualifying pairs at sf0.01, non-vacuous.
+      SetSimJoin.jaccardJoinPairs(t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.95)
+        .select(col("id_a"), col("id_b"),
+          col("n_a").cast(LongType).as("n_a"),
+          col("n_b").cast(LongType).as("n_b"),
+          col("overlap").cast(LongType).as("overlap"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // Supply-graph centrality: 5 rounds of integer fixed-point
       // PageRank over the symmetrized supplier<->part graph from
@@ -2345,6 +2378,25 @@ object SparkEntry {
                 min(us) AS start_us, max(us) AS end_us
          FROM s GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+    // Same integer day-bucket arithmetic (`ts div 1000` nanos->micros
+    // == epoch_us of the ns->us-truncated TIMESTAMP read), same
+    // count-then-one-division recipe — retention is a single IEEE
+    // division of exact BIGINTs, bit-exact across engines.
+    "q_retention" ->
+      """WITH e AS (SELECT user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS p
+                    FROM events WHERE event_type = 'purchase'),
+              a AS (SELECT DISTINCT user_id, p FROM e),
+              c AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id),
+              g AS (SELECT cohort, p - cohort AS period_offset,
+                           count(*) AS n_active
+                    FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+              s AS (SELECT cohort, n_active AS n_cohort FROM g
+                    WHERE period_offset = 0)
+         SELECT g.cohort, g.period_offset, g.n_active, s.n_cohort,
+                CAST(g.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+         FROM g JOIN s USING (cohort)
+         ORDER BY cohort, period_offset""",
     "q_outliers" ->
       """WITH st AS (SELECT event_type, count(value) AS n,
                             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
@@ -3253,6 +3305,28 @@ object SparkEntry {
                  coalesce(l.n, 0) AS n_cands
           FROM part p LEFT JOIN lo l ON p.p_partkey = l.id
           ORDER BY p_partkey""",
+    // Brute-force all-pairs Jaccard — deliberately NOT the prefix
+    // algorithm: the oracle states the SEMANTICS and the Spark side
+    // must prove its pruning lost nothing. Same tokenizer as q_vocab
+    // (parity already proven there); one IEEE division of exact
+    // BIGINTs on both sides.
+    "q_setsim" ->
+      raw"""WITH d AS (SELECT doc_id,
+                              list_distinct(list_filter(
+                                string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                x -> x <> '')) AS toks
+                       FROM documents),
+               dd AS (SELECT doc_id, toks, len(toks) AS n FROM d
+                      WHERE len(toks) > 0),
+               p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.n AS n_a, b.n AS n_b,
+                            len(list_intersect(a.toks, b.toks)) AS overlap
+                     FROM dd a JOIN dd b ON a.doc_id < b.doc_id)
+          SELECT id_a, id_b, n_a, n_b, overlap,
+                 CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE) AS jaccard
+          FROM p
+          WHERE CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE) >= 0.95
+          ORDER BY id_a, id_b""",
     "q_pagerank" ->
       raw"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS pn,
                                         l_suppkey * 2 + 1 AS sn
@@ -3370,5 +3444,6 @@ object SparkEntry {
     "q_asof_tolerance", "q_len_stats", "q_lang_fingerprint", "q_split",
     "q_contamination", "q_curate", "q_curate_clusters",
     "q_dedup_rows", "q_dedup_clusters", "q_dedup_simhash",
-    "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann")
+    "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
+    "q_retention", "q_setsim")
 }

@@ -176,4 +176,51 @@ object EventAnalytics {
         when(std > 0, (col(valueCol) - mean) / std).as("z"))
       .where(abs(col("z")) > threshold)
   }
+
+  /** Cohort retention matrix: bucket activity into fixed periods of
+    * `bucketUs` epoch-micros, cohort each user by their FIRST active
+    * period, and count how many of each cohort's users are active
+    * again `period_offset` periods later. The classic growth-analytics
+    * rollup (cohort x offset grid with a retention rate against the
+    * offset-0 cohort size); callers pick the cohorting event by
+    * pre-filtering (e.g. `event_type = 'purchase'` for purchase
+    * retention).
+    *
+    * Scale shape (100 TB event log):
+    *  1. the only corpus-sized exchange is the (user, period) DISTINCT
+    *     — map-side partial dedup collapses each user's events per
+    *     partition before anything shuffles;
+    *  2. cohorting is a min-aggregate + self-join on the user key over
+    *     that already-slim activity frame (orders of magnitude smaller
+    *     than the log: one row per user-period);
+    *  3. the final grid aggregate needs COUNT(*), not COUNT(DISTINCT):
+    *     rows are unique per (user, period) by construction, so the
+    *     cohort cell count gets map-side partials and no Expand;
+    *  4. cohort sizes come from the grid's own offset-0 slice (one row
+    *     per cohort) joined back via broadcast — no second pass over
+    *     anything big.
+    * `retention` is ONE IEEE division of two exact longs — bit-exact
+    * across engines, no rounding needed. */
+  def retentionCohorts(events: DataFrame, userCol: String, usCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val activity = events
+      .select(col(userCol).as("__u"),
+        // integer `div`, NOT `/` (which widens longs to double)
+        expr(s"`$usCol` div ${bucketUs}L").as("__p"))
+      .where(col("__u").isNotNull && col("__p").isNotNull)
+      .distinct()
+    val cohorts = activity.groupBy(col("__u"))
+      .agg(min(col("__p")).as("cohort"))
+    val grid = activity.join(cohorts, "__u")
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = grid.where(col("period_offset") === 0)
+      .select(col("cohort"), col("n_active").as("n_cohort"))
+    grid.join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("period_offset"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast(DoubleType) / col("n_cohort").cast(DoubleType))
+          .as("retention"))
+  }
 }

@@ -560,6 +560,34 @@ class PlanSpec extends SparkSpecBase with Matchers {
       .findFirstIn(p) should not be empty
   }
 
+  test("q_retention: no Expand (COUNT(*), never COUNT(DISTINCT)), cohort " +
+      "sizes broadcast back, no Window, no cartesian") {
+    val p = plan("q_retention")
+    // rows are unique per (user, period) after the distinct, so the grid
+    // cell count is a plain COUNT(*) — a COUNT(DISTINCT) would ride a
+    // row-multiplying Expand, the q_profile scale-killer shape
+    p should not include "Expand"
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    // the one-row-per-cohort sizes frame joins back via broadcast
+    p should include("BroadcastHashJoin")
+    // the corpus-sized distinct gets map-side partial dedup (a
+    // HashAggregate below its exchange), so raw events never shuffle
+    p should include("partial_min")
+  }
+
+  test("q_setsim: candidate pairs join on the prefix TOKEN (never an " +
+      "all-pairs cartesian); verify joins are id-keyed") {
+    val p = plan("q_setsim")
+    p should not include "CartesianProduct"
+    // the candidate generator is keyed on the rarest-first prefix token
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[tok".r
+      .findFirstIn(p) should not be empty
+    // exact-verify joins ship token arrays keyed on doc id only
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[id_a".r
+      .findFirstIn(p) should not be empty
+  }
+
   test("q_quality_gate is a shuffle-free narrow scan — fused kernel + " +
       "token-array exprs, no Generate, reads only doc_id and text") {
     val p = plan("q_quality_gate")

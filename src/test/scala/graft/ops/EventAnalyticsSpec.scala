@@ -123,4 +123,26 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out.map(_.getLong(0)).toSeq === Seq(10L))
     assert(out.head.getDouble(3) === 3.0)
   }
+
+  test("retentionCohorts: cohort = first active period, offsets count " +
+      "distinct users, rate vs offset-0 size, gaps stay absent") {
+    // bucket = 10 us. u1 active periods {0,1,3}; u2 {0,1}; u3 {1,3}:
+    // cohort 0 = {u1,u2}, cohort 1 = {u3}. Duplicate activity inside a
+    // period (u1 twice in p0) must not double-count.
+    val ev = Seq(
+      (1L, 2L), (1L, 5L), (1L, 12L), (1L, 33L),
+      (2L, 7L), (2L, 19L),
+      (3L, 11L), (3L, 38L)
+    ).toDF("user_id", "us")
+    val out = EventAnalytics.retentionCohorts(ev, "user_id", "us",
+        bucketUs = 10L)
+      .orderBy("cohort", "period_offset")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 2L, 2L, 1.0),   // u1, u2
+      (0L, 1L, 2L, 2L, 1.0),   // both return in p1
+      (0L, 3L, 1L, 2L, 0.5),   // only u1 at offset 3; offset 2 absent
+      (1L, 0L, 1L, 1L, 1.0),   // u3 cohort
+      (1L, 2L, 1L, 1L, 1.0)))  // u3 returns at p3 = offset 2
+  }
 }
