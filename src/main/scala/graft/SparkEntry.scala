@@ -1395,6 +1395,26 @@ object SparkEntry {
           min("hr").as("min_hr"), max("hr").as("max_hr"))
         .orderBy("bucket")
     }),
+    "q_zorder3" -> ((s, dir) => {
+      // 3-D Morton audit, the q_zorder recipe one dim up (the practical
+      // lakehouse ceiling — Layout.zValue3's scaladoc): interleave
+      // (user_id, day, event_id%1024) with the stride-3 spread and show
+      // every z>>15 bucket bounds ALL THREE dims (each within 2^5 of
+      // grid width). Same pure bit arithmetic, one count shuffle; the
+      // oracle replays the 5-step spread cascade for all three inputs.
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          (col("event_id") % 1024).as("vb"))
+        .withColumn("z",
+          Layout.zValue3(col("user_id"), col("day"), col("vb")))
+        .withColumn("bucket", call_function("shiftright", col("z"), lit(15)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("day").as("min_day"), max("day").as("max_day"),
+          min("vb").as("min_vb"), max("vb").as("max_vb"))
+        .orderBy("bucket")
+    }),
     "q_sample_stratified" -> ((s, dir) => {
       // Stratified exact-size sample: 20 docs per language as the k
       // smallest SplitMix64(doc_id) within each lang (all docs when a
@@ -1851,6 +1871,23 @@ object SparkEntry {
       val src = if (i == 0) from else s"zs$i"
       s"""zs${i + 1} AS (SELECT $carry, (sx | (sx << $sh)) & $m AS sx,
          |                     (sy | (sy << $sh)) & $m AS sy FROM $src)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** 3-D twin of [[spreadCtesSql]]: the five stride-3 spread steps
+    * (Layout.steps3's shift/mask pairs) over columns `sx`,`sy`,`sz` —
+    * inputs < 2^21, every intermediate stays positive in BIGINT.
+    * Yields CTEs z3s1..z3s5. */
+  private def spread3CtesSql(from: String, carry: String): String = {
+    val masks = Seq(
+      32 -> 8725724278095871L, 16 -> 8725728556220671L,
+      8 -> 1157144660301377551L, 4 -> 1207822528635744451L,
+      2 -> 1317624576693539401L)
+    masks.zipWithIndex.map { case ((sh, m), i) =>
+      val src = if (i == 0) from else s"z3s$i"
+      s"""z3s${i + 1} AS (SELECT $carry, (sx | (sx << $sh)) & $m AS sx,
+         |                      (sy | (sy << $sh)) & $m AS sy,
+         |                      (sz | (sz << $sh)) & $m AS sz FROM $src)""".stripMargin
     }.mkString(",\n")
   }
 
@@ -2578,6 +2615,21 @@ object SparkEntry {
           SELECT z >> 12 AS bucket, count(*) AS n,
                  min(user_id) AS min_user, max(user_id) AS max_user,
                  min(hr) AS min_hr, max(hr) AS max_hr
+          FROM z GROUP BY 1 ORDER BY bucket""",
+    "q_zorder3" ->
+      raw"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                              event_id % 1024 AS vb,
+                              user_id AS sx,
+                              epoch_us(ts) // 86400000000 AS sy,
+                              event_id % 1024 AS sz
+                       FROM events),
+               ${spread3CtesSql("e", "user_id, day, vb")},
+               z AS (SELECT user_id, day, vb,
+                            (sx | (sy << 1) | (sz << 2)) AS z FROM z3s5)
+          SELECT z >> 15 AS bucket, count(*) AS n,
+                 min(user_id) AS min_user, max(user_id) AS max_user,
+                 min(day) AS min_day, max(day) AS max_day,
+                 min(vb) AS min_vb, max(vb) AS max_vb
           FROM z GROUP BY 1 ORDER BY bucket""",
     "q_sample_stratified" ->
       raw"""WITH d0 AS (SELECT lang, doc_id, CAST(doc_id AS HUGEINT) AS z
@@ -3445,5 +3497,5 @@ object SparkEntry {
     "q_contamination", "q_curate", "q_curate_clusters",
     "q_dedup_rows", "q_dedup_clusters", "q_dedup_simhash",
     "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
-    "q_retention", "q_setsim")
+    "q_retention", "q_setsim", "q_zorder3")
 }
