@@ -389,6 +389,19 @@ object SparkEntry {
           "event_type", "value", threshold = 3.0)
         .orderBy("event_id")
     }),
+    "q_corr" -> ((s, dir) => {
+      // Exact-moment Pearson correlation + OLS regression of
+      // extendedprice on quantity per (returnflag, linestatus): the
+      // zScoreOutliers recipe one column up — DECIMAL co-moment sums
+      // (order-independent, so the hash oracle can bind), then a
+      // fixed-order IEEE formula restated verbatim in the SQL. Spark's
+      // built-in corr/regr_* accumulate doubles in partition order and
+      // could never hash-match.
+      graft.ops.Stats.corrRegression(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
     "q_semi_anti" -> ((s, dir) => {
       // Explicit LEFT SEMI / LEFT ANTI surface (§2.3 joins list) — the
       // curation pipelines use anti joins internally, but no query
@@ -2434,6 +2447,33 @@ object SparkEntry {
                 CAST(g.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
          FROM g JOIN s USING (cohort)
          ORDER BY cohort, period_offset""",
+    // Same DECIMAL-moments recipe as q_outliers: exact sums, then the
+    // identical fixed-order double formula (guards replayed too).
+    "q_corr" ->
+      """WITH m AS (SELECT l_returnflag, l_linestatus, count(*) AS n,
+                           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                           CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+                           CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+                           CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                    GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, n,
+                CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                      AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                     THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                           * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END AS corr,
+                CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                     THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+                CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                     THEN sy / CAST(n AS DOUBLE)
+                          - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                             / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                            * (sx / CAST(n AS DOUBLE)) END AS intercept
+         FROM m ORDER BY l_returnflag, l_linestatus""",
     "q_outliers" ->
       """WITH st AS (SELECT event_type, count(value) AS n,
                             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
@@ -3497,5 +3537,5 @@ object SparkEntry {
     "q_contamination", "q_curate", "q_curate_clusters",
     "q_dedup_rows", "q_dedup_clusters", "q_dedup_simhash",
     "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
-    "q_retention", "q_setsim", "q_zorder3")
+    "q_retention", "q_setsim", "q_zorder3", "q_corr")
 }

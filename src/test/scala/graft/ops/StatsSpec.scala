@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.scalatest.matchers.should.Matchers
+
+class StatsSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+
+  test("corrRegression: hand-computed moments — perfect line, noisy " +
+      "line, constant-x null guards, pairwise null deletion") {
+    val df = Seq(
+      // key a: y = 2x exactly -> corr 1, slope 2, intercept 0
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      // key b: (1,1),(2,2),(3,4) -> corr 9/sqrt(84), slope 1.5,
+      // intercept 7/3 - 1.5*2
+      ("b", 1.0, 1.0), ("b", 2.0, 2.0), ("b", 3.0, 4.0),
+      // key c: constant x -> denx = 0 -> corr/slope/intercept all null
+      ("c", 5.0, 1.0), ("c", 5.0, 2.0),
+      // key d: null in either column drops the PAIR, leaving y=2x rows
+      ("d", 1.0, 2.0), ("d", 2.0, 4.0), ("d", 3.0, 6.0)
+    ).toDF("k", "x", "y")
+      .union(Seq(("d", Option.empty[Double], Option(9.0)),
+        ("d", Option(9.0), Option.empty[Double]))
+        .toDF("k", "x", "y"))
+    val out = Stats.corrRegression(df, Seq("k"), "x", "y")
+      .orderBy("k").collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("a", "b", "c", "d")
+    val a = out(0)
+    a.getLong(1) shouldBe 3L
+    a.getDouble(2) shouldBe 1.0 +- 1e-12
+    a.getDouble(3) shouldBe 2.0 +- 1e-12
+    a.getDouble(4) shouldBe 0.0 +- 1e-12
+    val b = out(1)
+    b.getDouble(2) shouldBe 9.0 / math.sqrt(84.0) +- 1e-12
+    b.getDouble(3) shouldBe 1.5 +- 1e-12
+    b.getDouble(4) shouldBe (7.0 / 3.0 - 1.5 * 2.0) +- 1e-12
+    val c = out(2)
+    c.isNullAt(2) shouldBe true
+    c.isNullAt(3) shouldBe true
+    c.isNullAt(4) shouldBe true
+    val d = out(3)
+    d.getLong(1) shouldBe 3L // null pairs excluded from every moment
+    d.getDouble(3) shouldBe 2.0 +- 1e-12
+  }
+
+  test("corrRegression is partition-order independent (exact DECIMAL " +
+      "moments): 1 partition == 7 partitions bit-for-bit") {
+    val rng = new scala.util.Random(5)
+    val rows = Seq.tabulate(500) { i =>
+      ("g" + (i % 3), rng.nextDouble() * 100, rng.nextDouble() * 1000)
+    }
+    def run(parts: Int): Seq[(String, Long, Double, Double, Double)] =
+      Stats.corrRegression(
+          rows.toDF("k", "x", "y").repartition(parts), Seq("k"), "x", "y")
+        .orderBy("k")
+        .as[(String, Long, Double, Double, Double)].collect().toSeq
+    run(1) shouldBe run(7)
+  }
+}
