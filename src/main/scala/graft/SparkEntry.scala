@@ -1610,6 +1610,18 @@ object SparkEntry {
         .orderBy(col("priority").desc, col("doc_id"))
         .limit(100)
     }),
+    "q_sample_weighted_stratified" -> ((s, dir) => {
+      // The fourth sampling-matrix cell ({uniform,weighted} x {global,
+      // per-stratum}): top-10 docs PER SOURCE by the same DLT w/u
+      // priority as q_sample_weighted — heavy docs proportionally
+      // likelier WITHIN each source, every source keeps its full 10
+      // (a weighted global top-k follows the weight mix and can drain
+      // small sources). Bounded-heap per-group aggregate: no Window
+      // sort, no join-back. Non-vacuous: 25 docs per source, 10 kept.
+      Sampling.weightedSampleKPerGroup(t(s, dir, "documents"),
+          "source", "doc_id", col("n_chars"), k = 10)
+        .orderBy("source", "rank")
+    }),
     "q_fuzzy_match" -> ((s, dir) => {
       // Blocked fuzzy matching over part names: block on the head
       // noun (closed 8-word vocabulary -> bounded ~n/8 blocks), pair
@@ -3384,6 +3396,25 @@ object SparkEntry {
           SELECT doc_id, source, n_chars,
                  CAST(n_chars AS DOUBLE) / CAST(u AS DOUBLE) AS priority
           FROM u ORDER BY priority DESC, doc_id LIMIT 100""",
+    // The same priority replay, ranked per stratum (the bounded-heap
+    // aggregate's (priority DESC, id ASC) order == this row_number).
+    "q_sample_weighted_stratified" ->
+      raw"""WITH d0 AS (SELECT doc_id, source, n_chars,
+                               CAST(doc_id AS HUGEINT) AS z
+                        FROM documents),
+               ${splitmixCtesSql("d0", "doc_id, source, n_chars")},
+               u AS (SELECT doc_id, source, n_chars,
+                            CAST((CAST(z AS UBIGINT) >> 1) | 1 AS BIGINT) AS u
+                     FROM h5),
+               pr AS (SELECT source, doc_id,
+                             CAST(n_chars AS DOUBLE) / CAST(u AS DOUBLE) AS priority
+                      FROM u),
+               rk AS (SELECT source, doc_id, priority,
+                             row_number() OVER (PARTITION BY source
+                                                ORDER BY priority DESC, doc_id) AS rn
+                      FROM pr)
+          SELECT source, doc_id, priority, CAST(rn AS INTEGER) AS rank
+          FROM rk WHERE rn <= 10 ORDER BY source, rank""",
     "q_fuzzy_match" ->
       raw"""WITH b AS (SELECT p_partkey AS id, p_name AS name,
                               list_extract(string_split(p_name, ' '), -1) AS block
@@ -3537,5 +3568,6 @@ object SparkEntry {
     "q_contamination", "q_curate", "q_curate_clusters",
     "q_dedup_rows", "q_dedup_clusters", "q_dedup_simhash",
     "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
-    "q_retention", "q_setsim", "q_zorder3", "q_corr")
+    "q_retention", "q_setsim", "q_zorder3", "q_corr",
+    "q_sample_weighted_stratified")
 }

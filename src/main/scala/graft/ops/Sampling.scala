@@ -66,6 +66,30 @@ object Sampling {
       .select(col(strataCol), explode(col("picks")).as("p"))
       .select(col(strataCol), col("p.id").as(idCol), col("p.skey").as("skey"))
   }
+
+  /** WEIGHTED exact-size sample per stratum — the fourth cell of the
+    * sampling matrix ({uniform, weighted} x {global, per-stratum}):
+    * within each group, the k rows with the largest Duffield–Lund–
+    * Thorup priority `w/u`, where `u` is the 63-bit odd id hash (the
+    * q_sample_weighted key) — heavy rows are proportionally likelier,
+    * minority strata still get their full k, and the pick stays a pure
+    * function of the (id, weight) set (append-stable, retry-stable,
+    * partitioning-independent; the priority is ONE IEEE division of
+    * exactly-rounded casts, so an oracle replays it bit-exactly).
+    *
+    * Scale shape: rides [[Similarity.topKPerKey]]'s bounded-heap
+    * aggregate — map-side partial top-k, `<= 16k` bytes per (group,
+    * partition) on the one exchange, no Window sort, no join-back.
+    * Returns `(strataCol, idCol, priority, rank)`. */
+  def weightedSampleKPerGroup(df: DataFrame, strataCol: String,
+      idCol: String, weight: Column, k: Int): DataFrame = {
+    val u = shiftrightunsigned(LongHashes.splitmix64(col(idCol)), 1)
+      .bitwiseOR(lit(1L))
+    Similarity.topKPerKey(
+      df.select(col(strataCol), col(idCol),
+        (weight.cast(DoubleType) / u.cast(DoubleType)).as("priority")),
+      strataCol, idCol, "priority", k)
+  }
 }
 
 /** TypedImperativeAggregate keeping the k smallest (hash, id) pairs in

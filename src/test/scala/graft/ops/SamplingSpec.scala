@@ -47,6 +47,46 @@ class SamplingSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("weightedSampleKPerGroup == per-stratum priority window model; " +
+      "weights bias picks; partitioning-invariant") {
+    val k = 30
+    val got = Sampling.weightedSampleKPerGroup(docs, "lang", "doc_id",
+        col("n_chars"), k)
+      .select(col("lang"), col("doc_id"), col("rank"))
+      .as[(String, Long, Int)].collect()
+    import org.apache.spark.sql.expressions.Window
+    val u = shiftrightunsigned(LongHashes.splitmix64(col("doc_id")), 1)
+      .bitwiseOR(lit(1L))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    val want = docs
+      .select(col("lang"), col("doc_id"),
+        (col("n_chars").cast("double") / u.cast("double")).as("priority"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("lang"), col("doc_id"), col("rn").cast("int"))
+      .as[(String, Long, Int)].collect()
+    got.toSet shouldBe want.toSet
+    // weighting is live: the picked docs skew heavier than the stratum
+    // median (w/u with uniform u favours large w)
+    val pickedIds = got.map(_._2).toSet
+    val (pickedMean, allMean) = {
+      val rows = docs.select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].collect()
+      (rows.filter(r => pickedIds(r._1)).map(_._2).sum.toDouble / pickedIds.size,
+        rows.map(_._2).sum.toDouble / rows.length)
+    }
+    withClue(s"picked mean $pickedMean vs corpus mean $allMean: ") {
+      pickedMean should be > allMean
+    }
+    // bounded merge => same result on any partitioning
+    val re = Sampling.weightedSampleKPerGroup(docs.repartition(13),
+        "lang", "doc_id", col("n_chars"), k)
+      .select(col("lang"), col("doc_id"), col("rank"))
+      .as[(String, Long, Int)].collect()
+    re.toSet shouldBe got.toSet
+  }
+
   test("sample is partitioning-invariant (bounded merge, not " +
       "insertion-order)") {
     val base = Sampling.sampleKPerGroup(docs, "lang", "doc_id", 5)
