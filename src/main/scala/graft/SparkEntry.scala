@@ -490,6 +490,42 @@ object SparkEntry {
           col("kmv.est").as("est"))
         .orderBy("l_returnflag")
     }),
+    "q_kmv_resemblance" -> ((s, dir) => {
+      // Bottom-k resemblance (Broder 1997): pairwise Jaccard between
+      // each returnflag's ORDER-KEY SET (~11k keys each, true J ~0.58)
+      // from 2 KiB KMV keep-set sketches — k=256 << |sets|, so this is
+      // the genuine estimation regime, not a sketch-covers-everything
+      // degenerate (the documents corpus has a 31-token vocabulary and
+      // every pairwise Jaccard there is ~1). The corpus-overlap triage
+      // at 100 TB: comparing two billion-key sets needs 8k bytes per
+      // side and array arithmetic, not a co-located exact join.
+      // Self-evaluating like q_ann_recall: the EXACT Jaccard rides
+      // alongside — computed relationally (distinct pairs self-joined
+      // on the key: one shuffle, no collect_set driver arrays), which
+      // is also what you would dial down to only when an estimate
+      // flags a pair. DETERMINISTIC approximation -> the oracle
+      // replays the sketch path hash-for-hash.
+      val d = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f"), col("l_orderkey").as("k"))
+        .distinct()
+      val sk = d.groupBy("f").agg(
+        Sketches.kmvKeepSet(LongHashes.splitmix64(col("k")), 256).as("sk"),
+        count(lit(1)).as("n"))
+      val inter = d.as("x").join(d.as("y"),
+          col("x.k") === col("y.k") && col("x.f") < col("y.f"))
+        .groupBy(col("x.f").as("fa"), col("y.f").as("fb"))
+        .agg(count(lit(1)).as("inter"))
+      val est = Sketches.kmvResemblance(col("a.sk"), col("b.sk"), 256)
+      val exact = col("inter").cast(DoubleType) /
+        (col("a.n") + col("b.n") - col("inter")).cast(DoubleType)
+      sk.as("a").join(sk.as("b"), col("a.f") < col("b.f"))
+        .join(inter, col("a.f") === col("fa") && col("b.f") === col("fb"))
+        .select(col("a.f").as("flag_a"), col("b.f").as("flag_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          est.as("est_jaccard"), exact.as("exact_jaccard"),
+          abs(est - exact).as("abs_err"))
+        .orderBy("flag_a", "flag_b")
+    }),
     "q_bloom_join" -> ((s, dir) => {
       // Bloom semi-join reduction: broadcast a 2 KiB bloom of the
       // selective orders side and prune lineitem BEFORE the join
@@ -2546,6 +2582,45 @@ object SparkEntry {
                                       CAST('9223372036854775807' AS HUGEINT)) AS BIGINT)
                  END AS est
           FROM a ORDER BY l_returnflag""",
+    // Bottom-k resemblance: the q_kmv_distinct splitmix chain over
+    // distinct (flag, orderkey) pairs, per-flag bottom-256 keep lists,
+    // then Broder's |X ∩ A ∩ B| / |X| next to the relational exact
+    // Jaccard. Unsigned HUGEINT order here == the keep set's
+    // sign-flipped signed order there.
+    "q_kmv_resemblance" ->
+      raw"""WITH d0 AS (SELECT l_returnflag AS f, l_orderkey AS k,
+                               CAST(l_orderkey AS HUGEINT) AS z
+                        FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)),
+               ${splitmixCtesSql("d0", "f, k")},
+               rk AS (SELECT f, z AS hu,
+                             row_number() OVER (PARTITION BY f ORDER BY z) AS rn
+                      FROM h5),
+               sk AS (SELECT f, list(hu ORDER BY hu) AS s, count(*) AS n
+                      FROM rk GROUP BY f),
+               kk AS (SELECT f, list(hu ORDER BY hu) AS s
+                      FROM rk WHERE rn <= 256 GROUP BY f),
+               iv AS (SELECT x.f AS fa, y.f AS fb, count(*) AS inter
+                      FROM d0 x JOIN d0 y ON x.k = y.k AND x.f < y.f
+                      GROUP BY 1, 2),
+               pr AS (SELECT a.f AS flag_a, b.f AS flag_b,
+                             ka.s AS sa, kb.s AS sb,
+                             a.n AS n_a, b.n AS n_b, iv.inter AS inter
+                      FROM sk a JOIN sk b ON a.f < b.f
+                      JOIN kk ka ON ka.f = a.f
+                      JOIN kk kb ON kb.f = b.f
+                      JOIN iv ON iv.fa = a.f AND iv.fb = b.f),
+               c AS (SELECT flag_a, flag_b, n_a, n_b, inter, sa, sb,
+                            list_sort(list_distinct(sa || sb))[1:256] AS x
+                     FROM pr),
+               f2 AS (SELECT flag_a, flag_b, n_a, n_b,
+                             CAST(len(list_intersect(list_intersect(x, sa), sb)) AS DOUBLE)
+                             / CAST(len(x) AS DOUBLE) AS est_jaccard,
+                             CAST(inter AS DOUBLE)
+                             / CAST(n_a + n_b - inter AS DOUBLE) AS exact_jaccard
+                      FROM c)
+          SELECT flag_a, flag_b, n_a, n_b, est_jaccard, exact_jaccard,
+                 abs(est_jaccard - exact_jaccard) AS abs_err
+          FROM f2 ORDER BY flag_a, flag_b""",
     "q_profile" ->
       """SELECT * FROM (
            SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
@@ -3569,5 +3644,5 @@ object SparkEntry {
     "q_dedup_rows", "q_dedup_clusters", "q_dedup_simhash",
     "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
     "q_retention", "q_setsim", "q_zorder3", "q_corr",
-    "q_sample_weighted_stratified")
+    "q_sample_weighted_stratified", "q_kmv_resemblance")
 }

@@ -161,6 +161,36 @@ object Sketches {
     }
     least(cells: _*)
   }
+
+  /** KMV KEEP SET: the k smallest distinct hashes per group, as a
+    * sorted `array<long>` — [[kmvDistinct]]'s buffer surfaced for set
+    * operations. Values are the raw hashes with the sign bit flipped
+    * (`XOR Long.MinValue`, an order-preserving bijection from unsigned
+    * to signed order), so plain `array_sort`/`array_union` arithmetic
+    * downstream runs in the correct unsigned order with built-in
+    * signed comparisons. Rides [[graft.ops.Sampling.BottomKByHash]]
+    * with the hash as its own id — the duplicate-hash collapse gives
+    * distinctness for free. Map-side partials, `8k` bytes per (group,
+    * partition), order/partition independent. */
+  def kmvKeepSet(hash: Column, k: Int): Column =
+    transform(
+      graft.ops.Sampling.bottomKByHash(hash, hash, k),
+      s => s.getField("skey").bitwiseXOR(lit(Long.MinValue)))
+
+  /** Bottom-k resemblance (Broder 1997): estimate the Jaccard
+    * similarity of two SETS from their [[kmvKeepSet]] sketches alone —
+    * `|X ∩ A ∩ B| / |X|` where X is the k smallest of the sketch
+    * union, an unbiased estimate with ~1/sqrt(k) standard error. The
+    * corpus-overlap triage tool at 100 TB: the exact pairwise Jaccard
+    * of two billion-token sets needs their full sets in one place;
+    * this needs `8k` bytes per side and pure array arithmetic —
+    * deterministic given the hash, so the oracle replays it exactly
+    * (the ESTIMATE is deterministic even though it approximates). */
+  def kmvResemblance(sketchA: Column, sketchB: Column, k: Int): Column = {
+    val x = slice(array_sort(array_union(sketchA, sketchB)), 1, k)
+    size(array_intersect(array_intersect(x, sketchA), sketchB))
+      .cast(DoubleType) / size(x).cast(DoubleType)
+  }
 }
 
 /** TypedImperativeAggregate holding a Bloom filter bit array (as long

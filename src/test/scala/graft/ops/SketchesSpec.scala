@@ -173,4 +173,34 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     back.size shouldBe buf.size
     back.kth shouldBe buf.kth
   }
+
+  test("kmvResemblance: EQUALS exact Jaccard when k covers the union; " +
+      "close (and in [0,1]) when it doesn't; matches a local bottom-k " +
+      "model exactly at small k") {
+    // two overlapping id sets with known Jaccard
+    val a = (1L to 300L).toSet
+    val b = (151L to 450L).toSet // |A∩B| = 150, |A∪B| = 450 -> J = 1/3
+    val rows = (a.map(("a", _)) ++ b.map(("b", _))).toSeq
+    val df = rows.toDF("g", "id")
+      .select(col("g"), LongHashes.splitmix64(col("id")).as("h"))
+    def resemblance(k: Int): Double = {
+      val sk = df.groupBy("g").agg(Sketches.kmvKeepSet(col("h"), k).as("s"))
+      sk.as("x").join(sk.as("y"), col("x.g") < col("y.g"))
+        .select(Sketches.kmvResemblance(col("x.s"), col("y.s"), k).as("r"))
+        .as[Double].head()
+    }
+    // k >= |A ∪ B|: sketches are the full sets -> estimate IS exact
+    resemblance(512) shouldBe (150.0 / 450.0) +- 1e-15
+    // small k: still a real estimate, and equal to the local model
+    val est64 = resemblance(64)
+    est64 should be >= 0.0
+    est64 should be <= 1.0
+    est64 shouldBe (1.0 / 3.0) +- 0.15 // ~1/sqrt(64) error regime
+    def flip(x: Long) = x ^ Long.MinValue
+    val sa = a.map(i => flip(LongHashes.splitmix64Of(i))).toSeq.sorted.take(64)
+    val sb = b.map(i => flip(LongHashes.splitmix64Of(i))).toSeq.sorted.take(64)
+    val x = (sa ++ sb).distinct.sorted.take(64)
+    val model = x.count(h => sa.contains(h) && sb.contains(h)).toDouble / x.size
+    est64 shouldBe model +- 1e-15
+  }
 }
