@@ -588,6 +588,47 @@ class PlanSpec extends SparkSpecBase with Matchers {
       .findFirstIn(p) should not be empty
   }
 
+  test("q_corr: one aggregate exchange with map-side partial sums, " +
+      "no Expand, no Window") {
+    val p = plan("q_corr")
+    p should include("partial_sum")
+    p should not include "Expand"
+    p should not include "Window"
+    // exactly one hash exchange: the grouped-moments aggregate (the
+    // final formula is a projection over the 6-row stats frame)
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q_zorder3: the spread cascade is pure projection — one count " +
+      "exchange, no join, no Window") {
+    val p = plan("q_zorder3")
+    p should not include "Join"
+    p should not include "Window"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    p should include("partial_count")
+  }
+
+  test("q_sample_weighted_stratified: bounded-heap per-group aggregate " +
+      "— no Window sort, no join-back") {
+    val p = plan("q_sample_weighted_stratified")
+    p should not include "Window"
+    p should not include "Join"
+    // the priority top-k reduces map-side before its one exchange
+    p should include("partial_graft_top_k_by_score")
+  }
+
+  test("q_kmv_resemblance: sketch and exact paths never go cartesian " +
+      "over the corpus; the exact intersection is an equi join on the " +
+      "order key") {
+    val p = plan("q_kmv_resemblance")
+    p should not include "CartesianProduct"
+    // exact |A∩B| joins the distinct (flag, key) frame on the KEY
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[k".r
+      .findFirstIn(p) should not be empty
+    // the sketch aggregate keeps map-side partials
+    p should include("partial_graft_bottom_k_by_hash")
+  }
+
   test("q_quality_gate is a shuffle-free narrow scan — fused kernel + " +
       "token-array exprs, no Generate, reads only doc_id and text") {
     val p = plan("q_quality_gate")
