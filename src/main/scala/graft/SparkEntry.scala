@@ -1674,15 +1674,21 @@ object SparkEntry {
     }),
     "q_setsim" -> ((s, dir) => {
       // EXACT set-similarity self-join via prefix filtering (Bayardo
-      // et al. 2007): every doc pair with distinct-token Jaccard >=
-      // 0.95, output == brute-force all-pairs (which IS the oracle —
-      // the semantics replay, not the algorithm), but candidates come
-      // from a rarest-token prefix join: at t=0.95 each doc exposes
-      // only ~5% of its tokens, so stopword buckets never form. The
-      // exact complement of q_dedup_minhash's probabilistic cascade.
-      // 2043 qualifying pairs at sf0.01, non-vacuous.
+      // et al. 2007) over word 3-gram shingle sets: every doc pair at
+      // Jaccard >= 0.7, output == brute-force all-pairs (which IS the
+      // oracle — the semantics replay, not the algorithm), candidates
+      // from a rarest-shingle prefix join. Shingles, not unigrams: the
+      // corpus has a 31-word closed vocabulary, so unigram sets all
+      // overlap (~90k of 125k pairs above 0.5, prefix pruning dead,
+      // measured 42s at sf0.1); 3-gram sets discriminate — exactly the
+      // 25 genuine near-dup pairs qualify at sf0.01 (the pair set is
+      // IDENTICAL from t=0.3 to 0.7 — near-dups sit ~0.9, everything
+      // else ~0 — so t=0.7 buys the tightest prefixes, measured 1.8x
+      // over 0.5, without changing one output row), same reason the
+      // MinHash cascade shingles before hashing. The exact complement
+      // of q_dedup_minhash's probabilistic recipe.
       SetSimJoin.jaccardJoinPairs(t(s, dir, "documents"),
-          "doc_id", "text", threshold = 0.95)
+          "doc_id", "text", threshold = 0.7, shingle = 3)
         .select(col("id_a"), col("id_b"),
           col("n_a").cast(LongType).as("n_a"),
           col("n_b").cast(LongType).as("n_b"),
@@ -3509,11 +3515,17 @@ object SparkEntry {
     // (parity already proven there); one IEEE division of exact
     // BIGINTs on both sides.
     "q_setsim" ->
-      raw"""WITH d AS (SELECT doc_id,
-                              list_distinct(list_filter(
-                                string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
-                                x -> x <> '')) AS toks
-                       FROM documents),
+      raw"""WITH tk AS (SELECT doc_id,
+                               list_filter(
+                                 string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                                 x -> x <> '') AS ts
+                        FROM documents),
+               d AS (SELECT doc_id,
+                            list_distinct(CASE WHEN len(ts) >= 3
+                              THEN list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                              ELSE [] END) AS toks
+                     FROM tk),
                dd AS (SELECT doc_id, toks, len(toks) AS n FROM d
                       WHERE len(toks) > 0),
                p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3523,7 +3535,7 @@ object SparkEntry {
           SELECT id_a, id_b, n_a, n_b, overlap,
                  CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE) AS jaccard
           FROM p
-          WHERE CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE) >= 0.95
+          WHERE CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE) >= 0.7
           ORDER BY id_a, id_b""",
     "q_pagerank" ->
       raw"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS pn,

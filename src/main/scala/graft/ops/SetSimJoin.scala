@@ -51,16 +51,27 @@ import org.apache.spark.sql.types._
   * check: it replays the SEMANTICS, not this algorithm). */
 object SetSimJoin {
 
-  /** All pairs of `df` rows whose distinct-token Jaccard >= `threshold`.
-    * Tokens come from [[Dedup.wordTokens]] (lowercased word split, the
-    * corpus-wide tokenizer); empty-token docs can match nothing and are
-    * dropped. */
+  /** All pairs of `df` rows whose distinct-element Jaccard >= `threshold`
+    * over word `shingle`-grams ([[graft.functions.TextHashes
+    * .word_ngrams]]; `shingle = 1` is the plain lowercased-word set).
+    * Empty-set docs can match nothing and are dropped.
+    *
+    * Pick the shingle width so the SETS discriminate: on a corpus with
+    * a small closed vocabulary, unigram sets all overlap (every doc
+    * holds most of the vocabulary, every pairwise Jaccard is high, and
+    * prefix filtering cannot prune because every "rare" token is still
+    * frequent) — measured as a 20x blowup at sf0.1. Word 3-grams give
+    * a combinatorial element space where near-dups share elements and
+    * unrelated docs share none, which is the same reason the MinHash
+    * cascade shingles before hashing. */
   def jaccardJoinPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, shingle: Int = 1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(shingle >= 1, s"shingle width must be >= 1, got $shingle")
     val toks = df.select(col(idCol).as("id"),
-        array_distinct(Dedup.wordTokens(col(textCol))).as("toks"))
+        array_distinct(graft.functions.TextHashes.word_ngrams(
+          col(textCol), shingle)).as("toks"))
       .where(size(col("toks")) > 0)
     val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
     val dfreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))

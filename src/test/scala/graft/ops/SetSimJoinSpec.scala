@@ -6,10 +6,12 @@ import org.scalatest.matchers.should.Matchers
 class SetSimJoinSpec extends SparkSpecBase with Matchers {
   import spark.implicits._
 
-  private def bruteForce(docs: Seq[(Long, String)], t: Double)
-      : Set[(Long, Long)] = {
-    def tok(s: String): Set[String] =
-      s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSet
+  private def bruteForce(docs: Seq[(Long, String)], t: Double,
+      shingle: Int = 1): Set[(Long, Long)] = {
+    def tok(s: String): Set[String] = {
+      val ws = s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      ws.sliding(shingle).filter(_.size == shingle).map(_.mkString(" ")).toSet
+    }
     val sets = docs.map { case (id, s) => id -> tok(s) }.filter(_._2.nonEmpty)
     (for {
       (a, ta) <- sets; (b, tb) <- sets if a < b
@@ -56,6 +58,15 @@ class SetSimJoinSpec extends SparkSpecBase with Matchers {
       val got = SetSimJoin.jaccardJoinPairs(df, "doc_id", "text", t)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       got shouldBe bruteForce(docs, t)
+    }
+    // shingle mode (the discriminative-set path): same exactness over
+    // word-3-gram sets — mutated docs keep shared shingles, unrelated
+    // docs share almost none
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = SetSimJoin.jaccardJoinPairs(df, "doc_id", "text", t,
+          shingle = 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      got shouldBe bruteForce(docs, t, shingle = 3)
     }
   }
 
