@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{BinaryCodec, CharDiversityKernel, LongHashes, TimeFunctions}
-import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Merge, Multimodal, Sampling, SetSimJoin, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Merge, Multimodal, Sampling, SetSimJoin, Similarity, Sketches, TextAnalysis, Validate}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, ConfluentAvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -388,6 +388,24 @@ object SparkEntry {
       EventAnalytics.zScoreOutliers(t(s, dir, "events"), "event_id",
           "event_type", "value", threshold = 3.0)
         .orderBy("event_id")
+    }),
+    "q_validate" -> ((s, dir) => {
+      // Deequ-style constraint suite over the event log: 3 row-local
+      // rules fused into ONE narrow-scan aggregate, 2 uniqueness rules
+      // as separate single-distinct scans (fusing them would ride
+      // q_profile's Expand scale-killer — the split is the design),
+      // 1 referential rule as an un-hinted anti join. Non-vacuous both
+      // ways: not_null/unique(event_id)/foreign_key pass, in_range and
+      // matches_regex and unique(user_id) fail with real counts.
+      import graft.ops.Validate._
+      Validate.validate(t(s, dir, "events"), Seq(
+          NotNull("props"),
+          InRange("value", 0.0, 100.0),
+          MatchesRegex("event_type", "^(view|click|purchase)$"),
+          Unique("event_id"),
+          Unique("user_id"),
+          ForeignKey("user_id", t(s, dir, "customer"), "c_custkey")))
+        .orderBy("rule", "col_name")
     }),
     "q_corr" -> ((s, dir) => {
       // Exact-moment Pearson correlation + OLS regression of
@@ -2501,6 +2519,36 @@ object SparkEntry {
                 CAST(g.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
          FROM g JOIN s USING (cohort)
          ORDER BY cohort, period_offset""",
+    "q_validate" ->
+      """WITH rl AS (SELECT
+                       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS v0,
+                       sum(CASE WHEN value IS NOT NULL
+                                 AND (value < 0.0 OR value > 100.0)
+                                THEN 1 ELSE 0 END) AS v1,
+                       sum(CASE WHEN event_type IS NOT NULL
+                                 AND NOT regexp_matches(event_type, '^(view|click|purchase)$')
+                                THEN 1 ELSE 0 END) AS v2
+                     FROM events),
+              rows_ AS (
+                SELECT 'not_null' AS rule, 'props' AS col_name, v0 AS violations FROM rl
+                UNION ALL
+                SELECT 'in_range', 'value', v1 FROM rl
+                UNION ALL
+                SELECT 'matches_regex', 'event_type', v2 FROM rl
+                UNION ALL
+                SELECT 'unique', 'event_id',
+                       count(event_id) - count(DISTINCT event_id) FROM events
+                UNION ALL
+                SELECT 'unique', 'user_id',
+                       count(user_id) - count(DISTINCT user_id) FROM events
+                UNION ALL
+                SELECT 'foreign_key', 'user_id', count(*) FROM events
+                WHERE user_id IS NOT NULL
+                  AND user_id NOT IN (SELECT c_custkey FROM customer
+                                      WHERE c_custkey IS NOT NULL))
+         SELECT rule, col_name, CAST(violations AS BIGINT) AS violations,
+                violations = 0 AS pass
+         FROM rows_ ORDER BY rule, col_name""",
     // Same DECIMAL-moments recipe as q_outliers: exact sums, then the
     // identical fixed-order double formula (guards replayed too).
     "q_corr" ->
@@ -3656,5 +3704,5 @@ object SparkEntry {
     "q_dedup_rows", "q_dedup_clusters", "q_dedup_simhash",
     "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
     "q_retention", "q_setsim", "q_zorder3", "q_corr",
-    "q_sample_weighted_stratified", "q_kmv_resemblance")
+    "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate")
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.scalatest.matchers.should.Matchers
+
+class ValidateSpec extends SparkSpecBase with Matchers {
+  import spark.implicits._
+  import Validate._
+
+  private lazy val frame = Seq(
+    // (id, name, score) with deliberate defects
+    (Some(1L), Some("alice"), Some(10.0)),
+    (Some(2L), Some("bob"), Some(200.0)),   // range violation
+    (Some(2L), Some("Carol"), Some(20.0)),  // dup id + regex violation
+    (Some(3L), None, Some(-5.0)),           // null name + range violation
+    (Some(4L), Some("dave"), None)          // null score: violates nothing
+  ).toDF("id", "name", "score")
+
+  test("validate: hand-computed violation counts per rule kind; NULLs " +
+      "never violate range/regex/unique, only not_null") {
+    val dim = Seq(1L, 2L, 4L).toDF("k") // 3 is dangling
+    val out = Validate.validate(frame, Seq(
+        NotNull("name"),
+        InRange("score", 0.0, 100.0),
+        MatchesRegex("name", "^[a-z]+$"),
+        Unique("id"),
+        ForeignKey("id", dim, "k")))
+      .orderBy("rule", "col_name")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    out shouldBe Seq(
+      ("foreign_key", "id", 1L, false),    // the id=3 row dangles
+      ("in_range", "score", 2L, false),    // 200.0 and -5.0
+      ("matches_regex", "name", 1L, false),// "Carol"
+      ("not_null", "name", 1L, false),
+      ("unique", "id", 1L, false))         // one surplus id=2 row
+  }
+
+  test("validate: a clean frame passes every rule with zero violations") {
+    val dim = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val out = Validate.validate(frame.where($"id" =!= 2L && $"id" =!= 3L),
+        Seq(NotNull("name"), InRange("score", 0.0, 100.0),
+          MatchesRegex("name", "^[a-z]+$"), Unique("id"),
+          ForeignKey("id", dim, "k")))
+      .as[(String, String, Long, Boolean)].collect()
+    all(out.map(_._3)) shouldBe 0L
+    all(out.map(_._4)) shouldBe true
+    out.length shouldBe 5
+  }
+
+  test("plan: row-local rules fuse into ONE scan-aggregate; unique " +
+      "rules avoid the multi-distinct Expand") {
+    val p = Validate.validate(frame, Seq(
+        NotNull("name"), InRange("score", 0.0, 100.0),
+        MatchesRegex("name", "^[a-z]+$"),
+        Unique("id"), Unique("name")))
+      .queryExecution.executedPlan.toString
+    // two separate single-distinct aggregates, never a fused Expand
+    p should not include "Expand"
+  }
+}
