@@ -404,7 +404,11 @@ object SparkEntry {
           MatchesRegex("event_type", "^(view|click|purchase)$"),
           Unique("event_id"),
           Unique("user_id"),
-          ForeignKey("user_id", t(s, dir, "customer"), "c_custkey")))
+          ForeignKey("user_id", t(s, dir, "customer"), "c_custkey"),
+          // k-anonymity audit on the (user, type) quasi-identifier:
+          // avg group ~13 rows at every SF, so groups under 12 exist
+          // everywhere and the count is non-vacuous
+          MinGroupSize(Seq("user_id", "event_type"), 12)))
         .orderBy("rule", "col_name")
     }),
     "q_corr" -> ((s, dir) => {
@@ -2545,7 +2549,12 @@ object SparkEntry {
                 SELECT 'foreign_key', 'user_id', count(*) FROM events
                 WHERE user_id IS NOT NULL
                   AND user_id NOT IN (SELECT c_custkey FROM customer
-                                      WHERE c_custkey IS NOT NULL))
+                                      WHERE c_custkey IS NOT NULL)
+                UNION ALL
+                SELECT 'min_group_size', 'user_id,event_type',
+                       coalesce(sum(n), 0) FROM (
+                  SELECT user_id, event_type, count(*) AS n FROM events
+                  GROUP BY 1, 2) WHERE n < 12)
          SELECT rule, col_name, CAST(violations AS BIGINT) AS violations,
                 violations = 0 AS pass
          FROM rows_ ORDER BY rule, col_name""",

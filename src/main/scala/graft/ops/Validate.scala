@@ -62,6 +62,18 @@ object Validate {
       dimKey: String) extends Rule {
     val name = "foreign_key"
   }
+  /** k-anonymity audit: every combination of the quasi-identifier
+    * `columns` must cover at least `k` rows; violations = the number
+    * of ROWS sitting in a smaller group (the re-identifiable ones).
+    * NULLs group together, standard GROUP BY semantics. One exchange
+    * on the quasi-identifier key with map-side partial counts — the
+    * privacy gate at any scale. */
+  final case class MinGroupSize(columns: Seq[String], k: Long)
+      extends Rule {
+    require(columns.nonEmpty && k >= 1)
+    val name = "min_group_size"
+    val column: String = columns.mkString(",")
+  }
 
   private def violatedExpr(r: Rule): Column = r match {
     case NotNull(c) => col(c).isNull
@@ -107,6 +119,13 @@ object Validate {
           .join(dim.select(col(dk).as(c)), Seq(c), "left_anti")
           .agg(count(lit(1)).as("violations"))
           .select(lit("foreign_key").as("rule"), lit(c).as("col_name"),
+            col("violations"))
+      case r @ MinGroupSize(cols, k) =>
+        frames += df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") < k)
+          .agg(coalesce(sum(col("n")), lit(0L)).as("violations"))
+          .select(lit(r.name).as("rule"), lit(r.column).as("col_name"),
             col("violations"))
       case _ => () // row-local: already in the fused frame
     }

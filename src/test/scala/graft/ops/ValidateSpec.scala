@@ -35,6 +35,22 @@ class ValidateSpec extends SparkSpecBase with Matchers {
       ("unique", "id", 1L, false))         // one surplus id=2 row
   }
 
+  test("min_group_size: rows in sub-k quasi-identifier groups are the " +
+      "violations; a saturated grouping passes; NULLs form a group") {
+    val qf = Seq(
+      ("a", Some(1)), ("a", Some(1)), ("a", Some(1)), // group of 3
+      ("a", Some(2)),                                  // group of 1
+      ("b", None), ("b", None)                         // NULL group of 2
+    ).toDF("g", "sub")
+    val out = Validate.validate(qf,
+        Seq(MinGroupSize(Seq("g", "sub"), 2), MinGroupSize(Seq("g"), 2)))
+      .orderBy("col_name")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    out shouldBe Seq(
+      ("min_group_size", "g", 0L, true),      // groups of 4 and 2
+      ("min_group_size", "g,sub", 1L, false)) // the ("a",2) singleton
+  }
+
   test("validate: a clean frame passes every rule with zero violations") {
     val dim = Seq(1L, 2L, 3L, 4L).toDF("k")
     val out = Validate.validate(frame.where($"id" =!= 2L && $"id" =!= 3L),
