@@ -1024,6 +1024,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
+    "q_cluster_dedup_best" -> ((s, dir) => {
+      // Quality-aware keeper: per near-dup component keep the LONGEST
+      // member (ties to lower id) instead of the arbitrary min-id —
+      // the keeper production dedups use, since min-id can keep a
+      // truncated dup and drop the complete copy. Same closure as
+      // q_cluster_dedup, one extra slim argmax; the kept set genuinely
+      // differs from the min-id keeper on this corpus (longest !=
+      // first in several components at every SF).
+      Dedup.clusterDedupBest(t(s, dir, "documents"), "doc_id", "text",
+          scoreCol = col("n_chars").cast(DoubleType), threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           maxDistance = 3)
@@ -3022,6 +3035,22 @@ object SparkEntry {
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id NOT IN (SELECT id FROM lab WHERE cluster_id <> id)
          ORDER BY doc_id""",
+    // Same closure; keeper = per-cluster argmax (n_chars DESC, id ASC)
+    // — the row_number phrasing of the struct-max keeper.
+    "q_cluster_dedup_best" ->
+      raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
+              $closureSql,
+              sc AS (SELECT l.cluster_id, l.id, d.n_chars
+                     FROM lab l JOIN documents d ON d.doc_id = l.id),
+              keep AS (SELECT id FROM (
+                         SELECT cluster_id, id,
+                                row_number() OVER (PARTITION BY cluster_id
+                                                   ORDER BY n_chars DESC, id) AS rn
+                         FROM sc) WHERE rn = 1)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM lab
+                              WHERE id NOT IN (SELECT id FROM keep))
+         ORDER BY doc_id""",
     "q_winnow" ->
       raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
               ${winnowCtesSql("d", k = 25, w = 10, maxBucket = Some(1000))}
@@ -3713,5 +3742,6 @@ object SparkEntry {
     "q_dedup_rows", "q_dedup_clusters", "q_dedup_simhash",
     "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
     "q_retention", "q_setsim", "q_zorder3", "q_corr",
-    "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate")
+    "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
+    "q_cluster_dedup_best")
 }

@@ -551,6 +551,40 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[clusterDedup]] with a QUALITY-AWARE keeper: per connected
+    * near-dup component, keep the member maximizing `scoreCol` (ties
+    * break to the LOWER id) instead of the arbitrary min-id member —
+    * what production dedups actually do (keep the longest / highest-
+    * quality representative; the min-id keeper can throw away the one
+    * complete copy and keep a truncated dup). `scoreCol` is any column
+    * expression over `df` (length, [[TextAnalysis.qualityScore]], a
+    * model score...).
+    *
+    * Cost on top of [[clusterDedup]]: the member list joins its scores
+    * (slim — components only, not the corpus) and one per-cluster
+    * argmax via a lexicographic struct max — map-side partials, no
+    * Window. The argmax is `max(struct(score, -id))`: on a score tie
+    * the larger `-id` wins, i.e. the smaller id — deterministic like
+    * every keeper in this file. */
+  def clusterDedupBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: Column,
+      k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val members = nearDupClusters(nearDupPairs(df, idCol, textCol,
+        k, bands, rowsPerBand, threshold, seed, maxBucketSize))
+      .select(col("id"), col("cluster_id"))
+    val scored = df.select(col(idCol).as("id"), scoreCol.as("__score"))
+      .join(members, "id")
+    val keepers = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("__score").as("s"), (-col("id")).as("nid")))
+        .as("best"))
+      .select((-col("best.nid")).as("id"))
+    val losers = members.join(keepers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** The end-to-end curation pipeline a training-data user actually
     * runs, composed from the verified pieces: exact dedup (min-id
     * keeper) -> near-dup drop (the HIGHER id of every confirmed pair

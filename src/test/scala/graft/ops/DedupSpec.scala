@@ -283,6 +283,31 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     pairs should not contain ((1L, 3L))
   }
 
+  test("clusterDedupBest keeps the highest-score member per component " +
+      "(min-id keeper would keep the truncated dup); singletons and " +
+      "ties unaffected") {
+    val full = (1 to 30).map(i => s"w$i").mkString(" ")
+    val truncated = (1 to 26).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, truncated, truncated.length.toDouble), // near-dup, shorter, LOWER id
+      (2L, full, full.length.toDouble),           // near-dup, longer
+      (3L, "completely different text about zebras and xylophones", 10.0)
+    ).toDF("doc_id", "text", "score")
+    // min-id keeper keeps the truncated doc 1
+    Dedup.clusterDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+    // score keeper keeps the full doc 2
+    Dedup.clusterDedupBest(docs, "doc_id", "text",
+        scoreCol = org.apache.spark.sql.functions.col("score"),
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    // equal scores degrade to the min-id keeper (deterministic tie)
+    Dedup.clusterDedupBest(docs, "doc_id", "text",
+        scoreCol = org.apache.spark.sql.functions.lit(1.0),
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+  }
+
   test("semDedup: within-cluster min-id keeper; cluster boundary splits " +
       "a near-pair (documented SemDeDup blindness); far pairs survive") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
