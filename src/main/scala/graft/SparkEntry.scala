@@ -389,6 +389,23 @@ object SparkEntry {
           "event_type", "value", threshold = 3.0)
         .orderBy("event_id")
     }),
+    "q_drift" -> ((s, dir) => {
+      // Distribution-drift monitor: the event-value histogram of the
+      // SECOND half of the log (by day) against the FIRST half — the
+      // check a pipeline runs on each new data drop. Fixed-width bins
+      // (no range discovery; novel values open new bins), per-bin L1
+      // terms, and the total variation distance as an ordered FOLD of
+      // the bounded bin frame (a partition-ordered sum() of doubles
+      // could never hash-match — see Stats.histogramDrift's scaladoc).
+      val ev = t(s, dir, "events")
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          col("value"))
+      graft.ops.Stats.histogramDrift(
+          ev.where(col("day") < 19740).select("value"),
+          ev.where(col("day") >= 19740).select("value"),
+          "value", binWidth = 25.0)
+        .orderBy("bin")
+    }),
     "q_validate" -> ((s, dir) => {
       // Deequ-style constraint suite over the event log: 3 row-local
       // rules fused into ONE narrow-scan aggregate, 2 uniqueness rules
@@ -2536,6 +2553,33 @@ object SparkEntry {
                 CAST(g.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
          FROM g JOIN s USING (cohort)
          ORDER BY cohort, period_offset""",
+    // Same day arithmetic as q_retention; the TVD fold replays as
+    // list_reduce over [0.0] || bin-ordered terms == Spark's
+    // aggregate(terms, 0.0, +) left fold.
+    "q_drift" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                           value FROM events),
+              r AS (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                           count(*) AS n_ref
+                    FROM e WHERE day < 19740 AND value IS NOT NULL GROUP BY 1),
+              c AS (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                           count(*) AS n_cur
+                    FROM e WHERE day >= 19740 AND value IS NOT NULL GROUP BY 1),
+              j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+                           coalesce(n_ref, 0) AS n_ref,
+                           coalesce(n_cur, 0) AS n_cur
+                    FROM r FULL JOIN c ON r.bin = c.bin),
+              t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j),
+              pb AS (SELECT bin, n_ref, n_cur,
+                            CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS p_ref,
+                            CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS p_cur,
+                            abs(CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+                                - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)) AS l1_term
+                     FROM j, t),
+              tv AS (SELECT list_reduce([0.0] || list(l1_term ORDER BY bin),
+                                        (a, b) -> a + b) * 0.5 AS tvd FROM pb)
+         SELECT bin, n_ref, n_cur, p_ref, p_cur, l1_term, tvd
+         FROM pb, tv ORDER BY bin""",
     "q_validate" ->
       """WITH rl AS (SELECT
                        sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS v0,
@@ -3743,5 +3787,5 @@ object SparkEntry {
     "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
     "q_retention", "q_setsim", "q_zorder3", "q_corr",
     "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
-    "q_cluster_dedup_best")
+    "q_cluster_dedup_best", "q_drift")
 }

@@ -56,4 +56,55 @@ object Stats {
       when(denx > 0, col("sy") / n - slope * (col("sx") / n))
         .as("intercept"): _*)
   }
+
+  /** Distribution drift between a REFERENCE snapshot and a CURRENT
+    * one — the monitor a pipeline runs on every new data drop before
+    * training on it. Values bucket into fixed-width bins (the
+    * q_histogram arithmetic: `floor(v / binWidth)` — no range-discovery
+    * pass, so new out-of-range values land in NEW bins instead of
+    * silently clipping), each side aggregates to per-bin counts (one
+    * slim exchange per side, map-side partials), and a full outer join
+    * on the bin aligns them: `n_ref = 0` rows are exactly the novel
+    * regions. Per bin: proportions and the L1 term `|p_ref - p_cur|`;
+    * `tvd` (total variation distance, `0.5 * sum(l1)`) rides every row
+    * as the headline scalar.
+    *
+    * Determinism note (why TVD is a FOLD, not a sum): `sum()` over
+    * doubles adds in partition order, so its low bits vary by split —
+    * unverifiable, the Stats.corrRegression lesson. The bin frame is
+    * bounded (value range / binWidth — the caller's sizing contract,
+    * like temperatureMix), so the L1 terms collect into ONE sorted
+    * array and fold left in bin order: bit-identical on any
+    * partitioning, and the oracle replays the same fold. The PSI/KL
+    * phrasings were rejected for their libm `ln` (last-ulp varies by
+    * platform); TVD is subtraction and abs only. */
+  def histogramDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bins(df: DataFrame, cnt: String): DataFrame = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / binWidth).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as(cnt))
+    val joined = bins(ref, "n_ref").join(bins(cur, "n_cur"),
+        Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val perBin = joined
+      .crossJoin(broadcast(joined.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (col("n_ref").cast(DoubleType) / col("t_ref").cast(DoubleType))
+          .as("p_ref"),
+        (col("n_cur").cast(DoubleType) / col("t_cur").cast(DoubleType))
+          .as("p_cur"))
+      .withColumn("l1_term", abs(col("p_ref") - col("p_cur")))
+    val tvd = perBin
+      .agg(array_sort(collect_list(struct(col("bin"), col("l1_term"))))
+        .as("terms"))
+      .select((aggregate(
+        transform(col("terms"), t => t.getField("l1_term")),
+        lit(0.0), (acc, x) => acc + x) * 0.5).as("tvd"))
+    perBin.crossJoin(broadcast(tvd))
+  }
 }

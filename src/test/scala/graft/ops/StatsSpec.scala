@@ -43,6 +43,40 @@ class StatsSpec extends SparkSpecBase with Matchers {
     d.getDouble(3) shouldBe 2.0 +- 1e-12
   }
 
+  test("histogramDrift: hand-computed bins, proportions, novel-region " +
+      "rows, and the exact TVD fold") {
+    val ref = Seq(0.5, 0.7, 1.5).toDF("v")   // bins 0:2, 1:1
+    val cur = Seq(0.2, 3.5).toDF("v")        // bins 0:1, 3:1 (bin 3 novel)
+    val out = Stats.histogramDrift(ref, cur, "v", binWidth = 1.0)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    val exp = Seq(
+      (0L, 2L, 1L, 2.0 / 3.0, 0.5, math.abs(2.0 / 3.0 - 0.5)),
+      (1L, 1L, 0L, 1.0 / 3.0, 0.0, 1.0 / 3.0),
+      (3L, 0L, 1L, 0.0, 0.5, 0.5)) // the novel region
+    out.map(r => (r._1, r._2, r._3)) shouldBe exp.map(e => (e._1, e._2, e._3))
+    out.zip(exp).foreach { case (g, e) =>
+      g._4 shouldBe e._4 +- 1e-15
+      g._5 shouldBe e._5 +- 1e-15
+      g._6 shouldBe e._6 +- 1e-15
+    }
+    val wantTvd = 0.5 * (exp(0)._6 + exp(1)._6 + exp(2)._6)
+    all(out.map(_._7)) shouldBe wantTvd +- 1e-15
+  }
+
+  test("histogramDrift TVD is partition-order independent (ordered " +
+      "fold, not a floating sum)") {
+    val rng = new scala.util.Random(3)
+    val a = Seq.fill(4000)(rng.nextDouble() * 100).toDF("v")
+    val b = Seq.fill(4000)(rng.nextGaussian() * 20 + 60).toDF("v")
+    def tvd(parts: Int): Double =
+      Stats.histogramDrift(a.repartition(parts), b.repartition(parts + 3),
+          "v", binWidth = 5.0)
+        .select("tvd").as[Double].head()
+    tvd(1) shouldBe tvd(11) // bit-for-bit
+  }
+
   test("corrRegression is partition-order independent (exact DECIMAL " +
       "moments): 1 partition == 7 partitions bit-for-bit") {
     val rng = new scala.util.Random(5)
