@@ -364,6 +364,18 @@ object SparkEntry {
       EventAnalytics.sessionize(ev, "user_id", "tt", gapSeconds = 6 * 3600)
         .orderBy("user_id", "session_idx")
     }),
+    "q_ewma" -> ((s, dir) => {
+      // Per-user EWMA of event values (alpha = 0.25, exactly
+      // representable): the sequential fold runs over each user's
+      // ts-ordered value array — one exchange, funnel's shape — and
+      // both engines execute the IDENTICAL left fold, so the smoothed
+      // level hash-matches without rounding.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("us"), col("value"))
+      EventAnalytics.ewmaSmooth(ev, "user_id", "us", "value",
+          alpha = 0.25)
+        .orderBy("user_id")
+    }),
     "q_retention" -> ((s, dir) => {
       // Daily purchase-cohort retention matrix: cohort users by first
       // purchase day, count actives per (cohort, day offset), rate
@@ -2538,6 +2550,17 @@ object SparkEntry {
     // == epoch_us of the ns->us-truncated TIMESTAMP read), same
     // count-then-one-division recipe — retention is a single IEEE
     // division of exact BIGINTs, bit-exact across engines.
+    // The same left fold: list_reduce seeds with the FIRST element
+    // (s1 = x1) exactly like Spark's aggregate over the tail.
+    "q_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                           value FROM events WHERE value IS NOT NULL),
+              g AS (SELECT user_id, count(*) AS n_events,
+                           list(value ORDER BY us, value) AS vs
+                    FROM e GROUP BY user_id)
+         SELECT user_id, n_events,
+                list_reduce(vs, (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+         FROM g ORDER BY user_id""",
     "q_retention" ->
       """WITH e AS (SELECT user_id,
                            epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS p
@@ -3787,5 +3810,5 @@ object SparkEntry {
     "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
     "q_retention", "q_setsim", "q_zorder3", "q_corr",
     "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
-    "q_cluster_dedup_best", "q_drift")
+    "q_cluster_dedup_best", "q_drift", "q_ewma")
 }

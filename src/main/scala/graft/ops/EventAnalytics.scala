@@ -177,6 +177,37 @@ object EventAnalytics {
       .where(abs(col("z")) > threshold)
   }
 
+  /** Per-entity exponentially-weighted moving average of `valueCol` in
+    * `tsCol` order: `s_1 = x_1`, `s_t = (1-alpha)*s_{t-1} + alpha*x_t`
+    * — the standard trend smoother, reduced per key to its FINAL
+    * smoothed level (the "current state" a monitor compares new events
+    * against). An EWMA is inherently sequential, so it cannot be a
+    * partition-parallel aggregate; instead each key's events collect
+    * into ONE sorted array (the [[funnel]] shape: one exchange on the
+    * key, per-key cardinality is the caller's contract) and fold left
+    * in `(ts, value)` order. The fold's operation order is fixed —
+    * `acc * (1-alpha) + x * alpha`, two multiplies one add per step —
+    * so the result is bit-identical on any partitioning and the oracle
+    * replays it as the same left fold (pick `alpha` with an exact
+    * binary representation, e.g. 0.25, and the *constants* are
+    * bit-identical too). Returns `(keyCol, n_events, ewma)`. */
+  def ewmaSmooth(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val grouped = events
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col(tsCol).as("t"),
+        col(valueCol).as("v")))).as("xs"))
+      .select(col(keyCol), size(col("xs")).cast(LongType).as("n_events"),
+        transform(col("xs"), x => x.getField("v")).as("vs"))
+    grouped.select(col(keyCol), col("n_events"),
+      aggregate(
+        slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+        element_at(col("vs"), 1),
+        (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)).as("ewma"))
+  }
+
   /** Cohort retention matrix: bucket activity into fixed periods of
     * `bucketUs` epoch-micros, cohort each user by their FIRST active
     * period, and count how many of each cohort's users are active

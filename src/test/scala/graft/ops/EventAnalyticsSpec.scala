@@ -124,6 +124,26 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out.head.getDouble(3) === 3.0)
   }
 
+  test("ewmaSmooth: hand-computed fold in ts order (input deliberately " +
+      "shuffled), s1 seeds, nulls drop, partition-order independent") {
+    // u1 values in TS order: 10, 20, 40 (inserted out of order)
+    // s1=10; s2=0.75*10+0.25*20=12.5; s3=0.75*12.5+0.25*40=19.375
+    val ev = Seq(
+      (1L, 30L, 40.0), (1L, 10L, 10.0), (1L, 20L, 20.0),
+      (2L, 5L, 7.0) // single event: ewma == the value
+    ).toDF("user_id", "us", "value")
+      .union(Seq((1L, 40L, Option.empty[Double]))
+        .toDF("user_id", "us", "value")) // null value: excluded
+    val out = EventAnalytics.ewmaSmooth(ev, "user_id", "us", "value", 0.25)
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 3L, 19.375), (2L, 1L, 7.0)))
+    // the fold is per-key sequential: physical partitioning is irrelevant
+    val re = EventAnalytics.ewmaSmooth(ev.repartition(7), "user_id",
+        "us", "value", 0.25)
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(re === out)
+  }
+
   test("retentionCohorts: cohort = first active period, offsets count " +
       "distinct users, rate vs offset-0 size, gaps stay absent") {
     // bucket = 10 us. u1 active periods {0,1,3}; u2 {0,1}; u3 {1,3}:
