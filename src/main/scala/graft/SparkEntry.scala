@@ -1802,6 +1802,30 @@ object SparkEntry {
         .orderBy(col("score").desc, col("node"))
         .limit(50)
     }),
+    "q_pagerank_personalized" -> ((s, dir) => {
+      // Personalized PR (random walk with restart) on the same supply
+      // DAG: the jump and the dangling teleport return only to THREE
+      // seed PARTS (partkeys 1-3 -> nodes 3, 6, 9), so rank measures
+      // proximity to that watchlist: the walk explores part ->
+      // supplier -> nation, ranking exactly the suppliers of the
+      // watched parts and their nations. Seeds must carry OUT-edges to
+      // be meaningful — seeding the sink nations degenerates to
+      // all-mass-at-seeds (found and rejected while building this
+      // query). Output = the REACHABLE set (score > 0): unreachable
+      // nodes hold exactly zero mass, and filtering them keeps the
+      // ranking non-vacuous at every SF.
+      val li = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 3).as("src"),
+          (col("l_suppkey") * 3 + 1).as("dst"))
+      val sn = t(s, dir, "supplier")
+        .select((col("s_suppkey") * 3 + 1).as("src"),
+          (col("s_nationkey") * 3 + 2).as("dst"))
+      Graph.pageRankPersonalized(li.unionByName(sn), "src", "dst",
+          seeds = Seq(3L, 6L, 9L), iters = 5)
+        .where(col("score") > 0)
+        .orderBy(col("score").desc, col("node"))
+        .limit(50)
+    }),
     "q_coreset" -> ((s, dir) => {
       // Farthest-point diversity coreset: 8 greedy k-center picks over
       // the embedding corpus — the max-spread seed/eval-set builder
@@ -1938,6 +1962,26 @@ object SparkEntry {
          |               $base + ($dampNum * (coalesce(c.s, 0) + d$i.dt // nn.n)) // $dampDen AS score
          |        FROM nodes nd LEFT JOIN c$i c ON c.node = nd.node, d$i, nn)""".stripMargin
     }.mkString(",\n")
+
+  /** Personalized variant of [[pageRankDanglingCtesSql]]: the jump
+    * base and the dangling teleport hit only the seed IN-list; `sb`
+    * (the per-seed base) must be provided as a CTE by the caller. */
+  private def pageRankPersonalizedCtesSql(iters: Int, seeds: Seq[Long],
+      dampNum: Long, dampDen: Long): String = {
+    val k = seeds.length
+    val in = s"nd.node IN (${seeds.mkString(", ")})"
+    (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, CAST(sum(v.score // e.outdeg) AS BIGINT) AS s
+         |        FROM ewd e JOIN v${i - 1} v ON e.src = v.node GROUP BY e.dst),
+         |d$i AS (SELECT CAST(coalesce(sum(score), 0) AS BIGINT) AS dt
+         |        FROM v${i - 1} WHERE node NOT IN (SELECT src FROM deg)),
+         |v$i AS (SELECT nd.node,
+         |               (CASE WHEN $in THEN sb.b ELSE 0 END)
+         |               + ($dampNum * (coalesce(c.s, 0)
+         |                  + (CASE WHEN $in THEN d$i.dt // $k ELSE 0 END))) // $dampDen AS score
+         |        FROM nodes nd LEFT JOIN c$i c ON c.node = nd.node, d$i, sb)""".stripMargin
+    }.mkString(",\n")
+  }
 
   /** DuckDB replay of [[graft.ops.Similarity.farthestPointSample]]:
     * `k-1` chained greedy rounds over prefix CTE `e` (vec_id, v as
@@ -3717,6 +3761,25 @@ object SparkEntry {
                v0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
                ${pageRankDanglingCtesSql(5, base = 150000L, dampNum = 85L, dampDen = 100L)}
           SELECT node, score FROM v5 ORDER BY score DESC, node LIMIT 50""",
+    // Same graph prefix; sb = the per-seed jump base
+    // (n*unit - damped) // |seeds|, computed from the node count like
+    // the Scala side's one driver scalar.
+    "q_pagerank_personalized" ->
+      raw"""WITH edges AS (SELECT DISTINCT src, dst FROM (
+                           SELECT l_partkey * 3 AS src, l_suppkey * 3 + 1 AS dst FROM lineitem
+                           UNION ALL
+                           SELECT s_suppkey * 3 + 1, s_nationkey * 3 + 2 FROM supplier)),
+               deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+               ewd AS (SELECT e.src, e.dst, d.outdeg
+                       FROM edges e JOIN deg d USING (src)),
+               nodes AS (SELECT src AS node FROM edges
+                         UNION SELECT dst FROM edges),
+               nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+               sb AS (SELECT CAST((n * 1000000 - (n * 1000000 * 85) // 100) // 3 AS BIGINT) AS b FROM nn),
+               v0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
+               ${pageRankPersonalizedCtesSql(5, seeds = Seq(3L, 6L, 9L), dampNum = 85L, dampDen = 100L)}
+          SELECT node, score FROM v5 WHERE score > 0
+          ORDER BY score DESC, node LIMIT 50""",
     "q_coreset" ->
       raw"""WITH e AS (SELECT vec_id,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3810,5 +3873,6 @@ object SparkEntry {
     "q_embed_neardup", "q_frame_offsets", "q_multimodal_ann",
     "q_retention", "q_setsim", "q_zorder3", "q_corr",
     "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
-    "q_cluster_dedup_best", "q_drift", "q_ewma")
+    "q_cluster_dedup_best", "q_drift", "q_ewma",
+    "q_pagerank_personalized")
 }

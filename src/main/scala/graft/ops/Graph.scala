@@ -141,4 +141,62 @@ object Graph {
     }
     scores
   }
+
+  /** PERSONALIZED PageRank (random walk with restart): the jump — and
+    * the dangling teleport — return only to the `seeds` instead of
+    * uniformly to every node, so rank measures proximity/relevance TO
+    * THE SEED SET rather than global centrality (the "related items
+    * from these examples" primitive: expand a few flagged templates to
+    * the whole template family, rank suppliers around a watchlist).
+    * Same [[pageRankDangling]] graph contract (arbitrary directed
+    * graphs, dangling + source-only nodes handled) and the same
+    * integer fixed-point exactness: the total jump mass
+    * `n*unit - (n*unit*damp)` splits evenly over the seeds with
+    * integer division (documented sub-unit rounding), non-seeds get a
+    * ZERO base — their entire score is inherited walk mass.
+    *
+    * Seeds are a literal Seq (a personalization set is small by
+    * definition — watchlists, flagged ids); they compile into the
+    * round projection as an IN list, so no extra join enters the loop.
+    * Scale shape and per-round pins: identical to [[pageRankDangling]]. */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[Long], iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L, unit: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(seeds.nonEmpty, "personalization needs at least one seed")
+    require(seeds.distinct.size == seeds.size, s"duplicate seeds: $seeds")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ewd = pin(e.join(deg, Seq("src")))
+    val nodes = pin(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    val dangNodes = pin(nodes.join(deg,
+      nodes("node") === deg("src"), "left_anti"))
+    val k = seeds.length
+    val seedBase = (n * unit - (n * unit * dampNum) / dampDen) / k
+    val inSeeds = s"node IN (${seeds.mkString(", ")})"
+    var scores = pin(nodes.withColumn("score", lit(unit)))
+    for (_ <- 1 to iters) {
+      val contrib = ewd.join(scores, ewd("src") === scores("node"))
+        .select(ewd("dst").as("cn"), expr("score div outdeg").as("c"))
+        .groupBy(col("cn")).agg(sum(col("c")).as("s"))
+      val dang = scores.join(dangNodes, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("score")), lit(0L)).as("dt"))
+      scores = pin(scores.select(col("node"))
+        .join(contrib, col("node") === col("cn"), "left")
+        .crossJoin(broadcast(dang))
+        .selectExpr("node",
+          s"(CASE WHEN $inSeeds THEN ${seedBase}L ELSE 0L END) + " +
+            s"($dampNum * (coalesce(s, 0L) + " +
+            s"(CASE WHEN $inSeeds THEN dt div ${k}L ELSE 0L END))) " +
+            s"div $dampDen AS score"))
+    }
+    scores
+  }
 }

@@ -112,6 +112,52 @@ class GraphSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("pageRankPersonalized matches an in-memory integer reference on " +
+      "seeded random directed graphs; seed proximity beats the uniform " +
+      "jump ordering") {
+    def pprRanks(edges: Seq[(Long, Long)], seeds: Seq[Long],
+        iters: Int): Map[Long, Long] =
+      Graph.pageRankPersonalized(edges.toDF("src", "dst"), "src", "dst",
+        seeds, iters).as[(Long, Long)].collect().toMap
+    def reference(edges: Set[(Long, Long)], seeds: Seq[Long],
+        iters: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+      val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      val n = nodes.size.toLong
+      val k = seeds.length.toLong
+      val sb = (n * 1000000L - (n * 1000000L * 85L) / 100L) / k
+      var score = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val dt = nodes.filterNot(out.contains).map(score).sum
+        val in = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.toSeq.map { case (s, _) => score(s) / out(s) }.sum
+        }
+        score = nodes.map { v =>
+          val isSeed = seeds.contains(v)
+          v -> ((if (isSeed) sb else 0L) +
+            85L * (in.getOrElse(v, 0L) +
+              (if (isSeed) dt / k else 0L)) / 100L)
+        }.toMap
+      }
+      score
+    }
+    val rnd = new scala.util.Random(29)
+    for (_ <- 1 to 5) {
+      val n = 4 + rnd.nextInt(7)
+      val es = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toSet
+      val nodes = (es.map(_._1) ++ es.map(_._2)).toSeq.sorted
+      val seeds = nodes.take(1 + rnd.nextInt(2))
+      pprRanks(es.toSeq, seeds, iters = 3) shouldBe reference(es, seeds, 3)
+    }
+    // proximity semantics: on a two-hub star (1 and 4 both fed by
+    // leaves), personalizing on hub 1's side lifts hub 1 over hub 4
+    // even though their in-degrees match
+    val star = Seq((2L, 1L), (3L, 1L), (5L, 4L), (6L, 4L))
+    val p = pprRanks(star, seeds = Seq(2L, 3L), iters = 3)
+    p(1L) should be > p(4L)
+  }
+
   test("pageRankDangling conserves total mass up to documented integer " +
       "rounding (< n units per round + damping truncation)") {
     // DAG: 1->3, 2->3, 3 dangling; total starts at 3e6 and must stay
