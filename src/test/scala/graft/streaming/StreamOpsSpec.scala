@@ -312,6 +312,48 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     all(streamed.map(_._2)) should be > 0L
   }
 
+  test("Validate's row-local rules run UNCHANGED as a streaming " +
+      "quality monitor (complete mode): per-batch counts equal batch " +
+      "validate on the prefix") {
+    // The fused row-local aggregate is one global sum aggregate, which
+    // is exactly a streaming complete-mode query — the online data-
+    // quality monitor needs no extra code. (Unique/FK rules need a
+    // distinct or a join and stay batch-side by design.)
+    import graft.ops.Validate
+    import Validate.{InRange, MatchesRegex, NotNull}
+    val rules = Seq(NotNull("name"), InRange("score", 0.0, 100.0),
+      MatchesRegex("name", "^[a-z]+$"))
+    val in = MemoryStream[(Long, String, Double)](spark)
+    val q = Validate.validate(
+        in.toDF().toDF("id", "name", "score"), rules)
+      .writeStream.format("memory").queryName("validate_stream")
+      .outputMode("complete").start()
+    val batches = Seq(
+      Seq((1L, "ok", 10.0), (2L, "BAD", 20.0)),          // 1 regex viol
+      Seq((3L, "ok", 500.0), (4L, "ok", -1.0)),          // 2 range viols
+      Seq((5L, "fine", 50.0), (6L, "UGLY", 999.0)))      // 1 regex + 1 range
+    var seen = Seq.empty[(Long, String, Double)]
+    batches.foreach { b =>
+      in.addData(b)
+      q.processAllAvailable()
+      seen = seen ++ b
+      val streamed = spark.table("validate_stream")
+        .select("rule", "col_name", "violations")
+        .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+      val batch = Validate.validate(
+          seen.toDF("id", "name", "score"), rules)
+        .select("rule", "col_name", "violations")
+        .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+      streamed.toSeq shouldBe batch.toSeq
+    }
+    q.stop()
+    // final counts non-vacuous: 2 regex + 3 range violations seen
+    spark.table("validate_stream")
+      .select("rule", "violations").as[(String, Long)].collect().toMap
+      .view.filterKeys(_ != "not_null").toMap shouldBe
+      Map("in_range" -> 3L, "matches_regex" -> 2L)
+  }
+
   test("screenAgainstIndex runs incrementally against a static winnow " +
       "index (stream-static fp join + streaming pair count) and equals " +
       "the batch screen") {
