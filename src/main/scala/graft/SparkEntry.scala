@@ -364,6 +364,20 @@ object SparkEntry {
       EventAnalytics.sessionize(ev, "user_id", "tt", gapSeconds = 6 * 3600)
         .orderBy("user_id", "session_idx")
     }),
+    "q_assoc" -> ((s, dir) => {
+      // Association rules over daily (user, day) baskets of event
+      // types — the Apriori 2-itemset layer: support, both directed
+      // confidences, and lift from exact counts (the collocations
+      // recipe on transactional data; log-free so it replays). The
+      // pair scan is keyed on the basket, fanout <= 5^2 types per
+      // basket; supports and the basket total broadcast back.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"))
+      EventAnalytics.associationRules(ev, Seq("user_id", "day"),
+          "event_type")
+        .orderBy("item_a", "item_b")
+    }),
     "q_ewma" -> ((s, dir) => {
       // Per-user EWMA of event values (alpha = 0.25, exactly
       // representable): the sequential fold runs over each user's
@@ -2594,6 +2608,31 @@ object SparkEntry {
     // == epoch_us of the ns->us-truncated TIMESTAMP read), same
     // count-then-one-division recipe — retention is a single IEEE
     // division of exact BIGINTs, bit-exact across engines.
+    "q_assoc" ->
+      """WITH e AS (SELECT user_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                           event_type FROM events),
+              bi AS (SELECT DISTINCT user_id, day, event_type FROM e
+                     WHERE event_type IS NOT NULL),
+              nb AS (SELECT count(*) AS n_baskets FROM
+                     (SELECT DISTINCT user_id, day FROM bi)),
+              ic AS (SELECT event_type, count(*) AS n_item FROM bi GROUP BY 1),
+              pr AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+                            count(*) AS n_ab
+                     FROM bi x JOIN bi y
+                       ON x.user_id = y.user_id AND x.day = y.day
+                      AND x.event_type < y.event_type
+                     GROUP BY 1, 2)
+         SELECT item_a, item_b, a.n_item AS n_a, b.n_item AS n_b, n_ab,
+                nb.n_baskets,
+                CAST(n_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+                CAST(n_ab AS DOUBLE) / CAST(a.n_item AS DOUBLE) AS conf_a_to_b,
+                CAST(n_ab AS DOUBLE) / CAST(b.n_item AS DOUBLE) AS conf_b_to_a,
+                CAST(n_ab * nb.n_baskets AS DOUBLE)
+                / CAST(a.n_item * b.n_item AS DOUBLE) AS lift
+         FROM pr JOIN ic a ON a.event_type = pr.item_a
+                 JOIN ic b ON b.event_type = pr.item_b, nb
+         ORDER BY item_a, item_b""",
     // The same left fold: list_reduce seeds with the FIRST element
     // (s1 = x1) exactly like Spark's aggregate over the tail.
     "q_ewma" ->
@@ -3874,5 +3913,5 @@ object SparkEntry {
     "q_retention", "q_setsim", "q_zorder3", "q_corr",
     "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
     "q_cluster_dedup_best", "q_drift", "q_ewma",
-    "q_pagerank_personalized")
+    "q_pagerank_personalized", "q_assoc")
 }

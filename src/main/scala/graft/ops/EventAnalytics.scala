@@ -177,6 +177,53 @@ object EventAnalytics {
       .where(abs(col("z")) > threshold)
   }
 
+  /** Association rules over baskets (the Apriori 1- and 2-itemset
+    * layer): for every unordered item pair, its co-occurrence support
+    * plus directed confidences and the LIFT
+    * `n_xy * n_baskets / (n_x * n_y)` — exact-count casts and single
+    * IEEE divisions, the [[TextAnalysis.collocations]] recipe on
+    * transactional data (log2-free: lift ranks identically to PMI).
+    * A basket is one distinct combination of `basketCols`; items are
+    * the DISTINCT `itemCol` values inside it.
+    *
+    * Scale shape: one exchange for the (basket, item) distinct
+    * (map-side partial dedup); the pair scan joins that slim frame
+    * with itself ON THE BASKET KEY — fanout bounded by items-per-
+    * basket squared, never corpus²; item supports and the 1-row basket
+    * total broadcast back onto the (small) pair-count frame. */
+  def associationRules(df: DataFrame, basketCols: Seq[String],
+      itemCol: String): DataFrame = {
+    require(basketCols.nonEmpty, "need at least one basket column")
+    val bi = df
+      .select(struct(basketCols.map(col): _*).as("__b"),
+        col(itemCol).as("item"))
+      .where(col("item").isNotNull)
+      .distinct()
+    val nBaskets = bi.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = bi.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = bi.as("x").join(bi.as("y"),
+        col("x.__b") === col("y.__b") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(itemCnt.select(col("item").as("item_a"),
+        col("n_item").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemCnt.select(col("item").as("item_b"),
+        col("n_item").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_baskets"),
+        (col("n_ab").cast(DoubleType) / col("n_baskets").cast(DoubleType))
+          .as("support"),
+        (col("n_ab").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("conf_a_to_b"),
+        (col("n_ab").cast(DoubleType) / col("n_b").cast(DoubleType))
+          .as("conf_b_to_a"),
+        ((col("n_ab") * col("n_baskets")).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+  }
+
   /** Per-entity exponentially-weighted moving average of `valueCol` in
     * `tsCol` order: `s_1 = x_1`, `s_t = (1-alpha)*s_{t-1} + alpha*x_t`
     * — the standard trend smoother, reduced per key to its FINAL

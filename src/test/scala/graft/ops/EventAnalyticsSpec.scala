@@ -124,6 +124,32 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out.head.getDouble(3) === 3.0)
   }
 
+  test("associationRules: hand-computed supports/confidences/lift; " +
+      "duplicate items inside a basket count once; positive and " +
+      "negative association both appear") {
+    // baskets (by b): b1{x,y}, b2{x,y}, b3{x,z}, b4{y} -> N=4
+    // n_x=3 n_y=3 n_z=1; xy=2, xz=1, yz=0 (pair absent entirely)
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // dup x in b1: counts once
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")
+    ).toDF("b", "item")
+    val out = EventAnalytics.associationRules(df, Seq("b"), "item")
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._5)) === Seq(
+      ("x", "y", 2L), ("x", "z", 1L)))
+    val xy = out.head
+    assert(xy._3 === 3L && xy._4 === 3L && xy._6 === 4L)
+    assert(xy._7 === 0.5)             // support 2/4
+    assert(xy._8 === 2.0 / 3.0)       // conf x->y
+    assert(xy._10 === 2.0 * 4 / 9.0)  // lift < 1: mild negative assoc
+    val xz = out(1)
+    assert(xz._10 === 1.0 * 4 / 3.0)  // lift > 1: z implies x
+  }
+
   test("ewmaSmooth: hand-computed fold in ts order (input deliberately " +
       "shuffled), s1 seeds, nulls drop, partition-order independent") {
     // u1 values in TS order: 10, 20, 40 (inserted out of order)
