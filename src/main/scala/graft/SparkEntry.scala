@@ -364,6 +364,18 @@ object SparkEntry {
       EventAnalytics.sessionize(ev, "user_id", "tt", gapSeconds = 6 * 3600)
         .orderBy("user_id", "session_idx")
     }),
+    "q_transitions" -> ((s, dir) => {
+      // Per-user Markov transition matrix over event types (event_id
+      // breaks timestamp ties, so the sequence — and the matrix — is
+      // total and deterministic): 25 (from, to) cells with exact
+      // counts and row-conditional probabilities. One user-key window
+      // exchange; the journey summary funnels and baskets miss.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("us"), col("event_id"), col("event_type"))
+      EventAnalytics.transitionMatrix(ev, "user_id", "us", "event_id",
+          "event_type")
+        .orderBy("from_type", "to_type")
+    }),
     "q_assoc" -> ((s, dir) => {
       // Association rules over daily (user, day) baskets of event
       // types — the Apriori 2-itemset layer: support, both directed
@@ -2608,6 +2620,21 @@ object SparkEntry {
     // == epoch_us of the ns->us-truncated TIMESTAMP read), same
     // count-then-one-division recipe — retention is a single IEEE
     // division of exact BIGINTs, bit-exact across engines.
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                           event_id, event_type FROM events),
+              s AS (SELECT event_type AS from_type,
+                           lead(event_type) OVER (PARTITION BY user_id
+                                                  ORDER BY us, event_id) AS to_type
+                    FROM e),
+              tr AS (SELECT from_type, to_type, count(*) AS n FROM s
+                     WHERE to_type IS NOT NULL GROUP BY 1, 2),
+              tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+                      FROM tr GROUP BY 1)
+         SELECT tr.from_type, tr.to_type, tr.n, tot.n_from,
+                CAST(tr.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS prob
+         FROM tr JOIN tot USING (from_type)
+         ORDER BY from_type, to_type""",
     "q_assoc" ->
       """WITH e AS (SELECT user_id,
                            epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
@@ -3913,5 +3940,5 @@ object SparkEntry {
     "q_retention", "q_setsim", "q_zorder3", "q_corr",
     "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
     "q_cluster_dedup_best", "q_drift", "q_ewma",
-    "q_pagerank_personalized", "q_assoc")
+    "q_pagerank_personalized", "q_assoc", "q_transitions")
 }

@@ -177,6 +177,38 @@ object EventAnalytics {
       .where(abs(col("z")) > threshold)
   }
 
+  /** First-order Markov transition matrix of `typeCol` per entity: for
+    * every consecutive event pair inside a key (in `(tsCol, tieCol)`
+    * order — the tie column makes the sequence total, so the matrix is
+    * deterministic even under equal timestamps), count `from -> to`
+    * and the row-conditional probability `n / n_from` (one IEEE
+    * division of exact counts). The user-journey summary that funnels
+    * (fixed stage lists) and association rules (unordered baskets)
+    * don't capture: where do users actually GO next.
+    *
+    * Scale shape: ONE hash exchange + partition sort for the single
+    * lead window on the entity key (the sessionize shape); everything
+    * after operates on the |types|² count frame, with the per-from
+    * totals broadcast back. */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val tr = events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = tr.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    tr.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType))
+          .as("prob"))
+  }
+
   /** Association rules over baskets (the Apriori 1- and 2-itemset
     * layer): for every unordered item pair, its co-occurrence support
     * plus directed confidences and the LIFT

@@ -124,6 +124,27 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(out.head.getDouble(3) === 3.0)
   }
 
+  test("transitionMatrix: hand-computed counts/probabilities; sequences " +
+      "stay inside their key; the tie column totalizes equal timestamps") {
+    // u1: a -> b -> a -> a   (a->b:1, b->a:1, a->a:1)
+    // u2: b -> b             (b->b:1); no cross-user a->b transition
+    // u1's last two events share ts=30: event_id 4 < 5 orders them
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"),
+      (1L, 30L, 4L, "a"), (1L, 30L, 5L, "a"),
+      (2L, 10L, 3L, "b"), (2L, 40L, 6L, "b")
+    ).toDF("user_id", "us", "event_id", "event_type")
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "us",
+        "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", "a", 1L, 2L, 0.5),
+      ("a", "b", 1L, 2L, 0.5),
+      ("b", "a", 1L, 2L, 0.5),
+      ("b", "b", 1L, 2L, 0.5)))
+  }
+
   test("associationRules: hand-computed supports/confidences/lift; " +
       "duplicate items inside a basket count once; positive and " +
       "negative association both appear") {
