@@ -729,11 +729,28 @@ object Dedup {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], tau: Double,
       probes: Int = 1): DataFrame = {
-    val assigned = semAssign(df, idCol, vecCol, centroids)
-    assigned.join(
-      semDedupDropFromAssigned(
-        semAssignProbed(df, idCol, vecCol, centroids, probes),
-        idCol, vecCol, tau),
-      Seq(idCol), "left_anti")
+    // ONE kernel derivation feeds both the output assignment and the
+    // pair scan: at probes<=1 the drop path reuses `assigned` verbatim
+    // (the old code re-derived it as a second full-corpus kernel
+    // subtree), and at probes>1 the primary cluster is element 1 of the
+    // SAME centroid_probes list the pair scan explodes — probes[0] is
+    // centroid_assign by construction, so no second kernel pass.
+    if (probes <= 1) {
+      val assigned = semAssign(df, idCol, vecCol, centroids)
+      assigned.join(
+        semDedupDropFromAssigned(assigned, idCol, vecCol, tau),
+        Seq(idCol), "left_anti")
+    } else {
+      val probed = df.select(col(idCol), col(vecCol),
+        graft.functions.Centroids.centroid_probes(
+          col(vecCol), centroids, probes).as("__probes"))
+      val assigned = probed.select(col(idCol), col(vecCol),
+        element_at(col("__probes"), 1).as("cluster"))
+      val exploded = probed.select(col(idCol), col(vecCol),
+        explode(col("__probes")).as("cluster"))
+      assigned.join(
+        semDedupDropFromAssigned(exploded, idCol, vecCol, tau),
+        Seq(idCol), "left_anti")
+    }
   }
 }

@@ -189,12 +189,19 @@ object EventAnalytics {
     * Scale shape: ONE hash exchange + partition sort for the single
     * lead window on the entity key (the sessionize shape); everything
     * after operates on the |types|² count frame, with the per-from
-    * totals broadcast back. */
+    * totals broadcast back.
+    *
+    * Rows with a NULL `tsCol` or `tieCol` are EXCLUDED: a null has no
+    * position in a sequence, and keeping it would make the pair order
+    * depend on the engine's null-sort default (Spark windows order
+    * nulls first, DuckDB's ORDER BY orders them last — the [[ewmaSmooth]]
+    * cross-engine trap). */
   def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
     val tr = events
+      .where(col(tsCol).isNotNull && col(tieCol).isNotNull)
       .select(col(keyCol), col(tsCol), col(tieCol),
         col(typeCol).as("from_type"))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
@@ -226,7 +233,12 @@ object EventAnalytics {
   def associationRules(df: DataFrame, basketCols: Seq[String],
       itemCol: String): DataFrame = {
     require(basketCols.nonEmpty, "need at least one basket column")
+    // NULL basket-key rows are excluded like NULL items: the pair
+    // self-join compares baskets via struct equality, which treats NULL
+    // components as EQUAL — keeping them would double-count pairs
+    // relative to the documented per-column-equality SQL semantics.
     val bi = df
+      .where(basketCols.map(col(_).isNotNull).reduce(_ && _))
       .select(struct(basketCols.map(col): _*).as("__b"),
         col(itemCol).as("item"))
       .where(col("item").isNotNull)
@@ -269,12 +281,18 @@ object EventAnalytics {
     * so the result is bit-identical on any partitioning and the oracle
     * replays it as the same left fold (pick `alpha` with an exact
     * binary representation, e.g. 0.25, and the *constants* are
-    * bit-identical too). Returns `(keyCol, n_events, ewma)`. */
+    * bit-identical too). Returns `(keyCol, n_events, ewma)`.
+    *
+    * Rows with a NULL timestamp are EXCLUDED (alongside NULL values):
+    * a null has no position in a sequence, and leaving it in would pin
+    * the fold order to one engine's null-sort default (Spark's
+    * array_sort is nulls-first, DuckDB's ORDER BY is nulls-last — a
+    * silent cross-engine divergence). */
   def ewmaSmooth(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val grouped = events
-      .where(col(valueCol).isNotNull)
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(col(tsCol).as("t"),
         col(valueCol).as("v")))).as("xs"))

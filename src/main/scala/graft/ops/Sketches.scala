@@ -185,11 +185,26 @@ object Sketches {
     * of two billion-token sets needs their full sets in one place;
     * this needs `8k` bytes per side and pure array arithmetic —
     * deterministic given the hash, so the oracle replays it exactly
-    * (the ESTIMATE is deterministic even though it approximates). */
+    * (the ESTIMATE is deterministic even though it approximates).
+    *
+    * SAME-K CONTRACT: `k` must equal the k the sketches were built
+    * with ([[kmvKeepSet]]'s argument). The union slice and divisor
+    * assume each sketch is either its set's complete hash list
+    * (size < k) or its true bottom-k (size == k); a sketch built with
+    * a SMALLER k than this argument makes the slice reach beyond the
+    * range the sketches cover and silently biases the estimate. The
+    * detectable violation — a sketch LARGER than k, i.e. built with a
+    * bigger k — raises instead of mis-estimating; the size-ambiguous
+    * direction (built-k smaller, sketch full) is indistinguishable
+    * from a complete small set by size alone, hence the contract. */
   def kmvResemblance(sketchA: Column, sketchB: Column, k: Int): Column = {
     val x = slice(array_sort(array_union(sketchA, sketchB)), 1, k)
-    size(array_intersect(array_intersect(x, sketchA), sketchB))
+    val est = size(array_intersect(array_intersect(x, sketchA), sketchB))
       .cast(DoubleType) / size(x).cast(DoubleType)
+    when(size(sketchA) > k || size(sketchB) > k,
+      raise_error(lit(s"kmvResemblance: sketch holds more than k=$k " +
+        "entries — it was built with a larger k (same-k contract)")))
+      .otherwise(est)
   }
 }
 

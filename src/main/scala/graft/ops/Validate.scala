@@ -102,11 +102,17 @@ object Validate {
         rowLocal.tail.zipWithIndex.map { case (r, i) =>
           sum(when(violatedExpr(r), 1L).otherwise(0L)).as(s"v${i + 1}")
         }: _*)
-      val melt = rowLocal.zipWithIndex.map { case (r, i) =>
-        s"'${r.name}', '${r.column}', v$i"
-      }.mkString(", ")
-      frames += agg.selectExpr(
-        s"stack(${rowLocal.size}, $melt) AS (rule, col_name, violations)")
+      // melt with TYPED columns (array-of-struct + explode), not a
+      // string-built stack() selectExpr: a rule/column name holding a
+      // quote or backslash must flow through as data, never be parsed
+      // as expression text
+      val melted = rowLocal.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), lit(r.column).as("col_name"),
+          col(s"v$i").as("violations"))
+      }
+      frames += agg.select(explode(array(melted: _*)).as("m"))
+        .select(col("m.rule").as("rule"), col("m.col_name").as("col_name"),
+          col("m.violations").as("violations"))
     }
     rules.foreach {
       case Unique(c) =>

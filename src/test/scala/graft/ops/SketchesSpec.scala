@@ -203,4 +203,17 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     val model = x.count(h => sa.contains(h) && sb.contains(h)).toDouble / x.size
     est64 shouldBe model +- 1e-15
   }
+
+  test("kmvResemblance: a sketch larger than k raises (same-k contract) " +
+      "instead of silently biasing the estimate") {
+    val df = (1L to 300L).map(("a", _)).toDF("g", "id")
+      .select(col("g"), LongHashes.splitmix64(col("id")).as("h"))
+    val sk = df.groupBy("g").agg(Sketches.kmvKeepSet(col("h"), 64).as("s"))
+    val ex = intercept[Exception] {
+      sk.as("x").join(sk.as("y"), col("x.g") === col("y.g"))
+        .select(Sketches.kmvResemblance(col("x.s"), col("y.s"), 16).as("r"))
+        .collect()
+    }
+    ex.getMessage should include("same-k contract")
+  }
 }
