@@ -1683,6 +1683,40 @@ object SparkEntry {
           expr("percentile(n_chars, 0.9D)").as("p90_est"))
       exact.crossJoin(broadcast(sampled)).orderBy("n_exact")
     }),
+    "q_quantile_sketch" -> ((s, dir) => {
+      // The bounded-size MERGEABLE quantile path: per-lang
+      // Sketches.quantileSketch (k=32 values picked by smallest row
+      // hash — every retention decision hash-derived, so the sketch
+      // itself oracle-replays) next to the exact percentiles it
+      // approximates, est + exact + abs error in one row (the
+      // q_ann_recall recipe). Deliberately TWO aggregations joined on
+      // the 5-row lang key, the q_kmv_distinct shape: the sketch
+      // branch must keep its own single partial+merge exchange (no
+      // sort, no Expand — pinned), because at 100 TB you would run
+      // ONLY that branch: 16k bytes per (lang, partition) vs exact
+      // percentile's full per-group value sort. Quantile extraction
+      // is ONE explicit interpolation formula restated verbatim in
+      // the SQL — no reliance on percentile/quantile_cont agreeing.
+      val docs = t(s, dir, "documents")
+      val sk = docs.groupBy(col("lang"))
+        .agg(Sketches.quantileSketch(
+          LongHashes.splitmix64(col("doc_id")),
+          col("n_chars").cast(LongType), 32).as("qs"))
+        .select(col("lang"), size(col("qs")).cast(LongType).as("n_sample"),
+          Sketches.sketchQuantile(col("qs"), 0.5).as("p50_est"),
+          Sketches.sketchQuantile(col("qs"), 0.9).as("p90_est"))
+      val ex = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(n_chars, 0.5D)").as("p50_exact"),
+          expr("percentile(n_chars, 0.9D)").as("p90_exact"))
+      sk.join(ex, Seq("lang"))
+        .select(col("lang"), col("n"), col("n_sample"),
+          col("p50_est"), col("p50_exact"),
+          abs(col("p50_est") - col("p50_exact")).as("p50_abs_err"),
+          col("p90_est"), col("p90_exact"),
+          abs(col("p90_est") - col("p90_exact")).as("p90_abs_err"))
+        .orderBy("lang")
+    }),
     "q_diversity" -> ((s, dir) => {
       // Character-diversity quality gate: per-codepoint counts folded
       // to the Simpson collision probability in ONE codegen'd pass.
@@ -2110,6 +2144,22 @@ object SparkEntry {
          |h3 AS (SELECT $carry, ${xorshift(27)} AS z FROM h2),
          |h4 AS (SELECT $carry, ${mulmod(321982955L, 2496678331L)} AS z FROM h3),
          |h5 AS (SELECT $carry, ${xorshift(31)} AS z FROM h4)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.ops.Sketches.sketchQuantile]] over a
+    * sorted BIGINT list column `vs` of length `n`: the SAME fixed-order
+    * interpolation formula, op for op — `r = q*(n-1); lo = floor(r);
+    * v[lo+1] + (v[lo+2 clamped to n] - v[lo+1]) * (r - floor(r))`
+    * (1-based list indexing) — so the est doubles match bit-for-bit. */
+  private def sketchQuantileSql(vs: String, n: String, q: String): String = {
+    // CAST the quantile literal: DuckDB parses `0.9` as DECIMAL and
+    // would run the whole interpolation in exact decimal arithmetic —
+    // the Spark side is IEEE double, so the low bits would diverge
+    val r = s"(CAST($q AS DOUBLE) * ($n - 1))"
+    val lo = s"CAST(floor($r) AS INTEGER)"
+    val vlo = s"CAST(list_extract($vs, $lo + 1) AS DOUBLE)"
+    val vhi = s"CAST(list_extract($vs, least($lo + 2, CAST($n AS INTEGER))) AS DOUBLE)"
+    s"($vlo + ($vhi - $vlo) * ($r - floor($r)))"
   }
 
   /** Shared CTE fragments of the near-dup oracle family (same rationale
@@ -3068,6 +3118,34 @@ object SparkEntry {
                       FROM h5 WHERE z % 4 = 0)
           SELECT n_exact, p50_exact, p90_exact, n_sample, p50_est, p90_est
           FROM ex CROSS JOIN sm ORDER BY n_exact""",
+    // Full replay of the quantile SKETCH: rank rows per lang by the
+    // HUGEINT splitmix chain, keep rn <= 32 (the bottom-k-by-hash kept
+    // set, bit-for-bit), then apply the SAME explicit interpolation
+    // formula the Spark side uses (sketchQuantileSql == sketchQuantile,
+    // op for op) — exact percentiles ride alongside via quantile_cont
+    // (the proven q_len_stats parity).
+    "q_quantile_sketch" ->
+      raw"""WITH d0 AS (SELECT lang, n_chars, CAST(doc_id AS HUGEINT) AS z
+                        FROM documents WHERE n_chars IS NOT NULL),
+               ${splitmixCtesSql("d0", "lang, n_chars")},
+               rk AS (SELECT lang, n_chars,
+                             row_number() OVER (PARTITION BY lang ORDER BY z) AS rn
+                      FROM h5),
+               sm AS (SELECT lang, list_sort(list(n_chars)) AS vs,
+                             CAST(count(*) AS BIGINT) AS n_sample
+                      FROM rk WHERE rn <= 32 GROUP BY lang),
+               ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                             quantile_cont(n_chars, 0.5) AS p50_exact,
+                             quantile_cont(n_chars, 0.9) AS p90_exact
+                      FROM documents GROUP BY lang),
+               est AS (SELECT lang, n_sample,
+                              ${sketchQuantileSql("vs", "n_sample", "0.5")} AS p50_est,
+                              ${sketchQuantileSql("vs", "n_sample", "0.9")} AS p90_est
+                       FROM sm)
+          SELECT e.lang, x.n, e.n_sample,
+                 e.p50_est, x.p50_exact, abs(e.p50_est - x.p50_exact) AS p50_abs_err,
+                 e.p90_est, x.p90_exact, abs(e.p90_est - x.p90_exact) AS p90_abs_err
+          FROM est e JOIN ex x USING (lang) ORDER BY lang""",
     "q_diversity" ->
       """WITH ch AS (SELECT doc_id,
                             unnest(list_transform(range(1, length(text) + 1),
@@ -3940,5 +4018,6 @@ object SparkEntry {
     "q_retention", "q_setsim", "q_zorder3", "q_corr",
     "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
     "q_cluster_dedup_best", "q_drift", "q_ewma",
-    "q_pagerank_personalized", "q_assoc", "q_transitions")
+    "q_pagerank_personalized", "q_assoc", "q_transitions",
+    "q_quantile_sketch")
 }

@@ -32,16 +32,22 @@ import org.apache.spark.sql.types._
   * arithmetic (floor((k-1) * 2^64 / kth), no doubles), so partitioning
   * cannot change a single output bit.
   *
-  * Deliberately ABSENT from this family: quantile sketches (t-digest,
-  * KLL, GK). Their compaction decisions depend on arrival order, so
-  * two runs over different partitionings return different (both
-  * "valid") summaries — unverifiable against an oracle and unstable
-  * across retries, the same reason Misra-Gries heavy-hitter summaries
-  * were rejected (see [[heavyHitters]]). The deterministic substitutes
-  * shipped instead: exact percentiles where a sorted pass is
-  * affordable (q_len_stats), hash-sampled quantile estimation with the
-  * sampling error measured in the artifact (q_quantile_sample), and
-  * fixed-width-bin histograms as pure row arithmetic (q_histogram).
+  * Quantiles: the CLASSIC quantile sketches (t-digest, KLL, GK) are
+  * deliberately absent — their compaction decisions depend on arrival
+  * order, so two runs over different partitionings return different
+  * (both "valid") summaries: unverifiable against an oracle and
+  * unstable across retries, the same reason Misra-Gries heavy-hitter
+  * summaries were rejected (see [[heavyHitters]]). The quantile member
+  * of this family is instead [[quantileSketch]]: a bounded bottom-k-
+  * by-row-hash VALUE sample, where every retention decision is
+  * hash-derived (the repo's standing determinism recipe) — mergeable
+  * (bottom-k of a union == union of bottom-k's), O(k) like its
+  * siblings, and a pure function of the input row set, so the DuckDB
+  * oracle replays the sketch itself, not just its contract. The
+  * deterministic alternatives remain for other operating points:
+  * exact percentiles where a sorted pass is affordable (q_len_stats),
+  * fixed-RATE hash sampling (q_quantile_sample, size grows with the
+  * data), and fixed-width-bin histograms (q_histogram).
   *
   * (LLM-data-pipeline extension; the reference is a stateless
   * record-at-a-time transformer with no aggregate surface — SURVEY
@@ -176,6 +182,55 @@ object Sketches {
     transform(
       graft.ops.Sampling.bottomKByHash(hash, hash, k),
       s => s.getField("skey").bitwiseXOR(lit(Long.MinValue)))
+
+  /** Mergeable QUANTILE sketch: the values of the k rows whose
+    * `hash` is smallest in unsigned order, surfaced as a VALUE-sorted
+    * `array<long>` — a bounded uniform row sample whose every
+    * retention decision is hash-derived, so unlike KLL/GK/t-digest
+    * (order-sensitive compactions) the kept set is a pure function of
+    * the input row set: partition-, retry-, and engine-independent,
+    * and the DuckDB oracle replays it verbatim (rank the rows by the
+    * HUGEINT hash chain, keep rn <= k). Read quantiles off it with
+    * [[sketchQuantile]]; the estimate's rank error is the uniform-
+    * sample bound ~1.25/sqrt(k) at the median (k=1024 ≈ 4% rank
+    * error) — measured est-vs-exact in the q_quantile_sketch artifact.
+    *
+    * `hash` must be a bijective hash of a UNIQUE row id (e.g.
+    * [[graft.functions.LongHashes.splitmix64]] of the key column), NOT
+    * of the value: duplicate hashes collapse to one buffer slot, which
+    * would silently under-weight repeated values. NULL values don't
+    * consume a slot. Values ride as longs — quantize doubles to fixed
+    * point first (the [[Similarity.trainCentroids]] house pattern).
+    *
+    * Scale shape: rides [[graft.ops.Sampling.BottomKByHash]] (ONE
+    * offer/evict/serde implementation across the family) — map-side
+    * partial bottom-k, `16k` bytes per (group, partition) on the one
+    * aggregate exchange, no sort, no Expand. At 100 TB this replaces
+    * the exact-percentile full sorted pass (q_len_stats) with a
+    * constant-size summary per group. */
+  def quantileSketch(hash: Column, value: Column, k: Int): Column =
+    array_sort(transform(
+      graft.ops.Sampling.bottomKByHash(hash, value, k),
+      s => s.getField("id")))
+
+  /** Linear-interpolation quantile over a [[quantileSketch]] array
+    * (the `percentile`/`quantile_cont` convention, but written as ONE
+    * explicit fixed-order IEEE formula so any engine replays it
+    * bit-for-bit instead of trusting two implementations to agree):
+    * `r = q*(n-1); lo = floor(r); v[lo] + (v[lo+1] - v[lo])*(r - lo)`
+    * over the sorted 1-based array, upper index clamped to n. NULL on
+    * an empty sketch. */
+  def sketchQuantile(sketch: Column, q: Double): Column = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    val n = size(sketch)
+    val r = lit(q) * (n - 1).cast(DoubleType)
+    val lo = floor(r).cast(IntegerType)
+    val frac = r - lo.cast(DoubleType)
+    val vlo = element_at(sketch, lo + 1).cast(DoubleType)
+    val vhi = element_at(sketch, least(lo + lit(2), n)).cast(DoubleType)
+    when(n === 0, lit(null).cast(DoubleType))
+      .otherwise(vlo + (vhi - vlo) * frac)
+  }
 
   /** Bottom-k resemblance (Broder 1997): estimate the Jaccard
     * similarity of two SETS from their [[kmvKeepSet]] sketches alone —

@@ -364,6 +364,19 @@ class PlanSpec extends SparkSpecBase with Matchers {
     "partial_graft_kmv_distinct".r.findAllIn(p).size shouldBe 1
   }
 
+  test("q_quantile_sketch: the sketch branch is ONE map-side-partial " +
+      "bottom-k aggregate — no Expand, no Window, and the only Sort is " +
+      "the 5-row presentation order") {
+    val p = plan("q_quantile_sketch")
+    "partial_graft_bottom_k_by_hash".r.findAllIn(p).size shouldBe 1
+    p should not include "Expand"
+    p should not include "Window"
+    // exactly one Sort node: the final orderBy(lang) over the joined
+    // 5-row frame — the sketch path must never sort the corpus (that
+    // full sorted pass is what the sketch exists to replace)
+    "\\bSort \\[".r.findAllIn(p).size shouldBe 1
+  }
+
   test("q_sessionize: ONE hash shuffle total — lag + cumsum share the " +
       "window sort and the session summary reuses the user partitioning") {
     val p = plan("q_sessionize")

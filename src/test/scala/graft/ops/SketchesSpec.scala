@@ -204,6 +204,42 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     est64 shouldBe model +- 1e-15
   }
 
+  test("quantileSketch: kept values are the bottom-k-by-hash model, " +
+      "identical on 1 and 13 partitions (hash-derived retention)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(id => (id, rnd.nextInt(10000).toLong))
+    // local model: values of the 32 ids with smallest unsigned hash
+    val expect = rows
+      .sortBy { case (id, _) =>
+        LongHashes.splitmix64Of(id) ^ Long.MinValue } // unsigned order
+      .take(32).map(_._2).sorted
+    def run(parts: Int): Seq[Long] =
+      rows.toDF("id", "v").repartition(parts)
+        .agg(Sketches.quantileSketch(LongHashes.splitmix64(col("id")),
+          col("v"), 32).as("qs"))
+        .select(col("qs")).as[Seq[Long]].head()
+    run(1) shouldBe expect
+    run(13) shouldBe expect
+  }
+
+  test("sketchQuantile: explicit interpolation on a known array; " +
+      "empty -> null, singleton -> the value, endpoints exact") {
+    def q(vs: Seq[Long], p: Double): Option[Double] = {
+      val df = Seq(Tuple1(vs)).toDF("qs")
+      df.select(Sketches.sketchQuantile(col("qs"), p).as("r"))
+        .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    }
+    val vs = Seq(10L, 20L, 30L, 40L)
+    q(vs, 0.0) shouldBe Some(10.0)
+    q(vs, 1.0) shouldBe Some(40.0)
+    q(vs, 0.5) shouldBe Some(25.0) // r=1.5 between 20 and 30
+    // r = 0.9*3 = 2.7000000000000002; lo=2, frac=r-2 -> 30 + 10*frac,
+    // the same IEEE ops in the same order as the Column expression
+    q(vs, 0.9) shouldBe Some(30.0 + (40.0 - 30.0) * (0.9 * 3.0 - 2.0))
+    q(Seq(7L), 0.5) shouldBe Some(7.0)
+    q(Seq.empty[Long], 0.5) shouldBe None
+  }
+
   test("kmvResemblance: a sketch larger than k raises (same-k contract) " +
       "instead of silently biasing the estimate") {
     val df = (1L to 300L).map(("a", _)).toDF("g", "id")
