@@ -444,6 +444,28 @@ object SparkEntry {
           "value", binWidth = 25.0)
         .orderBy("bin")
     }),
+    "q_drift_eqdepth" -> ((s, dir) => {
+      // EQUI-DEPTH drift: same ref/cur split as q_drift, but the bin
+      // edges are the REFERENCE half's quantiles — nearest-rank off
+      // the hash-deterministic quantile sketch — so each bin holds
+      // ~1/8 of the reference mass and bulk shifts register even on
+      // heavy-tailed columns where fixed-width bins put all mass in
+      // one bin (StatsSpec constructs that exact miss). Values are
+      // fixed-pointed at 1e-6 (the house pattern) so every edge
+      // comparison is long-vs-long; the whole monitor — sketch, edges,
+      // binning, ordered-fold TVD — is a pure function of the two row
+      // sets and replays verbatim in the oracle.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          floor(col("value") * 1000000.0 + 0.5).cast(LongType).as("v"))
+        .where(col("v").isNotNull)
+      graft.ops.Stats.histogramDriftEqDepth(
+          ev.where(col("day") < 19740).select("event_id", "v"),
+          ev.where(col("day") >= 19740).select("event_id", "v"),
+          "event_id", "v", nBins = 8, k = 256)
+        .orderBy("bin")
+    }),
     "q_validate" -> ((s, dir) => {
       // Deequ-style constraint suite over the event log: 3 row-local
       // rules fused into ONE narrow-scan aggregate, 2 uniqueness rules
@@ -2763,6 +2785,45 @@ object SparkEntry {
                                         (a, b) -> a + b) * 0.5 AS tvd FROM pb)
          SELECT bin, n_ref, n_cur, p_ref, p_cur, l1_term, tvd
          FROM pb, tv ORDER BY bin""",
+    // Equi-depth variant: the reference half's bottom-256-by-hash
+    // value sample (the q_quantile_sketch kept-set replay) yields
+    // nearest-rank edges at j/8; bin(v) = #edges <= v; then the
+    // identical q_drift tail (full join, proportions, TVD fold).
+    "q_drift_eqdepth" ->
+      raw"""WITH e AS (SELECT event_id,
+                              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                              CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+               d0 AS (SELECT v, CAST(event_id AS HUGEINT) AS z
+                      FROM e WHERE day < 19740),
+               ${splitmixCtesSql("d0", "v")},
+               rk AS (SELECT v, row_number() OVER (ORDER BY z) AS rn FROM h5),
+               sm AS (SELECT list_sort(list(v)) AS vs, count(*) AS n
+                      FROM rk WHERE rn <= 256),
+               ed AS (SELECT list_transform(range(1, 8),
+                        j -> vs[CAST(greatest((j * n + 7) // 8, 1) AS INTEGER)]) AS edges
+                      FROM sm),
+               r AS (SELECT CAST(len(list_filter(edges, ee -> v >= ee)) AS BIGINT) AS bin,
+                            count(*) AS n_ref
+                     FROM e, ed WHERE day < 19740 GROUP BY 1),
+               c AS (SELECT CAST(len(list_filter(edges, ee -> v >= ee)) AS BIGINT) AS bin,
+                            count(*) AS n_cur
+                     FROM e, ed WHERE day >= 19740 GROUP BY 1),
+               j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+                            coalesce(n_ref, 0) AS n_ref,
+                            coalesce(n_cur, 0) AS n_cur
+                     FROM r FULL JOIN c ON r.bin = c.bin),
+               t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j),
+               pb AS (SELECT bin, n_ref, n_cur,
+                             CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS p_ref,
+                             CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS p_cur,
+                             abs(CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+                                 - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)) AS l1_term
+                      FROM j, t),
+               tv AS (SELECT list_reduce([0.0] || list(l1_term ORDER BY bin),
+                                         (a, b) -> a + b) * 0.5 AS tvd FROM pb)
+          SELECT bin, n_ref, n_cur, p_ref, p_cur, l1_term, tvd
+          FROM pb, tv ORDER BY bin""",
     "q_validate" ->
       """WITH rl AS (SELECT
                        sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS v0,
@@ -4019,5 +4080,5 @@ object SparkEntry {
     "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
     "q_cluster_dedup_best", "q_drift", "q_ewma",
     "q_pagerank_personalized", "q_assoc", "q_transitions",
-    "q_quantile_sketch")
+    "q_quantile_sketch", "q_drift_eqdepth")
 }

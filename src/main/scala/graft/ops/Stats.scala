@@ -85,8 +85,66 @@ object Stats {
       .where(col(valueCol).isNotNull)
       .groupBy(floor(col(valueCol) / binWidth).cast(LongType).as("bin"))
       .agg(count(lit(1)).as(cnt))
-    val joined = bins(ref, "n_ref").join(bins(cur, "n_cur"),
-        Seq("bin"), "full_outer")
+    driftOverBins(bins(ref, "n_ref"), bins(cur, "n_cur"))
+  }
+
+  /** [[histogramDrift]] with EQUI-DEPTH bins: fixed-width bins go
+    * blind on heavy-tailed columns — most of the mass lands in one
+    * bin, so a shift INSIDE that bin moves no mass between bins and
+    * TVD reads ~0 (StatsSpec constructs exactly that miss). Here the
+    * bin edges are the REFERENCE snapshot's quantiles — each bin holds
+    * ~1/nBins of the reference mass, so intra-bulk shifts move mass
+    * across edges and register.
+    *
+    * Edges come from [[Sketches.quantileSketch]] over `splitmix64(idCol)`
+    * (hash-derived retention — the whole monitor stays a pure function
+    * of the two row sets and replays in the oracle), taken NEAREST-RANK
+    * (`edge_j = sample[ceil(j*n/nBins)]`, exact integer arithmetic, no
+    * interpolation) so edges are actual sample values and the bin
+    * comparison is long-vs-long. `bin(v) = |{j : v >= edge_j}|` in
+    * 0..nBins-1 (values equal to an edge go RIGHT — one fixed,
+    * replayable convention); out-of-range new values land in bin 0 or
+    * nBins-1 rather than opening new bins (the sketch cannot know the
+    * novel range — [[histogramDrift]] remains the novel-region
+    * detector; this variant is the bulk-shift detector).
+    *
+    * `valueCol` must be integral (quantize doubles to fixed point
+    * first — the house pattern); `ref` must be non-empty. Scale shape:
+    * one bounded sketch aggregate over ref, edges broadcast back onto
+    * both narrow scans, then the [[histogramDrift]] tail — per-side
+    * bin counts (map-side partials), full outer join on <= nBins rows,
+    * ordered-fold TVD. */
+  def histogramDriftEqDepth(ref: DataFrame, cur: DataFrame, idCol: String,
+      valueCol: String, nBins: Int, k: Int = 256): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    require(k >= nBins, s"sketch k ($k) must be >= nBins ($nBins)")
+    val edges = ref.where(col(valueCol).isNotNull)
+      .agg(graft.ops.Sketches.quantileSketch(
+        graft.functions.LongHashes.splitmix64(col(idCol)),
+        col(valueCol), k).as("qs"))
+      .select(transform(sequence(lit(1), lit(nBins - 1)), j =>
+        element_at(col("qs"), greatest(
+          // ceil(j*n/nBins) as exact integer arithmetic
+          ((j * size(col("qs")) + lit(nBins - 1)) / lit(nBins))
+            .cast(IntegerType),
+          lit(1)))).as("edges"))
+    def bins(df: DataFrame, cnt: String): DataFrame = df
+      .where(col(valueCol).isNotNull)
+      .crossJoin(broadcast(edges))
+      .groupBy(size(filter(col("edges"), e => col(valueCol) >= e))
+        .cast(LongType).as("bin"))
+      .agg(count(lit(1)).as(cnt))
+    driftOverBins(bins(ref, "n_ref"), bins(cur, "n_cur"))
+  }
+
+  /** Shared tail of the drift monitors: align per-bin counts with a
+    * full outer join, attach proportions and L1 terms, and fold the
+    * bounded bin frame into the TVD in bin order (see
+    * [[histogramDrift]]'s determinism note — ONE implementation, so
+    * the fixed-width and equi-depth variants cannot drift apart). */
+  private def driftOverBins(refBins: DataFrame, curBins: DataFrame)
+      : DataFrame = {
+    val joined = refBins.join(curBins, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

@@ -77,6 +77,30 @@ class StatsSpec extends SparkSpecBase with Matchers {
     tvd(1) shouldBe tvd(11) // bit-for-bit
   }
 
+  test("histogramDriftEqDepth catches a bulk shift that fixed-width " +
+      "bins miss on a heavy-tailed column, and is partition-invariant") {
+    // Heavy tail: 990 of 1000 ref values sit in [0, 100]; 10 outliers
+    // reach 1_000_000, so any fixed width sized to cover the range
+    // (e.g. 10_000) drops essentially ALL mass into bin 0. The current
+    // snapshot shifts the bulk from ~uniform[0,100] to ~uniform[0,50]
+    // — a drastic drift that never crosses a 10_000-wide bin edge.
+    val ref = ((0 until 990).map(i => (i.toLong, (i % 100).toLong)) ++
+      (0 until 10).map(i => (990L + i, 1000000L))).toDF("id", "v")
+    val cur = ((0 until 990).map(i => (i.toLong, (i % 50).toLong)) ++
+      (0 until 10).map(i => (990L + i, 1000000L))).toDF("id", "v")
+    val fixedTvd = Stats.histogramDrift(ref.select("v"), cur.select("v"),
+        "v", binWidth = 10000.0)
+      .select("tvd").as[Double].head()
+    fixedTvd should be < 0.01 // blind: all bulk mass shares bin 0
+    def eqDepth(parts: Int): Double =
+      Stats.histogramDriftEqDepth(ref.repartition(parts),
+          cur.repartition(parts + 2), "id", "v", nBins = 8, k = 256)
+        .select("tvd").as[Double].head()
+    val caught = eqDepth(1)
+    caught should be > 0.3 // the bulk shift moves mass across edges
+    eqDepth(9) shouldBe caught // bit-for-bit partition invariance
+  }
+
   test("corrRegression is partition-order independent (exact DECIMAL " +
       "moments): 1 partition == 7 partitions bit-for-bit") {
     val rng = new scala.util.Random(5)
