@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -31,6 +31,31 @@ import org.apache.spark.sql.types._
   */
 object EventAnalytics {
 
+  /** LOUD per-key cardinality guard for the per-entity sequence family
+    * ([[funnel]], [[ewmaSmooth]], [[transitionMatrix]]): each of those
+    * materializes one entity's events as a sorted array (or sorts them
+    * in one window partition), under a documented per-key-cardinality
+    * contract — at 100 TB a single hot entity (bot traffic, a null-ish
+    * sentinel key) would OOM an executor SILENTLY. With
+    * `maxEventsPerKey` set, the violated contract instead fails the
+    * job with the offending key and its count in the error message —
+    * a diagnosable failure instead of an executor autopsy. The check
+    * is an `assert_true` over a count that rides the operator's
+    * EXISTING exchange (the array size / a same-partition window
+    * count): no extra pass, no extra shuffle. */
+  private def guardMaxEvents(df: DataFrame, key: Column, n: Column,
+      max: Option[Long], op: String): DataFrame = max match {
+    case None => df
+    case Some(m) =>
+      require(m >= 1, s"maxEventsPerKey must be >= 1, got $m")
+      df.where(assert_true(n <= m,
+        concat(lit(s"$op: key "), key.cast(StringType),
+          lit(" holds "), n.cast(StringType),
+          lit(s" events, over maxEventsPerKey=$m — a hot key this size " +
+            "would OOM an executor at scale; filter it (bot traffic?) " +
+            "or raise the cap"))).isNull)
+  }
+
   /** Ordered windowed funnel: for each user, walk the user's events in
     * timestamp order and record the time each `stages(i)` is first
     * reached, where stage i+1 must occur STRICTLY after stage i and
@@ -45,9 +70,15 @@ object EventAnalytics {
     * cascaded "min(ts) where ts in (prev, prev+gap]" SQL formulation:
     * the fold takes the FIRST qualifying event in sorted order, which
     * is exactly the minimum of the qualifying set.
+    *
+    * Per-key contract: one user's stage-relevant events must fit an
+    * executor's working memory (they collect into one sorted array).
+    * Set `maxEventsPerKey` to turn a violation into a loud failure
+    * naming the hot key — see [[guardMaxEvents]].
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, stages: Seq[String], maxGapSeconds: Long): DataFrame = {
+      typeCol: String, stages: Seq[String], maxGapSeconds: Long,
+      maxEventsPerKey: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct, got $stages")
@@ -61,6 +92,10 @@ object EventAnalytics {
         col(typeCol).as("et")))).as("evs"),
         max(when(col(typeCol) === stages.head, 1).otherwise(0))
           .as("has_first"))
+      // guard BEFORE the entrant filter: a hot key that never reached
+      // stage 1 still collected its array and must still be named
+      .transform(guardMaxEvents(_, col(userCol), size(col("evs")),
+        maxEventsPerKey, "funnel"))
       .where(col("has_first") === 1)
     // Fold the sorted events into the achieved-stage timestamp array.
     // `get(acc, size-1)` (not element_at) so the empty-acc probe yields
@@ -195,9 +230,15 @@ object EventAnalytics {
     * position in a sequence, and keeping it would make the pair order
     * depend on the engine's null-sort default (Spark windows order
     * nulls first, DuckDB's ORDER BY orders them last — the [[ewmaSmooth]]
-    * cross-engine trap). */
+    * cross-engine trap).
+    *
+    * Per-key contract: one key's events are sorted inside one window
+    * partition; `maxEventsPerKey` turns a hot key into a loud failure
+    * via a count over the SAME window partition (shares the exchange
+    * and the sort) — see [[guardMaxEvents]]. */
   def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
-      tieCol: String, typeCol: String): DataFrame = {
+      tieCol: String, typeCol: String,
+      maxEventsPerKey: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
     val tr = events
@@ -205,6 +246,16 @@ object EventAnalytics {
       .select(col(keyCol), col(tsCol), col(tieCol),
         col(typeCol).as("from_type"))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .transform { df =>
+        // window exprs can't sit in a Filter — materialize the count,
+        // guard, drop (only when the guard is requested at all)
+        if (maxEventsPerKey.isEmpty) df
+        else guardMaxEvents(
+          df.withColumn("__n",
+            count(lit(1)).over(Window.partitionBy(col(keyCol)))),
+          col(keyCol), col("__n"), maxEventsPerKey, "transitionMatrix")
+          .drop("__n")
+      }
       .where(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
@@ -287,15 +338,22 @@ object EventAnalytics {
     * a null has no position in a sequence, and leaving it in would pin
     * the fold order to one engine's null-sort default (Spark's
     * array_sort is nulls-first, DuckDB's ORDER BY is nulls-last — a
-    * silent cross-engine divergence). */
+    * silent cross-engine divergence).
+    *
+    * Per-key contract: one key's events must fit an executor's working
+    * memory; `maxEventsPerKey` makes a violation loud — see
+    * [[guardMaxEvents]]. */
   def ewmaSmooth(events: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, alpha: Double): DataFrame = {
+      valueCol: String, alpha: Double,
+      maxEventsPerKey: Option[Long] = None): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val grouped = events
       .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(col(tsCol).as("t"),
         col(valueCol).as("v")))).as("xs"))
+      .transform(guardMaxEvents(_, col(keyCol), size(col("xs")),
+        maxEventsPerKey, "ewmaSmooth"))
       .select(col(keyCol), size(col("xs")).cast(LongType).as("n_events"),
         transform(col("xs"), x => x.getField("v")).as("vs"))
     grouped.select(col(keyCol), col("n_events"),

@@ -3,10 +3,11 @@ package graft.ops
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
 
 import graft.SparkSpecBase
 
-class EventAnalyticsSpec extends SparkSpecBase {
+class EventAnalyticsSpec extends SparkSpecBase with Matchers {
   import spark.implicits._
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
@@ -211,5 +212,45 @@ class EventAnalyticsSpec extends SparkSpecBase {
       (0L, 3L, 1L, 2L, 0.5),   // only u1 at offset 3; offset 2 absent
       (1L, 0L, 1L, 1L, 1.0),   // u3 cohort
       (1L, 2L, 1L, 1L, 1.0)))  // u3 returns at p3 = offset 2
+  }
+
+  test("maxEventsPerKey guard: a hot key fails LOUDLY with its id and " +
+      "count in the message; under-cap runs are byte-identical to " +
+      "unguarded ones — funnel, ewmaSmooth, transitionMatrix") {
+    // key 777 is hot (40 events), keys 1..3 are quiet (3 each)
+    val hot = (0 until 40).map(i =>
+      (777L, ts(f"2024-01-01 10:${i % 60}%02d:00"), i.toLong, "view"))
+    val quiet = (1L to 3L).flatMap(u => Seq(
+      (u, ts("2024-01-01 10:00:00"), u * 10 + 1, "view"),
+      (u, ts("2024-01-01 10:05:00"), u * 10 + 2, "click"),
+      (u, ts("2024-01-01 10:10:00"), u * 10 + 3, "purchase")))
+    val ev = (hot ++ quiet).toDF("user_id", "tt", "event_id", "event_type")
+      .withColumn("v", col("event_id").cast("double"))
+
+    def trips(f: => Array[_]): String = {
+      val e = intercept[Exception](f)
+      val m = e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+      m should include("777")
+      m should include("40")
+      m should include("maxEventsPerKey=10")
+      m
+    }
+    trips(EventAnalytics.funnel(ev, "user_id", "tt", "event_type",
+      Seq("view", "click", "purchase"), 3600, Some(10L)).collect())
+    trips(EventAnalytics.ewmaSmooth(ev, "user_id", "tt", "v", 0.25,
+      Some(10L)).collect())
+    trips(EventAnalytics.transitionMatrix(ev, "user_id", "tt", "event_id",
+      "event_type", Some(10L)).collect())
+
+    // a cap the data respects changes nothing — guarded == unguarded
+    EventAnalytics.ewmaSmooth(ev, "user_id", "tt", "v", 0.25, Some(64L))
+        .orderBy("user_id").collect() shouldBe
+      EventAnalytics.ewmaSmooth(ev, "user_id", "tt", "v", 0.25)
+        .orderBy("user_id").collect()
+    EventAnalytics.transitionMatrix(ev, "user_id", "tt", "event_id",
+        "event_type", Some(64L)).orderBy("from_type", "to_type")
+        .collect() shouldBe
+      EventAnalytics.transitionMatrix(ev, "user_id", "tt", "event_id",
+        "event_type").orderBy("from_type", "to_type").collect()
   }
 }
