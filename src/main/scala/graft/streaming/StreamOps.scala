@@ -235,6 +235,52 @@ object StreamOps {
       OutputMode.Update())
   }
 
+  /** ONLINE per-entity EWMA — [[graft.ops.EventAnalytics.ewmaSmooth]]
+    * as streaming state, so the monitor level new events compare
+    * against updates as each micro-batch lands instead of re-folding
+    * the history. Input rows are `(key, eventTimeUs, value)`; state per
+    * key is `(n, ewma)`; each batch's rows for a key fold in EVENT-TIME
+    * order — `(ts, value)` ascending, exactly the batch op's
+    * `array_sort(struct(t, v))` order — through the IDENTICAL
+    * recurrence (`s1 = x1; s = s*(1-alpha) + x*alpha`, same two
+    * multiplies one add with the same Scala-computed `1-alpha`
+    * constant), and the updated `(key, n, ewma)` emits per batch
+    * (update mode).
+    *
+    * Parity contract (StreamOpsSpec proves it across 3 batch splits):
+    * feed the event log in event-time-ordered batch prefixes and after
+    * every batch each key's state equals batch `ewmaSmooth` on that
+    * prefix BIT-EXACTLY — the streaming fold is the batch fold,
+    * checkpoint-resumed instead of recomputed. Out-of-order arrival
+    * ACROSS batches folds in arrival order (state cannot rewind); the
+    * batch op remains the replayable ground truth, this op is its
+    * incremental serve path.
+    *
+    * Scale shape: one stateful exchange on the key per micro-batch;
+    * state is 16 bytes per live key — no per-key history is retained,
+    * which is the whole point of an exponential average. */
+  def ewmaState[K: Encoder](ds: Dataset[(K, Long, Double)],
+      alpha: Double): Dataset[(K, Long, Double)] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val oneMinus = 1.0 - alpha // computed once, the batch op's constant
+    implicit val stateEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[(K, Long, Double)] = Encoders.tuple(
+      implicitly[Encoder[K]], Encoders.scalaLong, Encoders.scalaDouble)
+    ds.groupByKey(_._1).mapGroupsWithState[(Long, Double), (K, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+      (k: K, rows: Iterator[(K, Long, Double)], state: GroupState[(Long, Double)]) =>
+        var (n, s) = state.getOption.getOrElse((0L, 0.0))
+        // (ts, value) ascending == the batch op's struct sort order
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, v) =>
+          s = if (n == 0L) v else s * oneMinus + v * alpha
+          n += 1
+        }
+        state.update((n, s))
+        (k, n, s)
+    }
+  }
+
   /** Custom state op: running per-key mean, emitted as an update after
     * every batch — the canonical `mapGroupsWithState` accumulator. */
   def runningMean[K: Encoder](ds: Dataset[(K, Double)]): Dataset[(K, Long, Double)] = {

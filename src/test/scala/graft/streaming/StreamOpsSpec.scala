@@ -205,6 +205,37 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     last shouldBe Seq(("a", 3L, 3.0), ("b", 1L, 10.0))
   }
 
+  test("ewmaState: after every batch, each key's state equals batch " +
+      "ewmaSmooth on the fed prefix BIT-EXACTLY (3 batch splits)") {
+    val rnd = new scala.util.Random(11)
+    // globally ts-ascending so prefix batches are event-time ordered;
+    // keys interleave so every batch touches every key's state
+    val events = (0 until 60).map { i =>
+      (1L + i % 3, 1000L * i, rnd.nextDouble() * 100)
+    }
+    val splits = Seq(events.slice(0, 20), events.slice(20, 45),
+      events.slice(45, 60))
+    val in = MemoryStream[(Long, Long, Double)](spark)
+    val out = StreamOps.ewmaState(in.toDS(), alpha = 0.25)
+    val q = out.toDF("key", "n_events", "ewma").writeStream
+      .format("memory").queryName("ewma_state").outputMode("update").start()
+    try {
+      var fed = Seq.empty[(Long, Long, Double)]
+      splits.foreach { batch =>
+        in.addData(batch: _*)
+        q.processAllAvailable()
+        fed = fed ++ batch
+        val expect = graft.ops.EventAnalytics.ewmaSmooth(
+            fed.toDF("key", "us", "v"), "key", "us", "v", alpha = 0.25)
+          .orderBy("key").as[(Long, Long, Double)].collect().toSeq
+        val last = spark.table("ewma_state").as[(Long, Long, Double)]
+          .collect().zipWithIndex.groupBy(_._1._1)
+          .map { case (_, rs) => rs.maxBy(_._2)._1 }.toSeq.sortBy(_._1)
+        last shouldBe expect // === on doubles: bit-exact, no tolerance
+      }
+    } finally q.stop()
+  }
+
   /** transformWithState requires the RocksDB state store provider; set
     * it for the duration of one streaming query, then restore. */
   private def withRocksDb[T](f: => T): T = {
