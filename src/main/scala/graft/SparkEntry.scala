@@ -1425,6 +1425,43 @@ object SparkEntry {
             .as("recall"))
         .orderBy("query_id")
     }),
+    "q_ann_ivf_int8" -> ((s, dir) => {
+      // INT8-quantized IVF serving at the tuned nprobe=8 point, recall
+      // vs the same brute-force ground truth NEXT TO float serving —
+      // so the 4x candidate-memory/IO cut's accuracy cost is an exact,
+      // measured number in the artifact (quantization is floor-based
+      // half-up rounding: deterministic, so the oracle replays the
+      // whole int8 path bit-for-bit). On this corpus int8 recall
+      // matches f32 at every query — dequantization error (<= scale/2
+      // per element) is far below the neighbor score gaps.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 5, sampleFraction = 0.1)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def hitsOf(serve: org.apache.spark.sql.DataFrame, name: String) =
+        brute.join(serve.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      val f32 = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, cents, nprobe = 8)
+      val i8 = Similarity.ivfTopKInt8(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, cents, nprobe = 8)
+      queries.select(col("qid").as("query_id"))
+        .join(hitsOf(f32, "h32"), Seq("query_id"), "left")
+        .join(hitsOf(i8, "h8"), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("h32"), lit(0L)).as("n_hits_f32"),
+          (coalesce(col("h32"), lit(0L)).cast(DoubleType) / lit(5.0))
+            .as("recall_f32"),
+          coalesce(col("h8"), lit(0L)).as("n_hits_i8"),
+          (coalesce(col("h8"), lit(0L)).cast(DoubleType) / lit(5.0))
+            .as("recall_i8"))
+        .orderBy("query_id")
+    }),
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
       // clusters — the SAME sampled deterministic k-means as q_ann_ivf
@@ -2347,29 +2384,49 @@ object SparkEntry {
 
   /** IVF serve stage over [[kmeansPrefixSql]]'s `e`/`casg` CTEs:
     * probe -> inverted-list candidates -> exact cosine rerank; yields
-    * `ranked(qid, nid, s, rn)`. Shared by the q_ann_ivf oracle and the
-    * q_ann_recall evaluation (ONE source of truth for the serve
-    * pipeline — a hand-copied variant would silently diverge). */
-  private def ivfServeCtesSql(iters: Int, nprobe: Int, dim: Int): String = {
+    * `ranked$suffix(qid, nid, s, rn)`. Shared by the q_ann_ivf oracle,
+    * the q_ann_recall evaluations, and (via `corpusCte`/`suffix`) the
+    * int8 serve replay — ONE source of truth for the serve pipeline;
+    * `corpusCte` names the CTE holding the NEIGHBOR-side vectors
+    * (`e` = full precision, `dq` = dequantized int8). */
+  private def ivfServeCtesSql(iters: Int, nprobe: Int, dim: Int,
+      corpusCte: String = "e", suffix: String = ""): String = {
     val dot = sqlDot(dim) _
     val cents = s"cent$iters"
-    s"""qprobe AS (SELECT qid, cluster FROM (
+    s"""qprobe$suffix AS (SELECT qid, cluster FROM (
        |             SELECT e.vec_id AS qid, c.j AS cluster,
        |                    row_number() OVER (PARTITION BY e.vec_id
        |                                       ORDER BY ${dot("e.v", "c.c")} DESC, c.j) AS rn
        |             FROM e, $cents c WHERE e.vec_id < 10) WHERE rn <= $nprobe),
-       |cand AS (SELECT q.qid, ca.vec_id AS nid
-       |         FROM casg ca JOIN qprobe q ON ca.cluster = q.cluster),
-       |scored AS (SELECT cand.qid, cand.nid,
+       |cand$suffix AS (SELECT q.qid, ca.vec_id AS nid
+       |         FROM casg ca JOIN qprobe$suffix q ON ca.cluster = q.cluster),
+       |scored$suffix AS (SELECT cd.qid, cd.nid,
        |                  ${dot("ev.v", "qv.v")}
        |                  / (sqrt(${dot("ev.v", "ev.v")})
        |                   * sqrt(${dot("qv.v", "qv.v")})) AS s
-       |           FROM cand JOIN e ev ON ev.vec_id = cand.nid
-       |                     JOIN e qv ON qv.vec_id = cand.qid),
-       |ranked AS (SELECT qid, nid, s,
+       |           FROM cand$suffix cd JOIN $corpusCte ev ON ev.vec_id = cd.nid
+       |                     JOIN e qv ON qv.vec_id = cd.qid),
+       |ranked$suffix AS (SELECT qid, nid, s,
        |                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
-       |           FROM scored WHERE s IS NOT NULL)""".stripMargin
+       |           FROM scored$suffix WHERE s IS NOT NULL)""".stripMargin
   }
+
+  /** DuckDB replay of [[graft.functions.Quantization]] round-tripped
+    * over the corpus CTE `e`: `scale = max|x| / 127`, floor-based
+    * half-up rounding clamped to [-127, 127], dequant = code * scale —
+    * the kernel's exact arithmetic (small integers are exact doubles,
+    * so the unstored byte codes cost nothing). Yields `dq(vec_id, v)`. */
+  private val dequantCteSql: String =
+    """qz AS (SELECT vec_id,
+      |              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |       FROM e),
+      |     dq AS (SELECT e.vec_id,
+      |              CASE WHEN q.scale > 0.0
+      |                   THEN list_transform(e.v, x ->
+      |                          greatest(-127.0, least(127.0,
+      |                            floor(x / q.scale + 0.5))) * q.scale)
+      |                   ELSE list_transform(e.v, x -> 0.0) END AS v
+      |            FROM e JOIN qz q ON q.vec_id = e.vec_id)""".stripMargin
 
   private def ivfSql(k: Int, iters: Int, nprobe: Int, topk: Int,
       dim: Int, sampleFraction: Double, seed: Long): String =
@@ -2404,6 +2461,45 @@ object SparkEntry {
        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $topk.0 AS recall
        |FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
        |LEFT JOIN hits h ON h.qid = q.vec_id
+       |ORDER BY query_id""".stripMargin
+  }
+
+  /** q_ann_ivf_int8 oracle: float AND int8 IVF serves (same probes,
+    * neighbor side dequantized via [[dequantCteSql]]) each intersected
+    * with the brute-force top-k per query — the quantization cost as
+    * an exact number. */
+  private def annRecallInt8Sql(k: Int, iters: Int, nprobe: Int,
+      topk: Int, dim: Int, sampleFraction: Double, seed: Long): String = {
+    val dot = sqlDot(dim) _
+    s"""WITH ${kmeansPrefixSql(k, iters, dim, sampleFraction, seed)},
+       |     $dequantCteSql,
+       |${ivfServeCtesSql(iters, nprobe, dim)},
+       |${ivfServeCtesSql(iters, nprobe, dim, corpusCte = "dq", suffix = "8")},
+       |     itop AS (SELECT qid, nid FROM ranked WHERE rn <= $topk),
+       |     itop8 AS (SELECT qid, nid FROM ranked8 WHERE rn <= $topk),
+       |     bscored AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |                        ${dot("x.v", "q.v")}
+       |                        / (sqrt(${dot("x.v", "x.v")})
+       |                         * sqrt(${dot("q.v", "q.v")})) AS s
+       |                 FROM e x, (SELECT vec_id, v FROM e WHERE vec_id < 10) q),
+       |     branked AS (SELECT qid, nid,
+       |                        row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+       |                 FROM bscored WHERE s IS NOT NULL),
+       |     btop AS (SELECT qid, nid FROM branked WHERE rn <= $topk),
+       |     hits AS (SELECT b.qid, count(*) AS n
+       |              FROM btop b JOIN itop i ON i.qid = b.qid AND i.nid = b.nid
+       |              GROUP BY b.qid),
+       |     hits8 AS (SELECT b.qid, count(*) AS n
+       |               FROM btop b JOIN itop8 i ON i.qid = b.qid AND i.nid = b.nid
+       |               GROUP BY b.qid)
+       |SELECT q.vec_id AS query_id,
+       |       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits_f32,
+       |       CAST(COALESCE(h.n, 0) AS DOUBLE) / $topk.0 AS recall_f32,
+       |       CAST(COALESCE(h8.n, 0) AS BIGINT) AS n_hits_i8,
+       |       CAST(COALESCE(h8.n, 0) AS DOUBLE) / $topk.0 AS recall_i8
+       |FROM (SELECT vec_id FROM e WHERE vec_id < 10) q
+       |LEFT JOIN hits h ON h.qid = q.vec_id
+       |LEFT JOIN hits8 h8 ON h8.qid = q.vec_id
        |ORDER BY query_id""".stripMargin
   }
 
@@ -3713,6 +3809,8 @@ object SparkEntry {
       dim = 64, sampleFraction = 0.1, seed = 42L),
     "q_ann_recall" -> annRecallSql(k = 16, iters = 5, nprobe = 4,
       topk = 5, dim = 64, sampleFraction = 0.1, seed = 42L),
+    "q_ann_ivf_int8" -> annRecallInt8Sql(k = 16, iters = 5, nprobe = 8,
+      topk = 5, dim = 64, sampleFraction = 0.1, seed = 42L),
     "q_ann_recall_tuned" -> annRecallSql(k = 16, iters = 5, nprobe = 8,
       topk = 5, dim = 64, sampleFraction = 0.1, seed = 42L),
     // Same k-means replay as q_ann_ivf, then the within-cluster
@@ -4080,5 +4178,5 @@ object SparkEntry {
     "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
     "q_cluster_dedup_best", "q_drift", "q_ewma",
     "q_pagerank_personalized", "q_assoc", "q_transitions",
-    "q_quantile_sketch", "q_drift_eqdepth")
+    "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8")
 }

@@ -255,6 +255,47 @@ object Similarity {
     topKPerKey(cand, "query_id", "neighbor_id", "score", k)
   }
 
+  /** [[ivfTopK]] serving from INT8-QUANTIZED inverted lists: the
+    * corpus side of the candidate join carries
+    * `(id, cluster, scale, codes)` — [[graft.functions.Quantization]]'s
+    * symmetric int8 form, 1 byte per component + one double — instead
+    * of the fp vector, a 4× (fp32) to 8× (fp64) cut in list
+    * memory/shuffle/IO at serving time; candidates re-rank on the
+    * DEQUANTIZED cosine against the full-precision query vector.
+    *
+    * Same bounded-heap scale shape as [[ivfTopK]] (map-side partial
+    * top-k, no Window), and still fully deterministic: quantization is
+    * floor-based half-up rounding (identical in every engine), so the
+    * whole int8 serve path oracle-replays bit-for-bit — which is what
+    * lets q_ann_ivf_int8 put the recall cost of the 4× compression
+    * NEXT TO float serving as an exact, measured number (per-element
+    * dequantization error <= scale/2; measured recall delta at the
+    * tuned nprobe=8 point lives in the artifact). */
+  def ivfTopKInt8(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    // the stored list rows: cluster + quantized vector ONLY (the fp
+    // vector column ends at this projection — that drop IS the win)
+    val c = corpus.select(col(idCol),
+      graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
+        .as("cluster"),
+      graft.functions.Quantization.quantize(col(vecCol)).as("qz"))
+    val q = renamedQueries(corpus, queries, qidCol, qvecCol)
+      .select(col(QId), col(QVec),
+        explode(graft.functions.Centroids.centroid_probes(
+          col(QVec), centroids, nprobe)).as("cluster"))
+    val cand = c.join(q, "cluster")
+      .select(col(QId).as("query_id"), col(idCol).as("neighbor_id"),
+        // widen the query to doubles: dequantization yields doubles and
+        // the cosine kernel requires matching element types (the cast
+        // is the same exact float->double widening the kernel does)
+        cosine(graft.functions.Quantization.dequantize(
+            col("qz.scale"), col("qz.codes")),
+          col(QVec).cast(ArrayType(DoubleType))).as("score"))
+      .where(col("score").isNotNull)
+    topKPerKey(cand, "query_id", "neighbor_id", "score", k)
+  }
+
   /** Approximate top-k: candidates are corpus rows sharing an LSH bucket
     * with the query in ANY table; exact cosine re-ranks candidates.
     * The join shuffles by `(table, bucket)` — bucket cardinality is

@@ -476,6 +476,17 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_ann_ivf_int8: the int8 serve quantizes the corpus side " +
+      "(codegen'd kernels) and still reduces through the bounded heap " +
+      "— no Window, no raw-score sort") {
+    val p = plan("q_ann_ivf_int8")
+    p should include("graft_quantize_vec")
+    p should include("graft_dequantize_vec")
+    // brute + f32 ivf + int8 ivf: all three serve paths heap-reduce
+    "partial_graft_top_k_by_score".r.findAllIn(p).size should be >= 3
+    p should not include "Window"
+  }
+
   test("q_reachability executes WITH RECURSIVE as a UnionLoop — one " +
       "Window builds the edges, counts combine map-side, no cartesian") {
     val p = plan("q_reachability")

@@ -119,6 +119,49 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     all(cents.map(c => math.sqrt(c.map(x => x * x).sum))) shouldBe 1.0 +- 1e-9
   }
 
+  test("ivfTopKInt8: identical to float IVF when vectors are int8-" +
+      "representable (lossless quantization), and near-identical " +
+      "ranking on the real embeddings") {
+    // components are exact multiples of max/127 -> quantization is
+    // bit-lossless -> the int8 serve must EQUAL the float serve
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val rows = (0L until 60L).map { id =>
+      (id, Array.fill(dim)((rnd.nextInt(255) - 127) / 127.0))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Similarity.trainCentroids(df, "vec_id", "embedding",
+      k = 4, iters = 2)
+    def serve(int8: Boolean): Seq[(Long, Long, Int)] = {
+      val out =
+        if (int8) Similarity.ivfTopKInt8(df, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 3, cents, nprobe = 4)
+        else Similarity.ivfTopK(df, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 3, cents, nprobe = 4)
+      out.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._3))
+    }
+    serve(int8 = true) shouldBe serve(int8 = false)
+
+    // real float embeddings: quantization is lossy but the top-3
+    // neighbor SETS should agree (scores differ below the rank gaps)
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val equeries = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ecents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    def sets(df8: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df8.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val s8 = sets(Similarity.ivfTopKInt8(emb, "vec_id", "embedding",
+      equeries, "qid", "qvec", k = 3, ecents, nprobe = 8))
+    val s32 = sets(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      equeries, "qid", "qvec", k = 3, ecents, nprobe = 8))
+    s8 shouldBe s32
+  }
+
   test("ivf with partial probing still finds each query's self-match") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)
