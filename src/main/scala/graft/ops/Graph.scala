@@ -20,6 +20,74 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Shared PageRank prelude: the pin function (checkpoint vs
+    * localCheckpoint — see [[pageRankFixed]] on why per-round pins are
+    * load-bearing), the distinct edge frame, its out-degrees, and the
+    * pinned degree-joined edge frame every round re-joins. ONE
+    * implementation — the three variants' preludes were identical
+    * triplicated code. */
+  private def prSetup(edges: DataFrame, srcCol: String, dstCol: String,
+      checkpointDir: Option[String])
+      : (DataFrame => DataFrame, DataFrame, DataFrame, DataFrame) = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ewd = pin(e.join(deg, Seq("src")))
+    (pin, e, deg, ewd)
+  }
+
+  /** Shared round driver for the NODE-UNIVERSE variants
+    * ([[pageRankDangling]], [[pageRankPersonalized]]): universe = src
+    * UNION dst, round-invariant dangling set derived once and pinned,
+    * per round one contribution join-aggregate + a 1-row broadcast
+    * dangling total + a LEFT join onto the universe — the two callers
+    * differ ONLY in `scoreFormula(n)`, the selectExpr computing the new
+    * score from `node`, `s` (in-mass, null when none), and `dt` (the
+    * dangling total). Everything here is the exact code both variants
+    * previously triplicated; extracting it changes no plan and no bit
+    * (the formulas are passed through verbatim).
+    *
+    * [[pageRankFixed]] deliberately does NOT route through this
+    * driver: its precondition (every node a source, e.g. symmetrized
+    * graphs) lets it skip the universe frame, the dangling machinery,
+    * and the outer join for a leaner inner-join round — forcing it
+    * through the universe shape would cost ~2 extra slim exchanges per
+    * round for nothing. */
+  private def prUniverseRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int, unit: Long,
+      checkpointDir: Option[String],
+      scoreFormula: Long => String): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val (pin, e, deg, ewd) = prSetup(edges, srcCol, dstCol, checkpointDir)
+    val nodes = pin(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count() // the one driver scalar: a single long
+    // Dangling membership is ROUND-INVARIANT (a function of the edge
+    // set alone), so derive it once and pin it — deriving it inside
+    // the loop re-runs a distinct over the full edge frame every
+    // round (measured 1.4x on the query total at sf0.1, like-for-like
+    // bench runs: 8.9s -> 6.2s warm at 4 threads).
+    val dangNodes = pin(nodes.join(deg,
+      nodes("node") === deg("src"), "left_anti"))
+    var scores = pin(nodes.withColumn("score", lit(unit)))
+    for (_ <- 1 to iters) {
+      val contrib = ewd.join(scores, ewd("src") === scores("node"))
+        .select(ewd("dst").as("cn"), expr("score div outdeg").as("c"))
+        .groupBy(col("cn")).agg(sum(col("c")).as("s"))
+      // dangling total = this round's score mass on the pinned set
+      val dang = scores.join(dangNodes, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("score")), lit(0L)).as("dt"))
+      scores = pin(scores.select(col("node"))
+        .join(contrib, col("node") === col("cn"), "left")
+        .crossJoin(broadcast(dang))
+        .selectExpr("node", scoreFormula(n)))
+    }
+    scores
+  }
+
   /** Fixed `iters` rounds of damped PageRank in integer fixed-point:
     * scores are maintained in units of 1e-6 (`unit` = 1_000_000 ==
     * 1.0), and one round is
@@ -58,17 +126,13 @@ object Graph {
       unit: Long = 1000000L,
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg), pinned: re-joined every round
-    val ewd = pin(e.join(deg, Seq("src")))
+    val (pin, _, _, ewd) = prSetup(edges, srcCol, dstCol, checkpointDir)
     val base = unit - unit * dampNum / dampDen
     var scores = pin(ewd.select(col("src").as("node")).distinct()
       .withColumn("score", lit(unit)))
+    // The lean inner-join round its precondition buys — see
+    // [[prUniverseRounds]] for why this variant does not share the
+    // universe driver.
     for (_ <- 1 to iters) {
       scores = pin(ewd.join(scores, ewd("src") === scores("node"))
         .select(ewd("dst"), expr("score div outdeg").as("c"))
@@ -106,40 +170,9 @@ object Graph {
       iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
       unit: Long = 1000000L,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ewd = pin(e.join(deg, Seq("src")))
-    val nodes = pin(e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct())
-    val n = nodes.count() // the one driver scalar: a single long
-    // Dangling membership is ROUND-INVARIANT (a function of the edge
-    // set alone), so derive it once and pin it — deriving it inside
-    // the loop re-runs a distinct over the full edge frame every
-    // round (measured 1.4x on the query total at sf0.1, like-for-like
-    // bench runs: 8.9s -> 6.2s warm at 4 threads).
-    val dangNodes = pin(nodes.join(deg,
-      nodes("node") === deg("src"), "left_anti"))
     val base = unit - unit * dampNum / dampDen
-    var scores = pin(nodes.withColumn("score", lit(unit)))
-    for (_ <- 1 to iters) {
-      val contrib = ewd.join(scores, ewd("src") === scores("node"))
-        .select(ewd("dst").as("cn"), expr("score div outdeg").as("c"))
-        .groupBy(col("cn")).agg(sum(col("c")).as("s"))
-      // dangling total = this round's score mass on the pinned set
-      val dang = scores.join(dangNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("score")), lit(0L)).as("dt"))
-      scores = pin(scores.select(col("node"))
-        .join(contrib, col("node") === col("cn"), "left")
-        .crossJoin(broadcast(dang))
-        .selectExpr("node",
-          s"$base + ($dampNum * (coalesce(s, 0L) + dt div $n)) div $dampDen AS score"))
-    }
-    scores
+    prUniverseRounds(edges, srcCol, dstCol, iters, unit, checkpointDir,
+      n => s"$base + ($dampNum * (coalesce(s, 0L) + dt div $n)) div $dampDen AS score")
   }
 
   /** PERSONALIZED PageRank (random walk with restart): the jump — and
@@ -163,40 +196,17 @@ object Graph {
       dstCol: String, seeds: Seq[Long], iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L, unit: Long = 1000000L,
       checkpointDir: Option[String] = None): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
     require(seeds.nonEmpty, "personalization needs at least one seed")
     require(seeds.distinct.size == seeds.size, s"duplicate seeds: $seeds")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ewd = pin(e.join(deg, Seq("src")))
-    val nodes = pin(e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct())
-    val n = nodes.count()
-    val dangNodes = pin(nodes.join(deg,
-      nodes("node") === deg("src"), "left_anti"))
     val k = seeds.length
-    val seedBase = (n * unit - (n * unit * dampNum) / dampDen) / k
     val inSeeds = s"node IN (${seeds.mkString(", ")})"
-    var scores = pin(nodes.withColumn("score", lit(unit)))
-    for (_ <- 1 to iters) {
-      val contrib = ewd.join(scores, ewd("src") === scores("node"))
-        .select(ewd("dst").as("cn"), expr("score div outdeg").as("c"))
-        .groupBy(col("cn")).agg(sum(col("c")).as("s"))
-      val dang = scores.join(dangNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("score")), lit(0L)).as("dt"))
-      scores = pin(scores.select(col("node"))
-        .join(contrib, col("node") === col("cn"), "left")
-        .crossJoin(broadcast(dang))
-        .selectExpr("node",
-          s"(CASE WHEN $inSeeds THEN ${seedBase}L ELSE 0L END) + " +
-            s"($dampNum * (coalesce(s, 0L) + " +
-            s"(CASE WHEN $inSeeds THEN dt div ${k}L ELSE 0L END))) " +
-            s"div $dampDen AS score"))
-    }
-    scores
+    prUniverseRounds(edges, srcCol, dstCol, iters, unit, checkpointDir,
+      { n =>
+        val seedBase = (n * unit - (n * unit * dampNum) / dampDen) / k
+        s"(CASE WHEN $inSeeds THEN ${seedBase}L ELSE 0L END) + " +
+          s"($dampNum * (coalesce(s, 0L) + " +
+          s"(CASE WHEN $inSeeds THEN dt div ${k}L ELSE 0L END))) " +
+          s"div $dampDen AS score"
+      })
   }
 }
