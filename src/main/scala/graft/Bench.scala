@@ -20,12 +20,18 @@ import org.apache.spark.sql.SparkSession
   * Noise control (this sandbox is co-tenant; a loaded neighbor inflated
   * one recorded warm entry 40x in round 5, and in round 6 two of three
   * warm passes stalled at loadavg 2.8 — a median cannot survive that):
-  * the warm regime runs THREE passes and reports the per-query MIN as
+  * the warm regime runs THREE full passes plus TWO extra passes over
+  * the sub-second queries (relative jitter hits those hardest and they
+  * are cheap — min-of-5 for them, min-of-3 for the rest) and reports
+  * the per-query MIN as
   * `queries_warm` (co-tenant noise is strictly additive, so min is the
   * honest warm estimator; the headline `total_warm` sums it), the
   * per-query MEDIAN as `queries_warm_median`, the raw passes as
-  * `warm_passes`, and the per-query relative spread `(max-min)/median`
-  * as `warm_spread`; queries whose spread exceeds 30% are listed in
+  * `warm_passes`, and the per-query MIN-REPRODUCIBILITY
+  * `(secondFastest-fastest)/median` as `warm_spread` (the reported
+  * warm value is the min, so its trust signal is whether another pass
+  * reproduced it — slow-tail scatter is the stall mass min-of-N
+  * already discards); queries whose spread exceeds 30% are listed in
   * `noisy_warm` so an outlier is visible in the artifact itself instead
   * of silently poisoning the round's numbers. `loadavg` records the
   * 1-minute load before the run and after every pass.
@@ -98,7 +104,7 @@ object Bench {
     }
     val cold = names.map(n => n -> run(n))
     loads += loadAvg()
-    val warmPasses = (1 to 3).map { _ =>
+    val mainPasses = (1 to 3).map { _ =>
       val p = names.map(n => n -> run(n))
       loads += loadAvg()
       p
@@ -111,17 +117,42 @@ object Bench {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
+    // Sub-second queries are the ones co-tenant jitter distorts most
+    // in RELATIVE terms (a 200ms stall is 40% of a 0.5s query, noise
+    // on a 5s one) — and they are cheap to re-measure. Two extra
+    // passes over just those: min-of-5 for the small rows, min-of-3
+    // for the rest, at a bounded wall cost (< 2x the sub-second part
+    // of one pass).
+    val subSecond = names.filter { n =>
+      val m = median(mainPasses.map(_.toMap.apply(n)))
+      m >= 0 && m < 1.0
+    }
+    val extraPasses = (1 to 2).map { _ =>
+      val p = subSecond.map(n => n -> run(n))
+      loads += loadAvg()
+      p
+    }
+    val warmPasses = mainPasses ++ extraPasses
+    def samples(n: String): Seq[Double] =
+      warmPasses.flatMap(_.toMap.get(n))
     // min over passes: co-tenant noise only ever ADDS time, so the
     // fastest observed pass is the least-contaminated warm estimate
     // (round 6's recorded median was poisoned by two stalled passes).
-    val warm = names.map(n => n -> minOk(warmPasses.map(_.toMap.apply(n))))
-    val warmMedian = names.map(n => n -> median(warmPasses.map(_.toMap.apply(n))))
+    val warm = names.map(n => n -> minOk(samples(n)))
+    val warmMedian = names.map(n => n -> median(samples(n)))
     val warmMap = warm.toMap
     val medianMap = warmMedian.toMap
+    // warm_spread measures the MIN ESTIMATOR's reproducibility — the
+    // gap between the two fastest passes, relative to the median — not
+    // the total pass scatter: the reported warm value IS the min, so
+    // what matters is whether a second pass reproduced it; scatter in
+    // the slow tail is exactly the co-tenant stall mass the min
+    // already discards, and flagging it re-admitted the noise the
+    // min-of-N design exists to reject.
     val spread = names.map { n =>
-      val ok = warmPasses.map(_.toMap.apply(n)).filter(_ >= 0)
+      val ok = samples(n).filter(_ >= 0).sorted
       val m = medianMap(n)
-      n -> (if (ok.isEmpty || m <= 0) -1.0 else (ok.max - ok.min) / m)
+      n -> (if (ok.size < 2 || m <= 0) -1.0 else (ok(1) - ok(0)) / m)
     }
     def quote(ns: Seq[String]): String = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noisyWarm = spread.collect { case (n, s) if s > 0.3 => n }
