@@ -1573,6 +1573,24 @@ object SparkEntry {
         .orderBy(col("skey").bitwiseXOR(lit(Long.MinValue)))
         .limit(100)
     }),
+    "q_range_bucket" -> ((s, dir) => {
+      // Deterministic balanced range bucketing (the single-column
+      // sorted-write primitive): 16 buckets over order totalprice
+      // (fixed-pointed to cents), boundaries from the hash-
+      // deterministic quantile sketch — the replayable alternative to
+      // repartitionByRange's nondeterministic reservoir sample. The
+      // audit aggregate proves both layout properties in the output:
+      // n per bucket ~ |orders|/16 (balance) and hi(b) <= lo(b+1)
+      // (order partition).
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("v"))
+      Layout.rangeBucketByQuantiles(o, "o_orderkey", "v",
+          nBuckets = 16, k = 1024)
+        .groupBy(col("bucket").cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+        .orderBy("bucket")
+    }),
     "q_zorder" -> ((s, dir) => {
       // Z-order layout audit: Morton-interleave (user_id, hour) and
       // aggregate per z-bucket (z >> 12 = the two dims' high bits
@@ -2881,6 +2899,25 @@ object SparkEntry {
                                         (a, b) -> a + b) * 0.5 AS tvd FROM pb)
          SELECT bin, n_ref, n_cur, p_ref, p_cur, l1_term, tvd
          FROM pb, tv ORDER BY bin""",
+    // Range-bucket layout: the q_drift_eqdepth edge replay (bottom-1024
+    // sample by o_orderkey hash, nearest-rank 16-quantile edges) and
+    // the per-bucket audit aggregate.
+    "q_range_bucket" ->
+      raw"""WITH o AS (SELECT o_orderkey,
+                              CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+                       FROM orders),
+               d0 AS (SELECT v, CAST(o_orderkey AS HUGEINT) AS z
+                      FROM o WHERE v IS NOT NULL),
+               ${splitmixCtesSql("d0", "v")},
+               rk AS (SELECT v, row_number() OVER (ORDER BY z) AS rn FROM h5),
+               sm AS (SELECT list_sort(list(v)) AS vs, count(*) AS n
+                      FROM rk WHERE rn <= 1024),
+               ed AS (SELECT list_transform(range(1, 16),
+                        j -> vs[CAST(greatest((j * n + 15) // 16, 1) AS INTEGER)]) AS edges
+                      FROM sm)
+          SELECT CAST(len(list_filter(edges, ee -> v >= ee)) AS BIGINT) AS bucket,
+                 count(*) AS n, min(v) AS lo, max(v) AS hi
+          FROM o, ed GROUP BY 1 ORDER BY bucket""",
     // Equi-depth variant: the reference half's bottom-256-by-hash
     // value sample (the q_quantile_sketch kept-set replay) yields
     // nearest-rank edges at j/8; bin(v) = #edges <= v; then the
@@ -4178,5 +4215,6 @@ object SparkEntry {
     "q_sample_weighted_stratified", "q_kmv_resemblance", "q_validate",
     "q_cluster_dedup_best", "q_drift", "q_ewma",
     "q_pagerank_personalized", "q_assoc", "q_transitions",
-    "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8")
+    "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
+    "q_range_bucket")
 }

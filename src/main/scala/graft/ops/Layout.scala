@@ -156,4 +156,48 @@ object Layout {
     }
     cur.withColumnRenamed("_hd", outCol).drop("_hx", "_hy")
   }
+
+  /** DETERMINISTIC balanced range bucketing — the single-column
+    * sorted-layout primitive next to the multi-dim curves above:
+    * assign each row a `bucket` in 0..nBuckets-1 such that buckets
+    * partition the VALUE ORDER (every value in bucket b <= every value
+    * in bucket b+1) and each holds ~1/nBuckets of the rows, with
+    * boundaries from the [[Sketches.quantileSketch]] of
+    * `splitmix64(idCol)` via [[Sketches.sketchEdges]].
+    *
+    * Why not `repartitionByRange`: Spark's RangePartitioner draws its
+    * boundaries from a nondeterministic reservoir sample, so the same
+    * write job produces different file boundaries run to run —
+    * unreproducible layout, unreplayable downstream pruning stats.
+    * These boundaries are a pure function of the row set: retry-, AQE-,
+    * and engine-stable (the oracle replays every bucket id). Write
+    * with `.repartition(col("bucket")).sortWithinPartitions(valueCol)`
+    * for the clustered layout; the sketch is one bounded aggregate
+    * (16k bytes per partition), the assignment a broadcast of
+    * `nBuckets-1` longs onto a narrow scan — no sampling job, no
+    * second pass.
+    *
+    * `valueCol` must be integral (fixed-point doubles first — the
+    * house pattern); heavy ties at a boundary all land in one bucket
+    * (buckets stay order-correct, balance degrades with skew —
+    * exactly like any range partitioning). */
+  def rangeBucketByQuantiles(df: org.apache.spark.sql.DataFrame,
+      idCol: String, valueCol: String, nBuckets: Int,
+      k: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(k >= nBuckets, s"sketch k ($k) must be >= nBuckets ($nBuckets)")
+    require(!df.columns.contains("bucket"),
+      "column name `bucket` is reserved — rename it")
+    import org.apache.spark.sql.functions._
+    val edges = df.where(col(valueCol).isNotNull)
+      .agg(Sketches.quantileSketch(
+        graft.functions.LongHashes.splitmix64(col(idCol)),
+        col(valueCol), k).as("qs"))
+      .select(Sketches.sketchEdges(col("qs"), nBuckets).as("__edges"))
+    df.crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        Sketches.edgeBucket(col("__edges"), col(valueCol))
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .drop("__edges")
+  }
 }

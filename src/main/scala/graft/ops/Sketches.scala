@@ -232,6 +232,31 @@ object Sketches {
       .otherwise(vlo + (vhi - vlo) * frac)
   }
 
+  /** NEAREST-RANK equi-depth edges off a [[quantileSketch]] array: the
+    * `nBins - 1` interior quantile values `sketch[ceil(j*n/nBins)]`
+    * (1-based, exact integer rank arithmetic, no interpolation — edges
+    * are actual sample values, so downstream comparisons stay
+    * long-vs-long). Shared by the equi-depth drift monitor
+    * ([[Stats.histogramDriftEqDepth]]) and the range-bucket layout
+    * ([[Layout.rangeBucketByQuantiles]]) — one edge definition, not
+    * two drifting copies. Empty-sketch input is a caller error (the
+    * rank clamps to 1 but element_at(1) on an empty array raises). */
+  def sketchEdges(sketch: Column, nBins: Int): Column = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    transform(sequence(lit(1), lit(nBins - 1)), j =>
+      element_at(sketch, greatest(
+        ((j * size(sketch) + lit(nBins - 1)) / lit(nBins))
+          .cast(IntegerType),
+        lit(1))))
+  }
+
+  /** Bucket index of `value` against a [[sketchEdges]] array:
+    * `|{j : value >= edge_j}|` in 0..nBins-1 — values equal to an edge
+    * go RIGHT, one fixed replayable convention, monotone in the value
+    * by construction. */
+  def edgeBucket(edges: Column, value: Column): Column =
+    size(filter(edges, e => value >= e))
+
   /** Bottom-k resemblance (Broder 1997): estimate the Jaccard
     * similarity of two SETS from their [[kmvKeepSet]] sketches alone —
     * `|X ∩ A ∩ B| / |X|` where X is the k smallest of the sketch

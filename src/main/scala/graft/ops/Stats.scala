@@ -122,16 +122,11 @@ object Stats {
       .agg(graft.ops.Sketches.quantileSketch(
         graft.functions.LongHashes.splitmix64(col(idCol)),
         col(valueCol), k).as("qs"))
-      .select(transform(sequence(lit(1), lit(nBins - 1)), j =>
-        element_at(col("qs"), greatest(
-          // ceil(j*n/nBins) as exact integer arithmetic
-          ((j * size(col("qs")) + lit(nBins - 1)) / lit(nBins))
-            .cast(IntegerType),
-          lit(1)))).as("edges"))
+      .select(graft.ops.Sketches.sketchEdges(col("qs"), nBins).as("edges"))
     def bins(df: DataFrame, cnt: String): DataFrame = df
       .where(col(valueCol).isNotNull)
       .crossJoin(broadcast(edges))
-      .groupBy(size(filter(col("edges"), e => col(valueCol) >= e))
+      .groupBy(graft.ops.Sketches.edgeBucket(col("edges"), col(valueCol))
         .cast(LongType).as("bin"))
       .agg(count(lit(1)).as(cnt))
     driftOverBins(bins(ref, "n_ref"), bins(cur, "n_cur"))

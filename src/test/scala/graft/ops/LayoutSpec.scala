@@ -138,4 +138,27 @@ class LayoutSpec extends SparkSpecBase with Matchers {
       .getOrElse(fail("no Project in plan"))
     projLine.trim.replaceFirst("^[:+\\- ]+", "") should startWith("*(")
   }
+
+  test("rangeBucketByQuantiles: buckets partition the value order, are " +
+      "~balanced, and the assignment is partition-invariant") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 5000L).map(id => (id, rnd.nextInt(1000000).toLong))
+    def run(parts: Int) = Layout.rangeBucketByQuantiles(
+        rows.toDF("id", "v").repartition(parts), "id", "v",
+        nBuckets = 10, k = 1024)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy("bucket")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val out = run(1)
+    out.map(_._1) shouldBe (0 until 10)
+    // order partition: every value in bucket b is <= every value in b+1
+    out.sliding(2).foreach { case Seq(a, b) => a._4 should be <= b._3 }
+    // balance: each bucket within 30% of the ideal 500 (k=1024 sample
+    // rank error ~4%; 30% is a loose, non-flaky bound)
+    all(out.map(_._2)) should (be >= 350L and be <= 650L)
+    // hash-derived boundaries: identical on any input partitioning
+    run(13) shouldBe out
+  }
 }
