@@ -625,6 +625,37 @@ object SparkEntry {
           abs(est - exact).as("abs_err"))
         .orderBy("flag_a", "flag_b")
     }),
+    "q_kmv_setops" -> ((s, dir) => {
+      // KMV SET ALGEBRA — the sketch-rollup payoff on top of
+      // q_kmv_resemblance: the merged keep set of two sketches IS the
+      // union's sketch (KMV is closed under merge), so per-flag 2 KiB
+      // sketches answer |A∪B| (kth-minimum estimator on the merged
+      // set) and |A∩B| (inclusion-exclusion: J_est * U_est) for every
+      // pair WITHOUT re-scanning — at 100 TB this is how per-day /
+      // per-partition sketch tables roll up to cross-corpus distinct
+      // counts. Exact relational answers ride alongside so both
+      // errors are in the artifact (observed ~1-3% at k=256).
+      val d = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f"), col("l_orderkey").as("k"))
+        .distinct()
+      val sk = d.groupBy("f").agg(
+        Sketches.kmvKeepSet(LongHashes.splitmix64(col("k")), 256).as("sk"),
+        count(lit(1)).as("n"))
+      val inter = d.as("x").join(d.as("y"),
+          col("x.k") === col("y.k") && col("x.f") < col("y.f"))
+        .groupBy(col("x.f").as("fa"), col("y.f").as("fb"))
+        .agg(count(lit(1)).as("inter"))
+      val estU = Sketches.kmvUnionDistinct(col("a.sk"), col("b.sk"), 256)
+      val estJ = Sketches.kmvResemblance(col("a.sk"), col("b.sk"), 256)
+      sk.as("a").join(sk.as("b"), col("a.f") < col("b.f"))
+        .join(inter, col("a.f") === col("fa") && col("b.f") === col("fb"))
+        .select(col("a.f").as("flag_a"), col("b.f").as("flag_b"),
+          estU.as("est_union"),
+          (col("a.n") + col("b.n") - col("inter")).as("exact_union"),
+          (estJ * estU.cast(DoubleType)).as("est_inter"),
+          col("inter").as("exact_inter"))
+        .orderBy("flag_a", "flag_b")
+    }),
     "q_bloom_join" -> ((s, dir) => {
       // Bloom semi-join reduction: broadcast a 2 KiB bloom of the
       // selective orders side and prune lineitem BEFORE the join
@@ -3118,6 +3149,47 @@ object SparkEntry {
           SELECT flag_a, flag_b, n_a, n_b, est_jaccard, exact_jaccard,
                  abs(est_jaccard - exact_jaccard) AS abs_err
           FROM f2 ORDER BY flag_a, flag_b""",
+    // Set-algebra rollup on the same keep-set replay: merged sketch's
+    // kth minimum -> HUGEINT union estimator (exact truncating integer
+    // division == the JVM BigInteger floor), J_est * U_est intersection.
+    "q_kmv_setops" ->
+      raw"""WITH d0 AS (SELECT l_returnflag AS f, l_orderkey AS k,
+                               CAST(l_orderkey AS HUGEINT) AS z
+                        FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)),
+               ${splitmixCtesSql("d0", "f, k")},
+               rk AS (SELECT f, z AS hu,
+                             row_number() OVER (PARTITION BY f ORDER BY z) AS rn
+                      FROM h5),
+               sk AS (SELECT f, count(*) AS n FROM rk GROUP BY f),
+               kk AS (SELECT f, list(hu ORDER BY hu) AS s
+                      FROM rk WHERE rn <= 256 GROUP BY f),
+               iv AS (SELECT x.f AS fa, y.f AS fb, count(*) AS inter
+                      FROM d0 x JOIN d0 y ON x.k = y.k AND x.f < y.f
+                      GROUP BY 1, 2),
+               pr AS (SELECT a.f AS flag_a, b.f AS flag_b,
+                             ka.s AS sa, kb.s AS sb,
+                             a.n AS n_a, b.n AS n_b, iv.inter AS inter
+                      FROM sk a JOIN sk b ON a.f < b.f
+                      JOIN kk ka ON ka.f = a.f
+                      JOIN kk kb ON kb.f = b.f
+                      JOIN iv ON iv.fa = a.f AND iv.fb = b.f),
+               c AS (SELECT flag_a, flag_b, n_a, n_b, inter, sa, sb,
+                            list_sort(list_distinct(sa || sb))[1:256] AS x
+                     FROM pr),
+               u AS (SELECT flag_a, flag_b, n_a, n_b, inter, sa, sb, x,
+                            CASE WHEN len(x) < 256 THEN CAST(len(x) AS BIGINT)
+                                 ELSE CAST(least(
+                                        (255 * CAST('18446744073709551616' AS HUGEINT))
+                                          // x[len(x)],
+                                        CAST('9223372036854775807' AS HUGEINT))
+                                      AS BIGINT) END AS est_union
+                     FROM c)
+          SELECT flag_a, flag_b, est_union,
+                 CAST(n_a + n_b - inter AS BIGINT) AS exact_union,
+                 (CAST(len(list_intersect(list_intersect(x, sa), sb)) AS DOUBLE)
+                  / CAST(len(x) AS DOUBLE)) * CAST(est_union AS DOUBLE) AS est_inter,
+                 CAST(inter AS BIGINT) AS exact_inter
+          FROM u ORDER BY flag_a, flag_b""",
     "q_profile" ->
       """SELECT * FROM (
            SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
@@ -4216,5 +4288,5 @@ object SparkEntry {
     "q_cluster_dedup_best", "q_drift", "q_ewma",
     "q_pagerank_personalized", "q_assoc", "q_transitions",
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
-    "q_range_bucket")
+    "q_range_bucket", "q_kmv_setops")
 }

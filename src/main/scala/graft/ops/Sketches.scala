@@ -232,6 +232,35 @@ object Sketches {
       .otherwise(vlo + (vhi - vlo) * frac)
   }
 
+  /** DISTINCT COUNT OF A UNION from two [[kmvKeepSet]] sketches alone
+    * — the set-algebra rollup at 100 TB: per-group (or per-day /
+    * per-partition) sketches answer "how many distinct keys across
+    * these groups" from `8k` bytes per side, no re-scan, no
+    * co-located exact union. The merged keep set (bottom-k of the
+    * sketch union) IS the union's KMV sketch — that closure under
+    * merge is the KMV property — so the estimate is [[kmvDistinct]]'s
+    * estimator on its k-th minimum: exact (`|merged|`) while the
+    * union fits under k, `floor((k-1)*2^64 / kth)` beyond. Same
+    * SAME-K CONTRACT and loud oversized-sketch guard as
+    * [[kmvResemblance]]; pair with it for intersection cardinality
+    * (`|A∩B| ~= J_est * U_est`, inclusion-exclusion on estimates —
+    * q_kmv_setops measures both errors). Deterministic given the
+    * hash, so an external engine replays it exactly. */
+  def kmvUnionDistinct(sketchA: Column, sketchB: Column, k: Int): Column = {
+    val merged = slice(array_sort(array_union(sketchA, sketchB)), 1, k)
+    // keep-set values are sign-flipped (unsigned order as signed
+    // longs); flip back to raw hash bits for the estimator
+    val kthBits = element_at(merged, size(merged))
+      .bitwiseXOR(lit(Long.MinValue))
+    val est = GraftColumnBridge.column(
+      KmvEstimateFromKth(GraftColumnBridge.expression(kthBits), k))
+    when(size(sketchA) > k || size(sketchB) > k,
+      raise_error(lit(s"kmvUnionDistinct: sketch holds more than k=$k " +
+        "entries — it was built with a larger k (same-k contract)")))
+      .otherwise(when(size(merged) < k, size(merged).cast(LongType))
+        .otherwise(est))
+  }
+
   /** NEAREST-RANK equi-depth edges off a [[quantileSketch]] array: the
     * `nBins - 1` interior quantile values `sketch[ceil(j*n/nBins)]`
     * (1-based, exact integer rank arithmetic, no interpolation — edges
@@ -478,6 +507,30 @@ object KmvDistinct {
       .divide(new BigInteger(java.lang.Long.toUnsignedString(kth)))
     if (q.bitLength > 63) Long.MaxValue else q.longValueExact()
   }
+}
+
+/** Column surface of [[KmvDistinct.estimate]]: (signed-bits long of an
+  * unsigned 64-bit k-th minimum hash) -> estimated distinct count.
+  * Codegen'd static call — the exact BigInteger arithmetic, no
+  * Column-side DECIMAL division whose scale rounding could break the
+  * floor. */
+case class KmvEstimateFromKth(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a long kth input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(kth: Any): Any =
+    KmvDistinct.estimate(k, kth.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.KmvDistinct.estimate($k, $c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): KmvEstimateFromKth = copy(child = newChild)
+  override def prettyName: String = "graft_kmv_estimate"
 }
 
 /** Bounded sorted set of the k smallest distinct longs under UNSIGNED

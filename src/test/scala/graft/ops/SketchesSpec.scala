@@ -240,6 +240,31 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     q(Seq.empty[Long], 0.5) shouldBe None
   }
 
+  test("kmvUnionDistinct: exact while the union fits under k; matches " +
+      "the local merged-bottom-k estimator beyond; ~1/sqrt(k) error") {
+    val a = (1L to 3000L).toSet
+    val b = (2001L to 5000L).toSet // |A∪B| = 5000
+    val rows = (a.map(("a", _)) ++ b.map(("b", _))).toSeq
+    val df = rows.toDF("g", "id")
+      .select(col("g"), LongHashes.splitmix64(col("id")).as("h"))
+    def unionEst(k: Int): Long = {
+      val sk = df.groupBy("g").agg(Sketches.kmvKeepSet(col("h"), k).as("s"))
+      sk.as("x").join(sk.as("y"), col("x.g") < col("y.g"))
+        .select(Sketches.kmvUnionDistinct(col("x.s"), col("y.s"), k).as("u"))
+        .as[Long].head()
+    }
+    // k >= |A∪B|: the merged keep set is the whole union -> exact
+    unionEst(8192) shouldBe 5000L
+    // k = 256: a genuine estimate within the ~1/sqrt(k-2) regime
+    val est = unionEst(256)
+    est.toDouble shouldBe 5000.0 +- 5000 * 0.2
+    // and equal to the local model: bottom-256 of the merged hashes
+    def flip(x: Long) = x ^ Long.MinValue
+    val merged = (a ++ b).map(i => flip(LongHashes.splitmix64Of(i)))
+      .toSeq.sorted.take(256)
+    est shouldBe KmvDistinct.estimate(256, flip(merged.last))
+  }
+
   test("kmvResemblance: a sketch larger than k raises (same-k contract) " +
       "instead of silently biasing the estimate") {
     val df = (1L to 300L).map(("a", _)).toDF("g", "id")
