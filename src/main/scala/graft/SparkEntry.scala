@@ -808,6 +808,37 @@ object SparkEntry {
         .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
           round(col("lift"), 6).as("lift"))
     }),
+    "q_pit_join" -> ((s, dir) => {
+      // Point-in-time enrichment (the leakage-safe feature join): each
+      // view/click event joins the user's purchase-state version valid
+      // AT THE EVENT'S OWN TIMESTAMP — purchases open versions, error
+      // events act as deletes (tombstones): an event between a delete
+      // and the next purchase gets NULLs + dim_live=false, never a
+      // resurrected stale version; a user with no history yet gets
+      // dim_live NULL. The change feed is compacted to one row per
+      // (user, us) by struct-max (event_id-deterministic winner), the
+      // as-of union trick does the temporal match in ONE slim
+      // shuffle+sort — no interval range join. Genuine interleaving at
+      // every SF (both sides share the live event time axis).
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"), col("event_type"), col("value"))
+      val changes = ev
+        .where(col("event_type").isin("purchase", "error"))
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(struct(col("event_id"), col("event_type"), col("value")))
+          .as("w"))
+        .select(col("user_id"), col("us"),
+          when(col("w.event_type") === "purchase", lit("U"))
+            .otherwise(lit("D")).as("op"),
+          col("w.value").as("dim_value"),
+          col("w.event_id").as("dim_version"))
+      val left = ev
+        .where(col("event_type").isin("view", "click") &&
+          col("user_id") <= 300)
+        .select(col("event_id"), col("user_id"), col("us"))
+      graft.ops.Merge.pointInTimeJoin(left, changes, "user_id", "us", "op")
+        .orderBy("event_id")
+    }),
     "q_scd2" -> ((s, dir) => {
       // SCD2 dimension history (Merge.scd2Intervals): every order is a
       // version of its customer's state; each becomes a validity
@@ -2688,6 +2719,42 @@ object SparkEntry {
                                JOIN un uy ON uy.w = s.w2, nt)
           SELECT bigram, c_xy, c_x, c_y, round(lift, 6) AS lift
           FROM j ORDER BY j.lift DESC, bigram LIMIT 50""",
+    // Point-in-time join replay: compact the purchase/error feed to one
+    // change per (user, us) with the event_id-max winner, match each
+    // view/click to the latest change at-or-before its us, and express
+    // tombstone semantics through the op of the matched version.
+    "q_pit_join" ->
+      raw"""WITH e AS (SELECT event_id, user_id,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                              event_type, value
+                       FROM events),
+               ch AS (SELECT user_id, us, op, dim_value, dim_version FROM (
+                        SELECT user_id, us,
+                               CASE WHEN event_type = 'purchase' THEN 'U'
+                                    ELSE 'D' END AS op,
+                               value AS dim_value, event_id AS dim_version,
+                               row_number() OVER (PARTITION BY user_id, us
+                                                  ORDER BY event_id DESC) AS rn
+                        FROM e WHERE event_type IN ('purchase', 'error'))
+                      WHERE rn = 1),
+               lv AS (SELECT event_id, user_id, us FROM e
+                      WHERE event_type IN ('view', 'click') AND user_id <= 300),
+               m AS (SELECT event_id, vus, op, dim_value, dim_version FROM (
+                       SELECT l.event_id, c.us AS vus, c.op,
+                              c.dim_value, c.dim_version,
+                              row_number() OVER (PARTITION BY l.event_id
+                                                 ORDER BY c.us DESC) AS rn
+                       FROM lv l JOIN ch c
+                         ON c.user_id = l.user_id AND c.us <= l.us)
+                     WHERE rn = 1)
+          SELECT l.event_id, l.user_id, l.us,
+                 m.vus AS right_us,
+                 CASE WHEN m.op = 'U' THEN m.dim_value END AS right_dim_value,
+                 CASE WHEN m.op = 'U' THEN m.dim_version END AS right_dim_version,
+                 CASE WHEN m.op IS NULL THEN NULL
+                      ELSE m.op = 'U' END AS right_dim_live
+          FROM lv l LEFT JOIN m ON m.event_id = l.event_id
+          ORDER BY l.event_id""",
     "q_scd2" ->
       """SELECT o_custkey, o_orderkey AS valid_from,
                 lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS valid_to,
@@ -4288,5 +4355,5 @@ object SparkEntry {
     "q_cluster_dedup_best", "q_drift", "q_ewma",
     "q_pagerank_personalized", "q_assoc", "q_transitions",
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
-    "q_range_bucket", "q_kmv_setops")
+    "q_range_bucket", "q_kmv_setops", "q_pit_join")
 }

@@ -73,6 +73,44 @@ object Merge {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** POINT-IN-TIME enrichment against a versioned dimension: each
+    * event row joins the dim version that was valid AT ITS OWN
+    * TIMESTAMP — the feature-correctness primitive for training data
+    * (joining the CURRENT dim row leaks future state into past
+    * examples; this is the leakage-safe join). `dimChanges` is a
+    * compacted CDC feed `(keyCol, tsCol, opCol, payload...)` with op
+    * in {'U','D'}: a 'U' opens a version at its ts; a 'D' closes the
+    * key — events between a delete and the next 'U' get NULL dim
+    * columns instead of a resurrected stale version, implemented by
+    * turning 'D' rows into TOMBSTONE versions (payload nulled) that
+    * the as-of carry picks up like any other version. The emitted
+    * `right_<liveCol>` boolean distinguishes the three states:
+    * true = live version, false = tombstoned at event time,
+    * null = key had no history yet.
+    *
+    * Scale shape: exactly [[AsOfJoin.asOf]] — one shuffle+sort of
+    * |events|+|versions| slim rows, no per-key quadratics, no
+    * interval range join (SCD2 intervals from [[scd2Intervals]] are
+    * CONTIGUOUS per key, so "valid_from <= ts < valid_to" reduces to
+    * "latest valid_from <= ts", which is the as-of). Same contracts as
+    * asOf: unique (key, ts) on the feed ([[compactLastWins]] first),
+    * hot keys -> bucketedAsOf phrasing. */
+  def pointInTimeJoin(events: DataFrame, dimChanges: DataFrame,
+      keyCol: String, tsCol: String, opCol: String,
+      tolerance: Option[Long] = None,
+      liveCol: String = "dim_live"): DataFrame = {
+    val payload = dimChanges.columns
+      .filterNot(c => c == keyCol || c == tsCol || c == opCol).toSeq
+    require(payload.nonEmpty, "dimChanges needs payload columns")
+    require(!dimChanges.columns.contains(liveCol),
+      s"dimChanges already has a `$liveCol` column — pass another liveCol")
+    val versions = dimChanges.select(
+      (Seq(col(keyCol), col(tsCol)) ++
+        payload.map(p => when(col(opCol) =!= "D", col(p)).as(p)) :+
+        (col(opCol) =!= "D").as(liveCol)): _*)
+    AsOfJoin.asOf(events, versions, keyCol, tsCol, tolerance)
+  }
+
   def applyChanges(snapshot: DataFrame, changes: DataFrame,
       keyCol: String, opCol: String): DataFrame = {
     val payload = snapshot.columns.filterNot(_ == keyCol).toSeq

@@ -148,4 +148,32 @@ class MergeSpec extends SparkSpecBase with Matchers {
     plan should not include "SortMergeJoin"
     plan should not include "FullOuter"
   }
+
+  test("pointInTimeJoin: events see the version valid AT THEIR ts — " +
+      "live / tombstoned / no-history all distinguished, deletes never " +
+      "resurrect a stale version") {
+    // key 1: U@10(v=1.0) -> D@30 -> U@50(v=5.0); key 2: never changed
+    val feed = Seq(
+      (1L, 10L, "U", 1.0), (1L, 30L, "D", 99.0), (1L, 50L, "U", 5.0))
+      .toDF("k", "ts", "op", "v")
+    val events = Seq(
+      (100L, 1L, 5L),   // before any version -> no history
+      (101L, 1L, 10L),  // at the U instant -> sees v=1.0 (inclusive)
+      (102L, 1L, 29L),  // inside first version -> v=1.0
+      (103L, 1L, 40L),  // after D, before next U -> tombstone, NOT v=1.0
+      (104L, 1L, 60L),  // after second U -> v=5.0
+      (105L, 2L, 40L))  // key with no history at all
+      .toDF("eid", "k", "ts")
+    val out = Merge.pointInTimeJoin(events, feed, "k", "ts", "op")
+      .select("eid", "right_v", "right_dim_live")
+      .as[(Long, Option[Double], Option[Boolean])]
+      .collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (100L, None, None),
+      (101L, Some(1.0), Some(true)),
+      (102L, Some(1.0), Some(true)),
+      (103L, None, Some(false)), // the leakage case: stale v=1.0 rejected
+      (104L, Some(5.0), Some(true)),
+      (105L, None, None))
+  }
 }
