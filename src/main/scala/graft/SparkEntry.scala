@@ -427,6 +427,23 @@ object SparkEntry {
           "event_type", "value", threshold = 3.0)
         .orderBy("event_id")
     }),
+    "q_outliers_robust" -> ((s, dir) => {
+      // Median/MAD outliers next to q_outliers' mean/std: the modified
+      // z-score |0.6745*(v-med)/MAD| > 3.5 has a 50% breakdown point —
+      // the outliers can't mask themselves by inflating the scale.
+      // Both statistics come off the hash-deterministic quantile
+      // sketch (same kept rows feed both — retention is by row hash),
+      // so the monitor is a pure function of the row set and the
+      // oracle replays sketch -> median -> deviations -> MAD -> flags.
+      // Values fixed-pointed at 1e-6; two bounded sketch aggregates,
+      // the log itself never shuffles.
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 1000000.0 + 0.5).cast(LongType).as("v"))
+      graft.ops.Stats.robustZOutliers(ev, "event_id", "event_type", "v",
+          threshold = 3.5, k = 256)
+        .orderBy("event_id")
+    }),
     "q_drift" -> ((s, dir) => {
       // Distribution-drift monitor: the event-value histogram of the
       // SECOND half of the log (by day) against the FIRST half — the
@@ -3016,6 +3033,42 @@ object SparkEntry {
           SELECT CAST(len(list_filter(edges, ee -> v >= ee)) AS BIGINT) AS bucket,
                  count(*) AS n, min(v) AS lo, max(v) AS hi
           FROM o, ed GROUP BY 1 ORDER BY bucket""",
+    // Robust-outlier replay: sketch median per type (the kept-row rank
+    // chain), deviations of the SAME kept rows, sketch MAD, then the
+    // modified-z flag over the full log.
+    "q_outliers_robust" ->
+      raw"""WITH e AS (SELECT event_id, event_type,
+                              CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+               d0 AS (SELECT event_type, v, CAST(event_id AS HUGEINT) AS z
+                      FROM e),
+               ${splitmixCtesSql("d0", "event_type, v")},
+               rk AS (SELECT event_type, v,
+                             row_number() OVER (PARTITION BY event_type ORDER BY z) AS rn
+                      FROM h5),
+               sm AS (SELECT event_type, list_sort(list(v)) AS vs,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM rk WHERE rn <= 256 GROUP BY event_type),
+               md AS (SELECT event_type,
+                             ${sketchQuantileSql("vs", "n", "0.5")} AS med
+                      FROM sm),
+               dv AS (SELECT r.event_type,
+                             CAST(floor(abs(CAST(r.v AS DOUBLE) - md.med) + 0.5) AS BIGINT) AS d
+                      FROM rk r JOIN md USING (event_type) WHERE r.rn <= 256),
+               sd AS (SELECT event_type, list_sort(list(d)) AS ds,
+                             CAST(count(*) AS BIGINT) AS nd
+                      FROM dv GROUP BY event_type),
+               mad AS (SELECT event_type,
+                              ${sketchQuantileSql("ds", "nd", "0.5")} AS mad
+                       FROM sd),
+               fl AS (SELECT e.event_id, e.event_type, e.v,
+                             CASE WHEN mad.mad > 0
+                                  THEN CAST(0.6745 AS DOUBLE) * (CAST(e.v AS DOUBLE) - md.med) / mad.mad
+                             END AS rz
+                      FROM e JOIN md USING (event_type)
+                             JOIN mad USING (event_type))
+          SELECT event_id, event_type, v, rz
+          FROM fl WHERE abs(rz) > 3.5 ORDER BY event_id""",
     // Equi-depth variant: the reference half's bottom-256-by-hash
     // value sample (the q_quantile_sketch kept-set replay) yields
     // nearest-rank edges at j/8; bin(v) = #edges <= v; then the
@@ -4355,5 +4408,5 @@ object SparkEntry {
     "q_cluster_dedup_best", "q_drift", "q_ewma",
     "q_pagerank_personalized", "q_assoc", "q_transitions",
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
-    "q_range_bucket", "q_kmv_setops", "q_pit_join")
+    "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust")
 }

@@ -132,6 +132,55 @@ object Stats {
     driftOverBins(bins(ref, "n_ref"), bins(cur, "n_cur"))
   }
 
+  /** ROBUST outliers — the median/MAD counterpart to
+    * [[EventAnalytics.zScoreOutliers]]: flag rows where the modified
+    * z-score `|0.6745 * (v - median) / MAD| > threshold`
+    * (Iglewicz-Hoaglin; 3.5 is their standard cut). Mean/std scoring
+    * has a 0% breakdown point — the outliers being hunted inflate the
+    * std and mask themselves; median/MAD tolerates up to 50%
+    * contamination, which is what a monitor scanning a hostile data
+    * drop actually needs.
+    *
+    * Exact per-key medians would cost a full per-group sorted pass at
+    * 100 TB, so both location and scale come off the hash-deterministic
+    * [[Sketches.quantileSketch]] (~1/sqrt(k) rank error — noise at the
+    * 3.5σ-equivalent cut), and the SAME rows feed both sketches
+    * (retention depends only on the row hash), so the whole monitor
+    * remains a pure function of the row set and oracle-replays.
+    * Absolute deviations are rounded half-up to longs for the second
+    * sketch (the fixed-point house pattern).
+    *
+    * Scale shape: two bounded sketch aggregates (one per statistic,
+    * each one slim exchange) + two broadcasts of one-row-per-key
+    * frames back onto narrow scans — the event log never shuffles,
+    * exactly the zScoreOutliers bill. `valueCol` must be integral
+    * (fixed-point doubles first). */
+  def robustZOutliers(events: DataFrame, idCol: String, keyCol: String,
+      valueCol: String, threshold: Double, k: Int = 256): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val hash = graft.functions.LongHashes.splitmix64(col(idCol))
+    val medFrame = events.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(Sketches.quantileSketch(hash, col(valueCol), k).as("qs"))
+      .select(col(keyCol), Sketches.sketchQuantile(col("qs"), 0.5).as("med"))
+    val withMed = events.join(broadcast(medFrame), keyCol)
+      .withColumn("__dev",
+        floor(abs(col(valueCol).cast(DoubleType) - col("med")) + lit(0.5))
+          .cast(LongType))
+    val madFrame = withMed.groupBy(col(keyCol))
+      .agg(Sketches.quantileSketch(hash, col("__dev"), k).as("qd"))
+      .select(col(keyCol), Sketches.sketchQuantile(col("qd"), 0.5).as("mad"))
+    // a zero MAD (>= half the sample at the median) leaves the score
+    // undefined — null rz, dropped by the filter, same convention as
+    // zScoreOutliers' zero-std guard
+    withMed.join(broadcast(madFrame), keyCol)
+      .select(col(idCol), col(keyCol), col(valueCol),
+        when(col("mad") > 0,
+          lit(0.6745) * (col(valueCol).cast(DoubleType) - col("med"))
+            / col("mad")).as("rz"))
+      .where(abs(col("rz")) > threshold)
+  }
+
   /** Shared tail of the drift monitors: align per-bin counts with a
     * full outer join, attach proportions and L1 terms, and fold the
     * bounded bin frame into the TVD in bin order (see

@@ -101,6 +101,22 @@ class StatsSpec extends SparkSpecBase with Matchers {
     eqDepth(9) shouldBe caught // bit-for-bit partition invariance
   }
 
+  test("robustZOutliers flags contamination that MASKS mean/std scoring " +
+      "(the breakdown-point case), and nothing else") {
+    // 90 inliers near 100, 10 outliers at 100000: the outliers inflate
+    // the std to ~30k, putting their own z at ~3.0 — below the 3.5 cut,
+    // self-masked. Median/MAD ignores them entirely.
+    val rows = ((1L to 90L).map(i => (i, "g", 100L + i % 7)) ++
+      (91L to 100L).map(i => (i, "g", 100000L))).toDF("id", "g", "v")
+    val classic = EventAnalytics.zScoreOutliers(rows, "id", "g", "v", 3.5)
+      .select("id").as[Long].collect()
+    classic shouldBe empty // masked: nothing flagged at all
+    val robust = Stats.robustZOutliers(rows, "id", "g", "v",
+        threshold = 3.5, k = 256)
+      .select("id").as[Long].collect().sorted.toSeq
+    robust shouldBe (91L to 100L) // exactly the contamination
+  }
+
   test("corrRegression is partition-order independent (exact DECIMAL " +
       "moments): 1 partition == 7 partitions bit-for-bit") {
     val rng = new scala.util.Random(5)

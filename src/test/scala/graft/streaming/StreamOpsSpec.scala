@@ -307,13 +307,15 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
       (9L, "view", None))
   }
 
-  test("sketch aggregates (KMV, Count-Min, bloom) run incrementally in a " +
-      "streaming groupBy and converge to their batch values") {
+  test("sketch aggregates (KMV, Count-Min, bloom, quantile) run " +
+      "incrementally in a streaming groupBy and converge to their " +
+      "batch values") {
     // The sketches' merge functions are insertion-order-free (set
-    // union / elementwise sum / bitwise OR), which is exactly what a
-    // streaming partial-agg state update needs: after the last batch
-    // the streamed value must EQUAL the one-shot batch value bit for
-    // bit — sketches are streaming-ready with no extra code.
+    // union / elementwise sum / bitwise OR / bottom-k union), which is
+    // exactly what a streaming partial-agg state update needs: after
+    // the last batch the streamed value must EQUAL the one-shot batch
+    // value bit for bit — sketches are streaming-ready with no extra
+    // code.
     import graft.ops.Sketches
     import graft.functions.LongHashes
     val in = MemoryStream[(String, Long)](spark)
@@ -321,7 +323,9 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
       df.groupBy(col("g")).agg(
         Sketches.kmvDistinct(LongHashes.splitmix64(col("id")), 8).as("kmv"),
         Sketches.countMin(col("id"), 2, 16).as("grid"),
-        Sketches.bloomFilter(col("id"), 64, 3).as("bf"))
+        Sketches.bloomFilter(col("id"), 64, 3).as("bf"),
+        Sketches.quantileSketch(LongHashes.splitmix64(col("id")),
+          col("id"), 8).as("qs"))
     val data = (1L to 40L).map(i => (if (i % 3 == 0) "a" else "b", i % 25))
     val q = sketchAgg(in.toDF().toDF("g", "id"))
       .writeStream.format("memory").queryName("sketch_stream")
@@ -332,15 +336,18 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     }
     q.stop()
     val streamed = spark.table("sketch_stream")
-      .select(col("g"), col("kmv.est"), col("grid"), col("bf"))
-      .as[(String, Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+      .select(col("g"), col("kmv.est"), col("grid"), col("bf"), col("qs"))
+      .as[(String, Long, Seq[Long], Seq[Long], Seq[Long])]
+      .collect().sortBy(_._1)
     val batch = sketchAgg(data.toDF("g", "id"))
-      .select(col("g"), col("kmv.est"), col("grid"), col("bf"))
-      .as[(String, Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
+      .select(col("g"), col("kmv.est"), col("grid"), col("bf"), col("qs"))
+      .as[(String, Long, Seq[Long], Seq[Long], Seq[Long])]
+      .collect().sortBy(_._1)
     streamed shouldBe batch
     // and the values are non-vacuous: both groups saw data
     streamed.map(_._1).toSeq shouldBe Seq("a", "b")
     all(streamed.map(_._2)) should be > 0L
+    all(streamed.map(_._5.size)) should be > 0
   }
 
   test("Validate's row-local rules run UNCHANGED as a streaming " +
