@@ -2,7 +2,8 @@ package graft.runtime
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 import graft.functions._
 
@@ -52,7 +53,15 @@ object GraftFunctions {
     ("graft_word_ngrams", classOf[WordNgrams], one(WordNgrams(_, 2))),
     ("graft_splitmix64", classOf[SplitMix64], one(SplitMix64)),
     ("graft_quantize_vec", classOf[QuantizeVec], one(QuantizeVec)),
-    ("graft_dequantize_vec", classOf[DequantizeVec], two(DequantizeVec(_, _)))
+    ("graft_dequantize_vec", classOf[DequantizeVec], two(DequantizeVec(_, _))),
+    // k must be an int literal: it sizes the estimator's numerator and
+    // must equal the sketch's build k (the same-k contract)
+    ("graft_kmv_estimate", classOf[graft.ops.KmvEstimateFromKth], {
+      case Seq(kth, Literal(k: Int, IntegerType)) =>
+        graft.ops.KmvEstimateFromKth(kth, k)
+      case _ => throw new IllegalArgumentException(
+        "graft_kmv_estimate(kth_bits, k) requires a literal int k")
+    })
   )
 
   def register(ext: SparkSessionExtensions): Unit =

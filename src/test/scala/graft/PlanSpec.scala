@@ -487,6 +487,28 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_pit_join: the temporal match is the as-of union trick — ONE " +
+      "window over one sort exchange plus the feed compaction, no join " +
+      "operator at all, no interval range join") {
+    val p = plan("q_pit_join")
+    "\\bWindow\\b".r.findAllIn(p).size shouldBe 1
+    // compaction agg exchange + the union window exchange
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_outliers_robust: the log never shuffles — two bounded sketch " +
+      "aggregates exchange, med/MAD broadcast back, no sort-merge, " +
+      "no window") {
+    val p = plan("q_outliers_robust")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+    "partial_graft_bottom_k_by_hash".r.findAllIn(p).size should be >= 2
+  }
+
   test("q_reachability executes WITH RECURSIVE as a UnionLoop — one " +
       "Window builds the edges, counts combine map-side, no cartesian") {
     val p = plan("q_reachability")

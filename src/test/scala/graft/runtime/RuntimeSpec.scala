@@ -461,5 +461,14 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
       .head()
     r3.getSeq[Long](0) should not be empty
     r3.getSeq[Long](0) shouldBe r3.getSeq[Long](1)
+    // kmv estimator from SQL: kth at exactly half the hash space with
+    // k=3 -> floor(2 * 2^64 / 2^63) = 4; non-literal k rejected loudly
+    val r4 = spark.sql(
+      "SELECT graft_kmv_estimate(CAST(-9223372036854775808 AS BIGINT), 3) AS e")
+      .head()
+    r4.getLong(0) shouldBe 4L
+    val e4 = intercept[Exception](
+      spark.sql("SELECT graft_kmv_estimate(1L, CAST(rand()*4 AS INT))").collect())
+    e4.getMessage should include("literal int k")
   }
 }
