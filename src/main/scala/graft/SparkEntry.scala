@@ -825,6 +825,19 @@ object SparkEntry {
         .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
           round(col("lift"), 6).as("lift"))
     }),
+    "q_skipgram" -> ((s, dir) => {
+      // Skip-gram co-occurrence table (the word2vec/GloVe input):
+      // top-50 unordered token pairs within a 3-token window,
+      // canonicalized a <= b. Pair expansion is IN-ROW (codegen'd
+      // transform-of-slices, <= window partners per position — no
+      // self-join), counts combine map-side, the global top-k is a
+      // bounded TakeOrderedAndProject. Ties (common on this closed
+      // 31-token vocabulary) break on the pair strings — binary
+      // string order, identical in both engines.
+      TextAnalysis.skipgramPairs(t(s, dir, "documents"), "text",
+          window = 3, k = 50)
+        .orderBy(col("n").desc, col("w_a"), col("w_b"))
+    }),
     "q_pit_join" -> ((s, dir) => {
       // Point-in-time enrichment (the leakage-safe feature join): each
       // view/click event joins the user's purchase-state version valid
@@ -2736,6 +2749,19 @@ object SparkEntry {
                                JOIN un uy ON uy.w = s.w2, nt)
           SELECT bigram, c_xy, c_x, c_y, round(lift, 6) AS lift
           FROM j ORDER BY j.lift DESC, bigram LIMIT 50""",
+    // Skip-gram replay: same tokenizer, in-row windowed pair expansion
+    // via nested list_transform, canonical (least, greatest) pair.
+    "q_skipgram" ->
+      raw"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+                        FROM documents),
+               pr AS (SELECT unnest(flatten(list_transform(range(1, len(t)),
+                        i -> list_transform(t[i+1 : i+3],
+                               w -> {'a': least(t[i], w),
+                                     'b': greatest(t[i], w)})))) AS p
+                      FROM tk WHERE len(t) >= 2)
+          SELECT p.a AS w_a, p.b AS w_b, count(*) AS n
+          FROM pr GROUP BY 1, 2
+          ORDER BY n DESC, w_a, w_b LIMIT 50""",
     // Point-in-time join replay: compact the purchase/error feed to one
     // change per (user, us) with the event_id-max winner, match each
     // view/click to the latest change at-or-before its us, and express
@@ -4408,5 +4434,6 @@ object SparkEntry {
     "q_cluster_dedup_best", "q_drift", "q_ewma",
     "q_pagerank_personalized", "q_assoc", "q_transitions",
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
-    "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust")
+    "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust",
+    "q_skipgram")
 }

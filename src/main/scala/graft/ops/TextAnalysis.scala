@@ -375,6 +375,42 @@ object TextAnalysis {
           .as("lift"))
   }
 
+  /** SKIP-GRAM co-occurrence pairs — the word2vec/GloVe input layer:
+    * every unordered token pair within `window` positions of each
+    * other, counted per occurrence, top `k` by count. Where
+    * [[collocations]] ranks ADJACENT bigrams by lift (phrase
+    * detection), this is the raw windowed co-occurrence table
+    * embedding trainers consume; pairs are canonicalized (a <= b) so
+    * (cat, sat) and (sat, cat) accumulate together.
+    *
+    * Scale shape: pair expansion happens IN-ROW (a codegen'd
+    * transform-of-slices over the token array — at most `window`
+    * partners per position, no self-join, no cross-row work), counts
+    * partial-aggregate map-side before the one pair-key exchange, and
+    * the global top-k is a bounded TakeOrderedAndProject, never a full
+    * sort. Ties break (n DESC, w_a, w_b) — deterministic, binary
+    * string order on both engines. */
+  def skipgramPairs(df: DataFrame, textCol: String, window: Int,
+      k: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ts = tokens(col(textCol))
+    val emptyPairs = array().cast(ArrayType(StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))))
+    // sequence(1, size-1) DESCENDS when size < 2 — guard like
+    // ngramsColumnModel
+    val pairsArr = when(col(textCol).isNull || size(ts) < 2, emptyPairs)
+      .otherwise(flatten(transform(sequence(lit(1), size(ts) - 1),
+        i => transform(slice(ts, i + 1, lit(window)),
+          w => struct(least(element_at(ts, i), w).as("a"),
+            greatest(element_at(ts, i), w).as("b"))))))
+    df.select(explode(pairsArr).as("p"))
+      .groupBy(col("p.a").as("w_a"), col("p.b").as("w_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w_a"), col("w_b"))
+      .limit(k)
+  }
+
   /** Per-document cross-corpus n-gram novelty: of the document's
     * DISTINCT word n-grams, the fraction appearing in NO other document
     * — the cross-document twin of the Gopher-style WITHIN-document

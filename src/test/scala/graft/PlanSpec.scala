@@ -487,6 +487,14 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_skipgram: in-row pair expansion feeds map-side partial counts " +
+      "and a bounded top-k — no self-join, no global sort") {
+    val p = plan("q_skipgram")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+    p should not include "Join"
+  }
+
   test("q_pit_join: the temporal match is the as-of union trick — ONE " +
       "window over one sort exchange plus the feed compaction, no join " +
       "operator at all, no interval range join") {

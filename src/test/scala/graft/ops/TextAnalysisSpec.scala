@@ -455,4 +455,18 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     kept shouldBe expect
     kept should not be empty // the cut actually keeps something here
   }
+
+  test("skipgramPairs: hand-computed windowed pairs, canonical order, " +
+      "short/empty docs contribute nothing") {
+    val docs = Seq("a b c d", "b a", "x", "", null)
+      .toDF("text")
+    val out = TextAnalysis.skipgramPairs(docs, "text", window = 2, k = 10)
+      .as[(String, String, Long)].collect().toSeq
+      .sortBy(r => (-r._3, r._1, r._2))
+    // "a b c d" w=2: (a,b) (a,c) (b,c) (b,d) (c,d); "b a" adds (a,b)
+    // — canonicalized despite reversed surface order
+    out shouldBe Seq(
+      ("a", "b", 2L),
+      ("a", "c", 1L), ("b", "c", 1L), ("b", "d", 1L), ("c", "d", 1L))
+  }
 }
