@@ -825,6 +825,23 @@ object SparkEntry {
         .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
           round(col("lift"), 6).as("lift"))
     }),
+    "q_quantile_norm" -> ((s, dir) => {
+      // Cross-source score calibration: raw length/quality thresholds
+      // over-prune some sources and under-prune others; mapping each
+      // doc's n_chars to its WITHIN-SOURCE percentile (empirical CDF
+      // off the per-source quantile sketch — exact integer counting +
+      // one divide, no interpolation) makes "top quartile of each
+      // source" a single global pct >= 0.75 filter. One bounded sketch
+      // aggregate, per-source samples broadcast back — the corpus
+      // never shuffles (presentation sort aside).
+      graft.ops.Stats.quantileNormalize(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "source", "n_chars", k = 256)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("pct"),
+          (col("pct") >= 0.75).as("top_quartile"))
+        .orderBy("doc_id")
+    }),
     "q_skipgram" -> ((s, dir) => {
       // Skip-gram co-occurrence table (the word2vec/GloVe input):
       // top-50 unordered token pairs within a 3-token window,
@@ -2749,6 +2766,25 @@ object SparkEntry {
                                JOIN un uy ON uy.w = s.w2, nt)
           SELECT bigram, c_xy, c_x, c_y, round(lift, 6) AS lift
           FROM j ORDER BY j.lift DESC, bigram LIMIT 50""",
+    // Quantile-normalization replay: per-source kept-row sample via the
+    // hash-rank chain, pct = exact count of sample values <= v over the
+    // sample size.
+    "q_quantile_norm" ->
+      raw"""WITH d0 AS (SELECT source, n_chars, CAST(doc_id AS HUGEINT) AS z
+                        FROM documents WHERE n_chars IS NOT NULL),
+               ${splitmixCtesSql("d0", "source, n_chars")},
+               rk AS (SELECT source, n_chars,
+                             row_number() OVER (PARTITION BY source ORDER BY z) AS rn
+                      FROM h5),
+               sm AS (SELECT source, list_sort(list(n_chars)) AS vs
+                      FROM rk WHERE rn <= 256 GROUP BY source),
+               j AS (SELECT d.doc_id, d.source, d.n_chars,
+                            CASE WHEN d.n_chars IS NOT NULL THEN
+                              CAST(len(list_filter(sm.vs, e -> e <= d.n_chars)) AS DOUBLE)
+                                / CAST(len(sm.vs) AS DOUBLE) END AS pct
+                     FROM documents d JOIN sm USING (source))
+          SELECT doc_id, source, n_chars, pct, pct >= 0.75 AS top_quartile
+          FROM j ORDER BY doc_id""",
     // Skip-gram replay: same tokenizer, in-row windowed pair expansion
     // via nested list_transform, canonical (least, greatest) pair.
     "q_skipgram" ->
@@ -4435,5 +4471,5 @@ object SparkEntry {
     "q_pagerank_personalized", "q_assoc", "q_transitions",
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
     "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust",
-    "q_skipgram")
+    "q_skipgram", "q_quantile_norm")
 }

@@ -181,6 +181,41 @@ object Stats {
       .where(abs(col("rz")) > threshold)
   }
 
+  /** Per-key EMPIRICAL-CDF normalization — the cross-population score
+    * calibrator: raw scores are not comparable across sources (a 0.6
+    * "quality" from one crawl is a different animal in another), so
+    * curation cuts on a raw global threshold silently over-prune some
+    * sources and under-prune others. This maps each value to its
+    * within-key percentile `pct = |{s in sample : s <= v}| / n` off
+    * the hash-deterministic [[Sketches.quantileSketch]] — after which
+    * "keep the top quartile OF EACH source" is one global
+    * `pct >= 0.75` filter.
+    *
+    * The CDF estimate is exact integer counting over the sample plus
+    * ONE division (no interpolation — replayable bit-for-bit), with
+    * the usual ~1/sqrt(k) sample rank error. Scale shape: one bounded
+    * sketch aggregate, the per-key sample frame broadcast back onto a
+    * narrow scan — the corpus never shuffles. `valueCol` must be
+    * integral (fixed-point doubles first). Appends `pct`; all input
+    * columns pass through. */
+  def quantileNormalize(df: DataFrame, idCol: String, keyCol: String,
+      valueCol: String, k: Int = 1024): DataFrame = {
+    require(!df.columns.contains("pct"),
+      "column name `pct` is reserved — rename it")
+    val sk = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(graft.ops.Sketches.quantileSketch(
+        graft.functions.LongHashes.splitmix64(col(idCol)),
+        col(valueCol), k).as("__qs"))
+    df.join(broadcast(sk), Seq(keyCol))
+      .withColumn("pct",
+        // a NULL value has no rank — null pct, not a bogus 0.0
+        when(col(valueCol).isNotNull,
+          size(filter(col("__qs"), e => e <= col(valueCol))).cast(DoubleType)
+            / size(col("__qs")).cast(DoubleType)))
+      .drop("__qs")
+  }
+
   /** Shared tail of the drift monitors: align per-bin counts with a
     * full outer join, attach proportions and L1 terms, and fold the
     * bounded bin frame into the TVD in bin order (see

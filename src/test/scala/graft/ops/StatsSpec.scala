@@ -117,6 +117,26 @@ class StatsSpec extends SparkSpecBase with Matchers {
     robust shouldBe (91L to 100L) // exactly the contamination
   }
 
+  test("quantileNormalize: hand-computed within-key percentiles — the " +
+      "same raw value calibrates differently per source") {
+    // source A values 1..10, source B values 101..110: raw thresholds
+    // are incomparable; pct makes them so. k=64 > group sizes, so the
+    // sample is the full group and pct is the exact empirical CDF.
+    val rows = (1L to 10L).map(i => (i, "A", i)) ++
+      (1L to 10L).map(i => (100L + i, "B", 100L + i))
+    val out = Stats.quantileNormalize(rows.toDF("id", "src", "v"),
+        "id", "src", "v", k = 64)
+      .select("id", "src", "pct")
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    out((3L, "A")) shouldBe 0.3  // 3 of 10 values <= 3
+    out((10L, "A")) shouldBe 1.0
+    out((103L, "B")) shouldBe 0.3 // same RANK, wildly different raw value
+    // and the normalized cut selects per-source tails of equal size
+    val top = out.collect { case (k2, p) if p > 0.8 => k2 }.toSeq
+    top.count(_._2 == "A") shouldBe top.count(_._2 == "B")
+  }
+
   test("corrRegression is partition-order independent (exact DECIMAL " +
       "moments): 1 partition == 7 partitions bit-for-bit") {
     val rng = new scala.util.Random(5)
