@@ -1356,6 +1356,23 @@ object SparkEntry {
           col("jaccard"))
         .orderBy("corpus_id", "eval_id")
     }),
+    "q_containment" -> ((s, dir) => {
+      // Asymmetric containment contamination: fraction of each eval
+      // doc's distinct 5-gram shingles found in each corpus doc — the
+      // quoted-benchmark-in-long-doc detector that Jaccard-keyed LSH
+      // banding is structurally blind to (a quote dilutes |∪| but not
+      // |∩|/|S_eval|). Eval shingle-hash sets broadcast; the corpus
+      // explodes to slim (id, gram-long) rows probed map-side, so only
+      // matching grams reach the count exchange. Same eval split as
+      // q_contamination (every 20th doc).
+      val docs = t(s, dir, "documents").where(length(col("text")) > 0)
+      val evalSide = (c: Column) => pmod(c, lit(20)) === 0
+      Dedup.containmentPairs(
+          docs.where(!evalSide(col("doc_id"))), "doc_id", "text",
+          docs.where(evalSide(col("doc_id"))), "doc_id", "text",
+          k = 5, tau = 0.6)
+        .orderBy("corpus_id", "eval_id")
+    }),
     "q_curate" -> ((s, dir) => {
       Dedup.curateCorpus(t(s, dir, "documents"), "doc_id", "text",
           minQuality = 0.5, jaccardThreshold = 0.5)
@@ -3926,6 +3943,28 @@ object SparkEntry {
                 CASE WHEN id_a % 20 = 0 THEN id_a ELSE id_b END AS eval_id,
                 jaccard
          FROM p ORDER BY corpus_id, eval_id""",
+    // Containment replay via TEXT shingle sets (set ops over distinct
+    // text 5-grams == the hash-set ops: the FNV grams are injective on
+    // this scale, and any collision would surface as a hash mismatch
+    // here): all eval x corpus pairs, |S_c ∩ S_e| / |S_e|.
+    "q_containment" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
+                    FROM documents WHERE length(text) > 0),
+              sh AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+                     FROM d),
+              ev AS (SELECT doc_id AS eval_id, s AS es FROM sh WHERE doc_id % 20 = 0),
+              co AS (SELECT doc_id AS corpus_id, s AS cs FROM sh WHERE doc_id % 20 <> 0),
+              pr AS (SELECT corpus_id, eval_id,
+                            CAST(len(list_intersect(cs, es)) AS BIGINT) AS n_hit,
+                            CAST(len(es) AS BIGINT) AS n_eval
+                     FROM co, ev)
+         SELECT corpus_id, eval_id, n_hit, n_eval,
+                CAST(n_hit AS DOUBLE) / CAST(n_eval AS DOUBLE) AS containment
+         FROM pr
+         WHERE CAST(n_hit AS DOUBLE) / CAST(n_eval AS DOUBLE) >= 0.6
+         ORDER BY corpus_id, eval_id""",
     "q_curate" ->
       raw"""WITH ${keep0Sql("documents")},
               ${shinglePairsSql("keep0")},
@@ -4471,5 +4510,5 @@ object SparkEntry {
     "q_pagerank_personalized", "q_assoc", "q_transitions",
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
     "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust",
-    "q_skipgram", "q_quantile_norm")
+    "q_skipgram", "q_quantile_norm", "q_containment")
 }

@@ -54,6 +54,20 @@ object TextHashes {
   def word_ngrams(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(c), n))
 
+  /** Sorted DISTINCT hashes of every `k`-CODEPOINT gram — [[winnow]]'s
+    * gram layer WITHOUT the window selection: the full shingle-hash
+    * SET, for exact set operations (containment, intersection counts)
+    * where winnowing's sampled fingerprints would under-count. Same
+    * FNV-1a-over-codepoints hash, same 63-bit truncation, so the
+    * existing per-gram SQL replay applies verbatim, and a CHARACTER
+    * `substr` replay is exact even off ASCII. (Distinct from
+    * [[graft.functions.VectorHashes.ngram_hashes]], the BYTE-window
+    * variant that shares internals with the pair-confirm kernels.)
+    * A string shorter than `k` yields its single short gram (matching
+    * [[winnow]]). */
+  def cp_ngram_hashes(c: Column, k: Int): Column =
+    GraftColumnBridge.column(CpNgramHashes(GraftColumnBridge.expression(c), k))
+
   // ------------------------------------------------------ static helpers
   // (public + JVM-static so generated code can call them)
 
@@ -117,6 +131,38 @@ object TextHashes {
     * shorter-than-`k` text is one gram (whole text, the shingle-family
     * convention); fewer than `w` grams are one window. O(grams x w)
     * window scan — w is small and bounded, no deque needed. */
+  /** All per-position k-CODEPOINT-gram FNV hashes of `s` (the
+    * [[winnowOf]] gram loop verbatim), sorted distinct — the complete
+    * shingle-hash set. */
+  def cpNgramHashesOf(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val cps = new Array[Int](str.codePointCount(0, len))
+    var ci = 0
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(ci) = cp; ci += 1; i += Character.charCount(cp)
+    }
+    val g = math.max(cps.length - k + 1, 1)
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < g) {
+      var h = 0xcbf29ce484222325L
+      var t = j
+      val end = math.min(j + k, cps.length)
+      while (t < end) { h ^= cps(t).toLong; h *= 0x100000001b3L; t += 1 }
+      selected.add(h >>> 1)
+      j += 1
+    }
+    val out = new Array[Long](selected.size)
+    var o = 0
+    val it = selected.iterator()
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   def winnowOf(s: UTF8String, k: Int, w: Int): ArrayData = {
     val str = s.toString
     val len = str.length
@@ -231,6 +277,24 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
     copy(child = newChild)
   override def prettyName: String = "graft_rolling_hash64"
+}
+
+/** string -> sorted distinct array<long> of ALL k-codepoint-gram
+  * hashes (codegen'd; see [[TextHashes.cp_ngram_hashes]]). */
+case class CpNgramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"cp_ngram_hashes needs k > 0, got $k")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashes.cpNgramHashesOf(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.cpNgramHashesOf($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): CpNgramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cp_ngram_hashes"
 }
 
 /** string -> sorted distinct array<long> winnowing signature

@@ -628,6 +628,52 @@ object Dedup {
       idCol, textCol, minQuality)
   }
 
+  /** Asymmetric CONTAINMENT contamination: for each (corpus doc, eval
+    * doc) pair, the fraction of the EVAL doc's distinct k-gram shingles
+    * present in the corpus doc — `C(eval|corpus) = |S_c ∩ S_e| / |S_e|`.
+    * The case this exists for: a short benchmark item QUOTED inside a
+    * long document has near-total containment but LOW Jaccard
+    * (|∩|/|∪| is diluted by the long doc's shingles), so the
+    * Jaccard-thresholded near-dup detectors ([[nearDupPairs]], whose
+    * LSH banding collision curve is keyed to Jaccard) are structurally
+    * blind to it; the winnowing screen catches contiguous quotes >=
+    * k+w-1 chars but under-counts scattered/partial overlap — this
+    * measures it exactly, with a tunable floor.
+    *
+    * Scale shape (eval side small — benchmark suites are): eval
+    * shingle-hash sets BROADCAST exploded as (eval_id, n_eval, gram);
+    * the corpus side explodes to slim (corpus_id, gram) longs and
+    * probes map-side — only matching grams enter the one
+    * (corpus, eval) count exchange (map-side partials). Both sides'
+    * gram arrays are DISTINCT, so join hits are unique per
+    * (corpus, eval, gram) and the count IS the intersection size.
+    * Hashes are [[graft.functions.TextHashes.cp_ngram_hashes]] (the
+    * winnow CODEPOINT gram hash without window selection — exact under
+    * a character-substr replay even off ASCII, unlike the byte-window
+    * pair-confirm kernels) — deterministic, so the oracle replays the
+    * sets as text shingles verbatim. */
+  def containmentPairs(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, eval: DataFrame, evalIdCol: String,
+      evalTextCol: String, k: Int = 5, tau: Double = 0.5): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    def norm(c: Column): Column = regexp_replace(lower(c), "\\s+", " ")
+    val evalSh = eval.select(col(evalIdCol).as("eval_id"),
+        graft.functions.TextHashes.cp_ngram_hashes(norm(col(evalTextCol)), k)
+          .as("sh"))
+      .select(col("eval_id"), size(col("sh")).cast(LongType).as("n_eval"),
+        explode(col("sh")).as("g"))
+    val corpusSh = corpus.select(col(corpusIdCol).as("corpus_id"),
+        explode(graft.functions.TextHashes.cp_ngram_hashes(
+          norm(col(corpusTextCol)), k)).as("g"))
+    corpusSh.join(broadcast(evalSh), Seq("g"))
+      .groupBy(col("corpus_id"), col("eval_id"), col("n_eval"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("corpus_id"), col("eval_id"), col("n_hit"), col("n_eval"),
+        (col("n_hit").cast(DoubleType) / col("n_eval").cast(DoubleType))
+          .as("containment"))
+      .where(col("containment") >= tau)
+  }
+
   // ------------------------------------------- embedding-cosine near-dup
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from

@@ -342,4 +342,29 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
       .collect().sorted shouldBe
       Array((1L, 0L), (3L, 1L), (5L, 0L), (6L, 0L))
   }
+
+  test("containmentPairs flags an eval doc QUOTED inside a long corpus " +
+      "doc — the case Jaccard-thresholded near-dup detection misses") {
+    val quote = "the seven seas rose over the ancient harbor walls"
+    val long = "chapter one begins elsewhere entirely with different words " +
+      "and then continues " + quote + " before wandering into yet more " +
+      "unrelated prose about distant mountains and quiet rivers flowing"
+    val corpus = Seq((1L, long), (2L, "completely unrelated text here"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, quote)).toDF("doc_id", "text")
+    // verbatim quote: every eval shingle appears in the long doc
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text",
+        eval, "doc_id", "text", k = 5, tau = 0.9)
+      .select("corpus_id", "eval_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    out.map(r => (r._1, r._2)) shouldBe Array((1L, 100L))
+    out.head._3 shouldBe 1.0
+    // ...while the symmetric Jaccard of the same pair is LOW (the long
+    // doc dilutes the union), so a 0.8-Jaccard contamination screen
+    // sees nothing
+    val jac = Dedup.nearDupPairs(
+        corpus.unionByName(eval), "doc_id", "text", threshold = 0.8)
+      .collect()
+    jac shouldBe empty
+  }
 }
