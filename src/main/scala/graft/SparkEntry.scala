@@ -2065,6 +2065,26 @@ object SparkEntry {
         .orderBy(col("score").desc, col("node"))
         .limit(50)
     }),
+    "q_pagerank_weighted" -> ((s, dir) => {
+      // Weighted PR on the supply DAG with EDGE MULTIPLICITY as
+      // strength: the lineitem log feeds in UN-deduped (w=1 per row,
+      // summed by the op), so a (part, supplier) pair with 7 lineitems
+      // carries 7x the walk mass of a one-off — the hub ranking
+      // reflects supply VOLUME, not just connectivity (the dangling
+      // variant's distinct-edge graph weighs them equally). Same
+      // dangling-mass/universe handling; contribution split is
+      // (score * w) div out_weight, exact 64-bit integers.
+      val li = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 3).as("src"),
+          (col("l_suppkey") * 3 + 1).as("dst"), lit(1L).as("w"))
+      val sn = t(s, dir, "supplier")
+        .select((col("s_suppkey") * 3 + 1).as("src"),
+          (col("s_nationkey") * 3 + 2).as("dst"), lit(1L).as("w"))
+      Graph.pageRankWeighted(li.unionByName(sn), "src", "dst", "w",
+          iters = 5)
+        .orderBy(col("score").desc, col("node"))
+        .limit(50)
+    }),
     "q_pagerank_personalized" -> ((s, dir) => {
       // Personalized PR (random walk with restart) on the same supply
       // DAG: the jump and the dangling teleport return only to THREE
@@ -2221,6 +2241,24 @@ object SparkEntry {
          |        FROM ewd e JOIN v${i - 1} v ON e.src = v.node GROUP BY e.dst),
          |d$i AS (SELECT CAST(coalesce(sum(score), 0) AS BIGINT) AS dt
          |        FROM v${i - 1} WHERE node NOT IN (SELECT src FROM deg)),
+         |v$i AS (SELECT nd.node,
+         |               $base + ($dampNum * (coalesce(c.s, 0) + d$i.dt // nn.n)) // $dampDen AS score
+         |        FROM nodes nd LEFT JOIN c$i c ON c.node = nd.node, d$i, nn)""".stripMargin
+    }.mkString(",\n")
+
+  /** Weighted variant of [[pageRankDanglingCtesSql]] over prefix CTEs
+    * `ewd` (src, dst, w, wsum), `ws` (src, wsum), `nodes`, `nn`: the
+    * contribution splits proportionally, `(score * w) // wsum`, with
+    * the product routed through HUGEINT so the replay can never
+    * overflow where the JVM long (contract-bounded) does not. */
+  private def pageRankWeightedCtesSql(iters: Int, base: Long,
+      dampNum: Long, dampDen: Long): String =
+    (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |               CAST(sum((CAST(v.score AS HUGEINT) * e.w) // e.wsum) AS BIGINT) AS s
+         |        FROM ewd e JOIN v${i - 1} v ON e.src = v.node GROUP BY e.dst),
+         |d$i AS (SELECT CAST(coalesce(sum(score), 0) AS BIGINT) AS dt
+         |        FROM v${i - 1} WHERE node NOT IN (SELECT src FROM ws)),
          |v$i AS (SELECT nd.node,
          |               $base + ($dampNum * (coalesce(c.s, 0) + d$i.dt // nn.n)) // $dampDen AS score
          |        FROM nodes nd LEFT JOIN c$i c ON c.node = nd.node, d$i, nn)""".stripMargin
@@ -4394,6 +4432,23 @@ object SparkEntry {
                v0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
                ${pageRankDanglingCtesSql(5, base = 150000L, dampNum = 85L, dampDen = 100L)}
           SELECT node, score FROM v5 ORDER BY score DESC, node LIMIT 50""",
+    // Weighted variant: the same supply DAG but edges keep their
+    // lineitem MULTIPLICITY as weight (GROUP BY instead of DISTINCT).
+    "q_pagerank_weighted" ->
+      raw"""WITH edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+                           SELECT l_partkey * 3 AS src, l_suppkey * 3 + 1 AS dst FROM lineitem
+                           UNION ALL
+                           SELECT s_suppkey * 3 + 1, s_nationkey * 3 + 2 FROM supplier)
+                          GROUP BY src, dst),
+               ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
+               ewd AS (SELECT e.src, e.dst, e.w, d.wsum
+                       FROM edges e JOIN ws d USING (src)),
+               nodes AS (SELECT src AS node FROM edges
+                         UNION SELECT dst FROM edges),
+               nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+               v0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
+               ${pageRankWeightedCtesSql(5, base = 150000L, dampNum = 85L, dampDen = 100L)}
+          SELECT node, score FROM v5 ORDER BY score DESC, node LIMIT 50""",
     // Same graph prefix; sb = the per-seed jump base
     // (n*unit - damped) // |seeds|, computed from the node count like
     // the Scala side's one driver scalar.
@@ -4510,5 +4565,6 @@ object SparkEntry {
     "q_pagerank_personalized", "q_assoc", "q_transitions",
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
     "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust",
-    "q_skipgram", "q_quantile_norm", "q_containment")
+    "q_skipgram", "q_quantile_norm", "q_containment",
+    "q_pagerank_weighted")
 }

@@ -22,19 +22,32 @@ object Graph {
 
   /** Shared PageRank prelude: the pin function (checkpoint vs
     * localCheckpoint — see [[pageRankFixed]] on why per-round pins are
-    * load-bearing), the distinct edge frame, its out-degrees, and the
-    * pinned degree-joined edge frame every round re-joins. ONE
-    * implementation — the three variants' preludes were identical
-    * triplicated code. */
+    * load-bearing), the edge frame, the per-source divisor frame, and
+    * the pinned divisor-joined edge frame every round re-joins. ONE
+    * implementation — the variants' preludes were identical
+    * triplicated code. Unweighted (`weightCol` None): distinct edges,
+    * divisor = out-degree. Weighted: duplicate (src, dst) edges SUM
+    * their weights, divisor = the source's total out-weight (both
+    * exposed under the same `outdeg` name so the round bodies share). */
   private def prSetup(edges: DataFrame, srcCol: String, dstCol: String,
-      checkpointDir: Option[String])
+      checkpointDir: Option[String], weightCol: Option[String] = None)
       : (DataFrame => DataFrame, DataFrame, DataFrame, DataFrame) = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .distinct()
+      case Some(wc) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(wc).cast(org.apache.spark.sql.types.LongType).as("w"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    }
+    val deg = weightCol match {
+      case None => e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    }
     val ewd = pin(e.join(deg, Seq("src")))
     (pin, e, deg, ewd)
   }
@@ -59,9 +72,13 @@ object Graph {
   private def prUniverseRounds(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int, unit: Long,
       checkpointDir: Option[String],
-      scoreFormula: Long => String): DataFrame = {
+      scoreFormula: Long => String,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val (pin, e, deg, ewd) = prSetup(edges, srcCol, dstCol, checkpointDir)
+    val (pin, e, deg, ewd) =
+      prSetup(edges, srcCol, dstCol, checkpointDir, weightCol)
+    val contribSql =
+      if (weightCol.isDefined) "(score * w) div outdeg" else "score div outdeg"
     val nodes = pin(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count() // the one driver scalar: a single long
@@ -75,7 +92,7 @@ object Graph {
     var scores = pin(nodes.withColumn("score", lit(unit)))
     for (_ <- 1 to iters) {
       val contrib = ewd.join(scores, ewd("src") === scores("node"))
-        .select(ewd("dst").as("cn"), expr("score div outdeg").as("c"))
+        .select(ewd("dst").as("cn"), expr(contribSql).as("c"))
         .groupBy(col("cn")).agg(sum(col("c")).as("s"))
       // dangling total = this round's score mass on the pinned set
       val dang = scores.join(dangNodes, Seq("node"), "left_semi")
@@ -192,6 +209,30 @@ object Graph {
     * definition — watchlists, flagged ids); they compile into the
     * round projection as an IN list, so no extra join enters the loop.
     * Scale shape and per-round pins: identical to [[pageRankDangling]]. */
+  /** WEIGHTED PageRank over [[pageRankDangling]]'s graph contract:
+    * edges carry a positive integer weight (duplicate (src, dst) edges
+    * SUM theirs — so a raw relationship log IS the input, multiplicity
+    * becomes strength), and a source's score splits proportionally —
+    * `contribution = (score * w) div out_weight`, exact 64-bit integer
+    * arithmetic like every variant here, so the DuckDB oracle replays
+    * bit-for-bit. Dangling mass, the pinned node universe, and the
+    * uniform jump base are identical to [[pageRankDangling]] (only the
+    * contribution split changes).
+    *
+    * Overflow contract: `max(score) * max(w)` must stay under 2^63 —
+    * score is bounded by the total mass `n * unit`, so with the
+    * default unit keep weights below ~2^63 / (n * 1e6); rescale
+    * heavier weights first (proportions are what matter). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int, dampNum: Long = 85L,
+      dampDen: Long = 100L, unit: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val base = unit - unit * dampNum / dampDen
+    prUniverseRounds(edges, srcCol, dstCol, iters, unit, checkpointDir,
+      n => s"$base + ($dampNum * (coalesce(s, 0L) + dt div $n)) div $dampDen AS score",
+      weightCol = Some(weightCol))
+  }
+
   def pageRankPersonalized(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Seq[Long], iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L, unit: Long = 1000000L,

@@ -177,4 +177,32 @@ class GraphSpec extends SparkSpecBase with Matchers {
     local shouldBe Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L)
     ranks(dup, iters = 2, checkpointDir = Some(dir)) shouldBe local
   }
+
+  test("pageRankWeighted: all-equal weights reproduce pageRankDangling " +
+      "BIT-FOR-BIT; skewed weights redirect the mass") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    def scores(df: org.apache.spark.sql.DataFrame,
+        weighted: Boolean): Map[Long, Long] = {
+      val out =
+        if (weighted) Graph.pageRankWeighted(df, "src", "dst", "w", iters = 4)
+        else Graph.pageRankDangling(df.drop("w"), "src", "dst", iters = 4)
+      out.as[(Long, Long)].collect().toMap
+    }
+    // w = 1 everywhere: (score * 1) div wsum == score div outdeg, and
+    // the weighted prelude's sum(w) == count — outputs must be equal
+    val flat = edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    scores(flat, weighted = true) shouldBe scores(flat, weighted = false)
+    // 9:1 skew on node 1's out-edges: node 2 now inherits ~90% of 1's
+    // walk mass; unweighted, 2 and 3 are symmetric and tie
+    val skew = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val un = scores(skew, weighted = false)
+    un(2L) shouldBe un(3L)
+    val w = scores(skew, weighted = true)
+    w(2L) should be > w(3L)
+    // duplicate weighted edges SUM: (1->2 w=4) + (1->2 w=5) == w=9
+    val dup = Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    scores(dup, weighted = true) shouldBe w
+  }
 }
