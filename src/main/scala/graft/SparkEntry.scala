@@ -642,6 +642,32 @@ object SparkEntry {
           abs(est - exact).as("abs_err"))
         .orderBy("flag_a", "flag_b")
     }),
+    "q_join_size" -> ((s, dir) => {
+      // Pair-blowup pre-flight (CMS inner product): estimate the
+      // self-join size of the events log on user_id — the candidate
+      // count a user_id blocking key would generate in a pair scan —
+      // from ONE constant-size sketch, next to the exact answer. The
+      // estimate can only overcount (collision terms are positive);
+      // expected bias |A|²/width ≈ 1.5% of the true size here, and the
+      // rel_err column puts the observed error in the artifact. At
+      // 100 TB this is how a dedup pipeline rejects a hot blocking key
+      // BEFORE paying its shuffle.
+      val ev = t(s, dir, "events")
+        .where(col("user_id").isNotNull).select(col("user_id"))
+      val grid = ev.agg(Sketches.countMin(col("user_id"),
+        depth = 4, width = 1 << 16).as("g"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("exact_pairs"))
+      grid.crossJoin(broadcast(exact))
+        .select(
+          Sketches.cmsInnerProduct(col("g"), col("g"), 4, 1 << 16)
+            .as("est_pairs"),
+          col("exact_pairs"),
+          ((Sketches.cmsInnerProduct(col("g"), col("g"), 4, 1 << 16)
+            .cast(DoubleType) - col("exact_pairs").cast(DoubleType))
+            / col("exact_pairs").cast(DoubleType)).as("rel_err"))
+        .orderBy("est_pairs")
+    }),
     "q_kmv_setops" -> ((s, dir) => {
       // KMV SET ALGEBRA — the sketch-rollup payoff on top of
       // q_kmv_resemblance: the merged keep set of two sketches IS the
@@ -3328,6 +3354,28 @@ object SparkEntry {
                       WHERE user_id BETWEEN 0 AND 9 GROUP BY user_id)
           SELECT user_id, true_n, est_n
           FROM tr JOIN est USING (user_id) ORDER BY user_id""",
+    // CMS inner-product replay over the sparse CELLS (zero cells
+    // contribute nothing to either side): est = min over rows of
+    // sum(c^2), exact = sum over keys of n^2.
+    "q_join_size" ->
+      raw"""WITH d AS (SELECT i, user_id,
+                              CAST(xor(CAST(user_id AS UBIGINT), CAST(i AS UBIGINT)) AS HUGEINT) AS z
+                       FROM events CROSS JOIN range(0, 4) t(i)
+                       WHERE user_id IS NOT NULL),
+               ${splitmixCtesSql("d", "i, user_id")},
+               b AS (SELECT i, CAST(CAST(z AS UBIGINT) % 65536 AS BIGINT) AS bucket
+                     FROM h5),
+               cells AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+                         FROM b GROUP BY i, bucket),
+               ip AS (SELECT i, sum(c * c) AS p FROM cells GROUP BY i),
+               est AS (SELECT CAST(min(p) AS BIGINT) AS est_pairs FROM ip),
+               ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_pairs FROM (
+                        SELECT count(*) AS n FROM events
+                        WHERE user_id IS NOT NULL GROUP BY user_id))
+          SELECT est_pairs, exact_pairs,
+                 (CAST(est_pairs AS DOUBLE) - CAST(exact_pairs AS DOUBLE))
+                   / CAST(exact_pairs AS DOUBLE) AS rel_err
+          FROM est, ex ORDER BY est_pairs""",
     "q_kmv_distinct" ->
       raw"""WITH d AS (SELECT l_returnflag,
                               CAST(l_orderkey AS HUGEINT) AS z
@@ -4566,5 +4614,5 @@ object SparkEntry {
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
     "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust",
     "q_skipgram", "q_quantile_norm", "q_containment",
-    "q_pagerank_weighted")
+    "q_pagerank_weighted", "q_join_size")
 }

@@ -155,6 +155,30 @@ object Sketches {
       .where(col("n") >= threshold)
   }
 
+  /** JOIN-SIZE estimate from two [[countMin]] grids (AMS/CMS inner
+    * product, Cormode/Muthukrishnan 2005 §4.2): `|A ⋈ B|` on the
+    * sketched key — ordered pairs, so a self-join estimate counts n²
+    * per key — as `min over rows d of Σ_j gridA[d][j] * gridB[d][j]`.
+    * The pre-flight every pair-generating stage wants: estimate the
+    * candidate-pair blowup of a blocking/join key from two
+    * constant-size sketches BEFORE paying the shuffle, and re-key or
+    * salt if the number comes back hot. Like the point estimate it
+    * can only OVERcount (collision terms are non-negative), expected
+    * additive bias `|A|·|B| / width` — size `width` so that is small
+    * against the true join size. Pure sums of exact longs: both the
+    * grids and this fold are order/partition-independent and the
+    * oracle replays them exactly. */
+  def cmsInnerProduct(gridA: Column, gridB: Column, depth: Int,
+      width: Int): Column = {
+    val rows = (0 until depth).map { d =>
+      aggregate(
+        zip_with(slice(gridA, d * width + 1, width),
+          slice(gridB, d * width + 1, width), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }
+    least(rows: _*)
+  }
+
   /** Point-frequency estimate from a [[countMin]] grid: min over rows
     * of `grid[i * width + bucket_i(key)]`, with `bucket_i` the same
     * codegen'd SplitMix64 path the aggregate used. */

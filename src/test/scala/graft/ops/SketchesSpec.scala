@@ -240,6 +240,39 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     q(Seq.empty[Long], 0.5) shouldBe None
   }
 
+  test("cmsInnerProduct: self-join-size estimate NEVER undercounts, is " +
+      "exact when collision-free, and matches a local grid model") {
+    val rnd = new scala.util.Random(23)
+    val keys = Seq.fill(2000)(rnd.nextInt(500).toLong)
+    val exact = keys.groupBy(identity).values
+      .map(v => v.size.toLong * v.size).sum
+    def est(depth: Int, width: Int): Long =
+      keys.toDF("k")
+        .agg(Sketches.countMin(col("k"), depth, width).as("g"))
+        .select(Sketches.cmsInnerProduct(col("g"), col("g"), depth, width)
+          .as("e")).as[Long].head()
+    def model(depth: Int, width: Int): Long = {
+      val grid = Array.ofDim[Long](depth, width)
+      keys.foreach { k =>
+        (0 until depth).foreach { i =>
+          grid(i)((LongHashes.splitmix64Of(k ^ i) & (width - 1)).toInt) += 1
+        }
+      }
+      grid.map(row => row.map(c => c * c).sum).min
+    }
+    // wide grid: one-sided error within the |A|^2/width bias budget
+    // (~2% at 2000 rows over 16384 buckets), and == the local model
+    val wide = est(3, 1 << 14)
+    wide should be >= exact
+    wide.toDouble should be <= exact * 1.05
+    wide shouldBe model(3, 1 << 14)
+    // tight grid: 64 buckets for 500 keys — collisions certain, and
+    // every collision term only ADDS (the one-sided error contract)
+    val tight = est(3, 1 << 6)
+    tight should be > exact
+    tight shouldBe model(3, 1 << 6)
+  }
+
   test("kmvUnionDistinct: exact while the union fits under k; matches " +
       "the local merged-bottom-k estimator beyond; ~1/sqrt(k) error") {
     val a = (1L to 3000L).toSet
