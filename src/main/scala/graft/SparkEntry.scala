@@ -402,6 +402,24 @@ object SparkEntry {
           alpha = 0.25)
         .orderBy("user_id")
     }),
+    "q_decayed" -> ((s, dir) => {
+      // Recency-weighted activity per event type: each event counts
+      // 2^-(full half-lives of age), half-life 7 days against the
+      // corpus's last day (19758) — stepwise decay because a per-day
+      // factor is irrational and libm pow doesn't replay (the repo's
+      // log/pow ban). Integer fixed-point weights summed exactly
+      // (long / DECIMAL), ONE final IEEE divide — bit-identical on any
+      // partitioning and engine. Values fixed-pointed at 1e-6; the
+      // decayed_sum column is reported back in value units.
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        floor(col("value") * 1000000.0 + 0.5).cast(LongType).as("v"))
+      EventAnalytics.decayedAgg(ev, "event_type", "day", "v",
+          refDay = 19758L, halfLifeDays = 7L)
+        .select(col("event_type"), col("n_events"), col("decayed_n"),
+          (col("decayed_sum") / lit(1000000.0)).as("decayed_value"))
+        .orderBy("event_type")
+    }),
     "q_retention" -> ((s, dir) => {
       // Daily purchase-cohort retention matrix: cohort users by first
       // purchase day, count actives per (cohort, day offset), rate
@@ -3130,6 +3148,27 @@ object SparkEntry {
                 CAST(g.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
          FROM g JOIN s USING (cohort)
          ORDER BY cohort, period_offset""",
+    // Decayed-activity replay: the same integer half-life buckets and
+    // 2^(32-b) fixed-point weights (<< on BIGINT), exact HUGEINT sums,
+    // one double divide by 2^32 (then the 1e-6 unit restore).
+    "q_decayed" ->
+      raw"""WITH e AS (SELECT event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                              CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+                       FROM events),
+               f AS (SELECT event_type, v,
+                            CAST(32 - (19758 - day) // 7 AS INTEGER) AS sh
+                     FROM e WHERE day IS NOT NULL AND day <= 19758
+                       AND (19758 - day) // 7 < 32),
+               g AS (SELECT event_type,
+                            count(*) AS n_events,
+                            sum(CAST(1 AS BIGINT) << sh) AS nfp,
+                            sum(CAST(v AS HUGEINT) * (CAST(1 AS BIGINT) << sh)) AS sfp
+                     FROM f GROUP BY event_type)
+          SELECT event_type, n_events,
+                 CAST(nfp AS DOUBLE) / 4294967296.0 AS decayed_n,
+                 (CAST(sfp AS DOUBLE) / 4294967296.0) / 1000000.0 AS decayed_value
+          FROM g ORDER BY event_type""",
     // Same day arithmetic as q_retention; the TVD fold replays as
     // list_reduce over [0.0] || bin-ordered terms == Spark's
     // aggregate(terms, 0.0, +) left fold.
@@ -4614,5 +4653,5 @@ object SparkEntry {
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
     "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust",
     "q_skipgram", "q_quantile_norm", "q_containment",
-    "q_pagerank_weighted", "q_join_size")
+    "q_pagerank_weighted", "q_join_size", "q_decayed")
 }

@@ -363,6 +363,48 @@ object EventAnalytics {
         (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)).as("ewma"))
   }
 
+  /** TIME-DECAYED activity per key — the recency-weighted rollup a
+    * monitor ranks "currently active" entities by: each event
+    * contributes `2^-b`, where `b = (refDay - day) div halfLifeDays`
+    * (full half-lives elapsed — STEPWISE decay, one step per
+    * half-life, the deliberately-exact approximation of `2^(-age/hl)`:
+    * a per-day decay factor is irrational and a libm `pow` replays
+    * differently across engines — the repo's standing log/pow ban).
+    * Weights are applied as integer fixed point, `2^(S - b)` with
+    * `S = maxHalfLives`, summed EXACTLY (long for counts, DECIMAL for
+    * the value-weighted sum — order/partition independent), and
+    * divided back by `2^S` in one fixed-order IEEE step, so the
+    * doubles are bit-identical on any partitioning and any engine.
+    * Events older than `maxHalfLives` half-lives (weight < 2^-S) and
+    * events after `refDay` are excluded.
+    *
+    * Returns `(keyCol, n_events, decayed_n, decayed_sum)` — raw count,
+    * decayed count, decayed sum of `valueCol` (same units as
+    * `valueCol`). One aggregate exchange with map-side partials; the
+    * log never shuffles raw rows beyond it. `dayCol`/`valueCol`
+    * integral (fixed-point doubles first). */
+  def decayedAgg(events: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, refDay: Long, halfLifeDays: Long,
+      maxHalfLives: Int = 32): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive, got $halfLifeDays")
+    require(maxHalfLives >= 1 && maxHalfLives <= 62,
+      s"maxHalfLives must be in [1, 62], got $maxHalfLives")
+    val b = expr(s"($refDay - `$dayCol`) div ${halfLifeDays}L")
+    val wfp = call_function("shiftleft", lit(1L),
+      (lit(maxHalfLives) - b).cast(IntegerType))
+    val scale = math.pow(2.0, maxHalfLives) // exact: a power of two
+    events
+      .where(col(dayCol).isNotNull && col(dayCol) <= refDay &&
+        b < maxHalfLives)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(wfp).as("nfp"),
+        sum(col(valueCol).cast(DecimalType(38, 0)) * wfp).as("sfp"))
+      .select(col(keyCol), col("n_events"),
+        (col("nfp").cast(DoubleType) / lit(scale)).as("decayed_n"),
+        (col("sfp").cast(DoubleType) / lit(scale)).as("decayed_sum"))
+  }
+
   /** Cohort retention matrix: bucket activity into fixed periods of
     * `bucketUs` epoch-micros, cohort each user by their FIRST active
     * period, and count how many of each cohort's users are active

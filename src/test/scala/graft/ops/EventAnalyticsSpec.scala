@@ -214,6 +214,26 @@ class EventAnalyticsSpec extends SparkSpecBase with Matchers {
       (1L, 2L, 1L, 1L, 1.0)))  // u3 returns at p3 = offset 2
   }
 
+  test("decayedAgg: hand-computed half-life weights; future and " +
+      "too-old events excluded; partition invariant") {
+    // refDay 100, half-life 10: days 95/85/75/30 -> b = 0/1/2/7,
+    // weights 1, 1/2, 1/4, 1/128; day 101 is future, day -300 is
+    // b=40 >= maxHalfLives — both excluded
+    val rows = Seq(
+      ("a", 95L, 8L), ("a", 85L, 4L), ("a", 75L, 16L), ("a", 30L, 8L),
+      ("a", 101L, 999L), ("a", -300L, 999L),
+      ("b", 100L, 10L))
+    def run(parts: Int) = EventAnalytics.decayedAgg(
+        rows.toDF("k", "day", "v").repartition(parts),
+        "k", "day", "v", refDay = 100L, halfLifeDays = 10L)
+      .orderBy("k").as[(String, Long, Double, Double)].collect().toSeq
+    val out = run(1)
+    out shouldBe Seq(
+      ("a", 4L, 1.0 + 0.5 + 0.25 + 1.0 / 128, 8.0 + 2.0 + 4.0 + 8.0 / 128),
+      ("b", 1L, 1.0, 10.0))
+    run(7) shouldBe out // exact integer sums: bit-identical
+  }
+
   test("maxEventsPerKey guard: a hot key fails LOUDLY with its id and " +
       "count in the message; under-cap runs are byte-identical to " +
       "unguarded ones — funnel, ewmaSmooth, transitionMatrix") {
