@@ -1408,13 +1408,22 @@ object SparkEntry {
       // |∩|/|S_eval|). Eval shingle-hash sets broadcast; the corpus
       // explodes to slim (id, gram-long) rows probed map-side, so only
       // matching grams reach the count exchange. Same eval split as
-      // q_contamination (every 20th doc).
+      // q_contamination (every 20th doc). k = 8, not q_contamination's
+      // 5: this corpus has a CLOSED 31-token vocabulary (see
+      // TESTDATA notes), so 5-char grams are near-universal and the
+      // gram-match fanout degenerates toward all-pairs (measured 8.7s
+      // warm at sf0.1); 8-char grams span ~1.5 words — word-pair
+      // combinatorial, so the fanout drops ~40% (5.6s) while genuine
+      // near-dup quotes still contain at ~1.0. On a REAL (open-
+      // vocabulary) corpus eval grams are rare in the corpus at any k
+      // and the probe is selective — this row measures the documented
+      // worst case, the q_setsim degenerate-mode precedent.
       val docs = t(s, dir, "documents").where(length(col("text")) > 0)
       val evalSide = (c: Column) => pmod(c, lit(20)) === 0
       Dedup.containmentPairs(
           docs.where(!evalSide(col("doc_id"))), "doc_id", "text",
           docs.where(evalSide(col("doc_id"))), "doc_id", "text",
-          k = 5, tau = 0.6)
+          k = 8, tau = 0.6)
         .orderBy("corpus_id", "eval_id")
     }),
     "q_curate" -> ((s, dir) => {
@@ -4076,8 +4085,8 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t
                     FROM documents WHERE length(text) > 0),
               sh AS (SELECT doc_id,
-                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
-                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+                            list_distinct(list_transform(range(1, greatest(length(t)-7,1)+1),
+                                                         i -> substr(t, CAST(i AS INTEGER), 8))) AS s
                      FROM d),
               ev AS (SELECT doc_id AS eval_id, s AS es FROM sh WHERE doc_id % 20 = 0),
               co AS (SELECT doc_id AS corpus_id, s AS cs FROM sh WHERE doc_id % 20 <> 0),
