@@ -191,6 +191,27 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want && got.forall(_ >= 0) && got == got.distinct.sorted
     }
 
+  property("cpNgramHashes IS winnow at w=1 (every window's min is the " +
+      "gram itself — the complete shingle set), and is the sorted " +
+      "distinct gram model") =
+    forAll(texts, Gen.chooseNum(1, 12)) { (s, k) =>
+      def arr(a: org.apache.spark.sql.catalyst.util.ArrayData): Vector[Long] =
+        (0 until a.numElements()).map(a.getLong).toVector
+      val got = arr(TextHashes.cpNgramHashesOf(u(s), k))
+      val viaWinnow = arr(TextHashes.winnowOf(u(s), k, 1))
+      val cps = s.codePoints().toArray
+      def gram(j: Int): Long = {
+        var h = 0xcbf29ce484222325L
+        (j until math.min(j + k, cps.length)).foreach { t =>
+          h ^= cps(t).toLong; h *= 0x100000001b3L
+        }
+        h >>> 1
+      }
+      val want = (0 until math.max(cps.length - k + 1, 1))
+        .map(gram).distinct.sorted.toVector
+      got == viaWinnow && got == want
+    }
+
   property("winnow guarantee: docs sharing a substring of k+w-1 " +
       "codepoints share a fingerprint") =
     forAll(texts, texts, texts, Gen.chooseNum(2, 8), Gen.chooseNum(2, 6)) {
