@@ -2887,10 +2887,10 @@ object SparkEntry {
                sm AS (SELECT source, list_sort(list(n_chars)) AS vs
                       FROM rk WHERE rn <= 256 GROUP BY source),
                j AS (SELECT d.doc_id, d.source, d.n_chars,
-                            CASE WHEN d.n_chars IS NOT NULL THEN
+                            CASE WHEN d.n_chars IS NOT NULL AND sm.vs IS NOT NULL THEN
                               CAST(len(list_filter(sm.vs, e -> e <= d.n_chars)) AS DOUBLE)
                                 / CAST(len(sm.vs) AS DOUBLE) END AS pct
-                     FROM documents d JOIN sm USING (source))
+                     FROM documents d LEFT JOIN sm USING (source))
           SELECT doc_id, source, n_chars, pct, pct >= 0.75 AS top_quartile
           FROM j ORDER BY doc_id""",
     // Skip-gram replay: same tokenizer, in-row windowed pair expansion

@@ -207,10 +207,14 @@ object Stats {
       .agg(graft.ops.Sketches.quantileSketch(
         graft.functions.LongHashes.splitmix64(col(idCol)),
         col(valueCol), k).as("__qs"))
-    df.join(broadcast(sk), Seq(keyCol))
+    // LEFT join: a key whose values are all NULL has no sketch row —
+    // its rows must survive with a NULL pct, not silently vanish from
+    // a "normalize" pass (an inner join here is a data-loss footgun)
+    df.join(broadcast(sk), Seq(keyCol), "left")
       .withColumn("pct",
-        // a NULL value has no rank — null pct, not a bogus 0.0
-        when(col(valueCol).isNotNull,
+        // a NULL value (or keyless sketch) has no rank — null pct,
+        // not a bogus 0.0
+        when(col(valueCol).isNotNull && col("__qs").isNotNull,
           size(filter(col("__qs"), e => e <= col(valueCol))).cast(DoubleType)
             / size(col("__qs")).cast(DoubleType)))
       .drop("__qs")
