@@ -42,6 +42,16 @@ object Graph {
       case Some(wc) =>
         edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
             col(wc).cast(org.apache.spark.sql.types.LongType).as("w"))
+          // a NULL/zero/negative weight would corrupt every score it
+          // touches SILENTLY (null sums, sign flips) — fail loudly with
+          // the offending edge instead (the maxEventsPerKey philosophy)
+          .where(assert_true(col("w").isNotNull && col("w") > 0,
+            concat(lit("pageRankWeighted: edge ("),
+              col("src").cast(org.apache.spark.sql.types.StringType),
+              lit(" -> "),
+              col("dst").cast(org.apache.spark.sql.types.StringType),
+              lit(") has non-positive or null weight — weights must be " +
+                "positive integers"))).isNull)
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     }
     val deg = weightCol match {

@@ -204,5 +204,11 @@ class GraphSpec extends SparkSpecBase with Matchers {
     val dup = Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L),
       (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
     scores(dup, weighted = true) shouldBe w
+    // a non-positive weight fails LOUDLY with the edge named, instead
+    // of silently corrupting every score it touches
+    val bad = Seq((1L, 2L, 0L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception](scores(bad, weighted = true))
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString) should
+      include("non-positive")
   }
 }
