@@ -1479,6 +1479,32 @@ object SparkEntry {
           TextAnalysis.scrub(col("text")).as("scrubbed"))
         .orderBy("doc_id")
     }),
+    "q_langid_eval" -> ((s, dir) => {
+      // LangID self-evaluation (the q_ann_recall recipe on text): the
+      // n-gram-marker classifier's confusion matrix against the corpus
+      // lang labels, with each cell's share of its TRUE class — the
+      // artifact that says where the heuristic misroutes before anyone
+      // trusts a per-language pipeline split. The classifier is
+      // deterministic, so every cell is an exact, oracle-able number.
+      // On THIS corpus the matrix exposes a real data fact: the lang
+      // LABELS sit on English-ish lorem text for every label (the
+      // closed-vocabulary trap), so predictions are en/und across the
+      // board — which is precisely the label-vs-content mismatch this
+      // artifact exists to surface before a per-language split trusts
+      // the label column. One narrow codegen'd scan + two slim
+      // aggregates (<=36 cells).
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      val cm = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      cm.join(broadcast(tot), "lang")
+        .select(col("lang"), col("lang_pred"), col("n"), col("n_true"),
+          (col("n").cast(DoubleType) / col("n_true").cast(DoubleType))
+            .as("share"))
+        .orderBy("lang", "lang_pred")
+    }),
     "q_lang_fingerprint" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"),
@@ -2419,6 +2445,43 @@ object SparkEntry {
          |                      (sz | (sz << $sh)) & $m AS sz FROM $src)""".stripMargin
     }.mkString(",\n")
   }
+
+  /** Shared langId replay: CTEs `t` (tokens + normalized + lowered
+    * text) and `s` (per-language marker scores) over `documents`, plus
+    * the argmax CASE — ONE source of truth for the classifier, shared
+    * by the q_lang_fingerprint oracle and the q_langid_eval confusion
+    * matrix (a hand-copied variant would silently diverge). */
+  private val langScoreCtesSql: String =
+    raw"""t AS (SELECT doc_id,
+         |           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,
+         |           regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm,
+         |           lower(text) AS lt
+         |    FROM documents),
+         |      s AS (SELECT doc_id, norm,
+         |           len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
+         |           len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
+         |           len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
+         |           len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
+         |           ((length(lt) - length(replace(lt, '的', '')))
+         |                       + (length(lt) - length(replace(lt, '了', '')))
+         |                       + (length(lt) - length(replace(lt, '是', '')))
+         |                       + (length(lt) - length(replace(lt, '在', '')))
+         |                       + (length(lt) - length(replace(lt, '我', '')))
+         |                       + (length(lt) - length(replace(lt, '有', '')))
+         |                       + (length(lt) - length(replace(lt, '他', '')))
+         |                       + (length(lt) - length(replace(lt, '这', '')))) AS s_zh
+         |    FROM t)""".stripMargin
+
+  /** The classifier's argmax with its fixed tie order (de > en > es >
+    * fr > zh, 'und' when all scores are zero) — pairs with
+    * [[langScoreCtesSql]]'s `s` CTE. */
+  private val langPredCaseSql: String =
+    """CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+      |                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |                     WHEN s_fr >= s_zh THEN 'fr'
+      |                     ELSE 'zh' END""".stripMargin
 
   /** DuckDB replay of [[graft.functions.LongHashes.splitmix64Of]] as a
     * CTE chain over a column `z` holding the unsigned key in HUGEINT:
@@ -4164,37 +4227,27 @@ object SparkEntry {
                   '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
          FROM w ORDER BY doc_id""",
     "q_lang_fingerprint" ->
-      raw"""WITH t AS (SELECT doc_id,
-                           list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks,
-                           regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm,
-                           lower(text) AS lt
-                    FROM documents),
-              s AS (SELECT doc_id, norm,
-                           len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS s_de,
-                           len(list_filter(toks, x -> list_contains(['the','and','of','is','to','in','that','it'], x))) AS s_en,
-                           len(list_filter(toks, x -> list_contains(['el','la','los','las','es','y','de','que'], x))) AS s_es,
-                           len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','des','une'], x))) AS s_fr,
-                           ((length(lt) - length(replace(lt, '的', '')))
-                                       + (length(lt) - length(replace(lt, '了', '')))
-                                       + (length(lt) - length(replace(lt, '是', '')))
-                                       + (length(lt) - length(replace(lt, '在', '')))
-                                       + (length(lt) - length(replace(lt, '我', '')))
-                                       + (length(lt) - length(replace(lt, '有', '')))
-                                       + (length(lt) - length(replace(lt, '他', '')))
-                                       + (length(lt) - length(replace(lt, '这', '')))) AS s_zh
-                    FROM t),
+      raw"""WITH $langScoreCtesSql,
               h AS (SELECT doc_id,
                            ${rollingHashSql("norm")} AS v
                     FROM t)
          SELECT s.doc_id,
-                CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
-                     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                     WHEN s_fr >= s_zh THEN 'fr'
-                     ELSE 'zh' END AS lang_pred,
+                $langPredCaseSql AS lang_pred,
                 CAST(${signedSql("h.v")} AS BIGINT) AS fingerprint
          FROM s JOIN h ON s.doc_id = h.doc_id ORDER BY s.doc_id""",
+    // LangID self-evaluation: the same classifier replay aggregated
+    // into a (label, prediction) confusion matrix with per-true-class
+    // shares — exact numbers because the classifier is deterministic.
+    "q_langid_eval" ->
+      raw"""WITH $langScoreCtesSql,
+              p AS (SELECT d.lang, $langPredCaseSql AS lang_pred
+                    FROM s JOIN documents d ON d.doc_id = s.doc_id),
+              cm AS (SELECT lang, lang_pred, count(*) AS n
+                     FROM p GROUP BY lang, lang_pred),
+              tt AS (SELECT lang, count(*) AS n_true FROM p GROUP BY lang)
+         SELECT cm.lang, cm.lang_pred, cm.n, tt.n_true,
+                CAST(cm.n AS DOUBLE) / CAST(tt.n_true AS DOUBLE) AS share
+         FROM cm JOIN tt USING (lang) ORDER BY lang, lang_pred""",
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY keeper_id""",
@@ -4662,5 +4715,5 @@ object SparkEntry {
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
     "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust",
     "q_skipgram", "q_quantile_norm", "q_containment",
-    "q_pagerank_weighted", "q_join_size", "q_decayed")
+    "q_pagerank_weighted", "q_join_size", "q_decayed", "q_langid_eval")
 }
