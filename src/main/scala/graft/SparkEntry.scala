@@ -686,6 +686,39 @@ object SparkEntry {
             / col("exact_pairs").cast(DoubleType)).as("rel_err"))
         .orderBy("est_pairs")
     }),
+    "q_rolling_distinct" -> ((s, dir) => {
+      // Sliding-window distinct via SKETCH ROLLUP: per-day KMV keep
+      // sets (one 1 KiB row per day, k=128 so the sf0.01 gate exercises the true ESTIMATION regime, not sketch-covers-everything) fold across the trailing 7-day
+      // window into the window's distinct-user estimate — the rolling
+      // COUNT(DISTINCT) that re-scans raw events per window at 100 TB
+      // instead reads 7 sketch rows per day. Bottom-k of a union of
+      // keep sets IS the union's keep set (exact sketch algebra;
+      // collect order is irrelevant — union commutes, the final sort
+      // canonicalizes), so the estimate replays exactly; the exact
+      // rolling distinct rides alongside per the est+exact house
+      // pattern (~1-4% observed error at k=256).
+      val ev = t(s, dir, "events").select(
+        expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(Sketches.kmvKeepSet(
+          LongHashes.splitmix64(col("user_id")), 128).as("sk"))
+      val win = daily.as("a").join(daily.as("b"),
+          col("b.day").between(col("a.day") - 6, col("a.day")))
+        .groupBy(col("a.day").as("day"))
+        .agg(collect_list(col("b.sk")).as("sks"),
+          count(lit(1)).as("n_days"))
+        .select(col("day"), col("n_days"),
+          Sketches.kmvUnionDistinctAll(col("sks"), 128).as("est_d"))
+      val du = ev.where(col("user_id").isNotNull).distinct()
+      val exact = du.select(col("day")).distinct().as("dd")
+        .join(du.as("u"),
+          col("u.day").between(col("dd.day") - 6, col("dd.day")))
+        .groupBy(col("dd.day").as("day"))
+        .agg(countDistinct(col("u.user_id")).as("exact_d"))
+      win.join(exact, Seq("day"))
+        .select(col("day"), col("n_days"), col("est_d"), col("exact_d"))
+        .orderBy("day")
+    }),
     "q_kmv_setops" -> ((s, dir) => {
       // KMV SET ALGEBRA — the sketch-rollup payoff on top of
       // q_kmv_resemblance: the merged keep set of two sketches IS the
@@ -3545,6 +3578,43 @@ object SparkEntry {
           SELECT flag_a, flag_b, n_a, n_b, est_jaccard, exact_jaccard,
                  abs(est_jaccard - exact_jaccard) AS abs_err
           FROM f2 ORDER BY flag_a, flag_b""",
+    // Rolling-window sketch rollup: per-day keep sets via the rank
+    // chain over DISTINCT (day, user), window-joined, flattened,
+    // re-sliced to k, estimated — next to the exact rolling distinct.
+    "q_rolling_distinct" ->
+      raw"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                              user_id
+                       FROM events WHERE user_id IS NOT NULL),
+               d0 AS (SELECT DISTINCT day, user_id,
+                             CAST(user_id AS HUGEINT) AS z
+                      FROM e),
+               ${splitmixCtesSql("d0", "day")},
+               rk AS (SELECT day, z,
+                             row_number() OVER (PARTITION BY day ORDER BY z) AS rn
+                      FROM h5),
+               kk AS (SELECT day, list(z ORDER BY z) AS s
+                      FROM rk WHERE rn <= 128 GROUP BY day),
+               dd AS (SELECT DISTINCT day FROM e),
+               wj AS (SELECT a.day, flatten(list(b.s)) AS alls,
+                             count(*) AS n_days
+                      FROM dd a JOIN kk b ON b.day BETWEEN a.day - 6 AND a.day
+                      GROUP BY a.day),
+               m AS (SELECT day, n_days,
+                            list_sort(list_distinct(alls))[1:128] AS x
+                     FROM wj),
+               est AS (SELECT day, n_days,
+                              CASE WHEN len(x) < 128 THEN CAST(len(x) AS BIGINT)
+                                   ELSE CAST(least(
+                                          (127 * CAST('18446744073709551616' AS HUGEINT))
+                                            // x[len(x)],
+                                          CAST('9223372036854775807' AS HUGEINT))
+                                        AS BIGINT) END AS est_d
+                       FROM m),
+               ex AS (SELECT a.day, count(DISTINCT u.user_id) AS exact_d
+                      FROM dd a JOIN e u ON u.day BETWEEN a.day - 6 AND a.day
+                      GROUP BY a.day)
+          SELECT day, n_days, est_d, exact_d
+          FROM est JOIN ex USING (day) ORDER BY day""",
     // Set-algebra rollup on the same keep-set replay: merged sketch's
     // kth minimum -> HUGEINT union estimator (exact truncating integer
     // division == the JVM BigInteger floor), J_est * U_est intersection.
@@ -4715,5 +4785,6 @@ object SparkEntry {
     "q_quantile_sketch", "q_drift_eqdepth", "q_ann_ivf_int8",
     "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust",
     "q_skipgram", "q_quantile_norm", "q_containment",
-    "q_pagerank_weighted", "q_join_size", "q_decayed", "q_langid_eval")
+    "q_pagerank_weighted", "q_join_size", "q_decayed", "q_langid_eval",
+    "q_rolling_distinct")
 }

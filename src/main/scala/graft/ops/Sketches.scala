@@ -285,6 +285,30 @@ object Sketches {
         .otherwise(est))
   }
 
+  /** [[kmvUnionDistinct]] generalized to an ARRAY of keep sets — the
+    * sketch ROLLUP-TABLE read path: per-partition/per-day sketches
+    * stored as rows fold into any window/group union's distinct count
+    * without touching raw data (bottom-k of a union of keep sets IS
+    * the union's keep set, so folding `array_union` then re-slicing k
+    * is exact sketch algebra; the fold's intermediate order is
+    * irrelevant — sets union commutatively and the final sort
+    * canonicalizes). Same SAME-K CONTRACT, same loud oversized-sketch
+    * guard; exact (`|merged|`) while the union fits under k. */
+  def kmvUnionDistinctAll(sketches: Column, k: Int): Column = {
+    val merged = slice(array_sort(aggregate(sketches,
+      array().cast(ArrayType(LongType, containsNull = false)),
+      (acc, x) => array_union(acc, x))), 1, k)
+    val kthBits = element_at(merged, size(merged))
+      .bitwiseXOR(lit(Long.MinValue))
+    val est = GraftColumnBridge.column(
+      KmvEstimateFromKth(GraftColumnBridge.expression(kthBits), k))
+    when(exists(sketches, s => size(s) > k),
+      raise_error(lit(s"kmvUnionDistinctAll: a sketch holds more than " +
+        s"k=$k entries — it was built with a larger k (same-k contract)")))
+      .otherwise(when(size(merged) < k, size(merged).cast(LongType))
+        .otherwise(est))
+  }
+
   /** NEAREST-RANK equi-depth edges off a [[quantileSketch]] array: the
     * `nBins - 1` interior quantile values `sketch[ceil(j*n/nBins)]`
     * (1-based, exact integer rank arithmetic, no interpolation — edges

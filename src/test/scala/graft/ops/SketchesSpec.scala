@@ -298,6 +298,33 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     est shouldBe KmvDistinct.estimate(256, flip(merged.last))
   }
 
+  test("kmvUnionDistinctAll: folding N keep sets == the bottom-k of " +
+      "the total union (sketch algebra), independent of collect order; " +
+      "oversized sketches raise") {
+    val groups = Seq(
+      ("g1", 1L to 900L), ("g2", 601L to 1500L), ("g3", 1201L to 2100L))
+    val rows = groups.flatMap { case (g, r) => r.map((g, _)) }
+    val df = rows.toDF("g", "id")
+      .select(col("g"), LongHashes.splitmix64(col("id")).as("h"))
+    val est = df.groupBy("g")
+      .agg(Sketches.kmvKeepSet(col("h"), 64).as("s"))
+      .agg(collect_list(col("s")).as("sks"))
+      .select(Sketches.kmvUnionDistinctAll(col("sks"), 64).as("u"))
+      .as[Long].head()
+    // local model: bottom-64 of the union of ALL ids' hashes
+    def flip(x: Long) = x ^ Long.MinValue
+    val merged = (1L to 2100L).map(i => flip(LongHashes.splitmix64Of(i)))
+      .sorted.take(64)
+    est shouldBe KmvDistinct.estimate(64, flip(merged.last))
+    est.toDouble shouldBe 2100.0 +- 2100 * 0.3 // ~1/sqrt(62) regime
+    // same-k contract: a wider sketch in the array raises
+    val bad = df.groupBy("g").agg(Sketches.kmvKeepSet(col("h"), 64).as("s"))
+      .agg(collect_list(col("s")).as("sks"))
+      .select(Sketches.kmvUnionDistinctAll(col("sks"), 16).as("u"))
+    val ex = intercept[Exception](bad.collect())
+    ex.getMessage should include("same-k contract")
+  }
+
   test("kmvResemblance: a sketch larger than k raises (same-k contract) " +
       "instead of silently biasing the estimate") {
     val df = (1L to 300L).map(("a", _)).toDF("g", "id")
