@@ -698,7 +698,13 @@ object SparkEntry {
       // rolling distinct rides alongside per the est+exact house
       // pattern (~1-4% observed error at k=256).
       val ev = t(s, dir, "events").select(
-        expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+          expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+        // NULL user_ids carry no distinct-count mass, but an unfiltered
+        // groupBy would still emit a daily row for a day whose events
+        // are ALL null — a day universe the oracle (which filters
+        // before deriving days) never sees. Filter first so both
+        // engines derive the same day set.
+        .where(col("user_id").isNotNull)
       val daily = ev.groupBy(col("day"))
         .agg(Sketches.kmvKeepSet(
           LongHashes.splitmix64(col("user_id")), 128).as("sk"))

@@ -398,7 +398,12 @@ object EventAnalytics {
         b < maxHalfLives)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        sum(wfp).as("nfp"),
+        // DECIMAL like sfp, not a plain long sum: recent events weigh
+        // up to 2^maxHalfLives each, so ~2^31 same-key recent events
+        // would silently wrap a BIGINT accumulator (Spark sums
+        // non-ANSI) while the oracle sums wide — the overflow would
+        // surface only as an opaque hash mismatch.
+        sum(wfp.cast(DecimalType(38, 0))).as("nfp"),
         sum(col(valueCol).cast(DecimalType(38, 0)) * wfp).as("sfp"))
       .select(col(keyCol), col("n_events"),
         (col("nfp").cast(DoubleType) / lit(scale)).as("decayed_n"),

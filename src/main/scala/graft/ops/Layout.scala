@@ -180,7 +180,10 @@ object Layout {
     * `valueCol` must be integral (fixed-point doubles first — the
     * house pattern); heavy ties at a boundary all land in one bucket
     * (buckets stay order-correct, balance degrades with skew —
-    * exactly like any range partitioning). */
+    * exactly like any range partitioning). Rows with NULL `valueCol`
+    * get a NULL bucket (they carry no position in the value order —
+    * [[Sketches.edgeBucket]] refuses to mingle them with bucket 0);
+    * filter or route them to an explicit bucket before writing. */
   def rangeBucketByQuantiles(df: org.apache.spark.sql.DataFrame,
       idCol: String, valueCol: String, nBuckets: Int,
       k: Int = 1024): org.apache.spark.sql.DataFrame = {

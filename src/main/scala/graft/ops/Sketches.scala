@@ -330,9 +330,13 @@ object Sketches {
   /** Bucket index of `value` against a [[sketchEdges]] array:
     * `|{j : value >= edge_j}|` in 0..nBins-1 — values equal to an edge
     * go RIGHT, one fixed replayable convention, monotone in the value
-    * by construction. */
+    * by construction. NULL in, NULL out: a null value must not be
+    * silently mingled with the smallest values in bucket 0 (the
+    * `value >= e` lambda evaluates null-as-false); callers
+    * ([[Stats.histogramDriftEqDepth]], [[Layout.rangeBucketByQuantiles]])
+    * decide whether to filter nulls upstream or surface a null bucket. */
   def edgeBucket(edges: Column, value: Column): Column =
-    size(filter(edges, e => value >= e))
+    when(value.isNotNull, size(filter(edges, e => value >= e)))
 
   /** Bottom-k resemblance (Broder 1997): estimate the Jaccard
     * similarity of two SETS from their [[kmvKeepSet]] sketches alone —

@@ -161,4 +161,17 @@ class LayoutSpec extends SparkSpecBase with Matchers {
     // hash-derived boundaries: identical on any input partitioning
     run(13) shouldBe out
   }
+
+  test("rangeBucketByQuantiles: NULL value gets a NULL bucket, not " +
+      "silent bucket-0 mingling") {
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)),
+        (4L, Some(30L)), (5L, Some(40L)))
+      .toDF("id", "v")
+    val out = Layout.rangeBucketByQuantiles(df, "id", "v", nBuckets = 2)
+      .select("id", "bucket").as[(Long, Option[Int])]
+      .collect().toMap
+    out(2L) shouldBe None          // null value -> null bucket
+    out(1L) shouldBe Some(0)       // smallest real value stays bucket 0
+    out(5L) shouldBe Some(1)
+  }
 }
