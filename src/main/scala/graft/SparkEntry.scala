@@ -893,6 +893,36 @@ object SparkEntry {
       Merge.applyChanges(snapshot, compacted.drop("ts"), "c_custkey", "op")
         .orderBy("c_custkey")
     }),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // Snapshot DIFF (Merge.snapshotDiff) — the CDC family's inverse
+      // direction: old = the customer snapshot, new = q_merge_upsert's
+      // merged result; the diff must recover exactly the EFFECTIVE
+      // changes (updates that landed, deletes, inserts), one row per
+      // touched key with the per-column change set. One full-outer key
+      // join — the floor for an unordered keyed diff — over slim
+      // pre-projected rows; unchanged keys (customers without orders)
+      // emit nothing, so output is change-sized, not snapshot-sized.
+      val agg = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("chg"))
+      val upd = agg.select(col("o_custkey").as("c_custkey"),
+        when(col("o_custkey") % 13 === 0, "D").otherwise("U").as("op"),
+        concat(lit("cust_upd_"), col("o_custkey").cast(StringType)).as("c_name"),
+        col("chg").as("c_acctbal"))
+      val ins = agg.where(col("o_custkey") % 17 === 0)
+        .select((col("o_custkey") + 1000000L).as("c_custkey"),
+          lit("U").as("op"),
+          concat(lit("cust_new_"), col("o_custkey").cast(StringType)).as("c_name"),
+          col("chg").as("c_acctbal"))
+      val oldSnap = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val newSnap = Merge.applyChanges(oldSnap, upd.unionByName(ins),
+        "c_custkey", "op")
+      Merge.snapshotDiff(oldSnap, newSnap, "c_custkey",
+          Seq("c_name", "c_acctbal"))
+        .select(col("c_custkey"), col("change_type"),
+          concat_ws(",", col("changed_cols")).as("changed_cols"))
+        .orderBy("c_custkey")
+    }),
     "q_collocations" -> ((s, dir) => {
       // Collocation mining (TextAnalysis.collocations): top-50 bigram
       // phrases by lift = c_xy*N/(c_x*c_y) — the exponent-free core of
@@ -2940,6 +2970,47 @@ object SparkEntry {
                       FROM ch c LEFT JOIN customer s ON s.c_custkey = c.k
                       WHERE c.op = 'U' AND s.c_custkey IS NULL)
          SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY c_custkey""",
+    // Diff replay: rebuild q_merge_upsert's merged snapshot, full-outer
+    // it against the old one, null-safe per-column compare.
+    "q_snapshot_diff" ->
+      """WITH agg AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS chg
+                      FROM orders GROUP BY o_custkey),
+              ch AS (SELECT o_custkey AS k,
+                            CASE WHEN o_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+                            'cust_upd_' || CAST(o_custkey AS VARCHAR) AS nm, chg
+                     FROM agg
+                     UNION ALL
+                     SELECT o_custkey + 1000000, 'U',
+                            'cust_new_' || CAST(o_custkey AS VARCHAR), chg
+                     FROM agg WHERE o_custkey % 17 = 0),
+              kept AS (SELECT s.c_custkey,
+                              CASE WHEN c.op = 'U' THEN c.nm ELSE s.c_name END AS c_name,
+                              CASE WHEN c.op = 'U' THEN c.chg ELSE s.c_acctbal END AS c_acctbal
+                       FROM customer s LEFT JOIN ch c ON c.k = s.c_custkey
+                       WHERE c.op IS NULL OR c.op <> 'D'),
+              ins AS (SELECT c.k AS c_custkey, c.nm AS c_name, c.chg AS c_acctbal
+                      FROM ch c LEFT JOIN customer s ON s.c_custkey = c.k
+                      WHERE c.op = 'U' AND s.c_custkey IS NULL),
+              newsnap AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+              j AS (SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+                           o.c_name AS onm, n.c_name AS nnm,
+                           o.c_acctbal AS ob, n.c_acctbal AS nb
+                    FROM customer o FULL OUTER JOIN newsnap n
+                      ON o.c_custkey = n.c_custkey),
+              d AS (SELECT coalesce(ok, nk) AS c_custkey,
+                           CASE WHEN ok IS NULL THEN 'added'
+                                WHEN nk IS NULL THEN 'removed'
+                                WHEN (onm IS DISTINCT FROM nnm)
+                                  OR (ob IS DISTINCT FROM nb) THEN 'changed'
+                           END AS change_type,
+                           CASE WHEN ok IS NULL OR nk IS NULL THEN ''
+                                ELSE array_to_string(list_filter(
+                                       [CASE WHEN onm IS DISTINCT FROM nnm THEN 'c_name' END,
+                                        CASE WHEN ob IS DISTINCT FROM nb THEN 'c_acctbal' END],
+                                       x -> x IS NOT NULL), ',') END AS changed_cols
+                    FROM j)
+         SELECT c_custkey, change_type, changed_cols FROM d
+         WHERE change_type IS NOT NULL ORDER BY c_custkey""",
     "q_merge_compact" ->
       """WITH feed AS (SELECT o_custkey AS k, o_orderkey AS ts,
                              CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
@@ -4792,5 +4863,7 @@ object SparkEntry {
     "q_range_bucket", "q_kmv_setops", "q_pit_join", "q_outliers_robust",
     "q_skipgram", "q_quantile_norm", "q_containment",
     "q_pagerank_weighted", "q_join_size", "q_decayed", "q_langid_eval",
-    "q_rolling_distinct")
+    "q_rolling_distinct",
+    // round 12
+    "q_snapshot_diff")
 }

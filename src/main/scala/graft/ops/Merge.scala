@@ -111,6 +111,81 @@ object Merge {
     AsOfJoin.asOf(events, versions, keyCol, tsCol, tolerance)
   }
 
+  /** Snapshot DIFF — the inverse direction of [[applyChanges]]: given
+    * two versions of a keyed table, emit one row per key that changed,
+    * with `change_type` in {'added','removed','changed'} and
+    * `changed_cols` (the compared columns whose values differ, in
+    * `compareCols` order — comparison is null-safe, so NULL->value and
+    * value->NULL both register). Unchanged keys emit nothing: at
+    * 100 TB the diff output is change-sized, not snapshot-sized. The
+    * audit/regression primitive the CDC family was missing — "what did
+    * yesterday's pipeline run actually change?" — and the generator
+    * behind [[diffToChanges]].
+    *
+    * Scale shape: ONE full-outer join on the key — the floor for an
+    * unordered keyed diff (neither side can broadcast); both sides
+    * pre-project to key + compared columns so only slim rows shuffle.
+    * On [[Bucketing]]-bucketed tables the exchange vanishes entirely.
+    * CONTRACT: `keyCol` unique per side (the snapshot contract). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val missing = compareCols.filterNot(c =>
+      oldDf.columns.contains(c) && newDf.columns.contains(c))
+    require(missing.isEmpty,
+      s"compareCols absent from a side: ${missing.mkString(", ")}")
+    val o = oldDf.select((keyCol +: compareCols).map(col): _*).as("o")
+    val n = newDf.select((keyCol +: compareCols).map(col): _*).as("n")
+    val joined = o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"),
+      "full_outer")
+    val diffs = array_compact(array(compareCols.map(c =>
+      when(!(col(s"o.$c") <=> col(s"n.$c")), lit(c))): _*))
+    joined
+      .select(
+        coalesce(col(s"o.$keyCol"), col(s"n.$keyCol")).as(keyCol),
+        when(col(s"o.$keyCol").isNull, "added")
+          .when(col(s"n.$keyCol").isNull, "removed")
+          .when(size(diffs) > 0, "changed")
+          .as("change_type"),
+        when(col(s"o.$keyCol").isNotNull && col(s"n.$keyCol").isNotNull,
+          diffs).otherwise(typedLit(Seq.empty[String]))
+          .as("changed_cols"))
+      .where(col("change_type").isNotNull)
+  }
+
+  /** Derive the MINIMAL change batch that transforms `oldDf` into
+    * `newDf`: added/changed keys become 'U' rows carrying the new
+    * payload, removed keys become 'D' rows (payload nulled), unchanged
+    * keys emit nothing — so `applyChanges(oldDf, diffToChanges(oldDf,
+    * newDf), keyCol, opCol)` equals `newDf` exactly (the round-trip is
+    * pinned in MergeSpec). The snapshot-reconciliation primitive: when
+    * a table is rebuilt from scratch but downstream consumers want a
+    * CDC feed, this closes the loop. Same one-full-outer-join shape and
+    * unique-key contract as [[snapshotDiff]]; note [[applyChanges]]
+    * broadcasts its batch, so feed it diffs in the CDC regime (batch <<
+    * snapshot), not a 100% rewrite. */
+  def diffToChanges(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      opCol: String = "op"): DataFrame = {
+    require(oldDf.columns.toSet == newDf.columns.toSet,
+      s"snapshot schemas differ: ${oldDf.columns.toSet.diff(newDf.columns.toSet).mkString(", ")} / " +
+        newDf.columns.toSet.diff(oldDf.columns.toSet).mkString(", "))
+    require(!oldDf.columns.contains(opCol),
+      s"snapshot already has a `$opCol` column — pass another opCol")
+    val payload = newDf.columns.filterNot(_ == keyCol).toSeq
+    val o = oldDf.as("o")
+    val n = newDf.as("n")
+    val anyDiff = payload.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+      .select(
+        coalesce(col(s"o.$keyCol"), col(s"n.$keyCol")).as(keyCol) +:
+          when(col(s"n.$keyCol").isNull, "D")
+            .when(col(s"o.$keyCol").isNull || anyDiff, "U")
+            .as(opCol) +:
+          payload.map(c => col(s"n.$c").as(c)): _*)
+      .where(col(opCol).isNotNull)
+  }
+
   def applyChanges(snapshot: DataFrame, changes: DataFrame,
       keyCol: String, opCol: String): DataFrame = {
     val payload = snapshot.columns.filterNot(_ == keyCol).toSeq

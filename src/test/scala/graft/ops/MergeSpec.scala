@@ -176,4 +176,49 @@ class MergeSpec extends SparkSpecBase with Matchers {
       (104L, Some(5.0), Some(true)),
       (105L, None, None))
   }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged keys " +
+      "silent, null transitions register null-safely") {
+    val oldS = Seq(
+      (1L, Option("a"), Option(10.0)),   // unchanged
+      (2L, Option("b"), Option(20.0)),   // bal changes
+      (3L, Option("c"), Option(30.0)),   // removed
+      (4L, Option.empty[String], Option(40.0))) // name null -> value
+      .toDF("k", "name", "bal")
+    val newS = Seq(
+      (1L, Option("a"), Option(10.0)),
+      (2L, Option("b"), Option(21.0)),
+      (4L, Option("d4"), Option.empty[Double]), // bal value -> null
+      (5L, Option("e"), Option(50.0)))   // added
+      .toDF("k", "name", "bal")
+    val out = Merge.snapshotDiff(oldS, newS, "k", Seq("name", "bal"))
+      .select(col("k"), col("change_type"),
+        concat_ws(",", col("changed_cols")).as("cc"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (2L, "changed", "bal"),
+      (3L, "removed", ""),
+      (4L, "changed", "name,bal"),
+      (5L, "added", ""))
+  }
+
+  test("diffToChanges round-trip: applyChanges(old, diff(old,new)) == new " +
+      "and the batch is minimal (touched keys only)") {
+    val oldS = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+    val newS = Seq(
+      (1L, "a", 10.0),     // unchanged
+      (2L, "b2", 20.0),    // changed
+      (4L, "d", 41.0),     // changed
+      (9L, "i", 90.0))     // added; 3 removed
+      .toDF("k", "name", "bal")
+    val batch = Merge.diffToChanges(oldS, newS, "k")
+    batch.select("k", "op").as[(Long, String)].collect().sortBy(_._1)
+      .toSeq shouldBe Seq((2L, "U"), (3L, "D"), (4L, "U"), (9L, "U"))
+    val rebuilt = Merge.applyChanges(oldS, batch, "k", "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    rebuilt shouldBe newS.as[(Long, String, Double)].collect()
+      .sortBy(_._1).toSeq
+  }
 }
