@@ -1513,6 +1513,19 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")
     }),
+    "q_split_leakfree" -> ((s, dir) => {
+      // LEAKAGE-FREE split (Dedup.leakFreeSplit): every near-dup
+      // component (the closure over the LSH cascade's confirmed pairs)
+      // splits as ONE unit via its representative's content-hash
+      // bucket, so the split-crossing near-dup pairs q_contamination
+      // measures under the plain content-hash split are ZERO by
+      // construction — the fix the contamination screens demand.
+      // Per-doc assignments oracle-replayed: closure + representative
+      // bucket + the q_split bucket arithmetic.
+      Dedup.leakFreeSplit(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
     "q_mix" -> ((s, dir) => {
       // Stratified mixing: downweight src0 hard, src1 mildly, keep 80%
       // of everything else — decided by content-hash bucket, so the
@@ -4334,6 +4347,24 @@ object SparkEntry {
                                 WHEN bucket < 10 THEN 'test'
                                 ELSE 'train' END AS split FROM b)
          SELECT split, count(*) AS n FROM s GROUP BY split ORDER BY split""",
+    // Leak-free split replay: near-dup closure (shingle pairs + the
+    // recursive reach) -> per-doc content-hash bucket -> every cluster
+    // member takes its min-id representative's bucket.
+    "q_split_leakfree" ->
+      raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
+              $closureSql,
+              nrm AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm FROM documents),
+              hb AS (SELECT doc_id, ${rollingHashSql("norm")} AS v FROM nrm),
+              sb AS (SELECT doc_id, ${signedSql("v")} AS sv FROM hb),
+              nb AS (SELECT doc_id, CAST(((sv % 100) + 100) % 100 AS INTEGER) AS b FROM sb),
+              rep AS (SELECT l.id AS doc_id, nb.b AS rb
+                      FROM lab l JOIN nb ON nb.doc_id = l.cluster_id),
+              asg AS (SELECT nb.doc_id, coalesce(rep.rb, nb.b) AS bucket
+                      FROM nb LEFT JOIN rep ON rep.doc_id = nb.doc_id)
+         SELECT doc_id, CASE WHEN bucket < 5 THEN 'val'
+                             WHEN bucket < 10 THEN 'test'
+                             ELSE 'train' END AS split
+         FROM asg ORDER BY doc_id""",
     "q_mix" ->
       raw"""WITH d AS (SELECT doc_id, source, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm FROM documents),
               h AS (SELECT doc_id, source,
@@ -4865,5 +4896,5 @@ object SparkEntry {
     "q_pagerank_weighted", "q_join_size", "q_decayed", "q_langid_eval",
     "q_rolling_distinct",
     // round 12
-    "q_snapshot_diff")
+    "q_snapshot_diff", "q_split_leakfree")
 }

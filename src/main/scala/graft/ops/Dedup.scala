@@ -585,6 +585,59 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** LEAKAGE-FREE train/val/test split — the fix the contamination
+    * screens ([[crossCorpusOverlap]], [[winnowCrossOverlap]],
+    * [[containmentPairs]]) exist to demand: a plain content-hash split
+    * ([[TextAnalysis.withSplit]]) co-locates EXACT duplicates (same
+    * text, same hash) but near-duplicates hash independently, so a
+    * mutated copy of a train doc can land in test and leak — exactly
+    * the split-crossing pairs q_contamination measures. Here every
+    * near-dup COMPONENT (the [[nearDupClusters]] closure over the
+    * cascade's confirmed pairs, threshold and all knobs forwarded)
+    * splits as one unit: each member takes the content-hash bucket of
+    * its cluster representative (the min-id member), singletons keep
+    * their own bucket — so the assignment degrades to `withSplit`
+    * exactly on the dup-free part of the corpus, and no two docs the
+    * cascade connects (directly or transitively) can ever straddle a
+    * split boundary. Leakage across splits is zero BY CONSTRUCTION at
+    * the cascade's recall (1.0 vs all-pairs ground truth on this
+    * corpus — q_dedup_minhash's verification).
+    *
+    * Scale shape on top of the proven cascade+closure: the per-doc
+    * bucket is narrow row work; the member->representative-bucket frame
+    * is one slim join bounded by the CLUSTERED docs (a small fraction
+    * of any real corpus — left un-hinted so AQE broadcasts it when
+    * small, shuffles when a pathological corpus makes it big); the
+    * corpus itself never shuffles. */
+  def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
+      valPct: Int = 5, testPct: Int = 5,
+      k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"valPct + testPct must fit in [0, 100], got $valPct + $testPct")
+    require(!df.columns.contains("split"),
+      "input already has a `split` column — rename it")
+    val members = nearDupClusters(nearDupPairs(df, idCol, textCol,
+        k, bands, rowsPerBand, threshold, seed, maxBucketSize))
+      .select(col("id").as(idCol), col("cluster_id"))
+    val bucketed = df.withColumn("__own_bucket",
+      TextAnalysis.splitBucket(col(textCol)))
+    // representative's bucket, one row per member of any cluster
+    val repBucket = members.join(
+        bucketed.select(col(idCol).as("cluster_id"),
+          col("__own_bucket").as("__rep_bucket")),
+        "cluster_id")
+      .select(col(idCol), col("__rep_bucket"))
+    val b = coalesce(col("__rep_bucket"), col("__own_bucket"))
+    bucketed.join(repBucket, Seq(idCol), "left")
+      .withColumn("split",
+        when(b < valPct, "val")
+          .when(b < valPct + testPct, "test")
+          .otherwise("train"))
+      .drop("__own_bucket", "__rep_bucket")
+  }
+
   /** The end-to-end curation pipeline a training-data user actually
     * runs, composed from the verified pieces: exact dedup (min-id
     * keeper) -> near-dup drop (the HIGHER id of every confirmed pair

@@ -367,4 +367,45 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
       .collect()
     jac shouldBe empty
   }
+
+  test("leakFreeSplit co-locates near-dup pairs the plain content-hash " +
+      "split separates, and degrades to withSplit on singletons") {
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "sly red vixen watches from the tall dry grass near the old barn " +
+      "and the wind keeps turning the rusty weather vane slowly"
+    // find a mutation that the plain split SEPARATES from base at a
+    // 50/50 boundary (content hashes are independent, so one exists
+    // among a handful of candidates; the pick is deterministic)
+    def bucket(t: String): Int = {
+      import org.apache.spark.sql.functions.{col, lit}
+      Seq(t).toDF("text")
+        .select(TextAnalysis.splitBucket(col("text")).as("b"))
+        .as[Int].head()
+    }
+    val baseSide = bucket(base) < 50
+    val variant = (0 until 50).map(i => base + s" trailing variant $i")
+      .find(v => (bucket(v) < 50) != baseSide)
+      .getOrElse(fail("no separating mutation found"))
+    val singletons = Seq(
+      (10L, "completely unrelated text about database engines and " +
+        "columnar storage formats for analytical workloads at scale"),
+      (11L, "another standalone document mentioning sailing boats and " +
+        "coastal navigation under changing autumn weather conditions"))
+    val corpus = (Seq((1L, base), (2L, variant)) ++ singletons)
+      .toDF("doc_id", "text")
+    // the pair really is a near-dup the cascade confirms
+    Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .toSeq shouldBe Seq((1L, 2L))
+    val plain = TextAnalysis.withSplit(corpus, "text", valPct = 50,
+        testPct = 0)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    plain(1L) should not be plain(2L) // the leak leakFreeSplit fixes
+    val leak = Dedup.leakFreeSplit(corpus, "doc_id", "text",
+        valPct = 50, testPct = 0)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    leak(1L) shouldBe leak(2L)        // component splits as one unit
+    leak(1L) shouldBe plain(1L)       // representative (min id) anchors
+    singletons.foreach { case (id, _) => leak(id) shouldBe plain(id) }
+  }
 }
