@@ -1648,6 +1648,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "q_semantic_contamination" -> ((s, dir) => {
+      // SEMANTIC cross-corpus contamination: the contamination matrix's
+      // missing mode (exact = q_contamination, verbatim substring =
+      // q_winnow_contamination, quoted mass = q_containment — all
+      // lexical). Every-20th vector plays the benchmark; the train
+      // side screens against it in embedding space under the shared
+      // seeded hyperplanes. Demo threshold 0.3 (near-uniform synthetic
+      // embeddings, max pairwise cosine ~0.5); production ~0.95.
+      val emb = t(s, dir, "embeddings")
+      Dedup.embeddingCrossContamination(
+          emb.where(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+          emb.where(col("vec_id") % 20 === 0), "vec_id", "embedding",
+          dim = 64, threshold = 0.3, numTables = 8, planesPerTable = 6)
+        .select(col("corpus_id"), col("eval_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("corpus_id", "eval_id")
+    }),
     "q_ann_recall" -> ((s, dir) => {
       // ANN self-evaluation: recall@5 of the IVF serving path against
       // the brute-force ground truth, per query — the artifact that
@@ -4571,6 +4588,28 @@ object SparkEntry {
                                      JOIN e eb ON eb.vec_id = c.id_b)
          SELECT id_a, id_b, round(c, 6) AS cosine
          FROM scored WHERE c >= 0.3 ORDER BY id_a, id_b""",
+    // Cross-corpus semantic screen: q_embed_neardup's plane replay with
+    // the corpus split %20 and candidates joined ACROSS sides only.
+    "q_semantic_contamination" ->
+      s"""WITH p AS (SELECT $lshPlanesSql AS pl),
+              e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              cb AS (SELECT vec_id, t,
+                            CAST(list_sum(list_transform(range(0, 6), j ->
+                              CASE WHEN list_sum(list_transform(range(1, 65),
+                                     i -> v[i] * pl[CAST(t AS INTEGER) + 1][CAST(j AS INTEGER) + 1][CAST(i AS INTEGER)])) > 0.0
+                                   THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+                     FROM e, generate_series(0, 7) s(t), p),
+              cand AS (SELECT DISTINCT a.vec_id AS corpus_id, b.vec_id AS eval_id
+                       FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket
+                       WHERE a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0),
+              scored AS (SELECT c.corpus_id, c.eval_id,
+                                list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
+                                / (sqrt(list_sum(list_transform(range(1, 65), i -> ea.v[i] * ea.v[i])))
+                                 * sqrt(list_sum(list_transform(range(1, 65), i -> eb.v[i] * eb.v[i])))) AS c
+                         FROM cand c JOIN e ea ON ea.vec_id = c.corpus_id
+                                     JOIN e eb ON eb.vec_id = c.eval_id)
+         SELECT corpus_id, eval_id, round(c, 6) AS cosine
+         FROM scored WHERE c >= 0.3 ORDER BY corpus_id, eval_id""",
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
               s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
@@ -4896,5 +4935,5 @@ object SparkEntry {
     "q_pagerank_weighted", "q_join_size", "q_decayed", "q_langid_eval",
     "q_rolling_distinct",
     // round 12
-    "q_snapshot_diff", "q_split_leakfree")
+    "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination")
 }

@@ -750,6 +750,44 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SEMANTIC cross-corpus contamination — the missing mode of the
+    * contamination matrix: [[crossCorpusOverlap]] catches exact dups,
+    * [[winnowCrossOverlap]] verbatim substrings, [[containmentPairs]]
+    * quoted shingle mass — all LEXICAL. A paraphrased or re-rendered
+    * benchmark item shares none of those surfaces yet still leaks; this
+    * screen catches it in EMBEDDING space: both corpora bucket under
+    * the SAME seeded hyperplanes (so true near-pairs collide), the
+    * candidate join crosses corpora only, and candidates confirm on
+    * exact cosine >= `threshold`. Same deterministic-planes recipe as
+    * [[embeddingNearDupPairs]], so the DuckDB oracle replays the
+    * candidate generator and the confirmation bit-exactly.
+    *
+    * Scale shape: the eval/benchmark side is tiny next to the corpus
+    * (the contamination regime), so its bucketed frame broadcasts
+    * (un-hinted — AQE decides); the corpus streams through the bucket
+    * probe map-side and only colliding candidates carry vectors into
+    * the cosine. No all-pairs, no corpus self-join. */
+  def embeddingCrossContamination(corpus: DataFrame, corpusId: String,
+      corpusVec: String, eval: DataFrame, evalId: String, evalVec: String,
+      dim: Int, threshold: Double = 0.95, numTables: Int = 4,
+      planesPerTable: Int = 12, seed: Long = 42L): DataFrame = {
+    val bc = Similarity.withLshBuckets(
+      corpus.select(col(corpusId), col(corpusVec)),
+      corpusVec, dim, numTables, planesPerTable, seed)
+    val be = Similarity.withLshBuckets(
+      eval.select(col(evalId), col(evalVec)),
+      evalVec, dim, numTables, planesPerTable, seed)
+    bc.select(col("lsh_table"), col("lsh_bucket"),
+        col(corpusId).as("corpus_id"), col(corpusVec).as("vec_c"))
+      .join(be.select(col("lsh_table"), col("lsh_bucket"),
+          col(evalId).as("eval_id"), col(evalVec).as("vec_e")),
+        Seq("lsh_table", "lsh_bucket"))
+      .select(col("corpus_id"), col("eval_id"),
+        Similarity.cosine(col("vec_c"), col("vec_e")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .dropDuplicates("corpus_id", "eval_id")
+  }
+
   // ------------------------------------------------------------ SemDeDup
 
   /** SemDeDup drop set (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -408,4 +408,24 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     leak(1L) shouldBe plain(1L)       // representative (min id) anchors
     singletons.foreach { case (id, _) => leak(id) shouldBe plain(id) }
   }
+
+  test("embeddingCrossContamination pairs cross corpora only and " +
+      "confirms on exact cosine") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.2f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.4f, 0.0f, 0.0f)),  // same direction as 1
+      (3L, Array(0.0f, 0.0f, 1.0f, -1.0f))) // orthogonal to them
+      .toDF("id", "vec")
+    val eval = Seq(
+      (100L, Array(3.0f, 0.6f, 0.0f, 0.0f))) // scaled copy of 1's dir
+      .toDF("id", "vec")
+    val out = Dedup.embeddingCrossContamination(corpus, "id", "vec",
+        eval, "id", "vec", dim = 4, threshold = 0.9,
+        numTables = 2, planesPerTable = 2, seed = 7L)
+      .select("corpus_id", "eval_id").as[(Long, Long)]
+      .collect().sorted.toSeq
+    // 1 and 2 are mutual near-dups but NEVER pair (cross-corpus only);
+    // 3 shares no direction with the eval vector
+    out shouldBe Seq((1L, 100L), (2L, 100L))
+  }
 }
