@@ -893,6 +893,24 @@ object SparkEntry {
       Merge.applyChanges(snapshot, compacted.drop("ts"), "c_custkey", "op")
         .orderBy("c_custkey")
     }),
+    "q_linkage_fs" -> ((s, dir) => {
+      // Fellegi–Sunter probabilistic linkage over p_type blocks: three
+      // fields with (m, u) evidence weights — a rare-field agreement
+      // outweighs common-field ones, which a fixed agree-count cannot
+      // express. Raw-odds product in field order (log-free, bit-
+      // replayable); two-threshold decision rule, nonmatch mass dies
+      // inside the join task. All classes non-vacuous at sf0.01:
+      // 21 match / 1735 possible / 331k+ nonmatch (dropped).
+      val p = t(s, dir, "part")
+        .withColumn("p_name5", substring(col("p_name"), 1, 5))
+      EntityResolution.fsScorePairs(p, "p_partkey", col("p_type"),
+          fields = Seq(("p_brand", 0.9, 0.04), ("p_size", 0.85, 0.02),
+            ("p_name5", 0.95, 0.08)),
+          matchOdds = 1000.0, possibleOdds = 10.0)
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          round(col("score"), 4).as("score"), col("decision"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_snapshot_diff" -> ((s, dir) => {
       // Snapshot DIFF (Merge.snapshotDiff) — the CDC family's inverse
       // direction: old = the customer snapshot, new = q_merge_upsert's
@@ -3000,6 +3018,34 @@ object SparkEntry {
                       FROM ch c LEFT JOIN customer s ON s.c_custkey = c.k
                       WHERE c.op = 'U' AND s.c_custkey IS NULL)
          SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY c_custkey""",
+    // FS linkage replay: same blocked pair scan, null-safe agreement,
+    // the identical left-assoc double product (ratios as STRING-cast
+    // doubles — correctly-rounded parse, not the decimal-literal path).
+    "q_linkage_fs" ->
+      s"""WITH p AS (SELECT p_partkey, p_type, p_brand, p_size,
+                            substr(p_name, 1, 5) AS p_name5 FROM part),
+              pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                            (a.p_brand IS NOT DISTINCT FROM b.p_brand) AS ab,
+                            (a.p_size IS NOT DISTINCT FROM b.p_size) AS asz,
+                            (a.p_name5 IS NOT DISTINCT FROM b.p_name5) AS an
+                     FROM p a JOIN p b
+                       ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey),
+              sc AS (SELECT id_a, id_b,
+                            CAST(CAST(ab AS INTEGER) + CAST(asz AS INTEGER)
+                                 + CAST(an AS INTEGER) AS BIGINT) AS n_agree,
+                            CAST(1.0 AS DOUBLE)
+                              * CASE WHEN ab THEN CAST('${0.9 / 0.04}' AS DOUBLE)
+                                     ELSE CAST('${(1 - 0.9) / (1 - 0.04)}' AS DOUBLE) END
+                              * CASE WHEN asz THEN CAST('${0.85 / 0.02}' AS DOUBLE)
+                                     ELSE CAST('${(1 - 0.85) / (1 - 0.02)}' AS DOUBLE) END
+                              * CASE WHEN an THEN CAST('${0.95 / 0.08}' AS DOUBLE)
+                                     ELSE CAST('${(1 - 0.95) / (1 - 0.08)}' AS DOUBLE) END
+                              AS score
+                     FROM pr)
+         SELECT id_a, id_b, n_agree, round(score, 4) AS score,
+                CASE WHEN score >= 1000.0 THEN 'match'
+                     WHEN score >= 10.0 THEN 'possible' END AS decision
+         FROM sc WHERE score >= 10.0 ORDER BY id_a, id_b""",
     // Diff replay: rebuild q_merge_upsert's merged snapshot, full-outer
     // it against the old one, null-safe per-column compare.
     "q_snapshot_diff" ->
@@ -4935,5 +4981,6 @@ object SparkEntry {
     "q_pagerank_weighted", "q_join_size", "q_decayed", "q_langid_eval",
     "q_rolling_distinct",
     // round 12
-    "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination")
+    "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
+    "q_linkage_fs")
 }

@@ -72,6 +72,78 @@ object EntityResolution {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Fellegi–Sunter PROBABILISTIC record linkage (Fellegi & Sunter
+    * 1969) — the principled upgrade over single-field distance
+    * thresholds: each compared field carries an m-probability
+    * (P(fields agree | same entity)) and a u-probability
+    * (P(agree | different entities)); a candidate pair's evidence is
+    * the likelihood ratio R = prod over fields of m/u (agree) or
+    * (1-m)/(1-u) (disagree), and the decision rule is the classic
+    * two-threshold one: R >= `matchOdds` -> 'match',
+    * R >= `possibleOdds` -> 'possible' (clerical review band), else
+    * 'nonmatch'. A rare-field agreement (low u) thus outweighs three
+    * common-field agreements — what a fixed agree-count cannot express.
+    *
+    * Replayability: the per-field ratios are computed ONCE here
+    * (`m/u`, `(1-m)/(1-u)` in IEEE double) and multiplied in FIELD
+    * DECLARATION ORDER as a left fold, so the score is one fixed
+    * expression tree both engines evaluate bit-identically (no logs —
+    * the textbook sums log-weights, but log2 is monotone: multiplying
+    * raw odds IS the same ranking and decision set, exactly replayable
+    * where libm is not; the standing log/pow ban). Field agreement is
+    * null-safe equality (both-NULL agrees — document your nulls or
+    * filter upstream).
+    *
+    * Scale shape: same blocked replicated-group pair decomposition as
+    * [[fuzzyPairs]] (block^2 work spread over groups^2 explicit cells,
+    * AQE-proof); the compare/score runs inline in the join task and
+    * only pairs clearing `possibleOdds` leave it — the nonmatch mass
+    * (virtually all pairs) dies before any further shuffle. Same
+    * bounded-block-occupancy contract as fuzzyPairs. */
+  def fsScorePairs(df: DataFrame, idCol: String, blockKey: Column,
+      fields: Seq[(String, Double, Double)],
+      matchOdds: Double, possibleOdds: Double,
+      groups: Int = 8): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    fields.foreach { case (f, m, u) =>
+      require(u > 0 && m < 1 && u < m,
+        s"field $f needs 0 < u < m < 1, got m=$m u=$u") }
+    require(possibleOdds > 0 && possibleOdds <= matchOdds,
+      s"need 0 < possibleOdds <= matchOdds, got $possibleOdds / $matchOdds")
+    require(groups >= 1, "groups must be >= 1")
+    val fcols = fields.map(_._1)
+    val base = df.select(blockKey.as("block") +: col(idCol).as("id") +:
+        fcols.map(col): _*)
+      .withColumn("grp", pmod(
+        graft.functions.LongHashes.splitmix64(col("id")),
+        lit(groups.toLong)).cast("int"))
+    val gs = array((0 until groups).map(lit): _*)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val l = base.select(col("block") +: col("grp").as("gi") +:
+        explode(gs).as("gj") +: col("id").as("id_a") +:
+        fcols.map(f => col(f).as(s"a_$f")): _*)
+      .repartition(parts, col("block"), col("gi"), col("gj"))
+    val r = base.select(col("block") +: explode(gs).as("gi") +:
+        col("grp").as("gj") +: col("id").as("id_b") +:
+        fcols.map(f => col(f).as(s"b_$f")): _*)
+      .repartition(parts, col("block"), col("gi"), col("gj"))
+    val agree = fields.map { case (f, _, _) => col(s"a_$f") <=> col(s"b_$f") }
+    val score = fields.zip(agree).foldLeft(lit(1.0)) {
+      case (acc, ((_, m, u), a)) =>
+        acc * when(a, lit(m / u)).otherwise(lit((1 - m) / (1 - u)))
+    }
+    val nAgree = agree.map(a => when(a, 1L).otherwise(0L))
+      .reduce(_ + _)
+    l.join(r, Seq("block", "gi", "gj"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
+        score.as("score"),
+        when(score >= matchOdds, "match")
+          .when(score >= possibleOdds, "possible")
+          .as("decision"))
+      .where(col("decision").isNotNull)
+  }
+
   /** Per-record merge-candidate summary over [[fuzzyPairs]]:
     * `(id, canon, n_cands)` where `canon` is the smallest id among the
     * record's LOWER-id fuzzy matches (the record itself when none) and

@@ -57,4 +57,28 @@ class EntityResolutionSpec extends SparkSpecBase with Matchers {
       (4L, 1L, 2L), // matches 1 (dist 0) and 2 (dist 3): min id 1
       (5L, 5L, 0L)) // in the widget block but beyond maxDist
   }
+
+  test("fsScorePairs: rare-field agreement outweighs two common-field " +
+      "agreements; decisions follow the two-threshold rule exactly") {
+    // field a: rare agreement (u=0.01, ratio 90); b, c: common (ratio 2)
+    val df = Seq(
+      (1L, "x", "p", "q"),
+      (2L, "x", "P", "Q"),   // agrees with 1 on a ONLY
+      (3L, "y", "m", "n"),
+      (4L, "z", "m", "n"))   // agrees with 3 on b AND c
+      .toDF("id", "a", "b", "c")
+    val out = EntityResolution.fsScorePairs(df, "id", lit(1),
+        fields = Seq(("a", 0.9, 0.01), ("b", 0.6, 0.3), ("c", 0.6, 0.3)),
+        matchOdds = 20.0, possibleOdds = 0.2)
+      .select("id_a", "id_b", "n_agree", "score", "decision")
+      .as[(Long, Long, Long, Double, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val dis = (1 - 0.6) / (1 - 0.3)
+    val rareOnly = 1.0 * (0.9 / 0.01) * dis * dis       // ~29.4
+    val commonTwo = 1.0 * ((1 - 0.9) / (1 - 0.01)) * (0.6 / 0.3) * (0.6 / 0.3) // ~0.40
+    // all-disagree cross pairs (~0.033) fall below possibleOdds: absent
+    out shouldBe Seq(
+      (1L, 2L, 1L, rareOnly, "match"),
+      (3L, 4L, 2L, commonTwo, "possible"))
+  }
 }
