@@ -1913,6 +1913,37 @@ object SparkEntry {
           max(col("v")).as("hi"))
         .orderBy("bucket")
     }),
+    "q_zonemap" -> ((s, dir) => {
+      // ZONE-MAP PRUNING AUDIT — the measured payoff of the layout
+      // family: 64 simulated write units (files) of orders under two
+      // layouts — ingestion order (bucketed by orderkey ranges) vs
+      // value-clustered (rangeBucketByQuantiles on price cents) — each
+      // file's min/max envelope of the price column, then the files a
+      // band predicate (~10% of rows) cannot skip. Clustered reads a
+      // band-sized slice; natural reads EVERY file — the scan
+      // amplification number that justifies a 100 TB rewrite, computed
+      // before paying for it. Both bucketings share the id-hash kept
+      // set, so one sketch pass feeds both edge arrays in the oracle.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType).as("v"))
+      val lo = 20000000L
+      val hi = 25000000L
+      def audit(layout: String, valueCol: String) = Layout.pruneAudit(
+          Layout.zonemapStats(
+            Layout.rangeBucketByQuantiles(o, "o_orderkey", valueCol,
+              nBuckets = 64, k = 1024),
+            "bucket", "v"),
+          lo, hi)
+        .withColumn("layout", lit(layout))
+      val matched = o.agg(
+        sum(when(col("v").between(lo, hi), 1L).otherwise(0L))
+          .as("rows_matched"))
+      audit("clustered", "v").unionByName(audit("natural", "o_orderkey"))
+        .crossJoin(broadcast(matched))
+        .select(col("layout"), col("n_files"), col("files_read"),
+          col("rows_scanned"), col("rows_matched"))
+        .orderBy("layout")
+    }),
     "q_zorder" -> ((s, dir) => {
       // Z-order layout audit: Morton-interleave (user_id, hour) and
       // aggregate per z-bucket (z >> 12 = the two dims' high bits
@@ -3457,6 +3488,50 @@ object SparkEntry {
     // Range-bucket layout: the q_drift_eqdepth edge replay (bottom-1024
     // sample by o_orderkey hash, nearest-rank 16-quantile edges) and
     // the per-bucket audit aggregate.
+    // Zone-map audit replay: ONE sketch pass (retention is id-hash
+    // only, shared by both layouts) feeds two 63-edge arrays; per-file
+    // min/max envelopes of v, then the band-overlap fold per layout.
+    "q_zonemap" ->
+      raw"""WITH o AS (SELECT o_orderkey AS ok,
+                              CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+                       FROM orders),
+               d0 AS (SELECT ok, v, CAST(ok AS HUGEINT) AS z FROM o),
+               ${splitmixCtesSql("d0", "ok, v")},
+               rk AS (SELECT ok, v, row_number() OVER (ORDER BY z) AS rn FROM h5),
+               sm AS (SELECT list_sort(list(ok)) AS oks, list_sort(list(v)) AS vs,
+                             count(*) AS n
+                      FROM rk WHERE rn <= 1024),
+               ed AS (SELECT list_transform(range(1, 64),
+                        j -> oks[CAST(greatest((j * n + 63) // 64, 1) AS INTEGER)]) AS eok,
+                             list_transform(range(1, 64),
+                        j -> vs[CAST(greatest((j * n + 63) // 64, 1) AS INTEGER)]) AS ev
+                      FROM sm),
+               bk AS (SELECT o.ok, o.v,
+                             len(list_filter(ed.eok, ee -> o.ok >= ee)) AS bn,
+                             len(list_filter(ed.ev, ee -> o.v >= ee)) AS bc
+                      FROM o, ed),
+               stn AS (SELECT bn, count(*) AS n_rows, min(v) AS flo, max(v) AS fhi
+                       FROM bk GROUP BY bn),
+               stc AS (SELECT bc, count(*) AS n_rows, min(v) AS flo, max(v) AS fhi
+                       FROM bk GROUP BY bc),
+               m AS (SELECT CAST(sum(CASE WHEN v BETWEEN 20000000 AND 25000000
+                                          THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched
+                     FROM o),
+               an AS (SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+                             CAST(sum(CASE WHEN fhi >= 20000000 AND flo <= 25000000
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+                             CAST(sum(CASE WHEN fhi >= 20000000 AND flo <= 25000000
+                                           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+                      FROM stn),
+               ac AS (SELECT 'clustered' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+                             CAST(sum(CASE WHEN fhi >= 20000000 AND flo <= 25000000
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+                             CAST(sum(CASE WHEN fhi >= 20000000 AND flo <= 25000000
+                                           THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+                      FROM stc)
+          SELECT layout, n_files, files_read, rows_scanned, rows_matched
+          FROM (SELECT * FROM ac UNION ALL SELECT * FROM an), m
+          ORDER BY layout""",
     "q_range_bucket" ->
       raw"""WITH o AS (SELECT o_orderkey,
                               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
@@ -4982,5 +5057,5 @@ object SparkEntry {
     "q_rolling_distinct",
     // round 12
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
-    "q_linkage_fs")
+    "q_linkage_fs", "q_zonemap")
 }

@@ -203,4 +203,41 @@ object Layout {
           .cast(org.apache.spark.sql.types.IntegerType))
       .drop("__edges")
   }
+
+  /** ZONE-MAP statistics — the per-file min/max index every columnar
+    * reader consults before touching a file (parquet row-group stats,
+    * Iceberg/Delta file stats): one row per `fileCol` unit with its
+    * row count and the [lo, hi] envelope of `valueCol`. Feed it a
+    * simulated layout (a [[rangeBucketByQuantiles]] / [[zValue]]
+    * bucket standing in for the write unit) or a real file id. ONE
+    * map-side-partial aggregate; the output is #files rows, driver-
+    * safe at any corpus size. */
+  def zonemapStats(df: org.apache.spark.sql.DataFrame, fileCol: String,
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(col(fileCol).as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** PRUNING AUDIT over [[zonemapStats]] output for a closed band
+    * predicate `valueCol BETWEEN lo AND hi`: ONE summary row —
+    * `n_files`, `files_read` (files whose [lo, hi] envelope intersects
+    * the band — exactly the files a zone-map-aware scan cannot skip),
+    * and `rows_scanned` (their row mass). The number that justifies
+    * the layout family: the same predicate against a value-clustered
+    * layout reads a band-sized slice of files where an ingestion-order
+    * layout reads ALL of them — scan amplification made measurable
+    * BEFORE paying for a 100 TB rewrite. Pure arithmetic over the
+    * #files-row stats frame; nothing big moves. */
+  def pruneAudit(stats: org.apache.spark.sql.DataFrame, lo: Long,
+      hi: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(lo <= hi, s"band must be ordered, got [$lo, $hi]")
+    val overlaps = col("hi") >= lo && col("lo") <= hi
+    stats.agg(
+      count(lit(1)).as("n_files"),
+      sum(when(overlaps, 1L).otherwise(0L)).as("files_read"),
+      sum(when(overlaps, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+  }
 }

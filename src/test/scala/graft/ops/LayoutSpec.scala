@@ -162,6 +162,22 @@ class LayoutSpec extends SparkSpecBase with Matchers {
     run(13) shouldBe out
   }
 
+  test("zonemapStats + pruneAudit: envelopes and band overlap counted " +
+      "exactly (touching, containing, and missing bands)") {
+    // 3 files: [0,10], [20,30], [40,50], 2 rows each
+    val df = Seq((0, 0L), (0, 10L), (1, 20L), (1, 30L), (2, 40L), (2, 50L))
+      .toDF("f", "v")
+    val stats = Layout.zonemapStats(df, "f", "v")
+    stats.orderBy("file").as[(Int, Long, Long, Long)].collect()
+      .toSeq shouldBe Seq((0, 2L, 0L, 10L), (1, 2L, 20L, 30L),
+        (2, 2L, 40L, 50L))
+    def audit(lo: Long, hi: Long) = Layout.pruneAudit(stats, lo, hi)
+      .as[(Long, Long, Long)].head()
+    audit(25L, 45L) shouldBe ((3L, 2L, 4L)) // spans files 1 and 2
+    audit(10L, 10L) shouldBe ((3L, 1L, 2L)) // touches file 0's hi edge
+    audit(11L, 19L) shouldBe ((3L, 0L, 0L)) // gap: everything pruned
+  }
+
   test("rangeBucketByQuantiles: NULL value gets a NULL bucket, not " +
       "silent bucket-0 mingling") {
     val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)),
