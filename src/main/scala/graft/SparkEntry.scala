@@ -2249,6 +2249,33 @@ object SparkEntry {
           col("overlap").cast(LongType).as("overlap"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "q_label_prop" -> ((s, dir) => {
+      // Semi-supervised label propagation (Graph.labelPropagate):
+      // region labels seeded at the 25 nation nodes spread across the
+      // symmetrized supply DAG — suppliers inherit their nation's
+      // region in round 1, parts take the argmax region over their
+      // suppliers in round 2 (ties -> label ascending, deterministic).
+      // The "label 25 records by hand, label 2 million by graph"
+      // primitive; every per-round step is one slim shuffle-join +
+      // one map-side-partial argmax, replayed as unrolled CTE rounds.
+      val li = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 3).as("src"),
+          (col("l_suppkey") * 3 + 1).as("dst"))
+      val sn = t(s, dir, "supplier")
+        .select((col("s_suppkey") * 3 + 1).as("src"),
+          (col("s_nationkey") * 3 + 2).as("dst"))
+      val dirEdges = li.unionByName(sn)
+      val edges = dirEdges.unionByName(dirEdges.select(
+        col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "nation")
+        .join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select((col("n_nationkey") * 3 + 2).as("id"),
+          col("r_name").as("lab"))
+      Graph.labelPropagate(edges, "src", "dst", seeds, "id", "lab",
+          iters = 3)
+        .orderBy("id")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // Supply-graph centrality: 5 rounds of integer fixed-point
       // PageRank over the symmetrized supplier<->part graph from
@@ -2448,6 +2475,28 @@ object SparkEntry {
     * and `v0` (node, score=unit). `//` is floor division = Spark's
     * `div` on the all-positive scores; the per-round sum is HUGEINT in
     * DuckDB so it is cast back to BIGINT (the q_json lesson). */
+  /** Unrolled label-propagation rounds over CTEs `e(src, dst)` and
+    * `l0(id, seed_label, label)`: per round, neighbor-label counts,
+    * the (count DESC, label ASC) argmax via row_number, and the
+    * clamped-seed update — the SQL replica of
+    * [[graft.ops.Graph.labelPropagate]]'s round body. */
+  private def lpaRoundsSql(iters: Int): String =
+    (1 to iters).map { r =>
+      s"""cnt$r AS (SELECT e.dst AS id, l.label, count(*) AS c
+         |           FROM e JOIN l${r - 1} l ON l.id = e.src
+         |           WHERE l.label IS NOT NULL
+         |           GROUP BY e.dst, l.label),
+         |              pk$r AS (SELECT id, label FROM (
+         |                SELECT id, label,
+         |                       row_number() OVER (PARTITION BY id
+         |                                          ORDER BY c DESC, label) AS rn
+         |                FROM cnt$r) WHERE rn = 1),
+         |              l$r AS (SELECT p.id, p.seed_label,
+         |                             CASE WHEN p.seed_label IS NOT NULL THEN p.seed_label
+         |                                  ELSE coalesce(k.label, p.label) END AS label
+         |                      FROM l${r - 1} p LEFT JOIN pk$r k ON k.id = p.id)""".stripMargin
+    }.mkString(",\n              ")
+
   private def pageRankCtesSql(iters: Int, base: Long, dampNum: Long,
       dampDen: Long): String =
     (1 to iters).map { i =>
@@ -4892,6 +4941,25 @@ object SparkEntry {
           FROM p
           WHERE CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE) >= 0.7
           ORDER BY id_a, id_b""",
+    // Label-propagation replay: symmetrized supply edges, nation-seeded
+    // region labels, 3 unrolled clamped-seed argmax rounds.
+    "q_label_prop" ->
+      s"""WITH li AS (SELECT DISTINCT l_partkey * 3 AS src,
+                             l_suppkey * 3 + 1 AS dst FROM lineitem),
+              sn AS (SELECT DISTINCT s_suppkey * 3 + 1 AS src,
+                            s_nationkey * 3 + 2 AS dst FROM supplier),
+              de AS (SELECT * FROM li UNION SELECT * FROM sn),
+              e AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+              sd AS (SELECT n_nationkey * 3 + 2 AS id, r_name AS seed_label
+                     FROM nation JOIN region ON n_regionkey = r_regionkey),
+              nd AS (SELECT DISTINCT id FROM (
+                       SELECT src AS id FROM e
+                       UNION SELECT dst FROM e
+                       UNION SELECT id FROM sd)),
+              l0 AS (SELECT nd.id, sd.seed_label, sd.seed_label AS label
+                     FROM nd LEFT JOIN sd ON sd.id = nd.id),
+              ${lpaRoundsSql(3)}
+         SELECT id, label FROM l3 ORDER BY id""",
     "q_pagerank" ->
       raw"""WITH le AS (SELECT DISTINCT l_partkey * 2 AS pn,
                                         l_suppkey * 2 + 1 AS sn
@@ -5057,5 +5125,5 @@ object SparkEntry {
     "q_rolling_distinct",
     // round 12
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
-    "q_linkage_fs", "q_zonemap")
+    "q_linkage_fs", "q_zonemap", "q_label_prop")
 }

@@ -260,4 +260,77 @@ object Graph {
           s"div $dampDen AS score"
       })
   }
+
+  /** Semi-supervised LABEL PROPAGATION with clamped seeds (Zhu &
+    * Ghahramani 2002 shape, synchronous rounds): spread a small set of
+    * trusted labels (hand-audited quality tiers, verified licenses,
+    * curated topic tags) across a relationship graph — the near-dup /
+    * similarity / supply graphs this file already serves — so every
+    * connected record inherits a label without scoring it directly.
+    * Per round, every NON-seed node takes the most frequent label
+    * among its in-neighbors (`src -> dst`: labels flow along edge
+    * direction; symmetrize for undirected spread), ties broken by
+    * label ascending — fully deterministic, no RNG, so the whole
+    * propagation replays in the oracle as unrolled round CTEs. Seeds
+    * never change (clamped); a node with no labeled in-neighbor keeps
+    * its previous label (NULL until first reached). Fixed `iters`
+    * rounds — labels reach distance-`iters` frontiers; like the PR
+    * family, per-round cost is one slim edges |><| labels shuffle-join
+    * + one map-side-partial argmax (lexicographic struct min over
+    * (-count, label) — no Window), frames pinned per round
+    * ([[pageRankFixed]]'s lineage discipline, same `checkpointDir`
+    * durability knob).
+    *
+    * `seeds(seedId, seedLabel)`: at most one row per id (duplicate
+    * seed labels for one id would duplicate its node row — enforced).
+    * Returns `(id, label)` over the node universe (edge endpoints ∪
+    * seeds); label NULL = unreached. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedId: String, seedLabel: String, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct())
+    val sd = seeds.select(col(seedId).as("id"),
+      col(seedLabel).as("seed_label"))
+      .withColumn("__c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      // duplicate seed rows would duplicate the node row and make the
+      // clamp ambiguous — fail loudly with the offending id (seeds are
+      // small by contract, so the one-column window is cheap)
+      .where(assert_true(col("__c") === 1,
+        concat(lit("labelPropagate: duplicate seed rows for id "),
+          col("id").cast(org.apache.spark.sql.types.StringType))).isNull)
+      .drop("__c")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .union(sd.select(col("id"))).distinct()
+    var lab = pin(nodes.join(sd, Seq("id"), "left")
+      .select(col("id"), col("seed_label"),
+        col("seed_label").as("label")))
+    var round = 0
+    while (round < iters) {
+      val cnt = e.join(
+          lab.where(col("label").isNotNull)
+            .select(col("id").as("src"), col("label")),
+          Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val pick = cnt
+        .select(col("id"),
+          struct((-col("c")).as("nc"), col("label").as("l")).as("p"))
+        .groupBy(col("id")).agg(min(col("p")).as("p"))
+        .select(col("id"), col("p.l").as("__picked"))
+      lab = pin(lab.join(pick, Seq("id"), "left")
+        .select(col("id"), col("seed_label"),
+          when(col("seed_label").isNotNull, col("seed_label"))
+            .otherwise(coalesce(col("__picked"), col("label")))
+            .as("label")))
+      round += 1
+    }
+    lab.select(col("id"), col("label"))
+  }
 }

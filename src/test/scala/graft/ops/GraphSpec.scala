@@ -211,4 +211,42 @@ class GraphSpec extends SparkSpecBase with Matchers {
     (ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString) should
       include("non-positive")
   }
+
+  private def lpa(edges: Seq[(Long, Long)], seeds: Seq[(Long, String)],
+      iters: Int): Map[Long, Option[String]] = {
+    import org.apache.spark.sql.functions.col
+    Graph.labelPropagate(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("id", "lab"), "id", "lab", iters)
+      .select(col("id"), col("label"))
+      .as[(Long, Option[String])].collect().toMap
+  }
+
+  test("labelPropagate: clamped seeds, deterministic tie-break to the " +
+      "ascending label, frontier advances one hop per round") {
+    // 1(a) -> 3 <- 2(b): tie at 3 resolves to 'a'
+    // 1 -> 4 -> 5: chain reached at distance 2
+    // 6 -> 1: labels flow src->dst, so 6 is never reached
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (4L, 5L), (6L, 1L))
+    val seeds = Seq((1L, "a"), (2L, "b"))
+    val r1 = lpa(edges, seeds, iters = 1)
+    r1(3L) shouldBe Some("a")   // tie {a, b} -> ascending label
+    r1(4L) shouldBe Some("a")
+    r1(5L) shouldBe None        // two hops away: not yet
+    r1(6L) shouldBe None        // no in-edges from labeled nodes, ever
+    r1(1L) shouldBe Some("a")   // seeds clamped
+    r1(2L) shouldBe Some("b")
+    val r2 = lpa(edges, seeds, iters = 2)
+    r2(5L) shouldBe Some("a")   // frontier advanced
+    r2(3L) shouldBe Some("a")   // stable under further rounds
+    // majority beats the tie-break: give 3 a second 'b' voter
+    val r3 = lpa(edges ++ Seq((7L, 3L)), seeds ++ Seq((7L, "b")), 1)
+    r3(3L) shouldBe Some("b")
+  }
+
+  test("labelPropagate rejects duplicate seed rows loudly") {
+    val ex = intercept[Exception](
+      lpa(Seq((1L, 2L)), Seq((1L, "a"), (1L, "b")), 1))
+    (ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString) should
+      include("duplicate seed")
+  }
 }
