@@ -1553,6 +1553,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),
+    "q_quota_mix" -> ((s, dir) => {
+      // EXACT-TOTAL proportional mix (Sampling.quotaSampleByGroup):
+      // hit a hard 100-doc budget with per-LANG shares within one row
+      // of exact proportionality — largest-remainder quotas (integer
+      // arithmetic, replayed verbatim) + the quota smallest id-hashes
+      // per lang. Rate-based mixing drifts off an exact total; a
+      // global bottom-k ignores strata; this does both. The lang
+      // strata are UNEVEN (en 218 / zh 75 / es 73 / de 70 / fr 64 at
+      // sf0.01), so the remainder units and the ascending-name tie
+      // (en vs es, both r=300) are genuinely exercised: quotas
+      // en 44 / zh 15 / es 14 / de 14 / fr 13.
+      Sampling.quotaSampleByGroup(t(s, dir, "documents"), "lang",
+          "doc_id", totalK = 100)
+        .orderBy("lang", "rank")
+    }),
     "q_pack" -> ((s, dir) => {
       // Sequence packing into 2048-token context windows, one stream
       // per source (concat-and-chunk; see TextAnalysis.packSequences).
@@ -4564,6 +4579,31 @@ object SparkEntry {
          SELECT doc_id, source FROM b
          WHERE bucket < CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 500 ELSE 800 END
          ORDER BY doc_id""",
+    // Quota replay: integer largest-remainder apportionment + the
+    // per-source unsigned hash-rank chain, rn <= quota.
+    "q_quota_mix" ->
+      raw"""WITH cnt AS (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n
+                         FROM documents GROUP BY lang),
+               tot AS (SELECT sum(n) AS nt FROM cnt),
+               bs AS (SELECT g, n, (100 * n) // nt AS b, (100 * n) % nt AS r
+                      FROM cnt, tot),
+               sb AS (SELECT 100 - sum(b) AS extra FROM bs),
+               rkq AS (SELECT g, b,
+                              row_number() OVER (ORDER BY r DESC, g) AS rr
+                       FROM bs),
+               q AS (SELECT g, b + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS quota
+                     FROM rkq, sb),
+               d0 AS (SELECT lang, doc_id, CAST(doc_id AS HUGEINT) AS z
+                      FROM documents),
+               ${splitmixCtesSql("d0", "lang, doc_id")},
+               rk AS (SELECT lang, doc_id,
+                             row_number() OVER (PARTITION BY lang ORDER BY z) AS rn
+                      FROM h5)
+          SELECT rk.lang, CAST(q.quota AS BIGINT) AS quota, rk.doc_id,
+                 CAST(rk.rn - 1 AS BIGINT) AS rank
+          FROM rk JOIN q ON q.g = rk.lang
+          WHERE rk.rn <= q.quota
+          ORDER BY lang, rank""",
     "q_pack" ->
       """WITH tk AS (SELECT doc_id, source,
                             CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
@@ -5125,5 +5165,5 @@ object SparkEntry {
     "q_rolling_distinct",
     // round 12
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
-    "q_linkage_fs", "q_zonemap", "q_label_prop")
+    "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix")
 }

@@ -90,6 +90,57 @@ object Sampling {
         (weight.cast(DoubleType) / u.cast(DoubleType)).as("priority")),
       strataCol, idCol, "priority", k)
   }
+
+  /** EXACT-TOTAL proportional sampling — hit a hard budget (`totalK`
+    * rows / documents / examples) while keeping every stratum's share
+    * proportional to its size: per-group quotas by LARGEST-REMAINDER
+    * apportionment (Hamilton's method — `floor(totalK * n_g / ntot)`
+    * each, the leftover units to the largest remainders, ties to the
+    * ascending group name), then the quota smallest id-hashes per
+    * group. Rate-based mixing ([[TextAnalysis.mixCorpus]]) cannot hit
+    * an exact total (rounding per group drifts), a global bottom-k
+    * ignores strata; this does both: sum of outputs == totalK
+    * EXACTLY, and each group is within one row of its exact
+    * proportional share. All integer arithmetic — the quota derivation
+    * replays verbatim in the oracle.
+    *
+    * Scale shape: one count aggregate collects #groups rows to the
+    * driver ([[TextAnalysis.temperatureMix]]'s documented
+    * low-cardinality contract — sources, languages), then ONE bounded
+    * bottom-k aggregate exchange (k = max quota per (group,
+    * partition)) with the per-group cut applied on the exploded ranks
+    * — no Window, no join-back, the corpus never shuffles.
+    * `totalK * n_g` must fit a long (totalK is an Int — fine to
+    * exabyte row counts). Returns `(strataCol, quota, idCol, rank)`,
+    * rank ascending in unsigned hash order within each group. */
+  def quotaSampleByGroup(df: DataFrame, strataCol: String, idCol: String,
+      totalK: Int): DataFrame = {
+    require(totalK >= 1, s"totalK must be >= 1, got $totalK")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val ntot = counts.map(_._2).sum
+    require(ntot >= totalK,
+      s"totalK=$totalK exceeds the corpus size $ntot")
+    val base = counts.map { case (g, n) =>
+      (g, totalK * n / ntot, totalK * n % ntot) }
+    val extra = (totalK - base.map(_._2).sum).toInt
+    val quotas = base.sortBy { case (g, _, r) => (-r, g) }.zipWithIndex
+      .map { case ((g, b, _), i) => g -> (b + (if (i < extra) 1L else 0L)) }
+      .toMap
+    val maxQ = quotas.values.max.toInt
+    val quotaCol = counts.foldLeft(lit(null).cast(LongType)) {
+      case (acc, (g, _)) => when(col(strataCol) === g, lit(quotas(g)))
+        .otherwise(acc)
+    }
+    df.groupBy(col(strataCol))
+      .agg(bottomKByHash(LongHashes.splitmix64(col(idCol)), col(idCol),
+        maxQ).as("picks"))
+      .select(col(strataCol), posexplode(col("picks")).as(Seq("rank", "p")))
+      .withColumn("quota", quotaCol)
+      .where(col("rank") < col("quota"))
+      .select(col(strataCol), col("quota"), col("p.id").as(idCol),
+        col("rank").cast(LongType).as("rank"))
+  }
 }
 
 /** TypedImperativeAggregate keeping the k smallest (hash, id) pairs in

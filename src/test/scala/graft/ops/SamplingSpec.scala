@@ -138,4 +138,41 @@ class SamplingSpec extends SparkSpecBase with Matchers {
       }
     }
   }
+
+  test("quotaSampleByGroup: largest-remainder quotas sum to exactly " +
+      "totalK, remainder ties break to the ascending group name, and " +
+      "picks are each group's bottom-quota hash prefix") {
+    import org.apache.spark.sql.functions.col
+    // sizes 5/3/2, totalK=7: shares 3.5/2.1/1.4 -> base 3/2/1 (sum 6),
+    // remainders .5/.1/.4 -> the single extra unit goes to 'a'
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }
+      .toDF("g", "id")
+    val out = Sampling.quotaSampleByGroup(df, "g", "id", totalK = 7)
+      .select("g", "quota", "id", "rank")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    out.map(_._2).sum should not be 0
+    val quotas = out.groupBy(_._1).map { case (g, rs) => g -> rs.head._2 }
+    quotas shouldBe Map("a" -> 4L, "b" -> 2L, "c" -> 1L)
+    out.size shouldBe 7
+    // picks are the prefix of the per-group unsigned hash order
+    val byHash = df.as[(String, Long)].collect()
+      .map { case (g, id) =>
+        (g, id, graft.functions.LongHashes.splitmix64Of(id)) }
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.sortBy(_._3 ^ Long.MinValue).map(_._2).toSeq }
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      rows.sortBy(_._4).map(_._3) shouldBe
+        byHash(g).take(quotas(g).toInt)
+    }
+    // remainder TIE: sizes 3/3/2, totalK = 4 -> shares 1.5/1.5/1.0 ->
+    // base 1/1/1, remainders .5/.5/.0, ONE extra unit, tie between
+    // 'x' and 'y' -> ascending name wins: 'x'
+    val df2 = (Seq.fill(3)("x") ++ Seq.fill(3)("y") ++ Seq.fill(2)("z"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }
+      .toDF("g", "id")
+    val q2 = Sampling.quotaSampleByGroup(df2, "g", "id", totalK = 4)
+      .select("g", "quota").as[(String, Long)].collect().toSet
+    q2 shouldBe Set(("x", 2L), ("y", 1L), ("z", 1L))
+  }
 }
