@@ -733,4 +733,66 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should include("ExistingRDD") // lineage cut at the last round pin
     p should not include "Exchange hashpartitioning"
   }
+
+  test("q_snapshot_diff: the unavoidable full-outer key join is there " +
+      "exactly once; the merge that BUILDS the new snapshot stays all-" +
+      "broadcast (the snapshot itself never shuffles into the merge)") {
+    val p = plan("q_snapshot_diff")
+    p should include("FullOuter")
+    p should include("BroadcastHashJoin")
+    "FullOuter".r.findAllIn(p).size shouldBe 1
+  }
+
+  test("q_split_leakfree: no Window sort on the assignment path; the " +
+      "cascade+closure members frame is pinned (ExistingRDD), so the " +
+      "corpus-side work is the two slim bucket joins only") {
+    val p = plan("q_split_leakfree")
+    p should not include "Window"
+    p should include("ExistingRDD") // nearDupClusters' per-round pins
+  }
+
+  test("q_semantic_contamination: bucketing is the PlaneSigns kernel " +
+      "and the candidate join is bucket-keyed, never all-pairs") {
+    val p = plan("q_semantic_contamination")
+    p should include("graft_plane_signs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_linkage_fs: pair scan keyed on (block, gi, gj) with explicit " +
+      "partition counts; score and decision run inline — no Window, " +
+      "no post-join exchange of the pair stream") {
+    val p = plan("q_linkage_fs")
+    p should not include "Window"
+    p should include("Exchange hashpartitioning(block")
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[block".r
+      .findFirstIn(p) should not be empty
+  }
+
+  test("q_zonemap: sketch edges ride a broadcast onto narrow scans; " +
+      "zone-map envelopes aggregate map-side-partially") {
+    val p = plan("q_zonemap")
+    p should include("BroadcastExchange")
+    p should include("partial_min")
+    // the boundary sketch is the bottom-k-by-hash aggregate, once per
+    // layout (clustered edges + natural edges)
+    "partial_graft_bottom_k_by_hash".r.findAllIn(p).size shouldBe 2
+    p should not include "Window"
+  }
+
+  test("q_label_prop: per-round frames are pinned (the final plan " +
+      "reads the round-3 RDD) like the PageRank family") {
+    val p = plan("q_label_prop")
+    p should include("ExistingRDD")
+    p should not include "Window" // the seed-dup guard sits behind the pin
+  }
+
+  test("q_quota_mix: ONE bounded bottom-k aggregate exchange; the " +
+      "quota cut is a literal when-chain — no Window, no join-back") {
+    val p = plan("q_quota_mix")
+    p should include("partial_graft_bottom_k_by_hash")
+    p should not include "Window"
+    p should not include "SortMergeJoin"
+    p should not include "BroadcastHashJoin"
+  }
 }
