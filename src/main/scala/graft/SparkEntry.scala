@@ -893,6 +893,25 @@ object SparkEntry {
       Merge.applyChanges(snapshot, compacted.drop("ts"), "c_custkey", "op")
         .orderBy("c_custkey")
     }),
+    "q_profile_drift" -> ((s, dir) => {
+      // PER-COLUMN profile drift (Stats.profileDrift) — the schema-
+      // level drop check: the value-level monitors (q_drift /
+      // q_drift_eqdepth) watch one column's distribution; this watches
+      // every column's shape at once across the same ref/cur event-log
+      // split — exact n/nulls/min/max per side, KMV distinct estimate,
+      // null-rate delta as one fixed-order double formula. ONE plain
+      // map-side-partial aggregate per side (no Expand), #cols-row
+      // melt + join; user_id's null mass makes the delta non-vacuous.
+      val ev = t(s, dir, "events").select(
+        col("user_id"),
+        floor(col("value") * 1000000.0 + lit(0.5)).cast(LongType).as("vm"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      graft.ops.Stats.profileDrift(
+          ev.where(col("day") < 19740), ev.where(col("day") >= 19740),
+          Seq(("user_id", col("user_id")), ("v_micros", col("vm")),
+            ("day", col("day"))))
+        .orderBy("col_name")
+    }),
     "q_linkage_fs" -> ((s, dir) => {
       // Fellegi–Sunter probabilistic linkage over p_type blocks: three
       // fields with (m, u) evidence weights — a rare-field agreement
@@ -3113,6 +3132,51 @@ object SparkEntry {
                       FROM ch c LEFT JOIN customer s ON s.c_custkey = c.k
                       WHERE c.op = 'U' AND s.c_custkey IS NULL)
          SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY c_custkey""",
+    // Profile-drift replay: side-labelled unpivot, ONE splitmix chain
+    // carrying (side, col_name), per-cell exact stats + the KMV
+    // estimator, identical null-rate formula.
+    "q_profile_drift" ->
+      raw"""WITH ev AS (SELECT user_id,
+                               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm,
+                               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+                        FROM events),
+               lbl AS (SELECT *, CASE WHEN day < 19740 THEN 'ref' ELSE 'cur' END AS sd
+                       FROM ev),
+               up AS (SELECT sd, 'user_id' AS col_name, user_id AS v FROM lbl
+                      UNION ALL SELECT sd, 'v_micros', vm FROM lbl
+                      UNION ALL SELECT sd, 'day', day FROM lbl),
+               d AS (SELECT DISTINCT sd, col_name, CAST(v AS HUGEINT) AS z
+                     FROM up WHERE v IS NOT NULL),
+               ${splitmixCtesSql("d", "sd, col_name")},
+               kk AS (SELECT sd, col_name,
+                             list_sort(list(CAST(z AS UBIGINT)))[1:256] AS ks
+                      FROM h5 GROUP BY sd, col_name),
+               e AS (SELECT sd, col_name,
+                            CASE WHEN len(ks) < 256 THEN CAST(len(ks) AS BIGINT)
+                                 ELSE CAST(LEAST(CAST(255 AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT)
+                                                   // CAST(list_max(ks) AS HUGEINT),
+                                                 CAST('9223372036854775807' AS HUGEINT)) AS BIGINT)
+                            END AS dist
+                     FROM kk),
+               st AS (SELECT sd, col_name, count(v) AS n,
+                             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                             min(v) AS mn, max(v) AS mx
+                      FROM up GROUP BY sd, col_name),
+               j AS (SELECT r.col_name,
+                            r.n AS n_ref, r.nulls AS nulls_ref, er.dist AS dist_ref,
+                            r.mn AS min_ref, r.mx AS max_ref,
+                            c.n AS n_cur, c.nulls AS nulls_cur, ec.dist AS dist_cur,
+                            c.mn AS min_cur, c.mx AS max_cur
+                     FROM st r JOIN st c ON c.col_name = r.col_name
+                                        AND r.sd = 'ref' AND c.sd = 'cur'
+                               JOIN e er ON er.col_name = r.col_name AND er.sd = 'ref'
+                               JOIN e ec ON ec.col_name = r.col_name AND ec.sd = 'cur')
+          SELECT col_name, n_ref, nulls_ref, dist_ref, min_ref, max_ref,
+                 n_cur, nulls_cur, dist_cur, min_cur, max_cur,
+                 CAST(nulls_cur AS DOUBLE) / CAST(n_cur + nulls_cur AS DOUBLE)
+                   - CAST(nulls_ref AS DOUBLE) / CAST(n_ref + nulls_ref AS DOUBLE)
+                   AS null_rate_delta
+          FROM j ORDER BY col_name""",
     // FS linkage replay: same blocked pair scan, null-safe agreement,
     // the identical left-assoc double product (ratios as STRING-cast
     // doubles — correctly-rounded parse, not the decimal-literal path).
@@ -5165,5 +5229,6 @@ object SparkEntry {
     "q_rolling_distinct",
     // round 12
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
-    "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix")
+    "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
+    "q_profile_drift")
 }

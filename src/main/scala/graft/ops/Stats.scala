@@ -248,4 +248,50 @@ object Stats {
         lit(0.0), (acc, x) => acc + x) * 0.5).as("tvd"))
     perBin.crossJoin(broadcast(tvd))
   }
+
+  /** PER-COLUMN profile drift between two snapshots — the SCHEMA-level
+    * drop check next to the value-level monitors ([[histogramDrift]] /
+    * [[histogramDriftEqDepth]] watch ONE column's distribution; this
+    * watches every column's shape metrics at once): per column and
+    * side, exact non-null count / null count / min / max plus the KMV
+    * distinct-count estimate ([[Sketches.kmvDistinct]] — exact below
+    * `k` distincts, ~1/sqrt(k) relative error above), joined ref-vs-cur
+    * with the null-rate delta as one fixed-order double formula. The
+    * questions it answers before training on a new drop: did a column
+    * go null-heavy, did an id column's cardinality collapse (dedup
+    * upstream broke), did a value column's range jump (unit change).
+    *
+    * `cols` maps output names to INTEGRAL column expressions
+    * (fixed-point doubles first — the house pattern; values must be
+    * non-negative if the oracle replays the hash chain via HUGEINT).
+    * Scale shape: ONE plain aggregate per side — all metrics for all
+    * columns in a single map-side-partial pass, no Expand (the
+    * q_profile_sketch discipline), 16k bytes per column per partition
+    * for the sketches — then a #cols-row melt and join. Nothing
+    * corpus-sized ever reshuffles. */
+  def profileDrift(ref: DataFrame, cur: DataFrame,
+      cols: Seq[(String, org.apache.spark.sql.Column)],
+      k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    def side(df: DataFrame, sfx: String): DataFrame = {
+      val aggs = cols.flatMap { case (nm, c) => Seq(
+        count(c).as(s"${nm}__n"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${nm}__nulls"),
+        Sketches.kmvDistinct(
+          graft.functions.LongHashes.splitmix64(c), k)
+          .getField("est").as(s"${nm}__dist"),
+        min(c).as(s"${nm}__min"), max(c).as(s"${nm}__max")) }
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = cols.map { case (nm, _) =>
+        s"'$nm', ${nm}__n, ${nm}__nulls, ${nm}__dist, ${nm}__min, ${nm}__max" }
+        .mkString(s"stack(${cols.length}, ", ", ", ")")
+      wide.select(expr(s"$stackExpr AS (col_name, n_$sfx, nulls_$sfx, " +
+        s"dist_$sfx, min_$sfx, max_$sfx)"))
+    }
+    def nullRate(sfx: String) =
+      col(s"nulls_$sfx").cast(DoubleType) /
+        (col(s"n_$sfx") + col(s"nulls_$sfx")).cast(DoubleType)
+    side(ref, "ref").join(side(cur, "cur"), Seq("col_name"))
+      .withColumn("null_rate_delta", nullRate("cur") - nullRate("ref"))
+  }
 }

@@ -150,4 +150,29 @@ class StatsSpec extends SparkSpecBase with Matchers {
         .as[(String, Long, Double, Double, Double)].collect().toSeq
     run(1) shouldBe run(7)
   }
+
+  test("profileDrift: exact stats per side, null-rate delta both " +
+      "directions, distinct estimate exact below k") {
+    import org.apache.spark.sql.functions.col
+    val ref = Seq(Option(1L), Option(2L), Option(3L), Option(3L), None)
+      .zipWithIndex.map { case (a, i) => (a, Option(i.toLong)) }
+      .toDF("a", "b") // a: 1 null of 5, 3 distinct; b: none null, 5 distinct
+    val cur = Seq(
+      (Option(7L), Option(0L)), (Option(7L), Option.empty[Long]),
+      (Option(8L), Option.empty[Long]), (Option(9L), Option(1L)))
+      .toDF("a", "b") // a: 0 null of 4, 3 distinct; b: 2 null of 4
+    val out = Stats.profileDrift(ref, cur,
+        Seq(("a", col("a")), ("b", col("b"))))
+      .select("col_name", "n_ref", "nulls_ref", "dist_ref", "min_ref",
+        "max_ref", "n_cur", "nulls_cur", "dist_cur", "min_cur", "max_cur",
+        "null_rate_delta")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      // a: null rate 1/5 -> 0/4 (negative delta)
+      ("a", 4L, 1L, 3L, 1L, 3L, 4L, 0L, 3L, 7L, 9L, 0.0 / 4 - 1.0 / 5),
+      // b: null rate 0/5 -> 2/4 (positive delta)
+      ("b", 5L, 0L, 5L, 0L, 4L, 2L, 2L, 2L, 0L, 1L, 2.0 / 4 - 0.0 / 5))
+  }
 }
