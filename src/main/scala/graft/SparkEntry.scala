@@ -364,6 +364,23 @@ object SparkEntry {
       EventAnalytics.sessionize(ev, "user_id", "tt", gapSeconds = 6 * 3600)
         .orderBy("user_id", "session_idx")
     }),
+    "q_attribution" -> ((s, dir) => {
+      // First/last-touch conversion attribution (EventAnalytics
+      // .attribution): per purchase, the first and last view/click in
+      // the trailing 24h window — ONE user-key exchange + sort shared
+      // by both RANGE frames (fused into a single Window operator,
+      // pinned), first/last picked via struct min/max in one pass (no
+      // self-join, no per-conversion re-scan). NULL channel = no touch
+      // in window (the tracking-health signal), non-empty both ways
+      // at sf0.01.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tt"),
+        col("event_type"))
+      EventAnalytics.attribution(ev, "user_id", "tt", "event_type",
+          touchTypes = Seq("click", "view"), convType = "purchase",
+          lookbackUs = 86400000000L)
+        .orderBy("user_id", "conv_us")
+    }),
     "q_transitions" -> ((s, dir) => {
       // Per-user Markov transition matrix over event types (event_id
       // breaks timestamp ties, so the sequence — and the matrix — is
@@ -3499,6 +3516,32 @@ object SparkEntry {
     // == epoch_us of the ns->us-truncated TIMESTAMP read), same
     // count-then-one-division recipe — retention is a single IEEE
     // division of exact BIGINTs, bit-exact across engines.
+    // Attribution replay: the identical RANGE window with named-struct
+    // min/max (lexicographic (t_us, ch) comparison both engines; ties
+    // at equal t_us break on the channel string).
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                     FROM events),
+              wv AS (SELECT user_id, event_type, us,
+                            min(CASE WHEN event_type IN ('click','view')
+                                     THEN {'t_us': us, 'ch': event_type} END)
+                              OVER w AS f,
+                            max(CASE WHEN event_type IN ('click','view')
+                                     THEN {'t_us': us, 'ch': event_type} END)
+                              OVER w AS l,
+                            count(CASE WHEN event_type IN ('click','view')
+                                       THEN 1 END) OVER w AS nt
+                     FROM ev
+                     WINDOW w AS (PARTITION BY user_id ORDER BY us
+                                  RANGE BETWEEN 86400000000 PRECEDING
+                                            AND CURRENT ROW))
+         SELECT user_id, us AS conv_us,
+                (f).ch AS first_channel, (f).t_us AS first_us,
+                (l).ch AS last_channel, (l).t_us AS last_us,
+                nt AS n_touches
+         FROM wv WHERE event_type = 'purchase'
+         ORDER BY user_id, conv_us""",
     "q_transitions" ->
       """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                            event_id, event_type FROM events),
@@ -5230,5 +5273,5 @@ object SparkEntry {
     // round 12
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
-    "q_profile_drift")
+    "q_profile_drift", "q_attribution")
 }

@@ -456,4 +456,57 @@ object EventAnalytics {
         (col("n_active").cast(DoubleType) / col("n_cohort").cast(DoubleType))
           .as("retention"))
   }
+
+  /** FIRST/LAST-TOUCH conversion attribution — the credit-assignment
+    * step after [[funnel]] measures whether users convert at all: for
+    * every conversion event, which touch (ad view, click, referral —
+    * any `touchTypes` member) within the trailing `lookbackUs`
+    * micros window gets the credit? Emits one row per conversion with
+    * the first and last qualifying touch's type and timestamp plus the
+    * touch count — feed a groupBy over the channels for the campaign
+    * report. No RNG, no position fractions (linear/U-shaped models
+    * need per-touch credit SPLITTING — a different output grain;
+    * first/last are the two models every attribution system starts
+    * with, and both are exact here).
+    *
+    * Shape: ONE key exchange + partition sort shared by two RANGE
+    * frames over the SAME window spec (Spark fuses them into a single
+    * Window operator — the q_rank_suite discipline): per conversion,
+    * `min/max(struct(touch_us, type))` over `[ts - lookbackUs, ts]`
+    * picks the first/last touch in one pass — no self-join, no
+    * per-conversion re-scan; equal-timestamp touches tie-break on the
+    * type string lexicographically (max: later name wins; min:
+    * earlier), identical in both engines. Same per-user-cardinality
+    * contract as [[sessionize]]; conversions with no touch in the
+    * window emit NULL channel (count them — a high null share means
+    * the lookback is too short or tracking is broken). */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, touchTypes: Seq[String], convType: String,
+      lookbackUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot also be a touch type")
+    require(lookbackUs > 0, s"lookbackUs must be positive, got $lookbackUs")
+    val us = unix_micros(col(tsCol))
+    val isTouch = col(typeCol).isInCollection(touchTypes)
+    val w = Window.partitionBy(col(userCol)).orderBy(us)
+      .rangeBetween(-lookbackUs, 0L)
+    val touchStruct = when(isTouch,
+      struct(us.as("t_us"), col(typeCol).as("ch")))
+    events
+      // one projection: all three expressions share the window spec, so
+      // they land in ONE Window operator (separate withColumns plan one
+      // Window each — the q_rank_suite lesson)
+      .select(col(userCol), col(typeCol), us.as("__us"),
+        min(touchStruct).over(w).as("__first"),
+        max(touchStruct).over(w).as("__last"),
+        count(when(isTouch, lit(1))).over(w).as("__n_touches"))
+      .where(col(typeCol) === convType)
+      .select(col(userCol), col("__us").as("conv_us"),
+        col("__first.ch").as("first_channel"),
+        col("__first.t_us").as("first_us"),
+        col("__last.ch").as("last_channel"),
+        col("__last.t_us").as("last_us"),
+        col("__n_touches").as("n_touches"))
+  }
 }

@@ -787,6 +787,13 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window" // the seed-dup guard sits behind the pin
   }
 
+  test("q_attribution: both RANGE frames and the touch count fuse into " +
+      "ONE Window operator over one user-key exchange") {
+    val p = plan("q_attribution")
+    "\\bWindow \\[".r.findAllIn(p).size shouldBe 1
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size shouldBe 1
+  }
+
   test("q_quota_mix: ONE bounded bottom-k aggregate exchange; the " +
       "quota cut is a literal when-chain — no Window, no join-back") {
     val p = plan("q_quota_mix")

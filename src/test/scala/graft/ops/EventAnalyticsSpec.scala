@@ -273,4 +273,32 @@ class EventAnalyticsSpec extends SparkSpecBase with Matchers {
       EventAnalytics.transitionMatrix(ev, "user_id", "tt", "event_id",
         "event_type").orderBy("from_type", "to_type").collect()
   }
+
+  test("attribution: first/last touch in the lookback window, boundary " +
+      "inclusion, equal-ts tie-break, and the no-touch NULL case") {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    // user 1: view@100, click@100 (tie), view@160, purchase@150,
+    //         purchase@400 (lookback 200: only view@160 too old? 400-200
+    //         = 200 <= ... window [200, 400] excludes 160 -> NULL)
+    // user 2: view exactly at lookback edge: touch@200, purchase@400
+    //         (window [200, 400] INCLUDES the boundary touch)
+    val rows = Seq(
+      (1L, 100L, "view"), (1L, 100L, "click"), (1L, 150L, "purchase"),
+      (1L, 160L, "view"), (1L, 400L, "purchase"),
+      (2L, 200L, "view"), (2L, 400L, "purchase"))
+    val ev = rows.toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("tt"),
+        col("event_type"))
+    val out = EventAnalytics.attribution(ev, "user_id", "tt",
+        "event_type", Seq("click", "view"), "purchase", lookbackUs = 200L)
+      .select("user_id", "conv_us", "first_channel", "last_channel",
+        "n_touches")
+      .as[(Long, Long, Option[String], Option[String], Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    out shouldBe Seq(
+      // tie at 100: min struct -> 'click', max struct -> 'view'
+      (1L, 150L, Some("click"), Some("view"), 2L),
+      (1L, 400L, None, None, 0L),
+      (2L, 400L, Some("view"), Some("view"), 1L))
+  }
 }
