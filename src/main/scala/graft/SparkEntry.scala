@@ -364,6 +364,44 @@ object SparkEntry {
       EventAnalytics.sessionize(ev, "user_id", "tt", gapSeconds = 6 * 3600)
         .orderBy("user_id", "session_idx")
     }),
+    "q_winsorize" -> ((s, dir) => {
+      // Per-type winsorization (Stats.winsorize) — the CLEANING step
+      // q_outliers_robust's flags call for: clamp each event's value
+      // into its type's [p05, p95] sketch-quantile band instead of
+      // dropping the row. Band edges off the hash-deterministic
+      // sketch + fixed-order interpolation, broadcast back onto a
+      // narrow scan — the log never shuffles; every clamped double
+      // replays bit-exactly.
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 1000000.0 + lit(0.5)).cast(LongType).as("v"))
+      graft.ops.Stats.winsorize(ev, "event_id", "event_type", "v",
+          pLo = 0.05, pHi = 0.95)
+        .orderBy("event_id")
+    }),
+    "q_trending" -> ((s, dir) => {
+      // RISING heavy hitters — the monitoring twin of q_heavy_hitters
+      // (absolute mass) and q_drift (whole-distribution shift): which
+      // KEYS grew the most between the event-log halves? Laplace-
+      // smoothed ratio (n_cur+1)/(n_ref+1) — one exact double division
+      // of long counts, so new keys (ref=0) rank high but bounded, and
+      // the oracle replays it bit-for-bit. Shape: per-key counts per
+      // side ride ONE shuffle with map-side partials (conditional
+      // sums, no second scan), then a bounded TakeOrderedAndProject —
+      // no global sort, nothing corpus-sized past the aggregate.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+        .where(col("user_id").isNotNull)
+      ev.groupBy(col("user_id"))
+        .agg(
+          sum(when(col("day") < 19740, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("day") >= 19740, 1L).otherwise(0L)).as("n_cur"))
+        .withColumn("lift",
+          (col("n_cur") + lit(1L)).cast(DoubleType) /
+            (col("n_ref") + lit(1L)).cast(DoubleType))
+        .orderBy(col("lift").desc, col("n_cur").desc, col("user_id"))
+        .limit(20)
+    }),
     "q_attribution" -> ((s, dir) => {
       // First/last-touch conversion attribution (EventAnalytics
       // .attribution): per purchase, the first and last view/click in
@@ -3516,6 +3554,44 @@ object SparkEntry {
     // == epoch_us of the ns->us-truncated TIMESTAMP read), same
     // count-then-one-division recipe — retention is a single IEEE
     // division of exact BIGINTs, bit-exact across engines.
+    // Winsorize replay: the robust-outlier sketch chain per type, p05/
+    // p95 via the shared interpolation, null-guarded clamp.
+    "q_winsorize" ->
+      raw"""WITH e AS (SELECT event_id, event_type,
+                              CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+                       FROM events),
+               d0 AS (SELECT event_type, v, CAST(event_id AS HUGEINT) AS z
+                      FROM e WHERE v IS NOT NULL),
+               ${splitmixCtesSql("d0", "event_type, v")},
+               rk AS (SELECT event_type, v,
+                             row_number() OVER (PARTITION BY event_type ORDER BY z) AS rn
+                      FROM h5),
+               sm AS (SELECT event_type, list_sort(list(v)) AS vs,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM rk WHERE rn <= 256 GROUP BY event_type),
+               bd AS (SELECT event_type,
+                             ${sketchQuantileSql("vs", "n", "0.05")} AS q_lo,
+                             ${sketchQuantileSql("vs", "n", "0.95")} AS q_hi
+                      FROM sm)
+          SELECT e.event_id, e.event_type, e.v,
+                 CASE WHEN e.v IS NOT NULL
+                      THEN greatest(least(CAST(e.v AS DOUBLE), bd.q_hi), bd.q_lo)
+                 END AS v_winsor,
+                 (CAST(e.v AS DOUBLE) < bd.q_lo) AS clipped_lo,
+                 (CAST(e.v AS DOUBLE) > bd.q_hi) AS clipped_hi
+          FROM e JOIN bd USING (event_type)
+          ORDER BY event_id""",
+    "q_trending" ->
+      """WITH ev AS (SELECT user_id,
+                            epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+                     FROM events WHERE user_id IS NOT NULL),
+              c AS (SELECT user_id,
+                           CAST(sum(CASE WHEN day < 19740 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                           CAST(sum(CASE WHEN day >= 19740 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+                    FROM ev GROUP BY user_id)
+         SELECT user_id, n_ref, n_cur,
+                CAST(n_cur + 1 AS DOUBLE) / CAST(n_ref + 1 AS DOUBLE) AS lift
+         FROM c ORDER BY lift DESC, n_cur DESC, user_id LIMIT 20""",
     // Attribution replay: the identical RANGE window with named-struct
     // min/max (lexicographic (t_us, ch) comparison both engines; ties
     // at equal t_us break on the channel string).
@@ -5273,5 +5349,5 @@ object SparkEntry {
     // round 12
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
-    "q_profile_drift", "q_attribution")
+    "q_profile_drift", "q_attribution", "q_trending", "q_winsorize")
 }

@@ -249,6 +249,46 @@ object Stats {
     perBin.crossJoin(broadcast(tvd))
   }
 
+  /** PER-KEY WINSORIZATION — the cleaning step the outlier monitors
+    * ([[robustZOutliers]]) flag for: clamp each value into its key's
+    * [pLo, pHi] quantile band instead of dropping the row (drop biases
+    * aggregates; clamping keeps the row with a bounded contribution —
+    * the standard treatment before computing means/regressions on
+    * heavy-tailed telemetry). Band edges come off the hash-
+    * deterministic [[Sketches.quantileSketch]] (the SAME kept rows
+    * independent of partitioning), read with the fixed-order
+    * interpolation, so every clamped value is a pure function of the
+    * row set and replays bit-exactly. Emits the original and clamped
+    * value plus the clip direction flags (count them — clip rates
+    * drifting is itself a monitor signal).
+    *
+    * Scale shape: one bounded sketch aggregate (16k bytes per (key,
+    * partition)), edges broadcast back onto a narrow scan — the
+    * corpus never shuffles (the zScoreOutliers bill). `valueCol`
+    * integral (fixed-point doubles first). */
+  def winsorize(df: DataFrame, idCol: String, keyCol: String,
+      valueCol: String, pLo: Double, pHi: Double,
+      k: Int = 256): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got $pLo / $pHi")
+    val hash = graft.functions.LongHashes.splitmix64(col(idCol))
+    val bands = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(Sketches.quantileSketch(hash, col(valueCol), k).as("qs"))
+      .select(col(keyCol),
+        Sketches.sketchQuantile(col("qs"), pLo).as("q_lo"),
+        Sketches.sketchQuantile(col("qs"), pHi).as("q_hi"))
+    val v = col(valueCol).cast(DoubleType)
+    df.join(broadcast(bands), keyCol)
+      .select(col(idCol), col(keyCol), col(valueCol),
+        // guarded: Spark's least/greatest SKIP nulls, so an unguarded
+        // clamp would rewrite a NULL value to q_hi — null in, null out
+        when(v.isNotNull,
+          greatest(least(v, col("q_hi")), col("q_lo"))).as("v_winsor"),
+        (v < col("q_lo")).as("clipped_lo"),
+        (v > col("q_hi")).as("clipped_hi"))
+  }
+
   /** PER-COLUMN profile drift between two snapshots — the SCHEMA-level
     * drop check next to the value-level monitors ([[histogramDrift]] /
     * [[histogramDriftEqDepth]] watch ONE column's distribution; this

@@ -151,6 +151,27 @@ class StatsSpec extends SparkSpecBase with Matchers {
     run(1) shouldBe run(7)
   }
 
+  test("winsorize: clamps into the sketch band, flags directions, " +
+      "null value stays null (no silent q_hi rewrite)") {
+    import org.apache.spark.sql.functions.col
+    // one key, 5 values + a null; k=256 >> n so the sketch holds all
+    // rows: p25 -> rank 1.0 -> 10.0, p75 -> rank 3.0 -> 30.0
+    val df = Seq((0L, Option(0L)), (1L, Option(10L)), (2L, Option(20L)),
+        (3L, Option(30L)), (4L, Option(40L)), (5L, Option.empty[Long]))
+      .map { case (id, v) => (id, "k", v) }.toDF("id", "g", "v")
+    val out = Stats.winsorize(df, "id", "g", "v", pLo = 0.25, pHi = 0.75)
+      .select("id", "v_winsor", "clipped_lo", "clipped_hi")
+      .as[(Long, Option[Double], Option[Boolean], Option[Boolean])]
+      .collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (0L, Some(10.0), Some(true), Some(false)),
+      (1L, Some(10.0), Some(false), Some(false)),
+      (2L, Some(20.0), Some(false), Some(false)),
+      (3L, Some(30.0), Some(false), Some(false)),
+      (4L, Some(30.0), Some(false), Some(true)),
+      (5L, None, None, None))
+  }
+
   test("profileDrift: exact stats per side, null-rate delta both " +
       "directions, distinct estimate exact below k") {
     import org.apache.spark.sql.functions.col
