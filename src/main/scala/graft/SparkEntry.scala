@@ -1652,6 +1652,18 @@ object SparkEntry {
           col("pack_id"), col("pack_offset"), col("spans_packs"))
         .orderBy("doc_id")
     }),
+    "q_span_dedup" -> ((s, dir) => {
+      // C4-style exact span dedup (TextAnalysis.spanDedup): all but
+      // one occurrence of any repeated 10-token span removed corpus-
+      // wide, deterministic min-(doc,pos) keeper — the SUB-document
+      // dedup mode whole-doc dedup misses (a shared boilerplate block
+      // between two mostly-different docs). 127 repeated spans at
+      // sf0.01 make removal non-vacuous; counts shuffle as 64-bit
+      // fingerprints, the frequent-span frame broadcasts back.
+      TextAnalysis.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+          spanWords = 10, minCount = 2)
+        .orderBy("doc_id")
+    }),
     "q_scrub" -> ((s, dir) => {
       // PII scrub. The synthetic corpus carries no URLs/emails/numbers,
       // so every 3rd doc gets a deterministic PII-bearing suffix
@@ -4800,6 +4812,34 @@ object SparkEntry {
                 ce % 2048 AS pack_offset,
                 (n_tokens > 0 AND (ce + n_tokens - 1) // 2048 > ce // 2048) AS spans_packs
          FROM c ORDER BY doc_id""",
+    // Span-dedup replay: same tokenizer, non-overlapping 10-token
+    // windows via lateral range, per-SPAN count + min-(doc,pos) keeper
+    // (hash-free grouping — collision-free equivalence to the
+    // fingerprint-keyed Spark shuffle), ordered reassembly.
+    "q_span_dedup" ->
+      raw"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+                       FROM documents),
+               occ AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                              array_to_string(toks[CAST(u.i*10+1 AS INTEGER) : CAST(u.i*10+10 AS INTEGER)], ' ') AS span
+                       FROM t, unnest(range(0, CAST((len(toks) + 9) // 10 AS INTEGER))) AS u(i)
+                       WHERE len(toks) > 0),
+               fq AS (SELECT span, count(*) AS n,
+                             min({'d': doc_id, 'p': pos}) AS kp
+                      FROM occ GROUP BY span),
+               kept AS (SELECT o.doc_id, o.pos, o.span
+                        FROM occ o JOIN fq f ON f.span = o.span
+                        WHERE f.n < 2
+                           OR (o.doc_id = (f.kp).d AND o.pos = (f.kp).p)),
+               re AS (SELECT doc_id, count(*) AS n_kept,
+                             array_to_string(list(span ORDER BY pos), ' ') AS text_clean
+                      FROM kept GROUP BY doc_id),
+               ns AS (SELECT doc_id, count(*) AS n_spans FROM occ GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(ns.n_spans, 0) AS n_spans,
+                 coalesce(ns.n_spans, 0) - coalesce(re.n_kept, 0) AS n_removed,
+                 coalesce(re.text_clean, '') AS text_clean
+          FROM documents d LEFT JOIN ns USING (doc_id) LEFT JOIN re USING (doc_id)
+          ORDER BY doc_id""",
     "q_scrub" ->
       """WITH w AS (SELECT doc_id,
                            text || CASE WHEN doc_id % 3 = 0
@@ -5349,5 +5389,6 @@ object SparkEntry {
     // round 12
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
-    "q_profile_drift", "q_attribution", "q_trending", "q_winsorize")
+    "q_profile_drift", "q_attribution", "q_trending", "q_winsorize",
+    "q_span_dedup")
 }

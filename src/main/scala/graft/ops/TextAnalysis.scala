@@ -619,6 +619,69 @@ object TextAnalysis {
       .select(col(idCol), col("c.chunk_id").as("chunk_id"),
         col("c.chunk_text").as("chunk_text"))
 
+  /** C4-style EXACT SPAN DEDUP (Raffel et al. 2020 §2.2: "we removed
+    * all but one of any three-sentence span occurring more than once")
+    * — the SUB-document dedup mode: whole-doc dedup keeps two mostly-
+    * different docs that share a boilerplate block; this removes the
+    * repeated block itself, keeping exactly ONE occurrence corpus-wide.
+    * Spans here are non-overlapping `spanWords`-token windows (this
+    * corpus has no sentence structure; with a sentence splitter, spans
+    * = sentence triples — same machinery). The keeper is deterministic:
+    * the occurrence with the smallest (doc, position) — min-id keeper
+    * family — so the whole pass is a pure function of the corpus and
+    * replays in the oracle. Output text is the kept token stream
+    * re-joined with single spaces (normalized-text output, the
+    * standard C4 implementation note); docs whose every span was
+    * removed come back empty, never dropped.
+    *
+    * Scale shape: span occurrences explode once (≈ corpus token mass /
+    * spanWords rows); the frequency+keeper aggregate is keyed on the
+    * 64-bit span FINGERPRINT, so only slim (hash) keys shuffle for the
+    * count and the frequent-span frame joining back is (hash, keeper)
+    * — tiny (repeated spans only), AQE-broadcast; the one full-text
+    * exchange is the per-doc reassembly groupBy, which any exact
+    * sub-document dedup owes. Two same-hash different spans colliding
+    * would merge their counts — 2^-64 per pair, the hash C4 itself
+    * dedups on. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 10, minCount: Int = 2): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    // tokenize in its own projection: referencing a kernel expression
+    // inside HOF lambdas re-evaluates it per element (the q_skipgram
+    // lesson)
+    val toksDf = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val nSpans = expr(s"(size(__toks) + ${spanWords - 1}) div $spanWords")
+      .cast(IntegerType)
+    val occ = toksDf.where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nSpans - 1), i =>
+          array_join(slice(col("__toks"), i * lit(spanWords) + 1,
+            lit(spanWords)), " "))).as(Seq("pos", "span")))
+      .withColumn("__h", graft.functions.TextHashes.rolling_hash64(col("span")))
+    val freq = occ.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol).as("d"), col("pos").as("p"))).as("__keep"))
+      .where(col("__n") >= minCount)
+      .select(col("__h"), col("__keep"))
+    val kept = occ.join(freq, Seq("__h"), "left")
+      .where(col("__keep").isNull ||
+        (col(idCol) === col("__keep.d") && col("pos") === col("__keep.p")))
+    val re = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          t => t.getField("span")), " ").as("text_clean"))
+    val nsp = occ.groupBy(col(idCol)).agg(count(lit(1)).as("__n_spans"))
+    df.select(col(idCol)).join(nsp, Seq(idCol), "left")
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("__n_spans"), lit(0L)) -
+          coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** One-call per-document feature frame: id + the standard features.
     * Uses the fused single-pass [[graft.functions.TextStatsKernel]]
     * (values bit-identical to the individual Column functions above,

@@ -469,4 +469,26 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
       ("a", "b", 2L),
       ("a", "c", 1L), ("b", "c", 1L), ("b", "d", 1L), ("c", "d", 1L))
   }
+
+  test("spanDedup: repeated span keeps exactly one occurrence at the " +
+      "min (doc, pos); unique docs untouched; fully-repeated doc " +
+      "comes back empty, not dropped") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),     // spans: "alpha beta","gamma delta"
+      (2L, "zeta eta gamma delta"),       // shares "gamma delta" at pos 1
+      (3L, "gamma delta"),                // the span alone
+      (4L, "unique words only here"),     // untouched
+      (5L, ""))                           // empty input
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(df, "doc_id", "text",
+        spanWords = 2, minCount = 2)
+      .select("doc_id", "n_spans", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (1L, 2L, 0L, "alpha beta gamma delta"), // keeper: min (doc,pos)=(1,1)
+      (2L, 2L, 1L, "zeta eta"),
+      (3L, 1L, 1L, ""),                       // every span removed: empty
+      (4L, 2L, 0L, "unique words only here"),
+      (5L, 0L, 0L, ""))
+  }
 }
