@@ -2350,6 +2350,25 @@ object SparkEntry {
           col("overlap").cast(LongType).as("overlap"), col("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "q_hits" -> ((s, dir) => {
+      // HITS hubs & authorities (Graph.hits) — the directed-graph
+      // centrality PageRank can't express: on the part -> supplier ->
+      // nation chain, parts score as pure hubs (authority 0) and
+      // suppliers as the authorities — power iteration concentrates on
+      // the densest bipartite core (part<->supplier), which is exactly
+      // HITS's known behavior; the nation layer's relative mass decays
+      // below the 1e-6 fixed-point resolution by round 3 (0, honestly,
+      // rather than a libm-noise tail). 3 integer rounds,
+      // max-normalized, replayed verbatim as unrolled CTE rounds.
+      val li = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 3).as("src"),
+          (col("l_suppkey") * 3 + 1).as("dst"))
+      val sn = t(s, dir, "supplier")
+        .select((col("s_suppkey") * 3 + 1).as("src"),
+          (col("s_nationkey") * 3 + 2).as("dst"))
+      Graph.hits(li.unionByName(sn), "src", "dst", iters = 3)
+        .orderBy("node")
+    }),
     "q_label_prop" -> ((s, dir) => {
       // Semi-supervised label propagation (Graph.labelPropagate):
       // region labels seeded at the 25 nation nodes spread across the
@@ -2596,6 +2615,30 @@ object SparkEntry {
          |                             CASE WHEN p.seed_label IS NOT NULL THEN p.seed_label
          |                                  ELSE coalesce(k.label, p.label) END AS label
          |                      FROM l${r - 1} p LEFT JOIN pk$r k ON k.id = p.id)""".stripMargin
+    }.mkString(",\n              ")
+
+  /** Unrolled HITS rounds over CTEs `e(src, dst)`, `nd(node)`, and
+    * `h0(node, h)`: per round, raw authority sums, max-normalization,
+    * raw hub sums over the UPDATED authorities, max-normalization —
+    * [[graft.ops.Graph.hits]]'s round body in integer `//`. */
+  private def hitsRoundsSql(iters: Int, unit: Long): String =
+    (1 to iters).map { r =>
+      s"""ra$r AS (SELECT e.dst AS node, sum(h.h) AS ra
+         |          FROM e JOIN h${r - 1} h ON h.node = e.src GROUP BY e.dst),
+         |              ma$r AS (SELECT coalesce(max(ra), 0) AS m FROM ra$r),
+         |              a$r AS (SELECT nd.node,
+         |                             CASE WHEN ma$r.m > 0
+         |                                  THEN (coalesce(ra$r.ra, 0) * $unit) // ma$r.m
+         |                                  ELSE 0 END AS a
+         |                      FROM nd LEFT JOIN ra$r ON ra$r.node = nd.node, ma$r),
+         |              rh$r AS (SELECT e.src AS node, sum(a.a) AS rh
+         |                       FROM e JOIN a$r a ON a.node = e.dst GROUP BY e.src),
+         |              mh$r AS (SELECT coalesce(max(rh), 0) AS m FROM rh$r),
+         |              h$r AS (SELECT nd.node,
+         |                             CASE WHEN mh$r.m > 0
+         |                                  THEN (coalesce(rh$r.rh, 0) * $unit) // mh$r.m
+         |                                  ELSE 0 END AS h
+         |                      FROM nd LEFT JOIN rh$r ON rh$r.node = nd.node, mh$r)""".stripMargin
     }.mkString(",\n              ")
 
   private def pageRankCtesSql(iters: Int, base: Long, dampNum: Long,
@@ -5204,6 +5247,23 @@ object SparkEntry {
           FROM p
           WHERE CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE) >= 0.7
           ORDER BY id_a, id_b""",
+    // HITS replay: directed supply edges, 3 unrolled normalize rounds
+    // in integer //; types cast to BIGINT (sums route through HUGEINT).
+    "q_hits" ->
+      s"""WITH li AS (SELECT DISTINCT l_partkey * 3 AS src,
+                             l_suppkey * 3 + 1 AS dst FROM lineitem),
+              sn AS (SELECT DISTINCT s_suppkey * 3 + 1 AS src,
+                            s_nationkey * 3 + 2 AS dst FROM supplier),
+              e AS (SELECT * FROM li UNION SELECT * FROM sn),
+              nd AS (SELECT DISTINCT node FROM (
+                       SELECT src AS node FROM e UNION SELECT dst FROM e)),
+              h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nd),
+              ${hitsRoundsSql(3, 1000000L)}
+         SELECT nd.node AS node, CAST(h3.h AS BIGINT) AS hub,
+                CAST(a3.a AS BIGINT) AS authority
+         FROM nd JOIN h3 ON h3.node = nd.node
+                 JOIN a3 ON a3.node = nd.node
+         ORDER BY nd.node""",
     // Label-propagation replay: symmetrized supply edges, nation-seeded
     // region labels, 3 unrolled clamped-seed argmax rounds.
     "q_label_prop" ->
@@ -5390,5 +5450,5 @@ object SparkEntry {
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
     "q_profile_drift", "q_attribution", "q_trending", "q_winsorize",
-    "q_span_dedup")
+    "q_span_dedup", "q_hits")
 }

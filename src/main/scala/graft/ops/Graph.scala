@@ -261,6 +261,63 @@ object Graph {
       })
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) — the centrality the
+    * PageRank family cannot express on a DIRECTED graph: PR assigns one
+    * importance number, HITS separates "points at important things"
+    * (hub) from "is pointed at by important things" (authority) — on a
+    * part -> supplier -> nation supply chain, parts are pure hubs,
+    * nations pure authorities, suppliers both, each scored by WHO
+    * links them, not just how many. Fixed `iters` synchronous rounds
+    * of the mutual recursion a = Aᵀh, h = A a (updated a within the
+    * round, the classic order), each vector re-normalized to max =
+    * `unit` in integer fixed-point: the norm choice only rescales (a
+    * scalar divide preserves ratios up to integer truncation), and
+    * max-norm keeps every product inside 64 bits. All-integer, so the
+    * oracle replays the rounds verbatim.
+    *
+    * OVERFLOW CONTRACT (the [[pageRankWeighted]] convention): raw
+    * sums are bounded by n·unit, and the normalization multiplies by
+    * `unit` before dividing — callers must keep n·unit² < 2^63
+    * (n < ~9.2e6 at the default unit; drop unit to 1e4 for ~1e11
+    * nodes). Scale shape: per round two slim edge |><| score joins +
+    * two map-side-partial sums + two 1-row max broadcasts; frames
+    * pinned per round (the PR family's load-bearing lineage cut).
+    * Returns `(node, hub, authority)` over the edge-endpoint universe. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      unit: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(unit >= 1, s"unit must be >= 1, got $unit")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct())
+    val nodes = pin(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    def normalize(raw: DataFrame, keyCol: String, valCol: String,
+        outCol: String): DataFrame = {
+      val mx = raw.agg(coalesce(max(col(valCol)), lit(0L)).as("m"))
+      pin(nodes.join(raw, nodes("node") === raw(keyCol), "left")
+        .crossJoin(broadcast(mx))
+        .selectExpr("node",
+          s"CASE WHEN m > 0 THEN (coalesce($valCol, 0L) * ${unit}L) div m " +
+            s"ELSE 0L END AS $outCol"))
+    }
+    var hub = pin(nodes.withColumn("h", lit(unit)))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val rawA = e.join(hub, e("src") === hub("node"))
+        .groupBy(e("dst").as("an")).agg(sum(col("h")).as("ra"))
+      auth = normalize(rawA, "an", "ra", "a")
+      val rawH = e.join(auth, e("dst") === auth("node"))
+        .groupBy(e("src").as("hn")).agg(sum(col("a")).as("rh"))
+      hub = normalize(rawH, "hn", "rh", "h")
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** Semi-supervised LABEL PROPAGATION with clamped seeds (Zhu &
     * Ghahramani 2002 shape, synchronous rounds): spread a small set of
     * trusted labels (hand-audited quality tiers, verified licenses,

@@ -243,6 +243,43 @@ class GraphSpec extends SparkSpecBase with Matchers {
     r3(3L) shouldBe Some("b")
   }
 
+  test("hits: hand-computed hubs/authorities — a chain middle node " +
+      "carries BOTH roles; max-normalization and integer truncation " +
+      "exact") {
+    import org.apache.spark.sql.functions.col
+    // 1 -> 2, 2 -> 3, 1 -> 4 at unit=100, one round:
+    //   raw a: 2=100, 3=100, 4=100 (max 100) -> a = 100 each
+    //   raw h: 1 = a(2)+a(4) = 200, 2 = a(3) = 100 (max 200)
+    //   -> h(1)=100, h(2)=(100*100) div 200 = 50
+    val out = Graph.hits(
+        Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("src", "dst"),
+        "src", "dst", iters = 1, unit = 100L)
+      .select(col("node"), col("hub"), col("authority"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (1L, 100L, 0L),
+      (2L, 50L, 100L), // both roles: bridge of the chain
+      (3L, 0L, 100L),
+      (4L, 0L, 100L))
+  }
+
+  test("hits: asymmetric bipartite graph — the denser hub wins after " +
+      "two rounds, the weak hub's share truncates exactly") {
+    import org.apache.spark.sql.functions.col
+    // h1 -> {a1,a2,a3}, h2 -> {a2}; unit 100, 2 rounds (hand-derived):
+    // r1: a=(50,100,50); h1=(50+100+50)=200 max -> h=(100,50)
+    // r2: raw a: a1=100, a2=150, a3=100 (max 150) -> a=(66,100,66)
+    //     raw h: h1=232, h2=100 -> h=(100, (100*100) div 232 = 43)
+    val out = Graph.hits(
+        Seq((1L, 11L), (1L, 12L), (1L, 13L), (2L, 12L)).toDF("src", "dst"),
+        "src", "dst", iters = 2, unit = 100L)
+      .select(col("node"), col("hub"), col("authority"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (1L, 100L, 0L), (2L, 43L, 0L),
+      (11L, 0L, 66L), (12L, 0L, 100L), (13L, 0L, 66L))
+  }
+
   test("labelPropagate rejects duplicate seed rows loudly") {
     val ex = intercept[Exception](
       lpa(Seq((1L, 2L)), Seq((1L, "a"), (1L, "b")), 1))
