@@ -1724,6 +1724,23 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
     }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // HARD-NEGATIVE mining (Similarity.hardNegatives): per query,
+      // the 5 closest corpus vectors BELOW the corpus's near-dup
+      // threshold (0.3 — q_embed_neardup's band) — random negatives
+      // teach nothing, near-dups are false negatives; this band is
+      // what contrastive training wants. Self-matches fall out with
+      // the dup band (cosine 1.0 >= 0.3). Band filtered BEFORE the
+      // bounded heap, queries broadcast, one corpus scan, no Window.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.hardNegatives(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, maxScore = 0.3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 10)
@@ -4969,6 +4986,27 @@ object SparkEntry {
          SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
                 round(s, 6) AS score
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    // Hard-negative replay: the q_ann_brute scorer with the band
+    // filter applied before ranking (s in [-1, 0.3)).
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+              scored AS (
+                SELECT q.qid, e.vec_id AS nid,
+                       list_sum(list_transform(range(1, len(e.embedding)+1),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(q.qvec)+1),
+                                        i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))) AS s
+                FROM embeddings e, q),
+              ranked AS (
+                SELECT qid, nid, s,
+                       row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rn
+                FROM scored
+                WHERE s IS NOT NULL AND s >= -1.0 AND s < CAST(0.3 AS DOUBLE))
+         SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+                round(s, 6) AS score
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
     "q_ann_lsh" ->
       s"""WITH p AS (SELECT $lshPlanesSql AS pl),
               e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -5450,5 +5488,5 @@ object SparkEntry {
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
     "q_profile_drift", "q_attribution", "q_trending", "q_winsorize",
-    "q_span_dedup", "q_hits")
+    "q_span_dedup", "q_hits", "q_hard_negatives")
 }

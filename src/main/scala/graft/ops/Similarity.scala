@@ -65,6 +65,35 @@ object Similarity {
     topKPerKey(scored, "query_id", "neighbor_id", "score", k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: per query, the
+    * top-k most-similar corpus rows whose cosine falls in
+    * `[minScore, maxScore)` — the band just BELOW the near-dup
+    * threshold. Random negatives are too easy (the model learns
+    * nothing); rows above the dup threshold are FALSE negatives
+    * (paraphrases punished as non-matches poison the loss); the
+    * closest non-duplicates in between are exactly what embedding /
+    * retrieval training wants. Self-matches fall out with the dup band
+    * (cosine(x, x) = 1 >= maxScore).
+    *
+    * Same scale contract and machinery as [[bruteForceTopK]] (queries
+    * broadcast, one corpus scan, bounded-heap map-side partials, no
+    * Window) with the band filter applied BEFORE the heap — out-of-band
+    * rows never enter the aggregate. For a corpus-sized query side,
+    * run the band filter against [[ivfTopK]] candidates instead. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      maxScore: Double, minScore: Double = -1.0): DataFrame = {
+    require(minScore < maxScore,
+      s"need minScore < maxScore, got $minScore / $maxScore")
+    val q = renamedQueries(corpus, queries, qidCol, qvecCol)
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col(QId).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col(QVec)).as("score"))
+      .where(col("score").isNotNull &&
+        col("score") >= minScore && col("score") < maxScore)
+    topKPerKey(scored, "query_id", "neighbor_id", "score", k)
+  }
+
   /** The query side renamed to reserved internal names before joining
     * against the corpus, so the standard SELF-query case (same frame or
     * same schema on both sides: idCol == qidCol, vecCol == qvecCol)

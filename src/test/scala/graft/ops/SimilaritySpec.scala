@@ -214,4 +214,22 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
       .as[(Int, Long, Option[Double])].collect().toSeq
     out shouldBe Seq((1, 7L, None), (2, 9L, Some(0.0)))
   }
+
+  test("hardNegatives: self and near-dups fall outside the band, the " +
+      "closest in-band rows rank first") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),        // the query itself: cosine 1.0
+      (2L, Array(0.99f, 0.14f)),      // near-dup ~0.99: false negative
+      (3L, Array(0.6f, 0.8f)),        // cosine 0.6: hard negative
+      (4L, Array(0.0f, 1.0f)),        // cosine 0.0: easier negative
+      (5L, Array(-1.0f, 0.0f)))       // cosine -1.0: below minScore
+      .toDF("id", "vec")
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val out = Similarity.hardNegatives(corpus, "id", "vec",
+        q, "qid", "qvec", k = 5, maxScore = 0.9, minScore = -0.5)
+      .select(col("neighbor_id"), col("rank"))
+      .as[(Long, Int)].collect().sortBy(_._2).toSeq
+    out shouldBe Seq((3L, 1), (4L, 2)) // 1, 2 above band; 5 below
+  }
 }
