@@ -802,4 +802,51 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "SortMergeJoin"
     p should not include "BroadcastHashJoin"
   }
+
+  test("q_span_dedup: span counts shuffle as 64-bit fingerprints with " +
+      "map-side partials; the keeper rides the aggregation buffer — " +
+      "no Window on the count path") {
+    val p = plan("q_span_dedup")
+    p should include("graft_rolling_hash64")
+    p should include("partial_count")
+    p should not include "Window"
+  }
+
+  test("q_hits: per-round frames are pinned (final plan reads the " +
+      "round-3 RDDs) like the rest of the centrality family") {
+    val p = plan("q_hits")
+    p should include("ExistingRDD")
+    p should not include "Window"
+  }
+
+  test("q_hard_negatives: band filter sits under the bounded-heap " +
+      "partials — out-of-band rows never enter the aggregate") {
+    val p = plan("q_hard_negatives")
+    p should include("partial_graft_top_k_by_score")
+    p should include("BroadcastNestedLoopJoin") // corpus x broadcast(q)
+    p should not include "Window"
+  }
+
+  test("q_trending: conditional per-side sums partial map-side; the " +
+      "top-20 is a bounded TakeOrderedAndProject") {
+    val p = plan("q_trending")
+    p should include("partial_sum")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q_winsorize: band frame broadcasts back onto a narrow scan — " +
+      "the log itself never shuffles") {
+    val p = plan("q_winsorize")
+    p should include("BroadcastHashJoin")
+    p should include("partial_graft_bottom_k_by_hash") // the sketch
+    p should not include "SortMergeJoin"
+  }
+
+  test("q_profile_drift: ONE plain aggregate per side — no Expand " +
+      "(the q_profile_sketch discipline), no Window") {
+    val p = plan("q_profile_drift")
+    p should not include "Expand"
+    p should not include "Window"
+    "partial_graft_kmv_distinct".r.findAllIn(p).size should be >= 2
+  }
 }
