@@ -1605,6 +1605,22 @@ object SparkEntry {
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")
     }),
+    "q_eval_carve" -> ((s, dir) => {
+      // END-TO-END eval-set carving — the composition a training-data
+      // team actually runs: leak-free split (near-dup components move
+      // as one unit, so nothing in the pool near-dups the train side)
+      // -> non-train pool -> BALANCED per-lang exact-size sample
+      // (bottom-10 id-hashes per lang; a global sample would follow
+      // the 44%-en corpus mix). Both stages individually proven; this
+      // pins their composition end-to-end against one oracle.
+      val split = Dedup.leakFreeSplit(t(s, dir, "documents"),
+        "doc_id", "text")
+      val pool = split.where(col("split") =!= "train")
+        .select(col("doc_id"), col("lang"))
+      Sampling.sampleKPerGroup(pool, "lang", "doc_id", k = 10)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
     "q_split_leakfree" -> ((s, dir) => {
       // LEAKAGE-FREE split (Dedup.leakFreeSplit): every near-dup
       // component (the closure over the LSH cascade's confirmed pairs)
@@ -4804,6 +4820,30 @@ object SparkEntry {
                                 WHEN bucket < 10 THEN 'test'
                                 ELSE 'train' END AS split FROM b)
          SELECT split, count(*) AS n FROM s GROUP BY split ORDER BY split""",
+    // Eval-carve replay: the full leak-free-split chain -> non-train
+    // pool (bucket < 10) -> per-lang unsigned hash-rank bottom-10.
+    "q_eval_carve" ->
+      raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
+              $closureSql,
+              nrm AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm FROM documents),
+              hb AS (SELECT doc_id, ${rollingHashSql("norm")} AS v FROM nrm),
+              sb AS (SELECT doc_id, ${signedSql("v")} AS sv FROM hb),
+              nb AS (SELECT doc_id, CAST(((sv % 100) + 100) % 100 AS INTEGER) AS b FROM sb),
+              rep AS (SELECT l.id AS doc_id, nb.b AS rb
+                      FROM lab l JOIN nb ON nb.doc_id = l.cluster_id),
+              asg AS (SELECT nb.doc_id, coalesce(rep.rb, nb.b) AS bucket
+                      FROM nb LEFT JOIN rep ON rep.doc_id = nb.doc_id),
+              pool AS (SELECT dd.doc_id, dd.lang
+                       FROM documents dd JOIN asg ON asg.doc_id = dd.doc_id
+                       WHERE asg.bucket < 10),
+              d0 AS (SELECT lang, doc_id, CAST(doc_id AS HUGEINT) AS z
+                     FROM pool),
+              ${splitmixCtesSql("d0", "lang, doc_id")},
+              rk AS (SELECT lang, doc_id,
+                            row_number() OVER (PARTITION BY lang ORDER BY z) AS rn
+                     FROM h5)
+         SELECT lang, doc_id FROM rk WHERE rn <= 10
+         ORDER BY lang, doc_id""",
     // Leak-free split replay: near-dup closure (shingle pairs + the
     // recursive reach) -> per-doc content-hash bucket -> every cluster
     // member takes its min-id representative's bucket.
@@ -5488,5 +5528,5 @@ object SparkEntry {
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
     "q_profile_drift", "q_attribution", "q_trending", "q_winsorize",
-    "q_span_dedup", "q_hits", "q_hard_negatives")
+    "q_span_dedup", "q_hits", "q_hard_negatives", "q_eval_carve")
 }
