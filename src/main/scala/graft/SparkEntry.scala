@@ -1740,6 +1740,30 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
     }),
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      // HYBRID retrieval via reciprocal-rank fusion (Similarity
+      // .rrfFuse): the q_bm25 lexical ranking and a semantic cosine
+      // ranking (doc 0's embedding as the query; embeddings align
+      // with doc ids) merged on RANKS alone — the scale-free combiner
+      // for rankers whose scores are incomparable. Everything past
+      // the two proven rankers is k-sized; the fused score is a
+      // fixed-order sum of exact divisions and replays bit-for-bit.
+      val lex = TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
+          "doc_id", "text", Seq("dup", "merge", "vector"),
+          k1 = 1.2, b = 0.75, k = 25)
+        .select(col("doc_id"), col("rk").as("rank"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 25)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+          "doc_id", "rank", kRrf = 60, topN = 20)
+        .select(col("fused_rank"), col("doc_id"), col("rank_lex"),
+          col("rank_sem"), round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy("fused_rank")
+    }),
     "q_hard_negatives" -> ((s, dir) => {
       // HARD-NEGATIVE mining (Similarity.hardNegatives): per query,
       // the 5 closest corpus vectors BELOW the corpus's near-dup
@@ -2649,6 +2673,41 @@ object SparkEntry {
          |                                  ELSE coalesce(k.label, p.label) END AS label
          |                      FROM l${r - 1} p LEFT JOIN pk$r k ON k.id = p.id)""".stripMargin
     }.mkString(",\n              ")
+
+  /** The q_bm25 scorer as shared CTEs `toks/base/st/sc/r` over
+    * `documents` (query terms dup/merge/vector, k1=1.2, b=0.75) —
+    * r(doc_id, dl, score, rk). ONE source of truth for q_bm25 and the
+    * lexical leg of q_hybrid_retrieval. */
+  private val bm25CtesSql: String =
+    raw"""toks AS (SELECT doc_id,
+         |                              list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS ts
+         |                       FROM documents),
+         |              base AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS dl,
+         |                              len(list_filter(ts, x -> x = 'dup')) AS tf_0,
+         |                              len(list_filter(ts, x -> x = 'merge')) AS tf_1,
+         |                              len(list_filter(ts, x -> x = 'vector')) AS tf_2
+         |                       FROM toks),
+         |              st AS (SELECT count(*) AS n_docs,
+         |                            CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         |                            sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         |                            sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+         |                            sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+         |                     FROM base),
+         |              sc AS (SELECT doc_id, dl,
+         |                            ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
+         |                              * ((CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))
+         |                                 / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
+         |                          + ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
+         |                              * ((CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))
+         |                                 / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
+         |                          + ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0)
+         |                              * ((CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))
+         |                                 / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
+         |                            AS score
+         |                     FROM base CROSS JOIN st),
+         |              r AS (SELECT doc_id, dl, score,
+         |                           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+         |                    FROM sc WHERE score > 0)""".stripMargin
 
   /** Unrolled HITS rounds over CTEs `e(src, dst)`, `nd(node)`, and
     * `h0(node, h)`: per round, raw authority sums, max-normalization,
@@ -4705,35 +4764,7 @@ object SparkEntry {
          SELECT doc_id, rk, term, tf, df, tfidf FROM r WHERE rk <= 3
          ORDER BY doc_id, rk""",
     "q_bm25" ->
-      """WITH toks AS (SELECT doc_id,
-                              list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS ts
-                       FROM documents),
-              base AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS dl,
-                              len(list_filter(ts, x -> x = 'dup')) AS tf_0,
-                              len(list_filter(ts, x -> x = 'merge')) AS tf_1,
-                              len(list_filter(ts, x -> x = 'vector')) AS tf_2
-                       FROM toks),
-              st AS (SELECT count(*) AS n_docs,
-                            CAST(sum(dl) AS DOUBLE) AS sum_dl,
-                            sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
-                            sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
-                            sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
-                     FROM base),
-              sc AS (SELECT doc_id, dl,
-                            ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
-                              * ((CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))
-                                 / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
-                          + ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
-                              * ((CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))
-                                 / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
-                          + ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0)
-                              * ((CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))
-                                 / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
-                            AS score
-                     FROM base CROSS JOIN st),
-              r AS (SELECT doc_id, dl, score,
-                           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
-                    FROM sc WHERE score > 0)
+      s"""WITH $bm25CtesSql
          SELECT rk, doc_id, dl, score FROM r WHERE rk <= 25 ORDER BY rk""",
     "q_inverted" ->
       """WITH toks AS (SELECT doc_id,
@@ -5026,6 +5057,39 @@ object SparkEntry {
          SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
                 round(s, 6) AS score
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    // Hybrid replay: the shared BM25 CTEs + the brute cosine ranking
+    // vs doc 0's embedding, full-outer on doc_id, fixed-order RRF sum.
+    "q_hybrid_retrieval" ->
+      s"""WITH $bm25CtesSql,
+              lex AS (SELECT doc_id, CAST(rk AS BIGINT) AS rank_lex
+                      FROM r WHERE rk <= 25),
+              qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              semsc AS (
+                SELECT e.vec_id AS doc_id,
+                       list_sum(list_transform(range(1, len(e.embedding)+1),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(qv.qvec)+1),
+                                        i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE))))) AS s
+                FROM embeddings e, qv),
+              semr AS (SELECT doc_id,
+                              CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank_sem
+                       FROM semsc WHERE s IS NOT NULL),
+              sem AS (SELECT doc_id, rank_sem FROM semr WHERE rank_sem <= 25),
+              j AS (SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+                           l.rank_lex, m.rank_sem
+                    FROM lex l FULL OUTER JOIN sem m ON m.doc_id = l.doc_id),
+              f AS (SELECT doc_id, rank_lex, rank_sem,
+                           coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rank_lex AS DOUBLE)), CAST(0.0 AS DOUBLE))
+                         + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rank_sem AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+                    FROM j),
+              fz AS (SELECT doc_id, rank_lex, rank_sem, rrf,
+                            CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS fused_rank
+                     FROM f)
+         SELECT fused_rank, doc_id, rank_lex, rank_sem,
+                round(rrf, 6) AS rrf_score
+         FROM fz WHERE fused_rank <= 20 ORDER BY fused_rank""",
     // Hard-negative replay: the q_ann_brute scorer with the band
     // filter applied before ranking (s in [-1, 0.3)).
     "q_hard_negatives" ->
@@ -5528,5 +5592,6 @@ object SparkEntry {
     "q_snapshot_diff", "q_split_leakfree", "q_semantic_contamination",
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
     "q_profile_drift", "q_attribution", "q_trending", "q_winsorize",
-    "q_span_dedup", "q_hits", "q_hard_negatives", "q_eval_carve")
+    "q_span_dedup", "q_hits", "q_hard_negatives", "q_eval_carve",
+    "q_hybrid_retrieval")
 }

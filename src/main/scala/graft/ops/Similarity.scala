@@ -94,6 +94,48 @@ object Similarity {
     topKPerKey(scored, "query_id", "neighbor_id", "score", k)
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher 2009) — the
+    * hybrid-retrieval combiner: merge rankings from rankers with
+    * incomparable score scales (BM25 points vs cosine vs a reranker)
+    * by RANKS alone, `score(d) = Σ over lists containing d of
+    * 1 / (kRrf + rank_d)`. The standard first choice because rank is
+    * the only scale-free common currency and the 1/(k+r) discount
+    * rewards agreement near the top without letting one list's scores
+    * dominate. Replayable by construction: the fused score sums the
+    * per-list terms in LIST DECLARATION ORDER as one fixed expression
+    * (fp addition is not associative — the association order is part
+    * of the contract), each term one exact IEEE division of small
+    * integers; a doc absent from a list contributes exactly 0.
+    *
+    * Scale shape: the inputs are already bounded top-k frames (that is
+    * what a ranker emits), so everything here is k-sized — full-outer
+    * joins on the id across lists, one fixed-order projection, a
+    * bounded sort for the fused top-`topN`. Returns `(fused_rank,
+    * idCol, rank_<name>..., rrf_score)`. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, kRrf: Int = 60, topN: Int = 20): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "ranking names must be distinct")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val joined = rankings.map { case (nm, df) =>
+      df.select(col(idCol), col(rankCol).cast(LongType).as(s"rank_$nm"))
+    }.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.map { case (nm, _) =>
+      coalesce(lit(1.0) /
+        (lit(kRrf.toDouble) + col(s"rank_$nm").cast(DoubleType)), lit(0.0))
+    }.reduce(_ + _)
+    val top = joined
+      .select(col(idCol) +: rankings.map(r => col(s"rank_${r._1}")) :+
+        score.as("rrf_score"): _*)
+      .orderBy(col("rrf_score").desc, col(idCol)).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col(idCol))
+    top.select(row_number().over(w).as("fused_rank") +: col(idCol) +:
+      rankings.map(r => col(s"rank_${r._1}")) :+ col("rrf_score"): _*)
+  }
+
   /** The query side renamed to reserved internal names before joining
     * against the corpus, so the standard SELF-query case (same frame or
     * same schema on both sides: idCol == qidCol, vecCol == qvecCol)

@@ -232,4 +232,23 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
       .as[(Long, Int)].collect().sortBy(_._2).toSeq
     out shouldBe Seq((3L, 1), (4L, 2)) // 1, 2 above band; 5 below
   }
+
+  test("rrfFuse: a doc mid-ranked in BOTH lists beats each list's " +
+      "leader; absent docs contribute exactly zero; score is the " +
+      "fixed-order sum of exact divisions") {
+    import org.apache.spark.sql.functions.col
+    val lex = Seq((10L, 1L), (11L, 2L), (99L, 3L)).toDF("id", "rank")
+    val sem = Seq((20L, 1L), (21L, 2L), (99L, 3L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+        "id", "rank", kRrf = 60, topN = 10)
+      .select("fused_rank", "id", "rrf_score")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    // 99 is 3rd in both lists yet fuses to #1: agreement wins
+    out.head._2 shouldBe 99L
+    out.head._3 shouldBe (1.0 / 63 + 1.0 / 63)
+    // single-list docs: exactly one term, the other exactly 0
+    out.find(_._2 == 10L).get._3 shouldBe (1.0 / 61 + 0.0)
+    // id tie-break: lex-only 10 and sem-only 20 share rank 1 terms
+    out.map(_._2) shouldBe Seq(99L, 10L, 20L, 11L, 21L)
+  }
 }
