@@ -1668,6 +1668,37 @@ object SparkEntry {
           col("pack_id"), col("pack_offset"), col("spans_packs"))
         .orderBy("doc_id")
     }),
+    "q_dataset_card" -> ((s, dir) => {
+      // DATASET CARD — the one-row release summary every dataset
+      // ships: sizes, token mass, exact-dup rate (distinct content
+      // fingerprints — computed as its OWN distinct+count pass, not a
+      // fused countDistinct, dodging the q_profile Expand), dominant
+      // language and its share. Two narrow passes + two 1-row
+      // broadcasts; every ratio is one fixed-order division of exact
+      // longs.
+      val base = t(s, dir, "documents").select(col("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        length(col("text")).cast(LongType).as("nc"),
+        TextAnalysis.whitespaceTokenCount(col("text")).cast(LongType)
+          .as("nt"))
+      val agg = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"), sum(col("nt")).as("n_tokens_ws"))
+      val uniq = base.select(col("fp")).distinct()
+        .agg(count(lit(1)).as("n_unique_texts"))
+      val top = base.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        .orderBy(col("nl").desc, col("lang")).limit(1)
+        .select(col("lang").as("top_lang"), col("nl").as("top_lang_n"))
+      agg.crossJoin(broadcast(uniq)).crossJoin(broadcast(top))
+        .select(col("n_docs"), col("n_chars"), col("n_tokens_ws"),
+          col("n_unique_texts"),
+          (lit(1.0) - col("n_unique_texts").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("dup_rate"),
+          (col("n_chars").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("mean_doc_chars"),
+          col("top_lang"),
+          (col("top_lang_n").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("top_lang_share"))
+    }),
     "q_span_dedup" -> ((s, dir) => {
       // C4-style exact span dedup (TextAnalysis.spanDedup): all but
       // one occurrence of any repeated 10-token span removed corpus-
@@ -4943,6 +4974,28 @@ object SparkEntry {
                 ce % 2048 AS pack_offset,
                 (n_tokens > 0 AND (ce + n_tokens - 1) // 2048 > ce // 2048) AS spans_packs
          FROM c ORDER BY doc_id""",
+    // Card replay: whitespace-normalized distinct texts == distinct
+    // fingerprints absent 2^-64 collisions (the span-dedup precedent);
+    // ratios in the identical cast/divide order.
+    "q_dataset_card" ->
+      raw"""WITH b AS (SELECT lang,
+                              regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm,
+                              CAST(length(text) AS BIGINT) AS nc,
+                              CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS nt
+                       FROM documents),
+               a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(nc) AS BIGINT) AS n_chars,
+                            CAST(sum(nt) AS BIGINT) AS n_tokens_ws,
+                            CAST(count(DISTINCT norm) AS BIGINT) AS n_unique_texts
+                     FROM b),
+               lg AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+                      FROM b GROUP BY lang ORDER BY nl DESC, lang LIMIT 1)
+          SELECT n_docs, n_chars, n_tokens_ws, n_unique_texts,
+                 CAST(1.0 AS DOUBLE) - CAST(n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+                 CAST(n_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_doc_chars,
+                 lang AS top_lang,
+                 CAST(nl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share
+          FROM a, lg""",
     // Span-dedup replay: same tokenizer, non-overlapping 10-token
     // windows via lateral range, per-SPAN count + min-(doc,pos) keeper
     // (hash-free grouping — collision-free equivalence to the
@@ -5593,5 +5646,5 @@ object SparkEntry {
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
     "q_profile_drift", "q_attribution", "q_trending", "q_winsorize",
     "q_span_dedup", "q_hits", "q_hard_negatives", "q_eval_carve",
-    "q_hybrid_retrieval")
+    "q_hybrid_retrieval", "q_dataset_card")
 }
