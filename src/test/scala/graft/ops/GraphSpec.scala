@@ -280,6 +280,27 @@ class GraphSpec extends SparkSpecBase with Matchers {
       (11L, 0L, 66L), (12L, 0L, 100L), (13L, 0L, 66L))
   }
 
+  test("hits and labelPropagate are partition-invariant on a seeded " +
+      "random graph (the family's determinism signature)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val seeds = (0 until 8).map(i => (i.toLong, s"c${i % 3}"))
+    def hitsRun(parts: Int) = Graph.hits(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst",
+        iters = 3, unit = 1000L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def lpaRun(parts: Int) = Graph.labelPropagate(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst",
+        seeds.toDF("id", "lab"), "id", "lab", iters = 3)
+      .select(col("id"), col("label"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    hitsRun(1) shouldBe hitsRun(13)
+    lpaRun(1) shouldBe lpaRun(13)
+  }
+
   test("labelPropagate rejects duplicate seed rows loudly") {
     val ex = intercept[Exception](
       lpa(Seq((1L, 2L)), Seq((1L, "a"), (1L, "b")), 1))

@@ -470,6 +470,49 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
       ("a", "c", 1L), ("b", "c", 1L), ("b", "d", 1L), ("c", "d", 1L))
   }
 
+  test("spanDedup matches an in-memory model on a seeded random corpus " +
+      "with planted duplicate blocks, bit-identically on 1 vs 13 " +
+      "partitions") {
+    val rnd = new scala.util.Random(71)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    // plant a 6-word block copied from doc 0 into docs 5 and 9 (span
+    // grid alignment: appended at the end, so only full-span repeats
+    // are guaranteed if lengths align — the model decides exactly)
+    val block = base(0)._2.split(" ").take(6).mkString(" ")
+    val corpus = base.map { case (id, t) =>
+      if (id == 5L || id == 9L) (id, t + " " + block) else (id, t) }
+    // in-memory model of the op's contract
+    val spanWords = 3
+    def toks(t: String): Vector[String] =
+      t.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toVector
+    val occ = corpus.flatMap { case (id, t) =>
+      toks(t).grouped(spanWords).zipWithIndex.map { case (w, p) =>
+        (id, p, w.mkString(" ")) } }
+    val freq = occ.groupBy(_._3).view.mapValues(_.size).toMap
+    val keeper = occ.groupBy(_._3).view
+      .mapValues(os => os.map(o => (o._1, o._2)).min).toMap
+    val expected = corpus.map { case (id, _) =>
+      val mine = occ.filter(_._1 == id)
+      val kept = mine.filter { case (d, p, sp) =>
+        freq(sp) < 2 || keeper(sp) == ((d, p)) }
+      (id, mine.size.toLong, (mine.size - kept.size).toLong,
+        kept.sortBy(_._2).map(_._3).mkString(" "))
+    }.sortBy(_._1)
+    expected.map(_._3).sum should be > 0L // the plant really repeats
+    def run(parts: Int) = TextAnalysis.spanDedup(
+        corpus.toDF("doc_id", "text").repartition(parts),
+        "doc_id", "text", spanWords = spanWords, minCount = 2)
+      .select("doc_id", "n_spans", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    run(1) shouldBe expected
+    run(13) shouldBe expected
+  }
+
   test("spanDedup: repeated span keeps exactly one occurrence at the " +
       "min (doc, pos); unique docs untouched; fully-repeated doc " +
       "comes back empty, not dropped") {
