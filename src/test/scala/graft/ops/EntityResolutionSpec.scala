@@ -81,4 +81,34 @@ class EntityResolutionSpec extends SparkSpecBase with Matchers {
       (1L, 2L, 1L, rareOnly, "match"),
       (3L, 4L, 2L, commonTwo, "possible"))
   }
+
+  test("fsScorePairs matches a brute-force all-pairs model on seeded " +
+      "random records (scores bit-exact, decisions identical, " +
+      "partition-invariant)") {
+    val rnd = new scala.util.Random(41)
+    val fields = Seq(("f1", 0.9, 0.05), ("f2", 0.7, 0.2), ("f3", 0.8, 0.1))
+    val recs = (0L until 60L).map { id =>
+      (id, s"b${rnd.nextInt(3)}", s"x${rnd.nextInt(4)}",
+        s"y${rnd.nextInt(3)}", s"z${rnd.nextInt(5)}") }
+    val model = (for {
+      a <- recs; b <- recs
+      if a._1 < b._1 && a._2 == b._2 // same block
+    } yield {
+      val agrees = Seq(a._3 == b._3, a._4 == b._4, a._5 == b._5)
+      val score = fields.zip(agrees).foldLeft(1.0) {
+        case (acc, ((_, m, u), ag)) =>
+          acc * (if (ag) m / u else (1 - m) / (1 - u)) }
+      (a._1, b._1, agrees.count(identity).toLong, score,
+        if (score >= 20.0) "match"
+        else if (score >= 1.0) "possible" else null)
+    }).filter(_._5 != null).sortBy(r => (r._1, r._2))
+    def run(parts: Int) = EntityResolution.fsScorePairs(
+        recs.toDF("id", "blk", "f1", "f2", "f3").repartition(parts),
+        "id", col("blk"), fields, matchOdds = 20.0, possibleOdds = 1.0)
+      .select("id_a", "id_b", "n_agree", "score", "decision")
+      .as[(Long, Long, Long, Double, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    run(1) shouldBe model
+    run(13) shouldBe model
+  }
 }

@@ -274,6 +274,41 @@ class EventAnalyticsSpec extends SparkSpecBase with Matchers {
         "event_type").orderBy("from_type", "to_type").collect()
   }
 
+  test("attribution matches a brute-force per-conversion model on a " +
+      "seeded random log, partition-invariant") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val rnd = new scala.util.Random(53)
+    val types = Vector("view", "click", "purchase", "error")
+    val rows = (0 until 600).map { _ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(5000).toLong * 10L,
+        types(rnd.nextInt(types.size))) }
+    val look = 8000L
+    val touches = Set("click", "view")
+    val model = rows.filter(_._3 == "purchase").map { case (u, ts, _) =>
+      val win = rows.filter(r => r._1 == u && touches(r._3) &&
+        r._2 >= ts - look && r._2 <= ts)
+      val pairs = win.map(r => (r._2, r._3))
+      (u, ts,
+        pairs.sorted.headOption.map(_._2), pairs.sorted.headOption.map(_._1),
+        pairs.sorted.lastOption.map(_._2), pairs.sorted.lastOption.map(_._1),
+        win.size.toLong)
+    }.sorted
+    def run(parts: Int) = EventAnalytics.attribution(
+        rows.toDF("user_id", "us", "event_type").repartition(parts)
+          .select(col("user_id"), timestamp_micros(col("us")).as("tt"),
+            col("event_type")),
+        "user_id", "tt", "event_type", Seq("click", "view"), "purchase",
+        lookbackUs = look)
+      .select("user_id", "conv_us", "first_channel", "first_us",
+        "last_channel", "last_us", "n_touches")
+      .as[(Long, Long, Option[String], Option[Long], Option[String],
+        Option[Long], Long)]
+      .collect().toSeq
+      .map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7)).sorted
+    run(1) shouldBe model
+    run(13) shouldBe model
+  }
+
   test("attribution: first/last touch in the lookback window, boundary " +
       "inclusion, equal-ts tie-break, and the no-touch NULL case") {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
