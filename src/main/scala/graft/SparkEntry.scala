@@ -780,6 +780,66 @@ object SparkEntry {
         .select(col("day"), col("n_days"), col("est_d"), col("exact_d"))
         .orderBy("day")
     }),
+    "q_distinct_cube" -> ((s, dir) => {
+      // DISTINCT-COUNT CUBE via sketch rollup — the lattice payoff of
+      // the KMV algebra: distinct users per (type, week) leaf AND
+      // every subtotal level (per type, per week, grand total). The
+      // exact alternatives both fail at 100 TB: cube+countDistinct
+      // plans an Expand that multiplies every row by the lattice
+      // size, and per-level distinct passes re-shuffle the corpus
+      // once PER LEVEL. Here the corpus is scanned once into ~30
+      // 1 KiB leaf sketches (pinned — four levels read them), and
+      // every subtotal is a keep-set union fold over leaf rows.
+      // Exact counts ride alongside per level (distinct+count, no
+      // Expand — affordable at the gate SF) so the estimation error
+      // is in the artifact; k=128 < the 150-user universe keeps the
+      // upper levels in the true estimation regime.
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
+        .select(col("event_type").as("et"),
+          expr("((ts div 1000) div 86400000000) div 7").as("wk"),
+          col("user_id"))
+      val leaf = ev.groupBy(col("et"), col("wk"))
+        .agg(Sketches.kmvKeepSet(
+          LongHashes.splitmix64(col("user_id")), 128).as("sk"))
+        .localCheckpoint()
+      def est(sks: Column) = Sketches.kmvUnionDistinctAll(sks, 128)
+      val nullEt = lit(null).cast(StringType)
+      val nullWk = lit(null).cast(LongType)
+      val leaves = leaf.select(lit("1_leaf").as("level"), col("et"),
+        col("wk"), est(array(col("sk"))).as("est_d"))
+      val byType = leaf.groupBy(col("et"))
+        .agg(collect_list(col("sk")).as("sks"))
+        .select(lit("2_type").as("level"), col("et"), nullWk.as("wk"),
+          est(col("sks")).as("est_d"))
+      val byWeek = leaf.groupBy(col("wk"))
+        .agg(collect_list(col("sk")).as("sks"))
+        .select(lit("3_week").as("level"), nullEt.as("et"), col("wk"),
+          est(col("sks")).as("est_d"))
+      val total = leaf.agg(collect_list(col("sk")).as("sks"))
+        .select(lit("4_total").as("level"), nullEt.as("et"),
+          nullWk.as("wk"), est(col("sks")).as("est_d"))
+      val xLeaf = ev.distinct().groupBy(col("et"), col("wk"))
+        .agg(count(lit(1)).as("exact_d"))
+      val xType = ev.select(col("et"), col("user_id")).distinct()
+        .groupBy(col("et")).agg(count(lit(1)).as("exact_d"))
+      val xWeek = ev.select(col("wk"), col("user_id")).distinct()
+        .groupBy(col("wk")).agg(count(lit(1)).as("exact_d"))
+      val xTotal = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("exact_d"))
+      leaves.join(xLeaf, Seq("et", "wk"))
+        .select(col("level"), col("et"), col("wk"), col("est_d"),
+          col("exact_d"))
+        .unionByName(byType.join(xType, Seq("et"))
+          .select(col("level"), col("et"), col("wk"), col("est_d"),
+            col("exact_d")))
+        .unionByName(byWeek.join(xWeek, Seq("wk"))
+          .select(col("level"), col("et"), col("wk"), col("est_d"),
+            col("exact_d")))
+        .unionByName(total.crossJoin(broadcast(xTotal))
+          .select(col("level"), col("et"), col("wk"), col("est_d"),
+            col("exact_d")))
+        .orderBy("level", "et", "wk")
+    }),
     "q_kmv_setops" -> ((s, dir) => {
       // KMV SET ALGEBRA — the sketch-rollup payoff on top of
       // q_kmv_resemblance: the merged keep set of two sketches IS the
@@ -2705,6 +2765,19 @@ object SparkEntry {
          |                      FROM l${r - 1} p LEFT JOIN pk$r k ON k.id = p.id)""".stripMargin
     }.mkString(",\n              ")
 
+  /** KMV distinct estimator over a sorted raw-HUGEINT keep-set list
+    * expression `x` built with cap `k`: exact below k, else the
+    * (k-1)·2^64 // kth-minimum integral estimator with the JVM clamp —
+    * the q_rolling_distinct formula, shared so the lattice levels of
+    * q_distinct_cube cannot drift from it. */
+  private def kmvEstSql(x: String, k: Int): String =
+    s"""CASE WHEN len($x) < $k THEN CAST(len($x) AS BIGINT)
+       |                ELSE CAST(least(
+       |                       (${k - 1} * CAST('18446744073709551616' AS HUGEINT))
+       |                         // ($x)[len($x)],
+       |                       CAST('9223372036854775807' AS HUGEINT))
+       |                     AS BIGINT) END""".stripMargin
+
   /** The q_bm25 scorer as shared CTEs `toks/base/st/sc/r` over
     * `documents` (query terms dup/merge/vector, k1=1.2, b=0.75) —
     * r(doc_id, dl, score, rk). ONE source of truth for q_bm25 and the
@@ -4268,6 +4341,50 @@ object SparkEntry {
                       GROUP BY a.day)
           SELECT day, n_days, est_d, exact_d
           FROM est JOIN ex USING (day) ORDER BY day""",
+    // Cube replay: one keep-set chain per (type, week) leaf, subtotal
+    // levels as flatten/dedup/re-slice union folds, exact distinct
+    // counts per level alongside.
+    "q_distinct_cube" ->
+      raw"""WITH e AS (SELECT event_type AS et,
+                              (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS wk,
+                              user_id
+                       FROM events WHERE user_id IS NOT NULL),
+               d0 AS (SELECT DISTINCT et, wk, user_id, CAST(user_id AS HUGEINT) AS z FROM e),
+               ${splitmixCtesSql("d0", "et, wk")},
+               rk AS (SELECT et, wk, z,
+                             row_number() OVER (PARTITION BY et, wk ORDER BY z) AS rn
+                      FROM h5),
+               kk AS (SELECT et, wk, list(z ORDER BY z) AS s
+                      FROM rk WHERE rn <= 128 GROUP BY et, wk),
+               mt AS (SELECT et, list_sort(list_distinct(flatten(list(s))))[1:128] AS x
+                      FROM kk GROUP BY et),
+               mw AS (SELECT wk, list_sort(list_distinct(flatten(list(s))))[1:128] AS x
+                      FROM kk GROUP BY wk),
+               mg AS (SELECT list_sort(list_distinct(flatten(list(s))))[1:128] AS x
+                      FROM kk),
+               xl AS (SELECT et, wk, CAST(count(*) AS BIGINT) AS exact_d
+                      FROM (SELECT DISTINCT et, wk, user_id FROM e) GROUP BY et, wk),
+               xt AS (SELECT et, CAST(count(*) AS BIGINT) AS exact_d
+                      FROM (SELECT DISTINCT et, user_id FROM e) GROUP BY et),
+               xw AS (SELECT wk, CAST(count(*) AS BIGINT) AS exact_d
+                      FROM (SELECT DISTINCT wk, user_id FROM e) GROUP BY wk),
+               xg AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_d FROM e)
+          SELECT '1_leaf' AS level, kk.et AS et, kk.wk AS wk,
+                 ${kmvEstSql("s", 128)} AS est_d, xl.exact_d AS exact_d
+          FROM kk JOIN xl ON xl.et = kk.et AND xl.wk = kk.wk
+          UNION ALL
+          SELECT '2_type', mt.et, CAST(NULL AS BIGINT),
+                 ${kmvEstSql("x", 128)}, xt.exact_d
+          FROM mt JOIN xt ON xt.et = mt.et
+          UNION ALL
+          SELECT '3_week', CAST(NULL AS VARCHAR), mw.wk,
+                 ${kmvEstSql("x", 128)}, xw.exact_d
+          FROM mw JOIN xw ON xw.wk = mw.wk
+          UNION ALL
+          SELECT '4_total', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                 ${kmvEstSql("x", 128)}, xg.exact_d
+          FROM mg, xg
+          ORDER BY level, et, wk""",
     // Set-algebra rollup on the same keep-set replay: merged sketch's
     // kth minimum -> HUGEINT union estimator (exact truncating integer
     // division == the JVM BigInteger floor), J_est * U_est intersection.
@@ -5646,5 +5763,5 @@ object SparkEntry {
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
     "q_profile_drift", "q_attribution", "q_trending", "q_winsorize",
     "q_span_dedup", "q_hits", "q_hard_negatives", "q_eval_carve",
-    "q_hybrid_retrieval", "q_dataset_card")
+    "q_hybrid_retrieval", "q_dataset_card", "q_distinct_cube")
 }

@@ -842,6 +842,15 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "SortMergeJoin"
   }
 
+  test("q_distinct_cube: no Expand anywhere — the corpus feeds the " +
+      "pinned leaf sketches once, subtotal levels fold leaf rows " +
+      "(ExistingRDD), exact sides are distinct+count passes") {
+    val p = plan("q_distinct_cube")
+    p should not include "Expand"
+    p should include("ExistingRDD") // the pinned leaf-sketch frame
+    p should not include "Window"
+  }
+
   test("q_profile_drift: ONE plain aggregate per side — no Expand " +
       "(the q_profile_sketch discipline), no Window") {
     val p = plan("q_profile_drift")
