@@ -618,6 +618,13 @@ object Dedup {
       s"valPct + testPct must fit in [0, 100], got $valPct + $testPct")
     require(!df.columns.contains("split"),
       "input already has a `split` column — rename it")
+    // withColumn silently REPLACES a same-named column — a user frame
+    // already carrying the internal temp names would be corrupted
+    // (the clash hazard Similarity.withLshBuckets rejects the same way)
+    Seq("__own_bucket", "__rep_bucket").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has an `$c` column (internal temp name) — rename it")
+    }
     val members = nearDupClusters(nearDupPairs(df, idCol, textCol,
         k, bands, rowsPerBand, threshold, seed, maxBucketSize))
       .select(col("id").as(idCol), col("cluster_id"))

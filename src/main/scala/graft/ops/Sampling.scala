@@ -116,8 +116,17 @@ object Sampling {
   def quotaSampleByGroup(df: DataFrame, strataCol: String, idCol: String,
       totalK: Int): DataFrame = {
     require(totalK >= 1, s"totalK must be >= 1, got $totalK")
+    require(df.schema(strataCol).dataType == StringType,
+      s"quotaSampleByGroup: strata column '$strataCol' must be STRING, " +
+        s"got ${df.schema(strataCol).dataType.simpleString} — cast it " +
+        "explicitly so the quota keys are unambiguous")
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"quotaSampleByGroup: strata column '$strataCol' contains " +
+            "NULL — NULL forms no quota group; filter or fill it first")
+        (r.getString(0), r.getLong(1))
+      }.sortBy(_._1)
     val ntot = counts.map(_._2).sum
     require(ntot >= totalK,
       s"totalK=$totalK exceeds the corpus size $ntot")

@@ -260,7 +260,9 @@ object Stats {
     * interpolation, so every clamped value is a pure function of the
     * row set and replays bit-exactly. Emits the original and clamped
     * value plus the clip direction flags (count them — clip rates
-    * drifting is itself a monitor signal).
+    * drifting is itself a monitor signal). Rows whose key has no band
+    * (all values NULL for the key, or a NULL key) survive with NULL
+    * v_winsor and flags — null in, null out, never a silent drop.
     *
     * Scale shape: one bounded sketch aggregate (16k bytes per (key,
     * partition)), edges broadcast back onto a narrow scan — the
@@ -279,11 +281,16 @@ object Stats {
         Sketches.sketchQuantile(col("qs"), pLo).as("q_lo"),
         Sketches.sketchQuantile(col("qs"), pHi).as("q_hi"))
     val v = col(valueCol).cast(DoubleType)
-    df.join(broadcast(bands), keyCol)
+    // LEFT join: a row whose key has no band (every value NULL for the
+    // key, or a NULL key — NULL never equi-matches) still survives,
+    // with NULL v_winsor/flags — the same null-in/null-out contract
+    // the value guard below keeps, extended to the band side.
+    df.join(broadcast(bands), Seq(keyCol), "left")
       .select(col(idCol), col(keyCol), col(valueCol),
         // guarded: Spark's least/greatest SKIP nulls, so an unguarded
-        // clamp would rewrite a NULL value to q_hi — null in, null out
-        when(v.isNotNull,
+        // clamp would rewrite a NULL value to q_hi (or pass a value
+        // through unclamped when the band is missing) — null in/out
+        when(v.isNotNull && col("q_lo").isNotNull,
           greatest(least(v, col("q_hi")), col("q_lo"))).as("v_winsor"),
         (v < col("q_lo")).as("clipped_lo"),
         (v > col("q_hi")).as("clipped_hi"))

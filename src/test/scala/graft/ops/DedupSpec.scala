@@ -409,6 +409,16 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     singletons.foreach { case (id, _) => leak(id) shouldBe plain(id) }
   }
 
+  test("leakFreeSplit rejects inputs that already carry its internal " +
+      "temp column names (withColumn would silently replace them)") {
+    val clash = Seq((1L, "some text", 3)).toDF("doc_id", "text",
+      "__own_bucket")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.leakFreeSplit(clash, "doc_id", "text")
+    }
+    e.getMessage should include("__own_bucket")
+  }
+
   test("embeddingCrossContamination pairs cross corpora only and " +
       "confirms on exact cosine") {
     val corpus = Seq(

@@ -175,4 +175,19 @@ class SamplingSpec extends SparkSpecBase with Matchers {
       .select("g", "quota").as[(String, Long)].collect().toSet
     q2 shouldBe Set(("x", 2L), ("y", 1L), ("z", 1L))
   }
+
+  test("quotaSampleByGroup: loud guards — non-string strata rejected " +
+      "at plan time, NULL stratum named in the failure") {
+    val intStrata = Seq((1L, 0L), (2L, 1L)).toDF("g", "id")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.quotaSampleByGroup(intStrata, "g", "id", totalK = 1)
+    }
+    e1.getMessage should include("must be STRING")
+    val nullStrata = Seq((Option("a"), 0L), (Option.empty[String], 1L))
+      .toDF("g", "id")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.quotaSampleByGroup(nullStrata, "g", "id", totalK = 1)
+    }
+    e2.getMessage should include("'g' contains NULL")
+  }
 }

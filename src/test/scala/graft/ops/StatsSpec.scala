@@ -172,6 +172,24 @@ class StatsSpec extends SparkSpecBase with Matchers {
       (5L, None, None, None))
   }
 
+  test("winsorize: a key with no band (all values NULL, or a NULL key) " +
+      "survives the left join with NULL outputs — no silent drop") {
+    val df = Seq(
+      (0L, Option("a"), Option(10L)),   // normal key, gets a band
+      (1L, Option("a"), Option(20L)),
+      (2L, Option("b"), Option.empty[Long]), // key b: every value NULL
+      (3L, Option.empty[String], Option(99L))) // NULL key never matches
+      .toDF("id", "g", "v")
+    val out = Stats.winsorize(df, "id", "g", "v", pLo = 0.25, pHi = 0.75)
+      .select("id", "v_winsor", "clipped_lo", "clipped_hi")
+      .as[(Long, Option[Double], Option[Boolean], Option[Boolean])]
+      .collect().sortBy(_._1).toSeq
+    out.map(_._1) shouldBe Seq(0L, 1L, 2L, 3L) // all four rows survive
+    out(2) shouldBe ((2L, None, None, None))
+    out(3) shouldBe ((3L, None, None, None))
+    out(0)._2 should not be empty // banded key still clamps
+  }
+
   test("profileDrift: exact stats per side, null-rate delta both " +
       "directions, distinct estimate exact below k") {
     import org.apache.spark.sql.functions.col
