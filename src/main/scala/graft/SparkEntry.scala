@@ -1090,6 +1090,19 @@ object SparkEntry {
         .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
           round(col("lift"), 6).as("lift"))
     }),
+    "q_lm_score" -> ((s, dir) => {
+      // CCNet-style bigram-LM quality scoring (TextAnalysis.lmScore):
+      // train add-one-smoothed transition counts on the corpus, score
+      // every doc by mean transition probability + weakest transition.
+      // Log-free by design (the lift/langid house recipe): integer
+      // counts, one exact-operand IEEE division per transition, 2^-40
+      // fixed-point quantization so the per-doc sum is exact integer
+      // arithmetic on any partitioning — no ordered fold, ONE plain
+      // map-side-partial aggregate.
+      val d = t(s, dir, "documents")
+      TextAnalysis.lmScore(d, d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_quantile_norm" -> ((s, dir) => {
       // Cross-source score calibration: raw length/quality thresholds
       // over-prune some sources and under-prune others; mapping each
@@ -3588,6 +3601,35 @@ object SparkEntry {
                                JOIN un uy ON uy.w = s.w2, nt)
           SELECT bigram, c_xy, c_x, c_y, round(lift, 6) AS lift
           FROM j ORDER BY j.lift DESC, bigram LIMIT 50""",
+    // Bigram-LM scoring replay: same tokenizer, add-one-smoothed
+    // p = (c_xy+1)/(ctx+V) as one exact-operand DOUBLE division,
+    // floor(p * 2^40) quantization so the per-doc sum is exact
+    // integers — bit-identical to the Spark fixed-point aggregate.
+    "q_lm_score" ->
+      raw"""WITH ts AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+                        FROM documents),
+               bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+                      FROM ts),
+               bc AS (SELECT bigram, count(*) AS c_xy FROM bi GROUP BY bigram),
+               cx AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c_xy) AS c_x
+                      FROM bc GROUP BY 1),
+               vv AS (SELECT count(DISTINCT w) AS v
+                      FROM (SELECT unnest(t) AS w FROM ts)),
+               pr AS (SELECT b.doc_id,
+                             CAST(coalesce(c.c_xy, 0) + 1 AS DOUBLE)
+                               / CAST(coalesce(x.c_x, 0) + vv.v AS DOUBLE) AS p
+                      FROM bi b LEFT JOIN bc c USING (bigram)
+                                LEFT JOIN cx x ON x.w1 = string_split(b.bigram, ' ')[1], vv),
+               pd AS (SELECT doc_id,
+                             sum(CAST(floor(p * CAST(1099511627776 AS DOUBLE)) AS BIGINT)) AS sum_fp,
+                             count(*) AS n_trans, min(p) AS lm_min
+                      FROM pr GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(pd.n_trans, 0) AS n_trans,
+                 CAST(pd.sum_fp AS DOUBLE)
+                   / CAST(pd.n_trans * 1099511627776 AS DOUBLE) AS lm_score,
+                 pd.lm_min
+          FROM documents d LEFT JOIN pd USING (doc_id)
+          ORDER BY d.doc_id""",
     // Quantile-normalization replay: per-source kept-row sample via the
     // hash-rank chain, pct = exact count of sample values <= v over the
     // sample size.
@@ -5763,5 +5805,7 @@ object SparkEntry {
     "q_linkage_fs", "q_zonemap", "q_label_prop", "q_quota_mix",
     "q_profile_drift", "q_attribution", "q_trending", "q_winsorize",
     "q_span_dedup", "q_hits", "q_hard_negatives", "q_eval_carve",
-    "q_hybrid_retrieval", "q_dataset_card", "q_distinct_cube")
+    "q_hybrid_retrieval", "q_dataset_card", "q_distinct_cube",
+    // round 13
+    "q_lm_score")
 }

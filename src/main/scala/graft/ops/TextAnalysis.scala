@@ -754,4 +754,80 @@ object TextAnalysis {
     df.select(col(idCol), reasons.as("reasons"),
       (reasons === 0L).as("passed"))
   }
+
+  /** Fixed-point scale of the LM transition probabilities: 2^40. One
+    * part in a trillion per transition — far below any signal — and it
+    * buys order-independence (see [[lmScore]]). */
+  private[ops] val LmFixedPointScale: Long = 1L << 40
+
+  /** BIGRAM LANGUAGE-MODEL SCORING — the CCNet-style "does this read
+    * like the reference corpus" quality filter: train add-one-smoothed
+    * bigram transition counts on `train`, then score every `score` doc
+    * by its mean transition probability `mean_i p(w_i | w_{i-1})` with
+    * `p(b|a) = (c(a,b)+1) / (ctx(a)+V)` — `ctx(a) = Σ_b c(a,b)` (so
+    * the smoothed conditional sums to exactly 1 over the vocabulary)
+    * and V the training vocabulary size. Garbled / boilerplate /
+    * out-of-domain text takes rare transitions and scores low; `lm_min`
+    * (the weakest single transition) flags a spliced-in junk span that
+    * a healthy mean would hide. Unseen bigrams and unseen context
+    * words degrade smoothly (`c=0` / `ctx=0` via the left joins), so
+    * scoring a frame disjoint from the training corpus is
+    * well-defined.
+    *
+    * Mean-of-probabilities rather than perplexity BY DESIGN (the
+    * log-free house recipe, q_collocations' lift precedent): every
+    * quantity is integer counts plus ONE exact-operand IEEE division —
+    * bit-replayable cross-engine, where `exp/log` low bits are libm's.
+    * It induces the same "fluent high / garbled low" ordering signal.
+    *
+    * Determinism without an ordered fold: each transition probability
+    * is quantized to 2^-40 fixed point (`floor(p * 2^40)` — one IEEE
+    * multiply + exact floor), and the per-doc SUM of those longs is
+    * exact integer arithmetic, identical on any partitioning — no
+    * collect_list, no per-key array, no hot-key OOM hazard. The final
+    * score is one division of two exactly-representable longs
+    * (sum_fp ≤ n·2^40 < 2^53 for any doc under 4k tokens; cap docs or
+    * raise to DECIMAL beyond that).
+    *
+    * Scale shape: bigram explode -> one hash-shuffle count aggregate
+    * (map-side partials; the count table is |distinct bigrams|, never
+    * the corpus); V rides a 1-row broadcast; scoring is explode ->
+    * two slim joins on (bigram)/(context word) -> ONE plain
+    * map-side-partial aggregate per doc -> left join back onto the
+    * doc list (docs with <2 tokens keep NULL score). Document text
+    * never shuffles. Returns (idCol, n_trans, lm_score, lm_min). */
+  def lmScore(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val biTrain = train
+      .select(explode(ngrams(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    val ctx = biTrain
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val vocab = train
+      .select(explode(tokens(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val scored = score
+      .select(col(idCol), explode(ngrams(col(textCol), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(biTrain, Seq("bigram"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+    val p = (coalesce(col("c_xy"), lit(0L)) + lit(1L)).cast(DoubleType) /
+      (coalesce(col("c_x"), lit(0L)) + col("v")).cast(DoubleType)
+    val perDoc = scored
+      .select(col(idCol), p.as("p"))
+      .groupBy(col(idCol))
+      .agg(sum(floor(col("p") * lit(LmFixedPointScale.toDouble)))
+          .as("sum_fp"),
+        count(lit(1)).as("n_trans"), min(col("p")).as("lm_min"))
+      .select(col(idCol), col("n_trans"),
+        (col("sum_fp").cast(DoubleType) /
+          (col("n_trans") * lit(LmFixedPointScale)).cast(DoubleType))
+          .as("lm_score"),
+        col("lm_min"))
+    score.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        col("lm_score"), col("lm_min"))
+  }
 }

@@ -534,4 +534,48 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
       (4L, 2L, 0L, "unique words only here"),
       (5L, 0L, 0L, ""))
   }
+
+  test("lmScore: hand-computed add-one smoothed transition means, " +
+      "unseen bigram/context degrade smoothly, <2-token doc keeps NULL") {
+    // train: "a b a b" -> bigrams (a b)x2, (b a); "a c" -> (a c)
+    // ctx: a -> 3, b -> 1; V = |{a,b,c}| = 3
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b a b"), // p(b|a)=3/6, p(a|b)=2/4, p(b|a) -> all 0.5
+      (2L, "a c"),     // p(c|a) = 2/6
+      (3L, "z a x"),   // unseen ctx z: 1/(0+3); unseen bigram a x: 1/6
+      (4L, "a"))       // no transitions
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(train, score, "doc_id", "text")
+      .select("doc_id", "n_trans", "lm_score", "lm_min")
+      .as[(Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    val S = (1L << 40).toDouble
+    def fp(ps: Double*): Double =
+      ps.map(p => math.floor(p * S)).sum / (ps.size * S)
+    out shouldBe Seq(
+      (1L, 3L, Some(fp(0.5, 0.5, 0.5)), Some(0.5)),
+      (2L, 1L, Some(fp(2.0 / 6.0)), Some(2.0 / 6.0)),
+      (3L, 2L, Some(fp(1.0 / 3.0, 1.0 / 6.0)), Some(1.0 / 6.0)),
+      (4L, 0L, None, None))
+    out(0)._3 shouldBe Some(0.5) // 0.5 is exact in fixed point
+  }
+
+  test("lmScore is partition-order independent: 1 partition == 7 " +
+      "partitions bit-for-bit (integer fixed-point sum)") {
+    val rng = new scala.util.Random(17)
+    val words = Array("ax", "by", "cz", "dw", "ev", "fu")
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(3 + rng.nextInt(40))(
+        words(rng.nextInt(words.length))).mkString(" "))
+    }
+    def run(parts: Int): Seq[(Long, Long, Option[Double], Option[Double])] = {
+      val df = docs.toDF("doc_id", "text").repartition(parts)
+      TextAnalysis.lmScore(df, df, "doc_id", "text")
+        .select("doc_id", "n_trans", "lm_score", "lm_min")
+        .as[(Long, Long, Option[Double], Option[Double])]
+        .collect().sortBy(_._1).toSeq
+    }
+    run(1) shouldBe run(7)
+  }
 }
