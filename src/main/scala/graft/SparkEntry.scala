@@ -1103,6 +1103,18 @@ object SparkEntry {
       TextAnalysis.lmScore(d, d, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance weights (TextAnalysis.dsirWeights): tilt the
+      // raw corpus toward the lang='en' target slice via hashed-bigram
+      // bucket models — w(doc) = prod p_t(b)/p_r(b). B=1024 power of
+      // two (signed pmod == oracle's unsigned mod), ratios are integer
+      // counts + fixed-order IEEE divisions, product is the q_ewma
+      // position-ordered fold — bit-replayable end to end.
+      val d = t(s, dir, "documents")
+      TextAnalysis.dsirWeights(d, d.where(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_quantile_norm" -> ((s, dir) => {
       // Cross-source score calibration: raw length/quality thresholds
       // over-prune some sources and under-prune others; mapping each
@@ -3630,6 +3642,41 @@ object SparkEntry {
                  pd.lm_min
           FROM documents d LEFT JOIN pd USING (doc_id)
           ORDER BY d.doc_id""",
+    // DSIR replay: hashed-bigram bucket models (rolling hash % 1024 on
+    // the HUGEINT — equals Spark's signed pmod because 1024 | 2^64),
+    // add-one smoothing as fixed-order DOUBLE divisions, per-doc
+    // product as the q_ewma ordered list_reduce fold. Outer transform
+    // var is j: rollingHashSql's inner lambda owns i.
+    "q_dsir" ->
+      raw"""WITH ts AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+                        FROM documents),
+               tb AS (SELECT CAST(${rollingHashSql("bigram")} % 1024 AS BIGINT) AS b
+                      FROM (SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS bigram
+                            FROM ts WHERE lang = 'en')),
+               ct AS (SELECT b, count(*) AS c_t FROM tb GROUP BY b),
+               ntt AS (SELECT count(*) AS n_t FROM tb),
+               rb AS (SELECT doc_id, f['pos'] AS pos,
+                             CAST(${rollingHashSql("f['bigram']")} % 1024 AS BIGINT) AS b
+                      FROM (SELECT doc_id,
+                                   unnest(list_transform(range(1, len(t)),
+                                     j -> {'pos': j - 1, 'bigram': t[j] || ' ' || t[j+1]})) AS f
+                            FROM ts)),
+               cr AS (SELECT b, count(*) AS c_r FROM rb GROUP BY b),
+               nrr AS (SELECT count(*) AS n_r FROM rb),
+               pr AS (SELECT doc_id, pos,
+                             (CAST(coalesce(ct.c_t, 0) + 1 AS DOUBLE)
+                               / CAST(ntt.n_t + 1024 AS DOUBLE))
+                             / (CAST(coalesce(cr.c_r, 0) + 1 AS DOUBLE)
+                               / CAST(nrr.n_r + 1024 AS DOUBLE)) AS r
+                      FROM rb LEFT JOIN ct USING (b)
+                              LEFT JOIN cr USING (b), ntt, nrr),
+               pd AS (SELECT doc_id, count(*) AS n_feat,
+                             list_reduce([CAST(1.0 AS DOUBLE)] || list(r ORDER BY pos),
+                               (acc, x) -> acc * x) AS dsir_w
+                      FROM pr GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(pd.n_feat, 0) AS n_feat, pd.dsir_w
+          FROM documents d LEFT JOIN pd USING (doc_id)
+          ORDER BY d.doc_id""",
     // Quantile-normalization replay: per-source kept-row sample via the
     // hash-rank chain, pct = exact count of sample values <= v over the
     // sample size.
@@ -5807,5 +5854,5 @@ object SparkEntry {
     "q_span_dedup", "q_hits", "q_hard_negatives", "q_eval_carve",
     "q_hybrid_retrieval", "q_dataset_card", "q_distinct_cube",
     // round 13
-    "q_lm_score")
+    "q_lm_score", "q_dsir")
 }

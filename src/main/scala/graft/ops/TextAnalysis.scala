@@ -830,4 +830,74 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n_trans"), lit(0L)).as("n_trans"),
         col("lm_score"), col("lm_min"))
   }
+
+  /** DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): weight each raw doc
+    * by how target-like its hashed-bigram feature distribution is —
+    * `w(doc) = Π_features p_target(b) / p_raw(b)` over the doc's
+    * bigram buckets, where each side's bucket model is
+    * add-one-smoothed over `buckets` cells:
+    * `p(b) = (c(b)+1) / (N+B)`. Selecting the top-weighted raw docs
+    * tilts a generic crawl toward the target domain without training
+    * a classifier. Hashed features (bigram -> rolling-hash bucket)
+    * keep both models a fixed `B`-row table regardless of corpus
+    * size — the paper's trick, and the scale story.
+    *
+    * Determinism: bucket ids come off the library's own rolling hash
+    * ([[graft.functions.TextHashes.rolling_hash64]], HUGEINT-
+    * replayable) with `B` a power of two so signed `pmod` equals the
+    * oracle's unsigned `% B`; each per-feature ratio is integer
+    * counts + three fixed-order IEEE divisions; the per-doc product
+    * is a POSITION-ORDERED fold (the q_ewma recipe — IEEE multiply is
+    * deterministic given order, including gradual under/overflow), so
+    * the weight replays bit-exactly. Log-free by design (the house
+    * recipe): `log w` would rank identically but take libm bits.
+    *
+    * Scale shape: two B-bounded count aggregates (map-side partials)
+    * + two 1-row totals on broadcasts; scoring is posexplode -> two
+    * broadcast joins against the B-row models -> ONE per-doc fold
+    * whose array is the doc's own length (no cross-row skew — a
+    * collect_list bounded by the row that produced it). Doc text
+    * never shuffles. Returns (idCol, n_feat, dsir_w); docs with no
+    * bigram keep NULL weight. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2 (signed pmod == unsigned " +
+        s"mod only then), got $buckets")
+    def feats(df: DataFrame): DataFrame = df
+      .select(explode(ngrams(col(textCol), 2)).as("bigram"))
+      .select(pmod(graft.functions.TextHashes.rolling_hash64(col("bigram")),
+        lit(buckets.toLong)).as("b"))
+    def model(df: DataFrame): (DataFrame, DataFrame) = {
+      val f = feats(df)
+      (f.groupBy(col("b")).agg(count(lit(1)).as("c")),
+        f.agg(count(lit(1)).as("n")))
+    }
+    val (ct, nt) = model(target)
+    val (cr, nr) = model(raw)
+    val scored = raw
+      .select(col(idCol),
+        posexplode(ngrams(col(textCol), 2)).as(Seq("pos", "bigram")))
+      .withColumn("b", pmod(
+        graft.functions.TextHashes.rolling_hash64(col("bigram")),
+        lit(buckets.toLong)))
+      .join(broadcast(ct.withColumnRenamed("c", "c_t")), Seq("b"), "left")
+      .join(broadcast(cr.withColumnRenamed("c", "c_r")), Seq("b"), "left")
+      .crossJoin(broadcast(nt.withColumnRenamed("n", "n_t")))
+      .crossJoin(broadcast(nr.withColumnRenamed("n", "n_r")))
+    val ratio =
+      ((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast(DoubleType) /
+        (col("n_t") + lit(buckets.toLong)).cast(DoubleType)) /
+      ((coalesce(col("c_r"), lit(0L)) + lit(1L)).cast(DoubleType) /
+        (col("n_r") + lit(buckets.toLong)).cast(DoubleType))
+    val perDoc = scored.select(col(idCol), col("pos"), ratio.as("r"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("r")))),
+          lit(1.0), (acc, x) => acc * x.getField("r")).as("dsir_w"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        col("dsir_w"))
+  }
 }

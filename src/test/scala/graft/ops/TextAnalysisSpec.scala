@@ -561,6 +561,61 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     out(0)._3 shouldBe Some(0.5) // 0.5 is exact in fixed point
   }
 
+  test("dsirWeights matches a brute-force model (same hash, same op " +
+      "order), ranks target-like docs above off-target, NULL on " +
+      "featureless docs, rejects non-power-of-two buckets") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val target = Seq(
+      (100L, "spark query plan spark query plan optimizer"),
+      (101L, "query plan optimizer spark query plan"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "spark query plan optimizer spark query"), // target-like
+      (2L, "banana smoothie recipe with mango and lime"), // off-target
+      (3L, "word"))                                   // no bigram
+      .toDF("doc_id", "text")
+    val B = 1024L
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    def bigrams(t: String): Seq[String] =
+      toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    def bucket(bg: String): Long = {
+      val h = graft.functions.TextHashes.rollingHashOf(
+        UTF8String.fromString(bg))
+      ((h % B) + B) % B
+    }
+    val tFeats = Seq("spark query plan spark query plan optimizer",
+      "query plan optimizer spark query plan").flatMap(bigrams).map(bucket)
+    val rDocs = Seq(1L -> "spark query plan optimizer spark query",
+      2L -> "banana smoothie recipe with mango and lime", 3L -> "word")
+    val rFeats = rDocs.flatMap(d => bigrams(d._2)).map(bucket)
+    val ct = tFeats.groupBy(identity).map { case (b, xs) => b -> xs.size }
+    val cr = rFeats.groupBy(identity).map { case (b, xs) => b -> xs.size }
+    def model(text: String): Option[Double] = {
+      val bs = bigrams(text).map(bucket)
+      if (bs.isEmpty) None
+      else Some(bs.foldLeft(1.0) { (acc, b) =>
+        acc * ((ct.getOrElse(b, 0) + 1).toDouble /
+            (tFeats.size + 1024).toDouble /
+          ((cr.getOrElse(b, 0) + 1).toDouble /
+            (rFeats.size + 1024).toDouble))
+      })
+    }
+    val out = TextAnalysis.dsirWeights(raw, target, "doc_id", "text")
+      .select("doc_id", "n_feat", "dsir_w")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (1L, 5L, model(rDocs(0)._2)),
+      (2L, 6L, model(rDocs(1)._2)),
+      (3L, 0L, None))
+    out(0)._3.get should be > out(1)._3.get // target-like ranks higher
+    out(0)._3.get should be > 1.0
+    out(1)._3.get should be < 1.0
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeights(raw, target, "doc_id", "text", buckets = 100)
+    }.getMessage should include("power of two")
+  }
+
   test("lmScore is partition-order independent: 1 partition == 7 " +
       "partitions bit-for-bit (integer fixed-point sum)") {
     val rng = new scala.util.Random(17)
