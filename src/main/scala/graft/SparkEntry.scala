@@ -1115,6 +1115,23 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "q_triangles" -> ((s, dir) => {
+      // Triangle count + local clustering coefficient
+      // (Graph.triangleStats) on the co-purchase graph: parts sharing
+      // an order are connected (115k canonical edges over 2000 parts
+      // at sf0.01). Degree-ordered orientation bounds the wedge join
+      // to O(m^1.5); all-integer counting, lcc is one exact-operand
+      // IEEE division.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graph.triangleStats(edges, "src", "dst")
+        .select(col("v").as("part"), col("deg"), col("n_tri"), col("lcc"))
+        .orderBy("part")
+    }),
     "q_quantile_norm" -> ((s, dir) => {
       // Cross-source score calibration: raw length/quality thresholds
       // over-prune some sources and under-prune others; mapping each
@@ -3677,6 +3694,44 @@ object SparkEntry {
           SELECT d.doc_id, coalesce(pd.n_feat, 0) AS n_feat, pd.dsir_w
           FROM documents d LEFT JOIN pd USING (doc_id)
           ORDER BY d.doc_id""",
+    // Triangle replay: same canonical edges, same (deg, id) row-value
+    // orientation, wedge + closing-edge joins, exact integer counts;
+    // lcc's single division replays operand-exact.
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+              e AS (SELECT DISTINCT x.p AS a, y.p AS b
+                    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+              deg AS (SELECT v, count(*) AS deg
+                      FROM (SELECT a AS v FROM e
+                            UNION ALL SELECT b AS v FROM e)
+                      GROUP BY v),
+              f AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                                THEN e.a ELSE e.b END AS u,
+                           CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                                THEN e.b ELSE e.a END AS w,
+                           CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                                THEN db.deg ELSE da.deg END AS dw
+                    FROM e JOIN deg da ON da.v = e.a
+                           JOIN deg db ON db.v = e.b),
+              wed AS (SELECT x.u, x.w AS v1, y.w AS v2
+                      FROM f x JOIN f y ON x.u = y.u
+                        AND (x.dw, x.w) < (y.dw, y.w)),
+              tri AS (SELECT wed.u, wed.v1, wed.v2
+                      FROM wed JOIN f t ON t.u = wed.v1 AND t.w = wed.v2),
+              tc AS (SELECT v, count(*) AS n_tri
+                     FROM (SELECT u AS v FROM tri
+                           UNION ALL SELECT v1 AS v FROM tri
+                           UNION ALL SELECT v2 AS v FROM tri)
+                     GROUP BY v)
+         SELECT deg.v AS part, deg.deg,
+                coalesce(tc.n_tri, 0) AS n_tri,
+                CASE WHEN deg.deg >= 2 THEN
+                  CAST(2 * coalesce(tc.n_tri, 0) AS DOUBLE)
+                    / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+                END AS lcc
+         FROM deg LEFT JOIN tc ON tc.v = deg.v
+         ORDER BY part""",
     // Quantile-normalization replay: per-source kept-row sample via the
     // hash-rank chain, pct = exact count of sample values <= v over the
     // sample size.
@@ -5854,5 +5909,5 @@ object SparkEntry {
     "q_span_dedup", "q_hits", "q_hard_negatives", "q_eval_carve",
     "q_hybrid_retrieval", "q_dataset_card", "q_distinct_cube",
     // round 13
-    "q_lm_score", "q_dsir")
+    "q_lm_score", "q_dsir", "q_triangles")
 }

@@ -858,4 +858,24 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
     "partial_graft_kmv_distinct".r.findAllIn(p).size should be >= 2
   }
+
+  test("q_triangles: oriented wedge join — no cartesian, no Window, " +
+      "map-side partial counts everywhere") {
+    val p = plan("q_triangles")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+    p should include("partial_count")
+  }
+
+  test("q_lm_score / q_dsir: ONE plain per-doc aggregate, count tables " +
+      "partial-aggregated before their shuffles, no Window/Expand") {
+    val lm = plan("q_lm_score")
+    lm should not include "Window"
+    lm should not include "Expand"
+    lm should include("partial_count")
+    val ds = plan("q_dsir")
+    ds should not include "Window"
+    // B-row bucket models ride broadcasts onto the scoring stream
+    ds should include("BroadcastHashJoin")
+  }
 }

@@ -307,4 +307,28 @@ class GraphSpec extends SparkSpecBase with Matchers {
     (ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString) should
       include("duplicate seed")
   }
+
+  test("triangleStats: K4 + pendant — exact per-node triangle counts, " +
+      "lcc, NULL on deg<2; dups/self-loops/reversed edges cleaned") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5-1.
+    // Input deliberately messy: a duplicate, a reversed orientation,
+    // and a self-loop — all must collapse to the canonical edge set.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L), // one canonical edge
+      (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 3L),                     // self-loop: dropped
+      (5L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.triangleStats(edges, "src", "dst")
+      .select("v", "deg", "n_tri", "lcc")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (1L, 4L, 3L, Some(0.5)), // 2*3 / (4*3)
+      (2L, 3L, 3L, Some(1.0)),
+      (3L, 3L, 3L, Some(1.0)),
+      (4L, 3L, 3L, Some(1.0)),
+      (5L, 1L, 0L, None))      // pendant: undefined, not 0
+    // total triangle incidences = 3 * #triangles
+    out.map(_._3).sum shouldBe 3L * 4L
+  }
 }
