@@ -3634,6 +3634,9 @@ object SparkEntry {
     // p = (c_xy+1)/(ctx+V) as one exact-operand DOUBLE division,
     // floor(p * 2^40) quantization so the per-doc sum is exact
     // integers — bit-identical to the Spark fixed-point aggregate.
+    // Mirrors BOTH loud guards: error() on an empty vocabulary (0/0
+    // NaN hazard) and on any doc past 2^13 transitions (the 2^53
+    // sum_fp exactness bound) — same refusals as TextAnalysis.lmScore.
     "q_lm_score" ->
       raw"""WITH ts AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
                         FROM documents),
@@ -3642,17 +3645,22 @@ object SparkEntry {
                bc AS (SELECT bigram, count(*) AS c_xy FROM bi GROUP BY bigram),
                cx AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c_xy) AS c_x
                       FROM bc GROUP BY 1),
-               vv AS (SELECT count(DISTINCT w) AS v
+               vv AS (SELECT CASE WHEN count(DISTINCT w) >= 1
+                                  THEN count(DISTINCT w)
+                                  ELSE error('lmScore: empty training vocabulary') END AS v
                       FROM (SELECT unnest(t) AS w FROM ts)),
                pr AS (SELECT b.doc_id,
                              CAST(coalesce(c.c_xy, 0) + 1 AS DOUBLE)
                                / CAST(coalesce(x.c_x, 0) + vv.v AS DOUBLE) AS p
                       FROM bi b LEFT JOIN bc c USING (bigram)
                                 LEFT JOIN cx x ON x.w1 = string_split(b.bigram, ' ')[1], vv),
-               pd AS (SELECT doc_id,
+               pd0 AS (SELECT doc_id,
                              sum(CAST(floor(p * CAST(1099511627776 AS DOUBLE)) AS BIGINT)) AS sum_fp,
                              count(*) AS n_trans, min(p) AS lm_min
-                      FROM pr GROUP BY doc_id)
+                      FROM pr GROUP BY doc_id),
+               pd AS (SELECT * FROM pd0
+                      WHERE CASE WHEN n_trans <= 8192 THEN TRUE
+                                 ELSE error('lmScore: doc over 2^13 transitions') END)
           SELECT d.doc_id, coalesce(pd.n_trans, 0) AS n_trans,
                  CAST(pd.sum_fp AS DOUBLE)
                    / CAST(pd.n_trans * 1099511627776 AS DOUBLE) AS lm_score,
@@ -3950,7 +3958,10 @@ object SparkEntry {
     // count-then-one-division recipe — retention is a single IEEE
     // division of exact BIGINTs, bit-exact across engines.
     // Winsorize replay: the robust-outlier sketch chain per type, p05/
-    // p95 via the shared interpolation, null-guarded clamp.
+    // p95 via the shared interpolation, null-guarded clamp. LEFT join +
+    // q_lo guard: a row whose type has no band (NULL key or all-NULL
+    // values) survives with NULL v_winsor/flags, exactly the Spark
+    // left-join semantics — not just on this corpus, on any corpus.
     "q_winsorize" ->
       raw"""WITH e AS (SELECT event_id, event_type,
                               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
@@ -3969,12 +3980,12 @@ object SparkEntry {
                              ${sketchQuantileSql("vs", "n", "0.95")} AS q_hi
                       FROM sm)
           SELECT e.event_id, e.event_type, e.v,
-                 CASE WHEN e.v IS NOT NULL
+                 CASE WHEN e.v IS NOT NULL AND bd.q_lo IS NOT NULL
                       THEN greatest(least(CAST(e.v AS DOUBLE), bd.q_hi), bd.q_lo)
                  END AS v_winsor,
                  (CAST(e.v AS DOUBLE) < bd.q_lo) AS clipped_lo,
                  (CAST(e.v AS DOUBLE) > bd.q_hi) AS clipped_hi
-          FROM e JOIN bd USING (event_type)
+          FROM e LEFT JOIN bd USING (event_type)
           ORDER BY event_id""",
     "q_trending" ->
       """WITH ev AS (SELECT user_id,

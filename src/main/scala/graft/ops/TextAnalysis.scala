@@ -759,6 +759,12 @@ object TextAnalysis {
     * part in a trillion per transition — far below any signal — and it
     * buys order-independence (see [[lmScore]]). */
   private[ops] val LmFixedPointScale: Long = 1L << 40
+  /** Exactness bound for [[lmScore]]: each quantized transition is
+    * < 2^40, so a per-doc sum of up to 2^13 of them stays < 2^53 —
+    * the last integer width an IEEE double carries exactly. Beyond it
+    * the fixed-point sum would silently lose the bit-replayability the
+    * whole design exists for, so the operator REFUSES such docs. */
+  private[ops] val LmMaxTransitions: Long = 1L << 13
 
   /** BIGRAM LANGUAGE-MODEL SCORING — the CCNet-style "does this read
     * like the reference corpus" quality filter: train add-one-smoothed
@@ -786,8 +792,10 @@ object TextAnalysis {
     * exact integer arithmetic, identical on any partitioning — no
     * collect_list, no per-key array, no hot-key OOM hazard. The final
     * score is one division of two exactly-representable longs
-    * (sum_fp ≤ n·2^40 < 2^53 for any doc under 4k tokens; cap docs or
-    * raise to DECIMAL beyond that).
+    * (sum_fp ≤ n·2^40 < 2^53, ENFORCED: docs over [[LmMaxTransitions]]
+    * = 2^13 transitions fail loudly rather than silently losing
+    * exactness; an empty training vocabulary fails loudly rather than
+    * propagating 0/0 NaNs).
     *
     * Scale shape: bigram explode -> one hash-shuffle count aggregate
     * (map-side partials; the count table is |distinct bigrams|, never
@@ -804,9 +812,15 @@ object TextAnalysis {
     val ctx = biTrain
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    // v = 0 (empty / token-free training frame) would make every unseen
+    // context's p a 0/0 NaN that propagates SILENTLY into sum_fp/lm_min
+    // — fail loudly instead (the quotaSampleByGroup guard style).
     val vocab = train
       .select(explode(tokens(col(textCol))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
+      .where(assert_true(col("v") >= 1,
+        lit("lmScore: training frame has an empty vocabulary (no tokens) " +
+          "— add-one smoothing needs v >= 1")).isNull)
     val scored = score
       .select(col(idCol), explode(ngrams(col(textCol), 2)).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
@@ -821,6 +835,15 @@ object TextAnalysis {
       .agg(sum(floor(col("p") * lit(LmFixedPointScale.toDouble)))
           .as("sum_fp"),
         count(lit(1)).as("n_trans"), min(col("p")).as("lm_min"))
+      // ENFORCED exactness contract (was documentation-only): past
+      // 2^13 transitions sum_fp can exceed 2^53 and the "exact integer
+      // sum" silently degrades — refuse the doc loudly instead.
+      .where(assert_true(col("n_trans") <= lit(LmMaxTransitions),
+        concat(lit("lmScore: document "), col(idCol).cast(StringType),
+          lit(" has "), col("n_trans").cast(StringType),
+          lit(s" transitions > $LmMaxTransitions — sum_fp would pass the " +
+            "2^53 double-exactness bound; split the doc or raise the " +
+            "sum to DECIMAL"))).isNull)
       .select(col(idCol), col("n_trans"),
         (col("sum_fp").cast(DoubleType) /
           (col("n_trans") * lit(LmFixedPointScale)).cast(DoubleType))

@@ -561,6 +561,31 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     out(0)._3 shouldBe Some(0.5) // 0.5 is exact in fixed point
   }
 
+  test("lmScore guards fail LOUDLY: empty training vocabulary (0/0 NaN " +
+      "hazard) and a doc past 2^13 transitions (2^53 sum_fp exactness " +
+      "bound); at-the-bound docs pass") {
+    def msg(f: => Array[_]): String = {
+      val e = intercept[Exception](f)
+      e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+    }
+    // empty vocabulary: train has rows but no tokens
+    val emptyTrain = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b")).toDF("doc_id", "text")
+    msg(TextAnalysis.lmScore(emptyTrain, score, "doc_id", "text")
+      .collect()) should include("empty vocabulary")
+    // overflow bound: 8193 tokens = 8192 transitions passes, 8194 fails
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    def doc(nTokens: Int): org.apache.spark.sql.DataFrame =
+      Seq((9L, Seq.fill(nTokens)("a").mkString(" "))).toDF("doc_id", "text")
+    val ok = TextAnalysis.lmScore(train, doc(8193), "doc_id", "text")
+      .select("n_trans").as[Long].head()
+    ok shouldBe 8192L
+    val m = msg(TextAnalysis.lmScore(train, doc(8194), "doc_id", "text")
+      .collect())
+    m should include("8193")
+    m should include("2^53")
+  }
+
   test("dsirWeights matches a brute-force model (same hash, same op " +
       "order), ranks target-like docs above off-target, NULL on " +
       "featureless docs, rejects non-power-of-two buckets") {
