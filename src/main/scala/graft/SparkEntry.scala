@@ -1115,6 +1115,17 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher repetition filters (TextAnalysis.repetitionSignals,
+      // Rae et al. 2021 Table A1): top-n-gram token share (n=2,3,4,
+      // with multiplicity) and duplicated-n-gram position coverage
+      // (n=5,10, exact interval union). All-integer counting + one
+      // exact-operand IEEE division per signal — bit-replayable; the
+      // quality-gate companion to q_text_stats' surface ratios.
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_triangles" -> ((s, dir) => {
       // Triangle count + local clustering coefficient
       // (Graph.triangleStats) on the co-purchase graph: parts sharing
@@ -3702,6 +3713,59 @@ object SparkEntry {
           SELECT d.doc_id, coalesce(pd.n_feat, 0) AS n_feat, pd.dsir_w
           FROM documents d LEFT JOIN pd USING (doc_id)
           ORDER BY d.doc_id""",
+    // Repetition replay: same tokenizer and gram construction (1-based
+    // list slices), exact integer counts; top family = per-doc max gram
+    // count * n, dup family = count(DISTINCT covered position) over
+    // occurrences of grams repeating within the doc; one exact-operand
+    // DOUBLE division per signal — bit-identical to the Spark side.
+    "q_repetition" ->
+      raw"""WITH ts AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+                        FROM documents),
+               base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM ts),
+               t2 AS (SELECT doc_id, max(c) AS top2
+                      FROM (SELECT doc_id, g, count(*) AS c
+                            FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g FROM ts)
+                            GROUP BY doc_id, g)
+                      GROUP BY doc_id),
+               t3 AS (SELECT doc_id, max(c) AS top3
+                      FROM (SELECT doc_id, g, count(*) AS c
+                            FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g FROM ts)
+                            GROUP BY doc_id, g)
+                      GROUP BY doc_id),
+               t4 AS (SELECT doc_id, max(c) AS top4
+                      FROM (SELECT doc_id, g, count(*) AS c
+                            FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))) AS g FROM ts)
+                            GROUP BY doc_id, g)
+                      GROUP BY doc_id),
+               c5 AS (SELECT doc_id, f['pos'] AS pos,
+                             count(*) OVER (PARTITION BY doc_id, f['g']) AS c
+                      FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3), i -> {'pos': i, 'g': array_to_string(t[i:i+4], ' ')})) AS f FROM ts)),
+               d5 AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS dup5
+                      FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+                            FROM c5 WHERE c >= 2)
+                      GROUP BY doc_id),
+               c10 AS (SELECT doc_id, f['pos'] AS pos,
+                              count(*) OVER (PARTITION BY doc_id, f['g']) AS c
+                       FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 8), i -> {'pos': i, 'g': array_to_string(t[i:i+9], ' ')})) AS f FROM ts)),
+               d10 AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS dup10
+                       FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS p
+                             FROM c10 WHERE c >= 2)
+                       GROUP BY doc_id)
+          SELECT b.doc_id, b.n_tokens,
+                 CASE WHEN b.n_tokens > 0 THEN CAST(coalesce(t2.top2, 0) * 2 AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+                      WHEN b.n_tokens = 0 THEN CAST(0.0 AS DOUBLE) END AS top2_frac,
+                 CASE WHEN b.n_tokens > 0 THEN CAST(coalesce(t3.top3, 0) * 3 AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+                      WHEN b.n_tokens = 0 THEN CAST(0.0 AS DOUBLE) END AS top3_frac,
+                 CASE WHEN b.n_tokens > 0 THEN CAST(coalesce(t4.top4, 0) * 4 AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+                      WHEN b.n_tokens = 0 THEN CAST(0.0 AS DOUBLE) END AS top4_frac,
+                 CASE WHEN b.n_tokens > 0 THEN CAST(coalesce(d5.dup5, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+                      WHEN b.n_tokens = 0 THEN CAST(0.0 AS DOUBLE) END AS dup5_frac,
+                 CASE WHEN b.n_tokens > 0 THEN CAST(coalesce(d10.dup10, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+                      WHEN b.n_tokens = 0 THEN CAST(0.0 AS DOUBLE) END AS dup10_frac
+          FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+                      LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+                      LEFT JOIN d10 USING (doc_id)
+          ORDER BY b.doc_id""",
     // Triangle replay: same canonical edges, same (deg, id) row-value
     // orientation, wedge + closing-edge joins, exact integer counts;
     // lcc's single division replays operand-exact.
@@ -5920,5 +5984,7 @@ object SparkEntry {
     "q_span_dedup", "q_hits", "q_hard_negatives", "q_eval_carve",
     "q_hybrid_retrieval", "q_dataset_card", "q_distinct_cube",
     // round 13
-    "q_lm_score", "q_dsir", "q_triangles")
+    "q_lm_score", "q_dsir", "q_triangles",
+    // round 14
+    "q_repetition", "q_moore_lewis", "q_kcore")
 }

@@ -923,4 +923,80 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
         col("dsir_w"))
   }
+
+  /** GOPHER REPETITION FILTERS (Rae et al. 2021, "Scaling Language
+    * Models", Table A1): the within-document repetition signals the
+    * MassiveText pipeline gates on before training — boilerplate,
+    * keyword-stuffed, and looping documents all light these up while
+    * per-token perplexity misses them. Two families, adapted to the
+    * TOKEN measure (this corpus has no newlines, so the line-based
+    * variants are vacuous; tokens make every signal an exact integer
+    * count + one division):
+    *
+    *  - `top{n}_frac` (n in `topNs`): fraction of the token stream
+    *    claimed by the single most frequent n-gram, counted WITH
+    *    multiplicity (`max_gram_count * n / n_tokens`) — the paper's
+    *    "fraction of characters in the most frequent n-gram". Can
+    *    exceed 1.0 on degenerate loops ("a a a a"), exactly as the
+    *    paper's char version can; that overshoot IS the signal.
+    *  - `dup{n}_frac` (n in `dupNs`): fraction of token POSITIONS
+    *    covered by at least one occurrence of an n-gram that repeats
+    *    within the doc — the paper's "fraction of characters in
+    *    duplicate n-grams", computed as an exact interval union
+    *    (each position counted once however many duplicated grams
+    *    overlap it), never the double-counting shortcut.
+    *
+    * Determinism: pure integer counting (gram counts, distinct covered
+    * positions) and one exact-operand IEEE division per signal — no
+    * tie-break needed since only the max COUNT is read, never the
+    * winning gram. Empty docs (0 tokens) emit 0.0 (nothing repeats);
+    * NULL text emits NULL throughout (null in/null out).
+    *
+    * Scale shape: per n, grams ride ONE hash shuffle keyed
+    * (doc, gram) — partial map-side counts for the top family, a
+    * (doc, gram)-partition window for the duplicate family whose
+    * partitions are bounded by the OWNING doc's length (no hot-key
+    * hazard beyond a single doc) — then #ns slim per-doc frames
+    * broadcast-join back onto the doc list. Document text itself
+    * never shuffles; the exploded gram stream is the transfer unit,
+    * the same bill every corpus n-gram op here pays. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "need at least one n")
+    require((topNs ++ dupNs).forall(_ >= 2),
+      s"repetition n-grams need n >= 2, got ${(topNs ++ dupNs).mkString(",")}")
+    require(topNs.distinct == topNs && dupNs.distinct == dupNs,
+      "duplicate n in topNs/dupNs")
+    val base = df.select(col(idCol),
+      size(tokens(col(textCol))).cast(LongType).as("n_tokens"))
+    def grams(n: Int): DataFrame = df.select(col(idCol),
+      posexplode(ngrams(col(textCol), n)).as(Seq("pos", "g")))
+    val topFrames = topNs.map { n =>
+      grams(n).groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol)).agg(max(col("c")).as(s"__top$n"))
+    }
+    val dupFrames = dupNs.map { n =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol), col("g"))
+      grams(n).withColumn("c", count(lit(1)).over(w))
+        .where(col("c") >= 2)
+        .select(col(idCol),
+          explode(sequence(col("pos"), col("pos") + lit(n - 1)))
+            .as("covered"))
+        .groupBy(col(idCol))
+        .agg(count_distinct(col("covered")).as(s"__dup$n"))
+    }
+    val joined = (topFrames ++ dupFrames)
+      .foldLeft(base)((acc, f) => acc.join(f, Seq(idCol), "left"))
+    // exact-operand division; 0-token docs -> 0.0, NULL text -> NULL
+    def frac(x: Column, mult: Long): Column =
+      when(col("n_tokens") > 0,
+        (coalesce(x, lit(0L)) * lit(mult)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+        .when(col("n_tokens") === 0, lit(0.0))
+    joined.select(col(idCol) +: col("n_tokens") +:
+      (topNs.map(n => frac(col(s"__top$n"), n).as(s"top${n}_frac")) ++
+        dupNs.map(n => frac(col(s"__dup$n"), 1L).as(s"dup${n}_frac"))): _*)
+  }
 }

@@ -641,6 +641,36 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     }.getMessage should include("power of two")
   }
 
+  test("repetitionSignals: hand-computed Gopher fractions — top-gram " +
+      "with multiplicity (exceeds 1.0 on loops), duplicate-gram " +
+      "interval union counts overlapped positions once, empty doc " +
+      "zeros, sub-n doc zeros, NULL text nulls") {
+    val df = Seq(
+      (1L, "a b a b a"), // top2="a b"x2 -> .8; top3="a b a"x2 -> 1.2
+      (2L, "x y z"),     // nothing repeats: top2 1*2/3, top3 3/3, dup 0
+      (3L, ""),          // 0 tokens -> all 0.0
+      (4L, "q"),         // 1 token: no 2-grams -> 0.0
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text",
+        topNs = Seq(2, 3), dupNs = Seq(2, 3))
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+      .collect().toSeq
+    out shouldBe Seq(
+      // dup2: "a b"/"b a" both repeat, occurrences cover {0..4} -> 1.0
+      // dup3: "a b a" at pos 0 and 2, union {0,1,2}+{2,3,4} = 5 -> 1.0
+      (1L, Some(5L), Some(0.8), Some(1.2), Some(1.0), Some(1.0)),
+      (2L, Some(3L), Some(2.0 / 3.0), Some(1.0), Some(0.0), Some(0.0)),
+      (3L, Some(0L), Some(0.0), Some(0.0), Some(0.0), Some(0.0)),
+      (4L, Some(1L), Some(0.0), Some(0.0), Some(0.0), Some(0.0)),
+      (5L, None, None, None, None, None))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.repetitionSignals(df, "doc_id", "text", topNs = Seq(1))
+    }.getMessage should include("n >= 2")
+  }
+
   test("lmScore is partition-order independent: 1 partition == 7 " +
       "partitions bit-for-bit (integer fixed-point sum)") {
     val rng = new scala.util.Random(17)
