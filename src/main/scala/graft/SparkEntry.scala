@@ -1126,6 +1126,17 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "q_moore_lewis" -> ((s, dir) => {
+      // Moore-Lewis contrastive selection (TextAnalysis.mooreLewis):
+      // rank every doc by in-domain-minus-general mean transition
+      // probability — two lmScore bigram models (in-domain = lang='en'
+      // slice, general = whole corpus), one IEEE subtraction. The
+      // full-LM sibling of q_dsir's hashed-feature importance ratio.
+      val d = t(s, dir, "documents")
+      TextAnalysis.mooreLewis(d.where(col("lang") === "en"), d, d,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_triangles" -> ((s, dir) => {
       // Triangle count + local clustering coefficient
       // (Graph.triangleStats) on the co-purchase graph: parts sharing
@@ -3109,6 +3120,24 @@ object SparkEntry {
     s"($vlo + ($vhi - $vlo) * ($r - floor($r)))"
   }
 
+  /** DuckDB replay of one [[graft.ops.TextAnalysis.lmScore]] bigram
+    * MODEL over a pre-tokenized CTE `ts(doc_id, lang, t)`: emits CTEs
+    * `bi$sfx` (training bigrams), `bc$sfx` (bigram counts), `cx$sfx`
+    * (context totals) and `vv$sfx` (guarded vocab size) for the train
+    * slice selected by `where`. Factored because q_moore_lewis replays
+    * TWO models; a hand-copied variant of the q_lm_score chain would
+    * silently diverge (the shinglePairsSql rationale). */
+  private def lmModelCtesSql(sfx: String, where: String): String =
+    raw"""bi$sfx AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+         |                      FROM ts $where),
+         |               bc$sfx AS (SELECT bigram, count(*) AS c_xy FROM bi$sfx GROUP BY bigram),
+         |               cx$sfx AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c_xy) AS c_x
+         |                      FROM bc$sfx GROUP BY 1),
+         |               vv$sfx AS (SELECT CASE WHEN count(DISTINCT w) >= 1
+         |                                 THEN count(DISTINCT w)
+         |                                 ELSE error('lmScore: empty training vocabulary') END AS v
+         |                      FROM (SELECT unnest(t) AS w FROM ts $where))""".stripMargin
+
   /** Shared CTE fragments of the near-dup oracle family (same rationale
     * as [[rollingHashSql]]: ONE source of truth; hand-copied variants
     * silently diverge and surface only as opaque hash mismatches).
@@ -3766,6 +3795,52 @@ object SparkEntry {
                       LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
                       LEFT JOIN d10 USING (doc_id)
           ORDER BY b.doc_id""",
+    // Moore-Lewis replay: TWO lmScore model chains (lmModelCtesSql —
+    // in-domain = lang='en', general = whole corpus) over ONE shared
+    // token CTE, each scored with the same fixed-point per-doc sum as
+    // q_lm_score (n_trans guard mirrored once — both sides count the
+    // same score-stream bigrams), then one IEEE subtraction.
+    "q_moore_lewis" ->
+      raw"""WITH ts AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+                        FROM documents),
+               ${lmModelCtesSql("i", "WHERE lang = 'en'")},
+               ${lmModelCtesSql("g", "")},
+               sb AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+                      FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+                            FROM ts)),
+               pri AS (SELECT s.doc_id,
+                              CAST(coalesce(c.c_xy, 0) + 1 AS DOUBLE)
+                                / CAST(coalesce(x.c_x, 0) + vvi.v AS DOUBLE) AS p
+                       FROM sb s LEFT JOIN bci c USING (bigram)
+                                 LEFT JOIN cxi x USING (w1), vvi),
+               pdi0 AS (SELECT doc_id,
+                              sum(CAST(floor(p * CAST(1099511627776 AS DOUBLE)) AS BIGINT)) AS sum_fp,
+                              count(*) AS n_trans
+                       FROM pri GROUP BY doc_id),
+               pdi AS (SELECT * FROM pdi0
+                       WHERE CASE WHEN n_trans <= 8192 THEN TRUE
+                                  ELSE error('lmScore: doc over 2^13 transitions') END),
+               prg AS (SELECT s.doc_id,
+                              CAST(coalesce(c.c_xy, 0) + 1 AS DOUBLE)
+                                / CAST(coalesce(x.c_x, 0) + vvg.v AS DOUBLE) AS p
+                       FROM sb s LEFT JOIN bcg c USING (bigram)
+                                 LEFT JOIN cxg x USING (w1), vvg),
+               pdg AS (SELECT doc_id,
+                              sum(CAST(floor(p * CAST(1099511627776 AS DOUBLE)) AS BIGINT)) AS sum_fp,
+                              count(*) AS n_trans
+                       FROM prg GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(pdi.n_trans, 0) AS n_trans,
+                 CAST(pdi.sum_fp AS DOUBLE)
+                   / CAST(pdi.n_trans * 1099511627776 AS DOUBLE) AS lm_in,
+                 CAST(pdg.sum_fp AS DOUBLE)
+                   / CAST(pdg.n_trans * 1099511627776 AS DOUBLE) AS lm_out,
+                 (CAST(pdi.sum_fp AS DOUBLE)
+                   / CAST(pdi.n_trans * 1099511627776 AS DOUBLE))
+                 - (CAST(pdg.sum_fp AS DOUBLE)
+                   / CAST(pdg.n_trans * 1099511627776 AS DOUBLE)) AS ml_score
+          FROM documents d LEFT JOIN pdi USING (doc_id)
+                           LEFT JOIN pdg USING (doc_id)
+          ORDER BY d.doc_id""",
     // Triangle replay: same canonical edges, same (deg, id) row-value
     // orientation, wedge + closing-edge joins, exact integer counts;
     // lcc's single division replays operand-exact.

@@ -924,6 +924,43 @@ object TextAnalysis {
         col("dsir_w"))
   }
 
+  /** MOORE-LEWIS CONTRASTIVE DATA SELECTION (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data"): rank
+    * every candidate doc by how much MORE in-domain-like than
+    * general-crawl-like it reads — the classic recipe is the
+    * cross-entropy difference `H_general(doc) - H_in(doc)`; this
+    * library's log-free analog scores each doc under TWO [[lmScore]]
+    * bigram models (one trained on the in-domain frame, one on the
+    * general frame) and ranks by the difference of the two mean
+    * transition probabilities, `ml_score = lm_in - lm_out`. The
+    * ordering signal is the same (docs the in-domain model likes and
+    * the general model doesn't float up); the arithmetic stays the
+    * house fixed-point recipe — two exact integer sums, two
+    * exact-operand divisions, ONE IEEE subtraction — so every score
+    * is bit-replayable with no libm `log` in sight. Where [[dsirWeights]]
+    * reweights by hashed-feature ratios, this discriminates with full
+    * bigram LMs — the two standard knobs for domain-tilting a crawl.
+    *
+    * Inherits both [[lmScore]] loud guards (empty vocabulary on either
+    * training frame; docs past [[LmMaxTransitions]]).
+    *
+    * Scale shape: two independent lmScore pipelines (each: bounded
+    * count tables + slim joins keyed on the gram stream, doc text
+    * never shuffles) joined per-doc on `idCol` — n_trans is identical
+    * on both sides by construction (same tokenizer, same doc), so the
+    * join is 1:1 on aggregate-unique keys. Returns (idCol, n_trans,
+    * lm_in, lm_out, ml_score); <2-token docs keep NULL scores. */
+  def mooreLewis(inDomain: DataFrame, general: DataFrame,
+      score: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val a = lmScore(inDomain, score, idCol, textCol)
+      .select(col(idCol), col("n_trans"), col("lm_score").as("lm_in"))
+    val b = lmScore(general, score, idCol, textCol)
+      .select(col(idCol), col("lm_score").as("lm_out"))
+    a.join(b, Seq(idCol))
+      .select(col(idCol), col("n_trans"), col("lm_in"), col("lm_out"),
+        (col("lm_in") - col("lm_out")).as("ml_score"))
+  }
+
   /** GOPHER REPETITION FILTERS (Rae et al. 2021, "Scaling Language
     * Models", Table A1): the within-document repetition signals the
     * MassiveText pipeline gates on before training — boilerplate,

@@ -641,6 +641,33 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     }.getMessage should include("power of two")
   }
 
+  test("mooreLewis: hand-computed difference of the two lmScore means; " +
+      "in-domain-like doc scores positive, off-domain negative, " +
+      "<2-token doc keeps NULLs") {
+    // in-domain model: ctx a->3, b->1; V={a,b,c}=3 (the lmScore fixture)
+    val inD = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // general model: (a c)x2, (c a), (b d); ctx a->2, c->1, b->1; V=4
+    val gen = Seq((1L, "a c a c"), (2L, "b d")).toDF("doc_id", "text")
+    val sc = Seq((10L, "a b"), (11L, "a c"), (12L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.mooreLewis(inD, gen, sc, "doc_id", "text")
+      .select("doc_id", "n_trans", "lm_in", "lm_out", "ml_score")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    val S = (1L << 40).toDouble
+    def fp(p: Double): Double = math.floor(p * S) / S
+    // doc 10 "a b": p_in=(2+1)/(3+3)=.5, p_out=(0+1)/(2+4)=1/6
+    // doc 11 "a c": p_in=(1+1)/(3+3)=1/3, p_out=(2+1)/(2+4)=.5
+    out shouldBe Seq(
+      (10L, 1L, Some(fp(0.5)), Some(fp(1.0 / 6.0)),
+        Some(fp(0.5) - fp(1.0 / 6.0))),
+      (11L, 1L, Some(fp(1.0 / 3.0)), Some(fp(0.5)),
+        Some(fp(1.0 / 3.0) - fp(0.5))),
+      (12L, 0L, None, None, None))
+    out(0)._5.get should be > 0.0 // in-domain-like floats up
+    out(1)._5.get should be < 0.0 // general-crawl-like sinks
+  }
+
   test("repetitionSignals: hand-computed Gopher fractions — top-gram " +
       "with multiplicity (exceeds 1.0 on loops), duplicate-gram " +
       "interval union counts overlapped positions once, empty doc " +
