@@ -1154,6 +1154,23 @@ object SparkEntry {
         .select(col("v").as("part"), col("deg"), col("n_tri"), col("lcc"))
         .orderBy("part")
     }),
+    "q_kcore" -> ((s, dir) => {
+      // k-core at k=80 on the co-purchase graph (Graph.kCore): a
+      // genuine multi-round cascade on this corpus (6 peel rounds at
+      // sf0.01, ~1.9k of 2000 parts survive) — the density gate next
+      // to q_triangles' clustering microscope. Pure integer degree
+      // counting; the k-core is order-independent, so the result is
+      // deterministic with no tie-breaks.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graph.kCore(edges, "src", "dst", k = 80)
+        .select(col("v").as("part"), col("core_deg"))
+        .orderBy("part")
+    }),
     "q_quantile_norm" -> ((s, dir) => {
       // Cross-source score calibration: raw length/quality thresholds
       // over-prune some sources and under-prune others; mapping each
@@ -3879,6 +3896,32 @@ object SparkEntry {
                 END AS lcc
          FROM deg LEFT JOIN tc ON tc.v = deg.v
          ORDER BY part""",
+    // k-core replay: the same peel cascade UNROLLED — 10 rounds where
+    // the Spark driver loop converges in 6 on this corpus (peeling is
+    // idempotent once stable, so the spare rounds are provably no-ops);
+    // each round is the identical degree-count + keep-set semijoin.
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    // reference, and each round references the previous ~5 times — an
+    // un-materialized unroll re-expands the base scan 5^10 times.
+    "q_kcore" ->
+      raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+               e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+               ${(0 until 10).map(i =>
+                 s"""k$i AS MATERIALIZED (SELECT v
+                       FROM (SELECT v, count(*) AS d
+                             FROM (SELECT a AS v FROM e$i
+                                   UNION ALL SELECT b AS v FROM e$i)
+                             GROUP BY v)
+                       WHERE d >= 80),
+               e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+                       WHERE a IN (SELECT v FROM k$i)
+                         AND b IN (SELECT v FROM k$i))""").mkString(",\n               ")}
+          SELECT v AS part, CAST(count(*) AS BIGINT) AS core_deg
+          FROM (SELECT a AS v FROM e10 UNION ALL SELECT b AS v FROM e10)
+          GROUP BY v
+          ORDER BY part""",
     // Quantile-normalization replay: per-source kept-row sample via the
     // hash-rank chain, pct = exact count of sample values <= v over the
     // sample size.

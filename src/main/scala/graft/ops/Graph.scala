@@ -392,6 +392,68 @@ object Graph {
     lab.select(col("id"), col("label"))
   }
 
+  /** K-CORE (fixed k): the maximal subgraph in which EVERY node keeps
+    * degree >= k — the standard graph-density gate (Seidman 1983):
+    * spam/bot rings and tight co-purchase communities live in deep
+    * cores; pendant chains and one-off links peel away. Computed by
+    * the classic cascade: drop all nodes under degree k, recompute
+    * degrees (survivors may have lost neighbors), repeat to fixpoint.
+    * The result is UNIQUE (the k-core is well-defined independent of
+    * peel order), so the operator is deterministic by construction —
+    * no tie-breaks, pure integer degree counting.
+    *
+    * Scale shape: each round is ONE degree aggregate (map-side
+    * partials over the edge list) + TWO left-semi joins pruning the
+    * edge list against the keep set — the keep set is node-sized
+    * (broadcast-able once the core stabilizes small) and the edge
+    * list shrinks MONOTONICALLY, so every round costs at most the
+    * first. Convergence is detected on the edge COUNT alone, which is
+    * sound because peeling only removes edges (equal count ⇒ equal
+    * set). Per-round [[org.apache.spark.sql.Dataset!.localCheckpoint(eager:Boolean):org.apache.spark.sql.Dataset[T]* localCheckpoint]]
+    * (or reliable checkpoint via `checkpointDir`) truncates lineage —
+    * the pageRankFixed discipline; rounds are bounded in practice by
+    * the graph's degeneracy cascade depth, with a LOUD `maxIters`
+    * refusal rather than a silent wrong answer.
+    *
+    * Input is an undirected edge list in any form — duplicates, both
+    * orientations, and self-loops are cleaned to one canonical
+    * `a < b` edge each (the [[triangleStats]] contract). Returns
+    * `(v, core_deg)`: the surviving nodes with their degree INSIDE
+    * the core (all >= k); an empty frame when the whole graph peels
+    * away. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 100, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    var e = pin(edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    var m = e.count()
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxIters)
+        throw new IllegalStateException(s"kCore: no fixpoint after " +
+          s"$maxIters peel rounds ($m edges remaining) — raise maxIters")
+      val keep = degrees(e).where(col("deg") >= k).select(col("v"))
+      val e2 = pin(e
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"))
+      val m2 = e2.count()
+      converged = m2 == m
+      e = e2
+      m = m2
+      round += 1
+    }
+    degrees(e).select(col("v"), col("deg").as("core_deg"))
+  }
+
   /** TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT — the community-
     * structure microscope: how many of a node's neighbor pairs are
     * themselves connected (`lcc = 2·T(v) / (deg(v)·(deg(v)−1))`).

@@ -331,4 +331,26 @@ class GraphSpec extends SparkSpecBase with Matchers {
     // total triangle incidences = 3 * #triangles
     out.map(_._3).sum shouldBe 3L * 4L
   }
+
+  test("kCore: multi-round cascade peel — triangle+chain at k=2 drops " +
+      "the chain in two rounds, k=3 dissolves everything; messy input " +
+      "cleaned; k=1 keeps all non-isolated nodes") {
+    // triangle {1,2,3} + chain 3-4-5; input has a dup, a reversed
+    // orientation, and a self-loop
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 5L))
+      .toDF("src", "dst")
+    def run(k: Int): Seq[(Long, Long)] =
+      Graph.kCore(edges, "src", "dst", k)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // k=2 cascade: round 1 peels 5 (deg 1); round 2 peels 4 (its deg
+    // FELL to 1 when 5 left); the triangle is the 2-core.
+    run(2) shouldBe Seq((1L, 2L), (2L, 2L), (3L, 2L))
+    run(3) shouldBe Seq.empty // triangle degrees are 2 < 3
+    run(1) shouldBe Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 2L), (5L, 1L))
+    intercept[IllegalArgumentException] {
+      Graph.kCore(edges, "src", "dst", 0)
+    }.getMessage should include("k must be >= 1")
+  }
 }
