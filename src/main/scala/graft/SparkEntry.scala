@@ -1115,7 +1115,7 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")
     }),
-    "q_repetition" -> ((s, dir) => {
+    "q_gopher_rep" -> ((s, dir) => {
       // Gopher repetition filters (TextAnalysis.repetitionSignals,
       // Rae et al. 2021 Table A1): top-n-gram token share (n=2,3,4,
       // with multiplicity) and duplicated-n-gram position coverage
@@ -3764,7 +3764,7 @@ object SparkEntry {
     // count * n, dup family = count(DISTINCT covered position) over
     // occurrences of grams repeating within the doc; one exact-operand
     // DOUBLE division per signal — bit-identical to the Spark side.
-    "q_repetition" ->
+    "q_gopher_rep" ->
       raw"""WITH ts AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
                         FROM documents),
                base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM ts),
@@ -6104,5 +6104,5 @@ object SparkEntry {
     // round 13
     "q_lm_score", "q_dsir", "q_triangles",
     // round 14
-    "q_repetition", "q_moore_lewis", "q_kcore")
+    "q_gopher_rep", "q_moore_lewis", "q_kcore")
 }
