@@ -878,4 +878,30 @@ class PlanSpec extends SparkSpecBase with Matchers {
     // B-row bucket models ride broadcasts onto the scoring stream
     ds should include("BroadcastHashJoin")
   }
+
+  test("q_gopher_rep: partial counts before every gram shuffle, exactly " +
+      "TWO windows (one per dup-n, partitions bounded by the owning " +
+      "doc), no cartesian/Expand") {
+    val p = plan("q_gopher_rep")
+    p should include("partial_count")
+    "Window".r.findAllIn(p).size shouldBe 2
+    p should not include "CartesianProduct"
+    p should not include "Expand"
+  }
+
+  test("q_moore_lewis: two lmScore pipelines stay Window/Expand-free " +
+      "with map-side partial counts") {
+    val p = plan("q_moore_lewis")
+    p should not include "Window"
+    p should not include "Expand"
+    p should include("partial_count")
+  }
+
+  test("q_kcore: final core-degree plan is a partial-aggregated count " +
+      "over the pinned fixpoint edges — no cartesian, no Window") {
+    val p = plan("q_kcore")
+    p should include("partial_count")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
 }
