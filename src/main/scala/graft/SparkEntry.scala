@@ -1171,6 +1171,26 @@ object SparkEntry {
         .select(col("v").as("part"), col("core_deg"))
         .orderBy("part")
     }),
+    "q_ktruss" -> ((s, dir) => {
+      // k-truss at k=8 (Graph.kTruss): the EDGE-density refinement of
+      // q_kcore — every surviving edge closes >= 6 triangles at the
+      // fixpoint (a 4-round cascade pruning 30.6k -> 6.9k edges at
+      // sf0.01). On the quarter-order co-purchase slice (orderkey ≡ 0
+      // mod 4, the q_contamination determinstic-slice idiom) so the
+      // per-round triangle re-enumeration stays bench-bounded at
+      // sf0.1 while the cascade semantics stay fully exercised.
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(4)) === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graph.kTruss(edges, "src", "dst", k = 8)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("support"))
+        .orderBy("part_a", "part_b")
+    }),
     "q_quantile_norm" -> ((s, dir) => {
       // Cross-source score calibration: raw length/quality thresholds
       // over-prune some sources and under-prune others; mapping each
@@ -3922,6 +3942,42 @@ object SparkEntry {
           FROM (SELECT a AS v FROM e10 UNION ALL SELECT b AS v FROM e10)
           GROUP BY v
           ORDER BY part""",
+    // k-truss replay: the support-peel cascade UNROLLED 8 rounds (the
+    // Spark loop converges in 4 here; spare rounds are no-ops), each
+    // round the identical oriented triangle enumeration -> per-edge
+    // support count -> threshold filter; final support read off the
+    // last round's table (computed ON the fixpoint edges). Every CTE
+    // MATERIALIZED — the q_kcore inlining lesson, worse here because
+    // each round references the previous ~8 times.
+    "q_ktruss" ->
+      raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem WHERE l_orderkey % 4 = 0),
+               e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+               ${(0 until 8).map(i =>
+                 s"""dg$i AS MATERIALIZED (SELECT v, count(*) AS d
+                       FROM (SELECT a AS v FROM e$i
+                             UNION ALL SELECT b AS v FROM e$i) GROUP BY v),
+               f$i AS MATERIALIZED (SELECT
+                         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+                         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS w,
+                         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dw
+                       FROM e$i e JOIN dg$i da ON da.v = e.a
+                                  JOIN dg$i db ON db.v = e.b),
+               tr$i AS MATERIALIZED (SELECT x.u, x.w AS v1, y.w AS v2
+                       FROM f$i x JOIN f$i y ON x.u = y.u AND (x.dw, x.w) < (y.dw, y.w)
+                       JOIN f$i t ON t.u = x.w AND t.w = y.w),
+               sp$i AS MATERIALIZED (SELECT a, b, count(*) AS s
+                       FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM tr$i
+                             UNION ALL SELECT least(u, v2), greatest(u, v2) FROM tr$i
+                             UNION ALL SELECT least(v1, v2), greatest(v1, v2) FROM tr$i)
+                       GROUP BY 1, 2),
+               e${i + 1} AS MATERIALIZED (SELECT e.a, e.b
+                       FROM e$i e LEFT JOIN sp$i s USING (a, b)
+                       WHERE coalesce(s.s, 0) >= 6)""").mkString(",\n               ")}
+          SELECT e8.a AS part_a, e8.b AS part_b, sp7.s AS support
+          FROM e8 JOIN sp7 USING (a, b)
+          ORDER BY part_a, part_b""",
     // Quantile-normalization replay: per-source kept-row sample via the
     // hash-rank chain, pct = exact count of sample values <= v over the
     // sample size.
@@ -6104,5 +6160,5 @@ object SparkEntry {
     // round 13
     "q_lm_score", "q_dsir", "q_triangles",
     // round 14
-    "q_gopher_rep", "q_moore_lewis", "q_kcore")
+    "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss")
 }

@@ -454,6 +454,72 @@ object Graph {
     degrees(e).select(col("v"), col("deg").as("core_deg"))
   }
 
+  /** K-TRUSS (fixed k, Cohen 2008): the maximal subgraph in which
+    * EVERY edge closes at least k-2 triangles — the EDGE-density
+    * refinement of [[kCore]] (a k-core can be a sparse hub star; a
+    * k-truss is built from overlapping triangles, the signature of a
+    * genuine community / collusion ring / near-dup family). Classic
+    * cascade: count each edge's triangle support, drop edges under
+    * k-2, recount (surviving edges lose triangles), repeat to
+    * fixpoint. The k-truss is UNIQUE regardless of peel order —
+    * deterministic, pure integer counting, no tie-breaks.
+    *
+    * Scale shape: each round re-enumerates triangles via the shared
+    * [[orientedTriangles]] degree-ordered core — O(m^1.5) wedge work
+    * bounded by arboricity, never Σdeg² — then ONE (a, b)-keyed
+    * map-side-partial support count and ONE slim filter join back
+    * onto the edge list, which shrinks MONOTONICALLY (every round
+    * costs at most the first). Convergence on edge COUNT alone
+    * (sound: peeling only removes). Per-round pins truncate lineage;
+    * LOUD `maxIters` refusal. Returns `(a, b, support)` — the
+    * surviving canonical edges with their FIXPOINT support (all
+    * >= k-2; the converged round's count, not the pre-peel one). */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 100, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var e = pin(edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    var m = e.count()
+    var round = 0
+    var converged = false
+    var lastSup: DataFrame = null
+    while (!converged) {
+      if (round >= maxIters)
+        throw new IllegalStateException(s"kTruss: no fixpoint after " +
+          s"$maxIters peel rounds ($m edges remaining) — raise maxIters")
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val tri = orientedTriangles(e, deg)
+      // each triangle feeds support to its three canonical edges
+      val sup = pin(tri.select(explode(array(
+          struct(least(col("u"), col("v1")).as("a"),
+            greatest(col("u"), col("v1")).as("b")),
+          struct(least(col("u"), col("v2")).as("a"),
+            greatest(col("u"), col("v2")).as("b")),
+          struct(least(col("v1"), col("v2")).as("a"),
+            greatest(col("v1"), col("v2")).as("b")))).as("t"))
+        .select(col("t.a").as("a"), col("t.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support")))
+      val e2 = pin(e.join(sup, Seq("a", "b"), "left")
+        .where(coalesce(col("support"), lit(0L)) >= lit((k - 2).toLong))
+        .select(col("a"), col("b")))
+      val m2 = e2.count()
+      converged = m2 == m
+      lastSup = sup
+      e = e2
+      m = m2
+      round += 1
+    }
+    // at the fixpoint the final round's support table was computed ON
+    // the surviving edge set — it IS the truss's per-edge support
+    e.join(lastSup, Seq("a", "b"))
+  }
+
   /** TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT — the community-
     * structure microscope: how many of a node's neighbor pairs are
     * themselves connected (`lcc = 2·T(v) / (deg(v)·(deg(v)−1))`).
@@ -480,15 +546,13 @@ object Graph {
     * packing. Returns (v, deg, n_tri, lcc); deg < 2 keeps NULL lcc
     * (undefined, not 0 — a pendant node has no neighbor pair to
     * close). Isolated nodes don't appear (no edges, no row). */
-  def triangleStats(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    val deg = e.select(col("a").as("v"))
-      .unionAll(e.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+  /** Degree-ordered oriented triangle enumeration over canonical
+    * `(a, b)` edges with their degree table — the O(m^1.5) wedge +
+    * closing-edge core shared by [[triangleStats]] (per-NODE counts)
+    * and [[kTruss]] (per-EDGE support, re-enumerated each peel round).
+    * Returns one `(u, v1, v2)` row per triangle, owned by its
+    * lowest-(deg, id) vertex. */
+  private def orientedTriangles(e: DataFrame, deg: DataFrame): DataFrame = {
     val ek = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
@@ -501,8 +565,21 @@ object Graph {
         col("x.u") === col("y.u") &&
           struct(col("x.dw"), col("x.w")) < struct(col("y.dw"), col("y.w")))
       .select(col("x.u").as("u"), col("x.w").as("v1"), col("y.w").as("v2"))
-    val tri = wedges.join(
-      f.select(col("u").as("v1"), col("w").as("v2")), Seq("v1", "v2"))
+    wedges.join(
+        f.select(col("u").as("v1"), col("w").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+  }
+
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val tri = orientedTriangles(e, deg)
     val tc = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))

@@ -904,4 +904,11 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
     p should not include "Window"
   }
+
+  test("q_ktruss: final edge-support join over the pinned fixpoint " +
+      "frames — no cartesian, no Window") {
+    val p = plan("q_ktruss")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
 }

@@ -353,4 +353,32 @@ class GraphSpec extends SparkSpecBase with Matchers {
       Graph.kCore(edges, "src", "dst", 0)
     }.getMessage should include("k must be >= 1")
   }
+
+  test("kTruss: K4 + hanging triangle at k=4 peels the triangle and " +
+      "emits the FIXPOINT support (3-4 drops from 3 to 2); k=3 keeps " +
+      "everything with initial supports; k=5 dissolves all") {
+    // K4 on {1,2,3,4} + vertex 5 closing triangle {3,4,5}; edge 3-4
+    // starts at support 3 (two K4 triangles + 3-4-5). Messy input:
+    // dup, reversed, self-loop.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 3L), (3L, 4L), (5L, 3L), (4L, 5L), (1L, 1L))
+      .toDF("src", "dst")
+    def run(k: Int): Seq[(Long, Long, Long)] =
+      Graph.kTruss(edges, "src", "dst", k)
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    // k=4: 3-5/4-5 peel (support 1 < 2); 3-4's support RECOUNTS to 2
+    run(4) shouldBe Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L))
+    // k=3: every edge closes >= 1 triangle; supports are the originals
+    run(3) shouldBe Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 3L),
+      (3L, 5L, 1L), (4L, 5L, 1L))
+    run(5) shouldBe Seq.empty // K4 supports cap at 2 < 3
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(edges, "src", "dst", 2)
+    }.getMessage should include("k must be >= 3")
+  }
 }
