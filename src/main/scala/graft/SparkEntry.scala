@@ -780,6 +780,37 @@ object SparkEntry {
         .select(col("day"), col("n_days"), col("est_d"), col("exact_d"))
         .orderBy("day")
     }),
+    "q_rolling_quantiles" -> ((s, dir) => {
+      // Sliding-window QUANTILES via sketch rollup — the percentile
+      // twin of q_rolling_distinct: per-day mergeable keep-pair
+      // sketches (Sketches.quantilePairs, one ~2 KiB row per day)
+      // fold across the trailing 7-day window (quantilePairsUnionAll
+      // — bottom-k of a union of keep sets IS the union's keep set)
+      // into the window's p50/p95 via the shared fixed-order
+      // interpolation. The rolling-percentile that re-sorts raw
+      // history per window at 100 TB instead reads 7 sketch rows per
+      // day; est-vs-exact error for this sketch is measured in
+      // q_quantile_sketch.
+      val ev = t(s, dir, "events").select(
+          expr("(ts div 1000) div 86400000000").as("day"),
+          col("event_id"),
+          floor(col("value") * 1000000.0 + lit(0.5)).cast(LongType).as("v"))
+        .where(col("v").isNotNull)
+      val daily = ev.groupBy(col("day"))
+        .agg(Sketches.quantilePairs(
+          LongHashes.splitmix64(col("event_id")), col("v"), 128).as("sk"))
+      daily.as("a").join(daily.as("b"),
+          col("b.day").between(col("a.day") - 6, col("a.day")))
+        .groupBy(col("a.day").as("day"))
+        .agg(collect_list(col("b.sk")).as("sks"), count(lit(1)).as("n_days"))
+        .select(col("day"), col("n_days"),
+          Sketches.quantilePairsUnionAll(col("sks"), 128).as("vs"))
+        .select(col("day"), col("n_days"),
+          size(col("vs")).cast(LongType).as("n_sample"),
+          Sketches.sketchQuantile(col("vs"), 0.5).as("p50_est"),
+          Sketches.sketchQuantile(col("vs"), 0.95).as("p95_est"))
+        .orderBy("day")
+    }),
     "q_distinct_cube" -> ((s, dir) => {
       // DISTINCT-COUNT CUBE via sketch rollup — the lattice payoff of
       // the KMV algebra: distinct users per (type, week) leaf AND
@@ -4734,6 +4765,37 @@ object SparkEntry {
                       GROUP BY a.day)
           SELECT day, n_days, est_d, exact_d
           FROM est JOIN ex USING (day) ORDER BY day""",
+    // Rolling-quantiles replay: per-day bottom-128 by the event-id
+    // hash chain CARRYING the value, window-flattened, re-sliced to
+    // 128 by the key (bottom-k of a union of bottom-k's == the
+    // union's bottom-k), value-sorted, then the SHARED interpolation
+    // (sketchQuantileSql) — every double bit-identical.
+    "q_rolling_quantiles" ->
+      raw"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                              event_id,
+                              CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+                       FROM events),
+               d0 AS (SELECT day, v, CAST(event_id AS HUGEINT) AS z
+                      FROM e WHERE v IS NOT NULL),
+               ${splitmixCtesSql("d0", "day, v")},
+               rk AS (SELECT day, v, z,
+                             row_number() OVER (PARTITION BY day ORDER BY z) AS rn
+                      FROM h5),
+               kk AS (SELECT day, list({'z': z, 'v': v} ORDER BY z) AS s
+                      FROM rk WHERE rn <= 128 GROUP BY day),
+               dd AS (SELECT DISTINCT day FROM d0),
+               wj AS (SELECT a.day, flatten(list(b.s)) AS alls,
+                             count(*) AS n_days
+                      FROM dd a JOIN kk b ON b.day BETWEEN a.day - 6 AND a.day
+                      GROUP BY a.day),
+               m AS (SELECT day, n_days,
+                            list_sort(list_transform(list_sort(alls)[1:128],
+                                                     p -> p['v'])) AS vs
+                     FROM wj)
+          SELECT day, n_days, CAST(len(vs) AS BIGINT) AS n_sample,
+                 ${sketchQuantileSql("vs", "len(vs)", "0.5")} AS p50_est,
+                 ${sketchQuantileSql("vs", "len(vs)", "0.95")} AS p95_est
+          FROM m ORDER BY day""",
     // Cube replay: one keep-set chain per (type, week) leaf, subtotal
     // levels as flatten/dedup/re-slice union folds, exact distinct
     // counts per level alongside.
@@ -6160,5 +6222,6 @@ object SparkEntry {
     // round 13
     "q_lm_score", "q_dsir", "q_triangles",
     // round 14
-    "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss")
+    "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss",
+    "q_rolling_quantiles")
 }

@@ -309,6 +309,41 @@ object Sketches {
         .otherwise(est))
   }
 
+  /** MERGEABLE form of [[quantileSketch]]: the bottom-k rows by
+    * unsigned `hash`, kept as `(fkey, v)` structs with the hash
+    * SIGN-FLIPPED (the [[kmvKeepSet]] trick — signed struct sorts then
+    * reproduce unsigned hash order) and the value payload riding
+    * along. [[quantileSketch]] drops the hashes, which reads fine but
+    * cannot merge; THIS form is what a rollup table stores — per-day /
+    * per-partition rows that any window or group union folds without
+    * re-touching raw data ([[quantilePairsUnionAll]]). Same hash
+    * contract as quantileSketch (bijective hash of a UNIQUE row id,
+    * never of the value). */
+  def quantilePairs(hash: Column, value: Column, k: Int): Column =
+    transform(graft.ops.Sampling.bottomKByHash(hash, value, k),
+      s => struct(
+        s.getField("skey").bitwiseXOR(lit(Long.MinValue)).as("fkey"),
+        s.getField("id").as("v")))
+
+  /** Union of [[quantilePairs]] sketches -> the union's VALUE-sorted
+    * quantile sketch, ready for [[sketchQuantile]]: bottom-k of a
+    * union of bottom-k keep sets IS the union's bottom-k (the KMV
+    * closure argument, with values riding the keys), so a trailing
+    * window's quantiles read off `w` sketch ROWS — at 100 TB the
+    * rolling-percentile alternative re-sorts raw history per window.
+    * Exact sketch algebra, deterministic given the hash: fold order
+    * is irrelevant (flatten + one canonical sort). Same SAME-K
+    * CONTRACT and loud oversized-sketch guard as
+    * [[kmvUnionDistinctAll]]. */
+  def quantilePairsUnionAll(sketches: Column, k: Int): Column = {
+    val merged = slice(array_sort(flatten(sketches)), 1, k)
+    when(exists(sketches, s => size(s) > k),
+      raise_error(lit(s"quantilePairsUnionAll: a sketch holds more " +
+        s"than k=$k entries — it was built with a larger k (same-k " +
+        "contract)")))
+      .otherwise(array_sort(transform(merged, s => s.getField("v"))))
+  }
+
   /** NEAREST-RANK equi-depth edges off a [[quantileSketch]] array: the
     * `nBins - 1` interior quantile values `sketch[ceil(j*n/nBins)]`
     * (1-based, exact integer rank arithmetic, no interpolation — edges

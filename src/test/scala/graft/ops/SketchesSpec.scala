@@ -325,6 +325,34 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     ex.getMessage should include("same-k contract")
   }
 
+  test("quantilePairs/quantilePairsUnionAll: folding per-group keep-pair " +
+      "sketches == the value set of the bottom-k over the whole union " +
+      "(sketch algebra, values riding the keys); oversized raises") {
+    val groups = Seq(
+      ("g1", 1L to 900L), ("g2", 901L to 1500L), ("g3", 1501L to 2100L))
+    val rows = groups.flatMap { case (g, r) => r.map(i => (g, i, i * 7L)) }
+    val df = rows.toDF("g", "id", "v")
+    val merged = df.groupBy("g")
+      .agg(Sketches.quantilePairs(
+        LongHashes.splitmix64(col("id")), col("v"), 64).as("s"))
+      .agg(collect_list(col("s")).as("sks"))
+      .select(Sketches.quantilePairsUnionAll(col("sks"), 64).as("vs"))
+      .as[Seq[Long]].head()
+    // local model: values of the 64 smallest unsigned hashes over ALL ids
+    def flip(x: Long) = x ^ Long.MinValue
+    val expect = (1L to 2100L)
+      .sortBy(i => flip(LongHashes.splitmix64Of(i))).take(64)
+      .map(_ * 7L).sorted
+    merged shouldBe expect
+    val bad = df.groupBy("g")
+      .agg(Sketches.quantilePairs(
+        LongHashes.splitmix64(col("id")), col("v"), 64).as("s"))
+      .agg(collect_list(col("s")).as("sks"))
+      .select(Sketches.quantilePairsUnionAll(col("sks"), 16).as("vs"))
+    intercept[Exception](bad.collect())
+      .getMessage should include("same-k contract")
+  }
+
   test("kmvResemblance: a sketch larger than k raises (same-k contract) " +
       "instead of silently biasing the estimate") {
     val df = (1L to 300L).map(("a", _)).toDF("g", "id")
