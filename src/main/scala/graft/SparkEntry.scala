@@ -1157,6 +1157,31 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "q_quality_gate" -> ((s, dir) => {
+      // Calibrated multi-signal quality gate
+      // (Stats.calibratedQualityGate): every threshold read off the
+      // corpus itself at a chosen percentile (hash-deterministic
+      // sketch + shared interpolation) — no magic constants to rot as
+      // the corpus drifts. Three fixed-point signals sketched in ONE
+      // aggregate pass, thresholds broadcast, keep = all gates pass
+      // (NULLs fail closed). The decision layer over q_text_stats'
+      // raw signals.
+      val d = t(s, dir, "documents")
+      graft.ops.Stats.calibratedQualityGate(d, "doc_id",
+          signals = Seq(
+            "n_ws" -> TextAnalysis.whitespaceTokenCount(col("text"))
+              .cast(LongType),
+            "mtl_fp" -> floor(TextAnalysis.meanTokenLength(col("text")) *
+              1000000.0 + lit(0.5)).cast(LongType),
+            "stop_fp" -> floor(TextAnalysis.stopwordRatio(col("text")) *
+              1000000.0 + lit(0.5)).cast(LongType)),
+          gates = Seq(
+            ("len_lo", "n_ws", 0.05, false),  // drop truncated stubs
+            ("len_hi", "n_ws", 0.95, true),   // drop runaway docs
+            ("mtl_hi", "mtl_fp", 0.90, true), // drop gibberish tokens
+            ("stop_lo", "stop_fp", 0.10, false))) // drop listy non-prose
+        .orderBy("doc_id")
+    }),
     "q_moore_lewis" -> ((s, dir) => {
       // Moore-Lewis contrastive selection (TextAnalysis.mooreLewis):
       // rank every doc by in-domain-minus-general mean transition
@@ -3863,6 +3888,52 @@ object SparkEntry {
                       LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
                       LEFT JOIN d10 USING (doc_id)
           ORDER BY b.doc_id""",
+    // Quality-gate replay: the q_text_stats signal formulas (exact-
+    // operand divisions -> bit-identical doubles -> identical
+    // fixed-point longs), ONE shared doc-id hash-rank chain (all three
+    // sketches keep the SAME bottom-256 rows — no per-signal NULLs in
+    // this corpus), per-signal value sorts + the shared interpolation,
+    // then the same fail-closed conjunction.
+    "q_quality_gate" ->
+      raw"""WITH s AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_ws,
+                  CAST(floor((CASE WHEN len(toks) > 0
+                                   THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                                   ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS mtl_fp,
+                  CAST(floor((CASE WHEN len(toks) > 0
+                                   THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','on','for','with','as','at','by'], x))) AS DOUBLE) / len(toks)
+                                   ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS stop_fp
+               FROM (SELECT doc_id, text,
+                            list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+                     FROM documents)),
+               d0 AS (SELECT doc_id, n_ws, mtl_fp, stop_fp,
+                             CAST(doc_id AS HUGEINT) AS z
+                      FROM s),
+               ${splitmixCtesSql("d0", "n_ws, mtl_fp, stop_fp")},
+               rk AS (SELECT n_ws, mtl_fp, stop_fp,
+                             row_number() OVER (ORDER BY z) AS rn
+                      FROM h5),
+               sm AS (SELECT list_sort(list(n_ws)) AS vs_ws,
+                             list_sort(list(mtl_fp)) AS vs_mtl,
+                             list_sort(list(stop_fp)) AS vs_stop,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM rk WHERE rn <= 256),
+               th AS (SELECT ${sketchQuantileSql("vs_ws", "n", "0.05")} AS len_lo_thr,
+                             ${sketchQuantileSql("vs_ws", "n", "0.95")} AS len_hi_thr,
+                             ${sketchQuantileSql("vs_mtl", "n", "0.90")} AS mtl_hi_thr,
+                             ${sketchQuantileSql("vs_stop", "n", "0.10")} AS stop_lo_thr
+                      FROM sm)
+          SELECT s.doc_id, s.n_ws, s.mtl_fp, s.stop_fp,
+                 th.len_lo_thr, th.len_hi_thr, th.mtl_hi_thr, th.stop_lo_thr,
+                 (CAST(s.n_ws AS DOUBLE) >= th.len_lo_thr) AS len_lo_ok,
+                 (CAST(s.n_ws AS DOUBLE) <= th.len_hi_thr) AS len_hi_ok,
+                 (CAST(s.mtl_fp AS DOUBLE) <= th.mtl_hi_thr) AS mtl_hi_ok,
+                 (CAST(s.stop_fp AS DOUBLE) >= th.stop_lo_thr) AS stop_lo_ok,
+                 (coalesce(CAST(s.n_ws AS DOUBLE) >= th.len_lo_thr, FALSE)
+                  AND coalesce(CAST(s.n_ws AS DOUBLE) <= th.len_hi_thr, FALSE)
+                  AND coalesce(CAST(s.mtl_fp AS DOUBLE) <= th.mtl_hi_thr, FALSE)
+                  AND coalesce(CAST(s.stop_fp AS DOUBLE) >= th.stop_lo_thr, FALSE)) AS keep
+          FROM s, th ORDER BY s.doc_id""",
     // Moore-Lewis replay: TWO lmScore model chains (lmModelCtesSql —
     // in-domain = lang='en', general = whole corpus) over ONE shared
     // token CTE, each scored with the same fixed-point per-doc sum as
@@ -6223,5 +6294,5 @@ object SparkEntry {
     "q_lm_score", "q_dsir", "q_triangles",
     // round 14
     "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss",
-    "q_rolling_quantiles")
+    "q_rolling_quantiles", "q_quality_gate")
 }

@@ -341,4 +341,67 @@ object Stats {
     side(ref, "ref").join(side(cur, "cur"), Seq("col_name"))
       .withColumn("null_rate_delta", nullRate("cur") - nullRate("ref"))
   }
+
+  /** CALIBRATED MULTI-SIGNAL QUALITY GATE — the keep/drop decision the
+    * individual monitors feed: each signal's threshold is read off the
+    * CORPUS ITSELF at a chosen percentile (hash-deterministic
+    * [[Sketches.quantileSketch]] + the shared fixed-order
+    * interpolation), so the gate self-calibrates to the distribution
+    * at hand instead of shipping magic constants that rot as the
+    * corpus drifts — the practice behind every production filtering
+    * stack (fixed thresholds tuned on last year's crawl silently
+    * over/under-filter this year's). A row passes a gate when its
+    * signal sits on the keep side of that percentile; `keep` is the
+    * conjunction over all gates, with NULL signals failing CLOSED
+    * (flag NULL, keep false — an unmeasurable row must not sail
+    * through a quality gate).
+    *
+    * `signals`: (name, INTEGRAL column) — fixed-point doubles first,
+    * the house pattern. `gates`: (gateName, signalName, percentile,
+    * keepBelow) — several gates may read one signal (a [p05, p95]
+    * band is two gates on the same sketch).
+    *
+    * Scale shape: ONE aggregate pass computes every signal's sketch
+    * simultaneously (16k bytes per signal per partition, the
+    * q_profile no-Expand discipline — NOT one pass per signal), the
+    * 1-row threshold frame rides a broadcast back onto a narrow scan;
+    * no Window, no join-per-signal, the corpus never reshuffles.
+    * Returns idCol, every signal value, every `<gate>_thr`
+    * (per-run constants — in the output so drift of the calibration
+    * itself is monitorable), every `<gate>_ok`, and `keep`. */
+  def calibratedQualityGate(df: DataFrame, idCol: String,
+      signals: Seq[(String, org.apache.spark.sql.Column)],
+      gates: Seq[(String, String, Double, Boolean)],
+      k: Int = 256): DataFrame = {
+    require(signals.nonEmpty, "signals must be non-empty")
+    require(gates.nonEmpty, "gates must be non-empty")
+    val snames = signals.map(_._1)
+    require(snames.distinct == snames, s"duplicate signal names: $snames")
+    val gnames = gates.map(_._1)
+    require(gnames.distinct == gnames, s"duplicate gate names: $gnames")
+    gates.foreach { case (g, sn, p, _) =>
+      require(snames.contains(sn), s"gate $g reads unknown signal $sn")
+      require(p > 0.0 && p < 1.0, s"gate $g percentile must be in (0,1), got $p")
+    }
+    val base = df.select(
+      (col(idCol) +: signals.map { case (n, c) => c.as(n) }): _*)
+    val hash = graft.functions.LongHashes.splitmix64(col(idCol))
+    val skAggs = signals.map { case (n, _) =>
+      Sketches.quantileSketch(hash, col(n), k).as(s"__sk_$n") }
+    val thrRow = base.agg(skAggs.head, skAggs.tail: _*)
+      .select(gates.map { case (g, sn, p, _) =>
+        Sketches.sketchQuantile(col(s"__sk_$sn"), p).as(s"${g}_thr") }: _*)
+    val flagCols = gates.map { case (g, sn, _, keepBelow) =>
+      val v = col(sn).cast(DoubleType)
+      (if (keepBelow) v <= col(s"${g}_thr") else v >= col(s"${g}_thr"))
+        .as(s"${g}_ok")
+    }
+    base.crossJoin(broadcast(thrRow))
+      .select((col(idCol) +: signals.map(s => col(s._1))) ++
+        gates.map { case (g, _, _, _) => col(s"${g}_thr") } ++
+        flagCols: _*)
+      // NULL fails closed: coalesce(flag, false) before the AND
+      .withColumn("keep", gates.map { case (g, _, _, _) =>
+        coalesce(col(s"${g}_ok"), lit(false)) }.reduce(_ && _))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions.col
 import org.scalatest.matchers.should.Matchers
 
 class StatsSpec extends SparkSpecBase with Matchers {
@@ -213,5 +214,40 @@ class StatsSpec extends SparkSpecBase with Matchers {
       ("a", 4L, 1L, 3L, 1L, 3L, 4L, 0L, 3L, 7L, 9L, 0.0 / 4 - 1.0 / 5),
       // b: null rate 0/5 -> 2/4 (positive delta)
       ("b", 5L, 0L, 5L, 0L, 4L, 2L, 2L, 2L, 0L, 1L, 2.0 / 4 - 0.0 / 5))
+  }
+
+  test("calibratedQualityGate: hand-computed interpolated thresholds on " +
+      "a full-coverage sketch, band gates on one shared sketch, NULL " +
+      "signal fails CLOSED, bad specs rejected") {
+    // ids 1..10 with v = id; k=64 covers everything, so the sketch is
+    // the full sorted set and thresholds are the explicit formula:
+    // p25 over 1..10 -> r=2.25 -> 3 + .25 = 3.25; p75 -> 7.75
+    val rows = (1L to 10L).map(i => (i, Some(i))) :+ (11L, None)
+    val df = rows.toDF("id", "v")
+    val out = Stats.calibratedQualityGate(df, "id",
+        signals = Seq("v" -> col("v")),
+        gates = Seq(
+          ("v_lo", "v", 0.25, false),   // keep v >= p25
+          ("v_hi", "v", 0.75, true)),   // keep v <= p75
+        k = 64)
+      .select("id", "v_lo_thr", "v_hi_thr", "v_lo_ok", "v_hi_ok", "keep")
+      .as[(Long, Double, Double, Option[Boolean], Option[Boolean], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    out.foreach { r =>
+      r._2 shouldBe 3.25
+      r._3 shouldBe 7.75
+    }
+    out.map(r => (r._1, r._4, r._5, r._6)) shouldBe
+      ((1L to 10L).map(i => (i, Some(i >= 3.25), Some(i <= 7.75),
+        i >= 3.25 && i <= 7.75)) :+
+        ((11L, None, None, false))) // NULL signal: flags NULL, keep false
+    intercept[IllegalArgumentException] {
+      Stats.calibratedQualityGate(df, "id", Seq("v" -> col("v")),
+        Seq(("g", "missing", 0.5, true)))
+    }.getMessage should include("unknown signal")
+    intercept[IllegalArgumentException] {
+      Stats.calibratedQualityGate(df, "id", Seq("v" -> col("v")),
+        Seq(("g", "v", 1.0, true)))
+    }.getMessage should include("percentile")
   }
 }
