@@ -1157,7 +1157,7 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")
     }),
-    "q_quality_gate" -> ((s, dir) => {
+    "q_calibrated_gate" -> ((s, dir) => {
       // Calibrated multi-signal quality gate
       // (Stats.calibratedQualityGate): every threshold read off the
       // corpus itself at a chosen percentile (hash-deterministic
@@ -3894,7 +3894,7 @@ object SparkEntry {
     // sketches keep the SAME bottom-256 rows — no per-signal NULLs in
     // this corpus), per-signal value sorts + the shared interpolation,
     // then the same fail-closed conjunction.
-    "q_quality_gate" ->
+    "q_calibrated_gate" ->
       raw"""WITH s AS (SELECT doc_id,
                   CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_ws,
                   CAST(floor((CASE WHEN len(toks) > 0
@@ -6294,5 +6294,5 @@ object SparkEntry {
     "q_lm_score", "q_dsir", "q_triangles",
     // round 14
     "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss",
-    "q_rolling_quantiles", "q_quality_gate")
+    "q_rolling_quantiles", "q_calibrated_gate")
 }

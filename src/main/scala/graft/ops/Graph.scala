@@ -403,13 +403,16 @@ object Graph {
     * no tie-breaks, pure integer degree counting.
     *
     * Scale shape: each round is ONE degree aggregate (map-side
-    * partials over the edge list) + TWO left-semi joins pruning the
-    * edge list against the keep set — the keep set is node-sized
-    * (broadcast-able once the core stabilizes small) and the edge
-    * list shrinks MONOTONICALLY, so every round costs at most the
-    * first. Convergence is detected on the edge COUNT alone, which is
-    * sound because peeling only removes edges (equal count ⇒ equal
-    * set). Per-round [[org.apache.spark.sql.Dataset!.localCheckpoint(eager:Boolean):org.apache.spark.sql.Dataset[T]* localCheckpoint]]
+    * partials over the edge list) + TWO left-anti joins pruning the
+    * edge list against the REMOVED set — pruning by the removed side,
+    * not the keep side, is the load-bearing choice: after the first
+    * round only the cascade frontier drops out, so the join's build
+    * side is a handful of node ids (AQE broadcasts it) instead of the
+    * nearly-whole-graph keep set; the edge list shrinks MONOTONICALLY,
+    * so every round costs at most the first. Convergence = an empty
+    * removed set (one count on the frontier, nothing edge-sized), and
+    * the converged round skips the pruning join entirely. Per-round
+    * [[org.apache.spark.sql.Dataset!.localCheckpoint(eager:Boolean):org.apache.spark.sql.Dataset[T]* localCheckpoint]]
     * (or reliable checkpoint via `checkpointDir`) truncates lineage —
     * the pageRankFixed discipline; rounds are bounded in practice by
     * the graph's degeneracy cascade depth, with a LOUD `maxIters`
@@ -434,22 +437,20 @@ object Graph {
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct())
-    var m = e.count()
     var round = 0
     var converged = false
     while (!converged) {
       if (round >= maxIters)
         throw new IllegalStateException(s"kCore: no fixpoint after " +
-          s"$maxIters peel rounds ($m edges remaining) — raise maxIters")
-      val keep = degrees(e).where(col("deg") >= k).select(col("v"))
-      val e2 = pin(e
-        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"))
-      val m2 = e2.count()
-      converged = m2 == m
-      e = e2
-      m = m2
-      round += 1
+          s"$maxIters peel rounds — raise maxIters")
+      val removed = pin(degrees(e).where(col("deg") < k).select(col("v")))
+      if (removed.count() == 0) converged = true
+      else {
+        e = pin(e
+          .join(removed.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(removed.select(col("v").as("b")), Seq("b"), "left_anti"))
+        round += 1
+      }
     }
     degrees(e).select(col("v"), col("deg").as("core_deg"))
   }
