@@ -402,6 +402,22 @@ object SparkEntry {
         .orderBy(col("lift").desc, col("n_cur").desc, col("user_id"))
         .limit(20)
     }),
+    "q_rate_spikes" -> ((s, dir) => {
+      // Trailing-window burst detector (EventAnalytics.rateSpikes) —
+      // the per-DAY member of the growth family: q_trending compares
+      // two fixed halves, q_decayed smooths; this flags the day a
+      // user's rate jumps over its own trailing-7-day mean (absent
+      // days count 0). One count aggregate + a slim count-row banded
+      // self-join; lift is one exact-integer division; full tie-break
+      // ordering makes the top-20 cut deterministic.
+      val ev = t(s, dir, "events").select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .where(col("user_id").isNotNull)
+      EventAnalytics.rateSpikes(ev, "user_id", "day")
+        .orderBy(col("lift").desc, col("n").desc, col("user_id"),
+          col("day"))
+        .limit(20)
+    }),
     "q_attribution" -> ((s, dir) => {
       // First/last-touch conversion attribution (EventAnalytics
       // .attribution): per purchase, the first and last view/click in
@@ -4338,6 +4354,23 @@ object SparkEntry {
          SELECT user_id, n_ref, n_cur,
                 CAST(n_cur + 1 AS DOUBLE) / CAST(n_ref + 1 AS DOUBLE) AS lift
          FROM c ORDER BY lift DESC, n_cur DESC, user_id LIMIT 20""",
+    // Rate-spike replay: the identical (key, day) counts, banded
+    // count-row self-join with absent days as zero, one exact-integer
+    // division, same total tie-break order for the top-20 cut.
+    "q_rate_spikes" ->
+      """WITH ev AS (SELECT user_id,
+                            epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+                     FROM events WHERE user_id IS NOT NULL),
+              c AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+                    FROM ev GROUP BY 1, 2),
+              j AS (SELECT a.user_id, a.day, a.n,
+                           CAST(coalesce(sum(b.n), 0) AS BIGINT) AS sum_prev
+                    FROM c a LEFT JOIN c b ON b.user_id = a.user_id
+                         AND b.day BETWEEN a.day - 7 AND a.day - 1
+                    GROUP BY 1, 2, 3)
+         SELECT user_id, day, n, sum_prev,
+                CAST((n + 1) * 7 AS DOUBLE) / CAST(sum_prev + 7 AS DOUBLE) AS lift
+         FROM j ORDER BY lift DESC, n DESC, user_id, day LIMIT 20""",
     // Attribution replay: the identical RANGE window with named-struct
     // min/max (lexicographic (t_us, ch) comparison both engines; ties
     // at equal t_us break on the channel string).
@@ -6294,5 +6327,5 @@ object SparkEntry {
     "q_lm_score", "q_dsir", "q_triangles",
     // round 14
     "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss",
-    "q_rolling_quantiles", "q_calibrated_gate")
+    "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes")
 }

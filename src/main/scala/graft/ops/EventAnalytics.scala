@@ -509,4 +509,44 @@ object EventAnalytics {
         col("__last.t_us").as("last_us"),
         col("__n_touches").as("n_touches"))
   }
+
+  /** TRAILING-WINDOW RATE-SPIKE MONITOR — the per-day burst detector
+    * completing the growth family ([[graft.SparkEntry]] q_trending
+    * compares two fixed halves; [[decayedAgg]] smooths with exponential
+    * forgetting; THIS flags the day a key's rate jumps over its own
+    * trailing baseline — the on-call question "which keys just went
+    * hot, and when"). Per active (key, day): `lift = (n + 1) /
+    * (mean_prev + 1)` against the mean over the FIXED trailing
+    * `windowDays` (absent days count 0 — a key active once a week must
+    * not look flat), Laplace-smoothed so fresh keys rank high but
+    * bounded. Computed as ONE division of exact integers,
+    * `(n+1)·W / (sum_prev + W)` — bit-replayable; spikes are only
+    * evaluated on ACTIVE days (a spike requires activity; silent keys
+    * are [[gapFillDaily]]'s domain).
+    *
+    * Scale shape: one (key, day) count aggregate with map-side
+    * partials — the only pass over the raw log — then a slim
+    * count-row self-join banded on the day range (rows = active
+    * (key, day) pairs, never events) and one aggregate back to
+    * per-(key, day). Returns (key, day, n, sum_prev, lift); bound the
+    * output with a TakeOrderedAndProject top-k downstream. */
+  def rateSpikes(events: DataFrame, keyCol: String, dayCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val counts = events
+      .groupBy(col(keyCol).as("key"), col(dayCol).as("day"))
+      .agg(count(lit(1)).as("n"))
+    counts.as("a")
+      .join(counts.as("b"),
+        col("b.key") === col("a.key") &&
+          col("b.day").between(col("a.day") - windowDays, col("a.day") - 1),
+        "left")
+      .groupBy(col("a.key").as(keyCol), col("a.day").as(dayCol),
+        col("a.n").as("n"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("sum_prev"))
+      .select(col(keyCol), col(dayCol), col("n"), col("sum_prev"),
+        ((col("n") + lit(1L)) * lit(windowDays.toLong)).cast(DoubleType)
+          ./((col("sum_prev") + lit(windowDays.toLong)).cast(DoubleType))
+          .as("lift"))
+  }
 }

@@ -234,6 +234,27 @@ class EventAnalyticsSpec extends SparkSpecBase with Matchers {
     run(7) shouldBe out // exact integer sums: bit-identical
   }
 
+  test("rateSpikes: hand-computed trailing-window lifts — burst over a " +
+      "steady baseline, absent days count ZERO (sparse key not flat), " +
+      "fresh key bounded by smoothing") {
+    // key u: 1/day on days 1..7, burst of 8 on day 8
+    // key v: 1 on day 1 and day 8 only (days 2..7 absent -> count 0)
+    val rows = (1L to 7L).map(d => ("u", d)) ++
+      Seq.fill(8)(("u", 8L)) ++ Seq(("v", 1L), ("v", 8L))
+    val out = EventAnalytics.rateSpikes(
+        rows.toDF("k", "day"), "k", "day", windowDays = 7)
+      .as[(String, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    out(("u", 8L)) shouldBe ((8L, 7L, 9.0 * 7 / 14))  // 4.5x burst
+    out(("u", 1L)) shouldBe ((1L, 0L, 2.0 * 7 / 7))   // fresh, bounded
+    out(("u", 5L)) shouldBe ((1L, 4L, 2.0 * 7 / 11))  // steady ~flat
+    // absent days 2..7 contribute 0, not "no baseline": sum_prev = 1
+    out(("v", 8L)) shouldBe ((1L, 1L, 2.0 * 7 / 8))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.rateSpikes(rows.toDF("k", "day"), "k", "day", 0)
+    }.getMessage should include("windowDays")
+  }
+
   test("maxEventsPerKey guard: a hot key fails LOUDLY with its id and " +
       "count in the message; under-cap runs are byte-identical to " +
       "unguarded ones — funnel, ewmaSmooth, transitionMatrix") {
