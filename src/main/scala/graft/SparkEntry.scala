@@ -418,6 +418,20 @@ object SparkEntry {
           col("day"))
         .limit(20)
     }),
+    "q_bootstrap_ci" -> ((s, dir) => {
+      // Deterministic Poisson bootstrap (Stats.bootstrapCI): per-type
+      // 95% CI for the mean event value in ONE aggregate pass — B=32
+      // replicate weights from splitmix64(id*B+i) mapped through
+      // literal Poisson(1) CDF thresholds, exact integer replicate
+      // sums (fixed-point values), CI edges off the sorted replicate
+      // means via the shared interpolation. The uncertainty layer the
+      // point estimates (q1_agg, q_corr) lack.
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("event_id"),
+        floor(col("value") * 1000000.0 + lit(0.5)).cast(LongType).as("v"))
+      graft.ops.Stats.bootstrapCI(ev, Seq("event_type"), "event_id", "v")
+        .orderBy("event_type")
+    }),
     "q_attribution" -> ((s, dir) => {
       // First/last-touch conversion attribution (EventAnalytics
       // .attribution): per purchase, the first and last view/click in
@@ -4371,6 +4385,56 @@ object SparkEntry {
          SELECT user_id, day, n, sum_prev,
                 CAST((n + 1) * 7 AS DOUBLE) / CAST(sum_prev + 7 AS DOUBLE) AS lift
          FROM j ORDER BY lift DESC, n DESC, user_id, day LIMIT 20""",
+    // Bootstrap-CI replay: the (row, replicate) fan-out through the
+    // SAME splitmix chain on id*32+i, the 53-bit uniform, the eight
+    // literal Poisson(1) CDF thresholds (string-cast doubles — the
+    // correctly-rounded parse), exact integer replicate sums, and the
+    // shared interpolation over the sorted replicate means.
+    "q_bootstrap_ci" ->
+      raw"""WITH e AS (SELECT event_type, event_id,
+                              CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+                       FROM events),
+               d0 AS (SELECT event_type, v, i,
+                             CAST(event_id * 32 + i AS HUGEINT) AS z
+                      FROM e, range(0, 32) t(i)
+                      WHERE v IS NOT NULL),
+               ${splitmixCtesSql("d0", "event_type, v, i")},
+               uw AS (SELECT event_type, v, i,
+                             CAST(z // 2048 AS DOUBLE)
+                               * CAST('1.1102230246251565E-16' AS DOUBLE) AS u
+                      FROM h5),
+               ww AS (SELECT event_type, v, i,
+                             (CASE WHEN u >= CAST('0.36787944117144233' AS DOUBLE) THEN 1 ELSE 0 END
+                            + CASE WHEN u >= CAST('0.7357588823428847' AS DOUBLE) THEN 1 ELSE 0 END
+                            + CASE WHEN u >= CAST('0.9196986029286058' AS DOUBLE) THEN 1 ELSE 0 END
+                            + CASE WHEN u >= CAST('0.9810118431238463' AS DOUBLE) THEN 1 ELSE 0 END
+                            + CASE WHEN u >= CAST('0.9963401531726563' AS DOUBLE) THEN 1 ELSE 0 END
+                            + CASE WHEN u >= CAST('0.9994058151824183' AS DOUBLE) THEN 1 ELSE 0 END
+                            + CASE WHEN u >= CAST('0.999916758850712' AS DOUBLE) THEN 1 ELSE 0 END
+                            + CASE WHEN u >= CAST('0.9999897508033253' AS DOUBLE) THEN 1 ELSE 0 END) AS w
+                      FROM uw),
+               rep AS (SELECT event_type, i,
+                              CAST(sum(w * v) AS BIGINT) AS swx,
+                              CAST(sum(w) AS BIGINT) AS sw
+                       FROM ww GROUP BY 1, 2),
+               ms AS (SELECT event_type,
+                             list(m ORDER BY m) FILTER (WHERE m IS NOT NULL) AS vs
+                      FROM (SELECT event_type,
+                                   CASE WHEN sw > 0
+                                        THEN CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+                                   END AS m
+                            FROM rep)
+                      GROUP BY event_type),
+               base AS (SELECT event_type, CAST(count(v) AS BIGINT) AS n,
+                               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                                 / CAST(count(v) AS DOUBLE) AS mean
+                        FROM e WHERE v IS NOT NULL GROUP BY event_type)
+          SELECT b.event_type, b.n, b.mean,
+                 CAST(len(vs) AS BIGINT) AS n_reps,
+                 ${sketchQuantileSql("vs", "len(vs)", "0.025")} AS ci_lo,
+                 ${sketchQuantileSql("vs", "len(vs)", "0.975")} AS ci_hi
+          FROM base b JOIN ms USING (event_type)
+          ORDER BY b.event_type""",
     // Attribution replay: the identical RANGE window with named-struct
     // min/max (lexicographic (t_us, ch) comparison both engines; ties
     // at equal t_us break on the channel string).
@@ -6327,5 +6391,6 @@ object SparkEntry {
     "q_lm_score", "q_dsir", "q_triangles",
     // round 14
     "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss",
-    "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes")
+    "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes",
+    "q_bootstrap_ci")
 }

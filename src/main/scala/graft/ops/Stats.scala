@@ -342,6 +342,94 @@ object Stats {
       .withColumn("null_rate_delta", nullRate("cur") - nullRate("ref"))
   }
 
+  /** Poisson(1) CDF, exact shortest-round-trip double literals — the
+    * replicate-weight thresholds for [[bootstrapCI]]. Truncated at 8
+    * (P(X > 8) < 1.1e-5); embedded as literals in BOTH engines, so the
+    * comparison `u >= cdf_k` is bit-identical everywhere. */
+  private[ops] val Poisson1Cdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** DETERMINISTIC POISSON BOOTSTRAP CI — per-group confidence
+    * intervals for the mean in ONE pass (Chamandy et al. 2012, "the
+    * poor man's bootstrap" at planet scale): classical resampling
+    * needs B passes over shuffled data; the Poisson approximation
+    * gives every row an independent Poisson(1) replicate weight, so
+    * all B replicate sums ride ONE aggregate with map-side partials.
+    * This implementation makes it REPLAYABLE, not just scalable: the
+    * weight for (row, replicate i) comes from
+    * `splitmix64(id·B + i)` — a pure function of the row id, no RNG
+    * state — mapped to a Poisson(1) draw by counting CDF thresholds
+    * (exact double literals, [[Poisson1Cdf]]) under the 53-bit
+    * uniform `u = (h >>> 11) · 2⁻⁵³`. `valueCol` INTEGRAL (fixed-point
+    * doubles first, the house pattern), so every replicate sum is
+    * exact integer arithmetic on any partitioning and each replicate
+    * mean is one exact-operand IEEE division; the CI edges come off
+    * the sorted replicate means via the shared fixed-order
+    * interpolation ([[Sketches.sketchQuantile]]).
+    *
+    * Contracts, enforced loudly: `idCol` UNIQUE, non-negative, and
+    * under `2^62 / b` (the replicate fan-out must not wrap);
+    * degenerate replicates (all weights 0 — vanishing probability
+    * past a handful of rows) drop out of the CI order statistics, and
+    * `n_reps` records how many survived. Overflow contract:
+    * `8 · max|v| · groupRows < 2^63` (w <= 8 by CDF truncation).
+    *
+    * Scale shape: ONE aggregate pass, 2B+2 partial sums per group —
+    * nothing corpus-sized shuffles, no explosion to (row × replicate)
+    * rows; B=32 costs 66 longs per (group, partition). Returns
+    * (groupCols..., n, mean, n_reps, ci_lo, ci_hi) with mean/CI in
+    * `valueCol`'s fixed-point units. */
+  def bootstrapCI(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String, b: Int = 32, pLo: Double = 0.025,
+      pHi: Double = 0.975): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(b >= 8 && b <= 256, s"b must be in [8, 256], got $b")
+    require(pLo > 0 && pLo < pHi && pHi < 1,
+      s"need 0 < pLo < pHi < 1, got $pLo / $pHi")
+    val idMax = (1L << 62) / b
+    // NULL values are excluded up front (a CI of the measured values):
+    // without this, a null-v row's weights would still land in sw_i
+    // while contributing nothing to swx_i, silently biasing every
+    // replicate mean down.
+    val guarded = df.where(col(valueCol).isNotNull).where(assert_true(
+      col(idCol).isNotNull && col(idCol) >= 0 && col(idCol) < idMax,
+      concat(lit(s"bootstrapCI: id out of [0, $idMax) — the id*b+i " +
+        "replicate hash must not wrap; got "),
+        col(idCol).cast(org.apache.spark.sql.types.StringType))).isNull)
+    val v = col(valueCol)
+    def weight(i: Int): org.apache.spark.sql.Column = {
+      val h = graft.functions.LongHashes.splitmix64(
+        col(idCol) * lit(b.toLong) + lit(i.toLong))
+      val u = shiftrightunsigned(h, 11).cast(DoubleType) *
+        lit(1.1102230246251565e-16) // 2^-53, exact
+      Poisson1Cdf.map(c => when(u >= lit(c), 1L).otherwise(0L))
+        .reduce(_ + _)
+    }
+    val aggs =
+      Seq(count(v).as("n"), sum(v).as("__sv")) ++
+      (0 until b).flatMap { i => Seq(
+        sum(weight(i) * v).as(s"__swx_$i"),
+        sum(weight(i)).as(s"__sw_$i")) }
+    val means = array((0 until b).map { i =>
+      when(col(s"__sw_$i") > 0,
+        col(s"__swx_$i").cast(DoubleType) / col(s"__sw_$i").cast(DoubleType))
+    }: _*)
+    guarded.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        (col("__sv").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("mean"),
+        array_sort(filter(means, m => m.isNotNull)).as("__ms")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("n"), col("mean"),
+        size(col("__ms")).cast(LongType).as("n_reps"),
+        Sketches.sketchQuantile(col("__ms"), pLo).as("ci_lo"),
+        Sketches.sketchQuantile(col("__ms"), pHi).as("ci_hi")): _*)
+  }
+
   /** CALIBRATED MULTI-SIGNAL QUALITY GATE — the keep/drop decision the
     * individual monitors feed: each signal's threshold is read off the
     * CORPUS ITSELF at a chosen percentile (hash-deterministic

@@ -216,6 +216,52 @@ class StatsSpec extends SparkSpecBase with Matchers {
       ("b", 5L, 0L, 5L, 0L, 4L, 2L, 2L, 2L, 0L, 1L, 2.0 / 4 - 0.0 / 5))
   }
 
+  test("bootstrapCI: bit-matches an independent local model (same hash, " +
+      "same CDF thresholds, same interpolation); weights average ~1; " +
+      "id guard and spec validation are loud") {
+    import graft.functions.LongHashes
+    val b = 32
+    val rows = (1L to 100L).map(i => ("g", i, i * 10L))
+    val out = Stats.bootstrapCI(rows.toDF("g", "id", "v"), Seq("g"),
+        "id", "v", b = b)
+      .select("g", "n", "mean", "n_reps", "ci_lo", "ci_hi")
+      .as[(String, Long, Double, Long, Double, Double)].head()
+    // local model, written independently of the operator
+    def weight(id: Long, i: Int): Long = {
+      val u = (LongHashes.splitmix64Of(id * b + i) >>> 11).toDouble *
+        1.1102230246251565e-16
+      Stats.Poisson1Cdf.count(c => u >= c).toLong
+    }
+    val ms = (0 until b).flatMap { i =>
+      val ws = (1L to 100L).map(id => id -> weight(id, i))
+      val sw = ws.map(_._2).sum
+      if (sw == 0) None
+      else Some(ws.map { case (id, w) => w * id * 10L }.sum.toDouble / sw)
+    }.sorted
+    def interp(vs: Seq[Double], q: Double): Double = {
+      val r = q * (vs.size - 1); val lo = math.floor(r).toInt
+      vs(lo) + (vs(math.min(lo + 1, vs.size - 1)) - vs(lo)) * (r - lo)
+    }
+    out._2 shouldBe 100L
+    out._3 shouldBe (1L to 100L).map(_ * 10L).sum.toDouble / 100
+    out._4 shouldBe ms.size.toLong
+    out._5 shouldBe interp(ms, 0.025)
+    out._6 shouldBe interp(ms, 0.975)
+    // the CI brackets the true mean and the weights are calibrated
+    out._5 should be < out._3
+    out._6 should be > out._3
+    val allW = for (id <- 1L to 100L; i <- 0 until b) yield weight(id, i)
+    (allW.sum.toDouble / allW.size) shouldBe 1.0 +- 0.05
+    intercept[Exception] {
+      Stats.bootstrapCI(Seq(("g", -1L, 5L)).toDF("g", "id", "v"),
+        Seq("g"), "id", "v").collect()
+    }.getMessage should include("id out of")
+    intercept[IllegalArgumentException] {
+      Stats.bootstrapCI(rows.toDF("g", "id", "v"), Seq("g"), "id", "v",
+        b = 4)
+    }.getMessage should include("b must be")
+  }
+
   test("calibratedQualityGate: hand-computed interpolated thresholds on " +
       "a full-coverage sketch, band gates on one shared sketch, NULL " +
       "signal fails CLOSED, bad specs rejected") {
