@@ -911,4 +911,40 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
     p should not include "Window"
   }
+
+  test("q_calibrated_gate: ALL signal sketches ride ONE aggregate pass " +
+      "(three bottom-k partials, no Expand), thresholds broadcast, no " +
+      "Window") {
+    val p = plan("q_calibrated_gate")
+    "partial_graft_bottom_k".r.findAllIn(p).size shouldBe 3
+    p should not include "Expand"
+    p should not include "Window"
+    p should include("BroadcastNestedLoopJoin") // the 1-row threshold frame
+  }
+
+  test("q_rolling_quantiles: per-day bottom-k partials, banded sketch-row " +
+      "join — no Window, nothing event-sized past the daily aggregate") {
+    val p = plan("q_rolling_quantiles")
+    p should include("partial_graft_bottom_k")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
+  test("q_rate_spikes: map-side partial counts + bounded top-k cut, " +
+      "no Window") {
+    val p = plan("q_rate_spikes")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+    p should not include "Window"
+  }
+
+  test("q_bootstrap_ci: all 2B+2 replicate sums in ONE aggregate with " +
+      "map-side partials — no Expand, no Window, no row-replicate " +
+      "explosion (no Generate)") {
+    val p = plan("q_bootstrap_ci")
+    p should include("partial_sum")
+    p should not include "Expand"
+    p should not include "Window"
+    p should not include "Generate"
+  }
 }
