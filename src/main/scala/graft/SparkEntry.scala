@@ -1277,6 +1277,67 @@ object SparkEntry {
           col("support"))
         .orderBy("part_a", "part_b")
     }),
+    "q_link_pred" -> ((s, dir) => {
+      // Link prediction (Graph.linkPrediction): top-50 NON-adjacent
+      // part pairs most likely to co-purchase next, by the
+      // resource-allocation index Σ 1/deg(through) — Adamic-Adar's
+      // integer-exact sibling (2^40 div deg per wedge; a log would
+      // drag in libm bit-drift). Quarter-order slice (the q_ktruss
+      // idiom) keeps the wedge join bench-bounded; maxThruDeg=500
+      // caps hub wedge blowup as part of the SEMANTICS (non-binding
+      // on this corpus, replayed by the oracle regardless).
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(4)) === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graph.linkPrediction(edges, "src", "dst", k = 50, maxThruDeg = 500)
+        .select(col("a").as("part_a"), col("b").as("part_b"), col("cn"),
+          col("ra_fp"), col("jac_fp"), col("deg_a"), col("deg_b"))
+        .orderBy(col("ra_fp").desc, col("part_a"), col("part_b"))
+    }),
+    "q_modularity" -> ((s, dir) => {
+      // Newman modularity of the BRAND partition on the co-purchase
+      // graph (Graph.modularity): "is co-purchase assortative by
+      // brand?" — Q ≈ 0 says the brand labeling explains nothing
+      // beyond chance (the honest null on this synthetic corpus; the
+      // measure is the operator, not the verdict). One exact integer
+      // numerator Σ(4·m·m_c − d_c²), one IEEE division at the end.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      val comm = t(s, dir, "part")
+        .select(col("p_partkey").as("v"), col("p_brand").as("comm"))
+      Graph.modularity(edges, "src", "dst", comm, "v", "comm")
+    }),
+    "q_auc" -> ((s, dir) => {
+      // ROC-AUC of purchase-size as a purchase predictor
+      // (Stats.rocAuc): Mann-Whitney rank-sum with average-rank tie
+      // correction, exact Long arithmetic to one final division.
+      // Score is the cent-scaled value (round(x*100) — the lossless
+      // q_profile_sketch key), so tie blocks are engine-stable.
+      val e = t(s, dir, "events").select(
+        round(col("value") * 100).cast(LongType).as("score"),
+        (col("event_type") === "purchase").cast(LongType).as("label"))
+      graft.ops.Stats.rocAuc(e, "score", "label")
+    }),
+    "q_distinctive_terms" -> ((s, dir) => {
+      // Distinctive bigrams per source slice
+      // (TextAnalysis.distinctiveTerms): top-5 bigrams by in-slice
+      // lift over corpus rate — the keyword layer of the dataset card,
+      // same exponent-free-PMI ranking as q_collocations. Ordering
+      // binds to the EXACT lift; the rounded value is display-only.
+      TextAnalysis.distinctiveTerms(t(s, dir, "documents"), "source",
+          "text", n = 2, k = 5, minCount = 5)
+        .select(col("grp").as("source"), col("term"), col("c_gt"),
+          col("c_t"), round(col("lift"), 6).as("lift"), col("rk"))
+        .orderBy("source", "rk")
+    }),
     "q_quantile_norm" -> ((s, dir) => {
       // Cross-source score calibration: raw length/quality thresholds
       // over-prune some sources and under-prune others; mapping each
@@ -4110,6 +4171,125 @@ object SparkEntry {
           SELECT e8.a AS part_a, e8.b AS part_b, sp7.s AS support
           FROM e8 JOIN sp7 USING (a, b)
           ORDER BY part_a, part_b""",
+    // Link-prediction replay: same wedge join over the capped
+    // neighbor list; RA terms are integer floor-divisions (2^40 // deg)
+    // so the per-pair sum is exact on any order; NOT EXISTS = the
+    // anti-join; ties at the top-50 boundary broken by (a, b).
+    "q_link_pred" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem WHERE l_orderkey % 4 = 0),
+              e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+              deg AS MATERIALIZED (SELECT v, count(*) AS deg
+                      FROM (SELECT a AS v FROM e
+                            UNION ALL SELECT b AS v FROM e)
+                      GROUP BY v),
+              n AS MATERIALIZED (SELECT nb.u, nb.w,
+                           1099511627776 // deg.deg AS rau
+                    FROM (SELECT a AS u, b AS w FROM e
+                          UNION ALL SELECT b AS u, a AS w FROM e) nb
+                    JOIN deg ON deg.v = nb.u
+                    WHERE deg.deg <= 500),
+              pairs AS (SELECT x.w AS a, y.w AS b,
+                               CAST(count(*) AS BIGINT) AS cn,
+                               CAST(sum(x.rau) AS BIGINT) AS ra_fp
+                        FROM n x JOIN n y ON x.u = y.u AND x.w < y.w
+                        GROUP BY 1, 2)
+         SELECT p.a AS part_a, p.b AS part_b, p.cn, p.ra_fp,
+                p.cn * 1048576 // (da.deg + db.deg - p.cn) AS jac_fp,
+                da.deg AS deg_a, db.deg AS deg_b
+         FROM pairs p
+         JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b
+         WHERE NOT EXISTS (SELECT 1 FROM e
+                           WHERE e.a = p.a AND e.b = p.b)
+         ORDER BY p.ra_fp DESC, p.a, p.b
+         LIMIT 50""",
+    // Modularity replay: Σd_c = 2m clears the division — the whole
+    // formula is integer sums finished by one double division.
+    "q_modularity" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+              e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                     FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+              cm AS (SELECT DISTINCT p_partkey AS v, p_brand AS comm
+                     FROM part),
+              e AS MATERIALIZED (SELECT e0.a, e0.b, ca.comm AS comm_a,
+                            cb.comm AS comm_b
+                    FROM e0 JOIN cm ca ON ca.v = e0.a
+                            JOIN cm cb ON cb.v = e0.b),
+              bc AS (SELECT comm, CAST(count(*) AS BIGINT) AS d_c,
+                            CAST(sum(i) AS BIGINT) AS m_c
+                     FROM (SELECT comm_a AS comm,
+                                  CASE WHEN comm_a = comm_b
+                                       THEN 1 ELSE 0 END AS i FROM e
+                           UNION ALL SELECT comm_b, 0 FROM e)
+                     GROUP BY comm),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS n_comm,
+                            CAST(sum(d_c) AS BIGINT) AS sum_dc,
+                            CAST(sum(m_c) AS BIGINT) AS sum_mc,
+                            CAST(sum(d_c * d_c) AS BIGINT) AS sum_dc2
+                     FROM bc)
+         SELECT n_comm, sum_dc // 2 AS m,
+                2 * sum_dc * sum_mc - sum_dc2 AS q_num,
+                sum_dc * sum_dc AS q_den,
+                CAST(2 * sum_dc * sum_mc - sum_dc2 AS DOUBLE)
+                  / CAST(sum_dc * sum_dc AS DOUBLE) AS modularity
+         FROM ag""",
+    // ROC-AUC replay: distinct-score histogram, doubled average ranks
+    // (2·cum_below + n + 1 per tied block) so everything is integer
+    // until the one closing division.
+    "q_auc" ->
+      """WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS s,
+                          CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END AS y
+                   FROM events
+                   WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(y) AS BIGINT) AS np
+                    FROM b GROUP BY s),
+              r AS (SELECT n, np,
+                           np * (2 * coalesce(sum(n) OVER
+                             (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + n + 1) AS r2
+                    FROM g),
+              a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                           CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+                           CAST(sum(r2) AS BIGINT) AS sum_r2
+                    FROM r)
+         SELECT n_pos, n_neg,
+                sum_r2 - n_pos * (n_pos + 1) AS u2,
+                CAST(sum_r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+         FROM a""",
+    // Distinctive-terms replay: same tokenizer/bigram kernel, lift in
+    // the identical fixed association order, rank over the EXACT lift
+    // with the term tie-break; rounded lift is display-only.
+    "q_distinctive_terms" ->
+      raw"""WITH ts AS (SELECT source, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+                       FROM documents),
+               bi AS (SELECT source AS grp,
+                             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+                      FROM ts),
+               gt AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS c_gt
+                      FROM bi GROUP BY 1, 2),
+               bg AS (SELECT grp, CAST(sum(c_gt) AS BIGINT) AS n_g
+                      FROM gt GROUP BY grp),
+               bt AS (SELECT term, CAST(sum(c_gt) AS BIGINT) AS c_t
+                      FROM gt GROUP BY term),
+               nt AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM bg),
+               sc AS (SELECT g.grp, g.term, g.c_gt, bt.c_t,
+                             CAST(g.c_gt AS DOUBLE) * CAST(nt.n_tot AS DOUBLE)
+                               / (CAST(bg.n_g AS DOUBLE) * CAST(bt.c_t AS DOUBLE)) AS lift
+                      FROM gt g JOIN bg USING (grp)
+                                JOIN bt USING (term), nt
+                      WHERE g.c_gt >= 5),
+               rnk AS (SELECT *, row_number() OVER
+                         (PARTITION BY grp ORDER BY lift DESC, term) AS rk
+                       FROM sc)
+          SELECT grp AS source, term, c_gt, c_t,
+                 round(lift, 6) AS lift, rk
+          FROM rnk WHERE rk <= 5
+          ORDER BY source, rk""",
     // Quantile-normalization replay: per-source kept-row sample via the
     // hash-rank chain, pct = exact count of sample values <= v over the
     // sample size.
@@ -6392,5 +6572,6 @@ object SparkEntry {
     // round 14
     "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss",
     "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes",
-    "q_bootstrap_ci")
+    "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
+    "q_distinctive_terms")
 }

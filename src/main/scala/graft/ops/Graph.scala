@@ -592,4 +592,119 @@ object Graph {
             (col("deg") * (col("deg") - lit(1L))).cast(DoubleType))
           .as("lcc"))
   }
+
+  /** LINK PREDICTION by neighborhood overlap (Liben-Nowell & Kleinberg
+    * 2003): score every NON-adjacent vertex pair that shares at least
+    * one common neighbor, by three classic indices —
+    * common-neighbor count `cn`, the resource-allocation index
+    * Σ_{u∈Γ(a)∩Γ(b)} 1/deg(u) (Zhou/Lü/Zhang 2009; Adamic-Adar's
+    * 1/log(deg) sibling, chosen because 1/deg is computable in EXACT
+    * integer fixed-point — `ra_fp = Σ 2^40 div deg(u)` — where a log
+    * would drag in libm bit-divergence between engines), and Jaccard
+    * `jac_fp = cn·2^20 div (deg(a)+deg(b)-cn)`. All-integer, so the
+    * scores and the (ra_fp desc, a, b) top-k order are bit-replayable.
+    *
+    * Scale shape: ONE wedge self-join on the neighbor list — Σ_u
+    * C(deg(u), 2) pairs, the same frontier as an unoriented triangle
+    * count. That sum is hub-dominated, so `maxThruDeg` (part of the
+    * SEMANTICS, replayed by the oracle) drops vertices above the cap
+    * from the common-neighbor role: a hub shared by half the graph
+    * contributes ~nothing to RA (1/deg ≈ 0) yet quadratic wedge work.
+    * After the wedge aggregate the frame is one bounded
+    * (pair → 3 scores) map-side-partial count, one anti-join against
+    * the edge list to keep non-edges, and a TakeOrderedAndProject
+    * top-k — no global sort. Returns the top `k` predicted links
+    * `(a, b, cn, ra_fp, jac_fp, deg_a, deg_b)`. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxThruDeg: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxThruDeg >= 2, s"maxThruDeg must be >= 2, got $maxThruDeg")
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // Both directions, with the THROUGH vertex's degree attached and
+    // hubs above the cap removed from the through role only (they keep
+    // their endpoint role: deg_a/deg_b still count them).
+    val n = e.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+      .join(deg.select(col("v").as("u"), col("deg").as("du")), "u")
+      .where(col("du") <= maxThruDeg)
+      // Per-through-vertex RA term, integer div (NOT `/`, which is a
+      // double divide in Spark) so the wedge sum is an exact Long sum.
+      .withColumn("rau", expr("1099511627776 div du"))
+    val pairs = n.as("x").join(n.as("y"),
+        col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+      .groupBy(col("x.w").as("a"), col("y.w").as("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("x.rau")).as("ra_fp"))
+    pairs
+      .join(e, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("cn"), col("ra_fp"),
+        expr("cn * 1048576 div (deg_a + deg_b - cn)").as("jac_fp"),
+        col("deg_a"), col("deg_b"))
+      .orderBy(col("ra_fp").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** NEWMAN MODULARITY of a given vertex partition (Newman & Girvan
+    * 2004): Q = Σ_c [ m_c/m − (d_c/2m)² ] where m_c = intra-community
+    * edges, d_c = total degree of community c, m = edges. Computed as
+    * ONE exact integer numerator Σ_c (4·m·m_c − d_c²) over the exact
+    * denominator 4m², finished by a single correctly-rounded IEEE
+    * division — deterministic with no float accumulation order
+    * dependence. Guards the Long bound loudly (|num| ≤ 4m² needs
+    * m ≤ ~1.5e9; beyond that route through DECIMAL).
+    *
+    * The partition is EXTERNAL (a label-prop result, a metadata
+    * attribute like brand/category): modularity answers "is the graph
+    * assortative under this labeling?" — Q ≈ 0 means the labeling
+    * explains nothing beyond chance. Vertices missing from
+    * `communities` are dropped (inner join); edges with either
+    * endpoint unlabeled don't count toward m. One row:
+    * `(n_comm, m, q_num, q_den, modularity)`.
+    *
+    * Scale shape: two broadcast-or-shuffle joins of the edge list
+    * against the (vertex → community) frame, then two map-side-partial
+    * aggregates over at most |communities| rows and a 1-row final
+    * combine. No per-community state beyond two longs. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      communities: DataFrame, vCol: String, commCol: String): DataFrame = {
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val cm = communities.select(col(vCol).as("v"), col(commCol).as("comm"))
+      .distinct()
+    val e = e0
+      .join(cm.select(col("v").as("a"), col("comm").as("comm_a")), "a")
+      .join(cm.select(col("v").as("b"), col("comm").as("comm_b")), "b")
+    // Per-community degree (each labeled edge endpoint counts once) and
+    // intra-community edge count, folded in one pass. The intra flag
+    // rides the comm_a leg only so an intra edge counts once.
+    val byComm = e.select(col("comm_a").as("comm"),
+          when(col("comm_a") === col("comm_b"), 1L).otherwise(0L).as("i"))
+      .unionAll(e.select(col("comm_b").as("comm"), lit(0L).as("i")))
+      .groupBy(col("comm"))
+      .agg(count(lit(1)).as("d_c"), sum(col("i")).as("m_c"))
+    // Σd_c = 2m, so 4·m·Σm_c = 2·Σd_c·Σm_c and 4m² = (Σd_c)².
+    byComm
+      .agg(count(lit(1)).as("n_comm"), sum(col("d_c")).as("sum_dc"),
+        sum(col("m_c")).as("sum_mc"),
+        sum(col("d_c") * col("d_c")).as("sum_dc2"))
+      .select(col("n_comm"), expr("sum_dc div 2").as("m"),
+        when(col("sum_dc") > lit(3000000000L),
+          raise_error(lit("modularity: graph exceeds the Long exactness " +
+            "bound (m > 1.5e9 edges) — route the numerator through " +
+            "DECIMAL before trusting Q")))
+          .otherwise(lit(2L) * col("sum_dc") * col("sum_mc") -
+            col("sum_dc2")).as("q_num"),
+        (col("sum_dc") * col("sum_dc")).as("q_den"))
+      .withColumn("modularity",
+        col("q_num").cast(DoubleType) / col("q_den").cast(DoubleType))
+  }
 }

@@ -492,4 +492,54 @@ object Stats {
       .withColumn("keep", gates.map { case (g, _, _, _) =>
         coalesce(col(s"${g}_ok"), lit(false)) }.reduce(_ && _))
   }
+
+  /** ROC-AUC of an integer score against a binary label, by the
+    * Mann-Whitney rank-sum identity: AUC = (Σ ranks of positives −
+    * n⁺(n⁺+1)/2) / (n⁺·n⁻), with AVERAGE ranks over tied scores (the
+    * standard tie correction — without it an all-constant score would
+    * not land at 0.5). Everything up to the final division is exact
+    * Long arithmetic: doubling the average-rank formula clears the
+    * ½-fractions (a tied block of `n` scores with `cum` values below
+    * it has doubled average rank `2·cum + n + 1`), so
+    * `u2 = Σ_blocks n⁺_block·(2·cum+n+1) − 2·n⁺·(n⁺+1)/2` and
+    * `auc = u2 / (2·n⁺·n⁻)` is ONE correctly-rounded IEEE division of
+    * two exact integers — order-independent, oracle-replayable.
+    * The score must be integral (cent-scale doubles first — the
+    * [[q_profile_sketch]]-style `round(x*100)` key): float scores
+    * would make the tie blocks engine-sensitive.
+    *
+    * Scale shape: ONE hash aggregate collapses the corpus to its
+    * distinct-score histogram (n, n⁺ per score) with map-side
+    * partials; the cumulative rank walk is a window over THAT frame,
+    * whose row count is the score DOMAIN, not the corpus (bound it by
+    * coarsening the score if the domain is unbounded). The doubled
+    * rank sum grows ~2N², exceeding Long exactness past N ~ 2.1e9
+    * rows — guarded loudly. Returns one row
+    * `(n_pos, n_neg, u2, auc)`. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df
+      .select(col(scoreCol).cast(LongType).as("s"),
+        col(labelCol).cast(LongType).as("y"))
+      .where(col("s").isNotNull && col("y").isNotNull)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .select(col("n"), col("np"),
+        (col("np") * (lit(2L) * coalesce(sum(col("n")).over(w), lit(0L)) +
+          col("n") + lit(1L))).as("r2"))
+      .agg(sum(col("np")).as("n_pos"),
+        (sum(col("n")) - sum(col("np"))).as("n_neg"),
+        sum(col("r2")).as("sum_r2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") + col("n_neg") > lit(2000000000L),
+          raise_error(lit("rocAuc: row count exceeds the Long " +
+            "exactness bound (sum of doubled ranks ~2N^2 overflows " +
+            "past N~2.1e9) — route the rank sums through DECIMAL")))
+          .otherwise(col("sum_r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .as("u2"))
+      .withColumn("auc", col("u2").cast(DoubleType) /
+        (lit(2L) * col("n_pos") * col("n_neg")).cast(DoubleType))
+  }
 }

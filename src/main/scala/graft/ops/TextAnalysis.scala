@@ -375,6 +375,50 @@ object TextAnalysis {
           .as("lift"))
   }
 
+  /** DISTINCTIVE TERMS per corpus slice — the keyword layer of a
+    * dataset card ("what does the `web` slice talk about that the rest
+    * doesn't?"): for every (group, n-gram) pair, the LIFT of the term's
+    * in-group rate over its corpus-wide rate,
+    * `(c_gt · N) / (n_g · c_t)`, ranked top-k per group. Same
+    * exponent-free-PMI trick as [[collocations]]: lift ordering IS
+    * log-odds ordering because log is monotone, and lift is exact
+    * long-to-double casts + one fixed-order multiply/divide — IEEE
+    * bit-replayable where a libm log isn't. `minCount` floors the
+    * IN-GROUP count: a hapax that appears once, in one group, scores
+    * #groups-ish by construction and buries the real signal.
+    *
+    * Scale shape: one (group, term) hash aggregate over the exploded
+    * n-gram stream (map-side partials), two slim vocab-frame joins
+    * (per-term and per-group totals — never the corpus), N on a 1-row
+    * broadcast, and the top-k window runs over the (group, term)
+    * VOCAB frame, |groups|·|vocab| rows at most, not the corpus.
+    * Returns (group, term, c_gt, c_t, lift, rk) with rk 1..k ordered
+    * by (lift desc, term). */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int, minCount: Long): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val t = df.select(col(groupCol).as("grp"),
+      explode(ngrams(col(textCol), n)).as("term"))
+    val gt = t.groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("c_gt"))
+    val byGroup = gt.groupBy(col("grp")).agg(sum(col("c_gt")).as("n_g"))
+    val byTerm = gt.groupBy(col("term")).agg(sum(col("c_gt")).as("c_t"))
+    val total = byGroup.agg(sum(col("n_g")).as("n_tot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      .orderBy(col("lift").desc, col("term"))
+    gt.where(col("c_gt") >= minCount)
+      .join(byGroup, Seq("grp"))
+      .join(byTerm, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("grp"), col("term"), col("c_gt"), col("c_t"),
+        (col("c_gt").cast(DoubleType) * col("n_tot").cast(DoubleType) /
+          (col("n_g").cast(DoubleType) * col("c_t").cast(DoubleType)))
+          .as("lift"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
   /** SKIP-GRAM co-occurrence pairs — the word2vec/GloVe input layer:
     * every unordered token pair within `window` positions of each
     * other, counted per occurrence, top `k` by count. Where

@@ -947,4 +947,46 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
     p should not include "Generate"
   }
+
+  test("q_link_pred: wedge aggregate has map-side partials, the top-50 " +
+      "cut is a bounded TakeOrderedAndProject — no cartesian, no Window") {
+    val p = plan("q_link_pred")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
+  test("q_modularity: community rollup is two partial-aggregated " +
+      "passes — no Window, no cartesian") {
+    val p = plan("q_modularity")
+    p should include("partial_count")
+    p should include("partial_sum")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
+  test("q_auc: corpus collapses to the distinct-score histogram with " +
+      "map-side partials BEFORE the rank window (which runs over the " +
+      "score domain, not the rows); scan reads only value+event_type") {
+    val p = plan("q_auc")
+    p should include("partial_count")
+    p should include("Window")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("value")
+    readSchema should include("event_type")
+    readSchema should not include "user_id"
+    readSchema should not include "props"
+  }
+
+  test("q_distinctive_terms: one (group, term) partial-aggregated pass " +
+      "over the exploded stream, N on a 1-row broadcast, rank window " +
+      "over the vocab frame — no cartesian") {
+    val p = plan("q_distinctive_terms")
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin") // the 1-row N frame
+    p should include("Window")
+    p should not include "CartesianProduct"
+  }
 }

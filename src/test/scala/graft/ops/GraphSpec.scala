@@ -381,4 +381,82 @@ class GraphSpec extends SparkSpecBase with Matchers {
       Graph.kTruss(edges, "src", "dst", 2)
     }.getMessage should include("k must be >= 3")
   }
+
+  test("linkPrediction: hand-computed path graph — RA/Jaccard fixed-" +
+      "point, tie-break order, k cutoff") {
+    // path 1-2-3-4-5: deg(1)=deg(5)=1, deg(2)=deg(3)=deg(4)=2.
+    // Wedge pairs (all non-edges): (1,3) thru 2, (2,4) thru 3,
+    // (3,5) thru 4 — every through-vertex has deg 2, so
+    // ra_fp = 2^40 div 2 = 549755813888 for all three; ties resolve
+    // by (a, b) ascending. jac_fp = cn*2^20 div (da+db-cn):
+    // (1,3): 1048576 div (1+2-1) = 524288
+    // (2,4): 1048576 div (2+2-1) = 349525 (truncated)
+    // (3,5): 1048576 div (2+1-1) = 524288
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    def run(k: Int): Seq[(Long, Long, Long, Long, Long, Long, Long)] =
+      Graph.linkPrediction(edges, "src", "dst", k)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    run(10) shouldBe Seq(
+      (1L, 3L, 1L, 549755813888L, 524288L, 1L, 2L),
+      (2L, 4L, 1L, 549755813888L, 349525L, 2L, 2L),
+      (3L, 5L, 1L, 549755813888L, 524288L, 2L, 1L))
+    run(2) shouldBe Seq(
+      (1L, 3L, 1L, 549755813888L, 524288L, 1L, 2L),
+      (2L, 4L, 1L, 549755813888L, 349525L, 2L, 2L))
+  }
+
+  test("linkPrediction: existing edges are excluded, cn accumulates " +
+      "over multiple common neighbors, maxThruDeg drops hub wedges") {
+    // square 1-2-3-4-1: the two diagonals each have TWO common
+    // neighbors -> cn=2, ra_fp = 2*(2^40 div 2) = 2^40, and no
+    // adjacent pair appears (all share no common neighbor... the
+    // square's edges (1,2) etc. have none; the diagonals are
+    // non-edges).
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    Graph.linkPrediction(square, "src", "dst", 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq shouldBe Seq(
+        (1L, 3L, 2L, 1099511627776L, 1048576L, 2L, 2L),
+        (2L, 4L, 2L, 1099511627776L, 1048576L, 2L, 2L))
+    // star 1-{2,3,4}: leaves pair up thru the hub (deg 3) —
+    // ra_fp = 2^40 div 3; capping the through role below 3 empties
+    // the result (leaves keep their endpoint role, but no wedges).
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    Graph.linkPrediction(star, "src", "dst", 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq shouldBe Seq(
+        (2L, 3L, 1L, 366503875925L, 1048576L, 1L, 1L),
+        (2L, 4L, 1L, 366503875925L, 1048576L, 1L, 1L),
+        (3L, 4L, 1L, 366503875925L, 1048576L, 1L, 1L))
+    Graph.linkPrediction(star, "src", "dst", 10, maxThruDeg = 2)
+      .collect() shouldBe empty
+  }
+
+  test("modularity: hand-computed barbell — two triangles bridged; " +
+      "single-community zero; unlabeled vertices drop") {
+    // triangles {1,2,3} and {4,5,6} + bridge (3,4): m=7,
+    // d_A = 2+2+3 = 7 = d_B, m_A = m_B = 3 intra edges.
+    // sum_dc=14 sum_mc=6 sum_dc2=98: q_num = 2*14*6-98 = 70,
+    // q_den = 196, Q = 70/196 = 5/14.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val comm2 = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B"), (6L, "B")).toDF("v", "c")
+    Graph.modularity(edges, "src", "dst", comm2, "v", "c")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq shouldBe
+      Seq((2L, 7L, 70L, 196L, 70.0 / 196.0))
+    // everything in ONE community: Q = m/m - 1 = 0 exactly
+    val comm1 = (1L to 6L).map((_, "all")).toDF("v", "c")
+    Graph.modularity(edges, "src", "dst", comm1, "v", "c")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq shouldBe
+      Seq((1L, 7L, 0L, 196L, 0.0))
+    // vertex 7 hangs off 1 but is UNLABELED: edge (1,7) leaves the
+    // labeled graph entirely — same Q as without it
+    val edges7 = edges.union(Seq((1L, 7L)).toDF("src", "dst"))
+    Graph.modularity(edges7, "src", "dst", comm2, "v", "c")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq shouldBe
+      Seq((2L, 7L, 70L, 196L, 70.0 / 196.0))
+  }
 }

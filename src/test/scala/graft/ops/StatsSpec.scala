@@ -296,4 +296,54 @@ class StatsSpec extends SparkSpecBase with Matchers {
         Seq(("g", "v", 1.0, true)))
     }.getMessage should include("percentile")
   }
+
+  test("rocAuc: hand-computed rank sums — perfect separation, " +
+      "anti-correlated, constant score, tie correction, null drop") {
+    def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Double) =
+      Stats.rocAuc(rows.toDF("s", "y"), "s", "y")
+        .as[(Long, Long, Long, Double)].collect().head
+    // positives strictly above negatives -> AUC 1
+    auc(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))) shouldBe
+      (2L, 2L, 8L, 1.0)
+    // positives strictly below -> AUC 0
+    auc(Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L))) shouldBe
+      (2L, 2L, 0L, 0.0)
+    // all scores tied: one block n=4 np=2, r2 = 2*(0+4+1) = 10,
+    // u2 = 10 - 2*3 = 4, auc = 4/8 = 0.5 — the tie correction is
+    // what lands a constant score at exactly chance
+    auc(Seq((7L, 1L), (7L, 0L), (7L, 1L), (7L, 0L))) shouldBe
+      (2L, 2L, 4L, 0.5)
+    // mixed ties: scores [1,1,2], labels [1,0,0]: block s=1 has
+    // doubled avg rank 3 -> sum_r2 = 3, u2 = 3-2 = 1, auc = 1/4
+    auc(Seq((1L, 1L), (1L, 0L), (2L, 0L))) shouldBe (1L, 2L, 1L, 0.25)
+    // a NULL score or label drops the row before ranking
+    val withNulls = Seq((Option(1L), Option(1L)), (Option(1L), Option(0L)),
+      (Option(2L), Option(0L)), (Option.empty[Long], Option(1L)),
+      (Option(9L), Option.empty[Long])).toDF("s", "y")
+    Stats.rocAuc(withNulls, "s", "y")
+      .as[(Long, Long, Long, Double)].collect().head shouldBe
+      (1L, 2L, 1L, 0.25)
+  }
+
+  test("rocAuc is partition-order independent and matches a brute-force " +
+      "pair count on a seeded random sample") {
+    val rnd = new scala.util.Random(20260815L)
+    val rows = Seq.fill(400)((rnd.nextInt(20).toLong,
+      if (rnd.nextBoolean()) 1L else 0L))
+    // brute force: AUC = (wins + ties/2) / (n_pos * n_neg)
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val wins2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = wins2.toDouble / (2L * pos.size * neg.size).toDouble
+    def run(parts: Int): (Long, Long, Long, Double) =
+      Stats.rocAuc(rows.toDF("s", "y").repartition(parts), "s", "y")
+        .as[(Long, Long, Long, Double)].collect().head
+    val (np, nn, u2, a) = run(1)
+    np shouldBe pos.size.toLong
+    nn shouldBe neg.size.toLong
+    u2 shouldBe wins2
+    a shouldBe expected
+    run(7) shouldBe ((np, nn, u2, a))
+  }
 }

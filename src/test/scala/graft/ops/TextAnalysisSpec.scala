@@ -715,4 +715,43 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     }
     run(1) shouldBe run(7)
   }
+
+  test("distinctiveTerms: hand-computed lifts — per-group rates over " +
+      "corpus rate, lift-then-term ordering, minCount floor, k cutoff") {
+    // group a: "x y x y" -> bigrams [x y, y x, x y]; group b:
+    // "z w z w" -> [z w, w z, z w]. n_a = n_b = 3, N = 6.
+    // every term is group-exclusive: lift("x y"|a) = 2*6/(3*2) = 2,
+    // lift("y x"|a) = 1*6/(3*1) = 2 — TIED, so the term tie-break
+    // orders "x y" (rk 1) before "y x" (rk 2).
+    val df = Seq(("a", "x y x y"), ("b", "z w z w")).toDF("g", "text")
+    def run(k: Int, minCount: Long) =
+      TextAnalysis.distinctiveTerms(df, "g", "text", 2, k, minCount)
+        .as[(String, String, Long, Long, Double, Int)]
+        .collect().sortBy(r => (r._1, r._6)).toSeq
+    // note "w z" < "z w" lexicographically, so b's tie resolves the
+    // OTHER way around from a's
+    run(5, 1) shouldBe Seq(
+      ("a", "x y", 2L, 2L, 2.0, 1), ("a", "y x", 1L, 1L, 2.0, 2),
+      ("b", "w z", 1L, 1L, 2.0, 1), ("b", "z w", 2L, 2L, 2.0, 2))
+    // minCount 2 floors the singletons BEFORE ranking, so "z w"
+    // takes rk 1 in b; k cutoff trims within group
+    run(5, 2) shouldBe Seq(
+      ("a", "x y", 2L, 2L, 2.0, 1), ("b", "z w", 2L, 2L, 2.0, 1))
+    run(1, 1) shouldBe Seq(
+      ("a", "x y", 2L, 2L, 2.0, 1), ("b", "w z", 1L, 1L, 2.0, 1))
+  }
+
+  test("distinctiveTerms: a term shared across groups lifts where it " +
+      "is over-represented and dips where it is not") {
+    // group a "p q p q p q r": 7 tokens -> 6 bigrams ("p q" x3,
+    // "q p" x2, "q r"); group b "p q s t u": 4 bigrams ("p q" once).
+    // c_t("p q") = 4, N = 10: lift(a) = 3*10/(6*4) = 1.25,
+    // lift(b) = 1*10/(4*4) = 0.625 — both exact doubles.
+    val df = Seq(("a", "p q p q p q r"), ("b", "p q s t u")).toDF("g", "t")
+    val out = TextAnalysis.distinctiveTerms(df, "g", "t", 2, 10, 1)
+      .as[(String, String, Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    out(("a", "p q")) shouldBe ((3L, 4L, 1.25))
+    out(("b", "p q")) shouldBe ((1L, 4L, 0.625))
+  }
 }
