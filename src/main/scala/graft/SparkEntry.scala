@@ -2035,6 +2035,55 @@ object SparkEntry {
           TextAnalysis.scrub(col("text")).as("scrubbed"))
         .orderBy("doc_id")
     }),
+    "q_kappa" -> ((s, dir) => {
+      // Cohen's kappa (Stats.cohenKappa) between the langid
+      // classifier's "is English" call and the corpus label — the
+      // chance-corrected single number on top of q_langid_eval's full
+      // confusion matrix. Exact integer confusion counts, one closing
+      // division.
+      val d = t(s, dir, "documents")
+      graft.ops.Stats.cohenKappa(
+        d.select(
+          (TextAnalysis.langId(col("text")) === lit("en")).as("r1"),
+          (col("lang") === lit("en")).as("r2")),
+        "r1", "r2")
+    }),
+    "q_gini" -> ((s, dir) => {
+      // Gini concentration of spend across users per event type
+      // (EventAnalytics.giniByGroup): the dataset-card inequality
+      // number. Cent-scaled masses keep every sum exact; the rank
+      // window runs over the per-user AGGREGATE partitioned by type,
+      // never the event stream.
+      val e = t(s, dir, "events").select(col("event_type"),
+        col("user_id"), round(col("value") * 100).cast(LongType).as("cents"))
+      EventAnalytics.giniByGroup(e, "event_type", "user_id", "cents")
+        .select(col("grp").as("event_type"), col("n_keys"), col("total"),
+          col("gini"))
+        .orderBy("event_type")
+    }),
+    "q_luhn_scrub" -> ((s, dir) => {
+      // Luhn-validated card redaction (TextAnalysis.luhnScrub): the
+      // precision refinement of q_scrub's bare digit regex — only
+      // checksum-valid card-length runs redact; order-id-like runs
+      // stay. Every 3rd doc gets a VALID test PAN, every 3rd+1 an
+      // INVALID one digit off (plus a short run below card length) —
+      // both branches and the no-op branch exercised, suffixes built
+      // identically in the oracle (the q_scrub recipe).
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" card 4111111111111111 ok"))
+            .when(pmod(col("doc_id"), lit(3)) === 1,
+              lit(" ref 4111111111111112 id 9001002003"))
+            .otherwise(lit(""))).as("text"))
+      withPii.select(col("doc_id"),
+          TextAnalysis.luhnScrub(col("text")).as("scrubbed"),
+          size(TextAnalysis.cardCandidates(col("text")))
+            .as("n_candidates"),
+          size(filter(TextAnalysis.cardCandidates(col("text")),
+            TextAnalysis.luhnValid _)).as("n_valid"))
+        .orderBy("doc_id")
+    }),
     "q_langid_eval" -> ((s, dir) => {
       // LangID self-evaluation (the q_ann_recall recipe on text): the
       // n-gram-marker classifier's confusion matrix against the corpus
@@ -5970,6 +6019,83 @@ object SparkEntry {
     // LangID self-evaluation: the same classifier replay aggregated
     // into a (label, prediction) confusion matrix with per-true-class
     // shares — exact numbers because the classifier is deterministic.
+    // Kappa replay: the langid chain's shared CTEs, then exact integer
+    // confusion counts and the one-division kappa.
+    "q_kappa" ->
+      raw"""WITH $langScoreCtesSql,
+              p AS (SELECT ($langPredCaseSql = 'en') AS r1,
+                           (d.lang = 'en') AS r2
+                    FROM s JOIN documents d ON d.doc_id = s.doc_id),
+              f AS (SELECT r1, r2 FROM p
+                    WHERE r1 IS NOT NULL AND r2 IS NOT NULL),
+              cg AS (SELECT
+                       CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                       CAST(sum(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                       CAST(sum(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS d
+                     FROM f),
+              x AS (SELECT a, b, c, d, a + b + c + d AS n,
+                           (a + b) * (a + c) + (c + d) * (b + d) AS pe_num
+                    FROM cg)
+         SELECT n, a, b, c, d,
+                CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+                CASE WHEN n * n = pe_num THEN NULL
+                     ELSE CAST(n * (a + d) - pe_num AS DOUBLE)
+                            / CAST(n * n - pe_num AS DOUBLE) END AS kappa
+         FROM x""",
+    // Gini replay: same per-key exact cent sums, rank window over the
+    // aggregate, identical closing division.
+    "q_gini" ->
+      """WITH pk AS (SELECT event_type AS grp, user_id AS key,
+                          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+                   FROM events GROUP BY 1, 2),
+              rk AS (SELECT grp, x,
+                            CAST(row_number() OVER
+                              (PARTITION BY grp ORDER BY x, key) AS BIGINT)
+                              * x AS ix
+                     FROM pk),
+              ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_keys,
+                            CAST(sum(x) AS BIGINT) AS total,
+                            CAST(sum(ix) AS BIGINT) AS sum_ix
+                     FROM rk GROUP BY grp)
+         SELECT grp AS event_type, n_keys, total,
+                CASE WHEN total = 0 THEN NULL
+                     ELSE CAST(2 * sum_ix - (n_keys + 1) * total AS DOUBLE)
+                            / CAST(n_keys * total AS DOUBLE) END AS gini
+         FROM ag ORDER BY event_type""",
+    // Luhn-scrub replay: identical candidate extraction (maximal digit
+    // runs length-filtered — RE2 has no lookbehind, so maximal-run
+    // candidacy is the cross-engine form), the same mod-10 checksum in
+    // list arithmetic, and the same valid-list replace fold.
+    "q_luhn_scrub" ->
+      """WITH wp AS (SELECT doc_id,
+                          text || CASE WHEN doc_id % 3 = 0
+                                       THEN ' card 4111111111111111 ok'
+                                       WHEN doc_id % 3 = 1
+                                       THEN ' ref 4111111111111112 id 9001002003'
+                                       ELSE '' END AS text
+                   FROM documents),
+              cand AS (SELECT doc_id, text,
+                              list_filter(regexp_extract_all(text, '[0-9]+'),
+                                c -> length(c) BETWEEN 13 AND 19) AS cands
+                       FROM wp),
+              v AS (SELECT doc_id, text, cands,
+                           list_filter(cands, c ->
+                             list_sum(list_transform(range(1, length(c) + 1), i ->
+                               CASE WHEN i % 2 = 0
+                                    THEN CASE WHEN (ascii(substr(reverse(c), CAST(i AS INTEGER), 1)) - 48) * 2 > 9
+                                              THEN (ascii(substr(reverse(c), CAST(i AS INTEGER), 1)) - 48) * 2 - 9
+                                              ELSE (ascii(substr(reverse(c), CAST(i AS INTEGER), 1)) - 48) * 2 END
+                                    ELSE ascii(substr(reverse(c), CAST(i AS INTEGER), 1)) - 48 END))
+                               % 10 = 0) AS valid
+                    FROM cand)
+         SELECT doc_id,
+                list_reduce(list_prepend(text, valid),
+                  (a, b) -> replace(a, b, '<CC>')) AS scrubbed,
+                CAST(len(cands) AS INTEGER) AS n_candidates,
+                CAST(len(valid) AS INTEGER) AS n_valid
+         FROM v ORDER BY doc_id""",
     "q_langid_eval" ->
       raw"""WITH $langScoreCtesSql,
               p AS (SELECT d.lang, $langPredCaseSql AS lang_pred
@@ -6573,5 +6699,5 @@ object SparkEntry {
     "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss",
     "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes",
     "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
-    "q_distinctive_terms")
+    "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub")
 }

@@ -549,4 +549,46 @@ object EventAnalytics {
           ./((col("sum_prev") + lit(windowDays.toLong)).cast(DoubleType))
           .as("lift"))
   }
+
+  /** GINI CONCENTRATION per group — "how concentrated is the mass
+    * across keys?" (spend across users, tokens across sources,
+    * training mass across shards): the dataset-card inequality number.
+    * For per-key non-negative integer masses x₁ ≤ … ≤ xₙ (ascending),
+    * G = (2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx) — 0 when uniform, → 1−1/n when
+    * one key holds everything. The index-weighted sum over a TIED run
+    * of equal x is invariant to the order within the run (same x times
+    * a fixed index block), so G is deterministic with no tie-break,
+    * and everything up to the one closing division is exact Long
+    * arithmetic (`valueCol` must be integral — cent-scale first).
+    * G is NULL when the group's total mass is 0.
+    *
+    * Scale shape: ONE (group, key) map-side-partial sum collapses the
+    * events, then the rank window runs over the per-key AGGREGATE
+    * partitioned by group — |keys-per-group| rows, never the event
+    * stream — and one final per-group fold. Σ i·xᵢ ≤ n·Σx: LOUD raise
+    * when n·Σx exceeds the Long bound. */
+  def giniByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String): DataFrame = {
+    val perKey = df
+      .groupBy(col(groupCol).as("grp"), col(keyCol).as("key"))
+      .agg(sum(col(valueCol).cast(LongType)).as("x"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"), col("key"))
+    perKey
+      .select(col("grp"), col("x"),
+        (row_number().over(w).cast(LongType) * col("x")).as("ix"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("x")).as("total"),
+        sum(col("ix")).as("sum_ix"))
+      .select(col("grp"), col("n_keys"), col("total"),
+        when(col("n_keys") * col("total") > lit(4000000000000000000L),
+          raise_error(lit("giniByGroup: n*total exceeds the Long " +
+            "exactness bound — rescale the value or route through " +
+            "DECIMAL")))
+          .when(col("total") === 0L, lit(null))
+          .otherwise(
+            (lit(2L) * col("sum_ix") - (col("n_keys") + lit(1L)) *
+              col("total")).cast(DoubleType) /
+            (col("n_keys") * col("total")).cast(DoubleType))
+          .as("gini"))
+  }
 }

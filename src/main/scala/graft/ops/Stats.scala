@@ -493,6 +493,54 @@ object Stats {
         coalesce(col(s"${g}_ok"), lit(false)) }.reduce(_ && _))
   }
 
+  /** COHEN'S KAPPA between two binary raters (Cohen 1960): agreement
+    * beyond chance for any pair of keep/drop decisions the engine
+    * produces — two quality gates, a classifier vs ground truth, two
+    * dedup policies. From the 2×2 confusion counts (a = both true,
+    * b = only rater 1, c = only rater 2, d = both false):
+    * κ = (p_o − p_e)/(1 − p_e), computed as ONE division of exact
+    * Longs — κ = (n·(a+d) − pe_num)/(n² − pe_num) with
+    * pe_num = (a+b)(a+c) + (c+d)(b+d) — so the statistic is
+    * order-independent and oracle-replayable; p_o and p_e are each one
+    * exact-operand division for display. Rows where either rater is
+    * NULL drop before counting. κ is NULL when p_e = 1 (n² = pe_num:
+    * both raters constant AND agreeing — beyond-chance agreement is
+    * undefined; a single constant rater yields the well-defined κ=0).
+    * LOUD raise past n ~ 3e9 (n² Long bound).
+    *
+    * Scale shape: ONE map-side-partial aggregate to four counters —
+    * nothing else. */
+  def cohenKappa(df: DataFrame, rater1Col: String,
+      rater2Col: String): DataFrame = {
+    val r1 = col(rater1Col).cast(BooleanType)
+    val r2 = col(rater2Col).cast(BooleanType)
+    df.where(r1.isNotNull && r2.isNotNull)
+      .agg(
+        sum(when(r1 && r2, 1L).otherwise(0L)).as("a"),
+        sum(when(r1 && !r2, 1L).otherwise(0L)).as("b"),
+        sum(when(!r1 && r2, 1L).otherwise(0L)).as("c"),
+        sum(when(!r1 && !r2, 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).as("n"),
+        ((col("a") + col("b")) * (col("a") + col("c")) +
+          (col("c") + col("d")) * (col("b") + col("d"))).as("pe_num"))
+      .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+        when(col("n") > lit(3000000000L),
+          raise_error(lit("cohenKappa: n exceeds the Long exactness " +
+            "bound (n^2 overflows) — route the chance terms through " +
+            "DECIMAL")))
+          .otherwise((col("a") + col("d")).cast(DoubleType) /
+            col("n").cast(DoubleType)).as("po"),
+        (col("pe_num").cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType)).as("pe"),
+        when(col("n") * col("n") === col("pe_num"), lit(null))
+          .otherwise(
+            (col("n") * (col("a") + col("d")) - col("pe_num"))
+              .cast(DoubleType) /
+            (col("n") * col("n") - col("pe_num")).cast(DoubleType))
+          .as("kappa"))
+  }
+
   /** ROC-AUC of an integer score against a binary label, by the
     * Mann-Whitney rank-sum identity: AUC = (Σ ranks of positives −
     * n⁺(n⁺+1)/2) / (n⁺·n⁻), with AVERAGE ranks over tied scores (the

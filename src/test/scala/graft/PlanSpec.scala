@@ -980,6 +980,47 @@ class PlanSpec extends SparkSpecBase with Matchers {
     readSchema should not include "props"
   }
 
+  test("q_kappa: the corpus folds to four confusion counters in ONE " +
+      "map-side-partial aggregate; scan reads only text+lang") {
+    val p = plan("q_kappa")
+    p should include("partial_sum")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("text")
+    readSchema should include("lang")
+    readSchema should not include "source"
+    readSchema should not include "n_chars"
+  }
+
+  test("q_gini: events collapse to per-(type,user) partial sums before " +
+      "the rank window (which runs over the aggregate, partitioned by " +
+      "type); scan skips props/ts") {
+    val p = plan("q_gini")
+    p should include("partial_sum")
+    p should include("Window")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("event_type")
+    readSchema should include("user_id")
+    readSchema should include("value")
+    readSchema should not include "props"
+  }
+
+  test("q_luhn_scrub: narrow per-row HOF work — no aggregate shuffle, " +
+      "no Window, no join; scan reads only doc_id+text") {
+    val p = plan("q_luhn_scrub")
+    p should not include "Window"
+    p should not include "Join"
+    p should not include "hashpartitioning"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("doc_id")
+    readSchema should include("text")
+    readSchema should not include "lang"
+  }
+
   test("q_distinctive_terms: one (group, term) partial-aggregated pass " +
       "over the exploded stream, N on a 1-row broadcast, rank window " +
       "over the vocab frame — no cartesian") {

@@ -357,4 +357,44 @@ class EventAnalyticsSpec extends SparkSpecBase with Matchers {
       (1L, 400L, None, None, 0L),
       (2L, 400L, Some("view"), Some("view"), 1L))
   }
+
+  test("giniByGroup: hand-computed concentration — uniform 0, fully " +
+      "concentrated (n-1)/n, textbook middle case, per-key pre-sum, " +
+      "zero-mass NULL, tie invariance") {
+    def gini(rows: Seq[(String, Long, Long)]) =
+      EventAnalytics.giniByGroup(rows.toDF("g", "k", "v"), "g", "k", "v")
+        .as[(String, Long, Long, Option[Double])]
+        .collect().sortBy(_._1).toSeq
+    gini(Seq(
+      // group u: uniform 5,5,5 -> G = 0
+      ("u", 1L, 5L), ("u", 2L, 5L), ("u", 3L, 5L),
+      // group c: one key holds all 12 -> sorted 0,0,12:
+      // sum_ix = 3*12 = 36, G = (72 - 4*12)/(3*12) = 24/36 = 2/3
+      ("c", 1L, 0L), ("c", 2L, 0L), ("c", 3L, 12L),
+      // group m: masses 1,2,3,4 -> sum_ix = 1+4+9+16 = 30,
+      // G = (60 - 5*10)/(4*10) = 10/40 = 0.25
+      ("m", 1L, 1L), ("m", 2L, 2L), ("m", 3L, 3L), ("m", 4L, 4L),
+      // group z: all-zero mass -> gini NULL
+      ("z", 1L, 0L), ("z", 2L, 0L))) shouldBe Seq(
+      ("c", 3L, 12L, Some(2.0 / 3.0)),
+      ("m", 4L, 10L, Some(0.25)),
+      ("u", 3L, 15L, Some(0.0)),
+      ("z", 2L, 0L, None))
+    // per-key PRE-SUM: key 1 split across two event rows equals the
+    // one-row equivalent
+    gini(Seq(("s", 1L, 3L), ("s", 1L, 1L), ("s", 2L, 2L))) shouldBe
+      gini(Seq(("s", 1L, 4L), ("s", 2L, 2L)))
+    // tie invariance: equal masses on distinct keys — the index-
+    // weighted sum over a tied run is order-free, G identical across
+    // partitionings
+    val tied = Seq(("t", 1L, 7L), ("t", 2L, 7L), ("t", 3L, 7L),
+      ("t", 4L, 1L))
+    val a = EventAnalytics.giniByGroup(
+      tied.toDF("g", "k", "v").repartition(1), "g", "k", "v")
+      .as[(String, Long, Long, Option[Double])].collect().head
+    val b = EventAnalytics.giniByGroup(
+      tied.toDF("g", "k", "v").repartition(7), "g", "k", "v")
+      .as[(String, Long, Long, Option[Double])].collect().head
+    a shouldBe b
+  }
 }

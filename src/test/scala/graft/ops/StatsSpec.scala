@@ -297,6 +297,41 @@ class StatsSpec extends SparkSpecBase with Matchers {
     }.getMessage should include("percentile")
   }
 
+  test("cohenKappa: hand-computed confusion — textbook agreement, " +
+      "perfect/inverse raters, constant-rater NULL, null-row drop") {
+    def kappa(rows: Seq[(Boolean, Boolean)]) =
+      Stats.cohenKappa(rows.toDF("r1", "r2"), "r1", "r2")
+        .as[(Long, Long, Long, Long, Long, Double, Double, Option[Double])]
+        .collect().head
+    // classic 2x2: a=20 b=5 c=10 d=15, n=50. po=35/50=0.7,
+    // pe_num=25*30+25*20=1250, pe=0.5,
+    // kappa=(50*35-1250)/(2500-1250)=500/1250=0.4
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    kappa(rows) shouldBe (50L, 20L, 5L, 10L, 15L, 0.7, 0.5, Some(0.4))
+    // perfect agreement with both classes present -> kappa 1
+    kappa(Seq((true, true), (false, false))) shouldBe
+      (2L, 1L, 0L, 0L, 1L, 1.0, 0.5, Some(1.0))
+    // perfect DISagreement -> kappa -1
+    kappa(Seq((true, false), (false, true))) shouldBe
+      (2L, 0L, 1L, 1L, 0L, 0.0, 0.5, Some(-1.0))
+    // ONE constant rater still has pe < 1: kappa is exactly 0, not
+    // NULL (agreement no better than chance)
+    kappa(Seq((true, true), (false, true))) shouldBe
+      (2L, 1L, 0L, 1L, 0L, 0.5, 0.5, Some(0.0))
+    // BOTH raters constant: pe = 1, n^2 = pe_num -> kappa NULL
+    kappa(Seq((true, true), (true, true))) shouldBe
+      (2L, 2L, 0L, 0L, 0L, 1.0, 1.0, None)
+    // null in either rater drops the row
+    val withNulls = Seq((Option(true), Option(true)),
+      (Option(false), Option(false)), (Option.empty[Boolean], Option(true)),
+      (Option(true), Option.empty[Boolean])).toDF("r1", "r2")
+    Stats.cohenKappa(withNulls, "r1", "r2")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect().head shouldBe
+      (2L, 1L, 0L, 0L, 1L, 1.0, 0.5, Some(1.0))
+  }
+
   test("rocAuc: hand-computed rank sums — perfect separation, " +
       "anti-correlated, constant score, tie correction, null drop") {
     def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Double) =

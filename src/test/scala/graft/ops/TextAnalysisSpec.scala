@@ -716,6 +716,65 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     run(1) shouldBe run(7)
   }
 
+  test("luhnScrub: validates the mod-10 checksum before redacting — " +
+      "valid PANs go, invalid and short/long runs stay, multiple " +
+      "candidates fold, NULL passes through") {
+    def scrub(texts: Seq[String]): Seq[String] =
+      texts.toDF("t")
+        .select(TextAnalysis.luhnScrub(col("t")).as("s"))
+        .as[String].collect().toSeq
+    scrub(Seq(
+      // 4111111111111111 is Luhn-valid (the classic test PAN);
+      // 4111111111111112 flips the check digit
+      "pay 4111111111111111 now",
+      "ref 4111111111111112 now",
+      // 12 digits: below card length — not a candidate even though
+      // its checksum happens to matter not at all
+      "order 123456789012 x",
+      // 20 digits: above card length — not a candidate
+      "id 12345678901234567890 x",
+      // two valid cards both redact; the invalid middle one stays
+      "a 4111111111111111 b 4111111111111112 c 4111111111111111 d",
+      "no digits at all")) shouldBe Seq(
+      "pay <CC> now",
+      "ref 4111111111111112 now",
+      "order 123456789012 x",
+      "id 12345678901234567890 x",
+      "a <CC> b 4111111111111112 c <CC> d",
+      "no digits at all")
+    // NULL text stays NULL
+    Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.luhnScrub(col("t")).as("s"))
+      .as[Option[String]].collect().head shouldBe None
+  }
+
+  test("luhnValid agrees with an independent Luhn implementation on " +
+      "seeded random card numbers; cardCandidates takes maximal runs " +
+      "length 13-19 only") {
+    def luhnRef(s: String): Boolean = {
+      val ds = s.reverse.map(_ - '0')
+      ds.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x }
+        else d
+      }.sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(14L)
+    val cards = Seq.fill(60)(
+      (13 + rnd.nextInt(7), Seq.fill(19)(rnd.nextInt(10))) match {
+        case (len, ds) => ds.take(len).mkString
+      })
+    val got = cards.toDF("c")
+      .select(col("c"), TextAnalysis.luhnValid(col("c")).as("v"))
+      .as[(String, Boolean)].collect().toMap
+    cards.foreach { c => got(c) shouldBe luhnRef(c) }
+    // candidates: maximal runs, bounds inclusive at 13 and 19
+    Seq("a 1234567890123 b 1234567890123456789 c 123456789012 " +
+      "d 12345678901234567890").toDF("t")
+      .select(TextAnalysis.cardCandidates(col("t")).as("cs"))
+      .as[Seq[String]].collect().head shouldBe
+      Seq("1234567890123", "1234567890123456789")
+  }
+
   test("distinctiveTerms: hand-computed lifts — per-group rates over " +
       "corpus rate, lift-then-term ordering, minCount floor, k cutoff") {
     // group a: "x y x y" -> bigrams [x y, y x, x y]; group b:
