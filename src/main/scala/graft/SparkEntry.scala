@@ -2259,6 +2259,51 @@ object SparkEntry {
             .as("recall"))
         .orderBy("query_id")
     }),
+    "q_ann_pq" -> ((s, dir) => {
+      // PRODUCT QUANTIZATION serving (Similarity.pqCodebooks/pqTopK/
+      // pqTopKReranked): 8 independent per-subspace plain-k-means
+      // codebooks (m=8, ks=16) compress each 64-dim vector to EIGHT
+      // BYTES of codes — 32x vs fp32 — and serving scores candidates
+      // by asymmetric distance (cosine against the reconstruction,
+      // query at full precision). The artifact puts the compression
+      // cost NEXT TO its cure on one row per query: recall@5 of the
+      // raw ADC top-5 (~0.44 mean — 8 bytes is brutal on near-uniform
+      // synthetic embeddings) and of the standard shortlist-100 ADC +
+      // exact-rerank serve (~0.92) vs brute-force ground truth. All
+      // three pipelines deterministic (seeded hash-sampled training,
+      // fixed-point means, first-min tie-breaks), so both recalls are
+      // EXACT oracle-able numbers — the oracle replays train, encode,
+      // ADC, rerank, and ground truth.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ks = 16, iters = 5, sampleFraction = 0.1)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val adc = Similarity.pqTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, books)
+        .select(col("query_id"), col("neighbor_id"))
+      val rer = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, shortlist = 100, books)
+        .select(col("query_id"), col("neighbor_id"))
+      def hits(approx: DataFrame, name: String) =
+        brute.join(broadcast(approx), Seq("query_id", "neighbor_id"),
+            "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      queries.select(col("qid").as("query_id"))
+        .join(broadcast(hits(adc, "n_hits_adc")), Seq("query_id"), "left")
+        .join(broadcast(hits(rer, "n_hits")), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits_adc"), lit(0L)).as("n_hits_adc"),
+          (coalesce(col("n_hits_adc"), lit(0L)).cast(DoubleType) / lit(5.0))
+            .as("recall_adc"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(5.0))
+            .as("recall"))
+        .orderBy("query_id")
+    }),
     "q_ann_recall_tuned" -> ((s, dir) => {
       // The TUNED serving point the recall artifact exists to pick.
       // Measured curve on this corpus (mean recall@5 over the 10-query
@@ -3530,6 +3575,100 @@ object SparkEntry {
        |                       row_number() OVER (PARTITION BY e.vec_id
        |                                          ORDER BY ${dot("e.v", "c.c")} DESC, c.j) AS rn
        |                FROM e, $cents c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** q_ann_pq oracle: replay the FULL product-quantization pipeline —
+    * `m` independent per-subspace plain-L2 k-means chains (min-distance
+    * assignment with first-min tie-break, un-normalized fixed-point
+    * means, the [[kmeansPrefixSql]] recipe minus the spherical
+    * normalize), full-corpus encode, codeword-concatenation decode,
+    * ADC cosine against full-precision queries, the shortlist + exact
+    * rerank serve, and brute-force ground truth — then intersect for
+    * the two recalls. Every multiply-referenced CTE MATERIALIZED (the
+    * q_kcore inlining lesson; the codebook chains are referenced ~3×
+    * each). L2 distance folds ascending like [[sqlDot]], matching the
+    * kernel's accumulation order exactly. */
+  private def pqAnnSql(m: Int, ks: Int, sub: Int, iters: Int, topk: Int,
+      shortlist: Int, sampleFraction: Double, seed: Long): String = {
+    import graft.ops.Similarity.{SampleMod, SampleMul}
+    val keep = (sampleFraction * SampleMod).toLong
+    val dim = m * sub
+    val dot = sqlDot(dim) _
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${sub + 1}), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii])))"
+    def cos(a: String, b: String): String =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    val subspaceCtes = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      val chain = (1 to iters).map { i =>
+        val prev = s"c${s}_${i - 1}"
+        s"""sc${s}_$i AS (SELECT t.vec_id, c.j, ${l2("t.v", "c.c")} AS d
+           |       FROM tr$s t, $prev c),
+           |as${s}_$i AS (SELECT vec_id, j AS cluster FROM (
+           |         SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, j) AS rn
+           |         FROM sc${s}_$i) WHERE rn = 1),
+           |su${s}_$i AS (SELECT a.cluster, p.pos,
+           |              SUM(CAST(floor(t.v[p.pos] * 1000000.0 + 0.5) AS BIGINT)) AS sm,
+           |              COUNT(*) AS n
+           |       FROM tr$s t JOIN as${s}_$i a USING (vec_id), generate_series(1, $sub) p(pos)
+           |       GROUP BY a.cluster, p.pos),
+           |me${s}_$i AS (SELECT cluster AS j,
+           |              list((CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 ORDER BY pos) AS mn
+           |       FROM su${s}_$i GROUP BY cluster),
+           |c${s}_$i AS MATERIALIZED (SELECT c.j, COALESCE(mn.mn, c.c) AS c
+           |       FROM $prev c LEFT JOIN me${s}_$i mn ON mn.j = c.j)""".stripMargin
+      }.mkString(",\n")
+      s"""tr$s AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM train),
+         |in$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e ORDER BY vec_id LIMIT $ks),
+         |c${s}_0 AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS j, v AS c FROM in$s),
+         |$chain,
+         |en$s AS MATERIALIZED (SELECT vec_id, j AS code FROM (
+         |       SELECT e.vec_id, c.j,
+         |              row_number() OVER (PARTITION BY e.vec_id
+         |                                 ORDER BY ${l2(s"(e.v[$lo:$hi])", "c.c")} ASC, c.j) AS rn
+         |       FROM e, c${s}_$iters c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val decUnion = (0 until m).map { s =>
+      s"SELECT en$s.vec_id, $s AS s, c.c AS cw FROM en$s JOIN c${s}_$iters c ON c.j = en$s.code"
+    }.mkString("\n              UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |     train AS MATERIALIZED (SELECT vec_id, v FROM e
+       |               WHERE ((vec_id % $SampleMod) * $SampleMul + $seed) % $SampleMod < $keep),
+       |$subspaceCtes,
+       |     dec AS MATERIALIZED (SELECT vec_id, flatten(list(cw ORDER BY s)) AS dv FROM (
+       |              $decUnion)
+       |            GROUP BY vec_id),
+       |     q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 10),
+       |     adcrk AS MATERIALIZED (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+       |              FROM (SELECT q.vec_id AS qid, d.vec_id AS nid, ${cos("d.dv", "q.v")} AS sc
+       |                    FROM dec d, q)
+       |              WHERE sc IS NOT NULL),
+       |     atop AS (SELECT qid, nid FROM adcrk WHERE rn <= $topk),
+       |     rerrk AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+       |               FROM (SELECT s.qid, s.nid, ${cos("e.v", "q.v")} AS sc
+       |                     FROM (SELECT qid, nid FROM adcrk WHERE rn <= $shortlist) s
+       |                     JOIN e ON e.vec_id = s.nid
+       |                     JOIN q ON q.vec_id = s.qid)
+       |               WHERE sc IS NOT NULL),
+       |     rtop AS (SELECT qid, nid FROM rerrk WHERE rn <= $topk),
+       |     btop AS (SELECT qid, nid FROM (
+       |                SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |                       row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("x.v", "q.v")} DESC, x.vec_id) AS rn
+       |                FROM e x, q) WHERE rn <= $topk),
+       |     ha AS (SELECT b.qid, count(*) AS n FROM btop b
+       |            JOIN atop a ON a.qid = b.qid AND a.nid = b.nid GROUP BY b.qid),
+       |     hr AS (SELECT b.qid, count(*) AS n FROM btop b
+       |            JOIN rtop r ON r.qid = b.qid AND r.nid = b.nid GROUP BY b.qid)
+       |SELECT q.vec_id AS query_id,
+       |       CAST(COALESCE(ha.n, 0) AS BIGINT) AS n_hits_adc,
+       |       CAST(COALESCE(ha.n, 0) AS DOUBLE) / $topk.0 AS recall_adc,
+       |       CAST(COALESCE(hr.n, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(hr.n, 0) AS DOUBLE) / $topk.0 AS recall
+       |FROM q LEFT JOIN ha ON ha.qid = q.vec_id
+       |       LEFT JOIN hr ON hr.qid = q.vec_id
+       |ORDER BY query_id""".stripMargin
   }
 
   /** IVF serve stage over [[kmeansPrefixSql]]'s `e`/`casg` CTEs:
@@ -6234,6 +6373,8 @@ object SparkEntry {
          SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
                 round(s, 6) AS score
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    "q_ann_pq" -> pqAnnSql(m = 8, ks = 16, sub = 8, iters = 5, topk = 5,
+      shortlist = 100, sampleFraction = 0.1, seed = 42L),
     "q_ann_ivf" -> ivfSql(k = 16, iters = 5, nprobe = 4, topk = 5,
       dim = 64, sampleFraction = 0.1, seed = 42L),
     "q_ann_recall" -> annRecallSql(k = 16, iters = 5, nprobe = 4,
@@ -6699,5 +6840,6 @@ object SparkEntry {
     "q_gopher_rep", "q_moore_lewis", "q_kcore", "q_ktruss",
     "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes",
     "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
-    "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub")
+    "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
+    "q_ann_pq")
 }

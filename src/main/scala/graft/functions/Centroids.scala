@@ -53,6 +53,86 @@ object Centroids {
     best
   }
 
+  /** array<float|double> -> array<int>: per-subspace nearest-codeword
+    * indices (PRODUCT QUANTIZATION encode, Jégou et al. 2011). One code
+    * per codebook, assignment by MIN squared L2 (ties to the lower
+    * index) — PQ codebooks are plain (non-spherical) k-means, magnitudes
+    * matter for the reconstruction. */
+  def pq_encode(vec: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec),
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+
+  /** array<int> -> array<double>: concatenated codewords — the PQ
+    * RECONSTRUCTION. `cosine(pq_decode(codes), query)` IS asymmetric
+    * distance computation (ADC): the sum decomposes into per-subspace
+    * query x codeword dots, with the reconstruction's own norm in the
+    * denominator. */
+  def pq_decode(codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqDecode(GraftColumnBridge.expression(codes),
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+
+  /** Per-subspace argmin-L2 codes; vector elements past the input's
+    * length read as 0.0 (mirrors [[dot]]'s clamp). */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]],
+      floatIn: Boolean): ArrayData = {
+    val m = books.length
+    val n = v.numElements()
+    val codes = new Array[Int](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cb = books(j)
+      val sub = cb(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val xi = off + i
+          val x = (if (xi >= n) 0.0
+                   else if (floatIn) v.getFloat(xi).toDouble
+                   else v.getDouble(xi)) - cent(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      off += sub
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Concatenated codewords for a code array; out-of-range or missing
+    * codes fall back to codeword 0 (total function, never throws). */
+  def pqDecode(codes: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    var dim = 0
+    var jj = 0
+    while (jj < m) { dim += books(jj)(0).length; jj += 1 }
+    val out = new Array[Double](dim)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cb = books(j)
+      val sub = cb(0).length
+      val raw = if (j < codes.numElements()) codes.getInt(j) else 0
+      val cent = cb(if (raw >= 0 && raw < cb.length) raw else 0)
+      var i = 0
+      while (i < sub) { out(off + i) = cent(i); i += 1 }
+      off += sub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Top-`nprobe` centroid indices by dot, best first; ties break to
     * the lower index (stable insertion). */
   def probes(v: ArrayData, cs: Array[Array[Double]], nprobe: Int,
@@ -106,6 +186,50 @@ case class CentroidAssign(child: Expression, centroids: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): CentroidAssign =
     copy(child = newChild)
   override def prettyName: String = "graft_centroid_assign"
+}
+
+/** array<float|double> -> array<int> per-subspace PQ codes. */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+  extends CentroidExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  override def centroids: Seq[Seq[Double]] = codebooks.head
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Centroids.pqEncode(v.asInstanceOf[ArrayData], bookArr, floatIn)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", bookArr, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Centroids.pqEncode($c, $ref, $floatIn)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** array<int> -> array<double> concatenated-codeword reconstruction. */
+case class PqDecode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+  extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty))
+  @transient private lazy val bookArr: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    Centroids.pqDecode(v.asInstanceOf[ArrayData], bookArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", bookArr, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Centroids.pqDecode($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqDecode =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_decode"
 }
 
 /** array<float|double> -> array<int> top-nprobe centroid indices. */

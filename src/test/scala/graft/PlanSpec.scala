@@ -1021,6 +1021,16 @@ class PlanSpec extends SparkSpecBase with Matchers {
     readSchema should not include "lang"
   }
 
+  test("q_ann_pq: all three serving paths (ADC, rerank, ground truth) " +
+      "reduce map-side via the bounded-heap top-k partial; queries " +
+      "broadcast — no sort-merge join, no Window") {
+    val p = plan("q_ann_pq")
+    "partial_graft_top_k_by_score".r.findAllIn(p).size should be >= 3
+    p should include("BroadcastNestedLoopJoin") // broadcast query side
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
   test("q_distinctive_terms: one (group, term) partial-aggregated pass " +
       "over the exploded stream, N on a 1-row broadcast, rank window " +
       "over the vocab frame — no cartesian") {

@@ -251,4 +251,80 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     // id tie-break: lex-only 10 and sem-only 20 share rank 1 terms
     out.map(_._2) shouldBe Seq(99L, 10L, 20L, 11L, 21L)
   }
+
+  test("pq_encode/pq_decode: per-subspace min-L2 codes with lower-index " +
+      "ties, concatenated reconstruction") {
+    import org.apache.spark.sql.functions.col
+    val books = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(2.0, 2.0), Array(3.0, 3.0)))
+    val out = Seq(Seq(0.9, 0.9, 2.1, 2.1), Seq(0.1, 0.0, 3.0, 2.9))
+      .toDF("v")
+      .select(
+        graft.functions.Centroids.pq_encode(col("v"), books).as("codes"))
+      .select(col("codes"),
+        graft.functions.Centroids.pq_decode(col("codes"), books).as("dec"))
+      .as[(Seq[Int], Seq[Double])].collect().toSeq
+    out shouldBe Seq(
+      (Seq(1, 0), Seq(1.0, 1.0, 2.0, 2.0)),
+      (Seq(0, 1), Seq(0.0, 0.0, 3.0, 3.0)))
+    // exact equidistance ties to the LOWER codeword index
+    val tieBooks = Array(Array(Array(0.0), Array(2.0)))
+    Seq(Seq(1.0)).toDF("v")
+      .select(graft.functions.Centroids.pq_encode(col("v"), tieBooks))
+      .as[Seq[Int]].collect().head shouldBe Seq(0)
+  }
+
+  test("pqCodebooks (spherical=false): one hand-computed Lloyd step — " +
+      "min-L2 assignment, exact fixed-point UN-normalized means") {
+    import org.apache.spark.sql.functions.col
+    // init = first 2 rows by id: c0=[0,0], c1=[4,4]; ids 0,2 -> c0,
+    // ids 1,3 -> c1; means [0.1,0.1] and [4.1,4.1] — NOT unit vectors,
+    // the point of the non-spherical mode.
+    val df = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(4.0, 4.0)),
+      (2L, Seq(0.2, 0.2)), (3L, Seq(4.2, 4.2))).toDF("id", "v")
+    val books = Similarity.pqCodebooks(df, "id", "v", dim = 2, m = 1,
+      ks = 2, iters = 1)
+    books.length shouldBe 1
+    books(0).map(_.toSeq).toSeq shouldBe
+      Seq(Seq(0.1, 0.1), Seq(4.1, 4.1))
+    // two subspaces train independently on their own slices
+    val df2 = Seq(
+      (0L, Seq(0.0, 0.0, 4.0, 4.0)), (1L, Seq(4.0, 4.0, 0.0, 0.0)),
+      (2L, Seq(0.2, 0.2, 4.2, 4.2)), (3L, Seq(4.2, 4.2, 0.2, 0.2)))
+      .toDF("id", "v")
+    val books2 = Similarity.pqCodebooks(df2, "id", "v", dim = 4, m = 2,
+      ks = 2, iters = 1)
+    books2(0).map(_.toSeq).toSeq shouldBe
+      Seq(Seq(0.1, 0.1), Seq(4.1, 4.1))
+    books2(1).map(_.toSeq).toSeq shouldBe
+      Seq(Seq(4.1, 4.1), Seq(0.1, 0.1))
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(df2, "id", "v", dim = 4, m = 3, ks = 2)
+    }.getMessage should include("split evenly")
+  }
+
+  test("pqTopKReranked with a corpus-wide shortlist equals brute force " +
+      "exactly (the rerank ceiling)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7L)
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5))).toDF("id", "v")
+    val q = corpus.where(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val books = Similarity.pqCodebooks(corpus, "id", "v", dim = 8,
+      m = 4, ks = 4, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    rows(Similarity.pqTopKReranked(corpus, "id", "v", q, "qid", "qvec",
+      k = 5, shortlist = 40, books)) shouldBe
+      rows(Similarity.bruteForceTopK(corpus, "id", "v", q, "qid", "qvec",
+        k = 5))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKReranked(corpus, "id", "v", q, "qid", "qvec",
+        k = 5, shortlist = 4, books)
+    }.getMessage should include("shortlist")
+  }
 }
