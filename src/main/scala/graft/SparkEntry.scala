@@ -547,6 +547,20 @@ object SparkEntry {
           threshold = 3.5, k = 256)
         .orderBy("event_id")
     }),
+    "q_ks_test" -> ((s, dir) => {
+      // Two-sample Kolmogorov-Smirnov (Stats.ksTest): the binning-free
+      // drift number next to q_drift's fixed-width TVD and
+      // q_drift_eqdepth's equi-depth TVD — same second-half-vs-first
+      // split, cent-scaled values, sup|ECDF diff| in exact integer
+      // cross-products, one closing division (+ the scaled ks_stat
+      // against the 1.36 critical line).
+      val ev = t(s, dir, "events")
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+      graft.ops.Stats.ksTest(
+        ev.where(col("day") < 19740).select("cents"),
+        ev.where(col("day") >= 19740).select("cents"), "cents")
+    }),
     "q_drift" -> ((s, dir) => {
       // Distribution-drift monitor: the event-value histogram of the
       // SECOND half of the log (by day) against the FIRST half — the
@@ -4919,6 +4933,41 @@ object SparkEntry {
     // Same day arithmetic as q_retention; the TVD fold replays as
     // list_reduce over [0.0] || bin-ordered terms == Spark's
     // aggregate(terms, 0.0, +) left fold.
+    // KS replay: distinct-value histograms per side, one cumulative
+    // window over the pooled domain, the same exact cross-product sup
+    // and closing division/sqrt chain.
+    "q_ks_test" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              r AS (SELECT v, CAST(count(*) AS BIGINT) AS nr
+                    FROM e WHERE day < 19740 GROUP BY v),
+              c AS (SELECT v, CAST(count(*) AS BIGINT) AS nc
+                    FROM e WHERE day >= 19740 GROUP BY v),
+              g AS (SELECT coalesce(r.v, c.v) AS v,
+                           coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+                    FROM r FULL JOIN c ON r.v = c.v),
+              t AS (SELECT CAST(sum(nr) AS BIGINT) AS n_ref,
+                           CAST(sum(nc) AS BIGINT) AS n_cur FROM g),
+              cw AS (SELECT CAST(sum(nr) OVER win AS BIGINT) AS cr,
+                            CAST(sum(nc) OVER win AS BIGINT) AS cc
+                     FROM g WINDOW win AS (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              d0 AS (SELECT max(abs(cr * t.n_cur - cc * t.n_ref)) AS d_num,
+                            any_value(t.n_ref) AS n_ref,
+                            any_value(t.n_cur) AS n_cur
+                     FROM cw, t)
+         SELECT n_ref, n_cur, d_num,
+                CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                     ELSE CAST(d_num AS DOUBLE)
+                            / CAST(n_ref * n_cur AS DOUBLE) END AS d,
+                sqrt(CAST(n_ref * n_cur AS DOUBLE)
+                       / CAST(n_ref + n_cur AS DOUBLE))
+                  * (CASE WHEN n_ref = 0 OR n_cur = 0 THEN NULL
+                          ELSE CAST(d_num AS DOUBLE)
+                                 / CAST(n_ref * n_cur AS DOUBLE) END)
+                  AS ks_stat
+         FROM d0""",
     "q_drift" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
                            value FROM events),
@@ -6841,5 +6890,5 @@ object SparkEntry {
     "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes",
     "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
     "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
-    "q_ann_pq")
+    "q_ann_pq", "q_ks_test")
 }

@@ -493,6 +493,56 @@ object Stats {
         coalesce(col(s"${g}_ok"), lit(false)) }.reduce(_ && _))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV statistic — the binning-free member
+    * of the drift family (histogramDrift's TVD depends on the bin
+    * width; KS D = sup|F_ref − F_cur| is the distribution-level
+    * answer): D over INTEGER-valued samples (cent-scale first),
+    * computed entirely in exact Long arithmetic — the sup is
+    * `max|cum_ref·n_cur − cum_cur·n_ref|` over the pooled distinct
+    * values (the ECDF difference only changes there), and
+    * `d = d_num/(n_ref·n_cur)` is ONE closing division. Also emits
+    * `ks_stat = sqrt(n_ref·n_cur/(n_ref+n_cur))·d` — the scaled
+    * statistic compared against the K-S critical values (1.36 for
+    * α=0.05) — as a fixed chain of correctly-rounded IEEE ops (sqrt
+    * is exact-rounded; no exp/log, so no p-value by design).
+    * NULL values drop; a side with no rows yields NULL d. LOUD raise
+    * past ~3e9 rows per side (n_ref·n_cur Long bound).
+    *
+    * Scale shape: each side collapses to its distinct-value histogram
+    * with map-side partials; the cumulative walk windows over the
+    * POOLED VALUE DOMAIN, not the rows (coarsen the value to bound
+    * it); totals ride a 1-row broadcast. One row out. */
+  def ksTest(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) = df
+      .select(col(valueCol).cast(LongType).as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as(n))
+    val g = side(ref, "nr").join(side(cur, "nc"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = g.agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"))
+    g.select(sum(col("nr")).over(w).as("cr"), sum(col("nc")).over(w).as("cc"))
+      .crossJoin(broadcast(totals))
+      .agg(max(abs(col("cr") * col("n_cur") - col("cc") * col("n_ref")))
+        .as("d_num"),
+        first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"))
+      .select(col("n_ref"), col("n_cur"), col("d_num"))
+      .withColumn("d",
+        when(col("n_ref") > lit(3000000000L) ||
+            col("n_cur") > lit(3000000000L),
+          raise_error(lit("ksTest: side sizes exceed the Long " +
+            "exactness bound (n_ref*n_cur overflows) — route the " +
+            "cross-products through DECIMAL")))
+          .when(col("n_ref") === 0L || col("n_cur") === 0L, lit(null))
+          .otherwise(col("d_num").cast(DoubleType) /
+            (col("n_ref") * col("n_cur")).cast(DoubleType)))
+      .withColumn("ks_stat",
+        sqrt((col("n_ref") * col("n_cur")).cast(DoubleType) /
+          (col("n_ref") + col("n_cur")).cast(DoubleType)) * col("d"))
+  }
+
   /** COHEN'S KAPPA between two binary raters (Cohen 1960): agreement
     * beyond chance for any pair of keep/drop decisions the engine
     * produces — two quality gates, a classifier vs ground truth, two

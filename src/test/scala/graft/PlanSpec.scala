@@ -1031,6 +1031,21 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_ks_test: both sides collapse to distinct-value histograms " +
+      "with map-side partials before the pooled cumulative window; " +
+      "totals on a 1-row broadcast; scan reads only ts+value") {
+    val p = plan("q_ks_test")
+    p should include("partial_count")
+    p should include("Window")
+    p should include("BroadcastNestedLoopJoin")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("value")
+    readSchema should include("ts")
+    readSchema should not include "props"
+    readSchema should not include "user_id"
+  }
+
   test("q_distinctive_terms: one (group, term) partial-aggregated pass " +
       "over the exploded stream, N on a 1-row broadcast, rank window " +
       "over the vocab frame — no cartesian") {

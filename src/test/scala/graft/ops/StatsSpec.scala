@@ -297,6 +297,43 @@ class StatsSpec extends SparkSpecBase with Matchers {
     }.getMessage should include("percentile")
   }
 
+  test("ksTest: hand-computed sup of the ECDF gap, identical-sample " +
+      "zero, empty-side NULL, null-value drop, brute-force agreement " +
+      "on seeded samples") {
+    def ks(r: Seq[Long], c: Seq[Long]) =
+      Stats.ksTest(r.toDF("x"), c.toDF("x"), "x")
+        .as[(Long, Long, Long, Option[Double], Option[Double])]
+        .collect().head
+    // ref [1,2,2], cur [2,3]: the gap peaks at v=2 where
+    // F_ref=1, F_cur=1/2 -> d_num = |3*2 - 1*3| = 3, d = 3/6 = 0.5
+    val (nr, nc, dn, d, stat) = ks(Seq(1L, 2L, 2L), Seq(2L, 3L))
+    (nr, nc, dn, d) shouldBe (3L, 2L, 3L, Some(0.5))
+    stat shouldBe Some(math.sqrt(6.0 / 5.0) * 0.5)
+    // identical samples -> D = 0
+    ks(Seq(5L, 7L, 9L), Seq(5L, 7L, 9L))._4 shouldBe Some(0.0)
+    // disjoint supports -> D = 1
+    ks(Seq(1L, 2L), Seq(10L, 11L))._4 shouldBe Some(1.0)
+    // an empty side -> NULL d
+    ks(Seq(1L, 2L), Seq.empty)._4 shouldBe None
+    // nulls drop before counting
+    Stats.ksTest(
+      Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("x"),
+      Seq(Option(2L), Option(3L)).toDF("x"), "x")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head._1 shouldBe 2L
+    // brute force on seeded random samples: D as a max over pooled
+    // thresholds computed driver-side with exact rationals
+    val rnd = new scala.util.Random(99L)
+    val r = Seq.fill(200)(rnd.nextInt(30).toLong)
+    val c = Seq.fill(150)(rnd.nextInt(30).toLong + 5)
+    val pooled = (r ++ c).distinct.sorted
+    val expectedNum = pooled.map(t =>
+      math.abs(r.count(_ <= t).toLong * c.size - c.count(_ <= t).toLong * r.size)).max
+    val got = ks(r, c)
+    got._3 shouldBe expectedNum
+    got._4 shouldBe Some(expectedNum.toDouble / (r.size.toLong * c.size).toDouble)
+  }
+
   test("cohenKappa: hand-computed confusion — textbook agreement, " +
       "perfect/inverse raters, constant-rater NULL, null-row drop") {
     def kappa(rows: Seq[(Boolean, Boolean)]) =
