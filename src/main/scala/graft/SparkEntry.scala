@@ -547,6 +547,49 @@ object SparkEntry {
           threshold = 3.5, k = 256)
         .orderBy("event_id")
     }),
+    "q_interpolate" -> ((s, dir) => {
+      // Linear-interpolation gap fill (EventAnalytics.interpolateDaily):
+      // q_gapfill's carry-forward is a step function; this draws the
+      // straight line between surrounding observations. Every 3rd day
+      // is knocked out deterministically so interior gaps exist at any
+      // SF; spine endpoints are observed by construction, so `filled`
+      // is total. Fixed-order exact-operand IEEE arithmetic — the
+      // fill replays bit-for-bit.
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .where(pmod(col("day"), lit(3)) =!= 0)
+      EventAnalytics.interpolateDaily(ev, "event_type", "day", "cents")
+        .orderBy("event_type", "day")
+    }),
+    "q_incr_agg" -> ((s, dir) => {
+      // Incremental aggregate maintenance (Merge.incrementalCountSum):
+      // fold an insert/delete change feed into a per-customer
+      // (count, DECIMAL sum) snapshot touching only |keys| + |changes|
+      // rows — never the history. Base = orders with key%4 != 3;
+      // feed inserts the %4==3 slice and deletes the %8==1 slice
+      // (a guaranteed subset of the base). The oracle is an
+      // INDEPENDENT full recompute over the surviving rows (%8 != 1)
+      // — it never sees the incremental machinery, so parity proves
+      // the maintenance algebra, not a replay of it.
+      val o = t(s, dir, "orders")
+      val dec = DecimalType(28, 4)
+      val base = o.where(pmod(col("o_orderkey"), lit(4)) =!= 3)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast(dec).as("s"))
+      val feed = o.where(pmod(col("o_orderkey"), lit(4)) === 3)
+        .select(lit("I").as("op"), col("o_custkey"), col("o_totalprice"))
+        .unionByName(o.where(pmod(col("o_orderkey"), lit(8)) === 1)
+          .select(lit("D").as("op"), col("o_custkey"),
+            col("o_totalprice")))
+      Merge.incrementalCountSum(base, feed, Seq("o_custkey"), "op",
+          "o_totalprice")
+        .select(col("o_custkey"), col("n"),
+          col("s").cast(DoubleType).as("total"))
+        .orderBy("o_custkey")
+    }),
     "q_ks_test" -> ((s, dir) => {
       // Two-sample Kolmogorov-Smirnov (Stats.ksTest): the binning-free
       // drift number next to q_drift's fixed-width TVD and
@@ -4933,6 +4976,49 @@ object SparkEntry {
     // Same day arithmetic as q_retention; the TVD fold replays as
     // list_reduce over [0.0] || bin-ordered terms == Spark's
     // aggregate(terms, 0.0, +) left fold.
+    // Interpolation replay: same spine/neighbor windows (IGNORE NULLS
+    // both engines), identical parenthesized fill arithmetic.
+    "q_interpolate" ->
+      """WITH e AS (SELECT event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+              d AS (SELECT event_type AS key, day,
+                           CAST(sum(cents) AS BIGINT) AS v
+                    FROM e WHERE day % 3 <> 0 GROUP BY 1, 2),
+              sp AS (SELECT key, min(day) AS d0, max(day) AS d1
+                     FROM d GROUP BY key),
+              g AS (SELECT key, unnest(range(d0, d1 + 1)) AS day FROM sp),
+              j AS (SELECT g.key, g.day, d.v
+                    FROM g LEFT JOIN d ON d.key = g.key AND d.day = g.day),
+              wv AS (SELECT key, day, v,
+                            last_value(v IGNORE NULLS) OVER wp AS vp,
+                            last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS dp,
+                            first_value(v IGNORE NULLS) OVER wn AS vn,
+                            first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS dn
+                     FROM j WINDOW
+                       wp AS (PARTITION BY key ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wn AS (PARTITION BY key ORDER BY day
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT key AS event_type, day, v AS observed,
+                CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                     ELSE CAST(vp AS DOUBLE)
+                            + CAST(vn - vp AS DOUBLE)
+                              * (CAST(day - dp AS DOUBLE)
+                                   / CAST(dn - dp AS DOUBLE)) END AS filled
+         FROM wv ORDER BY event_type, day""",
+    // Incremental-agg oracle: an INDEPENDENT recompute over the rows
+    // that survive the feed (base minus deletes plus inserts =
+    // %8 != 1) — not a replay of the maintenance algebra.
+    "q_incr_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4)))
+                     AS DECIMAL(28,4)) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_orderkey % 8 <> 1
+         GROUP BY o_custkey
+         ORDER BY o_custkey""",
     // KS replay: distinct-value histograms per side, one cumulative
     // window over the pooled domain, the same exact cross-product sup
     // and closing division/sqrt chain.
@@ -6890,5 +6976,5 @@ object SparkEntry {
     "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes",
     "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
     "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
-    "q_ann_pq", "q_ks_test")
+    "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate")
 }

@@ -550,6 +550,53 @@ object EventAnalytics {
           .as("lift"))
   }
 
+  /** LINEAR-INTERPOLATION gap fill — [[gapFillDaily]]'s carry-forward
+    * is a step function; for rates and balances the straight line
+    * between the surrounding observations is the honest fill. Per key,
+    * build the integer day spine [min observed, max observed], fill
+    * interior gaps with
+    * `v_prev + (v_next − v_prev)·(d − d_prev)/(d_next − d_prev)` —
+    * every operand an exact integer-to-double cast and every operation
+    * correctly rounded in a FIXED parenthesized order, so the filled
+    * value is deterministic cross-engine (`valCol` must be integral —
+    * cent-scale first). Spine endpoints are observed by construction,
+    * so every gap is interior: `filled` is never NULL. `observed`
+    * keeps the raw value (NULL on filled days) as the audit column.
+    *
+    * Scale shape: ONE (key, day) aggregate with map-side partials,
+    * a per-key spine explode (|days-per-key| rows), and TWO
+    * key-partitioned windows (previous/next non-null neighbor) over
+    * the daily frame — never the event stream. */
+  def interpolateDaily(df: DataFrame, keyCol: String, dayCol: String,
+      valCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol).as("key"), col(dayCol).cast(LongType).as("day"))
+      .agg(sum(col(valCol).cast(LongType)).as("v"))
+    val span = daily.groupBy(col("key"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(col("key"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val joined = grid.join(daily, Seq("key", "day"), "left")
+    val wPrev = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined.select(col("key"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wPrev).as("vp"),
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wPrev).as("dp"),
+        first(col("v"), ignoreNulls = true).over(wNext).as("vn"),
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wNext).as("dn"))
+      .select(col("key").as(keyCol), col("day"), col("v").as("observed"),
+        when(col("v").isNotNull, col("v").cast(DoubleType))
+          .otherwise(col("vp").cast(DoubleType) +
+            (col("vn") - col("vp")).cast(DoubleType) *
+              ((col("day") - col("dp")).cast(DoubleType) /
+                (col("dn") - col("dp")).cast(DoubleType)))
+          .as("filled"))
+  }
+
   /** GINI CONCENTRATION per group — "how concentrated is the mass
     * across keys?" (spend across users, tokens across sources,
     * training mass across shards): the dataset-card inequality number.

@@ -213,4 +213,53 @@ object Merge {
       .select(col(keyCol) +: payload.map(p => col(s"c.$p").as(p)): _*)
     upserted.unionByName(inserts)
   }
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE — apply an insert/delete change
+    * feed to a per-key (count, sum) snapshot WITHOUT rescanning the
+    * base: the 100 TB contract is that the nightly job touches the
+    * |keys|-sized aggregate and the |changes|-sized feed, never the
+    * row-count-sized history that produced them. Count and DECIMAL sum
+    * are the self-maintainable aggregates (signed contributions
+    * compose; min/max are NOT — a deleted extremum forces a rescan,
+    * which is why they are deliberately absent here). The change feed
+    * carries `opCol` ∈ {'I','D'}; any other op RAISES (a silently
+    * ignored change is corruption), as does a key whose maintained
+    * count would go negative (a delete for a row the base never had).
+    * Keys whose count reaches exactly 0 leave the snapshot.
+    *
+    * Determinism: contributions are ±1 counts and ±DECIMAL values —
+    * exact, order-independent, map-side-partial-able; the result is
+    * the pure function "base ⊎ signed deltas".
+    *
+    * Scale shape: ONE aggregate over the change feed (map-side
+    * partials), then ONE full-outer key join against the snapshot —
+    * |keys| + |change-keys| rows, no history scan. Returns
+    * `(keyCols..., n, s)` with `s` DECIMAL(28,4). */
+  def incrementalCountSum(base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], opCol: String, valCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+    val sign = when(col(opCol) === "I", lit(1L))
+      .when(col(opCol) === "D", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit(s"incrementalCountSum: unknown op in `$opCol`: "),
+        col(opCol).cast("string"))))
+    val delta = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(sign).as("__dn"),
+        sum(sign * col(valCol).cast(dec)).as("__ds"))
+    base.join(delta, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("s"), lit(0L).cast(dec)) +
+          coalesce(col("__ds"), lit(0L).cast(dec))).cast(dec).as("s")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        when(col("n") < 0,
+          raise_error(lit("incrementalCountSum: maintained count went " +
+            "negative — the feed deletes rows the base never had")))
+          .otherwise(col("n")).as("n"),
+        col("s")): _*)
+      .where(col("n") =!= 0)
+  }
 }

@@ -1031,6 +1031,30 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_interpolate: daily partial-aggregated collapse before the " +
+      "spine; BOTH neighbor frames fuse into ONE Window (one sort, one " +
+      "exchange); no cartesian") {
+    val p = plan("q_interpolate")
+    p should include("partial_sum")
+    "Window".r.findAllIn(p).size shouldBe 1
+    p should not include "CartesianProduct"
+  }
+
+  test("q_incr_agg: base snapshot and change feed each collapse with " +
+      "map-side partials; one key-join, no Window, no cartesian; scan " +
+      "reads only the three order columns") {
+    val p = plan("q_incr_agg")
+    p should include("partial_count")
+    p should include("partial_sum")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("o_custkey")
+    readSchema should include("o_totalprice")
+    readSchema should not include "o_orderdate"
+  }
+
   test("q_ks_test: both sides collapse to distinct-value histograms " +
       "with map-side partials before the pooled cumulative window; " +
       "totals on a 1-row broadcast; scan reads only ts+value") {

@@ -358,6 +358,38 @@ class EventAnalyticsSpec extends SparkSpecBase with Matchers {
       (2L, 400L, Some("view"), Some("view"), 1L))
   }
 
+  test("interpolateDaily: hand-computed straight lines across interior " +
+      "gaps, same-day pre-aggregation, independent keys, observed " +
+      "endpoints, exact IEEE expectation order") {
+    def run(rows: Seq[(String, Long, Long)]) =
+      EventAnalytics.interpolateDaily(rows.toDF("k", "d", "v"),
+          "k", "d", "v")
+        .as[(String, Long, Option[Long], Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    // key a: observed (1, 10), (4, 40): days 2 and 3 interpolate on
+    // the 10 -> 40 line; the expectation is written with the SAME
+    // operation order as the op, so the compare is exact even where
+    // 1/3 is inexact
+    def line(vp: Double, vn: Double, d: Long, dp: Long, dn: Long) =
+      vp + (vn - vp) * ((d - dp).toDouble / (dn - dp).toDouble)
+    run(Seq(("a", 1L, 10L), ("a", 4L, 40L))) shouldBe Seq(
+      ("a", 1L, Some(10L), 10.0),
+      ("a", 2L, None, line(10, 40, 2, 1, 4)),
+      ("a", 3L, None, line(10, 40, 3, 1, 4)),
+      ("a", 4L, Some(40L), 40.0))
+    // same-day rows pre-sum; keys interpolate independently (b's gap
+    // uses b's neighbors only); single-observation keys emit one row
+    run(Seq(("a", 1L, 4L), ("a", 1L, 6L), ("a", 3L, 30L),
+      ("b", 5L, 100L), ("b", 7L, 0L), ("c", 9L, 9L))) shouldBe Seq(
+      ("a", 1L, Some(10L), 10.0),
+      ("a", 2L, None, line(10, 30, 2, 1, 3)),
+      ("a", 3L, Some(30L), 30.0),
+      ("b", 5L, Some(100L), 100.0),
+      ("b", 6L, None, line(100, 0, 6, 5, 7)),
+      ("b", 7L, Some(0L), 0.0),
+      ("c", 9L, Some(9L), 9.0))
+  }
+
   test("giniByGroup: hand-computed concentration — uniform 0, fully " +
       "concentrated (n-1)/n, textbook middle case, per-key pre-sum, " +
       "zero-mass NULL, tie invariance") {

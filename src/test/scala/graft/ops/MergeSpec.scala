@@ -221,4 +221,43 @@ class MergeSpec extends SparkSpecBase with Matchers {
     rebuilt shouldBe newS.as[(Long, String, Double)].collect()
       .sortBy(_._1).toSeq
   }
+
+  test("incrementalCountSum: inserts add, deletes subtract, zero-count " +
+      "keys leave, new keys appear — equals a from-scratch recompute; " +
+      "bad feeds raise loudly") {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+    def agg(rows: Seq[(String, Double)]) = rows.toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).cast(dec).as("s"))
+    val baseRows = Seq(("a", 1.5), ("a", 2.5), ("b", 5.0), ("c", 7.25))
+    val feed = Seq(
+      ("I", "a", 3.0),   // a grows to n=3, s=7.0
+      ("D", "b", 5.0),   // b count hits 0 -> leaves the snapshot
+      ("I", "d", 9.75),  // brand-new key appears
+      ("I", "d", 0.25)).toDF("op", "k", "v")
+    val out = Merge.incrementalCountSum(agg(baseRows), feed, Seq("k"),
+        "op", "v")
+      .select(col("k"), col("n"), col("s").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    out shouldBe Seq(("a", 3L, 7.0), ("c", 1L, 7.25), ("d", 2L, 10.0))
+    // the maintained snapshot equals the from-scratch recompute over
+    // base - deletes + inserts
+    val survivors = Seq(("a", 1.5), ("a", 2.5), ("c", 7.25),
+      ("a", 3.0), ("d", 9.75), ("d", 0.25))
+    out shouldBe agg(survivors)
+      .select(col("k"), col("n"), col("s").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    def msg(f: => Array[_]): String = {
+      val e = intercept[Exception](f)
+      e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+    }
+    // unknown op raises
+    val badOp = Seq(("U", "a", 1.0)).toDF("op", "k", "v")
+    msg(Merge.incrementalCountSum(agg(baseRows), badOp, Seq("k"), "op", "v")
+      .collect()) should include("unknown op")
+    // deleting from a key the base never had drives the count negative
+    val phantom = Seq(("D", "zz", 1.0)).toDF("op", "k", "v")
+    msg(Merge.incrementalCountSum(agg(baseRows), phantom, Seq("k"), "op",
+      "v").collect()) should include("negative")
+  }
 }
