@@ -187,6 +187,44 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     streamed shouldBe oneShot
   }
 
+  test("streaming incremental aggregation: incrementalCountSum inside " +
+      "foreachBatch maintains a live (count, sum) snapshot; final " +
+      "state equals the one-shot application of the whole feed") {
+    // Aggregate maintenance composes across micro-batches because
+    // signed contributions are associative: fold(fold(base, b1), b2)
+    // == fold(base, b1 ++ b2). Each batch touches |keys| + |batch|
+    // rows — the streaming form of the never-rescan contract.
+    import graft.ops.Merge
+    val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+    val base = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("k", "v")
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("v").cast(dec)).cast(dec).as("s"))
+    var snapshot = base
+    val in = MemoryStream[(String, String, Double)](spark)
+    val q = in.toDS().toDF("op", "k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        snapshot = Merge.incrementalCountSum(snapshot, batch,
+          Seq("k"), "op", "v").localCheckpoint()
+        ()
+      }.start()
+    in.addData(("I", "a", 2.0), ("I", "c", 9.0))
+    q.processAllAvailable()
+    in.addData(("D", "b", 5.0), ("I", "c", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = snapshot
+      .select(col("k"), col("n"), col("s").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    streamed shouldBe Seq(("a", 3L, 6.0), ("c", 2L, 10.0))
+    // parity with the one-shot fold of the full feed
+    val feed = Seq(("I", "a", 2.0), ("I", "c", 9.0), ("D", "b", 5.0),
+      ("I", "c", 1.0)).toDF("op", "k", "v")
+    streamed shouldBe Merge.incrementalCountSum(base, feed, Seq("k"),
+        "op", "v")
+      .select(col("k"), col("n"), col("s").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+  }
+
   test("runningMean accumulates per-key state across batches (update mode)") {
     val in = MemoryStream[(String, Double)](spark)
     val out = StreamOps.runningMean(in.toDS())
