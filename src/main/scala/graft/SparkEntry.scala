@@ -547,6 +547,17 @@ object SparkEntry {
           threshold = 3.5, k = 256)
         .orderBy("event_id")
     }),
+    "q_abtest" -> ((s, dir) => {
+      // Two-proportion z-test (Stats.twoProportionZ): conversion rate
+      // of the even-user-hash variant vs the odd — the A/B workhorse
+      // beside q_bootstrap_ci's resampling CIs. Integer counts to the
+      // end, one fixed sqrt/division chain, judged against the 1.96
+      // critical line (no erf, no p-value — the determinism menu).
+      val e = t(s, dir, "events").select(
+        (pmod(col("user_id"), lit(2)) === 0).as("variant"),
+        (col("event_type") === "purchase").as("converted"))
+      graft.ops.Stats.twoProportionZ(e, "variant", "converted")
+    }),
     "q_interpolate" -> ((s, dir) => {
       // Linear-interpolation gap fill (EventAnalytics.interpolateDaily):
       // q_gapfill's carry-forward is a step function; this draws the
@@ -4976,6 +4987,36 @@ object SparkEntry {
     // Same day arithmetic as q_retention; the TVD fold replays as
     // list_reduce over [0.0] || bin-ordered terms == Spark's
     // aggregate(terms, 0.0, +) left fold.
+    // A/B replay: four integer counters, the identical left-associated
+    // pooled-variance chain.
+    "q_abtest" ->
+      """WITH b AS (SELECT (user_id % 2 = 0) AS v,
+                          (event_type = 'purchase') AS y
+                   FROM events
+                   WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+              c AS (SELECT
+                      CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                      CAST(sum(CASE WHEN v AND y THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                      CAST(sum(CASE WHEN NOT v THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                      CAST(sum(CASE WHEN NOT v AND y THEN 1 ELSE 0 END) AS BIGINT) AS x2
+                    FROM b),
+              p AS (SELECT n1, x1, n2, x2,
+                           CASE WHEN n1 > 0 THEN
+                             CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS p1,
+                           CASE WHEN n2 > 0 THEN
+                             CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS p2,
+                           CASE WHEN n1 + n2 > 0 THEN
+                             CAST(x1 + x2 AS DOUBLE)
+                               / CAST(n1 + n2 AS DOUBLE) END AS p_pool
+                    FROM c)
+         SELECT n1, x1, n2, x2, p1, p2, p1 - p2 AS lift,
+                CASE WHEN n1 = 0 OR n2 = 0 OR x1 + x2 = 0
+                          OR x1 + x2 = n1 + n2 THEN NULL
+                     ELSE (p1 - p2)
+                            / sqrt(p_pool * (1.0 - p_pool)
+                                   * (1.0 / CAST(n1 AS DOUBLE)
+                                      + 1.0 / CAST(n2 AS DOUBLE))) END AS z
+         FROM p""",
     // Interpolation replay: same spine/neighbor windows (IGNORE NULLS
     // both engines), identical parenthesized fill arithmetic.
     "q_interpolate" ->
@@ -6976,5 +7017,5 @@ object SparkEntry {
     "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes",
     "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
     "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
-    "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate")
+    "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest")
 }

@@ -493,6 +493,54 @@ object Stats {
         coalesce(col(s"${g}_ok"), lit(false)) }.reduce(_ && _))
   }
 
+  /** TWO-PROPORTION Z-TEST — the A/B-test workhorse next to
+    * [[bootstrapCI]]'s resampling CIs and [[ksTest]]'s distribution
+    * drift: for unit-level binary outcomes split into two variants,
+    * the pooled-variance z statistic
+    * `z = (p₁ − p₂) / sqrt(p̂(1−p̂)(1/n₁ + 1/n₂))` plus the absolute
+    * lift. Integer counts to the end, then a FIXED chain of
+    * correctly-rounded IEEE ops (divisions of exact integers, one
+    * sqrt) — deterministic cross-engine; like [[ksTest]], the z is
+    * compared against the classic critical values (1.96 for α=0.05)
+    * rather than converted to a p-value (erf is off the determinism
+    * menu). z is NULL when either variant is empty or the pooled rate
+    * is degenerate (p̂ ∈ {0,1}: zero variance, the test is undefined).
+    *
+    * `variantCol` must be boolean-like (true = treatment);
+    * `successCol` boolean-like. NULL rows drop. Scale: ONE map-side-
+    * partial aggregate to four counters. */
+  def twoProportionZ(df: DataFrame, variantCol: String,
+      successCol: String): DataFrame = {
+    val v = col(variantCol).cast(BooleanType)
+    val y = col(successCol).cast(BooleanType)
+    df.where(v.isNotNull && y.isNotNull)
+      .agg(
+        sum(when(v, 1L).otherwise(0L)).as("n1"),
+        sum(when(v && y, 1L).otherwise(0L)).as("x1"),
+        sum(when(!v, 1L).otherwise(0L)).as("n2"),
+        sum(when(!v && y, 1L).otherwise(0L)).as("x2"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        // ANSI divide throws on a zero divisor, so empty variants
+        // surface as NULL rates rather than a job failure
+        when(col("n1") > 0L, col("x1").cast(DoubleType) /
+          col("n1").cast(DoubleType)).as("p1"),
+        when(col("n2") > 0L, col("x2").cast(DoubleType) /
+          col("n2").cast(DoubleType)).as("p2"),
+        when(col("n1") + col("n2") > 0L,
+          (col("x1") + col("x2")).cast(DoubleType) /
+            (col("n1") + col("n2")).cast(DoubleType)).as("p_pool"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"), col("p1"),
+        col("p2"), (col("p1") - col("p2")).as("lift"),
+        when(col("n1") === 0L || col("n2") === 0L ||
+            col("x1") + col("x2") === 0L ||
+            col("x1") + col("x2") === col("n1") + col("n2"), lit(null))
+          .otherwise((col("p1") - col("p2")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n1").cast(DoubleType) +
+                lit(1.0) / col("n2").cast(DoubleType))))
+          .as("z"))
+  }
+
   /** TWO-SAMPLE KOLMOGOROV-SMIRNOV statistic — the binning-free member
     * of the drift family (histogramDrift's TVD depends on the bin
     * width; KS D = sup|F_ref − F_cur| is the distribution-level

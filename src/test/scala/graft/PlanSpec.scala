@@ -1040,6 +1040,20 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q_abtest: the corpus folds to four variant counters in ONE " +
+      "map-side-partial aggregate; scan reads only user_id+event_type") {
+    val p = plan("q_abtest")
+    p should include("partial_sum")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("user_id")
+    readSchema should include("event_type")
+    readSchema should not include "value"
+    readSchema should not include "props"
+  }
+
   test("q_incr_agg: base snapshot and change feed each collapse with " +
       "map-side partials; one key-join, no Window, no cartesian; scan " +
       "reads only the three order columns") {

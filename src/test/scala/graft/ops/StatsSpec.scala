@@ -297,6 +297,44 @@ class StatsSpec extends SparkSpecBase with Matchers {
     }.getMessage should include("percentile")
   }
 
+  test("twoProportionZ: hand-computed pooled-variance z with IEEE-order-" +
+      "exact expectation, degenerate-pool NULL, empty-variant NULL, " +
+      "null-row drop") {
+    def zt(rows: Seq[(Boolean, Boolean)]) =
+      Stats.twoProportionZ(rows.toDF("v", "y"), "v", "y")
+        .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+          Option[Double], Option[Double])]
+        .collect().head
+    // treatment 2/4 vs control 1/4: expectation written with the op's
+    // exact operation order
+    val rows = Seq((true, true), (true, true), (true, false),
+      (true, false), (false, true), (false, false), (false, false),
+      (false, false))
+    val (n1, x1, n2, x2, p1, p2, lift, z) = zt(rows)
+    (n1, x1, n2, x2) shouldBe (4L, 2L, 4L, 1L)
+    p1 shouldBe Some(0.5)
+    p2 shouldBe Some(0.25)
+    lift shouldBe Some(0.5 - 0.25)
+    val pPool = 3.0 / 8.0
+    z shouldBe Some((0.5 - 0.25) /
+      math.sqrt(pPool * (1.0 - pPool) * (1.0 / 4.0 + 1.0 / 4.0)))
+    // no successes anywhere, or all successes: zero pooled variance
+    zt(Seq((true, false), (false, false)))._8 shouldBe None
+    zt(Seq((true, true), (false, true)))._8 shouldBe None
+    // an empty variant makes the test undefined
+    zt(Seq((true, true), (true, false)))._8 shouldBe None
+    // identical rates -> z exactly 0
+    zt(Seq((true, true), (true, false), (false, true),
+      (false, false)))._8 shouldBe Some(0.0)
+    // null variant/outcome rows drop before counting
+    val withNulls = Seq((Option(true), Option(true)),
+      (Option(false), Option(false)), (Option.empty[Boolean], Option(true)),
+      (Option(true), Option.empty[Boolean])).toDF("v", "y")
+    Stats.twoProportionZ(withNulls, "v", "y")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().head._1 shouldBe 1L
+  }
+
   test("ksTest: hand-computed sup of the ECDF gap, identical-sample " +
       "zero, empty-side NULL, null-value drop, brute-force agreement " +
       "on seeded samples") {
