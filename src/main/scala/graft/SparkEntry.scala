@@ -547,6 +547,41 @@ object SparkEntry {
           threshold = 3.5, k = 256)
         .orderBy("event_id")
     }),
+    "q_sssp" -> ((s, dir) => {
+      // Multi-source weighted shortest paths
+      // (Graph.multiSourceShortestPaths): distance of every part to
+      // the nearest of five seed parts over the quarter-order
+      // co-purchase graph, edge cost = 11 − co-purchase count clamped
+      // to [1,10] (stronger ties are cheaper — supply-chain
+      // closeness). Min-plus relaxation is order-free all-integer, so
+      // the fixpoint is deterministic; the oracle unrolls the rounds.
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(4)) === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("src"), col("y.p").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val weighted = pairs.select(col("src"), col("dst"),
+        greatest(lit(1L), lit(11L) - least(lit(10L), col("cnt")))
+          .as("cost"))
+      Graph.multiSourceShortestPaths(weighted, "src", "dst", "cost",
+          seeds = Seq(1L, 2L, 3L, 4L, 5L))
+        .select(col("v").as("part"), col("dist"))
+        .orderBy("part")
+    }),
+    "q_benford" -> ((s, dir) => {
+      // Benford first-digit audit (Validate.benfordAudit) over
+      // cent-scaled extended prices — the fraud/fabrication smoke
+      // test. First digit via string head (no query-time log10; the
+      // expected shares are driver-stamped literals in BOTH engines).
+      graft.ops.Validate.benfordAudit(
+        t(s, dir, "lineitem").select(
+          round(col("l_extendedprice") * 100).cast(LongType).as("cents")),
+        "cents")
+        .orderBy("digit")
+    }),
     "q_abtest" -> ((s, dir) => {
       // Two-proportion z-test (Stats.twoProportionZ): conversion rate
       // of the even-user-hash variant vs the odd — the A/B workhorse
@@ -4987,6 +5022,55 @@ object SparkEntry {
     // Same day arithmetic as q_retention; the TVD fold replays as
     // list_reduce over [0.0] || bin-ordered terms == Spark's
     // aggregate(terms, 0.0, +) left fold.
+    // SSSP replay: the min-plus relaxation UNROLLED (idempotent once
+    // converged — spare rounds are provably no-ops), every round CTE
+    // MATERIALIZED (the k-core inlining lesson).
+    "q_sssp" ->
+      raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem WHERE l_orderkey % 4 = 0),
+               pr AS MATERIALIZED (SELECT x.p AS a, y.p AS b, count(*) AS cnt
+                      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+                      GROUP BY 1, 2),
+               n AS MATERIALIZED (SELECT a AS u, b AS v,
+                            greatest(1, 11 - least(10, cnt)) AS wt FROM pr
+                     UNION ALL
+                     SELECT b, a, greatest(1, 11 - least(10, cnt)) FROM pr),
+               d0 AS (SELECT CAST(s AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist
+                      FROM (SELECT unnest([1, 2, 3, 4, 5]) AS s)),
+               ${(0 until 10).map(i =>
+                 s"""d${i + 1} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+                       SELECT v, dist FROM d$i
+                       UNION ALL
+                       SELECT n.v, d.dist + n.wt FROM n JOIN d$i d ON d.v = n.u)
+                     GROUP BY v)""").mkString(",\n               ")}
+          SELECT v AS part, CAST(dist AS BIGINT) AS dist
+          FROM d10 ORDER BY part""",
+    // Benford replay: same string-head digit, the same driver-stamped
+    // expected-share literals, identical division order.
+    "q_benford" -> {
+      val shares = graft.ops.Validate.BenfordShares.map { case (d, sh) =>
+        s"($d, CAST('${java.lang.Double.toString(sh)}' AS DOUBLE))"
+      }.mkString(", ")
+      s"""WITH src AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                      FROM lineitem),
+              c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM src WHERE v IS NOT NULL AND v > 0
+                    GROUP BY 1),
+              ex AS (SELECT * FROM (VALUES $shares) AS t(digit, benford)),
+              tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM c)
+         SELECT ex.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                CASE WHEN tt.n_tot > 0
+                     THEN CAST(coalesce(c.n, 0) AS DOUBLE)
+                            / CAST(tt.n_tot AS DOUBLE) END AS share,
+                ex.benford,
+                (CASE WHEN tt.n_tot > 0
+                      THEN CAST(coalesce(c.n, 0) AS DOUBLE)
+                             / CAST(tt.n_tot AS DOUBLE) END)
+                  - ex.benford AS dev
+         FROM ex LEFT JOIN c USING (digit), tt
+         ORDER BY ex.digit"""
+    },
     // A/B replay: four integer counters, the identical left-associated
     // pooled-variance chain.
     "q_abtest" ->
@@ -7017,5 +7101,6 @@ object SparkEntry {
     "q_rolling_quantiles", "q_calibrated_gate", "q_rate_spikes",
     "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
     "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
-    "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest")
+    "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest",
+    "q_sssp", "q_benford")
 }

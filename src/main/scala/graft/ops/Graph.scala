@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Graph centrality over relationship graphs the pipeline already
   * builds (near-dup pair graphs, supply/co-occurrence graphs): a
@@ -649,6 +649,69 @@ object Graph {
         col("deg_a"), col("deg_b"))
       .orderBy(col("ra_fp").desc, col("a"), col("b"))
       .limit(k)
+  }
+
+  /** MULTI-SOURCE WEIGHTED SHORTEST PATHS (Bellman-Ford relaxation
+    * rounds to fixpoint): the distance of every reachable vertex to
+    * its NEAREST seed — one run answers "how far is each part from
+    * the strategic set", the multi-source form being the standard
+    * trick (init every seed at 0; a single-source run is the 1-seed
+    * special case). Undirected; `weightCol` must be a POSITIVE
+    * INTEGER cost per canonical edge (duplicate edges keep their MIN
+    * cost). Min-plus relaxation is order-free and all-integer, so the
+    * fixpoint is deterministic with zero tie-breaks and the oracle
+    * replays it as unrolled rounds.
+    *
+    * Scale shape: per round ONE join of the (both-directions) edge
+    * list against the current distance frame + one min-aggregate with
+    * map-side partials — the frontier math a giant graph wants; rounds
+    * are bounded by the weighted graph's hop diameter; convergence =
+    * zero improved vertices (a slim count, nothing edge-sized);
+    * per-round pins truncate lineage; LOUD `maxIters` refusal.
+    * Returns `(v, dist)` for reachable vertices only. */
+  def multiSourceShortestPaths(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: Seq[Long],
+      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        col(weightCol).cast(LongType).as("wt"))
+      .where(col("a") =!= col("b") && col("wt").isNotNull)
+      .groupBy(col("a"), col("b")).agg(min(col("wt")).as("wt"))
+      .select(col("a"), col("b"),
+        when(col("wt") < 1L,
+          raise_error(lit("multiSourceShortestPaths: edge weights must " +
+            "be positive integers — a non-positive cost breaks the " +
+            "relaxation bound"))).otherwise(col("wt")).as("wt"))
+    val n = pin(e.select(col("a").as("u"), col("b").as("v"), col("wt"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v"), col("wt"))))
+    val spark = edges.sparkSession
+    var dist = pin(spark.createDataFrame(
+      spark.sparkContext.parallelize(seeds.distinct.map(org.apache.spark.sql.Row(_, 0L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist", LongType, nullable = false)))))
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxIters)
+        throw new IllegalStateException("multiSourceShortestPaths: no " +
+          s"fixpoint after $maxIters relaxation rounds — raise maxIters")
+      val relaxed = n.join(dist.select(col("v").as("u"), col("dist")), "u")
+        .select(col("v"), (col("dist") + col("wt")).as("dist"))
+      val next = pin(dist.unionAll(relaxed)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist")))
+      val improved = next.join(dist.select(col("v"), col("dist").as("od")),
+          Seq("v"), "left")
+        .where(col("od").isNull || col("dist") < col("od"))
+        .count()
+      if (improved == 0) converged = true else { dist = next; round += 1 }
+    }
+    dist
   }
 
   /** NEWMAN MODULARITY of a given vertex partition (Newman & Girvan

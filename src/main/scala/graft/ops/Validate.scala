@@ -139,4 +139,44 @@ object Validate {
       .withColumn("violations", col("violations").cast(LongType))
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** Expected Benford share of first digit d: log10(1 + 1/d). Computed
+    * ONCE on the driver and stamped into BOTH engines as the same
+    * exact double literal (the hyperplane-literal recipe) — no
+    * query-time libm, so no cross-engine log drift. */
+  private[graft] val BenfordShares: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** BENFORD FIRST-DIGIT AUDIT — the fraud/corruption smoke test for
+    * naturally-occurring magnitudes (prices, populations, file sizes):
+    * organic multi-magnitude data leads with digit d at share
+    * log10(1+1/d) (~30% ones, ~4.6% nines); fabricated or truncated
+    * data doesn't. First digit extracted by STRING head of the
+    * positive integer (cent-scale first) — no log10 at query time —
+    * and compared per digit: `share = n_d / n` (one exact-operand
+    * division) against the stamped constant, `dev = share − benford`.
+    * Zero/negative/NULL values drop (Benford is defined on positive
+    * magnitudes). Returns one row per digit 1-9 (absent digits n=0 —
+    * their deviation is the signal, so they must not vanish).
+    *
+    * Scale shape: ONE map-side-partial count by digit (9 groups), a
+    * 9-row literal frame join, total on a 1-row broadcast. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val v = col(valueCol).cast(LongType)
+    val counts = df.where(v.isNotNull && v > 0L)
+      .select(substring(v.cast(StringType), 1, 1).cast(IntegerType)
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = spark.createDataFrame(BenfordShares)
+      .toDF("digit", "benford")
+    val total = counts.agg(sum(col("n")).as("n_tot"))
+    expected.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("n_tot") > 0L, coalesce(col("n"), lit(0L))
+          .cast(DoubleType) / col("n_tot").cast(DoubleType)).as("share"),
+        col("benford"))
+      .withColumn("dev", col("share") - col("benford"))
+  }
 }

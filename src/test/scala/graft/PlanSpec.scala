@@ -1093,4 +1093,27 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should include("Window")
     p should not include "CartesianProduct"
   }
+
+  test("q_sssp: final distance frame reads the pinned fixpoint round " +
+      "(ExistingRDD — lineage cut), no cartesian, no Window") {
+    val p = plan("q_sssp")
+    p should include("ExistingRDD") // per-round pin discipline
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
+  test("q_benford: the corpus folds to ≤9 digit counters in ONE " +
+      "map-side-partial count, total on a 1-row broadcast, scan reads " +
+      "only the price column — no Window") {
+    val p = plan("q_benford")
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin") // the 1-row total frame
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("l_extendedprice")
+    readSchema should not include "l_orderkey"
+    readSchema should not include "l_quantity"
+  }
 }

@@ -434,6 +434,39 @@ class GraphSpec extends SparkSpecBase with Matchers {
       .collect() shouldBe empty
   }
 
+  test("multiSourceShortestPaths: hand-computed weighted relaxation — " +
+      "a cheap long path beats an expensive direct edge, multi-source " +
+      "nearest-seed, duplicate-edge min cost, loud guards") {
+    def sp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+        maxIters: Int = 50): Seq[(Long, Long)] =
+      Graph.multiSourceShortestPaths(edges.toDF("s", "d", "w"),
+          "s", "d", "w", seeds, maxIters)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // 1-2(1), 2-4(1), 1-3(5), 3-4(1): the 3-edge path 1-2-4-3 (cost 3)
+    // beats the direct 1-3 edge (cost 5) — needs THREE relaxation
+    // rounds, the Bellman-Ford point
+    val sq = Seq((1L, 2L, 1L), (2L, 4L, 1L), (1L, 3L, 5L), (3L, 4L, 1L))
+    sp(sq, Seq(1L)) shouldBe Seq((1L, 0L), (2L, 1L), (3L, 3L), (4L, 2L))
+    // multi-source: every vertex reports its NEAREST seed's distance
+    sp(sq, Seq(1L, 3L)) shouldBe
+      Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L))
+    // disconnected vertices never appear; seeds always do (dist 0)
+    sp(Seq((1L, 2L, 7L), (8L, 9L, 1L)), Seq(1L)) shouldBe
+      Seq((1L, 0L), (2L, 7L))
+    // duplicate edges keep the MIN cost
+    sp(Seq((1L, 2L, 9L), (2L, 1L, 3L)), Seq(1L)) shouldBe
+      Seq((1L, 0L), (2L, 3L))
+    // non-positive weights refuse loudly
+    val e = intercept[Exception](
+      sp(Seq((1L, 2L, 0L)), Seq(1L)))
+    (e.getMessage + Option(e.getCause).map(_.getMessage).mkString) should
+      include("positive")
+    // maxIters refusal when the cascade still improves
+    intercept[IllegalStateException](
+      sp(Seq((1L, 2L, 1L), (2L, 3L, 1L)), Seq(1L), maxIters = 1))
+      .getMessage should include("no fixpoint")
+  }
+
   test("modularity: hand-computed barbell — two triangles bridged; " +
       "single-community zero; unlabeled vertices drop") {
     // triangles {1,2,3} and {4,5,6} + bridge (3,4): m=7,

@@ -73,4 +73,32 @@ class ValidateSpec extends SparkSpecBase with Matchers {
     // two separate single-distinct aggregates, never a fused Expand
     p should not include "Expand"
   }
+
+  test("benfordAudit: string-head digits, exact shares against the " +
+      "stamped log10 constants, absent digits kept at n=0, " +
+      "zero/negative/null drop") {
+    import spark.implicits._
+    val vals = Seq(Option(1L), Option(19L), Option(25L), Option(31L),
+      Option(399L), Option(9000000L), Option(0L), Option(-70L),
+      Option.empty[Long]).toDF("v")
+    val out = Validate.benfordAudit(vals, "v")
+      .as[(Int, Long, Option[Double], Double, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    out.map(_._1) shouldBe (1 to 9)
+    out.map(_._2) shouldBe Seq(2L, 1L, 2L, 0L, 0L, 0L, 0L, 0L, 1L)
+    // shares are exact n/6 divisions; dev subtracts the SAME stamped
+    // constant the op embeds
+    out.foreach { case (d, n, share, benford, dev) =>
+      share shouldBe Some(n.toDouble / 6.0)
+      benford shouldBe math.log10(1.0 + 1.0 / d)
+      dev shouldBe Some(n.toDouble / 6.0 - math.log10(1.0 + 1.0 / d))
+    }
+    // an all-dropped input keeps the 9 expectation rows with NULL share
+    val empty = Validate.benfordAudit(
+      Seq(Option(0L), Option.empty[Long]).toDF("v"), "v")
+      .as[(Int, Long, Option[Double], Double, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    empty.map(_._2).sum shouldBe 0L
+    empty.foreach(r => r._3 shouldBe None)
+  }
 }
