@@ -2187,6 +2187,30 @@ object SparkEntry {
             TextAnalysis.luhnValid _)).as("n_valid"))
         .orderBy("doc_id")
     }),
+    "q_normalize" -> ((s, dir) => {
+      // Deterministic text normalization (TextAnalysis.normalizeText):
+      // the cleaning stage that runs before q_lm_score/q_dsir see the
+      // text. The corpus is clean ASCII, so each doc_id%4 class
+      // appends a distinct deterministic dirt suffix (normDirt —
+      // rebuilt code-point-for-code-point in the oracle via chr()):
+      // two mojibake batches covering all nine repair rows, an
+      // invisible-junk string, an exotic-whitespace string — the hash
+      // compare verifies actual repair/strip/collapse, not identity.
+      // n_raw/n_norm expose the cleaned-off volume per doc.
+      val m = pmod(col("doc_id"), lit(4))
+      val dirt = when(m === 0, lit(normDirt(0)))
+        .when(m === 1, lit(normDirt(1)))
+        .when(m === 2, lit(normDirt(2)))
+        .otherwise(lit(normDirt(3)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), dirt).as("text"))
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.normalizeText(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          length(col("text")).as("n_raw"),
+          length(col("norm")).as("n_norm"))
+        .orderBy("doc_id")
+    }),
     "q_langid_eval" -> ((s, dir) => {
       // LangID self-evaluation (the q_ann_recall recipe on text): the
       // n-gram-marker classifier's confusion matrix against the corpus
@@ -3126,6 +3150,51 @@ object SparkEntry {
   )
 
   // ======================================================== oracle SQL
+
+  /** q_normalize's deterministic dirt suffixes — ONE table feeding both
+    * engines: the Spark query appends `lit(normDirt(i))`, the oracle
+    * appends the same string rebuilt code-point-for-code-point via
+    * chr() ([[duckChrs]]), so the oracle SQL stays pure ASCII and is
+    * immune to encoding drift in transit. Classes by doc_id % 4:
+    * 0 = mojibake batch A (&#x2019;/&#x201C;/C1-9D quotes, e-acute),
+    * 1 = mojibake batch B (e-grave/u-umlaut, en/em dash, A-hat+NBSP),
+    * 2 = invisible junk to strip (ZWSP/ZWJ/BOM/SHY/BEL/C1-9D),
+    * 3 = exotic whitespace to collapse (tab/NBSP/em/ideographic/CRLF). */
+  private val normDirt: Seq[String] = Seq(
+    " cafÃ© itâ€™s â€œqâ€r ",
+    " fÃ¨te Ã¼ber â€“xâ€”y zÂ w ",
+    " a​b‍c﻿d­efg ",
+    "\tx  y　 z\r\n")
+
+  /** DuckDB expression rebuilding `str` as chr(cp) || chr(cp) || … —
+    * ASCII-only SQL for literals whose bytes must match exactly. */
+  private def duckChrs(str: String): String =
+    str.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
+
+  private val normDirtCaseSql: String = {
+    val whens = normDirt.init.zipWithIndex.map { case (d, i) =>
+      s"WHEN doc_id % 4 = $i THEN ${duckChrs(d)}" }
+    (whens :+ s"ELSE ${duckChrs(normDirt.last)}").mkString(
+      "CASE ", " ", " END")
+  }
+
+  /** DuckDB replay of [[TextAnalysis.normalizeText]] over expression
+    * `c`: the identical repair fold (sources/targets read off the ONE
+    * shared [[TextAnalysis.MojibakeRepairs]] table — a hand-copied
+    * variant could silently diverge), the same \x{...} strip/collapse
+    * classes (identical pattern text in Java regex and RE2) with the
+    * 'g' flag, the same closing trim. */
+  private def normalizeSqlExpr(c: String): String = {
+    def repair(e: String): String =
+      TextAnalysis.MojibakeRepairs.foldLeft(e) {
+        case (acc, (bad, good)) =>
+          s"replace($acc, ${duckChrs(bad)}, ${duckChrs(good)})"
+      }
+    val stripped = s"regexp_replace(${repair(c)}, " +
+      s"'${TextAnalysis.NormStripClass}', '', 'g')"
+    s"trim(regexp_replace(${repair(stripped)}, " +
+      s"'${TextAnalysis.NormSpaceClass}', ' ', 'g'))"
+  }
 
   /** DuckDB replica of [[graft.functions.TextHashes]]' rolling hash over
     * an already-normalized VARCHAR column: accumulate `acc*1000003 + b`
@@ -6495,6 +6564,20 @@ object SparkEntry {
                 CAST(len(cands) AS INTEGER) AS n_candidates,
                 CAST(len(valid) AS INTEGER) AS n_valid
          FROM v ORDER BY doc_id""",
+    // Normalization replay: identical dirt injection (chr()-built, so
+    // the SQL stays ASCII), then the generated normalizeSqlExpr chain
+    // — repair fold off the ONE shared table, \x{...} strip/collapse
+    // classes, closing trim.
+    "q_normalize" ->
+      raw"""WITH w AS (SELECT doc_id, text || $normDirtCaseSql AS text
+                     FROM documents),
+              n AS (SELECT doc_id, text,
+                           ${normalizeSqlExpr("text")} AS norm
+                    FROM w)
+         SELECT doc_id, norm,
+                CAST(length(text) AS INTEGER) AS n_raw,
+                CAST(length(norm) AS INTEGER) AS n_norm
+         FROM n ORDER BY doc_id""",
     "q_langid_eval" ->
       raw"""WITH $langScoreCtesSql,
               p AS (SELECT d.lang, $langPredCaseSql AS lang_pred
@@ -7102,5 +7185,5 @@ object SparkEntry {
     "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
     "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
     "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest",
-    "q_sssp", "q_benford")
+    "q_sssp", "q_benford", "q_normalize")
 }

@@ -200,6 +200,67 @@ object TextAnalysis {
     aggregate(filter(cardCandidates(text), luhnValid _), text,
       (acc, c) => replace(acc, c, lit("<CC>")))
 
+  /** Fixed mojibake repair table — the classic UTF-8-read-as-cp1252
+    * double-encodings (curly quotes, dashes, accented Latin, NBSP),
+    * applied in THIS order as a plain-string replace chain (no regex,
+    * identical sequential semantics in both engines). Sources all
+    * start with U+00E2/U+00C3/U+00C2, which no repair TARGET contains,
+    * so the chain is idempotent by construction. Code-point literals,
+    * deliberately NOT java.text.Normalizer NFC — Normalizer's output
+    * tracks the JVM's Unicode tables, an oracle-parity trap across
+    * engines and JVM versions. */
+  private[graft] val MojibakeRepairs: Seq[(String, String)] = Seq(
+    "â€™" -> "’", // 'a-hat euro tm'      -> right single quote
+    "â€œ" -> "“", // 'a-hat euro oe'      -> left double quote
+    "â€" -> "”", // 'a-hat euro C1-9D'   -> right double quote
+    "â€“" -> "–", // 'a-hat euro ldquo'   -> en dash
+    "â€”" -> "—", // 'a-hat euro rdquo'   -> em dash
+    "Ã©" -> "é",       // 'A-tilde copyright'  -> e-acute
+    "Ã¨" -> "è",       // 'A-tilde diaeresis'  -> e-grave
+    "Ã¼" -> "ü",       // 'A-tilde 1/4'        -> u-umlaut
+    "Â " -> " ")            // 'A-hat nbsp'         -> space
+
+  /** Invisible junk to STRIP: C0 controls (except tab/LF/CR, which the
+    * space collapse eats), DEL + C1 controls, zero-width (ZWSP/ZWNJ/
+    * ZWJ), BOM, soft hyphen. Spelled with \x{...} escapes — identical
+    * pattern text for Java regex and RE2 (the scrub precedent: `\s`
+    * itself diverges between the dialects, explicit classes don't). */
+  private[graft] val NormStripClass: String =
+    "[\\x{0000}-\\x{0008}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}" +
+      "\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]"
+
+  /** Whitespace to COLLAPSE to one plain space: ASCII blank/tab/CR/LF/
+    * VT/FF, NBSP, and the Unicode space family (ogham, en/em/thin…,
+    * narrow NBSP, math space, ideographic space). */
+  private[graft] val NormSpaceClass: String =
+    "[ \\t\\r\\n\\x{000B}\\x{000C}\\x{00A0}\\x{1680}" +
+      "\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]+"
+
+  /** DETERMINISTIC TEXT NORMALIZATION — the cleaning stage every crawl
+    * pipeline runs before quality scoring ([[lmScore]]/[[dsirWeights]])
+    * sees the text: (1) fixed mojibake repair ([[MojibakeRepairs]], in
+    * table order), (2) strip invisible junk ([[NormStripClass]] — after
+    * repair, so repair sources containing C1 bytes still match), (3)
+    * collapse every whitespace run to one space ([[NormSpaceClass]] —
+    * after strip, so removing a zero-width between two spaces still
+    * yields ONE space), (4) trim. The repair fold runs a SECOND time
+    * between (2) and (3): stripping can fuse a junk-interrupted
+    * mojibake pair (`a-hat euro` + ZWSP + `oe` strips to the row-2
+    * source the first pass already walked past) — without the second
+    * pass the op would not be idempotent. It IS idempotent with it:
+    * repair targets never contain a source's leading byte, no LATER
+    * row's target completes an EARLIER row's source (checked row by
+    * row in the spec's composition cases), and strip/collapse/trim
+    * are fixpoints. NULL stays NULL. Pure per-row replace/regexp
+    * chain — narrow codegen'd work, no shuffle, replays verbatim in
+    * DuckDB (`replace` chain + `regexp_replace(..., 'g')`). */
+  def normalizeText(text: Column): Column = {
+    def repair(c: Column): Column = MojibakeRepairs.foldLeft(c) {
+      case (acc, (bad, good)) => replace(acc, lit(bad), lit(good)) }
+    val stripped = regexp_replace(repair(text), NormStripClass, "")
+    trim(regexp_replace(repair(stripped), NormSpaceClass, " "))
+  }
+
   /** Deterministic content-based dataset split: bucket in [0, buckets)
     * from the rolling-hash fingerprint of the normalized text. Content
     * hashing (not id hashing) keeps a document's split stable under id

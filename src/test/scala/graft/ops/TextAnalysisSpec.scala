@@ -800,6 +800,59 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
       ("a", "x y", 2L, 2L, 2.0, 1), ("b", "w z", 1L, 1L, 2.0, 1))
   }
 
+  test("normalizeText: hand-computed repair/strip/collapse/trim on " +
+      "every stage") {
+    // Mojibake sources spelled as escapes (U+0007/U+009D are
+    // untypeable); expectations likewise.
+    val cases = Seq(
+      // all nine repair rows, batch A: e-acute, rsquo, ldquo, rdquo
+      "cafÃ© itâ€™s â€œqâ€r"
+        -> "café it’s “q”r",
+      // batch B: e-grave, u-umlaut, en dash, em dash, A-hat+NBSP
+      "fÃ¨te Ã¼ber â€“xâ€”y zÂ w"
+        -> "fète über –x—y z w",
+      // strip: ZWSP ZWJ BOM SHY BEL C1-9D vanish without a seam
+      "a​b‍c﻿d­efg" -> "abcdefg",
+      // collapse: every whitespace run -> one space; ends trimmed
+      "\tx  y　 z\r\n" -> "x y z",
+      // strip-then-collapse ordering: ZWSP BETWEEN two spaces still
+      // yields ONE space, not two
+      "a ​ b" -> "a b",
+      // in-pass composition: a dangling mojibake prefix completed by
+      // a repair TARGET resolves within one application (row 2 makes
+      // the ldquo that row 4 then turns into an en dash)
+      "â€â€œ" -> "–",
+      // strip-then-repair ordering: a junk-interrupted pair (ZWSP
+      // inside the ldquo source) fuses under strip and the SECOND
+      // repair pass catches it — the idempotence-critical path
+      "â€​œx" -> "“x",
+      "plain ascii stays" -> "plain ascii stays")
+    val out = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.normalizeText($"t").as("n"))
+      .as[String].collect()
+    out.toSeq shouldBe cases.map(_._2)
+  }
+
+  test("normalizeText is idempotent and NULL-preserving") {
+    // Random mixes of clean words, mojibake sources, strippables, and
+    // exotic whitespace — norm(norm(x)) == norm(x) on all of them.
+    val pieces = Vector("word", "cafÃ©", "â€™",
+      "â€œ", "â€", "â€",
+      "Ã", "​", "﻿", "­", "", " ", "  ",
+      " ", "　", "\t", "\r\n", "x", "Â ")
+    val rnd = new scala.util.Random(41)
+    val docs = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(12))(pieces(rnd.nextInt(pieces.size)))
+        .mkString) :+ null
+    val rows = docs.toDF("t").select(
+        TextAnalysis.normalizeText($"t").as("n1"),
+        TextAnalysis.normalizeText(TextAnalysis.normalizeText($"t"))
+          .as("n2"))
+      .collect()
+    rows.foreach { r => r.getAs[String]("n2") shouldBe r.getAs[String]("n1") }
+    rows.last.isNullAt(0) shouldBe true
+  }
+
   test("distinctiveTerms: a term shared across groups lifts where it " +
       "is over-represented and dips where it is not") {
     // group a "p q p q p q r": 7 tokens -> 6 bigrams ("p q" x3,
