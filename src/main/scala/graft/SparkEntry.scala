@@ -1209,6 +1209,22 @@ object SparkEntry {
           round(col("score"), 4).as("score"), col("decision"))
         .orderBy("id_a", "id_b")
     }),
+    "q_linkage_em" -> ((s, dir) => {
+      // Unsupervised EM fit of the Fellegi–Sunter m/u/p parameters
+      // (EntityResolution.fsEmWeights) over the SAME part blocks and
+      // compare fields as q_linkage_fs — closes "where do the weights
+      // come from" for the linkage family. The corpus reduces to an
+      // exact 2^3-pattern agreement histogram (the only thing that
+      // leaves the cluster); the 6 EM rounds are fixed-order driver
+      // arithmetic over it, bit-replayed by the oracle's unrolled
+      // round CTEs. One row per (round, field): convergence is part
+      // of the artifact.
+      val p = t(s, dir, "part")
+        .withColumn("p_name5", substring(col("p_name"), 1, 5))
+      EntityResolution.fsEmWeights(p, "p_partkey", col("p_type"),
+          fields = Seq("p_brand", "p_size", "p_name5"), iters = 6)
+        .orderBy("round", "field")
+    }),
     "q_snapshot_diff" -> ((s, dir) => {
       // Snapshot DIFF (Merge.snapshotDiff) — the CDC family's inverse
       // direction: old = the customer snapshot, new = q_merge_upsert's
@@ -3196,6 +3212,63 @@ object SparkEntry {
       s"'${TextAnalysis.NormSpaceClass}', ' ', 'g'))"
   }
 
+  /** Unrolled EM round CTEs replaying [[EntityResolution.fsEmWeights]]
+    * over a pattern histogram CTE `h(pat BIGINT, cnt BIGINT)`: per
+    * round one per-pattern posterior CTE (w = p * prod CASE-picked
+    * m/1-m in FIELD ORDER — identical left-assoc tree), then every
+    * M-step sum as a 0.0-seeded list_reduce over list(... ORDER BY
+    * pat) — the exact operand sequence of the op's ascending-pattern
+    * left folds — then the clamped updates. Emits `e0..e<iters>` CTE
+    * defs followed by the per-round UNION ALL select (round, field,
+    * m, u, p); the caller appends ORDER BY. All literals stamped via
+    * Double.toString (the hyperplane-literal recipe). */
+  private def emRoundsSql(fields: Seq[String], iters: Int,
+      m0: Double, u0: Double, p0: Double): String = {
+    val K = fields.size
+    def d(x: Double) = s"CAST('${x.toString}' AS DOUBLE)"
+    val eps = d(1e-6)
+    val hi = d(1.0 - 1e-6)
+    val e0 = (1 to K).map(k => s"${d(m0)} AS m$k, ${d(u0)} AS u$k")
+      .mkString(", ") + s", ${d(p0)} AS p"
+    def fold(expr: String) =
+      s"list_reduce([CAST(0 AS DOUBLE)] || list($expr ORDER BY pat), " +
+        "(a, b) -> a + b)"
+    val rounds = (1 to iters).map { r =>
+      val wm = (1 to K).map(k =>
+        s"(CASE WHEN ((h.pat >> ${k - 1}) & 1) = 1 THEN e.m$k " +
+          s"ELSE 1 - e.m$k END)").mkString(" * ")
+      val wu = (1 to K).map(k =>
+        s"(CASE WHEN ((h.pat >> ${k - 1}) & 1) = 1 THEN e.u$k " +
+          s"ELSE 1 - e.u$k END)").mkString(" * ")
+      val folds = s"${fold("g * CAST(cnt AS DOUBLE)")} AS sg, " +
+        s"${fold("(1 - g) * CAST(cnt AS DOUBLE)")} AS sn, " +
+        (1 to K).map { k =>
+          val bit = s"((pat >> ${k - 1}) & 1) = 1"
+          s"${fold(s"CASE WHEN $bit THEN g * CAST(cnt AS DOUBLE) " +
+            "ELSE CAST(0 AS DOUBLE) END")} AS sg$k, " +
+            s"${fold(s"CASE WHEN $bit THEN (1 - g) * CAST(cnt AS DOUBLE) " +
+              "ELSE CAST(0 AS DOUBLE) END")} AS su$k"
+        }.mkString(", ")
+      val upd = (1 to K).map(k =>
+        s"least(greatest(sg$k / sg, $eps), $hi) AS m$k, " +
+          s"least(greatest(su$k / sn, $eps), $hi) AS u$k").mkString(", ") +
+        s", least(greatest(sg / (sg + sn), $eps), $hi) AS p"
+      s"""g$r AS MATERIALIZED (
+            SELECT pat, cnt, w / (w + v) AS g
+            FROM (SELECT h.pat, h.cnt, e.p * $wm AS w,
+                         (1 - e.p) * $wu AS v
+                  FROM h CROSS JOIN e${r - 1} e)),
+          s$r AS MATERIALIZED (SELECT $folds FROM g$r),
+          e$r AS MATERIALIZED (SELECT $upd FROM s$r)"""
+    }.mkString(",\n          ")
+    val sel = (1 to iters).flatMap { r =>
+      fields.zipWithIndex.map { case (f, i) =>
+        s"SELECT $r AS round, '$f' AS field, m${i + 1} AS m, " +
+          s"u${i + 1} AS u, p FROM e$r" }
+    }.mkString("\n         UNION ALL ")
+    s"e0 AS (SELECT $e0),\n          $rounds\n         $sel"
+  }
+
   /** DuckDB replica of [[graft.functions.TextHashes]]' rolling hash over
     * an already-normalized VARCHAR column: accumulate `acc*1000003 + b`
     * mod 2^64 in HUGEINT. ONE source of truth, interpolated into every
@@ -4137,6 +4210,27 @@ object SparkEntry {
                 CASE WHEN score >= 1000.0 THEN 'match'
                      WHEN score >= 10.0 THEN 'possible' END AS decision
          FROM sc WHERE score >= 10.0 ORDER BY id_a, id_b""",
+    // EM replay: same blocked pairs as q_linkage_fs reduced to the
+    // exact 2^3-pattern histogram, then the generated unrolled rounds
+    // (emRoundsSql) — fixed-order folds via list_reduce, identical
+    // clamps and stamped literals.
+    "q_linkage_em" ->
+      raw"""WITH p AS (SELECT p_partkey, p_type, p_brand, p_size,
+                            substr(p_name, 1, 5) AS p_name5 FROM part),
+              pr AS (SELECT
+                       (a.p_brand IS NOT DISTINCT FROM b.p_brand) AS ab,
+                       (a.p_size IS NOT DISTINCT FROM b.p_size) AS asz,
+                       (a.p_name5 IS NOT DISTINCT FROM b.p_name5) AS an
+                     FROM p a JOIN p b
+                       ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey),
+              h AS MATERIALIZED (SELECT
+                       CAST(CAST(ab AS INTEGER) + 2 * CAST(asz AS INTEGER)
+                            + 4 * CAST(an AS INTEGER) AS BIGINT) AS pat,
+                       CAST(count(*) AS BIGINT) AS cnt
+                     FROM pr GROUP BY 1),
+              ${emRoundsSql(Seq("p_brand", "p_size", "p_name5"), 6,
+        0.9, 0.1, 0.5)}
+         ORDER BY round, field""",
     // Diff replay: rebuild q_merge_upsert's merged snapshot, full-outer
     // it against the old one, null-safe per-column compare.
     "q_snapshot_diff" ->
@@ -7185,5 +7279,5 @@ object SparkEntry {
     "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
     "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
     "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest",
-    "q_sssp", "q_benford", "q_normalize")
+    "q_sssp", "q_benford", "q_normalize", "q_linkage_em")
 }

@@ -111,7 +111,30 @@ object EntityResolution {
     require(possibleOdds > 0 && possibleOdds <= matchOdds,
       s"need 0 < possibleOdds <= matchOdds, got $possibleOdds / $matchOdds")
     require(groups >= 1, "groups must be >= 1")
-    val fcols = fields.map(_._1)
+    val agree = fields.map { case (f, _, _) => col(s"a_$f") <=> col(s"b_$f") }
+    val score = fields.zip(agree).foldLeft(lit(1.0)) {
+      case (acc, ((_, m, u), a)) =>
+        acc * when(a, lit(m / u)).otherwise(lit((1 - m) / (1 - u)))
+    }
+    val nAgree = agree.map(a => when(a, 1L).otherwise(0L))
+      .reduce(_ + _)
+    blockedFieldPairs(df, idCol, blockKey, fields.map(_._1), groups)
+      .select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
+        score.as("score"),
+        when(score >= matchOdds, "match")
+          .when(score >= possibleOdds, "possible")
+          .as("decision"))
+      .where(col("decision").isNotNull)
+  }
+
+  /** Same-block candidate pairs carrying both sides' compare fields —
+    * the replicated-group skew decomposition shared by [[fsScorePairs]]
+    * and [[fsEmWeights]] (see [[fuzzyPairs]] for why joining on the
+    * block alone melts down): `(id_a, id_b, a_<f>…, b_<f>…)` with
+    * `id_a < id_b`, each unordered pair exactly once (it meets only in
+    * its (grp_a, grp_b) cell). */
+  private def blockedFieldPairs(df: DataFrame, idCol: String,
+      blockKey: Column, fcols: Seq[String], groups: Int): DataFrame = {
     val base = df.select(blockKey.as("block") +: col(idCol).as("id") +:
         fcols.map(col): _*)
       .withColumn("grp", pmod(
@@ -127,21 +150,107 @@ object EntityResolution {
         col("grp").as("gj") +: col("id").as("id_b") +:
         fcols.map(f => col(f).as(s"b_$f")): _*)
       .repartition(parts, col("block"), col("gi"), col("gj"))
-    val agree = fields.map { case (f, _, _) => col(s"a_$f") <=> col(s"b_$f") }
-    val score = fields.zip(agree).foldLeft(lit(1.0)) {
-      case (acc, ((_, m, u), a)) =>
-        acc * when(a, lit(m / u)).otherwise(lit((1 - m) / (1 - u)))
-    }
-    val nAgree = agree.map(a => when(a, 1L).otherwise(0L))
-      .reduce(_ + _)
     l.join(r, Seq("block", "gi", "gj"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
-        score.as("score"),
-        when(score >= matchOdds, "match")
-          .when(score >= possibleOdds, "possible")
-          .as("decision"))
-      .where(col("decision").isNotNull)
+  }
+
+  /** Unsupervised EM estimation of the Fellegi–Sunter parameters —
+    * "where do [[fsScorePairs]]'s m/u weights come from": fit, with NO
+    * labels, the two-class conditional-independence mixture of Fellegi
+    * & Sunter (1969)'s companion estimation problem (the EM fit
+    * popularized by Winkler 1988). Per field k: m_k = P(agree | same
+    * entity), u_k = P(agree | different), plus the match-class prior
+    * p. Output: one row per `(round, field)` — `(round, field, m, u,
+    * p)` for rounds 1..`iters` — so convergence is part of the
+    * artifact, not just the endpoint.
+    *
+    * Determinism recipe (the pattern-histogram formulation): a pair's
+    * evidence is only its AGREEMENT PATTERN over the K fields, so the
+    * corpus reduces to an EXACT integer histogram over <= 2^K patterns
+    * (bit k of `pat` = null-safe agreement on field k) — one map-side
+    * partial count, order-free. The EM rounds then run as FIXED-ORDER
+    * driver arithmetic over the histogram sorted by pattern id: w =
+    * p * prod_k (m_k or 1-m_k) in field order, v likewise over u,
+    * posterior g = w/(w+v), and every M-step sum is a seeded left fold
+    * in ascending-pattern order — one fixed expression tree the oracle
+    * replays bit-identically (list_reduce over list(... ORDER BY
+    * pat)). No logs anywhere (the standing log/pow ban). Estimates are
+    * clamped to [1e-6, 1-1e-6] (both engines, identical literals) so a
+    * degenerate corpus saturates instead of poisoning the next round
+    * with 0/0.
+    *
+    * Scale shape: the pair frame (the expensive part) is the same
+    * blocked replicated-group decomposition as [[fsScorePairs]]; the
+    * ONLY thing that crosses to the driver is the <= 2^K-row histogram
+    * (loud K <= 12 guard — the low-cardinality-collect contract), and
+    * the EM itself is O(2^K * iters) scalar work. At 100 TB nothing
+    * changes: the histogram is still <= 2^K rows. */
+  def fsEmWeights(df: DataFrame, idCol: String, blockKey: Column,
+      fields: Seq[String], iters: Int = 6, m0: Double = 0.9,
+      u0: Double = 0.1, p0: Double = 0.5, groups: Int = 8): DataFrame = {
+    require(fields.nonEmpty, "fsEmWeights: fields must be non-empty")
+    require(fields.size <= 12,
+      s"fsEmWeights: ${fields.size} fields would make a ${1L << fields.size}-" +
+        "pattern histogram; the driver-collect contract is K <= 12")
+    require(iters >= 1 && iters <= 100,
+      s"fsEmWeights: iters must be in [1, 100], got $iters")
+    Seq(("m0", m0), ("u0", u0), ("p0", p0)).foreach { case (n, x) =>
+      require(x > 0.0 && x < 1.0,
+        s"fsEmWeights: $n must be strictly inside (0, 1), got $x") }
+    require(groups >= 1, "groups must be >= 1")
+    val K = fields.size
+    val patCol = fields.zipWithIndex.map { case (f, k) =>
+      when(col(s"a_$f") <=> col(s"b_$f"), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hist: Array[(Long, Long)] =
+      blockedFieldPairs(df, idCol, blockKey, fields, groups)
+        .select(patCol.as("pat")).groupBy("pat")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("pat")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(hist.nonEmpty,
+      "fsEmWeights: no candidate pairs — every block has < 2 records")
+    val Eps = 1e-6
+    val Hi = 1.0 - Eps
+    val m = Array.fill(K)(m0)
+    val u = Array.fill(K)(u0)
+    var p = p0
+    val out = Seq.newBuilder[(Int, String, Double, Double, Double)]
+    for (r <- 1 to iters) {
+      // E-step off the PREVIOUS round's parameters (gs snapshots them)
+      val gs = hist.map { case (pat, cnt) =>
+        var w = p
+        var v = 1.0 - p
+        var k = 0
+        while (k < K) {
+          if (((pat >> k) & 1L) == 1L) { w = w * m(k); v = v * u(k) }
+          else { w = w * (1.0 - m(k)); v = v * (1.0 - u(k)) }
+          k += 1
+        }
+        (pat, cnt.toDouble, w / (w + v))
+      }
+      // M-step: every sum is a 0.0-seeded left fold in ascending-pat
+      // order (gs is sorted) — the exact operand sequence the oracle's
+      // list_reduce replays; non-matching patterns contribute an
+      // explicit 0.0 so both sequences are identical term for term.
+      val sg = gs.foldLeft(0.0) { case (a, (_, c, g)) => a + g * c }
+      val sn = gs.foldLeft(0.0) { case (a, (_, c, g)) => a + (1.0 - g) * c }
+      var k = 0
+      while (k < K) {
+        val sgk = gs.foldLeft(0.0) { case (a, (pat, c, g)) =>
+          a + (if (((pat >> k) & 1L) == 1L) g * c else 0.0) }
+        val suk = gs.foldLeft(0.0) { case (a, (pat, c, g)) =>
+          a + (if (((pat >> k) & 1L) == 1L) (1.0 - g) * c else 0.0) }
+        m(k) = math.min(math.max(sgk / sg, Eps), Hi)
+        u(k) = math.min(math.max(suk / sn, Eps), Hi)
+        k += 1
+      }
+      p = math.min(math.max(sg / (sg + sn), Eps), Hi)
+      fields.zipWithIndex.foreach { case (f, k2) =>
+        out += ((r, f, m(k2), u(k2), p)) }
+    }
+    df.sparkSession.createDataFrame(out.result())
+      .toDF("round", "field", "m", "u", "p")
   }
 
   /** Per-record merge-candidate summary over [[fuzzyPairs]]:

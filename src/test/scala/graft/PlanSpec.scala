@@ -1116,4 +1116,24 @@ class PlanSpec extends SparkSpecBase with Matchers {
     readSchema should not include "l_orderkey"
     readSchema should not include "l_quantity"
   }
+
+  test("q_normalize: shuffle-free narrow per-row replace/regexp chain — " +
+      "no join, no aggregate, no Window") {
+    val p = plan("q_normalize")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Join"
+    p should not include "Window"
+    p should not include "HashAggregate"
+  }
+
+  test("q_linkage_em: the cluster-side work folds the blocked pair " +
+      "frame to the <=2^K pattern histogram; the EM result itself is a " +
+      "driver-local table (rounds x fields rows), not a cluster plan") {
+    // The returned frame is the driver EM artifact — pin that nothing
+    // heavyweight leaked into it (the histogram collect already ran).
+    val p = plan("q_linkage_em")
+    p should include("LocalTableScan")
+    p should not include "Join"
+    p should not include "Window"
+  }
 }

@@ -111,4 +111,89 @@ class EntityResolutionSpec extends SparkSpecBase with Matchers {
     run(1) shouldBe model
     run(13) shouldBe model
   }
+
+  test("fsEmWeights: hand-traced one-field EM — rounds 1 and 2 exact") {
+    // One block, one field: records a,b share value "x", c has "y" ->
+    // histogram pat=0 cnt=2, pat=1 cnt=1. Round 1 by hand from
+    // (m,u,p) = (0.9, 0.1, 0.5):
+    //   g(pat1) = .5*.9 / (.5*.9 + .5*.1) = 0.9
+    //   g(pat0) = .5*.1 / (.5*.1 + .5*.9) = 0.1  (escapes: plain arith)
+    // Folds in ascending-pat order, seeded 0.0:
+    //   sg = 0 + .1*2 + .9*1, sn = 0 + .9*2 + .1*1
+    //   m' = (.9*1)/sg, u' = (.1*2)/sn, p' = sg/(sg+sn)
+    // The expectations below recompute exactly that chain in plain
+    // Scala doubles — shouldBe with NO tolerance is the bit-exactness
+    // claim. Round 2 repeats the chain from round 1's outputs.
+    val df = Seq((1L, "blk", "x"), (2L, "blk", "x"), (3L, "blk", "y"))
+      .toDF("id", "blk", "f")
+    val got = EntityResolution.fsEmWeights(df, "id", col("blk"),
+        Seq("f"), iters = 2)
+      .as[(Int, String, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    def round(m: Double, u: Double, p: Double) = {
+      val g1 = p * m / (p * m + (1.0 - p) * u)
+      val g0 = p * (1.0 - m) / (p * (1.0 - m) + (1.0 - p) * (1.0 - u))
+      val sg = 0.0 + g0 * 2.0 + g1 * 1.0
+      val sn = 0.0 + (1.0 - g0) * 2.0 + (1.0 - g1) * 1.0
+      val sg1 = 0.0 + 0.0 + g1 * 1.0
+      val su1 = 0.0 + 0.0 + (1.0 - g1) * 1.0
+      def cl(x: Double) = math.min(math.max(x, 1e-6), 1.0 - 1e-6)
+      (cl(sg1 / sg), cl(su1 / sn), cl(sg / (sg + sn)))
+    }
+    val r1 = round(0.9, 0.1, 0.5)
+    val r2 = round(r1._1, r1._2, r1._3)
+    got(0) shouldBe ((1, "f", r1._1, r1._2, r1._3))
+    got(1) shouldBe ((2, "f", r2._1, r2._2, r2._3))
+  }
+
+  test("fsEmWeights recovers separation from planted duplicates and is " +
+      "partition-invariant") {
+    // 40 planted duplicate pairs agree on all three fields; 120 filler
+    // records carry near-unique values (agreements among fillers are
+    // rare). EM must find m_k high, u_k low, p near the planted pair
+    // share — with NO labels.
+    val rnd = new scala.util.Random(7)
+    val dups = (0L until 40L).flatMap { i =>
+      val (b, f1, f2, f3) =
+        (s"b${i % 4}", s"v$i", s"w$i", s"z$i")
+      Seq((2 * i, b, f1, f2, f3), (2 * i + 1, b, f1, f2, f3)) }
+    val fillers = (0L until 120L).map { i =>
+      (1000L + i, s"b${rnd.nextInt(4)}", s"v${rnd.nextInt(400) + 500}",
+        s"w${rnd.nextInt(400) + 500}", s"z${rnd.nextInt(400) + 500}") }
+    val df = (dups ++ fillers).toDF("id", "blk", "f1", "f2", "f3")
+    def run(parts: Int) = EntityResolution.fsEmWeights(
+        df.repartition(parts), "id", col("blk"),
+        Seq("f1", "f2", "f3"), iters = 10)
+      .as[(Int, String, Double, Double, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val out = run(1)
+    out shouldBe run(9) // exact-histogram determinism
+    val fin = out.filter(_._1 == 10)
+    fin.foreach { case (_, f, m, u, p) =>
+      withClue(s"field $f") {
+        m should be > 0.9 // planted dups agree on every field
+        u should be < 0.05
+        m should be > u * 10
+        p should (be > 0.001 and be < 0.2)
+      }
+    }
+  }
+
+  test("fsEmWeights guards fire loudly") {
+    val df = Seq((1L, "b", "x")).toDF("id", "blk", "f")
+    an[IllegalArgumentException] should be thrownBy
+      EntityResolution.fsEmWeights(df, "id", col("blk"), Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      EntityResolution.fsEmWeights(df, "id", col("blk"),
+        (1 to 13).map(i => s"f$i"))
+    an[IllegalArgumentException] should be thrownBy
+      EntityResolution.fsEmWeights(df, "id", col("blk"), Seq("f"),
+        iters = 0)
+    an[IllegalArgumentException] should be thrownBy
+      EntityResolution.fsEmWeights(df, "id", col("blk"), Seq("f"),
+        m0 = 1.0)
+    // single record -> zero candidate pairs -> loud, not NaN
+    an[IllegalArgumentException] should be thrownBy
+      EntityResolution.fsEmWeights(df, "id", col("blk"), Seq("f"))
+  }
 }
