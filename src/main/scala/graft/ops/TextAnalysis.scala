@@ -951,7 +951,20 @@ object TextAnalysis {
     * doc list (docs with <2 tokens keep NULL score). Document text
     * never shuffles. Returns (idCol, n_trans, lm_score, lm_min). */
   def lmScore(train: DataFrame, score: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    lmScoreAgainst(lmModel(train, textCol), score, idCol, textCol,
+      reinstate = true)
+
+  /** The add-one-smoothed bigram model of `train` that [[lmScore]]
+    * scores against, as three join-/broadcast-able frames: bigram
+    * counts `(bigram, c_xy)`, context totals `(w1, c_x)`, and the
+    * 1-row vocabulary size `(v)` carrying the loud v >= 1 guard.
+    * Split out so the STREAMING path can build the model ONCE from a
+    * static corpus and score an arriving stream against it
+    * ([[graft.streaming.StreamOps.lmScoreStream]]) — same frames, same
+    * guard, zero drift from the batch scorer. */
+  private[graft] def lmModel(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val biTrain = train
       .select(explode(ngrams(col(textCol), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
@@ -967,6 +980,19 @@ object TextAnalysis {
       .where(assert_true(col("v") >= 1,
         lit("lmScore: training frame has an empty vocabulary (no tokens) " +
           "— add-one smoothing needs v >= 1")).isNull)
+    (biTrain, ctx, vocab)
+  }
+
+  /** Score `score` against a prebuilt [[lmModel]]. `reinstate = true`
+    * is the batch contract (one output row per input doc, NULL score
+    * for <2-token docs, via a left join back onto the doc list);
+    * the STREAMING path passes false — a join AFTER a streaming
+    * aggregation is not stream-legal, so token-free docs simply emit
+    * nothing there (documented in the wrapper). */
+  private[graft] def lmScoreAgainst(
+      model: (DataFrame, DataFrame, DataFrame), score: DataFrame,
+      idCol: String, textCol: String, reinstate: Boolean): DataFrame = {
+    val (biTrain, ctx, vocab) = model
     val scored = score
       .select(col(idCol), explode(ngrams(col(textCol), 2)).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
@@ -995,7 +1021,8 @@ object TextAnalysis {
           (col("n_trans") * lit(LmFixedPointScale)).cast(DoubleType))
           .as("lm_score"),
         col("lm_min"))
-    score.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    if (!reinstate) perDoc
+    else score.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_trans"), lit(0L)).as("n_trans"),
         col("lm_score"), col("lm_min"))
   }
@@ -1030,22 +1057,43 @@ object TextAnalysis {
     * never shuffles. Returns (idCol, n_feat, dsir_w); docs with no
     * bigram keep NULL weight. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 1024): DataFrame = {
+      textCol: String, buckets: Int = 1024): DataFrame =
+    dsirScoreAgainst(dsirModel(target, textCol, buckets),
+      dsirModel(raw, textCol, buckets), raw, idCol, textCol, buckets,
+      reinstate = true)
+
+  /** One side's hashed-bigram bucket model for [[dsirWeights]]:
+    * `(bucket counts (b, c), 1-row total (n))`. Split out so the
+    * STREAMING path can build both models ONCE from static frames and
+    * score an arriving stream against them
+    * ([[graft.streaming.StreamOps.dsirWeightsStream]]). */
+  private[graft] def dsirModel(df: DataFrame, textCol: String,
+      buckets: Int): (DataFrame, DataFrame) = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two >= 2 (signed pmod == unsigned " +
         s"mod only then), got $buckets")
-    def feats(df: DataFrame): DataFrame = df
+    val f = df
       .select(explode(ngrams(col(textCol), 2)).as("bigram"))
       .select(pmod(graft.functions.TextHashes.rolling_hash64(col("bigram")),
         lit(buckets.toLong)).as("b"))
-    def model(df: DataFrame): (DataFrame, DataFrame) = {
-      val f = feats(df)
-      (f.groupBy(col("b")).agg(count(lit(1)).as("c")),
-        f.agg(count(lit(1)).as("n")))
-    }
-    val (ct, nt) = model(target)
-    val (cr, nr) = model(raw)
-    val scored = raw
+    (f.groupBy(col("b")).agg(count(lit(1)).as("c")),
+      f.agg(count(lit(1)).as("n")))
+  }
+
+  /** Score `frame` against prebuilt target/raw [[dsirModel]]s. Same
+    * reinstate contract as [[lmScoreAgainst]]: batch passes true (one
+    * row per doc, bigram-free docs at n_feat = 0), streaming passes
+    * false (post-aggregation joins are not stream-legal). */
+  private[graft] def dsirScoreAgainst(
+      targetModel: (DataFrame, DataFrame), rawModel: (DataFrame, DataFrame),
+      frame: DataFrame, idCol: String, textCol: String, buckets: Int,
+      reinstate: Boolean): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2 (signed pmod == unsigned " +
+        s"mod only then), got $buckets")
+    val (ct, nt) = targetModel
+    val (cr, nr) = rawModel
+    val scored = frame
       .select(col(idCol),
         posexplode(ngrams(col(textCol), 2)).as(Seq("pos", "bigram")))
       .withColumn("b", pmod(
@@ -1065,7 +1113,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_feat"),
         aggregate(array_sort(collect_list(struct(col("pos"), col("r")))),
           lit(1.0), (acc, x) => acc * x.getField("r")).as("dsir_w"))
-    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    if (!reinstate) perDoc
+    else frame.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
         col("dsir_w"))
   }

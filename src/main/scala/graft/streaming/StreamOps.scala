@@ -283,6 +283,43 @@ object StreamOps {
 
   /** Custom state op: running per-key mean, emitted as an update after
     * every batch — the canonical `mapGroupsWithState` accumulator. */
+  /** Streaming [[graft.ops.TextAnalysis.lmScore]]: score an ARRIVING
+    * document stream against a bigram model built ONCE from the STATIC
+    * `train` corpus — the online quality gate on the ingest path,
+    * running the exact batch kernel (shared [[graft.ops.TextAnalysis
+    * .lmScoreAgainst]], zero drift): per-row explode → two
+    * stream-static left joins on the broadcast-able count frames → the
+    * fixed-point per-doc aggregate. Run in complete/update output
+    * mode (it ends in a streaming aggregation keyed by doc id). Two
+    * contract deltas vs batch, both stream-imposed: token-free docs
+    * emit NOTHING (the reinstating left join after an aggregation is
+    * not stream-legal), and a doc split across micro-batches keeps
+    * accumulating (update mode re-emits its row — ship whole docs per
+    * row, which is the schema anyway). Batch-vs-stream parity is
+    * pinned by StreamOpsSpec; the batch query q_lm_score stays the
+    * DuckDB oracle anchor. */
+  def lmScoreStream(train: DataFrame, stream: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.ops.TextAnalysis.lmScoreAgainst(
+      graft.ops.TextAnalysis.lmModel(train, textCol), stream, idCol,
+      textCol, reinstate = false)
+
+  /** Streaming [[graft.ops.TextAnalysis.dsirWeights]]: importance
+    * weights for an ARRIVING stream against hashed-bigram bucket
+    * models built ONCE from STATIC frames — `target` is the quality
+    * reference, `rawSample` the static sample standing in for the raw
+    * pool's bucket distribution (a stream cannot model itself: its
+    * distribution is unbounded state). Same shared kernel
+    * ([[graft.ops.TextAnalysis.dsirScoreAgainst]]), same complete/
+    * update-mode and no-reinstate contract as [[lmScoreStream]]. */
+  def dsirWeightsStream(rawSample: DataFrame, target: DataFrame,
+      stream: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024): DataFrame =
+    graft.ops.TextAnalysis.dsirScoreAgainst(
+      graft.ops.TextAnalysis.dsirModel(target, textCol, buckets),
+      graft.ops.TextAnalysis.dsirModel(rawSample, textCol, buckets),
+      stream, idCol, textCol, buckets, reinstate = false)
+
   def runningMean[K: Encoder](ds: Dataset[(K, Double)]): Dataset[(K, Long, Double)] = {
     implicit val stateEnc: Encoder[(Long, Double)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)

@@ -522,6 +522,78 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     streamed shouldBe Seq((1L, 0L, true), (2L, 3L, false), (3L, 47L, false))
   }
 
+  test("lmScoreStream scores an arriving stream against the static " +
+      "bigram model and equals batch lmScore bit-for-bit") {
+    import graft.ops.TextAnalysis
+    val train = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the lazy dog sleeps while the quick fox runs")
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox runs"),
+      (2L, "zebra xylophone quantum flux"), // all-unseen transitions
+      (3L, "the lazy dog jumps over the fox"),
+      (4L, "the the the the")) // degenerate loop
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.lmScoreStream(train,
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete").start()
+    docs.grouped(2).foreach { chunk => // two micro-batches
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("lm_stream")
+      .select(col("doc_id"), col("n_trans"), col("lm_score"), col("lm_min"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val batch = TextAnalysis.lmScore(train, docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    streamed shouldBe batch // every doc has >= 1 bigram -> same rows
+    // and the scores separate: in-domain beats the unseen-gibberish doc
+    val byId = streamed.map(r => r._1 -> r._3).toMap
+    byId(1L) should be > byId(2L)
+  }
+
+  test("dsirWeightsStream weights an arriving stream against static " +
+      "raw/target models and equals batch dsirWeights bit-for-bit") {
+    import graft.ops.TextAnalysis
+    val raw = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta common crawl noise"),
+      (3L, "noise noise filler filler words"),
+      (4L, "quality prose reads like the target")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (900L, "quality prose reads like the target"),
+      (901L, "the target is quality prose")
+    ).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.dsirWeightsStream(raw, target,
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", buckets = 64)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("complete").start()
+    raw.as[(Long, String)].collect().toSeq.grouped(2).foreach { chunk =>
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("dsir_stream")
+      .select(col("doc_id"), col("n_feat"), col("dsir_w"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // batch dsirWeights(raw, target) builds the raw model from the
+    // same frame the stream replays -> identical models, identical
+    // scores (all docs have bigrams, so reinstate changes nothing)
+    val batch = TextAnalysis.dsirWeights(raw, target, "doc_id", "text",
+        buckets = 64)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    streamed shouldBe batch
+    // separation: the target-like doc upweights vs the filler doc
+    val byId = streamed.map(r => r._1 -> r._3).toMap
+    byId(4L) should be > byId(3L)
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
