@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{BinaryCodec, CharDiversityKernel, LongHashes, TimeFunctions}
-import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Merge, Multimodal, Sampling, SetSimJoin, Similarity, Sketches, TextAnalysis, Validate}
+import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Merge, Multimodal, Sampling, SetSimJoin, Similarity, Sketches, TextAnalysis, Tokenizer, Validate}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, ConfluentAvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -2227,6 +2227,30 @@ object SparkEntry {
           length(col("norm")).as("n_norm"))
         .orderBy("doc_id")
     }),
+    "q_bpe" -> ((s, dir) => {
+      // BPE vocabulary induction (Tokenizer.bpeMerges): 12 tokenizer
+      // merge rules trained on the documents corpus — the artifact
+      // every LLM pipeline derives before it can count a token. The
+      // corpus reduces to the distinct-word frequency table in one
+      // count; rounds run on that table with a 1-row argmax collect
+      // each (total order count DESC, l ASC, r ASC — ties replay).
+      Tokenizer.bpeMerges(t(s, dir, "documents"), "text", rounds = 12)
+        .orderBy("round")
+    }),
+    "q_bpe_encode" -> ((s, dir) => {
+      // Serving side of q_bpe (Tokenizer.bpeEncode): re-tokenize every
+      // doc under the table q_bpe trains, reporting per-doc codepoint
+      // vs BPE-token counts (the compression the tokenizer buys). The
+      // merge rules are collected once (12 rows) and applied as the
+      // same per-row HOF kernel; the oracle re-derives the rules and
+      // joins docs to the final word table — full-pipeline replay.
+      val d = t(s, dir, "documents")
+      val rules = Tokenizer.bpeMerges(d, "text", rounds = 12)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Tokenizer.bpeEncode(d, "doc_id", "text", rules)
+        .orderBy("doc_id")
+    }),
     "q_langid_eval" -> ((s, dir) => {
       // LangID self-evaluation (the q_ann_recall recipe on text): the
       // n-gram-marker classifier's confusion matrix against the corpus
@@ -3210,6 +3234,69 @@ object SparkEntry {
       s"'${TextAnalysis.NormStripClass}', '', 'g')"
     s"trim(regexp_replace(${repair(stripped)}, " +
       s"'${TextAnalysis.NormSpaceClass}', ' ', 'g'))"
+  }
+
+  /** Unrolled BPE round CTEs replaying [[Tokenizer.bpeMerges]] over
+    * `documents`: `tok`/`w0` (word-frequency table with char symbol
+    * arrays), then per round `pc$r` (pair counts via index unnest),
+    * `top$r` (the total-order argmax: count DESC, l ASC, r ASC LIMIT
+    * 1) and `w$r` (the LEFT JOIN ON TRUE merge application — NULL
+    * pair means symbol exhaustion and passes syms through, exactly
+    * the Spark loop's no-op round). The match/start/emit lambda chain
+    * is the SAME index-parallel LTR formulation as
+    * [[Tokenizer.applyMerge]]; DuckDB list[0] and out-of-range reads
+    * yield NULL, mirroring Spark's 0-based `get`. */
+  private def bpeCtesSql(rounds: Int): String = {
+    val w0 =
+      raw"""tok AS (SELECT unnest(list_filter(
+           |                string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+           |                x -> x <> '')) AS w
+           |              FROM documents),
+           |              w0 AS MATERIALIZED (
+           |                SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+           |                       list_transform(range(1, length(w) + 1),
+           |                         i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+           |                FROM tok GROUP BY w)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      raw"""pc$r AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+           |                       CAST(sum(cnt) AS BIGINT) AS pc
+           |                FROM (SELECT cnt, syms,
+           |                             unnest(range(1, len(syms))) AS i
+           |                      FROM w${r - 1})
+           |                GROUP BY 1, 2),
+           |              top$r AS MATERIALIZED (
+           |                SELECT l, r, pc FROM pc$r
+           |                ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+           |              w$r AS MATERIALIZED (
+           |                SELECT w, cnt,
+           |                       CASE WHEN l IS NULL THEN syms ELSE
+           |                         list_transform(
+           |                           list_filter(range(1, len(syms) + 1),
+           |                             i -> NOT coalesce(st[i - 1], false)),
+           |                           i -> CASE WHEN coalesce(st[i], false)
+           |                                     THEN l || r ELSE syms[i] END)
+           |                       END AS syms
+           |                FROM (SELECT w, cnt, syms, l, r,
+           |                             CASE WHEN len(m) < 1
+           |                                  THEN CAST([] AS BOOLEAN[]) ELSE
+           |                               list_transform(range(1, len(m) + 1),
+           |                                 i -> m[i] AND ((i - coalesce(
+           |                                   list_max(list_filter(range(1, i + 1),
+           |                                     j -> NOT m[j])), 0)) % 2 = 1))
+           |                             END AS st
+           |                      FROM (SELECT ww.w AS w, ww.cnt AS cnt,
+           |                                   ww.syms AS syms, t.l AS l, t.r AS r,
+           |                                   CASE WHEN len(ww.syms) < 2
+           |                                          OR t.l IS NULL
+           |                                        THEN CAST([] AS BOOLEAN[]) ELSE
+           |                                     list_transform(range(1, len(ww.syms)),
+           |                                       i -> ww.syms[i] = t.l
+           |                                            AND ww.syms[i + 1] = t.r)
+           |                                   END AS m
+           |                            FROM w${r - 1} ww
+           |                            LEFT JOIN top$r t ON TRUE)))""".stripMargin
+    }
+    (w0 +: rs).mkString(",\n              ")
   }
 
   /** Unrolled EM round CTEs replaying [[EntityResolution.fsEmWeights]]
@@ -6672,6 +6759,32 @@ object SparkEntry {
                 CAST(length(text) AS INTEGER) AS n_raw,
                 CAST(length(norm) AS INTEGER) AS n_norm
          FROM n ORDER BY doc_id""",
+    // BPE replay: the full generated round chain (bpeCtesSql), then
+    // the merge-table union — rounds past symbol exhaustion contribute
+    // no row on either side.
+    "q_bpe" ->
+      raw"""WITH ${bpeCtesSql(12)}
+         ${(1 to 12).map(r =>
+        s"SELECT $r AS round, l, r, l || r AS merged, pc FROM top$r")
+        .mkString("\n         UNION ALL ")}
+         ORDER BY round""",
+    // Encode replay: the SAME trained chain, then per-doc word counts
+    // joined to the FINAL word table — a word's BPE token count under
+    // the table is just len(final syms), so the per-doc numbers follow
+    // from the join (full-pipeline replay, no stamped rules).
+    "q_bpe_encode" ->
+      raw"""WITH ${bpeCtesSql(12)},
+              docw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+                       FROM (SELECT doc_id, unnest(list_filter(
+                               string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                               x -> x <> '')) AS w
+                             FROM documents)
+                       GROUP BY 1, 2)
+         SELECT d.doc_id,
+                CAST(sum(d.cnt * length(d.w)) AS BIGINT) AS n_chars_alpha,
+                CAST(sum(d.cnt * len(f.syms)) AS BIGINT) AS n_bpe
+         FROM docw d JOIN w12 f ON d.w = f.w
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "q_langid_eval" ->
       raw"""WITH $langScoreCtesSql,
               p AS (SELECT d.lang, $langPredCaseSql AS lang_pred
@@ -7279,5 +7392,6 @@ object SparkEntry {
     "q_bootstrap_ci", "q_link_pred", "q_modularity", "q_auc",
     "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
     "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest",
-    "q_sssp", "q_benford", "q_normalize", "q_linkage_em")
+    "q_sssp", "q_benford", "q_normalize", "q_linkage_em",
+    "q_bpe", "q_bpe_encode")
 }

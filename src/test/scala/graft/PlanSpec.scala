@@ -1136,4 +1136,21 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Join"
     p should not include "Window"
   }
+
+  test("q_bpe: rounds ran on the distinct-word table during planning; " +
+      "the merge table itself is a driver-local artifact") {
+    val p = plan("q_bpe")
+    p should include("LocalTableScan")
+    p should not include "Join"
+    p should not include "Window"
+  }
+
+  test("q_bpe_encode: word-count reduction then per-row HOF merge " +
+      "chain — no joins, no Window, map-side partial aggregates") {
+    val p = plan("q_bpe_encode")
+    p should not include "Join"
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should include("partial_count")
+  }
 }
