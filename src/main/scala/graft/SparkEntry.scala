@@ -2227,6 +2227,18 @@ object SparkEntry {
           length(col("norm")).as("n_norm"))
         .orderBy("doc_id")
     }),
+    "q_pca" -> ((s, dir) => {
+      // Deterministic PCA (Similarity.pcaTopComponents): top-2
+      // principal directions + eigenvalue share of the embedding
+      // corpus — exact fixed-point covariance (2^14 quantization, all
+      // sums provably < 2^53), then 8 fixed-order power-iteration
+      // rounds with deflation on the driver over the collected 64x64
+      // matrix (the fsEmWeights contract); the oracle replays every
+      // fold via list_reduce in pinned order.
+      Similarity.pcaTopComponents(t(s, dir, "embeddings"), "embedding",
+          dim = 64, components = 2, rounds = 8)
+        .orderBy("component", "coord")
+    }),
     "q_bpe" -> ((s, dir) => {
       // BPE vocabulary induction (Tokenizer.bpeMerges): 12 tokenizer
       // merge rules trained on the documents corpus — the artifact
@@ -3234,6 +3246,78 @@ object SparkEntry {
       s"'${TextAnalysis.NormStripClass}', '', 'g')"
     s"trim(regexp_replace(${repair(stripped)}, " +
       s"'${TextAnalysis.NormSpaceClass}', ' ', 'g'))"
+  }
+
+  /** Replay of [[Similarity.pcaTopComponents]]: exact fixed-point
+    * covariance CTEs (integer product sums, the one shared cast
+    * formula), then unrolled power-iteration rounds per component —
+    * matvec folds over k ascending, norm folds over j ascending, all
+    * 0.0-seeded list_reduce, eigenvalue = final pre-normalization
+    * norm, deflation `c - (nrm * v_j) * v_k` — identical operand
+    * order to the driver arithmetic. */
+  private def pcaSql(dim: Int, comps: Int, rounds: Int,
+      scaleBits: Int): String = {
+    def d(x: Double) = s"CAST('${x.toString}' AS DOUBLE)"
+    val sq = d((1L << scaleBits).toDouble * (1L << scaleBits).toDouble)
+    val scale = d((1L << scaleBits).toDouble)
+    val init = d(1.0 / math.sqrt(dim.toDouble))
+    def fold(expr: String, ord: String) =
+      s"list_reduce([CAST(0 AS DOUBLE)] || list($expr ORDER BY $ord), " +
+        "(a, b) -> a + b)"
+    val base =
+      raw"""qv AS (SELECT list_transform(embedding,
+           |                x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
+           |              FROM embeddings),
+           |              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qv),
+           |              sjv AS MATERIALIZED (
+           |                SELECT j, CAST(sum(q[j]) AS BIGINT) AS sj
+           |                FROM (SELECT q, unnest(range(1, ${dim + 1})) AS j FROM qv)
+           |                GROUP BY j),
+           |              sjk AS MATERIALIZED (
+           |                SELECT j, k, CAST(sum(q[j] * q[k]) AS BIGINT) AS s
+           |                FROM (SELECT q, j, unnest(range(1, ${dim + 1})) AS k
+           |                      FROM (SELECT q, unnest(range(1, ${dim + 1})) AS j FROM qv))
+           |                GROUP BY j, k),
+           |              cov1 AS MATERIALIZED (
+           |                SELECT s.j, s.k,
+           |                       (CAST(s.s AS DOUBLE) / CAST(n.n AS DOUBLE)
+           |                        - (CAST(a.sj AS DOUBLE) / CAST(n.n AS DOUBLE))
+           |                          * (CAST(b.sj AS DOUBLE) / CAST(n.n AS DOUBLE))) / $sq AS c
+           |                FROM sjk s, nn n, sjv a, sjv b
+           |                WHERE a.j = s.j AND b.j = s.k),
+           |              tr AS (SELECT ${fold("c", "j")} AS trace
+           |                     FROM cov1 WHERE j = k)""".stripMargin
+    val comp = (1 to comps).map { c =>
+      val v0 =
+        s"""c${c}v0 AS (SELECT j, $init AS v
+           |                          FROM (SELECT unnest(range(1, ${dim + 1})) AS j))""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        raw"""c${c}u$r AS MATERIALIZED (
+             |                SELECT cv.j AS j,
+             |                       ${fold("cv.c * v.v", "cv.k")} AS u
+             |                FROM cov$c cv JOIN c${c}v${r - 1} v ON v.j = cv.k
+             |                GROUP BY cv.j),
+             |              c${c}n$r AS (SELECT sqrt(${fold("u * u", "j")}) AS nrm
+             |                           FROM c${c}u$r),
+             |              c${c}v$r AS MATERIALIZED (
+             |                SELECT j, u / nrm AS v FROM c${c}u$r, c${c}n$r)""".stripMargin
+      }.mkString(",\n              ")
+      val defl = if (c == comps) "" else
+        raw""",
+             |              cov${c + 1} AS MATERIALIZED (
+             |                SELECT cv.j, cv.k,
+             |                       cv.c - ((SELECT nrm FROM c${c}n$rounds) * a.v) * b.v AS c
+             |                FROM cov$c cv
+             |                JOIN c${c}v$rounds a ON a.j = cv.j
+             |                JOIN c${c}v$rounds b ON b.j = cv.k)""".stripMargin
+      s"$v0,\n              $rs$defl"
+    }.mkString(",\n              ")
+    val sel = (1 to comps).map { c =>
+      s"SELECT $c AS component, CAST(v.j AS INTEGER) AS coord, " +
+        s"v.v AS loading, n.nrm AS lambda, n.nrm / t.trace AS share " +
+        s"FROM c${c}v$rounds v, c${c}n$rounds n, tr t"
+    }.mkString("\n         UNION ALL ")
+    s"$base,\n              $comp\n         $sel\n         ORDER BY component, coord"
   }
 
   /** Unrolled BPE round CTEs replaying [[Tokenizer.bpeMerges]] over
@@ -6759,6 +6843,9 @@ object SparkEntry {
                 CAST(length(text) AS INTEGER) AS n_raw,
                 CAST(length(norm) AS INTEGER) AS n_norm
          FROM n ORDER BY doc_id""",
+    // PCA replay: generated covariance + unrolled power rounds.
+    "q_pca" ->
+      raw"""WITH ${pcaSql(64, 2, 8, 14)}""",
     // BPE replay: the full generated round chain (bpeCtesSql), then
     // the merge-table union — rounds past symbol exhaustion contribute
     // no row on either side.
@@ -7393,5 +7480,5 @@ object SparkEntry {
     "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
     "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest",
     "q_sssp", "q_benford", "q_normalize", "q_linkage_em",
-    "q_bpe", "q_bpe_encode")
+    "q_bpe", "q_bpe_encode", "q_pca")
 }

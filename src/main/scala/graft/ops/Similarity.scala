@@ -537,6 +537,113 @@ object Similarity {
     }
     out.toDF("sel", idCol, "ms")
   }
+
+  /** DETERMINISTIC PCA of the embedding corpus — the top principal
+    * components by fixed-round power iteration with deflation, on an
+    * EXACT fixed-point covariance matrix: the embedding-analytics
+    * artifact (dominant directions, eigenvalue spectrum share) that
+    * tells you whether a corpus' embedding space has collapsed before
+    * anyone trusts a cosine threshold on it.
+    *
+    * Determinism recipe (the fsEmWeights pattern at matrix scale):
+    * each coordinate quantizes to `floor(x * 2^scaleBits)` (float →
+    * double widening and the power-of-two multiply are both EXACT IEEE
+    * ops), so every covariance input is an integer; the (dim x dim)
+    * product-sum matrix is exact Long arithmetic — order-free on any
+    * partitioning — and a LOUD row-count guard keeps every sum under
+    * 2^53 (`n <= 2^(55 - 2*scaleBits)`; raise the sums to DECIMAL past
+    * that, documented, not silent). Only dim + dim^2 + 1 slim rows
+    * reach the driver (the <= 2^12-cell collect contract). The power
+    * rounds are fixed-order driver arithmetic: matvec rows fold over k
+    * ascending, norms fold over j ascending, all 0.0-seeded — the
+    * exact operand sequences the oracle replays via list_reduce over
+    * list(... ORDER BY ...); sqrt is correctly-rounded IEEE (allowed;
+    * the log/pow ban does not cover it). Eigenvalue estimate is the
+    * final round's pre-normalization norm ||C v||; deflation is
+    * `c - (lambda * v_j) * v_k` in that operand order.
+    *
+    * Output: one row per (component, coord 1-based): loading, the
+    * component's eigenvalue estimate, and its share of total variance
+    * (trace). Returns `components * dim` rows.
+    *
+    * Scale shape: ONE narrow pass over the corpus quantizes; the
+    * pair-sum explode shuffles (j, k, partial sum) rows with map-side
+    * partials — dim^2 cells regardless of corpus size; rounds are
+    * driver-local. At 100 TB nothing changes but the (guarded) Long →
+    * DECIMAL sum width. */
+  def pcaTopComponents(df: DataFrame, vecCol: String, dim: Int,
+      components: Int = 2, rounds: Int = 8, scaleBits: Int = 14)
+      : DataFrame = {
+    require(dim >= 2 && dim <= 512,
+      s"pcaTopComponents: dim must be in [2, 512], got $dim")
+    require(components >= 1 && components <= 8,
+      s"pcaTopComponents: components must be in [1, 8], got $components")
+    require(rounds >= 1 && rounds <= 64,
+      s"pcaTopComponents: rounds must be in [1, 64], got $rounds")
+    require(scaleBits >= 4 && scaleBits <= 20,
+      s"pcaTopComponents: scaleBits must be in [4, 20], got $scaleBits")
+    val scaleD = (1L << scaleBits).toDouble
+    val q = df
+      .where(assert_true(size(col(vecCol)) === lit(dim),
+        concat(lit(s"pcaTopComponents: vector of length "),
+          size(col(vecCol)).cast(StringType),
+          lit(s" != declared dim $dim"))).isNull)
+      .select(transform(col(vecCol), x =>
+        floor(x.cast(DoubleType) * lit(scaleD)).cast(LongType)).as("q"))
+      .localCheckpoint()
+    val n = q.count()
+    require(n >= 2, s"pcaTopComponents: need >= 2 vectors, got $n")
+    val nBound = 1L << math.max(0, 55 - 2 * scaleBits)
+    require(n <= nBound,
+      s"pcaTopComponents: $n rows would push product sums past the " +
+        s"2^53 exactness bound at scaleBits=$scaleBits (max $nBound) " +
+        "— lower scaleBits or raise the sums to DECIMAL")
+    val sj = Array.ofDim[Long](dim)
+    q.select(posexplode(col("q")).as(Seq("j", "x")))
+      .groupBy(col("j")).agg(sum(col("x")).as("s"))
+      .collect().foreach(r => sj(r.getInt(0)) = r.getLong(1))
+    val sjk = Array.ofDim[Long](dim, dim)
+    q.select(posexplode(col("q")).as(Seq("j", "x")), col("q"))
+      .select(col("j"), col("x"), posexplode(col("q")).as(Seq("k", "y")))
+      .groupBy(col("j"), col("k")).agg(sum(col("x") * col("y")).as("s"))
+      .collect().foreach(r => sjk(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    // exact casts (all magnitudes < 2^53), then the one fixed formula
+    val nD = n.toDouble
+    val sq = scaleD * scaleD
+    var cov = Array.tabulate(dim, dim) { (j, k) =>
+      (sjk(j)(k).toDouble / nD -
+        (sj(j).toDouble / nD) * (sj(k).toDouble / nD)) / sq
+    }
+    val trace = (0 until dim).foldLeft(0.0)((a, j) => a + cov(j)(j))
+    require(trace > 0.0,
+      "pcaTopComponents: zero total variance (constant vectors) — " +
+        "nothing to decompose")
+    val init = 1.0 / math.sqrt(dim.toDouble)
+    val out = Seq.newBuilder[(Int, Int, Double, Double, Double)]
+    for (c <- 1 to components) {
+      var v = Array.fill(dim)(init)
+      var lambda = 0.0
+      for (_ <- 1 to rounds) {
+        val u = Array.tabulate(dim) { j =>
+          (0 until dim).foldLeft(0.0)((a, k) => a + cov(j)(k) * v(k)) }
+        val nrm = math.sqrt(
+          (0 until dim).foldLeft(0.0)((a, j) => a + u(j) * u(j)))
+        require(nrm > 0.0,
+          s"pcaTopComponents: power iteration degenerated on component " +
+            s"$c (Cv = 0) — the start vector sits in the null space")
+        lambda = nrm
+        v = u.map(_ / nrm)
+      }
+      for (j <- 0 until dim)
+        out += ((c, j + 1, v(j), lambda, lambda / trace))
+      val vv = v
+      val lam = lambda
+      cov = Array.tabulate(dim, dim) { (j, k) =>
+        cov(j)(k) - (lam * vv(j)) * vv(k) }
+    }
+    df.sparkSession.createDataFrame(out.result())
+      .toDF("component", "coord", "loading", "lambda", "share")
+  }
 }
 
 /** Bounded-heap top-k aggregate: keeps the `k` largest (score, id) pairs,

@@ -1145,6 +1145,14 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_pca: covariance reduced cluster-side to dim^2 exact sums; " +
+      "the component table is a driver-local artifact") {
+    val p = plan("q_pca")
+    p should include("LocalTableScan")
+    p should not include "Join"
+    p should not include "Window"
+  }
+
   test("q_bpe_encode: word-count reduction then per-row HOF merge " +
       "chain — no joins, no Window, map-side partial aggregates") {
     val p = plan("q_bpe_encode")

@@ -327,4 +327,72 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
         k = 5, shortlist = 4, books)
     }.getMessage should include("shortlist")
   }
+
+  test("pcaTopComponents: rank-1 2D data recovers the (1, 2) direction " +
+      "exactly and claims the whole variance") {
+    // points (0.125k, 0.25k), k in -2..2 — every coordinate is exactly
+    // representable at the 2^14 fixed point, the covariance matrix is
+    // exactly [[v, 2v], [2v, 4v]], and one matvec already lands on the
+    // (1, 2) eigendirection, so loading2 = 2 * loading1 EXACTLY.
+    val vecs = (-2 to 2).map(k =>
+      Tuple1(Seq(0.125f * k, 0.25f * k)))
+    val out = Similarity.pcaTopComponents(
+        vecs.toDF("v"), "v", dim = 2, components = 1, rounds = 4)
+      .as[(Int, Int, Double, Double, Double)].collect().sortBy(_._2)
+    val Array(c1, c2) = out
+    c2._3 shouldBe 2.0 * c1._3 // exact doubling survives IEEE
+    c1._5 shouldBe 1.0 +- 1e-12 // rank-1: component 1 is ALL variance
+    c1._4 should be > 0.0
+  }
+
+  test("pcaTopComponents: full-rank corpus gives orthogonal components " +
+      "with descending variance shares; partition-invariant") {
+    val rnd = new scala.util.Random(42)
+    // anisotropic cloud: coord 1 dominates, coord 2 next, rest noise
+    val vecs = Seq.fill(300)(Tuple1(Seq.tabulate(8) { j =>
+      val sd = if (j == 0) 1.0 else if (j == 1) 0.4 else 0.05
+      (rnd.nextGaussian() * sd).toFloat }))
+    def run(parts: Int) = Similarity.pcaTopComponents(
+        vecs.toDF("v").repartition(parts), "v", dim = 8,
+        components = 2, rounds = 12)
+      .as[(Int, Int, Double, Double, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val out = run(1)
+    out shouldBe run(7) // exact integer sums -> identical everywhere
+    val v1 = out.filter(_._1 == 1).map(_._3)
+    val v2 = out.filter(_._1 == 2).map(_._3)
+    math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) should be < 1e-6
+    val (l1, l2) = (out.find(_._1 == 1).get._4, out.find(_._1 == 2).get._4)
+    l1 should be > l2
+    l2 should be > 0.0
+    // dominant direction is coord 1 (then 2): largest |loading| first
+    v1.map(math.abs).zipWithIndex.maxBy(_._1)._2 shouldBe 0
+    v2.map(math.abs).zipWithIndex.maxBy(_._1)._2 shouldBe 1
+  }
+
+  test("pcaTopComponents guards fire loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.pcaTopComponents(
+        Seq(Tuple1(Seq(1f, 2f))).toDF("v"), "v", dim = 2, components = 0)
+    // declared dim mismatch -> loud row-level assert
+    intercept[Exception] {
+      Similarity.pcaTopComponents(
+        Seq(Tuple1(Seq(1f, 2f, 3f))).toDF("v"), "v", dim = 2)
+    }.getMessage should include("!= declared dim")
+    // constant vectors -> zero variance, loud
+    intercept[IllegalArgumentException] {
+      Similarity.pcaTopComponents(
+        Seq.fill(5)(Tuple1(Seq(0.25f, 0.25f))).toDF("v"), "v", dim = 2)
+    }.getMessage should include("zero total variance")
+    // rank-1 data + 2 components: deflation leaves only rounding
+    // residue (~1e-17), so component 2 converges on noise with a
+    // negligible share rather than degenerating — pin that the share
+    // says "nothing here" instead of lying
+    val resid = Similarity.pcaTopComponents(
+        (-2 to 2).map(k => Tuple1(Seq(0.125f * k, 0.25f * k))).toDF("v"),
+        "v", dim = 2, components = 2)
+      .as[(Int, Int, Double, Double, Double)].collect()
+      .filter(_._1 == 2).head
+    resid._5 should be < 1e-10
+  }
 }
