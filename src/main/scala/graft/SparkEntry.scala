@@ -2239,6 +2239,57 @@ object SparkEntry {
           dim = 64, components = 2, rounds = 8)
         .orderBy("component", "coord")
     }),
+    "q_pca_project" -> ((s, dir) => {
+      // Serving side of q_pca (Similarity.pcaFit + pcaProject): every
+      // embedding projected onto the two trained components — per-row
+      // ascending-coordinate folds, no shuffle; the oracle re-derives
+      // means/loadings through the same chain (full-pipeline replay).
+      val emb = t(s, dir, "embeddings")
+      val (means, comps, _) =
+        Similarity.pcaFit(emb, "embedding", dim = 64, components = 2,
+          rounds = 8)
+      Similarity.pcaProject(emb, "vec_id", "embedding",
+          means.toSeq, comps.map(_._1.toSeq))
+        .orderBy("vec_id")
+    }),
+    "q_cuped" -> ((s, dir) => {
+      // CUPED variance reduction (Stats.cuped): per-user pre/post
+      // spend split by day parity, variant by user parity (the
+      // q_abtest assignment); theta fit pooled over exact DECIMAL
+      // moments. The var_reduction column is the headline: how much
+      // experiment traffic the covariate saves.
+      val e = t(s, dir, "events").select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      val per = e.groupBy(col("user_id")).agg(
+        sum(when(pmod(col("day"), lit(2)) === 0, col("cents")).otherwise(0L))
+          .as("pre"),
+        sum(when(pmod(col("day"), lit(2)) === 1, col("cents")).otherwise(0L))
+          .as("post"))
+      graft.ops.Stats.cuped(per.withColumn("variant", pmod(col("user_id"), lit(2)) === 0),
+          "variant", "pre", "post")
+        .orderBy("variant")
+    }),
+    "q_calibration" -> ((s, dir) => {
+      // Calibration curve + ECE contributions (Stats.calibrationBins)
+      // for a rate predictor: per user_id%64 cohort purchase rate fit
+      // on even days (quantized to 2^20 with PURE integer arithmetic
+      // — exact at any corpus size), evaluated on odd days, 20 bins.
+      // Read next to q_auc: ranking vs numbers.
+      val scale = 1L << 20
+      val e = t(s, dir, "events").select(
+        expr("(ts div 1000) div 86400000000").as("day"),
+        (col("event_type") === "purchase").cast(LongType).as("y"),
+        pmod(col("user_id"), lit(64)).as("g"))
+      val train = e.where(pmod(col("day"), lit(2)) === 0)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+        .select(col("g"), expr(s"(pos * ${scale}L) div cnt").as("score_fp"))
+      val evalSide = e.where(pmod(col("day"), lit(2)) === 1)
+        .join(broadcast(train), Seq("g"))
+      graft.ops.Stats.calibrationBins(evalSide, "score_fp", "y", bins = 20)
+        .orderBy("bin")
+    }),
     "q_bpe" -> ((s, dir) => {
       // BPE vocabulary induction (Tokenizer.bpeMerges): 12 tokenizer
       // merge rules trained on the documents corpus — the artifact
@@ -3312,13 +3363,16 @@ object SparkEntry {
              |                JOIN c${c}v$rounds b ON b.j = cv.k)""".stripMargin
       s"$v0,\n              $rs$defl"
     }.mkString(",\n              ")
-    val sel = (1 to comps).map { c =>
+    s"$base,\n              $comp"
+  }
+
+  /** The q_pca merge-table tail over [[pcaSql]]'s CTEs. */
+  private def pcaSelectSql(comps: Int, rounds: Int): String =
+    (1 to comps).map { c =>
       s"SELECT $c AS component, CAST(v.j AS INTEGER) AS coord, " +
         s"v.v AS loading, n.nrm AS lambda, n.nrm / t.trace AS share " +
         s"FROM c${c}v$rounds v, c${c}n$rounds n, tr t"
-    }.mkString("\n         UNION ALL ")
-    s"$base,\n              $comp\n         $sel\n         ORDER BY component, coord"
-  }
+    }.mkString("\n         UNION ALL ") + "\n         ORDER BY component, coord"
 
   /** Unrolled BPE round CTEs replaying [[Tokenizer.bpeMerges]] over
     * `documents`: `tok`/`w0` (word-frequency table with char symbol
@@ -6845,7 +6899,100 @@ object SparkEntry {
          FROM n ORDER BY doc_id""",
     // PCA replay: generated covariance + unrolled power rounds.
     "q_pca" ->
-      raw"""WITH ${pcaSql(64, 2, 8, 14)}""",
+      raw"""WITH ${pcaSql(64, 2, 8, 14)}
+         ${pcaSelectSql(2, 8)}""",
+    // Projection replay: the SAME trained chain, means/loadings packed
+    // into lists, then the identical per-row ascending-coordinate fold
+    // (full-pipeline replay, no stamped loadings).
+    "q_pca_project" ->
+      raw"""WITH ${pcaSql(64, 2, 8, 14)},
+              ml AS (SELECT list((CAST(s.sj AS DOUBLE) / CAST(n.n AS DOUBLE))
+                                   / CAST('16384.0' AS DOUBLE)
+                                 ORDER BY s.j) AS m
+                     FROM sjv s, nn n),
+              vl1 AS (SELECT list(v ORDER BY j) AS v FROM c1v8),
+              vl2 AS (SELECT list(v ORDER BY j) AS v FROM c2v8)
+         SELECT e.vec_id,
+                list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65),
+                  j -> (CAST(e.embedding[j] AS DOUBLE) - m.m[j]) * v1.v[j]),
+                  (a, b) -> a + b) AS pc1,
+                list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, 65),
+                  j -> (CAST(e.embedding[j] AS DOUBLE) - m.m[j]) * v2.v[j]),
+                  (a, b) -> a + b) AS pc2
+         FROM embeddings e, ml m, vl1 v1, vl2 v2
+         ORDER BY e.vec_id""",
+    // CUPED replay: exact DECIMAL moments, the corrRegression cast
+    // idiom, identical closing expression tree.
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id,
+                          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+              per AS (SELECT user_id,
+                             (user_id % 2 = 0) AS variant,
+                             CAST(sum(CASE WHEN day % 2 = 0 THEN cents ELSE 0 END) AS BIGINT) AS pre,
+                             CAST(sum(CASE WHEN day % 2 = 1 THEN cents ELSE 0 END) AS BIGINT) AS post
+                      FROM e GROUP BY 1, 2),
+              pl AS (SELECT count(*) AS n_all,
+                            -- sums here pass 2^53, where DuckDB's
+                            -- direct DECIMAL->DOUBLE cast is double-
+                            -- rounded; the VARCHAR bridge parses
+                            -- correctly rounded, matching the JVM
+                            CAST(CAST(sum(CAST(pre AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+                            CAST(CAST(sum(CAST(post AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+                            CAST(CAST(sum(CAST(pre * pre AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+                            CAST(CAST(sum(CAST(pre * post AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxy,
+                            CAST(CAST(sum(CAST(post * post AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS syy
+                     FROM per),
+              pv AS (SELECT variant, count(*) AS n,
+                            CAST(CAST(sum(CAST(pre AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS vx,
+                            CAST(CAST(sum(CAST(post AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS vy
+                     FROM per GROUP BY variant),
+              cl AS (SELECT variant, n, vx, vy, n_all, sx, sy,
+                            CAST(n_all AS DOUBLE) * sxx - sx * sx AS denx,
+                            CAST(n_all AS DOUBLE) * syy - sy * sy AS deny,
+                            CAST(n_all AS DOUBLE) * sxy - sx * sy AS num
+                     FROM pv, pl)
+         SELECT variant, n,
+                vy / CAST(n AS DOUBLE) AS mean_post,
+                CASE WHEN denx > 0 THEN
+                  vy / CAST(n AS DOUBLE)
+                    - (num / denx) * (vx / CAST(n AS DOUBLE)
+                                      - sx / CAST(n_all AS DOUBLE)) END AS mean_adj,
+                CASE WHEN denx > 0 THEN num / denx END AS theta,
+                CASE WHEN denx > 0 AND deny > 0
+                     THEN num / (sqrt(denx) * sqrt(deny)) END AS corr,
+                CASE WHEN denx > 0 AND deny > 0
+                     THEN (num / (sqrt(denx) * sqrt(deny)))
+                          * (num / (sqrt(denx) * sqrt(deny))) END AS var_reduction
+         FROM cl ORDER BY variant""",
+    // Calibration replay: integer rate quantization, integer binning,
+    // exact Long bin sums, the same three closing divisions.
+    "q_calibration" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                          CAST(event_type = 'purchase' AS BIGINT) AS y,
+                          user_id % 64 AS g
+                   FROM events),
+              tr AS (SELECT g, count(*) AS cnt, sum(y) AS pos
+                     FROM e WHERE day % 2 = 0 GROUP BY g),
+              sc AS (SELECT g, (pos * 1048576) // cnt AS score_fp FROM tr),
+              ev AS (SELECT e.y, s.score_fp
+                     FROM e JOIN sc s USING (g) WHERE e.day % 2 = 1),
+              ag AS (SELECT CAST(least((score_fp * 20) // 1048576, 19) AS INTEGER) AS bin,
+                            CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(y) AS BIGINT) AS pos,
+                            CAST(sum(score_fp) AS BIGINT) AS s_fp
+                     FROM ev GROUP BY 1),
+              tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ev)
+         SELECT bin, n, pos,
+                CAST(s_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS mean_pred,
+                CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate,
+                abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(s_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)) AS gap,
+                (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+                  * abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(s_fp AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)) AS ece_part
+         FROM ag, tt ORDER BY bin""",
     // BPE replay: the full generated round chain (bpeCtesSql), then
     // the merge-table union — rounds past symbol exhaustion contribute
     // no row on either side.
@@ -7480,5 +7627,6 @@ object SparkEntry {
     "q_distinctive_terms", "q_kappa", "q_gini", "q_luhn_scrub",
     "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest",
     "q_sssp", "q_benford", "q_normalize", "q_linkage_em",
-    "q_bpe", "q_bpe_encode", "q_pca")
+    "q_bpe", "q_bpe_encode", "q_pca", "q_pca_project", "q_cuped",
+    "q_calibration")
 }

@@ -574,6 +574,24 @@ object Similarity {
   def pcaTopComponents(df: DataFrame, vecCol: String, dim: Int,
       components: Int = 2, rounds: Int = 8, scaleBits: Int = 14)
       : DataFrame = {
+    val (_, comps, trace) =
+      pcaFit(df, vecCol, dim, components, rounds, scaleBits)
+    val out = for {
+      (c, (v, lambda)) <- (1 to components).zip(comps)
+      j <- 0 until dim
+    } yield (c, j + 1, v(j), lambda, lambda / trace)
+    df.sparkSession.createDataFrame(out)
+      .toDF("component", "coord", "loading", "lambda", "share")
+  }
+
+  /** Driver-side PCA fit — the training half of [[pcaTopComponents]]
+    * exposed for serving ([[pcaProject]]): returns (per-coordinate
+    * means, (loading vector, eigenvalue) per component, total
+    * variance). Same arithmetic, same guards, same determinism
+    * contract. */
+  def pcaFit(df: DataFrame, vecCol: String, dim: Int,
+      components: Int = 2, rounds: Int = 8, scaleBits: Int = 14)
+      : (Array[Double], Seq[(Array[Double], Double)], Double) = {
     require(dim >= 2 && dim <= 512,
       s"pcaTopComponents: dim must be in [2, 512], got $dim")
     require(components >= 1 && components <= 8,
@@ -619,7 +637,8 @@ object Similarity {
       "pcaTopComponents: zero total variance (constant vectors) — " +
         "nothing to decompose")
     val init = 1.0 / math.sqrt(dim.toDouble)
-    val out = Seq.newBuilder[(Int, Int, Double, Double, Double)]
+    val means = Array.tabulate(dim)(j => (sj(j).toDouble / nD) / scaleD)
+    val comps = Seq.newBuilder[(Array[Double], Double)]
     for (c <- 1 to components) {
       var v = Array.fill(dim)(init)
       var lambda = 0.0
@@ -634,15 +653,42 @@ object Similarity {
         lambda = nrm
         v = u.map(_ / nrm)
       }
-      for (j <- 0 until dim)
-        out += ((c, j + 1, v(j), lambda, lambda / trace))
+      comps += ((v, lambda))
       val vv = v
       val lam = lambda
       cov = Array.tabulate(dim, dim) { (j, k) =>
         cov(j)(k) - (lam * vv(j)) * vv(k) }
     }
-    df.sparkSession.createDataFrame(out.result())
-      .toDF("component", "coord", "loading", "lambda", "share")
+    (means, comps.result(), trace)
+  }
+
+  /** Serving half of the PCA pair: project every vector onto trained
+    * components — score_c = fold over coordinates ASC of
+    * `(x_j - mean_j) * v_c[j]`, 0.0-seeded, one codegen'd
+    * zip_with/aggregate chain per component, per row, NO shuffle
+    * (document embeddings never leave their partition; the projection
+    * is the dimensionality-reduced view downstream dedup/ANN can run
+    * on). Means/loadings are [[pcaFit]]'s driver artifacts. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      means: Seq[Double], comps: Seq[Seq[Double]]): DataFrame = {
+    require(comps.nonEmpty, "pcaProject: need at least one component")
+    require(comps.forall(_.size == means.size),
+      "pcaProject: component length != means length")
+    val dim = means.size
+    val mlit = array(means.map(lit): _*)
+    val pcs = comps.zipWithIndex.map { case (v, i) =>
+      val vlit = array(v.map(lit): _*)
+      aggregate(
+        zip_with(
+          zip_with(col(vecCol), mlit, (x, m) => x.cast(DoubleType) - m),
+          vlit, (d, w) => d * w),
+        lit(0.0), (acc, e) => acc + e).as(s"pc${i + 1}")
+    }
+    df.where(assert_true(size(col(vecCol)) === lit(dim),
+        concat(lit("pcaProject: vector of length "),
+          size(col(vecCol)).cast(StringType),
+          lit(s" != trained dim $dim"))).isNull)
+      .select(col(idCol) +: pcs: _*)
   }
 }
 

@@ -688,4 +688,116 @@ object Stats {
       .withColumn("auc", col("u2").cast(DoubleType) /
         (lit(2L) * col("n_pos") * col("n_neg")).cast(DoubleType))
   }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"): adjust each unit's experiment
+    * metric by its pre-period covariate — `adj = post - theta * (pre -
+    * mean_pre)` with `theta = cov(pre, post) / var(pre)` fit POOLED
+    * across variants (fitting per-variant would leak the treatment
+    * effect into the adjustment). The variant means of `adj` keep the
+    * same expectation as `post` but with variance shrunk by corr^2 —
+    * the standard way an A/B test reaches significance on a fraction
+    * of the traffic.
+    *
+    * Determinism: the corrRegression moment recipe — exact DECIMAL
+    * sums (order-free) cast once to double, then one fixed closing
+    * expression tree (theta, means, corr, and `var_reduction =
+    * corr * corr`) restated verbatim in the oracle. Zero pre-period
+    * variance yields NULL theta/adjustment columns (nothing to adjust
+    * with), not a throw — a constant covariate is a data fact.
+    *
+    * Scale: one pooled 1-row aggregate + one per-variant slim
+    * aggregate, both map-side partial; the pooled row rides a 1-row
+    * broadcast cross join. Returns one row per variant:
+    * `(variant, n, mean_post, mean_adj, theta, corr, var_reduction)`. */
+  def cuped(df: DataFrame, variantCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val x = col(preCol)
+    val y = col(postCol)
+    val base = df.where(x.isNotNull && y.isNotNull)
+    val pooled = base.agg(
+      count(lit(1)).as("n_all"),
+      sum(x.cast(DecimalType(18, 6))).cast(DoubleType).as("sx"),
+      sum(y.cast(DecimalType(18, 6))).cast(DoubleType).as("sy"),
+      sum((x * x).cast(DecimalType(28, 10))).cast(DoubleType).as("sxx"),
+      sum((x * y).cast(DecimalType(28, 10))).cast(DoubleType).as("sxy"),
+      sum((y * y).cast(DecimalType(28, 10))).cast(DoubleType).as("syy"))
+    val per = base.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 6))).cast(DoubleType).as("vx"),
+        sum(y.cast(DecimalType(18, 6))).cast(DoubleType).as("vy"))
+    val nAll = col("n_all").cast(DoubleType)
+    val nV = col("n").cast(DoubleType)
+    val denx = nAll * col("sxx") - col("sx") * col("sx")
+    val deny = nAll * col("syy") - col("sy") * col("sy")
+    val num = nAll * col("sxy") - col("sx") * col("sy")
+    val theta = when(denx > 0, num / denx)
+    val corr = when(denx > 0 && deny > 0, num / (sqrt(denx) * sqrt(deny)))
+    per.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n"),
+        (col("vy") / nV).as("mean_post"),
+        (col("vy") / nV - theta * (col("vx") / nV - col("sx") / nAll))
+          .as("mean_adj"),
+        theta.as("theta"),
+        corr.as("corr"),
+        (corr * corr).as("var_reduction"))
+  }
+
+  /** CALIBRATION CURVE + per-bin ECE contributions — "when the model
+    * says 30%, does it happen 30% of the time": bucket predictions
+    * into `bins` equal-width probability bins, and per bin report
+    * volume, mean prediction, observed rate, the |gap|, and the bin's
+    * expected-calibration-error contribution `(n / N) * gap` (ECE =
+    * their plain sum). The reliability artifact read next to
+    * [[rocAuc]]: AUC says the ranking is right, this says the
+    * NUMBERS are right — the difference decides whether a quality
+    * score can gate at a fixed threshold.
+    *
+    * Exactness contract: the score arrives PRE-QUANTIZED as an
+    * integer `score_fp` in [0, scale] (probability * scale, the
+    * lmScore fixed-point recipe — produce it with integer arithmetic,
+    * e.g. `(pos * scale) div cnt`, and it stays exact at ANY corpus
+    * size). Binning is pure integer arithmetic (`(score_fp * bins)
+    * div scale`, clamped); per-bin sums are exact Longs with a LOUD
+    * 2^53 guard; the only doubles are the final per-bin divisions.
+    * One hash aggregate into <= `bins` groups, totals on a 1-row
+    * broadcast. */
+  def calibrationBins(df: DataFrame, scoreFpCol: String, labelCol: String,
+      bins: Int, scale: Long = 1L << 20): DataFrame = {
+    require(bins >= 2 && bins <= 4096,
+      s"calibrationBins: bins must be in [2, 4096], got $bins")
+    require(scale >= bins && scale <= (1L << 40),
+      s"calibrationBins: scale must be in [bins, 2^40], got $scale")
+    val sfp = col(scoreFpCol).cast(LongType)
+    val base = df
+      .where(assert_true(
+        sfp.isNotNull && sfp >= 0L && sfp <= lit(scale),
+        concat(lit(s"calibrationBins: score_fp "),
+          sfp.cast(StringType),
+          lit(s" outside [0, $scale] — quantize the probability as " +
+            "floor(p * scale) first"))).isNull)
+      .select(sfp.as("sfp"), col(labelCol).cast(LongType).as("y"))
+      // integer bin arithmetic: (sfp * bins) div scale, clamped —
+      // sfp*bins <= 2^40 * 2^12 = 2^52, no overflow
+      .select(expr(s"CAST(least((sfp * ${bins}L) div ${scale}L, " +
+        s"${bins - 1}L) AS INT)").as("bin"), col("sfp"), col("y"))
+    val agg = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("sfp")).as("s_fp"))
+      .where(assert_true(col("s_fp") <= lit(1L << 53),
+        lit("calibrationBins: per-bin fixed-point sum passed the 2^53 " +
+          "exactness bound — lower `scale` or raise the sum to " +
+          "DECIMAL")).isNull)
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    val meanPred = col("s_fp").cast(DoubleType) /
+      (col("n") * lit(scale)).cast(DoubleType)
+    val obs = col("pos").cast(DoubleType) / col("n").cast(DoubleType)
+    agg.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("pos"),
+        meanPred.as("mean_pred"), obs.as("obs_rate"),
+        abs(obs - meanPred).as("gap"),
+        ((col("n").cast(DoubleType) / col("n_total").cast(DoubleType)) *
+          abs(obs - meanPred)).as("ece_part"))
+  }
 }

@@ -1153,6 +1153,33 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_pca_project: per-row fold projection — no join, no Window, " +
+      "no aggregate; the only exchange is the closing sort") {
+    val p = plan("q_pca_project")
+    p should not include "Join"
+    p should not include "Window"
+    p should not include "HashAggregate"
+    p should not include "Exchange hashpartitioning"
+  }
+
+  test("q_cuped: two slim moment aggregates, pooled row on a 1-row " +
+      "broadcast — no Window, no sort-merge join") {
+    val p = plan("q_cuped")
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "Window"
+    p should not include "SortMergeJoin"
+  }
+
+  test("q_calibration: cohort rates ride a broadcast onto the eval " +
+      "scan; bin sums aggregate map-side — no Window, no shuffle join") {
+    val p = plan("q_calibration")
+    p should include("BroadcastHashJoin")
+    p should include("partial_count")
+    p should not include "Window"
+    p should not include "SortMergeJoin"
+  }
+
   test("q_bpe_encode: word-count reduction then per-row HOF merge " +
       "chain — no joins, no Window, map-side partial aggregates") {
     val p = plan("q_bpe_encode")

@@ -395,4 +395,32 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
       .filter(_._1 == 2).head
     resid._5 should be < 1e-10
   }
+
+  test("pcaProject: identity loadings recover centered coordinates " +
+      "exactly; fit+project collapses rank-1 data to one axis") {
+    val df = Seq((1L, Seq(0.5f, 0.25f)), (2L, Seq(-0.5f, 0.75f)))
+      .toDF("id", "v")
+    val out = Similarity.pcaProject(df, "id", "v",
+        means = Seq(0.5, 0.25), comps = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, 0.0, 0.0))
+    out(1) shouldBe ((2L, -1.0, 0.5))
+    // end-to-end: rank-1 cloud projects to pc1 = ±0.125k*sqrt(5),
+    // pc2 ~ 0 (all variance on the first axis)
+    val cloud = (-2 to 2).map(k =>
+      (k.toLong, Seq(0.125f * k, 0.25f * k))).toDF("id", "v")
+    val (means, comps, _) =
+      Similarity.pcaFit(cloud, "v", dim = 2, components = 1, rounds = 4)
+    val proj = Similarity.pcaProject(cloud, "id", "v",
+        means.toSeq, comps.map(_._1.toSeq))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    proj.foreach { case (k, pc1) =>
+      math.abs(pc1) shouldBe 0.125 * math.abs(k) * math.sqrt(5.0) +- 1e-12
+    }
+    // loud dim mismatch
+    intercept[Exception] {
+      Similarity.pcaProject(df, "id", "v",
+        means = Seq(0.0), comps = Seq(Seq(1.0))).collect()
+    }.getMessage should include("!= trained dim")
+  }
 }

@@ -456,4 +456,74 @@ class StatsSpec extends SparkSpecBase with Matchers {
     a shouldBe expected
     run(7) shouldBe ((np, nn, u2, a))
   }
+
+  test("cuped: hand-computed pooled theta, adjusted means, corr, and " +
+      "variance reduction") {
+    // pooled moments: x = [10,20,10,20], y = [20,30,25,35]
+    // denx = 4*1000 - 60^2 = 400; num = 4*1750 - 60*110 = 400
+    // -> theta = 1; deny = 4*3150 - 110^2 = 500
+    val df = Seq(
+      (true, 10L, 20L), (true, 20L, 30L),
+      (false, 10L, 25L), (false, 20L, 35L)).toDF("v", "pre", "post")
+    val corr = 400.0 / (math.sqrt(400.0) * math.sqrt(500.0))
+    val byV = Stats.cuped(df, "v", "pre", "post")
+      .as[(Boolean, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    byV(true)._3 shouldBe 25.0   // mean_post A
+    byV(false)._3 shouldBe 30.0
+    // both variants sit at the grand pre-mean, so adjustment is a
+    // no-op for the MEANS while the per-unit variance still shrinks
+    byV(true)._4 shouldBe 25.0
+    byV(false)._4 shouldBe 30.0
+    byV(true)._5 shouldBe 1.0    // theta
+    byV(true)._6 shouldBe corr
+    byV(true)._7 shouldBe corr * corr // 0.8: 80% variance reduction
+  }
+
+  test("cuped: constant pre-period covariate yields NULL theta/adj, " +
+      "not a throw") {
+    val df = Seq((true, 5L, 20L), (true, 5L, 30L), (false, 5L, 25L))
+      .toDF("v", "pre", "post")
+    val rows = Stats.cuped(df, "v", "pre", "post").collect()
+    rows.foreach { r =>
+      r.isNullAt(r.fieldIndex("theta")) shouldBe true
+      r.isNullAt(r.fieldIndex("mean_adj")) shouldBe true
+    }
+  }
+
+  test("calibrationBins: hand-computed bins, exact fixed-point means, " +
+      "clamped top edge, ECE parts") {
+    // scale 100, 5 bins (width 20 fp): scores 10,10 -> bin 0;
+    // 50,55,59 -> bin 2; 95,100 -> bin 4 (100*5//100 = 5 clamps to 4)
+    val df = Seq(
+      (10L, 0L), (10L, 1L), (50L, 1L), (55L, 0L), (59L, 1L),
+      (95L, 1L), (100L, 1L)).toDF("score_fp", "y")
+    val out = Stats.calibrationBins(df, "score_fp", "y", bins = 5,
+        scale = 100L)
+      .as[(Int, Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    out.map(_._1) shouldBe Seq(0, 2, 4)
+    val b0 = out(0)
+    b0._2 shouldBe 2L
+    b0._4 shouldBe 20.0 / 200.0 // mean_pred
+    b0._5 shouldBe 0.5
+    b0._6 shouldBe math.abs(0.5 - 20.0 / 200.0)
+    b0._7 shouldBe (2.0 / 7.0) * math.abs(0.5 - 20.0 / 200.0)
+    val b4 = out(2)
+    b4._2 shouldBe 2L
+    b4._4 shouldBe 195.0 / 200.0
+    b4._5 shouldBe 1.0
+    // total ECE (sum of parts) is small only if the model is honest
+    out.map(_._7).sum should be > 0.0
+  }
+
+  test("calibrationBins guards fire loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      Stats.calibrationBins(Seq((1L, 1L)).toDF("score_fp", "y"),
+        "score_fp", "y", bins = 1)
+    intercept[Exception] {
+      Stats.calibrationBins(Seq((101L, 1L)).toDF("score_fp", "y"),
+        "score_fp", "y", bins = 5, scale = 100L).collect()
+    }.getMessage should include("outside [0, 100]")
+  }
 }
