@@ -2239,6 +2239,31 @@ object SparkEntry {
           dim = 64, components = 2, rounds = 8)
         .orderBy("component", "coord")
     }),
+    "q_simpson" -> ((s, dir) => {
+      // Gini–Simpson lexical diversity per source
+      // (TextAnalysis.simpsonDiversity): the log-free entropy stand-in
+      // — 1 - sum(p^2) and the effective vocabulary 1/sum(p^2). Exact
+      // Long sum of squared counts (loudly 2^53-guarded), two closing
+      // divisions. Read next to q_vocab: types that EXIST vs types
+      // DOING WORK.
+      TextAnalysis.simpsonDiversity(t(s, dir, "documents"), "source",
+          "text")
+        .select(col("grp").as("source"), col("n_tokens"),
+          col("n_distinct"), col("simpson"), col("eff_vocab"))
+        .orderBy("source")
+    }),
+    "q_seasonal" -> ((s, dir) => {
+      // Additive seasonal decomposition of per-type daily spend
+      // (EventAnalytics.seasonalDecompose): value = trend (centered
+      // ±3-day RANGE-window mean) + seasonal (weekday mean minus
+      // grand mean, exact-integer means) + resid — the seasonally
+      // honest level alarm beside q_rate_spikes' burst ratio.
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      EventAnalytics.seasonalDecompose(e, "event_type", "day", "cents")
+        .orderBy("event_type", "day")
+    }),
     "q_pca_project" -> ((s, dir) => {
       // Serving side of q_pca (Similarity.pcaFit + pcaProject): every
       // embedding projected onto the two trained components — per-row
@@ -6921,6 +6946,57 @@ object SparkEntry {
                   (a, b) -> a + b) AS pc2
          FROM embeddings e, ml m, vl1 v1, vl2 v2
          ORDER BY e.vec_id""",
+    // Simpson replay: same tokenization, exact integer c^2 sum, the
+    // same two closing divisions.
+    "q_simpson" ->
+      raw"""WITH tok AS (SELECT source AS grp,
+                            unnest(list_filter(string_split_regex(lower(text),
+                              '[^\p{L}\p{N}]+'), x -> x <> '')) AS t
+                     FROM documents),
+              c AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS c
+                    FROM tok GROUP BY 1, 2),
+              a AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_distinct,
+                           CAST(sum(c * c) AS BIGINT) AS sc2
+                    FROM c GROUP BY grp)
+         SELECT grp AS source, n_tokens, n_distinct,
+                CAST(1 AS DOUBLE) - CAST(sc2 AS DOUBLE)
+                  / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson,
+                CAST(n_tokens * n_tokens AS DOUBLE)
+                  / CAST(sc2 AS DOUBLE) AS eff_vocab
+         FROM a ORDER BY source""",
+    // Seasonal replay: same daily aggregate, RANGE window trend,
+    // exact-integer weekday/grand means, fixed-order residual.
+    "q_seasonal" ->
+      """WITH e AS (SELECT event_type AS key,
+                          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+              d AS (SELECT key, day, CAST(sum(cents) AS BIGINT) AS v
+                    FROM e GROUP BY 1, 2),
+              t AS (SELECT key, day, v,
+                           CAST(sum(v) OVER w AS DOUBLE)
+                             / CAST(count(*) OVER w AS DOUBLE) AS trend,
+                           day % 7 AS wd
+                    FROM d
+                    WINDOW w AS (PARTITION BY key ORDER BY day
+                                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              wk AS (SELECT key, day % 7 AS wd,
+                            CAST(sum(v) AS BIGINT) AS sw,
+                            CAST(count(*) AS BIGINT) AS cw
+                     FROM d GROUP BY 1, 2),
+              g AS (SELECT key, CAST(sum(v) AS BIGINT) AS sg,
+                           CAST(count(*) AS BIGINT) AS cg
+                    FROM d GROUP BY key)
+         SELECT t.key AS event_type, t.day, t.v, t.trend,
+                CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE)
+                  - CAST(sg AS DOUBLE) / CAST(cg AS DOUBLE) AS seasonal,
+                (CAST(t.v AS DOUBLE) - t.trend)
+                  - (CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE)
+                     - CAST(sg AS DOUBLE) / CAST(cg AS DOUBLE)) AS resid
+         FROM t JOIN wk ON wk.key = t.key AND wk.wd = t.wd
+                JOIN g ON g.key = t.key
+         ORDER BY event_type, day""",
     // CUPED replay: exact DECIMAL moments, the corrRegression cast
     // idiom, identical closing expression tree.
     "q_cuped" ->
@@ -7628,5 +7704,5 @@ object SparkEntry {
     "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest",
     "q_sssp", "q_benford", "q_normalize", "q_linkage_em",
     "q_bpe", "q_bpe_encode", "q_pca", "q_pca_project", "q_cuped",
-    "q_calibration")
+    "q_calibration", "q_simpson", "q_seasonal")
 }

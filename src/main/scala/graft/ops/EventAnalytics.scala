@@ -638,4 +638,60 @@ object EventAnalytics {
             (col("n_keys") * col("total")).cast(DoubleType))
           .as("gini"))
   }
+
+  /** ADDITIVE SEASONAL DECOMPOSITION of per-key daily totals —
+    * `value = trend + seasonal + resid`, the monitoring view that
+    * separates "traffic grew" (trend) from "it's Saturday" (seasonal)
+    * from "something broke" (resid). Raw day-over-day deltas alarm
+    * every weekend; [[rateSpikes]]' lift is the burst RATIO view —
+    * the residual here is the seasonally-honest LEVEL alarm.
+    *
+    *  - trend: centered ±`halfWin`-day moving average via ONE RANGE
+    *    window over the integer day — exact Long sums, one division
+    *    per row; day gaps shrink the window honestly (average over
+    *    PRESENT days) instead of fabricating zero days.
+    *  - seasonal: weekday (`day % 7`) mean minus the key's grand
+    *    mean, both exact-integer sums with one division each — the
+    *    classic means-based additive index, computed from RAW values
+    *    rather than the detrended series BY DESIGN: a detrended mean
+    *    would sum doubles in partition order (nondeterministic);
+    *    with a near-stationary trend the two agree, and the raw form
+    *    replays bit-for-bit (documented simplification).
+    *  - resid = `(v - trend) - seasonal` in that fixed order.
+    *
+    * `valCol` must be integral (cent-scale first — the house rule).
+    * Scale: one (key, day) aggregate, one RANGE window per key
+    * (partitions bounded by the day span, never the event stream),
+    * and two slim per-key aggregate joins that broadcast (keys here
+    * are monitored series — event types, sources — not users). */
+  def seasonalDecompose(events: DataFrame, keyCol: String, dayCol: String,
+      valCol: String, halfWin: Int = 3): DataFrame = {
+    require(halfWin >= 1 && halfWin <= 45,
+      s"seasonalDecompose: halfWin must be in [1, 45], got $halfWin")
+    val daily = events
+      .groupBy(col(keyCol).as("key"), col(dayCol).as("day"))
+      .agg(sum(col(valCol)).as("v"))
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rangeBetween(-halfWin, halfWin)
+    // both window expressions in ONE projection (single Window node)
+    val trended = daily.select(col("key"), col("day"), col("v"),
+      (sum(col("v")).over(w).cast(DoubleType) /
+        count(lit(1)).over(w).cast(DoubleType)).as("trend"),
+      pmod(col("day"), lit(7)).as("wd"))
+    val wk = daily
+      .groupBy(col("key"), pmod(col("day"), lit(7)).as("wd"))
+      .agg(sum(col("v")).as("sw"), count(lit(1)).as("cw"))
+    val g = daily.groupBy(col("key"))
+      .agg(sum(col("v")).as("sg"), count(lit(1)).as("cg"))
+    val seasonal =
+      col("sw").cast(DoubleType) / col("cw").cast(DoubleType) -
+        col("sg").cast(DoubleType) / col("cg").cast(DoubleType)
+    trended
+      .join(broadcast(wk), Seq("key", "wd"))
+      .join(broadcast(g), Seq("key"))
+      .select(col("key").as(keyCol), col("day").as(dayCol), col("v"),
+        col("trend"), seasonal.as("seasonal"),
+        ((col("v").cast(DoubleType) - col("trend")) - seasonal)
+          .as("resid"))
+  }
 }

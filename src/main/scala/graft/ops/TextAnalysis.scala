@@ -396,6 +396,47 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(n)
 
+  /** GINI–SIMPSON LEXICAL DIVERSITY per group — the entropy-shaped
+    * "how concentrated is the vocabulary" number WITHOUT entropy's
+    * `log` (the standing libm ban): `simpson = 1 - Σ_t p_t²` (the
+    * probability two random tokens differ) and its inverse-form
+    * `eff_vocab = 1 / Σ p_t²` (the "effective number of tokens" —
+    * equals the true distinct count iff usage is uniform, collapses
+    * toward 1 as boilerplate takes over). The corpus-collapse tripwire
+    * read next to q_vocab/q_repetition: distinct count says how many
+    * types EXIST, this says how many are actually DOING WORK.
+    *
+    * Exactness: token counts are integers, so Σ c_t² is ONE exact
+    * Long aggregate (order-free) and both outputs are single divisions
+    * of exactly-representable operands — `Σ c² ≤ n² < 2^53` ENFORCED
+    * loudly at n > 94.9M tokens per group (raise to DECIMAL past it,
+    * documented not silent). Scale: explode → one (group, token)
+    * count aggregate (map-side partials) → one per-group fold; text
+    * never shuffles. */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tok = df
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c"))
+    val agg = tok.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sc2"))
+      .where(assert_true(
+        col("n_tokens") <= lit(94906265L), // floor(sqrt(2^53))
+        concat(lit("simpsonDiversity: group "),
+          col("grp").cast(StringType),
+          lit(" has more tokens than the 2^53 exactness bound allows " +
+            "(n^2 and sum(c^2) must stay exact) — raise the sums to " +
+            "DECIMAL"))).isNull)
+    agg.select(col("grp"), col("n_tokens"), col("n_distinct"),
+      (lit(1.0) - col("sc2").cast(DoubleType) /
+        (col("n_tokens") * col("n_tokens")).cast(DoubleType))
+        .as("simpson"),
+      ((col("n_tokens") * col("n_tokens")).cast(DoubleType) /
+        col("sc2").cast(DoubleType)).as("eff_vocab"))
+  }
+
   /** Word n-grams over the token stream: "a b c" at n=2 -> ["a b",
     * "b c"]. One codegen'd kernel pass
     * ([[graft.functions.TextHashes.word_ngrams]]); docs with fewer than

@@ -1153,6 +1153,22 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_simpson: two hash aggregates, no Window, no join — text " +
+      "never shuffles past the token count") {
+    val p = plan("q_simpson")
+    p should include("partial_count")
+    p should not include "Window"
+    p should not include "Join"
+  }
+
+  test("q_seasonal: ONE fused Window for trend sum+count; weekday and " +
+      "grand means ride broadcasts — no sort-merge join") {
+    val p = plan("q_seasonal")
+    "Window".r.findAllIn(p).size shouldBe 1
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
   test("q_pca_project: per-row fold projection — no join, no Window, " +
       "no aggregate; the only exchange is the closing sort") {
     val p = plan("q_pca_project")

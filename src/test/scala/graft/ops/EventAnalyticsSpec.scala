@@ -429,4 +429,35 @@ class EventAnalyticsSpec extends SparkSpecBase with Matchers {
       .as[(String, Long, Long, Option[Double])].collect().head
     a shouldBe b
   }
+
+  test("seasonalDecompose: pure weekday pattern — interior residuals " +
+      "exactly zero, truncated edges hand-computed, gaps shrink the " +
+      "trend window honestly") {
+    import org.apache.spark.sql.functions._
+    // two full weeks, v = 10 * weekday: interior trend = 30 (each
+    // weekday once in the +-3 window), seasonal(wd) = 10wd - 30,
+    // so interior resid = 0 EXACTLY
+    val df = (0L to 13L).map(d => ("k", d, 10L * (d % 7)))
+      .toDF("key", "day", "v")
+    val out = EventAnalytics.seasonalDecompose(df, "key", "day", "v")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._2 -> r).toMap
+    (3L to 10L).foreach { d => out(d)._6 shouldBe 0.0 }
+    // day 0 window covers days 0..3: trend 15; seasonal(0) = -30
+    out(0L)._4 shouldBe 15.0
+    out(0L)._6 shouldBe (0.0 - 15.0) - (0.0 - 30.0)
+    // day 13 (wd 6) window 10..13: trend 45; seasonal(6) = +30
+    out(13L)._4 shouldBe 45.0
+    out(13L)._6 shouldBe (60.0 - 45.0) - 30.0
+    // identity holds row-for-row by construction
+    out.values.foreach { r =>
+      (r._3.toDouble - r._4) - r._5 shouldBe r._6 }
+    // a missing day shrinks the window instead of inventing a zero
+    val gaps = Seq(("k", 0L, 10L), ("k", 1L, 20L), ("k", 2L, 30L),
+        ("k", 4L, 50L)).toDF("key", "day", "v")
+    val g1 = EventAnalytics.seasonalDecompose(gaps, "key", "day", "v")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._2 -> r).toMap
+    g1(1L)._4 shouldBe (10.0 + 20.0 + 30.0 + 50.0) / 4.0
+  }
 }

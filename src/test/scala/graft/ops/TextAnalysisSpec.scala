@@ -853,6 +853,21 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     rows.last.isNullAt(0) shouldBe true
   }
 
+  test("simpsonDiversity: hand-computed concentration — skewed, " +
+      "uniform, and degenerate vocabularies") {
+    val df = Seq(
+      ("a", "x x x y"),      // counts 3,1: sc2 = 10, n = 4
+      ("b", "p q r s"),      // uniform: sc2 = 4
+      ("c", "z z z z")       // one type does all the work
+    ).toDF("g", "text")
+    val out = TextAnalysis.simpsonDiversity(df, "g", "text")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    out("a") shouldBe (("a", 4L, 2L, 1.0 - 10.0 / 16.0, 16.0 / 10.0))
+    out("b") shouldBe (("b", 4L, 4L, 1.0 - 4.0 / 16.0, 4.0))
+    out("c") shouldBe (("c", 4L, 1L, 0.0, 1.0))
+  }
+
   test("distinctiveTerms: a term shared across groups lifts where it " +
       "is over-represented and dips where it is not") {
     // group a "p q p q p q r": 7 tokens -> 6 bigrams ("p q" x3,
