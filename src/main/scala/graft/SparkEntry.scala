@@ -2239,6 +2239,31 @@ object SparkEntry {
           dim = 64, components = 2, rounds = 8)
         .orderBy("component", "coord")
     }),
+    "q_url_norm" -> ((s, dir) => {
+      // URL canonicalization (Urls.urlKeys): the crawl dedup key. The
+      // corpus has no URLs, so each doc_id%5 class builds one
+      // deterministically (identically in the oracle): mixed-case
+      // scheme/host, default + explicit ports, userinfo, scrambled
+      // tracking params, fragments, trailing slashes, and a non-URL
+      // row — the hash compare verifies actual canonicalization, and
+      // the .co.uk row pins the DOCUMENTED two-label domain
+      // approximation.
+      val m = pmod(col("doc_id"), lit(5))
+      val idS = col("doc_id").cast(StringType)
+      val url = when(m === 0, concat(lit("HTTP://WWW.Site"), idS,
+          lit(".Example.COM:80/Path/To/page?utm_source=x&b=2&a=1#frag")))
+        .when(m === 1, concat(lit("https://api.EXAMPLE.com:443/v1/"),
+          idS, lit("/?gclid=zz&z=9&y=8")))
+        .when(m === 2,
+          concat(lit("https://User.Name@Files.example.ORG:8443//x/"),
+            idS, lit("/#sec")))
+        .when(m === 3, concat(lit("http://example"), idS, lit(".co.uk")))
+        .otherwise(lit("not a url at all"))
+      graft.ops.Urls.urlKeys(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          "doc_id", "url")
+        .orderBy("doc_id")
+    }),
     "q_simpson" -> ((s, dir) => {
       // Gini–Simpson lexical diversity per source
       // (TextAnalysis.simpsonDiversity): the log-free entropy stand-in
@@ -6946,6 +6971,67 @@ object SparkEntry {
                   (a, b) -> a + b) AS pc2
          FROM embeddings e, ml m, vl1 v1, vl2 v2
          ORDER BY e.vec_id""",
+    // URL replay: same dirt URLs, same anchored parse regex, the same
+    // lowercase/port-strip/param-filter/sort/reassemble chain.
+    "q_url_norm" ->
+      raw"""WITH w AS (SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'HTTP://WWW.Site' || CAST(doc_id AS VARCHAR) || '.Example.COM:80/Path/To/page?utm_source=x&b=2&a=1#frag'
+                          WHEN doc_id % 5 = 1 THEN 'https://api.EXAMPLE.com:443/v1/' || CAST(doc_id AS VARCHAR) || '/?gclid=zz&z=9&y=8'
+                          WHEN doc_id % 5 = 2 THEN 'https://User.Name@Files.example.ORG:8443//x/' || CAST(doc_id AS VARCHAR) || '/#sec'
+                          WHEN doc_id % 5 = 3 THEN 'http://example' || CAST(doc_id AS VARCHAR) || '.co.uk'
+                          ELSE 'not a url at all' END AS url
+                   FROM documents),
+              g AS (SELECT doc_id, trim(url) AS u,
+                           lower(regexp_extract(trim(url), '${graft.ops.Urls.UrlRe}', 1)) AS scheme,
+                           regexp_extract(trim(url), '${graft.ops.Urls.UrlRe}', 2) AS auth,
+                           regexp_extract(trim(url), '${graft.ops.Urls.UrlRe}', 3) AS rawpath,
+                           regexp_extract(trim(url), '${graft.ops.Urls.UrlRe}', 4) AS q
+                    FROM w),
+              a AS (SELECT *, (strpos(auth, '@') > 0) AS hasu,
+                           CASE WHEN strpos(auth, '@') > 0
+                                THEN regexp_extract(auth, '^(.*)@[^@]*$$', 1) END AS usr,
+                           lower(CASE WHEN strpos(auth, '@') > 0
+                                      THEN regexp_extract(auth, '^.*@([^@]*)$$', 1)
+                                      ELSE auth END) AS hostport
+                    FROM g),
+              b AS (SELECT *,
+                           CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+                                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+                                ELSE hostport END AS hp2
+                    FROM a),
+              c AS (SELECT doc_id, scheme, auth, q, hostport,
+                           CASE WHEN hasu THEN usr || '@' || hp2 ELSE hp2 END AS cauth,
+                           CASE WHEN rawpath = '' THEN '/'
+                                WHEN rawpath <> '/' THEN regexp_replace(rawpath, '/$$', '')
+                                ELSE rawpath END AS cpath
+                    FROM b),
+              d AS (SELECT doc_id, scheme, auth, hostport, cauth, cpath,
+                           -- array_to_string over an EMPTY list is
+                           -- NULL in DuckDB (Spark gives '') — coalesce
+                           coalesce(array_to_string(list_sort(list_filter(
+                             CASE WHEN q = '' THEN CAST([] AS VARCHAR[])
+                                  ELSE string_split(q, '&') END,
+                             x -> x <> '' AND NOT regexp_matches(x,
+                               '^(utm_[^=]*|gclid|fbclid)(=|$$)'))), '&'),
+                             '') AS cq
+                    FROM c),
+              n AS (SELECT doc_id,
+                           CASE WHEN scheme IN ('http', 'https') AND auth <> ''
+                                THEN scheme || '://' || cauth || cpath ||
+                                     CASE WHEN cq = '' THEN ''
+                                          ELSE '?' || cq END END AS url_norm,
+                           CASE WHEN scheme IN ('http', 'https')
+                                 AND regexp_extract(hostport, '^([^:]*)', 1) <> ''
+                                THEN regexp_extract(hostport, '^([^:]*)', 1) END AS host
+                    FROM d)
+         SELECT doc_id, url_norm, host,
+                CASE WHEN host IS NOT NULL
+                     THEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) END AS domain,
+                CASE WHEN url_norm IS NULL THEN NULL
+                     ELSE CAST(len(list_filter(string_split(
+                            regexp_extract(url_norm, '${graft.ops.Urls.UrlRe}', 3), '/'),
+                            s -> s <> '')) AS INTEGER) END AS path_depth
+         FROM n ORDER BY doc_id""",
     // Simpson replay: same tokenization, exact integer c^2 sum, the
     // same two closing divisions.
     "q_simpson" ->
@@ -7704,5 +7790,5 @@ object SparkEntry {
     "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest",
     "q_sssp", "q_benford", "q_normalize", "q_linkage_em",
     "q_bpe", "q_bpe_encode", "q_pca", "q_pca_project", "q_cuped",
-    "q_calibration", "q_simpson", "q_seasonal")
+    "q_calibration", "q_simpson", "q_seasonal", "q_url_norm")
 }

@@ -1153,6 +1153,15 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_url_norm: shuffle-free narrow per-row regex/string chain — " +
+      "no join, no aggregate, no Window") {
+    val p = plan("q_url_norm")
+    p should not include "Exchange hashpartitioning"
+    p should not include "Join"
+    p should not include "Window"
+    p should not include "HashAggregate"
+  }
+
   test("q_simpson: two hash aggregates, no Window, no join — text " +
       "never shuffles past the token count") {
     val p = plan("q_simpson")
