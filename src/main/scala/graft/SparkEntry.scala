@@ -2239,6 +2239,43 @@ object SparkEntry {
           dim = 64, components = 2, rounds = 8)
         .orderBy("component", "coord")
     }),
+    "q_oov" -> ((s, dir) => {
+      // Out-of-vocabulary rate (TextAnalysis.oovRate): per-source
+      // token mass outside the top-20 vocabulary of the even-doc
+      // train slice — the cheap corpus-compatibility indicator read
+      // before mixing a source in (k=20 < the 31-token closed vocab,
+      // so real OOV mass exists at any SF).
+      val d = t(s, dir, "documents")
+      TextAnalysis.oovRate(
+          d.where(pmod(col("doc_id"), lit(2)) === 0),
+          d.where(pmod(col("doc_id"), lit(2)) === 1),
+          "source", "text", k = 20)
+        .select(col("grp").as("source"), col("n_tokens"), col("n_oov"),
+          col("oov_rate"))
+        .orderBy("source")
+    }),
+    "q_hll" -> ((s, dir) => {
+      // HyperLogLog distinct users per event type
+      // (Sketches.hllDistinct, p=6 -> 64 one-byte registers: sized so
+      // sf0.01's ~150 users already clear the raw-regime n >~ 2.5m
+      // boundary) with
+      // the EXACT count alongside: the raw-estimator bias is measured
+      // in-artifact, not hidden (the paper's corrections need libm
+      // log — banned). Registers replay bit-for-bit through the
+      // splitmix chain; the harmonic fold is pinned-order.
+      val e = t(s, dir, "events").select(col("event_type"),
+        col("user_id"), LongHashes.splitmix64(col("user_id")).as("h"))
+      val hll = graft.ops.Sketches.hllDistinct(e, Seq("event_type"),
+        "h", p = 6)
+      val ex = e.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      hll.join(ex, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("n_buckets_hit"),
+          col("hll_est"),
+          ((col("hll_est") - col("n_exact").cast(DoubleType)) /
+            col("n_exact").cast(DoubleType)).as("rel_err"))
+        .orderBy("event_type")
+    }),
     "q_url_norm" -> ((s, dir) => {
       // URL canonicalization (Urls.urlKeys): the crawl dedup key. The
       // corpus has no URLs, so each doc_id%5 class builds one
@@ -6971,6 +7008,61 @@ object SparkEntry {
                   (a, b) -> a + b) AS pc2
          FROM embeddings e, ml m, vl1 v1, vl2 v2
          ORDER BY e.vec_id""",
+    // OOV replay: same tokenization, same total-order top-k vocab,
+    // broadcast-shaped left join, one division.
+    "q_oov" ->
+      raw"""WITH ts AS (SELECT doc_id, source,
+                           list_filter(string_split_regex(lower(text),
+                             '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+                    FROM documents),
+              tr AS (SELECT unnest(t) AS w FROM ts WHERE doc_id % 2 = 0),
+              vc AS (SELECT w, count(*) AS cnt FROM tr GROUP BY w
+                     ORDER BY cnt DESC, w LIMIT 20),
+              ev AS (SELECT source AS grp, unnest(t) AS w FROM ts
+                     WHERE doc_id % 2 = 1),
+              j AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_oov
+                    FROM ev LEFT JOIN vc v ON ev.w = v.w
+                    GROUP BY grp)
+         SELECT grp AS source, n_tokens, n_oov,
+                CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+         FROM j ORDER BY source""",
+    // HLL replay: distinct pairs through the shared splitmix chain,
+    // registers via the generated trailing-zero CASE, pinned-order
+    // harmonic fold over the shared power-of-two literal table.
+    "q_hll" -> {
+      val rhoCase = (1 to 58).map(i =>
+        s"WHEN (v // ${1L << (i - 1)}) % 2 = 1 THEN $i")
+        .mkString("CASE ", " ", " ELSE 59 END")
+      val powList = (1 to 59).map(i =>
+        s"CAST('${(1.0 / (1L << i)).toString}' AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      val alpha =
+        s"CAST('${graft.ops.Sketches.hllAlphaM2(6).toString}' AS DOUBLE)"
+      val est = s"$alpha / (s_present + CAST(64 - n_buckets_hit AS DOUBLE))"
+      raw"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+              b0 AS (SELECT event_type, user_id,
+                            CAST(user_id AS HUGEINT) AS z FROM du),
+              ${splitmixCtesSql("b0", "event_type, user_id")},
+              rg AS (SELECT event_type, b, max($rhoCase) AS rho
+                     FROM (SELECT event_type, CAST(z % 64 AS INTEGER) AS b,
+                                  z // 64 AS v
+                           FROM h5)
+                     GROUP BY 1, 2),
+              ag AS (SELECT event_type,
+                            CAST(count(*) AS BIGINT) AS n_buckets_hit,
+                            list_reduce([CAST(0 AS DOUBLE)] ||
+                              list(list_extract($powList, rho) ORDER BY b),
+                              (a, c) -> a + c) AS s_present
+                     FROM rg GROUP BY event_type),
+              exd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+                      FROM du GROUP BY event_type)
+         SELECT a.event_type, n_exact, n_buckets_hit, $est AS hll_est,
+                ($est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+                  AS rel_err
+         FROM ag a JOIN exd USING (event_type) ORDER BY event_type"""
+    },
     // URL replay: same dirt URLs, same anchored parse regex, the same
     // lowercase/port-strip/param-filter/sort/reassemble chain.
     "q_url_norm" ->
@@ -7790,5 +7882,6 @@ object SparkEntry {
     "q_ann_pq", "q_ks_test", "q_incr_agg", "q_interpolate", "q_abtest",
     "q_sssp", "q_benford", "q_normalize", "q_linkage_em",
     "q_bpe", "q_bpe_encode", "q_pca", "q_pca_project", "q_cuped",
-    "q_calibration", "q_simpson", "q_seasonal", "q_url_norm")
+    "q_calibration", "q_simpson", "q_seasonal", "q_url_norm",
+    "q_oov", "q_hll")
 }

@@ -66,6 +66,75 @@ object Sketches {
       KmvDistinct(GraftColumnBridge.expression(hash), k)
         .toAggregateExpression())
 
+  /** [[hllDistinct]]'s stamped estimator constant `alpha_m * m^2` —
+    * ONE definition shared by the op and the oracle builder so the
+    * literal cannot drift. */
+  private[graft] def hllAlphaM2(p: Int): Double = {
+    val m = 1 << p
+    (0.7213 / (1.0 + 1.079 / m)) * m * m
+  }
+
+  /** HYPERLOGLOG distinct estimate (Flajolet, Fusy, Gandouet &
+    * Meunier 2007) over a pre-hashed 64-bit column — the
+    * industry-standard bounded-state distinct sketch beside
+    * [[kmvDistinct]]: `m = 2^p` one-byte registers per group vs KMV's
+    * k 8-byte hashes, mergeable by elementwise max (KMV union keeps
+    * sets). RAW estimator ONLY, documented: the paper's small-range
+    * (linear counting) and large-range corrections both need libm
+    * `log`, which the determinism contract bans — so expect the
+    * documented raw-estimator bias when `n < 2.5m` (reads high); the
+    * q_hll artifact carries the exact count next to the estimate so
+    * the bias is measured, not hidden.
+    *
+    * Determinism: bucket = the hash's low p bits; rank rho = 1 +
+    * trailing zeros of the remaining bits (same Geometric(1/2)
+    * statistic as the paper's leading-zero rank, chosen because the
+    * bit tests replay in SQL as integer div/mod on the unsigned
+    * HUGEINT — no unsigned-shift gymnastics); registers are per-bucket
+    * MAX (order-free); the harmonic sum folds `2^-rho` — each an EXACT
+    * power-of-two double from a shared literal table — over present
+    * buckets in ascending-bucket order (0.0-seeded), then adds the
+    * empty-bucket mass `(m - hit) * 1.0` and closes with one stamped
+    * division ([[hllAlphaM2]]).
+    *
+    * Scale: one (group, bucket) max aggregate with map-side partials —
+    * state is <= m rows per group regardless of corpus size; the
+    * per-group fold runs over <= m collected elements (bounded, the
+    * dsir array contract). */
+  def hllDistinct(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], hashCol: String, p: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(p >= 4 && p <= 14, s"hllDistinct: p must be in [4, 14], got $p")
+    require(groupCols.nonEmpty, "hllDistinct: need at least one group col")
+    val m = 1 << p
+    val maxRho = 64 - p + 1
+    val h = col(hashCol).cast(LongType)
+    val v = shiftrightunsigned(h, p)
+    val rho = (1 until maxRho).foldLeft(when(lit(false), lit(0))) {
+      case (acc, i) =>
+        acc.when(shiftrightunsigned(v, i - 1)
+          .bitwiseAND(lit(1L)) === lit(1L), lit(i))
+    }.otherwise(lit(maxRho))
+    val powArr = array((1 to maxRho).map(i => lit(1.0 / (1L << i))): _*)
+    val regs = df
+      .select(groupCols.map(col) :+
+        h.bitwiseAND(lit((m - 1).toLong)).cast(IntegerType).as("b") :+
+        rho.as("r"): _*)
+      .groupBy(groupCols.map(col) :+ col("b"): _*)
+      .agg(max(col("r")).as("rho"))
+    regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets_hit"),
+        aggregate(array_sort(collect_list(struct(col("b"), col("rho")))),
+          lit(0.0),
+          (acc, x) => acc + element_at(powArr, x.getField("rho")))
+          .as("s_present"))
+      .select(groupCols.map(col) :+ col("n_buckets_hit") :+
+        (lit(hllAlphaM2(p)) / (col("s_present") +
+          (lit(m.toLong) - col("n_buckets_hit")).cast(DoubleType)))
+          .as("hll_est"): _*)
+  }
+
   /** Count-Min frequency sketch (Cormode/Muthukrishnan 2005) over a
     * long key column: a `depth x width` grid of counters where row `i`
     * increments cell `splitmix64(key XOR i) & (width-1)`. Counters are

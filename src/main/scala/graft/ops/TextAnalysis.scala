@@ -437,6 +437,41 @@ object TextAnalysis {
         col("sc2").cast(DoubleType)).as("eff_vocab"))
   }
 
+  /** OUT-OF-VOCABULARY RATE under a top-K training vocabulary — the
+    * corpus-compatibility number read before mixing a new source in:
+    * build the K most frequent training tokens (count DESC, token ASC
+    * — the topTokens total order, so the vocabulary is deterministic
+    * under ties), then per evaluation group report how much of its
+    * token mass falls outside it. A source whose oov_rate is high
+    * under the reference vocabulary will drag the tokenizer and the
+    * LM ([[lmScore]] scores it low for the same reason — this is the
+    * cheap leading indicator).
+    *
+    * Exactness: integer token counts end to end, one closing division.
+    * Scale: train side reduces to a K-row vocabulary that BROADCASTS;
+    * the eval side is one token count + one broadcast left join + one
+    * per-group aggregate — eval text never shuffles. */
+  def oovRate(train: DataFrame, eval: DataFrame, groupCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000000,
+      s"oovRate: k must be in [1, 1e6] (the vocabulary broadcasts), " +
+        s"got $k")
+    val vocab = train
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(k)
+      .select(col("t"), lit(1).as("in_vocab"))
+    eval
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("t"))
+      .join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("grp"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("oov_rate"))
+  }
+
   /** Word n-grams over the token stream: "a b c" at n=2 -> ["a b",
     * "b c"]. One codegen'd kernel pass
     * ([[graft.functions.TextHashes.word_ngrams]]); docs with fewer than

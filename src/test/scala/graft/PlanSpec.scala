@@ -1153,6 +1153,24 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_oov: top-k vocab broadcasts onto the eval token stream — " +
+      "no sort-merge join, no Window, bounded TakeOrdered vocab cut") {
+    val p = plan("q_oov")
+    p should include("BroadcastHashJoin")
+    p should include("TakeOrderedAndProject")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("q_hll: registers fold map-side into <= m rows per group; no " +
+      "Window, no cartesian, no sort-merge join") {
+    val p = plan("q_hll")
+    p should include("partial_max")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin"
+  }
+
   test("q_url_norm: shuffle-free narrow per-row regex/string chain — " +
       "no join, no aggregate, no Window") {
     val p = plan("q_url_norm")

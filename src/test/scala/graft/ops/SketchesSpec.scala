@@ -365,4 +365,45 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     }
     ex.getMessage should include("same-k contract")
   }
+
+  test("hllDistinct matches a driver model (same buckets, ranks, fold " +
+      "order) exactly, estimates within the m=64 error band, ignores " +
+      "duplicates, and is partition-invariant") {
+    import graft.functions.LongHashes
+    val n = 2000
+    val ids = (0L until n.toLong) ++ (0L until 500L) // dups change nothing
+    def run(parts: Int) = Sketches.hllDistinct(
+        ids.map(i => ("g", i)).toDF("g", "id").repartition(parts)
+          .select($"g", LongHashes.splitmix64($"id").as("h")),
+        Seq("g"), "h", p = 6)
+      .as[(String, Long, Double)].collect().head
+    val got = run(1)
+    got shouldBe run(7)
+    // driver model: same splitmix values via the kernel itself, then
+    // bucket/rank/fold re-derived in plain Scala
+    val hs = (0L until n.toLong).map(i => ("x", i)).toDF("g", "id")
+      .select(LongHashes.splitmix64($"id")).as[Long].collect()
+    val regs = scala.collection.mutable.Map.empty[Int, Int]
+    hs.foreach { h =>
+      val b = (h & 63L).toInt
+      val v = h >>> 6
+      val rho = if (v == 0L) 59 else java.lang.Long.numberOfTrailingZeros(v) + 1
+      regs(b) = math.max(regs.getOrElse(b, 0), rho)
+    }
+    val sPresent = regs.toSeq.sortBy(_._1).foldLeft(0.0) {
+      case (a, (_, r)) => a + 1.0 / (1L << r) }
+    val est = Sketches.hllAlphaM2(6) /
+      (sPresent + (64L - regs.size).toDouble)
+    got._2 shouldBe regs.size.toLong
+    got._3 shouldBe est // bit-exact: same fold order, same literals
+    math.abs(est - n) / n should be < 0.15 // ~1.04/sqrt(64) band
+  }
+
+  test("hllDistinct guards fire loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.hllDistinct(Seq(("g", 1L)).toDF("g", "h"), Seq("g"), "h",
+        p = 3)
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.hllDistinct(Seq(("g", 1L)).toDF("g", "h"), Seq.empty, "h")
+  }
 }

@@ -868,6 +868,23 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     out("c") shouldBe (("c", 4L, 1L, 0.0, 1.0))
   }
 
+  test("oovRate: hand-computed vocabulary cut, tie-break, and rates") {
+    val train = Seq("a a a b b c").toDF("text")
+    val eval_ = Seq(("g1", "a b d d"), ("g2", "c c")).toDF("src", "text")
+    // k=2 vocab by (cnt DESC, token ASC): {a(3), b(2)} — c excluded
+    val out = TextAnalysis.oovRate(train, eval_, "src", "text", k = 2)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    out("g1") shouldBe (("g1", 4L, 2L, 0.5)) // d, d are OOV
+    out("g2") shouldBe (("g2", 2L, 2L, 1.0)) // c fell below the cut
+    // tie at the cut: counts a=2, b=1, c=1 -> ascending token keeps b
+    val t2 = Seq("a a b c").toDF("text")
+    val o2 = TextAnalysis.oovRate(t2, Seq(("g", "b c")).toDF("src", "text"),
+        "src", "text", k = 2)
+      .as[(String, Long, Long, Double)].collect().head
+    o2 shouldBe (("g", 2L, 1L, 0.5)) // b in-vocab, c out
+  }
+
   test("distinctiveTerms: a term shared across groups lifts where it " +
       "is over-represented and dips where it is not") {
     // group a "p q p q p q r": 7 tokens -> 6 bigrams ("p q" x3,
