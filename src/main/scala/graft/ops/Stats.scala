@@ -689,6 +689,64 @@ object Stats {
         (lit(2L) * col("n_pos") * col("n_neg")).cast(DoubleType))
   }
 
+  /** KAPLAN–MEIER SURVIVAL CURVE (Kaplan & Meier 1958) per group —
+    * time-to-event with RIGHT CENSORING done honestly: "mean lifetime
+    * of churned users" is survivorship bias (the still-active are the
+    * longest-lived and get dropped); KM keeps them in the risk set
+    * until their observation ends. Input is one row per subject:
+    * integer `duration` and `event` (true = the event happened at
+    * duration, false = censored there). Output one row per (group,
+    * event time): risk-set size, events, censored-at-t, and the
+    * survival estimate `S(t) = prod_{s <= t} (1 - d_s / n_s)`.
+    *
+    * Determinism: d/c/n are exact integer counts (the risk set is a
+    * descending-time suffix sum — one integer RANGE window); the
+    * survival product is a 1.0-seeded fold over event times ASCENDING
+    * of `(1 - d/n)` factors — each one exact-operand division — so
+    * every S(t) is one fixed expression tree the oracle replays via
+    * list_reduce over a list ORDER BY time. Prefix products come from
+    * folding a SLICE of the per-group sorted factor array (O(T^2)
+    * work, T = distinct event times — bounded by the observation
+    * horizon in days, LOUDLY guarded at 10k).
+    *
+    * Scale: one (group, t) count aggregate, one integer window, one
+    * bounded per-group array — subject rows never shuffle twice. */
+  def kaplanMeier(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+        col(durationCol).cast(LongType).as("t"),
+        col(eventCol).cast(BooleanType).as("ev"))
+      .where(assert_true(col("t").isNotNull && col("t") >= 0L,
+        concat(lit("kaplanMeier: negative or NULL duration in group "),
+          col("grp").cast(StringType))).isNull)
+    val byT = base.groupBy(col("grp"), col("t"))
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("ev"), 1L).otherwise(0L)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("t"))
+      .rangeBetween(0L, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val withRisk = byT.select(col("grp"), col("t"), col("d"), col("c"),
+      sum(col("d") + col("c")).over(w).as("n_risk"))
+    val packed = withRisk
+      .where(col("d") > 0L) // KM steps only at event times
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("d"), col("n_risk"), col("c")))).as("steps"))
+      .where(assert_true(size(col("steps")) <= lit(10000),
+        concat(lit("kaplanMeier: group "), col("grp").cast(StringType),
+          lit(" has more than 10k distinct event times — bucket " +
+            "durations first (the O(T^2) fold contract)"))).isNull)
+    packed
+      .select(col("grp"), posexplode(col("steps")).as(Seq("i", "s")))
+      .select(col("grp").as(groupCol), col("s.t").as("t"),
+        col("s.n_risk").as("n_risk"), col("s.d").as("d"),
+        col("s.c").as("c"),
+        aggregate(slice(col("steps"), lit(1), col("i") + 1), lit(1.0),
+          (acc, x) => acc * (lit(1.0) -
+            x.getField("d").cast(DoubleType) /
+              x.getField("n_risk").cast(DoubleType))).as("surv"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013,
     * "Improving the Sensitivity of Online Controlled Experiments by
     * Utilizing Pre-Experiment Data"): adjust each unit's experiment
