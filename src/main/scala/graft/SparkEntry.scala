@@ -1396,6 +1396,28 @@ object SparkEntry {
           col("support"))
         .orderBy("part_a", "part_b")
     }),
+    "q_coreness" -> ((s, dir) => {
+      // FULL coreness decomposition (Graph.coreness): every part's
+      // core NUMBER — q_kcore answers one fixed k; curation gates rank
+      // by coreness ("keep the N densest community members"), which
+      // needs the whole decomposition. Min-degree phase jumps visit
+      // only the DISTINCT coreness values (9 phases / 17 peel rounds
+      // at sf0.01 on this slice; 11/25 at sf0.1), so total peel work
+      // barely exceeds one q_kcore cascade. The 1/64-order co-purchase
+      // slice keeps the round-bounded driver loop bench-tight at
+      // sf0.1 AND the unrolled oracle tractable; the decomposition is
+      // unique, so the result is deterministic with no tie-breaks.
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(64)) === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graph.coreness(edges, "src", "dst")
+        .select(col("v").as("part"), col("coreness"))
+        .orderBy("part")
+    }),
     "q_link_pred" -> ((s, dir) => {
       // Link prediction (Graph.linkPrediction): top-50 NON-adjacent
       // part pairs most likely to co-purchase next, by the
@@ -2276,6 +2298,42 @@ object SparkEntry {
             col("n_exact").cast(DoubleType)).as("rel_err"))
         .orderBy("event_type")
     }),
+    "q_hll_setops" -> ((s, dir) => {
+      // HLL SET ALGEBRA (Sketches.hllSetOps): per event-type pair,
+      // union/intersection/Jaccard estimates from max-merged registers
+      // + inclusion-exclusion — the 1-byte-per-register source-overlap
+      // matrix (KMV's q_kmv_setops keeps exact resemblance; HLL wins
+      // on state). Exact counts ride alongside so the raw-estimator
+      // bias stays measured, not hidden (the q_hll contract). Same
+      // p=6 / splitmix framing as q_hll, so the register replay is
+      // already proven; the union merge and the fixed-order
+      // (est_a + est_b) - est_union are the only new pieces.
+      val e = t(s, dir, "events").select(col("event_type"),
+        col("user_id"), LongHashes.splitmix64(col("user_id")).as("h"))
+      val ops = graft.ops.Sketches.hllSetOps(e, "event_type", "h", p = 6)
+      val du = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val nx = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ix = du.as("x").join(du.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("group_a"),
+          col("y.event_type").as("group_b"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      ops
+        .join(nx.select(col("event_type").as("group_a"),
+          col("n").as("__na")), Seq("group_a"))
+        .join(nx.select(col("event_type").as("group_b"),
+          col("n").as("__nb")), Seq("group_b"))
+        .join(ix, Seq("group_a", "group_b"), "left")
+        .select(col("group_a"), col("group_b"),
+          coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"),
+          (col("__na") + col("__nb") -
+            coalesce(col("n_inter_exact"), lit(0L))).as("n_union_exact"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+          col("jaccard_est"))
+        .orderBy("group_a", "group_b")
+    }),
     "q_url_norm" -> ((s, dir) => {
       // URL canonicalization (Urls.urlKeys): the crawl dedup key. The
       // corpus has no URLs, so each doc_id%5 class builds one
@@ -2621,6 +2679,59 @@ object SparkEntry {
             .as("recall"))
         .orderBy("query_id")
     }),
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ COMPOSED SERVING (Similarity.ivfPqTopKAdc/ivfPqTopK) —
+      // the production ANN layout at 100 TB: PQ codes INSIDE the IVF
+      // inverted lists, so serving scans `~ corpus * nprobe / k` m-byte
+      // codes per query and the fp vectors are touched only
+      // |queries|*shortlist times at rerank — the only layout that
+      // works when neither fp32 vectors nor a flat code table fit.
+      // Artifact shape = q_ann_pq's: per query, recall@5 of the probed
+      // ADC top-5 and of the shortlist+exact-rerank serve vs
+      // brute-force ground truth. Measured nprobe × shortlist recall@5
+      // curve on this corpus (m=8/ks=16 codes, coarse k=16 — mean over
+      // the 10-query panel, sf0.01): nprobe=4: ADC .36 / rerank sl=50
+      // .60, sl=100 .62; nprobe=8: ADC .44 / sl=50 .72, sl=100 .76;
+      // nprobe=16 (all lists ≡ q_ann_pq): ADC .44 / sl=50 .80,
+      // sl=100 .92. The rerank column is capped by the IVF probe
+      // recall (q_ann_recall_tuned's .80 at nprobe=8): sl=100 lands at
+      // .76 of that .80 ceiling, so past sl≈100 the PROBES are the
+      // binding constraint, not the shortlist — exactly the diagnostic
+      // this artifact exists to expose. Serving point: nprobe=8,
+      // sl=100 (the knee on both axes).
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 5, sampleFraction = 0.1)
+      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ks = 16, iters = 5, sampleFraction = 0.1)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val adc = Similarity.ivfPqTopKAdc(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, cents, nprobe = 8, books)
+        .select(col("query_id"), col("neighbor_id"))
+      val rer = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, cents, nprobe = 8, books,
+          shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"))
+      def hits(approx: DataFrame, name: String) =
+        brute.join(broadcast(approx), Seq("query_id", "neighbor_id"),
+            "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      queries.select(col("qid").as("query_id"))
+        .join(broadcast(hits(adc, "n_hits_adc")), Seq("query_id"), "left")
+        .join(broadcast(hits(rer, "n_hits")), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits_adc"), lit(0L)).as("n_hits_adc"),
+          (coalesce(col("n_hits_adc"), lit(0L)).cast(DoubleType) / lit(5.0))
+            .as("recall_adc"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(5.0))
+            .as("recall"))
+        .orderBy("query_id")
+    }),
     "q_ann_recall_tuned" -> ((s, dir) => {
       // The TUNED serving point the recall artifact exists to pick.
       // Measured curve on this corpus (mean recall@5 over the 10-query
@@ -2752,6 +2863,27 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
+    }),
+    "q_multimodal_neardup" -> ((s, dir) => {
+      // PERCEPTUAL-HASH multimodal near-dup (Multimodal
+      // .mediaNearDupPairs): payload -> byte-histogram feature ->
+      // corpus-mean centering (exact fixed point; load-bearing — raw
+      // content histograms all sit at cosine ~1, see the op scaladoc)
+      // -> 64-plane Charikar sign signature -> the q_dedup_simhash
+      // chunk-bucket hamming machinery. Finds the re-encoded duplicate
+      // with zero codec dependency; same ASCII framing as
+      // q_multimodal_ann so the byte histogram replays as
+      // character-code SQL. Unrelated payloads land ~32/64 bits apart
+      // (centered deviations are near-orthogonal), so hamming <= 3
+      // isolates the genuine near-dup families.
+      val media = t(s, dir, "documents")
+        .where(octet_length(col("text")) === length(col("text")))
+        .select(col("doc_id").as("media_id"),
+          col("text").cast(BinaryType).as("payload"))
+      Multimodal.mediaNearDupPairs(media, "media_id", col("payload"),
+          maxDistance = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
     }),
     "q_frame_offsets" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(s, dir)
@@ -4065,6 +4197,76 @@ object SparkEntry {
       .map(_.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
 
+  /** q_hll / q_hll_setops shared replay fragments (p = 6): the rank
+    * CASE over the post-bucket bits, the exact power-of-two literal
+    * table, and the stamped alpha·m² constant — ONE definition so the
+    * two oracles cannot drift. */
+  private lazy val hllRhoCaseSql: String =
+    (1 to 58).map(i => s"WHEN (v // ${1L << (i - 1)}) % 2 = 1 THEN $i")
+      .mkString("CASE ", " ", " ELSE 59 END")
+  private lazy val hllPowListSql: String =
+    (1 to 59).map(i => s"CAST('${(1.0 / (1L << i)).toString}' AS DOUBLE)")
+      .mkString("[", ", ", "]")
+  private lazy val hllAlphaSql: String =
+    s"CAST('${graft.ops.Sketches.hllAlphaM2(6).toString}' AS DOUBLE)"
+
+  /** The q_multimodal_neardup perceptual-hash planes (1 table × 64
+    * planes, dim 64, seed 42 — [[graft.ops.Multimodal.perceptualHash]])
+    * as a 2-level DuckDB list literal, Double.toString round-trip. */
+  private lazy val phashPlanesSql: String =
+    graft.ops.Similarity.hyperplanes(64, 1, 64, 42L)(0)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** q_coreness oracle: the min-degree phase walk of
+    * [[graft.ops.Graph.coreness]] UNROLLED. Each phase reads its
+    * threshold DYNAMICALLY (min degree via a scalar subquery), credits
+    * every standing vertex with it, and peels `budget` rounds at that
+    * threshold; final coreness = per-vertex MAX credit. The credit
+    * argument is budget-insensitive (every credit is sound — the whole
+    * standing graph sits inside its min-degree core — and a vertex's
+    * removal phase starts exactly at its core number), so spare
+    * rounds/phases are provably no-ops; the generated budgets carry +1
+    * margin over the observed sf0.01 schedule plus two spare phases
+    * (re-pin per SF — the q_kcore note). Every CTE MATERIALIZED (the
+    * q_kcore inlining lesson). */
+  private def corenessSql(phaseBudgets: Seq[Int]): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    val credits = scala.collection.mutable.ArrayBuffer[String]()
+    var prev = "e0"
+    def degSql(e: String) =
+      s"SELECT v, count(*) AS deg FROM (SELECT a AS v FROM $e " +
+        s"UNION ALL SELECT b AS v FROM $e) GROUP BY v"
+    for ((budget, p) <- phaseBudgets.zipWithIndex) {
+      ctes += s"dg${p}_0 AS MATERIALIZED (${degSql(prev)})"
+      ctes += s"th$p AS MATERIALIZED (SELECT min(deg) AS d FROM dg${p}_0)"
+      credits += s"SELECT v, (SELECT d FROM th$p) AS d FROM dg${p}_0"
+      for (r <- 0 until budget) {
+        val dg =
+          if (r == 0) s"dg${p}_0"
+          else {
+            ctes += s"dg${p}_$r AS MATERIALIZED (${degSql(prev)})"
+            s"dg${p}_$r"
+          }
+        ctes += s"rm${p}_$r AS MATERIALIZED (SELECT v FROM $dg " +
+          s"WHERE deg <= (SELECT d FROM th$p))"
+        ctes += s"e${p}_${r + 1} AS MATERIALIZED (SELECT a, b FROM $prev " +
+          s"WHERE a NOT IN (SELECT v FROM rm${p}_$r) " +
+          s"AND b NOT IN (SELECT v FROM rm${p}_$r))"
+        prev = s"e${p}_${r + 1}"
+      }
+    }
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |          FROM lineitem WHERE l_orderkey % 64 = 0),
+       |     e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+       |          FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |     ${ctes.mkString(",\n     ")}
+       |SELECT v AS part, CAST(max(d) AS BIGINT) AS coreness
+       |FROM (${credits.mkString("\n      UNION ALL ")})
+       |WHERE d IS NOT NULL
+       |GROUP BY v
+       |ORDER BY part""".stripMargin
+  }
+
   /** DuckDB replica of the FULL q_ann_ivf pipeline — k-means training
     * included. Replayable because every training step is deterministic:
     * the sample is the id-hash filter ([[graft.ops.Similarity
@@ -4089,9 +4291,15 @@ object SparkEntry {
     * `centroid_assign`. Callers append their serve stage ([[ivfSql]]
     * probes, the SemDeDup oracle's within-cluster pair scan). */
   private def kmeansPrefixSql(k: Int, iters: Int, dim: Int,
-      sampleFraction: Double, seed: Long): String = {
+      sampleFraction: Double, seed: Long,
+      materializeBase: Boolean = false): String = {
     import graft.ops.Similarity.{SampleMod, SampleMul}
     val keep = (sampleFraction * SampleMod).toLong
+    // materializeBase: the composed q_ann_ivfpq oracle references e and
+    // train from the 8 PQ subspace chains TOO (~10 refs each) — plain
+    // CTEs would re-expand the parquet scan at every reference (the
+    // q_kcore inlining lesson)
+    val mat = if (materializeBase) "MATERIALIZED " else ""
     val dot = sqlDot(dim) _
     def normalize(m: String) =
       s"""CASE WHEN sqrt(list_sum(list_transform($m, y -> y*y))) > 0
@@ -4118,9 +4326,9 @@ object SparkEntry {
          |cent$i AS (SELECT j, ${normalize("m")} AS c FROM raw$i)""".stripMargin
     }.mkString(",\n")
     val cents = s"cent$iters"
-    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""e AS $mat(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
-       |     train AS (SELECT vec_id, v FROM e
+       |     train AS $mat(SELECT vec_id, v FROM e
        |               WHERE ((vec_id % $SampleMod) * $SampleMul + $seed) % $SampleMod < $keep),
        |     init AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k),
        |     cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS j,
@@ -4145,16 +4353,15 @@ object SparkEntry {
     * q_kcore inlining lesson; the codebook chains are referenced ~3×
     * each). L2 distance folds ascending like [[sqlDot]], matching the
     * kernel's accumulation order exactly. */
-  private def pqAnnSql(m: Int, ks: Int, sub: Int, iters: Int, topk: Int,
-      shortlist: Int, sampleFraction: Double, seed: Long): String = {
-    import graft.ops.Similarity.{SampleMod, SampleMul}
-    val keep = (sampleFraction * SampleMod).toLong
-    val dim = m * sub
-    val dot = sqlDot(dim) _
+  /** The `m` per-subspace PQ codebook chains + full-corpus encode +
+    * codeword-concatenation reconstruction, assuming CTEs `e(vec_id, v)`
+    * and `train(vec_id, v)` are ALREADY DEFINED (materialize them —
+    * each chain references both ~10×). Emits the per-subspace
+    * tr/in/c/en CTEs and `dec(vec_id, dv)`. Shared by the q_ann_pq and
+    * q_ann_ivfpq oracles — ONE source of truth for the PQ replay. */
+  private def pqChainsSql(m: Int, ks: Int, sub: Int, iters: Int): String = {
     def l2(a: String, b: String): String =
       s"list_sum(list_transform(range(1, ${sub + 1}), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii])))"
-    def cos(a: String, b: String): String =
-      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
     val subspaceCtes = (0 until m).map { s =>
       val lo = s * sub + 1
       val hi = (s + 1) * sub
@@ -4189,14 +4396,25 @@ object SparkEntry {
     val decUnion = (0 until m).map { s =>
       s"SELECT en$s.vec_id, $s AS s, c.c AS cw FROM en$s JOIN c${s}_$iters c ON c.j = en$s.code"
     }.mkString("\n              UNION ALL ")
+    s"""$subspaceCtes,
+       |     dec AS MATERIALIZED (SELECT vec_id, flatten(list(cw ORDER BY s)) AS dv FROM (
+       |              $decUnion)
+       |            GROUP BY vec_id)""".stripMargin
+  }
+
+  private def pqAnnSql(m: Int, ks: Int, sub: Int, iters: Int, topk: Int,
+      shortlist: Int, sampleFraction: Double, seed: Long): String = {
+    import graft.ops.Similarity.{SampleMod, SampleMul}
+    val keep = (sampleFraction * SampleMod).toLong
+    val dim = m * sub
+    val dot = sqlDot(dim) _
+    def cos(a: String, b: String): String =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
     s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
        |     train AS MATERIALIZED (SELECT vec_id, v FROM e
        |               WHERE ((vec_id % $SampleMod) * $SampleMul + $seed) % $SampleMod < $keep),
-       |$subspaceCtes,
-       |     dec AS MATERIALIZED (SELECT vec_id, flatten(list(cw ORDER BY s)) AS dv FROM (
-       |              $decUnion)
-       |            GROUP BY vec_id),
+       |${pqChainsSql(m, ks, sub, iters)},
        |     q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 10),
        |     adcrk AS MATERIALIZED (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
        |              FROM (SELECT q.vec_id AS qid, d.vec_id AS nid, ${cos("d.dv", "q.v")} AS sc
@@ -4208,6 +4426,64 @@ object SparkEntry {
        |                     FROM (SELECT qid, nid FROM adcrk WHERE rn <= $shortlist) s
        |                     JOIN e ON e.vec_id = s.nid
        |                     JOIN q ON q.vec_id = s.qid)
+       |               WHERE sc IS NOT NULL),
+       |     rtop AS (SELECT qid, nid FROM rerrk WHERE rn <= $topk),
+       |     btop AS (SELECT qid, nid FROM (
+       |                SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |                       row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("x.v", "q.v")} DESC, x.vec_id) AS rn
+       |                FROM e x, q) WHERE rn <= $topk),
+       |     ha AS (SELECT b.qid, count(*) AS n FROM btop b
+       |            JOIN atop a ON a.qid = b.qid AND a.nid = b.nid GROUP BY b.qid),
+       |     hr AS (SELECT b.qid, count(*) AS n FROM btop b
+       |            JOIN rtop r ON r.qid = b.qid AND r.nid = b.nid GROUP BY b.qid)
+       |SELECT q.vec_id AS query_id,
+       |       CAST(COALESCE(ha.n, 0) AS BIGINT) AS n_hits_adc,
+       |       CAST(COALESCE(ha.n, 0) AS DOUBLE) / $topk.0 AS recall_adc,
+       |       CAST(COALESCE(hr.n, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(hr.n, 0) AS DOUBLE) / $topk.0 AS recall
+       |FROM q LEFT JOIN ha ON ha.qid = q.vec_id
+       |       LEFT JOIN hr ON hr.qid = q.vec_id
+       |ORDER BY query_id""".stripMargin
+  }
+
+  /** q_ann_ivfpq oracle: the IVF-PQ COMPOSITION — [[kmeansPrefixSql]]'s
+    * coarse train/assign replay (base MATERIALIZED: the PQ chains
+    * reference e/train too) + [[pqChainsSql]]'s codebook/encode/
+    * reconstruction replay + the probed-list-gated serve: candidates
+    * are the casg rows in each query's `nprobe` probed clusters ONLY,
+    * ADC-scored against the PQ reconstruction, shortlisted, exact-
+    * reranked, and intersected with brute-force ground truth for the
+    * two recalls (the q_ann_pq artifact shape). Composes the two
+    * already-proven replays; the gating join is the only new piece. */
+  private def ivfPqSql(kCoarse: Int, m: Int, ks: Int, sub: Int,
+      iters: Int, nprobe: Int, topk: Int, shortlist: Int,
+      sampleFraction: Double, seed: Long): String = {
+    val dim = m * sub
+    val dot = sqlDot(dim) _
+    def cos(a: String, b: String): String =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH ${kmeansPrefixSql(kCoarse, iters, dim, sampleFraction, seed,
+            materializeBase = true)},
+       |${pqChainsSql(m, ks, sub, iters)},
+       |     q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 10),
+       |     qprobe AS (SELECT qid, cluster FROM (
+       |             SELECT q.vec_id AS qid, c.j AS cluster,
+       |                    row_number() OVER (PARTITION BY q.vec_id
+       |                                       ORDER BY ${dot("q.v", "c.c")} DESC, c.j) AS rn
+       |             FROM q, cent$iters c) WHERE rn <= $nprobe),
+       |     cand AS MATERIALIZED (SELECT qp.qid, ca.vec_id AS nid
+       |              FROM casg ca JOIN qprobe qp ON ca.cluster = qp.cluster),
+       |     adcrk AS MATERIALIZED (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+       |              FROM (SELECT cd.qid, cd.nid, ${cos("d.dv", "q.v")} AS sc
+       |                    FROM cand cd JOIN dec d ON d.vec_id = cd.nid
+       |                                 JOIN q ON q.vec_id = cd.qid)
+       |              WHERE sc IS NOT NULL),
+       |     atop AS (SELECT qid, nid FROM adcrk WHERE rn <= $topk),
+       |     rerrk AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+       |               FROM (SELECT sl.qid, sl.nid, ${cos("e.v", "q.v")} AS sc
+       |                     FROM (SELECT qid, nid FROM adcrk WHERE rn <= $shortlist) sl
+       |                     JOIN e ON e.vec_id = sl.nid
+       |                     JOIN q ON q.vec_id = sl.qid)
        |               WHERE sc IS NOT NULL),
        |     rtop AS (SELECT qid, nid FROM rerrk WHERE rn <= $topk),
        |     btop AS (SELECT qid, nid FROM (
@@ -4879,6 +5155,14 @@ object SparkEntry {
     // the Spark driver loop converges in 6 on this corpus (peeling is
     // idempotent once stable, so the spare rounds are provably no-ops);
     // each round is the identical degree-count + keep-set semijoin.
+    // RE-PIN PER SCALE FACTOR: the 10 here (and q_ktruss's 8,
+    // q_sssp's 10, q_coreness's budget) are pinned to THIS corpus's
+    // observed convergence depth + margin. The Spark side runs to
+    // convergence, so at a larger SF a deeper cascade would make the
+    // oracle report a NON-CONVERGED answer — a false parity failure,
+    // not silent corruption. When the gate moves to a new SF, re-read
+    // the Spark run's round count (the ops' loud maxIters/logging) and
+    // raise the unroll to cover it.
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
     // reference, and each round references the previous ~5 times — an
     // un-materialized unroll re-expands the base scan 5^10 times.
@@ -4901,8 +5185,13 @@ object SparkEntry {
           FROM (SELECT a AS v FROM e10 UNION ALL SELECT b AS v FROM e10)
           GROUP BY v
           ORDER BY part""",
+    // Full coreness decomposition: budgets = observed sf0.01 schedule
+    // (9 phases, rounds 2,2,2,2,2,2,2,2,1) + 1 margin each + 2 spare
+    // phases — all spares provably no-ops (see corenessSql).
+    "q_coreness" -> corenessSql(Seq(3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2)),
     // k-truss replay: the support-peel cascade UNROLLED 8 rounds (the
-    // Spark loop converges in 4 here; spare rounds are no-ops), each
+    // Spark loop converges in 4 here; spare rounds are no-ops —
+    // re-pin the unroll per SF, see the q_kcore note), each
     // round the identical oriented triangle enumeration -> per-edge
     // support count -> threshold filter; final support read off the
     // last round's table (computed ON the fixpoint edges). Every CTE
@@ -5498,7 +5787,8 @@ object SparkEntry {
     // list_reduce over [0.0] || bin-ordered terms == Spark's
     // aggregate(terms, 0.0, +) left fold.
     // SSSP replay: the min-plus relaxation UNROLLED (idempotent once
-    // converged — spare rounds are provably no-ops), every round CTE
+    // converged — spare rounds are provably no-ops; re-pin the unroll
+    // per SF, see the q_kcore note), every round CTE
     // MATERIALIZED (the k-core inlining lesson).
     "q_sssp" ->
       raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
@@ -7032,14 +7322,9 @@ object SparkEntry {
     // registers via the generated trailing-zero CASE, pinned-order
     // harmonic fold over the shared power-of-two literal table.
     "q_hll" -> {
-      val rhoCase = (1 to 58).map(i =>
-        s"WHEN (v // ${1L << (i - 1)}) % 2 = 1 THEN $i")
-        .mkString("CASE ", " ", " ELSE 59 END")
-      val powList = (1 to 59).map(i =>
-        s"CAST('${(1.0 / (1L << i)).toString}' AS DOUBLE)")
-        .mkString("[", ", ", "]")
-      val alpha =
-        s"CAST('${graft.ops.Sketches.hllAlphaM2(6).toString}' AS DOUBLE)"
+      val rhoCase = hllRhoCaseSql
+      val powList = hllPowListSql
+      val alpha = hllAlphaSql
       val est = s"$alpha / (s_present + CAST(64 - n_buckets_hit AS DOUBLE))"
       raw"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
               b0 AS (SELECT event_type, user_id,
@@ -7062,6 +7347,60 @@ object SparkEntry {
                 ($est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
                   AS rel_err
          FROM ag a JOIN exd USING (event_type) ORDER BY event_type"""
+    },
+    // HLL set algebra: the q_hll register replay, then per event-type
+    // pair a per-bucket MAX merge (lossless — exactly the sketch of
+    // the concatenated input), the same pinned-order fold, and the
+    // fixed-order inclusion-exclusion (est_a + est_b) - est_union.
+    "q_hll_setops" -> {
+      def est(s: String, nh: String) =
+        s"$hllAlphaSql / ($s + CAST(64 - $nh AS DOUBLE))"
+      def fold(src: String, keys: String) =
+        s"""SELECT $keys, CAST(count(*) AS BIGINT) AS nh,
+           |       list_reduce([CAST(0 AS DOUBLE)] ||
+           |         list(list_extract($hllPowListSql, rho) ORDER BY b),
+           |         (a, c) -> a + c) AS sp
+           |FROM $src GROUP BY ALL""".stripMargin
+      raw"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+              b0 AS (SELECT event_type, user_id,
+                            CAST(user_id AS HUGEINT) AS z FROM du),
+              ${splitmixCtesSql("b0", "event_type, user_id")},
+              rg AS MATERIALIZED (SELECT event_type, b, max($hllRhoCaseSql) AS rho
+                     FROM (SELECT event_type, CAST(z % 64 AS INTEGER) AS b,
+                                  z // 64 AS v
+                           FROM h5)
+                     GROUP BY 1, 2),
+              ag AS (${fold("rg", "event_type")}),
+              es AS (SELECT event_type, ${est("sp", "nh")} AS est FROM ag),
+              gs AS (SELECT DISTINCT event_type FROM rg),
+              pr AS (SELECT x.event_type AS ga, y.event_type AS gb
+                     FROM gs x JOIN gs y ON x.event_type < y.event_type),
+              ur AS (SELECT pr.ga AS ga, pr.gb AS gb, rg.b AS b,
+                            max(rg.rho) AS rho
+                     FROM pr JOIN rg ON rg.event_type = pr.ga
+                                     OR rg.event_type = pr.gb
+                     GROUP BY 1, 2, 3),
+              ua AS (${fold("ur", "ga, gb")}),
+              un AS (SELECT ga, gb, ${est("sp", "nh")} AS est_union FROM ua),
+              exn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                      FROM du GROUP BY 1),
+              exi AS (SELECT x.event_type AS ga, y.event_type AS gb,
+                             CAST(count(*) AS BIGINT) AS n_inter
+                      FROM du x JOIN du y ON x.user_id = y.user_id
+                                         AND x.event_type < y.event_type
+                      GROUP BY 1, 2)
+         SELECT un.ga AS group_a, un.gb AS group_b,
+                COALESCE(exi.n_inter, 0) AS n_inter_exact,
+                na.n + nb.n - COALESCE(exi.n_inter, 0) AS n_union_exact,
+                ea.est AS est_a, eb.est AS est_b, un.est_union,
+                (ea.est + eb.est) - un.est_union AS est_inter,
+                ((ea.est + eb.est) - un.est_union) / un.est_union AS jaccard_est
+         FROM un JOIN es ea ON ea.event_type = un.ga
+                 JOIN es eb ON eb.event_type = un.gb
+                 JOIN exn na ON na.event_type = un.ga
+                 JOIN exn nb ON nb.event_type = un.gb
+                 LEFT JOIN exi ON exi.ga = un.ga AND exi.gb = un.gb
+         ORDER BY group_a, group_b"""
     },
     // URL replay: same dirt URLs, same anchored parse regex, the same
     // lowercase/port-strip/param-filter/sort/reassemble chain.
@@ -7413,6 +7752,9 @@ object SparkEntry {
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
     "q_ann_pq" -> pqAnnSql(m = 8, ks = 16, sub = 8, iters = 5, topk = 5,
       shortlist = 100, sampleFraction = 0.1, seed = 42L),
+    "q_ann_ivfpq" -> ivfPqSql(kCoarse = 16, m = 8, ks = 16, sub = 8,
+      iters = 5, nprobe = 8, topk = 5, shortlist = 100,
+      sampleFraction = 0.1, seed = 42L),
     "q_ann_ivf" -> ivfSql(k = 16, iters = 5, nprobe = 4, topk = 5,
       dim = 64, sampleFraction = 0.1, seed = 42L),
     "q_ann_recall" -> annRecallSql(k = 16, iters = 5, nprobe = 4,
@@ -7555,6 +7897,51 @@ object SparkEntry {
          SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
                 round(s, 6) AS score
          FROM ranked WHERE rn <= 3 ORDER BY query_id, rank""",
+    // Perceptual-hash multimodal near-dup: the q_multimodal_ann
+    // feature replay (character-code byte histogram, ASCII framing) →
+    // fixed-point quantize → per-bin corpus mean (exact integer
+    // sum // n) → centered deviations → 64 seeded plane-sign bits
+    // (exact double literals, ascending fold, > 0.0 — the PlaneSigns
+    // kernel's arithmetic) → all-pairs hamming <= 3 in UBIGINT
+    // (pigeonhole-equivalent to the Spark chunk join, the
+    // q_dedup_simhash precedent).
+    "q_multimodal_neardup" ->
+      s"""WITH codes AS (SELECT doc_id AS id,
+                           list_transform(range(1, length(text)+1),
+                                          i -> unicode(substr(text, CAST(i AS INTEGER), 1)) % 64) AS cs
+                    FROM documents
+                    WHERE octet_length(encode(text)) = length(text)),
+              h AS (SELECT id,
+                           list_transform(range(0, 64), b -> len(list_filter(cs, c -> c = b))) AS counts
+                    FROM codes),
+              f AS (SELECT id,
+                           CASE WHEN list_sum(list_transform(counts, c -> c*c)) > 0
+                                THEN list_transform(counts, c -> CAST(c AS DOUBLE)
+                                       / sqrt(CAST(list_sum(list_transform(counts, c2 -> c2*c2)) AS DOUBLE)))
+                                ELSE list_transform(counts, c -> 0.0) END AS feat
+                    FROM h),
+              qf AS (SELECT id, list_transform(feat, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+                     FROM f),
+              mn AS (SELECT i, SUM(q[CAST(i AS INTEGER)]) // count(*) AS m
+                     FROM qf, generate_series(1, 64) t(i) GROUP BY i),
+              ml AS (SELECT list(m ORDER BY i) AS ms FROM mn),
+              cf AS (SELECT id,
+                            list_transform(range(1, 65),
+                              i -> CAST(q[CAST(i AS INTEGER)] - ms[CAST(i AS INTEGER)] AS DOUBLE)) AS c
+                     FROM qf, ml),
+              p AS (SELECT $phashPlanesSql AS pl),
+              fp AS (SELECT id,
+                            CAST(list_sum(list_transform(range(0, 64), j ->
+                              CASE WHEN list_sum(list_transform(range(1, 65),
+                                     i -> c[CAST(i AS INTEGER)] * pl[CAST(j AS INTEGER) + 1][CAST(i AS INTEGER)])) > 0.0
+                                   THEN CAST(1 AS UBIGINT) << CAST(j AS INTEGER)
+                                   ELSE CAST(0 AS UBIGINT) END)) AS HUGEINT) AS v
+                     FROM cf, p)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(CAST(a.v AS UBIGINT), CAST(b.v AS UBIGINT))) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.id < b.id
+         WHERE bit_count(xor(CAST(a.v AS UBIGINT), CAST(b.v AS UBIGINT))) <= 3
+         ORDER BY id_a, id_b""",
     "q_frame_offsets" ->
       """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS pos,
                 CAST((i * octet_length(encode(text))) // 5 AS BIGINT) AS off
@@ -7883,5 +8270,7 @@ object SparkEntry {
     "q_sssp", "q_benford", "q_normalize", "q_linkage_em",
     "q_bpe", "q_bpe_encode", "q_pca", "q_pca_project", "q_cuped",
     "q_calibration", "q_simpson", "q_seasonal", "q_url_norm",
-    "q_oov", "q_hll")
+    "q_oov", "q_hll",
+    // round 15
+    "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup")
 }

@@ -425,10 +425,22 @@ object Dedup {
     * least one exact chunk (pigeonhole), so candidates join on
     * (chunk_index, chunk_value) — never all pairs. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3): DataFrame =
+    hammingNearDupPairs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")),
+      maxDistance)
+
+  /** The Charikar chunk-bucketing core of [[simhashNearDupPairs]],
+    * exposed over ANY (id, fp) 64-bit fingerprint frame — the same
+    * machinery serves text SimHash and the multimodal perceptual
+    * hashes ([[Multimodal.mediaNearDupPairs]]): split the fingerprint
+    * into `maxDistance + 1` chunks; any pair within the distance
+    * shares at least one exact chunk (pigeonhole — candidate
+    * generation is COMPLETE, never all-pairs), then exact hamming
+    * verifies. */
+  def hammingNearDupPairs(fp: DataFrame, maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
     val bitsPer = 64 / chunks
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
     val chunked = fp.select(col("id"), col("fp"),
         explode(array((0 until chunks).map { c =>
           val start = c * bitsPer

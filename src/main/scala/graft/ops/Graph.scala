@@ -455,6 +455,76 @@ object Graph {
     degrees(e).select(col("v"), col("deg").as("core_deg"))
   }
 
+  /** FULL CORENESS DECOMPOSITION — every vertex's core NUMBER
+    * (max k with v in the k-core; Seidman 1983, phase order after
+    * Batagelj–Zaveršnik 2003): [[kCore]] answers one fixed k, but
+    * curation gates RANK nodes by coreness ("keep the 100k densest
+    * community members"), which needs the whole decomposition.
+    *
+    * Phase structure (the distributed form of the B-Z bucket walk):
+    * while edges remain, read the current min degree `d` — the whole
+    * remaining graph then has min degree d, so it sits inside the
+    * d-core and EVERY remaining vertex has coreness >= d; credit all
+    * of them with d, then peel the (d+1)-threshold cascade to its
+    * fixpoint and repeat. A vertex removed in that cascade is never
+    * credited again, so its final max-credit is exactly its core
+    * number. Phases therefore jump straight between DISTINCT coreness
+    * values (no empty-threshold spinning), and total peel work barely
+    * exceeds one full [[kCore]] cascade — the edge list only ever
+    * shrinks, across phases too. Deterministic by the same argument as
+    * kCore (the decomposition is unique; pure integer degree counts).
+    *
+    * Scale shape per round: ONE degree aggregate (map-side partials)
+    * + two left-anti edge prunes keyed by the SMALL removed frontier
+    * (the kCore discipline); the per-phase min degree is a 1-row agg
+    * on the node-sized degree frame. Credits accumulate node-sized
+    * rows per phase and fold with ONE final max groupBy. Per-round
+    * pins truncate lineage; LOUD `maxIters` refusal across all phases.
+    *
+    * Same input contract as [[kCore]] (any undirected edge soup;
+    * cleaned to canonical a<b edges); isolated vertices never enter
+    * the edge list, so the output domain is the edge endpoints.
+    * Returns `(v, coreness)`, coreness >= 1. */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 1000, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    var e = pin(edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    var acc: Option[DataFrame] = None
+    var rounds = 0
+    while (!e.isEmpty) {
+      val dg0 = pin(degrees(e))
+      val d = dg0.agg(min(col("deg"))).head().getLong(0)
+      // every vertex still standing is in the d-core: credit d now;
+      // whoever survives the coming cascade gets a higher credit later
+      val credit = dg0.select(col("v"), lit(d).as("coreness"))
+      acc = Some(acc.map(o => pin(o.unionAll(credit))).getOrElse(pin(credit)))
+      // peel the (d+1)-threshold cascade to its fixpoint
+      var stable = false
+      while (!stable) {
+        if (rounds >= maxIters)
+          throw new IllegalStateException(s"coreness: no fixpoint after " +
+            s"$maxIters total peel rounds — raise maxIters")
+        val removed = pin(degrees(e).where(col("deg") <= d).select(col("v")))
+        if (removed.isEmpty) stable = true
+        else e = pin(e
+          .join(removed.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(removed.select(col("v").as("b")), Seq("b"), "left_anti"))
+        rounds += 1
+      }
+    }
+    acc.map(_.groupBy(col("v")).agg(max(col("coreness")).as("coreness")))
+      .getOrElse(degrees(e).select(col("v"), col("deg").as("coreness"))
+        .limit(0))
+  }
+
   /** K-TRUSS (fixed k, Cohen 2008): the maximal subgraph in which
     * EVERY edge closes at least k-2 triangles — the EDGE-density
     * refinement of [[kCore]] (a k-core can be a sparse hub star; a

@@ -234,10 +234,20 @@ object Merge {
     * Scale shape: ONE aggregate over the change feed (map-side
     * partials), then ONE full-outer key join against the snapshot —
     * |keys| + |change-keys| rows, no history scan. Returns
-    * `(keyCols..., n, s)` with `s` DECIMAL(28,4). */
+    * `(keyCols..., countCol, sumCol)` with the sum DECIMAL(28,4); the
+    * base snapshot must already carry its aggregates under those names
+    * (defaults `n`/`s`) — checked loudly, because an absent column
+    * would otherwise surface as an unrelated-looking unresolved-column
+    * analysis error. */
   def incrementalCountSum(base: DataFrame, changes: DataFrame,
-      keyCols: Seq[String], opCol: String, valCol: String): DataFrame = {
+      keyCols: Seq[String], opCol: String, valCol: String,
+      countCol: String = "n", sumCol: String = "s"): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(base.columns.contains(countCol) && base.columns.contains(sumCol),
+      s"incrementalCountSum: base snapshot must carry aggregate " +
+        s"columns `$countCol`/`$sumCol` — got " +
+        s"(${base.columns.mkString(", ")}); pass countCol/sumCol for " +
+        "a snapshot built with different names")
     val dec = org.apache.spark.sql.types.DecimalType(28, 4)
     val sign = when(col(opCol) === "I", lit(1L))
       .when(col(opCol) === "D", lit(-1L))
@@ -250,16 +260,16 @@ object Merge {
         sum(sign * col(valCol).cast(dec)).as("__ds"))
     base.join(delta, keyCols, "full_outer")
       .select(keyCols.map(col) ++ Seq(
-        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
-          .as("n"),
-        (coalesce(col("s"), lit(0L).cast(dec)) +
-          coalesce(col("__ds"), lit(0L).cast(dec))).cast(dec).as("s")): _*)
+        (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(countCol),
+        (coalesce(col(sumCol), lit(0L).cast(dec)) +
+          coalesce(col("__ds"), lit(0L).cast(dec))).cast(dec).as(sumCol)): _*)
       .select(keyCols.map(col) ++ Seq(
-        when(col("n") < 0,
+        when(col(countCol) < 0,
           raise_error(lit("incrementalCountSum: maintained count went " +
             "negative — the feed deletes rows the base never had")))
-          .otherwise(col("n")).as("n"),
-        col("s")): _*)
-      .where(col("n") =!= 0)
+          .otherwise(col(countCol)).as(countCol),
+        col(sumCol)): _*)
+      .where(col(countCol) =!= 0)
   }
 }

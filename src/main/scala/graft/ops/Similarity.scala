@@ -410,7 +410,8 @@ object Similarity {
     * cosine kernel. Same scale contract as [[bruteForceTopK]]:
     * queries broadcast, ONE corpus scan, bounded-heap map-side
     * partials, no Window; at corpus-side query scale, gate candidates
-    * through [[ivfTopK]]'s inverted lists first (IVF-PQ composition).
+    * through the inverted lists instead — that composition is
+    * [[ivfPqTopKAdc]]/[[ivfPqTopK]] (q_ann_ivfpq).
     * Ranking ties break by ascending neighbor id. */
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
@@ -443,6 +444,75 @@ object Similarity {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val sl = pqTopK(corpus, idCol, vecCol, queries, qidCol, qvecCol,
       shortlist, codebooks)
+    val q = renamedQueries(corpus, queries, qidCol, qvecCol)
+    val exact = broadcast(sl.select(col("query_id"), col("neighbor_id")))
+      .join(corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+        col(vecCol).as("__nvec")), "neighbor_id")
+      .join(broadcast(q.select(col(QId).as("query_id"), col(QVec))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__nvec"), col(QVec)).as("score"))
+      .where(col("score").isNotNull)
+    topKPerKey(exact, "query_id", "neighbor_id", "score", k)
+  }
+
+  /** IVF-PQ COMPOSED SERVING, ADC stage (Jégou et al. 2011 §IV-B) —
+    * the production ANN layout at 100 TB: corpus rows are stored as
+    * `(coarse cluster, m-byte PQ code)` inverted lists, queries probe
+    * their `nprobe` nearest coarse centroids, and ADC scores ONLY the
+    * probed lists' codes — the layout that works when neither the fp32
+    * vectors NOR a flat code table can be scanned per query. Serve
+    * cost: `~ corpus * nprobe / k_coarse` m-byte code reads per query
+    * (vs [[pqTopK]]'s full code scan, vs [[ivfTopK]]'s fp-vector list
+    * scan). The probe frame is explicitly broadcast, so the corpus
+    * codes never shuffle — each list partition filters in place.
+    *
+    * Codes encode the RAW vector (not the coarse residual):
+    * reconstruction reuses the proven pq_decode/cosine kernels and the
+    * deterministic oracle replay verbatim; residual encoding buys
+    * recall at equal serve cost and slots in by swapping the encode
+    * input — a documented trade, not taken here. A (query, neighbor)
+    * pair appears at most once (one list per corpus row, distinct
+    * probes). Ranking ties break by ascending neighbor id. */
+  def ivfPqTopKAdc(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    // the stored inverted-list rows: id + coarse cluster + codes ONLY
+    // (the fp vector column ends at this projection — that drop IS the
+    // win, as in pqTopK/ivfTopKInt8)
+    val c = corpus.select(col(idCol),
+      graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
+        .as("cluster"),
+      graft.functions.Centroids.pq_encode(col(vecCol), codebooks)
+        .as("codes"))
+    val q = renamedQueries(corpus, queries, qidCol, qvecCol)
+      .select(col(QId), col(QVec),
+        explode(graft.functions.Centroids.centroid_probes(
+          col(QVec), centroids, nprobe)).as("cluster"))
+    val cand = c.join(broadcast(q), "cluster")
+      .select(col(QId).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(
+          graft.functions.Centroids.pq_decode(col("codes"), codebooks),
+          col(QVec).cast(ArrayType(DoubleType))).as("score"))
+      .where(col("score").isNotNull)
+    topKPerKey(cand, "query_id", "neighbor_id", "score", k)
+  }
+
+  /** [[ivfPqTopKAdc]] + the standard exact re-rank ([[pqTopKReranked]]
+    * precedent): ADC shortlists `shortlist` candidates from the probed
+    * lists' codes alone, then ONLY the shortlist touches the stored fp
+    * vectors — `|queries| * shortlist` point lookups total, never a
+    * corpus scan. Measured on this corpus (m=8, ks=16 codes, coarse
+    * k=16): see the q_ann_ivfpq registration for the nprobe × shortlist
+    * recall curve that picks the serving point. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int,
+      codebooks: Array[Array[Array[Double]]], shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val sl = ivfPqTopKAdc(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      shortlist, centroids, nprobe, codebooks)
     val q = renamedQueries(corpus, queries, qidCol, qvecCol)
     val exact = broadcast(sl.select(col("query_id"), col("neighbor_id")))
       .join(corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
@@ -550,9 +620,11 @@ object Similarity {
     * double widening and the power-of-two multiply are both EXACT IEEE
     * ops), so every covariance input is an integer; the (dim x dim)
     * product-sum matrix is exact Long arithmetic — order-free on any
-    * partitioning — and a LOUD row-count guard keeps every sum under
-    * 2^53 (`n <= 2^(55 - 2*scaleBits)`; raise the sums to DECIMAL past
-    * that, documented, not silent). Only dim + dim^2 + 1 slim rows
+    * partitioning — and a LOUD guard keeps every sum under 2^53
+    * (`n * maxQ^2 <= 2^53` with maxQ the OBSERVED max |quantized
+    * coordinate|, so unnormalized embeddings can't void the bound;
+    * raise the sums to DECIMAL past that, documented, not silent).
+    * Only dim + dim^2 + 1 slim rows
     * reach the driver (the <= 2^12-cell collect contract). The power
     * rounds are fixed-order driver arithmetic: matvec rows fold over k
     * ascending, norms fold over j ascending, all 0.0-seeded — the
@@ -611,11 +683,20 @@ object Similarity {
       .localCheckpoint()
     val n = q.count()
     require(n >= 2, s"pcaTopComponents: need >= 2 vectors, got $n")
-    val nBound = 1L << math.max(0, 55 - 2 * scaleBits)
-    require(n <= nBound,
-      s"pcaTopComponents: $n rows would push product sums past the " +
-        s"2^53 exactness bound at scaleBits=$scaleBits (max $nBound) " +
-        "— lower scaleBits or raise the sums to DECIMAL")
+    // Exactness bound derived from the OBSERVED max |quantized
+    // coordinate| (not from an assumed |x| <= 1, which unnormalized
+    // embeddings void): every product term is <= maxQ^2, so the
+    // (dim x dim) product sums stay exact Longs iff n * maxQ^2 <= 2^53
+    // (the per-dimension sums n * maxQ <= 2^53 follow a fortiori).
+    // BigInt sidesteps overflow in the check itself.
+    val maxQ = math.max(1L,
+      q.select(max(array_max(transform(col("q"), x => abs(x)))))
+        .head().getLong(0))
+    require(BigInt(n) * BigInt(maxQ) * BigInt(maxQ) <= (BigInt(1) << 53),
+      s"pcaTopComponents: $n rows with max |quantized coordinate| " +
+        s"$maxQ would push product sums past the 2^53 exactness bound " +
+        s"at scaleBits=$scaleBits — lower scaleBits, normalize the " +
+        "vectors, or raise the sums to DECIMAL")
     val sj = Array.ofDim[Long](dim)
     q.select(posexplode(col("q")).as(Seq("j", "x")))
       .groupBy(col("j")).agg(sum(col("x")).as("s"))

@@ -106,6 +106,20 @@ object Sketches {
       : org.apache.spark.sql.DataFrame = {
     require(p >= 4 && p <= 14, s"hllDistinct: p must be in [4, 14], got $p")
     require(groupCols.nonEmpty, "hllDistinct: need at least one group col")
+    hllRegisters(df, groupCols, hashCol, p)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets_hit"),
+        hllPresentSum(p).as("s_present"))
+      .select(groupCols.map(col) :+ col("n_buckets_hit") :+
+        hllEst(p, col("s_present"), col("n_buckets_hit")).as("hll_est"): _*)
+  }
+
+  /** The (group..., b, rho) register table of [[hllDistinct]] — the
+    * mergeable sketch state, shared with [[hllSetOps]] so the bucket/
+    * rank arithmetic has ONE definition. */
+  private def hllRegisters(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], hashCol: String, p: Int)
+      : org.apache.spark.sql.DataFrame = {
     val m = 1 << p
     val maxRho = 64 - p + 1
     val h = col(hashCol).cast(LongType)
@@ -115,24 +129,85 @@ object Sketches {
         acc.when(shiftrightunsigned(v, i - 1)
           .bitwiseAND(lit(1L)) === lit(1L), lit(i))
     }.otherwise(lit(maxRho))
-    val powArr = array((1 to maxRho).map(i => lit(1.0 / (1L << i))): _*)
-    val regs = df
-      .select(groupCols.map(col) :+
+    df.select(groupCols.map(col) :+
         h.bitwiseAND(lit((m - 1).toLong)).cast(IntegerType).as("b") :+
         rho.as("r"): _*)
       .groupBy(groupCols.map(col) :+ col("b"): _*)
       .agg(max(col("r")).as("rho"))
-    regs
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_buckets_hit"),
-        aggregate(array_sort(collect_list(struct(col("b"), col("rho")))),
-          lit(0.0),
-          (acc, x) => acc + element_at(powArr, x.getField("rho")))
-          .as("s_present"))
-      .select(groupCols.map(col) :+ col("n_buckets_hit") :+
-        (lit(hllAlphaM2(p)) / (col("s_present") +
-          (lit(m.toLong) - col("n_buckets_hit")).cast(DoubleType)))
-          .as("hll_est"): _*)
+  }
+
+  /** Pinned-order harmonic mass of the PRESENT registers: fold
+    * `2^-rho` (exact power-of-two doubles) over ascending buckets,
+    * 0.0-seeded — used inside an `.agg(...)` over a register frame. */
+  private def hllPresentSum(p: Int): Column = {
+    val maxRho = 64 - p + 1
+    val powArr = array((1 to maxRho).map(i => lit(1.0 / (1L << i))): _*)
+    aggregate(array_sort(collect_list(struct(col("b"), col("rho")))),
+      lit(0.0), (acc, x) => acc + element_at(powArr, x.getField("rho")))
+  }
+
+  /** The stamped raw estimator closing division. */
+  private def hllEst(p: Int, sPresent: Column, nHit: Column): Column =
+    lit(hllAlphaM2(p)) / (sPresent +
+      (lit((1L << p)) - nHit).cast(DoubleType))
+
+  /** HLL SET ALGEBRA over the groups of one sketch build — the sketch
+    * a 100 TB source-overlap matrix actually ships: HLL registers
+    * merge by elementwise MAX, so the UNION estimate of two groups is
+    * the raw estimator over their max-merged registers (exactly the
+    * estimate HLL would give the concatenated input — merge is
+    * lossless), and the INTERSECTION estimate is inclusion-exclusion
+    * `est_a + est_b − est_union` (the standard HLL recipe; no sketch
+    * supports direct intersection, and the estimate can go <= 0 for
+    * tiny overlaps — published as-is, the q_kmv_setops honesty
+    * precedent, with `jaccard_est = est_inter / est_union` alongside).
+    * All at 1-byte-per-register cost vs KMV's k 8-byte hashes
+    * ([[kmvDistinct]] keeps exact resemblance; HLL wins on state).
+    *
+    * Determinism: register build and folds are [[hllDistinct]]'s
+    * (order-free max/count, pinned ascending-bucket fold); the
+    * union merge is a per-bucket MAX over the pair's registers;
+    * inclusion-exclusion is the fixed operand order
+    * `(est_a + est_b) − est_union`.
+    *
+    * Scale shape: registers are <= m rows per group; the pair frame
+    * is |groups|² rows and the union merge touches <= 2m register
+    * rows per pair — nothing corpus-sized after the one register
+    * aggregate. Returns one row per unordered group pair (a < b):
+    * `(group_a, group_b, est_a, est_b, est_union, est_inter,
+    * jaccard_est)`. */
+  def hllSetOps(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, hashCol: String, p: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(p >= 4 && p <= 14, s"hllSetOps: p must be in [4, 14], got $p")
+    val regs = hllRegisters(df, Seq(groupCol), hashCol, p)
+    val ests = regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nh"), hllPresentSum(p).as("sp"))
+      .select(col(groupCol), hllEst(p, col("sp"), col("nh")).as("est"))
+    val groups = regs.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("group_a"))
+      .join(groups.select(col(groupCol).as("group_b")),
+        col("group_a") < col("group_b"))
+    // union registers: per-bucket max over the pair's two register sets
+    val uni = pairs
+      .join(regs, col(groupCol) === col("group_a") ||
+        col(groupCol) === col("group_b"))
+      .groupBy(col("group_a"), col("group_b"), col("b"))
+      .agg(max(col("rho")).as("rho"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("nh"), hllPresentSum(p).as("sp"))
+      .select(col("group_a"), col("group_b"),
+        hllEst(p, col("sp"), col("nh")).as("est_union"))
+    uni
+      .join(ests.select(col(groupCol).as("group_a"), col("est").as("est_a")),
+        Seq("group_a"))
+      .join(ests.select(col(groupCol).as("group_b"), col("est").as("est_b")),
+        Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"),
+        ((col("est_a") + col("est_b") - col("est_union")) /
+          col("est_union")).as("jaccard_est"))
   }
 
   /** Count-Min frequency sketch (Cormode/Muthukrishnan 2005) over a

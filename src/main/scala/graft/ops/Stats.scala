@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -541,6 +541,27 @@ object Stats {
           .as("z"))
   }
 
+  /** The INTEGRAL contract made loud: integer-typed columns pass
+    * through as Longs; fractional types (double/float/decimal) RAISE on
+    * the first non-integral value instead of silently truncating — a
+    * caller handing ksTest/rocAuc raw doubles would otherwise get a
+    * plausible but wrong D/AUC whose tie blocks depend on the engine's
+    * truncation. NULLs stay NULL (the callers' isNotNull filters drop
+    * them). */
+  private def integralLong(df: DataFrame, c: String,
+      opName: String): Column = df.schema(c).dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      col(c).cast(LongType)
+    case FloatType | DoubleType | _: DecimalType =>
+      when(col(c).cast(DoubleType) =!= floor(col(c).cast(DoubleType)),
+        raise_error(concat(
+          lit(s"$opName: `$c` must be integral-valued (quantize first, " +
+            "e.g. round(x*100)) — got "), col(c).cast(StringType))))
+        .otherwise(col(c).cast(LongType))
+    case other => throw new IllegalArgumentException(
+      s"$opName: `$c` must be a numeric column, got ${other.simpleString}")
+  }
+
   /** TWO-SAMPLE KOLMOGOROV-SMIRNOV statistic — the binning-free member
     * of the drift family (histogramDrift's TVD depends on the bin
     * width; KS D = sup|F_ref − F_cur| is the distribution-level
@@ -562,7 +583,7 @@ object Stats {
     * it); totals ride a 1-row broadcast. One row out. */
   def ksTest(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
     def side(df: DataFrame, n: String) = df
-      .select(col(valueCol).cast(LongType).as("v"))
+      .select(integralLong(df, valueCol, "ksTest").as("v"))
       .where(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as(n))
     val g = side(ref, "nr").join(side(cur, "nc"), Seq("v"), "full_outer")
@@ -664,7 +685,7 @@ object Stats {
     * `(n_pos, n_neg, u2, auc)`. */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val byScore = df
-      .select(col(scoreCol).cast(LongType).as("s"),
+      .select(integralLong(df, scoreCol, "rocAuc").as("s"),
         col(labelCol).cast(LongType).as("y"))
       .where(col("s").isNotNull && col("y").isNotNull)
       .groupBy(col("s"))
@@ -847,6 +868,14 @@ object Stats {
         lit("calibrationBins: per-bin fixed-point sum passed the 2^53 " +
           "exactness bound — lower `scale` or raise the sum to " +
           "DECIMAL")).isNull)
+      // the mean_pred denominator n*scale is a Long product — guard it
+      // to the same 2^53 exactness bound (scale can sit at 2^40, so a
+      // bin past ~2^13 rows would otherwise overflow the multiply with
+      // a confusing ANSI error instead of this loud refusal)
+      .where(assert_true(col("n") <= lit((1L << 53) / scale),
+        lit("calibrationBins: per-bin row count passed the 2^53/scale " +
+          "exactness bound for the n*scale denominator — lower `scale` " +
+          "or split the bin")).isNull)
     val tot = base.agg(count(lit(1)).as("n_total"))
     val meanPred = col("s_fp").cast(DoubleType) /
       (col("n") * lit(scale)).cast(DoubleType)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -319,6 +320,58 @@ object StreamOps {
       graft.ops.TextAnalysis.dsirModel(target, textCol, buckets),
       graft.ops.TextAnalysis.dsirModel(rawSample, textCol, buckets),
       stream, idCol, textCol, buckets, reinstate = false)
+
+  /** Streaming [[graft.ops.EventAnalytics.rateSpikes]]: flag ARRIVING
+    * activity against a STATIC trailing baseline of historical daily
+    * counts — the production monitor shape (the nightly job refreshes
+    * the baseline; the stream only answers "is today hot"). Identical
+    * lift arithmetic to batch: `lift = (n+1)·W / (sum_prev + W)`, one
+    * division of exact integers.
+    *
+    * The stream-legal plan inverts the batch self-join: the trailing
+    * band is PRE-AGGREGATED static-side — each baseline (key, day, n)
+    * is exploded to the `windowDays` FUTURE days it serves and summed
+    * to `(key, day, sum_prev)` — so the stream side is one stateless
+    * equi-join (no band join, no join after aggregation, both
+    * stream-illegal) followed by ONE streaming aggregation keyed on
+    * (key, day, sum_prev); sum_prev is functionally dependent on
+    * (key, day), so grouping by it is free and keeps the aggregate a
+    * plain count. Run in update/complete mode; a day split across
+    * micro-batches keeps accumulating (update re-emits its row).
+    *
+    * Contract delta vs batch, stream-imposed and deliberate: arriving
+    * days do NOT feed later days' baselines (a stream cannot join its
+    * own aggregate) — parity with the batch monitor holds exactly for
+    * stream days whose full trailing window lies in the static
+    * baseline (StreamOpsSpec pins it); production rolls the baseline
+    * forward nightly. The batch query q_rate_spikes stays the DuckDB
+    * oracle anchor.
+    *
+    * Scale shape: the served-day explode is |key-days| × W static slim
+    * rows built once; per micro-batch work is one broadcast-able
+    * equi-join plus a keyed count. */
+  def rateSpikesStream(baseline: DataFrame, stream: DataFrame,
+      keyCol: String, dayCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val counts = baseline
+      .groupBy(col(keyCol).as("key"), col(dayCol).cast(LongType).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val serves = counts.select(col("key"),
+        explode(sequence(col("day") + 1, col("day") + windowDays))
+          .as("day"), col("n"))
+      .groupBy(col("key"), col("day")).agg(sum(col("n")).as("sum_prev"))
+    stream
+      .select(col(keyCol).as("key"), col(dayCol).cast(LongType).as("day"))
+      .join(serves, Seq("key", "day"), "left")
+      .groupBy(col("key"), col("day"),
+        coalesce(col("sum_prev"), lit(0L)).as("sum_prev"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key").as(keyCol), col("day").as(dayCol), col("n"),
+        col("sum_prev"),
+        ((col("n") + lit(1L)) * lit(windowDays.toLong)).cast(DoubleType)
+          ./((col("sum_prev") + lit(windowDays.toLong)).cast(DoubleType))
+          .as("lift"))
+  }
 
   def runningMean[K: Encoder](ds: Dataset[(K, Double)]): Dataset[(K, Long, Double)] = {
     implicit val stateEnc: Encoder[(Long, Double)] =

@@ -1031,6 +1031,25 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "Window"
   }
 
+  test("q_ann_ivfpq: probed-list gating is a broadcast HASH join on the " +
+      "cluster id (probe frame broadcast — corpus codes never shuffle); " +
+      "ADC scores PQ reconstructions inside the probed lists only; all " +
+      "serving paths reduce via bounded heaps; no Window, no cartesian") {
+    val p = plan("q_ann_ivfpq")
+    // the gating join: broadcast the exploded probe set, hash on cluster
+    p should include("BroadcastHashJoin")
+    // codes-only list scan: the candidate side carries pq codes, scored
+    // via the decode kernel against the broadcast query vector
+    p should include("graft_pq_encode")
+    p should include("graft_pq_decode")
+    p should include("graft_centroid_probes")
+    // ADC + rerank + ground-truth paths all bounded-heap partials
+    "partial_graft_top_k_by_score".r.findAllIn(p).size should be >= 3
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("q_interpolate: daily partial-aggregated collapse before the " +
       "spine; BOTH neighbor frames fuse into ONE Window (one sort, one " +
       "exchange); no cartesian") {

@@ -354,6 +354,32 @@ class GraphSpec extends SparkSpecBase with Matchers {
     }.getMessage should include("k must be >= 1")
   }
 
+  test("coreness: full decomposition on triangle+chain+K4 recovers the " +
+      "known core numbers; phase jumps credit the d-core wholesale; " +
+      "messy input cleaned; empty input yields an empty frame") {
+    // triangle {1,2,3} (core 2), chain 3-4-5 (4, 5 core 1), and a
+    // disjoint K4 {6,7,8,9} (core 3); input has a dup, a reversed
+    // orientation, and a self-loop
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 5L),
+      (6L, 7L), (6L, 8L), (6L, 9L), (7L, 8L), (7L, 9L), (8L, 9L))
+      .toDF("src", "dst")
+    Graph.coreness(edges, "src", "dst")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq shouldBe Seq(
+      (1L, 2L), (2L, 2L), (3L, 2L), (4L, 1L), (5L, 1L),
+      (6L, 3L), (7L, 3L), (8L, 3L), (9L, 3L))
+    // consistency with the fixed-k gate: {v : coreness >= k} == kCore(k)
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    val byCore = Graph.coreness(edges, "src", "dst")
+      .where(c("coreness") >= 2).select(c("v"))
+      .as[Long].collect().sorted.toSeq
+    byCore shouldBe Graph.kCore(edges, "src", "dst", 2)
+      .select(c("v")).as[Long].collect().sorted.toSeq
+    Graph.coreness(edges.where(l(false)), "src", "dst")
+      .collect() shouldBe empty
+  }
+
   test("kTruss: K4 + hanging triangle at k=4 peels the triangle and " +
       "emits the FIXPOINT support (3-4 drops from 3 to 2); k=3 keeps " +
       "everything with initial supports; k=5 dissolves all") {

@@ -328,6 +328,46 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     }.getMessage should include("shortlist")
   }
 
+  test("ivfPqTopK composition ceilings: full probing makes the ADC " +
+      "stage equal pqTopK (list gating off), and full probing + " +
+      "corpus-wide shortlist equals brute force exactly") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11L)
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5))).toDF("id", "v")
+    val q = corpus.where(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val cents = Similarity.trainCentroids(corpus, "id", "v",
+      k = 4, iters = 2)
+    val books = Similarity.pqCodebooks(corpus, "id", "v", dim = 8,
+      m = 4, ks = 4, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // probing every list == a flat code scan: ADC stage equals pqTopK
+    rows(Similarity.ivfPqTopKAdc(corpus, "id", "v", q, "qid", "qvec",
+      k = 5, cents, nprobe = 4, books)) shouldBe
+      rows(Similarity.pqTopK(corpus, "id", "v", q, "qid", "qvec",
+        k = 5, books))
+    // ...and with a corpus-wide shortlist the exact rerank recovers
+    // brute force (the composition's recall ceiling)
+    rows(Similarity.ivfPqTopK(corpus, "id", "v", q, "qid", "qvec",
+      k = 5, cents, nprobe = 4, books, shortlist = 40)) shouldBe
+      rows(Similarity.bruteForceTopK(corpus, "id", "v", q, "qid", "qvec",
+        k = 5))
+    // partial probing: every query still finds itself (self-vector sits
+    // in the query's own nearest list, reconstruction notwithstanding,
+    // after the exact rerank)
+    val partial = Similarity.ivfPqTopK(corpus, "id", "v", q, "qid",
+      "qvec", k = 5, cents, nprobe = 1, books, shortlist = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    (0L to 2L).foreach(i => partial should contain((i, i)))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(corpus, "id", "v", q, "qid", "qvec",
+        k = 5, cents, nprobe = 1, books, shortlist = 4)
+    }.getMessage should include("shortlist")
+  }
+
   test("pcaTopComponents: rank-1 2D data recovers the (1, 2) direction " +
       "exactly and claims the whole variance") {
     // points (0.125k, 0.25k), k in -2..2 — every coordinate is exactly

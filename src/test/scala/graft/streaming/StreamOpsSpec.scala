@@ -594,6 +594,45 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     byId(4L) should be > byId(3L)
   }
 
+  test("rateSpikesStream flags arriving days against the static " +
+      "baseline across micro-batches and equals batch rateSpikes on " +
+      "days whose trailing window lies inside the baseline") {
+    import graft.ops.EventAnalytics
+    // baseline: key a steady 2/day on days 4..10; key b one event on
+    // day 8; key c exists ONLY in the stream (fresh-key path)
+    val baseline = ((4L to 10L).flatMap(d => Seq(("a", d), ("a", d))) ++
+      Seq(("b", 8L))).toDF("key", "day")
+    val arriving = Seq(("a", 11L), ("a", 11L), ("a", 11L), ("a", 11L),
+      ("a", 11L), ("a", 11L), ("b", 11L), ("c", 11L))
+    val in = MemoryStream[(String, Long)](spark)
+    val q = StreamOps.rateSpikesStream(baseline,
+        in.toDF().toDF("key", "day"), "key", "day")
+      .writeStream.format("memory").queryName("spike_stream")
+      .outputMode("complete").start()
+    arriving.grouped(3).foreach { chunk => // day 11 split over batches
+      in.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("spike_stream")
+      .select(col("key"), col("day"), col("n"), col("sum_prev"),
+        col("lift"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val batch = EventAnalytics.rateSpikes(
+        baseline.unionByName(arriving.toDF("key", "day")), "key", "day")
+      .where(col("day") === 11L)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    streamed shouldBe batch
+    // separation: the 3x burst beats the steady key beats nothing;
+    // the fresh key takes the exact Laplace floor 2·W/W = 2.0
+    val byKey = streamed.map(r => r._1 -> r._5).toMap
+    byKey("a") should be > byKey("c")
+    byKey("c") shouldBe 2.0
+    byKey("c") should be > byKey("b")
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
