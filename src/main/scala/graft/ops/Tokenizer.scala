@@ -146,18 +146,41 @@ object Tokenizer {
     * per-doc `(idCol, n_chars_alpha, n_bpe)` — total tokenized
     * codepoints vs BPE token count under `mergesInOrder` (the (l, r)
     * pairs of [[bpeMerges]]' output, in round order); their ratio is
-    * the tokenizer's compression on that doc. Applies each rule with
-    * the SAME [[applyMerge]] kernel over the doc's distinct-word
-    * counts — per-row work, one narrow aggregate, document text never
-    * shuffles after the word count. */
+    * the tokenizer's compression on that doc. The whole table is
+    * applied by ONE codegen'd kernel ([[graft.functions.Bpe]]) over the
+    * doc's distinct-word counts — plan depth O(1) in the rule count
+    * (production tables hold 30k+ merges; the old fold path spent
+    * three projections PER RULE and was capped at 256), per-row work,
+    * one narrow aggregate, document text never shuffles after the word
+    * count. Byte parity with the fold is spec-pinned (BpeKernelSpec). */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       mergesInOrder: Seq[(String, String)]): DataFrame = {
+    require(mergesInOrder.size <= (1 << 20),
+      s"bpeEncode: ${mergesInOrder.size} rules exceed the 2^20 sanity " +
+        "cap — no trained tokenizer is this large; suspect a bad table")
+    val base = wordSyms(df, textCol, keep = Seq(idCol))
+    val encoded = base.withColumn("syms",
+      graft.functions.Bpe.bpe_apply(col("syms"), mergesInOrder))
+    encodeStats(encoded, idCol)
+  }
+
+  /** The pre-kernel fold path (three [[applyMerge]] projections per
+    * rule, hence the hard cap) — kept as the independently-derived
+    * parity anchor for the kernel spec, not a serving path. */
+  private[graft] def bpeEncodeFold(df: DataFrame, idCol: String,
+      textCol: String, mergesInOrder: Seq[(String, String)]): DataFrame = {
     require(mergesInOrder.size <= 256,
-      s"bpeEncode: ${mergesInOrder.size} rules exceed the 256-rule " +
+      s"bpeEncodeFold: ${mergesInOrder.size} rules exceed the 256-rule " +
         "plan-size cap (three projections per rule)")
     val base = wordSyms(df, textCol, keep = Seq(idCol))
     val encoded = mergesInOrder.foldLeft(base) {
       case (acc, (a, b)) => applyMerge(acc, a, b) }
+    encodeStats(encoded, idCol)
+  }
+
+  /** Shared tail of the encode paths: per-doc token/codepoint totals
+    * over the encoded distinct-word table. */
+  private def encodeStats(encoded: DataFrame, idCol: String): DataFrame =
     encoded
       .groupBy(col(idCol))
       .agg(sum(col("cnt") * size(col("syms"))).as("n_bpe"),
@@ -165,5 +188,4 @@ object Tokenizer {
           aggregate(col("syms"), lit(0), (s, x) => s + length(x)))
           .as("n_chars_alpha"))
       .select(col(idCol), col("n_chars_alpha"), col("n_bpe"))
-  }
 }
