@@ -4255,6 +4255,17 @@ object SparkEntry {
         prev = s"e${p}_${r + 1}"
       }
     }
+    // convergence assertion: the phase/round budgets are pinned to one
+    // SF's observed schedule; if a larger SF needs more, edges remain
+    // after the last phase and the credits would be silently
+    // UNDER-sized (over-credit cannot happen — spare rounds are
+    // no-ops). error() makes the under-budget case fail loudly and
+    // self-diagnosably instead of as a bare parity mismatch.
+    ctes += s"conv AS MATERIALIZED (SELECT CASE WHEN " +
+      s"(SELECT count(*) FROM $prev) > 0 THEN error(" +
+      s"'corenessSql: phase/round budgets under-sized for this scale " +
+      s"factor - edges remain after the last phase; re-pin the " +
+      s"budgets') ELSE 0 END AS ok)"
     s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
        |          FROM lineitem WHERE l_orderkey % 64 = 0),
        |     e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
@@ -4262,7 +4273,7 @@ object SparkEntry {
        |     ${ctes.mkString(",\n     ")}
        |SELECT v AS part, CAST(max(d) AS BIGINT) AS coreness
        |FROM (${credits.mkString("\n      UNION ALL ")})
-       |WHERE d IS NOT NULL
+       |WHERE d IS NOT NULL AND (SELECT ok FROM conv) = 0
        |GROUP BY v
        |ORDER BY part""".stripMargin
   }

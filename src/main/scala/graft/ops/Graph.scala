@@ -506,13 +506,20 @@ object Graph {
       // whoever survives the coming cascade gets a higher credit later
       val credit = dg0.select(col("v"), lit(d).as("coreness"))
       acc = Some(acc.map(o => pin(o.unionAll(credit))).getOrElse(pin(credit)))
-      // peel the (d+1)-threshold cascade to its fixpoint
+      // peel the (d+1)-threshold cascade to its fixpoint; round 0
+      // reads the PINNED dg0 instead of recomputing degrees(e) on the
+      // unchanged edge set (d IS its min, so the filter is never
+      // empty) — saves one corpus-sized aggregate + pin per phase
       var stable = false
+      var first = true
       while (!stable) {
         if (rounds >= maxIters)
           throw new IllegalStateException(s"coreness: no fixpoint after " +
             s"$maxIters total peel rounds — raise maxIters")
-        val removed = pin(degrees(e).where(col("deg") <= d).select(col("v")))
+        val removed =
+          if (first) dg0.where(col("deg") <= d).select(col("v"))
+          else pin(degrees(e).where(col("deg") <= d).select(col("v")))
+        first = false
         if (removed.isEmpty) stable = true
         else e = pin(e
           .join(removed.select(col("v").as("a")), Seq("a"), "left_anti")

@@ -188,10 +188,17 @@ object Sketches {
     val pairs = groups.select(col(groupCol).as("group_a"))
       .join(groups.select(col(groupCol).as("group_b")),
         col("group_a") < col("group_b"))
-    // union registers: per-bucket max over the pair's two register sets
-    val uni = pairs
-      .join(regs, col(groupCol) === col("group_a") ||
-        col(groupCol) === col("group_b"))
+    // union registers: per-bucket max over the pair's two register
+    // sets. Two equi-joins unioned, NOT one OR-predicate join — the OR
+    // form only executes as a broadcast nested-loop scanning every
+    // group's registers per pair, which breaks the '<= 2m register
+    // rows per pair' claim as the group count grows; the equi-joins
+    // stay hash joins at any |groups|
+    val pairRegs = Seq("group_a", "group_b").map { side =>
+      pairs.join(regs, col(groupCol) === col(side))
+        .select(col("group_a"), col("group_b"), col("b"), col("rho"))
+    }.reduce(_ unionAll _)
+    val uni = pairRegs
       .groupBy(col("group_a"), col("group_b"), col("b"))
       .agg(max(col("rho")).as("rho"))
       .groupBy(col("group_a"), col("group_b"))

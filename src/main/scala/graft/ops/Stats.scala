@@ -553,7 +553,12 @@ object Stats {
     case ByteType | ShortType | IntegerType | LongType =>
       col(c).cast(LongType)
     case FloatType | DoubleType | _: DecimalType =>
-      when(col(c).cast(DoubleType) =!= floor(col(c).cast(DoubleType)),
+      // NaN and ±Inf must raise too: Spark's NaN = NaN is TRUE and
+      // floor(Inf) = Inf, so the non-integral compare alone lets both
+      // through to a silent 0L / Long.MaxValue cast
+      val d = col(c).cast(DoubleType)
+      when(isnan(d) || abs(d) === lit(Double.PositiveInfinity) ||
+          (d =!= floor(d)),
         raise_error(concat(
           lit(s"$opName: `$c` must be integral-valued (quantize first, " +
             "e.g. round(x*100)) — got "), col(c).cast(StringType))))

@@ -517,6 +517,18 @@ class StatsSpec extends SparkSpecBase with Matchers {
     out.map(_._7).sum should be > 0.0
   }
 
+  test("ksTest integral guard raises on non-integral, NaN, and " +
+      "infinite doubles instead of silently casting") {
+    def run(vals: Seq[Double]) =
+      Stats.ksTest(vals.toDF("x"), Seq(1.0, 2.0).toDF("x"), "x").collect()
+    // integral-valued doubles pass
+    noException should be thrownBy run(Seq(1.0, 2.0, 3.0))
+    for (bad <- Seq(1.5, Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity))
+      intercept[Exception] { run(Seq(1.0, bad)) }
+        .getMessage should include("must be integral-valued")
+  }
+
   test("calibrationBins guards fire loudly") {
     an[IllegalArgumentException] should be thrownBy
       Stats.calibrationBins(Seq((1L, 1L)).toDF("score_fp", "y"),
