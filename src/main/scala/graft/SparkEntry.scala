@@ -2699,38 +2699,31 @@ object SparkEntry {
       // binding constraint, not the shortlist — exactly the diagnostic
       // this artifact exists to expose. Serving point: nprobe=8,
       // sl=100 (the knee on both axes).
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
-        k = 16, iters = 5, sampleFraction = 0.1)
-      val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
-        dim = 64, m = 8, ks = 16, iters = 5, sampleFraction = 0.1)
-      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qvec", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val adc = Similarity.ivfPqTopKAdc(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 5, cents, nprobe = 8, books)
-        .select(col("query_id"), col("neighbor_id"))
-      val rer = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 5, cents, nprobe = 8, books,
-          shortlist = 100)
-        .select(col("query_id"), col("neighbor_id"))
-      def hits(approx: DataFrame, name: String) =
-        brute.join(broadcast(approx), Seq("query_id", "neighbor_id"),
-            "left_semi")
-          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
-      queries.select(col("qid").as("query_id"))
-        .join(broadcast(hits(adc, "n_hits_adc")), Seq("query_id"), "left")
-        .join(broadcast(hits(rer, "n_hits")), Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits_adc"), lit(0L)).as("n_hits_adc"),
-          (coalesce(col("n_hits_adc"), lit(0L)).cast(DoubleType) / lit(5.0))
-            .as("recall_adc"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(5.0))
-            .as("recall"))
-        .orderBy("query_id")
+      ivfPqRecallQuery(s, dir, residual = false)
+    }),
+    "q_ann_ivfpq_residual" -> ((s, dir) => {
+      // RESIDUAL-encoded IVF-PQ (Jégou 2011's IVF-ADC proper,
+      // Similarity.ivfPqTopKAdc residual=true): codebooks train on the
+      // coarse residuals x/|x| − centroid(x), codes quantize them,
+      // serving adds the assigned centroid back before ADC — same
+      // artifact shape and serving point (nprobe=8, sl=100) as
+      // q_ann_ivfpq so the two are an exact head-to-head. Measured
+      // nprobe × shortlist recall@5 curve with residual codes (mean
+      // over the 10-query panel, sf0.01): nprobe=4: ADC .28 / sl=50
+      // .54, sl=100 .64; nprobe=8: ADC .28 / sl=50 .60, sl=100 .72;
+      // nprobe=16: ADC .28 / sl=50 .66, sl=100 .84 — BELOW q_ann_ivfpq's
+      // raw codes (.44/.72/.76 at nprobe=8) on THIS corpus, and the
+      // artifact exists to say why: a unit residual's energy is
+      // 2 − 2·cos(x, c), above the unit vector's 1 whenever
+      // cos(x, c) < 0.5, and these structureless synthetic embeddings
+      // sit at mean assigned-centroid cosine 0.27 (energy ≈ 1.46) — the
+      // coarse quantizer explains nothing, so residual coding spends
+      // the same 8 bytes on a WIDER distribution. On clustered corpora
+      // the inequality flips and residual wins (SimilaritySpec pins
+      // that with a controlled clustered corpus) — which of the two
+      // layouts to ship is a measured, corpus-dependent choice, and
+      // this pair of queries is the measurement.
+      ivfPqRecallQuery(s, dir, residual = true)
     }),
     "q_ann_recall_tuned" -> ((s, dir) => {
       // The TUNED serving point the recall artifact exists to pick.
@@ -3593,6 +3586,56 @@ object SparkEntry {
         s"FROM c${c}v$rounds v, c${c}n$rounds n, tr t"
     }.mkString("\n         UNION ALL ") + "\n         ORDER BY component, coord"
 
+  /** Shared body of q_ann_ivfpq / q_ann_ivfpq_residual — identical
+    * train/serve/ground-truth pipeline so the two registrations are an
+    * exact raw-codes vs residual-codes head-to-head: coarse k=16
+    * spherical centroids, m=8/ks=16 PQ codebooks (trained on raw
+    * vectors or on [[graft.ops.Similarity.ivfResiduals]]), ADC and
+    * shortlist=100+exact-rerank serves at nprobe=8, per-query recall@5
+    * vs brute-force ground truth. */
+  private def ivfPqRecallQuery(s: SparkSession, dir: String,
+      residual: Boolean): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 5, sampleFraction = 0.1)
+    val books =
+      if (residual)
+        Similarity.pqCodebooks(
+          Similarity.ivfResiduals(emb, "vec_id", "embedding", cents),
+          "vec_id", "resid", dim = 64, m = 8, ks = 16, iters = 5,
+          sampleFraction = 0.1)
+      else
+        Similarity.pqCodebooks(emb, "vec_id", "embedding",
+          dim = 64, m = 8, ks = 16, iters = 5, sampleFraction = 0.1)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val adc = Similarity.ivfPqTopKAdc(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, cents, nprobe = 8, books, residual)
+      .select(col("query_id"), col("neighbor_id"))
+    val rer = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, cents, nprobe = 8, books,
+        shortlist = 100, residual)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(approx: DataFrame, name: String) =
+      brute.join(broadcast(approx), Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    queries.select(col("qid").as("query_id"))
+      .join(broadcast(hits(adc, "n_hits_adc")), Seq("query_id"), "left")
+      .join(broadcast(hits(rer, "n_hits")), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits_adc"), lit(0L)).as("n_hits_adc"),
+        (coalesce(col("n_hits_adc"), lit(0L)).cast(DoubleType) / lit(5.0))
+          .as("recall_adc"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(5.0))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Unrolled BPE round CTEs replaying [[Tokenizer.bpeMerges]] over
     * `documents`: `tok`/`w0` (word-frequency table with char symbol
     * arrays), then per round `pc$r` (pair counts via index unnest),
@@ -4370,7 +4413,8 @@ object SparkEntry {
     * each chain references both ~10×). Emits the per-subspace
     * tr/in/c/en CTEs and `dec(vec_id, dv)`. Shared by the q_ann_pq and
     * q_ann_ivfpq oracles — ONE source of truth for the PQ replay. */
-  private def pqChainsSql(m: Int, ks: Int, sub: Int, iters: Int): String = {
+  private def pqChainsSql(m: Int, ks: Int, sub: Int, iters: Int,
+      trainCte: String = "train", baseCte: String = "e"): String = {
     def l2(a: String, b: String): String =
       s"list_sum(list_transform(range(1, ${sub + 1}), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii])))"
     val subspaceCtes = (0 until m).map { s =>
@@ -4394,15 +4438,15 @@ object SparkEntry {
            |c${s}_$i AS MATERIALIZED (SELECT c.j, COALESCE(mn.mn, c.c) AS c
            |       FROM $prev c LEFT JOIN me${s}_$i mn ON mn.j = c.j)""".stripMargin
       }.mkString(",\n")
-      s"""tr$s AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM train),
-         |in$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e ORDER BY vec_id LIMIT $ks),
+      s"""tr$s AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM $trainCte),
+         |in$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM $baseCte ORDER BY vec_id LIMIT $ks),
          |c${s}_0 AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS j, v AS c FROM in$s),
          |$chain,
          |en$s AS MATERIALIZED (SELECT vec_id, j AS code FROM (
          |       SELECT e.vec_id, c.j,
          |              row_number() OVER (PARTITION BY e.vec_id
          |                                 ORDER BY ${l2(s"(e.v[$lo:$hi])", "c.c")} ASC, c.j) AS rn
-         |       FROM e, c${s}_$iters c) WHERE rn = 1)""".stripMargin
+         |       FROM $baseCte e, c${s}_$iters c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val decUnion = (0 until m).map { s =>
       s"SELECT en$s.vec_id, $s AS s, c.c AS cw FROM en$s JOIN c${s}_$iters c ON c.j = en$s.code"
@@ -4465,17 +4509,47 @@ object SparkEntry {
     * ADC-scored against the PQ reconstruction, shortlisted, exact-
     * reranked, and intersected with brute-force ground truth for the
     * two recalls (the q_ann_pq artifact shape). Composes the two
-    * already-proven replays; the gating join is the only new piece. */
+    * already-proven replays; the gating join is the only new piece.
+    * With `residual = true` (Jégou 2011's IVF-ADC proper) the PQ
+    * chains train on and encode the coarse residuals `re` (e minus the
+    * assigned cent$iters row, the exact elementwise subtraction the
+    * Spark side does in zip_with), and the serve stage scores against
+    * `recon` = dec + assigned centroid instead of dec. */
   private def ivfPqSql(kCoarse: Int, m: Int, ks: Int, sub: Int,
       iters: Int, nprobe: Int, topk: Int, shortlist: Int,
-      sampleFraction: Double, seed: Long): String = {
+      sampleFraction: Double, seed: Long,
+      residual: Boolean = false): String = {
+    import graft.ops.Similarity.{SampleMod, SampleMul}
+    val keep = (sampleFraction * SampleMod).toLong
     val dim = m * sub
     val dot = sqlDot(dim) _
     def cos(a: String, b: String): String =
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    val residCtes = if (!residual) "" else
+      s"""     nrmv AS MATERIALIZED (SELECT vec_id,
+         |            CASE WHEN sqrt(list_sum(list_transform(v, y -> y*y))) > 0
+         |                 THEN list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))
+         |                 ELSE v END AS v FROM e),
+         |     re AS MATERIALIZED (SELECT n.vec_id,
+         |            list_transform(range(1, ${dim + 1}), ii -> n.v[ii] - c.c[ii]) AS v
+         |          FROM nrmv n JOIN casg a ON a.vec_id = n.vec_id
+         |                 JOIN cent$iters c ON c.j = a.cluster),
+         |     rtrain AS MATERIALIZED (SELECT vec_id, v FROM re
+         |          WHERE ((vec_id % $SampleMod) * $SampleMul + $seed) % $SampleMod < $keep),
+         |""".stripMargin
+    val chains =
+      if (residual) pqChainsSql(m, ks, sub, iters, "rtrain", "re")
+      else pqChainsSql(m, ks, sub, iters)
+    val reconCte = if (!residual) "" else
+      s""",
+         |     recon AS MATERIALIZED (SELECT d.vec_id,
+         |            list_transform(range(1, ${dim + 1}), ii -> d.dv[ii] + c.c[ii]) AS dv
+         |          FROM dec d JOIN casg a ON a.vec_id = d.vec_id
+         |                 JOIN cent$iters c ON c.j = a.cluster)""".stripMargin
+    val adcSrc = if (residual) "recon" else "dec"
     s"""WITH ${kmeansPrefixSql(kCoarse, iters, dim, sampleFraction, seed,
             materializeBase = true)},
-       |${pqChainsSql(m, ks, sub, iters)},
+       |$residCtes${chains}$reconCte,
        |     q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 10),
        |     qprobe AS (SELECT qid, cluster FROM (
        |             SELECT q.vec_id AS qid, c.j AS cluster,
@@ -4486,7 +4560,7 @@ object SparkEntry {
        |              FROM casg ca JOIN qprobe qp ON ca.cluster = qp.cluster),
        |     adcrk AS MATERIALIZED (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
        |              FROM (SELECT cd.qid, cd.nid, ${cos("d.dv", "q.v")} AS sc
-       |                    FROM cand cd JOIN dec d ON d.vec_id = cd.nid
+       |                    FROM cand cd JOIN $adcSrc d ON d.vec_id = cd.nid
        |                                 JOIN q ON q.vec_id = cd.qid)
        |              WHERE sc IS NOT NULL),
        |     atop AS (SELECT qid, nid FROM adcrk WHERE rn <= $topk),
@@ -7766,6 +7840,10 @@ object SparkEntry {
     "q_ann_ivfpq" -> ivfPqSql(kCoarse = 16, m = 8, ks = 16, sub = 8,
       iters = 5, nprobe = 8, topk = 5, shortlist = 100,
       sampleFraction = 0.1, seed = 42L),
+    "q_ann_ivfpq_residual" -> ivfPqSql(residual = true,
+      kCoarse = 16, m = 8, ks = 16, sub = 8,
+      iters = 5, nprobe = 8, topk = 5, shortlist = 100,
+      sampleFraction = 0.1, seed = 42L),
     "q_ann_ivf" -> ivfSql(k = 16, iters = 5, nprobe = 4, topk = 5,
       dim = 64, sampleFraction = 0.1, seed = 42L),
     "q_ann_recall" -> annRecallSql(k = 16, iters = 5, nprobe = 4,
@@ -8283,5 +8361,7 @@ object SparkEntry {
     "q_calibration", "q_simpson", "q_seasonal", "q_url_norm",
     "q_oov", "q_hll",
     // round 15
-    "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup")
+    "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup",
+    // round 16
+    "q_ann_ivfpq_residual")
 }

@@ -467,37 +467,106 @@ object Similarity {
     * scan). The probe frame is explicitly broadcast, so the corpus
     * codes never shuffle — each list partition filters in place.
     *
-    * Codes encode the RAW vector (not the coarse residual):
-    * reconstruction reuses the proven pq_decode/cosine kernels and the
-    * deterministic oracle replay verbatim; residual encoding buys
-    * recall at equal serve cost and slots in by swapping the encode
-    * input — a documented trade, not taken here. A (query, neighbor)
-    * pair appears at most once (one list per corpus row, distinct
-    * probes). Ranking ties break by ascending neighbor id. */
+    * With `residual = true` the codes encode the COARSE RESIDUAL
+    * `x/|x| − centroid(x)` instead of the raw vector — Jégou 2011's
+    * IVF-ADC formulation: when the coarse quantizer explains variance
+    * (clustered corpora), residuals carry less energy than the unit
+    * vectors, the same m-byte budget quantizes a tighter distribution,
+    * and recall improves at IDENTICAL serve cost (SimilaritySpec pins
+    * this with a controlled clustered corpus). The win is NOT
+    * unconditional: a unit residual's energy is `2 − 2·cos(x, c)`,
+    * which EXCEEDS the unit vector's 1 whenever cos(x, c) < 0.5 — on a
+    * structureless corpus (this repo's synthetic embeddings: mean
+    * assigned-centroid cosine 0.27) residual codes measurably lose to
+    * raw codes; q_ann_ivfpq (raw) vs q_ann_ivfpq_residual publishes
+    * that head-to-head. The reconstruction adds the assigned centroid
+    * back (`pq_decode(codes) + centroid`), an elementwise `zip_with`
+    * over two short arrays — codebooks for the residual path must be
+    * trained on [[ivfResiduals]]' output.
+    * A (query, neighbor) pair appears at most once (one list per
+    * corpus row, distinct probes). Ranking ties break by ascending
+    * neighbor id. */
   def ivfPqTopKAdc(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      residual: Boolean = false): DataFrame = {
+    val cl = graft.functions.Centroids.centroid_assign(col(vecCol),
+      centroids)
     // the stored inverted-list rows: id + coarse cluster + codes ONLY
     // (the fp vector column ends at this projection — that drop IS the
     // win, as in pqTopK/ivfTopKInt8)
-    val c = corpus.select(col(idCol),
-      graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
-        .as("cluster"),
-      graft.functions.Centroids.pq_encode(col(vecCol), codebooks)
-        .as("codes"))
+    val c =
+      if (residual)
+        withResidual(
+          corpus.select(col(idCol), col(vecCol), cl.as("cluster")),
+          vecCol, "cluster", centroids, "__resid")
+          .select(col(idCol), col("cluster"),
+            graft.functions.Centroids.pq_encode(col("__resid"), codebooks)
+              .as("codes"))
+      else
+        corpus.select(col(idCol), cl.as("cluster"),
+          graft.functions.Centroids.pq_encode(col(vecCol), codebooks)
+            .as("codes"))
     val q = renamedQueries(corpus, queries, qidCol, qvecCol)
       .select(col(QId), col(QVec),
         explode(graft.functions.Centroids.centroid_probes(
           col(QVec), centroids, nprobe)).as("cluster"))
+    val dec = graft.functions.Centroids.pq_decode(col("codes"), codebooks)
+    val recon =
+      if (residual)
+        zip_with(dec, element_at(
+            typedlit(centroids.map(_.toSeq).toSeq), col("cluster") + 1),
+          (r, cc) => r + cc)
+      else dec
     val cand = c.join(broadcast(q), "cluster")
       .select(col(QId).as("query_id"), col(idCol).as("neighbor_id"),
-        cosine(
-          graft.functions.Centroids.pq_decode(col("codes"), codebooks),
-          col(QVec).cast(ArrayType(DoubleType))).as("score"))
+        cosine(recon, col(QVec).cast(ArrayType(DoubleType))).as("score"))
       .where(col("score").isNotNull)
     topKPerKey(cand, "query_id", "neighbor_id", "score", k)
   }
+
+  /** Append `outCol` = coarse residual `vec/|vec| − centroids(cluster)`
+    * (array<double>) to `df` — the PQ training/encode input for
+    * residual IVF-PQ. The vector is normalized FIRST: the coarse
+    * quantizer is spherical (unit-norm centroids) and the serve metric
+    * is cosine (scale-invariant), so the unit vector is what the
+    * centroid approximates — subtracting a unit centroid from an
+    * arbitrary-magnitude vector would ADD energy instead of removing
+    * it. Staged withColumns so every HOF lambda only references BOUND
+    * columns (the q_skipgram projection lesson); IEEE ops in index
+    * order, so the chain replays verbatim in the oracle's
+    * `list_transform`; zero vectors pass through unnormalized (the
+    * oracle's CASE-guard precedent — ANSI `/` would throw). */
+  private def withResidual(df: DataFrame, vecCol: String,
+      clusterCol: String, centroids: Array[Array[Double]],
+      outCol: String): DataFrame =
+    df.withColumn("__rv", col(vecCol).cast(ArrayType(DoubleType)))
+      .withColumn("__rnrm",
+        sqrt(aggregate(col("__rv"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("__runit",
+        when(col("__rnrm") > 0,
+          transform(col("__rv"), x => x / col("__rnrm")))
+          .otherwise(col("__rv")))
+      .withColumn(outCol,
+        zip_with(col("__runit"),
+          element_at(typedlit(centroids.map(_.toSeq).toSeq),
+            col(clusterCol) + 1),
+          (x, cc) => x - cc))
+      .drop("__rv", "__rnrm", "__runit")
+
+  /** `(idCol, resid)` frame for residual-PQ codebook training: each
+    * vector's coarse residual under `centroids` ([[ivfPqTopKAdc]]'s
+    * `residual = true` contract — train [[pqCodebooks]] on THIS frame
+    * so codes and codebooks quantize the same distribution). */
+  def ivfResiduals(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    withResidual(
+      df.select(col(idCol),
+        graft.functions.Centroids.centroid_assign(col(vecCol), centroids)
+          .as("cluster"), col(vecCol)),
+      vecCol, "cluster", centroids, "resid")
+      .select(col(idCol), col("resid"))
 
   /** [[ivfPqTopKAdc]] + the standard exact re-rank ([[pqTopKReranked]]
     * precedent): ADC shortlists `shortlist` candidates from the probed
@@ -509,10 +578,11 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int,
-      codebooks: Array[Array[Array[Double]]], shortlist: Int): DataFrame = {
+      codebooks: Array[Array[Array[Double]]], shortlist: Int,
+      residual: Boolean = false): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val sl = ivfPqTopKAdc(corpus, idCol, vecCol, queries, qidCol, qvecCol,
-      shortlist, centroids, nprobe, codebooks)
+      shortlist, centroids, nprobe, codebooks, residual)
     val q = renamedQueries(corpus, queries, qidCol, qvecCol)
     val exact = broadcast(sl.select(col("query_id"), col("neighbor_id")))
       .join(corpus.select(col(idCol).cast(LongType).as("neighbor_id"),

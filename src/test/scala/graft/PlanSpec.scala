@@ -1050,6 +1050,20 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q_ann_ivfpq_residual keeps q_ann_ivfpq's exact serve shape — " +
+      "residual encode/decode adds only zip_with projections, no new " +
+      "shuffle/join/window") {
+    val p = plan("q_ann_ivfpq_residual")
+    p should include("BroadcastHashJoin")
+    p should include("graft_pq_encode")
+    p should include("graft_pq_decode")
+    p should include("graft_centroid_probes")
+    "partial_graft_top_k_by_score".r.findAllIn(p).size should be >= 3
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("q_interpolate: daily partial-aggregated collapse before the " +
       "spine; BOTH neighbor frames fuse into ONE Window (one sort, one " +
       "exchange); no cartesian") {

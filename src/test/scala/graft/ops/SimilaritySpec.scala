@@ -368,6 +368,54 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     }.getMessage should include("shortlist")
   }
 
+  test("residual IVF-PQ: on a CLUSTERED corpus residual codes beat raw " +
+      "codes at identical serve cost (the Jégou 2011 premise, " +
+      "controlled); ivfResiduals really removes the centroid") {
+    import org.apache.spark.sql.functions.col
+    // corpus with genuine cluster structure: 4 well-separated unit
+    // centers in 8-dim, tight noise — the coarse quantizer explains
+    // most of the energy, exactly when residual coding should win
+    val rnd = new scala.util.Random(5L)
+    val centers = Seq.fill(4)(Array.fill(8)(rnd.nextGaussian())).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n) }
+    val corpus = Seq.tabulate(240) { i =>
+      val c = centers(i % 4)
+      val v = c.map(_ + 0.15 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }.toDF("id", "v")
+    val q = corpus.where(col("id") < 8)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val cents = Similarity.trainCentroids(corpus, "id", "v", k = 4,
+      iters = 4)
+    val rawBooks = Similarity.pqCodebooks(corpus, "id", "v", dim = 8,
+      m = 2, ks = 4, iters = 4)
+    val residBooks = Similarity.pqCodebooks(
+      Similarity.ivfResiduals(corpus, "id", "v", cents), "id", "resid",
+      dim = 8, m = 2, ks = 4, iters = 4)
+    val brute = Similarity.bruteForceTopK(corpus, "id", "v", q, "qid",
+        "qvec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def adcHits(books: Array[Array[Array[Double]]], residual: Boolean) =
+      Similarity.ivfPqTopKAdc(corpus, "id", "v", q, "qid", "qvec",
+          k = 5, cents, nprobe = 4, books, residual)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .count(brute.contains)
+    val raw = adcHits(rawBooks, residual = false)
+    val resid = adcHits(residBooks, residual = true)
+    withClue(s"raw=$raw resid=$resid of ${brute.size}: ") {
+      resid should be > raw
+    }
+    // ivfResiduals really subtracts the assigned centroid: residual
+    // norms are far below the unit vectors' 1 on this clustered corpus
+    val meanResidNorm = Similarity
+      .ivfResiduals(corpus, "id", "v", cents)
+      .select(aggregate(col("resid"), lit(0.0),
+        (a, x) => a + x * x).as("e"))
+      .agg(avg(sqrt(col("e")))).as[Double].head()
+    meanResidNorm should be < 0.7
+  }
+
   test("pcaTopComponents: rank-1 2D data recovers the (1, 2) direction " +
       "exactly and claims the whole variance") {
     // points (0.125k, 0.25k), k in -2..2 — every coordinate is exactly
