@@ -2334,6 +2334,47 @@ object SparkEntry {
           col("jaccard_est"))
         .orderBy("group_a", "group_b")
     }),
+    "q_hll_incremental" -> ((s, dir) => {
+      // INCREMENTAL HLL (Sketches.hllRegisters/hllMergeRegisters/
+      // hllEstimate): the register table as a SHIPPED artifact — the
+      // 100 TB workflow persists per-snapshot registers and folds
+      // tonight's into yesterday's without rescanning yesterday's
+      // corpus. The corpus splits at the q_drift day midpoint into two
+      // "snapshots"; registers build per half, merge by per-bucket
+      // max, and the artifact PROVES merge(regs(A), regs(B)) ==
+      // regs(A ∪ B) register by register (n_reg_mismatch vs the
+      // single-pass full build, plus both estimates side by side —
+      // equal doubles, since identical registers feed the same pinned
+      // fold). Same p=6 / splitmix framing as q_hll.
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        LongHashes.splitmix64(col("user_id")).as("h"))
+      val g = Seq("event_type")
+      val regsA = graft.ops.Sketches.hllRegisters(
+        ev.where(col("day") < 19740), g, "h", p = 6)
+      val regsB = graft.ops.Sketches.hllRegisters(
+        ev.where(col("day") >= 19740), g, "h", p = 6)
+      val merged = graft.ops.Sketches.hllMergeRegisters(
+        Seq(regsA, regsB), g)
+      val full = graft.ops.Sketches.hllRegisters(ev, g, "h", p = 6)
+      val mismatch = merged.select(col("event_type"), col("b"),
+          col("rho").as("rho_m"))
+        .join(full.select(col("event_type"), col("b"),
+          col("rho").as("rho_f")), Seq("event_type", "b"), "full_outer")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("rho_m") <=> col("rho_f"), lit(0L))
+          .otherwise(lit(1L))).as("n_reg_mismatch"))
+      val estM = graft.ops.Sketches.hllEstimate(merged, g, p = 6)
+        .select(col("event_type"), col("n_buckets_hit"),
+          col("hll_est").as("est_merged"))
+      val estF = graft.ops.Sketches.hllEstimate(full, g, p = 6)
+        .select(col("event_type"), col("hll_est").as("est_full"))
+      estM.join(estF, Seq("event_type"))
+        .join(mismatch, Seq("event_type"))
+        .select(col("event_type"), col("n_buckets_hit"),
+          col("n_reg_mismatch"), col("est_merged"), col("est_full"))
+        .orderBy("event_type")
+    }),
     "q_url_norm" -> ((s, dir) => {
       // URL canonicalization (Urls.urlKeys): the crawl dedup key. The
       // corpus has no URLs, so each doc_id%5 class builds one
@@ -7487,6 +7528,57 @@ object SparkEntry {
                  LEFT JOIN exi ON exi.ga = un.ga AND exi.gb = un.gb
          ORDER BY group_a, group_b"""
     },
+    // Incremental HLL: ONE splitmix chain over the per-half distinct
+    // (event_type, half, user_id) universe, per-half register builds,
+    // per-bucket max merge, a single-pass full build (duplicate pairs
+    // hash identically, so max absorbs them), the null-safe register
+    // diff, and the same pinned fold + estimator on both paths.
+    "q_hll_incremental" -> {
+      def est(s: String, nh: String) =
+        s"$hllAlphaSql / ($s + CAST(64 - $nh AS DOUBLE))"
+      def fold(src: String, keys: String) =
+        s"""SELECT $keys, CAST(count(*) AS BIGINT) AS nh,
+           |       list_reduce([CAST(0 AS DOUBLE)] ||
+           |         list(list_extract($hllPowListSql, rho) ORDER BY b),
+           |         (a, c) -> a + c) AS sp
+           |FROM $src GROUP BY ALL""".stripMargin
+      raw"""WITH du AS (SELECT DISTINCT event_type,
+                            (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                              >= 19740) AS pt,
+                            user_id FROM events),
+              b0 AS (SELECT event_type, pt,
+                            CAST(user_id AS HUGEINT) AS z FROM du),
+              ${splitmixCtesSql("b0", "event_type, pt")},
+              hb AS MATERIALIZED (SELECT event_type, pt,
+                            CAST(z % 64 AS INTEGER) AS b, z // 64 AS v
+                     FROM h5),
+              rga AS (SELECT event_type, b, max($hllRhoCaseSql) AS rho
+                      FROM hb WHERE NOT pt GROUP BY 1, 2),
+              rgb AS (SELECT event_type, b, max($hllRhoCaseSql) AS rho
+                      FROM hb WHERE pt GROUP BY 1, 2),
+              mg AS MATERIALIZED (SELECT event_type, b, max(rho) AS rho
+                     FROM (SELECT * FROM rga UNION ALL SELECT * FROM rgb)
+                     GROUP BY 1, 2),
+              fr AS MATERIALIZED (SELECT event_type, b,
+                            max($hllRhoCaseSql) AS rho
+                     FROM hb GROUP BY 1, 2),
+              mm AS (SELECT COALESCE(m.event_type, f.event_type)
+                              AS event_type,
+                            CAST(sum(CASE WHEN m.rho IS NOT DISTINCT
+                              FROM f.rho THEN 0 ELSE 1 END) AS BIGINT)
+                              AS n_reg_mismatch
+                     FROM mg m FULL OUTER JOIN fr f
+                       ON f.event_type = m.event_type AND f.b = m.b
+                     GROUP BY 1),
+              am AS (${fold("mg", "event_type")}),
+              af AS (${fold("fr", "event_type")})
+         SELECT am.event_type, am.nh AS n_buckets_hit, mm.n_reg_mismatch,
+                ${est("am.sp", "am.nh")} AS est_merged,
+                ${est("af.sp", "af.nh")} AS est_full
+         FROM am JOIN af ON af.event_type = am.event_type
+                 JOIN mm ON mm.event_type = am.event_type
+         ORDER BY am.event_type"""
+    },
     // URL replay: same dirt URLs, same anchored parse regex, the same
     // lowercase/port-strip/param-filter/sort/reassemble chain.
     "q_url_norm" ->
@@ -8363,5 +8455,5 @@ object SparkEntry {
     // round 15
     "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup",
     // round 16
-    "q_ann_ivfpq_residual")
+    "q_ann_ivfpq_residual", "q_hll_incremental")
 }

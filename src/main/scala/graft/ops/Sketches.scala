@@ -106,18 +106,22 @@ object Sketches {
       : org.apache.spark.sql.DataFrame = {
     require(p >= 4 && p <= 14, s"hllDistinct: p must be in [4, 14], got $p")
     require(groupCols.nonEmpty, "hllDistinct: need at least one group col")
-    hllRegisters(df, groupCols, hashCol, p)
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_buckets_hit"),
-        hllPresentSum(p).as("s_present"))
-      .select(groupCols.map(col) :+ col("n_buckets_hit") :+
-        hllEst(p, col("s_present"), col("n_buckets_hit")).as("hll_est"): _*)
+    hllEstimate(hllRegisters(df, groupCols, hashCol, p), groupCols, p)
   }
 
-  /** The (group..., b, rho) register table of [[hllDistinct]] — the
-    * mergeable sketch state, shared with [[hllSetOps]] so the bucket/
-    * rank arithmetic has ONE definition. */
-  private def hllRegisters(df: org.apache.spark.sql.DataFrame,
+  /** The `(group..., b, rho)` register table of [[hllDistinct]] — the
+    * STORED mergeable sketch artifact, and the one definition of the
+    * bucket/rank arithmetic (shared with [[hllSetOps]]). This is the
+    * table a 100 TB incremental workflow persists per corpus snapshot
+    * (<= 2^p slim rows per group, written like any parquet table):
+    * tonight's registers [[hllMergeRegisters]]-fold into yesterday's
+    * WITHOUT rescanning yesterday's corpus, and
+    * merge(registers(A), registers(B)) == registers(A ∪ B)
+    * BIT-FOR-BIT (per-bucket max is associative/commutative/
+    * idempotent — q_hll_incremental proves it register by register).
+    * Estimate any stored/merged table with [[hllEstimate]]. All three
+    * functions must share one `p`. */
+  def hllRegisters(df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], hashCol: String, p: Int)
       : org.apache.spark.sql.DataFrame = {
     val m = 1 << p
@@ -134,6 +138,44 @@ object Sketches {
         rho.as("r"): _*)
       .groupBy(groupCols.map(col) :+ col("b"): _*)
       .agg(max(col("r")).as("rho"))
+  }
+
+  /** Merge register tables ([[hllRegisters]] output or prior merges)
+    * by per-bucket MAX — the lossless HLL state fold: the result is
+    * exactly the register table of the concatenated inputs. ONE
+    * map-side-partial aggregate over the (small) register rows; the
+    * corpora behind the sketches are never touched. */
+  def hllMergeRegisters(regs: Seq[org.apache.spark.sql.DataFrame],
+      groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(regs.nonEmpty, "hllMergeRegisters: need at least one table")
+    regs.map(_.select(groupCols.map(col) :+ col("b") :+ col("rho"): _*))
+      .reduce(_ unionAll _)
+      .groupBy(groupCols.map(col) :+ col("b"): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** The raw HLL estimate over a STORED register table (built with the
+    * same `p`): `(group..., n_buckets_hit, hll_est)` — the closing
+    * stage of [[hllDistinct]], callable on merged/persisted state.
+    * Registers outside `p`'s domain (a wrong-`p` table) RAISE rather
+    * than skew the (m − hit) term silently. */
+  def hllEstimate(regs: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], p: Int): org.apache.spark.sql.DataFrame = {
+    require(p >= 4 && p <= 14, s"hllEstimate: p must be in [4, 14], got $p")
+    val m = 1 << p
+    val maxRho = 64 - p + 1
+    val guarded = regs.where(assert_true(
+      col("b") >= 0 && col("b") < m &&
+        col("rho") >= 1 && col("rho") <= maxRho,
+      concat(lit(s"hllEstimate: register outside p=$p domain (b="),
+        col("b"), lit(", rho="), col("rho"),
+        lit(") — table built with a different p?"))).isNull)
+    guarded
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets_hit"),
+        hllPresentSum(p).as("s_present"))
+      .select(groupCols.map(col) :+ col("n_buckets_hit") :+
+        hllEst(p, col("s_present"), col("n_buckets_hit")).as("hll_est"): _*)
   }
 
   /** Pinned-order harmonic mass of the PRESENT registers: fold

@@ -406,4 +406,43 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Sketches.hllDistinct(Seq(("g", 1L)).toDF("g", "h"), Seq.empty, "h")
   }
+
+  test("hllMergeRegisters: merge(regs(A), regs(B)) == regs(A ∪ B) " +
+      "bit-for-bit even with overlap, the merged estimate equals the " +
+      "single-pass estimate, and merge is idempotent") {
+    import graft.functions.LongHashes
+    def frame(ids: Seq[Long]) =
+      ids.map(i => ("g", i)).toDF("g", "id")
+        .select($"g", LongHashes.splitmix64($"id").as("h"))
+    val a = (0L until 700L)
+    val b = (400L until 1200L) // overlaps a on [400, 700)
+    val regsA = Sketches.hllRegisters(frame(a), Seq("g"), "h", p = 6)
+    val regsB = Sketches.hllRegisters(frame(b), Seq("g"), "h", p = 6)
+    val merged = Sketches.hllMergeRegisters(Seq(regsA, regsB), Seq("g"))
+    val full = Sketches.hllRegisters(frame(a ++ b), Seq("g"), "h", p = 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    rows(merged) shouldBe rows(full)
+    // idempotent: folding the merged table with one side changes nothing
+    rows(Sketches.hllMergeRegisters(Seq(merged, regsA), Seq("g"))) shouldBe
+      rows(full)
+    Sketches.hllEstimate(merged, Seq("g"), p = 6)
+      .as[(String, Long, Double)].collect().head shouldBe
+      Sketches.hllEstimate(full, Seq("g"), p = 6)
+        .as[(String, Long, Double)].collect().head
+  }
+
+  test("hllEstimate raises on registers outside the given p's domain " +
+      "instead of silently skewing the estimate") {
+    val regsP8 = Sketches.hllRegisters(
+      (0L until 500L).map(i => ("g", i)).toDF("g", "id")
+        .select($"g", graft.functions.LongHashes.splitmix64($"id").as("h")),
+      Seq("g"), "h", p = 8)
+    // a p=8 table has buckets up to 255 — estimating it as p=6 must die
+    intercept[Exception] {
+      Sketches.hllEstimate(regsP8, Seq("g"), p = 6).collect()
+    }.getMessage should include("different p")
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.hllMergeRegisters(Seq.empty, Seq("g"))
+  }
 }
