@@ -566,8 +566,9 @@ object SparkEntry {
       val weighted = pairs.select(col("src"), col("dst"),
         greatest(lit(1L), lit(11L) - least(lit(10L), col("cnt")))
           .as("cost"))
+      Observed.sssp.clear()
       Graph.multiSourceShortestPaths(weighted, "src", "dst", "cost",
-          seeds = Seq(1L, 2L, 3L, 4L, 5L))
+          seeds = Seq(1L, 2L, 3L, 4L, 5L), roundsOut = Some(Observed.sssp))
         .select(col("v").as("part"), col("dist"))
         .orderBy("part")
     }),
@@ -1372,7 +1373,9 @@ object SparkEntry {
       val edges = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
-      Graph.kCore(edges, "src", "dst", k = 80)
+      Observed.kcore.clear()
+      Graph.kCore(edges, "src", "dst", k = 80,
+          roundsOut = Some(Observed.kcore))
         .select(col("v").as("part"), col("core_deg"))
         .orderBy("part")
     }),
@@ -1391,7 +1394,9 @@ object SparkEntry {
       val edges = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
-      Graph.kTruss(edges, "src", "dst", k = 8)
+      Observed.ktruss.clear()
+      Graph.kTruss(edges, "src", "dst", k = 8,
+          roundsOut = Some(Observed.ktruss))
         .select(col("a").as("part_a"), col("b").as("part_b"),
           col("support"))
         .orderBy("part_a", "part_b")
@@ -1414,7 +1419,9 @@ object SparkEntry {
       val edges = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
-      Graph.coreness(edges, "src", "dst")
+      Observed.corenessPhases.clear()
+      Graph.coreness(edges, "src", "dst",
+          phaseRoundsOut = Some(Observed.corenessPhases))
         .select(col("v").as("part"), col("coreness"))
         .orderBy("part")
     }),
@@ -4313,6 +4320,126 @@ object SparkEntry {
     * margin over the observed sf0.01 schedule plus two spare phases
     * (re-pin per SF — the q_kcore note). Every CTE MATERIALIZED (the
     * q_kcore inlining lesson). */
+  /** Observed round schedules of the iterative graph ops, recorded by
+    * the query runs in THIS JVM. [[oracleSql]] is a `def` and Verify
+    * dumps it AFTER running every query, so the unrolled oracles below
+    * derive their depth from the very run being compared instead of a
+    * hand pin that rots at a new scale factor (each keeps its sf0.01
+    * pin only as the fallback when its query did not run here, e.g. a
+    * spot-check of a different query). Every generated unroll ALSO
+    * carries an in-SQL error() convergence assertion, so even a wrong
+    * fallback fails loudly and self-diagnosably, never as a silent
+    * parity mismatch. */
+  private[graft] object Observed {
+    val kcore = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ktruss = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sssp = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val corenessPhases = scala.collection.mutable.ArrayBuffer.empty[Int]
+  }
+
+  /** q_kcore oracle: the degree-threshold peel unrolled `rounds`
+    * times, with an in-SQL convergence assertion — the last unrolled
+    * round must be a no-op (edge count unchanged), else error()
+    * fires naming the problem instead of the gate seeing a bare
+    * mismatch. `rounds` comes from the observed Spark run + 1. */
+  private def kcoreSql(rounds: Int): String =
+    raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem),
+             e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+             ${(0 until rounds).map(i =>
+               s"""k$i AS MATERIALIZED (SELECT v
+                     FROM (SELECT v, count(*) AS d
+                           FROM (SELECT a AS v FROM e$i
+                                 UNION ALL SELECT b AS v FROM e$i)
+                           GROUP BY v)
+                     WHERE d >= 80),
+             e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+                     WHERE a IN (SELECT v FROM k$i)
+                       AND b IN (SELECT v FROM k$i))""").mkString(",\n             ")},
+             conv AS MATERIALIZED (SELECT CASE WHEN
+                    (SELECT count(*) FROM e${rounds - 1}) <>
+                    (SELECT count(*) FROM e$rounds)
+                    THEN error('kcoreSql: unroll depth under-sized for this scale factor - the last round still peeled edges')
+                    ELSE 0 END AS ok)
+        SELECT v AS part, CAST(count(*) AS BIGINT) AS core_deg
+        FROM (SELECT a AS v FROM e$rounds UNION ALL SELECT b AS v FROM e$rounds)
+        WHERE (SELECT ok FROM conv) = 0
+        GROUP BY v
+        ORDER BY part"""
+
+  /** q_ktruss oracle: the support-peel cascade unrolled `rounds`
+    * times (observed + 1), final support read off the last round's
+    * table (computed ON the fixpoint edges), plus the same loud
+    * convergence assertion as [[kcoreSql]]. */
+  private def ktrussSql(rounds: Int): String =
+    raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_orderkey % 4 = 0),
+             e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+                    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+             ${(0 until rounds).map(i =>
+               s"""dg$i AS MATERIALIZED (SELECT v, count(*) AS d
+                     FROM (SELECT a AS v FROM e$i
+                           UNION ALL SELECT b AS v FROM e$i) GROUP BY v),
+             f$i AS MATERIALIZED (SELECT
+                       CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+                       CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS w,
+                       CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dw
+                     FROM e$i e JOIN dg$i da ON da.v = e.a
+                                JOIN dg$i db ON db.v = e.b),
+             tr$i AS MATERIALIZED (SELECT x.u, x.w AS v1, y.w AS v2
+                     FROM f$i x JOIN f$i y ON x.u = y.u AND (x.dw, x.w) < (y.dw, y.w)
+                     JOIN f$i t ON t.u = x.w AND t.w = y.w),
+             sp$i AS MATERIALIZED (SELECT a, b, count(*) AS s
+                     FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM tr$i
+                           UNION ALL SELECT least(u, v2), greatest(u, v2) FROM tr$i
+                           UNION ALL SELECT least(v1, v2), greatest(v1, v2) FROM tr$i)
+                     GROUP BY 1, 2),
+             e${i + 1} AS MATERIALIZED (SELECT e.a, e.b
+                     FROM e$i e LEFT JOIN sp$i s USING (a, b)
+                     WHERE coalesce(s.s, 0) >= 6)""").mkString(",\n             ")},
+             conv AS MATERIALIZED (SELECT CASE WHEN
+                    (SELECT count(*) FROM e${rounds - 1}) <>
+                    (SELECT count(*) FROM e$rounds)
+                    THEN error('ktrussSql: unroll depth under-sized for this scale factor - the last round still peeled edges')
+                    ELSE 0 END AS ok)
+        SELECT e$rounds.a AS part_a, e$rounds.b AS part_b,
+               sp${rounds - 1}.s AS support
+        FROM e$rounds JOIN sp${rounds - 1} USING (a, b)
+        WHERE (SELECT ok FROM conv) = 0
+        ORDER BY part_a, part_b"""
+
+  /** q_sssp oracle: min-plus relaxation unrolled `rounds` times
+    * (observed improving rounds + 1); the assertion demands the last
+    * round changed NOTHING (distance sets identical — relaxation is
+    * monotone, so set equality is exactly convergence). */
+  private def ssspSql(rounds: Int): String =
+    raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_orderkey % 4 = 0),
+             pr AS MATERIALIZED (SELECT x.p AS a, y.p AS b, count(*) AS cnt
+                    FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+                    GROUP BY 1, 2),
+             n AS MATERIALIZED (SELECT a AS u, b AS v,
+                          greatest(1, 11 - least(10, cnt)) AS wt FROM pr
+                   UNION ALL
+                   SELECT b, a, greatest(1, 11 - least(10, cnt)) FROM pr),
+             d0 AS (SELECT CAST(s AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist
+                    FROM (SELECT unnest([1, 2, 3, 4, 5]) AS s)),
+             ${(0 until rounds).map(i =>
+               s"""d${i + 1} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+                     SELECT v, dist FROM d$i
+                     UNION ALL
+                     SELECT n.v, d.dist + n.wt FROM n JOIN d$i d ON d.v = n.u)
+                   GROUP BY v)""").mkString(",\n             ")},
+             conv AS MATERIALIZED (SELECT CASE WHEN
+                    (SELECT count(*) FROM
+                      (SELECT * FROM d${rounds - 1} UNION SELECT * FROM d$rounds)) <>
+                    (SELECT count(*) FROM d$rounds)
+                    THEN error('ssspSql: unroll depth under-sized for this scale factor - the last round still improved distances')
+                    ELSE 0 END AS ok)
+        SELECT v AS part, CAST(dist AS BIGINT) AS dist
+        FROM d$rounds WHERE (SELECT ok FROM conv) = 0 ORDER BY part"""
+
   private def corenessSql(phaseBudgets: Seq[Int]): String = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     val credits = scala.collection.mutable.ArrayBuffer[String]()
@@ -5292,66 +5419,24 @@ object SparkEntry {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
     // reference, and each round references the previous ~5 times — an
     // un-materialized unroll re-expands the base scan 5^10 times.
-    "q_kcore" ->
-      raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-                        FROM lineitem),
-               e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
-                      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
-               ${(0 until 10).map(i =>
-                 s"""k$i AS MATERIALIZED (SELECT v
-                       FROM (SELECT v, count(*) AS d
-                             FROM (SELECT a AS v FROM e$i
-                                   UNION ALL SELECT b AS v FROM e$i)
-                             GROUP BY v)
-                       WHERE d >= 80),
-               e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
-                       WHERE a IN (SELECT v FROM k$i)
-                         AND b IN (SELECT v FROM k$i))""").mkString(",\n               ")}
-          SELECT v AS part, CAST(count(*) AS BIGINT) AS core_deg
-          FROM (SELECT a AS v FROM e10 UNION ALL SELECT b AS v FROM e10)
-          GROUP BY v
-          ORDER BY part""",
-    // Full coreness decomposition: budgets = observed sf0.01 schedule
-    // (9 phases, rounds 2,2,2,2,2,2,2,2,1) + 1 margin each + 2 spare
-    // phases — all spares provably no-ops (see corenessSql).
-    "q_coreness" -> corenessSql(Seq(3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2)),
-    // k-truss replay: the support-peel cascade UNROLLED 8 rounds (the
-    // Spark loop converges in 4 here; spare rounds are no-ops —
-    // re-pin the unroll per SF, see the q_kcore note), each
-    // round the identical oriented triangle enumeration -> per-edge
-    // support count -> threshold filter; final support read off the
-    // last round's table (computed ON the fixpoint edges). Every CTE
-    // MATERIALIZED — the q_kcore inlining lesson, worse here because
-    // each round references the previous ~8 times.
-    "q_ktruss" ->
-      raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-                        FROM lineitem WHERE l_orderkey % 4 = 0),
-               e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
-                      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
-               ${(0 until 8).map(i =>
-                 s"""dg$i AS MATERIALIZED (SELECT v, count(*) AS d
-                       FROM (SELECT a AS v FROM e$i
-                             UNION ALL SELECT b AS v FROM e$i) GROUP BY v),
-               f$i AS MATERIALIZED (SELECT
-                         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
-                         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS w,
-                         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dw
-                       FROM e$i e JOIN dg$i da ON da.v = e.a
-                                  JOIN dg$i db ON db.v = e.b),
-               tr$i AS MATERIALIZED (SELECT x.u, x.w AS v1, y.w AS v2
-                       FROM f$i x JOIN f$i y ON x.u = y.u AND (x.dw, x.w) < (y.dw, y.w)
-                       JOIN f$i t ON t.u = x.w AND t.w = y.w),
-               sp$i AS MATERIALIZED (SELECT a, b, count(*) AS s
-                       FROM (SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM tr$i
-                             UNION ALL SELECT least(u, v2), greatest(u, v2) FROM tr$i
-                             UNION ALL SELECT least(v1, v2), greatest(v1, v2) FROM tr$i)
-                       GROUP BY 1, 2),
-               e${i + 1} AS MATERIALIZED (SELECT e.a, e.b
-                       FROM e$i e LEFT JOIN sp$i s USING (a, b)
-                       WHERE coalesce(s.s, 0) >= 6)""").mkString(",\n               ")}
-          SELECT e8.a AS part_a, e8.b AS part_b, sp7.s AS support
-          FROM e8 JOIN sp7 USING (a, b)
-          ORDER BY part_a, part_b""",
+    "q_kcore" -> kcoreSql(
+      Observed.kcore.lastOption.map(_ + 1).getOrElse(10)),
+    // Full coreness decomposition: per-phase budgets from the observed
+    // schedule + 1 no-op margin each; fallback = the sf0.01 pin
+    // (9 phases, removal rounds 1,1,1,1,1,1,1,1,1 era-pinned wide).
+    "q_coreness" -> corenessSql(
+      if (Observed.corenessPhases.nonEmpty)
+        Observed.corenessPhases.map(_ + 1).toSeq
+      else Seq(3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2)),
+    // k-truss replay: the support-peel cascade unrolled to the
+    // OBSERVED round count + 1 no-op margin (fallback: the sf0.01 pin
+    // of 8), each round the identical oriented triangle enumeration ->
+    // per-edge support count -> threshold filter; final support read
+    // off the last round's table (computed ON the fixpoint edges).
+    // Every CTE MATERIALIZED — the q_kcore inlining lesson, worse here
+    // because each round references the previous ~8 times.
+    "q_ktruss" -> ktrussSql(
+      Observed.ktruss.lastOption.map(_ + 1).getOrElse(8)),
     // Link-prediction replay: same wedge join over the capped
     // neighbor list; RA terms are integer floor-divisions (2^40 // deg)
     // so the per-pair sum is exact on any order; NOT EXISTS = the
@@ -5916,26 +6001,8 @@ object SparkEntry {
     // converged — spare rounds are provably no-ops; re-pin the unroll
     // per SF, see the q_kcore note), every round CTE
     // MATERIALIZED (the k-core inlining lesson).
-    "q_sssp" ->
-      raw"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-                        FROM lineitem WHERE l_orderkey % 4 = 0),
-               pr AS MATERIALIZED (SELECT x.p AS a, y.p AS b, count(*) AS cnt
-                      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
-                      GROUP BY 1, 2),
-               n AS MATERIALIZED (SELECT a AS u, b AS v,
-                            greatest(1, 11 - least(10, cnt)) AS wt FROM pr
-                     UNION ALL
-                     SELECT b, a, greatest(1, 11 - least(10, cnt)) FROM pr),
-               d0 AS (SELECT CAST(s AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist
-                      FROM (SELECT unnest([1, 2, 3, 4, 5]) AS s)),
-               ${(0 until 10).map(i =>
-                 s"""d${i + 1} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
-                       SELECT v, dist FROM d$i
-                       UNION ALL
-                       SELECT n.v, d.dist + n.wt FROM n JOIN d$i d ON d.v = n.u)
-                     GROUP BY v)""").mkString(",\n               ")}
-          SELECT v AS part, CAST(dist AS BIGINT) AS dist
-          FROM d10 ORDER BY part""",
+    "q_sssp" -> ssspSql(
+      Observed.sssp.lastOption.map(_ + 1).getOrElse(10)),
     // Benford replay: same string-head digit, the same driver-stamped
     // expected-share literals, identical division order.
     "q_benford" -> {

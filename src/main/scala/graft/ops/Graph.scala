@@ -425,7 +425,9 @@ object Graph {
     * the core (all >= k); an empty frame when the whole graph peels
     * away. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIters: Int = 100, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 100, checkpointDir: Option[String] = None,
+      roundsOut: Option[scala.collection.mutable.Buffer[Int]] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
@@ -452,6 +454,10 @@ object Graph {
         round += 1
       }
     }
+    // observed pruning-round count — lets callers (the oracle
+    // generator) derive an unroll depth from THIS run instead of a
+    // hand pin that rots at a new scale factor
+    roundsOut.foreach(_ += round)
     degrees(e).select(col("v"), col("deg").as("core_deg"))
   }
 
@@ -486,7 +492,9 @@ object Graph {
     * the edge list, so the output domain is the edge endpoints.
     * Returns `(v, coreness)`, coreness >= 1. */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 1000, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 1000, checkpointDir: Option[String] = None,
+      phaseRoundsOut: Option[scala.collection.mutable.Buffer[Int]] = None)
+      : DataFrame = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
@@ -512,6 +520,7 @@ object Graph {
       // empty) — saves one corpus-sized aggregate + pin per phase
       var stable = false
       var first = true
+      var phaseRemovals = 0
       while (!stable) {
         if (rounds >= maxIters)
           throw new IllegalStateException(s"coreness: no fixpoint after " +
@@ -521,11 +530,18 @@ object Graph {
           else pin(degrees(e).where(col("deg") <= d).select(col("v")))
         first = false
         if (removed.isEmpty) stable = true
-        else e = pin(e
-          .join(removed.select(col("v").as("a")), Seq("a"), "left_anti")
-          .join(removed.select(col("v").as("b")), Seq("b"), "left_anti"))
+        else {
+          e = pin(e
+            .join(removed.select(col("v").as("a")), Seq("a"), "left_anti")
+            .join(removed.select(col("v").as("b")), Seq("b"), "left_anti"))
+          phaseRemovals += 1
+        }
         rounds += 1
       }
+      // observed removal rounds for THIS phase — the oracle generator
+      // derives its per-phase unroll budget from this instead of a
+      // hand pin that rots at a new scale factor
+      phaseRoundsOut.foreach(_ += phaseRemovals)
     }
     acc.map(_.groupBy(col("v")).agg(max(col("coreness")).as("coreness")))
       .getOrElse(degrees(e).select(col("v"), col("deg").as("coreness"))
@@ -553,7 +569,9 @@ object Graph {
     * surviving canonical edges with their FIXPOINT support (all
     * >= k-2; the converged round's count, not the pre-peel one). */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIters: Int = 100, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 100, checkpointDir: Option[String] = None,
+      roundsOut: Option[scala.collection.mutable.Buffer[Int]] = None)
+      : DataFrame = {
     require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
@@ -593,6 +611,9 @@ object Graph {
       m = m2
       round += 1
     }
+    // observed iteration count (incl. the confirming no-change round)
+    // — the oracle generator derives its unroll depth from THIS run
+    roundsOut.foreach(_ += round)
     // at the fixpoint the final round's support table was computed ON
     // the surviving edge set — it IS the truss's per-edge support
     e.join(lastSup, Seq("a", "b"))
@@ -748,7 +769,9 @@ object Graph {
     * Returns `(v, dist)` for reachable vertices only. */
   def multiSourceShortestPaths(edges: DataFrame, srcCol: String,
       dstCol: String, weightCol: String, seeds: Seq[Long],
-      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 50, checkpointDir: Option[String] = None,
+      roundsOut: Option[scala.collection.mutable.Buffer[Int]] = None)
+      : DataFrame = {
     require(seeds.nonEmpty, "seeds must be non-empty")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
@@ -788,6 +811,9 @@ object Graph {
         .count()
       if (improved == 0) converged = true else { dist = next; round += 1 }
     }
+    // observed improving-round count — the oracle generator derives
+    // its relaxation unroll depth from THIS run
+    roundsOut.foreach(_ += round)
     dist
   }
 
