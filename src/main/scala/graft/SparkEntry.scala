@@ -1425,6 +1425,34 @@ object SparkEntry {
         .select(col("v").as("part"), col("coreness"))
         .orderBy("part")
     }),
+    "q_curate_coreness" -> ((s, dir) => {
+      // CORENESS-GATED CURATION (Graph.corenessGate): q_coreness RANKS
+      // the parts; this query GATES on that rank — keep the 100
+      // densest community members of the co-purchase graph with their
+      // catalog rows, the "keep the N densest" selection the curation
+      // band was missing (q_curate/q_curate_clusters gate on
+      // dedup + quality only; this is the graph-density signal). The
+      // cut is (coreness DESC, part ASC) — unique decomposition +
+      // total tie order, so the 100 names are deterministic. The
+      // oracle composes the full coreness replay (auto-derived
+      // budgets, convergence-asserted) with the same ranked cut.
+      val li = t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(64)) === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Observed.corenessGatePhases.clear()
+      Graph.corenessGate(
+          t(s, dir, "part").select(col("p_partkey"),
+            col("p_retailprice").cast(DoubleType).as("retail")),
+          "p_partkey", edges, "src", "dst", topN = 100,
+          phaseRoundsOut = Some(Observed.corenessGatePhases))
+        .select(col("p_partkey").as("part"), col("coreness"),
+          col("retail"))
+        .orderBy("part")
+    }),
     "q_link_pred" -> ((s, dir) => {
       // Link prediction (Graph.linkPrediction): top-50 NON-adjacent
       // part pairs most likely to co-purchase next, by the
@@ -4335,6 +4363,7 @@ object SparkEntry {
     val ktruss = scala.collection.mutable.ArrayBuffer.empty[Int]
     val sssp = scala.collection.mutable.ArrayBuffer.empty[Int]
     val corenessPhases = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val corenessGatePhases = scala.collection.mutable.ArrayBuffer.empty[Int]
   }
 
   /** q_kcore oracle: the degree-threshold peel unrolled `rounds`
@@ -5428,6 +5457,26 @@ object SparkEntry {
       if (Observed.corenessPhases.nonEmpty)
         Observed.corenessPhases.map(_ + 1).toSeq
       else Seq(3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2)),
+    // Coreness-gated curation: the FULL coreness replay (own observed
+    // budgets — same graph, so same schedule) as a subquery, then the
+    // identical deterministic cut (coreness DESC, part ASC, top 100)
+    // joined to the part catalog.
+    "q_curate_coreness" -> {
+      val budgets =
+        if (Observed.corenessGatePhases.nonEmpty)
+          Observed.corenessGatePhases.map(_ + 1).toSeq
+        else Seq(3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2)
+      s"""WITH cz AS MATERIALIZED (SELECT * FROM (${corenessSql(budgets)})),
+         |     cut AS (SELECT part, coreness FROM (
+         |              SELECT part, coreness,
+         |                     row_number() OVER (ORDER BY coreness DESC, part) AS rn
+         |              FROM cz)
+         |            WHERE rn <= 100)
+         |SELECT p.p_partkey AS part, cut.coreness,
+         |       CAST(p.p_retailprice AS DOUBLE) AS retail
+         |FROM cut JOIN part p ON p.p_partkey = cut.part
+         |ORDER BY 1""".stripMargin
+    },
     // k-truss replay: the support-peel cascade unrolled to the
     // OBSERVED round count + 1 no-op margin (fallback: the sf0.01 pin
     // of 8), each round the identical oriented triangle enumeration ->
@@ -8522,5 +8571,5 @@ object SparkEntry {
     // round 15
     "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup",
     // round 16
-    "q_ann_ivfpq_residual", "q_hll_incremental")
+    "q_ann_ivfpq_residual", "q_hll_incremental", "q_curate_coreness")
 }

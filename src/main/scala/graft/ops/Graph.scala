@@ -548,6 +548,36 @@ object Graph {
         .limit(0))
   }
 
+  /** CORENESS-GATED CURATION — the use [[coreness]]'s scaladoc names
+    * ("keep the N densest community members"), wired as an actual
+    * gate: rank the graph's nodes by `(coreness DESC, node ASC)` (the
+    * decomposition is unique and the tie order total, so the cut is
+    * deterministic), keep the top `topN`, and return the rows of
+    * `items` whose `itemCol` survives, with their coreness attached.
+    * Items that never appear in the edge list have no coreness and
+    * are dropped — density gating is an allowlist, the curation-band
+    * convention ([[Dedup.curateCorpus]]'s quality gate drops unscored
+    * rows the same way).
+    *
+    * Scale shape: [[coreness]]'s own phase walk, then ONE
+    * TakeOrderedAndProject over the node-sized coreness frame
+    * (per-partition top-N, no global sort) and one BROADCAST join of
+    * the topN-row cut against `items` — the item table itself never
+    * shuffles. */
+  def corenessGate(items: DataFrame, itemCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, topN: Int, maxIters: Int = 1000,
+      checkpointDir: Option[String] = None,
+      phaseRoundsOut: Option[scala.collection.mutable.Buffer[Int]] = None)
+      : DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val cut = coreness(edges, srcCol, dstCol, maxIters, checkpointDir,
+        phaseRoundsOut)
+      .orderBy(desc("coreness"), asc("v"))
+      .limit(topN)
+    items.join(broadcast(cut), items(itemCol) === cut("v"))
+      .drop("v")
+  }
+
   /** K-TRUSS (fixed k, Cohen 2008): the maximal subgraph in which
     * EVERY edge closes at least k-2 triangles — the EDGE-density
     * refinement of [[kCore]] (a k-core can be a sparse hub star; a

@@ -380,6 +380,30 @@ class GraphSpec extends SparkSpecBase with Matchers {
       .collect() shouldBe empty
   }
 
+  test("corenessGate: keeps exactly the topN densest members with " +
+      "(coreness DESC, node ASC) tie-break, attaches coreness, and " +
+      "drops items outside the graph (allowlist)") {
+    // K4 {6,7,8,9} core 3, triangle {1,2,3} core 2, chain tail {4,5}
+    // core 1; item 99 has no edges at all
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (6L, 9L), (7L, 8L), (7L, 9L), (8L, 9L))
+      .toDF("src", "dst")
+    val items = (1L to 9L).map(i => (i, s"item$i")).toDF("id", "name")
+      .unionAll(Seq((99L, "orphan")).toDF("id", "name"))
+    def run(n: Int): Seq[(Long, String, Long)] =
+      Graph.corenessGate(items, "id", edges, "src", "dst", topN = n)
+        .select("id", "name", "coreness")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // top 5: the K4 (coreness 3) then node 1 (first coreness-2 node)
+    run(5) shouldBe Seq((1L, "item1", 2L), (6L, "item6", 3L),
+      (7L, "item7", 3L), (8L, "item8", 3L), (9L, "item9", 3L))
+    // topN beyond the graph keeps every ranked node, never the orphan
+    run(100).map(_._1) shouldBe (1L to 9L)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.corenessGate(items, "id", edges, "src", "dst", topN = 0)
+  }
+
   test("kTruss: K4 + hanging triangle at k=4 peels the triangle and " +
       "emits the FIXPOINT support (3-4 drops from 3 to 2); k=3 keeps " +
       "everything with initial supports; k=5 dissolves all") {
