@@ -373,6 +373,159 @@ object StreamOps {
           .as("lift"))
   }
 
+  /** Streaming [[graft.ops.Stats.histogramDrift]]: per event-time
+    * window, the total-variation distance of the ARRIVING value
+    * distribution against a STATIC reference snapshot — the drift
+    * monitor a pipeline runs on live ingest instead of per data drop.
+    * The stream-legal inversion follows the [[rateSpikesStream]]
+    * recipe: the static side pre-aggregates to its (bounded) bin
+    * histogram, folded into ONE broadcast row; the stream side is a
+    * CHAINED pair of time-window aggregations (append mode, the
+    * Spark 3.4+ multi-stateful-operator shape): (window, bin) counts —
+    * bounded state, never per-event rows — then the per-window bin
+    * list; a closing stateless projection computes the SAME per-bin
+    * L1 terms and the SAME ascending-bin fold as the batch op, so a
+    * fully-arrived window's `tvd` equals batch
+    * `histogramDrift(ref, slice)` bit-for-bit (StreamOpsSpec).
+    * Also emits `n_novel_bins` — arriving bins the reference never
+    * saw, the novel-region alarm. Contract delta vs batch, pinned
+    * here: the reference is FROZEN (arriving windows never feed it),
+    * and a window emits only once its watermark closes. */
+  def histogramDriftStream(ref: DataFrame, stream: DataFrame,
+      tsCol: String, valueCol: String, binWidth: Double,
+      windowDuration: String, watermarkDelay: String): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val refArr = ref.where(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / binWidth).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n_ref"))
+      .agg(array_sort(collect_list(struct(col("bin"), col("n_ref"))))
+        .as("ref_bins"), sum(col("n_ref")).as("t_ref"))
+      .select(lit(1).as("__one"), col("ref_bins"), col("t_ref"))
+    val perBin = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .where(col(valueCol).isNotNull)
+      .select(window(col(tsCol), windowDuration).as("win"),
+        floor(col(valueCol) / binWidth).cast(LongType).as("bin"))
+      .groupBy(col("win"), col("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+    val perWin = perBin
+      .groupBy(window(col("win"), windowDuration).as("win"))
+      .agg(array_sort(collect_list(struct(col("bin"), col("n_cur"))))
+        .as("cur_bins"), sum(col("n_cur")).as("t_cur"))
+    val joined = perWin.select(lit(1).as("__one"), col("win"),
+        col("cur_bins"), col("t_cur"))
+      .join(broadcast(refArr), Seq("__one"))
+    def lookup(arr: Column, b: Column, field: String): Column =
+      coalesce(get(filter(arr, e => e.getField("bin") === b), lit(0))
+        .getField(field), lit(0L))
+    val allBins = array_sort(array_union(
+      transform(col("ref_bins"), e => e.getField("bin")),
+      transform(col("cur_bins"), e => e.getField("bin"))))
+    joined
+      .withColumn("__bins", allBins)
+      .withColumn("tvd",
+        aggregate(
+          transform(col("__bins"), b =>
+            abs(lookup(col("ref_bins"), b, "n_ref").cast(DoubleType) /
+                col("t_ref").cast(DoubleType) -
+              lookup(col("cur_bins"), b, "n_cur").cast(DoubleType) /
+                col("t_cur").cast(DoubleType))),
+          lit(0.0), (acc, x) => acc + x) * 0.5)
+      .withColumn("n_novel_bins",
+        size(filter(transform(col("cur_bins"), e => e.getField("bin")),
+          b => size(filter(col("ref_bins"),
+            e => e.getField("bin") === b)) === 0)).cast(LongType))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("t_cur"), col("n_novel_bins"), col("tvd"))
+  }
+
+  /** Streaming [[graft.ops.Stats.ksTest]]: per event-time window, the
+    * two-sample Kolmogorov–Smirnov statistic of the arriving values
+    * against a STATIC reference — the binning-free companion of
+    * [[histogramDriftStream]], same chained-aggregation recipe. The
+    * static side ships as one broadcast row of (value, cumulative
+    * count) pairs; the stream side aggregates (window, value) counts
+    * then the per-window value list; the projection computes
+    * `d_num = max |cum_ref·n_cur − cum_cur·n_ref|` over the pooled
+    * distinct values in EXACT Long arithmetic (max is order-free, so
+    * parity with the batch op needs no fold-order care) and closes
+    * with the batch op's exact d / ks_stat chains. `valueCol` must
+    * already be integral longs (quantize first — the batch contract);
+    * the per-window distinct-value state is bounded by that
+    * quantization, and the projection RAISES past `maxDistinct`
+    * pooled values rather than degrading silently. */
+  def ksTestStream(ref: DataFrame, stream: DataFrame, tsCol: String,
+      valueCol: String, windowDuration: String, watermarkDelay: String,
+      maxDistinct: Int = 4096): DataFrame = {
+    require(maxDistinct >= 1, s"maxDistinct must be >= 1, got $maxDistinct")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val refArr = ref.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast(LongType).as("v"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("v"), sum(col("n")).over(w).as("cum"))
+      .agg(array_sort(collect_list(struct(col("v"), col("cum"))))
+        .as("ref_cum"), max(col("cum")).as("n_ref"))
+      .select(lit(1).as("__one"), col("ref_cum"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val perVal = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .where(col(valueCol).isNotNull)
+      .select(window(col(tsCol), windowDuration).as("win"),
+        col(valueCol).cast(LongType).as("v"))
+      .groupBy(col("win"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    val perWin = perVal
+      .groupBy(window(col("win"), windowDuration).as("win"))
+      .agg(array_sort(collect_list(struct(col("v"), col("n"))))
+        .as("cur_vals"), sum(col("n")).as("n_cur"))
+    val joined = perWin.select(lit(1).as("__one"), col("win"),
+        col("cur_vals"), col("n_cur"))
+      .join(broadcast(refArr), Seq("__one"))
+    // cum_ref(v) = last reference cumulative at value <= v;
+    // cum_cur(v) = sum of current counts at value <= v. O(n^2) lookups
+    // over the bounded pooled set — loudly capped, never silent.
+    def cumRef(v: Column): Column = {
+      // last cumulative at value <= v; `get` (not element_at) so an
+      // empty prefix reads null -> 0, never an ANSI bounds error
+      val pre = transform(filter(col("ref_cum"), e => e.getField("v") <= v),
+        e => e.getField("cum"))
+      coalesce(get(pre, size(pre) - 1), lit(0L))
+    }
+    def cumCur(v: Column): Column =
+      aggregate(filter(col("cur_vals"), e => e.getField("v") <= v),
+        lit(0L), (acc, e) => acc + e.getField("n"))
+    val pooled = array_sort(array_union(
+      transform(col("ref_cum"), e => e.getField("v")),
+      transform(col("cur_vals"), e => e.getField("v"))))
+    joined
+      .withColumn("__pooled",
+        when(size(pooled) > maxDistinct, raise_error(concat(
+          lit("ksTestStream: "), size(pooled).cast("string"),
+          lit(s" pooled distinct values exceed maxDistinct=$maxDistinct" +
+            " — quantize coarser or raise the cap"))))
+          .otherwise(pooled))
+      .withColumn("d_num",
+        aggregate(
+          transform(col("__pooled"), v =>
+            abs(cumRef(v) * col("n_cur") - cumCur(v) * col("n_ref"))),
+          lit(0L), (acc, x) => greatest(acc, x)))
+      .withColumn("d",
+        when(col("n_ref") > lit(3000000000L) ||
+            col("n_cur") > lit(3000000000L),
+          raise_error(lit("ksTestStream: side sizes exceed the Long " +
+            "exactness bound (n_ref*n_cur overflows) — route the " +
+            "cross-products through DECIMAL")))
+          .when(col("n_ref") === 0L || col("n_cur") === 0L, lit(null))
+          .otherwise(col("d_num").cast(DoubleType) /
+            (col("n_ref") * col("n_cur")).cast(DoubleType)))
+      .withColumn("ks_stat",
+        sqrt((col("n_ref") * col("n_cur")).cast(DoubleType) /
+          (col("n_ref") + col("n_cur")).cast(DoubleType)) * col("d"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("n_ref"), col("n_cur"), col("d_num"), col("d"), col("ks_stat"))
+  }
+
   def runningMean[K: Encoder](ds: Dataset[(K, Double)]): Dataset[(K, Long, Double)] = {
     implicit val stateEnc: Encoder[(Long, Double)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)

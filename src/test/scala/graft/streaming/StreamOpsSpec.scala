@@ -633,6 +633,94 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     byKey("c") should be > byKey("b")
   }
 
+  test("histogramDriftStream: a fully-arrived window's TVD equals " +
+      "batch histogramDrift against the same static reference " +
+      "bit-for-bit, and novel bins are counted") {
+    import graft.ops.Stats
+    val ref = Seq(1.0, 5.0, 12.0, 13.0, 25.0, 26.0, 27.0).toDF("value")
+    // window 1 (10:00): shifted mass + a novel bin (104.0 -> bin 10);
+    // window 2 (10:05): close to ref
+    val w1 = Seq(1.0, 12.0, 14.0, 104.0)
+    val w2 = Seq(2.0, 11.0, 25.0)
+    val in = MemoryStream[(Timestamp, Double)](spark)
+    val q = StreamOps.histogramDriftStream(ref,
+        in.toDF().toDF("ts", "value"), "ts", "value", binWidth = 10.0,
+        windowDuration = "5 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    in.addData(w1.map(v => (ts(1), v)) ++ w2.map(v => (ts(6), v)): _*)
+    q.processAllAvailable()
+    in.addData((ts(55), 0.0)) // flush: advance watermark past both windows
+    q.processAllAvailable()
+    in.addData((ts(56), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("drift_stream")
+      .select(col("win_start").cast("string"), col("t_cur"),
+        col("n_novel_bins"), col("tvd"))
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    def batchTvd(vals: Seq[Double]): Double =
+      Stats.histogramDrift(ref, vals.toDF("value"), "value", 10.0)
+        .select(col("tvd")).as[Double].head()
+    got shouldBe Seq(
+      ("2026-01-01 10:00:00", 4L, 1L, batchTvd(w1)),
+      ("2026-01-01 10:05:00", 3L, 0L, batchTvd(w2)))
+  }
+
+  test("ksTestStream: a fully-arrived window's (d_num, d, ks_stat) " +
+      "equal batch ksTest against the same static reference exactly; " +
+      "the pooled-distinct cap raises loudly") {
+    import graft.ops.Stats
+    val ref = Seq(1L, 2L, 2L, 3L, 7L, 9L).toDF("value")
+    val w1 = Seq(2L, 3L, 3L, 8L)
+    val w2 = Seq(1L, 2L, 9L)
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val q = StreamOps.ksTestStream(ref, in.toDF().toDF("ts", "value"),
+        "ts", "value", windowDuration = "5 minutes",
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ks_stream")
+      .outputMode("append").start()
+    in.addData(w1.map(v => (ts(1), v)) ++ w2.map(v => (ts(6), v)): _*)
+    q.processAllAvailable()
+    in.addData((ts(55), 1L))
+    q.processAllAvailable()
+    in.addData((ts(56), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ks_stream")
+      .select(col("win_start").cast("string"), col("n_ref"), col("n_cur"),
+        col("d_num"), col("d"), col("ks_stat"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    def batch(vals: Seq[Long]) = {
+      val r = Stats.ksTest(ref, vals.toDF("value"), "value")
+        .as[(Long, Long, Long, Option[Double], Option[Double])]
+        .collect().head
+      r
+    }
+    val b1 = batch(w1); val b2 = batch(w2)
+    got shouldBe Seq(
+      ("2026-01-01 10:00:00", b1._1, b1._2, b1._3, b1._4, b1._5),
+      ("2026-01-01 10:05:00", b2._1, b2._2, b2._3, b2._4, b2._5))
+    // cap guard: 3 pooled distinct values against maxDistinct = 2
+    val in2 = MemoryStream[(Timestamp, Long)](spark)
+    val q2 = StreamOps.ksTestStream(Seq(1L, 2L).toDF("value"),
+        in2.toDF().toDF("ts", "value"), "ts", "value", "5 minutes",
+        "0 seconds", maxDistinct = 2)
+      .writeStream.format("memory").queryName("ks_stream_cap")
+      .outputMode("append").start()
+    in2.addData((ts(1), 5L))
+    q2.processAllAvailable()
+    in2.addData((ts(55), 1L))
+    val ex = intercept[Exception] {
+      q2.processAllAvailable()
+      in2.addData((ts(56), 1L))
+      q2.processAllAvailable()
+    }
+    ex.getMessage should include("exceed maxDistinct")
+    q2.stop()
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
