@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, one
@@ -195,6 +197,30 @@ object Bench {
         headline.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not write target/bench_headline.json: $e")
+    }
+    // ROUND-STAMPED full artifact, in the repo (target/ is gitignored
+    // and bench_headline.json is overwritten every run, so before this
+    // file existed each round's complete per-query board was lost and
+    // round-over-round regression tracking was blind on whatever the
+    // driver's bounded tail truncated — 96/199 queries in r15). Round
+    // number = latest driver-committed BENCH_r{N}.json + 1 (this run
+    // IS that round's bench); the sf tag keeps builder-side sf0.01
+    // spot runs from clobbering the driver's sf0.1 board.
+    try {
+      val roundRe = "BENCH_r(\\d+)\\.json".r
+      val round = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala
+        .flatMap(p => roundRe.findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toInt))
+        .foldLeft(0)(math.max) + 1
+      val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val dir = java.nio.file.Paths.get("bench_full")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(
+        dir.resolve(s"BENCH_r${round}_full_$sfTag.json"),
+        headline.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write bench_full artifact: $e")
     }
     // Ultra-compact warm line, printed ABSOLUTELY last: integer
     // milliseconds only, ~3.5 KB for the full board — sized to survive
