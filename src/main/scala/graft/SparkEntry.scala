@@ -2535,6 +2535,19 @@ object SparkEntry {
       Tokenizer.bpeEncode(d, "doc_id", "text", rules)
         .orderBy("doc_id")
     }),
+    "q_pack_chunks" -> ((s, dir) => {
+      // PER-CHUNK packing view (TextAnalysis.packChunks): q_pack says
+      // where each DOC lands; this says what each CONTEXT WINDOW holds
+      // — docs spanned, tokens, and the continuation fraction (the
+      // padding-free packing's attention-bleed number, read before any
+      // GPU-hour is spent). Same streams/tokenizer as q_pack; capacity
+      // 512 so boundary crossings are well-exercised at sf0.01. Built
+      // ON packSequences' own outputs — one cumsum definition, the two
+      // views cannot drift.
+      TextAnalysis.packChunks(t(s, dir, "documents"), "doc_id",
+          TextAnalysis.whitespaceTokenCount(col("text")), "source", 512L)
+        .orderBy("source", "pack_id")
+    }),
     "q_langid_eval" -> ((s, dir) => {
       // LangID self-evaluation (the q_ann_recall recipe on text): the
       // n-gram-marker classifier's confusion matrix against the corpus
@@ -7131,6 +7144,33 @@ object SparkEntry {
                 quantile_cont(n_chars, 0.9) AS p90,
                 quantile_cont(n_chars, 0.99) AS p99
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Per-chunk packing replay: q_pack's whitespace token count and
+    // per-source window cumsum (ORDER BY doc_id — unique, so the frame
+    // is deterministic), then the same integer chunk-span explode and
+    // per-chunk sums, one closing division.
+    "q_pack_chunks" ->
+      raw"""WITH tk AS MATERIALIZED (SELECT doc_id, source,
+                   CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tok
+                 FROM documents),
+              co AS (SELECT doc_id, source, n_tok,
+                   CAST(sum(n_tok) OVER w - n_tok AS BIGINT) AS start_off,
+                   CAST(sum(n_tok) OVER w AS BIGINT) AS end_off
+                 FROM tk WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+              sp AS (SELECT source, start_off, end_off,
+                   CAST(unnest(range(start_off // 512, (end_off - 1) // 512 + 1)) AS BIGINT) AS pack_id
+                 FROM co WHERE n_tok > 0),
+              ag AS (SELECT source, pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(least(end_off, (pack_id + 1) * 512) -
+                            greatest(start_off, pack_id * 512)) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN start_off < pack_id * 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_continued,
+                   CAST(sum(CASE WHEN start_off < pack_id * 512
+                            THEN least(end_off, (pack_id + 1) * 512) - greatest(start_off, pack_id * 512)
+                            ELSE 0 END) AS BIGINT) AS ct
+                 FROM sp GROUP BY 1, 2)
+         SELECT source, pack_id, n_docs, n_tokens, n_continued,
+                CAST(ct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS continuation_frac
+         FROM ag ORDER BY source, pack_id""",
     "q_vocab" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
@@ -8571,5 +8611,6 @@ object SparkEntry {
     // round 15
     "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup",
     // round 16
-    "q_ann_ivfpq_residual", "q_hll_incremental", "q_curate_coreness")
+    "q_ann_ivfpq_residual", "q_hll_incremental", "q_curate_coreness",
+    "q_pack_chunks")
 }

@@ -375,6 +375,51 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** The PER-CHUNK view of [[packSequences]] — the training side
+    * consumes chunks, so the pipeline must know, per context window,
+    * how many documents it spans and how much of it CONTINUES a
+    * document that started earlier: high continuation fractions at a
+    * small capacity say the corpus needs splitting or the window is
+    * undersized, before a single GPU-hour is spent. Derives each
+    * doc's [start, end) token span from packSequences' own outputs
+    * (ONE cumsum definition — the two views cannot drift), explodes
+    * the bounded per-doc chunk span, and aggregates per
+    * `(partCol, pack_id)`: `n_docs`, `n_tokens` (= capacity except
+    * each stream's tail chunk), `n_continued` docs that started in an
+    * earlier chunk, and `continuation_frac` — their token share (the
+    * padding-free packing's attention-bleed number). Zero-token docs
+    * never phantom-occupy a chunk. Same scale shape and uniqueness
+    * contract as [[packSequences]]; everything after the window is
+    * slim integer rows. */
+  def packChunks(df: DataFrame, idCol: String, tokensCol: Column,
+      partCol: String, capacity: Long): DataFrame = {
+    val cap = lit(capacity)
+    packSequences(df, idCol, tokensCol, partCol, capacity)
+      .where(col("n_tokens") > 0)
+      .select(col(partCol),
+        (col("pack_id") * cap + col("pack_offset")).as("start_off"),
+        (col("pack_id") * cap + col("pack_offset") + col("n_tokens"))
+          .as("end_off"))
+      .select(col(partCol),
+        explode(sequence(expr(s"start_off div ${capacity}L"),
+          expr(s"(end_off - 1) div ${capacity}L"))).as("pack_id"),
+        col("start_off"), col("end_off"))
+      .select(col(partCol), col("pack_id"),
+        (least(col("end_off"), (col("pack_id") + 1) * cap) -
+          greatest(col("start_off"), col("pack_id") * cap)).as("tok_in"),
+        (col("start_off") < col("pack_id") * cap).as("continued"))
+      .groupBy(col(partCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in")).as("n_tokens"),
+        sum(when(col("continued"), 1L).otherwise(0L)).as("n_continued"),
+        sum(when(col("continued"), col("tok_in")).otherwise(0L))
+          .as("__ct"))
+      .select(col(partCol), col("pack_id"), col("n_docs"),
+        col("n_tokens"), col("n_continued"),
+        (col("__ct").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("continuation_frac"))
+  }
+
   /** Label a frame with train/val/test from content-hash buckets:
     * [0, valPct) -> val, [valPct, valPct+testPct) -> test, rest train. */
   def withSplit(df: DataFrame, textCol: String, valPct: Int = 5,

@@ -1064,6 +1064,29 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q_hll_incremental: register builds are partial_max map-side " +
+      "aggregates; scans read only the probed columns; no Window, no " +
+      "cartesian") {
+    val p = plan("q_hll_incremental")
+    p should include("partial_max")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("user_id")
+    readSchema should not include "props"
+    readSchema should not include "value"
+  }
+
+  test("q_curate_coreness: the cut is a bounded TakeOrderedAndProject " +
+      "over the node-sized coreness frame, broadcast-joined to the " +
+      "catalog — the item table never shuffles; no cartesian") {
+    val p = plan("q_curate_coreness")
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("q_interpolate: daily partial-aggregated collapse before the " +
       "spine; BOTH neighbor frames fuse into ONE Window (one sort, one " +
       "exchange); no cartesian") {
