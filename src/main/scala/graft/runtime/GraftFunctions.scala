@@ -54,6 +54,25 @@ object GraftFunctions {
     ("graft_splitmix64", classOf[SplitMix64], one(SplitMix64)),
     ("graft_quantize_vec", classOf[QuantizeVec], one(QuantizeVec)),
     ("graft_dequantize_vec", classOf[DequantizeVec], two(DequantizeVec(_, _))),
+    // the merge table must be a FOLDABLE array<array<string>> literal
+    // (each inner array one (l, r) pair, round order) — it is interned
+    // to the kernel's id tables at plan time, like Centroids' codebooks
+    ("graft_bpe_apply", classOf[graft.functions.BpeApply], {
+      case Seq(syms, rules) if rules.foldable &&
+          rules.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        val arr = rules.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val merges = (0 until arr.numElements()).map { i =>
+          val p = arr.getArray(i)
+          require(p != null && p.numElements() == 2,
+            s"graft_bpe_apply: rule $i must be a 2-element array (l, r)")
+          (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        }
+        graft.functions.BpeApply(syms, merges)
+      case _ => throw new IllegalArgumentException(
+        "graft_bpe_apply(syms, rules) requires a foldable " +
+          "array(array(l, r), ...) merge table literal")
+    }),
     // k must be an int literal: it sizes the estimator's numerator and
     // must equal the sketch's build k (the same-k contract)
     ("graft_kmv_estimate", classOf[graft.ops.KmvEstimateFromKth], {

@@ -82,7 +82,8 @@ class BpeKernelSpec extends SparkSpecBase with Matchers {
     got shouldBe fold(Seq("a", "b", "c"), rules)
   }
 
-  test("randomized parity vs both fold derivations (seeded)") {
+  test("randomized parity vs both fold derivations (seeded), and the " +
+      "concat invariant: merges only fuse, never alter bytes") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcd"
     for (_ <- 1 to 40) {
@@ -100,6 +101,7 @@ class BpeKernelSpec extends SparkSpecBase with Matchers {
       val k = kernel(word, rules)
       k shouldBe fold(word, rules)
       k shouldBe scalaFold(word, rules)
+      k.mkString shouldBe word.mkString
     }
   }
 

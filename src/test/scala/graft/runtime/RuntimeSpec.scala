@@ -470,5 +470,15 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     val e4 = intercept[Exception](
       spark.sql("SELECT graft_kmv_estimate(1L, CAST(rand()*4 AS INT))").collect())
     e4.getMessage should include("literal int k")
+    // whole-table BPE kernel from SQL: the Sennrich low/lower table
+    val r5 = spark.sql(
+      """SELECT graft_bpe_apply(array('l', 'o', 'w', 'e', 'r'),
+                array(array('e', 's'), array('es', 't'),
+                      array('l', 'o'), array('lo', 'w'))) AS s""").head()
+    r5.getSeq[String](0) shouldBe Seq("low", "e", "r")
+    val e5 = intercept[Exception](
+      spark.sql("SELECT graft_bpe_apply(array('a'), array(array(rand() || '')))")
+        .collect())
+    e5.getMessage should include("foldable")
   }
 }
