@@ -1851,6 +1851,29 @@ object SparkEntry {
           col("event_type"), col("n"), round(col("total"), 2).as("total"))
         .orderBy("win_start_ms", "event_type")
     }),
+    "q_stream_drift" -> ((s, dir) => {
+      // Batch parity of the STREAMING drift monitor
+      // (StreamOps.histogramDriftStream, the q_stream_window anchor
+      // recipe): per day-window of the second half of the log, the
+      // value-histogram TVD against the FROZEN first half — q_drift's
+      // binWidth on q_drift's split, but per arriving window instead
+      // of pooled. Runs the streaming op itself on a batch frame
+      // (EliminateEventTimeWatermark strips the watermark; the chained
+      // window aggregations and the ascending-bin L1 fold execute
+      // identically), so the oracle anchors the exact arithmetic the
+      // stream serves.
+      val ev = t(s, dir, "events").select(
+        timestamp_micros(expr("ts div 1000")).as("ts2"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+      graft.streaming.StreamOps.histogramDriftStream(
+          ev.where(col("day") < 19740).select("value"),
+          ev.where(col("day") >= 19740).select(col("ts2"), col("value")),
+          "ts2", "value", binWidth = 25.0, windowDuration = "1 day",
+          watermarkDelay = "0 seconds")
+        .select(unix_millis(col("win_start")).as("win_start_ms"),
+          col("t_cur"), col("n_novel_bins"), col("tvd"))
+        .orderBy("win_start_ms")
+    }),
     "q_stream_session" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
         timestamp_micros(expr("ts div 1000")).as("ts2"), col("user_id"))
@@ -7033,6 +7056,47 @@ object SparkEntry {
                 epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR) AS win_end_ms,
                 event_type, count(*) AS n, round(sum("value"), 2) AS total
          FROM events GROUP BY 1, 2, 3 ORDER BY win_start_ms, event_type""",
+    // Streaming drift-monitor replay: ref bins from the frozen first
+    // half, per day-window cur bins from the second, full-outer per-
+    // window bin frame, the SAME per-bin L1 terms and ascending-bin
+    // 0.0-seeded fold * 0.5, novel = cur bins the ref never saw.
+    "q_stream_drift" ->
+      raw"""WITH e AS MATERIALIZED (SELECT CAST(ts AS TIMESTAMP) AS t,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                     "value" AS v FROM events),
+              rb AS MATERIALIZED (SELECT CAST(floor(v / 25.0) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n_ref
+                   FROM e WHERE day < 19740 AND v IS NOT NULL GROUP BY 1),
+              rt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref FROM rb),
+              cb AS MATERIALIZED (SELECT
+                     epoch_ms(time_bucket(INTERVAL '1 day', t)) AS win_start_ms,
+                     CAST(floor(v / 25.0) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n_cur
+                   FROM e WHERE day >= 19740 AND v IS NOT NULL GROUP BY 1, 2),
+              ctot AS (SELECT win_start_ms, CAST(sum(n_cur) AS BIGINT) AS t_cur
+                   FROM cb GROUP BY 1),
+              allb AS (SELECT w.win_start_ms, b.bin
+                   FROM (SELECT DISTINCT win_start_ms FROM cb) w, rb b
+                   UNION
+                   SELECT win_start_ms, bin FROM cb),
+              terms AS (SELECT a.win_start_ms, a.bin,
+                     abs(COALESCE(rb.n_ref, 0) / CAST(rt.t_ref AS DOUBLE) -
+                         COALESCE(cb.n_cur, 0) / CAST(ctot.t_cur AS DOUBLE)) AS l1,
+                     CASE WHEN rb.bin IS NULL AND cb.n_cur IS NOT NULL
+                          THEN 1 ELSE 0 END AS novel
+                   FROM allb a
+                   LEFT JOIN rb ON rb.bin = a.bin
+                   LEFT JOIN cb ON cb.win_start_ms = a.win_start_ms
+                                AND cb.bin = a.bin
+                   JOIN ctot ON ctot.win_start_ms = a.win_start_ms
+                   CROSS JOIN rt),
+              ag AS (SELECT win_start_ms,
+                     CAST(sum(novel) AS BIGINT) AS n_novel_bins,
+                     list_reduce([CAST(0 AS DOUBLE)] || list(l1 ORDER BY bin),
+                       (x, y) -> x + y) * 0.5 AS tvd
+                   FROM terms GROUP BY 1)
+         SELECT ctot.win_start_ms, ctot.t_cur, ag.n_novel_bins, ag.tvd
+         FROM ctot JOIN ag USING (win_start_ms) ORDER BY win_start_ms""",
     "q_stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
               o AS (SELECT user_id, t,
@@ -8612,5 +8676,5 @@ object SparkEntry {
     "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup",
     // round 16
     "q_ann_ivfpq_residual", "q_hll_incremental", "q_curate_coreness",
-    "q_pack_chunks")
+    "q_pack_chunks", "q_stream_drift")
 }
