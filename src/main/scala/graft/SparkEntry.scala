@@ -1874,6 +1874,30 @@ object SparkEntry {
           col("t_cur"), col("n_novel_bins"), col("tvd"))
         .orderBy("win_start_ms")
     }),
+    "q_stream_ks" -> ((s, dir) => {
+      // Batch parity of the STREAMING KS monitor (StreamOps.ksTestStream
+      // — the q_stream_drift recipe for the binning-free statistic):
+      // per day-window of the second half, sup|ECDF diff| vs the frozen
+      // first half in exact Long cross-products. DOLLAR-quantized, not
+      // q_ks_test's cents: the pooled-distinct projection is O(n²) per
+      // window and loudly capped at 4096 — cents run ~6.6k distinct at
+      // sf0.01 (the cap's own documented remedy is to quantize coarser;
+      // this registration IS that remedy, with q_ks_test keeping the
+      // fine-grained pooled number).
+      val ev = t(s, dir, "events").select(
+        timestamp_micros(expr("ts div 1000")).as("ts2"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        round(col("value")).cast(LongType).as("dollars"))
+      graft.streaming.StreamOps.ksTestStream(
+          ev.where(col("day") < 19740).select("dollars"),
+          ev.where(col("day") >= 19740).select(col("ts2"), col("dollars")),
+          "ts2", "dollars", windowDuration = "1 day",
+          watermarkDelay = "0 seconds")
+        .select(unix_millis(col("win_start")).as("win_start_ms"),
+          col("n_ref"), col("n_cur"), col("d_num"), col("d"),
+          col("ks_stat"))
+        .orderBy("win_start_ms")
+    }),
     "q_stream_session" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
         timestamp_micros(expr("ts div 1000")).as("ts2"), col("user_id"))
@@ -7097,6 +7121,51 @@ object SparkEntry {
                    FROM terms GROUP BY 1)
          SELECT ctot.win_start_ms, ctot.t_cur, ag.n_novel_bins, ag.tvd
          FROM ctot JOIN ag USING (win_start_ms) ORDER BY win_start_ms""",
+    // Streaming KS replay: dollar-quantized values, per-window full
+    // join against the frozen ref distribution, window cumsums, the
+    // same exact-Long d_num max and closing d / ks_stat chains.
+    "q_stream_ks" ->
+      raw"""WITH e AS MATERIALIZED (SELECT CAST(ts AS TIMESTAMP) AS t,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                     CAST(round(value) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              r AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS nr
+                   FROM e WHERE day < 19740 GROUP BY v),
+              rt AS (SELECT CAST(sum(nr) AS BIGINT) AS n_ref FROM r),
+              c AS MATERIALIZED (SELECT
+                     epoch_ms(time_bucket(INTERVAL '1 day', t)) AS w,
+                     v, CAST(count(*) AS BIGINT) AS nc
+                   FROM e WHERE day >= 19740 GROUP BY 1, 2),
+              ctot AS (SELECT w, CAST(sum(nc) AS BIGINT) AS n_cur
+                   FROM c GROUP BY 1),
+              g AS (SELECT a.w, a.v,
+                     coalesce(r.nr, 0) AS nr, coalesce(c.nc, 0) AS nc
+                   FROM (SELECT w.w, r.v FROM (SELECT DISTINCT w FROM c) w, r
+                         UNION
+                         SELECT w, v FROM c) a
+                   LEFT JOIN r ON r.v = a.v
+                   LEFT JOIN c ON c.w = a.w AND c.v = a.v),
+              cw AS (SELECT w,
+                     CAST(sum(nr) OVER win AS BIGINT) AS cr,
+                     CAST(sum(nc) OVER win AS BIGINT) AS cc
+                   FROM g WINDOW win AS (PARTITION BY w ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              d0 AS (SELECT cw.w,
+                     max(abs(cr * ctot.n_cur - cc * rt.n_ref)) AS d_num
+                   FROM cw JOIN ctot ON ctot.w = cw.w CROSS JOIN rt
+                   GROUP BY cw.w)
+         SELECT d0.w AS win_start_ms, rt.n_ref, ctot.n_cur, d0.d_num,
+                CASE WHEN rt.n_ref = 0 OR ctot.n_cur = 0 THEN NULL
+                     ELSE CAST(d0.d_num AS DOUBLE)
+                            / CAST(rt.n_ref * ctot.n_cur AS DOUBLE) END AS d,
+                sqrt(CAST(rt.n_ref * ctot.n_cur AS DOUBLE)
+                       / CAST(rt.n_ref + ctot.n_cur AS DOUBLE))
+                  * (CASE WHEN rt.n_ref = 0 OR ctot.n_cur = 0 THEN NULL
+                          ELSE CAST(d0.d_num AS DOUBLE)
+                                 / CAST(rt.n_ref * ctot.n_cur AS DOUBLE) END)
+                  AS ks_stat
+         FROM d0 JOIN ctot ON ctot.w = d0.w CROSS JOIN rt
+         ORDER BY win_start_ms""",
     "q_stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
               o AS (SELECT user_id, t,
@@ -8676,5 +8745,5 @@ object SparkEntry {
     "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup",
     // round 16
     "q_ann_ivfpq_residual", "q_hll_incremental", "q_curate_coreness",
-    "q_pack_chunks", "q_stream_drift")
+    "q_pack_chunks", "q_stream_drift", "q_stream_ks")
 }
