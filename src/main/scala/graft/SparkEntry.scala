@@ -2861,6 +2861,23 @@ object SparkEntry {
       // this pair of queries is the measurement.
       ivfPqRecallQuery(s, dir, residual = true)
     }),
+    "q_embed_shift" -> ((s, dir) => {
+      // EMBEDDING DISTRIBUTION SHIFT (Similarity.embeddingShift):
+      // per label, the first-moment drift between the even-id and
+      // odd-id halves of the embedding corpus standing in for two
+      // snapshots — cos_means ≈ 1 / small l2_means when a group's
+      // semantic center held still; the monitor read before reusing
+      // ANN indexes or semantic-dedup thresholds trained on the old
+      // snapshot. Exact fixed-point per-dimension means (the
+      // trainCentroids recipe), fixed ascending folds — replays
+      // verbatim.
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingShift(
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "label", "embedding")
+        .orderBy("label")
+    }),
     "q_ann_recall_tuned" -> ((s, dir) => {
       // The TUNED serving point the recall artifact exists to pick.
       // Measured curve on this corpus (mean recall@5 over the 10-query
@@ -7822,6 +7839,36 @@ object SparkEntry {
     // per-bucket max merge, a single-pass full build (duplicate pairs
     // hash identically, so max absorbs them), the null-safe register
     // diff, and the same pinned fold + estimator on both paths.
+    // Embedding-shift replay: the kmeansPrefixSql fixed-point mean
+    // recipe per (label, side), list-packed means ordered by pos, the
+    // shared dot/cos form, ascending L2 fold.
+    "q_embed_shift" -> {
+      val dot = sqlDot(64) _
+      def cos(a: String, b: String): String =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      def side(name: String, par: Int): String =
+        s"""x$name AS (SELECT label, p.pos,
+           |       SUM(CAST(floor(v[p.pos] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+           |       COUNT(*) AS n
+           |     FROM e, generate_series(1, 64) p(pos)
+           |     WHERE vec_id % 2 = $par GROUP BY 1, 2),
+           |m$name AS (SELECT label, CAST(max(n) AS BIGINT) AS n_$name,
+           |       list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+           |            ORDER BY pos) AS m
+           |     FROM x$name GROUP BY label)""".stripMargin
+      raw"""WITH e AS MATERIALIZED (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+              ${side("ref", 0)},
+              ${side("cur", 1)}
+         SELECT mref.label, n_ref, n_cur,
+                ${cos("mref.m", "mcur.m")} AS cos_means,
+                sqrt(list_sum(list_transform(range(1, 65),
+                  ii -> (mref.m[ii] - mcur.m[ii]) * (mref.m[ii] - mcur.m[ii]))))
+                  AS l2_means
+         FROM mref JOIN mcur USING (label)
+         ORDER BY mref.label"""
+    },
     "q_hll_incremental" -> {
       def est(s: String, nh: String) =
         s"$hllAlphaSql / ($s + CAST(64 - $nh AS DOUBLE))"
@@ -8745,5 +8792,5 @@ object SparkEntry {
     "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup",
     // round 16
     "q_ann_ivfpq_residual", "q_hll_incremental", "q_curate_coreness",
-    "q_pack_chunks", "q_stream_drift", "q_stream_ks")
+    "q_pack_chunks", "q_stream_drift", "q_stream_ks", "q_embed_shift")
 }

@@ -309,6 +309,59 @@ object Similarity {
     } finally if (sampled) train.unpersist(blocking = false)
   }
 
+  /** EMBEDDING DISTRIBUTION SHIFT between two corpus snapshots, per
+    * group — the drift monitor for the EMBEDDING column (profileDrift
+    * watches scalar columns; this watches the vector space): compare
+    * each side's FIRST MOMENT, the per-dimension mean embedding, via
+    * `cos_means` (≈1 when the group's semantic center held still) and
+    * `l2_means` (the absolute shift). Mean drift is the standard
+    * leading indicator that a source changed topic/provider/encoder
+    * between snapshots — read it before ANN indexes or semantic-dedup
+    * thresholds trained on the old snapshot are reused.
+    *
+    * Determinism (the [[trainCentroids]] mean recipe): per-dimension
+    * sums of `floor(x·1e6 + 0.5)` — exact Longs, order-free — one
+    * division per dimension, then fixed ascending-dimension folds for
+    * the cosine and L2. Replays verbatim in SQL. LOUD raise past the
+    * 2^53 exactness bound (~9e9 rows per group at unit-scale inputs).
+    * Groups present on only one side drop (inner join): a shift needs
+    * both moments; count appearing/vanishing groups with a plain
+    * anti-join, not a drift number.
+    *
+    * Scale shape: each side is ONE slim `(group, pos, q)` explode ->
+    * map-side-partial sum (rows·dim Long tuples, vectors never
+    * shuffle whole), folded to one dim-length array per group; the
+    * join is group-count sized. */
+  def embeddingShift(ref: DataFrame, cur: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    def means(df: DataFrame, side: String): DataFrame =
+      df.where(col(vecCol).isNotNull)
+        .select(col(groupCol),
+          posexplode(col(vecCol).cast(ArrayType(DoubleType)))
+            .as(Seq("pos", "x")))
+        .groupBy(col(groupCol), col("pos"))
+        .agg(sum(floor(col("x") * lit(1e6) + lit(0.5))).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy(col(groupCol))
+        .agg(max(when(col("n") > lit(9000000000L),
+            raise_error(lit("embeddingShift: > 9e9 rows in a group — " +
+              "the fixed-point mean sum would pass the 2^53 exactness " +
+              "bound; shard the group or lower the scale")))
+            .otherwise(col("n"))).as(s"n_$side"),
+          array_sort(collect_list(struct(col("pos"),
+            ((col("s").cast(DoubleType) / col("n").cast(DoubleType)) /
+              lit(1e6)).as("m")))).as("__ms"))
+        .select(col(groupCol), col(s"n_$side"),
+          transform(col("__ms"), e => e.getField("m")).as(s"__mean_$side"))
+    means(ref, "ref").join(means(cur, "cur"), Seq(groupCol))
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        cosine(col("__mean_ref"), col("__mean_cur")).as("cos_means"),
+        sqrt(aggregate(
+          zip_with(col("__mean_ref"), col("__mean_cur"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)).as("l2_means"))
+  }
+
   /** IVF approximate top-k: corpus rows are bucketed by nearest
     * centroid (inverted lists); each query probes its `nprobe` nearest
     * centroids and exact cosine re-ranks the candidates. The join

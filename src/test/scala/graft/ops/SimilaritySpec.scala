@@ -368,6 +368,31 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     }.getMessage should include("shortlist")
   }
 
+  test("embeddingShift: identical snapshots give cos 1 / l2 0 exactly; " +
+      "a hand-computed mean shift is exact; one-sided groups drop") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "g", Seq(1.0, 0.0)), (2L, "g", Seq(0.0, 1.0)),
+      (3L, "only_a", Seq(1.0, 1.0))).toDF("id", "grp", "v")
+    val same = Similarity.embeddingShift(a, a, "grp", "v")
+      .select("grp", "n_ref", "n_cur", "cos_means", "l2_means")
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    same.map(_._1).toSeq shouldBe Seq("g", "only_a")
+    // cos of a vector with itself rounds within an ulp of 1 (the
+    // sqrt·sqrt denominator); the l2 of identical means is exactly 0
+    same.foreach { r => r._4 shouldBe 1.0 +- 1e-12; r._5 shouldBe 0.0 }
+    // shifted second snapshot: mean_ref = (0.5, 0.5),
+    // mean_cur = (1.0, 0.0) -> cos = 0.5/sqrt(0.5), l2 = sqrt(0.5)
+    val b = Seq((9L, "g", Seq(1.0, 0.0))).toDF("id", "grp", "v")
+    val shift = Similarity.embeddingShift(a, b, "grp", "v")
+      .select("grp", "n_ref", "n_cur", "cos_means", "l2_means")
+      .as[(String, Long, Long, Double, Double)].collect()
+    shift.map(_._1).toSeq shouldBe Seq("g") // only_a has no cur side
+    val (_, nr, nc, cosm, l2m) = shift.head
+    (nr, nc) shouldBe ((2L, 1L))
+    cosm shouldBe 0.5 / (math.sqrt(0.5) * 1.0) +- 1e-12
+    l2m shouldBe math.sqrt(0.5) +- 1e-12
+  }
+
   test("residual IVF-PQ: on a CLUSTERED corpus residual codes beat raw " +
       "codes at identical serve cost (the Jégou 2011 premise, " +
       "controlled); ivfResiduals really removes the centroid") {
