@@ -2861,6 +2861,25 @@ object SparkEntry {
       // this pair of queries is the measurement.
       ivfPqRecallQuery(s, dir, residual = true)
     }),
+    "q_dedup_incr" -> ((s, dir) => {
+      // INCREMENTAL dedup (Dedup.lshDedupIndex/screenAgainstLshIndex):
+      // the q_hll_incremental story for near-dup — index yesterday's
+      // snapshot ONCE (per-doc nsh + MinHash signature + shingle-hash
+      // set), then screen tonight's docs against it without rescanning
+      // yesterday's text: bipartite band-bucket probe, index-side
+      // bucket cap, count bound, signature screen, exact shingle
+      // confirm from the STORED sets. Even doc_ids stand in for the
+      // history, odd for the arriving snapshot; the oracle recomputes
+      // the bipartite pairs INDEPENDENTLY (exact string-shingle
+      // Jaccard over all cross pairs — the q_dedup_minhash
+      // independent-recompute form, never seeing the index machinery).
+      val d = t(s, dir, "documents")
+      val idx = Dedup.lshDedupIndex(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      Dedup.screenAgainstLshIndex(
+          d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", idx)
+        .orderBy("new_id", "old_id")
+    }),
     "q_embed_shift" -> ((s, dir) => {
       // EMBEDDING DISTRIBUTION SHIFT (Similarity.embeddingShift):
       // per label, the first-moment drift between the even-id and
@@ -7200,6 +7219,23 @@ object SparkEntry {
       raw"""WITH ${shinglePairsSql("documents")}
          SELECT id_a, id_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
          FROM c WHERE 2*i >= la + lb - i ORDER BY id_a, id_b""",
+    // Incremental-dedup oracle: INDEPENDENT bipartite recompute — the
+    // exact string-shingle Jaccard over every (odd, even) doc pair
+    // with the same count bound, never touching the index machinery
+    // (the strongest oracle form, per q_incr_agg).
+    "q_dedup_incr" ->
+      raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
+              sh AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+                     FROM d),
+              c AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+                    FROM sh a JOIN sh b
+                      ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s))
+         SELECT new_id, old_id, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+         FROM c WHERE 2*i >= la + lb - i ORDER BY new_id, old_id""",
     "q_dedup_clusters" ->
       raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
               $closureSql,
@@ -8792,5 +8828,6 @@ object SparkEntry {
     "q_ann_ivfpq", "q_coreness", "q_hll_setops", "q_multimodal_neardup",
     // round 16
     "q_ann_ivfpq_residual", "q_hll_incremental", "q_curate_coreness",
-    "q_pack_chunks", "q_stream_drift", "q_stream_ks", "q_embed_shift")
+    "q_pack_chunks", "q_stream_drift", "q_stream_ks", "q_embed_shift",
+    "q_dedup_incr")
 }

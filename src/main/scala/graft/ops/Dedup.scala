@@ -275,6 +275,97 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** STORED MinHash-LSH dedup index of a corpus snapshot — the
+    * incremental-ingestion artifact ([[graft.ops.Sketches.hllRegisters]]'
+    * persistence precedent, for dedup): one row per doc,
+    * `(id, nsh, sig, sh)` — distinct-shingle count, MinHash signature,
+    * and the shingle-hash set. Serving needs nothing else (band
+    * buckets derive from `sig`; the exact confirm reads `sh`), so
+    * tonight's snapshot screens against yesterday's corpus via
+    * [[screenAgainstLshIndex]] WITHOUT rescanning or re-tokenizing
+    * yesterday's text. `k`/`bands`/`rowsPerBand`/`seed` MUST match
+    * the serve call (the winnowIndex same-params discipline). Storage
+    * is fingerprint-sized (~the distinct-shingle count in longs per
+    * doc) — the standard dedup-index trade. */
+  def lshDedupIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame =
+    sigFrame(df, idCol, textCol, k, bands * rowsPerBand, seed)
+      .join(df.select(col(idCol).as("id"),
+        graft.functions.VectorHashes.ngram_hashes(
+          regexp_replace(lower(col(textCol)), "\\s+", " "), k).as("sh")),
+        "id")
+
+  /** Bipartite near-dup screen of NEW docs against a STORED
+    * [[lshDedupIndex]]: `(new_id, old_id, jaccard)` for every new doc
+    * near-duplicating an indexed one at `jaccard >= threshold` — drop
+    * the hit new_ids (or route them to review) and the snapshot is
+    * deduped against the whole history at probe cost.
+    *
+    * Exactly [[nearDupPairs]]' cascade with the self-join made
+    * BIPARTITE: new-side bands probe the indexed bands (an
+    * O(|new| · collisions) join, never old × old), the bucket-size
+    * cap applies to the INDEX side (corpus boilerplate buckets are
+    * the blowup risk; a capped bucket is template text, not dedup
+    * signal), then the same count bound, signature screen, and exact
+    * shingle-hash confirm — the old side's confirm set comes from the
+    * index, its text untouched. An id present on both sides pairs
+    * with itself only if it is a genuine near-dup re-ingest; exact
+    * dedup upstream owns byte-identical replays. */
+  def screenAgainstLshIndex(cands: DataFrame, candId: String,
+      candText: String, index: DataFrame, k: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
+    val estThreshold = math.max(0.0, threshold - 2.5 * sigma)
+    def banded(sigs: DataFrame): DataFrame = sigs
+      .select(col("id"), col("nsh"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+              .as("band_hash"))): _*)).as("bb"))
+      .select(col("id"), col("nsh"), col("bb.band").as("band"),
+        col("bb.band_hash").as("band_hash"))
+    val newSigs = sigFrame(cands, candId, candText, k, numHashes, seed)
+    val oldBanded = banded(index.select(col("id"), col("nsh"), col("sig")))
+      .repartition(col("band"), col("band_hash"))
+    val smallBuckets = oldBanded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val oldSized = oldBanded
+      .join(smallBuckets, Seq("band", "band_hash"), "left_semi")
+    val pairs = banded(newSigs)
+      .select(col("band"), col("band_hash"),
+        col("id").as("new_id"), col("nsh").as("nsh_n"))
+      .join(oldSized.select(col("band"), col("band_hash"),
+        col("id").as("old_id"), col("nsh").as("nsh_o")),
+        Seq("band", "band_hash"))
+      .where(least(col("nsh_n"), col("nsh_o")).cast(DoubleType) >=
+        greatest(col("nsh_n"), col("nsh_o"))
+          * lit(threshold * (1 - 1e-12)) - lit(1e-9))
+      .select(col("new_id"), col("old_id"))
+      .distinct() // a pair may collide in several bands
+    val newSh = cands.select(col(candId).as("new_id"),
+      graft.functions.VectorHashes.ngram_hashes(
+        regexp_replace(lower(col(candText)), "\\s+", " "), k).as("sh_n"))
+    pairs
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_n")),
+        "new_id")
+      .join(index.select(col("id").as("old_id"), col("sig").as("sig_o")),
+        "old_id")
+      .where(estimatedJaccard(col("sig_n"), col("sig_o")) >= estThreshold)
+      .select(col("new_id"), col("old_id"))
+      .join(newSh, "new_id")
+      .join(index.select(col("id").as("old_id"), col("sh").as("sh_o")),
+        "old_id")
+      .select(col("new_id"), col("old_id"),
+        graft.functions.VectorHashes.hash_jaccard(col("sh_n"), col("sh_o"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // -------------------------------------------- winnowing (MOSS) overlap
 
   /** Winnowed fingerprint rows `(id, fp)` of the normalized text — the

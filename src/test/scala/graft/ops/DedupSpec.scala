@@ -438,4 +438,30 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     // 3 shares no direction with the eval vector
     out shouldBe Seq((1L, 100L), (2L, 100L))
   }
+
+  test("lshDedupIndex + screenAgainstLshIndex: the bipartite screen " +
+      "from the STORED index alone equals nearDupPairs restricted to " +
+      "cross pairs; within-side pairs never emit") {
+    // ids 1/2/3 mutually near-dup; 11 near-dups 1 (cross-parity);
+    // 4/5 unrelated — old = even ids, new = odd ids
+    val corpus = docs.unionAll(Seq(
+      (11L, "the quick brown fox jumps over my lazy dog")).toDF("id", "text"))
+    val old = corpus.where(pmod(col("id"), lit(2)) === 0)
+    val fresh = corpus.where(pmod(col("id"), lit(2)) === 1)
+    // the index carries NO text column — serving reads fingerprints only
+    val idx = Dedup.lshDedupIndex(old, "id", "text")
+    idx.columns.toSet shouldBe Set("id", "nsh", "sig", "sh")
+    val got = Dedup.screenAgainstLshIndex(fresh, "id", "text", idx)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = Dedup.nearDupPairs(corpus, "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 2) != (b % 2) }
+      .map { case (a, b, j) =>
+        if (a % 2 == 1) (a, b, j) else (b, a, j) }
+      .sortBy(r => (r._1, r._2)).toSeq
+    got shouldBe expected
+    got should not be empty
+    // same-parity near-dups (1~3, both odd) were excluded by shape
+    got.map(r => (r._1 % 2, r._2 % 2)).toSet shouldBe Set((1L, 0L))
+  }
 }
