@@ -41,6 +41,15 @@ class OracleDerivationSpec extends SparkSpecBase with Matchers {
     unrollDepth(sql, "e") shouldBe SparkEntry.Observed.ktruss.last + 1
   }
 
+  test("q_curate_coreness oracle derives its embedded coreness replay " +
+      "from its OWN recorder") {
+    SparkEntry.queries("q_curate_coreness")(spark, sf("sf0.001")).collect()
+    val sql = SparkEntry.oracleSql("q_curate_coreness")
+    sql should include("phase/round budgets under-sized")
+    "th(\\d+) AS".r.findAllMatchIn(sql).size shouldBe
+      SparkEntry.Observed.corenessGatePhases.size
+  }
+
   test("q_coreness oracle derives one budget per OBSERVED phase " +
       "(observed removals + 1 each) and keeps the convergence error") {
     SparkEntry.queries("q_coreness")(spark, sf("sf0.001")).collect()
