@@ -2880,6 +2880,38 @@ object SparkEntry {
           d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", idx)
         .orderBy("new_id", "old_id")
     }),
+    "q_cluster_incr" -> ((s, dir) => {
+      // INCREMENTAL cluster maintenance (Dedup.incrementalClusters):
+      // the full incremental-dedup composition end-to-end — yesterday
+      // (even ids) is clustered once and STORED as labels; tonight
+      // (odd ids) contributes cross pairs via the lshDedupIndex screen
+      // plus its own within-snapshot pairs; the labels fold forward
+      // without re-clustering history. The result must EQUAL
+      // re-clustering the whole corpus from scratch, and the oracle
+      // checks exactly that: an independent full-corpus closure
+      // recompute (recursive CTE) that never sees the incremental
+      // machinery.
+      val d = t(s, dir, "documents")
+      val evens = d.where(pmod(col("doc_id"), lit(2)) === 0)
+      val odds = d.where(pmod(col("doc_id"), lit(2)) === 1)
+      val oldPaired = Dedup.nearDupClusters(
+        Dedup.nearDupPairs(evens, "doc_id", "text"))
+      val oldLabels = evens.select(col("doc_id").as("id"))
+        .join(oldPaired.select(col("id"), col("cluster_id")),
+          Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      val idx = Dedup.lshDedupIndex(evens, "doc_id", "text")
+      val cross = Dedup.screenAgainstLshIndex(odds, "doc_id", "text", idx)
+        .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+      val within = Dedup.nearDupPairs(odds, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.incrementalClusters(oldLabels,
+          odds.select(col("doc_id").as("id")), cross.unionAll(within))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
     "q_embed_shift" -> ((s, dir) => {
       // EMBEDDING DISTRIBUTION SHIFT (Similarity.embeddingShift):
       // per label, the first-moment drift between the even-id and
@@ -7243,6 +7275,21 @@ object SparkEntry {
                      FROM lab GROUP BY cluster_id)
          SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size
          FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
+    // Incremental-cluster oracle: INDEPENDENT full-corpus closure
+    // recompute (same recursive CTE as q_dedup_clusters) + the
+    // singleton rows the incremental op carries for unpaired ids —
+    // never sees the index/label-folding machinery.
+    "q_cluster_incr" ->
+      raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
+              $closureSql,
+              sz AS (SELECT cluster_id, count(*) AS cluster_size
+                     FROM lab GROUP BY cluster_id)
+         SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size
+         FROM lab JOIN sz USING (cluster_id)
+         UNION ALL
+         SELECT doc_id, doc_id, CAST(1 AS BIGINT) FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM lab)
+         ORDER BY doc_id""",
     "q_cluster_dedup" ->
       raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
               $closureSql
@@ -8829,5 +8876,5 @@ object SparkEntry {
     // round 16
     "q_ann_ivfpq_residual", "q_hll_incremental", "q_curate_coreness",
     "q_pack_chunks", "q_stream_drift", "q_stream_ks", "q_embed_shift",
-    "q_dedup_incr")
+    "q_dedup_incr", "q_cluster_incr")
 }

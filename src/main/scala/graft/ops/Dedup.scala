@@ -633,6 +633,44 @@ object Dedup {
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** INCREMENTAL cluster maintenance — the closing stage of the
+    * incremental dedup story ([[lshDedupIndex]] finds tonight's
+    * pairs; this folds them into yesterday's labels): each OLD
+    * cluster collapses to its `id → cluster_id` star (its closure is
+    * already known — re-deriving it would rescan history), the new
+    * edges splice components together, and min-label propagation
+    * relabels; components the new edges never touch converge
+    * immediately. Returns `(id, cluster_id, cluster_size)` over
+    * old ∪ new ids — EQUAL to re-clustering the union pair set from
+    * scratch (DedupSpec pins the equivalence; the oracle recomputes
+    * independently), PROVIDED oldLabels' cluster ids are the MIN ids
+    * of their components ([[nearDupClusters]]' labels — the invariant
+    * that keeps incremental and from-scratch labels identical).
+    * Unpaired ids are their own size-1 clusters.
+    *
+    * Scale shape: the star edges are one slim projection of the label
+    * table; propagation cost is [[nearDupClusters]]' on a graph whose
+    * old components are DEPTH-1 stars — O(affected region), not
+    * O(history). */
+  def incrementalClusters(oldLabels: DataFrame, newIds: DataFrame,
+      newPairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val oldEdges = oldLabels
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val clustered = nearDupClusters(
+      oldEdges.unionAll(newPairs.select(col("id_a"), col("id_b"))),
+      maxIters, checkpointDir)
+    val allIds = oldLabels.select(col("id"))
+      .unionAll(newIds.select(col(newIds.columns.head).as("id")))
+      .distinct()
+    val singletons = allIds
+      .join(clustered.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    clustered.unionByName(singletons)
+  }
+
   /** Cluster-level dedup: keep ONE document per connected near-dup
     * component (the min-id keeper) plus every untouched singleton.
     * This is the principled version of pair-based dropping: with pairs

@@ -464,4 +464,34 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     // same-parity near-dups (1~3, both odd) were excluded by shape
     got.map(r => (r._1 % 2, r._2 % 2)).toSet shouldBe Set((1L, 0L))
   }
+
+  test("incrementalClusters: new edges splice old clusters (merge, " +
+      "attach, untouched, singleton) and equal from-scratch clustering " +
+      "of the union pair set") {
+    // old clusters: {1,2,3} (label 1), {10,11} (label 10); singletons
+    // 20, 30. New ids 41, 42, 43. New edges: 41-3 and 41-10 MERGE the
+    // two old clusters through the new doc; 42-20 attaches a
+    // singleton; 43 stays alone; {30} untouched.
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L), (20L, 20L), (30L, 30L)).toDF("id", "cluster_id")
+    val newIds = Seq(41L, 42L, 43L).toDF("id")
+    val newPairs = Seq((41L, 3L), (41L, 10L), (42L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.incrementalClusters(oldLabels, newIds, newPairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    got shouldBe Seq(
+      (1L, 1L, 6L), (2L, 1L, 6L), (3L, 1L, 6L),
+      (10L, 1L, 6L), (11L, 1L, 6L),
+      (20L, 20L, 2L), (30L, 30L, 1L),
+      (41L, 1L, 6L), (42L, 20L, 2L), (43L, 43L, 1L))
+    // equivalence with from-scratch clustering of the union pair set
+    // (old components expanded back to pairwise star edges)
+    val unionPairs = oldLabels
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+      .unionAll(newPairs)
+    val scratch = Dedup.nearDupClusters(unionPairs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    got.filter(r => r._3 > 1) shouldBe scratch
+  }
 }
