@@ -2912,6 +2912,42 @@ object SparkEntry {
           col("cluster_size"))
         .orderBy("doc_id")
     }),
+    "q_ann_incr" -> ((s, dir) => {
+      // INCREMENTAL ANN INDEX MAINTENANCE (Similarity.ivfPqIndex /
+      // ivfPqIndexAppend / ivfPqServeAdc) — the ANN member of the
+      // persistence trilogy (hllRegisters -> lshDedupIndex ->
+      // incrementalClusters): the even-id half stands in for the
+      // STORED index (coarse centroids + PQ codebooks trained on it,
+      // rows encoded once as (id, cluster, codes)); the odd-id half is
+      // tonight's snapshot, encoded against the STORED artifacts and
+      // appended — no retrain, old codes never recomputed. Serving is
+      // plain ADC from the folded index. Because encoding is a pure
+      // per-row function of (vector, artifacts), the fold must equal a
+      // from-scratch full-corpus build with the same artifacts — and
+      // the oracle IS that from-scratch rebuild (it never sees the
+      // fold), the q_dedup_incr independent-recompute form. Whether
+      // the stored artifacts still FIT the new snapshot is the
+      // separate q_embed_shift gate (reuse-or-retrain).
+      val emb = t(s, dir, "embeddings")
+      val evens = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odds = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cents = Similarity.trainCentroids(evens, "vec_id", "embedding",
+        k = 16, iters = 5, sampleFraction = 0.1)
+      val books = Similarity.pqCodebooks(evens, "vec_id", "embedding",
+        dim = 64, m = 8, ks = 16, iters = 5, sampleFraction = 0.1)
+      val stored = Similarity.ivfPqIndex(evens, "vec_id", "embedding",
+        cents, books)
+      val folded = Similarity.ivfPqIndexAppend(stored, odds,
+        "vec_id", "embedding", cents, books)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqServeAdc(folded, "vec_id", queries, "qid", "qvec",
+          k = 5, cents, nprobe = 8, books)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"),
+          (pmod(col("neighbor_id"), lit(2)) === 1).as("from_new"))
+        .orderBy("query_id", "rank")
+    }),
     "q_embed_shift" -> ((s, dir) => {
       // EMBEDDING DISTRIBUTION SHIFT (Similarity.embeddingShift):
       // per label, the first-moment drift between the even-id and
@@ -4671,7 +4707,8 @@ object SparkEntry {
     * probes, the SemDeDup oracle's within-cluster pair scan). */
   private def kmeansPrefixSql(k: Int, iters: Int, dim: Int,
       sampleFraction: Double, seed: Long,
-      materializeBase: Boolean = false): String = {
+      materializeBase: Boolean = false,
+      histWhere: String = ""): String = {
     import graft.ops.Similarity.{SampleMod, SampleMul}
     val keep = (sampleFraction * SampleMod).toLong
     // materializeBase: the composed q_ann_ivfpq oracle references e and
@@ -4679,6 +4716,12 @@ object SparkEntry {
     // CTEs would re-expand the parquet scan at every reference (the
     // q_kcore inlining lesson)
     val mat = if (materializeBase) "MATERIALIZED " else ""
+    // histWhere: restrict TRAINING (sample + init) to a history subset
+    // while `e`/`casg` stay full-corpus — the q_ann_incr replay, where
+    // artifacts are trained on the stored half and the whole corpus is
+    // encoded/assigned against them. Emits an `eh` CTE callers (the PQ
+    // chains' init) can reference. Empty = the original single-corpus
+    // text, byte-identical.
     val dot = sqlDot(dim) _
     def normalize(m: String) =
       s"""CASE WHEN sqrt(list_sum(list_transform($m, y -> y*y))) > 0
@@ -4705,11 +4748,14 @@ object SparkEntry {
          |cent$i AS (SELECT j, ${normalize("m")} AS c FROM raw$i)""".stripMargin
     }.mkString(",\n")
     val cents = s"cent$iters"
+    val ehCte = if (histWhere.isEmpty) ""
+      else s"     eh AS MATERIALIZED (SELECT vec_id, v FROM e WHERE $histWhere),\n"
+    val trainBase = if (histWhere.isEmpty) "e" else "eh"
     s"""e AS $mat(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
-       |     train AS $mat(SELECT vec_id, v FROM e
+       |$ehCte     train AS $mat(SELECT vec_id, v FROM $trainBase
        |               WHERE ((vec_id % $SampleMod) * $SampleMul + $seed) % $SampleMod < $keep),
-       |     init AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k),
+       |     init AS (SELECT vec_id, v FROM $trainBase ORDER BY vec_id LIMIT $k),
        |     cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS j,
        |                      ${normalize("v")} AS c
        |               FROM init),
@@ -4739,9 +4785,15 @@ object SparkEntry {
     * tr/in/c/en CTEs and `dec(vec_id, dv)`. Shared by the q_ann_pq and
     * q_ann_ivfpq oracles — ONE source of truth for the PQ replay. */
   private def pqChainsSql(m: Int, ks: Int, sub: Int, iters: Int,
-      trainCte: String = "train", baseCte: String = "e"): String = {
+      trainCte: String = "train", baseCte: String = "e",
+      initCte: String = ""): String = {
     def l2(a: String, b: String): String =
       s"list_sum(list_transform(range(1, ${sub + 1}), ii -> ($a[ii] - $b[ii]) * ($a[ii] - $b[ii])))"
+    // initCte: where the ks lowest-id seed vectors come from — the
+    // TRAINING corpus (q_ann_incr trains on the history half, so seeds
+    // must come from `eh`, not full `e`); empty = baseCte, the
+    // original single-corpus text.
+    val ic = if (initCte.isEmpty) baseCte else initCte
     val subspaceCtes = (0 until m).map { s =>
       val lo = s * sub + 1
       val hi = (s + 1) * sub
@@ -4764,7 +4816,7 @@ object SparkEntry {
            |       FROM $prev c LEFT JOIN me${s}_$i mn ON mn.j = c.j)""".stripMargin
       }.mkString(",\n")
       s"""tr$s AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM $trainCte),
-         |in$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM $baseCte ORDER BY vec_id LIMIT $ks),
+         |in$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM $ic ORDER BY vec_id LIMIT $ks),
          |c${s}_0 AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS j, v AS c FROM in$s),
          |$chain,
          |en$s AS MATERIALIZED (SELECT vec_id, j AS code FROM (
@@ -4912,6 +4964,45 @@ object SparkEntry {
        |FROM q LEFT JOIN ha ON ha.qid = q.vec_id
        |       LEFT JOIN hr ON hr.qid = q.vec_id
        |ORDER BY query_id""".stripMargin
+  }
+
+  /** q_ann_incr oracle: an INDEPENDENT FROM-SCRATCH rebuild — train
+    * the coarse quantizer and PQ codebooks on the HISTORY half
+    * (vec_id % 2 = 0: [[kmeansPrefixSql]] `histWhere` restricts the
+    * sample and the init seeds, [[pqChainsSql]] `initCte` likewise),
+    * then encode and serve the WHOLE corpus against those artifacts in
+    * one shot. It never folds: if the Spark side's incremental append
+    * (evens indexed once, odds encoded against the STORED artifacts
+    * and unioned — old codes never recomputed) serves identically,
+    * the `index(A) ∪ index(B) == index(A ∪ B)` claim is proven
+    * end-to-end, the q_dedup_incr independent-recompute form.
+    * `from_new` marks neighbors that arrived in the folded snapshot. */
+  private def ivfPqIncrSql(kCoarse: Int, m: Int, ks: Int, sub: Int,
+      iters: Int, nprobe: Int, topk: Int,
+      sampleFraction: Double, seed: Long): String = {
+    val dim = m * sub
+    val dot = sqlDot(dim) _
+    def cos(a: String, b: String): String =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH ${kmeansPrefixSql(kCoarse, iters, dim, sampleFraction, seed,
+            materializeBase = true, histWhere = "vec_id % 2 = 0")},
+       |${pqChainsSql(m, ks, sub, iters, initCte = "eh")},
+       |     q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 10),
+       |     qprobe AS (SELECT qid, cluster FROM (
+       |             SELECT q.vec_id AS qid, c.j AS cluster,
+       |                    row_number() OVER (PARTITION BY q.vec_id
+       |                                       ORDER BY ${dot("q.v", "c.c")} DESC, c.j) AS rn
+       |             FROM q, cent$iters c) WHERE rn <= $nprobe),
+       |     cand AS (SELECT qp.qid, ca.vec_id AS nid
+       |              FROM casg ca JOIN qprobe qp ON ca.cluster = qp.cluster),
+       |     adcrk AS (SELECT qid, nid, sc, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+       |              FROM (SELECT cd.qid, cd.nid, ${cos("d.dv", "q.v")} AS sc
+       |                    FROM cand cd JOIN dec d ON d.vec_id = cd.nid
+       |                                 JOIN q ON q.vec_id = cd.qid)
+       |              WHERE sc IS NOT NULL)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+       |       round(sc, 6) AS score, (nid % 2 = 1) AS from_new
+       |FROM adcrk WHERE rn <= $topk ORDER BY query_id, rank""".stripMargin
   }
 
   /** IVF serve stage over [[kmeansPrefixSql]]'s `e`/`casg` CTEs:
@@ -8355,6 +8446,8 @@ object SparkEntry {
       kCoarse = 16, m = 8, ks = 16, sub = 8,
       iters = 5, nprobe = 8, topk = 5, shortlist = 100,
       sampleFraction = 0.1, seed = 42L),
+    "q_ann_incr" -> ivfPqIncrSql(kCoarse = 16, m = 8, ks = 16, sub = 8,
+      iters = 5, nprobe = 8, topk = 5, sampleFraction = 0.1, seed = 42L),
     "q_ann_ivf" -> ivfSql(k = 16, iters = 5, nprobe = 4, topk = 5,
       dim = 64, sampleFraction = 0.1, seed = 42L),
     "q_ann_recall" -> annRecallSql(k = 16, iters = 5, nprobe = 4,
@@ -8876,5 +8969,7 @@ object SparkEntry {
     // round 16
     "q_ann_ivfpq_residual", "q_hll_incremental", "q_curate_coreness",
     "q_pack_chunks", "q_stream_drift", "q_stream_ks", "q_embed_shift",
-    "q_dedup_incr", "q_cluster_incr")
+    "q_dedup_incr", "q_cluster_incr",
+    // round 17
+    "q_ann_incr")
 }

@@ -543,25 +543,83 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int,
       codebooks: Array[Array[Array[Double]]],
+      residual: Boolean = false): DataFrame =
+    ivfPqServeAdc(
+      ivfPqIndex(corpus, idCol, vecCol, centroids, codebooks, residual),
+      idCol, queries, qidCol, qvecCol, k, centroids, nprobe, codebooks,
+      residual)
+
+  /** The PERSISTED IVF-PQ INDEX artifact: `(id, cluster, codes)` — one
+    * row per corpus vector, its coarse inverted-list assignment plus
+    * its m-byte PQ code. This frame (written to parquet, partitioned
+    * by `cluster`) IS the production ANN index at 100 TB: serving
+    * ([[ivfPqServeAdc]]) touches only the probed lists' codes, and a
+    * NIGHTLY SNAPSHOT folds in via [[ivfPqIndexAppend]] — encode the
+    * delta against the STORED centroids/codebooks, append; the old
+    * rows are never re-read, let alone re-encoded. Encoding is a pure
+    * deterministic per-row function of (vector, artifacts), so
+    * `index(A) ∪ index(B) == index(A ∪ B)` exactly — incremental
+    * maintenance loses nothing vs a from-scratch rebuild with the same
+    * trained artifacts (q_ann_incr's oracle proves this end to end;
+    * what CAN drift is the artifacts' fit to the new data, which is
+    * what [[embeddingShift]] monitors — the reuse-or-retrain gate).
+    * With `residual = true` codes quantize the coarse residual
+    * ([[ivfPqTopKAdc]]'s contract; codebooks must be trained on
+    * [[ivfResiduals]] output). */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
       residual: Boolean = false): DataFrame = {
     val cl = graft.functions.Centroids.centroid_assign(col(vecCol),
       centroids)
     // the stored inverted-list rows: id + coarse cluster + codes ONLY
     // (the fp vector column ends at this projection — that drop IS the
     // win, as in pqTopK/ivfTopKInt8)
-    val c =
-      if (residual)
-        withResidual(
-          corpus.select(col(idCol), col(vecCol), cl.as("cluster")),
-          vecCol, "cluster", centroids, "__resid")
-          .select(col(idCol), col("cluster"),
-            graft.functions.Centroids.pq_encode(col("__resid"), codebooks)
-              .as("codes"))
-      else
-        corpus.select(col(idCol), cl.as("cluster"),
-          graft.functions.Centroids.pq_encode(col(vecCol), codebooks)
+    if (residual)
+      withResidual(
+        corpus.select(col(idCol), col(vecCol), cl.as("cluster")),
+        vecCol, "cluster", centroids, "__resid")
+        .select(col(idCol), col("cluster"),
+          graft.functions.Centroids.pq_encode(col("__resid"), codebooks)
             .as("codes"))
-    val q = renamedQueries(corpus, queries, qidCol, qvecCol)
+    else
+      corpus.select(col(idCol), cl.as("cluster"),
+        graft.functions.Centroids.pq_encode(col(vecCol), codebooks)
+          .as("codes"))
+  }
+
+  /** Fold a new snapshot into a STORED [[ivfPqIndex]]: encode ONLY the
+    * arriving rows against the stored centroids/codebooks and append.
+    * The index side passes through untouched — no retrain, no rescan
+    * of old vectors; nightly cost is O(|delta|), the
+    * [[graft.ops.Dedup.screenAgainstLshIndex]] discipline for ANN.
+    * Contract: snapshot ids must be disjoint from the index's (an
+    * upsert needs an anti-join first — [[graft.ops.Merge]] territory);
+    * `centroids`/`codebooks`/`residual` must be the artifacts the
+    * index was built with, or the union mixes incompatible codes. */
+  def ivfPqIndexAppend(index: DataFrame, snapshot: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      residual: Boolean = false): DataFrame = {
+    require(index.columns.toSeq == Seq(idCol, "cluster", "codes"),
+      s"index must be an ivfPqIndex frame ($idCol, cluster, codes); " +
+        s"got ${index.columns.mkString(", ")}")
+    index.unionByName(
+      ivfPqIndex(snapshot, idCol, vecCol, centroids, codebooks, residual))
+  }
+
+  /** ADC serving straight from a stored [[ivfPqIndex]] frame — the
+    * probe/score/top-k stage of [[ivfPqTopKAdc]] without the encode
+    * (the index already holds codes): queries probe `nprobe` coarse
+    * lists, candidates score as cosine(PQ reconstruction, query), a
+    * bounded heap keeps per-query top-k. The probe frame broadcasts,
+    * so index partitions filter in place and codes never shuffle. */
+  def ivfPqServeAdc(index: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int,
+      codebooks: Array[Array[Array[Double]]],
+      residual: Boolean = false): DataFrame = {
+    val q = renamedQueries(index, queries, qidCol, qvecCol)
       .select(col(QId), col(QVec),
         explode(graft.functions.Centroids.centroid_probes(
           col(QVec), centroids, nprobe)).as("cluster"))
@@ -572,7 +630,7 @@ object Similarity {
             typedlit(centroids.map(_.toSeq).toSeq), col("cluster") + 1),
           (r, cc) => r + cc)
       else dec
-    val cand = c.join(broadcast(q), "cluster")
+    val cand = index.join(broadcast(q), "cluster")
       .select(col(QId).as("query_id"), col(idCol).as("neighbor_id"),
         cosine(recon, col(QVec).cast(ArrayType(DoubleType))).as("score"))
       .where(col("score").isNotNull)

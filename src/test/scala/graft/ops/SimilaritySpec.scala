@@ -441,6 +441,53 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     meanResidNorm should be < 0.7
   }
 
+  test("incremental IVF-PQ index: folding a snapshot into a stored " +
+      "index (encode-against-stored-artifacts + append) serves " +
+      "IDENTICALLY to a from-scratch build with the same artifacts, " +
+      "raw and residual") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23L)
+    val corpus = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5))).toDF("id", "v")
+    val evens = corpus.where(col("id") % 2 === 0) // the stored history
+    val odds = corpus.where(col("id") % 2 === 1) // tonight's snapshot
+    val q = corpus.where(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    val cents = Similarity.trainCentroids(evens, "id", "v", k = 4,
+      iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "score")
+        .as[(Long, Long, Int, Double)].collect()
+        .sortBy(r => (r._1, r._3)).toSeq
+    // raw codes
+    val books = Similarity.pqCodebooks(evens, "id", "v", dim = 8,
+      m = 4, ks = 4, iters = 2)
+    val folded = Similarity.ivfPqIndexAppend(
+      Similarity.ivfPqIndex(evens, "id", "v", cents, books),
+      odds, "id", "v", cents, books)
+    folded.count() shouldBe 60
+    rows(Similarity.ivfPqServeAdc(folded, "id", q, "qid", "qvec",
+      k = 5, cents, nprobe = 2, books)) shouldBe
+      rows(Similarity.ivfPqTopKAdc(corpus, "id", "v", q, "qid", "qvec",
+        k = 5, cents, nprobe = 2, books))
+    // residual codes: the index's cluster column feeds reconstruction
+    val rBooks = Similarity.pqCodebooks(
+      Similarity.ivfResiduals(evens, "id", "v", cents), "id", "resid",
+      dim = 8, m = 4, ks = 4, iters = 2)
+    val rFolded = Similarity.ivfPqIndexAppend(
+      Similarity.ivfPqIndex(evens, "id", "v", cents, rBooks,
+        residual = true),
+      odds, "id", "v", cents, rBooks, residual = true)
+    rows(Similarity.ivfPqServeAdc(rFolded, "id", q, "qid", "qvec",
+      k = 5, cents, nprobe = 2, rBooks, residual = true)) shouldBe
+      rows(Similarity.ivfPqTopKAdc(corpus, "id", "v", q, "qid", "qvec",
+        k = 5, cents, nprobe = 2, rBooks, residual = true))
+    // append refuses a frame that is not an ivfPqIndex artifact
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(corpus, odds, "id", "v", cents, books)
+    }.getMessage should include("ivfPqIndex")
+  }
+
   test("pcaTopComponents: rank-1 2D data recovers the (1, 2) direction " +
       "exactly and claims the whole variance") {
     // points (0.125k, 0.25k), k in -2..2 — every coordinate is exactly
