@@ -2457,6 +2457,77 @@ object SparkEntry {
           col("n_reg_mismatch"), col("est_merged"), col("est_full"))
         .orderBy("event_type")
     }),
+    "q_cms_incr" -> ((s, dir) => {
+      // INCREMENTAL COUNT-MIN (Sketches.cmsGrids/cmsMergeGrids/
+      // cmsEstimate): the CMS member of the persistence family — the
+      // q_hll_incremental story for frequency sketches. Grids build
+      // per snapshot half (the q_drift day midpoint), merge by
+      // cell-wise SUM, and the artifact proves merge(grid(A),
+      // grid(B)) == grid(A ∪ B) cell by cell (n_cell_mismatch vs the
+      // single-pass full build), plus a point estimate served from
+      // the MERGED state next to the single-pass one (equal longs —
+      // identical grids feed the same min-over-rows), and the row-0
+      // mass (== input rows: every key increments one cell per row).
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+      val g = Seq("event_type")
+      val ga = Sketches.cmsGrids(ev.where(col("day") < 19740), g,
+        "user_id", depth = 4, width = 64)
+      val gb = Sketches.cmsGrids(ev.where(col("day") >= 19740), g,
+        "user_id", depth = 4, width = 64)
+      val merged = Sketches.cmsMergeGrids(Seq(ga, gb), g,
+        depth = 4, width = 64)
+      val full = Sketches.cmsGrids(ev, g, "user_id", depth = 4, width = 64)
+      merged.select(col("event_type"), col("cms_grid").as("gm"))
+        .join(full.select(col("event_type"), col("cms_grid").as("gf")),
+          Seq("event_type"))
+        .select(col("event_type"),
+          aggregate(zip_with(col("gm"), col("gf"),
+              (x, y) => when(x === y, 0L).otherwise(1L)),
+            lit(0L), (acc, v) => acc + v).as("n_cell_mismatch"),
+          aggregate(slice(col("gm"), 1, 64), lit(0L),
+            (acc, v) => acc + v).as("n_events"),
+          Sketches.cmsEstimate(col("gm"), lit(5L), depth = 4, width = 64)
+            .as("est_u5_merged"),
+          Sketches.cmsEstimate(col("gf"), lit(5L), depth = 4, width = 64)
+            .as("est_u5_full"))
+        .orderBy("event_type")
+    }),
+    "q_bloom_incr" -> ((s, dir) => {
+      // INCREMENTAL BLOOM (Sketches.bloomWords/bloomMergeWords/
+      // bloomMightContain): word arrays build per snapshot half, merge
+      // by word-wise OR, and the artifact proves merge(words(A),
+      // words(B)) == words(A ∪ B) word for word (n_word_mismatch vs
+      // the single-pass build), with the set-bit population and a
+      // membership probe served from the MERGED state next to the
+      // single-pass one. At 100 TB this is how the semi-join-reduction
+      // filter (q_bloom_join) stays nightly-maintainable: OR tonight's
+      // words into the stored table, never rebuild from history.
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+      val g = Seq("event_type")
+      val wa = Sketches.bloomWords(ev.where(col("day") < 19740), g,
+        "user_id", bits = 1 << 10, numHashes = 3)
+      val wb = Sketches.bloomWords(ev.where(col("day") >= 19740), g,
+        "user_id", bits = 1 << 10, numHashes = 3)
+      val merged = Sketches.bloomMergeWords(Seq(wa, wb), g, bits = 1 << 10)
+      val full = Sketches.bloomWords(ev, g, "user_id",
+        bits = 1 << 10, numHashes = 3)
+      merged.select(col("event_type"), col("bloom_words").as("wm"))
+        .join(full.select(col("event_type"), col("bloom_words").as("wf")),
+          Seq("event_type"))
+        .select(col("event_type"),
+          aggregate(zip_with(col("wm"), col("wf"),
+              (x, y) => when(x === y, 0L).otherwise(1L)),
+            lit(0L), (acc, v) => acc + v).as("n_word_mismatch"),
+          aggregate(col("wm"), lit(0L),
+            (acc, w) => acc + bit_count(w).cast(LongType)).as("n_bits_set"),
+          Sketches.bloomMightContain(col("wm"), lit(5L),
+            bits = 1 << 10, numHashes = 3).as("in_merged_u5"),
+          Sketches.bloomMightContain(col("wf"), lit(5L),
+            bits = 1 << 10, numHashes = 3).as("in_full_u5"))
+        .orderBy("event_type")
+    }),
     "q_url_norm" -> ((s, dir) => {
       // URL canonicalization (Urls.urlKeys): the crawl dedup key. The
       // corpus has no URLs, so each doc_id%5 class builds one
@@ -8089,6 +8160,123 @@ object SparkEntry {
                  JOIN mm ON mm.event_type = am.event_type
          ORDER BY am.event_type"""
     },
+    // Incremental CMS replay over the sparse cells (zero cells match
+    // trivially in the dense Spark compare and are absent here — a
+    // discrepancy would surface identically in both framings): halves
+    // sum into mg, the single pass is fr, mismatch is a full-outer
+    // cell diff; the probe key's per-row buckets come from its own
+    // rows (bucket is a pure function of (key, i)) and estimates are
+    // min over rows of COALESCE(cell, 0).
+    "q_cms_incr" ->
+      raw"""WITH d AS (SELECT event_type,
+                              (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                                >= 19740) AS pt,
+                              i, user_id,
+                              CAST(xor(CAST(user_id AS UBIGINT), CAST(i AS UBIGINT)) AS HUGEINT) AS z
+                       FROM events CROSS JOIN range(0, 4) t(i)
+                       WHERE user_id IS NOT NULL),
+               ${splitmixCtesSql("d", "event_type, pt, i, user_id")},
+               b AS MATERIALIZED (SELECT event_type, pt, i, user_id,
+                             CAST(CAST(z AS UBIGINT) % 64 AS BIGINT) AS bucket
+                      FROM h5),
+               mg AS MATERIALIZED (SELECT event_type, i, bucket,
+                             CAST(sum(c) AS BIGINT) AS c
+                      FROM (SELECT event_type, i, bucket, count(*) AS c
+                            FROM b WHERE NOT pt GROUP BY 1, 2, 3
+                            UNION ALL
+                            SELECT event_type, i, bucket, count(*) AS c
+                            FROM b WHERE pt GROUP BY 1, 2, 3)
+                      GROUP BY 1, 2, 3),
+               fr AS MATERIALIZED (SELECT event_type, i, bucket,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM b GROUP BY 1, 2, 3),
+               mm AS (SELECT COALESCE(m.event_type, f.event_type) AS event_type,
+                             CAST(sum(CASE WHEN COALESCE(m.c, 0) = COALESCE(f.c, 0)
+                               THEN 0 ELSE 1 END) AS BIGINT) AS n_cell_mismatch
+                      FROM mg m FULL OUTER JOIN fr f
+                        ON f.event_type = m.event_type AND f.i = m.i
+                       AND f.bucket = m.bucket
+                      GROUP BY 1),
+               ne AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events
+                      FROM mg WHERE i = 0 GROUP BY 1),
+               pb AS (SELECT DISTINCT i, bucket FROM b WHERE user_id = 5),
+               grp AS (SELECT DISTINCT event_type FROM fr),
+               em AS (SELECT g.event_type,
+                             CAST(min(COALESCE(m.c, 0)) AS BIGINT) AS est
+                      FROM grp g CROSS JOIN pb p
+                      LEFT JOIN mg m ON m.event_type = g.event_type
+                        AND m.i = p.i AND m.bucket = p.bucket
+                      GROUP BY 1),
+               ef AS (SELECT g.event_type,
+                             CAST(min(COALESCE(f.c, 0)) AS BIGINT) AS est
+                      FROM grp g CROSS JOIN pb p
+                      LEFT JOIN fr f ON f.event_type = g.event_type
+                        AND f.i = p.i AND f.bucket = p.bucket
+                      GROUP BY 1)
+          SELECT mm.event_type, mm.n_cell_mismatch, ne.n_events,
+                 em.est AS est_u5_merged, ef.est AS est_u5_full
+          FROM mm JOIN ne USING (event_type)
+                  JOIN em USING (event_type) JOIN ef USING (event_type)
+          ORDER BY event_type""",
+    // Incremental Bloom replay over the sparse SET-BIT sets (OR is set
+    // union, so the merged words' bits are the DISTINCT union of the
+    // halves' bits); word-level mismatch = words owning any one-sided
+    // bit; the probe passes iff all its positions are set.
+    "q_bloom_incr" ->
+      raw"""WITH d AS (SELECT event_type,
+                              (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                                >= 19740) AS pt,
+                              i, user_id,
+                              CAST(xor(CAST(user_id AS UBIGINT), CAST(i AS UBIGINT)) AS HUGEINT) AS z
+                       FROM events CROSS JOIN range(0, 3) t(i)
+                       WHERE user_id IS NOT NULL),
+               ${splitmixCtesSql("d", "event_type, pt, i, user_id")},
+               b AS MATERIALIZED (SELECT event_type, pt, user_id,
+                             CAST(CAST(z AS UBIGINT) % 1024 AS BIGINT) AS bit
+                      FROM h5),
+               mgb AS MATERIALIZED (SELECT DISTINCT event_type,
+                             bit // 64 AS word, bit % 64 AS pos
+                      FROM (SELECT event_type, bit FROM b WHERE NOT pt
+                            UNION ALL
+                            SELECT event_type, bit FROM b WHERE pt)),
+               frb AS MATERIALIZED (SELECT DISTINCT event_type,
+                             bit // 64 AS word, bit % 64 AS pos
+                      FROM b),
+               grp AS (SELECT DISTINCT event_type FROM frb),
+               onesided AS (SELECT COALESCE(m.event_type, f.event_type)
+                              AS event_type,
+                             COALESCE(m.word, f.word) AS word
+                      FROM mgb m FULL OUTER JOIN frb f
+                        ON f.event_type = m.event_type
+                       AND f.word = m.word AND f.pos = m.pos
+                      WHERE m.pos IS NULL OR f.pos IS NULL),
+               mm AS (SELECT g.event_type,
+                             CAST(count(DISTINCT o.word) AS BIGINT)
+                               AS n_word_mismatch
+                      FROM grp g LEFT JOIN onesided o USING (event_type)
+                      GROUP BY 1),
+               nb AS (SELECT event_type, CAST(count(*) AS BIGINT)
+                               AS n_bits_set
+                      FROM mgb GROUP BY 1),
+               pbits AS (SELECT DISTINCT bit // 64 AS word, bit % 64 AS pos
+                      FROM b WHERE user_id = 5),
+               im AS (SELECT g.event_type,
+                             bool_and(m.pos IS NOT NULL) AS in_merged_u5
+                      FROM grp g CROSS JOIN pbits p
+                      LEFT JOIN mgb m ON m.event_type = g.event_type
+                        AND m.word = p.word AND m.pos = p.pos
+                      GROUP BY 1),
+               ifu AS (SELECT g.event_type,
+                             bool_and(f.pos IS NOT NULL) AS in_full_u5
+                      FROM grp g CROSS JOIN pbits p
+                      LEFT JOIN frb f ON f.event_type = g.event_type
+                        AND f.word = p.word AND f.pos = p.pos
+                      GROUP BY 1)
+          SELECT mm.event_type, mm.n_word_mismatch, nb.n_bits_set,
+                 im.in_merged_u5, ifu.in_full_u5
+          FROM mm JOIN nb USING (event_type)
+                  JOIN im USING (event_type) JOIN ifu USING (event_type)
+          ORDER BY event_type""",
     // URL replay: same dirt URLs, same anchored parse regex, the same
     // lowercase/port-strip/param-filter/sort/reassemble chain.
     "q_url_norm" ->
@@ -8971,5 +9159,5 @@ object SparkEntry {
     "q_pack_chunks", "q_stream_drift", "q_stream_ks", "q_embed_shift",
     "q_dedup_incr", "q_cluster_incr",
     // round 17
-    "q_ann_incr")
+    "q_ann_incr", "q_cms_incr", "q_bloom_incr")
 }

@@ -310,6 +310,90 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  /** Per-group [[countMin]] grids as a STORED artifact — the CMS
+    * member of the mergeable-sketch persistence family
+    * ([[hllRegisters]] precedent): `(group..., cms_grid)` with one
+    * `depth * width` long array per group, written like any parquet
+    * table. Tonight's grids [[cmsMergeGrids]]-fold into yesterday's
+    * WITHOUT rescanning yesterday's corpus, and because counters are
+    * pure sums, merge(grid(A), grid(B)) == grid(A ∪ B) CELL FOR CELL
+    * (q_cms_incr proves it). Point-estimate any stored/merged grid
+    * with [[cmsEstimate]]. All callers must share one
+    * `(depth, width)`. */
+  def cmsGrids(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      keyCol: String, depth: Int, width: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "cmsGrids: need at least one group col")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(countMin(col(keyCol), depth, width).as("cms_grid"))
+  }
+
+  /** Merge stored [[cmsGrids]] tables by CELL-WISE SUM — the lossless
+    * CMS state fold (counters are pure sums, order-free). The corpora
+    * behind the grids are never touched; work is |groups| × cells slim
+    * rows. Grids of the wrong length (a table built with a different
+    * `(depth, width)`) RAISE rather than fold garbage — same-product
+    * shapes (4×1024 vs 8×512) are indistinguishable from data, so the
+    * shared-shape contract still rests on the caller. */
+  def cmsMergeGrids(grids: Seq[org.apache.spark.sql.DataFrame],
+      groupCols: Seq[String], depth: Int, width: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(grids.nonEmpty, "cmsMergeGrids: need at least one table")
+    val cells = depth * width
+    grids.map(_.select(groupCols.map(col) :+ col("cms_grid"): _*))
+      .reduce(_ unionAll _)
+      .where(assert_true(size(col("cms_grid")) === cells,
+        concat(lit(s"cmsMergeGrids: grid has "), size(col("cms_grid")),
+          lit(s" cells, expected depth*width=$cells — table built with" +
+            " a different (depth, width)?"))).isNull)
+      .select(groupCols.map(col) :+
+        posexplode(col("cms_grid")).as(Seq("pos", "c")): _*)
+      .groupBy(groupCols.map(col) :+ col("pos"): _*)
+      .agg(sum(col("c")).as("c"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cms_grid"))
+  }
+
+  /** Per-group [[bloomFilter]] word arrays as a STORED artifact —
+    * `(group..., bloom_words)`, `bits / 64` longs per group. Fold
+    * snapshots with [[bloomMergeWords]] (bitwise OR is the lossless
+    * Bloom state merge: merge(words(A), words(B)) == words(A ∪ B) bit
+    * for bit — q_bloom_incr proves it), probe with
+    * [[bloomMightContain]]. All callers must share `(bits,
+    * numHashes)`. */
+  def bloomWords(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], keyCol: String, bits: Int, numHashes: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "bloomWords: need at least one group col")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(bloomFilter(col(keyCol), bits, numHashes).as("bloom_words"))
+  }
+
+  /** Merge stored [[bloomWords]] tables by WORD-WISE OR. Wrong-length
+    * word arrays (a different `bits`) RAISE; a same-`bits`
+    * different-`numHashes` table is indistinguishable from data — the
+    * shared-parameter contract rests on the caller. */
+  def bloomMergeWords(words: Seq[org.apache.spark.sql.DataFrame],
+      groupCols: Seq[String], bits: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(words.nonEmpty, "bloomMergeWords: need at least one table")
+    val n = bits / 64
+    words.map(_.select(groupCols.map(col) :+ col("bloom_words"): _*))
+      .reduce(_ unionAll _)
+      .where(assert_true(size(col("bloom_words")) === n,
+        concat(lit(s"bloomMergeWords: "), size(col("bloom_words")),
+          lit(s" words, expected bits/64=$n — table built with a" +
+            " different bits?"))).isNull)
+      .select(groupCols.map(col) :+
+        posexplode(col("bloom_words")).as(Seq("pos", "w")): _*)
+      .groupBy(groupCols.map(col) :+ col("pos"): _*)
+      .agg(bit_or(col("w")).as("w"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        e => e.getField("w")).as("bloom_words"))
+  }
+
   /** EXACT heavy hitters (keys with count >= `threshold`) WITHOUT a
     * full-cardinality shuffle — the 100 TB answer to "which keys occur
     * at least N times" when the key space is huge and the hitters are

@@ -432,6 +432,60 @@ class SketchesSpec extends SparkSpecBase with Matchers {
         .as[(String, Long, Double)].collect().head
   }
 
+  test("cmsMergeGrids: merge(grid(A), grid(B)) == grid(A ∪ B) cell for " +
+      "cell even with overlap; merged point estimates equal single-pass; " +
+      "wrong-shape grids raise") {
+    def frame(ids: Seq[Long]) =
+      ids.flatMap(i => Seq(("g", i), ("h", i % 7))).toDF("g", "id")
+    val a = (0L until 300L)
+    val b = (200L until 500L) // overlaps a on [200, 300)
+    val ga = Sketches.cmsGrids(frame(a), Seq("g"), "id", 4, 32)
+    val gb = Sketches.cmsGrids(frame(b), Seq("g"), "id", 4, 32)
+    val merged = Sketches.cmsMergeGrids(Seq(ga, gb), Seq("g"), 4, 32)
+    val full = Sketches.cmsGrids(frame(a ++ b), Seq("g"), "id", 4, 32)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Seq[Long])].collect().sortBy(_._1).toSeq
+    rows(merged) shouldBe rows(full)
+    def est(df: org.apache.spark.sql.DataFrame, key: Long) =
+      df.select(Sketches.cmsEstimate($"cms_grid", lit(key), 4, 32))
+        .as[Long].collect().toSeq.sorted
+    est(merged, 3L) shouldBe est(full, 3L)
+    // a grid built with another (depth, width) raises instead of
+    // folding garbage
+    val wrong = Sketches.cmsGrids(frame(a), Seq("g"), "id", 4, 64)
+    intercept[Exception] {
+      Sketches.cmsMergeGrids(Seq(ga, wrong), Seq("g"), 4, 32).collect()
+    }.getMessage should include("depth*width")
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.cmsMergeGrids(Seq.empty, Seq("g"), 4, 32)
+  }
+
+  test("bloomMergeWords: merge(words(A), words(B)) == words(A ∪ B) word " +
+      "for word; merged membership equals single-pass (no false " +
+      "negatives); wrong-bits tables raise") {
+    def frame(ids: Seq[Long]) = ids.map(i => ("g", i)).toDF("g", "id")
+    val a = (0L until 300L)
+    val b = (200L until 500L)
+    val wa = Sketches.bloomWords(frame(a), Seq("g"), "id", 256, 3)
+    val wb = Sketches.bloomWords(frame(b), Seq("g"), "id", 256, 3)
+    val merged = Sketches.bloomMergeWords(Seq(wa, wb), Seq("g"), 256)
+    val full = Sketches.bloomWords(frame(a ++ b), Seq("g"), "id", 256, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Seq[Long])].collect().sortBy(_._1).toSeq
+    rows(merged) shouldBe rows(full)
+    // every inserted key (either side) passes the MERGED probe
+    val probes = (0L until 500L).map(i => ("g", i)).toDF("g", "id")
+    probes.join(merged, Seq("g"))
+      .where(!Sketches.bloomMightContain($"bloom_words", $"id", 256, 3))
+      .count() shouldBe 0L
+    val wrong = Sketches.bloomWords(frame(a), Seq("g"), "id", 512, 3)
+    intercept[Exception] {
+      Sketches.bloomMergeWords(Seq(wa, wrong), Seq("g"), 256).collect()
+    }.getMessage should include("bits")
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.bloomMergeWords(Seq.empty, Seq("g"), 256)
+  }
+
   test("hllEstimate raises on registers outside the given p's domain " +
       "instead of silently skewing the estimate") {
     val regsP8 = Sketches.hllRegisters(
