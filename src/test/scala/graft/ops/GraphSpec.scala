@@ -112,6 +112,38 @@ class GraphSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("pageRankWarmStart: resuming from a stored k-round table for j " +
+      "more rounds EQUALS k+j rounds in one go (exact round " +
+      "composition); an empty prior degenerates to the cold start; " +
+      "unknown nodes seed at the uniform unit") {
+    val rnd = new scala.util.Random(7)
+    val n = 9
+    val es = Seq.fill(n * 2)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toSet.toSeq
+    val edges = es.toDF("src", "dst")
+    def warm(e: org.apache.spark.sql.DataFrame,
+        prior: org.apache.spark.sql.DataFrame, iters: Int) =
+      Graph.pageRankWarmStart(e, "src", "dst", prior, "node", "score",
+        iters).as[(Long, Long)].collect().toMap
+    val stored = Graph.pageRankDangling(edges, "src", "dst", iters = 2)
+    warm(edges, stored, 3) shouldBe danglingRanks(es, iters = 5)
+    // empty prior: every node falls back to unit — the cold start
+    val empty = Seq.empty[(Long, Long)].toDF("node", "score")
+    warm(edges, empty, 3) shouldBe danglingRanks(es, iters = 3)
+    // a delta that adds a NEW node: the stored table doesn't know it,
+    // so it seeds at unit while known nodes keep their stored scores —
+    // pin via one hand-checkable round on the 2-node chain + new node
+    val grown = Seq((1L, 2L), (2L, 99L)).toDF("src", "dst")
+    val prior12 = Seq((1L, 755625L), (2L, 1244375L)).toDF("node", "score")
+    // round 1 on the grown chain (n=3): dangling = {99} with score 1e6
+    //   dt = 1000000, share = 333333
+    //   v1  = 150000 + 85*333333 div 100                    = 433333
+    //   v2  = 150000 + 85*(755625 + 333333) div 100         = 1075614
+    //   v99 = 150000 + 85*(1244375 + 333333) div 100        = 1491051
+    warm(grown, prior12, 1) shouldBe
+      Map(1L -> 433333L, 2L -> 1075614L, 99L -> 1491051L)
+  }
+
   test("pageRankPersonalized matches an in-memory integer reference on " +
       "seeded random directed graphs; seed proximity beats the uniform " +
       "jump ordering") {
