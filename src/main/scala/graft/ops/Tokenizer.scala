@@ -142,6 +142,90 @@ object Tokenizer {
       .toDF("round", "l", "r", "merged", "pc")
   }
 
+  /** Driver-local BPE training fast path — lifts [[bpeMerges]]' 256-
+    * round ceiling (one distributed argmax round-trip PER RULE makes a
+    * realistic 30k-merge table untrainable there; serving already
+    * handles any rule count via [[graft.functions.Bpe]]). The key
+    * scale fact makes this SOUND, not a shortcut: BPE statistics are a
+    * function of the DISTINCT-WORD frequency table, which is
+    * vocab-bounded — small at ANY corpus scale — so ONE distributed
+    * word count reduces 100 TB of text to a driver-sized table
+    * (loudly guarded by `maxWords`; the collect is `limit`-bounded so
+    * an over-vocab corpus raises instead of OOMing the driver), and
+    * the Sennrich loop runs locally at memory speed: count adjacent
+    * pairs with word multiplicity, pick the (count DESC, l ASC, r ASC)
+    * winner under UTF-8 BINARY string order (exactly Spark's and
+    * DuckDB's ASC — a UTF-16 `String` compare would diverge on
+    * supplementary codepoints), fuse left-to-right non-overlapping.
+    * BIT-IDENTICAL to [[bpeMerges]] round for round (TokenizerSpec
+    * pins it, q_bpe_local oracles a 64-round table end-to-end);
+    * rounds after symbol exhaustion emit nothing, identically. */
+  def bpeMergesLocal(corpus: DataFrame, textCol: String, rounds: Int,
+      maxWords: Int = 1 << 20): DataFrame = {
+    require(rounds >= 1 && rounds <= (1 << 20),
+      s"bpeMergesLocal: rounds must be in [1, 2^20], got $rounds")
+    val collected = wordSyms(corpus, textCol, keep = Nil)
+      .limit(maxWords + 1).collect()
+    require(collected.length <= maxWords,
+      s"bpeMergesLocal: distinct-word table exceeds maxWords=$maxWords " +
+        "— this corpus' vocabulary is not driver-sized; raise maxWords " +
+        "deliberately or use the distributed bpeMerges rounds")
+    var words = collected.map(r =>
+      (r.getLong(0), r.getSeq[String](1).toArray))
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (cnt, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, rr), c) = pc.reduceLeft { (best, cand) =>
+          val ((bl, br), bc) = best
+          val ((cl, cr), cc) = cand
+          if (cc > bc || (cc == bc && (utf8Lt(cl, bl) ||
+            (cl == bl && utf8Lt(cr, br))))) cand else best
+        }
+        out += ((r, l, rr, l + rr, c))
+        words = words.map { case (cnt, syms) =>
+          if (syms.length < 2) (cnt, syms)
+          else {
+            val b = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+                b += l + rr; i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (cnt, b.result())
+          }
+        }
+        r += 1
+      }
+    }
+    corpus.sparkSession.createDataFrame(out.result())
+      .toDF("round", "l", "r", "merged", "pc")
+  }
+
   /** Serve a TRAINED merge table: re-tokenize `df`'s docs and report
     * per-doc `(idCol, n_chars_alpha, n_bpe)` — total tokenized
     * codepoints vs BPE token count under `mergesInOrder` (the (l, r)

@@ -78,6 +78,55 @@ class TokenizerSpec extends SparkSpecBase with Matchers {
     out shouldBe Seq((1L, 8L, 4L), (2L, 15L, 11L))
   }
 
+  private def mergesLocal(corpus: Seq[String], rounds: Int,
+      maxWords: Int = 1 << 20) =
+    Tokenizer.bpeMergesLocal(
+        corpus.map(Tuple1(_)).toDF("text"), "text", rounds, maxWords)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+
+  test("bpeMergesLocal is bit-identical to the distributed bpeMerges: " +
+      "Sennrich trace, repeated-symbol cascade, exhaustion, and a " +
+      "seeded random corpus run to exhaustion") {
+    val sennrich = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    mergesLocal(sennrich, 4) shouldBe merges(sennrich, 4)
+    mergesLocal(Seq("aaa", "aaa"), 2) shouldBe merges(Seq("aaa", "aaa"), 2)
+    mergesLocal(Seq("ab"), 5) shouldBe merges(Seq("ab"), 5)
+    val rnd = new scala.util.Random(31L)
+    val vocabulary = Seq.fill(40)(
+      Seq.fill(2 + rnd.nextInt(8))(('a' + rnd.nextInt(5)).toChar).mkString)
+    val corpus = Seq.fill(200)(
+      Seq.fill(1 + rnd.nextInt(6))(
+        vocabulary(rnd.nextInt(vocabulary.size))).mkString(" "))
+    mergesLocal(corpus, 64) shouldBe merges(corpus, 64)
+  }
+
+  test("bpeMergesLocal trains past the distributed 256-round ceiling: " +
+      "a wide synthetic vocabulary yields >= 1000 rules that the " +
+      "serving kernel applies") {
+    // 1500 distinct 6-char words over 26 letters: each word needs 5
+    // fusions to collapse, far more than 1000 rounds of material
+    val rnd = new scala.util.Random(7L)
+    val words = Seq.fill(1500)(
+      Seq.fill(6)(('a' + rnd.nextInt(26)).toChar).mkString).distinct
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq
+    val table = mergesLocal(docs, rounds = 1200)
+    table.size should be >= 1000
+    table.map(_._1) shouldBe (1 to table.size) // dense rounds, in order
+    // the trained table serves through the kernel encode path: every
+    // doc's token count is at most its word count after enough merges
+    val rules = table.map(m => (m._2, m._3))
+    val enc = Tokenizer.bpeEncode(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text"),
+        "id", "text", rules)
+      .agg(sum($"n_bpe"), sum($"n_chars_alpha")).as[(Long, Long)].head()
+    enc._1 should be < enc._2 // merges actually compress
+    an[IllegalArgumentException] should be thrownBy
+      Tokenizer.bpeMergesLocal(docs.map(Tuple1(_)).toDF("text"), "text",
+        rounds = 10, maxWords = 100) // vocab over the guard
+  }
+
   test("bpeMerges guards fire loudly") {
     an[IllegalArgumentException] should be thrownBy
       Tokenizer.bpeMerges(Seq(Tuple1("ab")).toDF("text"), "text", 0)
