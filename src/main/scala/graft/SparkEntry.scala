@@ -2230,6 +2230,63 @@ object SparkEntry {
           (col("top_lang_n").cast(DoubleType) /
             col("n_docs").cast(DoubleType)).as("top_lang_share"))
     }),
+    "q_dataset_card_tokens" -> ((s, dir) => {
+      // TOKEN-ACCURATE dataset economics (Tokenizer.bpeMergesLocal +
+      // bpeEncode feeding the card): q_dataset_card counts whitespace
+      // words, but training budgets are set in TOKENIZER tokens — this
+      // card trains the 64-rule table in-engine (the driver-local fast
+      // path), encodes every doc through the graft_bpe_apply kernel,
+      // and reports per-lang token mass: docs, whitespace tokens, BPE
+      // tokens, alpha codepoints, tokens-per-word inflation, and each
+      // lang's share of the corpus TOKEN budget (the number a mixing
+      // policy actually allocates). Oracle re-derives the table and
+      // replays the encode join (the q_bpe_encode form) — no stamped
+      // rules.
+      val d = t(s, dir, "documents")
+      val rules = Tokenizer.bpeMergesLocal(d, "text", rounds = 64)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = Tokenizer.bpeEncode(d, "doc_id", "text", rules)
+      val perDoc = d.select(col("doc_id"), col("lang"),
+          TextAnalysis.whitespaceTokenCount(col("text")).cast(LongType)
+            .as("nt"))
+        .join(enc, Seq("doc_id"))
+      val byLang = perDoc.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens_ws"),
+        sum(col("n_bpe")).as("n_tokens_bpe"),
+        sum(col("n_chars_alpha")).as("n_chars_alpha"))
+      val tot = byLang.agg(sum(col("n_tokens_bpe")).as("tot_bpe"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens_ws"),
+          col("n_tokens_bpe"), col("n_chars_alpha"),
+          (col("n_tokens_bpe").cast(DoubleType) /
+            col("n_tokens_ws").cast(DoubleType)).as("bpe_per_ws"),
+          (col("n_tokens_bpe").cast(DoubleType) /
+            col("tot_bpe").cast(DoubleType)).as("token_share"))
+        .orderBy("lang")
+    }),
+    "q_mix_tokens" -> ((s, dir) => {
+      // TOKEN-WEIGHTED temperature mixing (TextAnalysis
+      // .temperatureMixWeighted): q_mix_temperature rebalances by DOC
+      // counts; here the sqrt-temperature rates derive from each
+      // lang's BPE TOKEN mass (the trained 64-rule table, kernel
+      // encode) — the budget unit training actually spends. Selection
+      // still keeps whole docs via the same content-hash cut, so the
+      // artifact rows carry each kept doc's token count and the
+      // oracle recomputes rates, cuts, and buckets end to end.
+      val d = t(s, dir, "documents")
+      val rules = Tokenizer.bpeMergesLocal(d, "text", rounds = 64)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = Tokenizer.bpeEncode(d, "doc_id", "text", rules)
+      val dw = d.select(col("doc_id"), col("lang"), col("text"))
+        .join(enc.select(col("doc_id"), col("n_bpe")), Seq("doc_id"))
+      TextAnalysis.temperatureMixWeighted(dw, "text", "lang",
+          col("n_bpe"), targetFraction = 0.5)
+        .select(col("doc_id"), col("lang"), col("n_bpe"))
+        .orderBy("doc_id")
+    }),
     "q_span_dedup" -> ((s, dir) => {
       // C4-style exact span dedup (TextAnalysis.spanDedup): all but
       // one occurrence of any repeated 10-token span removed corpus-
@@ -7888,6 +7945,72 @@ object SparkEntry {
                  lang AS top_lang,
                  CAST(nl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share
           FROM a, lg""",
+    // Token-card replay: the 64-round trained chain (bpeCtesSql) +
+    // the q_bpe_encode docw/w64 join for per-doc BPE counts, then
+    // per-lang exact long sums and fixed-order share divisions.
+    "q_dataset_card_tokens" ->
+      raw"""WITH ${bpeCtesSql(64)},
+              docw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+                       FROM (SELECT doc_id, unnest(list_filter(
+                               string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                               x -> x <> '')) AS w
+                             FROM documents)
+                       GROUP BY 1, 2),
+              pd AS (SELECT d.doc_id,
+                            CAST(sum(d.cnt * length(d.w)) AS BIGINT) AS n_chars_alpha,
+                            CAST(sum(d.cnt * len(f.syms)) AS BIGINT) AS n_bpe
+                     FROM docw d JOIN w64 f ON d.w = f.w
+                     GROUP BY d.doc_id),
+              wt AS (SELECT doc_id, lang,
+                            CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS nt
+                     FROM documents),
+              bl AS (SELECT w.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(w.nt) AS BIGINT) AS n_tokens_ws,
+                            CAST(sum(p.n_bpe) AS BIGINT) AS n_tokens_bpe,
+                            CAST(sum(p.n_chars_alpha) AS BIGINT) AS n_chars_alpha
+                     FROM wt w JOIN pd p ON p.doc_id = w.doc_id
+                     GROUP BY w.lang),
+              tt AS (SELECT CAST(sum(n_tokens_bpe) AS BIGINT) AS tot FROM bl)
+         SELECT lang, n_docs, n_tokens_ws, n_tokens_bpe, n_chars_alpha,
+                CAST(n_tokens_bpe AS DOUBLE) / CAST(n_tokens_ws AS DOUBLE) AS bpe_per_ws,
+                CAST(n_tokens_bpe AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share
+         FROM bl, tt ORDER BY lang""",
+    // Token-weighted mix replay: the q_mix_temperature chain with the
+    // counts CTE swapped for per-lang BPE token sums (from the same
+    // trained-table encode join), identical sqrt fold and integer
+    // cuts, then the same content-hash bucket filter.
+    "q_mix_tokens" ->
+      raw"""WITH ${bpeCtesSql(64)},
+              docw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+                       FROM (SELECT doc_id, unnest(list_filter(
+                               string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                               x -> x <> '')) AS w
+                             FROM documents)
+                       GROUP BY 1, 2),
+              pd AS (SELECT d.doc_id,
+                            CAST(sum(d.cnt * len(f.syms)) AS BIGINT) AS n_bpe
+                     FROM docw d JOIN w64 f ON d.w = f.w
+                     GROUP BY d.doc_id),
+              counts AS (SELECT d.lang, CAST(sum(p.n_bpe) AS BIGINT) AS n
+                         FROM documents d JOIN pd p USING (doc_id)
+                         GROUP BY d.lang),
+              tots AS (SELECT CAST(sum(n) AS BIGINT) AS ntot,
+                              list_sum(list_transform(list(n ORDER BY lang),
+                                       x -> sqrt(CAST(x AS DOUBLE)))) AS s
+                       FROM counts),
+              cuts AS (SELECT c.lang,
+                              CAST(floor(least(CAST(1.0 AS DOUBLE),
+                                     ((CAST(0.5 AS DOUBLE) * t.ntot) * sqrt(CAST(c.n AS DOUBLE)))
+                                     / (t.s * CAST(c.n AS DOUBLE))) * 1000
+                                   + CAST(0.5 AS DOUBLE)) AS INTEGER) AS cut
+                       FROM counts c, tots t),
+              d AS (SELECT doc_id, lang, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm FROM documents),
+              h AS (SELECT doc_id, lang, ${rollingHashSql("norm")} AS v FROM d),
+              sgn AS (SELECT doc_id, lang, ${signedSql("v")} AS sv FROM h),
+              b AS (SELECT doc_id, lang, CAST(((sv % 1000) + 1000) % 1000 AS INTEGER) AS bucket FROM sgn)
+         SELECT b.doc_id, b.lang, p.n_bpe FROM b
+         JOIN cuts USING (lang) JOIN pd p USING (doc_id)
+         WHERE b.bucket < cut ORDER BY b.doc_id""",
     // Span-dedup replay: same tokenizer, non-overlapping 10-token
     // windows via lateral range, per-SPAN count + min-(doc,pos) keeper
     // (hash-free grouping — collision-free equivalence to the
@@ -9300,5 +9423,5 @@ object SparkEntry {
     "q_dedup_incr", "q_cluster_incr",
     // round 17
     "q_ann_incr", "q_cms_incr", "q_bloom_incr", "q_pagerank_incr",
-    "q_bpe_local")
+    "q_bpe_local", "q_dataset_card_tokens", "q_mix_tokens")
 }

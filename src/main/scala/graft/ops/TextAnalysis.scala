@@ -316,10 +316,32 @@ object TextAnalysis {
     * same boundedness contract as `rates` in [[mixCorpus]]), then one
     * narrow per-row filter. */
   def temperatureMix(df: DataFrame, textCol: String, groupCol: String,
-      targetFraction: Double, buckets: Int = 1000): DataFrame = {
+      targetFraction: Double, buckets: Int = 1000): DataFrame =
+    // row-counted mass == weight 1 per row; ONE rate derivation serves
+    // both entry points so the formulas cannot drift
+    temperatureMixWeighted(df, textCol, groupCol, lit(1L),
+      targetFraction, buckets)
+
+  /** [[temperatureMix]] with group mass measured by a per-row WEIGHT
+    * column instead of row counts — the token-accurate form: training
+    * budgets are set in TOKENS, so pass each doc's BPE token count
+    * ([[graft.ops.Tokenizer.bpeEncode]]'s `n_bpe`) and the sqrt
+    * rebalancing runs in token space — a lang of few huge docs damps
+    * like the token mass it actually contributes, not like its doc
+    * count (q_mix_tokens measures the difference). Rates become
+    *   min(1, ((targetFraction * Wtot) * sqrt(W_g)) / (S * W_g)),
+    * W_g the group's exact long weight sum; selection still keeps
+    * WHOLE docs via [[mixCorpus]]'s content-hash cut, so the kept
+    * token mass hits the target in expectation over the hash buckets.
+    * Same determinism contract as [[temperatureMix]]: exact long
+    * sums, ascending-group sqrt fold, integer bucket cuts. */
+  def temperatureMixWeighted(df: DataFrame, textCol: String,
+      groupCol: String, weight: Column, targetFraction: Double,
+      buckets: Int = 1000): DataFrame = {
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       "targetFraction must be in (0, 1]")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(weight.cast(org.apache.spark.sql.types.LongType)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val ntot = counts.map(_._2).sum
     val s = counts.foldLeft(0.0) { case (acc, (_, n)) =>

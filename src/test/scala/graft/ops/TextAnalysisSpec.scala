@@ -456,6 +456,32 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     kept should not be empty // the cut actually keeps something here
   }
 
+  test("temperatureMixWeighted: weight 1 degenerates to temperatureMix " +
+      "exactly; token weights move the cuts to token space " +
+      "(hand-computed)") {
+    val df = ((1 to 16).map(i => (i.toLong, s"alpha document body $i", "a"))
+      ++ (17 to 20).map(i => (i.toLong, s"beta document body $i", "b")))
+      .toDF("id", "text", "g")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").as[Long].collect().toSet
+    ids(TextAnalysis.temperatureMixWeighted(df, "text", "g", lit(1L), 0.5)) shouldBe
+      ids(TextAnalysis.temperatureMix(df, "text", "g", 0.5))
+    // token-weighted: group a carries 4 tokens/doc (W_a = 64, sqrt 8),
+    // group b 25 tokens/doc (W_b = 100, sqrt 10); S = 18, W = 164:
+    //   rate_a = (0.5*164)*8/(18*64)   = 656/1152 -> floor(569.44+0.5) = 569
+    //   rate_b = (0.5*164)*10/(18*100) = 820/1800 -> floor(455.56+0.5) = 456
+    // doc-counted mixing would BOOST minority-by-docs b; token-counted
+    // sees b as the heavier mass and damps it below a instead.
+    val w = when(col("g") === "a", lit(4L)).otherwise(lit(25L))
+    val kept = ids(TextAnalysis.temperatureMixWeighted(df, "text", "g", w, 0.5))
+    val expect = df.select(col("id"),
+        TextAnalysis.splitBucket(col("text"), 1000).as("b"), col("g"))
+      .collect()
+      .filter(r => r.getInt(1) < (if (r.getString(2) == "a") 569 else 456))
+      .map(_.getLong(0)).toSet
+    kept shouldBe expect
+  }
+
   test("skipgramPairs: hand-computed windowed pairs, canonical order, " +
       "short/empty docs contribute nothing") {
     val docs = Seq("a b c d", "b a", "x", "", null)
