@@ -584,9 +584,17 @@ object Stats {
     *
     * Scale shape: each side collapses to its distinct-value histogram
     * with map-side partials; the cumulative walk windows over the
-    * POOLED VALUE DOMAIN, not the rows (coarsen the value to bound
-    * it); totals ride a 1-row broadcast. One row out. */
-  def ksTest(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    * POOLED VALUE DOMAIN, not the rows — and because that walk is an
+    * unpartitioned Window (ONE task sorts the whole domain), the
+    * domain size is GUARDED, not just documented: the totals
+    * broadcast carries the pooled distinct count and every row
+    * entering the window asserts it <= `maxDomain`, so a
+    * high-cardinality value column (micros where cents were meant)
+    * raises with the coarsening remedy instead of silently
+    * serializing the job. One row out. */
+  def ksTest(ref: DataFrame, cur: DataFrame, valueCol: String,
+      maxDomain: Long = 1L << 22): DataFrame = {
+    require(maxDomain >= 1, s"maxDomain must be >= 1, got $maxDomain")
     def side(df: DataFrame, n: String) = df
       .select(integralLong(df, valueCol, "ksTest").as("v"))
       .where(col("v").isNotNull)
@@ -596,9 +604,20 @@ object Stats {
         coalesce(col("nc"), lit(0L)).as("nc"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val totals = g.agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"))
-    g.select(sum(col("nr")).over(w).as("cr"), sum(col("nc")).over(w).as("cc"))
-      .crossJoin(broadcast(totals))
+    val totals = g.agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"),
+      count(lit(1)).as("__n_domain"))
+    // the guard sits on the window INPUT: rows stream through the
+    // assert while exchanging into the sort, so the raise fires before
+    // the single-task walk is paid, not after
+    g.crossJoin(broadcast(totals))
+      .where(assert_true(col("__n_domain") <= lit(maxDomain),
+        concat(lit("ksTest: "), col("__n_domain"),
+          lit(s" pooled distinct values exceed maxDomain=$maxDomain — " +
+            "the cumulative walk would serialize through one task; " +
+            "coarsen the value (e.g. cents instead of micros: " +
+            "round(x*100)) or raise maxDomain deliberately"))).isNull)
+      .select(sum(col("nr")).over(w).as("cr"), sum(col("nc")).over(w).as("cc"),
+        col("n_ref"), col("n_cur"))
       .agg(max(abs(col("cr") * col("n_cur") - col("cc") * col("n_ref")))
         .as("d_num"),
         first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"))
@@ -683,12 +702,18 @@ object Stats {
     * Scale shape: ONE hash aggregate collapses the corpus to its
     * distinct-score histogram (n, n⁺ per score) with map-side
     * partials; the cumulative rank walk is a window over THAT frame,
-    * whose row count is the score DOMAIN, not the corpus (bound it by
-    * coarsening the score if the domain is unbounded). The doubled
-    * rank sum grows ~2N², exceeding Long exactness past N ~ 2.1e9
-    * rows — guarded loudly. Returns one row
-    * `(n_pos, n_neg, u2, auc)`. */
-  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    * whose row count is the score DOMAIN, not the corpus — and since
+    * the walk is an unpartitioned Window (one task sorts the domain),
+    * the domain size is GUARDED like [[ksTest]]'s: a 1-row broadcast
+    * carries the distinct-score count and every row entering the
+    * window asserts it <= `maxDomain` (one extra slim aggregate over
+    * the histogram — the price of failing loudly BEFORE the
+    * serialized sort instead of after). The doubled rank sum grows
+    * ~2N², exceeding Long exactness past N ~ 2.1e9 rows — guarded
+    * loudly. Returns one row `(n_pos, n_neg, u2, auc)`. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      maxDomain: Long = 1L << 22): DataFrame = {
+    require(maxDomain >= 1, s"maxDomain must be >= 1, got $maxDomain")
     val byScore = df
       .select(integralLong(df, scoreCol, "rocAuc").as("s"),
         col(labelCol).cast(LongType).as("y"))
@@ -697,7 +722,15 @@ object Stats {
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val domain = byScore.agg(count(lit(1)).as("__n_domain"))
     byScore
+      .crossJoin(broadcast(domain))
+      .where(assert_true(col("__n_domain") <= lit(maxDomain),
+        concat(lit("rocAuc: "), col("__n_domain"),
+          lit(s" distinct scores exceed maxDomain=$maxDomain — the " +
+            "rank walk would serialize through one task; coarsen the " +
+            "score (e.g. round(x*100)) or raise maxDomain " +
+            "deliberately"))).isNull)
       .select(col("n"), col("np"),
         (col("np") * (lit(2L) * coalesce(sum(col("n")).over(w), lit(0L)) +
           col("n") + lit(1L))).as("r2"))

@@ -460,9 +460,19 @@ object StreamOps {
     require(maxDistinct >= 1, s"maxDistinct must be >= 1, got $maxDistinct")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val refArr = ref.where(col(valueCol).isNotNull)
+    val refHist = ref.where(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast(LongType).as("v"))
       .agg(count(lit(1)).as("n"))
+    // the reference's values all enter the pooled set, so its domain
+    // is bounded by the same maxDistinct — and the guard sits on the
+    // static window's INPUT (the ksTest recipe), so an over-wide
+    // reference raises before its single-task cumulative sort is paid
+    val refDomain = refHist.agg(count(lit(1)).as("__nd"))
+    val refArr = refHist.crossJoin(broadcast(refDomain))
+      .where(assert_true(col("__nd") <= lit(maxDistinct.toLong),
+        concat(lit("ksTestStream: "), col("__nd"),
+          lit(s" reference distinct values exceed maxDistinct=" +
+            s"$maxDistinct — quantize coarser or raise the cap"))).isNull)
       .select(col("v"), sum(col("n")).over(w).as("cum"))
       .agg(array_sort(collect_list(struct(col("v"), col("cum"))))
         .as("ref_cum"), max(col("cum")).as("n_ref"))
@@ -482,22 +492,39 @@ object StreamOps {
     val joined = perWin.select(lit(1).as("__one"), col("win"),
         col("cur_vals"), col("n_cur"))
       .join(broadcast(refArr), Seq("__one"))
-    // cum_ref(v) = last reference cumulative at value <= v;
-    // cum_cur(v) = sum of current counts at value <= v. O(n^2) lookups
-    // over the bounded pooled set — loudly capped, never silent.
-    def cumRef(v: Column): Column = {
-      // last cumulative at value <= v; `get` (not element_at) so an
-      // empty prefix reads null -> 0, never an ANSI bounds error
-      val pre = transform(filter(col("ref_cum"), e => e.getField("v") <= v),
-        e => e.getField("cum"))
-      coalesce(get(pre, size(pre) - 1), lit(0L))
-    }
-    def cumCur(v: Column): Column =
-      aggregate(filter(col("cur_vals"), e => e.getField("v") <= v),
-        lit(0L), (acc, e) => acc + e.getField("n"))
+    // ONE merge pass over the pooled sorted union instead of per-value
+    // filter/aggregate lookups (which re-walked both arrays per pooled
+    // value — O(n^2) lambda evaluations, ~16.7M at the default cap):
+    // ref values and cur values are each ascending SUBSETS of pooled,
+    // so a fold over pooled advances a pointer into each array by at
+    // most one per step — the accumulator carries (ref consumed, cur
+    // consumed, running cur cumulative, best |ECDF gap| numerator) and
+    // every step is O(1) `get` probes. Null-safe by construction:
+    // `get` past either end reads null and the coalesced compare says
+    // "don't advance".
     val pooled = array_sort(array_union(
       transform(col("ref_cum"), e => e.getField("v")),
       transform(col("cur_vals"), e => e.getField("v"))))
+    val foldInit = struct(lit(0).as("r"), lit(0).as("c"),
+      lit(0L).as("cumcur"), lit(0L).as("best"))
+    def mergeStep(acc: Column, v: Column): Column = {
+      val r0 = acc.getField("r")
+      val c0 = acc.getField("c")
+      val rAdv = coalesce(
+        get(col("ref_cum"), r0).getField("v") === v, lit(false))
+      val cAdv = coalesce(
+        get(col("cur_vals"), c0).getField("v") === v, lit(false))
+      val r1 = when(rAdv, r0 + 1).otherwise(r0)
+      val cumcur = when(cAdv, acc.getField("cumcur") +
+          get(col("cur_vals"), c0).getField("n"))
+        .otherwise(acc.getField("cumcur"))
+      val cumref = coalesce(get(col("ref_cum"), r1 - 1).getField("cum"),
+        lit(0L))
+      struct(r1.as("r"), when(cAdv, c0 + 1).otherwise(c0).as("c"),
+        cumcur.as("cumcur"),
+        greatest(acc.getField("best"),
+          abs(cumref * col("n_cur") - cumcur * col("n_ref"))).as("best"))
+    }
     joined
       .withColumn("__pooled",
         when(size(pooled) > maxDistinct, raise_error(concat(
@@ -506,10 +533,8 @@ object StreamOps {
             " — quantize coarser or raise the cap"))))
           .otherwise(pooled))
       .withColumn("d_num",
-        aggregate(
-          transform(col("__pooled"), v =>
-            abs(cumRef(v) * col("n_cur") - cumCur(v) * col("n_ref"))),
-          lit(0L), (acc, x) => greatest(acc, x)))
+        aggregate(col("__pooled"), foldInit, mergeStep _)
+          .getField("best"))
       .withColumn("d",
         when(col("n_ref") > lit(3000000000L) ||
             col("n_cur") > lit(3000000000L),

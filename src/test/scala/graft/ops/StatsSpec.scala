@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpecBase
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.matchers.should.Matchers
 
 class StatsSpec extends SparkSpecBase with Matchers {
@@ -154,7 +154,7 @@ class StatsSpec extends SparkSpecBase with Matchers {
 
   test("winsorize: clamps into the sketch band, flags directions, " +
       "null value stays null (no silent q_hi rewrite)") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
     // one key, 5 values + a null; k=256 >> n so the sketch holds all
     // rows: p25 -> rank 1.0 -> 10.0, p75 -> rank 3.0 -> 30.0
     val df = Seq((0L, Option(0L)), (1L, Option(10L)), (2L, Option(20L)),
@@ -193,7 +193,7 @@ class StatsSpec extends SparkSpecBase with Matchers {
 
   test("profileDrift: exact stats per side, null-rate delta both " +
       "directions, distinct estimate exact below k") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
     val ref = Seq(Option(1L), Option(2L), Option(3L), Option(3L), None)
       .zipWithIndex.map { case (a, i) => (a, Option(i.toLong)) }
       .toDF("a", "b") // a: 1 null of 5, 3 distinct; b: none null, 5 distinct
@@ -527,6 +527,32 @@ class StatsSpec extends SparkSpecBase with Matchers {
         Double.NegativeInfinity))
       intercept[Exception] { run(Seq(1.0, bad)) }
         .getMessage should include("must be integral-valued")
+  }
+
+  test("ksTest/rocAuc domain guards: a high-cardinality value column " +
+      "raises with the coarsening remedy before the single-task walk; " +
+      "the coarsened column passes the same guard and equals the " +
+      "unguarded op on the coarsened values") {
+    val ref = (1L to 100L).map(Tuple1(_)).toDF("v")
+    val cur = (51L to 150L).map(Tuple1(_)).toDF("v")
+    intercept[Exception] {
+      Stats.ksTest(ref, cur, "v", maxDomain = 16).collect()
+    }.getMessage should include("coarsen the value")
+    def tens(df: org.apache.spark.sql.DataFrame) =
+      df.select(expr("v div 10").as("v")) // 16 pooled distinct values
+    Stats.ksTest(tens(ref), tens(cur), "v", maxDomain = 16)
+      .collect().toSeq shouldBe
+      Stats.ksTest(tens(ref), tens(cur), "v").collect().toSeq
+    val scored = (1L to 100L).map(i => (i, if (i > 50) 1L else 0L))
+      .toDF("s", "y")
+    intercept[Exception] {
+      Stats.rocAuc(scored, "s", "y", maxDomain = 16).collect()
+    }.getMessage should include("coarsen the score")
+    def tensS(df: org.apache.spark.sql.DataFrame) =
+      df.select(expr("s div 10").as("s"), col("y"))
+    Stats.rocAuc(tensS(scored), "s", "y", maxDomain = 16)
+      .collect().toSeq shouldBe
+      Stats.rocAuc(tensS(scored), "s", "y").collect().toSeq
   }
 
   test("calibrationBins guards fire loudly") {
