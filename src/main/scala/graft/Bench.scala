@@ -208,16 +208,27 @@ object Bench {
     // spot runs from clobbering the driver's sf0.1 board.
     try {
       val roundRe = "BENCH_r(\\d+)\\.json".r
-      val round = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-        .iterator().asScala
-        .flatMap(p => roundRe.findFirstMatchIn(p.getFileName.toString)
-          .map(_.group(1).toInt))
-        .foldLeft(0)(math.max) + 1
+      // Files.list holds a directory handle — close it (Using) instead
+      // of leaking one per bench run
+      val round = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get("."))) { s =>
+        s.iterator().asScala
+          .flatMap(p => roundRe.findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toInt))
+          .foldLeft(0)(math.max)
+      } + 1
       val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       val dir = java.nio.file.Paths.get("bench_full")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(
-        dir.resolve(s"BENCH_r${round}_full_$sfTag.json"),
+      // Never clobber an existing round file: before the driver commits
+      // BENCH_r{N}.json every re-run infers the SAME round number, and
+      // a silent overwrite would replace the exact per-query board this
+      // file exists to preserve — suffix re-runs instead.
+      val base = s"BENCH_r${round}_full_$sfTag"
+      val path = Iterator.from(0)
+        .map(i => dir.resolve(if (i == 0) s"$base.json" else s"$base.run$i.json"))
+        .find(p => !java.nio.file.Files.exists(p)).get
+      java.nio.file.Files.write(path,
         headline.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write bench_full artifact: $e")

@@ -566,9 +566,9 @@ object SparkEntry {
       val weighted = pairs.select(col("src"), col("dst"),
         greatest(lit(1L), lit(11L) - least(lit(10L), col("cnt")))
           .as("cost"))
-      Observed.sssp.clear()
-      Graph.multiSourceShortestPaths(weighted, "src", "dst", "cost",
-          seeds = Seq(1L, 2L, 3L, 4L, 5L), roundsOut = Some(Observed.sssp))
+      Observed.sssp.record(buf =>
+          Graph.multiSourceShortestPaths(weighted, "src", "dst", "cost",
+            seeds = Seq(1L, 2L, 3L, 4L, 5L), roundsOut = Some(buf)))
         .select(col("v").as("part"), col("dist"))
         .orderBy("part")
     }),
@@ -1373,9 +1373,8 @@ object SparkEntry {
       val edges = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
-      Observed.kcore.clear()
-      Graph.kCore(edges, "src", "dst", k = 80,
-          roundsOut = Some(Observed.kcore))
+      Observed.kcore.record(buf =>
+          Graph.kCore(edges, "src", "dst", k = 80, roundsOut = Some(buf)))
         .select(col("v").as("part"), col("core_deg"))
         .orderBy("part")
     }),
@@ -1394,9 +1393,8 @@ object SparkEntry {
       val edges = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
-      Observed.ktruss.clear()
-      Graph.kTruss(edges, "src", "dst", k = 8,
-          roundsOut = Some(Observed.ktruss))
+      Observed.ktruss.record(buf =>
+          Graph.kTruss(edges, "src", "dst", k = 8, roundsOut = Some(buf)))
         .select(col("a").as("part_a"), col("b").as("part_b"),
           col("support"))
         .orderBy("part_a", "part_b")
@@ -1419,9 +1417,8 @@ object SparkEntry {
       val edges = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
-      Observed.corenessPhases.clear()
-      Graph.coreness(edges, "src", "dst",
-          phaseRoundsOut = Some(Observed.corenessPhases))
+      Observed.corenessPhases.record(buf =>
+          Graph.coreness(edges, "src", "dst", phaseRoundsOut = Some(buf)))
         .select(col("v").as("part"), col("coreness"))
         .orderBy("part")
     }),
@@ -1443,12 +1440,12 @@ object SparkEntry {
       val edges = li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst"))
-      Observed.corenessGatePhases.clear()
-      Graph.corenessGate(
-          t(s, dir, "part").select(col("p_partkey"),
-            col("p_retailprice").cast(DoubleType).as("retail")),
-          "p_partkey", edges, "src", "dst", topN = 100,
-          phaseRoundsOut = Some(Observed.corenessGatePhases))
+      Observed.corenessGatePhases.record(buf =>
+          Graph.corenessGate(
+            t(s, dir, "part").select(col("p_partkey"),
+              col("p_retailprice").cast(DoubleType).as("retail")),
+            "p_partkey", edges, "src", "dst", topN = 100,
+            phaseRoundsOut = Some(buf)))
         .select(col("p_partkey").as("part"), col("coreness"),
           col("retail"))
         .orderBy("part")
@@ -4732,12 +4729,33 @@ object SparkEntry {
     * carries an in-SQL error() convergence assertion, so even a wrong
     * fallback fails loudly and self-diagnosably, never as a silent
     * parity mismatch. */
+  /** Round-schedule recorders feeding the auto-derived iterative
+    * oracles. Each query invocation records into a FRESH buffer and
+    * PUBLISHES the completed run through an AtomicReference (the
+    * oracleSql defs read the reference) — so a concurrent second
+    * invocation can only replace a coherent snapshot with another
+    * coherent snapshot, never interleave clears and appends into a
+    * wrong unroll depth, and the volatile store gives cross-thread
+    * visibility when the recording and reading threads differ. */
   private[graft] object Observed {
-    val kcore = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val ktruss = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val sssp = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val corenessPhases = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val corenessGatePhases = scala.collection.mutable.ArrayBuffer.empty[Int]
+    final class Recorder {
+      private val ref =
+        new java.util.concurrent.atomic.AtomicReference[Seq[Int]](Nil)
+      /** Run `f` with a fresh buffer; publish its final contents. */
+      def record[A](
+          f: scala.collection.mutable.ArrayBuffer[Int] => A): A = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = f(buf)
+        ref.set(buf.toList)
+        out
+      }
+      def get: Seq[Int] = ref.get()
+    }
+    val kcore = new Recorder
+    val ktruss = new Recorder
+    val sssp = new Recorder
+    val corenessPhases = new Recorder
+    val corenessGatePhases = new Recorder
   }
 
   /** q_kcore oracle: the degree-threshold peel unrolled `rounds`
@@ -5878,13 +5896,13 @@ object SparkEntry {
     // reference, and each round references the previous ~5 times — an
     // un-materialized unroll re-expands the base scan 5^10 times.
     "q_kcore" -> kcoreSql(
-      Observed.kcore.lastOption.map(_ + 1).getOrElse(10)),
+      Observed.kcore.get.lastOption.map(_ + 1).getOrElse(10)),
     // Full coreness decomposition: per-phase budgets from the observed
     // schedule + 1 no-op margin each; fallback = the sf0.01 pin
     // (9 phases, removal rounds 1,1,1,1,1,1,1,1,1 era-pinned wide).
     "q_coreness" -> corenessSql(
-      if (Observed.corenessPhases.nonEmpty)
-        Observed.corenessPhases.map(_ + 1).toSeq
+      if (Observed.corenessPhases.get.nonEmpty)
+        Observed.corenessPhases.get.map(_ + 1)
       else Seq(3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2)),
     // Coreness-gated curation: the FULL coreness replay (own observed
     // budgets — same graph, so same schedule) as a subquery, then the
@@ -5892,8 +5910,8 @@ object SparkEntry {
     // joined to the part catalog.
     "q_curate_coreness" -> {
       val budgets =
-        if (Observed.corenessGatePhases.nonEmpty)
-          Observed.corenessGatePhases.map(_ + 1).toSeq
+        if (Observed.corenessGatePhases.get.nonEmpty)
+          Observed.corenessGatePhases.get.map(_ + 1)
         else Seq(3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2)
       s"""WITH cz AS MATERIALIZED (SELECT * FROM (${corenessSql(budgets)})),
          |     cut AS (SELECT part, coreness FROM (
@@ -5914,7 +5932,7 @@ object SparkEntry {
     // Every CTE MATERIALIZED — the q_kcore inlining lesson, worse here
     // because each round references the previous ~8 times.
     "q_ktruss" -> ktrussSql(
-      Observed.ktruss.lastOption.map(_ + 1).getOrElse(8)),
+      Observed.ktruss.get.lastOption.map(_ + 1).getOrElse(8)),
     // Link-prediction replay: same wedge join over the capped
     // neighbor list; RA terms are integer floor-divisions (2^40 // deg)
     // so the per-pair sum is exact on any order; NOT EXISTS = the
@@ -6480,7 +6498,7 @@ object SparkEntry {
     // per SF, see the q_kcore note), every round CTE
     // MATERIALIZED (the k-core inlining lesson).
     "q_sssp" -> ssspSql(
-      Observed.sssp.lastOption.map(_ + 1).getOrElse(10)),
+      Observed.sssp.get.lastOption.map(_ + 1).getOrElse(10)),
     // Benford replay: same string-head digit, the same driver-stamped
     // expected-share literals, identical division order.
     "q_benford" -> {

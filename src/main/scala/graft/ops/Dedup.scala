@@ -305,9 +305,13 @@ object Dedup {
     * Exactly [[nearDupPairs]]' cascade with the self-join made
     * BIPARTITE: new-side bands probe the indexed bands (an
     * O(|new| · collisions) join, never old × old), the bucket-size
-    * cap applies to the INDEX side (corpus boilerplate buckets are
-    * the blowup risk; a capped bucket is template text, not dedup
-    * signal), then the same count bound, signature screen, and exact
+    * cap applies to BOTH sides — the index side (corpus boilerplate
+    * buckets are the blowup risk) and the arriving side (a
+    * boilerplate-heavy snapshot can pile thousands of new docs into
+    * one band bucket and re-create the blowup from the probe side;
+    * nearDupPairs' self-join cap bounded both at once, so this one
+    * does too; a capped bucket is template text, not dedup signal) —
+    * then the same count bound, signature screen, and exact
     * shingle-hash confirm — the old side's confirm set comes from the
     * index, its text untouched. An id present on both sides pairs
     * with itself only if it is a genuine near-dup re-ingest; exact
@@ -328,15 +332,17 @@ object Dedup {
       .select(col("id"), col("nsh"), col("bb.band").as("band"),
         col("bb.band_hash").as("band_hash"))
     val newSigs = sigFrame(cands, candId, candText, k, numHashes, seed)
-    val oldBanded = banded(index.select(col("id"), col("nsh"), col("sig")))
-      .repartition(col("band"), col("band_hash"))
-    val smallBuckets = oldBanded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") <= maxBucketSize)
-      .select(col("band"), col("band_hash"))
-    val oldSized = oldBanded
-      .join(smallBuckets, Seq("band", "band_hash"), "left_semi")
-    val pairs = banded(newSigs)
+    def sized(bandedSide: DataFrame): DataFrame = {
+      val parted = bandedSide.repartition(col("band"), col("band_hash"))
+      val small = parted.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .where(col("bucket_n") <= maxBucketSize)
+        .select(col("band"), col("band_hash"))
+      parted.join(small, Seq("band", "band_hash"), "left_semi")
+    }
+    val oldSized = sized(banded(index.select(col("id"), col("nsh"),
+      col("sig"))))
+    val pairs = sized(banded(newSigs))
       .select(col("band"), col("band_hash"),
         col("id").as("new_id"), col("nsh").as("nsh_n"))
       .join(oldSized.select(col("band"), col("band_hash"),

@@ -22,7 +22,7 @@ class OracleDerivationSpec extends SparkSpecBase with Matchers {
     SparkEntry.queries("q_kcore")(spark, sf("sf0.001")).collect()
     val sql = SparkEntry.oracleSql("q_kcore")
     sql should include("unroll depth under-sized")
-    unrollDepth(sql, "e") shouldBe SparkEntry.Observed.kcore.last + 1
+    unrollDepth(sql, "e") shouldBe SparkEntry.Observed.kcore.get.last + 1
   }
 
   test("q_sssp oracle unrolls to the observed improving rounds + 1 " +
@@ -30,7 +30,7 @@ class OracleDerivationSpec extends SparkSpecBase with Matchers {
     SparkEntry.queries("q_sssp")(spark, sf("sf0.001")).collect()
     val sql = SparkEntry.oracleSql("q_sssp")
     sql should include("still improved distances")
-    unrollDepth(sql, "d") shouldBe SparkEntry.Observed.sssp.last + 1
+    unrollDepth(sql, "d") shouldBe SparkEntry.Observed.sssp.get.last + 1
   }
 
   test("q_ktruss oracle unrolls to the observed rounds + 1 and " +
@@ -38,7 +38,7 @@ class OracleDerivationSpec extends SparkSpecBase with Matchers {
     SparkEntry.queries("q_ktruss")(spark, sf("sf0.001")).collect()
     val sql = SparkEntry.oracleSql("q_ktruss")
     sql should include("unroll depth under-sized")
-    unrollDepth(sql, "e") shouldBe SparkEntry.Observed.ktruss.last + 1
+    unrollDepth(sql, "e") shouldBe SparkEntry.Observed.ktruss.get.last + 1
   }
 
   test("q_curate_coreness oracle derives its embedded coreness replay " +
@@ -47,7 +47,7 @@ class OracleDerivationSpec extends SparkSpecBase with Matchers {
     val sql = SparkEntry.oracleSql("q_curate_coreness")
     sql should include("phase/round budgets under-sized")
     "th(\\d+) AS".r.findAllMatchIn(sql).size shouldBe
-      SparkEntry.Observed.corenessGatePhases.size
+      SparkEntry.Observed.corenessGatePhases.get.size
   }
 
   test("q_coreness oracle derives one budget per OBSERVED phase " +
@@ -56,12 +56,12 @@ class OracleDerivationSpec extends SparkSpecBase with Matchers {
     val sql = SparkEntry.oracleSql("q_coreness")
     sql should include("phase/round budgets under-sized")
     val phases = "th(\\d+) AS".r.findAllMatchIn(sql).size
-    phases shouldBe SparkEntry.Observed.corenessPhases.size
+    phases shouldBe SparkEntry.Observed.corenessPhases.get.size
     // each phase's rm CTE count = observed removals + 1
     val rmPerPhase = "rm(\\d+)_(\\d+) AS".r.findAllMatchIn(sql)
       .map(_.group(1).toInt).toSeq.groupBy(identity).view
       .mapValues(_.size).toMap
-    SparkEntry.Observed.corenessPhases.zipWithIndex.foreach {
+    SparkEntry.Observed.corenessPhases.get.zipWithIndex.foreach {
       case (obs, p) => rmPerPhase(p) shouldBe obs + 1
     }
   }

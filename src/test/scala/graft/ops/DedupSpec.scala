@@ -465,6 +465,23 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     got.map(r => (r._1 % 2, r._2 % 2)).toSet shouldBe Set((1L, 0L))
   }
 
+  test("screenAgainstLshIndex caps the ARRIVING side's band buckets " +
+      "too: a boilerplate-heavy snapshot stops probing through its " +
+      "oversized buckets instead of re-creating the bucket blowup") {
+    // one indexed doc + 6 identical new docs: every new band bucket
+    // holds 6 rows, so maxBucketSize=3 must suppress all probes even
+    // though the INDEX side's buckets (size 1) are tiny
+    val boiler = "the same boilerplate sentence repeated in every doc"
+    val old = Seq((2L, boiler)).toDF("id", "text")
+    val fresh = (1L to 11L by 2).map(i => (i, boiler)).toDF("id", "text")
+    val idx = Dedup.lshDedupIndex(old, "id", "text")
+    Dedup.screenAgainstLshIndex(fresh, "id", "text", idx,
+      maxBucketSize = 3).count() shouldBe 0L
+    // with the cap above the bucket size the screen fires as usual
+    Dedup.screenAgainstLshIndex(fresh, "id", "text", idx,
+      maxBucketSize = 100).count() shouldBe 6L
+  }
+
   test("incrementalClusters: new edges splice old clusters (merge, " +
       "attach, untouched, singleton) and equal from-scratch clustering " +
       "of the union pair set") {
