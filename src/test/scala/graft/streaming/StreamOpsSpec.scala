@@ -225,6 +225,67 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
       .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
   }
 
+  test("streaming incremental dedup trilogy: nightly " +
+      "screenAgainstLshIndex + incrementalClusters + index append " +
+      "inside foreachBatch across micro-batches equals the one-shot " +
+      "from-scratch clustering of the whole corpus") {
+    // The nightly loop as a stream: each micro-batch screens against
+    // the STORED fingerprint index (old text never rescanned), folds
+    // its cross + within pairs into the stored labels, then appends
+    // its own fingerprints to the index for the NEXT batch — so a
+    // batch-2 doc can near-dup a batch-1 doc through the index alone.
+    import graft.ops.Dedup
+    val seed = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "an utterly different sentence about spark streaming state stores"))
+      .toDF("id", "text")
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over my lazy dog"))
+    val b2 = Seq(
+      (5L, "an utterly different sentence about spark streaming state store"),
+      (7L, "completely unrelated text mentioning nothing else at all whatsoever"))
+    def labelsOf(df: org.apache.spark.sql.DataFrame) = {
+      val paired = Dedup.nearDupClusters(
+        Dedup.nearDupPairs(df, "id", "text"))
+      df.select(col("id"))
+        .join(paired.select(col("id"), col("cluster_id")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id"))
+          .as("cluster_id"))
+    }
+    var index = Dedup.lshDedupIndex(seed, "id", "text").localCheckpoint()
+    var labels = labelsOf(seed).localCheckpoint()
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDS().toDF("id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pinned = batch.localCheckpoint()
+        val cross = Dedup.screenAgainstLshIndex(pinned, "id", "text", index)
+          .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+        val within = Dedup.nearDupPairs(pinned, "id", "text")
+          .select(col("id_a"), col("id_b"))
+        labels = Dedup.incrementalClusters(labels, pinned.select(col("id")),
+          cross.unionAll(within)).select(col("id"), col("cluster_id"))
+          .localCheckpoint()
+        index = index.unionByName(
+          Dedup.lshDedupIndex(pinned, "id", "text")).localCheckpoint()
+        ()
+      }.start()
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = labels.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // cross-batch structure really exercised: 1 and 3 joined seed 2's
+    // cluster through the index, 5 joined seed 4's
+    streamed shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 4L), (7L, 7L))
+    // parity: from-scratch clustering of the full corpus
+    val all = seed.unionAll((b1 ++ b2).toDF("id", "text"))
+    streamed shouldBe labelsOf(all).as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq
+  }
+
   test("runningMean accumulates per-key state across batches (update mode)") {
     val in = MemoryStream[(String, Double)](spark)
     val out = StreamOps.runningMean(in.toDS())
