@@ -1064,6 +1064,45 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q_ann_incr: serving from the FOLDED index keeps q_ann_ivfpq's " +
+      "shape — the probe frame broadcasts onto a hash join over the " +
+      "unioned (evens-built + odds-appended) code rows, a bounded heap " +
+      "reduces; no SortMergeJoin, no Window, no cartesian") {
+    val p = plan("q_ann_incr")
+    p should include("BroadcastHashJoin")
+    p should include("Union") // the appended index really is a union
+    p should include("graft_pq_encode")
+    p should include("graft_pq_decode")
+    p should include("graft_centroid_probes")
+    p should include("partial_graft_top_k_by_score")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
+  test("q_pagerank_incr: the warm-start prior join stays a slim " +
+      "node-frame join outside the rounds; no cartesian anywhere in " +
+      "the four composed rank chains") {
+    val p = plan("q_pagerank_incr")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
+  test("q_cms_incr / q_bloom_incr: sketch builds are single " +
+      "TypedImperativeAggregate passes (objectagg), merges are slim " +
+      "cell-row aggregates; no Window, no cartesian") {
+    Seq("q_cms_incr", "q_bloom_incr").foreach { q =>
+      val p = plan(q)
+      p.toLowerCase should include("objecthashaggregate")
+      p should not include "Window"
+      p should not include "CartesianProduct"
+      val readSchema = "ReadSchema: struct<([^>]*)>".r
+        .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+      readSchema should include("user_id")
+      readSchema should not include "props"
+    }
+  }
+
   test("q_hll_incremental: register builds are partial_max map-side " +
       "aggregates; scans read only the probed columns; no Window, no " +
       "cartesian") {
