@@ -171,7 +171,13 @@ object Bench {
     // ONE definition of the shared segments, so the full diagnostic
     // line and the persisted headline cannot drift apart — the
     // artifact-vs-stdout disagreement the headline exists to prevent.
+    // cpus is part of the artifact's identity: a 4-thread builder spot
+    // run and the driver's 32-thread board differ 1.3-2x on
+    // shuffle-heavy queries, and without the stamp that reads as a
+    // per-query regression (round 17 lost a bench cycle to exactly
+    // this — compare boards only at equal cpus).
     val core = s""""metric":"total","value":${f"${total(cold)}%.3f"},"unit":"sec",""" +
+      s""""cpus":$cpus,""" +
       s""""queries":${fmt(cold)},"total_warm":${f"${total(warm)}%.3f"},""" +
       s""""queries_warm":${fmt(warm)},""" +
       s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
