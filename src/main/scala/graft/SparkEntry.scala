@@ -3803,7 +3803,12 @@ object SparkEntry {
       val warm = Graph.pageRankWarmStart(newEdges, "src", "dst",
         stored, "node", "score", iters = 3)
       val cold = Graph.pageRankDangling(newEdges, "src", "dst", iters = 3)
-      val ref = Graph.pageRankDangling(newEdges, "src", "dst", iters = 8)
+      // the 8-round reference CONTINUES the cold chain (5 more rounds
+      // from the stored 3-round table) — exactly 8 cold rounds by the
+      // round-composition law the op guarantees (GraphSpec pins it),
+      // for 16 total rounds instead of 19
+      val ref = Graph.pageRankWarmStart(newEdges, "src", "dst",
+        cold, "node", "score", iters = 5)
       ref.select(col("node"), col("score").as("score_ref"))
         .join(warm.select(col("node"), col("score").as("score_warm")),
           Seq("node"))
