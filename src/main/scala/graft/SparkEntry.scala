@@ -2056,6 +2056,40 @@ object SparkEntry {
           Seq("dup", "merge", "vector"), k1 = 1.2, b = 0.75, k = 25)
         .orderBy("rk")
     }),
+    "q_bm25_incr" -> ((s, dir) => {
+      // INCREMENTAL SEARCH-INDEX STATISTICS (TextAnalysis.dfTable/
+      // dfTableMerge/docStats/docStatsMerge + bm25TopDocsFromStats) —
+      // the IR member of the persistence family: document frequency
+      // and corpus totals are PURE SUMS over disjoint snapshots, so
+      // nightly index-stats maintenance folds tonight's (term, df)
+      // table into yesterday's without rescanning history, and BM25
+      // serves tonight's docs against CORPUS-WIDE idf from the stored
+      // stats alone. The artifact proves the merge law
+      // (n_df_mismatch == 0 vs the single-pass table, term for term)
+      // and serves the odd-id snapshot through the same scoring tail
+      // as q_bm25 — identical doubles, since idf/avgdl derive from
+      // exact merged longs.
+      val d = t(s, dir, "documents")
+      val evens = d.where(pmod(col("doc_id"), lit(2)) === 0)
+      val odds = d.where(pmod(col("doc_id"), lit(2)) === 1)
+      val dfm = TextAnalysis.dfTableMerge(Seq(
+        TextAnalysis.dfTable(evens, "doc_id", "text"),
+        TextAnalysis.dfTable(odds, "doc_id", "text")))
+      val tot = TextAnalysis.docStatsMerge(Seq(
+        TextAnalysis.docStats(evens, "doc_id", "text"),
+        TextAnalysis.docStats(odds, "doc_id", "text")))
+      val full = TextAnalysis.dfTable(d, "doc_id", "text")
+      val mismatch = dfm.select(col("term"), col("df").as("dfm"))
+        .join(full.select(col("term"), col("df").as("dff")),
+          Seq("term"), "full_outer")
+        .agg(sum(when(col("dfm") <=> col("dff"), 0L).otherwise(1L))
+          .as("n_df_mismatch"))
+      TextAnalysis.bm25TopDocsFromStats(odds, "doc_id", "text",
+          Seq("dup", "merge", "vector"), dfm, tot,
+          k1 = 1.2, b = 0.75, k = 25)
+        .crossJoin(broadcast(mismatch))
+        .orderBy("rk")
+    }),
     "q_inverted" -> ((s, dir) => {
       // Inverted index over the 20 rarest terms (postings capped at
       // 100): per-doc term dedup is in-row (no (doc,term) distinct
@@ -4286,6 +4320,28 @@ object SparkEntry {
     * `documents` (query terms dup/merge/vector, k1=1.2, b=0.75) —
     * r(doc_id, dl, score, rk). ONE source of truth for q_bm25 and the
     * lexical leg of q_hybrid_retrieval. */
+  /** The BM25 score + rank CTEs over caller-provided `base(doc_id, dl,
+    * tf_0..2)` and `st(n_docs, sum_dl, df_0..2)` — ONE textual score
+    * expression shared by q_bm25 (stats from the serve corpus) and
+    * q_bm25_incr (stats from the merged stored artifacts), mirroring
+    * the Scala side's shared bm25Serve. */
+  private val bm25ScoreCtesSql: String =
+    raw"""sc AS (SELECT doc_id, dl,
+         |                            ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
+         |                              * ((CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))
+         |                                 / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
+         |                          + ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
+         |                              * ((CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))
+         |                                 / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
+         |                          + ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0)
+         |                              * ((CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))
+         |                                 / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
+         |                            AS score
+         |                     FROM base CROSS JOIN st),
+         |              r AS (SELECT doc_id, dl, score,
+         |                           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+         |                    FROM sc WHERE score > 0)""".stripMargin
+
   private val bm25CtesSql: String =
     raw"""toks AS (SELECT doc_id,
          |                              list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS ts
@@ -4301,21 +4357,46 @@ object SparkEntry {
          |                            sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
          |                            sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
          |                     FROM base),
-         |              sc AS (SELECT doc_id, dl,
-         |                            ((CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
-         |                              * ((CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))
-         |                                 / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
-         |                          + ((CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
-         |                              * ((CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))
-         |                                 / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
-         |                          + ((CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0)
-         |                              * ((CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))
-         |                                 / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))))
-         |                            AS score
-         |                     FROM base CROSS JOIN st),
-         |              r AS (SELECT doc_id, dl, score,
-         |                           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
-         |                    FROM sc WHERE score > 0)""".stripMargin
+         |              $bm25ScoreCtesSql""".stripMargin
+
+  /** q_bm25_incr oracle: per-half (term, df) tables summed into the
+    * merged artifact, diffed against the single-pass table
+    * (n_df_mismatch), then the SAME score/rank CTEs serve the odd-id
+    * snapshot against the merged stats — the stored-stats serve path
+    * replayed end to end. */
+  private val bm25IncrSql: String =
+    raw"""WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS ts
+                       FROM documents),
+              tp AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(ts)) AS term
+                      FROM toks),
+              mg AS MATERIALIZED (SELECT term, CAST(sum(c) AS BIGINT) AS df FROM (
+                      SELECT term, count(*) AS c FROM tp
+                      WHERE doc_id % 2 = 0 GROUP BY term
+                      UNION ALL
+                      SELECT term, count(*) AS c FROM tp
+                      WHERE doc_id % 2 = 1 GROUP BY term)
+                    GROUP BY term),
+              fr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                     FROM tp GROUP BY term),
+              mm AS (SELECT CAST(sum(CASE WHEN m.df IS NOT DISTINCT FROM f.df
+                              THEN 0 ELSE 1 END) AS BIGINT) AS n_df_mismatch
+                     FROM mg m FULL OUTER JOIN fr f ON f.term = m.term),
+              st AS (SELECT count(*) AS n_docs,
+                            CAST(sum(len(ts)) AS DOUBLE) AS sum_dl,
+                            COALESCE((SELECT df FROM mg WHERE term = 'dup'), 0) AS df_0,
+                            COALESCE((SELECT df FROM mg WHERE term = 'merge'), 0) AS df_1,
+                            COALESCE((SELECT df FROM mg WHERE term = 'vector'), 0) AS df_2
+                     FROM toks),
+              base AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS dl,
+                              len(list_filter(ts, x -> x = 'dup')) AS tf_0,
+                              len(list_filter(ts, x -> x = 'merge')) AS tf_1,
+                              len(list_filter(ts, x -> x = 'vector')) AS tf_2
+                       FROM toks WHERE doc_id % 2 = 1),
+              $bm25ScoreCtesSql
+         SELECT rk, doc_id, dl, score,
+                (SELECT n_df_mismatch FROM mm) AS n_df_mismatch
+         FROM r WHERE rk <= 25 ORDER BY rk"""
 
   /** Unrolled HITS rounds over CTEs `e(src, dst)`, `nd(node)`, and
     * `h0(node, h)`: per round, raw authority sums, max-normalization,
@@ -7769,6 +7850,7 @@ object SparkEntry {
     "q_bm25" ->
       s"""WITH $bm25CtesSql
          SELECT rk, doc_id, dl, score FROM r WHERE rk <= 25 ORDER BY rk""",
+    "q_bm25_incr" -> bm25IncrSql,
     "q_inverted" ->
       """WITH toks AS (SELECT doc_id,
                               unnest(list_distinct(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))) AS term
@@ -9446,5 +9528,5 @@ object SparkEntry {
     "q_dedup_incr", "q_cluster_incr",
     // round 17
     "q_ann_incr", "q_cms_incr", "q_bloom_incr", "q_pagerank_incr",
-    "q_bpe_local", "q_dataset_card_tokens", "q_mix_tokens")
+    "q_bpe_local", "q_dataset_card_tokens", "q_mix_tokens", "q_bm25_incr")
 }

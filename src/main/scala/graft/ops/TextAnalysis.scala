@@ -765,22 +765,38 @@ object TextAnalysis {
       s"query terms must be distinct, got $queryTerms")
     require(k >= 1, s"k must be positive, got $k")
     val ti = queryTerms.indices
-    // coalesce to a non-null array: tf/dl become provably non-nullable,
-    // so the score>0 filter's NOT NULL inference folds away instead of
-    // pushing isnotnull predicates (each re-running the tokenizer
-    // kernel) down into the corpus scan.
-    val base = df
-      .select(col(idCol),
-        coalesce(tokens(col(textCol)), array().cast(ArrayType(StringType)))
-          .as("toks"))
-      .select(col(idCol) +: size(col("toks")).as("dl") +:
-        ti.map(i => size(filter(col("toks"), t => t === queryTerms(i)))
-          .as(s"tf_$i")): _*)
+    val base = bm25Base(df, idCol, textCol, queryTerms)
     val statCols = count(lit(1)).as("n_docs") +:
       sum(col("dl").cast(LongType)).cast(DoubleType).as("sum_dl") +:
       ti.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L))
         .as(s"df_$i"))
     val stats = base.agg(statCols.head, statCols.tail: _*)
+    bm25Serve(base, idCol, queryTerms, stats, k1, b, k)
+  }
+
+  /** Per-doc (id, dl, tf_i…) projection shared by the BM25 entry
+    * points — coalesce to a non-null array: tf/dl become provably
+    * non-nullable, so the score>0 filter's NOT NULL inference folds
+    * away instead of pushing isnotnull predicates (each re-running the
+    * tokenizer kernel) down into the corpus scan. */
+  private def bm25Base(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        coalesce(tokens(col(textCol)), array().cast(ArrayType(StringType)))
+          .as("toks"))
+      .select(col(idCol) +: size(col("toks")).as("dl") +:
+        queryTerms.indices.map(i =>
+          size(filter(col("toks"), t => t === queryTerms(i)))
+            .as(s"tf_$i")): _*)
+
+  /** BM25 scoring tail shared by [[bm25TopDocs]] (stats from the serve
+    * corpus itself) and [[bm25TopDocsFromStats]] (stats from stored
+    * artifacts) — ONE score expression, so the two paths cannot drift.
+    * `stats` is one row: `(n_docs, sum_dl double, df_0…df_n)`. */
+  private def bm25Serve(base: DataFrame, idCol: String,
+      queryTerms: Seq[String], stats: DataFrame, k1: Double, b: Double,
+      k: Int): DataFrame = {
+    val ti = queryTerms.indices
     val avgdl = col("sum_dl") / col("n_docs")
     // Fixed-order sum of per-term contributions (not an aggregate), so
     // the double addition order is part of the contract.
@@ -801,6 +817,72 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol))
     scored.select(row_number().over(w).as("rk"), col(idCol), col("dl"),
       col("score"))
+  }
+
+  /** DOCUMENT-FREQUENCY TABLE as a STORED mergeable artifact — the
+    * search-index member of the persistence family (hllRegisters /
+    * cmsGrids / ivfPqIndex precedent): one slim `(term, df)` row per
+    * distinct term (per-doc-distinct counts, the same tokenizer as
+    * every text op). df is a PURE SUM over disjoint snapshots, so
+    * [[dfTableMerge]] folds tonight's table into yesterday's WITHOUT
+    * rescanning history: merge(dfTable(A), dfTable(B)) == dfTable(A ∪ B)
+    * term for term (q_bm25_incr proves it). Pair with [[docStats]] for
+    * the corpus totals BM25/IDF serving needs. */
+  def dfTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Merge stored [[dfTable]]s by per-term SUM (snapshots must be
+    * doc-disjoint — an upsert needs dedup upstream, the
+    * [[graft.ops.Similarity.ivfPqIndexAppend]] contract). */
+  def dfTableMerge(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "dfTableMerge: need at least one table")
+    tables.map(_.select(col("term"), col("df"))).reduce(_ unionAll _)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+  }
+
+  /** Corpus totals `(n_docs, sum_dl)` for stored-stats BM25 serving —
+    * exact longs, additive across snapshots ([[docStatsMerge]]). */
+  def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(size(coalesce(tokens(col(textCol)),
+        array().cast(ArrayType(StringType)))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast(LongType)).as("sum_dl"))
+
+  def docStatsMerge(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "docStatsMerge: need at least one table")
+    tables.map(_.select(col("n_docs"), col("sum_dl"))).reduce(_ unionAll _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+  }
+
+  /** [[bm25TopDocs]] SERVING FROM STORED STATISTICS: score `df`'s docs
+    * (typically tonight's snapshot) against GLOBAL `(term, df)` +
+    * `(n_docs, sum_dl)` artifacts — corpus-wide IDF without rescanning
+    * the corpus; history contributes only its merged stats rows. With
+    * artifacts built single-pass over the same frame this is
+    * BIT-IDENTICAL to [[bm25TopDocs]] (shared serve tail; spec-pinned);
+    * terms absent from the table score with df = 0, exactly like a
+    * term absent from [[bm25TopDocs]]' own corpus. */
+  def bm25TopDocsFromStats(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], dfStats: DataFrame, totals: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 25): DataFrame = {
+    require(queryTerms.nonEmpty,
+      "bm25TopDocsFromStats needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"query terms must be distinct, got $queryTerms")
+    require(k >= 1, s"k must be positive, got $k")
+    val ti = queryTerms.indices
+    val dfCols = ti.map(i =>
+      coalesce(max(when(col("term") === queryTerms(i), col("df"))), lit(0L))
+        .as(s"df_$i"))
+    val wanted = dfStats.where(col("term").isin(queryTerms: _*))
+      .agg(dfCols.head, dfCols.tail: _*)
+    val stats = totals
+      .select(col("n_docs"), col("sum_dl").cast(DoubleType).as("sum_dl"))
+      .crossJoin(broadcast(wanted))
+    bm25Serve(bm25Base(df, idCol, textCol, queryTerms), idCol,
+      queryTerms, stats, k1, b, k)
   }
 
   /** Inverted index over the `numTerms` RAREST terms (df ascending,

@@ -482,6 +482,46 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     kept shouldBe expect
   }
 
+  test("dfTable merge law + stored-stats BM25 serve: merged per-half " +
+      "tables equal the single-pass table term for term, and serving " +
+      "the full corpus from the merged artifacts is BIT-IDENTICAL to " +
+      "bm25TopDocs") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the lazy dog sleeps"),
+      (3L, "quick quick dup patterns"), (4L, "merge the dup tables"),
+      (5L, "vector search over text"), (6L, "dup dup dup everywhere"))
+      .toDF("doc_id", "text")
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    val merged = TextAnalysis.dfTableMerge(Seq(
+      TextAnalysis.dfTable(evens, "doc_id", "text"),
+      TextAnalysis.dfTable(odds, "doc_id", "text")))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long)].collect().sortBy(_._1).toSeq
+    rows(merged) shouldBe rows(TextAnalysis.dfTable(docs, "doc_id", "text"))
+    val tot = TextAnalysis.docStatsMerge(Seq(
+      TextAnalysis.docStats(evens, "doc_id", "text"),
+      TextAnalysis.docStats(odds, "doc_id", "text")))
+    tot.as[(Long, Long)].head() shouldBe ((6L, 24L)) // 6 docs x 4 tokens
+    val terms = Seq("dup", "merge", "vector")
+    val served = TextAnalysis.bm25TopDocsFromStats(docs, "doc_id", "text",
+        terms, merged, tot)
+      .as[(Int, Long, Int, Double)].collect().sortBy(_._1).toSeq
+    served shouldBe TextAnalysis.bm25TopDocs(docs, "doc_id", "text", terms)
+      .as[(Int, Long, Int, Double)].collect().sortBy(_._1).toSeq
+    served should not be empty
+    // a query term absent from the table scores with df = 0, like a
+    // term absent from bm25TopDocs' own corpus
+    val ghost = Seq("dup", "merge", "zzzghost")
+    TextAnalysis.bm25TopDocsFromStats(docs, "doc_id", "text", ghost,
+        merged, tot)
+      .as[(Int, Long, Int, Double)].collect().sortBy(_._1).toSeq shouldBe
+      TextAnalysis.bm25TopDocs(docs, "doc_id", "text", ghost)
+        .as[(Int, Long, Int, Double)].collect().sortBy(_._1).toSeq
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.dfTableMerge(Seq.empty)
+  }
+
   test("skipgramPairs: hand-computed windowed pairs, canonical order, " +
       "short/empty docs contribute nothing") {
     val docs = Seq("a b c d", "b a", "x", "", null)
