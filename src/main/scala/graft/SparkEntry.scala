@@ -2056,6 +2056,47 @@ object SparkEntry {
           Seq("dup", "merge", "vector"), k1 = 1.2, b = 0.75, k = 25)
         .orderBy("rk")
     }),
+    "q_screen_incr" -> ((s, dir) => {
+      // INCREMENTAL CONTAMINATION INDEX (Dedup.winnowIndexCounted/
+      // winnowIndexMerge/winnowIndexServe): the online screen's
+      // winnow index as a MERGEABLE artifact — per-fp counts make the
+      // boilerplate cap mergeable (occupancy is monotone under union,
+      // so the cap re-applies on summed counts and equals the
+      // from-scratch index EXACTLY; an id-row index forgot the
+      // over-cap counts and could not). Two stored nightly builds
+      // (doc_id ≡ 0 and ≡ 2 mod 4) merge; the odd-id snapshot screens
+      // against the merged postings through the unchanged
+      // screenAgainstIndex. n_fp_mismatch diffs the merged table
+      // against the single-pass counted index over all evens — (n,
+      // ids) must agree fp for fp.
+      // k=25/w=10 (the q_stream_contamination choice): runs of 34+
+      // normalized codepoints are genuine verbatim overlap on this
+      // closed-vocabulary corpus, where the k=8 default's 11-codepoint
+      // runs are near-universal (the documented winnow degeneracy —
+      // measured 56k cross pairs at sf0.01 before this narrowing).
+      val d = t(s, dir, "documents")
+      val qa = Dedup.winnowIndexCounted(
+        d.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
+        k = 25, w = 10)
+      val qb = Dedup.winnowIndexCounted(
+        d.where(pmod(col("doc_id"), lit(4)) === 2), "doc_id", "text",
+        k = 25, w = 10)
+      val merged = Dedup.winnowIndexMerge(Seq(qa, qb))
+      val full = Dedup.winnowIndexCounted(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        k = 25, w = 10)
+      val mismatch = merged
+        .select(col("fp"), col("n").as("nm"), col("ids").as("im"))
+        .join(full.select(col("fp"), col("n").as("nf"),
+          col("ids").as("if_")), Seq("fp"), "full_outer")
+        .agg(sum(when(col("nm") <=> col("nf") && col("im") <=> col("if_"),
+          0L).otherwise(1L)).as("n_fp_mismatch"))
+      Dedup.screenAgainstIndex(
+          d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+          Dedup.winnowIndexServe(merged), k = 25, w = 10, minShared = 1)
+        .crossJoin(broadcast(mismatch))
+        .orderBy("cand_id", "train_id")
+    }),
     "q_bm25_incr" -> ((s, dir) => {
       // INCREMENTAL SEARCH-INDEX STATISTICS (TextAnalysis.dfTable/
       // dfTableMerge/docStats/docStatsMerge + bm25TopDocsFromStats) —
@@ -7851,6 +7892,43 @@ object SparkEntry {
       s"""WITH $bm25CtesSql
          SELECT rk, doc_id, dl, score FROM r WHERE rk <= 25 ORDER BY rk""",
     "q_bm25_incr" -> bm25IncrSql,
+    // Incremental winnow-index replay: per-quarter counted tables sum
+    // into the merged artifact (cap re-applied on merged counts),
+    // diffed against the single-pass counted index over all evens,
+    // then the standard screen joins the odd candidates against the
+    // merged postings.
+    "q_screen_incr" ->
+      raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
+              ${winnowCtesSql("d", k = 25, w = 10, maxBucket = None)},
+              hh AS MATERIALIZED (SELECT (doc_id % 4) AS q, fp,
+                            CAST(count(*) AS BIGINT) AS n,
+                            list_sort(list(doc_id)) AS ids
+                     FROM fp WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+              mg AS MATERIALIZED (SELECT fp, CAST(sum(n) AS BIGINT) AS n,
+                            CASE WHEN sum(n) <= 1000
+                                 THEN list_sort(flatten(list(ids)))
+                                 ELSE CAST([] AS BIGINT[]) END AS ids
+                     FROM (SELECT fp, n,
+                                  CASE WHEN n <= 1000 THEN ids
+                                       ELSE CAST([] AS BIGINT[]) END AS ids
+                           FROM hh)
+                     GROUP BY fp),
+              fr AS MATERIALIZED (SELECT fp, CAST(count(*) AS BIGINT) AS n,
+                            CASE WHEN count(*) <= 1000
+                                 THEN list_sort(list(doc_id))
+                                 ELSE CAST([] AS BIGINT[]) END AS ids
+                     FROM fp WHERE doc_id % 2 = 0 GROUP BY fp),
+              mm AS (SELECT CAST(sum(CASE WHEN m.n IS NOT DISTINCT FROM f.n
+                              AND m.ids IS NOT DISTINCT FROM f.ids
+                              THEN 0 ELSE 1 END) AS BIGINT) AS n_fp_mismatch
+                     FROM mg m FULL OUTER JOIN fr f ON f.fp = m.fp),
+              idx AS (SELECT fp, unnest(ids) AS train_id FROM mg),
+              cand AS (SELECT fp, doc_id AS cand_id FROM fp
+                       WHERE doc_id % 2 = 1)
+         SELECT c.cand_id, i.train_id, CAST(count(*) AS BIGINT) AS n_shared,
+                (SELECT n_fp_mismatch FROM mm) AS n_fp_mismatch
+         FROM cand c JOIN idx i USING (fp)
+         GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY cand_id, train_id""",
     "q_inverted" ->
       """WITH toks AS (SELECT doc_id,
                               unnest(list_distinct(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))) AS term
@@ -9528,5 +9606,6 @@ object SparkEntry {
     "q_dedup_incr", "q_cluster_incr",
     // round 17
     "q_ann_incr", "q_cms_incr", "q_bloom_incr", "q_pagerank_incr",
-    "q_bpe_local", "q_dataset_card_tokens", "q_mix_tokens", "q_bm25_incr")
+    "q_bpe_local", "q_dataset_card_tokens", "q_mix_tokens", "q_bm25_incr",
+    "q_screen_incr")
 }

@@ -478,6 +478,66 @@ object Dedup {
       maxBucketSize)
       .select(col("fp"), col("id").as("train_id"))
 
+  /** [[winnowIndex]] in MERGEABLE per-fp form — the contamination
+    * member of the incremental-artifact family: one row per
+    * fingerprint, `(fp, n, ids)` with `n` the bucket occupancy and
+    * `ids` the sorted posting list, EMPTIED (not just capped) when
+    * `n > maxBucketSize` — boilerplate fps keep their count but ship
+    * no postings, so no row is ever posting-bloated. The count makes
+    * the cap MERGEABLE: occupancy is monotone under union, so an fp
+    * over the cap in any snapshot is over it in every merged superset
+    * — [[winnowIndexMerge]] can therefore re-apply the cap on summed
+    * counts and equal the from-scratch counted index EXACTLY (an
+    * id-row index alone cannot: it forgot the over-cap counts).
+    * Serve via [[winnowIndexServe]] + [[screenAgainstIndex]].
+    * Snapshots must be doc-disjoint (the ivfPqIndexAppend contract). */
+  def winnowIndexCounted(train: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(train, idCol, textCol, k, w)
+    val counts = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    // postings collect only for under-cap fps (semi-join first), so an
+    // over-cap bucket never materializes its list — the capFpBuckets
+    // scale discipline
+    val ids = fps.join(counts.where(col("n") <= maxBucketSize)
+        .select(col("fp")), Seq("fp"), "left_semi")
+      .groupBy(col("fp"))
+      // ids stored as longs — the artifact schema is fixed so merged
+      // tables from different builds cannot type-drift
+      .agg(sort_array(collect_list(
+        col("id").cast(org.apache.spark.sql.types.LongType))).as("ids"))
+    counts.join(ids, Seq("fp"), "left")
+      .select(col("fp"), col("n"),
+        coalesce(col("ids"),
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))).as("ids"))
+  }
+
+  /** Merge stored [[winnowIndexCounted]] tables: counts SUM per fp,
+    * postings concatenate (re-sorted) where the MERGED count passes
+    * the cap and empty otherwise — exactly the from-scratch counted
+    * index of the concatenated snapshots (count monotonicity, see
+    * [[winnowIndexCounted]]); under-cap merged fps have every posting
+    * present because each part was under the cap too. */
+  def winnowIndexMerge(parts: Seq[DataFrame],
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(parts.nonEmpty, "winnowIndexMerge: need at least one table")
+    parts.map(_.select(col("fp"), col("n"), col("ids")))
+      .reduce(_ unionAll _)
+      .groupBy(col("fp"))
+      .agg(sum(col("n")).as("n"),
+        sort_array(flatten(collect_list(col("ids")))).as("__ids"))
+      .select(col("fp"), col("n"),
+        when(col("n") <= maxBucketSize, col("__ids"))
+          .otherwise(filter(col("__ids"), _ => lit(false))).as("ids"))
+  }
+
+  /** Explode a [[winnowIndexCounted]] table into [[winnowIndex]]'s
+    * `(fp, train_id)` serve rows — over-cap fps carry no postings and
+    * contribute nothing, identical to the from-scratch capped index;
+    * feed the result to [[screenAgainstIndex]]. */
+  def winnowIndexServe(counted: DataFrame): DataFrame =
+    counted.select(col("fp"), explode(col("ids")).as("train_id"))
+
   /** The ONLINE contamination screen: candidate documents checked
     * against a prebuilt [[winnowIndex]] — `(cand_id, train_id,
     * n_shared)` for every candidate sharing >= `minShared` fingerprints

@@ -465,6 +465,41 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
     got.map(r => (r._1 % 2, r._2 % 2)).toSet shouldBe Set((1L, 0L))
   }
 
+  test("winnowIndexCounted merge law: merged per-snapshot tables equal " +
+      "the from-scratch counted index fp for fp — including an fp " +
+      "UNDER the cap in each half but OVER it merged (count " +
+      "monotonicity re-applies the cap exactly); serving the merged " +
+      "index equals winnowIndex") {
+    // boilerplate sentence shared by all docs (its fps go over a tiny
+    // cap only when the halves merge) + distinct tails
+    val boiler = "identical boilerplate preamble text"
+    val docs = (1L to 8L).map(i =>
+      (i, s"$boiler unique tail number $i with words $i$i"))
+      .toDF("id", "text")
+    val a = docs.where(col("id") <= 4)
+    val b = docs.where(col("id") > 4)
+    val cap = 6 // boiler fps: 4 per half (kept), 8 merged (dropped)
+    val merged = Dedup.winnowIndexMerge(Seq(
+      Dedup.winnowIndexCounted(a, "id", "text", maxBucketSize = cap),
+      Dedup.winnowIndexCounted(b, "id", "text", maxBucketSize = cap)),
+      maxBucketSize = cap)
+    val scratch = Dedup.winnowIndexCounted(docs, "id", "text",
+      maxBucketSize = cap)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    rows(merged) shouldBe rows(scratch)
+    // the straddling case really occurred: some fp has n in (cap, 8]
+    // with an EMPTY posting list on both sides
+    rows(scratch).exists(r => r._2 > cap && r._3.isEmpty) shouldBe true
+    // serve parity with the id-row index
+    def serveRows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    serveRows(Dedup.winnowIndexServe(merged)) shouldBe
+      serveRows(Dedup.winnowIndex(docs, "id", "text", maxBucketSize = cap))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.winnowIndexMerge(Seq.empty)
+  }
+
   test("screenAgainstLshIndex caps the ARRIVING side's band buckets " +
       "too: a boilerplate-heavy snapshot stops probing through its " +
       "oversized buckets instead of re-creating the bucket blowup") {
