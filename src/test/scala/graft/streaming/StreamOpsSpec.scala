@@ -286,6 +286,44 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
       .sortBy(_._1).toSeq
   }
 
+  test("streaming sketch maintenance: cmsMergeGrids / bloomMergeWords " +
+      "inside foreachBatch across micro-batches equal the one-shot " +
+      "single-pass sketches of the whole feed") {
+    // The nightly sketch fold as a stream: each micro-batch builds its
+    // own grids/words and merges into the stored artifacts — sound
+    // because cell-wise sum and word-wise OR are associative, the same
+    // law the batch oracles (q_cms_incr / q_bloom_incr) prove.
+    import graft.ops.Sketches
+    val seed = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "k")
+    var cms = Sketches.cmsGrids(seed, Seq("g"), "k", 4, 32).localCheckpoint()
+    var bloom = Sketches.bloomWords(seed, Seq("g"), "k", 256, 3)
+      .localCheckpoint()
+    val in = MemoryStream[(String, Long)](spark)
+    val q = in.toDS().toDF("g", "k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pinned = batch.localCheckpoint()
+        cms = Sketches.cmsMergeGrids(Seq(cms,
+          Sketches.cmsGrids(pinned, Seq("g"), "k", 4, 32)), Seq("g"), 4, 32)
+          .localCheckpoint()
+        bloom = Sketches.bloomMergeWords(Seq(bloom,
+          Sketches.bloomWords(pinned, Seq("g"), "k", 256, 3)), Seq("g"), 256)
+          .localCheckpoint()
+        ()
+      }.start()
+    in.addData(("a", 2L), ("c", 9L))
+    q.processAllAvailable()
+    in.addData(("b", 3L), ("a", 7L), ("c", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val feed = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("a", 2L), ("c", 9L),
+      ("b", 3L), ("a", 7L), ("c", 1L)).toDF("g", "k")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Seq[Long])].collect().sortBy(_._1).toSeq
+    rows(cms) shouldBe rows(Sketches.cmsGrids(feed, Seq("g"), "k", 4, 32))
+    rows(bloom) shouldBe
+      rows(Sketches.bloomWords(feed, Seq("g"), "k", 256, 3))
+  }
+
   test("runningMean accumulates per-key state across batches (update mode)") {
     val in = MemoryStream[(String, Double)](spark)
     val out = StreamOps.runningMean(in.toDS())
