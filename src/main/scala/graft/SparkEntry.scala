@@ -2097,6 +2097,45 @@ object SparkEntry {
         .crossJoin(broadcast(mismatch))
         .orderBy("cand_id", "train_id")
     }),
+    "q_winnow_retract" -> ((s, dir) => {
+      // CONTAMINATION INDEX RETRACTION (Dedup.winnowIndexRetract) —
+      // the deletion half of q_screen_incr: takedown docs (doc_id ≡ 0
+      // mod 6) leave the stored counted index by recomputing THEIR
+      // fingerprints from their text (the only complete record — the
+      // artifact never stored over-cap postings), decrementing counts
+      // and array-subtracting postings. n_fp_mismatch diffs the
+      // retracted table against a from-scratch counted build on the
+      // surviving docs — (n, ids) must agree fp for fp, the
+      // q_screen_incr register-level form — and the screen of the odd
+      // snapshot served from the RETRACTED index is gated by the
+      // oracle's independent from-scratch replay over survivors (it
+      // never sees the index or the retraction). No fp crosses the
+      // cap downward at any tested SF (corpus << cap), so the default
+      // raise-on-uncap policy runs clean here; the uncap raise and the
+      // keepCappedOnUncap trade are pinned in DedupSpec synthetically.
+      val d = t(s, dir, "documents")
+      val evens = d.where(pmod(col("doc_id"), lit(2)) === 0)
+      val full = Dedup.winnowIndexCounted(evens, "doc_id", "text",
+        k = 25, w = 10)
+      val retracted = Dedup.winnowIndexRetract(full,
+        evens.where(pmod(col("doc_id"), lit(6)) === 0), "doc_id", "text",
+        k = 25, w = 10)
+      val scratch = Dedup.winnowIndexCounted(
+        evens.where(pmod(col("doc_id"), lit(6)) =!= 0), "doc_id", "text",
+        k = 25, w = 10)
+      val mismatch = retracted
+        .select(col("fp"), col("n").as("nr"), col("ids").as("ir"))
+        .join(scratch.select(col("fp"), col("n").as("ns"),
+          col("ids").as("is_")), Seq("fp"), "full_outer")
+        .agg(sum(when(col("nr") <=> col("ns") && col("ir") <=> col("is_"),
+          0L).otherwise(1L)).as("n_fp_mismatch"))
+      Dedup.screenAgainstIndex(
+          d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+          Dedup.winnowIndexServe(retracted), k = 25, w = 10,
+          minShared = 1)
+        .crossJoin(broadcast(mismatch))
+        .orderBy("cand_id", "train_id")
+    }),
     "q_bm25_incr" -> ((s, dir) => {
       // INCREMENTAL SEARCH-INDEX STATISTICS (TextAnalysis.dfTable/
       // dfTableMerge/docStats/docStatsMerge + bm25TopDocsFromStats) —
@@ -2657,6 +2696,45 @@ object SparkEntry {
             bits = 1 << 10, numHashes = 3).as("in_full_u5"))
         .orderBy("event_type")
     }),
+    "q_cms_retract" -> ((s, dir) => {
+      // CMS RETRACTION (Sketches.cmsSubtractGrids) — the deletion half
+      // of q_cms_incr's nightly story: a takedown batch (the day >=
+      // 19740 rows standing in for retracted history) builds its own
+      // grid, which SUBTRACTS cell-wise from the stored full grid —
+      // counters are pure sums, so base − delta == grid(survivors)
+      // CELL FOR CELL, proven here against an independent single-pass
+      // build on the surviving rows (n_cell_mismatch), with the u5
+      // point estimate served from the retracted state next to the
+      // survivors-build one (equal longs). Negative cells (retracting
+      // rows never inserted) raise inside the op — the contract the
+      // spec trips deliberately. Bloom/HLL have NO such fold (OR/max
+      // are idempotent): their retraction entry points raise with the
+      // rebuild-window remedy (SketchesSpec pins the raises).
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+      val g = Seq("event_type")
+      val full = Sketches.cmsGrids(ev, g, "user_id", depth = 4, width = 64)
+      val delta = Sketches.cmsGrids(ev.where(col("day") >= 19740), g,
+        "user_id", depth = 4, width = 64)
+      val retracted = Sketches.cmsSubtractGrids(full, delta, g,
+        depth = 4, width = 64)
+      val survivors = Sketches.cmsGrids(ev.where(col("day") < 19740), g,
+        "user_id", depth = 4, width = 64)
+      retracted.select(col("event_type"), col("cms_grid").as("gr"))
+        .join(survivors.select(col("event_type"), col("cms_grid").as("gs")),
+          Seq("event_type"))
+        .select(col("event_type"),
+          aggregate(zip_with(col("gr"), col("gs"),
+              (x, y) => when(x === y, 0L).otherwise(1L)),
+            lit(0L), (acc, v) => acc + v).as("n_cell_mismatch"),
+          aggregate(slice(col("gr"), 1, 64), lit(0L),
+            (acc, v) => acc + v).as("n_events_surviving"),
+          Sketches.cmsEstimate(col("gr"), lit(5L), depth = 4, width = 64)
+            .as("est_u5_retracted"),
+          Sketches.cmsEstimate(col("gs"), lit(5L), depth = 4, width = 64)
+            .as("est_u5_survivors"))
+        .orderBy("event_type")
+    }),
     "q_url_norm" -> ((s, dir) => {
       // URL canonicalization (Urls.urlKeys): the crawl dedup key. The
       // corpus has no URLs, so each doc_id%5 class builds one
@@ -3089,11 +3167,40 @@ object SparkEntry {
       // the bipartite pairs INDEPENDENTLY (exact string-shingle
       // Jaccard over all cross pairs — the q_dedup_minhash
       // independent-recompute form, never seeing the index machinery).
+      // CAP-vs-ORACLE note: the screen's bucket-size cap (both sides,
+      // maxBucketSize=1000) DROPS pairs the exact-Jaccard oracle still
+      // counts; on this corpus no band bucket approaches the cap at
+      // any tested SF (the k=5 shingle space is combinatorial — the
+      // q_setsim degeneracy is unigram-only), so cap behavior is
+      // bench-invisible here and oracle-gated only in DedupSpec's
+      // synthetic boilerplate corpus. A boilerplate-heavy REAL
+      // snapshot surfaces as an oracle diff by design: the cap is a
+      // recall trade, and this query's contract is the uncapped
+      // regime.
       val d = t(s, dir, "documents")
       val idx = Dedup.lshDedupIndex(
         d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
       Dedup.screenAgainstLshIndex(
           d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", idx)
+        .orderBy("new_id", "old_id")
+    }),
+    "q_lsh_retract" -> ((s, dir) => {
+      // LSH INDEX RETIREMENT (Dedup.lshIndexRetract) — the deletion
+      // half of q_dedup_incr: takedown ids (doc_id ≡ 0 mod 6, a third
+      // of the history) anti-join out of the stored per-doc index,
+      // and tonight's screen against the retracted index EQUALS the
+      // from-scratch screen against the surviving corpus — the oracle
+      // IS that independent recompute (exact cross-pair Jaccard over
+      // survivors only; it never sees the index or the retraction).
+      // One broadcast-able anti-join; no rebuild, no text rescan.
+      val d = t(s, dir, "documents")
+      val idx = Dedup.lshDedupIndex(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      val retracted = Dedup.lshIndexRetract(idx,
+        d.where(pmod(col("doc_id"), lit(6)) === 0).select(col("doc_id")))
+      Dedup.screenAgainstLshIndex(
+          d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+          retracted)
         .orderBy("new_id", "old_id")
     }),
     "q_cluster_incr" -> ((s, dir) => {
@@ -3128,6 +3235,42 @@ object SparkEntry {
           col("cluster_size"))
         .orderBy("doc_id")
     }),
+    "q_dedup_retract" -> ((s, dir) => {
+      // CLUSTER RETRACTION (Dedup.retractClusters) — the splice
+      // q_cluster_incr cannot undo: min-label propagation only MERGES,
+      // so a takedown that removes a BRIDGE doc must SPLIT its
+      // component, and the stored labels alone cannot say where. The
+      // stored PAIR SET (the per-night confirmed pairs the incremental
+      // pipeline already persists) seeds a LOCAL re-closure: only
+      // components that lost a member re-run, over surviving pairs
+      // only; untouched components pass through by anti-join. The
+      // takedown set here is ADVERSARIAL by construction — every
+      // component's MIN-id member (guaranteed cluster members, forcing
+      // a relabel of every component, splits where the min was a
+      // bridge, and singleton collapse where a pair-component drops to
+      // one doc). The oracle recomputes INDEPENDENTLY: a second
+      // from-scratch closure over the surviving corpus's exact-Jaccard
+      // pairs — it never sees the labels, the pair store, or the
+      // repair machinery. The pair store rides through
+      // pairStoreCompact first, proving the compacted layout is
+      // fold-transparent (compaction is the other half of the nightly
+      // artifact story).
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(d, "doc_id", "text")
+      val clustered = Dedup.nearDupClusters(pairs)
+      val allIds = d.select(col("doc_id").as("id"))
+      val oldLabels = clustered.unionByName(
+        allIds.join(clustered.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster_id"),
+            lit(1L).as("cluster_size")))
+      val removed = clustered.select(col("cluster_id").as("id")).distinct()
+      Dedup.retractClusters(oldLabels,
+          Dedup.pairStoreCompact(pairs.select(col("id_a"), col("id_b"))),
+          removed)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    }),
     "q_ann_incr" -> ((s, dir) => {
       // INCREMENTAL ANN INDEX MAINTENANCE (Similarity.ivfPqIndex /
       // ivfPqIndexAppend / ivfPqServeAdc) — the ANN member of the
@@ -3158,6 +3301,82 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfPqServeAdc(folded, "vec_id", queries, "qid", "qvec",
+          k = 5, cents, nprobe = 8, books)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"),
+          (pmod(col("neighbor_id"), lit(2)) === 1).as("from_new"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_upsert" -> ((s, dir) => {
+      // ANN INDEX UPSERT (Similarity.ivfPqIndexUpsert) — the
+      // re-embedding path q_ann_incr's disjoint-id contract excludes:
+      // tonight's snapshot carries the odd-id half PLUS re-embedded
+      // versions of known history docs (vec_id ≡ 0 mod 10, their
+      // vectors deterministically changed — reversed — standing in for
+      // an encoder re-run), so the stored code rows for those ids must
+      // retire before the append or the index would serve both
+      // versions. One anti-join on the arriving id set + the same
+      // O(|snapshot|) encode against the STORED artifacts. Because
+      // encoding is a pure per-row function of (vector, artifacts),
+      // the upserted index EQUALS the from-scratch build over the
+      // FINAL vector per id — and the oracle IS that independent
+      // rebuild (trains on the ORIGINAL history, encodes the final
+      // corpus, never sees the upsert). Queries come from the FINAL
+      // corpus, so query 0 probes with its re-embedded vector.
+      val emb = t(s, dir, "embeddings")
+      val evens = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odds = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cents = Similarity.trainCentroids(evens, "vec_id", "embedding",
+        k = 16, iters = 5, sampleFraction = 0.1)
+      val books = Similarity.pqCodebooks(evens, "vec_id", "embedding",
+        dim = 64, m = 8, ks = 16, iters = 5, sampleFraction = 0.1)
+      val stored = Similarity.ivfPqIndex(evens, "vec_id", "embedding",
+        cents, books)
+      val snapshot = odds.select(col("vec_id"), col("embedding"))
+        .unionByName(evens.where(pmod(col("vec_id"), lit(10)) === 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      val upserted = Similarity.ivfPqIndexUpsert(stored, snapshot,
+        "vec_id", "embedding", cents, books)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          when(pmod(col("vec_id"), lit(10)) === 0,
+            reverse(col("embedding"))).otherwise(col("embedding"))
+            .as("qvec"))
+      Similarity.ivfPqServeAdc(upserted, "vec_id", queries, "qid", "qvec",
+          k = 5, cents, nprobe = 8, books)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score"),
+          (pmod(col("neighbor_id"), lit(10)) === 0).as("re_embedded"))
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_compact" -> ((s, dir) => {
+      // ANN INDEX COMPACTION (Similarity.ivfPqIndexCompact) —
+      // q_ann_incr served from the COMPACTED fold: after N nightly
+      // appends the stored index fragments (every fold unions another
+      // snapshot's files; a probed cluster's codes scatter across all
+      // of them), so the artifact is rewritten range-partitioned by
+      // cluster, sorted within partitions — the layout the ADC serve
+      // actually wants. Compaction is PURE layout (the row set is
+      // untouched), so this query's results are byte-identical to
+      // q_ann_incr's and the SAME independent from-scratch oracle
+      // gates both — that equality, oracle-checked end to end, is the
+      // compact(fold(...)) == fold(...) proof at query level
+      // (SimilaritySpec pins it row-for-row too).
+      val emb = t(s, dir, "embeddings")
+      val evens = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odds = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val cents = Similarity.trainCentroids(evens, "vec_id", "embedding",
+        k = 16, iters = 5, sampleFraction = 0.1)
+      val books = Similarity.pqCodebooks(evens, "vec_id", "embedding",
+        dim = 64, m = 8, ks = 16, iters = 5, sampleFraction = 0.1)
+      val stored = Similarity.ivfPqIndex(evens, "vec_id", "embedding",
+        cents, books)
+      val folded = Similarity.ivfPqIndexAppend(stored, odds,
+        "vec_id", "embedding", cents, books)
+      val compacted = Similarity.ivfPqIndexCompact(folded, "vec_id")
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqServeAdc(compacted, "vec_id", queries, "qid", "qvec",
           k = 5, cents, nprobe = 8, books)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("score"), 6).as("score"),
@@ -3636,6 +3855,55 @@ object SparkEntry {
           abs(col("p90_est") - col("p90_exact")).as("p90_abs_err"))
         .orderBy("lang")
     }),
+    "q_quantile_incr" -> ((s, dir) => {
+      // INCREMENTAL QUANTILES (Sketches.quantileSummaries/
+      // quantileMergeSummaries/summaryQuantile): the quantile member
+      // of the mergeable-sketch persistence family, closing the gap
+      // the header note explains — KLL/GK/t-digest compactions are
+      // order-sensitive, so their merged and single-pass summaries
+      // legitimately differ; the bottom-k-by-hash summary is closed
+      // under union, so merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+      // PAIR FOR PAIR. Per-lang summaries build per corpus half (even/
+      // odd doc ids standing in for two nightly snapshots), fold
+      // WITHOUT rescanning either corpus, and the artifact proves the
+      // closure (n_pair_mismatch vs the single-pass full build — keys
+      // AND values, the strongest register-level form), then serves
+      // p50/p90 from the MERGED state next to the EXACT percentiles
+      // with their abs errors — the rank-error bound ~1.25/sqrt(k)
+      // made measurable, the q_quantile_sketch presentation.
+      val docs = t(s, dir, "documents").select(col("lang"),
+        pmod(col("doc_id"), lit(2)).as("half"),
+        LongHashes.splitmix64(col("doc_id")).as("h"),
+        col("n_chars").cast(LongType).as("v"))
+      val g = Seq("lang")
+      val sa = Sketches.quantileSummaries(
+        docs.where(col("half") === 0), g, "h", "v", k = 32)
+      val sb = Sketches.quantileSummaries(
+        docs.where(col("half") === 1), g, "h", "v", k = 32)
+      val merged = Sketches.quantileMergeSummaries(Seq(sa, sb), g, k = 32)
+      val full = Sketches.quantileSummaries(docs, g, "h", "v", k = 32)
+      val ex = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(n_chars, 0.5D)").as("p50_exact"),
+          expr("percentile(n_chars, 0.9D)").as("p90_exact"))
+      merged.select(col("lang"), col("qsketch").as("qm"))
+        .join(full.select(col("lang"), col("qsketch").as("qf")),
+          Seq("lang"))
+        .select(col("lang"),
+          size(col("qm")).cast(LongType).as("n_sample"),
+          when(col("qm") <=> col("qf"), lit(0L)).otherwise(lit(1L))
+            .as("n_pair_mismatch"),
+          Sketches.summaryQuantile(col("qm"), 0.5).as("p50_est"),
+          Sketches.summaryQuantile(col("qm"), 0.9).as("p90_est"))
+        .join(ex, Seq("lang"))
+        .select(col("lang"), col("n"), col("n_sample"),
+          col("n_pair_mismatch"),
+          col("p50_est"), col("p50_exact"),
+          abs(col("p50_est") - col("p50_exact")).as("p50_abs_err"),
+          col("p90_est"), col("p90_exact"),
+          abs(col("p90_est") - col("p90_exact")).as("p90_abs_err"))
+        .orderBy("lang")
+    }),
     "q_diversity" -> ((s, dir) => {
       // Character-diversity quality gate: per-codepoint counts folded
       // to the Simpson collision probability in ONE codegen'd pass.
@@ -3875,15 +4143,19 @@ object SparkEntry {
         liAll.where(pmod(col("l_orderkey"), lit(2)) === 0)).unionByName(sn)
       val newEdges = partSupp(liAll).unionByName(sn)
       val stored = Graph.pageRankDangling(oldEdges, "src", "dst", iters = 5)
-      val warm = Graph.pageRankWarmStart(newEdges, "src", "dst",
-        stored, "node", "score", iters = 3)
-      val cold = Graph.pageRankDangling(newEdges, "src", "dst", iters = 3)
+      // the three chains on the GROWN graph share one PrGraph: the
+      // distinct/degree/universe/dangling derivation is paid once, not
+      // per chain (Graph.prGraph — bit-identical rounds)
+      val g = Graph.prGraph(newEdges, "src", "dst")
+      val warm = Graph.pageRankWarmStartOn(g, stored, "node", "score",
+        iters = 3)
+      val cold = Graph.pageRankDanglingOn(g, iters = 3)
       // the 8-round reference CONTINUES the cold chain (5 more rounds
       // from the stored 3-round table) — exactly 8 cold rounds by the
       // round-composition law the op guarantees (GraphSpec pins it),
       // for 16 total rounds instead of 19
-      val ref = Graph.pageRankWarmStart(newEdges, "src", "dst",
-        cold, "node", "score", iters = 5)
+      val ref = Graph.pageRankWarmStartOn(g, cold, "node", "score",
+        iters = 5)
       ref.select(col("node"), col("score").as("score_ref"))
         .join(warm.select(col("node"), col("score").as("score_warm")),
           Seq("node"))
@@ -4674,18 +4946,24 @@ object SparkEntry {
     * halves (`z*lo + ((z*hi) % 2^32) * 2^32`, products <= 2^96) so
     * nothing overflows HUGEINT; xors/shifts round-trip through UBIGINT.
     * `from` is the CTE holding (`carry` cols..., z). */
-  private def splitmixCtesSql(from: String, carry: String): String = {
+  private def splitmixCtesSql(from: String, carry: String,
+      pfx: String = ""): String = {
     val t64 = "CAST('18446744073709551616' AS HUGEINT)"
     def mulmod(lo: Long, hi: Long): String =
       s"(z * $lo + ((z * $hi) % 4294967296) * 4294967296) % $t64"
     def xorshift(n: Int): String =
       s"CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> $n) AS HUGEINT)"
-    raw"""h0 AS (SELECT $carry, (z + 11400714819323198485) % $t64 AS z FROM $from),
-         |h1 AS (SELECT $carry, ${xorshift(30)} AS z FROM h0),
-         |h2 AS (SELECT $carry, ${mulmod(484763065L, 3210233709L)} AS z FROM h1),
-         |h3 AS (SELECT $carry, ${xorshift(27)} AS z FROM h2),
-         |h4 AS (SELECT $carry, ${mulmod(321982955L, 2496678331L)} AS z FROM h3),
-         |h5 AS (SELECT $carry, ${xorshift(31)} AS z FROM h4)""".stripMargin
+    // pfx: rename the chain's CTEs (h0..h5 -> ${pfx}h0..${pfx}h5) so a
+    // query can run a SECOND independent chain — e.g. the literal
+    // probe-key replay next to the data chain (q_cms_incr's probe must
+    // NOT derive from observed rows: a key absent at some SF would
+    // empty the probe frame and fake a parity failure).
+    raw"""${pfx}h0 AS (SELECT $carry, (z + 11400714819323198485) % $t64 AS z FROM $from),
+         |${pfx}h1 AS (SELECT $carry, ${xorshift(30)} AS z FROM ${pfx}h0),
+         |${pfx}h2 AS (SELECT $carry, ${mulmod(484763065L, 3210233709L)} AS z FROM ${pfx}h1),
+         |${pfx}h3 AS (SELECT $carry, ${xorshift(27)} AS z FROM ${pfx}h2),
+         |${pfx}h4 AS (SELECT $carry, ${mulmod(321982955L, 2496678331L)} AS z FROM ${pfx}h3),
+         |${pfx}h5 AS (SELECT $carry, ${xorshift(31)} AS z FROM ${pfx}h4)""".stripMargin
   }
 
   /** DuckDB replay of [[graft.ops.Sketches.sketchQuantile]] over a
@@ -4746,16 +5024,22 @@ object SparkEntry {
     * WITH RECURSIVE): yields `p` (confirmed pairs at Jaccard >= 0.5),
     * symmetric edges `e`, reachability `reach`, and `lab(id,
     * cluster_id)` -- min-id component labels. */
-  private val closureSql: String =
-    """p AS (SELECT id_a, id_b FROM c WHERE 2*i >= la + lb - i),
-      |              e AS (SELECT id_a AS src, id_b AS dst FROM p
-      |                    UNION SELECT id_b, id_a FROM p),
-      |              reach(id, r) AS (
-      |                SELECT src, dst FROM e
+  private val closureSql: String = closureSqlSfx("")
+
+  /** [[closureSql]] with SUFFIXED CTE names (`c$sfx` in, `lab$sfx`
+    * out) so one query can run TWO independent closures — the
+    * q_dedup_retract oracle recomputes the surviving corpus's
+    * components next to the full corpus's. */
+  private def closureSqlSfx(sfx: String): String =
+    s"""p$sfx AS (SELECT id_a, id_b FROM c$sfx WHERE 2*i >= la + lb - i),
+      |              e$sfx AS (SELECT id_a AS src, id_b AS dst FROM p$sfx
+      |                    UNION SELECT id_b, id_a FROM p$sfx),
+      |              reach$sfx(id, r) AS (
+      |                SELECT src, dst FROM e$sfx
       |                UNION
-      |                SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
-      |              lab AS (SELECT id, least(id, min(r)) AS cluster_id
-      |                      FROM reach GROUP BY id)""".stripMargin
+      |                SELECT e$sfx.src, reach$sfx.r FROM e$sfx JOIN reach$sfx ON e$sfx.dst = reach$sfx.id),
+      |              lab$sfx AS (SELECT id, least(id, min(r)) AS cluster_id
+      |                      FROM reach$sfx GROUP BY id)""".stripMargin
 
   /** Exact-dedup prefix of the curation oracles: min-id keeper per
     * byte-identical text. */
@@ -5063,7 +5347,9 @@ object SparkEntry {
   private def kmeansPrefixSql(k: Int, iters: Int, dim: Int,
       sampleFraction: Double, seed: Long,
       materializeBase: Boolean = false,
-      histWhere: String = ""): String = {
+      histWhere: String = "",
+      corpusSelect: String = "",
+      histSelect: String = ""): String = {
     import graft.ops.Similarity.{SampleMod, SampleMul}
     val keep = (sampleFraction * SampleMod).toLong
     // materializeBase: the composed q_ann_ivfpq oracle references e and
@@ -5103,11 +5389,21 @@ object SparkEntry {
          |cent$i AS (SELECT j, ${normalize("m")} AS c FROM raw$i)""".stripMargin
     }.mkString(",\n")
     val cents = s"cent$iters"
-    val ehCte = if (histWhere.isEmpty) ""
-      else s"     eh AS MATERIALIZED (SELECT vec_id, v FROM e WHERE $histWhere),\n"
-    val trainBase = if (histWhere.isEmpty) "e" else "eh"
-    s"""e AS $mat(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |           FROM embeddings),
+    // corpusSelect / histSelect: override the encode corpus and the
+    // training history INDEPENDENTLY — the q_ann_upsert replay, where
+    // artifacts train on the ORIGINAL history but the encode corpus
+    // carries re-embedded vectors the history never had (so eh cannot
+    // derive from e). Defaults preserve the original text byte-for-byte.
+    val corpus = if (corpusSelect.nonEmpty) corpusSelect
+      else "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n           FROM embeddings"
+    val ehCte =
+      if (histSelect.nonEmpty)
+        s"     eh AS MATERIALIZED ($histSelect),\n"
+      else if (histWhere.nonEmpty)
+        s"     eh AS MATERIALIZED (SELECT vec_id, v FROM e WHERE $histWhere),\n"
+      else ""
+    val trainBase = if (ehCte.isEmpty) "e" else "eh"
+    s"""e AS $mat($corpus),
        |$ehCte     train AS $mat(SELECT vec_id, v FROM $trainBase
        |               WHERE ((vec_id % $SampleMod) * $SampleMul + $seed) % $SampleMod < $keep),
        |     init AS (SELECT vec_id, v FROM $trainBase ORDER BY vec_id LIMIT $k),
@@ -5334,13 +5630,16 @@ object SparkEntry {
     * `from_new` marks neighbors that arrived in the folded snapshot. */
   private def ivfPqIncrSql(kCoarse: Int, m: Int, ks: Int, sub: Int,
       iters: Int, nprobe: Int, topk: Int,
-      sampleFraction: Double, seed: Long): String = {
+      sampleFraction: Double, seed: Long,
+      corpusSelect: String = "", histSelect: String = "",
+      flagSql: String = "(nid % 2 = 1) AS from_new"): String = {
     val dim = m * sub
     val dot = sqlDot(dim) _
     def cos(a: String, b: String): String =
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
     s"""WITH ${kmeansPrefixSql(kCoarse, iters, dim, sampleFraction, seed,
-            materializeBase = true, histWhere = "vec_id % 2 = 0")},
+            materializeBase = true, histWhere = "vec_id % 2 = 0",
+            corpusSelect = corpusSelect, histSelect = histSelect)},
        |${pqChainsSql(m, ks, sub, iters, initCte = "eh")},
        |     q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 10),
        |     qprobe AS (SELECT qid, cluster FROM (
@@ -5356,7 +5655,7 @@ object SparkEntry {
        |                                 JOIN q ON q.vec_id = cd.qid)
        |              WHERE sc IS NOT NULL)
        |SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INTEGER) AS rank,
-       |       round(sc, 6) AS score, (nid % 2 = 1) AS from_new
+       |       round(sc, 6) AS score, $flagSql
        |FROM adcrk WHERE rn <= $topk ORDER BY query_id, rank""".stripMargin
   }
 
@@ -7480,6 +7779,52 @@ object SparkEntry {
                  e.p50_est, x.p50_exact, abs(e.p50_est - x.p50_exact) AS p50_abs_err,
                  e.p90_est, x.p90_exact, abs(e.p90_est - x.p90_exact) AS p90_abs_err
           FROM est e JOIN ex x USING (lang) ORDER BY lang""",
+    // Incremental-quantile replay: per-half bottom-32 keep sets by the
+    // splitmix chain, merged by re-ranking their UNION (the sketch
+    // fold, re-derived independently), the single-pass bottom-32 next
+    // to it, pair-lists diffed (keys AND values), then the same
+    // explicit interpolation over the merged values — exact
+    // percentiles ride along via quantile_cont.
+    "q_quantile_incr" ->
+      raw"""WITH d0 AS (SELECT lang, doc_id % 2 AS half, n_chars,
+                               CAST(doc_id AS HUGEINT) AS z
+                        FROM documents WHERE n_chars IS NOT NULL),
+               ${splitmixCtesSql("d0", "lang, half, n_chars")},
+               rk AS MATERIALIZED (SELECT lang, half, n_chars, z,
+                             row_number() OVER (PARTITION BY lang, half
+                                                ORDER BY z) AS rn
+                      FROM h5),
+               mg0 AS (SELECT lang, n_chars, z,
+                              row_number() OVER (PARTITION BY lang
+                                                 ORDER BY z) AS rn
+                       FROM rk WHERE rn <= 32),
+               sm AS MATERIALIZED (SELECT lang,
+                             list(struct_pack(z := z, v := n_chars)
+                                  ORDER BY z) AS pm,
+                             list_sort(list(n_chars)) AS vs,
+                             CAST(count(*) AS BIGINT) AS n_sample
+                      FROM mg0 WHERE rn <= 32 GROUP BY lang),
+               fl AS (SELECT lang,
+                             list(struct_pack(z := z, v := n_chars)
+                                  ORDER BY z) AS pf
+                      FROM (SELECT lang, n_chars, z,
+                                   row_number() OVER (PARTITION BY lang
+                                                      ORDER BY z) AS rn
+                            FROM h5) WHERE rn <= 32 GROUP BY lang),
+               ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                             quantile_cont(n_chars, 0.5) AS p50_exact,
+                             quantile_cont(n_chars, 0.9) AS p90_exact
+                      FROM documents GROUP BY lang),
+               est AS (SELECT s.lang, s.n_sample,
+                              CAST(CASE WHEN s.pm = f.pf THEN 0 ELSE 1
+                                   END AS BIGINT) AS n_pair_mismatch,
+                              ${sketchQuantileSql("vs", "n_sample", "0.5")} AS p50_est,
+                              ${sketchQuantileSql("vs", "n_sample", "0.9")} AS p90_est
+                       FROM sm s JOIN fl f USING (lang))
+          SELECT e.lang, x.n, e.n_sample, e.n_pair_mismatch,
+                 e.p50_est, x.p50_exact, abs(e.p50_est - x.p50_exact) AS p50_abs_err,
+                 e.p90_est, x.p90_exact, abs(e.p90_est - x.p90_exact) AS p90_abs_err
+          FROM est e JOIN ex x USING (lang) ORDER BY lang""",
     "q_diversity" ->
       """WITH ch AS (SELECT doc_id,
                             unnest(list_transform(range(1, length(text) + 1),
@@ -7714,6 +8059,51 @@ object SparkEntry {
                      AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s))
          SELECT new_id, old_id, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
          FROM c WHERE 2*i >= la + lb - i ORDER BY new_id, old_id""",
+    // LSH-retract oracle: the q_dedup_incr independent recompute with
+    // the takedown ids (doc_id % 6 = 0) excluded from the OLD side —
+    // it never sees the index or the anti-join retirement.
+    "q_lsh_retract" ->
+      raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
+              sh AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, greatest(length(t)-4,1)+1),
+                                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS s
+                     FROM d),
+              c AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                           len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+                    FROM sh a JOIN sh b
+                      ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                     AND b.doc_id % 6 <> 0
+                     AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s))
+         SELECT new_id, old_id, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+         FROM c WHERE 2*i >= la + lb - i ORDER BY new_id, old_id""",
+    // Cluster-retraction oracle: TWO independent closures — the full
+    // corpus's (only to derive the adversarial takedown set: every
+    // component's min-id member) and a SECOND from-scratch closure
+    // over the SURVIVING corpus's exact-Jaccard pairs, whose labels +
+    // sizes + singletons are the expected output. It never sees the
+    // stored labels, the pair store, or the repair machinery.
+    "q_dedup_retract" ->
+      raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
+              $closureSql,
+              rm AS (SELECT DISTINCT cluster_id AS doc_id FROM lab),
+              c2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            len(list_intersect(a.s, b.s)) AS i,
+                            len(a.s) AS la, len(b.s) AS lb
+                     FROM sh a JOIN sh b
+                       ON a.doc_id < b.doc_id
+                      AND len(b.s) <= 2*len(a.s) AND len(a.s) <= 2*len(b.s)
+                     WHERE a.doc_id NOT IN (SELECT doc_id FROM rm)
+                       AND b.doc_id NOT IN (SELECT doc_id FROM rm)),
+              ${closureSqlSfx("2")},
+              sz2 AS (SELECT cluster_id, count(*) AS cluster_size
+                      FROM lab2 GROUP BY cluster_id)
+         SELECT lab2.id AS doc_id, lab2.cluster_id, sz2.cluster_size
+         FROM lab2 JOIN sz2 USING (cluster_id)
+         UNION ALL
+         SELECT doc_id, doc_id, CAST(1 AS BIGINT) FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM rm)
+           AND doc_id NOT IN (SELECT id FROM lab2)
+         ORDER BY doc_id""",
     "q_dedup_clusters" ->
       raw"""WITH RECURSIVE ${shinglePairsSql("documents")},
               $closureSql,
@@ -7923,6 +8313,48 @@ object SparkEntry {
                               THEN 0 ELSE 1 END) AS BIGINT) AS n_fp_mismatch
                      FROM mg m FULL OUTER JOIN fr f ON f.fp = m.fp),
               idx AS (SELECT fp, unnest(ids) AS train_id FROM mg),
+              cand AS (SELECT fp, doc_id AS cand_id FROM fp
+                       WHERE doc_id % 2 = 1)
+         SELECT c.cand_id, i.train_id, CAST(count(*) AS BIGINT) AS n_shared,
+                (SELECT n_fp_mismatch FROM mm) AS n_fp_mismatch
+         FROM cand c JOIN idx i USING (fp)
+         GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY cand_id, train_id""",
+    // Winnow-retraction replay: the retraction is re-derived as plain
+    // arithmetic (full counts minus the removed docs' counts, postings
+    // list-subtracted), diffed cell-for-cell against a from-scratch
+    // build on the SURVIVING docs, and the screen is served from that
+    // independent survivors build — never from the Spark artifact.
+    "q_winnow_retract" ->
+      raw"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g') AS t FROM documents),
+              ${winnowCtesSql("d", k = 25, w = 10, maxBucket = None)},
+              fr0 AS MATERIALIZED (SELECT fp, CAST(count(*) AS BIGINT) AS n,
+                            CASE WHEN count(*) <= 1000
+                                 THEN list_sort(list(doc_id))
+                                 ELSE CAST([] AS BIGINT[]) END AS ids
+                     FROM fp WHERE doc_id % 2 = 0 GROUP BY fp),
+              rmf AS MATERIALIZED (SELECT fp, CAST(count(*) AS BIGINT) AS n_rm,
+                            list_sort(list(doc_id)) AS ids_rm
+                     FROM fp WHERE doc_id % 6 = 0 GROUP BY fp),
+              rt AS MATERIALIZED (SELECT f.fp,
+                            f.n - COALESCE(r.n_rm, 0) AS n,
+                            CASE WHEN f.n <= 1000
+                                 THEN list_filter(f.ids, x ->
+                                   NOT list_contains(COALESCE(r.ids_rm,
+                                     CAST([] AS BIGINT[])), x))
+                                 ELSE CAST([] AS BIGINT[]) END AS ids
+                     FROM fr0 f LEFT JOIN rmf r USING (fp)
+                     WHERE f.n - COALESCE(r.n_rm, 0) > 0),
+              sc AS MATERIALIZED (SELECT fp, CAST(count(*) AS BIGINT) AS n,
+                            CASE WHEN count(*) <= 1000
+                                 THEN list_sort(list(doc_id))
+                                 ELSE CAST([] AS BIGINT[]) END AS ids
+                     FROM fp WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0
+                     GROUP BY fp),
+              mm AS (SELECT CAST(sum(CASE WHEN r.n IS NOT DISTINCT FROM s.n
+                              AND r.ids IS NOT DISTINCT FROM s.ids
+                              THEN 0 ELSE 1 END) AS BIGINT) AS n_fp_mismatch
+                     FROM rt r FULL OUTER JOIN sc s ON s.fp = r.fp),
+              idx AS (SELECT fp, unnest(ids) AS train_id FROM sc),
               cand AS (SELECT fp, doc_id AS cand_id FROM fp
                        WHERE doc_id % 2 = 1)
          SELECT c.cand_id, i.train_id, CAST(count(*) AS BIGINT) AS n_shared,
@@ -8587,7 +9019,11 @@ object SparkEntry {
                       GROUP BY 1),
                ne AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events
                       FROM mg WHERE i = 0 GROUP BY 1),
-               pb AS (SELECT DISTINCT i, bucket FROM b WHERE user_id = 5),
+               pd AS (SELECT i, CAST(xor(CAST(5 AS UBIGINT), CAST(i AS UBIGINT)) AS HUGEINT) AS z
+                      FROM range(0, 4) t(i)),
+               ${splitmixCtesSql("pd", "i", pfx = "p")},
+               pb AS (SELECT i, CAST(CAST(z AS UBIGINT) % 64 AS BIGINT) AS bucket
+                      FROM ph5),
                grp AS (SELECT DISTINCT event_type FROM fr),
                em AS (SELECT g.event_type,
                              CAST(min(COALESCE(m.c, 0)) AS BIGINT) AS est
@@ -8646,8 +9082,13 @@ object SparkEntry {
                nb AS (SELECT event_type, CAST(count(*) AS BIGINT)
                                AS n_bits_set
                       FROM mgb GROUP BY 1),
-               pbits AS (SELECT DISTINCT bit // 64 AS word, bit % 64 AS pos
-                      FROM b WHERE user_id = 5),
+               pd AS (SELECT i, CAST(xor(CAST(5 AS UBIGINT), CAST(i AS UBIGINT)) AS HUGEINT) AS z
+                      FROM range(0, 3) t(i)),
+               ${splitmixCtesSql("pd", "i", pfx = "p")},
+               pbits AS (SELECT DISTINCT
+                             CAST(CAST(z AS UBIGINT) % 1024 AS BIGINT) // 64 AS word,
+                             CAST(CAST(z AS UBIGINT) % 1024 AS BIGINT) % 64 AS pos
+                      FROM ph5),
                im AS (SELECT g.event_type,
                              bool_and(m.pos IS NOT NULL) AS in_merged_u5
                       FROM grp g CROSS JOIN pbits p
@@ -8664,6 +9105,71 @@ object SparkEntry {
                  im.in_merged_u5, ifu.in_full_u5
           FROM mm JOIN nb USING (event_type)
                   JOIN im USING (event_type) JOIN ifu USING (event_type)
+          ORDER BY event_type""",
+    // CMS retraction replay: per-cell counts for the full build and
+    // the retracted half; the subtraction is replayed as plain
+    // arithmetic and diffed against the survivors' single-pass counts
+    // (counters are sums, so the diff must be zero everywhere). The
+    // u5 probe buckets come from the literal key-5 splitmix chain —
+    // never from observed rows (the q_cms_incr probe rule).
+    "q_cms_retract" ->
+      raw"""WITH d AS (SELECT event_type,
+                              (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                                >= 19740) AS rmv,
+                              i, user_id,
+                              CAST(xor(CAST(user_id AS UBIGINT), CAST(i AS UBIGINT)) AS HUGEINT) AS z
+                       FROM events CROSS JOIN range(0, 4) t(i)
+                       WHERE user_id IS NOT NULL),
+               ${splitmixCtesSql("d", "event_type, rmv, i, user_id")},
+               b AS MATERIALIZED (SELECT event_type, rmv, i, user_id,
+                             CAST(CAST(z AS UBIGINT) % 64 AS BIGINT) AS bucket
+                      FROM h5),
+               fr AS MATERIALIZED (SELECT event_type, i, bucket,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM b GROUP BY 1, 2, 3),
+               dl AS MATERIALIZED (SELECT event_type, i, bucket,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM b WHERE rmv GROUP BY 1, 2, 3),
+               rt AS MATERIALIZED (SELECT f.event_type, f.i, f.bucket,
+                             f.c - COALESCE(d2.c, 0) AS c
+                      FROM fr f LEFT JOIN dl d2
+                        ON d2.event_type = f.event_type AND d2.i = f.i
+                       AND d2.bucket = f.bucket),
+               sv AS MATERIALIZED (SELECT event_type, i, bucket,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM b WHERE NOT rmv GROUP BY 1, 2, 3),
+               mm AS (SELECT COALESCE(r.event_type, s.event_type) AS event_type,
+                             CAST(sum(CASE WHEN COALESCE(r.c, 0) = COALESCE(s.c, 0)
+                               THEN 0 ELSE 1 END) AS BIGINT) AS n_cell_mismatch
+                      FROM rt r FULL OUTER JOIN sv s
+                        ON s.event_type = r.event_type AND s.i = r.i
+                       AND s.bucket = r.bucket
+                      GROUP BY 1),
+               ne AS (SELECT event_type, CAST(sum(c) AS BIGINT)
+                               AS n_events_surviving
+                      FROM rt WHERE i = 0 GROUP BY 1),
+               pd AS (SELECT i, CAST(xor(CAST(5 AS UBIGINT), CAST(i AS UBIGINT)) AS HUGEINT) AS z
+                      FROM range(0, 4) t(i)),
+               ${splitmixCtesSql("pd", "i", pfx = "p")},
+               pb AS (SELECT i, CAST(CAST(z AS UBIGINT) % 64 AS BIGINT) AS bucket
+                      FROM ph5),
+               grp AS (SELECT DISTINCT event_type FROM fr),
+               er AS (SELECT g.event_type,
+                             CAST(min(COALESCE(r.c, 0)) AS BIGINT) AS est
+                      FROM grp g CROSS JOIN pb p
+                      LEFT JOIN rt r ON r.event_type = g.event_type
+                        AND r.i = p.i AND r.bucket = p.bucket
+                      GROUP BY 1),
+               es AS (SELECT g.event_type,
+                             CAST(min(COALESCE(s.c, 0)) AS BIGINT) AS est
+                      FROM grp g CROSS JOIN pb p
+                      LEFT JOIN sv s ON s.event_type = g.event_type
+                        AND s.i = p.i AND s.bucket = p.bucket
+                      GROUP BY 1)
+          SELECT mm.event_type, mm.n_cell_mismatch, ne.n_events_surviving,
+                 er.est AS est_u5_retracted, es.est AS est_u5_survivors
+          FROM mm JOIN ne USING (event_type)
+                  JOIN er USING (event_type) JOIN es USING (event_type)
           ORDER BY event_type""",
     // URL replay: same dirt URLs, same anchored parse regex, the same
     // lowercase/port-strip/param-filter/sort/reassemble chain.
@@ -9035,6 +9541,21 @@ object SparkEntry {
       sampleFraction = 0.1, seed = 42L),
     "q_ann_incr" -> ivfPqIncrSql(kCoarse = 16, m = 8, ks = 16, sub = 8,
       iters = 5, nprobe = 8, topk = 5, sampleFraction = 0.1, seed = 42L),
+    // Compaction is pure layout, so the q_ann_incr oracle gates the
+    // compacted serve unchanged — that equality IS the
+    // compact(fold()) == fold() proof at query level.
+    "q_ann_compact" -> ivfPqIncrSql(kCoarse = 16, m = 8, ks = 16, sub = 8,
+      iters = 5, nprobe = 8, topk = 5, sampleFraction = 0.1, seed = 42L),
+    // Upsert replay: artifacts train on the ORIGINAL even history
+    // (histSelect), the encode corpus carries the re-embedded
+    // (reversed) vectors for vec_id % 10 = 0 (corpusSelect) — the
+    // independent from-scratch rebuild over the FINAL vector per id;
+    // it never sees the anti-join + append.
+    "q_ann_upsert" -> ivfPqIncrSql(kCoarse = 16, m = 8, ks = 16, sub = 8,
+      iters = 5, nprobe = 8, topk = 5, sampleFraction = 0.1, seed = 42L,
+      corpusSelect = "SELECT vec_id, list_transform(CASE WHEN vec_id % 10 = 0 THEN list_reverse(embedding) ELSE embedding END, x -> CAST(x AS DOUBLE)) AS v\n           FROM embeddings",
+      histSelect = "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id % 2 = 0",
+      flagSql = "(nid % 10 = 0) AS re_embedded"),
     "q_ann_ivf" -> ivfSql(k = 16, iters = 5, nprobe = 4, topk = 5,
       dim = 64, sampleFraction = 0.1, seed = 42L),
     "q_ann_recall" -> annRecallSql(k = 16, iters = 5, nprobe = 4,
@@ -9607,5 +10128,10 @@ object SparkEntry {
     // round 17
     "q_ann_incr", "q_cms_incr", "q_bloom_incr", "q_pagerank_incr",
     "q_bpe_local", "q_dataset_card_tokens", "q_mix_tokens", "q_bm25_incr",
-    "q_screen_incr")
+    "q_screen_incr",
+    // round 18: the deletion/retraction + compaction half of the
+    // incremental-artifact story, plus the quantile persistence member
+    "q_cms_retract", "q_lsh_retract", "q_dedup_retract",
+    "q_winnow_retract", "q_quantile_incr", "q_ann_upsert",
+    "q_ann_compact")
 }

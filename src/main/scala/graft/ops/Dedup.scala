@@ -372,6 +372,23 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** RETIRE documents from a stored [[lshDedupIndex]] — the ANN/LSH
+    * index half of the deletion story. The index is one self-contained
+    * row per doc (signature + shingle set are pure per-doc functions),
+    * so retirement is ONE anti-join and the result EQUALS the
+    * from-scratch index of the surviving corpus exactly — no rebuild,
+    * no text rescan, cost O(|index|) scan + broadcast-able tombstone
+    * join (tombstone sets are small). Screens against the retracted
+    * index can no longer pair with the removed docs, which is the
+    * whole point of a takedown. Ids absent from the index are ignored
+    * (retracting twice, or a doc that was never indexed, is a no-op —
+    * idempotent like the delete it models). */
+  def lshIndexRetract(index: DataFrame, removedIds: DataFrame): DataFrame = {
+    val rm = removedIds
+      .select(col(removedIds.columns.head).as("id")).distinct()
+    index.join(rm, Seq("id"), "left_anti")
+  }
+
   // -------------------------------------------- winnowing (MOSS) overlap
 
   /** Winnowed fingerprint rows `(id, fp)` of the normalized text — the
@@ -493,6 +510,7 @@ object Dedup {
     * Snapshots must be doc-disjoint (the ivfPqIndexAppend contract). */
   def winnowIndexCounted(train: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
+    requireIntegralId(train, idCol, "winnowIndexCounted")
     val fps = winnowFingerprints(train, idCol, textCol, k, w)
     val counts = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
     // postings collect only for under-cap fps (semi-join first), so an
@@ -510,6 +528,24 @@ object Dedup {
         coalesce(col("ids"),
           array().cast(org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType))).as("ids"))
+  }
+
+  /** Plan-time integral-id check for the ops whose STORED artifact
+    * fixes the posting type to BIGINT: a non-integral id column (e.g.
+    * string ids) would otherwise cast to null postings with no error —
+    * fail loudly up front instead (the topKPerKey convention). */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.find(_.name == idCol).map(_.dataType) match {
+      case Some(ByteType | ShortType | IntegerType | LongType) => ()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$op: id column '$idCol' is ${other.sql} — the stored artifact " +
+          "keeps postings as BIGINT, so ids must be integral (map " +
+          "string ids to longs upstream, e.g. xxhash64 + a dictionary)")
+      case None => throw new IllegalArgumentException(
+        s"$op: no column '$idCol' (columns: ${df.columns.mkString(", ")})")
+    }
   }
 
   /** Merge stored [[winnowIndexCounted]] tables: counts SUM per fp,
@@ -537,6 +573,122 @@ object Dedup {
     * feed the result to [[screenAgainstIndex]]. */
   def winnowIndexServe(counted: DataFrame): DataFrame =
     counted.select(col("fp"), explode(col("ids")).as("train_id"))
+
+  /** COMPACT a stored [[winnowIndexCounted]] table after N nightly
+    * [[winnowIndexMerge]] folds: each merge unions another snapshot's
+    * files, so a season of nightlies scatters any fp's row across
+    * every fold's output files, while the serve join
+    * ([[screenAgainstIndex]] via [[winnowIndexServe]]) wants fp rows
+    * CO-LOCATED. Range-partition by `fp` and sort within partitions;
+    * write the result back as THE index. Pure layout — the row set is
+    * untouched, so compact(merge(...)) == merge(...) exactly and
+    * screens served from it are identical (DedupSpec proves both). */
+  def winnowIndexCompact(counted: DataFrame): DataFrame =
+    counted.repartitionByRange(col("fp"))
+      .sortWithinPartitions(col("fp"))
+
+  /** COMPACT an accumulated pair store (the confirmed near-dup pairs
+    * [[incrementalClusters]] / [[retractClusters]] consume): nightly
+    * appends accumulate duplicates (the same pair re-confirmed by a
+    * later screen, possibly flipped) and fragment across files.
+    * Canonicalize each pair to `(min, max)`, dedup, range-partition
+    * by `id_a`. The pair SET's closure is invariant under orientation
+    * and multiplicity, so retraction/fold results off the compacted
+    * store equal the uncompacted ones exactly (DedupSpec proves it
+    * through [[retractClusters]]). */
+  def pairStoreCompact(pairs: DataFrame): DataFrame =
+    pairs.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .where(assert_true(col("id_a") =!= col("id_b"),
+        concat(lit("pairStoreCompact: self-pair ("),
+          col("id_a").cast(org.apache.spark.sql.types.StringType),
+          lit(") — a doc cannot near-duplicate itself in the store")))
+        .isNull)
+      .distinct()
+      .repartitionByRange(col("id_a"), col("id_b"))
+      .sortWithinPartitions(col("id_a"), col("id_b"))
+
+  /** RETRACT documents from a stored [[winnowIndexCounted]] table —
+    * the contamination-index member of the deletion story (takedowns
+    * and opt-outs must leave the screen, not just stop arriving):
+    * recompute the REMOVED docs' fingerprints from their text (the
+    * artifact never stored over-cap postings, so text is the only
+    * complete record of a doc's fps), decrement counts, and
+    * array-subtract postings. For every fp that stays on the same
+    * side of the cap this EQUALS the from-scratch counted index of
+    * the surviving corpus exactly (counts are sums, postings are
+    * id-disjoint unions — q_winnow_retract proves it).
+    *
+    * The one irreversible case is an fp crossing the cap DOWNWARD
+    * (`n > maxBucketSize` before, `<=` after): its postings were
+    * emptied at build time and cannot be recovered without text the
+    * index no longer has. Policy is explicit, never silent:
+    * `keepCappedOnUncap = false` (default) RAISES naming the remedy —
+    * re-merge from the per-snapshot counted parts
+    * ([[winnowIndexMerge]] re-applies the cap on summed counts, so
+    * parts under the cap recover the postings), or re-extract just
+    * those fps' docs; `keepCappedOnUncap = true` keeps the fp
+    * posting-empty with its EXACT decremented count — a documented
+    * recall trade in the same conservative direction as the cap
+    * itself (the screen misses only what the cap already treated as
+    * boilerplate). Inconsistent retractions raise: an fp the index
+    * never saw, a count going negative, or a posting id absent from
+    * an under-cap list all mean `removed` was not a subset of the
+    * indexed corpus. */
+  def winnowIndexRetract(counted: DataFrame, removed: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 4,
+      maxBucketSize: Int = 1000,
+      keepCappedOnUncap: Boolean = false): DataFrame = {
+    requireIntegralId(removed, idCol, "winnowIndexRetract")
+    val rm = winnowFingerprints(removed, idCol, textCol, k, w)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n_rm"),
+        sort_array(collect_list(
+          col("id").cast(org.apache.spark.sql.types.LongType)))
+          .as("__ids_rm"))
+    counted.join(rm, Seq("fp"), "full_outer")
+      // an fp only the removal side knows: those docs were never in
+      // the index (or built with different k/w) — a contract breach
+      .where(assert_true(col("n").isNotNull,
+        concat(lit("winnowIndexRetract: fp "), col("fp"),
+          lit(" exists only in the removal set — removed docs were " +
+            "never indexed, or k/w differ from the build"))).isNull)
+      .select(col("fp"), col("n"), col("ids"),
+        coalesce(col("__n_rm"), lit(0L)).as("n_rm"),
+        coalesce(col("__ids_rm"), array().cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))).as("ids_rm"))
+      .where(assert_true(col("n") >= col("n_rm"),
+        concat(lit("winnowIndexRetract: fp "), col("fp"),
+          lit(" count would go negative ("), col("n"), lit(" - "),
+          col("n_rm"),
+          lit(") — removed docs are not a subset of the indexed " +
+            "corpus"))).isNull)
+      // under-cap fps carry postings: every removed id must be there
+      .where(assert_true(col("n") > maxBucketSize ||
+          size(array_intersect(col("ids"), col("ids_rm")))
+            === size(col("ids_rm")),
+        concat(lit("winnowIndexRetract: fp "), col("fp"),
+          lit(" posting list is missing removed ids — removed docs " +
+            "are not a subset of the indexed corpus"))).isNull)
+      .where(assert_true(
+        lit(keepCappedOnUncap) || col("n") <= maxBucketSize ||
+          col("n") - col("n_rm") > maxBucketSize,
+        concat(lit("winnowIndexRetract: fp "), col("fp"),
+          lit(s" would drop under the cap ($maxBucketSize) but its " +
+            "postings were emptied at build time — re-merge from " +
+            "per-snapshot counted parts (winnowIndexMerge), re-extract " +
+            "those fps' docs, or pass keepCappedOnUncap = true to " +
+            "keep it posting-empty with the exact count"))).isNull)
+      .select(col("fp"), (col("n") - col("n_rm")).as("n"),
+        when(col("n") <= maxBucketSize,
+          array_except(col("ids"), col("ids_rm")))
+          .otherwise(filter(col("ids"), _ => lit(false))).as("ids"))
+      // a fully-retracted fp (count 0) leaves the index entirely —
+      // the from-scratch index of the survivors has no such row
+      .where(col("n") > 0L)
+  }
 
   /** The ONLINE contamination screen: candidate documents checked
     * against a prebuilt [[winnowIndex]] — `(cand_id, train_id,
@@ -735,6 +887,58 @@ object Dedup {
       .select(col("id"), col("id").as("cluster_id"),
         lit(1L).as("cluster_size"))
     clustered.unionByName(singletons)
+  }
+
+  /** RETRACT documents from a stored cluster-label table — the splice
+    * [[incrementalClusters]] cannot undo: min-label propagation only
+    * ever MERGES, so removing a BRIDGE doc must SPLIT its component,
+    * and the stored labels alone cannot say where (the closure forgot
+    * which pairs carried it). The extra input is the stored PAIR SET
+    * (`pairStore`: the confirmed near-dup pairs behind `oldLabels` —
+    * the per-night pair frames the incremental pipeline already
+    * produces and persists). Repair is local: only components that
+    * LOST a member re-run closure, over their SURVIVING pairs only;
+    * every untouched component passes through by slim anti-join —
+    * O(affected region), never O(history).
+    *
+    * Returns `(id, cluster_id, cluster_size)` over the surviving ids,
+    * EQUAL to from-scratch clustering of the surviving pair set
+    * (q_dedup_retract's oracle recomputes exactly that, independently)
+    * — all four retraction effects fall out of the local re-closure:
+    * bridge removal splits, min-member removal relabels (the new min
+    * takes over), components shrinking to one doc become singletons,
+    * removed singletons just drop.
+    *
+    * CONTRACT: `oldLabels` must be the [[nearDupClusters]]-invariant
+    * labels of `pairStore` (cluster ids are component MIN ids; every
+    * paired id present; singletons carried as self-labeled rows —
+    * [[incrementalClusters]]' output shape). Removed ids unknown to
+    * `oldLabels` are ignored (idempotent, the [[lshIndexRetract]]
+    * convention). */
+  def retractClusters(oldLabels: DataFrame, pairStore: DataFrame,
+      removedIds: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val rm = removedIds
+      .select(col(removedIds.columns.head).as("id")).distinct()
+    val affected = oldLabels.join(rm, Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val members = oldLabels.join(affected, Seq("cluster_id"), "left_semi")
+    val survivors = members.join(rm, Seq("id"), "left_anti")
+      .select(col("id"))
+    // pairs live inside components, so membership of id_a alone
+    // selects exactly the affected components' pairs
+    val survivingPairs = pairStore.select(col("id_a"), col("id_b"))
+      .join(members.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(rm.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(rm.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+    val reclosed = nearDupClusters(survivingPairs, maxIters, checkpointDir)
+    val singletons = survivors
+      .join(reclosed.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    val untouched = oldLabels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+    untouched.unionByName(reclosed).unionByName(singletons)
   }
 
   /** Cluster-level dedup: keep ONE document per connected near-dup

@@ -85,12 +85,34 @@ object Graph {
       checkpointDir: Option[String],
       scoreFormula: Long => String,
       weightCol: Option[String] = None,
-      init: Option[DataFrame] = None): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
+      init: Option[DataFrame] = None): DataFrame =
+    prGraphRounds(prGraph(edges, srcCol, dstCol, checkpointDir, weightCol),
+      iters, unit, scoreFormula, init)
+
+  /** The PINNED per-graph setup every universe-variant round loop
+    * reads: degree-joined edges, the node universe (+ its one driver
+    * count), and the round-invariant dangling set. Build it ONCE with
+    * [[prGraph]] when several chains run on the SAME edge frame
+    * (warm-vs-cold measurement runs, k+j round compositions —
+    * q_pagerank_incr runs three) and pass it to the `*On` variants:
+    * each chain then reuses the pinned frames instead of re-deriving
+    * distinct/degree/universe per call. Handles are pinned
+    * (localCheckpoint or `checkpointDir`), so a PrGraph is tied to
+    * the SparkSession that built it. */
+  final case class PrGraph private[ops] (
+      pin: DataFrame => DataFrame, ewd: DataFrame, nodes: DataFrame,
+      n: Long, dangNodes: DataFrame, weighted: Boolean)
+
+  /** Build a [[PrGraph]] — the shared prelude of [[pageRankDangling]]
+    * / [[pageRankWeighted]] / [[pageRankWarmStart]] /
+    * [[pageRankPersonalized]], extracted so multi-chain callers pay
+    * it once. Same contracts as those variants (weighted: positive
+    * integer weights, loud raise otherwise). */
+  def prGraph(edges: DataFrame, srcCol: String, dstCol: String,
+      checkpointDir: Option[String] = None,
+      weightCol: Option[String] = None): PrGraph = {
     val (pin, e, deg, ewd) =
       prSetup(edges, srcCol, dstCol, checkpointDir, weightCol)
-    val contribSql =
-      if (weightCol.isDefined) "(score * w) div outdeg" else "score div outdeg"
     val nodes = pin(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count() // the one driver scalar: a single long
@@ -101,27 +123,36 @@ object Graph {
     // bench runs: 8.9s -> 6.2s warm at 4 threads).
     val dangNodes = pin(nodes.join(deg,
       nodes("node") === deg("src"), "left_anti"))
+    PrGraph(pin, ewd, nodes, n, dangNodes, weightCol.isDefined)
+  }
+
+  private def prGraphRounds(g: PrGraph, iters: Int, unit: Long,
+      scoreFormula: Long => String,
+      init: Option[DataFrame]): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val contribSql =
+      if (g.weighted) "(score * w) div outdeg" else "score div outdeg"
     // init: a STORED (node, __prior_score) table seeds round 0
     // ([[pageRankWarmStart]]); nodes the prior doesn't know (the edge
     // delta's additions) start at the uniform unit, prior nodes absent
     // from the new universe drop with it (the left join's direction).
-    var scores = pin(init match {
-      case None => nodes.withColumn("score", lit(unit))
-      case Some(pr) => nodes.join(pr, Seq("node"), "left")
+    var scores = g.pin(init match {
+      case None => g.nodes.withColumn("score", lit(unit))
+      case Some(pr) => g.nodes.join(pr, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__prior_score"), lit(unit)).as("score"))
     })
     for (_ <- 1 to iters) {
-      val contrib = ewd.join(scores, ewd("src") === scores("node"))
-        .select(ewd("dst").as("cn"), expr(contribSql).as("c"))
+      val contrib = g.ewd.join(scores, g.ewd("src") === scores("node"))
+        .select(g.ewd("dst").as("cn"), expr(contribSql).as("c"))
         .groupBy(col("cn")).agg(sum(col("c")).as("s"))
       // dangling total = this round's score mass on the pinned set
-      val dang = scores.join(dangNodes, Seq("node"), "left_semi")
+      val dang = scores.join(g.dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("score")), lit(0L)).as("dt"))
-      scores = pin(scores.select(col("node"))
+      scores = g.pin(scores.select(col("node"))
         .join(contrib, col("node") === col("cn"), "left")
         .crossJoin(broadcast(dang))
-        .selectExpr("node", scoreFormula(n)))
+        .selectExpr("node", scoreFormula(g.n)))
     }
     scores
   }
@@ -276,6 +307,41 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     val base = unit - unit * dampNum / dampDen
     prUniverseRounds(edges, srcCol, dstCol, iters, unit, checkpointDir,
+      n => s"$base + ($dampNum * (coalesce(s, 0L) + dt div $n)) div $dampDen AS score",
+      init = Some(prior.select(
+        col(priorNodeCol).cast(org.apache.spark.sql.types.LongType)
+          .as("node"),
+        col(priorScoreCol).cast(org.apache.spark.sql.types.LongType)
+          .as("__prior_score"))))
+  }
+
+  /** [[pageRankDangling]] over a prebuilt [[PrGraph]] — bit-identical
+    * rounds, shared setup. Use when several chains (warm/cold/ref
+    * comparisons, round compositions) run on ONE edge frame. */
+  def pageRankDanglingOn(g: PrGraph, iters: Int, dampNum: Long = 85L,
+      dampDen: Long = 100L, unit: Long = 1000000L): DataFrame = {
+    require(!g.weighted,
+      "pageRankDanglingOn: graph was built weighted — use " +
+        "pageRankWeighted's formula via a weighted PrGraph caller")
+    val base = unit - unit * dampNum / dampDen
+    prGraphRounds(g, iters, unit,
+      n => s"$base + ($dampNum * (coalesce(s, 0L) + dt div $n)) div $dampDen AS score",
+      init = None)
+  }
+
+  /** [[pageRankWarmStart]] over a prebuilt [[PrGraph]] — bit-identical
+    * rounds, shared setup (the q_pagerank_incr measurement runs three
+    * chains on the same grown graph; this keeps the degree/universe
+    * derivation to one). */
+  def pageRankWarmStartOn(g: PrGraph, prior: DataFrame,
+      priorNodeCol: String, priorScoreCol: String, iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      unit: Long = 1000000L): DataFrame = {
+    require(!g.weighted,
+      "pageRankWarmStartOn: graph was built weighted — warm start is " +
+        "defined on the unweighted dangling variant")
+    val base = unit - unit * dampNum / dampDen
+    prGraphRounds(g, iters, unit,
       n => s"$base + ($dampNum * (coalesce(s, 0L) + dt div $n)) div $dampDen AS score",
       init = Some(prior.select(
         col(priorNodeCol).cast(org.apache.spark.sql.types.LongType)

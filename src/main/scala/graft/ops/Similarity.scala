@@ -608,6 +608,71 @@ object Similarity {
       ivfPqIndex(snapshot, idCol, vecCol, centroids, codebooks, residual))
   }
 
+  /** UPSERT a snapshot into a stored [[ivfPqIndex]] — the re-embedding
+    * path [[ivfPqIndexAppend]]'s disjoint-id contract excludes: a doc
+    * whose vector CHANGED (re-run encoder, corrected content) arrives
+    * with an id the index already holds, so its old code row must
+    * retire first or the index would serve both versions. One
+    * anti-join on the (small, broadcast-able) arriving id set retires
+    * the stale rows, then the append encodes the snapshot against the
+    * STORED artifacts — still no retrain, still O(|snapshot|) encode
+    * work, old untouched rows never re-read. Because encoding is a
+    * pure per-row function of (vector, artifacts), the result EQUALS
+    * the from-scratch index of the FINAL vector per id
+    * (q_ann_upsert's oracle is that independent rebuild). Pure
+    * deletions are the degenerate case: [[ivfPqIndexRetract]]. */
+  def ivfPqIndexUpsert(index: DataFrame, snapshot: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      residual: Boolean = false): DataFrame = {
+    require(index.columns.toSeq == Seq(idCol, "cluster", "codes"),
+      s"index must be an ivfPqIndex frame ($idCol, cluster, codes); " +
+        s"got ${index.columns.mkString(", ")}")
+    ivfPqIndexAppend(
+      index.join(snapshot.select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti"),
+      snapshot, idCol, vecCol, centroids, codebooks, residual)
+  }
+
+  /** RETIRE ids from a stored [[ivfPqIndex]] — the ANN member of the
+    * deletion story: the index is one self-contained row per vector
+    * (codes are pure per-row functions of (vector, artifacts)), so a
+    * takedown is ONE anti-join against the tombstone set and the
+    * result equals the from-scratch index of the surviving corpus
+    * exactly. Serving from the retracted index can never return a
+    * removed id. Unknown ids are ignored (idempotent — the
+    * [[graft.ops.Dedup.lshIndexRetract]] convention). What retraction
+    * does NOT do is re-fit the artifacts: centroids/codebooks trained
+    * on a corpus that since shrank may drift from the survivors —
+    * [[embeddingShift]] stays the reuse-or-retrain gate. */
+  def ivfPqIndexRetract(index: DataFrame, removedIds: DataFrame,
+      idCol: String): DataFrame = {
+    val rm = removedIds
+      .select(col(removedIds.columns.head).as(idCol)).distinct()
+    index.join(rm, Seq(idCol), "left_anti")
+  }
+
+  /** COMPACT a stored [[ivfPqIndex]] after N nightly folds: appends
+    * and upserts fragment the artifact (each fold unions another
+    * snapshot's files, so a year of nightlies is 365 small-file
+    * unions whose cluster rows scatter across all of them), while the
+    * serve path ([[ivfPqServeAdc]]) wants each probed cluster's codes
+    * CO-LOCATED. This rewrite range-partitions by `cluster` and sorts
+    * `(cluster, id)` within partitions — write the result back as THE
+    * index (parquet, partitioned by cluster) and a probe touches only
+    * its clusters' files with one row group each instead of every
+    * fold's. Pure layout: the row SET is untouched, so
+    * compact(fold(...)) == fold(...) exactly and serving from the
+    * compacted index is byte-identical (SimilaritySpec proves both;
+    * q_ann_compact serves the oracle-gated query from it). */
+  def ivfPqIndexCompact(index: DataFrame, idCol: String): DataFrame = {
+    require(index.columns.toSeq == Seq(idCol, "cluster", "codes"),
+      s"index must be an ivfPqIndex frame ($idCol, cluster, codes); " +
+        s"got ${index.columns.mkString(", ")}")
+    index.repartitionByRange(col("cluster"), col(idCol))
+      .sortWithinPartitions(col("cluster"), col(idCol))
+  }
+
   /** ADC serving straight from a stored [[ivfPqIndex]] frame — the
     * probe/score/top-k stage of [[ivfPqTopKAdc]] without the encode
     * (the index already holds codes): queries probe `nprobe` coarse

@@ -328,17 +328,45 @@ object Sketches {
       .agg(countMin(col(keyCol), depth, width).as("cms_grid"))
   }
 
+  /** Driver-side schema validation of a stored sketch-state table: the
+    * state column must exist and be `array<long>` BEFORE any union —
+    * catches type drift (e.g. an `array<int>` table from a foreign
+    * writer) at plan time even for tables with zero surviving rows,
+    * which the row-level length guards below cannot see. Lengths stay
+    * row-guarded: array length is data, not schema, so an EMPTY table
+    * built with the wrong shape merges as a (harmless) no-op — the
+    * docstrings state that limit explicitly. */
+  private def requireLongArrayCol(df: org.apache.spark.sql.DataFrame,
+      colName: String, op: String): Unit = {
+    val f = df.schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: table has no '$colName' column (columns: " +
+          s"${df.columns.mkString(", ")}) — not a stored sketch-state " +
+          "table"))
+    f.dataType match {
+      case ArrayType(LongType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"$op: '$colName' must be array<bigint>, got ${other.sql} — " +
+          "table written by an incompatible builder")
+    }
+  }
+
   /** Merge stored [[cmsGrids]] tables by CELL-WISE SUM — the lossless
     * CMS state fold (counters are pure sums, order-free). The corpora
     * behind the grids are never touched; work is |groups| × cells slim
     * rows. Grids of the wrong length (a table built with a different
     * `(depth, width)`) RAISE rather than fold garbage — same-product
     * shapes (4×1024 vs 8×512) are indistinguishable from data, so the
-    * shared-shape contract still rests on the caller. */
+    * shared-shape contract still rests on the caller. The column TYPE
+    * is validated at plan time (driver-side schema check); the length
+    * guard is per-row, so a wrong-shape table with zero surviving rows
+    * merges as a no-op rather than raising — shapes are data, not
+    * schema. */
   def cmsMergeGrids(grids: Seq[org.apache.spark.sql.DataFrame],
       groupCols: Seq[String], depth: Int, width: Int)
       : org.apache.spark.sql.DataFrame = {
     require(grids.nonEmpty, "cmsMergeGrids: need at least one table")
+    grids.foreach(requireLongArrayCol(_, "cms_grid", "cmsMergeGrids"))
     val cells = depth * width
     grids.map(_.select(groupCols.map(col) :+ col("cms_grid"): _*))
       .reduce(_ unionAll _)
@@ -373,11 +401,14 @@ object Sketches {
   /** Merge stored [[bloomWords]] tables by WORD-WISE OR. Wrong-length
     * word arrays (a different `bits`) RAISE; a same-`bits`
     * different-`numHashes` table is indistinguishable from data — the
-    * shared-parameter contract rests on the caller. */
+    * shared-parameter contract rests on the caller. Column type is
+    * validated driver-side at plan time; the length guard is per-row
+    * ([[cmsMergeGrids]]'s documented empty-table limit). */
   def bloomMergeWords(words: Seq[org.apache.spark.sql.DataFrame],
       groupCols: Seq[String], bits: Int)
       : org.apache.spark.sql.DataFrame = {
     require(words.nonEmpty, "bloomMergeWords: need at least one table")
+    words.foreach(requireLongArrayCol(_, "bloom_words", "bloomMergeWords"))
     val n = bits / 64
     words.map(_.select(groupCols.map(col) :+ col("bloom_words"): _*))
       .reduce(_ unionAll _)
@@ -393,6 +424,105 @@ object Sketches {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
         e => e.getField("w")).as("bloom_words"))
   }
+
+  // --------------------------------------- retraction (deletion folds)
+  //
+  // The nightly-fold family above is append-only; real pipelines also
+  // RETRACT (takedowns, opt-outs, license changes). The math splits the
+  // family in two: CMS counters are pure sums, so they subtract exactly
+  // (grid(A) − grid(B) == grid(A \ B) cell for cell whenever B's rows
+  // are a sub-multiset of A's); Bloom's OR and HLL's max are IDEMPOTENT
+  // folds that destroy multiplicity, so no per-key subtraction exists —
+  // those retractions are loud raises pointing at the rebuild-window
+  // policy, never silent no-ops.
+
+  /** Subtract a [[cmsGrids]] delta from a stored base CELL-WISE — the
+    * CMS retraction fold: `base − delta == cmsGrids(surviving rows)`
+    * cell for cell, because counters are pure sums (q_cms_retract
+    * proves it against an independent single-pass build on the
+    * survivors). The corpora are never rescanned; nightly retraction
+    * cost is |groups| × cells slim rows, the [[cmsMergeGrids]] shape.
+    *
+    * CONTRACT: `delta` must be the grid of a sub-multiset of the rows
+    * behind `base` (same `(depth, width)`, same group keys). A
+    * violation is detected, not absorbed: any resulting NEGATIVE cell
+    * raises with the offending group's position (rows were retracted
+    * that were never inserted — including a delta group the base never
+    * saw, whose cells all go negative). Base groups the delta doesn't
+    * touch pass through unchanged. */
+  def cmsSubtractGrids(base: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
+    Seq(base, delta).foreach(
+      requireLongArrayCol(_, "cms_grid", "cmsSubtractGrids"))
+    val cells = depth * width
+    val signed = Seq(base -> 1L, delta -> -1L).map { case (df, sgn) =>
+      df.select(groupCols.map(col) :+ col("cms_grid") :+
+        lit(sgn).as("__sgn"): _*)
+    }.reduce(_ unionAll _)
+    signed
+      .where(assert_true(size(col("cms_grid")) === cells,
+        concat(lit(s"cmsSubtractGrids: grid has "), size(col("cms_grid")),
+          lit(s" cells, expected depth*width=$cells — table built with" +
+            " a different (depth, width)?"))).isNull)
+      .select(groupCols.map(col) :+
+        posexplode(col("cms_grid")).as(Seq("pos", "c")) :+
+        col("__sgn"): _*)
+      .groupBy(groupCols.map(col) :+ col("pos"): _*)
+      .agg(sum(col("c") * col("__sgn")).as("c"))
+      .where(assert_true(col("c") >= 0L,
+        concat(lit("cmsSubtractGrids: cell "), col("pos"),
+          lit(" went negative ("), col("c"),
+          lit(") — the delta is not a sub-multiset of the base " +
+            "(rows retracted that were never inserted, or a delta " +
+            "group the base never saw)"))).isNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cms_grid"))
+  }
+
+  /** Bloom filters CANNOT retract — this raises, loudly and always.
+    * A set bit may be owed to any number of keys (OR is idempotent:
+    * the filter holds membership, not multiplicity), so clearing a
+    * retracted key's bits would also evict every surviving key that
+    * shares them, and counting variants trade 8–16× the memory for
+    * the same wrong answer under duplicate inserts. POLICY: partition
+    * the stored [[bloomWords]] artifact by ingest window (the
+    * per-snapshot rows this family already prescribes), DROP the
+    * windows containing retracted keys, and [[bloomMergeWords]] the
+    * surviving windows — cost proportional to the dropped windows'
+    * corpora, never the history. This method exists so the natural
+    * call site fails with that remedy instead of silently no-op'ing
+    * or silently corrupting (SketchesSpec pins the raise). */
+  def bloomRetractWords(base: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      bits: Int): Nothing =
+    throw new UnsupportedOperationException(
+      "bloomRetractWords: a Bloom filter cannot delete — OR'd bits are " +
+        "shared by every key that maps to them, so subtraction would " +
+        "evict surviving keys. Rebuild-window policy: store bloomWords " +
+        "per ingest window, drop the windows holding retracted keys, " +
+        "bloomMergeWords the survivors (cost = the dropped windows' " +
+        "corpora, not history).")
+
+  /** HLL register tables CANNOT retract — this raises, loudly and
+    * always. A register holds the MAX rank ever seen in its bucket
+    * (idempotent like Bloom's OR): the retracted key may or may not
+    * own that max, and the runner-up rank was never stored. POLICY:
+    * the [[bloomRetractWords]] rebuild window — per-window
+    * [[hllRegisters]] snapshots, drop the offending windows,
+    * [[hllMergeRegisters]] the survivors. (SketchesSpec pins the
+    * raise.) */
+  def hllRetractRegisters(base: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      p: Int): Nothing =
+    throw new UnsupportedOperationException(
+      "hllRetractRegisters: HLL cannot delete — a register is the max " +
+        "rank ever observed in its bucket and the runner-up was never " +
+        "stored. Rebuild-window policy: store hllRegisters per ingest " +
+        "window, drop the windows holding retracted keys, " +
+        "hllMergeRegisters the survivors (cost = the dropped windows' " +
+        "corpora, not history).")
 
   /** EXACT heavy hitters (keys with count >= `threshold`) WITHOUT a
     * full-cardinality shuffle — the 100 TB answer to "which keys occur
@@ -620,6 +750,70 @@ object Sketches {
         "contract)")))
       .otherwise(array_sort(transform(merged, s => s.getField("v"))))
   }
+
+  /** [[quantilePairsUnionAll]] keeping the PAIRS — bottom-k of the
+    * union of keep sets, still in the stored `(fkey, v)` form, so the
+    * result is itself a mergeable sketch (the union's quantilePairs
+    * exactly, by the KMV closure argument) and can fold into FURTHER
+    * snapshots — what [[quantileMergeSummaries]] writes back. Hashes
+    * are bijective over unique row ids (the quantilePairs contract),
+    * so struct order has no ties and the merged set is a pure function
+    * of the input row set: deterministic, engine-replayable. Same
+    * SAME-K CONTRACT and loud oversized-sketch guard. */
+  def quantilePairsMergeAll(sketches: Column, k: Int): Column = {
+    val merged = slice(array_sort(flatten(sketches)), 1, k)
+    when(exists(sketches, s => size(s) > k),
+      raise_error(lit(s"quantilePairsMergeAll: a sketch holds more " +
+        s"than k=$k entries — it was built with a larger k (same-k " +
+        "contract)")))
+      .otherwise(merged)
+  }
+
+  /** Per-group [[quantilePairs]] sketches as a STORED artifact — the
+    * QUANTILE member of the mergeable-sketch persistence family
+    * ([[hllRegisters]] / [[cmsGrids]] / [[bloomWords]] precedent):
+    * `(group..., qsketch)` with one bounded `(fkey, v)` pair array per
+    * group, written like any parquet table. Tonight's summaries
+    * [[quantileMergeSummaries]]-fold into yesterday's WITHOUT
+    * rescanning yesterday's corpus, and because bottom-k-by-hash is
+    * closed under union, merge(sketch(A), sketch(B)) == sketch(A ∪ B)
+    * PAIR FOR PAIR (q_quantile_incr proves it) — unlike KLL/GK/
+    * t-digest, whose order-sensitive compactions make merged and
+    * single-pass summaries legitimately differ. Serve quantiles off
+    * any stored/merged row with [[summaryQuantile]]; rank error is the
+    * uniform-sample bound ~1.25/sqrt(k) at the median. Same hash
+    * contract as [[quantileSketch]] (bijective hash of a UNIQUE row
+    * id, never of the value); all callers must share one `k`. */
+  def quantileSummaries(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], hashCol: String, valueCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "quantileSummaries: need a group col")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(quantilePairs(col(hashCol), col(valueCol), k).as("qsketch"))
+  }
+
+  /** Merge stored [[quantileSummaries]] tables per group — bottom-k of
+    * the concatenated keep sets, which IS the from-scratch summary of
+    * the concatenated snapshots (exact sketch algebra; fold order is
+    * irrelevant — one flatten, one canonical sort). The corpora behind
+    * the summaries are never touched; work is |groups| × k slim
+    * structs. Output is the same stored form, so merges CHAIN across
+    * any number of nights. */
+  def quantileMergeSummaries(parts: Seq[org.apache.spark.sql.DataFrame],
+      groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    require(parts.nonEmpty, "quantileMergeSummaries: need >= 1 table")
+    parts.map(_.select(groupCols.map(col) :+ col("qsketch"): _*))
+      .reduce(_ unionAll _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(quantilePairsMergeAll(collect_list(col("qsketch")), k)
+        .as("qsketch"))
+  }
+
+  /** Read a quantile off a stored/merged [[quantileSummaries]] row:
+    * [[sketchQuantile]]'s fixed-order interpolation over the pairs'
+    * value-sorted payload. */
+  def summaryQuantile(qsketch: Column, q: Double): Column =
+    sketchQuantile(array_sort(transform(qsketch, s => s.getField("v"))), q)
 
   /** NEAREST-RANK equi-depth edges off a [[quantileSketch]] array: the
     * `nBins - 1` interior quantile values `sketch[ceil(j*n/nBins)]`
