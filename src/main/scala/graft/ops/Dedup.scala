@@ -647,44 +647,55 @@ object Dedup {
         sort_array(collect_list(
           col("id").cast(org.apache.spark.sql.types.LongType)))
           .as("__ids_rm"))
+    // The contract checks ride INSIDE the projected columns (a raising
+    // `when` branch), not as separate assert filters: Catalyst is free
+    // to reorder independent Filter conjuncts, and the final
+    // drop-empty-fp filter would otherwise discard the very rows
+    // (null base count) the "never indexed" check must die on.
+    val emptyIds = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))
     counted.join(rm, Seq("fp"), "full_outer")
-      // an fp only the removal side knows: those docs were never in
-      // the index (or built with different k/w) — a contract breach
-      .where(assert_true(col("n").isNotNull,
-        concat(lit("winnowIndexRetract: fp "), col("fp"),
-          lit(" exists only in the removal set — removed docs were " +
-            "never indexed, or k/w differ from the build"))).isNull)
       .select(col("fp"), col("n"), col("ids"),
         coalesce(col("__n_rm"), lit(0L)).as("n_rm"),
-        coalesce(col("__ids_rm"), array().cast(
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType))).as("ids_rm"))
-      .where(assert_true(col("n") >= col("n_rm"),
-        concat(lit("winnowIndexRetract: fp "), col("fp"),
-          lit(" count would go negative ("), col("n"), lit(" - "),
-          col("n_rm"),
-          lit(") — removed docs are not a subset of the indexed " +
-            "corpus"))).isNull)
-      // under-cap fps carry postings: every removed id must be there
-      .where(assert_true(col("n") > maxBucketSize ||
-          size(array_intersect(col("ids"), col("ids_rm")))
-            === size(col("ids_rm")),
-        concat(lit("winnowIndexRetract: fp "), col("fp"),
-          lit(" posting list is missing removed ids — removed docs " +
-            "are not a subset of the indexed corpus"))).isNull)
-      .where(assert_true(
-        lit(keepCappedOnUncap) || col("n") <= maxBucketSize ||
-          col("n") - col("n_rm") > maxBucketSize,
-        concat(lit("winnowIndexRetract: fp "), col("fp"),
-          lit(s" would drop under the cap ($maxBucketSize) but its " +
-            "postings were emptied at build time — re-merge from " +
-            "per-snapshot counted parts (winnowIndexMerge), re-extract " +
-            "those fps' docs, or pass keepCappedOnUncap = true to " +
-            "keep it posting-empty with the exact count"))).isNull)
-      .select(col("fp"), (col("n") - col("n_rm")).as("n"),
-        when(col("n") <= maxBucketSize,
-          array_except(col("ids"), col("ids_rm")))
-          .otherwise(filter(col("ids"), _ => lit(false))).as("ids"))
+        coalesce(col("__ids_rm"), emptyIds).as("ids_rm"))
+      .select(
+        col("fp"),
+        // an fp only the removal side knows: those docs were never in
+        // the index (or built with different k/w) — a contract breach
+        when(col("n").isNull,
+          raise_error(concat(lit("winnowIndexRetract: fp "), col("fp"),
+            lit(" exists only in the removal set — removed docs were " +
+              "never indexed, or k/w differ from the build"))))
+          .when(col("n") < col("n_rm"),
+            raise_error(concat(lit("winnowIndexRetract: fp "), col("fp"),
+              lit(" count would go negative ("), col("n"), lit(" - "),
+              col("n_rm"),
+              lit(") — removed docs are not a subset of the indexed " +
+                "corpus"))))
+          // the uncap raise rides on the COUNT column (not the posting
+          // column): counts always evaluate (the drop-empty filter
+          // reads them), so even an ids-pruned consumer cannot skip it
+          .when(!lit(keepCappedOnUncap) && col("n") > maxBucketSize &&
+              col("n") - col("n_rm") <= maxBucketSize,
+            raise_error(concat(lit("winnowIndexRetract: fp "), col("fp"),
+              lit(s" would drop under the cap ($maxBucketSize) but its " +
+                "postings were emptied at build time — re-merge from " +
+                "per-snapshot counted parts (winnowIndexMerge), " +
+                "re-extract those fps' docs, or pass " +
+                "keepCappedOnUncap = true to keep it posting-empty " +
+                "with the exact count"))))
+          .otherwise(col("n") - col("n_rm")).cast(
+            org.apache.spark.sql.types.LongType).as("n"),
+        // under-cap fps carry postings: every removed id must be there
+        when(col("n") <= maxBucketSize &&
+            size(array_intersect(col("ids"), col("ids_rm")))
+              =!= size(col("ids_rm")),
+          raise_error(concat(lit("winnowIndexRetract: fp "), col("fp"),
+            lit(" posting list is missing removed ids — removed docs " +
+              "are not a subset of the indexed corpus"))))
+          .when(col("n") <= maxBucketSize,
+            array_except(col("ids"), col("ids_rm")))
+          .otherwise(emptyIds).as("ids"))
       // a fully-retracted fp (count 0) leaves the index entirely —
       // the from-scratch index of the survivors has no such row
       .where(col("n") > 0L)

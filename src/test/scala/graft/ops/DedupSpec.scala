@@ -546,4 +546,168 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     got.filter(r => r._3 > 1) shouldBe scratch
   }
+
+  test("retractClusters: bridge removal SPLITS, min-member removal " +
+      "relabels, pair-components collapse to singletons, untouched " +
+      "components pass through, removed singletons drop") {
+    // {1,2,3} path 1-2-3: removing bridge 2 splits into singletons
+    // {1},{3}. {10,11,12} star at 10: removing 10 (min AND bridge)
+    // leaves singletons {11},{12}. {20,21,22} triangle: removing 20
+    // (min, NOT a bridge) relabels to 21. {30,31} untouched.
+    // Singleton 40 survives; singleton 50 is removed.
+    val oldLabels = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L),
+      (30L, 30L, 2L), (31L, 30L, 2L),
+      (40L, 40L, 1L), (50L, 50L, 1L))
+      .toDF("id", "cluster_id", "cluster_size")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val removed = Seq(2L, 10L, 20L, 50L).toDF("id")
+    val got = Dedup.retractClusters(oldLabels, pairs, removed)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    got shouldBe Seq(
+      (1L, 1L, 1L), (3L, 3L, 1L),
+      (11L, 11L, 1L), (12L, 12L, 1L),
+      (21L, 21L, 2L), (22L, 21L, 2L),
+      (30L, 30L, 2L), (31L, 30L, 2L),
+      (40L, 40L, 1L))
+  }
+
+  test("retractClusters == from-scratch clustering of the surviving " +
+      "pair set on a random graph — and riding through " +
+      "pairStoreCompact changes nothing (compaction is fold-" +
+      "transparent)") {
+    // deterministic pseudo-random pair set over ids 0..59
+    val raw = (0 until 90).map { i =>
+      val a = (i * 37 + 11) % 60; val b = (i * 53 + 29) % 60
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val pairs = raw.toDF("id_a", "id_b")
+    val clustered = Dedup.nearDupClusters(pairs)
+    val allIds = (0L until 60L).toDF("id")
+    val oldLabels = clustered.unionByName(
+      allIds.join(clustered.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_id"),
+          lit(1L).as("cluster_size")))
+    val removed = (0L until 60L by 7L).toDF("id") // 0,7,14,...,56
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = rows(Dedup.retractClusters(oldLabels, pairs, removed))
+    // independent from-scratch recompute over surviving pairs + ids
+    val rmSet = (0L until 60L by 7L).toSet
+    val survPairs = raw.filter(p => !rmSet(p._1) && !rmSet(p._2))
+      .toDF("id_a", "id_b")
+    val survClustered = Dedup.nearDupClusters(survPairs)
+    val scratch = rows(survClustered.unionByName(
+      (0L until 60L).filterNot(rmSet).toDF("id")
+        .join(survClustered.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster_id"),
+          lit(1L).as("cluster_size"))))
+    got shouldBe scratch
+    // compacted pair store (canonicalized, deduped, re-laid-out, with
+    // flipped duplicates added first to prove they fold away)
+    val noisy = pairs.unionAll(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    rows(Dedup.retractClusters(oldLabels,
+      Dedup.pairStoreCompact(noisy), removed)) shouldBe got
+    // self-pairs in a store are a loud error, not a silent edge
+    intercept[Exception] {
+      Dedup.pairStoreCompact(Seq((5L, 5L)).toDF("id_a", "id_b")).collect()
+    }.getMessage should include("self-pair")
+  }
+
+  test("lshIndexRetract: retracted index == from-scratch index of the " +
+      "survivors row for row; screens served from it can never pair " +
+      "with a removed doc; unknown ids are a no-op") {
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumped over the lazy dog"),
+      (6L, "completely different content about spark engines"),
+      (8L, "totally unrelated text mentioning query optimizers"))
+      .toDF("id", "text")
+    val idx = Dedup.lshDedupIndex(corpus, "id", "text")
+    val retracted = Dedup.lshIndexRetract(idx, Seq(4L, 999L).toDF("id"))
+    val scratch = Dedup.lshDedupIndex(
+      corpus.where(col("id") =!= 4L), "id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("nsh"), col("sig"), col("sh"))
+        .as[(Long, Int, Seq[Long], Seq[Long])].collect()
+        .sortBy(_._1).toSeq
+    rows(retracted) shouldBe rows(scratch)
+    // a near-dup probe of the removed doc's text no longer hits it
+    val probe = Seq((101L, "the quick brown fox jumped over the lazy dog"))
+      .toDF("id", "text")
+    val hits = Dedup.screenAgainstLshIndex(probe, "id", "text", retracted)
+      .select(col("old_id")).as[Long].collect().toSet
+    hits should not contain 4L
+    hits should contain(2L) // the near-dup survivor still screens
+  }
+
+  test("winnowIndexRetract: decremented index == from-scratch on " +
+      "survivors; non-subset retractions raise; downward cap " +
+      "crossings raise by default and keepCappedOnUncap keeps the " +
+      "exact count with empty postings (the documented recall trade)") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (3L, "november oscar papa quebec romeo sierra tango uniform"),
+      (4L, "whiskey xray yankee zulu one two three four five six seven"))
+      .toDF("id", "text")
+    val full = Dedup.winnowIndexCounted(docs, "id", "text")
+    val retracted = Dedup.winnowIndexRetract(full,
+      docs.where(col("id") === 3L), "id", "text")
+    val scratch = Dedup.winnowIndexCounted(
+      docs.where(col("id") =!= 3L), "id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    rows(retracted) shouldBe rows(scratch)
+    // retracting a doc that was never indexed -> loud contract breach
+    intercept[Exception] {
+      Dedup.winnowIndexRetract(full,
+        Seq((9L, "entirely novel gibberish zyxwvut qponmlk jihgfed"))
+          .toDF("id", "text"), "id", "text").collect()
+    }.getMessage should include("never indexed")
+    // three identical docs over a cap of 2: postings emptied at build;
+    // removing one drops n to the cap -> default policy raises
+    val trip = Seq((1L, "identical boilerplate text here"),
+      (2L, "identical boilerplate text here"),
+      (3L, "identical boilerplate text here")).toDF("id", "text")
+    val capped = Dedup.winnowIndexCounted(trip, "id", "text",
+      maxBucketSize = 2)
+    intercept[Exception] {
+      Dedup.winnowIndexRetract(capped, trip.where(col("id") === 3L),
+        "id", "text", maxBucketSize = 2).collect()
+    }.getMessage should include("keepCappedOnUncap")
+    // opt-in: exact decremented count, postings stay empty — which is
+    // EXACTLY the stated divergence from the from-scratch survivors
+    // index (whose n=2 fps keep their postings)
+    val kept = Dedup.winnowIndexRetract(capped,
+      trip.where(col("id") === 3L), "id", "text", maxBucketSize = 2,
+      keepCappedOnUncap = true)
+    val keptRows = rows(kept)
+    keptRows.foreach { r => r._2 shouldBe 2L; r._3 shouldBe empty }
+    val scratchTrip = rows(Dedup.winnowIndexCounted(
+      trip.where(col("id") =!= 3L), "id", "text", maxBucketSize = 2))
+    keptRows.map(r => (r._1, r._2)) shouldBe
+      scratchTrip.map(r => (r._1, r._2)) // counts exact
+    scratchTrip.foreach(_._3 should not be empty) // the trade, visible
+    // winnowIndexCompact is pure layout: same rows
+    rows(Dedup.winnowIndexCompact(retracted)) shouldBe rows(retracted)
+  }
+
+  test("winnowIndexCounted / winnowIndexRetract require an integral id " +
+      "column up front — string ids would silently become null " +
+      "postings otherwise") {
+    val bad = Seq(("a", "some text here")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowIndexCounted(bad, "id", "text")
+    }.getMessage should include("integral")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowIndexRetract(
+        Dedup.winnowIndexCounted(docs, "id", "text"), bad, "id", "text")
+    }.getMessage should include("integral")
+  }
 }

@@ -144,6 +144,37 @@ class GraphSpec extends SparkSpecBase with Matchers {
       Map(1L -> 433333L, 2L -> 1075614L, 99L -> 1491051L)
   }
 
+  test("prGraph + pageRankDanglingOn/pageRankWarmStartOn: the shared-" +
+      "setup variants are BIT-IDENTICAL to the standalone ones — one " +
+      "PrGraph feeds several chains (the q_pagerank_incr shape); a " +
+      "weighted graph is rejected by the unweighted round bodies") {
+    val rnd = new scala.util.Random(19)
+    val es = Seq.fill(20)(
+      (rnd.nextInt(9).toLong, rnd.nextInt(9).toLong)).toSet.toSeq
+    val edges = es.toDF("src", "dst")
+    val g = Graph.prGraph(edges, "src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    m(Graph.pageRankDanglingOn(g, iters = 3)) shouldBe
+      m(Graph.pageRankDangling(edges, "src", "dst", iters = 3))
+    val stored = Graph.pageRankDangling(edges, "src", "dst", iters = 2)
+    m(Graph.pageRankWarmStartOn(g, stored, "node", "score", iters = 3)) shouldBe
+      m(Graph.pageRankWarmStart(edges, "src", "dst", stored,
+        "node", "score", iters = 3))
+    // the composition law holds THROUGH the shared graph: 2 stored + 3
+    // warm rounds on one PrGraph == 5 one-shot rounds on it
+    m(Graph.pageRankWarmStartOn(g,
+      Graph.pageRankDanglingOn(g, iters = 2), "node", "score",
+      iters = 3)) shouldBe m(Graph.pageRankDanglingOn(g, iters = 5))
+    val wg = Graph.prGraph(
+      es.map(e => (e._1, e._2, 2L)).toDF("src", "dst", "w"),
+      "src", "dst", weightCol = Some("w"))
+    an[IllegalArgumentException] should be thrownBy
+      Graph.pageRankDanglingOn(wg, iters = 1)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.pageRankWarmStartOn(wg, stored, "node", "score", iters = 1)
+  }
+
   test("pageRankPersonalized matches an in-memory integer reference on " +
       "seeded random directed graphs; seed proximity beats the uniform " +
       "jump ordering") {

@@ -488,6 +488,62 @@ class SimilaritySpec extends SparkSpecBase with org.scalatest.matchers.should.Ma
     }.getMessage should include("ivfPqIndex")
   }
 
+  test("ivfPqIndexUpsert / ivfPqIndexRetract / ivfPqIndexCompact: " +
+      "upsert == from-scratch on the FINAL vector per id; retraction " +
+      "== from-scratch on survivors; compaction changes no row and " +
+      "serves byte-identically") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31L)
+    val corpus = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5))).toDF("id", "v")
+    val evens = corpus.where(col("id") % 2 === 0)
+    val odds = corpus.where(col("id") % 2 === 1)
+    val cents = Similarity.trainCentroids(evens, "id", "v", k = 4,
+      iters = 2)
+    val books = Similarity.pqCodebooks(evens, "id", "v", dim = 8,
+      m = 4, ks = 4, iters = 2)
+    val stored = Similarity.ivfPqIndex(evens, "id", "v", cents, books)
+    // snapshot = the odd half + RE-EMBEDDED versions of ids % 10 == 0
+    // (reversed vectors stand in for an encoder re-run)
+    val reembedded = evens.where(col("id") % 10 === 0)
+      .select(col("id"), org.apache.spark.sql.functions.reverse(col("v"))
+        .as("v"))
+    val snapshot = odds.select(col("id"), col("v")).unionByName(reembedded)
+    val upserted = Similarity.ivfPqIndexUpsert(stored, snapshot,
+      "id", "v", cents, books)
+    upserted.count() shouldBe 60 // no double-serving of re-embedded ids
+    val finalCorpus = corpus.select(col("id"),
+      org.apache.spark.sql.functions.when(col("id") % 10 === 0,
+        org.apache.spark.sql.functions.reverse(col("v")))
+        .otherwise(col("v")).as("v"))
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    idxRows(upserted) shouldBe
+      idxRows(Similarity.ivfPqIndex(finalCorpus, "id", "v", cents, books))
+    // retraction: anti-join == from-scratch on survivors; unknown ids
+    // are a no-op
+    val retracted = Similarity.ivfPqIndexRetract(upserted,
+      Seq(4L, 7L, 999L).toDF("id"), "id")
+    idxRows(retracted) shouldBe idxRows(Similarity.ivfPqIndex(
+      finalCorpus.where(!col("id").isin(4L, 7L)), "id", "v",
+      cents, books))
+    // compaction: identical row set, byte-identical serve
+    val q = finalCorpus.where(col("id") < 3)
+      .select(col("id").as("qid"), col("v").as("qvec"))
+    def serveRows(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqServeAdc(idx, "id", q, "qid", "qvec",
+          k = 5, cents, nprobe = 2, books)
+        .select("query_id", "neighbor_id", "rank", "score")
+        .as[(Long, Long, Int, Double)].collect()
+        .sortBy(r => (r._1, r._3)).toSeq
+    val compacted = Similarity.ivfPqIndexCompact(upserted, "id")
+    idxRows(compacted) shouldBe idxRows(upserted)
+    serveRows(compacted) shouldBe serveRows(upserted)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexCompact(corpus, "id")
+    }.getMessage should include("ivfPqIndex")
+  }
+
   test("pcaTopComponents: rank-1 2D data recovers the (1, 2) direction " +
       "exactly and claims the whole variance") {
     // points (0.125k, 0.25k), k in -2..2 — every coordinate is exactly

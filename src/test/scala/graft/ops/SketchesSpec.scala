@@ -486,6 +486,106 @@ class SketchesSpec extends SparkSpecBase with Matchers {
       Sketches.bloomMergeWords(Seq.empty, Seq("g"), 256)
   }
 
+  test("cmsSubtractGrids: base − delta == grid(survivors) cell for cell; " +
+      "untouched groups pass through; non-subset retraction raises") {
+    def frame(ids: Seq[Long]) =
+      ids.flatMap(i => Seq(("g", i), ("h", i % 7))).toDF("g", "id")
+    val all = (0L until 500L)
+    val gone = (350L until 500L)
+    val full = Sketches.cmsGrids(frame(all), Seq("g"), "id", 4, 32)
+    val delta = Sketches.cmsGrids(frame(gone), Seq("g"), "id", 4, 32)
+    val retracted = Sketches.cmsSubtractGrids(full, delta, Seq("g"), 4, 32)
+    val survivors = Sketches.cmsGrids(frame(0L until 350L),
+      Seq("g"), "id", 4, 32)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Seq[Long])].collect().sortBy(_._1).toSeq
+    rows(retracted) shouldBe rows(survivors)
+    // a delta group the base never saw -> its cells go negative -> raise
+    val foreign = Sketches.cmsGrids(
+      (0L until 10L).map(i => ("zz", i)).toDF("g", "id"),
+      Seq("g"), "id", 4, 32)
+    intercept[Exception] {
+      Sketches.cmsSubtractGrids(full, foreign, Seq("g"), 4, 32).collect()
+    }.getMessage should include("negative")
+    // retracting rows never inserted (same group) raises too
+    val over = Sketches.cmsGrids(frame(350L until 700L),
+      Seq("g"), "id", 4, 32)
+    intercept[Exception] {
+      Sketches.cmsSubtractGrids(survivors, over, Seq("g"), 4, 32).collect()
+    }.getMessage should include("negative")
+    // wrong-shape delta raises on the shared length guard
+    val wrong = Sketches.cmsGrids(frame(gone), Seq("g"), "id", 4, 64)
+    intercept[Exception] {
+      Sketches.cmsSubtractGrids(full, wrong, Seq("g"), 4, 32).collect()
+    }.getMessage should include("depth*width")
+  }
+
+  test("bloomRetractWords / hllRetractRegisters: cannot-delete raises " +
+      "are loud and name the rebuild-window remedy — never a silent " +
+      "no-op") {
+    val f = (0L until 50L).map(i => ("g", i)).toDF("g", "id")
+    val words = Sketches.bloomWords(f, Seq("g"), "id", 256, 3)
+    val be = intercept[UnsupportedOperationException] {
+      Sketches.bloomRetractWords(words, words, Seq("g"), 256)
+    }
+    be.getMessage should include("cannot delete")
+    be.getMessage should include("Rebuild-window")
+    val regs = Sketches.hllRegisters(
+      f.select($"g", LongHashes.splitmix64($"id").as("h")), Seq("g"), "h",
+      p = 6)
+    val he = intercept[UnsupportedOperationException] {
+      Sketches.hllRetractRegisters(regs, regs, Seq("g"), 6)
+    }
+    he.getMessage should include("cannot delete")
+    he.getMessage should include("Rebuild-window")
+  }
+
+  test("sketch-state merges validate the stored column's TYPE at plan " +
+      "time — an array<int> table from a foreign writer fails before " +
+      "any job runs") {
+    val badType = Seq(("g", Seq(1, 2, 3))).toDF("g", "cms_grid")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsMergeGrids(Seq(badType), Seq("g"), 4, 32)
+    }.getMessage should include("array<bigint>")
+    val noCol = Seq(("g", 1L)).toDF("g", "not_words")
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMergeWords(Seq(noCol), Seq("g"), 256)
+    }.getMessage should include("no 'bloom_words' column")
+  }
+
+  test("quantileSummaries/quantileMergeSummaries: merged stored state == " +
+      "single-pass pair for pair; served quantiles within the uniform-" +
+      "sample rank bound; merge output chains as stored state") {
+    def frame(ids: Seq[Long]) = ids.map(i => ("g", i, i * 10L))
+      .toDF("g", "id", "v")
+      .select($"g", LongHashes.splitmix64($"id").as("h"), $"v")
+    val a = (0L until 400L)
+    val b = (400L until 1000L)
+    val sa = Sketches.quantileSummaries(frame(a), Seq("g"), "h", "v", 64)
+    val sb = Sketches.quantileSummaries(frame(b), Seq("g"), "h", "v", 64)
+    val merged = Sketches.quantileMergeSummaries(Seq(sa, sb), Seq("g"), 64)
+    val full = Sketches.quantileSummaries(frame(a ++ b),
+      Seq("g"), "h", "v", 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Seq[(Long, Long)])].collect().sortBy(_._1).toSeq
+    rows(merged) shouldBe rows(full)
+    // merged state is ITSELF mergeable (chains across nights): folding
+    // it with an empty-extra night is identity
+    rows(Sketches.quantileMergeSummaries(Seq(merged), Seq("g"), 64)) shouldBe
+      rows(merged)
+    // served median within the ~1.25/sqrt(k) rank bound of the exact
+    // one: values are 0..9990 by 10, exact p50 = 4995; rank error 20%
+    // of the range at k=64 is ±2000 — generous but non-vacuous
+    val p50 = merged.select(
+      Sketches.summaryQuantile($"qsketch", 0.5)).as[Double].head()
+    math.abs(p50 - 4995.0) should be < 2000.0
+    // same-k contract: a bigger-k sketch raises
+    val big = Sketches.quantileSummaries(frame(a), Seq("g"), "h", "v", 128)
+    intercept[Exception] {
+      Sketches.quantileMergeSummaries(Seq(big), Seq("g"), 64).collect()
+    }.getMessage should include("same-k")
+  }
+
   test("hllEstimate raises on registers outside the given p's domain " +
       "instead of silently skewing the estimate") {
     val regsP8 = Sketches.hllRegisters(
