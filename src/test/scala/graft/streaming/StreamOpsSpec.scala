@@ -324,6 +324,151 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
       rows(Sketches.bloomWords(feed, Seq("g"), "k", 256, 3))
   }
 
+  test("streaming BM25 statistics maintenance: dfTableMerge / " +
+      "docStatsMerge inside foreachBatch across micro-batches equal " +
+      "the one-shot stats of the whole corpus — and serving from the " +
+      "folded stats equals serving from the one-shot build") {
+    import graft.ops.TextAnalysis
+    val seed = Seq((1L, "spark shuffles data between stages"),
+      (2L, "catalyst optimizes the logical plan")).toDF("id", "text")
+    var dfs = TextAnalysis.dfTable(seed, "id", "text").localCheckpoint()
+    var totals = TextAnalysis.docStats(seed, "id", "text").localCheckpoint()
+    val b1 = Seq((3L, "spark plans shuffles with catalyst"),
+      (4L, "the tungsten engine generates code"))
+    val b2 = Seq((5L, "stages exchange data through shuffles"))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDS().toDF("id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pinned = batch.localCheckpoint()
+        dfs = TextAnalysis.dfTableMerge(Seq(dfs,
+          TextAnalysis.dfTable(pinned, "id", "text"))).localCheckpoint()
+        totals = TextAnalysis.docStatsMerge(Seq(totals,
+          TextAnalysis.docStats(pinned, "id", "text"))).localCheckpoint()
+        ()
+      }.start()
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = seed.unionAll((b1 ++ b2).toDF("id", "text"))
+    dfs.as[(String, Long)].collect().sortBy(_._1).toSeq shouldBe
+      TextAnalysis.dfTable(all, "id", "text")
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+    totals.as[(Long, Long)].collect().toSeq shouldBe
+      TextAnalysis.docStats(all, "id", "text")
+        .as[(Long, Long)].collect().toSeq
+    // serve parity: identical stats -> identical scores, bit for bit
+    def serve(d: org.apache.spark.sql.DataFrame,
+        t: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25TopDocsFromStats(all, "id", "text",
+          Seq("spark", "shuffles"), d, t, k = 3)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    serve(dfs, totals) shouldBe serve(
+      TextAnalysis.dfTable(all, "id", "text"),
+      TextAnalysis.docStats(all, "id", "text"))
+  }
+
+  test("streaming counted-winnow-index maintenance: winnowIndexMerge " +
+      "inside foreachBatch across micro-batches equals the one-shot " +
+      "counted index — including an fp crossing the cap only after a " +
+      "later batch arrives") {
+    import graft.ops.Dedup
+    val boiler = "identical boilerplate preamble text"
+    val mkDocs = (ids: Seq[Long]) =>
+      ids.map(i => (i, s"$boiler unique tail number $i with words $i$i"))
+    val cap = 6 // 8 docs total: boiler fps cross the cap mid-stream
+    val seed = mkDocs(1L to 3L).toDF("id", "text")
+    var index = Dedup.winnowIndexCounted(seed, "id", "text",
+      maxBucketSize = cap).localCheckpoint()
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDS().toDF("id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        index = Dedup.winnowIndexMerge(Seq(index,
+          Dedup.winnowIndexCounted(batch.localCheckpoint(), "id", "text",
+            maxBucketSize = cap)), maxBucketSize = cap).localCheckpoint()
+        ()
+      }.start()
+    in.addData(mkDocs(4L to 5L): _*)
+    q.processAllAvailable()
+    in.addData(mkDocs(6L to 8L): _*) // pushes boiler fps over the cap
+    q.processAllAvailable()
+    q.stop()
+    val all = mkDocs(1L to 8L).toDF("id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val streamed = rows(index)
+    streamed shouldBe rows(Dedup.winnowIndexCounted(all, "id", "text",
+      maxBucketSize = cap))
+    // the mid-stream cap crossing really happened
+    streamed.exists(r => r._2 > cap && r._3.isEmpty) shouldBe true
+  }
+
+  test("streaming PageRank warm-start: each micro-batch runs j more " +
+      "rounds from the stored table (pageRankWarmStartOn on one " +
+      "PrGraph) — after batches of 2+1+2 rounds the state equals 5 " +
+      "one-shot rounds (the k+j composition law, streamed)") {
+    import graft.ops.Graph
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(24)(
+      (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong)).toSet.toSeq
+    val g = Graph.prGraph(es.toDF("src", "dst"), "src", "dst")
+    var state = Graph.pageRankDanglingOn(g, iters = 2).localCheckpoint()
+    val in = MemoryStream[Int](spark)
+    val q = in.toDS().toDF("j").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the batch payload IS the round budget for this tick
+        val j = batch.agg(sum(col("j"))).collect().head.getLong(0).toInt
+        state = Graph.pageRankWarmStartOn(g, state, "node", "score",
+          iters = j).localCheckpoint()
+        ()
+      }.start()
+    in.addData(1)
+    q.processAllAvailable()
+    in.addData(2)
+    q.processAllAvailable()
+    q.stop()
+    state.as[(Long, Long)].collect().toMap shouldBe
+      Graph.pageRankDanglingOn(g, iters = 5)
+        .as[(Long, Long)].collect().toMap
+  }
+
+  test("streaming ANN index maintenance: ivfPqIndexAppend per " +
+      "micro-batch (with one batch UPSERTING a re-embedded id) equals " +
+      "the one-shot index of the final vector per id") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.tabulate(30)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5)))
+    val seed = vecs.take(10).toDF("id", "v")
+    val cents = Similarity.trainCentroids(seed, "id", "v", k = 3, iters = 2)
+    val books = Similarity.pqCodebooks(seed, "id", "v", dim = 8,
+      m = 4, ks = 4, iters = 2)
+    var index = Similarity.ivfPqIndex(seed, "id", "v", cents, books)
+      .localCheckpoint()
+    val reembedded5 = (5L, vecs(5)._2.reverse) // id 5 re-encoded later
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    val q = in.toDS().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // upsert, not append: a batch may re-embed a known id, and the
+        // anti-join degenerates to the plain append for fresh ids
+        index = Similarity.ivfPqIndexUpsert(index, batch.localCheckpoint(),
+          "id", "v", cents, books).localCheckpoint()
+        ()
+      }.start()
+    in.addData(vecs.slice(10, 20): _*)
+    q.processAllAvailable()
+    in.addData(vecs.drop(20) :+ reembedded5: _*)
+    q.processAllAvailable()
+    q.stop()
+    val finalVecs = vecs.map { case (id, v) =>
+      if (id == 5L) (id, v.reverse) else (id, v) }
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Int, Seq[Int])].collect().sortBy(_._1).toSeq
+    rows(index) shouldBe rows(Similarity.ivfPqIndex(
+      finalVecs.toDF("id", "v"), "id", "v", cents, books))
+  }
+
   test("runningMean accumulates per-key state across batches (update mode)") {
     val in = MemoryStream[(String, Double)](spark)
     val out = StreamOps.runningMean(in.toDS())

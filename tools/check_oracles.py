@@ -120,32 +120,50 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main():
     if sys.argv[1:2] == ["--selftest"]:
         _selftest()
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # per-query record in the DRIVER's CORRECTNESS_r{N}.json schema, so
+    # the committed local artifact is a drop-in replacement when the
+    # driver ships an empty file (it did in r16 and r17)
+    records = {}
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "err": None}
+        records[name] = rec
         try:
             spark = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
             oracle = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
+            rec["err"] = str(e)[:500]
             n_fail += 1
             continue
         ok = True
         if len(spark) != len(oracle):
             print(f"FAIL {name}: rows {len(spark)} vs {len(oracle)}")
+            rec["err"] = f"rows {len(spark)} vs {len(oracle)}"
             ok = False
+        rec["rows_match"] = len(spark) == len(oracle)
         sc, oc = sorted(spark.columns), sorted(oracle.columns)
+        rec["schema_match"] = sc == oc
         if ok and sc != oc:
             print(f"FAIL {name}: cols {sc} vs {oc}")
+            rec["err"] = f"cols {sc} vs {oc}"
             ok = False
         if ok:
             try:
@@ -162,18 +180,25 @@ def main():
                     for i, (a, b) in enumerate(zip(sv, ov)):
                         if not _cells_equal(a, b):
                             print(f"FAIL {name}: col {c} row {i}: {a!r} != {b!r}")
+                            rec["err"] = f"col {c} row {i}: {a!r} != {b!r}"[:500]
                             ok = False
                             break
                     if not ok:
                         break
             except Exception as e:
                 print(f"FAIL {name}: compare error {e}")
+                rec["err"] = f"compare error {e}"[:500]
                 ok = False
+        rec["hash_match"] = ok
         if ok:
             print(f"pass {name}")
             n_pass += 1
         else:
             n_fail += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(records)} queries)")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
