@@ -815,6 +815,31 @@ object Sketches {
   def summaryQuantile(qsketch: Column, q: Double): Column =
     sketchQuantile(array_sort(transform(qsketch, s => s.getField("v"))), q)
 
+  /** RETRACT rows from a stored [[quantilePairs]] sketch given the
+    * removed rows' raw HASHES (the same splitmix values the sketch was
+    * built over) — the bottom-k member of the deletion taxonomy: sums
+    * subtract exactly ([[cmsSubtractGrids]]), idempotent folds raise
+    * ([[bloomRetractWords]]), and bottom-k DEGRADES GRACEFULLY.
+    * Dropping the removed pairs leaves exactly the smallest `m` hashes
+    * of the surviving row set (a removal can never promote a survivor
+    * past the old k-th minimum), so the result is a VALID bottom-m
+    * quantile sketch of the survivors — at reduced resolution
+    * `m = k − |removed ∩ kept|`, rank error ~1.25/sqrt(m) (the evicted
+    * replacements were never stored; only a rebuild restores full k).
+    * Removed rows whose hashes were never retained cost nothing.
+    * Serve with [[summaryQuantile]]; the caller reads `size(...)` to
+    * decide when m has degraded enough to warrant the rebuild.
+    * MUST NOT feed the size-semantics distinct estimators
+    * ([[kmvUnionDistinct]] reads size < k as "complete set" — a
+    * retracted sketch would lie); quantile reads only. */
+  def quantilePairsRetract(sketch: Column,
+      removedHashes: Column): Column = {
+    // stored fkeys are sign-flipped (unsigned order as signed longs)
+    val flipped = transform(removedHashes,
+      h => h.bitwiseXOR(lit(Long.MinValue)))
+    filter(sketch, p => !array_contains(flipped, p.getField("fkey")))
+  }
+
   /** NEAREST-RANK equi-depth edges off a [[quantileSketch]] array: the
     * `nBins - 1` interior quantile values `sketch[ceil(j*n/nBins)]`
     * (1-based, exact integer rank arithmetic, no interpolation — edges

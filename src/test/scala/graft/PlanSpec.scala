@@ -1080,6 +1080,42 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("q_ann_upsert: the stale-row retirement is a BROADCAST anti-join " +
+      "(the arriving id set is small), the serve keeps q_ann_incr's " +
+      "broadcast-probe shape; no SortMergeJoin, no Window") {
+    val p = plan("q_ann_upsert")
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti") // the upsert's retirement join
+    p should include("graft_pq_encode")
+    p should include("graft_centroid_probes")
+    p should include("partial_graft_top_k_by_score")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
+  test("q_ann_compact: compaction is ONE range exchange over the slim " +
+      "code rows (the cluster-colocated rewrite; Catalyst rightly " +
+      "ELIMINATES the in-partition sort when the consumer is a serve " +
+      "join rather than the file write — EliminateSorts, pinned here " +
+      "so the optimization is a documented fact, not an accident); " +
+      "the serve on top stays broadcast-probe shaped") {
+    val p = plan("q_ann_compact")
+    p should include("rangepartitioning(cluster") // the layout rewrite
+    p should not include "Sort [cluster" // eliminated under a serve
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q_dedup_retract: the repair path is anti/semi joins + the " +
+      "closure's shape — no Window sort, no cartesian; the pair-store " +
+      "compaction's exchange is range partitioning") {
+    val p = plan("q_dedup_retract")
+    p should include("LeftAnti")
+    p should include("LeftSemi")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("q_pagerank_incr: the warm-start prior join stays a slim " +
       "node-frame join outside the rounds; no cartesian anywhere in " +
       "the four composed rank chains") {

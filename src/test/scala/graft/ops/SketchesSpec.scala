@@ -586,6 +586,35 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     }.getMessage should include("same-k")
   }
 
+  test("quantilePairsRetract: dropping removed hashes leaves EXACTLY " +
+      "the survivors' bottom-m sketch (a removal cannot promote past " +
+      "the old k-th minimum) — valid at degraded resolution") {
+    def frame(ids: Seq[Long]) = ids.map(i => ("g", i, i * 10L))
+      .toDF("g", "id", "v")
+      .select($"g", LongHashes.splitmix64($"id").as("h"), $"v")
+    val all = (0L until 500L)
+    val gone = (0L until 500L by 5L) // every 5th row retracted
+    val full = Sketches.quantileSummaries(frame(all), Seq("g"), "h", "v", 64)
+    val rmHashes = gone.map(LongHashes.splitmix64Of)
+    val retracted = full.select($"g",
+      Sketches.quantilePairsRetract($"qsketch",
+        typedlit(rmHashes)).as("qsketch"))
+    val got = retracted.as[(String, Seq[(Long, Long)])].head()._2
+    // the survivors' bottom-k, truncated to the degraded size m,
+    // must match pair for pair
+    val survivors = Sketches
+      .quantileSummaries(frame(all.filterNot(gone.toSet)),
+        Seq("g"), "h", "v", 64)
+      .as[(String, Seq[(Long, Long)])].head()._2
+    got.size should be < 64 // some removed rows WERE in the kept set
+    got shouldBe survivors.take(got.size)
+    // served quantile still reads (values are id*10, exact p50 ~2495
+    // over survivors; generous uniform-sample bound at m ~ 50)
+    val p50 = retracted.select(
+      Sketches.summaryQuantile($"qsketch", 0.5)).as[Double].head()
+    math.abs(p50 - 2495.0) should be < 1200.0
+  }
+
   test("hllEstimate raises on registers outside the given p's domain " +
       "instead of silently skewing the estimate") {
     val regsP8 = Sketches.hllRegisters(
