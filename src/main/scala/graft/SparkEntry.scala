@@ -3904,6 +3904,54 @@ object SparkEntry {
           abs(col("p90_est") - col("p90_exact")).as("p90_abs_err"))
         .orderBy("lang")
     }),
+    "q_quantile_retract" -> ((s, dir) => {
+      // QUANTILE SKETCH RETRACTION (Sketches.quantilePairsRetract) —
+      // the bottom-k member of the deletion taxonomy (sums subtract:
+      // q_cms_retract; per-row artifacts anti-join: q_lsh_retract;
+      // idempotent folds raise: SketchesSpec): dropping the removed
+      // rows' hashes from the stored pair array leaves EXACTLY the
+      // survivors' smallest-m hashes (a removal cannot promote a
+      // survivor past the old k-th minimum), i.e. a valid bottom-m
+      // sketch at degraded resolution. prefix_match pins that claim
+      // per lang: the retracted pairs == the from-scratch survivors'
+      // bottom-32 truncated to m — keys AND values; p50 then serves
+      // from the RETRACTED state next to the survivors' exact median.
+      // The tombstone hash set rides as one bounded per-group array
+      // (takedown sets are small); a tombstone set past broadcast
+      // size would explode + anti-join instead.
+      val docs0 = t(s, dir, "documents")
+      val docs = docs0.select(col("lang"),
+        pmod(col("doc_id"), lit(5)).as("m5"),
+        LongHashes.splitmix64(col("doc_id")).as("h"),
+        col("n_chars").cast(LongType).as("v"))
+      val g = Seq("lang")
+      val full = Sketches.quantileSummaries(docs, g, "h", "v", k = 32)
+      val rm = docs.where(col("m5") === 0).groupBy(col("lang"))
+        .agg(collect_list(col("h")).as("rmh"))
+      val retracted = full.join(rm, Seq("lang"), "left")
+        .select(col("lang"),
+          Sketches.quantilePairsRetract(col("qsketch"),
+            coalesce(col("rmh"), array().cast(ArrayType(LongType))))
+            .as("qsketch"))
+      val surv = Sketches.quantileSummaries(
+        docs.where(col("m5") =!= 0), g, "h", "v", k = 32)
+      val ex = docs0.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.5D)").as("p50_exact"))
+      retracted
+        .join(surv.select(col("lang"), col("qsketch").as("qs")),
+          Seq("lang"))
+        .select(col("lang"),
+          size(col("qsketch")).cast(LongType).as("n_sample"),
+          (col("qsketch") <=> slice(col("qs"), lit(1),
+            size(col("qsketch")))).as("prefix_match"),
+          Sketches.summaryQuantile(col("qsketch"), 0.5).as("p50_est"))
+        .join(ex, Seq("lang"))
+        .select(col("lang"), col("n_sample"), col("prefix_match"),
+          col("p50_est"), col("p50_exact"),
+          abs(col("p50_est") - col("p50_exact")).as("p50_abs_err"))
+        .orderBy("lang")
+    }),
     "q_diversity" -> ((s, dir) => {
       // Character-diversity quality gate: per-codepoint counts folded
       // to the Simpson collision probability in ONE codegen'd pass.
@@ -7825,6 +7873,47 @@ object SparkEntry {
                  e.p50_est, x.p50_exact, abs(e.p50_est - x.p50_exact) AS p50_abs_err,
                  e.p90_est, x.p90_exact, abs(e.p90_est - x.p90_exact) AS p90_abs_err
           FROM est e JOIN ex x USING (lang) ORDER BY lang""",
+    // Quantile-retraction replay: rank ALL rows by the splitmix chain,
+    // keep rn <= 32, drop the removed rows from the kept set (the
+    // retraction re-derived as plain filtering), then prefix-compare
+    // against the survivors' own bottom-32 and serve the median via
+    // the shared interpolation formula.
+    "q_quantile_retract" ->
+      raw"""WITH d0 AS (SELECT lang, (doc_id % 5 = 0) AS rm, n_chars,
+                               CAST(doc_id AS HUGEINT) AS z
+                        FROM documents WHERE n_chars IS NOT NULL),
+               ${splitmixCtesSql("d0", "lang, rm, n_chars")},
+               rk AS MATERIALIZED (SELECT lang, rm, n_chars, z,
+                             row_number() OVER (PARTITION BY lang
+                                                ORDER BY z) AS rn
+                      FROM h5),
+               rt AS MATERIALIZED (SELECT lang,
+                             list(struct_pack(z := z, v := n_chars)
+                                  ORDER BY z) AS pm,
+                             list_sort(list(n_chars)) AS vs,
+                             CAST(count(*) AS BIGINT) AS n_sample
+                      FROM rk WHERE rn <= 32 AND NOT rm GROUP BY lang),
+               sv AS (SELECT lang,
+                             list(struct_pack(z := z, v := n_chars)
+                                  ORDER BY z) AS pf
+                      FROM (SELECT lang, n_chars, z,
+                                   row_number() OVER (PARTITION BY lang
+                                                      ORDER BY z) AS rn
+                            FROM h5 WHERE NOT rm) WHERE rn <= 32
+                      GROUP BY lang),
+               ex AS (SELECT lang,
+                             quantile_cont(n_chars, 0.5) AS p50_exact
+                      FROM documents WHERE doc_id % 5 <> 0
+                      GROUP BY lang),
+               est AS (SELECT r.lang, r.n_sample,
+                              (r.pm = s.pf[1:CAST(r.n_sample AS INTEGER)])
+                                AS prefix_match,
+                              ${sketchQuantileSql("vs", "n_sample", "0.5")} AS p50_est
+                       FROM rt r JOIN sv s USING (lang))
+          SELECT e.lang, e.n_sample, e.prefix_match,
+                 e.p50_est, x.p50_exact,
+                 abs(e.p50_est - x.p50_exact) AS p50_abs_err
+          FROM est e JOIN ex x USING (lang) ORDER BY lang""",
     "q_diversity" ->
       """WITH ch AS (SELECT doc_id,
                             unnest(list_transform(range(1, length(text) + 1),
@@ -10132,6 +10221,6 @@ object SparkEntry {
     // round 18: the deletion/retraction + compaction half of the
     // incremental-artifact story, plus the quantile persistence member
     "q_cms_retract", "q_lsh_retract", "q_dedup_retract",
-    "q_winnow_retract", "q_quantile_incr", "q_ann_upsert",
+    "q_winnow_retract", "q_quantile_incr", "q_quantile_retract", "q_ann_upsert",
     "q_ann_compact")
 }
