@@ -3256,7 +3256,10 @@ object SparkEntry {
       // fold-transparent (compaction is the other half of the nightly
       // artifact story).
       val d = t(s, dir, "documents")
-      val pairs = Dedup.nearDupPairs(d, "doc_id", "text")
+      // pinned once: the cascade feeds BOTH the stored-label build and
+      // the repair's surviving-pair re-closure — two lazy consumers
+      // would re-run the minhash cascade end to end
+      val pairs = Dedup.nearDupPairs(d, "doc_id", "text").localCheckpoint()
       val clustered = Dedup.nearDupClusters(pairs)
       val allIds = d.select(col("doc_id").as("id"))
       val oldLabels = clustered.unionByName(

@@ -404,6 +404,57 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     streamed.exists(r => r._2 > cap && r._3.isEmpty) shouldBe true
   }
 
+  test("streaming index lifecycle: APPENDS and RETRACTIONS interleaved " +
+      "across micro-batches — the counted winnow index after " +
+      "add/add/remove ticks equals the from-scratch index of the " +
+      "final corpus, and the LSH index likewise") {
+    import graft.ops.Dedup
+    val boiler = "identical boilerplate preamble text"
+    val doc = (i: Long) =>
+      (i, s"$boiler unique tail number $i with words $i$i")
+    val seed = Seq(doc(1L), doc(2L)).toDF("id", "text")
+    var winnow = Dedup.winnowIndexCounted(seed, "id", "text")
+      .localCheckpoint()
+    var lsh = Dedup.lshDedupIndex(seed, "id", "text").localCheckpoint()
+    // op column: 'I' appends the doc, 'D' retracts it (text rides
+    // along — winnow retraction recomputes the removed fps from it)
+    val in = MemoryStream[(String, Long, String)](spark)
+    val q = in.toDS().toDF("op", "id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pinned = batch.localCheckpoint()
+        val ins = pinned.where(col("op") === "I").select("id", "text")
+        val del = pinned.where(col("op") === "D").select("id", "text")
+        winnow = Dedup.winnowIndexMerge(Seq(winnow,
+          Dedup.winnowIndexCounted(ins, "id", "text"))).localCheckpoint()
+        if (del.count() > 0) {
+          winnow = Dedup.winnowIndexRetract(winnow, del, "id", "text")
+            .localCheckpoint()
+          lsh = Dedup.lshIndexRetract(lsh, del.select("id"))
+            .localCheckpoint()
+        }
+        lsh = lsh.unionByName(Dedup.lshDedupIndex(ins, "id", "text"))
+          .localCheckpoint()
+        ()
+      }.start()
+    in.addData(("I", 3L, doc(3L)._2), ("I", 4L, doc(4L)._2))
+    q.processAllAvailable()
+    in.addData(("D", 2L, doc(2L)._2), ("I", 5L, doc(5L)._2))
+    q.processAllAvailable()
+    in.addData(("D", 4L, doc(4L)._2))
+    q.processAllAvailable()
+    q.stop()
+    val survivors = Seq(1L, 3L, 5L).map(doc).toDF("id", "text")
+    def wrows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    wrows(winnow) shouldBe
+      wrows(Dedup.winnowIndexCounted(survivors, "id", "text"))
+    def lrows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("nsh"), col("sig"), col("sh"))
+        .as[(Long, Int, Seq[Long], Seq[Long])].collect().sortBy(_._1).toSeq
+    lrows(lsh) shouldBe
+      lrows(Dedup.lshDedupIndex(survivors, "id", "text"))
+  }
+
   test("streaming PageRank warm-start: each micro-batch runs j more " +
       "rounds from the stored table (pageRankWarmStartOn on one " +
       "PrGraph) — after batches of 2+1+2 rounds the state equals 5 " +
