@@ -2170,6 +2170,30 @@ object SparkEntry {
         .crossJoin(broadcast(mismatch))
         .orderBy("rk")
     }),
+    "q_bm25_retract" -> ((s, dir) => {
+      // SEARCH-INDEX STATS RETRACTION (TextAnalysis.dfTableRetract/
+      // docStatsRetract) — the IR member of the deletion story: df and
+      // the corpus totals are pure sums, so subtracting the takedown
+      // docs' own stats (doc_id ≡ 0 mod 6, recomputed from their text)
+      // leaves exactly the survivors' tables — term for term, total
+      // for total — and the oracle IS that independent survivors
+      // build (it never sees the subtraction). Terms a takedown
+      // extinguishes leave the table; negative df raises inside the
+      // op (the cmsSubtractGrids contract). Corpus-wide idf stays
+      // honest after takedowns without a history rescan.
+      val d = t(s, dir, "documents")
+      val evens = d.where(pmod(col("doc_id"), lit(2)) === 0)
+      val removed = evens.where(pmod(col("doc_id"), lit(6)) === 0)
+      val dfs = TextAnalysis.dfTableRetract(
+        TextAnalysis.dfTable(evens, "doc_id", "text"), removed,
+        "doc_id", "text")
+      val tot = TextAnalysis.docStatsRetract(
+        TextAnalysis.docStats(evens, "doc_id", "text"), removed,
+        "doc_id", "text")
+      dfs.crossJoin(broadcast(tot))
+        .select(col("term"), col("df"), col("n_docs"), col("sum_dl"))
+        .orderBy("term")
+    }),
     "q_inverted" -> ((s, dir) => {
       // Inverted index over the 20 rarest terms (postings capped at
       // 100): per-doc term dedup is in-row (no (doc,term) distinct
@@ -8374,6 +8398,23 @@ object SparkEntry {
       s"""WITH $bm25CtesSql
          SELECT rk, doc_id, dl, score FROM r WHERE rk <= 25 ORDER BY rk""",
     "q_bm25_incr" -> bm25IncrSql,
+    // BM25-stats retraction oracle: the survivors' df table and totals
+    // computed DIRECTLY (never seeing the subtraction) — equality is
+    // the sums-subtract law, term for term.
+    "q_bm25_retract" ->
+      raw"""WITH toks AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS ts
+                       FROM documents
+                       WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0),
+              dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                      FROM (SELECT doc_id, unnest(list_distinct(ts)) AS term
+                            FROM toks)
+                      GROUP BY term),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(len(ts)) AS BIGINT) AS sum_dl
+                      FROM toks)
+         SELECT term, df, n_docs, sum_dl
+         FROM dfq CROSS JOIN tot ORDER BY term""",
     // Incremental winnow-index replay: per-quarter counted tables sum
     // into the merged artifact (cap re-applied on merged counts),
     // diffed against the single-pass counted index over all evens,
@@ -10224,6 +10265,6 @@ object SparkEntry {
     // round 18: the deletion/retraction + compaction half of the
     // incremental-artifact story, plus the quantile persistence member
     "q_cms_retract", "q_lsh_retract", "q_dedup_retract",
-    "q_winnow_retract", "q_quantile_incr", "q_quantile_retract", "q_ann_upsert",
+    "q_winnow_retract", "q_quantile_incr", "q_quantile_retract", "q_bm25_retract", "q_ann_upsert",
     "q_ann_compact")
 }

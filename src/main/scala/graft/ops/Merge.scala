@@ -272,4 +272,80 @@ object Merge {
         col(sumCol)): _*)
       .where(col(countCol) =!= 0)
   }
+
+  /** INCREMENTAL MIN/MAX MAINTENANCE — the aggregate
+    * [[incrementalCountSum]] deliberately omits, now present with its
+    * honest contract instead of absent: min/max are NOT fully
+    * self-maintainable (they forget the runner-up), but the two
+    * maintainable cases cover almost all nightly traffic and the
+    * third raises rather than rescans silently.
+    *
+    *  - INSERTS fold exactly: `least`/`greatest` against the stored
+    *    extremes (a new key starts at its own extremes).
+    *  - A DELETE of a NON-EXTREME value is an exact no-op on min/max
+    *    (the extremum is still present).
+    *  - A DELETE that TOUCHES a stored extremum RAISES, naming the
+    *    key: the runner-up was never stored, so only a rescan of that
+    *    KEY's surviving rows can restore the invariant — the caller
+    *    reruns the full aggregate for the named keys only (O(hot
+    *    keys), not O(history)) or routes them to the rebuild window.
+    *    Deleting a key entirely is the caller's
+    *    [[incrementalCountSum]]-count-reaching-0 signal, not this
+    *    op's.
+    *
+    * Track row multiplicity separately ([[incrementalCountSum]]):
+    * this op maintains extremes only, and a delete of ONE copy of a
+    * duplicated extreme value still raises (value equality with the
+    * stored extremum is all it can see — conservative in the only
+    * safe direction). The checks ride INSIDE the projected columns
+    * (raising when-branches — the winnowIndexRetract filter-reorder
+    * lesson). Change feed: `opCol` ∈ {'I','D'} (anything else
+    * raises), `valCol` LONG-castable. Returns
+    * `(keyCols..., minCol, maxCol)`. */
+  def incrementalMinMax(base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], opCol: String, valCol: String,
+      minCol: String = "mn", maxCol: String = "mx"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(base.columns.contains(minCol) && base.columns.contains(maxCol),
+      s"incrementalMinMax: base snapshot must carry `$minCol`/`$maxCol`" +
+        s" — got (${base.columns.mkString(", ")})")
+    val v = col(valCol).cast(org.apache.spark.sql.types.LongType)
+    val opOk = when(col(opCol).isin("I", "D"), v)
+      .otherwise(raise_error(concat(
+        lit(s"incrementalMinMax: unknown op in `$opCol`: "),
+        col(opCol).cast("string"))))
+    val delta = changes
+      .select(keyCols.map(col) :+ col(opCol) :+ opOk.as("__v"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(when(col(opCol) === "I", col("__v"))).as("__imn"),
+        max(when(col(opCol) === "I", col("__v"))).as("__imx"),
+        min(when(col(opCol) === "D", col("__v"))).as("__dmn"),
+        max(when(col(opCol) === "D", col("__v"))).as("__dmx"))
+    base.join(delta, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        // a delete touching a stored extremum: the runner-up was never
+        // stored — raise with the key, the caller rescans THAT key
+        // <=/>= not just equality: a delete BELOW the stored min (or
+        // above the max) is a row the base never had — same breach
+        when(col(minCol).isNotNull &&
+            ((col("__dmn").isNotNull && col("__dmn") <= col(minCol)) ||
+             (col("__dmx").isNotNull && col("__dmx") >= col(maxCol))),
+          raise_error(concat(
+            lit("incrementalMinMax: a delete touches a stored extremum " +
+              "for key ("),
+            concat_ws(", ",
+              keyCols.map(col(_).cast("string")): _*),
+            lit(") — the runner-up was never stored; rescan this key's " +
+              "surviving rows (or route it to the rebuild window)"))))
+          // a delete on a key the base never had is the count
+          // violation, not a silent insert of nothing
+          .when(col(minCol).isNull && col("__imn").isNull,
+            raise_error(concat(
+              lit("incrementalMinMax: delete for a key the base never " +
+                "had ("),
+              concat_ws(", ", keyCols.map(col(_).cast("string")): _*),
+              lit(")"))))
+          .otherwise(least(col(minCol), col("__imn"))).as(minCol),
+        greatest(col(maxCol), col("__imx")).as(maxCol)): _*)
+  }
 }

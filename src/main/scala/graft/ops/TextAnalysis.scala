@@ -856,6 +856,55 @@ object TextAnalysis {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
   }
 
+  /** RETRACT documents from a stored [[dfTable]] — the IR member of
+    * the deletion story ([[graft.ops.Sketches.cmsSubtractGrids]]'s
+    * shape): df is a pure sum, so subtracting the REMOVED docs' own
+    * df table leaves exactly the survivors' table term for term
+    * (q_bm25_retract proves it against an independent survivors
+    * build). Terms whose df reaches 0 leave the table. Contract
+    * breaches raise, never skew: a removed-side term the base never
+    * saw, or a df going negative, means the removed docs were not a
+    * subset of the indexed corpus. The checks ride INSIDE the
+    * projected column (raising when-branches, the
+    * [[graft.ops.Dedup.winnowIndexRetract]] lesson — separate assert
+    * filters can be reordered past the drop-zero filter). */
+  def dfTableRetract(base: DataFrame, removed: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val rm = dfTable(removed, idCol, textCol)
+      .select(col("term"), col("df").as("__df_rm"))
+    base.select(col("term"), col("df")).join(rm, Seq("term"), "full_outer")
+      .select(col("term"),
+        when(col("df").isNull,
+          raise_error(concat(lit("dfTableRetract: term '"), col("term"),
+            lit("' exists only in the removal set — removed docs were " +
+              "never indexed, or tokenization differs"))))
+          .when(col("df") < col("__df_rm"),
+            raise_error(concat(lit("dfTableRetract: term '"), col("term"),
+              lit("' df would go negative — removed docs are not a " +
+                "subset of the indexed corpus"))))
+          .otherwise(col("df") - coalesce(col("__df_rm"), lit(0L)))
+          .cast(LongType).as("df"))
+      .where(col("df") > 0L)
+  }
+
+  /** RETRACT documents from stored [[docStats]] totals — both are
+    * pure sums; negative results raise (same contract as
+    * [[dfTableRetract]]). */
+  def docStatsRetract(base: DataFrame, removed: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val rm = docStats(removed, idCol, textCol)
+      .select(col("n_docs").as("__n_rm"), col("sum_dl").as("__dl_rm"))
+    base.select(col("n_docs"), col("sum_dl")).crossJoin(rm)
+      .select(
+        when(col("n_docs") < col("__n_rm") ||
+            col("sum_dl") < col("__dl_rm"),
+          raise_error(lit("docStatsRetract: totals would go negative — " +
+            "removed docs are not a subset of the indexed corpus")))
+          .otherwise(col("n_docs") - col("__n_rm")).cast(LongType)
+          .as("n_docs"),
+        (col("sum_dl") - col("__dl_rm")).cast(LongType).as("sum_dl"))
+  }
+
   /** [[bm25TopDocs]] SERVING FROM STORED STATISTICS: score `df`'s docs
     * (typically tonight's snapshot) against GLOBAL `(term, df)` +
     * `(n_docs, sum_dl)` artifacts — corpus-wide IDF without rescanning

@@ -260,4 +260,43 @@ class MergeSpec extends SparkSpecBase with Matchers {
     msg(Merge.incrementalCountSum(agg(baseRows), phantom, Seq("k"), "op",
       "v").collect()) should include("negative")
   }
+
+  test("incrementalMinMax: inserts fold exactly, interior deletes are " +
+      "exact no-ops, a delete touching (or outside) a stored extremum " +
+      "raises NAMING the key — never a silent wrong extreme") {
+    def agg(rows: Seq[(String, Long)]) =
+      rows.toDF("k", "v").groupBy(col("k"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val base = agg(Seq(("a", 1L), ("a", 5L), ("a", 9L), ("b", 4L)))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // inserts extend extremes; interior delete (a,5) is a no-op; a new
+    // key starts at its own extremes
+    val feed = Seq(("I", "a", 12L), ("D", "a", 5L), ("I", "b", 2L),
+      ("I", "c", 7L)).toDF("op", "k", "v")
+    rows(Merge.incrementalMinMax(base, feed, Seq("k"), "op", "v")) shouldBe
+      Seq(("a", 1L, 12L), ("b", 2L, 4L), ("c", 7L, 7L))
+    def msg(f: => Array[_]): String = {
+      val e = intercept[Exception](f)
+      e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+    }
+    // deleting the stored max: the runner-up was never stored
+    msg(Merge.incrementalMinMax(base,
+      Seq(("D", "a", 9L)).toDF("op", "k", "v"), Seq("k"), "op", "v")
+      .collect()) should include("touches a stored extremum")
+    // deleting BELOW the stored min = a row the base never had
+    msg(Merge.incrementalMinMax(base,
+      Seq(("D", "a", 0L)).toDF("op", "k", "v"), Seq("k"), "op", "v")
+      .collect()) should include("touches a stored extremum")
+    // delete for an unknown key
+    msg(Merge.incrementalMinMax(base,
+      Seq(("D", "zz", 1L)).toDF("op", "k", "v"), Seq("k"), "op", "v")
+      .collect()) should include("key the base never had")
+    // unknown op
+    msg(Merge.incrementalMinMax(base,
+      Seq(("U", "a", 1L)).toDF("op", "k", "v"), Seq("k"), "op", "v")
+      .collect()) should include("unknown op")
+    an[IllegalArgumentException] should be thrownBy
+      Merge.incrementalMinMax(base.drop("mx"), feed, Seq("k"), "op", "v")
+  }
 }

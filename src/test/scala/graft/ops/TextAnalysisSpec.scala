@@ -522,6 +522,51 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
       TextAnalysis.dfTableMerge(Seq.empty)
   }
 
+  test("dfTableRetract / docStatsRetract: subtracting the removed docs' " +
+      "stats leaves the survivors' tables exactly; extinguished terms " +
+      "drop; non-subset retractions raise") {
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "catalyst optimizes the logical plan"),
+      (3L, "spark plans shuffles with catalyst"),
+      (4L, "unique ghost tokens appear here only")).toDF("id", "text")
+    val removed = docs.where(col("id").isin(3L, 4L))
+    val survivors = docs.where(!col("id").isin(3L, 4L))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long)].collect().sortBy(_._1).toSeq
+    val retracted = TextAnalysis.dfTableRetract(
+      TextAnalysis.dfTable(docs, "id", "text"), removed, "id", "text")
+    rows(retracted) shouldBe
+      rows(TextAnalysis.dfTable(survivors, "id", "text"))
+    // doc 4's unique terms were extinguished — really gone
+    rows(retracted).map(_._1) should not contain "ghost"
+    val tot = TextAnalysis.docStatsRetract(
+      TextAnalysis.docStats(docs, "id", "text"), removed, "id", "text")
+    tot.as[(Long, Long)].head() shouldBe
+      TextAnalysis.docStats(survivors, "id", "text")
+        .as[(Long, Long)].head()
+    // retracting docs that were never indexed -> loud raises
+    val foreign = Seq((9L, "zzz yyy xxx www vvv")).toDF("id", "text")
+    intercept[Exception] {
+      TextAnalysis.dfTableRetract(
+        TextAnalysis.dfTable(survivors, "id", "text"), foreign,
+        "id", "text").collect()
+    }.getMessage should include("never indexed")
+    intercept[Exception] {
+      TextAnalysis.docStatsRetract(
+        TextAnalysis.docStats(survivors, "id", "text"),
+        docs, "id", "text").collect()
+    }.getMessage should include("negative")
+    // removing MORE copies of a term than indexed (same term set) also
+    // dies on the df guard
+    intercept[Exception] {
+      TextAnalysis.dfTableRetract(
+        TextAnalysis.dfTable(survivors, "id", "text"),
+        survivors.unionAll(survivors.withColumn("id", col("id") + 100)),
+        "id", "text").collect()
+    }.getMessage should include("negative")
+  }
+
   test("skipgramPairs: hand-computed windowed pairs, canonical order, " +
       "short/empty docs contribute nothing") {
     val docs = Seq("a b c d", "b a", "x", "", null)
