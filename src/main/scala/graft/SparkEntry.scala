@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{BinaryCodec, CharDiversityKernel, LongHashes, TimeFunctions}
-import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Merge, Multimodal, Sampling, SetSimJoin, Similarity, Sketches, TextAnalysis, Tokenizer, Validate}
+import graft.ops.{Dedup, EntityResolution, EventAnalytics, Graph, Layout, Merge, Multimodal, Privacy, Sampling, SetSimJoin, Similarity, Sketches, TextAnalysis, Tokenizer, Validate}
 import graft.pipeline.Pipeline
 import graft.serde.{AvroMapping, ConfluentAvroMapping, KeyValueMapping, VoidMapping, StringMapping, LongMapping}
 import graft.types.AvroBridge
@@ -3979,6 +3979,131 @@ object SparkEntry {
           abs(col("p50_est") - col("p50_exact")).as("p50_abs_err"))
         .orderBy("lang")
     }),
+    "q_sample_incr" -> ((s, dir) => {
+      // INCREMENTAL WEIGHTED SAMPLE (Sampling.prioritySamples/
+      // prioritySampleMerge/priorityEstimates) — the SAMPLING member
+      // of the incremental-artifact family: the quantile summaries
+      // already persist the uniform bottom-k sample; this persists the
+      // WEIGHTED one, per-source top-8 by the Duffield–Lund–Thorup
+      // priority w/u (the q_sample_weighted key — one IEEE division,
+      // bit-replayable). Artifacts build per corpus half (even/odd doc
+      // ids standing in for two nightly snapshots) and fold WITHOUT
+      // rescanning either corpus; top-m by a total order is closed
+      // under union, so the merged artifact equals the single-pass
+      // full build PAIR FOR PAIR (n_pair_mismatch — keys AND weight
+      // payloads, the register-level form). Then the DLT subset-sum
+      // estimates serve off the MERGED state: w_est = max(w, tau),
+      // tau the 5th stored priority — summing w_est over any subset of
+      // the top-4 unbiasedly estimates that subset's total weight in
+      // the full population. Itemwise output, so the replay is
+      // order-free (no cross-engine double summation).
+      val docs = t(s, dir, "documents").select(col("source"),
+        pmod(col("doc_id"), lit(2)).as("half"), col("doc_id"),
+        col("n_chars").cast(LongType).as("w"))
+      val m = 8
+      val sa = Sampling.prioritySamples(docs.where(col("half") === 0),
+        Seq("source"), "doc_id", "w", m)
+      val sb = Sampling.prioritySamples(docs.where(col("half") === 1),
+        Seq("source"), "doc_id", "w", m)
+      val merged = Sampling.prioritySampleMerge(Seq(sa, sb),
+        Seq("source"), m)
+      val full = Sampling.prioritySamples(docs, Seq("source"),
+        "doc_id", "w", m)
+      merged.select(col("source"), col("wsample").as("wm"))
+        .join(full.select(col("source"), col("wsample").as("wf")),
+          Seq("source"))
+        .select(col("source"),
+          size(col("wm")).cast(LongType).as("n_sample"),
+          when(col("wm") <=> col("wf"), lit(0L)).otherwise(lit(1L))
+            .as("n_pair_mismatch"),
+          posexplode(Sampling.priorityEstimates(col("wm"), 4))
+            .as(Seq("pos", "e")))
+        .select(col("source"), col("n_sample"), col("n_pair_mismatch"),
+          (col("pos") + 1).cast(LongType).as("rank"),
+          col("e.id").as("doc_id"), col("e.w").as("w"),
+          col("e.w_est").as("w_est"))
+        .orderBy("source", "rank")
+    }),
+    "q_sample_retract" -> ((s, dir) => {
+      // WEIGHTED-SAMPLE RETRACTION (Sampling.priorityPairsRetract) —
+      // the weighted twin of q_quantile_retract in the deletion
+      // taxonomy's bottom-k row: dropping the removed ids from the
+      // stored pair array leaves EXACTLY the survivors' top-m'
+      // priorities (a removal can never promote a survivor past the
+      // old m-th priority), i.e. a valid priority sample of the
+      // surviving population at reduced resolution. prefix_match pins
+      // that claim per source (the retracted pairs == the from-scratch
+      // survivors' top-8 truncated to m' — keys AND payloads), and the
+      // surviving entries are emitted in full. The tombstone set rides
+      // as one bounded per-group array (takedown sets are small); past
+      // broadcast size the anti-join form of priorityPairsRetract's
+      // filter applies instead.
+      val docs = t(s, dir, "documents").select(col("source"),
+        pmod(col("doc_id"), lit(5)).as("m5"), col("doc_id"),
+        col("n_chars").cast(LongType).as("w"))
+      val m = 8
+      val full = Sampling.prioritySamples(docs, Seq("source"),
+        "doc_id", "w", m)
+      val rm = docs.where(col("m5") === 0).groupBy(col("source"))
+        .agg(collect_list(col("doc_id")).as("rmids"))
+      val retracted = full.join(rm, Seq("source"), "left")
+        .select(col("source"),
+          Sampling.priorityPairsRetract(col("wsample"),
+            coalesce(col("rmids"), array().cast(ArrayType(LongType))))
+            .as("wsample"))
+      val surv = Sampling.prioritySamples(docs.where(col("m5") =!= 0),
+        Seq("source"), "doc_id", "w", m)
+      retracted
+        .join(surv.select(col("source"), col("wsample").as("ws")),
+          Seq("source"))
+        .select(col("source"),
+          size(col("wsample")).cast(LongType).as("n_sample"),
+          (col("wsample") <=> slice(col("ws"), lit(1),
+            size(col("wsample")))).as("prefix_match"),
+          posexplode(col("wsample")).as(Seq("pos", "p")))
+        .select(col("source"), col("n_sample"), col("prefix_match"),
+          (col("pos") + 1).cast(LongType).as("rank"),
+          col("p.id").as("doc_id"), col("p.w").as("w"))
+        .orderBy("source", "rank")
+    }),
+    "q_dp_count" -> ((s, dir) => {
+      // DIFFERENTIALLY-PRIVATE RELEASE (Privacy.noisyCount) — the
+      // privacy member of the release toolbox: per-event-type event
+      // counts with per-user contributions CLIPPED at 3 (the
+      // sensitivity bound), released under the dyadic geometric
+      // mechanism (two-sided Geometric(1/2) noise drawn as trailing-
+      // ones counts of SplitMix64 words — the one α whose inverse-CDF
+      // is pure bit arithmetic, so the draw is BIT-EXACT in any
+      // engine; ε = 3·ln2 here, cap=1 would be the textbook ε=ln2
+      // noisy distinct-user count). True values ride along ON PURPOSE
+      // (the artifact proves the mechanism; production drops the audit
+      // columns and feeds a secret salt). Scale shape: the two
+      // aggregates a plain per-group count already pays + a per-group
+      // scalar noise expression — no Window, no RNG state, no driver
+      // work.
+      Privacy.noisyCount(
+        t(s, dir, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id", cap = 3, salt = 2026L)
+        .orderBy("event_type")
+    }),
+    "q_dp_sum" -> ((s, dir) => {
+      // DP NOISY SUM (Privacy.noisySum) — the sum member of the
+      // privacy family: per-event-type revenue (event value in CENTS —
+      // quantized upstream to meet the integral contract) released
+      // under clip -> quantize -> dyadic-geometric-noise. Each user's
+      // per-type total clips at 4000 cents (the L1 bound), quantizes
+      // to 1000-cent units (integer round-half-up), so the release is
+      // ε = ceil(4000/1000)·ln2 = 4·ln2 DP; the audit columns surface
+      // the quantization bias the budget/resolution dial trades away.
+      // The unit folds into the noise seed, so the count released
+      // alongside (q_dp_count, same salt) draws independent noise.
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("user_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      Privacy.noisySum(ev, "event_type", "user_id", "cents",
+          userCap = 4000L, unit = 1000L, salt = 2026L)
+        .orderBy("event_type")
+    }),
     "q_diversity" -> ((s, dir) => {
       // Character-diversity quality gate: per-codepoint counts folded
       // to the Simpson collision probability in ONE codegen'd pass.
@@ -7941,6 +8066,204 @@ object SparkEntry {
                  e.p50_est, x.p50_exact,
                  abs(e.p50_est - x.p50_exact) AS p50_abs_err
           FROM est e JOIN ex x USING (lang) ORDER BY lang""",
+    // Weighted-sample-artifact replay: the DLT priority chain (w/u
+    // with the 63-bit odd splitmix hash), per-half top-8 per source,
+    // merged by union + re-rank, compared pair-for-pair against the
+    // direct full build (both paths derived INDEPENDENTLY of the Spark
+    // artifact), then the top-4 served with w_est = max(w, tau), tau
+    // the 5th merged priority (coalesced to 0 when absent — the
+    // complete-sample case).
+    "q_sample_incr" ->
+      raw"""WITH d0 AS (SELECT doc_id, source, doc_id % 2 AS half,
+                               CAST(n_chars AS BIGINT) AS w,
+                               CAST(doc_id AS HUGEINT) AS z
+                        FROM documents WHERE n_chars IS NOT NULL),
+               ${splitmixCtesSql("d0", "doc_id, source, half, w")},
+               pr AS MATERIALIZED (SELECT source, half, doc_id, w,
+                             CAST(w AS DOUBLE) /
+                               CAST(CAST((CAST(z AS UBIGINT) >> 1) | 1
+                                    AS BIGINT) AS DOUBLE) AS p
+                      FROM h5),
+               ph AS (SELECT source, doc_id, w, p,
+                             row_number() OVER (PARTITION BY source, half
+                                                ORDER BY p DESC, doc_id) AS rn
+                      FROM pr),
+               mg AS MATERIALIZED (SELECT source, doc_id, w, p,
+                             row_number() OVER (PARTITION BY source
+                                                ORDER BY p DESC, doc_id) AS rn
+                      FROM ph WHERE rn <= 8),
+               sm AS (SELECT source,
+                             list(struct_pack(np := -p, id := doc_id, w := w)
+                                  ORDER BY p DESC, doc_id) AS pm,
+                             CAST(count(*) AS BIGINT) AS n_sample
+                      FROM mg WHERE rn <= 8 GROUP BY source),
+               fl AS (SELECT source,
+                             list(struct_pack(np := -p, id := doc_id, w := w)
+                                  ORDER BY p DESC, doc_id) AS pf
+                      FROM (SELECT source, doc_id, w, p,
+                                   row_number() OVER (PARTITION BY source
+                                                      ORDER BY p DESC, doc_id) AS rn
+                            FROM pr) WHERE rn <= 8 GROUP BY source),
+               tu AS (SELECT source,
+                             coalesce(max(CASE WHEN rn = 5 THEN p END), 0.0)
+                               AS tau
+                      FROM mg WHERE rn <= 8 GROUP BY source),
+               sv AS (SELECT m.source, m.doc_id, m.w,
+                             CAST(m.rn AS BIGINT) AS rank,
+                             greatest(CAST(m.w AS DOUBLE), t.tau) AS w_est
+                      FROM mg m JOIN tu t USING (source) WHERE m.rn <= 4)
+          SELECT s.source, s.n_sample,
+                 CAST(CASE WHEN s.pm = f.pf THEN 0 ELSE 1 END AS BIGINT)
+                   AS n_pair_mismatch,
+                 v.rank, v.doc_id, v.w, v.w_est
+          FROM sm s JOIN fl f USING (source) JOIN sv v USING (source)
+          ORDER BY source, rank""",
+    // Weighted-sample-retraction replay: rank ALL rows by priority,
+    // keep rn <= 8, drop the removed rows from the kept set (the
+    // retraction re-derived as plain filtering), prefix-compare
+    // against the survivors' own top-8, and emit the surviving
+    // entries re-ranked.
+    "q_sample_retract" ->
+      raw"""WITH d0 AS (SELECT doc_id, source, (doc_id % 5 = 0) AS rm,
+                               CAST(n_chars AS BIGINT) AS w,
+                               CAST(doc_id AS HUGEINT) AS z
+                        FROM documents WHERE n_chars IS NOT NULL),
+               ${splitmixCtesSql("d0", "doc_id, source, rm, w")},
+               pr AS MATERIALIZED (SELECT source, rm, doc_id, w,
+                             CAST(w AS DOUBLE) /
+                               CAST(CAST((CAST(z AS UBIGINT) >> 1) | 1
+                                    AS BIGINT) AS DOUBLE) AS p
+                      FROM h5),
+               fk AS MATERIALIZED (SELECT source, rm, doc_id, w, p,
+                             row_number() OVER (PARTITION BY source
+                                                ORDER BY p DESC, doc_id) AS rn
+                      FROM pr),
+               rt AS (SELECT source,
+                             list(struct_pack(np := -p, id := doc_id, w := w)
+                                  ORDER BY p DESC, doc_id) AS pm,
+                             CAST(count(*) AS BIGINT) AS n_sample
+                      FROM fk WHERE rn <= 8 AND NOT rm GROUP BY source),
+               sv AS (SELECT source,
+                             list(struct_pack(np := -p, id := doc_id, w := w)
+                                  ORDER BY p DESC, doc_id) AS pf
+                      FROM (SELECT source, doc_id, w, p,
+                                   row_number() OVER (PARTITION BY source
+                                                      ORDER BY p DESC, doc_id) AS rn
+                            FROM pr WHERE NOT rm) WHERE rn <= 8
+                      GROUP BY source),
+               px AS (SELECT r.source, r.n_sample,
+                             (r.pm = s.pf[1:CAST(r.n_sample AS INTEGER)])
+                               AS prefix_match
+                      FROM rt r JOIN sv s USING (source)),
+               kr AS (SELECT source, doc_id, w,
+                             CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY p DESC, doc_id) AS BIGINT) AS rank
+                      FROM fk WHERE rn <= 8 AND NOT rm)
+          SELECT p.source, p.n_sample, p.prefix_match,
+                 k.rank, k.doc_id, k.w
+          FROM px p JOIN kr k USING (source)
+          ORDER BY source, rank""",
+    // DP-release replay: per-user clipped counts, then the dyadic
+    // geometric draw re-derived bit for bit — the group key's rolling
+    // hash XOR the salt seeds TWO splitmix chains (the second XORs the
+    // golden gamma), each masked to 62 bits; trailing-ones =
+    // bit_count(z XOR (z+1)) - 1; noise = G1 - G2. All integer ops.
+    "q_dp_count" ->
+      raw"""WITH pu AS (SELECT event_type, user_id, count(*) AS n_u
+                        FROM events WHERE user_id IS NOT NULL
+                        GROUP BY 1, 2),
+               cg AS MATERIALIZED (SELECT event_type,
+                             CAST(count(*) AS BIGINT) AS n_users,
+                             CAST(sum(least(n_u, 3)) AS BIGINT) AS n_capped
+                      FROM pu GROUP BY 1),
+               sd0 AS MATERIALIZED (SELECT event_type, n_users, n_capped,
+                             CAST(xor(CAST(${rollingHashSql("event_type")}
+                                           AS UBIGINT),
+                                      CAST(2026 AS UBIGINT)) AS HUGEINT)
+                               AS seed
+                      FROM cg),
+               sd AS (SELECT event_type, n_users, n_capped, seed,
+                             seed AS z
+                      FROM sd0),
+               ${splitmixCtesSql("sd", "event_type, n_users, n_capped, seed")},
+               g1 AS (SELECT event_type, n_users, n_capped, seed,
+                             CAST(CAST(z AS UBIGINT) & 4611686018427387903
+                                  AS BIGINT) AS zm
+                      FROM h5),
+               sd2 AS (SELECT event_type,
+                              CAST(xor(CAST(seed AS UBIGINT),
+                                       CAST('11400714819323198485' AS UBIGINT))
+                                   AS HUGEINT) AS z
+                       FROM sd0),
+               ${splitmixCtesSql("sd2", "event_type", pfx = "b")},
+               g2 AS (SELECT event_type,
+                             CAST(CAST(z AS UBIGINT) & 4611686018427387903
+                                  AS BIGINT) AS zm
+                      FROM bh5),
+               nz AS (SELECT a.event_type, a.n_users, a.n_capped,
+                             CAST((bit_count(xor(a.zm, a.zm + 1)) - 1)
+                                - (bit_count(xor(b.zm, b.zm + 1)) - 1)
+                                  AS BIGINT) AS noise
+                      FROM g1 a JOIN g2 b USING (event_type))
+          SELECT event_type, n_users, n_capped, noise,
+                 n_capped + noise AS n_noisy
+          FROM nz ORDER BY event_type""",
+    // DP-sum replay: cents -> per-user clipped totals -> half-up unit
+    // quantization in exact integer division -> the same dyadic
+    // geometric chain as q_dp_count with the unit XOR-folded into the
+    // seed.
+    "q_dp_sum" ->
+      raw"""WITH pv AS (SELECT event_type, user_id,
+                               CAST(round(value * 100) AS BIGINT) AS cents
+                        FROM events WHERE user_id IS NOT NULL),
+               pu AS (SELECT event_type, user_id,
+                             least(coalesce(sum(cents), 0), 4000) AS s_c
+                      FROM pv GROUP BY 1, 2),
+               qu AS (SELECT event_type, s_c,
+                             (s_c * 2 + 1000) // 2000 AS q_u
+                      FROM pu),
+               cg AS MATERIALIZED (SELECT event_type,
+                             CAST(count(*) AS BIGINT) AS n_users,
+                             CAST(sum(s_c) AS BIGINT) AS sum_capped,
+                             CAST(sum(q_u) AS BIGINT) AS units_true
+                      FROM qu GROUP BY 1),
+               sd0 AS MATERIALIZED (SELECT event_type, n_users, sum_capped,
+                             units_true,
+                             CAST(xor(xor(CAST(${rollingHashSql("event_type")}
+                                               AS UBIGINT),
+                                          CAST(2026 AS UBIGINT)),
+                                      CAST(1000 AS UBIGINT)) AS HUGEINT)
+                               AS seed
+                      FROM cg),
+               sd AS (SELECT event_type, n_users, sum_capped, units_true,
+                             seed, seed AS z
+                      FROM sd0),
+               ${splitmixCtesSql("sd",
+                 "event_type, n_users, sum_capped, units_true, seed")},
+               g1 AS (SELECT event_type, n_users, sum_capped, units_true,
+                             seed,
+                             CAST(CAST(z AS UBIGINT) & 4611686018427387903
+                                  AS BIGINT) AS zm
+                      FROM h5),
+               sd2 AS (SELECT event_type,
+                              CAST(xor(CAST(seed AS UBIGINT),
+                                       CAST('11400714819323198485' AS UBIGINT))
+                                   AS HUGEINT) AS z
+                       FROM sd0),
+               ${splitmixCtesSql("sd2", "event_type", pfx = "b")},
+               g2 AS (SELECT event_type,
+                             CAST(CAST(z AS UBIGINT) & 4611686018427387903
+                                  AS BIGINT) AS zm
+                      FROM bh5),
+               nz AS (SELECT a.event_type, a.n_users, a.sum_capped,
+                             a.units_true,
+                             CAST((bit_count(xor(a.zm, a.zm + 1)) - 1)
+                                - (bit_count(xor(b.zm, b.zm + 1)) - 1)
+                                  AS BIGINT) AS noise
+                      FROM g1 a JOIN g2 b USING (event_type))
+          SELECT event_type, n_users, sum_capped, units_true, noise,
+                 (units_true + noise) * 1000 AS released
+          FROM nz ORDER BY event_type""",
     "q_diversity" ->
       """WITH ch AS (SELECT doc_id,
                             unnest(list_transform(range(1, length(text) + 1),
@@ -10266,5 +10589,6 @@ object SparkEntry {
     // incremental-artifact story, plus the quantile persistence member
     "q_cms_retract", "q_lsh_retract", "q_dedup_retract",
     "q_winnow_retract", "q_quantile_incr", "q_quantile_retract", "q_bm25_retract", "q_ann_upsert",
-    "q_ann_compact")
+    "q_ann_compact", "q_sample_incr", "q_sample_retract", "q_dp_count",
+    "q_dp_sum")
 }

@@ -1362,4 +1362,61 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should not include "CartesianProduct"
     p should include("partial_count")
   }
+
+  test("q_sample_incr: weighted-sample artifact builds are bounded " +
+      "ObjectHashAggregate passes (the priority rides in the buffer — " +
+      "no Window sort, no join-back); the merge folds slim pair rows; " +
+      "the documents scan never reads text") {
+    val p = plan("q_sample_incr")
+    p.toLowerCase should include("objecthashaggregate")
+    p should include("graft_priority_sample_k")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("n_chars")
+    readSchema should not include "text"
+  }
+
+  test("q_sample_retract: retraction is a per-row pair filter over " +
+      "the stored artifact + a bounded tombstone aggregate — no " +
+      "Window sort, no cartesian; text never read") {
+    val p = plan("q_sample_retract")
+    p.toLowerCase should include("objecthashaggregate")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should not include "text"
+  }
+
+  test("q_dp_count: the DP release costs the two aggregates a plain " +
+      "per-group count pays (both map-side partial) + a scalar noise " +
+      "expression — no Window, no join, no cartesian; scan reads only " +
+      "(event_type, user_id)") {
+    val p = plan("q_dp_count")
+    p should include("partial_count")
+    p should not include "Window"
+    p should not include "Join"
+    p should not include "CartesianProduct"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("event_type")
+    readSchema should include("user_id")
+    readSchema should not include "props"
+  }
+
+  test("q_dp_sum: clip+quantize fold into the per-user partial " +
+      "aggregate; same two-exchange shape as q_dp_count — no Window, " +
+      "no join; scan reads only the three release columns") {
+    val p = plan("q_dp_sum")
+    p should include("partial_sum")
+    p should not include "Window"
+    p should not include "Join"
+    p should not include "CartesianProduct"
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).getOrElse(fail("no ReadSchema in plan")).group(1)
+    readSchema should include("value")
+    readSchema should not include "props"
+  }
 }

@@ -176,6 +176,163 @@ class SamplingSpec extends SparkSpecBase with Matchers {
     q2 shouldBe Set(("x", 2L), ("y", 1L), ("z", 1L))
   }
 
+  test("prioritySamples == per-group priority window model; merge of " +
+      "disjoint halves == from-scratch, pair for pair (top-m closure)") {
+    val m = 8
+    val d = docs.select(col("source"), col("doc_id"), col("n_chars"))
+    val full = Sampling.prioritySamples(d, Seq("source"), "doc_id",
+      "n_chars", m)
+    // window model of the artifact's content
+    import org.apache.spark.sql.expressions.Window
+    val u = shiftrightunsigned(LongHashes.splitmix64(col("doc_id")), 1)
+      .bitwiseOR(lit(1L))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("p").desc, col("doc_id"))
+    val want = d
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (col("n_chars").cast("double") / u.cast("double")).as("p"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= m)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("p"))
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._4, r._2))
+        .map(r => (-r._4, r._2, r._3)).toList).toMap
+    val got = full.select(col("source"), col("wsample"))
+      .as[(String, Array[(Double, Long, Long)])].collect()
+      .map { case (s, a) => s -> a.toList }.toMap
+    got shouldBe want
+    // top-m closure: per-half artifacts merged == from-scratch
+    val sa = Sampling.prioritySamples(
+      d.where(pmod(col("doc_id"), lit(2)) === 0), Seq("source"),
+      "doc_id", "n_chars", m)
+    val sb = Sampling.prioritySamples(
+      d.where(pmod(col("doc_id"), lit(2)) === 1), Seq("source"),
+      "doc_id", "n_chars", m)
+    val merged = Sampling.prioritySampleMerge(Seq(sa, sb),
+      Seq("source"), m)
+    val gotM = merged.select(col("source"), col("wsample"))
+      .as[(String, Array[(Double, Long, Long)])].collect()
+      .map { case (s, a) => s -> a.toList }.toMap
+    gotM shouldBe got
+    // halves actually evict (the closure is non-vacuous): at least one
+    // per-half artifact is full at m
+    val sizes = sa.select(
+      org.apache.spark.sql.functions.size(col("wsample"))).as[Int].collect()
+    withClue(s"half-artifact sizes ${sizes.toList}: ") {
+      sizes.exists(_ == m) shouldBe true
+    }
+    // partitioning-invariant (bounded merge, not insertion order)
+    val re = Sampling.prioritySamples(d.repartition(13), Seq("source"),
+        "doc_id", "n_chars", m)
+      .select(col("source"), col("wsample"))
+      .as[(String, Array[(Double, Long, Long)])].collect()
+      .map { case (s, a) => s -> a.toList }.toMap
+    re shouldBe got
+  }
+
+  test("priorityPairsRetract leaves exactly the survivors' top-m' " +
+      "prefix; estimates serve max(w, tau) with tau the (k+1)-th " +
+      "priority, and exact weights on a complete sample") {
+    val m = 8
+    val d = docs.select(col("source"), col("doc_id"), col("n_chars"))
+    val full = Sampling.prioritySamples(d, Seq("source"), "doc_id",
+      "n_chars", m)
+    val rm = d.where(pmod(col("doc_id"), lit(5)) === 0)
+      .groupBy(col("source"))
+      .agg(collect_list(col("doc_id")).as("rmids"))
+    val retracted = full.join(rm, Seq("source"), "left")
+      .select(col("source"), Sampling.priorityPairsRetract(col("wsample"),
+        coalesce(col("rmids"), array().cast("array<long>"))).as("wsample"))
+    val surv = Sampling.prioritySamples(
+      d.where(pmod(col("doc_id"), lit(5)) =!= 0), Seq("source"),
+      "doc_id", "n_chars", m)
+    val gotR = retracted.select(col("source"), col("wsample"))
+      .as[(String, Array[(Double, Long, Long)])].collect()
+      .map { case (s, a) => s -> a.toList }.toMap
+    val wantPrefix = surv.select(col("source"), col("wsample"))
+      .as[(String, Array[(Double, Long, Long)])].collect()
+      .map { case (s, a) => s -> a.toList }.toMap
+    // a source whose every doc was removed vanishes from the survivor
+    // build; its retracted sample must be empty
+    for (s <- gotR.keySet)
+      withClue(s"$s: ") {
+        gotR(s) shouldBe wantPrefix.getOrElse(s, Nil).take(gotR(s).size)
+      }
+    // at least one source actually lost a sampled row
+    withClue(s"sizes ${gotR.view.mapValues(_.size).toMap}: ") {
+      gotR.values.exists(_.size < m) shouldBe true
+    }
+    // estimates: tau = (k+1)-th priority, w_est = max(w, tau), and
+    // every estimate dominates its weight
+    val k = 4
+    val est = full.select(col("source"),
+        col("wsample"), Sampling.priorityEstimates(col("wsample"), k).as("e"))
+      .as[(String, Array[(Double, Long, Long)], Array[(Long, Long, Double)])]
+      .collect()
+    est.foreach { case (s, sample, e) =>
+      withClue(s"$s: ") {
+        e.length shouldBe math.min(k, sample.length)
+        val tau = if (sample.length > k) -sample(k)._1 else 0.0
+        e.toList shouldBe sample.take(k).map { case (np, id, w) =>
+          (id, w, math.max(w.toDouble, tau)) }.toList
+      }
+    }
+    // complete sample (m >= population) -> tau = 0 -> exact weights
+    val tiny = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "w")
+      .withColumn("g", lit("a"))
+    val small = Sampling.prioritySamples(tiny, Seq("g"), "id", "w", 10)
+    val eSmall = small.select(explode(
+        Sampling.priorityEstimates(col("wsample"), 10)).as("e"))
+      .select(col("e.w"), col("e.w_est")).as[(Long, Double)].collect()
+    eSmall.foreach { case (w, wEst) => wEst shouldBe w.toDouble }
+  }
+
+  test("priority-sample loud guards: same-m merge, non-integral " +
+      "columns, negative weights") {
+    val d = Seq((1L, 5L), (2L, 7L)).toDF("id", "w")
+      .withColumn("g", lit("a"))
+    val big = Sampling.prioritySamples(d, Seq("g"), "id", "w", 4)
+    val e1 = intercept[Exception] {
+      Sampling.prioritySampleMerge(Seq(big), Seq("g"), 1).collect()
+    }
+    e1.getMessage should include("same-m contract")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.prioritySamples(d.withColumn("w", col("w").cast("string")),
+        Seq("g"), "id", "w", 2)
+    }
+    e2.getMessage should include("must be integral")
+    val e3 = intercept[Exception] {
+      Sampling.prioritySamples(
+        Seq((1L, -5L)).toDF("id", "w").withColumn("g", lit("a")),
+        Seq("g"), "id", "w", 2).collect()
+    }
+    e3.getMessage should include("negative weight")
+  }
+
+  test("PriorityKBuffer: random offers over random partition splits + " +
+      "serde round-trip == global sorted take-m") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 30) {
+      val n = rnd.nextInt(60)
+      val m = 1 + rnd.nextInt(8)
+      val rows = Seq.fill(n)(
+        (rnd.nextDouble() * 10, rnd.nextLong().abs, rnd.nextInt(100).toLong))
+      val nParts = 1 + rnd.nextInt(4)
+      val parts = Array.fill(nParts)(new PriorityKBuffer(m))
+      rows.zipWithIndex.foreach { case ((p, id, w), i) =>
+        parts(i % nParts).offer(p, id, w)
+      }
+      val merged = new PriorityKBuffer(m)
+      parts.foreach(b => PriorityKBuffer.fromBytes(m, b.toBytes)
+        .foreach((p, i, w) => merged.offer(p, i, w)))
+      val got = merged.sortedDesc.toList
+      val want = rows.sortBy { case (p, id, _) => (-p, id) }.take(m)
+        .map { case (p, id, w) => (p, id, w) }
+      withClue(s"trial $trial (n=$n m=$m parts=$nParts): ") {
+        got shouldBe want
+      }
+    }
+  }
+
   test("quotaSampleByGroup: loud guards — non-string strata rejected " +
       "at plan time, NULL stratum named in the failure") {
     val intStrata = Seq((1L, 0L), (2L, 1L)).toDF("g", "id")

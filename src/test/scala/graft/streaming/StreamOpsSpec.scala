@@ -1016,6 +1016,62 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     q2.stop()
   }
 
+  test("streaming weighted-sample artifact: prioritySamples + " +
+      "prioritySampleMerge inside foreachBatch across micro-batches " +
+      "equals the one-shot build (top-m closure), and a closing " +
+      "retraction leaves the survivors' prefix") {
+    // The nightly fold of the SAMPLING member: each micro-batch builds
+    // its own bounded artifact, then merges into the running one —
+    // sound because top-m is closed under union, so fold order is
+    // irrelevant. Disjoint ids per batch (the snapshot contract).
+    import graft.ops.Sampling
+    val m = 4
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val in = MemoryStream[(String, Long, Long)](spark)
+    val q = in.toDS().toDF("g", "id", "w").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val art = Sampling.prioritySamples(batch, Seq("g"), "id", "w", m)
+        state = Some(state.fold(art)(prev =>
+          Sampling.prioritySampleMerge(Seq(prev, art), Seq("g"), m))
+          .localCheckpoint())
+        ()
+      }.start()
+    val b1 = Seq(("a", 1L, 10L), ("a", 2L, 100L), ("a", 3L, 7L),
+      ("b", 4L, 5L))
+    val b2 = Seq(("a", 5L, 50L), ("a", 6L, 1L), ("b", 7L, 90L),
+      ("b", 8L, 3L))
+    val b3 = Seq(("a", 9L, 30L), ("a", 10L, 2L), ("b", 11L, 8L),
+      ("a", 12L, 60L))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("g"), col("wsample"))
+        .as[(String, Array[(Double, Long, Long)])].collect()
+        .map { case (g, a) => g -> a.toList }.toMap
+    val full = (b1 ++ b2 ++ b3).toDF("g", "id", "w")
+    val streamed = asMap(state.get)
+    streamed shouldBe asMap(
+      Sampling.prioritySamples(full, Seq("g"), "id", "w", m))
+    // group a saw 8 candidates for m=4 — eviction actually happened
+    streamed("a").size shouldBe m
+    // closing retraction: drop two sampled ids, prefix == survivors'
+    val retr = state.get.select(col("g"),
+      Sampling.priorityPairsRetract(col("wsample"),
+        array(lit(2L), lit(7L))).as("wsample"))
+    val surv = asMap(Sampling.prioritySamples(
+      full.where(!col("id").isin(2L, 7L)), Seq("g"), "id", "w", m))
+    val gotR = asMap(retr)
+    for (g <- gotR.keySet)
+      withClue(s"$g: ") {
+        gotR(g) shouldBe surv(g).take(gotR(g).size)
+      }
+    // the retraction actually removed a sampled row somewhere
+    gotR.values.map(_.size).sum should be <
+      streamed.values.map(_.size).sum
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
