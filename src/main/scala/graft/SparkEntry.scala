@@ -4066,6 +4066,64 @@ object SparkEntry {
           col("p.id").as("doc_id"), col("p.w").as("w"))
         .orderBy("source", "rank")
     }),
+    "q_join_incr" -> ((s, dir) => {
+      // INCREMENTAL JOIN-VIEW MAINTENANCE (Merge.joinViewDelta/
+      // joinViewRetract) — the JOIN member of the incremental-artifact
+      // family, by the classic delta rule: a stored view A⋈B grows by
+      // exactly ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, so the old⋈old leg — the only
+      // one whose cost grows with history — is never re-executed;
+      // retraction retires view rows by anti-join on the source row
+      // ids the view carries (the price of retractability, paid at
+      // view definition). Orders/lineitem halves stand in for two
+      // nightly snapshots per side. The artifact proves BOTH verbs by
+      // multiset difference against independent from-scratch joins
+      // (exceptAll both ways — the compare is the proof artifact, not
+      // the production path), then serves revenue per priority off the
+      // RETRACTED view (DECIMAL sum — exact, order-independent — cast
+      // to double for rendering, the q_incr_agg convention).
+      val dec = DecimalType(28, 4)
+      val a = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey"), col("o_orderpriority"))
+      val b = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      val aOld = a.where(pmod(col("okey"), lit(2)) === 0)
+      val dA = a.where(pmod(col("okey"), lit(2)) === 1)
+      val bOld = b.where(pmod(col("l_linenumber"), lit(2)) === 0)
+      val dB = b.where(pmod(col("l_linenumber"), lit(2)) === 1)
+      val folded = aOld.join(bOld, Seq("okey"))
+        .unionByName(Merge.joinViewDelta(aOld, dA, bOld, dB, Seq("okey")))
+      val scratch = a.join(b, Seq("okey"))
+      val mm1 = folded.exceptAll(scratch)
+        .unionByName(scratch.exceptAll(folded))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_mismatch_fold"))
+      val rmA = a.where(pmod(col("okey"), lit(5)) === 0).select("okey")
+      val rmB = b.where(col("l_linenumber") === 3)
+        .select("okey", "l_linenumber")
+      val retracted = Merge.joinViewRetract(folded, rmA, Seq("okey"),
+        rmB, Seq("okey", "l_linenumber"))
+      val scratch2 = a.where(pmod(col("okey"), lit(5)) =!= 0)
+        .join(b.where(col("l_linenumber") =!= 3), Seq("okey"))
+      val mm2 = retracted.exceptAll(scratch2)
+        .unionByName(scratch2.exceptAll(retracted))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_mismatch_retract"))
+      val stats = scratch.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_view"))
+      val stats2 = retracted.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_view_retracted"),
+          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sp"))
+      stats.join(mm1, Seq("o_orderpriority"), "left")
+        .join(stats2, Seq("o_orderpriority"))
+        .join(mm2, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_view"),
+          coalesce(col("n_mismatch_fold"), lit(0L)).as("n_mismatch_fold"),
+          col("n_view_retracted"),
+          coalesce(col("n_mismatch_retract"), lit(0L))
+            .as("n_mismatch_retract"),
+          col("sp").cast(DoubleType).as("sum_extprice"))
+        .orderBy("o_orderpriority")
+    }),
     "q_dp_count" -> ((s, dir) => {
       // DIFFERENTIALLY-PRIVATE RELEASE (Privacy.noisyCount) — the
       // privacy member of the release toolbox: per-event-type event
@@ -8163,6 +8221,79 @@ object SparkEntry {
                  k.rank, k.doc_id, k.w
           FROM px p JOIN kr k USING (source)
           ORDER BY source, rank""",
+    // Join-view replay: BOTH paths rebuilt independently — the folded
+    // view as the four-leg union (old⋈old ∪ the three delta legs),
+    // the reference as one direct join — then multiset-diffed per
+    // priority (EXCEPT ALL both ways); retraction re-derived as plain
+    // filtering of the source tables.
+    "q_join_incr" ->
+      raw"""WITH a AS (SELECT o_orderkey AS okey, o_custkey, o_orderpriority
+                       FROM orders),
+               b AS (SELECT l_orderkey AS okey, l_linenumber,
+                            l_extendedprice
+                     FROM lineitem),
+               ao AS (SELECT * FROM a WHERE okey % 2 = 0),
+               da AS (SELECT * FROM a WHERE okey % 2 = 1),
+               bo AS (SELECT * FROM b WHERE l_linenumber % 2 = 0),
+               db AS (SELECT * FROM b WHERE l_linenumber % 2 = 1),
+               fold AS MATERIALIZED (
+                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
+                        l_extendedprice FROM ao JOIN bo USING (okey)
+                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
+                        l_linenumber, l_extendedprice
+                   FROM da JOIN bo USING (okey)
+                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
+                        l_linenumber, l_extendedprice
+                   FROM ao JOIN db USING (okey)
+                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
+                        l_linenumber, l_extendedprice
+                   FROM da JOIN db USING (okey)),
+               scr AS MATERIALIZED (
+                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
+                        l_extendedprice FROM a JOIN b USING (okey)),
+               mm1 AS (SELECT o_orderpriority,
+                              CAST(count(*) AS BIGINT) AS n_mismatch_fold
+                       FROM ((SELECT * FROM fold EXCEPT ALL
+                              SELECT * FROM scr)
+                             UNION ALL
+                             (SELECT * FROM scr EXCEPT ALL
+                              SELECT * FROM fold))
+                       GROUP BY 1),
+               rt AS MATERIALIZED (
+                 SELECT * FROM fold
+                 WHERE okey % 5 <> 0 AND l_linenumber <> 3),
+               sc2 AS MATERIALIZED (
+                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
+                        l_extendedprice
+                 FROM (SELECT * FROM a WHERE okey % 5 <> 0) a2
+                 JOIN (SELECT * FROM b WHERE l_linenumber <> 3) b2
+                 USING (okey)),
+               mm2 AS (SELECT o_orderpriority,
+                              CAST(count(*) AS BIGINT) AS n_mismatch_retract
+                       FROM ((SELECT * FROM rt EXCEPT ALL
+                              SELECT * FROM sc2)
+                             UNION ALL
+                             (SELECT * FROM sc2 EXCEPT ALL
+                              SELECT * FROM rt))
+                       GROUP BY 1),
+               st AS (SELECT o_orderpriority,
+                             CAST(count(*) AS BIGINT) AS n_view
+                      FROM scr GROUP BY 1),
+               st2 AS (SELECT o_orderpriority,
+                              CAST(count(*) AS BIGINT) AS n_view_retracted,
+                              CAST(sum(CAST(l_extendedprice
+                                            AS DECIMAL(28, 4)))
+                                   AS DOUBLE) AS sum_extprice
+                       FROM rt GROUP BY 1)
+          SELECT st.o_orderpriority, st.n_view,
+                 coalesce(m1.n_mismatch_fold, 0) AS n_mismatch_fold,
+                 st2.n_view_retracted,
+                 coalesce(m2.n_mismatch_retract, 0) AS n_mismatch_retract,
+                 st2.sum_extprice
+          FROM st LEFT JOIN mm1 m1 USING (o_orderpriority)
+                  JOIN st2 USING (o_orderpriority)
+                  LEFT JOIN mm2 m2 USING (o_orderpriority)
+          ORDER BY o_orderpriority""",
     // DP-release replay: per-user clipped counts, then the dyadic
     // geometric draw re-derived bit for bit — the group key's rolling
     // hash XOR the salt seeds TWO splitmix chains (the second XORs the
@@ -10590,5 +10721,5 @@ object SparkEntry {
     "q_cms_retract", "q_lsh_retract", "q_dedup_retract",
     "q_winnow_retract", "q_quantile_incr", "q_quantile_retract", "q_bm25_retract", "q_ann_upsert",
     "q_ann_compact", "q_sample_incr", "q_sample_retract", "q_dp_count",
-    "q_dp_sum")
+    "q_dp_sum", "q_join_incr")
 }

@@ -348,4 +348,67 @@ object Merge {
           .otherwise(least(col(minCol), col("__imn"))).as(minCol),
         greatest(col(maxCol), col("__imx")).as(maxCol)): _*)
   }
+
+  /** INCREMENTAL EQUI-JOIN VIEW MAINTENANCE — the JOIN member of the
+    * incremental-artifact family, by the classic delta rule: with
+    * stored snapshots A, B and their materialized view A ⋈ B,
+    * tonight's inserts ΔA, ΔB add EXACTLY
+    * `ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB` — the old⋈old leg, the one whose cost
+    * grows with history, is never re-executed. Returns ONLY the view
+    * DELTA (the new matched rows): the caller appends it to the
+    * stored view files, so the maintenance cost is O(|Δ| ⋈ old), the
+    * view itself is never rescanned, and at 100 TB the nightly spend
+    * is three joins each touching ONE old side once (a small delta
+    * broadcasts onto a single scan of that side; strategy is left to
+    * Catalyst/AQE — both shapes skip A⋈B).
+    *
+    * Contracts: `deltaA` must be row-disjoint from `aOld` (same for
+    * B) — the ivfPqIndexAppend snapshot contract; a re-keyed /
+    * re-valued row goes through [[joinViewRetract]] FIRST (the upsert
+    * composition, as ivfPqIndexUpsert does for ANN codes). Non-key
+    * columns of the two sides must not collide (the view's schema is
+    * the natural-join schema; a collision would silently alias —
+    * rejected loudly here). */
+  def joinViewDelta(aOld: DataFrame, deltaA: DataFrame, bOld: DataFrame,
+      deltaB: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "joinViewDelta: keyCols must be non-empty")
+    val aPayload = aOld.columns.filterNot(keyCols.contains).toSet
+    val bPayload = bOld.columns.filterNot(keyCols.contains).toSet
+    val clash = aPayload.intersect(bPayload)
+    require(clash.isEmpty,
+      s"joinViewDelta: non-key columns ${clash.mkString(", ")} exist on " +
+        "both sides — rename upstream, the view schema must be " +
+        "collision-free")
+    require(aOld.columns.toSeq == deltaA.columns.toSeq &&
+        bOld.columns.toSeq == deltaB.columns.toSeq,
+      "joinViewDelta: each delta must carry its snapshot's exact schema")
+    Seq(deltaA.join(bOld, keyCols),
+      aOld.join(deltaB, keyCols),
+      deltaA.join(deltaB, keyCols))
+      .reduce(_ unionByName _)
+  }
+
+  /** Retire view rows whose source rows were deleted: anti-join the
+    * stored view on each side's removed ROW-ID set — the per-row
+    * member of the deletion taxonomy ([[Dedup.lshIndexRetract]]'s
+    * shape), exact because every view row names the source rows it
+    * came from (the view must carry both sides' row-id columns — the
+    * price of retractability, paid at view definition time). A row
+    * removed on BOTH sides retires once (anti-joins compose
+    * idempotently); removed ids that never matched cost nothing.
+    * Tombstone sets are takedown-sized — they broadcast. */
+  def joinViewRetract(view: DataFrame, removedA: DataFrame,
+      aIdCols: Seq[String], removedB: DataFrame,
+      bIdCols: Seq[String]): DataFrame = {
+    require(aIdCols.nonEmpty && bIdCols.nonEmpty,
+      "joinViewRetract: id column lists must be non-empty")
+    view.join(removedA.select(aIdCols.map(col): _*).distinct(),
+        aIdCols, "left_anti")
+      .join(removedB.select(bIdCols.map(col): _*).distinct(),
+        bIdCols, "left_anti")
+      // using-column joins move the keys to the front — restore the
+      // view's own column order so the output IS the view's schema
+      // (positional consumers: unions, except-based audits, writers)
+      .select(view.columns.map(col): _*)
+  }
 }

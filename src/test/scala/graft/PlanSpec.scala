@@ -1406,6 +1406,21 @@ class PlanSpec extends SparkSpecBase with Matchers {
     readSchema should not include "props"
   }
 
+  test("q_join_incr: the maintenance legs are equi-joins only — no " +
+      "cartesian, no Window; both base scans are pruned to the view " +
+      "columns") {
+    val p = plan("q_join_incr")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    schemas should not be empty
+    schemas.foreach { s =>
+      s should not include "o_comment"
+      s should not include "l_comment"
+    }
+  }
+
   test("q_dp_sum: clip+quantize fold into the per-user partial " +
       "aggregate; same two-exchange shape as q_dp_count — no Window, " +
       "no join; scan reads only the three release columns") {

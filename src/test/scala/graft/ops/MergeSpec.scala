@@ -299,4 +299,60 @@ class MergeSpec extends SparkSpecBase with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Merge.incrementalMinMax(base.drop("mx"), feed, Seq("k"), "op", "v")
   }
+
+  test("joinViewDelta: the three delta legs reproduce the from-scratch " +
+      "join exactly, duplicates and multiplicities included; the " +
+      "old-join-old leg is never needed") {
+    val aOld = Seq((1L, "a1"), (2L, "a2")).toDF("k", "pa")
+    val dA = Seq((2L, "a2b"), (3L, "a3")).toDF("k", "pa")
+    val bOld = Seq((1L, 10L), (1L, 11L), (3L, 30L)).toDF("k", "pb")
+    val dB = Seq((2L, 20L), (3L, 31L), (3L, 31L)).toDF("k", "pb")
+    val folded = aOld.join(bOld, Seq("k"))
+      .unionByName(Merge.joinViewDelta(aOld, dA, bOld, dB, Seq("k")))
+    val scratch = aOld.unionByName(dA).join(bOld.unionByName(dB), Seq("k"))
+    folded.exceptAll(scratch).count() shouldBe 0
+    scratch.exceptAll(folded).count() shouldBe 0
+    // non-vacuous: every leg contributed rows
+    Merge.joinViewDelta(aOld, dA, bOld, dB, Seq("k")).count() should be >
+      dA.join(bOld, Seq("k")).count()
+  }
+
+  test("joinViewRetract: anti-joins retire exactly the removed source " +
+      "rows, a both-sides removal retires once, and the view's own " +
+      "column ORDER survives (using-joins move keys to the front)") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "pa")
+    val b = Seq((1L, 7L, 100L), (2L, 7L, 200L), (2L, 8L, 201L),
+      (3L, 7L, 300L)).toDF("k", "ln", "pb")
+    val view = a.join(b, Seq("k"))
+    val rmA = Seq(2L).toDF("k")
+    val rmB = Seq((2L, 7L), (3L, 7L)).toDF("k", "ln")
+    val got = Merge.joinViewRetract(view, rmA, Seq("k"), rmB,
+      Seq("k", "ln"))
+    got.columns.toSeq shouldBe view.columns.toSeq
+    val surv = a.where(col("k") =!= 2)
+      .join(b.where(!(col("k") === 2 && col("ln") === 7) &&
+        !(col("k") === 3 && col("ln") === 7)), Seq("k"))
+    got.exceptAll(surv).count() shouldBe 0
+    surv.exceptAll(got).count() shouldBe 0
+    // unknown ids are an idempotent no-op
+    Merge.joinViewRetract(view, Seq(99L).toDF("k"), Seq("k"),
+      Seq((99L, 1L)).toDF("k", "ln"), Seq("k", "ln"))
+      .exceptAll(view).count() shouldBe 0
+  }
+
+  test("joinViewDelta loud guards: payload-column collision and " +
+      "delta-schema drift are rejected at plan time") {
+    val a = Seq((1L, "x")).toDF("k", "p")
+    val b = Seq((1L, "y")).toDF("k", "p")
+    val e1 = intercept[IllegalArgumentException] {
+      Merge.joinViewDelta(a, a, b, b, Seq("k"))
+    }
+    e1.getMessage should include("collision-free")
+    val b2 = Seq((1L, "y")).toDF("k", "pb")
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.joinViewDelta(a, a.select(col("p"), col("k")), b2, b2,
+        Seq("k"))
+    }
+    e2.getMessage should include("exact schema")
+  }
 }

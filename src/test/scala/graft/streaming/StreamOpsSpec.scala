@@ -1072,6 +1072,54 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
       streamed.values.map(_.size).sum
   }
 
+  test("streaming join-view maintenance: joinViewDelta inside " +
+      "foreachBatch across micro-batches (each bringing inserts on " +
+      "BOTH sides) equals the one-shot join; a closing retraction " +
+      "leaves the survivors' join") {
+    // The nightly fold of the JOIN member: each micro-batch folds its
+    // (deltaA, deltaB) against the ACCUMULATED snapshots, appends the
+    // view delta, then advances the snapshots — the delta rule
+    // composes because the legs partition the new matches exactly.
+    import graft.ops.Merge
+    var aSnap = Seq.empty[(Long, String)].toDF("k", "pa")
+    var bSnap = Seq.empty[(Long, Long, Long)].toDF("k", "ln", "pb")
+    var view = aSnap.join(bSnap, Seq("k"))
+    val in = MemoryStream[(String, Long, String, Long, Long)](spark)
+    val q = in.toDS()
+      .toDF("side", "k", "pa", "ln", "pb").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dA = batch.where(col("side") === "a").select("k", "pa")
+        val dB = batch.where(col("side") === "b")
+          .select("k", "ln", "pb")
+        view = view.unionByName(
+          Merge.joinViewDelta(aSnap, dA, bSnap, dB, Seq("k")))
+          .localCheckpoint()
+        aSnap = aSnap.unionByName(dA).localCheckpoint()
+        bSnap = bSnap.unionByName(dB).localCheckpoint()
+        ()
+      }.start()
+    def arow(k: Long, pa: String) = ("a", k, pa, 0L, 0L)
+    def brow(k: Long, ln: Long, pb: Long) = ("b", k, "", ln, pb)
+    in.addData(arow(1, "a1"), arow(2, "a2"), brow(1, 1, 10))
+    q.processAllAvailable()
+    in.addData(brow(2, 1, 20), brow(1, 2, 11), arow(3, "a3"))
+    q.processAllAvailable()
+    in.addData(arow(4, "a4"), brow(3, 1, 30), brow(4, 1, 40))
+    q.processAllAvailable()
+    q.stop()
+    val scratch = aSnap.join(bSnap, Seq("k"))
+    view.exceptAll(scratch).count() shouldBe 0
+    scratch.exceptAll(view).count() shouldBe 0
+    view.count() should be > 3L
+    // closing retraction: drop a-row k=1 and b-row (2, 1)
+    val retr = Merge.joinViewRetract(view, Seq(1L).toDF("k"), Seq("k"),
+      Seq((2L, 1L)).toDF("k", "ln"), Seq("k", "ln"))
+    val surv = aSnap.where(col("k") =!= 1)
+      .join(bSnap.where(!(col("k") === 2 && col("ln") === 1)), Seq("k"))
+    retr.exceptAll(surv).count() shouldBe 0
+    surv.exceptAll(retr).count() shouldBe 0
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
