@@ -4124,6 +4124,83 @@ object SparkEntry {
           col("sp").cast(DoubleType).as("sum_extprice"))
         .orderBy("o_orderpriority")
     }),
+    "q_left_join_incr" -> ((s, dir) => {
+      // LEFT-JOIN VIEW MAINTENANCE (Merge.leftJoinMatchCounts/
+      // leftJoinCountsFold/leftJoinViewChanges/leftJoinViewRetract) —
+      // the OUTER half of the join member: a LEFT view is not
+      // maintainable from the delta legs alone because null-extended
+      // rows must disappear on a left row's FIRST match and reappear
+      // when its LAST match retracts; the counting algorithm (Gupta/
+      // Mumick/Subrahmanian 1993) keeps a slim (left-id, n) artifact
+      // whose 0-transitions drive the null-row changes. Orders LEFT
+      // lineitem, B split by line-number parity, so single-line orders
+      // sit null-extended in the old view and gain their first match
+      // on fold (the 0 -> >0 transition), ~1.7% of orders never match
+      // (permanent nulls), and the takedown removes EVERY line of the
+      // %11 orders (the >0 -> 0 re-null transition) plus the ln=6
+      // lines (partial, no transition). Both verbs proven by multiset
+      // difference against independent from-scratch LEFT joins; null
+      // accounting surfaced per priority.
+      val dec = DecimalType(28, 4)
+      val a = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey"), col("o_orderpriority"))
+      val b = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      val aOld = a.where(pmod(col("okey"), lit(2)) === 0)
+      val dA = a.where(pmod(col("okey"), lit(2)) === 1)
+      val bOld = b.where(pmod(col("l_linenumber"), lit(2)) === 0)
+      val dB = b.where(pmod(col("l_linenumber"), lit(2)) === 1)
+      val k = Seq("okey")
+      val viewOld = aOld.join(bOld, k, "left")
+      val counts0 = Merge.leftJoinMatchCounts(aOld, bOld, k, k)
+      val changes = Merge.leftJoinViewChanges(counts0, aOld, dA, bOld,
+        dB, k, k)
+      val view1 = viewOld
+        .join(changes.where(col("__op") === "D").select("okey")
+          .distinct(), k, "left_anti")
+        .select(viewOld.columns.map(col): _*)
+        .unionByName(changes.where(col("__op") === "I").drop("__op")
+          .select(viewOld.columns.map(col): _*))
+      val counts1 = Merge.leftJoinCountsFold(counts0, aOld, dA, bOld,
+        dB, k, k)
+      val scratch = a.join(b, k, "left")
+      val mm1 = view1.exceptAll(scratch)
+        .unionByName(scratch.exceptAll(view1))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_mismatch_fold"))
+      val rmA = a.where(pmod(col("okey"), lit(7)) === 0).select("okey")
+      val rmB = b.where(pmod(col("okey"), lit(11)) === 0 ||
+          col("l_linenumber") === 6)
+        .select("okey", "l_linenumber")
+      val retracted = Merge.leftJoinViewRetract(view1, counts1, a,
+        rmA, rmB, k, k, Seq("okey", "l_linenumber"))
+      val scratch2 = a.where(pmod(col("okey"), lit(7)) =!= 0)
+        .join(b.where(pmod(col("okey"), lit(11)) =!= 0 &&
+          col("l_linenumber") =!= 6), k, "left")
+      val mm2 = retracted.exceptAll(scratch2)
+        .unionByName(scratch2.exceptAll(retracted))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_mismatch_retract"))
+      val stats = scratch.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_view"),
+          sum(when(col("l_linenumber").isNull, 1L).otherwise(0L))
+            .as("n_nulls"))
+      val stats2 = retracted.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_view_retracted"),
+          sum(when(col("l_linenumber").isNull, 1L).otherwise(0L))
+            .as("n_nulls_retracted"),
+          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sp"))
+      stats.join(mm1, Seq("o_orderpriority"), "left")
+        .join(stats2, Seq("o_orderpriority"))
+        .join(mm2, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_view"), col("n_nulls"),
+          coalesce(col("n_mismatch_fold"), lit(0L)).as("n_mismatch_fold"),
+          col("n_view_retracted"), col("n_nulls_retracted"),
+          coalesce(col("n_mismatch_retract"), lit(0L))
+            .as("n_mismatch_retract"),
+          col("sp").cast(DoubleType).as("sum_extprice"))
+        .orderBy("o_orderpriority")
+    }),
     "q_dp_count" -> ((s, dir) => {
       // DIFFERENTIALLY-PRIVATE RELEASE (Privacy.noisyCount) — the
       // privacy member of the release toolbox: per-event-type event
@@ -8294,6 +8371,129 @@ object SparkEntry {
                   JOIN st2 USING (o_orderpriority)
                   LEFT JOIN mm2 m2 USING (o_orderpriority)
           ORDER BY o_orderpriority""",
+    // Left-join-view replay: the fold re-derived independently (three
+    // matched legs + delta-side unmatched nulls + stale-null removal
+    // off the old counts), counts taken SEMANTICALLY from the grown
+    // tables (the fold law is spec-proven; a drifted fold would move
+    // the zeroed set and fail here), both states diffed EXCEPT ALL
+    // against direct LEFT joins; null tombstone semantics via NOT
+    // EXISTS so null-extended rows survive b-side retirement.
+    "q_left_join_incr" ->
+      raw"""WITH a AS (SELECT o_orderkey AS okey, o_custkey, o_orderpriority
+                       FROM orders),
+               b AS (SELECT l_orderkey AS okey, l_linenumber,
+                            l_extendedprice
+                     FROM lineitem),
+               ao AS (SELECT * FROM a WHERE okey % 2 = 0),
+               da AS (SELECT * FROM a WHERE okey % 2 = 1),
+               bo AS (SELECT * FROM b WHERE l_linenumber % 2 = 0),
+               db AS (SELECT * FROM b WHERE l_linenumber % 2 = 1),
+               vold AS (SELECT okey, o_custkey, o_orderpriority,
+                               l_linenumber, l_extendedprice
+                        FROM ao LEFT JOIN bo USING (okey)),
+               c0 AS MATERIALIZED (
+                 SELECT okey, CAST(count(l_linenumber) AS BIGINT) AS n
+                 FROM ao LEFT JOIN bo USING (okey) GROUP BY 1),
+               fm AS MATERIALIZED (
+                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
+                        l_extendedprice FROM da JOIN bo USING (okey)
+                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
+                        l_linenumber, l_extendedprice
+                   FROM ao JOIN db USING (okey)
+                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
+                        l_linenumber, l_extendedprice
+                   FROM da JOIN db USING (okey)),
+               nn AS (SELECT okey, o_custkey, o_orderpriority,
+                             CAST(NULL AS INTEGER) AS l_linenumber,
+                             CAST(NULL AS DOUBLE) AS l_extendedprice
+                      FROM da WHERE NOT EXISTS
+                        (SELECT 1 FROM b WHERE b.okey = da.okey)),
+               stale AS (SELECT DISTINCT fm.okey
+                         FROM fm JOIN c0 ON c0.okey = fm.okey
+                         WHERE c0.n = 0),
+               v1 AS MATERIALIZED (
+                 SELECT * FROM vold
+                 WHERE okey NOT IN (SELECT okey FROM stale)
+                 UNION ALL SELECT * FROM fm
+                 UNION ALL SELECT * FROM nn),
+               scr AS MATERIALIZED (
+                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
+                        l_extendedprice
+                 FROM a LEFT JOIN b USING (okey)),
+               mm1 AS (SELECT o_orderpriority,
+                              CAST(count(*) AS BIGINT) AS n_mismatch_fold
+                       FROM ((SELECT * FROM v1 EXCEPT ALL
+                              SELECT * FROM scr)
+                             UNION ALL
+                             (SELECT * FROM scr EXCEPT ALL
+                              SELECT * FROM v1))
+                       GROUP BY 1),
+               c1 AS MATERIALIZED (
+                 SELECT okey, CAST(count(l_linenumber) AS BIGINT) AS n
+                 FROM a LEFT JOIN b USING (okey) GROUP BY 1),
+               rma AS (SELECT okey FROM a WHERE okey % 7 = 0),
+               rmb AS MATERIALIZED (
+                 SELECT okey, l_linenumber FROM b
+                 WHERE okey % 11 = 0 OR l_linenumber = 6),
+               kept AS (SELECT v.* FROM v1 v
+                        WHERE NOT EXISTS (SELECT 1 FROM rma
+                                          WHERE rma.okey = v.okey)
+                          AND NOT EXISTS (SELECT 1 FROM rmb
+                                          WHERE rmb.okey = v.okey
+                                            AND rmb.l_linenumber =
+                                                v.l_linenumber)),
+               zr AS (SELECT a.okey, a.o_custkey, a.o_orderpriority
+                      FROM a
+                      JOIN (SELECT okey, CAST(count(*) AS BIGINT) AS rn
+                            FROM rmb GROUP BY 1) r ON r.okey = a.okey
+                      JOIN c1 ON c1.okey = a.okey AND c1.n = r.rn
+                      WHERE NOT EXISTS (SELECT 1 FROM rma
+                                        WHERE rma.okey = a.okey)),
+               v2 AS MATERIALIZED (
+                 SELECT * FROM kept
+                 UNION ALL
+                 SELECT okey, o_custkey, o_orderpriority,
+                        CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)
+                 FROM zr),
+               sc2 AS MATERIALIZED (
+                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
+                        l_extendedprice
+                 FROM (SELECT * FROM a WHERE okey % 7 <> 0) a2
+                 LEFT JOIN (SELECT * FROM b
+                            WHERE okey % 11 <> 0 AND l_linenumber <> 6) b2
+                 USING (okey)),
+               mm2 AS (SELECT o_orderpriority,
+                              CAST(count(*) AS BIGINT) AS n_mismatch_retract
+                       FROM ((SELECT * FROM v2 EXCEPT ALL
+                              SELECT * FROM sc2)
+                             UNION ALL
+                             (SELECT * FROM sc2 EXCEPT ALL
+                              SELECT * FROM v2))
+                       GROUP BY 1),
+               st AS (SELECT o_orderpriority,
+                             CAST(count(*) AS BIGINT) AS n_view,
+                             CAST(sum(CASE WHEN l_linenumber IS NULL
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_nulls
+                      FROM scr GROUP BY 1),
+               st2 AS (SELECT o_orderpriority,
+                              CAST(count(*) AS BIGINT) AS n_view_retracted,
+                              CAST(sum(CASE WHEN l_linenumber IS NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                                AS n_nulls_retracted,
+                              CAST(sum(CAST(l_extendedprice
+                                            AS DECIMAL(28, 4)))
+                                   AS DOUBLE) AS sum_extprice
+                       FROM v2 GROUP BY 1)
+          SELECT st.o_orderpriority, st.n_view, st.n_nulls,
+                 coalesce(m1.n_mismatch_fold, 0) AS n_mismatch_fold,
+                 st2.n_view_retracted, st2.n_nulls_retracted,
+                 coalesce(m2.n_mismatch_retract, 0) AS n_mismatch_retract,
+                 st2.sum_extprice
+          FROM st LEFT JOIN mm1 m1 USING (o_orderpriority)
+                  JOIN st2 USING (o_orderpriority)
+                  LEFT JOIN mm2 m2 USING (o_orderpriority)
+          ORDER BY o_orderpriority""",
     // DP-release replay: per-user clipped counts, then the dyadic
     // geometric draw re-derived bit for bit — the group key's rolling
     // hash XOR the salt seeds TWO splitmix chains (the second XORs the
@@ -10721,5 +10921,5 @@ object SparkEntry {
     "q_cms_retract", "q_lsh_retract", "q_dedup_retract",
     "q_winnow_retract", "q_quantile_incr", "q_quantile_retract", "q_bm25_retract", "q_ann_upsert",
     "q_ann_compact", "q_sample_incr", "q_sample_retract", "q_dp_count",
-    "q_dp_sum", "q_join_incr")
+    "q_dp_sum", "q_join_incr", "q_left_join_incr")
 }

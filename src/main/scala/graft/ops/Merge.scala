@@ -411,4 +411,143 @@ object Merge {
       // (positional consumers: unions, except-based audits, writers)
       .select(view.columns.map(col): _*)
   }
+
+  // ------------------------------------------------- LEFT-join views
+  //
+  // A LEFT join view is not maintainable from the delta legs alone:
+  // an unmatched left row sits in the view NULL-EXTENDED, and that
+  // null extension must DISAPPEAR the night its first match arrives
+  // and REAPPEAR the night its last match retracts — transitions the
+  // matched rows themselves cannot reveal. The classic fix (the
+  // COUNTING algorithm of incremental view maintenance, Gupta/Mumick/
+  // Subrahmanian 1993) keeps a slim per-left-row MATCH-COUNT artifact
+  // `(aIdCols..., n)` next to the view; folds update counts in
+  // O(|touched keys|) and the 0-transitions drive the null-row
+  // changes. The ops below emit CHANGE FEEDS (`__op` ∈ {'I','D'})
+  // against the stored view rather than rewriting it — the caller
+  // appends/deletes, the view is never rescanned; the counts table is
+  // the only state read in full, and it is two columns.
+
+  /** Initial per-left-row match counts for [[leftJoinViewChanges]]:
+    * `(aIdCols..., n)` with `n = 0` for unmatched left rows — built
+    * once when the view is first materialized, then maintained by
+    * [[leftJoinCountsFold]]. `aIdCols` must identify left rows
+    * uniquely (they are the retraction handle too). */
+  def leftJoinMatchCounts(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String], aIdCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && aIdCols.nonEmpty,
+      "leftJoinMatchCounts: keyCols and aIdCols must be non-empty")
+    val m = a.select((keyCols ++ aIdCols).distinct.map(col): _*)
+      .join(b.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__bn")),
+        keyCols, "left")
+      .select(aIdCols.map(col) :+
+        coalesce(col("__bn"), lit(0L)).as("n"): _*)
+    m
+  }
+
+  /** Fold tonight's inserts into the match-count artifact: counts for
+    * OLD left rows grow by their ΔB matches, NEW left rows enter at
+    * their match count against B ∪ ΔB (zero included — that zero is
+    * tonight's new null extension). Same disjoint-snapshot contract
+    * as [[joinViewDelta]]. Cost: two delta-sized join-aggregates +
+    * one full-outer fold over the slim counts table — never the view,
+    * never A⋈B. */
+  def leftJoinCountsFold(counts: DataFrame, aOld: DataFrame,
+      deltaA: DataFrame, bOld: DataFrame, deltaB: DataFrame,
+      keyCols: Seq[String], aIdCols: Seq[String]): DataFrame = {
+    val dOld = aOld.select((keyCols ++ aIdCols).distinct.map(col): _*)
+      .join(deltaB.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__dn")),
+        keyCols)
+      .select(aIdCols.map(col) :+ col("__dn"): _*)
+    val dNew = leftJoinMatchCounts(deltaA, bOld.unionByName(deltaB),
+      keyCols, aIdCols).select(aIdCols.map(col) :+
+        col("n").as("__dn"): _*)
+    counts.join(dOld.unionByName(dNew), aIdCols, "full_outer")
+      .select(aIdCols.map(col) :+
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n"): _*)
+  }
+
+  /** Null-extend `rows` (a left-side frame) with the b-side payload
+    * columns of `b` (its columns minus the join keys), typed from b's
+    * schema — the LEFT-join null-extension row constructor shared by
+    * the fold and the retract. */
+  private def nullExtended(rows: DataFrame, b: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val bPayload = b.schema.fields.filterNot(f => keyCols.contains(f.name))
+    rows.select(rows.columns.map(col) ++
+      bPayload.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** The CHANGE FEED that folds tonight's inserts into a stored
+    * LEFT-join view — one frame in the VIEW's schema plus `__op` ∈
+    * {'I','D'}: 'I' rows are [[joinViewDelta]]'s three matched legs
+    * plus ΔA's own unmatched rows null-extended; 'D' rows are the
+    * now-STALE null extensions of old left rows whose count was 0 and
+    * gained their first match tonight (the 0 → >0 transition the
+    * counts artifact exists to reveal). Apply as append + delete-by-
+    * left-id-where-b-null; fold the counts with [[leftJoinCountsFold]]
+    * in the same batch. The view itself is never read. */
+  def leftJoinViewChanges(counts: DataFrame, aOld: DataFrame,
+      deltaA: DataFrame, bOld: DataFrame, deltaB: DataFrame,
+      keyCols: Seq[String], aIdCols: Seq[String]): DataFrame = {
+    val matches = joinViewDelta(aOld, deltaA, bOld, deltaB, keyCols)
+    val newUnmatched = nullExtended(
+      deltaA.join(bOld.unionByName(deltaB)
+          .select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti"), bOld, keyCols)
+    // old zero-count lefts that matched tonight: their stored
+    // null-extended row is stale
+    val gained = matches.select(aIdCols.map(col): _*).distinct()
+      .join(counts.where(col("n") === 0), aIdCols, "left_semi")
+    val staleNulls = nullExtended(
+      aOld.join(gained, aIdCols, "left_semi"), bOld, keyCols)
+    matches.select(matches.columns.map(col) :+ lit("I").as("__op"): _*)
+      .unionByName(newUnmatched
+        .select(newUnmatched.columns.map(col) :+ lit("I").as("__op"): _*))
+      .unionByName(staleNulls
+        .select(staleNulls.columns.map(col) :+ lit("D").as("__op"): _*))
+  }
+
+  /** Retract deleted source rows from a stored LEFT-join view,
+    * returning the NEW view (the [[joinViewRetract]] shape — one pass
+    * over the view against broadcast tombstones; retraction is the
+    * rare verb, so the view scan is the accepted family cost):
+    * removed LEFT rows drop entirely (matched and null-extended
+    * alike); removed B rows drop their matched rows (a null-extended
+    * row's null b-ids never equal a tombstone, so those survive the
+    * anti-join untouched); and every SURVIVING left row whose matches
+    * ALL retired tonight — old count == removed-match count, read off
+    * the counts artifact — re-enters NULL-EXTENDED, with its payload
+    * taken from `aAll` (the left snapshot). `removedB` must carry the
+    * b rows' join keys and id columns. Rebuild or fold the counts
+    * artifact alongside; this op returns the view only. */
+  def leftJoinViewRetract(view: DataFrame, counts: DataFrame,
+      aAll: DataFrame, removedA: DataFrame, removedB: DataFrame,
+      keyCols: Seq[String], aIdCols: Seq[String],
+      bIdCols: Seq[String]): DataFrame = {
+    val kept = view
+      .join(removedA.select(aIdCols.map(col): _*).distinct(),
+        aIdCols, "left_anti")
+      .join(removedB.select(bIdCols.map(col): _*).distinct(),
+        bIdCols, "left_anti")
+      .select(view.columns.map(col): _*)
+    // surviving lefts zeroed tonight: count == removed matches
+    val zeroed = aAll
+      .join(removedB.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__rn")),
+        keyCols)
+      .join(removedA.select(aIdCols.map(col): _*).distinct(),
+        aIdCols, "left_anti")
+      .join(counts, aIdCols)
+      .where(col("n") === col("__rn"))
+      .select(aAll.columns.map(col): _*)
+    val bSide = view.schema.fields
+      .filterNot(f => aAll.columns.contains(f.name))
+    val reNulled = zeroed.select(zeroed.columns.map(col) ++
+      bSide.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    kept.unionByName(reNulled.select(view.columns.map(col): _*))
+  }
 }

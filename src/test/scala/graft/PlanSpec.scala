@@ -1421,6 +1421,21 @@ class PlanSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("q_left_join_incr: maintenance legs are equi/outer joins and " +
+      "the counts artifact is a slim aggregate — no cartesian, no " +
+      "Window; base scans pruned") {
+    val p = plan("q_left_join_incr")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    schemas should not be empty
+    schemas.foreach { s =>
+      s should not include "o_comment"
+      s should not include "l_comment"
+    }
+  }
+
   test("q_dp_sum: clip+quantize fold into the per-user partial " +
       "aggregate; same two-exchange shape as q_dp_count — no Window, " +
       "no join; scan reads only the three release columns") {

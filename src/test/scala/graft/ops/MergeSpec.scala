@@ -355,4 +355,59 @@ class MergeSpec extends SparkSpecBase with Matchers {
     }
     e2.getMessage should include("exact schema")
   }
+
+  test("left-join view maintenance: counts fold + change feed " +
+      "reproduce the from-scratch LEFT join through both null-" +
+      "extension transitions; retraction re-nulls zeroed lefts") {
+    // a2 is null-extended until dB brings its first match (0 -> >0);
+    // a5 arrives unmatched (new null row); a3 never matches.
+    val aOld = Seq((1L, 10L, "a1"), (2L, 20L, "a2"), (3L, 30L, "a3"))
+      .toDF("k", "aid", "pa")
+    val dA = Seq((1L, 40L, "a4"), (9L, 50L, "a5")).toDF("k", "aid", "pa")
+    val bOld = Seq((1L, 1L, "b11"), (1L, 2L, "b12")).toDF("k", "ln", "pb")
+    val dB = Seq((2L, 1L, "b21"), (1L, 3L, "b13")).toDF("k", "ln", "pb")
+    val aAll = aOld.unionByName(dA)
+    val bAll = bOld.unionByName(dB)
+    val viewOld = aOld.join(bOld, Seq("k"), "left")
+    val counts0 = Merge.leftJoinMatchCounts(aOld, bOld, Seq("k"),
+      Seq("aid"))
+    counts0.as[(Long, Long)].collect().toMap shouldBe
+      Map(10L -> 2L, 20L -> 0L, 30L -> 0L)
+    // fold
+    val changes = Merge.leftJoinViewChanges(counts0, aOld, dA, bOld, dB,
+      Seq("k"), Seq("aid"))
+    val dels = changes.where(col("__op") === "D")
+      .select("aid").as[Long].collect().toSet
+    dels shouldBe Set(20L) // a2's stale null row
+    val view1 = viewOld
+      .join(changes.where(col("__op") === "D").select("aid").distinct(),
+        Seq("aid"), "left_anti")
+      .select(viewOld.columns.map(col): _*)
+      .unionByName(changes.where(col("__op") === "I").drop("__op")
+        .select(viewOld.columns.map(col): _*))
+    val scratch = aAll.join(bAll, Seq("k"), "left")
+    view1.exceptAll(scratch).count() shouldBe 0
+    scratch.exceptAll(view1).count() shouldBe 0
+    // counts fold == from-scratch counts on the grown tables
+    val counts1 = Merge.leftJoinCountsFold(counts0, aOld, dA, bOld, dB,
+      Seq("k"), Seq("aid"))
+    counts1.as[(Long, Long)].collect().toMap shouldBe
+      Merge.leftJoinMatchCounts(aAll, bAll, Seq("k"), Seq("aid"))
+        .as[(Long, Long)].collect().toMap
+    // retract: drop a1 entirely and kill a2's only match (re-null) +
+    // one of a4's three matches (no transition)
+    val rmA = Seq(10L).toDF("aid")
+    val rmB = Seq((2L, 1L), (1L, 1L)).toDF("k", "ln")
+    val retracted = Merge.leftJoinViewRetract(view1, counts1, aAll,
+      rmA, rmB, Seq("k"), Seq("aid"), Seq("k", "ln"))
+    val aSurv = aAll.where(col("aid") =!= 10L)
+    val bSurv = bAll.where(!(col("k") === 2L && col("ln") === 1L) &&
+      !(col("k") === 1L && col("ln") === 1L))
+    val scratch2 = aSurv.join(bSurv, Seq("k"), "left")
+    retracted.exceptAll(scratch2).count() shouldBe 0
+    scratch2.exceptAll(retracted).count() shouldBe 0
+    // the re-nulled row is really there
+    retracted.where(col("aid") === 20L && col("ln").isNull)
+      .count() shouldBe 1L
+  }
 }

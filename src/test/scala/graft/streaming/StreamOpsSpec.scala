@@ -1120,6 +1120,61 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
     surv.exceptAll(retr).count() shouldBe 0
   }
 
+  test("streaming LEFT-join view maintenance: leftJoinViewChanges + " +
+      "leftJoinCountsFold inside foreachBatch across micro-batches " +
+      "equals the one-shot LEFT join — null extensions appear for " +
+      "unmatched arrivals and retire on first match") {
+    import graft.ops.Merge
+    var aSnap = Seq.empty[(Long, Long, String)].toDF("k", "aid", "pa")
+    var bSnap = Seq.empty[(Long, Long, String)].toDF("k", "ln", "pb")
+    var view = aSnap.join(bSnap, Seq("k"), "left")
+    var counts = Merge.leftJoinMatchCounts(aSnap, bSnap, Seq("k"),
+      Seq("aid"))
+    val in = MemoryStream[(String, Long, Long, String)](spark)
+    val q = in.toDS().toDF("side", "k", "n2", "p").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dA = batch.where(col("side") === "a")
+          .select(col("k"), col("n2").as("aid"), col("p").as("pa"))
+        val dB = batch.where(col("side") === "b")
+          .select(col("k"), col("n2").as("ln"), col("p").as("pb"))
+        val ch = Merge.leftJoinViewChanges(counts, aSnap, dA, bSnap,
+          dB, Seq("k"), Seq("aid"))
+        view = view
+          .join(ch.where(col("__op") === "D").select("aid").distinct(),
+            Seq("aid"), "left_anti")
+          .select(view.columns.map(col): _*)
+          .unionByName(ch.where(col("__op") === "I").drop("__op")
+            .select(view.columns.map(col): _*))
+          .localCheckpoint()
+        counts = Merge.leftJoinCountsFold(counts, aSnap, dA, bSnap, dB,
+          Seq("k"), Seq("aid")).localCheckpoint()
+        aSnap = aSnap.unionByName(dA).localCheckpoint()
+        bSnap = bSnap.unionByName(dB).localCheckpoint()
+        ()
+      }.start()
+    // batch 1: a1 matched, a2 unmatched (null-extended)
+    in.addData(("a", 1L, 10L, "a1"), ("a", 2L, 20L, "a2"),
+      ("b", 1L, 1L, "b11"))
+    q.processAllAvailable()
+    // batch 2: a2 gains its FIRST match (stale null retires); a3
+    // arrives unmatched
+    in.addData(("b", 2L, 1L, "b21"), ("a", 3L, 30L, "a3"))
+    q.processAllAvailable()
+    // batch 3: more matches on both old keys
+    in.addData(("b", 1L, 2L, "b12"), ("b", 2L, 2L, "b22"))
+    q.processAllAvailable()
+    q.stop()
+    val scratch = aSnap.join(bSnap, Seq("k"), "left")
+      .select(view.columns.map(col): _*)
+    view.exceptAll(scratch).count() shouldBe 0
+    scratch.exceptAll(view).count() shouldBe 0
+    // a3 is null-extended, a2 is not
+    view.where(col("aid") === 30L && col("ln").isNull).count() shouldBe 1
+    view.where(col("aid") === 20L && col("ln").isNull).count() shouldBe 0
+    counts.as[(Long, Long)].collect().toMap shouldBe
+      Map(10L -> 2L, 20L -> 2L, 30L -> 0L)
+  }
+
   test("windowedAgg and sessionAgg run identically on batch frames") {
     val batch = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "a", 10.0))
       .toDF("ts", "key", "v")
