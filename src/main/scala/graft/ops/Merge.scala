@@ -437,13 +437,12 @@ object Merge {
       keyCols: Seq[String], aIdCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && aIdCols.nonEmpty,
       "leftJoinMatchCounts: keyCols and aIdCols must be non-empty")
-    val m = a.select((keyCols ++ aIdCols).distinct.map(col): _*)
+    a.select((keyCols ++ aIdCols).distinct.map(col): _*)
       .join(b.groupBy(keyCols.map(col): _*)
           .agg(count(lit(1)).as("__bn")),
         keyCols, "left")
       .select(aIdCols.map(col) :+
         coalesce(col("__bn"), lit(0L)).as("n"): _*)
-    m
   }
 
   /** Fold tonight's inserts into the match-count artifact: counts for
