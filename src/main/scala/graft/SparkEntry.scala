@@ -4169,11 +4169,14 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_mismatch_fold"))
       val rmA = a.where(pmod(col("okey"), lit(7)) === 0).select("okey")
+      // the synthetic lineitem does NOT keep (okey, linenumber) unique
+      // (duplicate line numbers within an order exist), so the b-row
+      // id the retract contract requires is the full unique triple
       val rmB = b.where(pmod(col("okey"), lit(11)) === 0 ||
           col("l_linenumber") === 6)
-        .select("okey", "l_linenumber")
+        .select("okey", "l_linenumber", "l_extendedprice")
       val retracted = Merge.leftJoinViewRetract(view1, counts1, a,
-        rmA, rmB, k, k, Seq("okey", "l_linenumber"))
+        rmA, rmB, k, k, Seq("okey", "l_linenumber", "l_extendedprice"))
       val scratch2 = a.where(pmod(col("okey"), lit(7)) =!= 0)
         .join(b.where(pmod(col("okey"), lit(11)) =!= 0 &&
           col("l_linenumber") =!= 6), k, "left")
@@ -8433,7 +8436,7 @@ object SparkEntry {
                  FROM a LEFT JOIN b USING (okey) GROUP BY 1),
                rma AS (SELECT okey FROM a WHERE okey % 7 = 0),
                rmb AS MATERIALIZED (
-                 SELECT okey, l_linenumber FROM b
+                 SELECT okey, l_linenumber, l_extendedprice FROM b
                  WHERE okey % 11 = 0 OR l_linenumber = 6),
                kept AS (SELECT v.* FROM v1 v
                         WHERE NOT EXISTS (SELECT 1 FROM rma
@@ -8441,7 +8444,9 @@ object SparkEntry {
                           AND NOT EXISTS (SELECT 1 FROM rmb
                                           WHERE rmb.okey = v.okey
                                             AND rmb.l_linenumber =
-                                                v.l_linenumber)),
+                                                v.l_linenumber
+                                            AND rmb.l_extendedprice =
+                                                v.l_extendedprice)),
                zr AS (SELECT a.okey, a.o_custkey, a.o_orderpriority
                       FROM a
                       JOIN (SELECT okey, CAST(count(*) AS BIGINT) AS rn

@@ -533,20 +533,11 @@ object Dedup {
   /** Plan-time integral-id check for the ops whose STORED artifact
     * fixes the posting type to BIGINT: a non-integral id column (e.g.
     * string ids) would otherwise cast to null postings with no error —
-    * fail loudly up front instead (the topKPerKey convention). */
+    * fail loudly up front instead (the topKPerKey convention).
+    * Delegates to the one shared guard so the check cannot drift. */
   private def requireIntegralId(df: DataFrame, idCol: String,
-      op: String): Unit = {
-    import org.apache.spark.sql.types._
-    df.schema.fields.find(_.name == idCol).map(_.dataType) match {
-      case Some(ByteType | ShortType | IntegerType | LongType) => ()
-      case Some(other) => throw new IllegalArgumentException(
-        s"$op: id column '$idCol' is ${other.sql} — the stored artifact " +
-          "keeps postings as BIGINT, so ids must be integral (map " +
-          "string ids to longs upstream, e.g. xxhash64 + a dictionary)")
-      case None => throw new IllegalArgumentException(
-        s"$op: no column '$idCol' (columns: ${df.columns.mkString(", ")})")
-    }
-  }
+      op: String): Unit =
+    Sampling.requireIntegralCol(df, idCol, s"$op: id")
 
   /** Merge stored [[winnowIndexCounted]] tables: counts SUM per fp,
     * postings concatenate (re-sorted) where the MERGED count passes

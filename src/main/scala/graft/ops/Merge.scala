@@ -379,9 +379,13 @@ object Merge {
       s"joinViewDelta: non-key columns ${clash.mkString(", ")} exist on " +
         "both sides — rename upstream, the view schema must be " +
         "collision-free")
-    require(aOld.columns.toSeq == deltaA.columns.toSeq &&
-        bOld.columns.toSeq == deltaB.columns.toSeq,
-      "joinViewDelta: each delta must carry its snapshot's exact schema")
+    // names AND types: a name-only check would let a type-drifted
+    // delta slip through the joins' implicit casts and corrupt the
+    // maintained view silently
+    def shape(df: DataFrame) = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(shape(aOld) == shape(deltaA) && shape(bOld) == shape(deltaB),
+      "joinViewDelta: each delta must carry its snapshot's exact " +
+        "schema (names and types, in order)")
     Seq(deltaA.join(bOld, keyCols),
       aOld.join(deltaB, keyCols),
       deltaA.join(deltaB, keyCols))
@@ -521,8 +525,12 @@ object Merge {
     * ALL retired tonight — old count == removed-match count, read off
     * the counts artifact — re-enters NULL-EXTENDED, with its payload
     * taken from `aAll` (the left snapshot). `removedB` must carry the
-    * b rows' join keys and id columns. Rebuild or fold the counts
-    * artifact alongside; this op returns the view only. */
+    * b rows' join keys and id columns, and `bIdCols` must identify b
+    * rows UNIQUELY — tombstones are deduped by id (a replayed takedown
+    * feed must not double-count), so a non-unique id would both retire
+    * every sharer in the kept pass and under-count removals in the
+    * zeroed pass. Rebuild or fold the counts artifact alongside; this
+    * op returns the view only. */
   def leftJoinViewRetract(view: DataFrame, counts: DataFrame,
       aAll: DataFrame, removedA: DataFrame, removedB: DataFrame,
       keyCols: Seq[String], aIdCols: Seq[String],
@@ -533,9 +541,16 @@ object Merge {
       .join(removedB.select(bIdCols.map(col): _*).distinct(),
         bIdCols, "left_anti")
       .select(view.columns.map(col): _*)
-    // surviving lefts zeroed tonight: count == removed matches
+    // surviving lefts zeroed tonight: count == removed matches. The
+    // removed set is DEDUPED by b-row id first, exactly as the kept
+    // path dedups its anti-join — a replayed takedown feed delivering
+    // the same tombstone twice must not inflate __rn past n (which
+    // would re-null a left that still has live matches) or past a
+    // truly-zeroed left's n (which would silently skip its re-null)
     val zeroed = aAll
-      .join(removedB.groupBy(keyCols.map(col): _*)
+      .join(removedB.select((keyCols ++ bIdCols).distinct.map(col): _*)
+          .distinct()
+          .groupBy(keyCols.map(col): _*)
           .agg(count(lit(1)).as("__rn")),
         keyCols)
       .join(removedA.select(aIdCols.map(col): _*).distinct(),

@@ -92,7 +92,7 @@ object Privacy {
         s"seed derives from the group key's content hash), got " +
         s"${df.schema(groupCol).dataType.simpleString}")
     val perUser = df.where(col(userCol).isNotNull)
-      .groupBy(col(groupCol), col(userCol))
+      .groupBy(guardedGroup(groupCol, "noisyCount"), col(userCol))
       .agg(count(lit(1)).as("n_u"))
     val seed = TextHashes.rolling_hash64(col(groupCol))
       .bitwiseXOR(lit(salt))
@@ -130,7 +130,11 @@ object Privacy {
     * off the same groups under one salt draw independent noise). */
   def noisySum(df: DataFrame, groupCol: String, userCol: String,
       valueCol: String, userCap: Long, unit: Long, salt: Long): DataFrame = {
-    require(userCap >= 1, s"noisySum: userCap must be >= 1, got $userCap")
+    // the half-up quantizer computes s_c * 2 and 2 * unit in long
+    // arithmetic — bound the cap so neither can wrap (a cap past 2^62
+    // is no real budget anyway)
+    require(userCap >= 1 && userCap <= Long.MaxValue / 2,
+      s"noisySum: userCap must be in [1, 2^62], got $userCap")
     require(unit >= 1 && unit <= userCap,
       s"noisySum: unit must be in [1, userCap], got $unit (cap $userCap)")
     require(df.schema(groupCol).dataType == StringType,
@@ -148,7 +152,7 @@ object Privacy {
         "': "), col(valueCol).cast(StringType))))
       .otherwise(col(valueCol).cast(LongType))
     val perUser = df.where(col(userCol).isNotNull)
-      .groupBy(col(groupCol), col(userCol))
+      .groupBy(guardedGroup(groupCol, "noisySum"), col(userCol))
       .agg(coalesce(sum(guarded), lit(0L)).as("s_u"))
       // integer round-half-up to units: (2x + unit) div (2 unit) —
       // `div` (not `/`) so the quotient is exact integral arithmetic
@@ -168,4 +172,16 @@ object Privacy {
         col("units_true"), col("noise"),
         ((col("units_true") + col("noise")) * lit(unit)).as("released"))
   }
+
+  /** Group key with the NULL raise folded in (used as the groupBy
+    * key, so it evaluates per row): a NULL group key has no content
+    * hash to seed from, and a silently-released NULL-noise row would
+    * break both the loud-guard and the bit-exact-replay contracts —
+    * the quotaSampleByGroup convention, enforced at runtime because
+    * nullness is data, not schema. */
+  private def guardedGroup(groupCol: String, op: String): Column =
+    when(col(groupCol).isNull,
+      raise_error(lit(s"$op: group column '$groupCol' contains NULL — " +
+        "NULL has no seedable group key; filter or fill it upstream")))
+      .otherwise(col(groupCol)).as(groupCol)
 }

@@ -254,7 +254,12 @@ object Sampling {
     * claim pairs past the information the artifact still holds —
     * rebuild to restore full m. */
   def priorityPairsRetract(sample: Column, removedIds: Column): Column =
-    filter(sample, s => !array_contains(removedIds, s.getField("id")))
+    // null-safe on the tombstone side: a NULL removedIds array (the
+    // natural left-join-no-tombstones shape) and null elements both
+    // coalesce to "not removed" — without this, filter's non-true
+    // predicate semantics would silently EMPTY the whole sample
+    filter(sample, s =>
+      !coalesce(array_contains(removedIds, s.getField("id")), lit(false)))
 
   /** Serve Duffield–Lund–Thorup estimates off a stored/merged sample:
     * the top-k entries as `struct<id, w, w_est>` where
@@ -277,16 +282,18 @@ object Sampling {
       greatest(s.getField("w").cast(DoubleType), tau).as("w_est")))
   }
 
-  /** Plan-time integral-column check for the ops whose stored artifact
-    * fixes a BIGINT schema (the [[Dedup]] requireIntegralId
-    * convention): silent casts to null would hide data. */
-  private def requireIntegralCol(df: DataFrame, c: String,
+  /** Plan-time integral-column check for the ops whose STORED artifact
+    * fixes a BIGINT schema: a silent cast to null would hide data.
+    * ONE copy, shared across the ops package ([[Dedup]] delegates
+    * here) so the guard and its remedy text cannot drift. */
+  private[ops] def requireIntegralCol(df: DataFrame, c: String,
       what: String): Unit = {
     df.schema.fields.find(_.name == c).map(_.dataType) match {
       case Some(ByteType | ShortType | IntegerType | LongType) => ()
       case Some(other) => throw new IllegalArgumentException(
         s"$what column '$c' is ${other.sql} — the stored artifact " +
-          "keeps it as BIGINT, so it must be integral")
+          "keeps it as BIGINT, so it must be integral (map string " +
+          "values to longs upstream, e.g. xxhash64 + a dictionary)")
       case None => throw new IllegalArgumentException(
         s"$what column '$c' missing (columns: ${df.columns.mkString(", ")})")
     }

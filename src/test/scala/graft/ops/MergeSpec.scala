@@ -354,6 +354,14 @@ class MergeSpec extends SparkSpecBase with Matchers {
         Seq("k"))
     }
     e2.getMessage should include("exact schema")
+    // TYPE drift with matching names must also be rejected — implicit
+    // casts in the joins would corrupt the view silently
+    val e3 = intercept[IllegalArgumentException] {
+      Merge.joinViewDelta(a,
+        a.select(col("k").cast("int").as("k"), col("p")), b2, b2,
+        Seq("k"))
+    }
+    e3.getMessage should include("exact schema")
   }
 
   test("left-join view maintenance: counts fold + change feed " +
@@ -409,5 +417,13 @@ class MergeSpec extends SparkSpecBase with Matchers {
     // the re-nulled row is really there
     retracted.where(col("aid") === 20L && col("ln").isNull)
       .count() shouldBe 1L
+    // a REPLAYED takedown feed (duplicate tombstones) must not change
+    // the outcome: the zeroed computation dedups by b-row id exactly
+    // like the kept path's anti-join
+    val rmBDup = rmB.unionByName(rmB)
+    val retracted2 = Merge.leftJoinViewRetract(view1, counts1, aAll,
+      rmA, rmBDup, Seq("k"), Seq("aid"), Seq("k", "ln"))
+    retracted2.exceptAll(scratch2).count() shouldBe 0
+    scratch2.exceptAll(retracted2).count() shouldBe 0
   }
 }

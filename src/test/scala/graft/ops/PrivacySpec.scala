@@ -160,6 +160,28 @@ class PrivacySpec extends SparkSpecBase with Matchers {
         "g", "u", "v", 100L, 200L, 0L)
     }
     e3.getMessage should include("unit must be in [1, userCap]")
+    // caps past 2^62 would wrap the long quantizer — rejected
+    val e4 = intercept[IllegalArgumentException] {
+      Privacy.noisySum(Seq(("g", 1L, 1L)).toDF("g", "u", "v"),
+        "g", "u", "v", Long.MaxValue, 1L, 0L)
+    }
+    e4.getMessage should include("userCap must be in [1, 2^62]")
+  }
+
+  test("a NULL group key raises at runtime naming the column — no " +
+      "silent NULL-noise release") {
+    val df = Seq((Option("g"), 1L), (Option.empty[String], 2L))
+      .toDF("g", "u")
+    val e1 = intercept[Exception] {
+      Privacy.noisyCount(df, "g", "u", 1, 0L).collect()
+    }
+    e1.getMessage should include("contains NULL")
+    val dfv = Seq((Option("g"), 1L, 5L), (Option.empty[String], 2L, 5L))
+      .toDF("g", "u", "v")
+    val e2 = intercept[Exception] {
+      Privacy.noisySum(dfv, "g", "u", "v", 100L, 10L, 0L).collect()
+    }
+    e2.getMessage should include("contains NULL")
   }
 
   test("noisyCount loud guards: non-string group, cap < 1") {

@@ -261,6 +261,17 @@ class SamplingSpec extends SparkSpecBase with Matchers {
     withClue(s"sizes ${gotR.view.mapValues(_.size).toMap}: ") {
       gotR.values.exists(_.size < m) shouldBe true
     }
+    // a NULL tombstone array (the left-join-no-tombstones shape,
+    // WITHOUT a defensive coalesce) is a no-op, not a silent wipe
+    val nullRm = full.select(col("source"),
+      Sampling.priorityPairsRetract(col("wsample"),
+        lit(null).cast("array<long>")).as("wsample"))
+      .select(col("source"), col("wsample"))
+      .as[(String, Array[(Double, Long, Long)])].collect()
+      .map { case (s, a) => s -> a.toList }.toMap
+    nullRm shouldBe full.select(col("source"), col("wsample"))
+      .as[(String, Array[(Double, Long, Long)])].collect()
+      .map { case (s, a) => s -> a.toList }.toMap
     // estimates: tau = (k+1)-th priority, w_est = max(w, tau), and
     // every estimate dominates its weight
     val k = 4
