@@ -4098,10 +4098,14 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_mismatch_fold"))
       val rmA = a.where(pmod(col("okey"), lit(5)) === 0).select("okey")
+      // tombstones carry the genuinely-unique lineitem triple (the
+      // synthetic data duplicates line numbers within an order) — the
+      // row-id contract; the removed SET is the same either way here
+      // because every ln=3 row is tombstoned
       val rmB = b.where(col("l_linenumber") === 3)
-        .select("okey", "l_linenumber")
+        .select("okey", "l_linenumber", "l_extendedprice")
       val retracted = Merge.joinViewRetract(folded, rmA, Seq("okey"),
-        rmB, Seq("okey", "l_linenumber"))
+        rmB, Seq("okey", "l_linenumber", "l_extendedprice"))
       val scratch2 = a.where(pmod(col("okey"), lit(5)) =!= 0)
         .join(b.where(col("l_linenumber") =!= 3), Seq("okey"))
       val mm2 = retracted.exceptAll(scratch2)
