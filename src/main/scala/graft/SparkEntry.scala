@@ -3993,10 +3993,15 @@ object SparkEntry {
       // full build PAIR FOR PAIR (n_pair_mismatch — keys AND weight
       // payloads, the register-level form). Then the DLT subset-sum
       // estimates serve off the MERGED state: w_est = max(w, tau),
-      // tau the 5th stored priority — summing w_est over any subset of
-      // the top-4 unbiasedly estimates that subset's total weight in
-      // the full population. Itemwise output, so the replay is
-      // order-free (no cross-engine double summation).
+      // tau the 5th stored priority rescaled to WEIGHT units (stored
+      // priorities divide by the RAW 63-bit hash, so the DLT uniform
+      // variate is u/2^63 and the serve multiplies by 2^63 — an exact
+      // power-of-two scale, round-19 ADVICE fix; unscaled, tau could
+      // never bind and the estimator was biased low) — summing w_est
+      // over any subset of the top-4 unbiasedly estimates that
+      // subset's total weight in the full population. Itemwise
+      // output, so the replay is order-free (no cross-engine double
+      // summation).
       val docs = t(s, dir, "documents").select(col("source"),
         pmod(col("doc_id"), lit(2)).as("half"), col("doc_id"),
         col("n_chars").cast(LongType).as("w"))
@@ -4084,30 +4089,45 @@ object SparkEntry {
       val dec = DecimalType(28, 4)
       val a = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
         col("o_custkey"), col("o_orderpriority"))
+      // the b-row id is (okey, linenumber, price-in-CENTS): the
+      // synthetic data duplicates line numbers within an order, so the
+      // price disambiguates — carried as an exact BIGINT, never the
+      // raw DOUBLE (float equality in an identity key invites
+      // representation drift — round-19 ADVICE fix), with triple
+      // uniqueness ASSERTED below rather than assumed
       val b = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
-        col("l_linenumber"), col("l_extendedprice"))
+        col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+        col("l_extendedprice"))
+      val bId = Seq("okey", "l_linenumber", "cents")
+      val dupIds = b.groupBy(bId.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        .agg(count(lit(1)).as("__ndup"))
       val aOld = a.where(pmod(col("okey"), lit(2)) === 0)
       val dA = a.where(pmod(col("okey"), lit(2)) === 1)
       val bOld = b.where(pmod(col("l_linenumber"), lit(2)) === 0)
       val dB = b.where(pmod(col("l_linenumber"), lit(2)) === 1)
+      // shared frames pinned once (the prGraph precedent): each feeds
+      // two exceptAll legs and/or the serve, so unpinned they would
+      // recompute per reference — the round-19 measurement trim
       val folded = aOld.join(bOld, Seq("okey"))
         .unionByName(Merge.joinViewDelta(aOld, dA, bOld, dB, Seq("okey")))
-      val scratch = a.join(b, Seq("okey"))
+        .localCheckpoint()
+      val scratch = a.join(b, Seq("okey")).localCheckpoint()
       val mm1 = folded.exceptAll(scratch)
         .unionByName(scratch.exceptAll(folded))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_mismatch_fold"))
       val rmA = a.where(pmod(col("okey"), lit(5)) === 0).select("okey")
-      // tombstones carry the genuinely-unique lineitem triple (the
-      // synthetic data duplicates line numbers within an order) — the
-      // row-id contract; the removed SET is the same either way here
-      // because every ln=3 row is tombstoned
+      // the removed SET is the same as plain ln=3 filtering because
+      // every ln=3 row is tombstoned
       val rmB = b.where(col("l_linenumber") === 3)
-        .select("okey", "l_linenumber", "l_extendedprice")
+        .select(bId.map(col): _*)
       val retracted = Merge.joinViewRetract(folded, rmA, Seq("okey"),
-        rmB, Seq("okey", "l_linenumber", "l_extendedprice"))
+        rmB, bId).localCheckpoint()
       val scratch2 = a.where(pmod(col("okey"), lit(5)) =!= 0)
         .join(b.where(col("l_linenumber") =!= 3), Seq("okey"))
+        .localCheckpoint()
       val mm2 = retracted.exceptAll(scratch2)
         .unionByName(scratch2.exceptAll(retracted))
         .groupBy(col("o_orderpriority"))
@@ -4120,6 +4140,15 @@ object SparkEntry {
       stats.join(mm1, Seq("o_orderpriority"), "left")
         .join(stats2, Seq("o_orderpriority"))
         .join(mm2, Seq("o_orderpriority"), "left")
+        // the row-id contract holds by ASSERTION, not assumption: a
+        // fixture regeneration that ever duplicated the triple would
+        // fail HERE with a remedy, never silently under-retract
+        .crossJoin(broadcast(dupIds))
+        .where(assert_true(col("__ndup") === 0,
+          concat(col("__ndup").cast(StringType),
+            lit(" duplicated (okey, linenumber, cents) lineitem " +
+              "triples — the b-row tombstone id is no longer unique; " +
+              "add a real surrogate key to the fixture"))).isNull)
         .select(col("o_orderpriority"), col("n_view"),
           coalesce(col("n_mismatch_fold"), lit(0L)).as("n_mismatch_fold"),
           col("n_view_retracted"),
@@ -4148,8 +4177,18 @@ object SparkEntry {
       val dec = DecimalType(28, 4)
       val a = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
         col("o_custkey"), col("o_orderpriority"))
+      // b-row id = (okey, linenumber, price-in-CENTS) as an exact
+      // BIGINT — never the raw DOUBLE (round-19 ADVICE fix), with
+      // uniqueness asserted below (the synthetic data duplicates line
+      // numbers within an order; the price disambiguates)
       val b = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
-        col("l_linenumber"), col("l_extendedprice"))
+        col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+        col("l_extendedprice"))
+      val bId = Seq("okey", "l_linenumber", "cents")
+      val dupIds = b.groupBy(bId.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        .agg(count(lit(1)).as("__ndup"))
       val aOld = a.where(pmod(col("okey"), lit(2)) === 0)
       val dA = a.where(pmod(col("okey"), lit(2)) === 1)
       val bOld = b.where(pmod(col("l_linenumber"), lit(2)) === 0)
@@ -4159,31 +4198,34 @@ object SparkEntry {
       val counts0 = Merge.leftJoinMatchCounts(aOld, bOld, k, k)
       val changes = Merge.leftJoinViewChanges(counts0, aOld, dA, bOld,
         dB, k, k)
+      // shared frames pinned once (the prGraph precedent): view1,
+      // both scratch joins, and the retracted view each feed two
+      // exceptAll legs and/or the serve — the round-19 measurement
+      // trim (unpinned, each reference recomputed the whole subplan)
       val view1 = viewOld
         .join(changes.where(col("__op") === "D").select("okey")
           .distinct(), k, "left_anti")
         .select(viewOld.columns.map(col): _*)
         .unionByName(changes.where(col("__op") === "I").drop("__op")
           .select(viewOld.columns.map(col): _*))
+        .localCheckpoint()
       val counts1 = Merge.leftJoinCountsFold(counts0, aOld, dA, bOld,
         dB, k, k)
-      val scratch = a.join(b, k, "left")
+      val scratch = a.join(b, k, "left").localCheckpoint()
       val mm1 = view1.exceptAll(scratch)
         .unionByName(scratch.exceptAll(view1))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_mismatch_fold"))
       val rmA = a.where(pmod(col("okey"), lit(7)) === 0).select("okey")
-      // the synthetic lineitem does NOT keep (okey, linenumber) unique
-      // (duplicate line numbers within an order exist), so the b-row
-      // id the retract contract requires is the full unique triple
       val rmB = b.where(pmod(col("okey"), lit(11)) === 0 ||
           col("l_linenumber") === 6)
-        .select("okey", "l_linenumber", "l_extendedprice")
+        .select((k ++ bId).distinct.map(col): _*)
       val retracted = Merge.leftJoinViewRetract(view1, counts1, a,
-        rmA, rmB, k, k, Seq("okey", "l_linenumber", "l_extendedprice"))
+        rmA, rmB, k, k, bId).localCheckpoint()
       val scratch2 = a.where(pmod(col("okey"), lit(7)) =!= 0)
         .join(b.where(pmod(col("okey"), lit(11)) =!= 0 &&
           col("l_linenumber") =!= 6), k, "left")
+        .localCheckpoint()
       val mm2 = retracted.exceptAll(scratch2)
         .unionByName(scratch2.exceptAll(retracted))
         .groupBy(col("o_orderpriority"))
@@ -4200,6 +4242,13 @@ object SparkEntry {
       stats.join(mm1, Seq("o_orderpriority"), "left")
         .join(stats2, Seq("o_orderpriority"))
         .join(mm2, Seq("o_orderpriority"), "left")
+        // the row-id contract holds by ASSERTION, not assumption
+        .crossJoin(broadcast(dupIds))
+        .where(assert_true(col("__ndup") === 0,
+          concat(col("__ndup").cast(StringType),
+            lit(" duplicated (okey, linenumber, cents) lineitem " +
+              "triples — the b-row tombstone id is no longer unique; " +
+              "add a real surrogate key to the fixture"))).isNull)
         .select(col("o_orderpriority"), col("n_view"), col("n_nulls"),
           coalesce(col("n_mismatch_fold"), lit(0L)).as("n_mismatch_fold"),
           col("n_view_retracted"), col("n_nulls_retracted"),
@@ -8213,8 +8262,10 @@ object SparkEntry {
     // merged by union + re-rank, compared pair-for-pair against the
     // direct full build (both paths derived INDEPENDENTLY of the Spark
     // artifact), then the top-4 served with w_est = max(w, tau), tau
-    // the 5th merged priority (coalesced to 0 when absent — the
-    // complete-sample case).
+    // the 5th merged priority rescaled to weight units by the exact
+    // 2^63 factor (the stored key divides by the RAW 63-bit hash;
+    // round-19 ADVICE fix), coalesced to 0 when absent — the
+    // complete-sample case.
     "q_sample_incr" ->
       raw"""WITH d0 AS (SELECT doc_id, source, doc_id % 2 AS half,
                                CAST(n_chars AS BIGINT) AS w,
@@ -8252,7 +8303,8 @@ object SparkEntry {
                       FROM mg WHERE rn <= 8 GROUP BY source),
                sv AS (SELECT m.source, m.doc_id, m.w,
                              CAST(m.rn AS BIGINT) AS rank,
-                             greatest(CAST(m.w AS DOUBLE), t.tau) AS w_est
+                             greatest(CAST(m.w AS DOUBLE),
+                                      t.tau * 9223372036854775808.0) AS w_est
                       FROM mg m JOIN tu t USING (source) WHERE m.rn <= 4)
           SELECT s.source, s.n_sample,
                  CAST(CASE WHEN s.pm = f.pf THEN 0 ELSE 1 END AS BIGINT)

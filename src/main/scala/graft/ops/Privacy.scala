@@ -34,6 +34,26 @@ import graft.functions.{LongHashes, TextHashes}
   * clipping, the per-user pre-aggregation, the seeding discipline)
   * stays.
   *
+  * TWO GUARANTEE CAVEATS, stated once here and assumed by every
+  * release method (round-19 ADVICE):
+  *
+  *  - TRUNCATION: each geometric draw is truncated to [-62, 62] (the
+  *    Long-arithmetic bound of the trailing-ones trick), so an output
+  *    at the truncation edge has probability 0 under some neighbor —
+  *    the mechanism is NOT pure ε-DP but (ε, δ)-DP with
+  *    `δ <= 2·2^-62 ≈ 4.3e-19` (the two-sided tail mass past ±62),
+  *    negligible against any physical population yet nonzero. Every
+  *    ε below reads as "(ε, δ≈2^-62)".
+  *
+  *  - SCOPE: the stated ε is PER (group, statistic). Clipping bounds
+  *    a user's contribution WITHIN one group; a user appearing in `g`
+  *    groups shifts `g` released rows, so by sequential composition
+  *    the full released DataFrame is `(g·ε, g·δ)`-DP with `g`
+  *    unbounded unless the caller bounds it. For a RELEASE-LEVEL
+  *    user guarantee, run [[boundGroupParticipation]] first — with
+  *    participation capped at `G` groups the whole release is
+  *    `(G·ε, G·δ)`-DP for every user.
+  *
   * Determinism vs secrecy: the noise seed is a PUBLIC function of the
   * group key and a caller salt, which makes releases reproducible —
   * the right default for an oracle-gated engineering artifact, and
@@ -64,13 +84,16 @@ object Privacy {
     trailingOnes(LongHashes.splitmix64(seed)) -
       trailingOnes(LongHashes.splitmix64(seed.bitwiseXOR(lit(GoldenGamma))))
 
-  /** ε-DP noisy per-group counting release with per-user contribution
+  /** Noisy per-group counting release with per-user contribution
     * clipping: each user's rows in a group count at most `cap` (so the
-    * query's user-level sensitivity is exactly `cap`, and the release
-    * is `ε = cap · ln 2` DP under the dyadic geometric mechanism —
-    * `cap = 1` is the textbook noisy DISTINCT-USER count at
-    * ε = ln 2 ≈ 0.69). Null users carry no privacy unit and are
-    * excluded on both sides of the oracle.
+    * query's PER-GROUP sensitivity is exactly `cap`, and each released
+    * row is `(ε, δ)`-DP with `ε = cap · ln 2`, `δ ≈ 2^-62`, under the
+    * dyadic geometric mechanism — `cap = 1` is the textbook noisy
+    * DISTINCT-USER count at ε = ln 2 ≈ 0.69). The guarantee scope and
+    * the δ term are the module-level caveats: a user in `g` groups is
+    * covered at `(g·ε, g·δ)` unless [[boundGroupParticipation]] ran
+    * first. Null users carry no privacy unit and are excluded on both
+    * sides of the oracle.
     *
     * Output: `(groupCol, n_users, n_capped, noise, n_noisy)` — the
     * true values ride along ON PURPOSE: this is the oracle-gated
@@ -105,13 +128,17 @@ object Privacy {
         col("noise"), (col("n_capped") + col("noise")).as("n_noisy"))
   }
 
-  /** ε-DP noisy per-group SUM release of a non-negative INTEGER value
+  /** Noisy per-group SUM release of a non-negative INTEGER value
     * column, under the quantized dyadic geometric mechanism: each
     * user's per-group total is CLIPPED to `[0, userCap]` (the
-    * user-level L1 bound), then QUANTIZED to multiples of `unit`
-    * (integer round-half-up), so the released statistic's sensitivity
-    * is exactly `ceil(userCap / unit)` UNITS and the release is
-    * `ε = ceil(userCap/unit) · ln 2` DP — the caller dials the
+    * PER-GROUP L1 bound), then QUANTIZED to multiples of `unit`
+    * (integer round-half-up), so the released statistic's per-group
+    * sensitivity is exactly `ceil(userCap / unit)` UNITS and each
+    * released row is `(ε, δ≈2^-62)`-DP with
+    * `ε = ceil(userCap/unit) · ln 2` (module-level caveats: the δ is
+    * the truncation tail; a user in `g` groups composes to `g·ε`
+    * unless [[boundGroupParticipation]] ran first) — the caller dials
+    * the
     * clip/unit pair to trade budget against resolution (finer units
     * mean more faithful sums and a larger ε; `unit = userCap` is the
     * ε = ln 2 "did this user contribute materially" release).
@@ -130,11 +157,14 @@ object Privacy {
     * off the same groups under one salt draw independent noise). */
   def noisySum(df: DataFrame, groupCol: String, userCol: String,
       valueCol: String, userCap: Long, unit: Long, salt: Long): DataFrame = {
-    // the half-up quantizer computes s_c * 2 and 2 * unit in long
-    // arithmetic — bound the cap so neither can wrap (a cap past 2^62
-    // is no real budget anyway)
-    require(userCap >= 1 && userCap <= Long.MaxValue / 2,
-      s"noisySum: userCap must be in [1, 2^62], got $userCap")
+    // the half-up quantizer forms s_c * 2 + unit in long arithmetic,
+    // which reaches 3·userCap when s_c and unit both sit at the cap —
+    // bound the cap at MaxValue/3 so the sum can NEVER wrap (the
+    // earlier MaxValue/2 bound left a silent-overflow window for caps
+    // in (MaxValue/3, MaxValue/2] — round-19 ADVICE fix; a cap past
+    // 2^61 is no real budget anyway)
+    require(userCap >= 1 && userCap <= Long.MaxValue / 3,
+      s"noisySum: userCap must be in [1, Long.MaxValue/3], got $userCap")
     require(unit >= 1 && unit <= userCap,
       s"noisySum: unit must be in [1, userCap], got $unit (cap $userCap)")
     require(df.schema(groupCol).dataType == StringType,
@@ -171,6 +201,59 @@ object Privacy {
       .select(col(groupCol), col("n_users"), col("sum_capped"),
         col("units_true"), col("noise"),
         ((col("units_true") + col("noise")) * lit(unit)).as("released"))
+  }
+
+  /** USER-LEVEL contribution bounding ACROSS groups — the missing
+    * half of the clipping story (round-19 ADVICE): [[noisyCount]] /
+    * [[noisySum]] clip within a group, but a user in `g` groups still
+    * shifts `g` released rows. This op keeps each user's rows in at
+    * most `maxGroups` groups, chosen DETERMINISTICALLY as the
+    * `maxGroups` smallest [[LongHashes.splitmix64]] hashes of the
+    * (user, group) pair — a pure function of the data (replayable,
+    * partitioning-independent) with no "first seen" order dependence,
+    * and unbiased across group identities (a lexicographic pick would
+    * systematically favor low-sorting groups). After this op, a
+    * release built per group at `(ε, δ)` is `(maxGroups·ε,
+    * maxGroups·δ)`-DP FOR THE WHOLE DataFrame by sequential
+    * composition — the release-level user guarantee the per-group
+    * caveat points at.
+    *
+    * Scale shape: distinct (user, group) pairs (one slim exchange,
+    * map-side partials), a bounded per-user top-`maxGroups` aggregate
+    * over those pairs (no Window over raw rows), then one semi-join
+    * of the full frame against the kept pairs — broadcastable when
+    * |kept pairs| is (as usual) dimension-sized; never a shuffle of
+    * the raw frame beyond the join itself. */
+  def boundGroupParticipation(df: DataFrame, groupCol: String,
+      userCol: String, maxGroups: Int): DataFrame = {
+    require(maxGroups >= 1,
+      s"boundGroupParticipation: maxGroups must be >= 1, got $maxGroups")
+    require(df.schema(groupCol).dataType == StringType,
+      s"boundGroupParticipation: group column '$groupCol' must be " +
+        s"STRING (the pick hashes the group key's content), got " +
+        s"${df.schema(groupCol).dataType.simpleString}")
+    df.schema(userCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"boundGroupParticipation: user column '$userCol' must be " +
+          s"integral (the pick hash folds it as a long; map string " +
+          s"users to ids upstream), got ${other.simpleString}")
+    }
+    val pairs = df.where(col(userCol).isNotNull)
+      .select(guardedGroup(groupCol, "boundGroupParticipation"),
+        col(userCol))
+      .distinct()
+      .select(col(userCol), col(groupCol),
+        LongHashes.splitmix64(TextHashes.rolling_hash64(col(groupCol))
+          .bitwiseXOR(col(userCol).cast(LongType))).as("__h"))
+    val kept = pairs
+      .groupBy(col(userCol))
+      .agg(slice(array_sort(collect_list(struct(col("__h"),
+        col(groupCol)))), 1, maxGroups).as("__k"))
+      .select(col(userCol), explode(col("__k")).as("__k"))
+      .select(col(userCol), col("__k").getField(groupCol).as(groupCol))
+    df.join(kept, Seq(userCol, groupCol), "left_semi")
+      .select(df.columns.map(col): _*)
   }
 
   /** Group key with the NULL raise folded in (used as the groupBy

@@ -263,19 +263,33 @@ object Sampling {
 
   /** Serve Duffield–Lund–Thorup estimates off a stored/merged sample:
     * the top-k entries as `struct<id, w, w_est>` where
-    * `w_est = max(w, tau)` and `tau` is the (k+1)-th stored priority —
-    * the DLT subset-sum estimator: summing `w_est` over any
-    * id-predicate subset of the k entries unbiasedly estimates that
-    * subset's total weight in the FULL population (Duffield, Lund &
-    * Thorup, "Priority sampling for estimation of arbitrary subset
-    * sums", JACM 2007). When the sample holds the entire population
-    * (size <= k and never evicted/retracted), tau = 0 and the
-    * estimates are exact weights. Output is itemwise (no sum is
-    * folded here) so downstream engines replay it order-free. */
+    * `w_est = max(w, tau)` and `tau` is the (k+1)-th stored priority
+    * RESCALED TO WEIGHT UNITS — the DLT subset-sum estimator: summing
+    * `w_est` over any id-predicate subset of the k entries unbiasedly
+    * estimates that subset's total weight in the FULL population
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007). DLT defines the priority as
+    * `w / u` with `u` UNIFORM ON (0, 1]; the stored priority uses the
+    * RAW 63-bit odd hash as `u` (scale-invariant for the ORDER, which
+    * is all the sample build needs), so the uniform variate is
+    * `u / 2^63` and the threshold must be served as
+    * `tau = stored_priority * 2^63` — without the rescale, tau is
+    * ~2^-63 of the weight scale, `max(w, tau)` collapses to `w`, and
+    * the estimate is biased LOW whenever the sample truncated its
+    * population (round-19 ADVICE fix). The multiply is by an exact
+    * power of two — pure exponent arithmetic, no rounding — so the
+    * serve stays bit-replayable in any engine. When the sample holds
+    * the entire population (size <= k and never evicted/retracted),
+    * tau = 0 and the estimates are exact weights. Output is itemwise
+    * (no sum is folded here) so downstream engines replay it
+    * order-free. */
   def priorityEstimates(sample: Column, k: Int): Column = {
     require(k >= 1, s"priorityEstimates: k must be >= 1, got $k")
-    // (k+1)-th entry via null-safe 0-based get: absent -> tau = 0
-    val tau = coalesce(lit(0.0) - get(sample, lit(k)).getField("np"),
+    // (k+1)-th entry via null-safe 0-based get: absent -> tau = 0;
+    // 2^63 as a Double is exact, and scaling a Double by it is exact
+    val tau = coalesce(
+      (lit(0.0) - get(sample, lit(k)).getField("np")) *
+        lit(9223372036854775808.0),
       lit(0.0))
     transform(slice(sample, 1, k), s => struct(
       s.getField("id").as("id"), s.getField("w").as("w"),

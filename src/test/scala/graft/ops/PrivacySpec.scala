@@ -160,12 +160,72 @@ class PrivacySpec extends SparkSpecBase with Matchers {
         "g", "u", "v", 100L, 200L, 0L)
     }
     e3.getMessage should include("unit must be in [1, userCap]")
-    // caps past 2^62 would wrap the long quantizer — rejected
+    // caps past MaxValue/3 would wrap the long quantizer's
+    // s_c * 2 + unit (which reaches 3·userCap) — rejected, INCLUDING
+    // the (MaxValue/3, MaxValue/2] window the old /2 guard let through
     val e4 = intercept[IllegalArgumentException] {
       Privacy.noisySum(Seq(("g", 1L, 1L)).toDF("g", "u", "v"),
         "g", "u", "v", Long.MaxValue, 1L, 0L)
     }
-    e4.getMessage should include("userCap must be in [1, 2^62]")
+    e4.getMessage should include("userCap must be in [1, Long.MaxValue/3]")
+    val e5 = intercept[IllegalArgumentException] {
+      Privacy.noisySum(Seq(("g", 1L, 1L)).toDF("g", "u", "v"),
+        "g", "u", "v", Long.MaxValue / 2, 1L, 0L)
+    }
+    e5.getMessage should include("userCap must be in [1, Long.MaxValue/3]")
+    // the largest admissible cap must NOT wrap: q_u at s_c = unit =
+    // cap stays positive (3·cap <= Long.MaxValue by the guard)
+    val cap = Long.MaxValue / 3
+    val ok = Privacy.noisySum(Seq(("g", 1L, cap)).toDF("g", "u", "v"),
+      "g", "u", "v", cap, cap, 0L)
+    ok.select(col("units_true")).as[Long].collect() shouldBe Array(1L)
+  }
+
+  test("boundGroupParticipation caps each user at maxGroups groups, " +
+      "deterministically, and makes the composed release-level " +
+      "guarantee claimable") {
+    // u1 spans 4 groups, u2 spans 2, u3 spans 1 — cap at 2
+    val df = Seq(
+      ("a", 1L, 10L), ("b", 1L, 11L), ("c", 1L, 12L), ("d", 1L, 13L),
+      ("a", 2L, 20L), ("b", 2L, 21L),
+      ("c", 3L, 30L),
+      ("a", 1L, 14L) // second row in a kept-or-dropped group rides along
+    ).toDF("g", "u", "v")
+    val bounded = Privacy.boundGroupParticipation(df, "g", "u", 2)
+    val perUser = bounded.select("u", "g").distinct()
+      .groupBy("u").agg(count(lit(1)).as("ng"))
+      .as[(Long, Long)].collect().toMap
+    perUser(1L) shouldBe 2L
+    perUser(2L) shouldBe 2L
+    perUser(3L) shouldBe 1L
+    // a kept (user, group) keeps ALL its rows
+    val keptGroups = bounded.where(col("u") === 1L).select("g")
+      .distinct().as[String].collect().toSet
+    bounded.where(col("u") === 1L && col("g").isin(keptGroups.toSeq: _*))
+      .count() shouldBe df.where(col("u") === 1L &&
+        col("g").isin(keptGroups.toSeq: _*)).count()
+    // determinism: the pick is a pure function of the data
+    val again = Privacy.boundGroupParticipation(df, "g", "u", 2)
+      .select("g", "u", "v").as[(String, Long, Long)].collect().sorted
+    bounded.select("g", "u", "v").as[(String, Long, Long)].collect()
+      .sorted shouldBe again
+    // under-cap users are untouched entirely
+    bounded.where(col("u") === 3L).count() shouldBe 1L
+    // loud guards
+    val e1 = intercept[IllegalArgumentException] {
+      Privacy.boundGroupParticipation(df, "g", "u", 0)
+    }
+    e1.getMessage should include("maxGroups must be >= 1")
+    val e2 = intercept[IllegalArgumentException] {
+      Privacy.boundGroupParticipation(
+        Seq((1L, 2L)).toDF("g", "u"), "g", "u", 1)
+    }
+    e2.getMessage should include("must be STRING")
+    val e3 = intercept[IllegalArgumentException] {
+      Privacy.boundGroupParticipation(
+        Seq(("a", "u1")).toDF("g", "u"), "g", "u", 1)
+    }
+    e3.getMessage should include("must be integral")
   }
 
   test("a NULL group key raises at runtime naming the column — no " +

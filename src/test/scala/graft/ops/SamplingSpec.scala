@@ -272,20 +272,34 @@ class SamplingSpec extends SparkSpecBase with Matchers {
     nullRm shouldBe full.select(col("source"), col("wsample"))
       .as[(String, Array[(Double, Long, Long)])].collect()
       .map { case (s, a) => s -> a.toList }.toMap
-    // estimates: tau = (k+1)-th priority, w_est = max(w, tau), and
-    // every estimate dominates its weight
+    // estimates: tau = (k+1)-th priority RESCALED TO WEIGHT UNITS
+    // (the stored priority divides by the raw 63-bit hash, so the DLT
+    // uniform variate is u/2^63 and tau serves as stored * 2^63),
+    // w_est = max(w, tau), and every estimate dominates its weight
     val k = 4
     val est = full.select(col("source"),
         col("wsample"), Sampling.priorityEstimates(col("wsample"), k).as("e"))
       .as[(String, Array[(Double, Long, Long)], Array[(Long, Long, Double)])]
       .collect()
+    var sawBindingTau = false
     est.foreach { case (s, sample, e) =>
       withClue(s"$s: ") {
         e.length shouldBe math.min(k, sample.length)
-        val tau = if (sample.length > k) -sample(k)._1 else 0.0
+        val tau =
+          if (sample.length > k) -sample(k)._1 * 9223372036854775808.0
+          else 0.0
         e.toList shouldBe sample.take(k).map { case (np, id, w) =>
           (id, w, math.max(w.toDouble, tau)) }.toList
+        // the rescaled threshold must actually BITE on a truncated
+        // sample: a weight-scale tau exceeds at least the smallest
+        // served weight (pre-fix, tau was ~2^-63 of the weight scale
+        // and max(w, tau) collapsed to w for every entry)
+        if (sample.length > k && e.exists { case (_, w, wEst) =>
+            wEst > w.toDouble }) sawBindingTau = true
       }
+    }
+    withClue("no source had tau bind — the threshold rescale is dead: ") {
+      sawBindingTau shouldBe true
     }
     // complete sample (m >= population) -> tau = 0 -> exact weights
     val tiny = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "w")
