@@ -44,6 +44,19 @@ import org.apache.spark.sql.SparkSession
   * last — an ultra-compact integer-ms warm line sized to survive a
   * caller keeping only the final few KB of stdout. */
 object Bench {
+
+  /** Machine-detectable board pollution (round-19 delivery): a board
+    * is DEGRADED when any 1-minute loadavg sample taken around the
+    * passes exceeds `cpus / 8` — the round-18 polluted pair ran at
+    * loadavg 4.5-6.3 on 32 cpus (threshold 4.0) while clean boards sat
+    * near 2, so the stamp separates them with margin on both sides.
+    * Failed samples (-1 sentinel from an unreadable /proc/loadavg)
+    * are ignored: an unreadable load file is not evidence of load.
+    * The stamp rides IN the artifact so a polluted board no longer
+    * depends on a commit message for its own adjudication. */
+  def isDegraded(loads: Seq[Double], cpus: Int): Boolean =
+    loads.filter(_ >= 0).exists(_ > cpus / 8.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -181,6 +194,8 @@ object Bench {
       s""""queries":${fmt(cold)},"total_warm":${f"${total(warm)}%.3f"},""" +
       s""""queries_warm":${fmt(warm)},""" +
       s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
+      s""""degraded":${isDegraded(loads.toSeq, cpus.toInt)},""" +
+      s""""degraded_threshold":${f"${cpus.toInt / 8.0}%.3f"},""" +
       s""""loadavg":[${loads.mkString(",")}]"""
     println(s"{$core," +
       s""""queries_warm_median":${fmt(warmMedian)},""" +

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exactly-once-by-dedup folding for streamed nightly artifacts.
+  *
+  * `foreachBatch` is AT-LEAST-ONCE for arbitrary sinks: after a
+  * failure, Structured Streaming re-delivers the failed micro-batch
+  * with the SAME `batchId` (the Spark streaming guide's documented
+  * recipe is "use batchId to deduplicate and achieve exactly-once").
+  * Every sum-shaped artifact fold in this library — CMS cell sums, DF/
+  * doc-stat counts, winnow counts, (count, sum) aggregate maintenance,
+  * left-join match counts, join-view appends, top-m sample merges
+  * (top-m over a multiset union double-picks replayed pairs) — would
+  * silently DOUBLE-COUNT a replayed batch. This ledger is the missing
+  * guard: a per-artifact applied-batch HIGH-WATER checked before every
+  * fold.
+  *
+  * The high-water suffices as a full ledger because foreachBatch
+  * batch ids are CONTIGUOUS and MONOTONIC within a query (and resume
+  * from the checkpoint after restart): a replay is `batchId <=
+  * appliedBatch` (dropped), the expected next batch is `appliedBatch
+  * + 1` (folded), and anything PAST that is a batch the sink never
+  * saw — data loss, not reordering — so it RAISES loudly instead of
+  * folding over a hole.
+  *
+  * Folds that are IDEMPOTENT BY MATH need no ledger and should not
+  * pay for one: Bloom word-OR and HLL register-max re-absorb a replay
+  * bit-for-bit, and [[graft.ops.Merge.applyChanges]] re-applies a
+  * compacted batch onto its own result unchanged (upserts rewrite the
+  * same payload, deletes re-miss). StreamOpsSpec pins both classes:
+  * ledgered folds equal the once-delivered run under a forced replay,
+  * and the math-idempotent folds equal it WITHOUT a ledger.
+  *
+  * Persistence: `artifact` is whatever frame the fold maintains;
+  * `appliedBatch` must be persisted ATOMICALLY WITH it (same
+  * transaction/rename — e.g. a one-row side table written next to the
+  * artifact files, [[ledgerFrame]]/[[appliedBatchOf]]) so a crash
+  * between the two cannot desynchronize them; recovering from an
+  * artifact stamped `appliedBatch = b` and a checkpoint at `b + 1`
+  * replays exactly one batch, which this guard then drops.
+  *
+  * Scale shape: the check is one Long comparison on the driver per
+  * micro-batch — zero extra exchanges, zero reads of the artifact.
+  */
+final case class Ledgered[A](artifact: A, appliedBatch: Long)
+
+object BatchLedger {
+
+  /** Fresh ledger: no batch applied yet (batch ids start at 0). */
+  def initial[A](artifact: A): Ledgered[A] = Ledgered(artifact, -1L)
+
+  /** Apply `fold` to the artifact exactly once per batch id: a replay
+    * (`batchId <= appliedBatch`) returns the state UNCHANGED — the
+    * fold thunk is never evaluated, so a replayed batch costs nothing
+    * and corrupts nothing; the successor batch folds and advances the
+    * high-water; a GAP raises (see class doc). */
+  def fold[A](state: Ledgered[A], batchId: Long)(f: A => A): Ledgered[A] = {
+    require(batchId >= 0, s"BatchLedger.fold: batchId must be >= 0, " +
+      s"got $batchId (foreachBatch ids start at 0)")
+    if (batchId <= state.appliedBatch) state
+    else if (batchId == state.appliedBatch + 1)
+      Ledgered(f(state.artifact), batchId)
+    else throw new IllegalStateException(
+      s"BatchLedger.fold: batch $batchId arrived after high-water " +
+        s"${state.appliedBatch} — batches ${state.appliedBatch + 1}.." +
+        s"${batchId - 1} were never folded (a skipped batch is data " +
+        "loss, not reordering); restart the query from the checkpoint " +
+        "that matches the stored artifact")
+  }
+
+  /** The ledger as a one-row frame `(applied_batch)` — write it next
+    * to the artifact (same commit) so recovery reads one pair. */
+  def ledgerFrame(spark: SparkSession, appliedBatch: Long): DataFrame = {
+    import spark.implicits._
+    Seq(appliedBatch).toDF("applied_batch")
+  }
+
+  /** Read the high-water back from a persisted ledger frame; RAISES
+    * unless the frame is exactly one non-null row (zero rows is a
+    * missing ledger — rebuild or backfill; more than one is two
+    * writers racing on one artifact). */
+  def appliedBatchOf(ledger: DataFrame): Long = {
+    val rows = ledger.select(col("applied_batch").cast("long")).limit(3)
+      .collect()
+    require(rows.length == 1 && !rows(0).isNullAt(0),
+      s"BatchLedger.appliedBatchOf: expected exactly one non-null " +
+        s"applied_batch row, got ${rows.length} — a missing ledger " +
+        "means rebuild/backfill; multiple rows mean two writers race " +
+        "on one artifact")
+    rows(0).getLong(0)
+  }
+}

@@ -481,4 +481,21 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
         .collect())
     e5.getMessage should include("foldable")
   }
+
+  test("bench degraded stamp: any loadavg sample past cpus/8 marks the " +
+      "board; failed samples are not evidence") {
+    // the round-18 polluted pair: loadavg 4.5-6.3 at 32 cpus -> degraded
+    graft.Bench.isDegraded(Seq(2.0, 4.5, 6.3, 2.1), 32) shouldBe true
+    // clean boards near 2 at 32 cpus (threshold 4.0) -> clean
+    graft.Bench.isDegraded(Seq(1.8, 2.2, 2.0), 32) shouldBe false
+    // exactly at the threshold is clean (strict >)
+    graft.Bench.isDegraded(Seq(4.0), 32) shouldBe false
+    graft.Bench.isDegraded(Seq(4.001), 32) shouldBe true
+    // the -1 sentinel (unreadable /proc/loadavg) never marks a board
+    graft.Bench.isDegraded(Seq(-1.0, -1.0), 32) shouldBe false
+    graft.Bench.isDegraded(Seq.empty, 32) shouldBe false
+    // threshold scales with the box: 0.6 is degraded on 4 cpus (0.5)
+    graft.Bench.isDegraded(Seq(0.6), 4) shouldBe true
+    graft.Bench.isDegraded(Seq(0.4), 4) shouldBe false
+  }
 }
