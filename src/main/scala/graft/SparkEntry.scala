@@ -4257,6 +4257,50 @@ object SparkEntry {
           col("sp").cast(DoubleType).as("sum_extprice"))
         .orderBy("o_orderpriority")
     }),
+    "q_join_agg_incr" -> ((s, dir) => {
+      // AGGREGATE-OVER-JOIN MAINTENANCE (Merge.joinAggFold/
+      // joinAggRetract) — the composition of the round's two
+      // incremental halves: maintain revenue-per-priority over
+      // orders⋈lineitem WITHOUT ever materializing the joined view.
+      // The fold pushes the three delta-rule legs (ΔA⋈B ∪ A⋈ΔB ∪
+      // ΔA⋈ΔB) straight into the (count, DECIMAL sum) artifact as
+      // signed contributions; the retraction derives the removed view
+      // rows from the tombstones (rmA⋈B ∪ (A∖rmA)⋈rmB — a row removed
+      // on both sides counts once) and feeds them as deletes. The
+      // old⋈old join never re-executes, no view is stored, and the
+      // maintained state is |priorities| rows. THE ORACLE IS THE
+      // PROOF: DuckDB computes the from-scratch join-aggregate of the
+      // surviving corpus — equality of the released rows IS
+      // fold+retract == from-scratch (no exceptAll overhead on the
+      // board; MergeSpec pins the same law in-engine, PlanSpec pins
+      // the absent old⋈old leg).
+      val dec = DecimalType(28, 4)
+      val a = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey"), col("o_orderpriority"))
+      val b = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+        col("l_extendedprice"))
+      val bId = Seq("okey", "l_linenumber", "cents")
+      val aOld = a.where(pmod(col("okey"), lit(2)) === 0)
+      val dA = a.where(pmod(col("okey"), lit(2)) === 1)
+      val bOld = b.where(pmod(col("l_linenumber"), lit(2)) === 0)
+      val dB = b.where(pmod(col("l_linenumber"), lit(2)) === 1)
+      val base = aOld.join(bOld, Seq("okey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(dec)).cast(dec).as("s"))
+      val folded = Merge.joinAggFold(base, aOld, dA, bOld, dB,
+        Seq("okey"), Seq("o_orderpriority"), "l_extendedprice")
+      val rmA = a.where(pmod(col("okey"), lit(5)) === 0).select("okey")
+      val rmB = b.where(col("l_linenumber") === 3)
+        .select(bId.map(col): _*)
+      Merge.joinAggRetract(folded, a, rmA, Seq("okey"), b, rmB, bId,
+          Seq("okey"), Seq("o_orderpriority"), "l_extendedprice")
+        .select(col("o_orderpriority"), col("n"),
+          col("s").cast(DoubleType).as("sum_extprice"))
+        .orderBy("o_orderpriority")
+    }),
     "q_dp_count" -> ((s, dir) => {
       // DIFFERENTIALLY-PRIVATE RELEASE (Privacy.noisyCount) — the
       // privacy member of the release toolbox: per-event-type event
@@ -8555,6 +8599,21 @@ object SparkEntry {
                   JOIN st2 USING (o_orderpriority)
                   LEFT JOIN mm2 m2 USING (o_orderpriority)
           ORDER BY o_orderpriority""",
+    // Aggregate-over-join replay: the oracle IS the proof — it
+    // computes the from-scratch join-aggregate of the SURVIVING
+    // corpus directly, so equality with the Spark side's
+    // fold-then-retract maintenance chain is exactly the
+    // "incremental == from-scratch" claim (DECIMAL(28,4) sums on both
+    // sides, cast to double only for rendering).
+    "q_join_agg_incr" ->
+      raw"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(28, 4)))
+                      AS DOUBLE) AS sum_extprice
+          FROM (SELECT o_orderkey AS okey, o_orderpriority FROM orders
+                WHERE o_orderkey % 5 <> 0) a
+          JOIN (SELECT l_orderkey AS okey, l_extendedprice FROM lineitem
+                WHERE l_linenumber <> 3) b USING (okey)
+          GROUP BY 1 ORDER BY 1""",
     // DP-release replay: per-user clipped counts, then the dyadic
     // geometric draw re-derived bit for bit — the group key's rolling
     // hash XOR the salt seeds TWO splitmix chains (the second XORs the
@@ -10982,5 +11041,8 @@ object SparkEntry {
     "q_cms_retract", "q_lsh_retract", "q_dedup_retract",
     "q_winnow_retract", "q_quantile_incr", "q_quantile_retract", "q_bm25_retract", "q_ann_upsert",
     "q_ann_compact", "q_sample_incr", "q_sample_retract", "q_dp_count",
-    "q_dp_sum", "q_join_incr", "q_left_join_incr")
+    "q_dp_sum", "q_join_incr", "q_left_join_incr",
+    // round 19: replay idempotency, artifact provenance, and the
+    // aggregate-over-join composition
+    "q_join_agg_incr")
 }

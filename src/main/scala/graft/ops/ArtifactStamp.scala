@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+
+/** Build-parameter stamps for persisted artifacts (round-19 delivery).
+  *
+  * Every stored sketch/index artifact in this library is a plain
+  * parquet table whose MEANING depends on build parameters the bytes
+  * do not carry: a 4×1024 CMS grid is indistinguishable from an 8×512
+  * one, same-`bits` different-`numHashes` Bloom words OR together
+  * happily, winnow indexes built at different (k, w) merge into
+  * garbage, and a PQ index probed with the wrong codebooks returns
+  * confident nonsense. Until this round those contracts rested on
+  * callers; one wrong-parameter merge folded garbage SILENTLY.
+  *
+  * The stamp is a nested entry under the `graft_artifact` key in the
+  * artifact column's SCHEMA METADATA: `op` (the artifact kind) plus
+  * the long-valued build parameters. Schema metadata is the one place
+  * that is (a) visible at PLAN time — [[check]] raises before any job
+  * runs — and (b) persistent: Spark writes column metadata into the
+  * parquet footer and restores it on read, so a stamped artifact
+  * re-read next night still carries its parameters. Builders stamp,
+  * merges/retracts/serves [[check]] (and re-stamp their outputs,
+  * because aggregate expressions do not propagate child metadata).
+  *
+  * Unstamped inputs RAISE: an artifact without provenance is exactly
+  * the wrong-parameter risk this module exists to close — the remedy
+  * (rebuild with the current builder, or [[stamp]] explicitly after
+  * out-of-band validation) is named in the error. Simple column
+  * renames (`.as`), filters, repartitions, and localCheckpoint all
+  * preserve metadata, so index maintenance that only filters or
+  * re-lays-out rows keeps its stamp for free.
+  */
+object ArtifactStamp {
+
+  private val Key = "graft_artifact"
+  private val OpField = "op"
+
+  /** Stamp `colName` with the artifact kind and its build parameters
+    * (replacing any previous stamp). */
+  def stamp(df: DataFrame, colName: String, op: String,
+      params: (String, Long)*): DataFrame = {
+    val nested = params.foldLeft(
+      new MetadataBuilder().putString(OpField, op)) {
+      case (b, (k, v)) => b.putLong(k, v)
+    }.build()
+    val withStamp = new MetadataBuilder()
+      .withMetadata(metadataOf(df, colName))
+      .putMetadata(Key, nested).build()
+    df.withColumn(colName, col(colName).as(colName, withStamp))
+  }
+
+  /** The stamp on `colName`, if present: (op, params). */
+  def stampOf(df: DataFrame, colName: String): Option[(String, Map[String, Long])] = {
+    val m = metadataOf(df, colName)
+    if (!m.contains(Key)) None
+    else {
+      val nested = m.getMetadata(Key)
+      val params = paramKeys(nested).map(k => k -> nested.getLong(k)).toMap
+      Some((nested.getString(OpField), params))
+    }
+  }
+
+  /** Plan-time validation: `colName` must carry a stamp whose op and
+    * EVERY listed parameter match. Raises naming the artifact, the
+    * expectation, and what the stamp actually says — before any job
+    * runs. `what` names the calling op for the message. */
+  def check(df: DataFrame, colName: String, op: String, what: String,
+      params: (String, Long)*): Unit = stampOf(df, colName) match {
+    case None => throw new IllegalArgumentException(
+      s"$what: artifact column '$colName' carries no build-parameter " +
+        s"stamp — expected a '$op' artifact with " +
+        s"${render(params.toMap)}. Rebuild it with the current builder " +
+        "(which stamps), or ArtifactStamp.stamp it explicitly after " +
+        "validating its parameters out of band; folding an unstamped " +
+        "artifact risks merging incompatible builds silently")
+    case Some((foundOp, found)) =>
+      if (foundOp != op) throw new IllegalArgumentException(
+        s"$what: artifact column '$colName' is a '$foundOp' artifact, " +
+          s"expected '$op' — wrong table?")
+      val bad = params.filter { case (k, v) => found.get(k) != Some(v) }
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$what: artifact column '$colName' was built with " +
+          s"${render(found)} but this call expects ${render(params.toMap)}" +
+          s" — mismatched: ${bad.map(_._1).mkString(", ")}. Merging " +
+          "artifacts across build parameters folds garbage; rebuild " +
+          "one side or fix the call's parameters")
+  }
+
+  /** Validate that every input carries the IDENTICAL stamp (op and
+    * all parameters) — the merge precondition for parameters the merge
+    * signature itself does not carry (e.g. Bloom's numHashes, HLL's
+    * p) — and return that common stamp so the caller can re-stamp its
+    * output with it. */
+  def requireSameStamp(dfs: Seq[DataFrame], colName: String,
+      op: String, what: String): (String, Map[String, Long]) = {
+    val stamps = dfs.map { df =>
+      check(df, colName, op, what) // presence + op; params per-pair below
+      stampOf(df, colName).get
+    }
+    stamps.distinct match {
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"$what: inputs carry ${many.size} DIFFERENT build stamps on " +
+          s"'$colName': ${many.map(s => render(s._2)).mkString(" vs ")}" +
+          " — same-parameter contract violated; rebuild the odd one out")
+    }
+  }
+
+  /** Re-apply a captured stamp (from [[requireSameStamp]]) onto an
+    * output frame. */
+  def restamp(df: DataFrame, colName: String,
+      s: (String, Map[String, Long])): DataFrame =
+    stamp(df, colName, s._1, s._2.toSeq.sortBy(_._1): _*)
+
+  private def metadataOf(df: DataFrame, colName: String): Metadata =
+    df.schema.fields.find(_.name == colName) match {
+      case Some(f) => f.metadata
+      case None => throw new IllegalArgumentException(
+        s"ArtifactStamp: column '$colName' absent " +
+          s"(columns: ${df.columns.mkString(", ")})")
+    }
+
+  private def render(params: Map[String, Long]): String =
+    params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")")
+
+  /** Metadata has no key-enumeration API; round-trip through its JSON
+    * form (stable, public `Metadata.json`) to list the param keys. */
+  private def paramKeys(nested: Metadata): Seq[String] = {
+    // the json form is {"op":"...","k1":1,...}; parse keys cheaply via
+    // the jackson mapper Spark already ships
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(nested.json)
+    val it = node.fieldNames()
+    val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) keys += it.next()
+    keys.toSeq.filterNot(_ == OpField)
+  }
+}

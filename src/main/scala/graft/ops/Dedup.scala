@@ -290,11 +290,14 @@ object Dedup {
   def lshDedupIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame =
-    sigFrame(df, idCol, textCol, k, bands * rowsPerBand, seed)
-      .join(df.select(col(idCol).as("id"),
-        graft.functions.VectorHashes.ngram_hashes(
-          regexp_replace(lower(col(textCol)), "\\s+", " "), k).as("sh")),
-        "id")
+    ArtifactStamp.stamp(
+      sigFrame(df, idCol, textCol, k, bands * rowsPerBand, seed)
+        .join(df.select(col(idCol).as("id"),
+          graft.functions.VectorHashes.ngram_hashes(
+            regexp_replace(lower(col(textCol)), "\\s+", " "), k).as("sh")),
+          "id"),
+      "sig", "lsh", "k" -> k.toLong, "bands" -> bands.toLong,
+      "rows_per_band" -> rowsPerBand.toLong, "seed" -> seed)
 
   /** Bipartite near-dup screen of NEW docs against a STORED
     * [[lshDedupIndex]]: `(new_id, old_id, jaccard)` for every new doc
@@ -320,6 +323,12 @@ object Dedup {
       candText: String, index: DataFrame, k: Int = 5, bands: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.5, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
+    // plan-time provenance: probing with parameters that differ from
+    // the build's returns confidently-empty screens (bands never
+    // collide) — raise instead
+    ArtifactStamp.check(index, "sig", "lsh", "screenAgainstLshIndex",
+      "k" -> k.toLong, "bands" -> bands.toLong,
+      "rows_per_band" -> rowsPerBand.toLong, "seed" -> seed)
     val numHashes = bands * rowsPerBand
     val sigma = math.sqrt(threshold * (1 - threshold) / numHashes)
     val estThreshold = math.max(0.0, threshold - 2.5 * sigma)
@@ -384,6 +393,9 @@ object Dedup {
     * (retracting twice, or a doc that was never indexed, is a no-op —
     * idempotent like the delete it models). */
   def lshIndexRetract(index: DataFrame, removedIds: DataFrame): DataFrame = {
+    // presence-only check (any lsh build may retract); the anti-join
+    // filter preserves the stamp for downstream screens
+    ArtifactStamp.check(index, "sig", "lsh", "lshIndexRetract")
     val rm = removedIds
       .select(col(removedIds.columns.head).as("id")).distinct()
     index.join(rm, Seq("id"), "left_anti")
@@ -523,11 +535,14 @@ object Dedup {
       // tables from different builds cannot type-drift
       .agg(sort_array(collect_list(
         col("id").cast(org.apache.spark.sql.types.LongType))).as("ids"))
-    counts.join(ids, Seq("fp"), "left")
-      .select(col("fp"), col("n"),
-        coalesce(col("ids"),
-          array().cast(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType))).as("ids"))
+    ArtifactStamp.stamp(
+      counts.join(ids, Seq("fp"), "left")
+        .select(col("fp"), col("n"),
+          coalesce(col("ids"),
+            array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType))).as("ids")),
+      "ids", "winnow", "k" -> k.toLong, "w" -> w.toLong,
+      "max_bucket_size" -> maxBucketSize.toLong)
   }
 
   /** Plan-time integral-id check for the ops whose STORED artifact
@@ -548,22 +563,33 @@ object Dedup {
   def winnowIndexMerge(parts: Seq[DataFrame],
       maxBucketSize: Int = 1000): DataFrame = {
     require(parts.nonEmpty, "winnowIndexMerge: need at least one table")
-    parts.map(_.select(col("fp"), col("n"), col("ids")))
-      .reduce(_ unionAll _)
-      .groupBy(col("fp"))
-      .agg(sum(col("n")).as("n"),
-        sort_array(flatten(collect_list(col("ids")))).as("__ids"))
-      .select(col("fp"), col("n"),
-        when(col("n") <= maxBucketSize, col("__ids"))
-          .otherwise(filter(col("__ids"), _ => lit(false))).as("ids"))
+    // plan-time provenance: cross-(k, w) parts merge into garbage fps
+    // and a cap drift breaks count monotonicity — stamps must be
+    // identical across parts AND carry this call's cap
+    val common = ArtifactStamp.requireSameStamp(parts, "ids", "winnow",
+      "winnowIndexMerge")
+    ArtifactStamp.check(parts.head, "ids", "winnow", "winnowIndexMerge",
+      "max_bucket_size" -> maxBucketSize.toLong)
+    ArtifactStamp.restamp(
+      parts.map(_.select(col("fp"), col("n"), col("ids")))
+        .reduce(_ unionAll _)
+        .groupBy(col("fp"))
+        .agg(sum(col("n")).as("n"),
+          sort_array(flatten(collect_list(col("ids")))).as("__ids"))
+        .select(col("fp"), col("n"),
+          when(col("n") <= maxBucketSize, col("__ids"))
+            .otherwise(filter(col("__ids"), _ => lit(false))).as("ids")),
+      "ids", common)
   }
 
   /** Explode a [[winnowIndexCounted]] table into [[winnowIndex]]'s
     * `(fp, train_id)` serve rows — over-cap fps carry no postings and
     * contribute nothing, identical to the from-scratch capped index;
     * feed the result to [[screenAgainstIndex]]. */
-  def winnowIndexServe(counted: DataFrame): DataFrame =
+  def winnowIndexServe(counted: DataFrame): DataFrame = {
+    ArtifactStamp.check(counted, "ids", "winnow", "winnowIndexServe")
     counted.select(col("fp"), explode(col("ids")).as("train_id"))
+  }
 
   /** COMPACT a stored [[winnowIndexCounted]] table after N nightly
     * [[winnowIndexMerge]] folds: each merge unions another snapshot's
@@ -574,9 +600,13 @@ object Dedup {
     * write the result back as THE index. Pure layout — the row set is
     * untouched, so compact(merge(...)) == merge(...) exactly and
     * screens served from it are identical (DedupSpec proves both). */
-  def winnowIndexCompact(counted: DataFrame): DataFrame =
+  def winnowIndexCompact(counted: DataFrame): DataFrame = {
+    // pure layout: repartition/sort preserve the stamp — only presence
+    // is checked, so a compact slots anywhere a counted index does
+    ArtifactStamp.check(counted, "ids", "winnow", "winnowIndexCompact")
     counted.repartitionByRange(col("fp"))
       .sortWithinPartitions(col("fp"))
+  }
 
   /** COMPACT an accumulated pair store (the confirmed near-dup pairs
     * [[incrementalClusters]] / [[retractClusters]] consume): nightly
@@ -632,6 +662,11 @@ object Dedup {
       maxBucketSize: Int = 1000,
       keepCappedOnUncap: Boolean = false): DataFrame = {
     requireIntegralId(removed, idCol, "winnowIndexRetract")
+    // plan-time provenance: retracting with k/w that differ from the
+    // build recomputes the WRONG fingerprints for the removed docs
+    ArtifactStamp.check(counted, "ids", "winnow", "winnowIndexRetract",
+      "k" -> k.toLong, "w" -> w.toLong,
+      "max_bucket_size" -> maxBucketSize.toLong)
     val rm = winnowFingerprints(removed, idCol, textCol, k, w)
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("__n_rm"),
@@ -690,6 +725,11 @@ object Dedup {
       // a fully-retracted fp (count 0) leaves the index entirely —
       // the from-scratch index of the survivors has no such row
       .where(col("n") > 0L)
+      // the full-outer join + projections dropped the stamp — restore
+      // it so the retracted index merges/serves like any other build
+      .transform(ArtifactStamp.stamp(_, "ids", "winnow",
+        "k" -> k.toLong, "w" -> w.toLong,
+        "max_bucket_size" -> maxBucketSize.toLong))
   }
 
   /** The ONLINE contamination screen: candidate documents checked

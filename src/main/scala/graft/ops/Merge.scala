@@ -392,6 +392,66 @@ object Merge {
       .reduce(_ unionByName _)
   }
 
+  // ------------------------------------- aggregate-over-join views
+  //
+  // The natural composition of the two incremental halves (round-19
+  // delivery): maintain `SELECT g, count(*), sum(v) FROM A ⋈ B GROUP
+  // BY g` WITHOUT ever materializing the joined view — the delta of
+  // the aggregate is the aggregate of the delta legs, so the three
+  // [[joinViewDelta]] joins feed [[incrementalCountSum]] directly as
+  // signed contributions. The old⋈old join (the only leg whose cost
+  // grows with history) is never re-executed, and no view is stored
+  // at all: the maintained state is the |groups|-sized aggregate.
+
+  /** Fold tonight's inserts into a stored join-aggregate: the three
+    * delta legs (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) become 'I' contributions to the
+    * per-group (count, DECIMAL sum). Contracts are [[joinViewDelta]]'s
+    * (row-disjoint deltas, exact snapshot schemas) plus
+    * [[incrementalCountSum]]'s (agg carries `countCol`/`sumCol`).
+    * Scale shape: three delta-sized joins + the |groups| + |touched
+    * groups| full-outer fold — never A⋈B, never a stored view. */
+  def joinAggFold(agg: DataFrame, aOld: DataFrame, deltaA: DataFrame,
+      bOld: DataFrame, deltaB: DataFrame, keyCols: Seq[String],
+      groupCols: Seq[String], valCol: String,
+      countCol: String = "n", sumCol: String = "s"): DataFrame = {
+    val legs = joinViewDelta(aOld, deltaA, bOld, deltaB, keyCols)
+      .select((groupCols :+ valCol).map(col): _*)
+      .withColumn("__op", lit("I"))
+    incrementalCountSum(agg, legs, groupCols, "__op", valCol,
+      countCol, sumCol)
+  }
+
+  /** Retract deleted source rows from a stored join-aggregate: the
+    * view rows a takedown removes — `rmA⋈B ∪ (A∖rmA)⋈rmB`, the
+    * disjoint split that counts a row removed on BOTH sides exactly
+    * once — become 'D' contributions. `aAll`/`bAll` are the CURRENT
+    * snapshots (post-fold); tombstones are id sets against
+    * `aIdCols`/`bIdCols`, which must identify rows uniquely (the
+    * [[joinViewRetract]] contract). Cost: two tombstone-driven joins
+    * each touching one snapshot once + the slim fold — the aggregate
+    * is never rebuilt and no view exists to rescan. Groups whose
+    * count reaches 0 leave the aggregate; a delete the sources never
+    * had raises via [[incrementalCountSum]]'s negative-count guard. */
+  def joinAggRetract(agg: DataFrame, aAll: DataFrame,
+      removedA: DataFrame, aIdCols: Seq[String], bAll: DataFrame,
+      removedB: DataFrame, bIdCols: Seq[String], keyCols: Seq[String],
+      groupCols: Seq[String], valCol: String,
+      countCol: String = "n", sumCol: String = "s"): DataFrame = {
+    require(aIdCols.nonEmpty && bIdCols.nonEmpty,
+      "joinAggRetract: id column lists must be non-empty")
+    val rmA = removedA.select(aIdCols.map(col): _*).distinct()
+    val rmB = removedB.select(bIdCols.map(col): _*).distinct()
+    val removedARows = aAll.join(rmA, aIdCols, "left_semi")
+    val survivorsA = aAll.join(rmA, aIdCols, "left_anti")
+    val removedBRows = bAll.join(rmB, bIdCols, "left_semi")
+    val removedView = removedARows.join(bAll, keyCols)
+      .unionByName(survivorsA.join(removedBRows, keyCols))
+    val dels = removedView.select((groupCols :+ valCol).map(col): _*)
+      .withColumn("__op", lit("D"))
+    incrementalCountSum(agg, dels, groupCols, "__op", valCol,
+      countCol, sumCol)
+  }
+
   /** Retire view rows whose source rows were deleted: anti-join the
     * stored view on each side's removed ROW-ID set — the per-row
     * member of the deletion taxonomy ([[Dedup.lshIndexRetract]]'s

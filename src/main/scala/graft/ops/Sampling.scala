@@ -201,8 +201,10 @@ object Sampling {
     require(groupCols.nonEmpty, "prioritySamples: need a group col")
     requireIntegralCol(df, idCol, "prioritySamples id")
     requireIntegralCol(df, weightCol, "prioritySamples weight")
-    df.groupBy(groupCols.map(col): _*)
-      .agg(priorityPairs(col(idCol), col(weightCol), m).as("wsample"))
+    ArtifactStamp.stamp(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(priorityPairs(col(idCol), col(weightCol), m).as("wsample")),
+      "wsample", "priority_sample", "m" -> m.toLong)
   }
 
   /** Merge [[priorityPairs]] arrays: ascending struct sort of the
@@ -230,11 +232,15 @@ object Sampling {
   def prioritySampleMerge(parts: Seq[DataFrame], groupCols: Seq[String],
       m: Int): DataFrame = {
     require(parts.nonEmpty, "prioritySampleMerge: need >= 1 table")
-    parts.map(_.select(groupCols.map(col) :+ col("wsample"): _*))
-      .reduce(_ unionAll _)
-      .groupBy(groupCols.map(col): _*)
-      .agg(priorityPairsMergeAll(collect_list(col("wsample")), m)
-        .as("wsample"))
+    parts.foreach(ArtifactStamp.check(_, "wsample", "priority_sample",
+      "prioritySampleMerge", "m" -> m.toLong))
+    ArtifactStamp.stamp(
+      parts.map(_.select(groupCols.map(col) :+ col("wsample"): _*))
+        .reduce(_ unionAll _)
+        .groupBy(groupCols.map(col): _*)
+        .agg(priorityPairsMergeAll(collect_list(col("wsample")), m)
+          .as("wsample")),
+      "wsample", "priority_sample", "m" -> m.toLong)
   }
 
   /** RETRACT rows from a stored [[priorityPairs]] sample by id — the

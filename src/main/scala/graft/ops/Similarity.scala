@@ -566,6 +566,30 @@ object Similarity {
     * With `residual = true` codes quantize the coarse residual
     * ([[ivfPqTopKAdc]]'s contract; codebooks must be trained on
     * [[ivfResiduals]] output). */
+  /** FNV-1a-style 64-bit fold over the exact double BITS of a trained
+    * artifact — deterministic across JVMs/engines, computed driver-side
+    * (the artifacts are local arrays), so index provenance can be
+    * checked at PLAN time with zero Spark work. */
+  private def artifactFp(values: Iterator[Double]): Long =
+    values.foldLeft(0xcbf29ce484222325L)((h, d) =>
+      (h ^ java.lang.Double.doubleToLongBits(d)) * 0x100000001b3L)
+
+  /** The [[ArtifactStamp]] parameter set binding an [[ivfPqIndex]] to
+    * the EXACT trained artifacts and geometry it was encoded with:
+    * shape params plus content fingerprints of the centroids and
+    * codebooks — the wrong-codebook merge/serve (confident nonsense
+    * scores) becomes a plan-time raise instead of a caller contract. */
+  private def ivfPqStampParams(centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      residual: Boolean): Seq[(String, Long)] = Seq(
+    "ivf_k" -> centroids.length.toLong,
+    "dim" -> centroids.headOption.map(_.length.toLong).getOrElse(0L),
+    "m" -> codebooks.length.toLong,
+    "ks" -> codebooks.headOption.map(_.length.toLong).getOrElse(0L),
+    "residual" -> (if (residual) 1L else 0L),
+    "cents_fp" -> artifactFp(centroids.iterator.flatten),
+    "books_fp" -> artifactFp(codebooks.iterator.flatMap(_.iterator.flatten)))
+
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
@@ -575,17 +599,20 @@ object Similarity {
     // the stored inverted-list rows: id + coarse cluster + codes ONLY
     // (the fp vector column ends at this projection — that drop IS the
     // win, as in pqTopK/ivfTopKInt8)
-    if (residual)
-      withResidual(
-        corpus.select(col(idCol), col(vecCol), cl.as("cluster")),
-        vecCol, "cluster", centroids, "__resid")
-        .select(col(idCol), col("cluster"),
-          graft.functions.Centroids.pq_encode(col("__resid"), codebooks)
+    val encoded =
+      if (residual)
+        withResidual(
+          corpus.select(col(idCol), col(vecCol), cl.as("cluster")),
+          vecCol, "cluster", centroids, "__resid")
+          .select(col(idCol), col("cluster"),
+            graft.functions.Centroids.pq_encode(col("__resid"), codebooks)
+              .as("codes"))
+      else
+        corpus.select(col(idCol), cl.as("cluster"),
+          graft.functions.Centroids.pq_encode(col(vecCol), codebooks)
             .as("codes"))
-    else
-      corpus.select(col(idCol), cl.as("cluster"),
-        graft.functions.Centroids.pq_encode(col(vecCol), codebooks)
-          .as("codes"))
+    ArtifactStamp.stamp(encoded, "codes", "ivf_pq",
+      ivfPqStampParams(centroids, codebooks, residual): _*)
   }
 
   /** Fold a new snapshot into a STORED [[ivfPqIndex]]: encode ONLY the
@@ -604,6 +631,11 @@ object Similarity {
     require(index.columns.toSeq == Seq(idCol, "cluster", "codes"),
       s"index must be an ivfPqIndex frame ($idCol, cluster, codes); " +
         s"got ${index.columns.mkString(", ")}")
+    // plan-time provenance: the stored index must have been encoded
+    // with THESE artifacts (content fingerprints) or the union mixes
+    // incompatible codes — previously only a docstring contract
+    ArtifactStamp.check(index, "codes", "ivf_pq", "ivfPqIndexAppend",
+      ivfPqStampParams(centroids, codebooks, residual): _*)
     index.unionByName(
       ivfPqIndex(snapshot, idCol, vecCol, centroids, codebooks, residual))
   }
@@ -647,6 +679,9 @@ object Similarity {
     * [[embeddingShift]] stays the reuse-or-retrain gate. */
   def ivfPqIndexRetract(index: DataFrame, removedIds: DataFrame,
       idCol: String): DataFrame = {
+    // presence-only (any build may retract); the anti-join preserves
+    // the stamp for downstream appends/serves
+    ArtifactStamp.check(index, "codes", "ivf_pq", "ivfPqIndexRetract")
     val rm = removedIds
       .select(col(removedIds.columns.head).as(idCol)).distinct()
     index.join(rm, Seq(idCol), "left_anti")
@@ -669,6 +704,7 @@ object Similarity {
     require(index.columns.toSeq == Seq(idCol, "cluster", "codes"),
       s"index must be an ivfPqIndex frame ($idCol, cluster, codes); " +
         s"got ${index.columns.mkString(", ")}")
+    ArtifactStamp.check(index, "codes", "ivf_pq", "ivfPqIndexCompact")
     index.repartitionByRange(col("cluster"), col(idCol))
       .sortWithinPartitions(col("cluster"), col(idCol))
   }
@@ -684,6 +720,10 @@ object Similarity {
       centroids: Array[Array[Double]], nprobe: Int,
       codebooks: Array[Array[Array[Double]]],
       residual: Boolean = false): DataFrame = {
+    // plan-time provenance: decoding with codebooks that differ from
+    // the encode's returns confidently-wrong scores — raise instead
+    ArtifactStamp.check(index, "codes", "ivf_pq", "ivfPqServeAdc",
+      ivfPqStampParams(centroids, codebooks, residual): _*)
     val q = renamedQueries(index, queries, qidCol, qvecCol)
       .select(col(QId), col(QVec),
         explode(graft.functions.Centroids.centroid_probes(

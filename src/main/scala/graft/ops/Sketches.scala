@@ -133,11 +133,13 @@ object Sketches {
         acc.when(shiftrightunsigned(v, i - 1)
           .bitwiseAND(lit(1L)) === lit(1L), lit(i))
     }.otherwise(lit(maxRho))
-    df.select(groupCols.map(col) :+
-        h.bitwiseAND(lit((m - 1).toLong)).cast(IntegerType).as("b") :+
-        rho.as("r"): _*)
-      .groupBy(groupCols.map(col) :+ col("b"): _*)
-      .agg(max(col("r")).as("rho"))
+    ArtifactStamp.stamp(
+      df.select(groupCols.map(col) :+
+          h.bitwiseAND(lit((m - 1).toLong)).cast(IntegerType).as("b") :+
+          rho.as("r"): _*)
+        .groupBy(groupCols.map(col) :+ col("b"): _*)
+        .agg(max(col("r")).as("rho")),
+      "rho", "hll", "p" -> p.toLong)
   }
 
   /** Merge register tables ([[hllRegisters]] output or prior merges)
@@ -148,10 +150,17 @@ object Sketches {
   def hllMergeRegisters(regs: Seq[org.apache.spark.sql.DataFrame],
       groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(regs.nonEmpty, "hllMergeRegisters: need at least one table")
-    regs.map(_.select(groupCols.map(col) :+ col("b") :+ col("rho"): _*))
-      .reduce(_ unionAll _)
-      .groupBy(groupCols.map(col) :+ col("b"): _*)
-      .agg(max(col("rho")).as("rho"))
+    // plan-time provenance: this signature never carried p, so a
+    // cross-p merge used to be caller-contract only — stamps must now
+    // be identical across inputs
+    val common = ArtifactStamp.requireSameStamp(regs, "rho", "hll",
+      "hllMergeRegisters")
+    ArtifactStamp.restamp(
+      regs.map(_.select(groupCols.map(col) :+ col("b") :+ col("rho"): _*))
+        .reduce(_ unionAll _)
+        .groupBy(groupCols.map(col) :+ col("b"): _*)
+        .agg(max(col("rho")).as("rho")),
+      "rho", common)
   }
 
   /** The raw HLL estimate over a STORED register table (built with the
@@ -162,6 +171,7 @@ object Sketches {
   def hllEstimate(regs: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], p: Int): org.apache.spark.sql.DataFrame = {
     require(p >= 4 && p <= 14, s"hllEstimate: p must be in [4, 14], got $p")
+    ArtifactStamp.check(regs, "rho", "hll", "hllEstimate", "p" -> p.toLong)
     val m = 1 << p
     val maxRho = 64 - p + 1
     val guarded = regs.where(assert_true(
@@ -324,8 +334,10 @@ object Sketches {
       keyCol: String, depth: Int, width: Int)
       : org.apache.spark.sql.DataFrame = {
     require(groupCols.nonEmpty, "cmsGrids: need at least one group col")
-    df.groupBy(groupCols.map(col): _*)
-      .agg(countMin(col(keyCol), depth, width).as("cms_grid"))
+    ArtifactStamp.stamp(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(countMin(col(keyCol), depth, width).as("cms_grid")),
+      "cms_grid", "cms", "depth" -> depth.toLong, "width" -> width.toLong)
   }
 
   /** Driver-side schema validation of a stored sketch-state table: the
@@ -367,8 +379,14 @@ object Sketches {
       : org.apache.spark.sql.DataFrame = {
     require(grids.nonEmpty, "cmsMergeGrids: need at least one table")
     grids.foreach(requireLongArrayCol(_, "cms_grid", "cmsMergeGrids"))
+    // plan-time provenance: the same-(depth, width) contract no longer
+    // rests on the caller — a 4x1024 table folded into an 8x512 call
+    // raises HERE, before any job runs (the row-level size guard below
+    // stays as defense for total-cell-count drift)
+    grids.foreach(ArtifactStamp.check(_, "cms_grid", "cms",
+      "cmsMergeGrids", "depth" -> depth.toLong, "width" -> width.toLong))
     val cells = depth * width
-    grids.map(_.select(groupCols.map(col) :+ col("cms_grid"): _*))
+    val merged = grids.map(_.select(groupCols.map(col) :+ col("cms_grid"): _*))
       .reduce(_ unionAll _)
       .where(assert_true(size(col("cms_grid")) === cells,
         concat(lit(s"cmsMergeGrids: grid has "), size(col("cms_grid")),
@@ -381,6 +399,8 @@ object Sketches {
       .groupBy(groupCols.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         e => e.getField("c")).as("cms_grid"))
+    ArtifactStamp.stamp(merged, "cms_grid", "cms",
+      "depth" -> depth.toLong, "width" -> width.toLong)
   }
 
   /** Per-group [[bloomFilter]] word arrays as a STORED artifact —
@@ -394,8 +414,11 @@ object Sketches {
       groupCols: Seq[String], keyCol: String, bits: Int, numHashes: Int)
       : org.apache.spark.sql.DataFrame = {
     require(groupCols.nonEmpty, "bloomWords: need at least one group col")
-    df.groupBy(groupCols.map(col): _*)
-      .agg(bloomFilter(col(keyCol), bits, numHashes).as("bloom_words"))
+    ArtifactStamp.stamp(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(bloomFilter(col(keyCol), bits, numHashes).as("bloom_words")),
+      "bloom_words", "bloom",
+      "bits" -> bits.toLong, "num_hashes" -> numHashes.toLong)
   }
 
   /** Merge stored [[bloomWords]] tables by WORD-WISE OR. Wrong-length
@@ -409,8 +432,16 @@ object Sketches {
       : org.apache.spark.sql.DataFrame = {
     require(words.nonEmpty, "bloomMergeWords: need at least one table")
     words.foreach(requireLongArrayCol(_, "bloom_words", "bloomMergeWords"))
+    // plan-time provenance CLOSES the docstring's admitted gap: a
+    // same-bits different-numHashes table was indistinguishable from
+    // data — the stamps must now be IDENTICAL across inputs (numHashes
+    // included, though this signature never carried it) and match bits
+    val common = ArtifactStamp.requireSameStamp(words, "bloom_words",
+      "bloom", "bloomMergeWords")
+    ArtifactStamp.check(words.head, "bloom_words", "bloom",
+      "bloomMergeWords", "bits" -> bits.toLong)
     val n = bits / 64
-    words.map(_.select(groupCols.map(col) :+ col("bloom_words"): _*))
+    val merged = words.map(_.select(groupCols.map(col) :+ col("bloom_words"): _*))
       .reduce(_ unionAll _)
       .where(assert_true(size(col("bloom_words")) === n,
         concat(lit(s"bloomMergeWords: "), size(col("bloom_words")),
@@ -423,6 +454,7 @@ object Sketches {
       .groupBy(groupCols.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
         e => e.getField("w")).as("bloom_words"))
+    ArtifactStamp.restamp(merged, "bloom_words", common)
   }
 
   // --------------------------------------- retraction (deletion folds)
@@ -455,12 +487,15 @@ object Sketches {
       depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
     Seq(base, delta).foreach(
       requireLongArrayCol(_, "cms_grid", "cmsSubtractGrids"))
+    Seq(base, delta).foreach(ArtifactStamp.check(_, "cms_grid", "cms",
+      "cmsSubtractGrids", "depth" -> depth.toLong,
+      "width" -> width.toLong))
     val cells = depth * width
     val signed = Seq(base -> 1L, delta -> -1L).map { case (df, sgn) =>
       df.select(groupCols.map(col) :+ col("cms_grid") :+
         lit(sgn).as("__sgn"): _*)
     }.reduce(_ unionAll _)
-    signed
+    val subtracted = signed
       .where(assert_true(size(col("cms_grid")) === cells,
         concat(lit(s"cmsSubtractGrids: grid has "), size(col("cms_grid")),
           lit(s" cells, expected depth*width=$cells — table built with" +
@@ -479,6 +514,8 @@ object Sketches {
       .groupBy(groupCols.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         e => e.getField("c")).as("cms_grid"))
+    ArtifactStamp.stamp(subtracted, "cms_grid", "cms",
+      "depth" -> depth.toLong, "width" -> width.toLong)
   }
 
   /** Bloom filters CANNOT retract — this raises, loudly and always.
@@ -788,8 +825,10 @@ object Sketches {
       groupCols: Seq[String], hashCol: String, valueCol: String, k: Int)
       : org.apache.spark.sql.DataFrame = {
     require(groupCols.nonEmpty, "quantileSummaries: need a group col")
-    df.groupBy(groupCols.map(col): _*)
-      .agg(quantilePairs(col(hashCol), col(valueCol), k).as("qsketch"))
+    ArtifactStamp.stamp(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(quantilePairs(col(hashCol), col(valueCol), k).as("qsketch")),
+      "qsketch", "quantile", "k" -> k.toLong)
   }
 
   /** Merge stored [[quantileSummaries]] tables per group — bottom-k of
@@ -802,11 +841,15 @@ object Sketches {
   def quantileMergeSummaries(parts: Seq[org.apache.spark.sql.DataFrame],
       groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
     require(parts.nonEmpty, "quantileMergeSummaries: need >= 1 table")
-    parts.map(_.select(groupCols.map(col) :+ col("qsketch"): _*))
-      .reduce(_ unionAll _)
-      .groupBy(groupCols.map(col): _*)
-      .agg(quantilePairsMergeAll(collect_list(col("qsketch")), k)
-        .as("qsketch"))
+    parts.foreach(ArtifactStamp.check(_, "qsketch", "quantile",
+      "quantileMergeSummaries", "k" -> k.toLong))
+    ArtifactStamp.stamp(
+      parts.map(_.select(groupCols.map(col) :+ col("qsketch"): _*))
+        .reduce(_ unionAll _)
+        .groupBy(groupCols.map(col): _*)
+        .agg(quantilePairsMergeAll(collect_list(col("qsketch")), k)
+          .as("qsketch")),
+      "qsketch", "quantile", "k" -> k.toLong)
   }
 
   /** Read a quantile off a stored/merged [[quantileSummaries]] row:

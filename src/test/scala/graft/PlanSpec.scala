@@ -1436,6 +1436,30 @@ class PlanSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("q_join_agg_incr: no stored view and no old-join-old leg — the " +
+      "plan holds exactly the three delta joins, the two tombstone " +
+      "retraction joins, and the slim full-outer aggregate folds; no " +
+      "cartesian, no Window; scans pruned") {
+    val p = plan("q_join_agg_incr")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+    // every equi-join in the plan is a maintenance leg: 3 delta-rule
+    // legs + 2 retraction semi/anti splits' joins with the other side
+    // + 2 full-outer aggregate folds + base-agg join. The old⋈old leg
+    // would add a join of the two UNFILTERED halves — pin the count
+    // ceiling so its reappearance is visible.
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size
+    withClue(s"join count $joins in:\n$p\n") { joins should be <= 12 }
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    schemas should not be empty
+    schemas.foreach { s =>
+      s should not include "o_comment"
+      s should not include "l_comment"
+    }
+  }
+
   test("q_dp_sum: clip+quantize fold into the per-user partial " +
       "aggregate; same two-exchange shape as q_dp_count — no Window, " +
       "no join; scan reads only the three release columns") {

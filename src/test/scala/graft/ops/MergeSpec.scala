@@ -426,4 +426,48 @@ class MergeSpec extends SparkSpecBase with Matchers {
     retracted2.exceptAll(scratch2).count() shouldBe 0
     scratch2.exceptAll(retracted2).count() shouldBe 0
   }
+
+  test("joinAggFold + joinAggRetract maintain a join-aggregate with " +
+      "no stored view: fold then retract equals the from-scratch " +
+      "aggregate of the surviving corpus; a both-sides removal counts " +
+      "once; zeroed groups leave") {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 4)
+    def aggOf(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      a.join(b, Seq("k")).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(dec)).cast(dec).as("s"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("g"), col("n"), col("s").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val aOld = Seq((1L, "x", "g1"), (2L, "y", "g1"), (5L, "w", "g3"))
+      .toDF("k", "pa", "g")
+    val dA = Seq((3L, "z", "g2")).toDF("k", "pa", "g")
+    val bOld = Seq((1L, 10L, 100L), (5L, 70L, 500L)).toDF("k", "ln", "v")
+    val dB = Seq((2L, 20L, 200L), (3L, 30L, 300L), (1L, 11L, 101L))
+      .toDF("k", "ln", "v")
+    val base = aggOf(aOld, bOld)
+    val folded = Merge.joinAggFold(base, aOld, dA, bOld, dB, Seq("k"),
+      Seq("g"), "v")
+    rows(folded) shouldBe
+      rows(aggOf(aOld.unionByName(dA), bOld.unionByName(dB)))
+    // retract: a-row k=1 (kills both its matches), b-row (5, 70) —
+    // g3's only match, so g3 reaches count 0 and leaves the aggregate
+    val aAll = aOld.unionByName(dA)
+    val bAll = bOld.unionByName(dB)
+    val retracted = Merge.joinAggRetract(folded, aAll,
+      Seq(1L).toDF("k"), Seq("k"), bAll, Seq((5L, 70L)).toDF("k", "ln"),
+      Seq("k", "ln"), Seq("k"), Seq("g"), "v")
+    val survA = aAll.where(col("k") =!= 1)
+    val survB = bAll.where(!(col("k") === 5 && col("ln") === 70))
+    rows(retracted) shouldBe rows(aggOf(survA, survB))
+    retracted.where(col("g") === "g3").count() shouldBe 0
+    // a row removed on BOTH sides retires exactly once: drop a-row
+    // k=2 AND its only match b-row (2, 20) in one call
+    val retr2 = Merge.joinAggRetract(folded, aAll, Seq(2L).toDF("k"),
+      Seq("k"), bAll, Seq((2L, 20L)).toDF("k", "ln"), Seq("k", "ln"),
+      Seq("k"), Seq("g"), "v")
+    rows(retr2) shouldBe rows(aggOf(aAll.where(col("k") =!= 2),
+      bAll.where(!(col("k") === 2 && col("ln") === 20))))
+  }
 }

@@ -319,7 +319,7 @@ class SamplingSpec extends SparkSpecBase with Matchers {
     val e1 = intercept[Exception] {
       Sampling.prioritySampleMerge(Seq(big), Seq("g"), 1).collect()
     }
-    e1.getMessage should include("same-m contract")
+    e1.getMessage should include("mismatched: m") // plan-time stamp (r19)
     val e2 = intercept[IllegalArgumentException] {
       Sampling.prioritySamples(d.withColumn("w", col("w").cast("string")),
         Seq("g"), "id", "w", 2)

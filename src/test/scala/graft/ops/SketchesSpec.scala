@@ -453,9 +453,11 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     // a grid built with another (depth, width) raises instead of
     // folding garbage
     val wrong = Sketches.cmsGrids(frame(a), Seq("g"), "id", 4, 64)
+    // the stamp raises at PLAN time now (round 19); the row-level
+    // size guard remains behind it as defense for unstamped tables
     intercept[Exception] {
       Sketches.cmsMergeGrids(Seq(ga, wrong), Seq("g"), 4, 32).collect()
-    }.getMessage should include("depth*width")
+    }.getMessage should include("mismatched: width")
     an[IllegalArgumentException] should be thrownBy
       Sketches.cmsMergeGrids(Seq.empty, Seq("g"), 4, 32)
   }
@@ -513,11 +515,11 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     intercept[Exception] {
       Sketches.cmsSubtractGrids(survivors, over, Seq("g"), 4, 32).collect()
     }.getMessage should include("negative")
-    // wrong-shape delta raises on the shared length guard
+    // wrong-shape delta raises on the PLAN-TIME stamp (round 19)
     val wrong = Sketches.cmsGrids(frame(gone), Seq("g"), "id", 4, 64)
     intercept[Exception] {
       Sketches.cmsSubtractGrids(full, wrong, Seq("g"), 4, 32).collect()
-    }.getMessage should include("depth*width")
+    }.getMessage should include("mismatched: width")
   }
 
   test("bloomRetractWords / hllRetractRegisters: cannot-delete raises " +
@@ -583,7 +585,7 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     val big = Sketches.quantileSummaries(frame(a), Seq("g"), "h", "v", 128)
     intercept[Exception] {
       Sketches.quantileMergeSummaries(Seq(big), Seq("g"), 64).collect()
-    }.getMessage should include("same-k")
+    }.getMessage should include("mismatched: k")
   }
 
   test("quantilePairsRetract: dropping removed hashes leaves EXACTLY " +
@@ -624,7 +626,7 @@ class SketchesSpec extends SparkSpecBase with Matchers {
     // a p=8 table has buckets up to 255 — estimating it as p=6 must die
     intercept[Exception] {
       Sketches.hllEstimate(regsP8, Seq("g"), p = 6).collect()
-    }.getMessage should include("different p")
+    }.getMessage should include("mismatched: p")
     an[IllegalArgumentException] should be thrownBy
       Sketches.hllMergeRegisters(Seq.empty, Seq("g"))
   }
