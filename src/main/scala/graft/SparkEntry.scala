@@ -3201,9 +3201,14 @@ object SparkEntry {
       // snapshot surfaces as an oracle diff by design: the cap is a
       // recall trade, and this query's contract is the uncapped
       // regime.
+      // The screen serves from the COMPACTED index (round 19:
+      // lshIndexCompact — the post-N-folds range rewrite). Compaction
+      // is pure layout, so the oracle — which never sees the index —
+      // gates that the compacted serve is value-identical to the
+      // from-scratch screen.
       val d = t(s, dir, "documents")
-      val idx = Dedup.lshDedupIndex(
-        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      val idx = Dedup.lshIndexCompact(Dedup.lshDedupIndex(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"))
       Dedup.screenAgainstLshIndex(
           d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", idx)
         .orderBy("new_id", "old_id")

@@ -401,6 +401,40 @@ object Dedup {
     index.join(rm, Seq("id"), "left_anti")
   }
 
+  /** COMPACT a stored [[lshDedupIndex]] after N nightly appends/
+    * retractions: each fold unions another snapshot's files (the
+    * StreamOpsSpec lifecycle loop is exactly `index.unionByName(
+    * lshDedupIndex(batch))`), so a doc's row — and, worse, each
+    * screen's full index scan — fragments across every fold's output.
+    * Range-rewrite by `id` ([[graft.ops.Layout.compactByKey]]): the
+    * screen explodes band buckets at serve time, so no key layout can
+    * co-locate BUCKETS, but the rewrite collapses the small-file pile
+    * to full row groups, which is what the scan-side cost actually
+    * is. Pure layout: compact(fold(...)) == fold(...) exactly, stamp
+    * preserved (DedupSpec proves both; q_dedup_incr serves from it). */
+  def lshIndexCompact(index: DataFrame): DataFrame = {
+    ArtifactStamp.check(index, "sig", "lsh", "lshIndexCompact")
+    Layout.compactByKey(index, Seq("id"))
+  }
+
+  /** COMPACT a stored cluster-label table ([[nearDupClusters]] /
+    * [[incrementalClusters]] output shape `(id, cluster_id,
+    * cluster_size)`): range-rewrite by `(cluster_id, id)` so each
+    * COMPONENT's rows co-locate — the access pattern of everything
+    * that reads labels ([[retractClusters]]' affected-component
+    * semi-joins, per-cluster best-doc picks, split audits). Pure
+    * layout (DedupSpec proves label equality through a follow-up
+    * incremental fold). */
+  def labelStoreCompact(labels: DataFrame): DataFrame = {
+    val need = Seq("id", "cluster_id")
+    val missing = need.filterNot(labels.columns.contains)
+    require(missing.isEmpty,
+      s"labelStoreCompact: not a label table — missing " +
+        s"${missing.mkString(", ")} (columns: " +
+        s"${labels.columns.mkString(", ")})")
+    Layout.compactByKey(labels, Seq("cluster_id", "id"))
+  }
+
   // -------------------------------------------- winnowing (MOSS) overlap
 
   /** Winnowed fingerprint rows `(id, fp)` of the normalized text — the

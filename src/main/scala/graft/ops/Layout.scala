@@ -240,4 +240,29 @@ object Layout {
       sum(when(overlaps, 1L).otherwise(0L)).as("files_read"),
       sum(when(overlaps, col("n_rows")).otherwise(0L)).as("rows_scanned"))
   }
+
+  /** Generic artifact compaction: range-partition by `keyCols` and
+    * sort within partitions — the one recipe behind every *Compact op
+    * in the incremental-artifact family ([[graft.ops.Dedup
+    * .winnowIndexCompact]], [[graft.ops.Similarity.ivfPqIndexCompact]]
+    * and the round-19 members). N nightly merge/append folds each
+    * union another snapshot's files, scattering any probe key's rows
+    * across every fold's output; this rewrite co-locates them so a
+    * serve join touches one partition's files per key instead of all
+    * of history's. PURE LAYOUT: the row set (multiset) is untouched —
+    * `compactByKey(fold(...)) == fold(...)` exactly, schema metadata
+    * (artifact stamps) included, so a compacted artifact slots
+    * anywhere the uncompacted one does. Cost: one range exchange, the
+    * bill of a single-column sort. */
+  def compactByKey(df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "compactByKey: need at least one key col")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"compactByKey: key column(s) ${missing.mkString(", ")} absent " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    df.repartitionByRange(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+  }
 }

@@ -509,6 +509,23 @@ object Merge {
         coalesce(col("__bn"), lit(0L)).as("n"): _*)
   }
 
+  /** COMPACT a stored match-counts artifact ([[leftJoinMatchCounts]] /
+    * [[leftJoinCountsFold]] output) after N nightly folds: the counts
+    * table is the ONLY state the LEFT-join maintenance reads in full
+    * every night, so its layout is the family's hot path —
+    * range-rewrite by the left-row id ([[graft.ops.Layout
+    * .compactByKey]]) so the fold's full-outer join co-partitions with
+    * freshly-built deltas instead of re-shuffling a small-file pile.
+    * Pure layout (MergeSpec proves a follow-up fold off the compacted
+    * table equals one off the original). */
+  def leftJoinCountsCompact(counts: DataFrame,
+      aIdCols: Seq[String]): DataFrame = {
+    require(counts.columns.contains("n"),
+      s"leftJoinCountsCompact: not a counts table — columns " +
+        s"(${counts.columns.mkString(", ")})")
+    graft.ops.Layout.compactByKey(counts, aIdCols)
+  }
+
   /** Fold tonight's inserts into the match-count artifact: counts for
     * OLD left rows grow by their ΔB matches, NEW left rows enter at
     * their match count against B ∪ ΔB (zero included — that zero is

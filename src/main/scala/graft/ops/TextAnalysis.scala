@@ -842,6 +842,18 @@ object TextAnalysis {
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
   }
 
+  /** COMPACT a stored [[dfTable]] after N nightly merges/retractions:
+    * range-rewrite by `term` ([[graft.ops.Layout.compactByKey]]) so
+    * the BM25 serve join probes one partition's files per term instead
+    * of every fold's small files. Pure layout — compact(merge(...)) ==
+    * merge(...) exactly (TextAnalysisSpec proves serve equality). */
+  def dfTableCompact(dfs: DataFrame): DataFrame = {
+    require(dfs.columns.contains("term") && dfs.columns.contains("df"),
+      s"dfTableCompact: not a dfTable — columns " +
+        s"(${dfs.columns.mkString(", ")})")
+    graft.ops.Layout.compactByKey(dfs, Seq("term"))
+  }
+
   /** Corpus totals `(n_docs, sum_dl)` for stored-stats BM25 serving —
     * exact longs, additive across snapshots ([[docStatsMerge]]). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -710,4 +710,60 @@ class DedupSpec extends SparkSpecBase with org.scalatest.matchers.should.Matcher
         Dedup.winnowIndexCounted(docs, "id", "text"), bad, "id", "text")
     }.getMessage should include("integral")
   }
+
+  test("lshIndexCompact and labelStoreCompact are pure layout: the " +
+      "compacted index/labels equal the folded originals row for row, " +
+      "the stamp survives, screens serve identically, and a follow-up " +
+      "incremental fold off the compacted labels equals one off the " +
+      "originals") {
+    val boiler = "identical boilerplate preamble text"
+    val doc = (i: Long) =>
+      (i, s"$boiler unique tail number $i with words $i$i")
+    val old = Seq(doc(1L), doc(2L), doc(3L)).toDF("id", "text")
+    val fresh = Seq(doc(4L), doc(5L)).toDF("id", "text")
+    // index folded across two nights, then compacted
+    val folded = Dedup.lshDedupIndex(old, "id", "text")
+      .unionByName(Dedup.lshDedupIndex(fresh, "id", "text"))
+    val compacted = Dedup.lshIndexCompact(folded)
+    def irows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("nsh"), col("sig"), col("sh"))
+        .as[(Long, Int, Seq[Long], Seq[Long])].collect().sortBy(_._1).toSeq
+    irows(compacted) shouldBe irows(folded)
+    ArtifactStamp.stampOf(compacted, "sig") shouldBe
+      ArtifactStamp.stampOf(folded, "sig")
+    // serve equality: the same screen off both layouts
+    val probe = Seq(doc(6L)).toDF("id", "text")
+    def srows(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.screenAgainstLshIndex(probe, "id", "text", idx)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    srows(compacted) shouldBe srows(folded)
+    // unstamped frames are refused (strip the metadata explicitly —
+    // ordinary projections/renames all PRESERVE it, which is the
+    // stamp's persistence story working as designed)
+    intercept[IllegalArgumentException] {
+      Dedup.lshIndexCompact(folded.withColumn("sig",
+        col("sig").as("sig", org.apache.spark.sql.types.Metadata.empty)))
+    }.getMessage should include("no build-parameter stamp")
+    // label-store compaction: pure layout AND fold-transparent
+    val pairs = Dedup.nearDupPairs(old.unionByName(fresh), "id", "text")
+    val labels = Dedup.incrementalClusters(
+      Seq.empty[(Long, Long, Long)].toDF("id", "cluster_id",
+        "cluster_size"), // night 0: no old labels
+      old.unionByName(fresh).select("id"), pairs)
+    val compactLabels = Dedup.labelStoreCompact(labels)
+    def lrows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    lrows(compactLabels) shouldBe lrows(labels)
+    // a later incremental fold reads the compacted store identically
+    val nextIds = Seq(doc(7L)).toDF("id", "text")
+    val nextPairs = Dedup.nearDupPairs(
+      old.unionByName(fresh).unionByName(nextIds), "id", "text")
+    lrows(Dedup.incrementalClusters(compactLabels, nextIds.select("id"),
+      nextPairs)) shouldBe
+      lrows(Dedup.incrementalClusters(labels, nextIds.select("id"),
+        nextPairs))
+    intercept[IllegalArgumentException] {
+      Dedup.labelStoreCompact(labels.drop("cluster_id"))
+    }.getMessage should include("not a label table")
+  }
 }

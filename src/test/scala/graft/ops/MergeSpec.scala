@@ -470,4 +470,23 @@ class MergeSpec extends SparkSpecBase with Matchers {
     rows(retr2) shouldBe rows(aggOf(aAll.where(col("k") =!= 2),
       bAll.where(!(col("k") === 2 && col("ln") === 20))))
   }
+
+  test("leftJoinCountsCompact is pure layout: a follow-up fold off the " +
+      "compacted counts equals one off the originals") {
+    val aOld = Seq((1L, "a1"), (2L, "a2")).toDF("k", "pa")
+    val bOld = Seq((1L, 1L)).toDF("k", "ln")
+    val counts = Merge.leftJoinMatchCounts(aOld, bOld, Seq("k"), Seq("k"))
+    val compacted = Merge.leftJoinCountsCompact(counts, Seq("k"))
+    compacted.as[(Long, Long)].collect().toMap shouldBe
+      counts.as[(Long, Long)].collect().toMap
+    val dA = Seq((3L, "a3")).toDF("k", "pa")
+    val dB = Seq((2L, 2L), (3L, 1L)).toDF("k", "ln")
+    Merge.leftJoinCountsFold(compacted, aOld, dA, bOld, dB, Seq("k"),
+        Seq("k")).as[(Long, Long)].collect().toMap shouldBe
+      Merge.leftJoinCountsFold(counts, aOld, dA, bOld, dB, Seq("k"),
+        Seq("k")).as[(Long, Long)].collect().toMap
+    intercept[IllegalArgumentException] {
+      Merge.leftJoinCountsCompact(counts.drop("n"), Seq("k"))
+    }.getMessage should include("not a counts table")
+  }
 }

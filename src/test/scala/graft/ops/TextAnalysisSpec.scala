@@ -1009,4 +1009,29 @@ class TextAnalysisSpec extends SparkSpecBase with org.scalatest.matchers.should.
     out(("a", "p q")) shouldBe ((3L, 4L, 1.25))
     out(("b", "p q")) shouldBe ((1L, 4L, 0.625))
   }
+
+  test("dfTableCompact is pure layout: compacted stats equal the " +
+      "merged originals and BM25 serves identically from both") {
+    import spark.implicits._
+    val a = Seq((1L, "spark shuffles data between stages"),
+      (2L, "catalyst optimizes the logical plan")).toDF("id", "text")
+    val b = Seq((3L, "spark plans shuffles with catalyst"))
+      .toDF("id", "text")
+    val merged = TextAnalysis.dfTableMerge(Seq(
+      TextAnalysis.dfTable(a, "id", "text"),
+      TextAnalysis.dfTable(b, "id", "text")))
+    val compacted = TextAnalysis.dfTableCompact(merged)
+    compacted.as[(String, Long)].collect().sortBy(_._1).toSeq shouldBe
+      merged.as[(String, Long)].collect().sortBy(_._1).toSeq
+    val all = a.unionByName(b)
+    val totals = TextAnalysis.docStats(all, "id", "text")
+    def serve(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25TopDocsFromStats(all, "id", "text",
+          Seq("spark", "catalyst"), d, totals, k = 3)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    serve(compacted) shouldBe serve(merged)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dfTableCompact(merged.drop("df"))
+    }.getMessage should include("not a dfTable")
+  }
 }
