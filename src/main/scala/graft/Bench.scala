@@ -9,6 +9,20 @@ import org.apache.spark.sql.SparkSession
   * every output column is actually computed (a bare `count()` would let
   * the optimizer prune the projections being measured).
   *
+  * SURVIVES BEING KILLED (round-20 delivery; round 19's driver bench
+  * was timeout-killed mid-suite and yielded NOTHING parseable — rc=124
+  * left the round with no bench number at all): the board artifact
+  * `target/bench_headline.json` is REWRITTEN after every completed
+  * query with everything measured so far (stamped `"partial":true`
+  * until the run finalizes), a compact partial headline prints to
+  * stdout after every completed pass, and a wall-clock budget
+  * (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 3000s) stops measuring in
+  * time to emit the full final output INSIDE a typical outer timeout
+  * instead of being killed mid-pass. A killed run therefore still
+  * leaves (a) the last per-query board file and (b) the last per-pass
+  * stdout line; a budget-stopped run leaves the complete final output
+  * over the passes it finished.
+  *
   * Timing honesty: the FIRST measured run of each query includes that
   * query's Catalyst planning and Janino/whole-stage-codegen compilation
   * (one untimed run of the first query pays only the generic JVM/session
@@ -21,22 +35,20 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise control (this sandbox is co-tenant; a loaded neighbor inflated
   * one recorded warm entry 40x in round 5, and in round 6 two of three
-  * warm passes stalled at loadavg 2.8 — a median cannot survive that):
-  * the warm regime runs THREE full passes plus TWO extra passes over
-  * the sub-second queries (relative jitter hits those hardest and they
-  * are cheap — min-of-5 for them, min-of-3 for the rest) and reports
-  * the per-query MIN as
-  * `queries_warm` (co-tenant noise is strictly additive, so min is the
-  * honest warm estimator; the headline `total_warm` sums it), the
-  * per-query MEDIAN as `queries_warm_median`, the raw passes as
-  * `warm_passes`, and the per-query MIN-REPRODUCIBILITY
-  * `(secondFastest-fastest)/median` as `warm_spread` (the reported
-  * warm value is the min, so its trust signal is whether another pass
-  * reproduced it — slow-tail scatter is the stall mass min-of-N
-  * already discards); queries whose spread exceeds 30% are listed in
-  * `noisy_warm` so an outlier is visible in the artifact itself instead
-  * of silently poisoning the round's numbers. `loadavg` records the
-  * 1-minute load before the run and after every pass.
+  * warm passes stalled at loadavg 2.8): the warm regime runs TWO full
+  * passes (round 19's three-pass suite at 233 queries is what outran
+  * the driver's timeout; r18 already proved best-of-2 sufficient) plus
+  * TWO extra passes over the sub-second queries (relative jitter hits
+  * those hardest and they are cheap — min-of-4 for them, min-of-2 for
+  * the rest) and reports the per-query MIN as `queries_warm`
+  * (co-tenant noise is strictly additive, so min is the honest warm
+  * estimator; the headline `total_warm` sums it), the per-query MEDIAN
+  * as `queries_warm_median`, the raw passes as `warm_passes`, and the
+  * per-query MIN-REPRODUCIBILITY `(secondFastest-fastest)/median` as
+  * `warm_spread`; queries whose spread exceeds 30% are listed in
+  * `noisy_warm` so an outlier is visible in the artifact itself.
+  * `loadavg` records the 1-minute load before the run and after every
+  * pass.
   *
   * Output: the FULL diagnostic JSON line first, then a COMPACT headline
   * line (cold/warm totals + per-query cold and warm-min, ms precision;
@@ -46,20 +58,47 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Machine-detectable board pollution (round-19 delivery): a board
-    * is DEGRADED when any 1-minute loadavg sample taken around the
-    * passes exceeds `cpus / 8` — the round-18 polluted pair ran at
-    * loadavg 4.5-6.3 on 32 cpus (threshold 4.0) while clean boards sat
-    * near 2, so the stamp separates them with margin on both sides.
-    * Failed samples (-1 sentinel from an unreadable /proc/loadavg)
-    * are ignored: an unreadable load file is not evidence of load.
-    * The stamp rides IN the artifact so a polluted board no longer
-    * depends on a commit message for its own adjudication. */
-  def isDegraded(loads: Seq[Double], cpus: Int): Boolean =
-    loads.filter(_ >= 0).exists(_ > cpus / 8.0)
+    * is DEGRADED when a 1-minute loadavg sample around the passes
+    * exceeds its threshold — the round-18 polluted pair ran at loadavg
+    * 4.5-6.3 on 32 cpus while clean boards sat near 2. Failed samples
+    * (-1 sentinel from an unreadable /proc/loadavg) are ignored: an
+    * unreadable load file is not evidence of load.
+    *
+    * Two thresholds (round-19 ADVICE: at small `cpus` the old flat
+    * `cpus/8` fell BELOW the bench's own steady-state load, so every
+    * small-machine board stamped degraded and the stamp stopped
+    * discriminating): the BEFORE sample is taken ahead of any Spark
+    * work, so it keeps the raw external-pollution threshold `cpus/8`;
+    * mid-run/after samples include the bench's own load, so their
+    * threshold is floored at `before + 2.5` — the pre-run external
+    * baseline plus the suite's observed steady self-load (~2 on the
+    * 32-cpu rig, which leaves the rig's effective threshold at the
+    * same 4.0 that correctly flagged the r18/r19 polluted boards).
+    * Residual limit, documented: on a machine small enough that the
+    * bench alone drives loadavg past `before + 2.5` (cpus <= ~4 under
+    * a fully-parallel query), mid-run samples still over-trigger —
+    * there the BEFORE sample is the only trustworthy signal. */
+  def isDegraded(loads: Seq[Double], cpus: Int): Boolean = {
+    val ok = loads.filter(_ >= 0)
+    val before = ok.headOption.getOrElse(0.0)
+    before > cpus / 8.0 ||
+      ok.drop(1).exists(_ > math.max(cpus / 8.0, before + 2.5))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Wall-clock budget: stop STARTING new queries once exceeded and
+    // finalize with the passes completed, so the full final output is
+    // emitted inside the caller's timeout instead of the caller's
+    // SIGKILL landing mid-pass (round 19's rc=124). The default sits
+    // under the typical 1h outer cap with margin for session teardown.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000")
+      .toDouble
+    val warmPassCount =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_PASSES", "2").toInt
+    val startNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -81,17 +120,18 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // UNTIMED cleanup: iterative ops (PageRank, cluster dedup, CDC
-      // merge) pin frames via localCheckpoint, and those blocks outlive
-      // the query in this single shared JVM — 84 queries x 4 passes of
-      // accumulation is storage the next query's bill shouldn't carry.
-      // Each query is billed from a clean block store, the honest model
-      // of a real cluster where a job's executors release on exit.
+      // merge) pin frames via cache/localCheckpoint, and those blocks
+      // outlive the query in this single shared JVM — 233 queries x 3
+      // passes of accumulation is storage the next query's bill
+      // shouldn't carry. Each query is billed from a clean block store,
+      // the honest model of a real cluster where a job's executors
+      // release on exit.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       dt
     }
     // ms precision: sub-millisecond digits are pure noise on a co-tenant
-    // box, and the shorter numbers keep the 160-query headline small
+    // box, and the shorter numbers keep the 233-query headline small
     // enough to survive the driver's bounded tail capture (round 13 lost
     // warm timings for ~100 queries to truncation of full-precision
     // doubles).
@@ -105,32 +145,16 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
-    // Remove any previous run's headline up front: if this run dies or
-    // its write fails, a caller must find NO file rather than silently
-    // reading a stale round's numbers as this run's result.
+    // Remove any previous run's headline up front: if this run dies
+    // before its first incremental write, a caller must find NO file
+    // rather than silently reading a stale round's numbers.
     val headlinePath = java.nio.file.Paths.get("target", "bench_headline.json")
     try java.nio.file.Files.deleteIfExists(headlinePath)
     catch { case _: java.io.IOException => () }
 
     val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    // Generic JVM/session/parquet warm-up OUTSIDE the bench set, so no
-    // measured query's own plan gets pre-compiled (warming names.head
-    // would make its "cold" entry secretly warm). Every registered
-    // query is benched now, so the warm-up is a bare scan-count — it
-    // spins up the JVM, session, codegen, and parquet reader without
-    // planning any benched projection/aggregate.
-    try spark.read.parquet(s"$sfDir/events.parquet").count()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warm-up scan failed: ${e.getMessage}")
-    }
-    val cold = names.map(n => n -> run(n))
-    loads += loadAvg()
-    val mainPasses = (1 to 3).map { _ =>
-      val p = names.map(n => n -> run(n))
-      loads += loadAvg()
-      p
-    }
+
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.length / 2)
@@ -139,94 +163,170 @@ object Bench {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
-    // Sub-second queries are the ones co-tenant jitter distorts most
-    // in RELATIVE terms (a 200ms stall is 40% of a 0.5s query, noise
-    // on a 5s one) — and they are cheap to re-measure. Two extra
-    // passes over just those: min-of-5 for the small rows, min-of-3
-    // for the rest, at a bounded wall cost (< 2x the sub-second part
-    // of one pass).
-    val subSecond = names.filter { n =>
-      val m = median(mainPasses.map(_.toMap.apply(n)))
-      m >= 0 && m < 1.0
-    }
-    val extraPasses = (1 to 2).map { _ =>
-      val p = subSecond.map(n => n -> run(n))
-      loads += loadAvg()
-      p
-    }
-    val warmPasses = mainPasses ++ extraPasses
-    def samples(n: String): Seq[Double] =
-      warmPasses.flatMap(_.toMap.get(n))
-    // min over passes: co-tenant noise only ever ADDS time, so the
-    // fastest observed pass is the least-contaminated warm estimate
-    // (round 6's recorded median was poisoned by two stalled passes).
-    val warm = names.map(n => n -> minOk(samples(n)))
-    val warmMedian = names.map(n => n -> median(samples(n)))
-    val warmMap = warm.toMap
-    val medianMap = warmMedian.toMap
-    // warm_spread measures the MIN ESTIMATOR's reproducibility — the
-    // gap between the two fastest passes, relative to the median — not
-    // the total pass scatter: the reported warm value IS the min, so
-    // what matters is whether a second pass reproduced it; scatter in
-    // the slow tail is exactly the co-tenant stall mass the min
-    // already discards, and flagging it re-admitted the noise the
-    // min-of-N design exists to reject.
-    val spread = names.map { n =>
-      val ok = samples(n).filter(_ >= 0).sorted
-      val m = medianMap(n)
-      n -> (if (ok.size < 2 || m <= 0) -1.0 else (ok(1) - ok(0)) / m)
-    }
-    def quote(ns: Seq[String]): String = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val noisyWarm = spread.collect { case (n, s) if s > 0.3 => n }
-    val coldSuspect = cold.collect { case (n, c)
-      if c >= 0 && warmMap(n) > 0 && c > 3 * warmMap(n) && c - warmMap(n) > 2.0 => n }
+    def quote(ns: Seq[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
 
-    // ONE definition of the shared segments, so the full diagnostic
-    // line and the persisted headline cannot drift apart — the
-    // artifact-vs-stdout disagreement the headline exists to prevent.
-    // cpus is part of the artifact's identity: a 4-thread builder spot
-    // run and the driver's 32-thread board differ 1.3-2x on
-    // shuffle-heavy queries, and without the stamp that reads as a
-    // per-query regression (round 17 lost a bench cycle to exactly
-    // this — compare boards only at equal cpus).
-    val core = s""""metric":"total","value":${f"${total(cold)}%.3f"},"unit":"sec",""" +
-      s""""cpus":$cpus,""" +
-      s""""queries":${fmt(cold)},"total_warm":${f"${total(warm)}%.3f"},""" +
-      s""""queries_warm":${fmt(warm)},""" +
-      s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
-      s""""degraded":${isDegraded(loads.toSeq, cpus.toInt)},""" +
-      s""""degraded_threshold":${f"${cpus.toInt / 8.0}%.3f"},""" +
-      s""""loadavg":[${loads.mkString(",")}]"""
+    // ---- incremental board state -------------------------------------
+    // Mutable sample store, flushed to the headline artifact after every
+    // completed query: `cold` holds pass-1 times; `warmPasses` the
+    // completed (or in-progress) warm passes. buildBoard() renders a
+    // valid board from WHATEVER is here — that is the whole crash story.
+    val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warmPasses =
+      scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.LinkedHashMap[String, Double]]
+    var passesDone = 0
+    var budgetExhausted = false
+
+    def samples(n: String): Seq[Double] =
+      warmPasses.toSeq.flatMap(_.get(n))
+
+    /** Render the board over everything measured so far. `partial`
+      * marks a board written mid-run; the driver's parse treats the
+      * LAST complete line / latest file state as the result, so a
+      * killed run inherits the newest partial. ONE rendering function
+      * for every output (per-query flushes, per-pass stdout lines, the
+      * final diagnostic + compact + file artifacts), so they cannot
+      * drift apart. */
+    def buildBoard(partial: Boolean): String = {
+      val measuredCold = cold.toSeq
+      val warmNames = names.filter(n => samples(n).nonEmpty)
+      val warm = warmNames.map(n => n -> minOk(samples(n)))
+      val warmMedian = warmNames.map(n => n -> median(samples(n)))
+      val warmMap = warm.toMap
+      val medianMap = warmMedian.toMap
+      // warm_spread measures the MIN ESTIMATOR's reproducibility — the
+      // gap between the two fastest passes, relative to the median:
+      // the reported warm value IS the min, so what matters is whether
+      // a second pass reproduced it; scatter in the slow tail is
+      // exactly the co-tenant stall mass min-of-N already discards.
+      val spread = warmNames.map { n =>
+        val ok = samples(n).filter(_ >= 0).sorted
+        val m = medianMap(n)
+        n -> (if (ok.size < 2 || m <= 0) -1.0 else (ok(1) - ok(0)) / m)
+      }
+      val noisyWarm = spread.collect { case (n, s) if s > 0.3 => n }
+      val coldSuspect = measuredCold.collect { case (n, c)
+        if c >= 0 && warmMap.getOrElse(n, -1.0) > 0 &&
+          c > 3 * warmMap(n) && c - warmMap(n) > 2.0 => n }
+      // cpus is part of the artifact's identity: a 4-thread builder
+      // spot run and the driver's 32-thread board differ 1.3-2x on
+      // shuffle-heavy queries (compare boards only at equal cpus).
+      s""""metric":"total","value":${f"${total(measuredCold)}%.3f"},"unit":"sec",""" +
+        s""""cpus":$cpus,""" +
+        s""""partial":$partial,"passes_done":$passesDone,""" +
+        s""""budget_exhausted":$budgetExhausted,""" +
+        s""""queries":${fmt(measuredCold)},"total_warm":${f"${total(warm)}%.3f"},""" +
+        s""""queries_warm":${fmt(warm)},""" +
+        s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
+        s""""degraded":${isDegraded(loads.toSeq, cpus.toInt)},""" +
+        s""""loadavg":[${loads.mkString(",")}]"""
+    }
+
+    def writeHeadline(partial: Boolean): String = {
+      val headline = s"""{${buildBoard(partial)},"sf":"$sfDir"}"""
+      try {
+        java.nio.file.Files.createDirectories(headlinePath.getParent)
+        java.nio.file.Files.write(headlinePath,
+          headline.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"bench: could not write $headlinePath: $e")
+      }
+      headline
+    }
+
+    /** One pass over `queryNames`, flushing the board artifact after
+      * every query and honoring the budget BETWEEN queries (an
+      * in-flight query is never abandoned — a partially-run Spark job
+      * yields no useful time anyway). Returns false when the budget
+      * ended the pass early. */
+    def measurePass(queryNames: Seq[String],
+        into: scala.collection.mutable.LinkedHashMap[String, Double]): Boolean = {
+      for (n <- queryNames) {
+        if (elapsedSec > budgetSec) {
+          budgetExhausted = true
+          System.err.println(f"[bench] budget ${budgetSec}%.0fs exhausted " +
+            f"at ${elapsedSec}%.0fs — stopping before $n")
+          return false
+        }
+        into(n) = run(n)
+        writeHeadline(partial = true)
+      }
+      true
+    }
+
+    // Generic JVM/session/parquet warm-up OUTSIDE the bench set, so no
+    // measured query's own plan gets pre-compiled (warming names.head
+    // would make its "cold" entry secretly warm). Every registered
+    // query is benched, so the warm-up is a bare scan-count — it spins
+    // up the JVM, session, codegen, and parquet reader without planning
+    // any benched projection/aggregate.
+    try spark.read.parquet(s"$sfDir/events.parquet").count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up scan failed: ${e.getMessage}")
+    }
+
+    var ok = measurePass(names, cold)
+    loads += loadAvg()
+    passesDone += 1
+    println(writeHeadline(partial = true))
+    var p = 0
+    while (ok && p < warmPassCount) {
+      val pass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      warmPasses += pass
+      ok = measurePass(names, pass)
+      loads += loadAvg()
+      passesDone += 1
+      println(writeHeadline(partial = true))
+      p += 1
+    }
+    // Sub-second queries are the ones co-tenant jitter distorts most in
+    // RELATIVE terms (a 200ms stall is 40% of a 0.5s query, noise on a
+    // 5s one) — and they are cheap to re-measure. Two extra passes over
+    // just those: min-of-4 for the small rows, min-of-2 for the rest,
+    // at a bounded wall cost (< 2x the sub-second part of one pass).
+    val subSecond = names.filter { n =>
+      val s = samples(n)
+      s.nonEmpty && minOk(s) >= 0 && minOk(s) < 1.0
+    }
+    p = 0
+    while (ok && p < 2) {
+      val pass = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      warmPasses += pass
+      ok = measurePass(subSecond, pass)
+      loads += loadAvg()
+      passesDone += 1
+      println(writeHeadline(partial = true))
+      p += 1
+    }
+
+    // ---- finalize ----------------------------------------------------
+    val core = buildBoard(partial = false)
+    val warmNames = names.filter(n => samples(n).nonEmpty)
+    val warmMedian = warmNames.map(n => n -> median(samples(n)))
+    val warmMap = warmNames.map(n => n -> minOk(samples(n))).toMap
+    val spread = warmNames.map { n =>
+      val s = samples(n).filter(_ >= 0).sorted
+      val m = median(samples(n))
+      n -> (if (s.size < 2 || m <= 0) -1.0 else (s(1) - s(0)) / m)
+    }
     println(s"{$core," +
       s""""queries_warm_median":${fmt(warmMedian)},""" +
-      s""""warm_passes":[${warmPasses.map(fmt).mkString(",")}],""" +
+      s""""warm_passes":[${warmPasses.map(m => fmt(m.toSeq)).mkString(",")}],""" +
       s""""warm_spread":${fmt(spread)},""" +
       s""""loadavg_before":${loads.head},"loadavg_after":${loads.last},""" +
       s""""sf":"$sfDir"}""")
-    // Compact headline LAST: bounded size so a tail-grab parses it.
-    // It carries its own adjudication evidence (loadavg, noisy_warm,
-    // cold_suspect, warm medians): round 8's driver tail truncated the
-    // full diagnostic line, leaving a 1.5x warm inflation and a 24.7s
-    // cold outlier with no in-artifact proof they were machine noise.
-    val headline = s"""{$core,"sf":"$sfDir"}"""
+    // Compact headline LAST: bounded size so a tail-grab parses it. It
+    // carries its own adjudication evidence (loadavg, noisy_warm,
+    // cold_suspect, degraded): round 8's driver tail truncated the full
+    // diagnostic line, leaving a 1.5x warm inflation with no in-artifact
+    // proof it was machine noise.
+    val headline = writeHeadline(partial = false)
     println(headline)
-    // Also persist it: the artifact survives even if the caller's
-    // stdout tail-parse chokes on log prefixes (see README "Benchmark").
-    try {
-      java.nio.file.Files.createDirectories(headlinePath.getParent)
-      java.nio.file.Files.write(headlinePath,
-        headline.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: java.io.IOException =>
-      System.err.println(s"bench: could not write target/bench_headline.json: $e")
-    }
     // ROUND-STAMPED full artifact, in the repo (target/ is gitignored
-    // and bench_headline.json is overwritten every run, so before this
-    // file existed each round's complete per-query board was lost and
-    // round-over-round regression tracking was blind on whatever the
-    // driver's bounded tail truncated — 96/199 queries in r15). Round
-    // number = latest driver-committed BENCH_r{N}.json + 1 (this run
-    // IS that round's bench); the sf tag keeps builder-side sf0.01
-    // spot runs from clobbering the driver's sf0.1 board.
+    // and bench_headline.json is overwritten every run). Round number =
+    // latest driver-committed BENCH_r{N}.json + 1 (this run IS that
+    // round's bench); the sf tag keeps builder-side sf0.01 spot runs
+    // from clobbering the driver's sf0.1 board.
     try {
       val roundRe = "BENCH_r(\\d+)\\.json".r
       // Files.list holds a directory handle — close it (Using) instead
@@ -260,12 +360,12 @@ object Bench {
     // artifact kept ~2 KB and lost warm numbers for 2/3 of the board;
     // per-query warm regression tracking needs THIS line intact).
     // target/bench_headline.json remains the full-fidelity artifact.
-    val warmMs = names.map { case n =>
+    val warmMs = warmNames.map { n =>
       val v = warmMap(n)
       "\"" + n + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"warm_ms","unit":"ms","warm_ms":$warmMs,""" +
-      s""""total_warm_sec":${f"${total(warm)}%.3f"},"sf":"$sfDir"}""")
+      s""""total_warm_sec":${f"${total(warmNames.map(n => n -> warmMap(n)))}%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

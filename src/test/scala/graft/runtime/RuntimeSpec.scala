@@ -494,8 +494,21 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     // the -1 sentinel (unreadable /proc/loadavg) never marks a board
     graft.Bench.isDegraded(Seq(-1.0, -1.0), 32) shouldBe false
     graft.Bench.isDegraded(Seq.empty, 32) shouldBe false
-    // threshold scales with the box: 0.6 is degraded on 4 cpus (0.5)
+    // threshold scales with the box: a BEFORE sample of 0.6 is degraded
+    // on 4 cpus (raw threshold 0.5) — pre-run load has no self-load
+    // excuse
     graft.Bench.isDegraded(Seq(0.6), 4) shouldBe true
     graft.Bench.isDegraded(Seq(0.4), 4) shouldBe false
+    // MID-RUN samples are floored at before + 2.5 (round-19 ADVICE: the
+    // bench's own steady load exceeded cpus/8 on small machines, so the
+    // old flat threshold stamped every small-machine board degraded)
+    graft.Bench.isDegraded(Seq(0.3, 2.4), 4) shouldBe false
+    graft.Bench.isDegraded(Seq(0.3, 3.0), 4) shouldBe true
+    // the r19 polluted pattern still flags on the rig: the before
+    // sample itself sat past the raw threshold
+    graft.Bench.isDegraded(Seq(4.15, 7.94, 8.30), 32) shouldBe true
+    // rig mid-run pollution flags against before + 2.5 (idle before)
+    graft.Bench.isDegraded(Seq(0.5, 6.3, 2.1), 32) shouldBe true
+    graft.Bench.isDegraded(Seq(0.5, 2.8), 32) shouldBe false
   }
 }
