@@ -4085,12 +4085,17 @@ object SparkEntry {
       // retraction retires view rows by anti-join on the source row
       // ids the view carries (the price of retractability, paid at
       // view definition). Orders/lineitem halves stand in for two
-      // nightly snapshots per side. The artifact proves BOTH verbs by
-      // multiset difference against independent from-scratch joins
-      // (exceptAll both ways — the compare is the proof artifact, not
-      // the production path), then serves revenue per priority off the
-      // RETRACTED view (DECIMAL sum — exact, order-independent — cast
-      // to double for rendering, the q_incr_agg convention).
+      // nightly snapshots per side.
+      //
+      // THE ORACLE IS THE PROOF (round-20: the q_join_agg_incr
+      // pattern, replacing two in-query from-scratch joins + four
+      // exceptAll legs that cost 5-9s of board time): DuckDB computes
+      // the from-scratch join of the FULL corpus and of the SURVIVING
+      // corpus per priority, and equality of the released (count,
+      // DECIMAL sum) rows — n_view/sum_fold off the FOLDED view,
+      // n_view_retracted/sum_extprice off the RETRACTED view — is
+      // exactly fold == scratch and fold∘retract == scratch. MergeSpec
+      // keeps the full multiset exceptAll law in-engine.
       val dec = DecimalType(28, 4)
       val a = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
         col("o_custkey"), col("o_orderpriority"))
@@ -4112,39 +4117,29 @@ object SparkEntry {
       val dA = a.where(pmod(col("okey"), lit(2)) === 1)
       val bOld = b.where(pmod(col("l_linenumber"), lit(2)) === 0)
       val dB = b.where(pmod(col("l_linenumber"), lit(2)) === 1)
-      // shared frames pinned once (the prGraph precedent): each feeds
-      // two exceptAll legs and/or the serve, so unpinned they would
-      // recompute per reference — the round-19 measurement trim
+      // the folded view feeds TWO consumers (its own stats + the
+      // retraction input): cache() computes it once, LAZILY at first
+      // use — the r19 eager localCheckpoint pin materialized the view
+      // into block storage at query construction and billed MORE than
+      // the recompute it saved (r19 watch item); Bench unpersists
+      // between queries
       val folded = aOld.join(bOld, Seq("okey"))
         .unionByName(Merge.joinViewDelta(aOld, dA, bOld, dB, Seq("okey")))
-        .localCheckpoint()
-      val scratch = a.join(b, Seq("okey")).localCheckpoint()
-      val mm1 = folded.exceptAll(scratch)
-        .unionByName(scratch.exceptAll(folded))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_mismatch_fold"))
+        .cache()
+      val stats1 = folded.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_view"),
+          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sf"))
       val rmA = a.where(pmod(col("okey"), lit(5)) === 0).select("okey")
       // the removed SET is the same as plain ln=3 filtering because
       // every ln=3 row is tombstoned
       val rmB = b.where(col("l_linenumber") === 3)
         .select(bId.map(col): _*)
       val retracted = Merge.joinViewRetract(folded, rmA, Seq("okey"),
-        rmB, bId).localCheckpoint()
-      val scratch2 = a.where(pmod(col("okey"), lit(5)) =!= 0)
-        .join(b.where(col("l_linenumber") =!= 3), Seq("okey"))
-        .localCheckpoint()
-      val mm2 = retracted.exceptAll(scratch2)
-        .unionByName(scratch2.exceptAll(retracted))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_mismatch_retract"))
-      val stats = scratch.groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_view"))
+        rmB, bId)
       val stats2 = retracted.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_view_retracted"),
           sum(col("l_extendedprice").cast(dec)).cast(dec).as("sp"))
-      stats.join(mm1, Seq("o_orderpriority"), "left")
-        .join(stats2, Seq("o_orderpriority"))
-        .join(mm2, Seq("o_orderpriority"), "left")
+      stats1.join(stats2, Seq("o_orderpriority"))
         // the row-id contract holds by ASSERTION, not assumption: a
         // fixture regeneration that ever duplicated the triple would
         // fail HERE with a remedy, never silently under-retract
@@ -4155,10 +4150,8 @@ object SparkEntry {
               "triples — the b-row tombstone id is no longer unique; " +
               "add a real surrogate key to the fixture"))).isNull)
         .select(col("o_orderpriority"), col("n_view"),
-          coalesce(col("n_mismatch_fold"), lit(0L)).as("n_mismatch_fold"),
+          col("sf").cast(DoubleType).as("sum_fold"),
           col("n_view_retracted"),
-          coalesce(col("n_mismatch_retract"), lit(0L))
-            .as("n_mismatch_retract"),
           col("sp").cast(DoubleType).as("sum_extprice"))
         .orderBy("o_orderpriority")
     }),
@@ -4176,9 +4169,20 @@ object SparkEntry {
       // on fold (the 0 -> >0 transition), ~1.7% of orders never match
       // (permanent nulls), and the takedown removes EVERY line of the
       // %11 orders (the >0 -> 0 re-null transition) plus the ln=6
-      // lines (partial, no transition). Both verbs proven by multiset
-      // difference against independent from-scratch LEFT joins; null
-      // accounting surfaced per priority.
+      // lines (partial, no transition). Null accounting surfaced per
+      // priority.
+      //
+      // THE ORACLE IS THE PROOF (round-20: the q_join_agg_incr
+      // pattern): DuckDB computes the from-scratch LEFT joins of the
+      // full and the surviving corpus per priority, and equality of
+      // the released (count, null-count, DECIMAL sum) rows — taken off
+      // the FOLDED and the RETRACTED views respectively — is exactly
+      // fold == scratch and fold∘retract == scratch; the null counts
+      // are the discriminating signal for the counting algorithm (a
+      // mishandled 0-transition moves n_nulls/n_nulls_retracted). The
+      // two in-query scratch LEFT joins + four exceptAll legs this
+      // replaces were 6-9s of board time; MergeSpec keeps the full
+      // multiset exceptAll law in-engine.
       val dec = DecimalType(28, 4)
       val a = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
         col("o_custkey"), col("o_orderpriority"))
@@ -4200,53 +4204,42 @@ object SparkEntry {
       val dB = b.where(pmod(col("l_linenumber"), lit(2)) === 1)
       val k = Seq("okey")
       val viewOld = aOld.join(bOld, k, "left")
-      val counts0 = Merge.leftJoinMatchCounts(aOld, bOld, k, k)
+      // multi-consumer frames are cache()d — computed once, LAZILY at
+      // first use; the r19 eager localCheckpoint pins materialized
+      // into block storage at query construction and billed MORE than
+      // the recompute they saved (r19 watch item). counts0 feeds the
+      // change feed AND the counts fold; changes is referenced twice
+      // (its D keys and its I rows); view1 feeds its own stats AND the
+      // retraction. Bench unpersists between queries.
+      val counts0 = Merge.leftJoinMatchCounts(aOld, bOld, k, k).cache()
       val changes = Merge.leftJoinViewChanges(counts0, aOld, dA, bOld,
-        dB, k, k)
-      // shared frames pinned once (the prGraph precedent): view1,
-      // both scratch joins, and the retracted view each feed two
-      // exceptAll legs and/or the serve — the round-19 measurement
-      // trim (unpinned, each reference recomputed the whole subplan)
+        dB, k, k).cache()
       val view1 = viewOld
         .join(changes.where(col("__op") === "D").select("okey")
           .distinct(), k, "left_anti")
         .select(viewOld.columns.map(col): _*)
         .unionByName(changes.where(col("__op") === "I").drop("__op")
           .select(viewOld.columns.map(col): _*))
-        .localCheckpoint()
+        .cache()
+      val stats1 = view1.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_view"),
+          sum(when(col("l_linenumber").isNull, 1L).otherwise(0L))
+            .as("n_nulls"),
+          sum(col("l_extendedprice").cast(dec)).cast(dec).as("sf"))
       val counts1 = Merge.leftJoinCountsFold(counts0, aOld, dA, bOld,
         dB, k, k)
-      val scratch = a.join(b, k, "left").localCheckpoint()
-      val mm1 = view1.exceptAll(scratch)
-        .unionByName(scratch.exceptAll(view1))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_mismatch_fold"))
       val rmA = a.where(pmod(col("okey"), lit(7)) === 0).select("okey")
       val rmB = b.where(pmod(col("okey"), lit(11)) === 0 ||
           col("l_linenumber") === 6)
         .select((k ++ bId).distinct.map(col): _*)
       val retracted = Merge.leftJoinViewRetract(view1, counts1, a,
-        rmA, rmB, k, k, bId).localCheckpoint()
-      val scratch2 = a.where(pmod(col("okey"), lit(7)) =!= 0)
-        .join(b.where(pmod(col("okey"), lit(11)) =!= 0 &&
-          col("l_linenumber") =!= 6), k, "left")
-        .localCheckpoint()
-      val mm2 = retracted.exceptAll(scratch2)
-        .unionByName(scratch2.exceptAll(retracted))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_mismatch_retract"))
-      val stats = scratch.groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_view"),
-          sum(when(col("l_linenumber").isNull, 1L).otherwise(0L))
-            .as("n_nulls"))
+        rmA, rmB, k, k, bId)
       val stats2 = retracted.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_view_retracted"),
           sum(when(col("l_linenumber").isNull, 1L).otherwise(0L))
             .as("n_nulls_retracted"),
           sum(col("l_extendedprice").cast(dec)).cast(dec).as("sp"))
-      stats.join(mm1, Seq("o_orderpriority"), "left")
-        .join(stats2, Seq("o_orderpriority"))
-        .join(mm2, Seq("o_orderpriority"), "left")
+      stats1.join(stats2, Seq("o_orderpriority"))
         // the row-id contract holds by ASSERTION, not assumption
         .crossJoin(broadcast(dupIds))
         .where(assert_true(col("__ndup") === 0,
@@ -4255,10 +4248,8 @@ object SparkEntry {
               "triples — the b-row tombstone id is no longer unique; " +
               "add a real surrogate key to the fixture"))).isNull)
         .select(col("o_orderpriority"), col("n_view"), col("n_nulls"),
-          coalesce(col("n_mismatch_fold"), lit(0L)).as("n_mismatch_fold"),
+          col("sf").cast(DoubleType).as("sum_fold"),
           col("n_view_retracted"), col("n_nulls_retracted"),
-          coalesce(col("n_mismatch_retract"), lit(0L))
-            .as("n_mismatch_retract"),
           col("sp").cast(DoubleType).as("sum_extprice"))
         .orderBy("o_orderpriority")
     }),
@@ -8411,181 +8402,61 @@ object SparkEntry {
     // the reference as one direct join — then multiset-diffed per
     // priority (EXCEPT ALL both ways); retraction re-derived as plain
     // filtering of the source tables.
+    // Join-view replay, ORACLE-IS-THE-PROOF (round 20): the from-scratch
+    // join-aggregates of the FULL corpus (what the folded view must
+    // contain) and the SURVIVING corpus (what the retracted view must
+    // contain) — equality of (count, DECIMAL sum) per priority against
+    // the Spark side's maintained views IS fold == scratch and
+    // fold∘retract == scratch, with no exceptAll overhead on either
+    // side; MergeSpec pins the full multiset law in-engine.
     "q_join_incr" ->
-      raw"""WITH a AS (SELECT o_orderkey AS okey, o_custkey, o_orderpriority
+      raw"""WITH a AS (SELECT o_orderkey AS okey, o_orderpriority
                        FROM orders),
                b AS (SELECT l_orderkey AS okey, l_linenumber,
                             l_extendedprice
                      FROM lineitem),
-               ao AS (SELECT * FROM a WHERE okey % 2 = 0),
-               da AS (SELECT * FROM a WHERE okey % 2 = 1),
-               bo AS (SELECT * FROM b WHERE l_linenumber % 2 = 0),
-               db AS (SELECT * FROM b WHERE l_linenumber % 2 = 1),
-               fold AS MATERIALIZED (
-                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
-                        l_extendedprice FROM ao JOIN bo USING (okey)
-                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
-                        l_linenumber, l_extendedprice
-                   FROM da JOIN bo USING (okey)
-                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
-                        l_linenumber, l_extendedprice
-                   FROM ao JOIN db USING (okey)
-                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
-                        l_linenumber, l_extendedprice
-                   FROM da JOIN db USING (okey)),
-               scr AS MATERIALIZED (
-                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
-                        l_extendedprice FROM a JOIN b USING (okey)),
-               mm1 AS (SELECT o_orderpriority,
-                              CAST(count(*) AS BIGINT) AS n_mismatch_fold
-                       FROM ((SELECT * FROM fold EXCEPT ALL
-                              SELECT * FROM scr)
-                             UNION ALL
-                             (SELECT * FROM scr EXCEPT ALL
-                              SELECT * FROM fold))
-                       GROUP BY 1),
-               rt AS MATERIALIZED (
-                 SELECT * FROM fold
-                 WHERE okey % 5 <> 0 AND l_linenumber <> 3),
-               sc2 AS MATERIALIZED (
-                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
-                        l_extendedprice
-                 FROM (SELECT * FROM a WHERE okey % 5 <> 0) a2
-                 JOIN (SELECT * FROM b WHERE l_linenumber <> 3) b2
-                 USING (okey)),
-               mm2 AS (SELECT o_orderpriority,
-                              CAST(count(*) AS BIGINT) AS n_mismatch_retract
-                       FROM ((SELECT * FROM rt EXCEPT ALL
-                              SELECT * FROM sc2)
-                             UNION ALL
-                             (SELECT * FROM sc2 EXCEPT ALL
-                              SELECT * FROM rt))
-                       GROUP BY 1),
                st AS (SELECT o_orderpriority,
-                             CAST(count(*) AS BIGINT) AS n_view
-                      FROM scr GROUP BY 1),
+                             CAST(count(*) AS BIGINT) AS n_view,
+                             CAST(sum(CAST(l_extendedprice
+                                           AS DECIMAL(28, 4)))
+                                  AS DOUBLE) AS sum_fold
+                      FROM a JOIN b USING (okey) GROUP BY 1),
                st2 AS (SELECT o_orderpriority,
                               CAST(count(*) AS BIGINT) AS n_view_retracted,
                               CAST(sum(CAST(l_extendedprice
                                             AS DECIMAL(28, 4)))
                                    AS DOUBLE) AS sum_extprice
-                       FROM rt GROUP BY 1)
-          SELECT st.o_orderpriority, st.n_view,
-                 coalesce(m1.n_mismatch_fold, 0) AS n_mismatch_fold,
-                 st2.n_view_retracted,
-                 coalesce(m2.n_mismatch_retract, 0) AS n_mismatch_retract,
-                 st2.sum_extprice
-          FROM st LEFT JOIN mm1 m1 USING (o_orderpriority)
-                  JOIN st2 USING (o_orderpriority)
-                  LEFT JOIN mm2 m2 USING (o_orderpriority)
+                       FROM (SELECT * FROM a WHERE okey % 5 <> 0) a2
+                       JOIN (SELECT * FROM b WHERE l_linenumber <> 3) b2
+                       USING (okey)
+                       GROUP BY 1)
+          SELECT st.o_orderpriority, st.n_view, st.sum_fold,
+                 st2.n_view_retracted, st2.sum_extprice
+          FROM st JOIN st2 USING (o_orderpriority)
           ORDER BY o_orderpriority""",
-    // Left-join-view replay: the fold re-derived independently (three
-    // matched legs + delta-side unmatched nulls + stale-null removal
-    // off the old counts), counts taken SEMANTICALLY from the grown
-    // tables (the fold law is spec-proven; a drifted fold would move
-    // the zeroed set and fail here), both states diffed EXCEPT ALL
-    // against direct LEFT joins; null tombstone semantics via NOT
-    // EXISTS so null-extended rows survive b-side retirement.
+    // Left-join-view replay, ORACLE-IS-THE-PROOF (round 20): the
+    // from-scratch LEFT joins of the FULL corpus (what the folded view
+    // must contain) and the SURVIVING corpus (post-retraction) per
+    // priority — the (count, null-count, DECIMAL sum) equality IS
+    // fold == scratch and fold∘retract == scratch, and the null counts
+    // discriminate the counting algorithm's 0-transitions (a stale
+    // null kept or a re-null missed moves them); MergeSpec pins the
+    // full multiset law in-engine.
     "q_left_join_incr" ->
-      raw"""WITH a AS (SELECT o_orderkey AS okey, o_custkey, o_orderpriority
+      raw"""WITH a AS (SELECT o_orderkey AS okey, o_orderpriority
                        FROM orders),
                b AS (SELECT l_orderkey AS okey, l_linenumber,
                             l_extendedprice
                      FROM lineitem),
-               ao AS (SELECT * FROM a WHERE okey % 2 = 0),
-               da AS (SELECT * FROM a WHERE okey % 2 = 1),
-               bo AS (SELECT * FROM b WHERE l_linenumber % 2 = 0),
-               db AS (SELECT * FROM b WHERE l_linenumber % 2 = 1),
-               vold AS (SELECT okey, o_custkey, o_orderpriority,
-                               l_linenumber, l_extendedprice
-                        FROM ao LEFT JOIN bo USING (okey)),
-               c0 AS MATERIALIZED (
-                 SELECT okey, CAST(count(l_linenumber) AS BIGINT) AS n
-                 FROM ao LEFT JOIN bo USING (okey) GROUP BY 1),
-               fm AS MATERIALIZED (
-                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
-                        l_extendedprice FROM da JOIN bo USING (okey)
-                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
-                        l_linenumber, l_extendedprice
-                   FROM ao JOIN db USING (okey)
-                 UNION ALL SELECT okey, o_custkey, o_orderpriority,
-                        l_linenumber, l_extendedprice
-                   FROM da JOIN db USING (okey)),
-               nn AS (SELECT okey, o_custkey, o_orderpriority,
-                             CAST(NULL AS INTEGER) AS l_linenumber,
-                             CAST(NULL AS DOUBLE) AS l_extendedprice
-                      FROM da WHERE NOT EXISTS
-                        (SELECT 1 FROM b WHERE b.okey = da.okey)),
-               stale AS (SELECT DISTINCT fm.okey
-                         FROM fm JOIN c0 ON c0.okey = fm.okey
-                         WHERE c0.n = 0),
-               v1 AS MATERIALIZED (
-                 SELECT * FROM vold
-                 WHERE okey NOT IN (SELECT okey FROM stale)
-                 UNION ALL SELECT * FROM fm
-                 UNION ALL SELECT * FROM nn),
-               scr AS MATERIALIZED (
-                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
-                        l_extendedprice
-                 FROM a LEFT JOIN b USING (okey)),
-               mm1 AS (SELECT o_orderpriority,
-                              CAST(count(*) AS BIGINT) AS n_mismatch_fold
-                       FROM ((SELECT * FROM v1 EXCEPT ALL
-                              SELECT * FROM scr)
-                             UNION ALL
-                             (SELECT * FROM scr EXCEPT ALL
-                              SELECT * FROM v1))
-                       GROUP BY 1),
-               c1 AS MATERIALIZED (
-                 SELECT okey, CAST(count(l_linenumber) AS BIGINT) AS n
-                 FROM a LEFT JOIN b USING (okey) GROUP BY 1),
-               rma AS (SELECT okey FROM a WHERE okey % 7 = 0),
-               rmb AS MATERIALIZED (
-                 SELECT okey, l_linenumber, l_extendedprice FROM b
-                 WHERE okey % 11 = 0 OR l_linenumber = 6),
-               kept AS (SELECT v.* FROM v1 v
-                        WHERE NOT EXISTS (SELECT 1 FROM rma
-                                          WHERE rma.okey = v.okey)
-                          AND NOT EXISTS (SELECT 1 FROM rmb
-                                          WHERE rmb.okey = v.okey
-                                            AND rmb.l_linenumber =
-                                                v.l_linenumber
-                                            AND rmb.l_extendedprice =
-                                                v.l_extendedprice)),
-               zr AS (SELECT a.okey, a.o_custkey, a.o_orderpriority
-                      FROM a
-                      JOIN (SELECT okey, CAST(count(*) AS BIGINT) AS rn
-                            FROM rmb GROUP BY 1) r ON r.okey = a.okey
-                      JOIN c1 ON c1.okey = a.okey AND c1.n = r.rn
-                      WHERE NOT EXISTS (SELECT 1 FROM rma
-                                        WHERE rma.okey = a.okey)),
-               v2 AS MATERIALIZED (
-                 SELECT * FROM kept
-                 UNION ALL
-                 SELECT okey, o_custkey, o_orderpriority,
-                        CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)
-                 FROM zr),
-               sc2 AS MATERIALIZED (
-                 SELECT okey, o_custkey, o_orderpriority, l_linenumber,
-                        l_extendedprice
-                 FROM (SELECT * FROM a WHERE okey % 7 <> 0) a2
-                 LEFT JOIN (SELECT * FROM b
-                            WHERE okey % 11 <> 0 AND l_linenumber <> 6) b2
-                 USING (okey)),
-               mm2 AS (SELECT o_orderpriority,
-                              CAST(count(*) AS BIGINT) AS n_mismatch_retract
-                       FROM ((SELECT * FROM v2 EXCEPT ALL
-                              SELECT * FROM sc2)
-                             UNION ALL
-                             (SELECT * FROM sc2 EXCEPT ALL
-                              SELECT * FROM v2))
-                       GROUP BY 1),
                st AS (SELECT o_orderpriority,
                              CAST(count(*) AS BIGINT) AS n_view,
                              CAST(sum(CASE WHEN l_linenumber IS NULL
                                       THEN 1 ELSE 0 END) AS BIGINT)
-                               AS n_nulls
-                      FROM scr GROUP BY 1),
+                               AS n_nulls,
+                             CAST(sum(CAST(l_extendedprice
+                                           AS DECIMAL(28, 4)))
+                                  AS DOUBLE) AS sum_fold
+                      FROM a LEFT JOIN b USING (okey) GROUP BY 1),
                st2 AS (SELECT o_orderpriority,
                               CAST(count(*) AS BIGINT) AS n_view_retracted,
                               CAST(sum(CASE WHEN l_linenumber IS NULL
@@ -8594,15 +8465,16 @@ object SparkEntry {
                               CAST(sum(CAST(l_extendedprice
                                             AS DECIMAL(28, 4)))
                                    AS DOUBLE) AS sum_extprice
-                       FROM v2 GROUP BY 1)
-          SELECT st.o_orderpriority, st.n_view, st.n_nulls,
-                 coalesce(m1.n_mismatch_fold, 0) AS n_mismatch_fold,
+                       FROM (SELECT * FROM a WHERE okey % 7 <> 0) a2
+                       LEFT JOIN (SELECT * FROM b
+                                  WHERE okey % 11 <> 0
+                                    AND l_linenumber <> 6) b2
+                       USING (okey)
+                       GROUP BY 1)
+          SELECT st.o_orderpriority, st.n_view, st.n_nulls, st.sum_fold,
                  st2.n_view_retracted, st2.n_nulls_retracted,
-                 coalesce(m2.n_mismatch_retract, 0) AS n_mismatch_retract,
                  st2.sum_extprice
-          FROM st LEFT JOIN mm1 m1 USING (o_orderpriority)
-                  JOIN st2 USING (o_orderpriority)
-                  LEFT JOIN mm2 m2 USING (o_orderpriority)
+          FROM st JOIN st2 USING (o_orderpriority)
           ORDER BY o_orderpriority""",
     // Aggregate-over-join replay: the oracle IS the proof — it
     // computes the from-scratch join-aggregate of the SURVIVING

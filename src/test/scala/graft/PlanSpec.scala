@@ -1407,11 +1407,18 @@ class PlanSpec extends SparkSpecBase with Matchers {
   }
 
   test("q_join_incr: the maintenance legs are equi-joins only — no " +
-      "cartesian, no Window; both base scans are pruned to the view " +
-      "columns") {
+      "cartesian, no Window, and (round 20) NO exceptAll proof legs: " +
+      "the oracle is the proof, so the plan must carry no Generate " +
+      "(exceptAll compiles to ReplicateRows) and no from-scratch " +
+      "full-corpus join; base scans pruned") {
     val p = plan("q_join_incr")
     p should not include "CartesianProduct"
     p should not include "Window"
+    // exceptAll's physical signature: a Generate(replicaterows) over
+    // the signed-count union — its reappearance means the in-query
+    // proof legs crept back (they cost 5-9s of board time in r19)
+    p should not include "Generate"
+    p should not include "ReplicateRows"
     val schemas = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(p).map(_.group(1)).toList
     schemas should not be empty
@@ -1423,10 +1430,13 @@ class PlanSpec extends SparkSpecBase with Matchers {
 
   test("q_left_join_incr: maintenance legs are equi/outer joins and " +
       "the counts artifact is a slim aggregate — no cartesian, no " +
-      "Window; base scans pruned") {
+      "Window, and (round 20) NO exceptAll proof legs (oracle is the " +
+      "proof); base scans pruned") {
     val p = plan("q_left_join_incr")
     p should not include "CartesianProduct"
     p should not include "Window"
+    p should not include "Generate"
+    p should not include "ReplicateRows"
     val schemas = "ReadSchema: struct<([^>]*)>".r
       .findAllMatchIn(p).map(_.group(1)).toList
     schemas should not be empty
