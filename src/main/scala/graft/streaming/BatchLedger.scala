@@ -41,6 +41,22 @@ import org.apache.spark.sql.functions._
   * artifact stamped `appliedBatch = b` and a checkpoint at `b + 1`
   * replays exactly one batch, which this guard then drops.
   *
+  * CHECKPOINT-RESET HAZARD (round-19 ADVICE): batch ids are contiguous
+  * and monotonic only WITHIN one streaming query's checkpoint lineage.
+  * A query restarted against a FRESH/WIPED checkpoint numbers its
+  * batches from 0 again — and a high-water-only ledger would absorb
+  * that new query's real batches 0..appliedBatch as "replays": silent
+  * data loss in the module whose purpose is loud failure. The ledger
+  * must therefore be BOUND TO A QUERY IDENTITY: persist an `epoch`
+  * (the streaming query id, or the checkpoint path — any string that
+  * changes when the checkpoint lineage changes) next to
+  * `applied_batch` ([[ledgerFrame]]'s 3-arg form / [[ledgerOf]]), and
+  * RAISE on mismatch instead of absorbing a lower batchId.
+  * [[StreamOps.ledgeredFold]] packages fold + epoch check + atomic
+  * persist as the production path; an operator who intentionally
+  * re-points an artifact at a new query acknowledges the reset
+  * explicitly via [[StreamOps.rebindEpoch]].
+  *
   * Scale shape: the check is one Long comparison on the driver per
   * micro-batch — zero extra exchanges, zero reads of the artifact.
   */
@@ -71,10 +87,48 @@ object BatchLedger {
   }
 
   /** The ledger as a one-row frame `(applied_batch)` — write it next
-    * to the artifact (same commit) so recovery reads one pair. */
+    * to the artifact (same commit) so recovery reads one pair. Prefer
+    * the 3-arg form: an epoch-less ledger cannot detect the
+    * checkpoint-reset hazard (class doc). */
   def ledgerFrame(spark: SparkSession, appliedBatch: Long): DataFrame = {
     import spark.implicits._
     Seq(appliedBatch).toDF("applied_batch")
+  }
+
+  /** The ledger as a one-row frame `(applied_batch, epoch)`: the epoch
+    * binds the high-water to one streaming query's checkpoint lineage
+    * (use the query id or the checkpoint path), so a query restarted
+    * on a fresh checkpoint — whose batch ids restart at 0 — raises at
+    * recovery instead of having its real batches absorbed as replays. */
+  def ledgerFrame(spark: SparkSession, appliedBatch: Long,
+      epoch: String): DataFrame = {
+    import spark.implicits._
+    require(epoch.nonEmpty, "BatchLedger.ledgerFrame: epoch must be " +
+      "non-empty — an empty query identity cannot detect a checkpoint " +
+      "reset")
+    Seq((appliedBatch, epoch)).toDF("applied_batch", "epoch")
+  }
+
+  /** Read back `(applied_batch, epoch)` from a persisted ledger frame;
+    * epoch is None for a pre-epoch (2-arg [[ledgerFrame]]) ledger —
+    * callers that require the reset guard should treat None as
+    * unmigrated state and rebind explicitly. Same one-non-null-row
+    * contract as [[appliedBatchOf]]. */
+  def ledgerOf(ledger: DataFrame): (Long, Option[String]) = {
+    val hasEpoch = ledger.columns.contains("epoch")
+    val cols =
+      if (hasEpoch) Seq(col("applied_batch").cast("long"), col("epoch"))
+      else Seq(col("applied_batch").cast("long"))
+    val rows = ledger.select(cols: _*).limit(3).collect()
+    require(rows.length == 1 && !rows(0).isNullAt(0),
+      s"BatchLedger.ledgerOf: expected exactly one non-null " +
+        s"applied_batch row, got ${rows.length} — a missing ledger " +
+        "means rebuild/backfill; multiple rows mean two writers race " +
+        "on one artifact")
+    val epoch =
+      if (hasEpoch && !rows(0).isNullAt(1)) Some(rows(0).getString(1))
+      else None
+    (rows(0).getLong(0), epoch)
   }
 
   /** Read the high-water back from a persisted ledger frame; RAISES

@@ -1186,4 +1186,90 @@ class StreamOpsSpec extends SparkSpecBase with Matchers {
       .orderBy("sess_start").select(col("n")).as[Long].collect()
     s shouldBe Array(2L, 1L)
   }
+
+  test("ledgeredFold: the production foreachBatch wrapper — a real " +
+      "streamed fold through a real foreachBatch, then a forced " +
+      "replay is a free no-op, a gap raises, a FOREIGN EPOCH raises " +
+      "(checkpoint-reset hazard) until rebindEpoch acknowledges it") {
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("ledgered").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ledg_ckpt").toString
+    var evals = 0
+    // a sum-shaped (count, sum) artifact — exactly the fold class that
+    // double-counts under unguarded replay (BatchLedgerSpec pins that)
+    def fold(prior: Option[DataFrame], batch: DataFrame): DataFrame = {
+      evals += 1
+      val b = batch.groupBy("g")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      prior.map(_.unionByName(b).groupBy("g")
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))).getOrElse(b)
+    }
+    def runQuery(in: MemoryStream[(String, Long)]): Unit = {
+      val q = in.toDS().toDF("g", "v").writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          StreamOps.ledgeredFold(spark, dir, "query-1", df, id)(fold)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 0 through a REAL foreachBatch; then the query restarts on
+    // the SAME checkpoint and delivers batch 1 — the production shape
+    val in = MemoryStream[(String, Long)](spark)
+    in.addData(("a", 1L), ("b", 2L))
+    runQuery(in)
+    in.addData(("a", 10L))
+    runQuery(in)
+    val (_, hw1, ep1) = StreamOps.readLedgered(spark, dir).get
+    hw1 shouldBe 1L
+    ep1 shouldBe Some("query-1")
+    val evalsAfterStream = evals
+    // forced replay: the at-least-once re-delivery of batch 1 — the
+    // fold thunk never evaluates, nothing is rewritten
+    StreamOps.ledgeredFold(spark, dir, "query-1",
+      Seq(("a", 10L)).toDF("g", "v"), 1L)(fold) shouldBe false
+    evals shouldBe evalsAfterStream
+    // successor folds; artifact equals the once-delivered from-scratch
+    StreamOps.ledgeredFold(spark, dir, "query-1",
+      Seq(("b", 5L), ("c", 7L)).toDF("g", "v"), 2L)(fold) shouldBe true
+    def rows(d: DataFrame) =
+      d.as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val (art, hw2, _) = StreamOps.readLedgered(spark, dir).get
+    hw2 shouldBe 2L
+    rows(art) shouldBe Seq(("a", 11L, 2L), ("b", 7L, 2L), ("c", 7L, 1L))
+    // a gap raises (BatchLedger's law, surfaced through the store)
+    val eGap = intercept[IllegalStateException] {
+      StreamOps.ledgeredFold(spark, dir, "query-1",
+        Seq(("z", 1L)).toDF("g", "v"), 9L)(fold)
+    }
+    eGap.getMessage should include("never folded")
+    // the checkpoint-reset hazard (round-19 ADVICE): a fresh-checkpoint
+    // query re-numbers from 0 — its batch 0 must RAISE, not be absorbed
+    // as a replay of high-water 2
+    val eEpoch = intercept[IllegalStateException] {
+      StreamOps.ledgeredFold(spark, dir, "query-2",
+        Seq(("a", 100L)).toDF("g", "v"), 0L)(fold)
+    }
+    eEpoch.getMessage should include("rebindEpoch")
+    rows(StreamOps.readLedgered(spark, dir).get._1) shouldBe
+      Seq(("a", 11L, 2L), ("b", 7L, 2L), ("c", 7L, 1L)) // untouched
+    // explicit acknowledgment: rebind keeps the artifact, resets the
+    // high-water, and the new query's batch 0 folds as NEW data
+    StreamOps.rebindEpoch(spark, dir, "query-2")
+    val (_, hwR, epR) = StreamOps.readLedgered(spark, dir).get
+    hwR shouldBe -1L
+    epR shouldBe Some("query-2")
+    StreamOps.ledgeredFold(spark, dir, "query-2",
+      Seq(("a", 100L)).toDF("g", "v"), 0L)(fold) shouldBe true
+    rows(StreamOps.readLedgered(spark, dir).get._1) shouldBe
+      Seq(("a", 111L, 3L), ("b", 7L, 2L), ("c", 7L, 1L))
+    // rebinding an empty store is refused loudly
+    val eNone = intercept[IllegalStateException] {
+      StreamOps.rebindEpoch(spark,
+        java.nio.file.Files.createTempDirectory("ledg_empty").toString,
+        "q")
+    }
+    eNone.getMessage should include("no committed artifact")
+  }
 }
