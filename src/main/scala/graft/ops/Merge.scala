@@ -497,16 +497,32 @@ object Merge {
     * once when the view is first materialized, then maintained by
     * [[leftJoinCountsFold]]. `aIdCols` must identify left rows
     * uniquely (they are the retraction handle too). */
+  /** Build-parameter identity of a counts artifact: the column lists
+    * it was built over. Two counts tables keyed differently (or with
+    * different left-row ids) fold into garbage silently — the n sums
+    * still add — so the (keyCols, aIdCols) pair is hashed into the
+    * [[ArtifactStamp]] and checked at plan time by every maintenance
+    * verb (round-20; the last unstamped artifact family).
+    * MurmurHash3.orderedHash over the names is deterministic across
+    * JVMs; the separator keeps ([a,b],[c]) distinct from ([a],[b,c]). */
+  private def countsKeyHash(keyCols: Seq[String],
+      aIdCols: Seq[String]): Long =
+    scala.util.hashing.MurmurHash3
+      .orderedHash(keyCols ++ Seq(" ") ++ aIdCols).toLong
+
   def leftJoinMatchCounts(a: DataFrame, b: DataFrame,
       keyCols: Seq[String], aIdCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && aIdCols.nonEmpty,
       "leftJoinMatchCounts: keyCols and aIdCols must be non-empty")
-    a.select((keyCols ++ aIdCols).distinct.map(col): _*)
-      .join(b.groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("__bn")),
-        keyCols, "left")
-      .select(aIdCols.map(col) :+
-        coalesce(col("__bn"), lit(0L)).as("n"): _*)
+    ArtifactStamp.stamp(
+      a.select((keyCols ++ aIdCols).distinct.map(col): _*)
+        .join(b.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("__bn")),
+          keyCols, "left")
+        .select(aIdCols.map(col) :+
+          coalesce(col("__bn"), lit(0L)).as("n"): _*),
+      "n", "leftjoin_counts",
+      "key_hash" -> countsKeyHash(keyCols, aIdCols))
   }
 
   /** COMPACT a stored match-counts artifact ([[leftJoinMatchCounts]] /
@@ -523,6 +539,10 @@ object Merge {
     require(counts.columns.contains("n"),
       s"leftJoinCountsCompact: not a counts table — columns " +
         s"(${counts.columns.mkString(", ")})")
+    // op-only check (the compact signature carries no keyCols to hash
+    // against); compactByKey is pure layout and preserves the stamp
+    ArtifactStamp.check(counts, "n", "leftjoin_counts",
+      "leftJoinCountsCompact")
     graft.ops.Layout.compactByKey(counts, aIdCols)
   }
 
@@ -536,6 +556,8 @@ object Merge {
   def leftJoinCountsFold(counts: DataFrame, aOld: DataFrame,
       deltaA: DataFrame, bOld: DataFrame, deltaB: DataFrame,
       keyCols: Seq[String], aIdCols: Seq[String]): DataFrame = {
+    ArtifactStamp.check(counts, "n", "leftjoin_counts",
+      "leftJoinCountsFold", "key_hash" -> countsKeyHash(keyCols, aIdCols))
     val dOld = aOld.select((keyCols ++ aIdCols).distinct.map(col): _*)
       .join(deltaB.groupBy(keyCols.map(col): _*)
           .agg(count(lit(1)).as("__dn")),
@@ -544,10 +566,13 @@ object Merge {
     val dNew = leftJoinMatchCounts(deltaA, bOld.unionByName(deltaB),
       keyCols, aIdCols).select(aIdCols.map(col) :+
         col("n").as("__dn"): _*)
-    counts.join(dOld.unionByName(dNew), aIdCols, "full_outer")
-      .select(aIdCols.map(col) :+
-        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
-          .as("n"): _*)
+    ArtifactStamp.stamp(
+      counts.join(dOld.unionByName(dNew), aIdCols, "full_outer")
+        .select(aIdCols.map(col) :+
+          (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+            .as("n"): _*),
+      "n", "leftjoin_counts",
+      "key_hash" -> countsKeyHash(keyCols, aIdCols))
   }
 
   /** Null-extend `rows` (a left-side frame) with the b-side payload
@@ -573,6 +598,8 @@ object Merge {
   def leftJoinViewChanges(counts: DataFrame, aOld: DataFrame,
       deltaA: DataFrame, bOld: DataFrame, deltaB: DataFrame,
       keyCols: Seq[String], aIdCols: Seq[String]): DataFrame = {
+    ArtifactStamp.check(counts, "n", "leftjoin_counts",
+      "leftJoinViewChanges", "key_hash" -> countsKeyHash(keyCols, aIdCols))
     val matches = joinViewDelta(aOld, deltaA, bOld, deltaB, keyCols)
     val newUnmatched = nullExtended(
       deltaA.join(bOld.unionByName(deltaB)
@@ -612,6 +639,8 @@ object Merge {
       aAll: DataFrame, removedA: DataFrame, removedB: DataFrame,
       keyCols: Seq[String], aIdCols: Seq[String],
       bIdCols: Seq[String]): DataFrame = {
+    ArtifactStamp.check(counts, "n", "leftjoin_counts",
+      "leftJoinViewRetract", "key_hash" -> countsKeyHash(keyCols, aIdCols))
     val kept = view
       .join(removedA.select(aIdCols.map(col): _*).distinct(),
         aIdCols, "left_anti")

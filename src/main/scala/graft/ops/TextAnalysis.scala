@@ -18,6 +18,18 @@ object TextAnalysis {
   /** Word tokens: lowercased, split on runs of non-letters/digits. */
   def tokens(text: Column): Column = Dedup.wordTokens(text)
 
+  /** BUILD-PARAMETER VERSION of [[tokens]] — the provenance stamp on
+    * every persisted BM25 statistics artifact ([[dfTable]]/
+    * [[docStats]]). The tokenizer is not a numeric parameter like CMS
+    * depth, but it is just as load-bearing: two df tables built under
+    * different tokenizations merge into garbage SILENTLY (term spaces
+    * disagree row by row, sums still add). BUMP THIS whenever
+    * `tokens`' observable behavior changes (split class, casing,
+    * normalization) — merges/retracts/serves check it at plan time and
+    * raise on mismatch ([[ArtifactStamp]]), so yesterday's artifacts
+    * fail loudly instead of skewing tonight's scores. */
+  val TokenizerVersion: Long = 1L
+
   /** Whitespace-delimited token count (the "wc -w" number). */
   def whitespaceTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
@@ -829,17 +841,27 @@ object TextAnalysis {
     * term for term (q_bm25_incr proves it). Pair with [[docStats]] for
     * the corpus totals BM25/IDF serving needs. */
   def dfTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-        explode(array_distinct(tokens(col(textCol)))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    ArtifactStamp.stamp(
+      df.select(col(idCol),
+          explode(array_distinct(tokens(col(textCol)))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df")),
+      "df", "bm25_df", "tokenizer_v" -> TokenizerVersion)
 
   /** Merge stored [[dfTable]]s by per-term SUM (snapshots must be
     * doc-disjoint — an upsert needs dedup upstream, the
-    * [[graft.ops.Similarity.ivfPqIndexAppend]] contract). */
+    * [[graft.ops.Similarity.ivfPqIndexAppend]] contract). Inputs must
+    * carry the [[dfTable]] stamp at the CURRENT [[TokenizerVersion]]
+    * (round-20: tokenization is a build parameter — tables built under
+    * different tokenizers share no term space and would sum garbage
+    * silently). */
   def dfTableMerge(tables: Seq[DataFrame]): DataFrame = {
     require(tables.nonEmpty, "dfTableMerge: need at least one table")
-    tables.map(_.select(col("term"), col("df"))).reduce(_ unionAll _)
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    tables.foreach(ArtifactStamp.check(_, "df", "bm25_df",
+      "dfTableMerge", "tokenizer_v" -> TokenizerVersion))
+    ArtifactStamp.stamp(
+      tables.map(_.select(col("term"), col("df"))).reduce(_ unionAll _)
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      "df", "bm25_df", "tokenizer_v" -> TokenizerVersion)
   }
 
   /** COMPACT a stored [[dfTable]] after N nightly merges/retractions:
@@ -857,15 +879,25 @@ object TextAnalysis {
   /** Corpus totals `(n_docs, sum_dl)` for stored-stats BM25 serving —
     * exact longs, additive across snapshots ([[docStatsMerge]]). */
   def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(size(coalesce(tokens(col(textCol)),
-        array().cast(ArrayType(StringType)))).as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("dl").cast(LongType)).as("sum_dl"))
+    ArtifactStamp.stamp(
+      df.select(size(coalesce(tokens(col(textCol)),
+          array().cast(ArrayType(StringType)))).as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast(LongType)).as("sum_dl")),
+      "n_docs", "bm25_docstats", "tokenizer_v" -> TokenizerVersion)
 
+  /** Same stamp contract as [[dfTableMerge]]: `sum_dl` is a
+    * tokenizer-dependent quantity, so cross-tokenizer totals are
+    * garbage even though the sums still add. */
   def docStatsMerge(tables: Seq[DataFrame]): DataFrame = {
     require(tables.nonEmpty, "docStatsMerge: need at least one table")
-    tables.map(_.select(col("n_docs"), col("sum_dl"))).reduce(_ unionAll _)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    tables.foreach(ArtifactStamp.check(_, "n_docs", "bm25_docstats",
+      "docStatsMerge", "tokenizer_v" -> TokenizerVersion))
+    ArtifactStamp.stamp(
+      tables.map(_.select(col("n_docs"), col("sum_dl"))).reduce(_ unionAll _)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_dl")).as("sum_dl")),
+      "n_docs", "bm25_docstats", "tokenizer_v" -> TokenizerVersion)
   }
 
   /** RETRACT documents from a stored [[dfTable]] — the IR member of
@@ -882,9 +914,15 @@ object TextAnalysis {
     * filters can be reordered past the drop-zero filter). */
   def dfTableRetract(base: DataFrame, removed: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // the removed side is tokenized NOW (current tokenizer); the base
+    // must have been built under the same one or the subtraction
+    // misses/overshoots terms — plan-time provenance check (round 20)
+    ArtifactStamp.check(base, "df", "bm25_df", "dfTableRetract",
+      "tokenizer_v" -> TokenizerVersion)
     val rm = dfTable(removed, idCol, textCol)
       .select(col("term"), col("df").as("__df_rm"))
-    base.select(col("term"), col("df")).join(rm, Seq("term"), "full_outer")
+    ArtifactStamp.stamp(
+      base.select(col("term"), col("df")).join(rm, Seq("term"), "full_outer")
       .select(col("term"),
         when(col("df").isNull,
           raise_error(concat(lit("dfTableRetract: term '"), col("term"),
@@ -896,7 +934,8 @@ object TextAnalysis {
                 "subset of the indexed corpus"))))
           .otherwise(col("df") - coalesce(col("__df_rm"), lit(0L)))
           .cast(LongType).as("df"))
-      .where(col("df") > 0L)
+      .where(col("df") > 0L),
+      "df", "bm25_df", "tokenizer_v" -> TokenizerVersion)
   }
 
   /** RETRACT documents from stored [[docStats]] totals — both are
@@ -904,17 +943,21 @@ object TextAnalysis {
     * [[dfTableRetract]]). */
   def docStatsRetract(base: DataFrame, removed: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    ArtifactStamp.check(base, "n_docs", "bm25_docstats",
+      "docStatsRetract", "tokenizer_v" -> TokenizerVersion)
     val rm = docStats(removed, idCol, textCol)
       .select(col("n_docs").as("__n_rm"), col("sum_dl").as("__dl_rm"))
-    base.select(col("n_docs"), col("sum_dl")).crossJoin(rm)
-      .select(
-        when(col("n_docs") < col("__n_rm") ||
-            col("sum_dl") < col("__dl_rm"),
-          raise_error(lit("docStatsRetract: totals would go negative — " +
-            "removed docs are not a subset of the indexed corpus")))
-          .otherwise(col("n_docs") - col("__n_rm")).cast(LongType)
-          .as("n_docs"),
-        (col("sum_dl") - col("__dl_rm")).cast(LongType).as("sum_dl"))
+    ArtifactStamp.stamp(
+      base.select(col("n_docs"), col("sum_dl")).crossJoin(rm)
+        .select(
+          when(col("n_docs") < col("__n_rm") ||
+              col("sum_dl") < col("__dl_rm"),
+            raise_error(lit("docStatsRetract: totals would go negative — " +
+              "removed docs are not a subset of the indexed corpus")))
+            .otherwise(col("n_docs") - col("__n_rm")).cast(LongType)
+            .as("n_docs"),
+          (col("sum_dl") - col("__dl_rm")).cast(LongType).as("sum_dl")),
+      "n_docs", "bm25_docstats", "tokenizer_v" -> TokenizerVersion)
   }
 
   /** [[bm25TopDocs]] SERVING FROM STORED STATISTICS: score `df`'s docs
@@ -933,6 +976,12 @@ object TextAnalysis {
     require(queryTerms.distinct.size == queryTerms.size,
       s"query terms must be distinct, got $queryTerms")
     require(k >= 1, s"k must be positive, got $k")
+    // the serve tokenizes `df` with the CURRENT tokenizer; stored stats
+    // built under another one would score against a foreign term space
+    ArtifactStamp.check(dfStats, "df", "bm25_df",
+      "bm25TopDocsFromStats", "tokenizer_v" -> TokenizerVersion)
+    ArtifactStamp.check(totals, "n_docs", "bm25_docstats",
+      "bm25TopDocsFromStats", "tokenizer_v" -> TokenizerVersion)
     val ti = queryTerms.indices
     val dfCols = ti.map(i =>
       coalesce(max(when(col("term") === queryTerms(i), col("df"))), lit(0L))

@@ -183,4 +183,110 @@ class ArtifactStampSpec extends SparkSpecBase with Matchers {
       "qid", "qv", k = 3, cents, nprobe = 2, books)
       .count() should be >= 1L
   }
+
+  test("BM25 statistics raises (round 20, the last TextAnalysis gap): " +
+      "df/doc-stats tables carry the tokenizer version; merges, " +
+      "retracts, and the stats serve refuse unstamped or " +
+      "foreign-tokenizer tables") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "spark shuffles data"), (2L, "catalyst plans"))
+      .toDF("id", "text")
+    val dfT = TextAnalysis.dfTable(docs, "id", "text")
+    val stats = TextAnalysis.docStats(docs, "id", "text")
+    ArtifactStamp.stampOf(dfT, "df") shouldBe
+      Some(("bm25_df", Map("tokenizer_v" -> TextAnalysis.TokenizerVersion)))
+    // a hand-built (term, df) table — e.g. a foreign indexer's output —
+    // refuses to merge: its term space is unproven
+    val foreign = Seq(("spark", 3L)).toDF("term", "df")
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.dfTableMerge(Seq(dfT, foreign))
+    }
+    e1.getMessage should include("no build-parameter stamp")
+    // a table stamped under ANOTHER tokenizer version raises naming it
+    val vOld = ArtifactStamp.stamp(foreign, "df", "bm25_df",
+      "tokenizer_v" -> (TextAnalysis.TokenizerVersion + 1L))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.dfTableMerge(Seq(dfT, vOld))
+    }
+    e2.getMessage should include("mismatched: tokenizer_v")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dfTableRetract(vOld, docs, "id", "text")
+    }.getMessage should include("mismatched: tokenizer_v")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.docStatsMerge(Seq(stats,
+        Seq((1L, 5L)).toDF("n_docs", "sum_dl")))
+    }.getMessage should include("no build-parameter stamp")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopDocsFromStats(docs, "id", "text",
+        Seq("spark"), vOld, stats)
+    }.getMessage should include("mismatched: tokenizer_v")
+    // matched path: merge/retract/serve all still run, stamp carried
+    val merged = TextAnalysis.dfTableMerge(Seq(dfT, dfT))
+    ArtifactStamp.stampOf(merged, "df").map(_._1) shouldBe Some("bm25_df")
+    TextAnalysis.bm25TopDocsFromStats(docs, "id", "text", Seq("spark"),
+      merged, TextAnalysis.docStatsMerge(Seq(stats, stats)))
+      .count() should be >= 1L
+  }
+
+  test("left-join counts raises (round 20, the last Merge gap): the " +
+      "counts artifact is bound to its (keyCols, aIdCols) identity — " +
+      "folding or retracting under different columns raises; the " +
+      "matched fold re-stamps") {
+    import graft.ops.Merge
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "pa")
+    val b = Seq((1L, 10L)).toDF("k", "pb")
+    val counts = Merge.leftJoinMatchCounts(a, b, Seq("k"), Seq("k"))
+    ArtifactStamp.stampOf(counts, "n").map(_._1) shouldBe
+      Some("leftjoin_counts")
+    // a counts table built over DIFFERENT columns refuses to fold
+    val e1 = intercept[IllegalArgumentException] {
+      Merge.leftJoinCountsFold(counts, a, a, b, b, Seq("k"), Seq("k", "pa"))
+    }
+    e1.getMessage should include("mismatched: key_hash")
+    // a hand-built (id, n) frame is unproven provenance
+    intercept[IllegalArgumentException] {
+      Merge.leftJoinCountsFold(Seq((1L, 1L)).toDF("k", "n"),
+        a, a, b, b, Seq("k"), Seq("k"))
+    }.getMessage should include("no build-parameter stamp")
+    intercept[IllegalArgumentException] {
+      Merge.leftJoinViewChanges(Seq((1L, 1L)).toDF("k", "n"),
+        a, a, b, b, Seq("k"), Seq("k"))
+    }.getMessage should include("no build-parameter stamp")
+    intercept[IllegalArgumentException] {
+      Merge.leftJoinCountsCompact(Seq((1L, 1L)).toDF("k", "n"), Seq("k"))
+    }.getMessage should include("no build-parameter stamp")
+    // matched fold runs and re-stamps; the folded table compacts
+    val folded = Merge.leftJoinCountsFold(counts,
+      a, a.limit(0), b, b.limit(0), Seq("k"), Seq("k"))
+    ArtifactStamp.stampOf(folded, "n") shouldBe
+      ArtifactStamp.stampOf(counts, "n")
+    Merge.leftJoinCountsCompact(folded, Seq("k")).count() shouldBe 2L
+  }
+
+  test("stampTableInPlace migrates a pre-stamp parquet table so the " +
+      "hard-raising maintenance verbs accept it (round-19 ADVICE: the " +
+      "stored-state break needed a remedy beyond hand-editing)") {
+    import graft.ops.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("migrate").toString
+    // a round-18-era artifact: correct values, no stamp
+    val pre = Sketches.cmsGrids(kv, Seq("g"), "k", 4, 32)
+    val unstamped = pre.withColumn("cms_grid",
+      col("cms_grid").as("cms_grid",
+        new org.apache.spark.sql.types.MetadataBuilder().build()))
+    unstamped.write.mode("overwrite").parquet(s"$dir/cms")
+    val back = spark.read.parquet(s"$dir/cms")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsMergeGrids(Seq(back, pre), Seq("g"), 4, 32)
+    }.getMessage should include("no build-parameter stamp")
+    ArtifactStamp.stampTableInPlace(spark, s"$dir/cms", "cms_grid",
+      "cms", "depth" -> 4L, "width" -> 32L)
+    val migrated = spark.read.parquet(s"$dir/cms")
+    ArtifactStamp.stampOf(migrated, "cms_grid") shouldBe
+      Some(("cms", Map("depth" -> 4L, "width" -> 32L)))
+    // values untouched, and the migrated table folds like a fresh build
+    migrated.select(col("g"), col("cms_grid")).exceptAll(
+      pre.select(col("g"), col("cms_grid"))).count() shouldBe 0L
+    Sketches.cmsMergeGrids(Seq(migrated, pre), Seq("g"), 4, 32)
+      .count() should be >= 1L
+  }
 }
