@@ -21,9 +21,13 @@ import graft.SparkSpecBase
   * winnow index, CMS grids, BM25 df table, and the IVF-PQ ANN index.
   * The gracefully-DEGRADING artifacts (quantile/priority bottom-k,
   * whose retraction intentionally yields reduced resolution, not
-  * from-scratch equality) are out of scope here by design — their
-  * contracts are pinned by their own oracles (q_quantile_retract,
-  * q_sample_retract). */
+  * from-scratch equality at the original k/m) are excluded from THAT
+  * leg by design and get their own soak below (round 20): the same
+  * night-over-night cadence, asserting their DOCUMENTED bound —
+  * exact bottom-m'/top-m' validity on the live corpus at the reduced
+  * resolution, exact m' arithmetic, and tau monotonicity across
+  * retractions — on top of the single-step oracles
+  * (q_quantile_retract, q_sample_retract). */
 class LifecycleSoakSpec extends SparkSpecBase with Matchers {
   import spark.implicits._
 
@@ -265,5 +269,166 @@ class LifecycleSoakSpec extends SparkSpecBase with Matchers {
     // the soak actually exercised a non-trivial end state
     live.keySet should contain allOf (5L, 8L, 11L, 13L, 15L, 17L)
     live.keySet should contain noneOf (1L, 2L, 3L, 14L)
+  }
+
+  test("degrading-artifact soak (round 20): the quantile bottom-k and " +
+      "priority top-m samples stay VALID samples of the live corpus at " +
+      "their documented reduced resolution through 12 nights of " +
+      "interleaved append/retract — bottom-m'/top-m' equality vs " +
+      "from-scratch EVERY night, exact m' arithmetic, and tau " +
+      "monotonicity across every retraction") {
+    import graft.functions.LongHashes
+    // These two families are EXCLUDED from the exact soak above by
+    // design: retraction yields reduced resolution, not from-scratch
+    // equality at the ORIGINAL k/m. Their documented contract is
+    // stronger than "approximately fine", though — the degraded
+    // artifact equals the from-scratch sample of the SURVIVING corpus
+    // at resolution m' = k − |removed ∩ stored| EXACTLY (a removal
+    // cannot promote a survivor past the old threshold), and further
+    // snapshots fold at the reduced resolution (top-m'/bottom-m'
+    // closure under union). This leg asserts exactly that, night over
+    // night, plus the serve-side threshold law: the DLT tau can only
+    // FALL when rows leave (a retraction never tightens the sample's
+    // coverage claim).
+    //
+    // Re-stamping at m' is part of the documented flow: the stamp
+    // carries the artifact's RESOLUTION, and a retraction reduces it —
+    // the restamp is the operator's acknowledgment (without it, the
+    // next fold's same-k check raises, by design).
+    val g = Seq("g")
+    def w(id: Long): Long = (id * 37) % 101 + 1
+    def v(id: Long): Long = (id * 53) % 997
+    def corpus(ids: Iterable[Long]): DataFrame =
+      ids.toSeq.map(i => ("all", i, w(i), v(i))).toDF("g", "id", "w", "v0")
+        .select(col("g"), col("id"), col("w"),
+          LongHashes.splitmix64(col("id")).as("h"),
+          col("v0").as("v"))
+    val live = scala.collection.mutable.LinkedHashSet[Long]()
+    live ++= (1L to 60L)
+    var kQ = 30 // quantile resolution, non-increasing over the soak
+    var mP = 24 // priority resolution, non-increasing over the soak
+    val kTau = 4
+    var qsk = Sketches.quantileSummaries(corpus(live), g, "h", "v", kQ)
+      .transform(hardPin)
+    var wsample = Sampling.prioritySamples(corpus(live), g, "id", "w", mP)
+      .transform(hardPin)
+
+    def qRows: Seq[(Long, Long)] = qsk.select(explode(col("qsketch")))
+      .select(col("col.fkey"), col("col.v")).as[(Long, Long)].collect().toSeq
+    def pRows: Seq[(Double, Long, Long)] =
+      wsample.select(explode(col("wsample")))
+        .select(col("col.np"), col("col.id"), col("col.w"))
+        .as[(Double, Long, Long)].collect().toSeq
+    /** The DLT threshold in weight units off the CURRENT sample —
+      * 0 when the sample holds no (kTau+1)-th entry. */
+    def tau(): Double = {
+      val ps = pRows
+      if (ps.size > kTau) -ps(kTau)._1 * 9223372036854775808.0 else 0.0
+    }
+
+    def appendNight(ids: Seq[Long]): Unit = {
+      require(ids.forall(i => !live.contains(i)))
+      live ++= ids
+      val batch = corpus(ids)
+      // fold at the CURRENT (possibly reduced) resolution — the
+      // documented degraded-fold rule
+      qsk = Sketches.quantileMergeSummaries(Seq(qsk,
+        Sketches.quantileSummaries(batch, g, "h", "v", kQ)), g, kQ)
+        .transform(hardPin)
+      wsample = Sampling.prioritySampleMerge(Seq(wsample,
+        Sampling.prioritySamples(batch, g, "id", "w", mP)), g, mP)
+        .transform(hardPin)
+    }
+
+    def retractNight(ids: Seq[Long]): Unit = {
+      require(ids.forall(live.contains))
+      val tauBefore = tau()
+      val qBefore = qRows
+      val pBefore = pRows
+      live --= ids
+      val rmHashes = corpus(ids).select(collect_list(col("h")))
+        .as[Seq[Long]].head()
+      val rmFlipped = rmHashes.map(_ ^ Long.MinValue).toSet
+      qsk = qsk.select(col("g"),
+        Sketches.quantilePairsRetract(col("qsketch"),
+          typedLit(rmHashes)).as("qsketch")).transform(hardPin)
+      wsample = wsample.select(col("g"),
+        Sampling.priorityPairsRetract(col("wsample"),
+          typedLit(ids)).as("wsample")).transform(hardPin)
+      // exact m' arithmetic: resolution drops by EXACTLY the stored
+      // hits — never more (unsampled removals are free), never less
+      val qHits = qBefore.count(r => rmFlipped.contains(r._1))
+      val pHits = pBefore.count(r => ids.contains(r._2))
+      qRows.size shouldBe qBefore.size - qHits
+      pRows.size shouldBe pBefore.size - pHits
+      kQ = math.min(kQ, qRows.size max 1)
+      mP = math.min(mP, pRows.size max 1)
+      // the operator's acknowledgment of reduced resolution
+      qsk = ArtifactStamp.stamp(qsk, "qsketch", "quantile",
+        "k" -> kQ.toLong).transform(hardPin)
+      wsample = ArtifactStamp.stamp(wsample, "wsample", "priority_sample",
+        "m" -> mP.toLong).transform(hardPin)
+      // tau monotonicity: rows leaving can only LOWER the serve
+      // threshold (or leave it at 0) — a rising tau after a retraction
+      // would claim coverage the degraded sample no longer has
+      withClue(s"tau after retract of $ids: ") {
+        tau() should be <= tauBefore
+      }
+    }
+
+    def assertValidAtReducedResolution(night: String): Unit = {
+      val liveC = corpus(live)
+      withClue(s"[$night] quantile bottom-m' validity: ") {
+        val scratch = Sketches.quantileSummaries(liveC, g, "h", "v", kQ)
+          .select(explode(col("qsketch")))
+          .select(col("col.fkey"), col("col.v"))
+          .as[(Long, Long)].collect().toSeq
+        qRows shouldBe scratch
+      }
+      withClue(s"[$night] priority top-m' validity: ") {
+        val scratch = Sampling.prioritySamples(liveC, g, "id", "w", mP)
+          .select(explode(col("wsample")))
+          .select(col("col.np"), col("col.id"), col("col.w"))
+          .as[(Double, Long, Long)].collect().toSeq
+        pRows shouldBe scratch
+      }
+    }
+
+    val script: Seq[(String, () => Unit)] = Seq(
+      "n01 append 61-68" -> (() => appendNight((61L to 68L).toSeq)),
+      "n02 retract mod5" -> (() =>
+        retractNight(live.toSeq.filter(_ % 5 == 0))),
+      "n03 append 69-76" -> (() => appendNight((69L to 76L).toSeq)),
+      "n04 retract mod7" -> (() =>
+        retractNight(live.toSeq.filter(_ % 7 == 0))),
+      "n05 append 77-84" -> (() => appendNight((77L to 84L).toSeq)),
+      "n06 retract mod11" -> (() =>
+        retractNight(live.toSeq.filter(_ % 11 == 0))),
+      "n07 append 85-92" -> (() => appendNight((85L to 92L).toSeq)),
+      "n08 retract mod13" -> (() =>
+        retractNight(live.toSeq.filter(_ % 13 == 0))),
+      "n09 append 93-100" -> (() => appendNight((93L to 100L).toSeq)),
+      "n10 retract mod17" -> (() =>
+        retractNight(live.toSeq.filter(_ % 17 == 0))),
+      "n11 append 101-108" -> (() => appendNight((101L to 108L).toSeq)),
+      "n12 retract mod19" -> (() =>
+        retractNight(live.toSeq.filter(_ % 19 == 0))))
+    script.foreach { case (night, run) =>
+      println(s"[soak-degrading] running $night " +
+        s"(live=${live.size}, kQ=$kQ, mP=$mP)")
+      run()
+      assertValidAtReducedResolution(night)
+    }
+    // the soak actually degraded (resolution fell) yet stayed serveable
+    kQ should be < 30
+    mP should be < 24
+    mP should be > kTau // tau still has a real (kTau+1)-th entry to read
+    // both degraded artifacts still SERVE: a DLT estimate row per
+    // top-kTau entry, and a median off the reduced sketch
+    wsample.select(org.apache.spark.sql.functions.size(
+        Sampling.priorityEstimates(col("wsample"), kTau)))
+      .as[Int].head() shouldBe kTau
+    qsk.select(Sketches.summaryQuantile(col("qsketch"), 0.5))
+      .as[Double].head() should be >= 0.0
   }
 }
