@@ -219,8 +219,13 @@ object Privacy {
     * caveat points at.
     *
     * Scale shape: distinct (user, group) pairs (one slim exchange,
-    * map-side partials), a bounded per-user top-`maxGroups` aggregate
-    * over those pairs (no Window over raw rows), then one semi-join
+    * map-side partials), a BOUNDED per-user bottom-`maxGroups`
+    * aggregate over those pairs ([[Sampling.BottomKByHash]] — at most
+    * maxGroups entries per aggregation buffer, so a heavy-hitter user
+    * in millions of groups costs O(maxGroups) memory, not O(its
+    * fan-out); round-19 ADVICE: the previous collect_list phrasing
+    * buffered ALL of a user's pairs before slicing), a join-back from
+    * the kept hashes to their (user, group) pairs, then one semi-join
     * of the full frame against the kept pairs — broadcastable when
     * |kept pairs| is (as usual) dimension-sized; never a shuffle of
     * the raw frame beyond the join itself. */
@@ -246,7 +251,22 @@ object Privacy {
       .select(col(userCol), col(groupCol),
         LongHashes.splitmix64(TextHashes.rolling_hash64(col(groupCol))
           .bitwiseXOR(col(userCol).cast(LongType))).as("__h"))
-    val kept = pairs
+    // bounded pick, bit-identical to the reference slice(sort(all
+    // pairs), maxGroups): the first maxGroups (h, group) pairs in
+    // ascending order span at most maxGroups DISTINCT hashes, so
+    // keeping the bottom-maxGroups distinct hashes (bounded buffer),
+    // joining back to their pairs, and re-slicing that ≤maxGroups(+ε
+    // under a 2^-64 same-user hash collision)-row sublist reproduces
+    // the exact pick — the final collect_list buffers only the
+    // already-bounded sublist, never the user's raw fan-out
+    val keptHashes = pairs
+      .groupBy(col(userCol))
+      .agg(Sampling.bottomKByHash(col("__h"), col("__h"), maxGroups)
+        .as("__ks"))
+      .select(col(userCol),
+        explode(transform(col("__ks"), s => s.getField("skey")))
+          .as("__h"))
+    val kept = pairs.join(keptHashes, Seq(userCol, "__h"))
       .groupBy(col(userCol))
       .agg(slice(array_sort(collect_list(struct(col("__h"),
         col(groupCol)))), 1, maxGroups).as("__k"))
