@@ -57,33 +57,61 @@ import org.apache.spark.sql.SparkSession
   * caller keeping only the final few KB of stdout. */
 object Bench {
 
-  /** Machine-detectable board pollution (round-19 delivery): a board
-    * is DEGRADED when a 1-minute loadavg sample around the passes
-    * exceeds its threshold — the round-18 polluted pair ran at loadavg
-    * 4.5-6.3 on 32 cpus while clean boards sat near 2. Failed samples
-    * (-1 sentinel from an unreadable /proc/loadavg) are ignored: an
-    * unreadable load file is not evidence of load.
+  /** Machine-detectable board pollution (round-19 delivery, round-20
+    * recalibration): a board is DEGRADED when there is evidence of
+    * CO-TENANT load — load that is not this bench's own work.
     *
-    * Two thresholds (round-19 ADVICE: at small `cpus` the old flat
-    * `cpus/8` fell BELOW the bench's own steady-state load, so every
-    * small-machine board stamped degraded and the stamp stopped
-    * discriminating): the BEFORE sample is taken ahead of any Spark
-    * work, so it keeps the raw external-pollution threshold `cpus/8`;
-    * mid-run/after samples include the bench's own load, so their
-    * threshold is floored at `before + 2.5` — the pre-run external
-    * baseline plus the suite's observed steady self-load (~2 on the
-    * 32-cpu rig, which leaves the rig's effective threshold at the
-    * same 4.0 that correctly flagged the r18/r19 polluted boards).
-    * Residual limit, documented: on a machine small enough that the
-    * bench alone drives loadavg past `before + 2.5` (cpus <= ~4 under
-    * a fully-parallel query), mid-run samples still over-trigger —
-    * there the BEFORE sample is the only trustworthy signal. */
-  def isDegraded(loads: Seq[Double], cpus: Int): Boolean = {
-    val ok = loads.filter(_ >= 0)
-    val before = ok.headOption.getOrElse(0.0)
-    before > cpus / 8.0 ||
-      ok.drop(1).exists(_ > math.max(cpus / 8.0, before + 2.5))
+    * Round-20 finding: mid-run 1-minute loadavg cannot carry that
+    * evidence on ANY machine. Loadavg counts runnable threads, and a
+    * `local[32]` pass over the heavy graph queries (PageRank,
+    * triangles, k-core) legitimately drives it past any flat
+    * threshold — an otherwise-idle rig (before-sample 0.81, zero
+    * co-tenants) stamped its own board degraded at loadavg 6.16, the
+    * same failure shape the round-19 ADVICE flagged for small `cpus`.
+    * Self-load and pollution are indistinguishable in a total.
+    *
+    * So mid-run pollution is now measured as FOREIGN CPU: system-wide
+    * CPU cores in use minus this JVM's own cores in use, sampled from
+    * `com.sun.management.OperatingSystemMXBean` at every query
+    * boundary (each sample is the average over the preceding query —
+    * the exact window whose measurement it could have polluted). The
+    * bench's own work cancels out of the subtraction by construction,
+    * at every cpu count; what remains is the co-tenant. The idle sbt
+    * parent JVM that forked this process is technically foreign but
+    * contributes ~0.03 cores, far under threshold.
+    *
+    * Degraded iff: the BEFORE loadavg sample (taken ahead of any Spark
+    * work, so self-load-free and still trustworthy) exceeds `cpus/8`,
+    * OR median foreign CPU exceeds `cpus/8` (sustained co-tenant:
+    * 4 cores on the 32-cpu rig — the r18/r19 polluted boards ran
+    * neighbors at 4.5-8.3 cores, well over), OR p90 foreign CPU
+    * exceeds `cpus/3` (a burst big enough to distort the best-of-2
+    * warm minimum for the queries it lands on). Failed samples (-1
+    * sentinel: unreadable /proc/loadavg, MXBean not yet primed) are
+    * ignored — an unreadable counter is not evidence of load. */
+  def isDegraded(loads: Seq[Double], foreign: Seq[Double], cpus: Int): Boolean = {
+    val okLoads = loads.filter(_ >= 0)
+    val before = okLoads.headOption.getOrElse(0.0)
+    val f = foreign.filter(_ >= 0).sorted
+    def at(q: Double): Double =
+      if (f.isEmpty) 0.0 else f(math.min(f.size - 1, (f.size * q).toInt))
+    before > cpus / 8.0 || at(0.5) > cpus / 8.0 || at(0.9) > cpus / 3.0
   }
+
+  /** Foreign CPU cores in use right now: system-wide CPU load minus
+    * this JVM's, scaled to host cores. Each call reports the average
+    * since the previous call (the MXBean's native window), so sampling
+    * at query boundaries yields per-query pollution evidence. Returns
+    * -1 when the MXBean can't say (first call, unsupported platform). */
+  def foreignCpu(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val sys = os.getCpuLoad
+        val self = os.getProcessCpuLoad
+        if (sys < 0 || self < 0 || sys.isNaN || self.isNaN) -1.0
+        else math.max(0.0, sys - self) * Runtime.getRuntime.availableProcessors()
+      case _ => -1.0
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,6 +135,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Pollution samples for the degraded stamp, one per completed query
+    // (average foreign CPU over that query's window). Declared ahead of
+    // run(); the first foreignCpu() call primes the MXBean, whose first
+    // reading has no window and returns the -1 sentinel.
+    val foreignSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    foreignCpu()
+
     def run(name: String): Double = {
       // Clock starts BEFORE query construction: for most queries that is
       // pure plan building (~ms), but e.g. q_ann_ivf runs its k-means
@@ -119,6 +154,9 @@ object Bench {
         return -1.0
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Pollution sample for THIS query's window (average since the
+      // previous boundary) — feeds the degraded stamp.
+      foreignSamples += foreignCpu()
       // UNTIMED cleanup: iterative ops (PageRank, cluster dedup, CDC
       // merge) pin frames via cache/localCheckpoint, and those blocks
       // outlive the query in this single shared JVM — 233 queries x 3
@@ -218,8 +256,18 @@ object Bench {
         s""""queries":${fmt(measuredCold)},"total_warm":${f"${total(warm)}%.3f"},""" +
         s""""queries_warm":${fmt(warm)},""" +
         s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
-        s""""degraded":${isDegraded(loads.toSeq, cpus.toInt)},""" +
-        s""""loadavg":[${loads.mkString(",")}]"""
+        s""""degraded":${isDegraded(loads.toSeq, foreignSamples.toSeq, cpus.toInt)},""" +
+        s""""loadavg":[${loads.mkString(",")}],""" + {
+          // Evidence behind the stamp: median/p90/max foreign cores
+          // (count of valid samples alongside, so "0 pollution" off 3
+          // samples is distinguishable from 0 off 700).
+          val f = foreignSamples.filter(_ >= 0).sorted
+          def at(q: Double) =
+            if (f.isEmpty) -1.0 else f(math.min(f.size - 1, (f.size * q).toInt))
+          s""""foreign_cpu":{"n":${f.size},"median":${f"${at(0.5)}%.2f"},""" +
+            s""""p90":${f"${at(0.9)}%.2f"},""" +
+            s""""max":${f"${if (f.isEmpty) -1.0 else f.last}%.2f"}}"""
+        }
     }
 
     def writeHeadline(partial: Boolean): String = {

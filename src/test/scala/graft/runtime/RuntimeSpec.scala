@@ -482,33 +482,44 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     e5.getMessage should include("foldable")
   }
 
-  test("bench degraded stamp: any loadavg sample past cpus/8 marks the " +
-      "board; failed samples are not evidence") {
-    // the round-18 polluted pair: loadavg 4.5-6.3 at 32 cpus -> degraded
-    graft.Bench.isDegraded(Seq(2.0, 4.5, 6.3, 2.1), 32) shouldBe true
-    // clean boards near 2 at 32 cpus (threshold 4.0) -> clean
-    graft.Bench.isDegraded(Seq(1.8, 2.2, 2.0), 32) shouldBe false
-    // exactly at the threshold is clean (strict >)
-    graft.Bench.isDegraded(Seq(4.0), 32) shouldBe false
-    graft.Bench.isDegraded(Seq(4.001), 32) shouldBe true
-    // the -1 sentinel (unreadable /proc/loadavg) never marks a board
-    graft.Bench.isDegraded(Seq(-1.0, -1.0), 32) shouldBe false
-    graft.Bench.isDegraded(Seq.empty, 32) shouldBe false
-    // threshold scales with the box: a BEFORE sample of 0.6 is degraded
-    // on 4 cpus (raw threshold 0.5) — pre-run load has no self-load
-    // excuse
-    graft.Bench.isDegraded(Seq(0.6), 4) shouldBe true
-    graft.Bench.isDegraded(Seq(0.4), 4) shouldBe false
-    // MID-RUN samples are floored at before + 2.5 (round-19 ADVICE: the
-    // bench's own steady load exceeded cpus/8 on small machines, so the
-    // old flat threshold stamped every small-machine board degraded)
-    graft.Bench.isDegraded(Seq(0.3, 2.4), 4) shouldBe false
-    graft.Bench.isDegraded(Seq(0.3, 3.0), 4) shouldBe true
-    // the r19 polluted pattern still flags on the rig: the before
-    // sample itself sat past the raw threshold
-    graft.Bench.isDegraded(Seq(4.15, 7.94, 8.30), 32) shouldBe true
-    // rig mid-run pollution flags against before + 2.5 (idle before)
-    graft.Bench.isDegraded(Seq(0.5, 6.3, 2.1), 32) shouldBe true
-    graft.Bench.isDegraded(Seq(0.5, 2.8), 32) shouldBe false
+  test("bench degraded stamp: pre-run loadavg or foreign-CPU evidence " +
+      "marks the board; self-load and failed samples never do") {
+    val noF = Seq.empty[Double]
+    // the BEFORE loadavg sample has no self-load excuse: past cpus/8
+    // it is pre-existing external pollution
+    graft.Bench.isDegraded(Seq(4.001), noF, 32) shouldBe true
+    graft.Bench.isDegraded(Seq(4.0), noF, 32) shouldBe false // strict >
+    graft.Bench.isDegraded(Seq(0.6), noF, 4) shouldBe true
+    graft.Bench.isDegraded(Seq(0.4), noF, 4) shouldBe false
+    // MID-RUN loadavg is NOT evidence (round-20 finding: an idle rig's
+    // own local[32] graph queries pushed 1-min loadavg to 6.16 and
+    // falsely stamped a clean board) — only foreign CPU is
+    graft.Bench.isDegraded(Seq(0.81, 3.82, 6.16, 2.77), noF, 32) shouldBe false
+    // sustained co-tenant: median foreign cores past cpus/8
+    graft.Bench.isDegraded(Seq(0.5), Seq(4.5, 5.0, 6.3, 4.2, 4.8), 32) shouldBe true
+    // the bench's own saturation subtracts out: heavy self-load with
+    // near-zero foreign residue is clean
+    graft.Bench.isDegraded(Seq(0.5), Seq(0.1, 0.3, 0.2, 0.4, 0.2), 32) shouldBe false
+    // a BURST (p90 past cpus/3) flags even when the median is quiet —
+    // best-of-2 warm minima cannot shed a stall that long
+    graft.Bench.isDegraded(Seq(0.5), Seq(0.2, 0.1, 0.2, 0.1, 0.2, 0.1, 0.3, 0.2, 0.1, 12.0), 32) shouldBe true
+    // one outlier under 10% of samples stays sub-p90 -> clean
+    graft.Bench.isDegraded(Seq(0.5),
+      Seq.fill(20)(0.2) ++ Seq(12.0), 32) shouldBe false
+    // -1 sentinels (unreadable /proc/loadavg, unprimed MXBean) are not
+    // evidence of load
+    graft.Bench.isDegraded(Seq(-1.0, -1.0), Seq(-1.0, -1.0), 32) shouldBe false
+    graft.Bench.isDegraded(Seq.empty, noF, 32) shouldBe false
+    // the r19 polluted pattern still flags: before sample past threshold
+    graft.Bench.isDegraded(Seq(4.15, 7.94, 8.30), noF, 32) shouldBe true
+  }
+
+  test("bench foreignCpu: returns a finite non-negative core count (or " +
+      "the -1 sentinel) once primed") {
+    graft.Bench.foreignCpu() // prime
+    Thread.sleep(50)
+    val f = graft.Bench.foreignCpu()
+    assert(f == -1.0 || (f >= 0.0 &&
+      f <= Runtime.getRuntime.availableProcessors().toDouble))
   }
 }
