@@ -89,14 +89,39 @@ object Bench {
     * warm minimum for the queries it lands on). Failed samples (-1
     * sentinel: unreadable /proc/loadavg, MXBean not yet primed) are
     * ignored — an unreadable counter is not evidence of load. */
-  def isDegraded(loads: Seq[Double], foreign: Seq[Double], cpus: Int): Boolean = {
+  def isDegraded(loads: Seq[Double], foreign: Seq[Double], cpus: Int,
+      stealFrac: Double = -1.0): Boolean = {
     val okLoads = loads.filter(_ >= 0)
     val before = okLoads.headOption.getOrElse(0.0)
     val f = foreign.filter(_ >= 0).sorted
     def at(q: Double): Double =
       if (f.isEmpty) 0.0 else f(math.min(f.size - 1, (f.size * q).toInt))
-    before > cpus / 8.0 || at(0.5) > cpus / 8.0 || at(0.9) > cpus / 3.0
+    before > cpus / 8.0 || at(0.5) > cpus / 8.0 || at(0.9) > cpus / 3.0 ||
+      stealFrac > 0.40
   }
+
+  /** Hypervisor steal, the third pollution channel (round-20 finding):
+    * this rig's host steals a CHRONIC ~25-30% of all CPU the guest
+    * demands (/proc/stat cumulative: 13,819s stolen vs 17,844s user
+    * since boot), varying by time window — invisible to loadavg AND to
+    * the foreign-CPU subtraction, because the thief is outside the VM.
+    * It is the dominant cross-round variance source: round 18's five
+    * boards of byte-identical code spanned total_warm 257-409s, and
+    * the "1.33x uniform slowdown" that degraded every round-19 board
+    * has exactly this signature. Boards therefore RECORD the run's
+    * steal fraction (steal / (user+nice+sys+steal) over the suite
+    * window) so rounds can be compared steal-adjusted, and the
+    * degraded stamp fires only past 0.40 — a window substantially
+    * worse than the chronic baseline, where per-query numbers stop
+    * meaning anything. Returns (stealTicks, demandedTicks) cumulative
+    * since boot; -1 sentinels when /proc/stat is unreadable. */
+  def stealTicks(): (Long, Long) =
+    try {
+      val v = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+      val steal = if (v.length > 7) v(7) else 0L
+      (steal, v(0) + v(1) + v(2) + steal)
+    } catch { case _: Throwable => (-1L, -1L) }
 
   /** Foreign CPU cores in use right now: system-wide CPU load minus
     * this JVM's, scaled to host cores. Each call reports the average
@@ -141,6 +166,12 @@ object Bench {
     // reading has no window and returns the -1 sentinel.
     val foreignSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     foreignCpu()
+    val stealStart = stealTicks()
+    def stealFracNow(): Double = {
+      val (s, d) = stealTicks()
+      if (s < 0 || stealStart._1 < 0 || d <= stealStart._2) -1.0
+      else (s - stealStart._1).toDouble / (d - stealStart._2)
+    }
 
     def run(name: String): Double = {
       // Clock starts BEFORE query construction: for most queries that is
@@ -256,7 +287,7 @@ object Bench {
         s""""queries":${fmt(measuredCold)},"total_warm":${f"${total(warm)}%.3f"},""" +
         s""""queries_warm":${fmt(warm)},""" +
         s""""noisy_warm":${quote(noisyWarm)},"cold_suspect":${quote(coldSuspect)},""" +
-        s""""degraded":${isDegraded(loads.toSeq, foreignSamples.toSeq, cpus.toInt)},""" +
+        s""""degraded":${isDegraded(loads.toSeq, foreignSamples.toSeq, cpus.toInt, stealFracNow())},""" +
         s""""loadavg":[${loads.mkString(",")}],""" + {
           // Evidence behind the stamp: median/p90/max foreign cores
           // (count of valid samples alongside, so "0 pollution" off 3
@@ -266,7 +297,8 @@ object Bench {
             if (f.isEmpty) -1.0 else f(math.min(f.size - 1, (f.size * q).toInt))
           s""""foreign_cpu":{"n":${f.size},"median":${f"${at(0.5)}%.2f"},""" +
             s""""p90":${f"${at(0.9)}%.2f"},""" +
-            s""""max":${f"${if (f.isEmpty) -1.0 else f.last}%.2f"}}"""
+            s""""max":${f"${if (f.isEmpty) -1.0 else f.last}%.2f"}},""" +
+            s""""steal_frac":${f"${stealFracNow()}%.3f"}"""
         }
     }
 

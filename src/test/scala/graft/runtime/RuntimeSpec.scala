@@ -512,6 +512,22 @@ class RuntimeSpec extends SparkSpecBase with Matchers {
     graft.Bench.isDegraded(Seq.empty, noF, 32) shouldBe false
     // the r19 polluted pattern still flags: before sample past threshold
     graft.Bench.isDegraded(Seq(4.15, 7.94, 8.30), noF, 32) shouldBe true
+    // hypervisor steal: the chronic ~25-30% baseline on this rig does
+    // NOT stamp (it is recorded for steal-adjusted comparison instead);
+    // a window past 40% of demanded CPU does
+    graft.Bench.isDegraded(Seq(0.5), noF, 32, stealFrac = 0.28) shouldBe false
+    graft.Bench.isDegraded(Seq(0.5), noF, 32, stealFrac = 0.41) shouldBe true
+    // the -1 sentinel (unreadable /proc/stat) is not evidence
+    graft.Bench.isDegraded(Seq(0.5), noF, 32, stealFrac = -1.0) shouldBe false
+  }
+
+  test("bench stealTicks: cumulative (steal, demanded) counters are " +
+      "non-negative and monotone") {
+    val (s0, d0) = graft.Bench.stealTicks()
+    val (s1, d1) = graft.Bench.stealTicks()
+    if (s0 >= 0) { // /proc/stat readable on this platform
+      assert(d0 >= s0 && s1 >= s0 && d1 >= d0)
+    }
   }
 
   test("bench foreignCpu: returns a finite non-negative core count (or " +
