@@ -508,7 +508,7 @@ object Merge {
   private def countsKeyHash(keyCols: Seq[String],
       aIdCols: Seq[String]): Long =
     scala.util.hashing.MurmurHash3
-      .orderedHash(keyCols ++ Seq(" ") ++ aIdCols).toLong
+      .orderedHash(keyCols ++ Seq("\u0000") ++ aIdCols).toLong
 
   def leftJoinMatchCounts(a: DataFrame, b: DataFrame,
       keyCols: Seq[String], aIdCols: Seq[String]): DataFrame = {
