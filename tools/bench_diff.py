@@ -86,6 +86,30 @@ def main():
     print(f"metric={metric}  rel>{rel_thr:.0%} AND abs>{abs_thr}s")
     print(f"common queries: {len(common)}  "
           f"total {tot(mo, common):.1f}s -> {tot(mn, common):.1f}s")
+    # Pollution context (round 20): hypervisor steal is the dominant
+    # cross-round variance on this rig (chronic ~25-30%, time-varying),
+    # so raw ratios between boards from different steal windows mislead.
+    # When both boards carry steal_frac, print the crude steal-adjusted
+    # totals (t * (1 - steal) ~ the steal-free-equivalent time; first-
+    # order only — steal concentrates under demand).
+    for tag, d in (("old", old), ("new", new)):
+        bits = []
+        if d.get("steal_frac") is not None:
+            bits.append(f"steal_frac={d['steal_frac']}")
+        if isinstance(d.get("foreign_cpu"), dict):
+            fc = d["foreign_cpu"]
+            bits.append(f"foreign_cpu median={fc.get('median')} p90={fc.get('p90')}")
+        if d.get("degraded") is not None:
+            bits.append(f"degraded={d['degraded']}")
+        if bits:
+            print(f"{tag}: " + "  ".join(bits))
+    so, sn = old.get("steal_frac"), new.get("steal_frac")
+    if isinstance(so, (int, float)) and isinstance(sn, (int, float)) \
+            and 0 <= so < 1 and 0 <= sn < 1:
+        ao, an = tot(mo, common) * (1 - so), tot(mn, common) * (1 - sn)
+        print(f"steal-adjusted totals: {ao:.1f}s -> {an:.1f}s "
+              f"(ratio {an / ao:.2f} vs raw "
+              f"{tot(mn, common) / max(tot(mo, common), 1e-9):.2f})")
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
