@@ -222,7 +222,16 @@ object Bench {
     catch { case _: java.io.IOException => () }
 
     val loads = scala.collection.mutable.ArrayBuffer(loadAvg())
+    // Builder-side A/B subset runs (optimization rounds): a
+    // comma-separated SPARK_GRAFT_BENCH_ONLY restricts the measured set
+    // so a touched query can be re-timed before/after IN THE SAME
+    // MACHINE WINDOW (this rig's hypervisor steal varies 25-40% across
+    // hours — cross-window comparisons are mush). Unset for the driver:
+    // default behavior is byte-identical to before.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
 
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
@@ -418,7 +427,9 @@ object Bench {
             .map(_.group(1).toInt))
           .foldLeft(0)(math.max)
       } + 1
-      val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      // Subset A/B boards must never masquerade as a full round board
+      val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString +
+        (if (only.isDefined) ".subset" else "")
       val dir = java.nio.file.Paths.get("bench_full")
       java.nio.file.Files.createDirectories(dir)
       // Never clobber an existing round file: before the driver commits
