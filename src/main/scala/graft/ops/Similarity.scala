@@ -444,12 +444,59 @@ object Similarity {
     require(m >= 1 && dim % m == 0,
       s"dim=$dim must split evenly into m=$m subspaces")
     val sub = dim / m
-    (0 until m).toArray.map { j =>
-      trainCentroids(
-        df.select(col(idCol),
-          slice(col(vecCol), j * sub + 1, sub).as("subv")),
-        idCol, "subv", ks, iters, sampleFraction, seed, spherical = false)
-    }
+    // ALL m subspace codebooks train in ONE job per Lloyd iteration
+    // (optimization r20, guide §1.2/§2.4 — remove redundant passes):
+    // the pq_encode kernel already computes every subspace's
+    // argmin-L2 assignment in a single codegen'd expression, and each
+    // subspace's centroid update depends only on its OWN assignments,
+    // so the previous subspace-at-a-time loop (m sample scans + m
+    // persists + m orderBy-limit init scans + m·iters sequential
+    // aggregate jobs) did m× redundant I/O and scheduling for
+    // byte-identical math. Now: 1 sample scan + 1 init scan + iters
+    // jobs, each shuffling the same skinny fixed-point tuples the
+    // per-subspace jobs shuffled in total. The per-(subspace, cluster,
+    // position) sums below are exact Longs (trainCentroids' recipe),
+    // so the trained books are bit-identical to the old path's — the
+    // oracle replays of every PQ query are unchanged.
+    val sampled = sampleFraction < 1.0
+    val train =
+      if (sampled) df.where(hashSampleFilter(col(idCol), sampleFraction, seed))
+        .select(col(vecCol)).persist()
+      else df.select(col(vecCol))
+    try {
+      // Init per subspace = the j-th slice of the ks lowest-id vectors —
+      // the exact rows (and slice-clamp semantics on short vectors) the
+      // per-subspace trainCentroids init collected.
+      val init = df.orderBy(col(idCol)).limit(ks)
+        .select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      var books: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+        init.map(_.slice(j * sub, j * sub + sub))
+      }
+      for (_ <- 0 until iters) {
+        val assigned = train.select(
+          graft.functions.Centroids.pq_encode(col(vecCol), books).as("codes"),
+          posexplode(col(vecCol).cast(ArrayType(DoubleType)))
+            .as(Seq("gpos", "x")))
+        val sums = assigned.select(
+            expr(s"CAST(gpos div $sub AS INT)").as("j"),
+            expr(s"element_at(codes, CAST(gpos div $sub AS INT) + 1)")
+              .as("cluster"),
+            expr(s"CAST(gpos % $sub AS INT)").as("pos"),
+            col("x"))
+          .groupBy(col("j"), col("cluster"), col("pos"))
+          .agg(sum(floor(col("x") * lit(1e6) + lit(0.5))).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            (r.getLong(3).toDouble / r.getLong(4).toDouble) / 1e6
+        } // empty codewords keep their previous value (trainCentroids' rule)
+        books = next
+      }
+      books
+    } finally if (sampled) train.unpersist(blocking = false)
   }
 
   /** PQ-flat approximate top-k by ASYMMETRIC DISTANCE (ADC): the
