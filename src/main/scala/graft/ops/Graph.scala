@@ -724,9 +724,11 @@ object Graph {
       if (round >= maxIters)
         throw new IllegalStateException(s"kTruss: no fixpoint after " +
           s"$maxIters peel rounds ($m edges remaining) — raise maxIters")
+      // cached (not pinned): consumed by both ek degree joins inside
+      // orientedTriangles; unpersisted once the round's sup is pinned
       val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val tri = orientedTriangles(e, deg)
+        .groupBy(col("v")).agg(count(lit(1)).as("deg")).cache()
+      val (tri, fHandle) = orientedTriangles(e, deg)
       // each triangle feeds support to its three canonical edges
       val sup = pin(tri.select(explode(array(
           struct(least(col("u"), col("v1")).as("a"),
@@ -740,6 +742,10 @@ object Graph {
       val e2 = pin(e.join(sup, Seq("a", "b"), "left")
         .where(coalesce(col("support"), lit(0L)) >= lit((k - 2).toLong))
         .select(col("a"), col("b")))
+      // sup (and transitively e2) is pinned — this round's scratch
+      // frames are dead; drop them before the next round re-caches
+      fHandle.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
       val m2 = e2.count()
       converged = m2 == m
       lastSup = sup
@@ -787,34 +793,63 @@ object Graph {
     * and [[kTruss]] (per-EDGE support, re-enumerated each peel round).
     * Returns one `(u, v1, v2)` row per triangle, owned by its
     * lowest-(deg, id) vertex. */
-  private def orientedTriangles(e: DataFrame, deg: DataFrame): DataFrame = {
+  private def orientedTriangles(e: DataFrame, deg: DataFrame)
+      : (DataFrame, DataFrame) = {
     val ek = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // (deg, id) lexicographic rank spelled as flat long comparisons:
+    // `struct(..) < struct(..)` builds + interpretively compares two
+    // row objects PER EVALUATION — on the wedge join below that
+    // predicate runs once per candidate pair (Σ outdeg² ≈ 9e7 on the
+    // sf0.1 co-purchase graph) and measured as the dominant stage
+    // (345 core-seconds); the flat form is whole-stage-codegen'd
+    // long compares with zero allocation and identical ordering.
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // f is consumed THREE times (both wedge sides + the closing-edge
+    // probe); Catalyst re-executes a shared subtree per reference, so
+    // an unpinned f re-runs the whole edge derivation (for
+    // [[triangleStats]] that includes the source scan) three times —
+    // the dominant cost of the un-pinned plan, measured 30 source
+    // scans / 1167 core-seconds on the sf0.1 co-purchase graph where
+    // the pinned plan does one. Cached, not checkpointed: lazy, so the
+    // first executing consumer materializes it in-query. Loop callers
+    // ([[kTruss]]) must unpersist the returned handle per round.
     val f = ek.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("w"),
-      when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+      when(aFirst, col("db")).otherwise(col("da")).as("dw")).cache()
+    // same flat spelling of (dw, w) rank (allocation-free, codegen'd)
     val wedges = f.as("x").join(f.as("y"),
         col("x.u") === col("y.u") &&
-          struct(col("x.dw"), col("x.w")) < struct(col("y.dw"), col("y.w")))
+          (col("x.dw") < col("y.dw") ||
+            (col("x.dw") === col("y.dw") && col("x.w") < col("y.w"))))
       .select(col("x.u").as("u"), col("x.w").as("v1"), col("y.w").as("v2"))
-    wedges.join(
-        f.select(col("u").as("v1"), col("w").as("v2")), Seq("v1", "v2"))
-      .select(col("u"), col("v1"), col("v2"))
+    // Closing-edge probe: wedge side is O(m^1.5) rows, the edge side m —
+    // build the hash table on the edge side instead of sort-merging the
+    // wedge flood (guide §3.1; the SMJ sorted 4.1e7 wedge rows here)
+    (wedges.join(
+        f.select(col("u").as("v1"), col("w").as("v2")).hint("shuffle_hash"),
+        Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2")), f)
   }
 
   def triangleStats(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // e feeds the degree count twice (unionAll legs) and the oriented
+    // edge frame; deg feeds both ek degree joins and the final stats
+    // join. Both are re-executed per reference when left lazy (the
+    // edge derivation can be an expensive upstream join) — pin them
+    // in-query (same rationale as the f pin in orientedTriangles).
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct().cache()
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val tri = orientedTriangles(e, deg)
+      .groupBy(col("v")).agg(count(lit(1)).as("deg")).cache()
+    val (tri, _) = orientedTriangles(e, deg)
     val tc = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
@@ -853,13 +888,17 @@ object Graph {
       k: Int, maxThruDeg: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxThruDeg >= 2, s"maxThruDeg must be >= 2, got $maxThruDeg")
+    // e is consumed 5 times (degree legs, both neighbor-list legs, the
+    // non-edge anti-join), deg 3 times, n twice (wedge self-join) —
+    // pinned in-query or Catalyst re-executes the whole edge
+    // derivation per reference (orientedTriangles' f rationale).
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct().cache()
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg")).cache()
     // Both directions, with the THROUGH vertex's degree attached and
     // hubs above the cap removed from the through role only (they keep
     // their endpoint role: deg_a/deg_b still count them).
@@ -870,6 +909,7 @@ object Graph {
       // Per-through-vertex RA term, integer div (NOT `/`, which is a
       // double divide in Spark) so the wedge sum is an exact Long sum.
       .withColumn("rau", expr("1099511627776 div du"))
+      .cache()
     val pairs = n.as("x").join(n.as("y"),
         col("x.u") === col("y.u") && col("x.w") < col("y.w"))
       .groupBy(col("x.w").as("a"), col("y.w").as("b"))
@@ -985,6 +1025,9 @@ object Graph {
     val e = e0
       .join(cm.select(col("v").as("a"), col("comm").as("comm_a")), "a")
       .join(cm.select(col("v").as("b"), col("comm").as("comm_b")), "b")
+      // consumed by both unionAll legs below — pinned in-query so the
+      // labeled-edge derivation (source join + distinct) runs once
+      .cache()
     // Per-community degree (each labeled edge endpoint counts once) and
     // intra-community edge count, folded in one pass. The intra flag
     // rides the comm_a leg only so an intra edge counts once.
