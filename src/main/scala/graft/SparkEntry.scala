@@ -3289,12 +3289,16 @@ object SparkEntry {
       // the repair's surviving-pair re-closure — two lazy consumers
       // would re-run the minhash cascade end to end
       val pairs = Dedup.nearDupPairs(d, "doc_id", "text").localCheckpoint()
-      val clustered = Dedup.nearDupClusters(pairs)
+      // clustered is consumed three times (label completion twice +
+      // the takedown set) and oldLabels three more inside
+      // retractClusters — cached in-query so the closure's tail
+      // (sizes aggregate + join) runs once per frame, not per consumer
+      val clustered = Dedup.nearDupClusters(pairs).cache()
       val allIds = d.select(col("doc_id").as("id"))
       val oldLabels = clustered.unionByName(
         allIds.join(clustered.select(col("id")), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("cluster_id"),
-            lit(1L).as("cluster_size")))
+            lit(1L).as("cluster_size"))).cache()
       val removed = clustered.select(col("cluster_id").as("id")).distinct()
       Dedup.retractClusters(oldLabels,
           Dedup.pairStoreCompact(pairs.select(col("id_a"), col("id_b"))),

@@ -900,6 +900,17 @@ object Dedup {
       .distinct()) // edges are re-joined every round: pin them
     var labels = pin(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
+    // Convergence by LABEL-SUM fixpoint (optimization r20): labels
+    // only ever decrease per id over a fixed id set, so
+    // sum(label) strictly decreases until the fixpoint — equal sums ⟺
+    // no label moved, the exact condition the old per-round
+    // join-and-count checked, minus its broadcast-join job (the loop
+    // is driver-job-latency-bound at bench scale). DECIMAL(38,0) keeps
+    // the sum exact out to ~1e19 rows of max-long ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxIters) {
@@ -914,10 +925,10 @@ object Dedup {
       val next = pin(folded.join(parents, folded("label") === parents("pid"), "left")
         .select(folded("id"), least(folded("label"),
           coalesce(col("plabel"), folded("label"))).as("label")))
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .where(col("n.label") < col("o.label"))
-        .limit(1).count() == 0L // min-propagation only ever decreases
+      val s = labelSum(next)
+      // null sums (empty pair set -> empty labels) converge immediately
+      converged = java.util.Objects.equals(s, prevSum)
+      prevSum = s
       labels = next
       round += 1
     }
@@ -994,11 +1005,18 @@ object Dedup {
   def retractClusters(oldLabels: DataFrame, pairStore: DataFrame,
       removedIds: DataFrame, maxIters: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
+    // rm / affected / members are the AFFECTED-REGION frames (small by
+    // the repair's own contract) and each is consumed 2-4 times below;
+    // cached in-query so the region derivation runs once instead of
+    // per consumer. oldLabels itself is deliberately NOT cached here:
+    // at scale it is a stored table, and three pruned scans beat
+    // caching the whole label history.
     val rm = removedIds
-      .select(col(removedIds.columns.head).as("id")).distinct()
+      .select(col(removedIds.columns.head).as("id")).distinct().cache()
     val affected = oldLabels.join(rm, Seq("id"), "left_semi")
-      .select(col("cluster_id")).distinct()
+      .select(col("cluster_id")).distinct().cache()
     val members = oldLabels.join(affected, Seq("cluster_id"), "left_semi")
+      .cache()
     val survivors = members.join(rm, Seq("id"), "left_anti")
       .select(col("id"))
     // pairs live inside components, so membership of id_a alone
