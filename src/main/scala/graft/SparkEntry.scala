@@ -4577,20 +4577,36 @@ object SparkEntry {
       val oldEdges = partSupp(
         liAll.where(pmod(col("l_orderkey"), lit(2)) === 0)).unionByName(sn)
       val newEdges = partSupp(liAll).unionByName(sn)
-      val stored = Graph.pageRankDangling(oldEdges, "src", "dst", iters = 5)
+      // The chains' pins execute at CONSTRUCTION time and each chain
+      // is a sequential round loop, so the INDEPENDENT chains overlap
+      // on driver threads (guide §2.6): the stored-graph build (5
+      // rounds on the old edges) runs concurrently with the grown
+      // graph's setup + cold + ref chains. Each chain is internally
+      // sequential and integer-exact, so results are bit-identical to
+      // the serial build — the overlap only back-fills idle executor
+      // capacity. Critical path: 16 sequential rounds -> max(5, setup
+      // + 8) + 3.
+      val storedF = scala.concurrent.Future(
+        Graph.pageRankDangling(oldEdges, "src", "dst", iters = 5))(
+        scala.concurrent.ExecutionContext.global)
       // the three chains on the GROWN graph share one PrGraph: the
       // distinct/degree/universe/dangling derivation is paid once, not
       // per chain (Graph.prGraph — bit-identical rounds)
       val g = Graph.prGraph(newEdges, "src", "dst")
-      val warm = Graph.pageRankWarmStartOn(g, stored, "node", "score",
-        iters = 3)
       val cold = Graph.pageRankDanglingOn(g, iters = 3)
+      val stored = scala.concurrent.Await.result(storedF,
+        scala.concurrent.duration.Duration.Inf)
+      val warmF = scala.concurrent.Future(
+        Graph.pageRankWarmStartOn(g, stored, "node", "score", iters = 3))(
+        scala.concurrent.ExecutionContext.global)
       // the 8-round reference CONTINUES the cold chain (5 more rounds
       // from the stored 3-round table) — exactly 8 cold rounds by the
       // round-composition law the op guarantees (GraphSpec pins it),
       // for 16 total rounds instead of 19
       val ref = Graph.pageRankWarmStartOn(g, cold, "node", "score",
         iters = 5)
+      val warm = scala.concurrent.Await.result(warmF,
+        scala.concurrent.duration.Duration.Inf)
       ref.select(col("node"), col("score").as("score_ref"))
         .join(warm.select(col("node"), col("score").as("score_warm")),
           Seq("node"))

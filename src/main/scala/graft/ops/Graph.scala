@@ -101,7 +101,7 @@ object Graph {
     * the SparkSession that built it. */
   final case class PrGraph private[ops] (
       pin: DataFrame => DataFrame, ewd: DataFrame, nodes: DataFrame,
-      n: Long, dangNodes: DataFrame, weighted: Boolean)
+      n: Long, weighted: Boolean)
 
   /** Build a [[PrGraph]] — the shared prelude of [[pageRankDangling]]
     * / [[pageRankWeighted]] / [[pageRankWarmStart]] /
@@ -113,17 +113,22 @@ object Graph {
       weightCol: Option[String] = None): PrGraph = {
     val (pin, e, deg, ewd) =
       prSetup(edges, srcCol, dstCol, checkpointDir, weightCol)
-    val nodes = pin(e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct())
-    val n = nodes.count() // the one driver scalar: a single long
     // Dangling membership is ROUND-INVARIANT (a function of the edge
-    // set alone), so derive it once and pin it — deriving it inside
-    // the loop re-runs a distinct over the full edge frame every
-    // round (measured 1.4x on the query total at sf0.1, like-for-like
-    // bench runs: 8.9s -> 6.2s warm at 4 threads).
-    val dangNodes = pin(nodes.join(deg,
-      nodes("node") === deg("src"), "left_anti"))
-    PrGraph(pin, ewd, nodes, n, dangNodes, weightCol.isDefined)
+    // set alone), so it is derived once — as a BOOLEAN FLAG riding the
+    // pinned universe frame (optimization r20): the round loop's
+    // dangling total becomes a filter+sum on the scores frame it
+    // already holds, replacing the per-round semi-join broadcast (one
+    // fewer broadcast-exchange job per round; the loops are
+    // driver-job-latency-bound at bench scale). Same motivation as
+    // the r17 derive-once fix (deriving in-loop measured 1.4x on the
+    // query total at sf0.1: 8.9s -> 6.2s warm at 4 threads).
+    val nodes = pin(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .join(deg.select(col("src").as("node"), lit(true).as("__has_out")),
+        Seq("node"), "left")
+      .select(col("node"), col("__has_out").isNull.as("__dang")))
+    val n = nodes.count() // the one driver scalar: a single long
+    PrGraph(pin, ewd, nodes, n, weightCol.isDefined)
   }
 
   private def prGraphRounds(g: PrGraph, iters: Int, unit: Long,
@@ -139,22 +144,23 @@ object Graph {
     var scores = g.pin(init match {
       case None => g.nodes.withColumn("score", lit(unit))
       case Some(pr) => g.nodes.join(pr, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("__dang"),
           coalesce(col("__prior_score"), lit(unit)).as("score"))
     })
     for (_ <- 1 to iters) {
       val contrib = g.ewd.join(scores, g.ewd("src") === scores("node"))
         .select(g.ewd("dst").as("cn"), expr(contribSql).as("c"))
         .groupBy(col("cn")).agg(sum(col("c")).as("s"))
-      // dangling total = this round's score mass on the pinned set
-      val dang = scores.join(g.dangNodes, Seq("node"), "left_semi")
+      // dangling total = this round's score mass on the flagged rows —
+      // a filter+sum on the frame in hand, not a per-round semi-join
+      val dang = scores.where(col("__dang"))
         .agg(coalesce(sum(col("score")), lit(0L)).as("dt"))
-      scores = g.pin(scores.select(col("node"))
+      scores = g.pin(scores.select(col("node"), col("__dang"))
         .join(contrib, col("node") === col("cn"), "left")
         .crossJoin(broadcast(dang))
-        .selectExpr("node", scoreFormula(g.n)))
+        .selectExpr("node", "__dang", scoreFormula(g.n)))
     }
-    scores
+    scores.select(col("node"), col("score"))
   }
 
   /** Fixed `iters` rounds of damped PageRank in integer fixed-point:
