@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Graph centrality over relationship graphs the pipeline already
   * builds (near-dup pair graphs, supply/co-occurrence graphs): a
@@ -408,14 +408,21 @@ object Graph {
       .distinct())
     val nodes = pin(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct())
-    def normalize(raw: DataFrame, keyCol: String, valCol: String,
+    def normalize(raw0: DataFrame, keyCol: String, valCol: String,
         outCol: String): DataFrame = {
+      // raw feeds BOTH the max aggregate and the universe join — cached
+      // in-query so the e |><| scores half-round join runs once, not
+      // twice (Catalyst re-executes shared subtrees per reference);
+      // consumed fully by the eager pin below, so unpersist right after
+      val raw = raw0.cache()
       val mx = raw.agg(coalesce(max(col(valCol)), lit(0L)).as("m"))
-      pin(nodes.join(raw, nodes("node") === raw(keyCol), "left")
+      val out = pin(nodes.join(raw, nodes("node") === raw(keyCol), "left")
         .crossJoin(broadcast(mx))
         .selectExpr("node",
           s"CASE WHEN m > 0 THEN (coalesce($valCol, 0L) * ${unit}L) div m " +
             s"ELSE 0L END AS $outCol"))
+      raw.unpersist(blocking = false)
+      out
     }
     var hub = pin(nodes.withColumn("h", lit(unit)))
     var auth = nodes.withColumn("a", lit(0L))
@@ -1005,6 +1012,9 @@ object Graph {
         org.apache.spark.sql.types.StructField("dist", LongType, nullable = false)))))
     var round = 0
     var converged = false
+    // initial signature: the seed frame has |seeds| rows, all dist 0
+    var prevSig: (Long, java.math.BigDecimal) =
+      (seeds.distinct.size.toLong, java.math.BigDecimal.ZERO)
     while (!converged) {
       if (round >= maxIters)
         throw new IllegalStateException("multiSourceShortestPaths: no " +
@@ -1013,11 +1023,18 @@ object Graph {
         .select(col("v"), (col("dist") + col("wt")).as("dist"))
       val next = pin(dist.unionAll(relaxed)
         .groupBy(col("v")).agg(min(col("dist")).as("dist")))
-      val improved = next.join(dist.select(col("v"), col("dist").as("od")),
-          Seq("v"), "left")
-        .where(col("od").isNull || col("dist") < col("od"))
-        .count()
-      if (improved == 0) converged = true else { dist = next; round += 1 }
+      // Fixpoint by (reached-count, exact dist-sum): per node the
+      // distance only DECREASES and the reached set only GROWS, so
+      // equal count AND equal sum ⟺ no relaxation improved anything —
+      // the same condition the old per-round join+count checked, as
+      // one 1-row aggregate with no broadcast join (the loop is
+      // driver-job-latency-bound at bench scale).
+      val fp = next.agg(count(lit(1)),
+        sum(col("dist").cast(DecimalType(38, 0)))).head()
+      val sig = (fp.getLong(0), fp.getDecimal(1))
+      if (sig._1 == prevSig._1 && sig._2.compareTo(prevSig._2) == 0)
+        converged = true
+      else { prevSig = sig; dist = next; round += 1 }
     }
     // observed improving-round count — the oracle generator derives
     // its relaxation unroll depth from THIS run
