@@ -891,7 +891,8 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
     // materialize the (possibly expensive) pair plan ONCE; the
     // symmetrizing union would otherwise execute it per branch
     val p = pin(pairs.select(col("id_a"), col("id_b")))

@@ -35,7 +35,8 @@ object Graph {
       : (DataFrame => DataFrame, DataFrame, DataFrame, DataFrame) = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
     val e = weightCol match {
       case None =>
         edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -403,7 +404,8 @@ object Graph {
     require(unit >= 1, s"unit must be >= 1, got $unit")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
     val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct())
     val nodes = pin(e.select(col("src").as("node"))
@@ -468,7 +470,8 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
     val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct())
     val sd = seeds.select(col(seedId).as("id"),
@@ -550,7 +553,8 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -627,7 +631,8 @@ object Graph {
       : DataFrame = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -750,7 +755,8 @@ object Graph {
     require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
     var e = pin(edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -767,7 +773,8 @@ object Graph {
       // orientedTriangles; unpersisted once the round's sup is pinned
       val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg")).cache()
-      val (tri, fHandle) = orientedTriangles(e, deg)
+      val (tri, fHandle) = orientedTriangles(e, deg,
+        shuffleHashClose = false)
       // each triangle feeds support to its three canonical edges
       val sup = pin(tri.select(explode(array(
           struct(least(col("u"), col("v1")).as("a"),
@@ -832,8 +839,8 @@ object Graph {
     * and [[kTruss]] (per-EDGE support, re-enumerated each peel round).
     * Returns one `(u, v1, v2)` row per triangle, owned by its
     * lowest-(deg, id) vertex. */
-  private def orientedTriangles(e: DataFrame, deg: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private def orientedTriangles(e: DataFrame, deg: DataFrame,
+      shuffleHashClose: Boolean = true): (DataFrame, DataFrame) = {
     val ek = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
@@ -866,10 +873,16 @@ object Graph {
             (col("x.dw") === col("y.dw") && col("x.w") < col("y.w"))))
       .select(col("x.u").as("u"), col("x.w").as("v1"), col("y.w").as("v2"))
     // Closing-edge probe: wedge side is O(m^1.5) rows, the edge side m —
-    // build the hash table on the edge side instead of sort-merging the
-    // wedge flood (guide §3.1; the SMJ sorted 4.1e7 wedge rows here)
+    // for ONE-SHOT counts on a big graph, build the hash table on the
+    // edge side instead of sort-merging the wedge flood (guide §3.1;
+    // the SMJ sorted 4.1e7 wedge rows on the sf0.1 co-purchase graph).
+    // LOOP callers (kTruss) pass shuffleHashClose=false: their edge
+    // set shrinks round over round, the planner's broadcast choice
+    // wins at the tail, and the forced shuffle measured 2x slower on
+    // small graphs.
+    val close = f.select(col("u").as("v1"), col("w").as("v2"))
     (wedges.join(
-        f.select(col("u").as("v1"), col("w").as("v2")).hint("shuffle_hash"),
+        if (shuffleHashClose) close.hint("shuffle_hash") else close,
         Seq("v1", "v2"))
       .select(col("u"), col("v1"), col("v2")), f)
   }
@@ -990,7 +1003,8 @@ object Graph {
     require(seeds.nonEmpty, "seeds must be non-empty")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"),

@@ -118,7 +118,8 @@ object Tokenizer {
       s"bpeMerges: rounds must be in [1, 256], got $rounds")
     checkpointDir.foreach(corpus.sparkSession.sparkContext.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
     var words = pin(wordSyms(corpus, textCol, keep = Nil))
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     for (r <- 1 to rounds) {

@@ -12,4 +12,48 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** A stats-compounding cap on `sizeInBytes` stamps. Any value at or
+    * above this is equally "do not broadcast" to the planner (the
+    * auto-broadcast threshold is megabytes), so clamping changes no
+    * plan decision — it only stops the BigInt DIGIT growth. */
+  private val StatsCap = BigInt(1L) << 50 // 1 PiB
+
+  /** `localCheckpoint` with BOUNDED stamped statistics.
+    *
+    * `Dataset.localCheckpoint` truncates lineage for EXECUTION but
+    * stamps the ORIGIN plan's `Statistics` onto the fresh `LogicalRDD`
+    * leaf (`LogicalRDD.rewriteStatsAndConstraints`). Size estimates
+    * multiply across joins, so in an iterative fold — where each
+    * round's pin feeds the next round's plan — the stamped
+    * `sizeInBytes` BigInts COMPOUND: digits roughly multiply per round
+    * (a 3-way self-join triples them), and by round ~8 Catalyst spends
+    * minutes per plan touch in BigInteger Toom-Cook multiplication
+    * inside `SizeInBytesOnlyStatsPlanVisitor` (jstack-verified here
+    * and independently in LifecycleSoakSpec's hardPin note; that spec
+    * works around it with collect+re-parallelize, which an op cannot).
+    *
+    * The fix: after checkpointing, rebuild the leaf with `sizeInBytes`
+    * clamped to [[StatsCap]] and the (equally compounded) `rowCount`
+    * dropped. Below the cap the origin stats pass through untouched,
+    * so small pinned frames keep broadcasting exactly as before; at or
+    * above it the planner reads "huge, never broadcast" either way —
+    * NO plan decision changes, only the arithmetic stays bounded.
+    * Rows, schema, partitioning, ordering: identical. */
+  def localCheckpointBounded(df: Dataset[Row]): Dataset[Row] = {
+    val ck = df.localCheckpoint()
+    ck.queryExecution.analyzed match {
+      case l: execution.LogicalRDD if l.stats.sizeInBytes > StatsCap =>
+        val clamped = catalyst.plans.logical.Statistics(
+          sizeInBytes = StatsCap)
+        val fresh = execution.LogicalRDD(l.output, l.rdd,
+          l.outputPartitioning, l.outputOrdering, l.isStreaming,
+          l.stream)(
+          df.sparkSession.asInstanceOf[classic.SparkSession],
+          Some(clamped), None)
+        classic.Dataset.ofRows(
+          df.sparkSession.asInstanceOf[classic.SparkSession], fresh)
+      case _ => ck
+    }
+  }
 }

@@ -897,10 +897,14 @@ class PlanSpec extends SparkSpecBase with Matchers {
     p should include("partial_count")
   }
 
-  test("q_kcore: final core-degree plan is a partial-aggregated count " +
-      "over the pinned fixpoint edges — no cartesian, no Window") {
+  test("q_kcore: final plan SERVES the already-pinned fixpoint degree " +
+      "frame (r20: no re-aggregate — the loop's last degree count IS " +
+      "the answer) — no cartesian, no Window, no aggregate at all") {
     val p = plan("q_kcore")
-    p should include("partial_count")
+    p should include("Scan ExistingRDD")
+    // the old shape re-counted degrees over the pinned edges; the pin
+    // now asserts that redundant pass stays gone
+    p should not include "partial_count"
     p should not include "CartesianProduct"
     p should not include "Window"
   }
