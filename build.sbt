@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." banner after a task: the bench driver
+// parses the LAST stdout line of `sbt "runMain graft.Bench"` as the
+// result JSON, and the banner has shadowed it every round (r21 fix —
+// VERDICT r20 item 2). Success/failure still lands in the exit code.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -50,6 +50,11 @@ object QueryProfile {
     try spark.read.parquet(s"$sfDir/events.parquet").count()
     catch { case _: Throwable => () }
 
+    // JSON-safe interpolation: strip quote/backslash/control chars and
+    // guard a null getMessage — an unescaped newline or quote in an
+    // error (or a hostile query name) breaks the per-query JSON line
+    def jsonSafe(s: String): String =
+      String.valueOf(s).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
     for (n <- names) {
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L)
       spark.sparkContext.setJobDescription(n)
@@ -60,11 +65,11 @@ object QueryProfile {
         val wallSec = (System.nanoTime() - t0) / 1e9
         // give straggler listener events a beat to drain
         Thread.sleep(200)
-        println(f"""{"query":"$n","wall_sec":$wallSec%.3f,""" +
+        println(f"""{"query":"${jsonSafe(n)}","wall_sec":$wallSec%.3f,""" +
           s""""jobs":${jobs.get},"stages":${stages.get},""" +
           s""""tasks":${tasks.get},"task_time_sec":${taskMs.get / 1000.0}}""")
       } catch { case e: Throwable =>
-        println(s"""{"query":"$n","error":"${e.getMessage.take(120)}"}""")
+        println(s"""{"query":"${jsonSafe(n)}","error":"${jsonSafe(e.getMessage)}"}""")
       }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
