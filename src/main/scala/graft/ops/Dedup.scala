@@ -870,9 +870,10 @@ object Dedup {
     * plan lineage doubles per iteration and planning time, not data,
     * becomes the bottleneck. The driver holds only a one-row
     * convergence count per round. Superseded per-round checkpoints are
-    * released by Spark's ContextCleaner once the replaced frames go
-    * unreferenced (vars are reassigned each round) — storage occupancy
-    * is a few rounds of slim (id, label) frames, not the whole history.
+    * released EXPLICITLY the moment the next round's eager pin lands
+    * (r21; ContextCleaner would only reclaim them after a driver GC
+    * happens to collect the replaced handles) — storage occupancy is
+    * O(1) slim (id, label) frames at any round count.
     *
     * Durability: the default `localCheckpoint` stores blocks on
     * EXECUTORS with truncated lineage — cheap, but on a real cluster
@@ -899,6 +900,8 @@ object Dedup {
     val edges = pin(p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()) // edges are re-joined every round: pin them
+    // p is fully folded into the edges pin — release its blocks (r21)
+    org.apache.spark.sql.GraftColumnBridge.releasePin(p)
     var labels = pin(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
     // Convergence by LABEL-SUM fixpoint (optimization r20): labels
@@ -930,6 +933,11 @@ object Dedup {
       // null sums (empty pair set -> empty labels) converge immediately
       converged = java.util.Objects.equals(s, prevSum)
       prevSum = s
+      // next is eagerly pinned — the round's scratch fold and the
+      // superseded labels are dead; release them (r21 loop-storage
+      // discipline: the loop holds O(1) pinned frames, not O(rounds))
+      org.apache.spark.sql.GraftColumnBridge.releasePin(folded)
+      org.apache.spark.sql.GraftColumnBridge.releasePin(labels)
       labels = next
       round += 1
     }

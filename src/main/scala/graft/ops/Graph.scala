@@ -156,10 +156,15 @@ object Graph {
       // a filter+sum on the frame in hand, not a per-round semi-join
       val dang = scores.where(col("__dang"))
         .agg(coalesce(sum(col("score")), lit(0L)).as("dt"))
-      scores = g.pin(scores.select(col("node"), col("__dang"))
+      val next = g.pin(scores.select(col("node"), col("__dang"))
         .join(contrib, col("node") === col("cn"), "left")
         .crossJoin(broadcast(dang))
         .selectExpr("node", "__dang", scoreFormula(g.n)))
+      // next is eagerly materialized — round R−1's pinned blocks are
+      // dead; release them so the loop holds O(1) frames, not O(iters)
+      // (r21; the shared g.nodes/g.ewd pins stay for the PrGraph owner)
+      org.apache.spark.sql.GraftColumnBridge.releasePin(scores)
+      scores = next
     }
     scores.select(col("node"), col("score"))
   }
@@ -210,11 +215,14 @@ object Graph {
     // [[prUniverseRounds]] for why this variant does not share the
     // universe driver.
     for (_ <- 1 to iters) {
-      scores = pin(ewd.join(scores, ewd("src") === scores("node"))
+      val next = pin(ewd.join(scores, ewd("src") === scores("node"))
         .select(ewd("dst"), expr("score div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .selectExpr("dst AS node", s"$base + ($dampNum * s) div $dampDen AS score"))
+      // release the superseded round pin (r21 loop-storage discipline)
+      org.apache.spark.sql.GraftColumnBridge.releasePin(scores)
+      scores = next
     }
     scores
   }
@@ -431,10 +439,18 @@ object Graph {
     for (_ <- 1 to iters) {
       val rawA = e.join(hub, e("src") === hub("node"))
         .groupBy(e("dst").as("an")).agg(sum(col("h")).as("ra"))
-      auth = normalize(rawA, "an", "ra", "a")
-      val rawH = e.join(auth, e("dst") === auth("node"))
+      val authNext = normalize(rawA, "an", "ra", "a")
+      val rawH = e.join(authNext, e("dst") === authNext("node"))
         .groupBy(e("src").as("hn")).agg(sum(col("a")).as("rh"))
-      hub = normalize(rawH, "hn", "rh", "h")
+      val hubNext = normalize(rawH, "hn", "rh", "h")
+      // both successors are pinned — the previous round's hub/auth
+      // blocks are dead; release (r21 loop-storage discipline). Round
+      // 1's auth was never pinned (plain withColumn) so releasePin is
+      // a no-op there by the LogicalRDD match.
+      org.apache.spark.sql.GraftColumnBridge.releasePin(hub)
+      org.apache.spark.sql.GraftColumnBridge.releasePin(auth)
+      auth = authNext
+      hub = hubNext
     }
     hub.join(auth, "node")
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
@@ -499,16 +515,37 @@ object Graph {
           Seq("src"))
         .groupBy(col("dst").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val pick = cnt
-        .select(col("id"),
-          struct((-col("c")).as("nc"), col("label").as("l")).as("p"))
-        .groupBy(col("id")).agg(min(col("p")).as("p"))
-        .select(col("id"), col("p.l").as("__picked"))
-      lab = pin(lab.join(pick, Seq("id"), "left")
+      // ONE aggregate is both the argmax pick AND the merge back onto
+      // the label frame (r21 — the peel loops' job-cut applied here):
+      // each id contributes its single lab row (seed + old label, null
+      // pick) plus one cnt row per candidate label (null seed/old, the
+      // (-count, label) pick struct); keyed by id, min(p) is exactly
+      // the old two-step argmax (min over the identical structs, nulls
+      // ignored) and max over the singleton lab-row columns recovers
+      // seed/old. This replaces the separate pick aggregate + per-round
+      // pick broadcast + left join — picks and labels are byte-
+      // identical (same structs, same min, same seed-clamp coalesce).
+      // The null casts borrow each leg's own label column so the types
+      // match by construction.
+      val next = pin(lab
+        .select(col("id"), col("seed_label"), col("label"),
+          when(lit(false),
+            struct(lit(0L).as("nc"), col("label").as("l"))).as("p"))
+        .unionByName(cnt.select(col("id"),
+          when(lit(false), col("label")).as("seed_label"),
+          when(lit(false), col("label")).as("label"),
+          struct((-col("c")).as("nc"), col("label").as("l")).as("p")))
+        .groupBy(col("id"))
+        .agg(max(col("seed_label")).as("seed_label"),
+          max(col("label")).as("__old"),
+          min(col("p")).as("p"))
         .select(col("id"), col("seed_label"),
           when(col("seed_label").isNotNull, col("seed_label"))
-            .otherwise(coalesce(col("__picked"), col("label")))
+            .otherwise(coalesce(col("p.l"), col("__old")))
             .as("label")))
+      // release the superseded round pin (r21 loop-storage discipline)
+      org.apache.spark.sql.GraftColumnBridge.releasePin(lab)
+      lab = next
       round += 1
     }
     lab.select(col("id"), col("label"))
@@ -581,10 +618,16 @@ object Graph {
           throw new IllegalStateException(s"kCore: no fixpoint after " +
             s"$maxIters peel rounds — raise maxIters")
         val removed = dg.where(col("deg") < k).select(col("v"))
-        e = pin(e
+        val e2 = pin(e
           .join(removed.select(col("v").as("a")), Seq("a"), "left_anti")
           .join(removed.select(col("v").as("b")), Seq("b"), "left_anti"))
-        dg = pin(degrees(e))
+        val dg2 = pin(degrees(e2))
+        // both successors materialized — release the superseded round's
+        // pins (r21 loop-storage discipline: O(1) frames, not O(rounds))
+        org.apache.spark.sql.GraftColumnBridge.releasePin(e)
+        org.apache.spark.sql.GraftColumnBridge.releasePin(dg)
+        e = e2
+        dg = dg2
         round += 1
       }
     }
@@ -674,18 +717,27 @@ object Graph {
           // every vertex still standing is in the d-core: credit d now;
           // whoever survives the coming cascade gets a higher credit
           val credit = dg.select(col("v"), lit(d).as("coreness"))
-          acc = Some(acc.map(o => pin(o.unionAll(credit)))
-            .getOrElse(pin(credit)))
+          val accNext = acc.map(o => pin(o.unionAll(credit)))
+            .getOrElse(pin(credit))
+          // the old accumulator is folded into the new pin — release it
+          acc.foreach(org.apache.spark.sql.GraftColumnBridge.releasePin)
+          acc = Some(accNext)
         }
         if (rounds >= maxIters)
           throw new IllegalStateException(s"coreness: no fixpoint after " +
             s"$maxIters total peel rounds — raise maxIters")
         // nonempty by construction: the argmin vertex has deg <= d
         val removed = dg.where(col("deg") <= d).select(col("v"))
-        e = pin(e
+        val e2 = pin(e
           .join(removed.select(col("v").as("a")), Seq("a"), "left_anti")
           .join(removed.select(col("v").as("b")), Seq("b"), "left_anti"))
-        dg = pin(degrees(e))
+        val dg2 = pin(degrees(e2))
+        // release the superseded round's pins (r21 loop-storage
+        // discipline); the credit accumulator handles its own handoff
+        org.apache.spark.sql.GraftColumnBridge.releasePin(e)
+        org.apache.spark.sql.GraftColumnBridge.releasePin(dg)
+        e = e2
+        dg = dg2
         phaseRemovals += 1
         rounds += 1
       }
@@ -738,16 +790,33 @@ object Graph {
     * fixpoint. The k-truss is UNIQUE regardless of peel order —
     * deterministic, pure integer counting, no tie-breaks.
     *
-    * Scale shape: each round re-enumerates triangles via the shared
+    * Scale shape (r21 — SUPPORT-DECREMENT peel, the standard truss
+    * decomposition): triangles are enumerated ONCE, via the shared
     * [[orientedTriangles]] degree-ordered core — O(m^1.5) wedge work
-    * bounded by arboricity, never Σdeg² — then ONE (a, b)-keyed
-    * map-side-partial support count and ONE slim filter join back
-    * onto the edge list, which shrinks MONOTONICALLY (every round
-    * costs at most the first). Convergence on edge COUNT alone
-    * (sound: peeling only removes). Per-round pins truncate lineage;
-    * LOUD `maxIters` refusal. Returns `(a, b, support)` — the
-    * surviving canonical edges with their FIXPOINT support (all
-    * >= k-2; the converged round's count, not the pre-peel one). */
+    * bounded by arboricity, never Σdeg² — into an initial per-edge
+    * support table. Each peel round then takes the cheaper of two
+    * EXACT-EQUIVALENT bodies, chosen by the peel fraction read off
+    * the same 1-row aggregate that tests termination: a MASS round
+    * (> 1/8 of edges leave — the typical opening cascade) recounts
+    * the small survivor set with a fresh oriented enumeration, while
+    * a TAIL round touches only the DELTA — re-enumerate just the
+    * triangles that contain a peeled edge (a wedge probe of the
+    * removed edges against the current adjacency, closed over the
+    * current edge set, deduped by sorted vertex triple) and decrement
+    * the support of their SURVIVING edges, work proportional to the
+    * peeled edges' triangle neighborhoods, not O(m^1.5). The
+    * confirming round is now one 1-row aggregate (no enumeration at
+    * all). The maintained support is exactly
+    * the from-scratch recount by the identity `support(e, E∖R) =
+    * support(e, E) − #{triangles through e with an edge in R}`, so
+    * the peel sequence, round count, and fixpoint supports are
+    * byte-identical to the re-enumerating loop (GraphSpec pins the
+    * K4 cascade; the oracle recomputes the unrolled rounds
+    * independently). Convergence = one 1-row min(support) aggregate
+    * (min >= k-2 ⟺ nothing peels — the kCore discipline). Per-round
+    * pins truncate lineage and superseded pins are released; LOUD
+    * `maxIters` refusal. Returns `(a, b, support)` — the surviving
+    * canonical edges with their FIXPOINT support (all >= k-2). */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIters: Int = 100, checkpointDir: Option[String] = None,
       roundsOut: Option[scala.collection.mutable.Buffer[Int]] = None)
@@ -757,54 +826,133 @@ object Graph {
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint()
       else org.apache.spark.sql.GraftColumnBridge.localCheckpointBounded(df)
-    var e = pin(edges.select(
+    val km2 = (k - 2).toLong
+    val e0 = pin(edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct())
-    var m = e.count()
+    // Initial support: the ONE full triangle enumeration of the run
+    // (r21 — the peel rounds below maintain it by decrement).
+    // deg is cached (not pinned): consumed by both ek degree joins
+    // inside orientedTriangles; released once cur is pinned.
+    val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg")).cache()
+    val (tri, fHandle) = orientedTriangles(e0, deg,
+      shuffleHashClose = false)
+    // each triangle feeds support to its three canonical edges
+    val sup0 = tri.select(explode(array(
+        struct(least(col("u"), col("v1")).as("a"),
+          greatest(col("u"), col("v1")).as("b")),
+        struct(least(col("u"), col("v2")).as("a"),
+          greatest(col("u"), col("v2")).as("b")),
+        struct(least(col("v1"), col("v2")).as("a"),
+          greatest(col("v1"), col("v2")).as("b")))).as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    // cur = every surviving edge with its CURRENT support (0 included:
+    // triangle-free edges must exist in the frame to be peeled)
+    var cur = pin(e0.join(sup0, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support")))
+    fHandle.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    org.apache.spark.sql.GraftColumnBridge.releasePin(e0)
     var round = 0
     var converged = false
-    var lastSup: DataFrame = null
     while (!converged) {
       if (round >= maxIters)
         throw new IllegalStateException(s"kTruss: no fixpoint after " +
-          s"$maxIters peel rounds ($m edges remaining) — raise maxIters")
-      // cached (not pinned): consumed by both ek degree joins inside
-      // orientedTriangles; unpersisted once the round's sup is pinned
-      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg")).cache()
-      val (tri, fHandle) = orientedTriangles(e, deg,
-        shuffleHashClose = false)
-      // each triangle feeds support to its three canonical edges
-      val sup = pin(tri.select(explode(array(
-          struct(least(col("u"), col("v1")).as("a"),
-            greatest(col("u"), col("v1")).as("b")),
-          struct(least(col("u"), col("v2")).as("a"),
-            greatest(col("u"), col("v2")).as("b")),
-          struct(least(col("v1"), col("v2")).as("a"),
-            greatest(col("v1"), col("v2")).as("b")))).as("t"))
-        .select(col("t.a").as("a"), col("t.b").as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support")))
-      val e2 = pin(e.join(sup, Seq("a", "b"), "left")
-        .where(coalesce(col("support"), lit(0L)) >= lit((k - 2).toLong))
-        .select(col("a"), col("b")))
-      // sup (and transitively e2) is pinned — this round's scratch
-      // frames are dead; drop them before the next round re-caches
-      fHandle.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
-      val m2 = e2.count()
-      converged = m2 == m
-      lastSup = sup
-      e = e2
-      m = m2
-      round += 1
+          s"$maxIters peel rounds — raise maxIters")
+      // ONE 1-row aggregate is progress + termination test (the kCore
+      // discipline): min >= k-2 (or no edges) ⟺ nothing peels. The
+      // same row carries |edges| and |peeling| for the hybrid choice.
+      val mn = cur.agg(min(col("support")), count(lit(1)),
+        sum(when(col("support") < km2, 1L).otherwise(0L))).head()
+      if (mn.isNullAt(0) || mn.getLong(0) >= km2) {
+        converged = true
+        round += 1 // the confirming no-change round, as before
+      } else if (mn.getLong(2) * 8L > mn.getLong(1)) {
+        // MASS PEEL (> 1/8 of the edges leave this round — the typical
+        // opening round): enumerating the triangles that TOUCH the
+        // removed set would cost more than a fresh degree-oriented
+        // enumeration of the small survivor set, so recount — which is
+        // the support DEFINITION on the surviving edges, so the
+        // maintained frame stays exact by construction. The threshold
+        // is a constant fraction (scale-free, not tuned to this rig);
+        // either branch computes the identical support table.
+        val sv = pin(cur.where(col("support") >= km2)
+          .select(col("a"), col("b")))
+        val dg = sv.select(col("a").as("v"))
+          .unionAll(sv.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg")).cache()
+        val (tri2, fh2) = orientedTriangles(sv, dg,
+          shuffleHashClose = false)
+        val sup2 = tri2.select(explode(array(
+            struct(least(col("u"), col("v1")).as("a"),
+              greatest(col("u"), col("v1")).as("b")),
+            struct(least(col("u"), col("v2")).as("a"),
+              greatest(col("u"), col("v2")).as("b")),
+            struct(least(col("v1"), col("v2")).as("a"),
+              greatest(col("v1"), col("v2")).as("b")))).as("t"))
+          .select(col("t.a").as("a"), col("t.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+        val next = pin(sv.join(sup2, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("support"), lit(0L)).as("support")))
+        fh2.unpersist(blocking = false)
+        dg.unpersist(blocking = false)
+        org.apache.spark.sql.GraftColumnBridge.releasePin(sv)
+        org.apache.spark.sql.GraftColumnBridge.releasePin(cur)
+        cur = next
+        round += 1
+      } else {
+        val removed = cur.where(col("support") < km2)
+          .select(col("a"), col("b"))
+        // Triangles of the CURRENT edge set that contain >= 1 removed
+        // edge: wedge-probe each removed edge (a, b) for a common
+        // neighbor c — c adjacent to a via the adjacency expansion,
+        // (b, c) closed over the canonical edge list — then dedupe by
+        // sorted vertex triple (a triangle with 2-3 removed edges is
+        // reached via each of them, but dies once).
+        val und = cur.select(col("a").as("u"), col("b").as("w"))
+          .unionAll(cur.select(col("b").as("u"), col("a").as("w")))
+        val destroyed = removed.join(und, col("a") === col("u"))
+          .where(col("w") =!= col("b"))
+          .join(cur.select(col("a").as("x"), col("b").as("y")),
+            least(col("b"), col("w")) === col("x") &&
+              greatest(col("b"), col("w")) === col("y"), "left_semi")
+          .select(array_sort(array(col("a"), col("b"), col("w"))).as("t"))
+          .select(element_at(col("t"), 1).as("t1"),
+            element_at(col("t"), 2).as("t2"),
+            element_at(col("t"), 3).as("t3"))
+          .distinct()
+        // every SURVIVING edge of a destroyed triangle loses one
+        // triangle of support — exactly the from-scratch recount:
+        // support(e, E∖R) = support(e, E) − #destroyed triangles on e
+        val dec = destroyed.select(explode(array(
+            struct(col("t1").as("a"), col("t2").as("b")),
+            struct(col("t1").as("a"), col("t3").as("b")),
+            struct(col("t2").as("a"), col("t3").as("b")))).as("d"))
+          .select(col("d.a").as("a"), col("d.b").as("b"))
+          .join(removed, Seq("a", "b"), "left_anti")
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__dec"))
+        val next = pin(cur.where(col("support") >= km2)
+          .join(dec, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("__dec"), lit(0L)))
+              .as("support")))
+        // release the superseded round pin (r21 loop-storage discipline)
+        org.apache.spark.sql.GraftColumnBridge.releasePin(cur)
+        cur = next
+        round += 1
+      }
     }
     // observed iteration count (incl. the confirming no-change round)
     // — the oracle generator derives its unroll depth from THIS run
     roundsOut.foreach(_ += round)
-    // at the fixpoint the final round's support table was computed ON
-    // the surviving edge set — it IS the truss's per-edge support
-    e.join(lastSup, Seq("a", "b"))
+    // at the fixpoint the maintained support IS the from-scratch
+    // support of the surviving edge set (the decrement identity above)
+    cur
   }
 
   /** TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT — the community-
@@ -828,9 +976,12 @@ object Graph {
     * self-join on the oriented source, closing-edge join on the
     * (v1, v2) pair, one count per node. Everything is exact integer
     * counting; lcc is ONE IEEE division of two exactly-representable
-    * longs — bit-replayable. Rank comparisons use (deg, id) STRUCT
-    * ordering (lexicographic in both engines), so 64-bit ids need no
-    * packing. Returns (v, deg, n_tri, lcc); deg < 2 keeps NULL lcc
+    * longs — bit-replayable. Rank comparisons spell the (deg, id)
+    * lexicographic order as FLAT long compares (`da < db OR (da = db
+    * AND a < b)` — codegen'd, zero-allocation; the struct-compare
+    * phrasing they replaced built two row objects per candidate pair),
+    * so 64-bit ids need no packing. Returns (v, deg, n_tri, lcc);
+    * deg < 2 keeps NULL lcc
     * (undefined, not 0 — a pendant node has no neighbor pair to
     * close). Isolated nodes don't appear (no edges, no row). */
   /** Degree-ordered oriented triangle enumeration over canonical
@@ -1046,9 +1197,17 @@ object Graph {
       val fp = next.agg(count(lit(1)),
         sum(col("dist").cast(DecimalType(38, 0)))).head()
       val sig = (fp.getLong(0), fp.getDecimal(1))
-      if (sig._1 == prevSig._1 && sig._2.compareTo(prevSig._2) == 0)
+      if (sig._1 == prevSig._1 && sig._2.compareTo(prevSig._2) == 0) {
         converged = true
-      else { prevSig = sig; dist = next; round += 1 }
+        // the confirming round's pin duplicates dist — release it
+        org.apache.spark.sql.GraftColumnBridge.releasePin(next)
+      } else {
+        prevSig = sig
+        // release the superseded round pin (r21 loop-storage discipline)
+        org.apache.spark.sql.GraftColumnBridge.releasePin(dist)
+        dist = next
+        round += 1
+      }
     }
     // observed improving-round count — the oracle generator derives
     // its relaxation unroll depth from THIS run

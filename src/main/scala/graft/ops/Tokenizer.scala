@@ -136,7 +136,10 @@ object Tokenizer {
         val (l, rr, pc) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r, l, rr, l + rr, pc))
-        words = pin(applyMerge(words, l, rr))
+        val next = pin(applyMerge(words, l, rr))
+        // release the superseded round pin (r21 loop-storage discipline)
+        org.apache.spark.sql.GraftColumnBridge.releasePin(words)
+        words = next
       } // else: no adjacent pairs remain; later rounds are no-ops too
     }
     corpus.sparkSession.createDataFrame(out.result())

@@ -42,6 +42,16 @@ object GraftColumnBridge {
     * Rows, schema, partitioning, ordering: identical. */
   def localCheckpointBounded(df: Dataset[Row]): Dataset[Row] = {
     val ck = df.localCheckpoint()
+    // Name the pinned RDD with the creating thread: makes loop pins
+    // attributable in the UI/getPersistentRDDs — and lets the
+    // pin-release spec count ITS pins under sbt's parallel suites
+    // (cosmetic otherwise; the name rides the same RDD the clamped
+    // rebuild below wraps).
+    ck.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        l.rdd.setName(s"graftpin-t${Thread.currentThread().getId}")
+      case _ => ()
+    }
     ck.queryExecution.analyzed match {
       case l: execution.LogicalRDD if l.stats.sizeInBytes > StatsCap =>
         val clamped = catalyst.plans.logical.Statistics(
@@ -56,4 +66,21 @@ object GraftColumnBridge {
       case _ => ck
     }
   }
+
+  /** Release the block-store copy behind a SUPERSEDED pin (optimization
+    * r21, VERDICT r20 item 1): a `localCheckpoint` materializes RDD
+    * blocks that live until the query's SparkSession drops them — in an
+    * iterative fold every round pins a fresh frame, so a 30-round loop
+    * on a node-sized frame holds ~30 node-frame copies in the block
+    * store unless the superseded rounds are released. Call this on
+    * round R−1's pinned handle ONCE round R's pin has materialized
+    * (pins are eager, so the handoff point is exact and nothing can
+    * still need the old blocks). On a reliable `checkpoint()` frame
+    * (the `checkpointDir` path) the RDD is not block-persisted and the
+    * unpersist is a no-op — callers need not branch. */
+  def releasePin(df: Dataset[Row]): Unit =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
