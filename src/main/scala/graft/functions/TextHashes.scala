@@ -54,6 +54,20 @@ object TextHashes {
   def word_ngrams(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(c), n))
 
+  /** Word n-grams over an ALREADY-TOKENIZED array — the output of
+    * [[word_ngrams]] at n=1 — in one codegen'd pass: window-join only,
+    * skipping the lowercase+tokenize scan. BIT-IDENTICAL law (pinned
+    * by TextAnalysisSpec): `token_ngrams(word_ngrams(t, 1), n) ==
+    * word_ngrams(t, n)` — [[wordNgramsOf]] tokenizes first and then
+    * window-joins, and this runs the identical join over the identical
+    * token list. Exists so multi-order consumers (Gopher repetition,
+    * the Moore-Lewis / lmScore bigram streams) can tokenize a corpus
+    * ONCE and derive every order from the token array (r21, guide §6:
+    * re-reading 100 TB of text once per n-gram order is an I/O
+    * multiplier, not a constant). */
+  def token_ngrams(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(TokenNgrams(GraftColumnBridge.expression(tokens), n))
+
   /** Sorted DISTINCT hashes of every `k`-CODEPOINT gram — [[winnow]]'s
     * gram layer WITHOUT the window selection: the full shingle-hash
     * SET, for exact set operations (containment, intersection counts)
@@ -244,6 +258,31 @@ object TextHashes {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** [[token_ngrams]]'s evaluator: the window-join half of
+    * [[wordNgramsOf]], verbatim, over a prebuilt token array. Tokens
+    * must be non-null (the [[word_ngrams]] output contract —
+    * containsNull = false). */
+  def tokenNgramsOf(arr: ArrayData, n: Int): ArrayData = {
+    val t = arr.numElements()
+    if (t < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val out = new Array[Any](t - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < t - n + 1) {
+      sb.setLength(0)
+      var q = 0
+      while (q < n) {
+        if (q > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(j + q).toString)
+        q += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** array<string> -> long SimHash (single pass, codegen'd). */
@@ -332,4 +371,23 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
   override def prettyName: String = "graft_word_ngrams"
+}
+
+/** array<string> (a prebuilt token array) -> array<string> word
+  * n-grams (codegen'd; see [[TextHashes.token_ngrams]]). */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"token_ngrams needs n > 0, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashes.tokenNgramsOf(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.tokenNgramsOf($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_ngrams"
 }

@@ -1300,8 +1300,15 @@ object TextAnalysis {
     * guard, zero drift from the batch scorer. */
   private[graft] def lmModel(train: DataFrame, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val biTrain = train
-      .select(explode(ngrams(col(textCol), 2)).as("bigram"))
+    // ONE tokenizer pass feeds BOTH the bigram counts and the
+    // vocabulary (r21 — was two independent lowercase+tokenize scans
+    // of the training corpus; the cache is bench/harness-managed):
+    // bigrams derive from the token array by the window-join-only
+    // token_ngrams kernel, bit-identical by the pinned kernel law.
+    val tk = train.select(tokens(col(textCol)).as("__toks")).cache()
+    val biTrain = tk
+      .select(explode(graft.functions.TextHashes
+        .token_ngrams(col("__toks"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
     val ctx = biTrain
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
@@ -1309,8 +1316,8 @@ object TextAnalysis {
     // v = 0 (empty / token-free training frame) would make every unseen
     // context's p a 0/0 NaN that propagates SILENTLY into sum_fp/lm_min
     // — fail loudly instead (the quotaSampleByGroup guard style).
-    val vocab = train
-      .select(explode(tokens(col(textCol))).as("w"))
+    val vocab = tk
+      .select(explode(col("__toks")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
       .where(assert_true(col("v") >= 1,
         lit("lmScore: training frame has an empty vocabulary (no tokens) " +
@@ -1326,10 +1333,24 @@ object TextAnalysis {
     * nothing there (documented in the wrapper). */
   private[graft] def lmScoreAgainst(
       model: (DataFrame, DataFrame, DataFrame), score: DataFrame,
-      idCol: String, textCol: String, reinstate: Boolean): DataFrame = {
+      idCol: String, textCol: String, reinstate: Boolean): DataFrame =
+    lmScoreOnStream(model,
+      score.select(col(idCol), explode(ngrams(col(textCol), 2)).as("bigram")),
+      score.select(col(idCol)), idCol, reinstate)
+
+  /** [[lmScoreAgainst]] over a PREBUILT `(idCol, bigram)` stream and
+    * doc-id list — split out (r21) so [[mooreLewis]] can tokenize the
+    * score corpus ONCE and feed the identical stream to both of its
+    * lmScore pipelines instead of re-running the tokenizer kernel per
+    * model side. The stream must be exactly
+    * `score.select(idCol, explode(ngrams(textCol, 2)))` for the
+    * batch semantics (bit-identity is by the token_ngrams kernel law
+    * when the caller derives it from a shared token array). */
+  private def lmScoreOnStream(
+      model: (DataFrame, DataFrame, DataFrame), stream: DataFrame,
+      docIds: DataFrame, idCol: String, reinstate: Boolean): DataFrame = {
     val (biTrain, ctx, vocab) = model
-    val scored = score
-      .select(col(idCol), explode(ngrams(col(textCol), 2)).as("bigram"))
+    val scored = stream
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .join(biTrain, Seq("bigram"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -1357,7 +1378,7 @@ object TextAnalysis {
           .as("lm_score"),
         col("lm_min"))
     if (!reinstate) perDoc
-    else score.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    else docIds.join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_trans"), lit(0L)).as("n_trans"),
         col("lm_score"), col("lm_min"))
   }
@@ -1482,9 +1503,22 @@ object TextAnalysis {
     * lm_in, lm_out, ml_score); <2-token docs keep NULL scores. */
   def mooreLewis(inDomain: DataFrame, general: DataFrame,
       score: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val a = lmScore(inDomain, score, idCol, textCol)
+    // The score corpus is tokenized ONCE (r21): both lmScore pipelines
+    // consume the same cached (id, token-array) projection — the old
+    // shape ran the lowercase+tokenize kernel over the score frame
+    // once per model side. Bigrams derive from the array by the
+    // window-join-only token_ngrams kernel (bit-identical by the
+    // pinned law); the cache is bench/harness-managed.
+    val tk = score.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .cache()
+    val stream = tk.select(col(idCol), explode(graft.functions.TextHashes
+      .token_ngrams(col("__toks"), 2)).as("bigram"))
+    val ids = tk.select(col(idCol))
+    val a = lmScoreOnStream(lmModel(inDomain, textCol), stream, ids,
+        idCol, reinstate = true)
       .select(col(idCol), col("n_trans"), col("lm_score").as("lm_in"))
-    val b = lmScore(general, score, idCol, textCol)
+    val b = lmScoreOnStream(lmModel(general, textCol), stream, ids,
+        idCol, reinstate = true)
       .select(col(idCol), col("lm_score").as("lm_out"))
     a.join(b, Seq(idCol))
       .select(col(idCol), col("n_trans"), col("lm_in"), col("lm_out"),
@@ -1519,14 +1553,23 @@ object TextAnalysis {
     * winning gram. Empty docs (0 tokens) emit 0.0 (nothing repeats);
     * NULL text emits NULL throughout (null in/null out).
     *
-    * Scale shape: per n, grams ride ONE hash shuffle keyed
-    * (doc, gram) — partial map-side counts for the top family, a
-    * (doc, gram)-partition window for the duplicate family whose
-    * partitions are bounded by the OWNING doc's length (no hot-key
-    * hazard beyond a single doc) — then #ns slim per-doc frames
-    * broadcast-join back onto the doc list. Document text itself
-    * never shuffles; the exploded gram stream is the transfer unit,
-    * the same bill every corpus n-gram op here pays. */
+    * Scale shape: the corpus is TOKENIZED ONCE — one cached
+    * `(id, token-array)` projection feeds every order (r21; the
+    * previous shape ran the lowercase+tokenize kernel once PER ORDER,
+    * a 6× re-read of the raw text at scale — guide §6), with each
+    * order's grams derived from the array by the window-join-only
+    * [[graft.functions.TextHashes.token_ngrams]] kernel
+    * (bit-identical to the from-text kernel by the pinned law). Per
+    * n, grams then ride ONE hash shuffle keyed (doc, gram) — partial
+    * map-side counts for the top family, a (doc, gram)-partition
+    * window for the duplicate family whose partitions are bounded by
+    * the OWNING doc's length (no hot-key hazard beyond a single
+    * doc) — then #ns slim per-doc frames broadcast-join back onto
+    * the doc list. Document text itself never shuffles; the exploded
+    * gram stream is the transfer unit, the same bill every corpus
+    * n-gram op here pays. The token cache is bench/harness-managed
+    * (unpersisted between queries, like the graph-family in-query
+    * pins). */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       topNs: Seq[Int] = Seq(2, 3, 4),
       dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
@@ -1535,10 +1578,16 @@ object TextAnalysis {
       s"repetition n-grams need n >= 2, got ${(topNs ++ dupNs).mkString(",")}")
     require(topNs.distinct == topNs && dupNs.distinct == dupNs,
       "duplicate n in topNs/dupNs")
-    val base = df.select(col(idCol),
-      size(tokens(col(textCol))).cast(LongType).as("n_tokens"))
-    def grams(n: Int): DataFrame = df.select(col(idCol),
-      posexplode(ngrams(col(textCol), n)).as(Seq("pos", "g")))
+    // ONE tokenizer pass for all orders: cached so the 1 + #ns
+    // consumers below read the token arrays instead of re-running the
+    // lowercase+tokenize scan per order (r21)
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .cache()
+    val base = toks.select(col(idCol),
+      size(col("__toks")).cast(LongType).as("n_tokens"))
+    def grams(n: Int): DataFrame = toks.select(col(idCol),
+      posexplode(graft.functions.TextHashes.token_ngrams(col("__toks"), n))
+        .as(Seq("pos", "g")))
     val topFrames = topNs.map { n =>
       grams(n).groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col(idCol)).agg(max(col("c")).as(s"__top$n"))

@@ -294,4 +294,16 @@ object KernelProperties extends Properties("graft.kernels") {
       same.getDouble(3) == 1.0 &&
         allDiff.getDouble(3) == m.toDouble / (m.toDouble * m.toDouble)
     }
+
+  property("token_ngrams over word_ngrams(·, 1) IS word_ngrams(·, n) — " +
+      "the r21 tokenize-once law (repetitionSignals / lmScore derive " +
+      "every order from one token array)") =
+    forAll(texts, Gen.chooseNum(1, 6)) { (s, n) =>
+      val direct = TextHashes.wordNgramsOf(u(s), n)
+      val viaArr = TextHashes.tokenNgramsOf(
+        TextHashes.wordNgramsOf(u(s), 1), n)
+      val d = (0 until direct.numElements()).map(direct.getUTF8String)
+      val v = (0 until viaArr.numElements()).map(viaArr.getUTF8String)
+      d == v
+    }
 }
