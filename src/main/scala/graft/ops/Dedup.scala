@@ -1142,16 +1142,27 @@ object Dedup {
     val members = nearDupClusters(nearDupPairs(df, idCol, textCol,
         k, bands, rowsPerBand, threshold, seed, maxBucketSize))
       .select(col("id").as(idCol), col("cluster_id"))
-    val bucketed = df.withColumn("__own_bucket",
-      TextAnalysis.splitBucket(col(textCol)))
+    // The per-doc content-hash bucket is computed ONCE into a cached
+    // slim (id, bucket) frame (r21): it is consumed by BOTH the
+    // representative-bucket leg and the per-doc assignment below, and
+    // the un-cached shape re-ran the splitBucket kernel — a full read
+    // of every doc's text — once per leg (2 corpus text scans in the
+    // final plan; guide §6). Attaching the bucket back by an idCol
+    // equi-join instead of withColumn is row-preserving because doc
+    // ids are unique (the same assumption the representative join
+    // already leans on), and the joined corpus scan no longer reads
+    // the text column at all. The cache is bench/harness-managed.
+    val bkt = df.select(col(idCol),
+      TextAnalysis.splitBucket(col(textCol)).as("__own_bucket")).cache()
     // representative's bucket, one row per member of any cluster
     val repBucket = members.join(
-        bucketed.select(col(idCol).as("cluster_id"),
+        bkt.select(col(idCol).as("cluster_id"),
           col("__own_bucket").as("__rep_bucket")),
         "cluster_id")
       .select(col(idCol), col("__rep_bucket"))
     val b = coalesce(col("__rep_bucket"), col("__own_bucket"))
-    bucketed.join(repBucket, Seq(idCol), "left")
+    df.join(bkt, Seq(idCol))
+      .join(repBucket, Seq(idCol), "left")
       .withColumn("split",
         when(b < valPct, "val")
           .when(b < valPct + testPct, "test")

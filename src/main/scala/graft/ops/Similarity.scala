@@ -478,6 +478,11 @@ object Similarity {
           graft.functions.Centroids.pq_encode(col(vecCol), books).as("codes"),
           posexplode(col(vecCol).cast(ArrayType(DoubleType)))
             .as(Seq("gpos", "x")))
+          // trailing elements of an OVER-LONG vector (len > dim) would
+          // compute gpos div sub >= m, make element_at(codes, j+1)
+          // NULL, and NPE the driver-side fold — ignore them, exactly
+          // as the old per-subspace slice() path did (r21, ADVICE fix)
+          .where(col("gpos") < lit(dim))
         val sums = assigned.select(
             expr(s"CAST(gpos div $sub AS INT)").as("j"),
             expr(s"element_at(codes, CAST(gpos div $sub AS INT) + 1)")
