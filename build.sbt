@@ -16,6 +16,11 @@ run / fork := true
 // result JSON, and the banner has shadowed it every round (r21 fix —
 // VERDICT r20 item 2). Success/failure still lands in the exit code.
 Global / showSuccess := false
+// The forked run's stdout goes STRAIGHT to the console, not through
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// breaks a bare json.loads of the bench's result line exactly like
+// the banner did (the second half of the same r21 fix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
